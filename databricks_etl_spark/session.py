@@ -1,0 +1,45 @@
+"""SparkSession factory.
+
+The reference notebooks run on a managed Databricks runtime and never
+configure Spark themselves (session is ambient). Here the session is
+explicit, and tuned for correctness-vs-oracle and scale:
+
+- AQE on (runtime join-strategy switch, skew-join split, partition
+  coalescing) — the "no hand-scheduling" rule from SURVEY.md §4.2.
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+- Arrow on for any pandas boundary (Pandas UDFs, ``toPandas``).
+- ``spark.sql.shuffle.partitions`` sized to local cores; on a real
+  cluster this is overridden by AQE coalescing anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "databricks_etl_spark", *, cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or 32.
+    """
+    n = cpus or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,126 @@
+"""Sources — parquet/CSV scans (SURVEY.md §2.1 S1–S6).
+
+Parquet is the engine default (columnar, predicate pushdown, column
+pruning). CSV keeps the reference's ingest semantics: header-aware,
+multiline/escape tolerant (``pre_analysis.py:52-60``,
+``pre_process.py:38``), and with an explicit schema so that a
+malformed value yields NULL instead of an error (PERMISSIVE mode —
+matches the reference's cast-to-NULL behavior,
+``pre_analysis.py:244-258``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from databricks_etl_spark.sources.schemas import SCHEMAS
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table (S1 analog, parquet-first).
+
+    Columns/filters asked of the result are pushed into the parquet
+    scan by Catalyst; no schema is forced so that pushdown and
+    vectorized decoding stay on the native path.
+
+    Nanosecond-precision parquet timestamps (e.g. ``events.ts``,
+    written as TIMESTAMP(NANOS)) are illegal for Spark's vectorized
+    reader; those columns are read as nano-longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and converted to
+    microsecond timestamps JVM-side (integer DIV — exact, no double
+    round-trip).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col in ns_cols:
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    return df
+
+
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as TIMESTAMP(NANOS) — from the parquet footer
+    (driver-side, metadata-only; cached per path)."""
+    if path in _NANOS_CACHE:
+        return _NANOS_CACHE[path]
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = [e for e in os.listdir(path) if e.endswith(".parquet")]
+        if not parts:
+            _NANOS_CACHE[path] = ()
+            return ()
+        target = os.path.join(path, parts[0])
+    schema = pq.read_schema(target)
+    cols = tuple(
+        f.name for f in schema if str(f.type).startswith("timestamp[ns")
+    )
+    _NANOS_CACHE[path] = cols
+    return cols
+
+
+_NANOS_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(read_table(spark, sf_dir, n) for n in names)
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    *,
+    multi_line: bool = True,
+) -> DataFrame:
+    """CSV scan with the reference's tolerance options (S2).
+
+    ``multiLine=True`` + ``escape='"'`` tolerate embedded newlines and
+    quote-escaped quotes (``pre_analysis.py:52-60``). PERMISSIVE mode
+    NULLs malformed cells rather than failing, preserving the
+    reference's count-don't-reject semantics.
+    """
+    reader = (
+        spark.read.option("header", True)
+        .option("multiLine", multi_line)
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def load_latest(spark: SparkSession, data_folder: str, fmt: str = "csv") -> DataFrame:
+    """Latest-part-file resolver (S4, ``transform.py:36-51``), made sane.
+
+    The reference lists a blob container and picks the newest
+    ``part-*`` file by modification time. Spark-idiomatic reads target
+    the output *directory*; this helper keeps the "latest run" notion
+    by choosing the newest run subdirectory when ``data_folder``
+    contains dated subdirectories, else reading the directory itself.
+    """
+    entries = [
+        os.path.join(data_folder, e)
+        for e in os.listdir(data_folder)
+        if os.path.isdir(os.path.join(data_folder, e))
+    ]
+    target = max(entries, key=os.path.getmtime) if entries else data_folder
+    if fmt == "parquet":
+        return spark.read.parquet(target)
+    return read_csv_table(spark, target)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register testdata tables as temp views for the SQL API."""
+    for name in names or list(SCHEMAS):
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,91 @@
+"""Driver-mimicking oracle parity: every registered query with an
+oracle must match DuckDB on row count, column names, and values
+(order-insensitive) at the driver's correctness scale factor.
+
+This is a strictly *harsher* version of the driver's value-hash check:
+values are compared exactly (after canonical row/column ordering), so a
+pass here implies a hash match there.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from databricks_etl_spark.plans.registry import QUERIES, _load
+
+_load()
+
+WITH_ORACLE = sorted(k for k, v in QUERIES.items() if v.oracle is not None)
+ROWS_ONLY = sorted(k for k, v in QUERIES.items() if v.oracle is None)
+
+
+def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by value — the driver's compare is
+    order-insensitive with name-sorted columns."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+        elif pdf[c].dtype == object:
+            # lists/arrays/decimals → canonical strings for sortability
+            pdf[c] = pdf[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+            )
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort", na_position="last")
+    return pdf.reset_index(drop=True)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column names differ: {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row counts differ: {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x is None or (isinstance(x, float) and math.isnan(x)):
+                ok = y is None or (isinstance(y, float) and math.isnan(y))
+            elif isinstance(x, float) and isinstance(y, float):
+                ok = x == y or math.isclose(x, y, rel_tol=0, abs_tol=0)
+            else:
+                ok = x == y
+            assert ok, f"{name}: col {c} row {i}: spark={x!r} duck={y!r}"
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(name, spark, duck, sf_dir):
+    qd = QUERIES[name]
+    spark_pdf = qd.fn(spark, sf_dir).toPandas()
+    duck_pdf = duck.execute(qd.oracle).fetchdf()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, spark, sf_dir):
+    qd = QUERIES[name]
+    df = qd.fn(spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark, smoke_sf_dir):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"n_name", "revenue", "n_items"} == set(df.columns)
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert q, "queries() must not be empty"
+    assert set(o) <= set(q), "every oracle key must be a query key"
