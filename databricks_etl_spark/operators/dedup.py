@@ -1,0 +1,157 @@
+"""Deduplication operators (north-star extension, SURVEY.md §2.12):
+exact, n-gram Jaccard, bottom-k MinHash, MinHashLSH, SimHash.
+
+Scale ladder (cheapest first):
+1. :func:`dedup_exact` — one hash-shuffle on the content key.
+2. :func:`jaccard_pairs` — exact set-similarity via shingle self-join;
+   scalable shape (inverted index join) but O(sum of posting-list²)
+   worst case → use on bounded candidate sets.
+3. :func:`minhash_lsh_pairs` — ``pyspark.ml`` MinHashLSH banding:
+   candidate generation is hash-bucket equi-join, the 100 TB path.
+4. :func:`simhash64` — 64-bit SimHash; near-dups share band prefixes.
+
+(1), (2) and bottom-k sketches are exactly SQL-expressible (oracle
+checked); LSH/SimHash use seeded hashes → rows-only driver checks +
+invariant tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.operators.text import shingles, tokens_col
+
+
+def dedup_exact(
+    df: DataFrame, content_cols: list[str], id_col: str
+) -> DataFrame:
+    """Exact dedup on content columns, keeping the smallest id —
+    deterministic (hard part (c)): survivors are reproducible, unlike
+    ``dropDuplicates``. One shuffle on the content key."""
+    w = Window.partitionBy(*content_cols).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def token_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, token) with per-doc distinct tokens — the unigram inverted
+    index."""
+    return df.select(
+        id_col, F.explode(F.array_distinct(tokens_col(text_col))).alias("token")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    ngram: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via inverted-index self-join.
+
+    shared(a,b) = |S_a ∩ S_b| from the index join; |S_a ∪ S_b| =
+    |S_a| + |S_b| - shared. Emits (id_a < id_b, jaccard) above
+    ``threshold``. Jaccard is an exact int/int division → identical
+    across engines (rounded to 6dp for hash stability).
+    """
+    if ngram == 1:
+        items = token_sets(df, text_col, id_col).withColumnRenamed("token", "item")
+    else:
+        items = shingles(df, ngram, text_col, id_col).select(
+            id_col, F.col("shingle").alias("item")
+        ).distinct()
+    sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = items.select(F.col(id_col).alias("id_a"), "item")
+    b = items.select(F.col(id_col).alias("id_b"), "item")
+    shared = (
+        a.join(b, "item")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("shared").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("shared")
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.6,
+    num_hashes: int = 32,
+    num_features: int = 1 << 18,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Approximate near-dup pairs via ``pyspark.ml`` MinHashLSH.
+
+    Pipeline: distinct unigram tokens → HashingTF binary vectors →
+    MinHashLSH(seed) → ``approxSimilarityJoin`` (bucketed equi-join on
+    band hashes — candidate generation never goes quadratic). Distance
+    is (1 - estimated Jaccard); rows-only oracle (seeded hash family is
+    not SQL-reproducible).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = df.select(id_col, F.array_distinct(tokens_col(text_col)).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=num_features, binary=True)
+    feats = tf.transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="dist")
+    return pairs.select(
+        F.col(f"datasetA.{id_col}").alias("id_a"),
+        F.col(f"datasetB.{id_col}").alias("id_b"),
+        (1 - F.col("dist")).alias("est_jaccard"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: xxhash64(token) bit-votes.
+
+    Pure built-ins: explode tokens → per-(doc, bit) vote sum → assemble
+    the signature with shift/sum aggregation. Near-dup docs differ in
+    few bits (compare via hamming distance on the signature). Seeded
+    engine hash → rows-only oracle.
+    """
+    toks = df.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    bits = h.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        # shift amount is a column → SQL expr (the Python helpers only
+        # take literal ints)
+        "vote",
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+    )
+    sig = (
+        bits.groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+    return sig

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (north-star extension,
+SURVEY.md §2.12): brute-force cosine top-k (exact baseline) and an
+LSH-bucketed approximate variant (the scale path).
+
+Numerics: dot products are computed with ``F.zip_with`` +
+``F.aggregate`` over ``array<double>`` — a sequential left fold that is
+**bit-identical** to DuckDB's ``list_sum(list_transform(...))`` fold
+(verified empirically), so cosine scores oracle-match exactly without
+tolerance. All JVM-side expressions; no Python UDF.
+
+Scale: brute-force is a broadcast nested-loop (queries broadcast to
+every partition of the corpus) followed by a per-query top-k — linear
+in corpus size, embarrassingly parallel, the right *exact* baseline at
+any scale when the query set is small. For large query sets use
+:func:`brp_lsh_neighbors` (bucketed random projection: candidate
+pairs from same-bucket equi-join only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product over two array<float|double> cols."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k
+    nearest corpus vectors (excluding itself).
+
+    Returns (query_id, neighbor_id, rank, cosine_sim). Deterministic
+    total order: (sim DESC, neighbor_id ASC). The query side is
+    broadcast; ranking is a per-query window (small k ⇒
+    TakeOrdered-like work per partition)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine_sim")
+    )
+
+
+def brp_lsh_neighbors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    bucket_length: float = 2.0,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate nearest neighbors via BucketedRandomProjectionLSH
+    (``pyspark.ml``) — euclidean-bucket candidates, then exact cosine
+    re-rank of candidates only. The 100 TB path: candidate generation
+    is an equi-join on bucket hashes, never a full cross product.
+    Seeded projections → rows-only oracle."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(id_col, array_to_vector(F.col(vec_col)).alias("features"), F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+        F.col(vec_col).alias("qvec"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=bucket_length,
+        numHashTables=num_tables, seed=42,
+    )
+    model = lsh.fit(c)
+    cand = model.approxSimilarityJoin(q, c, float("inf"), distCol="eucl")
+    scored = cand.select(
+        F.col("datasetA.qid").alias("query_id"),
+        F.col(f"datasetB.{id_col}").alias("neighbor_id"),
+        F.round(
+            cosine(F.col("datasetA.qvec"), F.col(f"datasetB.{vec_col}")), 6
+        ).alias("cosine_sim"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine_sim")
+    )
+
+
+def label_centroids(embeddings: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """Per-label mean vector — posexplode + per-(label, dim) average +
+    re-assemble. Pure aggregations; SQL-expressible."""
+    dims = embeddings.select(
+        "label", F.posexplode(F.col(vec_col)).alias("dim", "v")
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))).alias("mean_v")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_v"))).alias("pairs"))
+        .select(
+            "label",
+            F.transform(F.col("pairs"), lambda s: s.getField("mean_v")).alias("centroid"),
+        )
+    )

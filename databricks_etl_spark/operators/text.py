@@ -1,0 +1,167 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+extension, SURVEY.md §2.12): tokenization, token counting, quality
+scoring, language-ID heuristic, term frequency, shingling, and
+document fingerprinting.
+
+Everything here is built from JVM-side ``pyspark.sql.functions``
+(split/transform/filter/aggregate + window shingling) — no Python UDFs
+— so the hot path stays inside whole-stage codegen and each operator
+has an exact ANSI-SQL oracle. At 100 TB the explode-based operators
+(term frequency, shingles) shuffle on high-cardinality keys, which is
+the intended scalable shape (hash-partitioned, AQE-coalesced).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-vote
+# heuristic. Deliberately small and ASCII so the same literal lists are
+# embeddable in the SQL oracle.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "une"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ein", "ist"),
+}
+
+PUNCT_RE = r"[!-/:-@\[-`{-~]"  # ASCII punctuation, identical in Java & RE2
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokenization of lower-cased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    return df.withColumn(out, tokens_col(text_col))
+
+
+def token_count(text: Column | str) -> Column:
+    """Token count (whitespace tokenizer)."""
+    return F.size(tokens_col(text))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: length, token count, mean token
+    length, punctuation ratio, stopword ratio, and a composite
+    ``quality_score`` in [0,1].
+
+    The score mirrors common pre-training heuristic filters (length in
+    range, low punctuation, some stopwords) — each signal is a pure
+    column expression, one scan, no UDFs.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    stop = [w for ws in STOPWORDS.values() for w in ws]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_RE, ""))
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_tokens
+    mean_tok_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    score = (
+        F.when(n_tokens.between(5, 1000), F.lit(0.25)).otherwise(0.0)
+        + F.when(punct_ratio < 0.1, F.lit(0.25)).otherwise(0.0)
+        + F.when(stop_ratio > 0.01, F.lit(0.25)).otherwise(0.0)
+        + F.when(mean_tok_len.between(2.0, 12.0), F.lit(0.25)).otherwise(0.0)
+    )
+    return df.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: count hits per language's stoplist,
+    argmax with deterministic tie-break on language code; 'und'
+    (undetermined) when no list scores.
+
+    One scan, pure expressions. (A real system would use char-trigram
+    profiles; the *shape* — per-language score columns + greatest — is
+    the same and equally SQL-expressible.)
+    """
+    toks = tokens_col(text_col)
+
+    def _score(ws: tuple[str, ...]) -> Column:
+        # single-arg lambda only: a 2-arg lambda would be treated as
+        # (element, index) by F.filter
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    scores = {lang: _score(ws) for lang, ws in STOPWORDS.items()}
+    # argmax with lexicographic tiebreak: compare (score, rev_rank) pairs
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang in sorted(STOPWORDS):  # later langs win only on strictly-greater
+        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
+    return df.select("doc_id", pred.alias("lang_pred"))
+
+
+def term_frequency(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus term frequency: explode tokens → hash-aggregate.
+
+    Scale shape: partial (map-side) count per token, then one shuffle on
+    token — the canonical word-count; skewed head tokens are exactly
+    what AQE skew handling + partial aggregation absorb."""
+    return (
+        df.select(F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Word n-gram shingles via posexplode + lead window — identical
+    semantics in ANSI SQL, no UDF.
+
+    Returns (id_col, shingle). The window partitions by document, so
+    it parallelizes across documents at any scale."""
+    tok = df.select(id_col, F.posexplode(tokens_col(text_col)).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = tok.select(id_col, F.concat_ws(" ", *parts).alias("shingle"), *[
+        F.lead("tok", n - 1).over(w).alias("__last")
+    ])
+    return sh.filter(F.col("__last").isNotNull()).drop("__last")
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints, both SQL-exact:
+
+    - ``md5_fp``: md5 of whitespace-normalized lower-cased text
+      (exact-dedup key);
+    - ``min_shingle_fp``: lexicographic min of md5(3-gram shingle) — a
+      1-permutation MinHash; equal fingerprints ⇒ likely near-dups.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    sh = shingles(df, 3, text_col)
+    minfp = sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("min_shingle_fp"))
+    return (
+        df.select("doc_id", F.md5(norm).alias("md5_fp"))
+        .join(minfp, "doc_id", "left")
+    )
+
+
+def bottom_k_sketch(df: DataFrame, k: int = 8, text_col: str = "text") -> DataFrame:
+    """Bottom-k MinHash sketch: the k smallest md5(shingle) values per
+    doc, as a sorted array. Jaccard between two docs is estimated by
+    overlap of sketches — the classic bottom-k estimator, fully
+    deterministic and SQL-expressible (vs. seeded-permutation MinHash).
+    """
+    sh = shingles(df, 3, text_col).select("doc_id", F.md5("shingle").alias("h")).distinct()
+    w = Window.partitionBy("doc_id").orderBy("h")
+    return (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("h")).alias("sketch"))
+    )

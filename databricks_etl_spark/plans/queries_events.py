@@ -1,0 +1,100 @@
+"""Event-time window queries over ``events`` (SURVEY.md §2.9).
+
+Batch-mode windowed aggregations with DuckDB ``time_bucket`` /
+lag-gap-cumsum oracles, plus a true Structured Streaming run
+(rows-only; batch-equivalence asserted in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from databricks_etl_spark.plans.registry import query
+from databricks_etl_spark.sources.readers import read_table
+from databricks_etl_spark.streaming import windows as W
+
+
+@query(
+    "q50_tumbling_window",
+    oracle="""
+        SELECT CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT) AS ws_epoch,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    bench=True,
+)
+def q50_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (10 min) — ``F.window`` batch mode;
+    the identical expression runs as a stream in q53."""
+    return W.tumbling_counts(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q51_sliding_window",
+    oracle="""
+        WITH assigned AS (
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', event_type
+            FROM events
+        )
+        SELECT CAST(floor(epoch(ws)) AS BIGINT) AS ws_epoch,
+               event_type,
+               COUNT(*) AS n_events
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+)
+def q51_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min / 5 min hop): every event belongs to two
+    windows; the oracle materializes the same assignment with two
+    bucket shifts + UNION ALL."""
+    return W.sliding_counts(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q52_session_windows",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+                   ) AS sess_id
+            FROM g
+        )
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
+        FROM s
+        GROUP BY user_id, sess_id
+    """,
+)
+def q52_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 5-min inactivity gap
+    (``F.session_window``). The oracle re-derives sessions by the
+    classic lag-gap-cumsum — two independent implementations must
+    agree exactly (boundary semantics: an event at exactly
+    prev_ts + gap still MERGES; only a strictly larger gap splits —
+    verified against Spark's session_window)."""
+    return W.session_windows(read_table(spark, sf_dir, "events"))
+
+
+@query("q53_streaming_tumbling", oracle=None)
+def q53_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming execution of q50: readStream file
+    source → watermark → windowed agg → memory sink, drained with
+    ``availableNow``. Rows-only driver check; exact batch-equivalence
+    asserted in tests/test_streaming.py."""
+    return W.run_tumbling_stream(spark, sf_dir)

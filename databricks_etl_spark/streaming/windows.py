@@ -1,0 +1,140 @@
+"""Event-time windowed aggregation (SURVEY.md §2.9).
+
+The reference has no streaming at all; this surface is driven by the
+north star + the ``events`` testdata table. Design: every windowed
+aggregation is defined ONCE as a batch-checkable transformation
+(tumbling / sliding / session), and the streaming variant applies the
+identical expression over ``readStream`` with a watermark — Structured
+Streaming's unified batch/stream semantics make the batch DuckDB
+oracle a genuine check of the streaming logic.
+
+Window starts are emitted as epoch seconds (windows are minute-aligned,
+so this is lossless) — keeps cross-engine hashing away from timestamp
+precision differences.
+
+Scale notes: tumbling/sliding aggs shuffle on (window, key) — uniform
+by construction; session windows shuffle on user key (skewed users are
+split by AQE). Watermark bounds state for true streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.functions.scalars import decimal_sum
+from databricks_etl_spark.sources.schemas import SCHEMAS
+
+
+def tumbling_counts(events: DataFrame, duration: str = "10 minutes") -> DataFrame:
+    """Per-(window, event_type) count + value sum over tumbling
+    event-time windows (``F.window``)."""
+    return (
+        events.groupBy(F.window("ts", duration), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value", "total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("ws_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, duration: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in duration/slide
+    windows."""
+    return (
+        events.groupBy(F.window("ts", duration, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("ws_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows with a fixed inactivity gap
+    (``F.session_window``): an event at exactly ``prev_ts + gap``
+    still MERGES into the session (range [start, last_ts + gap] is
+    boundary-inclusive); only a strictly larger gap splits."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value", "session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start_epoch"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet (file source). Schema must
+    be explicit for streams; ns-timestamps arrive as nano-longs and are
+    converted exactly like the batch reader."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    path = f"{sf_dir}/events.parquet"
+    arrow = pq.read_schema(path)
+    fields = []
+    ns_cols = []
+    for f_ in SCHEMAS["events"].fields:
+        if str(arrow.field(f_.name).type).startswith("timestamp[ns"):
+            ns_cols.append(f_.name)
+            fields.append(T.StructField(f_.name, T.LongType(), True))
+        else:
+            fields.append(f_)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # streaming file source wants a directory: read the sf_dir with a
+    # glob filter selecting just the events table
+    df = (
+        spark.readStream.schema(T.StructType(fields))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def run_tumbling_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Execute the tumbling aggregation as a real Structured Streaming
+    query (file source → watermark → windowed agg → memory sink) with
+    ``availableNow`` so a bounded run drains the input and stops.
+
+    Returns the materialized result as a batch DataFrame. With the
+    watermark ≥ max event-time disorder, the result equals the batch
+    :func:`tumbling_counts` — asserted in tests/test_streaming.py.
+    """
+    import uuid
+
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    events = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    agg = tumbling_counts(events, duration)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

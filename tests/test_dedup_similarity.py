@@ -1,0 +1,80 @@
+"""Invariant tests for the approximate (rows-only) dedup/similarity
+operators: MinHashLSH, SimHash, BRP-LSH ANN — the checks the DuckDB
+oracle can't express (SURVEY.md §5.2-2).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.operators import dedup as DD
+from databricks_etl_spark.operators import similarity as SIM
+from databricks_etl_spark.sources.readers import read_table
+
+
+@pytest.fixture(scope="module")
+def docs_with_planted_dups(spark, smoke_sf_dir):
+    """Corpus + two planted near-duplicates of doc 0 (one word changed /
+    appended) with ids 90001/90002."""
+    d = read_table(spark, smoke_sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") == 0).first()["text"]
+    toks = base.split(" ")
+    toks[len(toks) // 2] = "zzzmutant"
+    near1 = " ".join(toks)
+    near2 = base + " extraword"
+    planted = spark.createDataFrame(
+        [(90001, near1), (90002, near2)], "doc_id long, text string"
+    )
+    return d.union(planted)
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs_with_planted_dups):
+    pairs = DD.minhash_lsh_pairs(docs_with_planted_dups, threshold=0.5)
+    found = {
+        (r["id_a"], r["id_b"]) for r in pairs.collect()
+    }
+    assert (0, 90001) in found or (0, 90002) in found, f"planted dups not found: {found}"
+    est = pairs.agg(F.min("est_jaccard"), F.max("est_jaccard")).first()
+    assert 0.0 <= est[0] <= est[1] <= 1.0
+
+
+def test_simhash_identical_and_near(spark, docs_with_planted_dups):
+    sig = DD.simhash64(docs_with_planted_dups)
+    s = {r["doc_id"]: r["simhash"] for r in sig.filter(
+        F.col("doc_id").isin(0, 90001, 90002)).collect()}
+    # near-dup of doc 0 → small hamming distance
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(s[0], s[90001]) <= 12
+    assert hamming(s[0], s[90002]) <= 12
+    # identical text ⇒ identical signature
+    dup = docs_with_planted_dups.filter(F.col("doc_id") == 0).union(
+        docs_with_planted_dups.filter(F.col("doc_id") == 0).select(
+            F.lit(99999).cast("long").alias("doc_id"), "text"
+        )
+    )
+    sig2 = {r["doc_id"]: r["simhash"] for r in DD.simhash64(dup).collect()}
+    assert sig2[0] == sig2[99999]
+
+
+def test_brp_lsh_recall_vs_bruteforce(spark, smoke_sf_dir):
+    e = read_table(spark, smoke_sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(e, q, 10)
+    approx = SIM.brp_lsh_neighbors(e, q, 10, num_tables=8, bucket_length=4.0)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, f"ANN recall too low: {recall}"
+
+
+def test_cosine_topk_invariants(spark, smoke_sf_dir):
+    e = read_table(spark, smoke_sf_dir, "embeddings")
+    out = SIM.cosine_topk(e, e.filter(F.col("vec_id") < 3), 5).collect()
+    assert len(out) == 15
+    for r in out:
+        assert -1.000001 <= r["cosine_sim"] <= 1.000001
+        assert 1 <= r["rank"] <= 5
+        assert r["query_id"] != r["neighbor_id"]

@@ -1,0 +1,43 @@
+"""Structured Streaming ≡ batch equivalence (SURVEY.md §5.2-2).
+
+The streaming tumbling aggregation (readStream → watermark → window →
+memory sink, availableNow) must produce exactly the batch result —
+Spark's unified semantics, asserted rather than assumed.
+"""
+
+from __future__ import annotations
+
+from databricks_etl_spark.sources.readers import read_table
+from databricks_etl_spark.streaming import windows as W
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, smoke_sf_dir):
+    batch = W.tumbling_counts(read_table(spark, smoke_sf_dir, "events"))
+    stream = W.run_tumbling_stream(spark, smoke_sf_dir)
+    assert _rows(stream) == _rows(batch)
+    assert stream.count() > 0
+
+
+def test_session_window_boundary_semantics(spark):
+    """An event at exactly prev_ts + gap MERGES; gap+1s splits."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1, "a", 1.0, None),
+        (1, base + dt.timedelta(minutes=5), 2, "a", 1.0, None),  # == gap → merge
+        (2, base, 3, "a", 1.0, None),
+        (2, base + dt.timedelta(minutes=5, seconds=1), 4, "a", 1.0, None),  # > gap → split
+    ]
+    df = spark.createDataFrame(
+        [(r[2], r[1], r[0], r[3], r[4], r[5]) for r in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = W.session_windows(df, "5 minutes")
+    per_user = {r["user_id"]: r for r in out.groupBy("user_id").count().collect()}
+    assert per_user[1]["count"] == 1  # merged into one session
+    assert per_user[2]["count"] == 2  # split into two sessions
