@@ -59,9 +59,10 @@ def latest_of(*cols: Column | str) -> Column:
 def normalize_cast(col: Column | str, dtype: str) -> Column:
     """F9 cast-with-NULL-on-malformed (``pre_analysis.py:225,246``...).
 
-    Spark's ``cast`` already yields NULL for unparseable strings in
-    ANSI-off mode; this wrapper names the policy so call sites read as
-    ingest normalization.
+    ``try_cast`` yields NULL for unparseable strings regardless of the
+    session's ANSI setting (Spark 4 defaults ANSI on, where plain
+    ``cast`` throws); this wrapper names the policy so call sites read
+    as ingest normalization.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(dtype)
+    return c.try_cast(dtype)

@@ -1,0 +1,80 @@
+"""EP3/ML queries: derived-feature mart (oracled) + seeded
+KMeans/PCA clustering (rows-only, hard part (f): cluster IDs are
+label-permutable so never oracled on IDs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.operators.features import days_since
+from databricks_etl_spark.operators.ml import cluster_activity
+from databricks_etl_spark.plans.queries_relational import AS_OF_DATE
+from databricks_etl_spark.plans.registry import query
+from databricks_etl_spark.sources.readers import read_table
+
+
+def _customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 analog on the star schema: per-customer activity features
+    (the reference's transaction_count / days_since_* mart,
+    ``transform.py:66-181``, re-keyed to customers/orders)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("o_orderdate").alias("last_order"),
+        F.min("o_orderdate").alias("first_order"),
+    )
+    j = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        "c_acctbal",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce(days_since("last_order", AS_OF_DATE), F.lit(-1))
+        .cast("long")
+        .alias("days_since_last_order"),
+        F.coalesce(
+            F.datediff(F.to_date("last_order"), F.to_date("first_order")), F.lit(0)
+        )
+        .cast("long")
+        .alias("active_span_days"),
+        F.when(F.col("n_orders").isNull(), 1).otherwise(0).alias("no_events"),
+    )
+
+
+@query(
+    "q54_customer_features",
+    oracle=f"""
+        WITH per_cust AS (
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   MAX(o_orderdate) AS last_order, MIN(o_orderdate) AS first_order
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_acctbal,
+               COALESCE(n_orders, 0) AS n_orders,
+               CAST(COALESCE(date_diff('day', CAST(last_order AS DATE), DATE '{AS_OF_DATE}'), -1)
+                    AS BIGINT) AS days_since_last_order,
+               CAST(COALESCE(date_diff('day', CAST(first_order AS DATE), CAST(last_order AS DATE)), 0)
+                    AS BIGINT) AS active_span_days,
+               CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END AS no_events
+        FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+    """,
+)
+def q54_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 derived-feature mart (age-group/day-diff/no-events shape,
+    ``transform.py:95-179``) with deterministic ``as_of_date``."""
+    return _customer_activity(spark, sf_dir)
+
+
+@query("q55_kmeans_activity_clusters", oracle=None, bench=True)
+def q55_kmeans_activity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1–M4: feature assembly → KMeans(k=3, seed=1) → PCA(2) → join-
+    back (``transform.py:192-240``). Rows-only; determinism and
+    cluster-count invariants in tests/test_ml.py."""
+    feats = _customer_activity(spark, sf_dir)
+    return cluster_activity(
+        feats,
+        ["c_acctbal", "n_orders", "days_since_last_order", "active_span_days"],
+        id_col="c_custkey",
+    )
