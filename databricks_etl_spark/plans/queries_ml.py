@@ -67,7 +67,7 @@ def q54_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _customer_activity(spark, sf_dir)
 
 
-@query("q55_kmeans_activity_clusters", oracle=None, bench=True)
+@query("q55_kmeans_activity_clusters", oracle=None)
 def q55_kmeans_activity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1–M4: feature assembly → KMeans(k=3, seed=1) → PCA(2) → join-
     back (``transform.py:192-240``). Rows-only; determinism and
