@@ -113,3 +113,22 @@ def union_all(*dfs: DataFrame) -> DataFrame:
 def intersect_rows(df: DataFrame, other: DataFrame) -> DataFrame:
     """INTERSECT (engine addition for set-op completeness)."""
     return df.intersect(other)
+
+
+def select_star_qualified(
+    joined: DataFrame, sides: dict[str, DataFrame]
+) -> DataFrame:
+    """P2 qualified-star projection after a multi-join, with duplicate
+    column names disambiguated by prefixing (hard part (a)).
+
+    The reference's ``select('df_bt.*','df_lk_onboarding.*',...)``
+    (``pre_analysis.py:702-705``) yields duplicate labels that only
+    pandas tolerates; here each side's columns come out as
+    ``<alias>__<col>``, so the result is a valid, unambiguous schema.
+    ``sides`` maps alias → the aliased DataFrame used in the join.
+    """
+    cols = []
+    for alias, df in sides.items():
+        for c in df.columns:
+            cols.append(F.col(f"{alias}.{c}").alias(f"{alias}__{c}"))
+    return joined.select(*cols)

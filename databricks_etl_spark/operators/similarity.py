@@ -124,6 +124,38 @@ def brp_lsh_neighbors(
     )
 
 
+def embed_text_stub(df: DataFrame, dim: int = 16, text_col: str = "text") -> DataFrame:
+    """Deterministic fake text-embedding via an Arrow-batched Pandas UDF
+    (the §2.10 UDF surface): md5-feature-hash each token into ``dim``
+    buckets, L2-normalize (see :mod:`databricks_etl_spark.functions.udfs`).
+    """
+    from databricks_etl_spark.functions.udfs import make_embed_udf
+
+    return df.withColumn("embedding", make_embed_udf(dim)(F.col(text_col)))
+
+
+def embedding_neardup_pairs(
+    docs: DataFrame, threshold: float = 0.95, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Embedding-cosine near-dup detection on a document corpus: stub-
+    embed → all-pairs cosine ≥ threshold (exact; bounded corpora). The
+    scale path replaces the cross join with BRP-LSH bucketing
+    (:func:`brp_lsh_neighbors`) over the same embedding column."""
+    e = docs.select(id_col, "embedding")
+    a = e.select(F.col(id_col).alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def label_centroids(embeddings: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
     """Per-label mean vector — posexplode + per-(label, dim) average +
     re-assemble. Pure aggregations; SQL-expressible."""

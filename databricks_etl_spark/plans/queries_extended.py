@@ -1,0 +1,166 @@
+"""Extended coverage queries: window frames, arg-max, qualified-star
+multi-join (hard part (a)), skew-salted join, pandas_udf embedding
+near-dup, stateful streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.functions.scalars import decimal_sum
+from databricks_etl_spark.operators import similarity as SIM
+from databricks_etl_spark.operators.relational import select_star_qualified
+from databricks_etl_spark.operators.skew import salted_join
+from databricks_etl_spark.plans.registry import query
+from databricks_etl_spark.sources.readers import read_table
+
+
+@query(
+    "q59_running_sum_window",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_qty,
+               CAST(row_number() OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber
+               ) AS BIGINT) AS rn
+        FROM lineitem
+        WHERE l_orderkey < 300
+    """,
+)
+def q59_running_sum_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame spec (rowsBetween) + ranking — engine additions
+    beyond the reference's single lag window (SURVEY.md §2.5: no frame
+    specs exist there). Decimal accumulation keeps the running sum
+    bit-stable across engines."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).over(frame).cast("double").alias(
+            "running_qty"
+        ),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+@query(
+    "q60_arg_max",
+    oracle="""
+        SELECT c_mktsegment,
+               arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+               MAX(o_totalprice) AS top_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def q60_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 max-by, in-engine (the reference does it driver-side over a
+    file listing, ``transform.py:43``): the orderkey of each segment's
+    priciest order. (o_totalprice values are distinct at this scale, so
+    arg_max is unambiguous — both engines break ties arbitrarily
+    otherwise.)"""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+            F.max("o_totalprice").alias("top_price"),
+        )
+    )
+
+
+@query(
+    "q61_qualified_star_join",
+    oracle="""
+        SELECT o.o_orderkey   AS o__o_orderkey,
+               o.o_totalprice AS o__o_totalprice,
+               c.c_custkey    AS c__c_custkey,
+               c.c_name       AS c__c_name,
+               n.n_nationkey  AS n__n_nationkey,
+               n.n_name       AS n__n_name
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderkey < 100
+    """,
+)
+def q61_qualified_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 qualified-star after a 3-way join with name disambiguation
+    (hard part (a)): the reference's ``select('df_bt.*', ...)``
+    (``pre_analysis.py:702-705``) produces duplicate labels; the engine
+    emits ``alias__col`` names instead."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100).select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    ).alias("o")
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    ).alias("c")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").alias("n")
+    joined = o.join(c, F.col("o.o_custkey") == F.col("c.c_custkey")).join(
+        F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey")
+    )
+    out = select_star_qualified(
+        joined,
+        {
+            "o": o.select("o_orderkey", "o_totalprice"),
+            "c": c.select("c_custkey", "c_name"),
+            "n": n,
+        },
+    )
+    return out
+
+
+@query(
+    "q62_salted_skew_join",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+)
+def q62_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (SURVEY.md §4.3): same result as the plain
+    equi-join, but the build side is replicated across 8 salt buckets
+    so one hot key cannot pin a single shuffle partition. (Default
+    path is plain join + AQE skew-split; salting is the explicit
+    escape hatch.)"""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, "l_orderkey", salt=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), decimal_sum("l_quantity", "qty")
+    )
+
+
+@query("q63_embedding_neardup_docs", oracle=None)
+def q63_embedding_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over documents: Pandas-UDF stub
+    embedding (md5 feature hashing — deterministic) + exact cosine
+    pairs ≥ 0.98. Rows-only (the md5-bucket embedding isn't reasonably
+    SQL-expressible); determinism asserted in tests."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return SIM.embedding_neardup_pairs(SIM.embed_text_stub(d), threshold=0.98)
+
+
+@query("q64_stateful_running_totals", oracle=None)
+def q64_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running per-user (count, sum) maintained in GroupState, driven to
+    completion with availableNow. Rows-only; equality with the batch
+    aggregate asserted in tests/test_streaming.py."""
+    from databricks_etl_spark.streaming.stateful import run_running_totals_stream
+
+    return run_running_totals_stream(spark, sf_dir)

@@ -72,6 +72,7 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_profile  # noqa: F401
 
     for optional in (
+        "databricks_etl_spark.plans.queries_extended",
         "databricks_etl_spark.plans.queries_events",
         "databricks_etl_spark.plans.queries_text",
         "databricks_etl_spark.plans.queries_dedup",

@@ -1,0 +1,63 @@
+"""Source/sink roundtrips (SURVEY.md §2.1 S4, S7) and approx-distinct
+tolerance (A4/A10 100 TB default)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.operators.profile import uniqueness
+from databricks_etl_spark.sources.readers import load_latest, read_csv_table, read_table
+from databricks_etl_spark.sources.schemas import SCHEMAS
+from databricks_etl_spark.sources.writers import write_csv, write_parquet
+
+
+def test_csv_sink_roundtrip(spark, smoke_sf_dir, tmp_path):
+    """S7: overwrite-mode header CSV write (pre_process.py:304-306) and
+    schema-preserving re-read."""
+    nation = read_table(spark, smoke_sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    write_csv(nation, out)
+    back = read_csv_table(spark, out, SCHEMAS["nation"], multi_line=False)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+    # overwrite mode really overwrites
+    write_csv(nation.limit(3), out)
+    assert read_csv_table(spark, out, SCHEMAS["nation"], multi_line=False).count() == 3
+
+
+def test_parquet_sink_partitioned(spark, smoke_sf_dir, tmp_path):
+    orders = read_table(spark, smoke_sf_dir, "orders")
+    out = str(tmp_path / "orders_pq")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    # partition dirs exist → partition pruning is possible on read
+    assert any(e.startswith("o_orderstatus=") for e in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    assert pruned.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_load_latest_picks_newest_run(spark, smoke_sf_dir, tmp_path):
+    """S4: the latest-part-file resolver (transform.py:36-51), rebuilt
+    as newest-run-directory selection."""
+    nation = read_table(spark, smoke_sf_dir, "nation")
+    run1 = str(tmp_path / "run1")
+    run2 = str(tmp_path / "run2")
+    write_csv(nation.limit(5), run1)
+    time.sleep(1.1)
+    write_csv(nation.limit(10), run2)
+    got = load_latest(spark, str(tmp_path))
+    assert got.count() == 10
+
+
+def test_approx_uniqueness_within_tolerance(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    exact = {r["column"]: r["pct_unique"] for r in uniqueness(o, ["o_orderkey", "o_custkey"]).collect()}
+    approx = {
+        r["column"]: r["pct_unique"]
+        for r in uniqueness(o, ["o_orderkey", "o_custkey"], exact=False).collect()
+    }
+    for c in exact:
+        assert abs(exact[c] - approx[c]) / max(exact[c], 1e-9) < 0.1

@@ -22,6 +22,23 @@ def test_streaming_tumbling_equals_batch(spark, smoke_sf_dir):
     assert stream.count() > 0
 
 
+def test_stateful_running_totals_equals_batch(spark, smoke_sf_dir):
+    """applyInPandasWithState running totals == batch groupBy agg."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_spark.streaming.stateful import run_running_totals_stream
+
+    stream = run_running_totals_stream(spark, smoke_sf_dir)
+    batch = (
+        read_table(spark, smoke_sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    s = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in stream.collect()}
+    b = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in batch.collect()}
+    assert s == b
+
+
 def test_session_window_boundary_semantics(spark):
     """An event at exactly prev_ts + gap MERGES; gap+1s splits."""
     import datetime as dt
