@@ -145,6 +145,49 @@ def q62_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q65_percentiles",
+    oracle="""
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def q65_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (``percentile`` ≡ ANSI
+    ``quantile_cont``, bit-identical — verified). The 100 TB default is
+    ``percentile_approx`` (one-pass sketch, no per-group sort); exact
+    kept on the oracle path."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q66_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q66_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims — all 4 grouping sets in one expand+agg scan
+    (engine addition alongside q29 ROLLUP)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), decimal_sum("o_totalprice", "total")
+    )
+
+
 @query("q63_embedding_neardup_docs", oracle=None)
 def q63_embedding_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over documents: Pandas-UDF stub

@@ -1,0 +1,69 @@
+"""Property-based checks (SURVEY.md §5.2-4) over seeded random
+row-sets: profile metrics bounded in [0,100]; set-operation algebra
+(union/subtract/intersect identities); dedup idempotence.
+
+Deterministic seeds (no flaky generation); three seeds per property.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.operators import relational as R
+from databricks_etl_spark.operators.profile import completeness, integrity, uniqueness
+
+SEEDS = [0, 1, 2]
+
+
+def _random_df(spark, seed: int, n: int = 200):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (
+            int(rng.integers(0, 50)),
+            float(rng.normal()) if rng.random() > 0.2 else None,
+            str(rng.integers(0, 5)),
+        )
+        for _ in range(n)
+    ]
+    return spark.createDataFrame(rows, "k long, v double, c string")
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_profile_metrics_bounded(spark, seed):
+    df = _random_df(spark, seed)
+    for metric_df, col in [
+        (completeness(df), "pct_complete"),
+        (uniqueness(df), "pct_unique"),
+        (integrity(df, {"k": F.col("k") >= 0, "v": F.col("v") < 100}), "pct_valid"),
+    ]:
+        for r in metric_df.collect():
+            assert 0.0 <= r[col] <= 100.0
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_set_algebra(spark, seed):
+    a = _random_df(spark, seed).select("k").distinct()
+    b = _random_df(spark, seed + 100).select("k").distinct()
+    union = R.union_distinct(a, b)
+    inter = R.intersect_rows(a, b)
+    a_minus_b = R.subtract_rows(a, b)
+    # |A∪B| = |A| + |B| - |A∩B|
+    assert union.count() == a.count() + b.count() - inter.count()
+    # A = (A∖B) ∪ (A∩B), disjointly
+    assert a_minus_b.count() + inter.count() == a.count()
+    assert R.intersect_rows(a_minus_b, b).count() == 0
+    # subtract is EXCEPT DISTINCT: (A∖B)∖B = A∖B
+    assert sorted(map(tuple, R.subtract_rows(a_minus_b, b).collect())) == sorted(
+        map(tuple, a_minus_b.collect())
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_dedup_idempotent_and_minimal(spark, seed):
+    df = _random_df(spark, seed)
+    once = R.dedup_keep_first(df, ["k"], [F.col("c"), F.col("v").asc_nulls_last()])
+    twice = R.dedup_keep_first(once, ["k"], [F.col("c"), F.col("v").asc_nulls_last()])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.count() == df.select("k").distinct().count()
