@@ -1,0 +1,71 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively
+(listed in the public Spark OLAP-patterns canon; DuckDB/Pandas have it
+built in).
+
+Implementation: the **union + partitioned forward-fill** formulation —
+tag both sides, union on (key, ts), and carry the most recent right-
+side payload forward with ``last(ignorenulls)`` over a partitioned
+ordered window. One shuffle on the key, per-partition sort, linear
+work — scales like any windowed aggregation and never builds a range
+cross-product. (The ``applyInPandas``+``merge_asof`` alternative ships
+rows through Arrow; this stays fully JVM-side.)
+
+Tie semantics: a right row at exactly ``ts`` matches (``>=``), the
+same as DuckDB's ``ASOF JOIN`` — enforced by sorting right-side rows
+before left-side rows at equal timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """For every left row, attach ``payload_cols`` from the most recent
+    right row of the same ``on`` key with ``right_ts <= left_ts``
+    (NULLs when no such row). Left rows and count are preserved.
+    """
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+    )
+    lt_full = lt.select(
+        *left.columns, "__ts", "__side", *[F.lit(None).alias(f"__p_{c}") for c in payload_cols]
+    )
+    rt_full = rt.select(
+        *[
+            F.col(c) if c == on else F.lit(None).alias(c)
+            for c in left.columns
+        ],
+        "__ts",
+        "__side",
+        *[F.col(f"__p_{c}") for c in payload_cols],
+    )
+    unioned = lt_full.unionByName(rt_full)
+    # right rows sort before left rows at equal __ts → inclusive (>=) match
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *left.columns,
+        "__side",
+        *[
+            F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w).alias(c)
+            for c in payload_cols
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

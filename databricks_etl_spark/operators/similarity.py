@@ -54,11 +54,19 @@ def cosine_topk(
     total order: (sim DESC, neighbor_id ASC). The query side is
     broadcast; ranking is a per-query window (small k ⇒
     TakeOrdered-like work per partition)."""
+    # Precompute norms once per row (not per pair): each corpus vector
+    # is scored against every query, so folding dot(v,v) inside the
+    # pair expression would redo |Q|× the work. sqrt(dot(v,v)) is a
+    # pure function of the row, so the result is bit-identical.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -66,7 +74,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

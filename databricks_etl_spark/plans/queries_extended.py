@@ -188,6 +188,51 @@ def q66_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q67_asof_join_last_click",
+    bench=True,
+    oracle="""
+        SELECT e.event_id,
+               e.user_id,
+               c.event_id AS click_event_id,
+               CAST(floor(epoch(e.ts)) AS BIGINT) AS event_epoch,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch
+        FROM events e
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+        ) c ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q67_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time): every event matched to the most
+    recent click (inclusive) by the same user. Spark lacks a native
+    ASOF — implemented as union + partitioned forward-fill (one key
+    shuffle, linear; see operators/asof.py); oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    from databricks_etl_spark.operators.asof import asof_join
+
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["click_event_id", "click_ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_event_id",
+        F.unix_timestamp("ts").alias("event_epoch"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+    )
+
+
 @query("q63_embedding_neardup_docs", oracle=None)
 def q63_embedding_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over documents: Pandas-UDF stub

@@ -1,0 +1,54 @@
+"""Physical-plan assertions (SURVEY.md §4.2): guard the properties
+that make queries scale — filter pushdown into the parquet scan,
+column-pruned ReadSchema, broadcast joins for tiny dims, top-k as
+TakeOrderedAndProject, whole-stage codegen presence. These fail if a
+refactor silently de-optimizes a plan, even though results stay right.
+"""
+
+from __future__ import annotations
+
+from databricks_etl_spark.plans.registry import queries
+
+
+def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = queries()[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_flagship_pushdown_and_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q01_revenue_by_nation")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q02_projection_prune")
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan
+    assert "c_acctbal" not in plan  # unused column never read
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q23_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    # Under AQE the pre-execution plan is a single AdaptiveSparkPlan
+    # node and codegen mode reports 0 subtrees; disable AQE for the
+    # inspection only — the production session keeps it on.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(spark, sf_dir, "q16_tpch_q1_pricing_summary", "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen" in plan
+    assert "Found 0 WholeStageCodegen" not in plan
+
+
+def test_agg_is_partial_plus_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_tpch_q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_sum" in plan
