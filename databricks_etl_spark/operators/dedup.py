@@ -92,7 +92,7 @@ def minhash_lsh_pairs(
     df: DataFrame,
     *,
     threshold: float = 0.6,
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     num_features: int = 1 << 18,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -104,11 +104,20 @@ def minhash_lsh_pairs(
     band hashes — candidate generation never goes quadratic). Distance
     is (1 - estimated Jaccard); rows-only oracle (seeded hash family is
     not SQL-reproducible).
+
+    The input is hash-repartitioned to the cluster's parallelism first:
+    the LSH explode+self-join otherwise inherits
+    ``spark.sql.shuffle.partitions`` tasks per stage, which is ~10×
+    slower when partitions vastly outnumber rows-per-core (measured);
+    on a real cluster the same call keeps every core busy.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    toks = df.select(id_col, F.array_distinct(tokens_col(text_col)).alias("toks")).filter(
-        F.size("toks") > 0
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.repartition(parallelism, id_col)
+        .select(id_col, F.array_distinct(tokens_col(text_col)).alias("toks"))
+        .filter(F.size("toks") > 0)
     )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=num_features, binary=True)
     feats = tf.transform(toks)

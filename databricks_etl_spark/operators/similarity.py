@@ -134,6 +134,78 @@ def brp_lsh_neighbors(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate NN: KMeans-partition the corpus
+    into ``n_centroids`` cells, then for each query exactly re-rank
+    only the ``n_probe`` nearest cells — the classic coarse-quantizer
+    ANN (cf. FAISS IVF-Flat), here as pure DataFrame ops.
+
+    Scale shape: the cell assignment is a one-off seeded KMeans fit +
+    transform; the probe step is an equi-join on ``cell`` (each query
+    touches n_probe/n_centroids of the corpus — a ~4/16 = 75% scan
+    reduction at these defaults, tunable). Cells are hash-partitioned,
+    so a 1000-executor cluster searches cells in parallel. Seeded but
+    approximate → rows-only oracle; recall-vs-exact tested.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(id_col, vec_col, array_to_vector(F.col(vec_col)).alias("__fv"))
+    km = KMeans(k=n_centroids, seed=42, featuresCol="__fv", predictionCol="cell")
+    model = km.fit(c)
+    assigned = model.transform(c).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+        "cell",
+    )
+    # centroid table is tiny (n_centroids × dim) — broadcast it
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        f"cell int, centroid array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("__csim"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__csim", cosine(F.col("__qv"), F.col("centroid")))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "__qv", "__qn", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine_sim")
+    )
+
+
 def embed_text_stub(df: DataFrame, dim: int = 16, text_col: str = "text") -> DataFrame:
     """Deterministic fake text-embedding via an Arrow-batched Pandas UDF
     (the §2.10 UDF surface): md5-feature-hash each token into ``dim``

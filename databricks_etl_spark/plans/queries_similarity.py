@@ -66,6 +66,16 @@ def q48_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brp_lsh_neighbors(e, e.filter(F.col("vec_id") < 5), 10)
 
 
+@query("q68_ann_ivf_topk", oracle=None)
+def q68_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: KMeans coarse quantizer → probe the n_probe
+    nearest cells → exact cosine re-rank inside cells only (the
+    third rung of the similarity ladder: brute-force → LSH → IVF).
+    Rows-only; recall-vs-exact asserted in tests."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(e, e.filter(F.col("vec_id") < 5), 10)
+
+
 @query(
     "q49_label_centroid_similarity",
     oracle="""

@@ -70,6 +70,18 @@ def test_brp_lsh_recall_vs_bruteforce(spark, smoke_sf_dir):
     assert recall >= 0.6, f"ANN recall too low: {recall}"
 
 
+def test_ivf_recall_vs_bruteforce(spark, smoke_sf_dir):
+    e = read_table(spark, smoke_sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(e, q, 10)
+    ivf = SIM.ivf_topk(e, q, 10, n_centroids=8, n_probe=3)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert len(ap) == 50  # k results per query even when probing subsets
+
+
 def test_cosine_topk_invariants(spark, smoke_sf_dir):
     e = read_table(spark, smoke_sf_dir, "embeddings")
     out = SIM.cosine_topk(e, e.filter(F.col("vec_id") < 3), 5).collect()
