@@ -128,6 +128,7 @@ def clean_onboarding(
     transactions: DataFrame,
     *,
     rules: list[DeleteRule] | None = None,
+    observations: dict | None = None,
 ) -> DataFrame:
     """Full EP2 pipeline: dedup → rename → prune → impute → R1–R6 →
     enrich with txn counts → R7 repair.
@@ -136,8 +137,23 @@ def clean_onboarding(
     the lineage ~15× via interleaved count() actions — SURVEY.md §4.1).
     Deterministic keyed dedup (keep smallest serial) replaces
     ``dropDuplicates(['user_id'])``.
+
+    Pass ``observations`` (a dict) to get free pipeline telemetry via
+    ``Observation`` metrics — row counts before/after the rule chain
+    collected as a side effect of the FIRST downstream action, zero
+    extra jobs (the §4.1 fix for count-per-step):
+
+        obs = {}
+        out = clean_onboarding(onb, txn, observations=obs)
+        out.collect()
+        obs["rows_in"].get, obs["rows_out"].get
     """
+    from pyspark.sql import Observation
+
     df = onboarding.dropDuplicates()
+    if observations is not None:
+        observations["rows_in"] = Observation("rows_in")
+        df = df.observe(observations["rows_in"], F.count(F.lit(1)).alias("n"))
     df = rename(df, {"_c0": "serial_onboarding"})
     df = dedup_keep_first(df, ["user_id"], ["serial_onboarding"])
     drop_cols = [c for c in ("Unnamed: 0",) if c in df.columns]
@@ -152,7 +168,15 @@ def clean_onboarding(
     df = df.join(counts, "user_id", "left").withColumn(
         "transaction_count", F.coalesce(F.col("transaction_count"), F.lit(0))
     )
-    return r7_repair(df)
+    df = r7_repair(df)
+    if observations is not None:
+        observations["rows_out"] = Observation("rows_out")
+        df = df.observe(
+            observations["rows_out"],
+            F.count(F.lit(1)).alias("n"),
+            F.sum("transaction_count").alias("total_transactions"),
+        )
+    return df
 
 
 def clean_users(users: DataFrame) -> DataFrame:

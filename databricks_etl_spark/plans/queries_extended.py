@@ -233,6 +233,48 @@ def q67_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q69_range_join_price_bands",
+    oracle="""
+        WITH bands AS (
+            SELECT 'b0' AS band, 0.0 AS lo, 100000.0 AS hi
+            UNION ALL SELECT 'b1', 100000.0, 250000.0
+            UNION ALL SELECT 'b2', 250000.0, 400000.0
+            UNION ALL SELECT 'b3', 400000.0, 1000000.0
+        )
+        SELECT band, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM orders JOIN bands
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+    """,
+)
+def q69_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via bucketized equi-join
+    (operators/rangejoin.py): the scalable alternative to Spark's
+    BroadcastNestedLoopJoin for inequality conditions — O(N·M) becomes
+    a hash join on bucket index + exact re-check."""
+    from databricks_etl_spark.operators.rangejoin import range_join_bucketed
+
+    o = read_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("b0", 0.0, 100_000.0),
+            ("b1", 100_000.0, 250_000.0),
+            ("b2", 250_000.0, 400_000.0),
+            ("b3", 400_000.0, 1_000_000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    j = range_join_bucketed(
+        o, bands, value_col="o_totalprice", lo_col="lo", hi_col="hi",
+        bucket_width=100_000.0,
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), decimal_sum("o_totalprice", "total")
+    )
+
+
 @query("q63_embedding_neardup_docs", oracle=None)
 def q63_embedding_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over documents: Pandas-UDF stub

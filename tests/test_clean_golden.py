@@ -86,6 +86,20 @@ def test_rule_audit_matches_planted(tables):
     assert matched["R6_return_before_first_login"] == {"MLB9"}
 
 
+def test_observation_metrics_free_telemetry(tables):
+    """Observation metrics ride the first action — no extra jobs
+    (SURVEY.md §4.1 fix for the reference's count-per-step)."""
+    obs: dict = {}
+    out = C.clean_onboarding(
+        tables["lk_onboarding"], tables["bt_users_transactions"], observations=obs
+    )
+    out.collect()
+    assert obs["rows_in"].get["n"] == 12  # post full-row dedup input
+    assert obs["rows_out"].get["n"] == len(FX.EXPECTED_SURVIVORS)
+    # MLB1×3 + MLB2 + MLB3 + MLB11 (bad-date row still counts as a txn)
+    assert obs["rows_out"].get["total_transactions"] == 6
+
+
 def test_clean_users_and_featurize(tables):
     users = C.clean_users(tables["lk_users"])
     assert users.count() == 5  # exact-dup row removed
