@@ -136,6 +136,51 @@ def correlation_pairs(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return row.select(F.expr(f"stack({n}, {triples}) as (col_x, col_y, corr)"))
 
 
+def profile_report(
+    df: DataFrame,
+    *,
+    cols: Sequence[str] | None = None,
+    integrity_checks: dict[str, Column] | None = None,
+) -> DataFrame:
+    """EP1 composite: completeness + uniqueness (+ integrity) for a
+    whole table in ONE aggregation job (the reference issues 1–2 jobs
+    *per column per metric*, ``pre_analysis.py:75-85,139-149,299-327``).
+
+    Returns a tidy long frame ``(metric, column, value)``. The wide
+    one-row aggregate is computed once and unpivoted three ways.
+    """
+    cols = list(cols or df.columns)
+    checks = integrity_checks or {}
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    aggs += [F.count(c).alias(f"__nn_{c}") for c in cols]
+    aggs += [F.countDistinct(c).alias(f"__nd_{c}") for c in cols]
+    aggs += [
+        F.sum(F.when(pred, 1).otherwise(0)).alias(f"__ok_{c}")
+        for c, pred in checks.items()
+    ]
+    wide = df.agg(*aggs).persist()  # one row; reused by each unpivot
+    comp = wide.select(
+        *[(F.lit(100.0) * F.col(f"__nn_{c}") / F.col("__total")).alias(c) for c in cols]
+    )
+    uniq = wide.select(
+        *[(F.lit(100.0) * F.col(f"__nd_{c}") / F.col("__total")).alias(c) for c in cols]
+    )
+    out = _unpivot(comp, cols, "value").withColumn("metric", F.lit("pct_complete")).union(
+        _unpivot(uniq, cols, "value").withColumn("metric", F.lit("pct_unique"))
+    )
+    if checks:
+        integ = wide.select(
+            *[
+                (F.lit(100.0) * F.col(f"__ok_{c}") / F.col(f"__nn_{c}")).alias(c)
+                for c in checks
+            ]
+        )
+        out = out.union(
+            _unpivot(integ, list(checks), "value").withColumn("metric", F.lit("pct_valid"))
+        )
+    return out.select("metric", "column", "value")
+
+
 def flag_validity(df: DataFrame, flag_cols: Sequence[str]) -> DataFrame:
     """Reference flag-consistency check (``pre_analysis.py:374-402``):
     % of rows where each 0/1 flag is a valid binary value.
