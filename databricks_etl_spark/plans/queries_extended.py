@@ -275,6 +275,35 @@ def q69_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q70_except_all_multiset",
+    oracle="""
+        SELECT l_orderkey, COUNT(*) AS n_remaining
+        FROM (
+            SELECT l_orderkey FROM lineitem
+            EXCEPT ALL
+            SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1
+        )
+        GROUP BY l_orderkey
+    """,
+)
+def q70_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (``exceptAll``) — the counterpart of the
+    reference's dedup-ing ``subtract`` (hard part (d)): per-key
+    multiplicities are preserved, so each order keeps
+    (lines − 1) copies after removing its first line."""
+    from databricks_etl_spark.operators.relational import except_all_rows
+
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey")
+    b = li.filter(F.col("l_linenumber") == 1).select("l_orderkey")
+    return (
+        except_all_rows(a, b)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_remaining"))
+    )
+
+
 @query("q63_embedding_neardup_docs", oracle=None)
 def q63_embedding_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over documents: Pandas-UDF stub
