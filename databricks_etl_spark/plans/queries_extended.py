@@ -304,6 +304,31 @@ def q70_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q71_intersect_all_multiset",
+    oracle="""
+        SELECT l_orderkey, COUNT(*) AS n_common
+        FROM (
+            SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 3
+            INTERSECT ALL
+            SELECT l_orderkey FROM lineitem WHERE l_linenumber >= 2
+        )
+        GROUP BY l_orderkey
+    """,
+)
+def q71_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL — per-key min(multiplicity) semantics,
+    completing the set-op family with q19/q70."""
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 3).select("l_orderkey")
+    b = li.filter(F.col("l_linenumber") >= 2).select("l_orderkey")
+    return (
+        a.intersectAll(b)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 @query("q63_embedding_neardup_docs", oracle=None)
 def q63_embedding_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over documents: Pandas-UDF stub
