@@ -329,6 +329,28 @@ def q71_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q72_from_json_struct",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+               COUNT(CAST(props->>'$.k' AS INTEGER)) AS n_parsed
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def q72_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing via ``from_json`` into a struct column (vs
+    q27's per-path ``get_json_object``) — the schema-on-read shape for
+    semi-structured ``props``; malformed JSON yields NULL fields."""
+    e = read_table(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k")).cast("long").alias("sum_k"),
+        F.count(F.col("p.k")).alias("n_parsed"),
+    )
+
+
 @query("q63_embedding_neardup_docs", oracle=None)
 def q63_embedding_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over documents: Pandas-UDF stub
