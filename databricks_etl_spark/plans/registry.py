@@ -73,6 +73,7 @@ def _load() -> None:
 
     for optional in (
         "databricks_etl_spark.plans.queries_extended",
+        "databricks_etl_spark.plans.queries_olap",
         "databricks_etl_spark.plans.queries_events",
         "databricks_etl_spark.plans.queries_text",
         "databricks_etl_spark.plans.queries_dedup",
