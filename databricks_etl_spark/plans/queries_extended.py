@@ -351,6 +351,35 @@ def q72_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q77_unpivot_melt",
+    oracle="""
+        SELECT l_orderkey, measure, CAST(val AS DOUBLE) AS val
+        FROM (
+            SELECT l_orderkey, 'quantity' AS measure, l_quantity AS val
+            FROM lineitem WHERE l_orderkey < 50
+            UNION ALL
+            SELECT l_orderkey, 'discount', l_discount
+            FROM lineitem WHERE l_orderkey < 50
+            UNION ALL
+            SELECT l_orderkey, 'tax', l_tax
+            FROM lineitem WHERE l_orderkey < 50
+        )
+    """,
+)
+def q77_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt via ``stack`` (wide → long, the inverse of q30's
+    pivot) — a single projection with row expansion, no shuffle."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    return li.select(
+        "l_orderkey",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+            " as (measure, val)"
+        ),
+    )
+
+
 @query("q63_embedding_neardup_docs", oracle=None)
 def q63_embedding_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over documents: Pandas-UDF stub
