@@ -380,6 +380,61 @@ def q77_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q78_array_functions",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               round(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+               round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+               round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                     / len(embedding), 6) AS vmean,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+        FROM embeddings
+        WHERE vec_id < 100
+    """,
+)
+def q78_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (size/min/max/aggregate/filter) —
+    the JVM-side array toolkit the similarity operators build on,
+    exposed as per-vector statistics."""
+    e = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    total = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        F.round(total / F.size("embedding"), 6).alias("vmean"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long").alias("n_pos"),
+    )
+
+
+@query(
+    "q79_zscore_within_group",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               round((c_acctbal - AVG(c_acctbal) OVER w)
+                     / stddev_samp(c_acctbal) OVER w, 4) AS acctbal_z
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+)
+def q79_zscore_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group normalization (z-score per market segment) via an
+    unordered analytic window — one shuffle on the group key. The
+    grouped-map ``applyInPandas`` formulation of the same operator is
+    cross-validated against this in tests/test_grouped_map.py."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    z = (F.col("c_acctbal") - F.avg("c_acctbal").over(w)) / F.stddev_samp(
+        "c_acctbal"
+    ).over(w)
+    return c.select("c_custkey", "c_mktsegment", F.round(z, 4).alias("acctbal_z"))
+
+
 @query("q63_embedding_neardup_docs", oracle=None)
 def q63_embedding_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over documents: Pandas-UDF stub

@@ -110,6 +110,33 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def run_windowed_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    agg_fn,
+    *,
+    watermark: str = "30 minutes",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run any of the windowed aggregations as a real stream (file
+    source → watermark → agg_fn → memory sink, availableNow) and
+    return the materialized result."""
+    import uuid
+
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    events = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    q = (
+        agg_fn(events)
+        .writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_tumbling_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -22,6 +22,18 @@ def test_streaming_tumbling_equals_batch(spark, smoke_sf_dir):
     assert stream.count() > 0
 
 
+def test_streaming_sliding_equals_batch(spark, smoke_sf_dir):
+    batch = W.sliding_counts(read_table(spark, smoke_sf_dir, "events"))
+    stream = W.run_windowed_stream(spark, smoke_sf_dir, W.sliding_counts)
+    assert _rows(stream) == _rows(batch)
+
+
+def test_streaming_session_windows_equals_batch(spark, smoke_sf_dir):
+    batch = W.session_windows(read_table(spark, smoke_sf_dir, "events"))
+    stream = W.run_windowed_stream(spark, smoke_sf_dir, W.session_windows)
+    assert _rows(stream) == _rows(batch)
+
+
 def test_stateful_running_totals_equals_batch(spark, smoke_sf_dir):
     """applyInPandasWithState running totals == batch groupBy agg."""
     from pyspark.sql import functions as F
