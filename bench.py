@@ -35,12 +35,18 @@ def main() -> None:
     next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name, fn in sorted(qs.items()):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
+        # steady-state: second run skips codegen JIT + file-listing —
+        # the number that scales with data volume
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - t0, 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -49,6 +55,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -91,6 +91,103 @@ def q52_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.session_windows(read_table(spark, sf_dir, "events"))
 
 
+_SESSION_ORACLE = """
+        WITH g AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+                   ) AS sess_id
+            FROM g
+        )
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
+        FROM s
+        GROUP BY user_id, sess_id
+"""
+
+
+@query("q80_sessionize_lag_cumsum", oracle=_SESSION_ORACLE)
+def q80_sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via lag-gap + running-sum session ids — the
+    window-function formulation of q52's ``session_window``. Three
+    independent implementations (session_window, this, and the DuckDB
+    oracle) must agree exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from databricks_etl_spark.functions.scalars import decimal_sum
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    g = e.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 300.0), 1).otherwise(0),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = g.withColumn("sess_id", F.sum("new_sess").over(run))
+    return s.groupBy("user_id", "sess_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+        decimal_sum("value", "session_value"),
+    ).drop("sess_id")
+
+
+@query(
+    "q81_inter_event_gaps",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts))) AS BIGINT)
+                       AS gap_s
+            FROM events
+        )
+        SELECT user_id,
+               COUNT(gap_s) AS n_gaps,
+               CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+               CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+               quantile_cont(gap_s, 0.5) AS median_gap_s
+        FROM gaps
+        GROUP BY user_id
+    """,
+)
+def q81_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics (lag + grouped percentile) —
+    the arrival-process profile that sizes session gaps and
+    watermarks."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = e.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        F.expr("percentile(gap_s, 0.5)").alias("median_gap_s"),
+    )
+
+
 @query("q53_streaming_tumbling", oracle=None)
 def q53_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE Structured Streaming execution of q50: readStream file
