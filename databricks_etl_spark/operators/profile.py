@@ -136,6 +136,28 @@ def correlation_pairs(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return row.select(F.expr(f"stack({n}, {triples}) as (col_x, col_y, corr)"))
 
 
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A7 alternative: full Pearson matrix via ``pyspark.ml.stat.
+    Correlation`` (single pass over assembled vectors — preferable to
+    O(k²) pairwise ``F.corr`` when k is large). Returns the same tidy
+    ``(col_x, col_y, corr)`` upper triangle as
+    :func:`correlation_pairs`; agreement asserted in tests."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
+    cols = list(cols)
+    assembled = VectorAssembler(inputCols=cols, outputCol="__v").transform(
+        df.select(*cols)
+    )
+    mat = Correlation.corr(assembled, "__v").head()[0].toArray()
+    rows = [
+        (cols[i], cols[j], float(mat[i][j]))
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    return df.sparkSession.createDataFrame(rows, "col_x string, col_y string, corr double")
+
+
 def profile_report(
     df: DataFrame,
     *,

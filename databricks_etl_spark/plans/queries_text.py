@@ -141,6 +141,102 @@ def q40_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q82_tfidf_top_terms",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct({_TOKS})) AS token,
+                   len({_TOKS}) AS n_toks
+            FROM documents
+        ),
+        tf AS (
+            SELECT t.doc_id, t.token,
+                   CAST(len(list_filter({_TOKS}, x -> x = t.token)) AS DOUBLE)
+                       / t.n_toks AS tf
+            FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+        ),
+        idf AS (
+            SELECT token,
+                   ln((SELECT COUNT(*) FROM documents) / CAST(COUNT(*) AS DOUBLE)) AS idf
+            FROM tok GROUP BY token
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.token, round(tf.tf * idf.idf, 6) AS tfidf
+            FROM tf JOIN idf USING (token)
+        ),
+        ranked AS (
+            SELECT doc_id, token, tfidf,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, token
+                   ) AS rk
+            FROM scored
+        )
+        SELECT doc_id, token, tfidf, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 3 AND doc_id < 100
+    """,
+)
+def q82_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: explode → per-(doc,term) TF,
+    corpus DF → IDF (ln N/df), per-doc rank window. The canonical
+    keyword-extraction shuffle shape; rounded to 6dp for libm parity.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; the oracle embeds it as a subquery
+    toks = d.select("doc_id", F.explode(TX.tokens_col("text")).alias("token"))
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks")), "doc_id"
+        )
+        .select("doc_id", "token", (F.col("n").cast("double") / F.col("n_toks")).alias("tf"))
+    )
+    idf = (
+        toks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.log(F.lit(float(n_docs)) / F.count(F.lit(1))).alias("idf"))
+    )
+    scored = tf.join(idf, "token").select(
+        "doc_id", "token", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 100))
+    )
+
+
+@query(
+    "q83_langid_confusion",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, lang, {_LANG_SCORES}
+            FROM documents
+        ),
+        p AS (
+            SELECT lang,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM s
+        )
+        SELECT lang, lang_pred, COUNT(*) AS n
+        FROM p GROUP BY lang, lang_pred
+    """,
+)
+def q83_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (true label × heuristic prediction)
+    — the evaluation cross-tab for the q38 classifier."""
+    d = read_table(spark, sf_dir, "documents")
+    pred = TX.lang_id(d).join(d.select("doc_id", "lang"), "doc_id")
+    return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
     "q41_bottom_k_sketch",
     oracle="""
         WITH t AS (

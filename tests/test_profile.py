@@ -24,6 +24,22 @@ def test_profile_report_matches_individual_metrics(spark, smoke_sf_dir):
         assert report[("pct_valid", r["column"])] == r["pct_valid"]
 
 
+def test_correlation_matrix_agrees_with_pairwise(spark, smoke_sf_dir):
+    li = read_table(spark, smoke_sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    pairs = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in P.correlation_pairs(li, cols).collect()
+    }
+    matrix = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in P.correlation_matrix(li, cols).collect()
+    }
+    assert set(pairs) == set(matrix)
+    for k in pairs:
+        assert abs(pairs[k] - matrix[k]) < 1e-9
+
+
 def test_flag_validity(spark, smoke_sf_dir):
     o = read_table(spark, smoke_sf_dir, "orders").withColumn(
         "flag", (F.col("o_orderstatus") == "F").cast("int")
