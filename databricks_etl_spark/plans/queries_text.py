@@ -237,6 +237,63 @@ def q83_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q84_training_data_prep",
+    oracle=f"""
+        WITH q AS (
+            SELECT doc_id, text, source,
+                   len({_TOKS}) AS nt,
+                   len(list_filter({_TOKS}, t -> t IN ({_STOP_ALL}))) AS nstop,
+                   length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS npunct,
+                   length(text) AS nc
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, text, source,
+                   (CASE WHEN nt BETWEEN 5 AND 1000 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN CAST(npunct AS DOUBLE)/nc < 0.1 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN CAST(nstop AS DOUBLE)/nt > 0.01 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN CAST(nc - (nt-1) AS DOUBLE)/nt BETWEEN 2.0 AND 12.0
+                         THEN 0.25 ELSE 0.0 END) AS score,
+                   nt
+            FROM q
+        ),
+        kept AS (
+            SELECT MIN(doc_id) AS doc_id, MIN(source) AS src_of_min, text,
+                   MIN(nt) AS nt
+            FROM scored
+            WHERE score >= 0.75
+            GROUP BY text
+        )
+        SELECT s.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(k.nt) AS BIGINT) AS total_tokens
+        FROM kept k JOIN scored s ON k.doc_id = s.doc_id
+        GROUP BY s.source
+    """,
+)
+def q84_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the minimal pre-training data pipeline:
+    quality-filter (score ≥ 0.75) → exact dedup keep-min-id → per-source
+    corpus stats. Every stage is an already-oracled operator; this
+    checks they compose without semantic drift. Scale shape: one scan +
+    one content-key shuffle + one small agg."""
+    from databricks_etl_spark.operators.dedup import dedup_exact
+
+    d = read_table(spark, sf_dir, "documents")
+    q = TX.quality_features(d).select("doc_id", "n_tokens", "quality_score")
+    kept = (
+        d.join(q, "doc_id")
+        .filter(F.col("quality_score") >= 0.75)
+        .select("doc_id", "text", "source", "n_tokens")
+    )
+    deduped = dedup_exact(kept, ["text"], "doc_id")
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@query(
     "q41_bottom_k_sketch",
     oracle="""
         WITH t AS (
