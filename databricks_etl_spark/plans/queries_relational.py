@@ -496,8 +496,8 @@ def q20_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT l_orderkey,
                COUNT(*) AS n_lines,
-               SUM(CASE WHEN prev_ln IS NOT NULL AND l_linenumber - prev_ln <> 1
-                        THEN 1 ELSE 0 END) AS n_gaps
+               CAST(SUM(CASE WHEN prev_ln IS NOT NULL AND l_linenumber - prev_ln <> 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
         FROM lagged
         GROUP BY l_orderkey
         HAVING n_gaps > 0

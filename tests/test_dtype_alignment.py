@@ -1,0 +1,58 @@
+"""Cross-engine dtype alignment: for every oracled query, the pandas
+dtype of each output column must land in the same equivalence class on
+both engines. The value-hash compare can't see dtype drift (1 == 1.0);
+the driver's schema check can — this guards it ahead of time.
+
+Runs at sf0.001 (dtypes are scale-independent).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from databricks_etl_spark.plans.registry import QUERIES, _load
+from databricks_etl_spark.sources.schemas import SCHEMAS
+
+_load()
+ORACLED = sorted(k for k, v in QUERIES.items() if v.oracle is not None)
+
+
+def _clazz(dtype) -> str:
+    s = str(dtype)
+    if s.startswith("datetime64"):
+        return "timestamp"
+    if s in ("int8", "int16", "int32", "int64", "Int64", "uint32", "uint64"):
+        return "int"
+    if s in ("float32", "float64"):
+        return "float"
+    if s == "bool":
+        return "bool"
+    return "object"
+
+
+@pytest.fixture(scope="module")
+def duck_small(smoke_sf_dir):
+    con = duckdb.connect()
+    for name in SCHEMAS:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{smoke_sf_dir}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_dtypes_align(name, spark, smoke_sf_dir, duck_small):
+    qd = QUERIES[name]
+    s = qd.fn(spark, smoke_sf_dir).limit(50).toPandas()
+    d = duck_small.execute(qd.oracle).fetchdf().head(50)
+    assert sorted(s.columns) == sorted(d.columns)
+    for c in s.columns:
+        cs, cd = _clazz(s[c].dtype), _clazz(d[c].dtype)
+        # empty frames surface as object on either side — only compare
+        # when both have data
+        if len(s) and len(d):
+            assert cs == cd, f"{name}.{c}: spark={s[c].dtype} duck={d[c].dtype}"
