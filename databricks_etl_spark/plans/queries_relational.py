@@ -277,14 +277,21 @@ def q10_left_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey, c_name
         FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+        )
     """,
 )
 def q11_left_anti_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 left anti-join delete-by-key (``pre_process.py:168,201,219,
-    235``): customers with no orders."""
+    235``): customers who never placed a 450k+ order (the filtered
+    bad-key set keeps the result non-empty at every scale factor)."""
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return R.anti_delete(c, o, "c_custkey").select("c_custkey", "c_name")
 
 
@@ -443,14 +450,19 @@ def q17_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey FROM customer
         EXCEPT
-        SELECT o_custkey AS c_custkey FROM orders
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
     """,
 )
 def q18_subtract_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SO3 ``subtract`` = EXCEPT DISTINCT (``pre_process.py:139``; hard
-    part (d) — note it dedups, unlike ``exceptAll``)."""
+    part (d) — note it dedups, unlike ``exceptAll``): customers minus
+    those with an in-progress ('P') order."""
     c = read_table(spark, sf_dir, "customer").select("c_custkey")
-    o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return R.subtract_rows(c, o)
 
 
