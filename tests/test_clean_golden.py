@@ -86,6 +86,45 @@ def test_rule_audit_matches_planted(tables):
     assert matched["R6_return_before_first_login"] == {"MLB9"}
 
 
+def test_clean_csv_sink_roundtrip(tables, spark, tmp_path):
+    """EP2's terminal step (``pre_process.py:304-306``): cleaned table →
+    CSV sink → re-read+normalize gives back the same rows."""
+    from databricks_etl_spark.sources.normalize import normalize
+    from databricks_etl_spark.sources.readers import read_csv_table
+    from databricks_etl_spark.sources.writers import write_csv
+    from pyspark.sql import types as T
+
+    cleaned = C.clean_onboarding(
+        tables["lk_onboarding"], tables["bt_users_transactions"]
+    )
+    out = str(tmp_path / "cleaned_onb")
+    write_csv(cleaned, out)
+    raw = read_csv_table(spark, out, multi_line=False)
+    back = normalize(raw, T.StructType(cleaned.schema.fields))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cleaned.collect()))
+
+
+def test_featurize_publish_partitioned(tables, spark, tmp_path):
+    """EP3's terminal step (``transform.py:260`` JDBC → here parquet):
+    published mart partitioned by a derived column, partition-prunable
+    on read."""
+    import os
+
+    from databricks_etl_spark.sources.writers import write_parquet
+
+    users = C.clean_users(tables["lk_users"])
+    cleaned = C.clean_onboarding(
+        tables["lk_onboarding"], tables["bt_users_transactions"]
+    )
+    feats = featurize_onboarding(users, cleaned, as_of_date="2024-06-01")
+    out = str(tmp_path / "mart")
+    write_parquet(feats, out, partition_by=["age_group"])
+    assert any(e.startswith("age_group=") for e in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == feats.count()
+    assert set(back.columns) == set(feats.columns)
+
+
 def test_observation_metrics_free_telemetry(tables):
     """Observation metrics ride the first action — no extra jobs
     (SURVEY.md §4.1 fix for the reference's count-per-step)."""
