@@ -1,0 +1,220 @@
+"""Product-analytics and fuzzy-matching queries (north-star extensions,
+SURVEY.md §2.12): event funnels, cohort retention, GROUPING SETS, and
+edit-distance near-dup — the remaining classic shapes a warehouse user
+of the reference would expect, none of which its notebooks contain
+(verified: no grouping sets / window funnels / fuzzy matching anywhere
+in ``/root/reference``).
+
+All oracle-paired. Determinism: counts are exact integers; week buckets
+are epoch seconds (``date_trunc('week')`` is ISO-Monday in both Spark
+and DuckDB); Levenshtein is exact edit distance in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.plans.registry import query
+from databricks_etl_spark.sources.readers import read_table
+
+
+@query(
+    "q89_grouping_sets",
+    oracle="""
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q89_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of q29's rollup / q66's
+    cube) with ``grouping_id`` to disambiguate NULL-as-subtotal from
+    NULL-as-value. One scan; Spark expands the sets into a single
+    aggregate with a grouping-id column — no repeated scans.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q90_funnel_conversion",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY 1
+        )
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_view_click,
+               (SELECT COUNT(*) FROM p) AS n_view_click_purchase,
+               round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM v), 6) AS conversion
+    """,
+)
+def q90_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel view → click → purchase: a user advances a
+    stage only with a strictly-later event of the next type (min-
+    timestamp chaining — the standard sequential-funnel formulation).
+
+    Scale shape: each stage is a filter + per-user min + equi-join on
+    ``user_id`` — hash-partitioned by user, no window over the full
+    event stream, no cross-stage shuffle beyond the user key. The
+    final counts are three 1-row aggregates cross-joined (driver-safe).
+    """
+    e = read_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_view_click_purchase",
+            F.round(
+                F.col("n_view_click_purchase").cast("double") / F.col("n_view"), 6
+            ).alias("conversion"),
+        )
+    )
+
+
+@query(
+    "q91_retention_cohorts",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id,
+                   CAST(floor(epoch(date_trunc('week', MIN(ts)))) AS BIGINT) AS cohort_epoch
+            FROM events GROUP BY 1
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS wk_epoch
+            FROM events
+        )
+        SELECT f.cohort_epoch,
+               CAST((a.wk_epoch - f.cohort_epoch) / 604800 AS BIGINT) AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM activity a JOIN first_seen f USING (user_id)
+        GROUP BY 1, 2
+    """,
+)
+def q91_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen ISO week,
+    counted as active in each subsequent week (the classic retention
+    triangle, long form).
+
+    Scale shape: two per-user aggregations + one equi-join on
+    ``user_id`` (co-partitioned), then a small (cohorts × weeks) agg.
+    Week starts are epoch seconds; ``date_trunc('week')`` is ISO-Monday
+    in both engines.
+    """
+    e = read_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.unix_timestamp(F.date_trunc("week", F.min("ts"))).alias("cohort_epoch")
+    )
+    activity = e.select(
+        "user_id", F.unix_timestamp(F.date_trunc("week", F.col("ts"))).alias("wk_epoch")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_epoch",
+            ((F.col("wk_epoch") - F.col("cohort_epoch")) / 604800)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "q92_levenshtein_neardup",
+    oracle="""
+        WITH p AS (
+            SELECT p_partkey, p_name,
+                   string_split(p_name, ' ')[-1] AS noun
+            FROM part WHERE p_partkey < 800
+        )
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
+    """,
+)
+def q92_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup over part names with blocking: candidate
+    pairs come from an equi-join on the name's last word (the blocking
+    key), and only candidates pay the O(len²) Levenshtein — the
+    standard record-linkage blocking pattern, which replaces the
+    quadratic all-pairs comparison with a hash join at scale.
+    """
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 800)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.element_at(F.split("p_name", " "), -1).alias("noun"),
+        )
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "noun"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "noun"
+    )
+    return (
+        a.join(b, "noun")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter((F.col("edit_dist") <= 3) & (F.col("name_a") != F.col("name_b")))
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )

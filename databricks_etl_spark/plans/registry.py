@@ -76,6 +76,7 @@ def _load() -> None:
         "databricks_etl_spark.plans.queries_olap",
         "databricks_etl_spark.plans.queries_events",
         "databricks_etl_spark.plans.queries_timeseries",
+        "databricks_etl_spark.plans.queries_analytics",
         "databricks_etl_spark.plans.queries_text",
         "databricks_etl_spark.plans.queries_dedup",
         "databricks_etl_spark.plans.queries_similarity",
