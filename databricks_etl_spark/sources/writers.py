@@ -32,3 +32,42 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite", **o
     ``options`` to bound connection fan-out on a large cluster.
     """
     df.write.options(**options).jdbc(url=url, table=table, mode=mode)
+
+
+def _write_table_format(df: DataFrame, fmt: str, path: str, mode: str,
+                        partition_by: list[str] | None) -> None:
+    """Shared path for lakehouse table formats whose connector jars are
+    optional at runtime: attempt the write, and translate the Spark
+    "unknown data source" failure into ``NotImplementedError`` so
+    callers can distinguish "connector absent" from a real write error.
+    """
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    try:
+        writer.save(path)
+    except Exception as ex:  # py4j-wrapped AnalysisException
+        msg = str(ex)
+        if "Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg or fmt in msg.lower():
+            raise NotImplementedError(
+                f"{fmt} connector not on the classpath; add the {fmt} Spark "
+                "package to enable this sink (parquet sink is the local default)"
+            ) from ex
+        raise
+
+
+def write_delta(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """Delta Lake table sink — ACID upsertable storage, the natural
+    production target for the EP3 publish step on a lakehouse. Gated:
+    raises ``NotImplementedError`` when delta-spark isn't installed
+    (the local test container ships parquet only)."""
+    _write_table_format(df, "delta", path, mode, partition_by)
+
+
+def write_iceberg(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """Apache Iceberg table sink, same gating as :func:`write_delta`."""
+    _write_table_format(df, "iceberg", path, mode, partition_by)
