@@ -195,3 +195,15 @@ def q53_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``availableNow``. Rows-only driver check; exact batch-equivalence
     asserted in tests/test_streaming.py."""
     return W.run_tumbling_stream(spark, sf_dir)
+
+
+@query("q93_streaming_dedup", oracle=None)
+def q93_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state
+    (``dropDuplicatesWithinWatermark``): first event per
+    (user_id, event_type) within the watermark survives, state evicted
+    after — the effectively-once repair stage of a streaming ingest.
+    Rows-only (survivor row is arrival-order dependent); key-set
+    equality with batch distinct asserted in
+    tests/test_analytics_invariants.py."""
+    return W.run_streaming_dedup(spark, sf_dir).select("user_id", "event_type", "event_id")

@@ -165,3 +165,39 @@ def run_tumbling_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    *,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps the first event per key and
+    drops later duplicates arriving within the watermark, after which
+    the key's state is evicted — the at-least-once → effectively-once
+    repair stage of a streaming ingest pipeline. (Plain streaming
+    ``dropDuplicates`` would keep ALL keys in state forever; the
+    watermark variant is the only shape that survives an unbounded
+    stream.)
+
+    Returns the materialized survivors (append mode, availableNow).
+    The survivor row per key is arrival-order dependent, so tests
+    compare against batch on key-set and count, not exact rows.
+    """
+    import uuid
+
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    events = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    q = (
+        events.dropDuplicatesWithinWatermark(list(keys))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
