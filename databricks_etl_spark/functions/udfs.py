@@ -31,3 +31,26 @@ def make_embed_udf(dim: int = 16):
         return pd.Series(out)
 
     return _embed
+
+
+def make_broadcast_lookup_udf(spark, mapping: dict, default: str = "UNKNOWN"):
+    """Broadcast-variable lookup inside an Arrow-batched pandas UDF.
+
+    ``mapping`` is shipped to every executor ONCE via
+    ``sc.broadcast`` (not re-pickled per task closure) and read from
+    ``bc.value`` inside the UDF — the pattern for per-executor
+    read-only state (vocabulary, label map, small model weights).
+
+    A plain key lookup like this should be a broadcast JOIN in
+    production (and the paired oracle checks exactly that); the UDF
+    exists to pin the broadcast-state plumbing the embed/decode UDFs
+    rely on, where the Python side is irreplaceable.
+    """
+    bc = spark.sparkContext.broadcast(mapping)
+
+    @pandas_udf("string")
+    def _lookup(keys: pd.Series) -> pd.Series:
+        m = bc.value  # one deserialization per executor, not per row
+        return keys.map(lambda k: m.get(k, default))
+
+    return _lookup

@@ -152,3 +152,155 @@ def q76_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("acct_value"),
         F.when(F.lead("ts").over(w).isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@query(
+    "q94_volume_shipping",
+    oracle="""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        WHERE sn.n_nationkey <> cn.n_nationkey
+        GROUP BY 1, 2, 3
+    """,
+)
+def q94_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border trade volume by (supplier nation,
+    customer nation, ship year). Five joins, but only the fact is big:
+    supplier/customer/nation all broadcast, so the physical plan is a
+    single scan of lineitem through a chain of broadcast-hash joins —
+    no fact-side shuffle until the final (25×25×years)-key aggregate.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"))
+    )
+
+
+@query(
+    "q95_returned_items",
+    oracle="""
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS revenue,
+               n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def q95_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+    The returnflag filter pushes into the lineitem scan; customer and
+    nation broadcast; the top-k is TakeOrderedAndProject (no global
+    sort materialization)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q96_large_orders",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(28,6))) AS total_qty
+            FROM lineitem GROUP BY 1
+            HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 150
+        )
+        SELECT c_custkey, o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+               CAST(total_qty AS DOUBLE) AS total_qty
+        FROM big
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q96_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose line quantities sum past a
+    threshold, joined back to their customer — the agg-then-join
+    pattern. The HAVING prunes the agg output *before* the joins, so
+    the join inputs are tiny even when lineitem is 100 TB."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("total_qty_dec"))
+        .filter(F.col("total_qty_dec") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            F.col("total_qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q97_broadcast_udf_lookup",
+    oracle="""
+        SELECT s_suppkey,
+               COALESCE(n_name, 'UNKNOWN') AS nation_name
+        FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def q97_broadcast_udf_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-variable state in an Arrow-batched pandas UDF
+    (SURVEY.md §2.10): a nation-name lookup dict shipped once per
+    executor via ``sc.broadcast``, read from ``bc.value`` inside the
+    UDF. The oracle is the equivalent broadcast JOIN — which is also
+    the production shape for a pure lookup; the UDF pins the
+    per-executor read-only-state plumbing used where Python is
+    genuinely required (models, codecs)."""
+    from databricks_etl_spark.functions.udfs import make_broadcast_lookup_udf
+
+    n = read_table(spark, sf_dir, "nation")
+    mapping = {r.n_nationkey: r.n_name for r in n.collect()}  # 25 rows
+    lookup = make_broadcast_lookup_udf(spark, mapping)
+    s = read_table(spark, sf_dir, "supplier")
+    return s.select("s_suppkey", lookup(F.col("s_nationkey")).alias("nation_name"))

@@ -52,3 +52,18 @@ def test_agg_is_partial_plus_final(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q16_tpch_q1_pricing_summary")
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "partial_sum" in plan
+
+
+def test_q94_joins_all_broadcast(spark, sf_dir):
+    """Q7 shape: every dim join is broadcast-hash — the only shuffles
+    left are the final aggregate's (the fact never shuffles for a
+    join at this scale; at 100 TB AQE swaps orders⋈lineitem to SMJ)."""
+    plan = _plan(spark, sf_dir, "q94_volume_shipping")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q95_filter_pushed_and_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q95_returned_items")
+    assert "EqualTo(l_returnflag,R)" in plan  # into the parquet scan
+    assert "TakeOrderedAndProject" in plan
