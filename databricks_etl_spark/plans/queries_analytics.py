@@ -219,3 +219,110 @@ def q92_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("edit_dist") <= 3) & (F.col("name_a") != F.col("name_b")))
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
     )
+
+
+@query(
+    "q98_merge_upsert",
+    oracle="""
+        WITH changes AS (
+            SELECT c_custkey, c_name,
+                   round(CAST(c_acctbal + 100.0 AS DECIMAL(28,6)), 2) AS c_acctbal
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000 AS c_custkey,
+                   'new-' || c_name AS c_name,
+                   CAST(0.0 AS DECIMAL(28,6)) AS c_acctbal
+            FROM customer WHERE c_custkey % 100 = 0
+        )
+        SELECT COALESCE(ch.c_custkey, b.c_custkey) AS c_custkey,
+               COALESCE(ch.c_name, b.c_name) AS c_name,
+               CAST(COALESCE(ch.c_acctbal, CAST(b.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                   AS c_acctbal,
+               CASE WHEN b.c_custkey IS NULL THEN 'inserted'
+                    WHEN ch.c_custkey IS NULL THEN 'unchanged'
+                    ELSE 'updated' END AS row_status
+        FROM customer b FULL OUTER JOIN changes ch USING (c_custkey)
+    """,
+)
+def q98_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation without a lakehouse format: apply a change
+    batch (updates + inserts, derived deterministically from the base)
+    via full-outer join + COALESCE, tagging each row inserted /
+    updated / unchanged — the upsert half of CDC ingestion (q76's SCD2
+    history is the audit half; a Delta sink would replace this with a
+    native MERGE).
+
+    Scale shape: one shuffle on the merge key for the outer join
+    (changes are usually ≪ base, so AQE broadcasts them); no windows,
+    no driver-side state.
+    """
+    b = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = (
+        b.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round((F.col("c_acctbal") + 100.0).cast("decimal(28,6)"), 2).alias("c_acctbal"),
+        )
+    )
+    inserts = b.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).cast("decimal(28,6)").alias("c_acctbal"),
+    )
+    ch = updates.unionByName(inserts)
+    bb = b.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_acctbal").alias("b_bal"),
+    )
+    cc = ch.select(
+        F.col("c_custkey").alias("ch_key"),
+        F.col("c_name").alias("ch_name"),
+        F.col("c_acctbal").alias("ch_bal"),
+    )
+    return (
+        bb.join(cc, bb.b_key == cc.ch_key, "full_outer")
+        .select(
+            F.coalesce("ch_key", "b_key").alias("c_custkey"),
+            F.coalesce("ch_name", "b_name").alias("c_name"),
+            F.coalesce(F.col("ch_bal"), F.col("b_bal").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("c_acctbal"),
+            F.when(F.col("b_key").isNull(), "inserted")
+            .when(F.col("ch_key").isNull(), "unchanged")
+            .otherwise("updated")
+            .alias("row_status"),
+        )
+    )
+
+
+@query(
+    "q99_value_histogram",
+    oracle="""
+        SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+               CAST(floor(l_extendedprice / 5000.0) * 5000.0 AS DOUBLE) AS bucket_lo,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+        FROM lineitem
+        GROUP BY 1, 2
+    """,
+)
+def q99_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (width-bucket binning) over a fact
+    measure — the frequency-analysis shape of the reference's EP1
+    (``pre_analysis.py`` frequency plots) made engine-side and
+    scale-safe: one partial+final agg on ~bucket-count keys, histogram
+    never leaves the JVM un-aggregated."""
+    li = read_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000.0).cast("long")
+    return (
+        li.groupBy(
+            bucket.alias("bucket"),
+            (bucket * 5000.0).cast("double").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double").alias("total_price"),
+        )
+    )
