@@ -88,3 +88,29 @@ def test_streaming_dedup_within_watermark(spark, smoke_sf_dir):
     batch_keys = read_table(spark, smoke_sf_dir, "events").select(*keys).distinct()
     assert survivors.count() == batch_keys.count()
     assert survivors.select(*keys).distinct().count() == survivors.count()
+
+
+def test_merge_upsert_statuses_partition_base_and_changes(spark, sf_dir):
+    """Upsert output = base ∪ inserts; statuses partition it exactly:
+    updated + unchanged == |base|, inserted == |insert batch|."""
+    m = queries()["q98_merge_upsert"](spark, sf_dir)
+    by_status = {r["row_status"]: r["n"] for r in
+                 m.groupBy("row_status").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = read_table(spark, sf_dir, "customer")
+    n_base = base.count()
+    n_upd = base.filter(F.col("c_custkey") % 10 == 0).count()
+    n_ins = base.filter(F.col("c_custkey") % 100 == 0).count()
+    assert by_status.get("updated", 0) == n_upd
+    assert by_status.get("inserted", 0) == n_ins
+    assert by_status.get("unchanged", 0) == n_base - n_upd
+    assert m.count() == n_base + n_ins
+    assert m.select("c_custkey").distinct().count() == m.count()  # key stays unique
+
+
+def test_histogram_partitions_all_rows(spark, sf_dir):
+    """Bucket counts must sum to the table's row count — no row lost or
+    double-binned by the floor(bucket) edges."""
+    h = queries()["q99_value_histogram"](spark, sf_dir)
+    total = h.agg(F.sum("n")).collect()[0][0]
+    assert total == read_table(spark, sf_dir, "lineitem").count()
+    assert h.filter(F.col("bucket_lo") != F.col("bucket") * 5000.0).count() == 0
