@@ -207,3 +207,12 @@ def q93_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality with batch distinct asserted in
     tests/test_analytics_invariants.py."""
     return W.run_streaming_dedup(spark, sf_dir).select("user_id", "event_type", "event_id")
+
+
+@query("q100_stream_static_join", oracle=None)
+def q100_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming stream-static enrichment join (events stream ⋈
+    broadcast customer-segment dim), drained with ``availableNow``.
+    Stateless — no watermark or state store involved. Rows-only driver
+    check; exact batch-equivalence asserted in tests/test_streaming.py."""
+    return W.run_stream_static_join(spark, sf_dir)

@@ -201,3 +201,35 @@ def run_streaming_dedup(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (customer segment) — stateless in Structured Streaming
+    (each micro-batch joins against the batch table; no watermark, no
+    state store), so it composes with downstream windowed aggs freely.
+    The static side follows normal join planning (broadcast here).
+
+    Returns the materialized enriched rows (append mode, availableNow).
+    Batch-equivalence is exact — asserted in tests.
+    """
+    import uuid
+
+    from databricks_etl_spark.sources.readers import read_table
+
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    events = stream_events(spark, sf_dir)
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    q = (
+        events.join(F.broadcast(dim), "user_id")
+        .select("event_id", "user_id", "event_type", "c_mktsegment")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

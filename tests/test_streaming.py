@@ -70,3 +70,18 @@ def test_session_window_boundary_semantics(spark):
     per_user = {r["user_id"]: r for r in out.groupBy("user_id").count().collect()}
     assert per_user[1]["count"] == 1  # merged into one session
     assert per_user[2]["count"] == 2  # split into two sessions
+
+
+def test_stream_static_join_equals_batch(spark, smoke_sf_dir):
+    """Stateless stream-static join must equal the batch join exactly."""
+    from pyspark.sql import functions as F
+
+    stream = W.run_stream_static_join(spark, smoke_sf_dir)
+    e = read_table(spark, smoke_sf_dir, "events")
+    dim = read_table(spark, smoke_sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = e.join(dim, "user_id").select(
+        "event_id", "user_id", "event_type", "c_mktsegment"
+    )
+    assert _rows(stream) == _rows(batch)
