@@ -216,3 +216,13 @@ def q100_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stateless — no watermark or state store involved. Rows-only driver
     check; exact batch-equivalence asserted in tests/test_streaming.py."""
     return W.run_stream_static_join(spark, sf_dir)
+
+
+@query("q101_stream_stream_join", oracle=None)
+def q101_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream interval join (clicks ⋈ same-user purchases
+    within 30 min), both sides watermarked so join state is bounded —
+    the attribution-join shape of a streaming pipeline. Rows-only
+    driver check; exact batch-equivalence asserted in
+    tests/test_streaming.py."""
+    return W.run_stream_stream_join(spark, sf_dir)

@@ -233,3 +233,52 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_stream_join(
+    spark: SparkSession, sf_dir: str, *, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: clicks joined to same-user purchases
+    landing within ``horizon`` after the click. Both sides carry
+    watermarks and the join condition carries the event-time interval —
+    the two ingredients Structured Streaming needs to bound join state
+    (rows older than watermark + horizon are evicted).
+
+    Returns materialized (user_id, click_id, purchase_id) pairs (append
+    mode, availableNow). Equals the batch interval join exactly —
+    asserted in tests.
+    """
+    import uuid
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", horizon)
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", horizon)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("user_id", "click_id", "purchase_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

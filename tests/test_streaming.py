@@ -85,3 +85,28 @@ def test_stream_static_join_equals_batch(spark, smoke_sf_dir):
         "event_id", "user_id", "event_type", "c_mktsegment"
     )
     assert _rows(stream) == _rows(batch)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, smoke_sf_dir):
+    """Watermarked stream-stream interval join (click → purchase within
+    30 min, same user) must equal the batch interval join."""
+    from pyspark.sql import functions as F
+
+    stream = W.run_stream_stream_join(spark, smoke_sf_dir)
+    e = read_table(spark, smoke_sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+    ).select("user_id", "click_id", "purchase_id")
+    assert stream.count() > 0
+    assert _rows(stream) == _rows(batch)
