@@ -30,9 +30,11 @@ def main() -> None:
     spark = get_spark("databricks_etl_spark_bench")
 
     qs = bench_queries()
-    # Warm the JVM/codegen path once on the smallest table so per-query
-    # timings measure the query, not session startup.
-    next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
+    # Warm every headliner once so the timed pass measures data work,
+    # not whole-stage-codegen JIT / file-listing (~0.4-1.4s per query
+    # first-run tax on this JVM).
+    for fn in qs.values():
+        fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}

@@ -62,29 +62,112 @@ def bench_queries() -> dict[str, QueryFn]:
 
 _loaded = False
 
+# Queries with a green (rows+schema+hash) row in CORRECTNESS_r01.json.
+# The external driver verifies the FIRST 50 registry entries in insertion
+# order, so _load() sorts never-yet-verified queries to the front (keeping
+# q01 as the smoke query) — each round rotates fresh queries into the
+# driver's verification window instead of re-proving the same 50.
+_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "q01_revenue_by_nation",
+        "q02_projection_prune",
+        "q03_isin_membership_sort",
+        "q04_between_range",
+        "q05_rlike_regex",
+        "q06_case_when_buckets",
+        "q07_conditional_update",
+        "q08_null_branch_update",
+        "q09_dup_key_expansion",
+        "q10_left_enrich_counts",
+        "q11_left_anti_delete",
+        "q12_left_semi_exists",
+        "q13_grouped_count_having",
+        "q14_distinct_counts",
+        "q15_value_counts",
+        "q16_tpch_q1_pricing_summary",
+        "q17_union_distinct",
+        "q18_subtract_except",
+        "q19_intersect",
+        "q20_distinct_rows",
+        "q21_window_lag_serial_check",
+        "q22_dedup_keep_first",
+        "q23_topk_orders",
+        "q24_date_functions",
+        "q25_greatest_latest_date",
+        "q26_unix_timestamp_epoch",
+        "q27_json_extract",
+        "q28_column_arithmetic",
+        "q29_rollup",
+        "q30_pivot",
+        "q31_profile_completeness",
+        "q32_profile_uniqueness",
+        "q33_profile_integrity",
+        "q34_profile_summary_stats",
+        "q35_profile_correlation",
+        "q59_running_sum_window",
+        "q60_arg_max",
+        "q61_qualified_star_join",
+        "q62_salted_skew_join",
+        "q65_percentiles",
+        "q66_cube",
+        "q67_asof_join_last_click",
+        "q69_range_join_price_bands",
+        "q70_except_all_multiset",
+        "q71_intersect_all_multiset",
+        "q72_from_json_struct",
+        "q77_unpivot_melt",
+        "q78_array_functions",
+        "q79_zscore_within_group",
+    }
+)
+
+
+def _reorder() -> None:
+    """Rebuild QUERIES so unverified queries occupy the driver window.
+
+    Priority: q01 smoke first, then oracled queries with no driver
+    correctness row yet, then rows-only queries with none, then the
+    already-verified remainder. Ties keep registration order.
+    """
+
+    def rank(item: tuple[str, QueryDef]) -> int:
+        name, qdef = item
+        if name == "q01_revenue_by_nation":
+            return 0
+        if name not in _DRIVER_VERIFIED:
+            return 1 if qdef.oracle is not None else 2
+        return 3
+
+    ordered = sorted(QUERIES.items(), key=rank)  # stable sort
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
 
 def _load() -> None:
-    """Import all query modules (self-registering)."""
+    """Import all query modules (self-registering), then order for the driver.
+
+    Imports are strict: every module below ships in-repo, so an ImportError
+    is a real defect that must surface, not silently shrink the graded
+    query surface.
+    """
     global _loaded
     if _loaded:
         return
-    import databricks_etl_spark.plans.queries_relational  # noqa: F401
+    import databricks_etl_spark.plans.queries_analytics  # noqa: F401
+    import databricks_etl_spark.plans.queries_dedup  # noqa: F401
+    import databricks_etl_spark.plans.queries_events  # noqa: F401
+    import databricks_etl_spark.plans.queries_extended  # noqa: F401
+    import databricks_etl_spark.plans.queries_ml  # noqa: F401
+    import databricks_etl_spark.plans.queries_multimodal  # noqa: F401
+    import databricks_etl_spark.plans.queries_olap  # noqa: F401
     import databricks_etl_spark.plans.queries_profile  # noqa: F401
+    import databricks_etl_spark.plans.queries_relational  # noqa: F401
+    import databricks_etl_spark.plans.queries_similarity  # noqa: F401
+    import databricks_etl_spark.plans.queries_text  # noqa: F401
+    import databricks_etl_spark.plans.queries_timeseries  # noqa: F401
 
-    for optional in (
-        "databricks_etl_spark.plans.queries_extended",
-        "databricks_etl_spark.plans.queries_olap",
-        "databricks_etl_spark.plans.queries_events",
-        "databricks_etl_spark.plans.queries_timeseries",
-        "databricks_etl_spark.plans.queries_analytics",
-        "databricks_etl_spark.plans.queries_text",
-        "databricks_etl_spark.plans.queries_dedup",
-        "databricks_etl_spark.plans.queries_similarity",
-        "databricks_etl_spark.plans.queries_ml",
-        "databricks_etl_spark.plans.queries_multimodal",
-    ):
-        try:
-            __import__(optional)
-        except ImportError:
-            pass
+    assert len(QUERIES) >= 101, (
+        f"query registry shrank: {len(QUERIES)} < 101 — a module failed to register"
+    )
+    _reorder()
     _loaded = True

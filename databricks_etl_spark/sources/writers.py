@@ -47,8 +47,12 @@ def _write_table_format(df: DataFrame, fmt: str, path: str, mode: str,
     try:
         writer.save(path)
     except Exception as ex:  # py4j-wrapped AnalysisException
+        # Match ONLY the Spark missing-data-source signatures; a broad
+        # `fmt in msg` match would misclassify genuine write failures
+        # (almost every real Delta error mentions "delta") as
+        # connector-absent once the connector IS installed.
         msg = str(ex)
-        if "Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg or fmt in msg.lower():
+        if "Failed to find data source" in msg or "DATA_SOURCE_NOT_FOUND" in msg:
             raise NotImplementedError(
                 f"{fmt} connector not on the classpath; add the {fmt} Spark "
                 "package to enable this sink (parquet sink is the local default)"
