@@ -54,18 +54,32 @@ def asof_join(
         *[F.col(f"__p_{c}") for c in payload_cols],
     )
     unioned = lt_full.unionByName(rt_full)
-    # right rows sort before left rows at equal __ts → inclusive (>=) match
+    # Forward-fill ONE struct of all payload columns, not each column
+    # independently: the struct is non-NULL for every right row (even
+    # when every payload field is NULL), so a matching right row with a
+    # NULL payload correctly *overwrites* older values instead of being
+    # skipped by ignorenulls — matching DuckDB ASOF JOIN, which joins
+    # rows, not individual fields.
+    pay = F.when(
+        F.col("__side") == 0,
+        F.struct(*[F.col(f"__p_{c}").alias(c) for c in payload_cols]),
+    )  # NULL (no otherwise) for left rows → skipped by ignorenulls
+    # right rows sort before left rows at equal __ts → inclusive (>=)
+    # match; __pay as the final key makes the winner among right rows
+    # sharing an identical (key, ts) deterministic (greatest payload
+    # struct) instead of partition-order-dependent.
+    unioned = unioned.withColumn("__pay", pay)
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__pay"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         *left.columns,
         "__side",
-        *[
-            F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in payload_cols
-        ],
+        F.last(F.col("__pay"), ignorenulls=True).over(w).alias("__fill"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *left.columns,
+        *[F.col(f"__fill.{c}").alias(c) for c in payload_cols],
+    )

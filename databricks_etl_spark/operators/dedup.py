@@ -52,6 +52,7 @@ def jaccard_pairs(
     ngram: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via inverted-index self-join.
 
@@ -59,6 +60,15 @@ def jaccard_pairs(
     |S_a| + |S_b| - shared. Emits (id_a < id_b, jaccard) above
     ``threshold``. Jaccard is an exact int/int division → identical
     across engines (rounded to 6dp for hash stability).
+
+    ``max_df`` is the 100 TB guard: a token appearing in k documents
+    contributes k² rows to the self-join, so one stop-token-like item
+    can blow up the candidate set quadratically. With ``max_df`` set,
+    items with document frequency > max_df are dropped from the index
+    *and* from the set sizes (standard near-dup practice: similarity
+    over non-ubiquitous features), bounding the join at
+    O(Σ min(df, max_df)²). The df filter is one extra groupBy on the
+    same ``item`` key the self-join shuffles on — no new shuffle key.
     """
     if ngram == 1:
         items = token_sets(df, text_col, id_col).withColumnRenamed("token", "item")
@@ -66,6 +76,14 @@ def jaccard_pairs(
         items = shingles(df, ngram, text_col, id_col).select(
             id_col, F.col("shingle").alias("item")
         ).distinct()
+    if max_df is not None:
+        keep = (
+            items.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("item")
+        )
+        items = items.join(keep, "item").select(id_col, "item")
     sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = items.select(F.col(id_col).alias("id_a"), "item")
     b = items.select(F.col(id_col).alias("id_b"), "item")
@@ -134,33 +152,35 @@ def minhash_lsh_pairs(
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document: xxhash64(token) bit-votes.
 
-    Pure built-ins: explode tokens → per-(doc, bit) vote sum → assemble
-    the signature with shift/sum aggregation. Near-dup docs differ in
-    few bits (compare via hamming distance on the signature). Seeded
-    engine hash → rows-only oracle.
+    Pure built-ins, vectorized across bits: one aggregate with 64
+    per-bit vote sums (``SUM(CASE (h >> i) & 1 ...)``) — all map-side
+    combinable, so the shuffle carries ~one 64-column row per doc per
+    input partition instead of the 64×-row-blowup an
+    ``explode(sequence(0,63))`` formulation pays. The signature is
+    re-assembled from the vote signs with literal shifts (bit 63's
+    ``shiftleft`` is the sign bit — the sum lands exactly on the
+    two's-complement value, no overflow). Near-dup docs differ in few
+    bits (compare via hamming distance). Seeded engine hash →
+    rows-only oracle; bit-identical to the exploded formulation.
     """
     toks = df.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
     h = toks.withColumn("h", F.xxhash64("tok"))
-    bits = h.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        F.col("h"),
-    ).withColumn(
-        # shift amount is a column → SQL expr (the Python helpers only
-        # take literal ints)
-        "vote",
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(64)
+        ]
     )
-    sig = (
-        bits.groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            ),
+    terms = [
+        F.expr(
+            f"CASE WHEN __b{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            f"ELSE CAST(0 AS BIGINT) END"
         )
-        .groupBy(id_col)
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
-    )
-    return sig
+        for i in range(64)
+    ]
+    sig = terms[0]
+    for t in terms[1:]:
+        sig = sig + t
+    return votes.select(id_col, sig.cast("long").alias("simhash"))

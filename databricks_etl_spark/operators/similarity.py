@@ -217,12 +217,69 @@ def embed_text_stub(df: DataFrame, dim: int = 16, text_col: str = "text") -> Dat
 
 
 def embedding_neardup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "doc_id",
+    bucket_length: float = 0.25,
+    num_tables: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup detection, LSH-bucketed (the 100 TB
+    path — no cross product anywhere in the plan).
+
+    Vectors are L2-normalized, so ``cos(a,b) >= t`` is exactly
+    ``||a-b|| <= sqrt(2*(1-t))`` — a *bounded-radius* euclidean
+    search. BucketedRandomProjectionLSH generates candidates via a
+    same-bucket equi-join only (radius passed to
+    ``approxSimilarityJoin`` prunes inside buckets); the exact cosine
+    re-rank then keeps pairs ``>= threshold``. Identical vectors hash
+    identically in every table, so true duplicates are never missed;
+    near-dups at radius 0.2 collide in ≥1 of the ``num_tables`` tables
+    w.h.p. (recall asserted in tests vs the all-pairs baseline).
+
+    ``embedding_neardup_pairs_allpairs`` is the exact O(n²) baseline,
+    kept for tests only."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    # normalize for hashing; keep the original embedding for the exact
+    # cosine re-rank (bit-identical to the all-pairs baseline's scores)
+    e = (
+        docs.select(id_col, "embedding")
+        .withColumn("__n", norm(F.col("embedding")))
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "__unit",
+            F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("__n")),
+        )
+        .select(id_col, "embedding", array_to_vector(F.col("__unit")).alias("features"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=bucket_length,
+        numHashTables=num_tables, seed=42,
+    )
+    model = lsh.fit(e)
+    radius = float((2.0 * (1.0 - threshold)) ** 0.5)
+    cand = model.approxSimilarityJoin(e, e, radius, distCol="__eucl")
+    return (
+        cand.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(
+                cosine(F.col("datasetA.embedding"), F.col("datasetB.embedding")), 6
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_allpairs(
     docs: DataFrame, threshold: float = 0.95, *, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Embedding-cosine near-dup detection on a document corpus: stub-
-    embed → all-pairs cosine ≥ threshold (exact; bounded corpora). The
-    scale path replaces the cross join with BRP-LSH bucketing
-    (:func:`brp_lsh_neighbors`) over the same embedding column."""
+    """Exact all-pairs near-dup baseline (O(n²) crossJoin) — TEST-ONLY
+    ground truth for :func:`embedding_neardup_pairs`' recall; never
+    registered as a query."""
     e = docs.select(id_col, "embedding")
     a = e.select(F.col(id_col).alias("id_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("eb"))

@@ -50,8 +50,10 @@ def q42_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, list_distinct({_TOKS}) AS toks
             FROM documents WHERE doc_id < 150
         ),
-        i AS (SELECT doc_id, unnest(toks) AS item FROM d),
-        sz AS (SELECT doc_id, len(toks) AS set_size FROM d),
+        i0 AS (SELECT doc_id, unnest(toks) AS item FROM d),
+        keep AS (SELECT item FROM i0 GROUP BY item HAVING COUNT(*) <= 100),
+        i AS (SELECT i0.doc_id, i0.item FROM i0 JOIN keep USING (item)),
+        sz AS (SELECT doc_id, COUNT(*) AS set_size FROM i GROUP BY 1),
         sh AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
             FROM i a JOIN i b USING (item)
@@ -70,11 +72,13 @@ def q42_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q43_jaccard_unigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact unigram-Jaccard near-dup pairs via inverted-index
-    self-join (token → doc postings, join, count shared). Bounded to
-    doc_id<150 here; the unbounded scale path is LSH candidate
-    generation (q44)."""
+    self-join (token → doc postings, join, count shared), with the
+    ``max_df=100`` posting-list guard (ubiquitous tokens dropped from
+    index AND set sizes — mirrored in the oracle SQL, so the guard
+    itself is hash-verified). Bounded to doc_id<150 here; the
+    unbounded scale path is LSH candidate generation (q44)."""
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    return DD.jaccard_pairs(d, 0.6, ngram=1)
+    return DD.jaccard_pairs(d, 0.6, ngram=1, max_df=100)
 
 
 @query(
@@ -89,8 +93,10 @@ def q43_jaccard_unigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
             FROM t
         ),
-        i AS (SELECT doc_id, unnest(sh) AS item FROM d),
-        sz AS (SELECT doc_id, len(sh) AS set_size FROM d),
+        i0 AS (SELECT doc_id, unnest(sh) AS item FROM d),
+        keep AS (SELECT item FROM i0 GROUP BY item HAVING COUNT(*) <= 100),
+        i AS (SELECT i0.doc_id, i0.item FROM i0 JOIN keep USING (item)),
+        sz AS (SELECT doc_id, COUNT(*) AS set_size FROM i GROUP BY 1),
         pairs AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
             FROM i a JOIN i b USING (item)
@@ -111,10 +117,11 @@ def q44_jaccard_3gram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle Jaccard pairs — shingles make near-dup detection
     order-sensitive (unigram sets can't distinguish shuffled text).
     Shingle postings are near-unique → the inverted-index join stays
-    linear-ish; this is the exact counterpart the MinHash sketch
-    approximates."""
+    linear-ish, and the ``max_df=100`` guard (mirrored in the oracle)
+    bounds any pathological ubiquitous shingle; this is the exact
+    counterpart the MinHash sketch approximates."""
     d = read_table(spark, sf_dir, "documents")
-    return DD.jaccard_pairs(d, 0.05, ngram=3)
+    return DD.jaccard_pairs(d, 0.05, ngram=3, max_df=100)
 
 
 @query("q45_minhash_lsh_pairs", oracle=None)

@@ -438,9 +438,12 @@ def q79_zscore_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q63_embedding_neardup_docs", oracle=None)
 def q63_embedding_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over documents: Pandas-UDF stub
-    embedding (md5 feature hashing — deterministic) + exact cosine
-    pairs ≥ 0.98. Rows-only (the md5-bucket embedding isn't reasonably
-    SQL-expressible); determinism asserted in tests."""
+    embedding (md5 feature hashing — deterministic) + BRP-LSH bucketed
+    candidate pairs + exact cosine re-rank ≥ 0.98 — no cross product
+    in the plan (cos ≥ t on unit vectors ⇔ euclidean ≤ √(2(1−t)), a
+    bounded-radius LSH search). Rows-only (seeded projections + md5
+    embedding aren't SQL-expressible); recall vs the all-pairs exact
+    baseline and plan shape asserted in tests."""
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return SIM.embedding_neardup_pairs(SIM.embed_text_stub(d), threshold=0.98)
 

@@ -90,3 +90,22 @@ def test_cosine_topk_invariants(spark, smoke_sf_dir):
         assert -1.000001 <= r["cosine_sim"] <= 1.000001
         assert 1 <= r["rank"] <= 5
         assert r["query_id"] != r["neighbor_id"]
+
+
+def test_jaccard_max_df_bounds_posting_lists(spark):
+    """A stop-token shared by all docs must not generate candidate
+    pairs when max_df caps the posting list — the 100 TB self-join
+    guard. Without the cap the same corpus yields the full quadratic
+    candidate set."""
+    docs = spark.createDataFrame(
+        [(i, f"common uniq{i}") for i in range(40)], "doc_id long, text string"
+    )
+    uncapped = DD.jaccard_pairs(docs, 0.0, ngram=1).collect()
+    assert len(uncapped) == 40 * 39 // 2  # every pair shares 'common'
+    capped = DD.jaccard_pairs(docs, 0.0, ngram=1, max_df=10)
+    assert capped.count() == 0  # 'common' dropped (df=40>10); uniq tokens unshared
+    # cap above every df ⇒ identical to uncapped (sizes included)
+    same = DD.jaccard_pairs(docs, 0.0, ngram=1, max_df=1000).collect()
+    assert sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in same) == sorted(
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in uncapped
+    )

@@ -49,7 +49,9 @@ def test_embed_stub_deterministic_and_normalized(spark, smoke_sf_dir):
 
 
 def test_embedding_neardup_selfpair_sanity(spark, smoke_sf_dir):
-    """A doc unioned with an exact copy must show cosine 1.0."""
+    """A doc unioned with an exact copy must show cosine 1.0 — exact
+    duplicates hash to identical LSH buckets in every table, so the
+    bucketed path can never miss them."""
     d = read_table(spark, smoke_sf_dir, "documents").filter(F.col("doc_id") < 20).select(
         "doc_id", "text"
     )
@@ -60,3 +62,27 @@ def test_embedding_neardup_selfpair_sanity(spark, smoke_sf_dir):
         SIM.embed_text_stub(d.union(clone)), threshold=0.999
     ).collect()
     assert any(r["id_a"] == 0 and r["id_b"] == 555 for r in pairs)
+
+
+def test_embedding_neardup_no_cartesian_and_recall(spark, smoke_sf_dir):
+    """The registered near-dup path must be LSH-bucketed (no cross
+    product in the physical plan) and must recover every pair the
+    exact all-pairs baseline finds at threshold 0.98 on this corpus."""
+    d = read_table(spark, smoke_sf_dir, "documents").filter(F.col("doc_id") < 120).select(
+        "doc_id", "text"
+    )
+    clones = d.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 900).alias("doc_id"), "text"
+    )
+    e = SIM.embed_text_stub(d.union(clones))
+    approx = SIM.embedding_neardup_pairs(e, threshold=0.98)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_neardup_pairs_allpairs(e, threshold=0.98).collect()
+    }
+    assert want, "fixture should contain at least one near-dup pair"
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"LSH near-dup recall {recall} vs exact baseline"
