@@ -165,9 +165,13 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_similarity  # noqa: F401
     import databricks_etl_spark.plans.queries_text  # noqa: F401
     import databricks_etl_spark.plans.queries_timeseries  # noqa: F401
+    # round-2+ modules import AFTER the round-1 set: stable rank sort then
+    # keeps older unverified queries ahead of brand-new ones in the
+    # driver's 50-entry window (verify oldest claims first)
+    import databricks_etl_spark.plans.queries_tpch  # noqa: F401
 
-    assert len(QUERIES) >= 101, (
-        f"query registry shrank: {len(QUERIES)} < 101 — a module failed to register"
+    assert len(QUERIES) >= 114, (
+        f"query registry shrank: {len(QUERIES)} < 114 — a module failed to register"
     )
     _reorder()
     _loaded = True

@@ -67,3 +67,33 @@ def test_q95_filter_pushed_and_topk(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q95_returned_items")
     assert "EqualTo(l_returnflag,R)" in plan  # into the parquet scan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q102_full_predicate_pushdown(spark, sf_dir):
+    """Q6 shape: every predicate reaches the parquet scan."""
+    plan = _plan(spark, sf_dir, "q102_filtered_revenue")
+    assert "PushedFilters:" in plan
+    for frag in ["GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount", "LessThan(l_quantity"]:
+        assert frag in plan, f"missing pushed filter {frag}"
+
+
+def test_q103_exists_is_semi_join(spark, sf_dir):
+    """EXISTS must compile to a semi join (probe side never expands)."""
+    plan = _plan(spark, sf_dir, "q103_order_priority_exists")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q113_disjunctive_stays_hash_join(spark, sf_dir):
+    """Q19 shape: OR'd predicate groups must not degrade the part join
+    to a nested loop — the equi-key stays p_partkey."""
+    plan = _plan(spark, sf_dir, "q113_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q114_not_exists_is_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q114_idle_rich_customers")
+    assert "LeftAnti" in plan
