@@ -31,3 +31,60 @@ def zscore_per_group(
     return df.groupBy(group_col).applyInPandas(
         norm, schema=f"{id_col} long, {group_col} string, z double"
     )
+
+
+def ols_fit_per_group(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit (slope/intercept of
+    y = a + b·x) via grouped-map ``applyInPandas`` — the
+    model-per-group shape (one model object per group, whole group in
+    memory; cf. pandas-on-Spark's ML-per-key idiom).
+
+    Exactness contract (what makes this oracle-checkable): inputs are
+    quantized to 6dp and scaled to *integers* (×10⁶ — lossless, the
+    data carries ≤2 decimal places); the closed form
+    b = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) is then pure arbitrary-precision
+    integer arithmetic — the same integers an ANSI engine gets from
+    ``SUM(CAST(CAST(v AS DECIMAL(18,6)) * 1e6 AS HUGEINT))``. Only the
+    final divisions happen in float, in the identical expression tree
+    on both engines (int→double conversions are correctly rounded in
+    both). A float64 ``numpy`` fit would be order-dependent and
+    hash-flaky; this is not.
+
+    Scale: one shuffle on the group key; each group must fit executor
+    memory. For tiny group counts over huge groups, prefer the
+    aggregate closed form (this query's own oracle SQL) — the UDF
+    path exists for estimators without a SQL closed form.
+    """
+    from decimal import Decimal
+
+    import pandas as pd
+
+    q6 = Decimal("0.000001")
+
+    def to_int6(v) -> int:
+        return int(Decimal(repr(float(v))).quantize(q6).scaleb(6))
+
+    def fit(pdf):
+        xs = [to_int6(v) for v in pdf[x_col]]  # ×1e6
+        ys = [to_int6(v) for v in pdf[y_col]]  # ×1e6
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)  # ×1e6
+        sxx = sum(x * x for x in xs)  # ×1e12
+        sxy = sum(x * y for x, y in zip(xs, ys))  # ×1e12
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx  # both ×1e12
+        slope = float(num) / float(den)
+        intercept = (float(sy) / 1e6 - slope * (float(sx) / 1e6)) / n
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_rows": [n],
+                "slope": [round(slope, 6)],
+                "intercept": [round(intercept, 6)],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(
+        fit, schema=f"{group_col} string, n_rows long, slope double, intercept double"
+    )

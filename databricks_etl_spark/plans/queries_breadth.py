@@ -1,0 +1,151 @@
+"""Round-2 breadth queries: grouped-map model fits, ANN exactness
+brackets, and streaming outer joins — the backlog items from the
+round-1 review, each either oracle-paired or bracketed against an
+oracle-paired exact twin.
+
+Why these matter: q115 proves the ``applyInPandas`` model-per-group
+surface can be held to the SAME hash-exact standard as SQL operators
+(exact decimal closed form); q116 closes the ANN ladder by showing the
+IVF machinery degrades to the *provably exact* answer when probing is
+exhaustive (hash-checked against DuckDB brute force — so the only
+approximation left in q68 is the probe subset, not the machinery);
+q117 turns ANN recall from a test-only assert into a driver-visible
+artifact; q118 adds the watermark-eviction outer join, the one
+stream-stream shape round 1 lacked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.operators import similarity as SIM
+from databricks_etl_spark.operators.grouped import ols_fit_per_group
+from databricks_etl_spark.plans.queries_similarity import _dot_sql
+from databricks_etl_spark.plans.registry import query
+from databricks_etl_spark.sources.readers import read_table
+from databricks_etl_spark.streaming import windows as W
+
+
+@query(
+    "q115_pergroup_ols",
+    oracle="""
+        WITH i AS (
+            SELECT l_returnflag,
+                   CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS xi,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yi
+            FROM lineitem
+        ),
+        s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(xi) AS sx, SUM(yi) AS sy,
+                   SUM(xi * xi) AS sxx, SUM(xi * yi) AS sxy
+            FROM i GROUP BY 1
+        )
+        SELECT l_returnflag,
+               n AS n_rows,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+               round((CAST(sy AS DOUBLE) / 1000000.0
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * (CAST(sx AS DOUBLE) / 1000000.0)) / n, 6) AS intercept
+        FROM s
+    """,
+)
+def q115_pergroup_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-per-group: OLS fit of extendedprice ~ quantity per return
+    flag via grouped-map ``applyInPandas`` (whole group in pandas, one
+    fitted model out — the per-key-estimator shape). The pandas side
+    computes the closed form in exact ``Decimal`` arithmetic, the
+    oracle in exact SQL decimal sums — identical rationals, identical
+    final float divisions, hash-exact across engines. See
+    :func:`databricks_etl_spark.operators.grouped.ols_fit_per_group`
+    for the scale contract (group fits executor memory; tiny-group-
+    count fits should use the aggregate closed form directly)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return ols_fit_per_group(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "q116_ivf_fullprobe_exact",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id >= 5 AND vec_id < 10),
+             c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+             s AS (
+                SELECT qid, nid,
+                       round({_dot_sql('qe', 'ce')}
+                             / (sqrt({_dot_sql('qe', 'qe')}) * sqrt({_dot_sql('ce', 'ce')})),
+                             6) AS cosine_sim
+                FROM q, c WHERE qid <> nid
+             ),
+             r AS (
+                SELECT qid AS query_id, nid AS neighbor_id, cosine_sim,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY cosine_sim DESC, nid
+                       ) AS rank
+                FROM s
+             )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine_sim
+        FROM r WHERE rank <= 10
+    """,
+)
+def q116_ivf_fullprobe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat with n_probe = n_centroids: probing every cell makes
+    the coarse quantizer a pure partitioner, so the result must equal
+    exact brute-force top-k — hash-checked here against the DuckDB
+    brute-force oracle. This brackets the ANN ladder: q68 (subset
+    probes) is the SAME machinery minus cells, so its only source of
+    error is the probe selection, proven by this query + q117's
+    recall, not assumed."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    return SIM.ivf_topk(e, q, 10, n_centroids=8, n_probe=8)
+
+
+@query("q117_ann_recall_vs_exact", oracle=None)
+def q117_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of both ANN variants (BRP-LSH q48, IVF q68) against
+    the exact brute-force top-10 (q47), per query vector — the ANN
+    quality metric as a first-class query instead of a test-only
+    assert. Deterministic (seeded LSH/KMeans) but not SQL-expressible
+    → rows-only driver check; thresholds asserted in tests."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(e, q, 10).select("query_id", "neighbor_id")
+    lsh = SIM.brp_lsh_neighbors(e, q, 10, num_tables=8, bucket_length=4.0).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = SIM.ivf_topk(e, q, 10, n_centroids=8, n_probe=3).select(
+        "query_id", "neighbor_id"
+    )
+    hits = lambda ann, name: (  # noqa: E731
+        exact.join(ann, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / 10.0).alias(name))
+    )
+    base = exact.select("query_id").distinct()
+    return (
+        base.join(hits(lsh, "lsh_recall_at10"), "query_id", "left")
+        .join(hits(ivf, "ivf_recall_at10"), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("lsh_recall_at10", F.lit(0.0)).alias("lsh_recall_at10"),
+            F.coalesce("ivf_recall_at10", F.lit(0.0)).alias("ivf_recall_at10"),
+        )
+    )
+
+
+@query("q118_streaming_left_outer_join", oracle=None)
+def q118_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream LEFT OUTER interval join with watermark
+    eviction: unmatched clicks emit NULL-purchase rows only once the
+    global watermark (min across both inputs) proves no match can
+    arrive. Rows-only driver check; matched-rows batch equivalence
+    and the NULL-emission frontier asserted in
+    tests/test_streaming.py."""
+    return W.run_stream_stream_left_outer_join(spark, sf_dir)

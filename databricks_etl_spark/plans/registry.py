@@ -169,9 +169,10 @@ def _load() -> None:
     # keeps older unverified queries ahead of brand-new ones in the
     # driver's 50-entry window (verify oldest claims first)
     import databricks_etl_spark.plans.queries_tpch  # noqa: F401
+    import databricks_etl_spark.plans.queries_breadth  # noqa: F401
 
-    assert len(QUERIES) >= 114, (
-        f"query registry shrank: {len(QUERIES)} < 114 — a module failed to register"
+    assert len(QUERIES) >= 118, (
+        f"query registry shrank: {len(QUERIES)} < 118 — a module failed to register"
     )
     _reorder()
     _loaded = True

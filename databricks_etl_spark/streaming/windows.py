@@ -282,3 +282,57 @@ def run_stream_stream_join(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_stream_left_outer_join(
+    spark: SparkSession, sf_dir: str, *, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermark eviction:
+    clicks joined to same-user purchases within ``horizon``; a click
+    with no matching purchase emits a NULL-purchase row — but only
+    once the watermark passes ``click_ts + horizon``, i.e. once the
+    engine can PROVE no match can still arrive (the fundamental
+    difference from batch outer joins: NULL emission is a
+    watermark-eviction event, so the unmatched tail newer than the
+    final watermark is withheld, not NULL-padded).
+
+    State stays bounded exactly as in the inner variant; the outer
+    side adds only the per-row "matched" bit. Matched rows equal the
+    batch inner join exactly; the NULL-emission frontier is asserted
+    against the final watermark in tests/test_streaming.py.
+    """
+    import uuid
+
+    name = f"ssloj_{uuid.uuid4().hex[:8]}"
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", horizon)
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", horizon)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select("user_id", "click_id", "click_ts", "purchase_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

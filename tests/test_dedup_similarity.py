@@ -109,3 +109,19 @@ def test_jaccard_max_df_bounds_posting_lists(spark):
     assert sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in same) == sorted(
         (r["id_a"], r["id_b"], r["jaccard"]) for r in uncapped
     )
+
+
+def test_ann_recall_query_shape_and_thresholds(spark, smoke_sf_dir):
+    """q117: one row per query vector; recalls in [0,1] and above the
+    operator-level floors already asserted elsewhere."""
+    from databricks_etl_spark.plans.queries_breadth import q117_ann_recall_vs_exact
+
+    rows = q117_ann_recall_vs_exact(spark, smoke_sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["lsh_recall_at10"] <= 1.0
+        assert 0.0 <= r["ivf_recall_at10"] <= 1.0
+    avg_lsh = sum(r["lsh_recall_at10"] for r in rows) / len(rows)
+    avg_ivf = sum(r["ivf_recall_at10"] for r in rows) / len(rows)
+    assert avg_lsh >= 0.6
+    assert avg_ivf >= 0.5

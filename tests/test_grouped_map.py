@@ -21,3 +21,29 @@ def test_grouped_map_zscore_matches_window(spark, smoke_sf_dir):
     assert set(via_pandas) == set(via_window)
     for k, z in via_window.items():
         assert abs(via_pandas[k] - z) < 1e-4  # window side rounds to 4dp
+
+
+def test_grouped_map_ols_close_to_numpy(spark, smoke_sf_dir):
+    """Exact-decimal OLS must agree with a numpy float64 lstsq to
+    float tolerance (it IS the same estimator, different arithmetic)."""
+    import numpy as np
+
+    from databricks_etl_spark.operators.grouped import ols_fit_per_group
+
+    li = read_table(spark, smoke_sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    got = {
+        r["l_returnflag"]: (r["slope"], r["intercept"], r["n_rows"])
+        for r in ols_fit_per_group(
+            li, "l_returnflag", "l_quantity", "l_extendedprice"
+        ).collect()
+    }
+    pdf = li.toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x, y = grp["l_quantity"].to_numpy(), grp["l_extendedprice"].to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        gs, gi, gn = got[flag]
+        assert gn == len(grp)
+        assert abs(gs - slope) < 1e-3 * max(1.0, abs(slope))
+        assert abs(gi - intercept) < 1e-3 * max(1.0, abs(intercept))

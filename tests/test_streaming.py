@@ -110,3 +110,62 @@ def test_stream_stream_interval_join_equals_batch(spark, smoke_sf_dir):
     ).select("user_id", "click_id", "purchase_id")
     assert stream.count() > 0
     assert _rows(stream) == _rows(batch)
+
+
+def test_stream_stream_left_outer_join_null_frontier(spark, smoke_sf_dir):
+    """Left-outer stream-stream join: matched rows equal the batch
+    inner join exactly; NULL (no-purchase) rows are emitted exactly
+    for unmatched clicks the final watermark has proven dead
+    (click_ts + horizon < max_ts - horizon), and never for clicks
+    the watermark hasn't passed."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    out = W.run_stream_stream_left_outer_join(spark, smoke_sf_dir)
+    e = read_table(spark, smoke_sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch_inner = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+    ).select("user_id", "click_id", "purchase_id")
+
+    got_matched = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in out.filter(F.col("purchase_id").isNotNull()).collect()
+    }
+    want_matched = {
+        (r["user_id"], r["click_id"], r["purchase_id"]) for r in batch_inner.collect()
+    }
+    assert got_matched == want_matched
+
+    horizon = dt.timedelta(minutes=30)
+    # The global watermark is the MIN over both inputs' watermarks
+    # (each = that side's max event time - delay) — the clicks side,
+    # not the overall max event, is what trails here.
+    max_click = clicks.agg(F.max("click_ts")).first()[0]
+    max_purch = purchases.agg(F.max("purchase_ts")).first()[0]
+    final_wm = min(max_click, max_purch) - horizon
+    matched_click_ids = {c for (_, c, _) in want_matched}
+    unmatched = {
+        (r["click_id"], r["click_ts"])
+        for r in clicks.collect()
+        if r["click_id"] not in matched_click_ids
+    }
+    got_nulls = {
+        r["click_id"] for r in out.filter(F.col("purchase_id").isNull()).collect()
+    }
+    must_emit = {c for (c, ts) in unmatched if ts + horizon < final_wm}
+    may_emit = {c for (c, ts) in unmatched}
+    assert must_emit, "fixture should have watermark-dead unmatched clicks"
+    assert must_emit <= got_nulls, "watermark-dead unmatched clicks missing"
+    assert got_nulls <= may_emit, "NULL emitted for a matched or unknown click"
