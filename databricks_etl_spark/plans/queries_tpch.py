@@ -558,3 +558,233 @@ def q114_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q119_min_cost_supplier",
+    oracle=f"""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey, {_VOL} AS cost
+            FROM lineitem
+        ),
+        mn AS (
+            SELECT l_partkey, MIN(cost) AS min_cost
+            FROM cost GROUP BY 1
+        )
+        SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name, n_name,
+               CAST(min_cost AS DOUBLE) AS min_cost
+        FROM part
+        JOIN mn   ON p_partkey = mn.l_partkey
+        JOIN cost ON cost.l_partkey = p_partkey AND cost.cost = min_cost
+        JOIN supplier ON cost.l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+    """,
+)
+def q119_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) who
+    sold it at the minimum discounted price — the correlated-scalar-
+    subquery-on-MIN pattern, compiled as aggregate-then-equality-
+    join-back (the same decomposition Catalyst's RewriteCorrelated
+    ScalarSubquery performs). The schema has no partsupp, so the
+    observed discounted sale price plays supplycost. Determinism:
+    the min and the join-back equality are on exact DECIMAL(28,6)
+    values (double equality after exact decimal min is safe); ties
+    on the min keep EVERY tied supplier (hence DISTINCT), which is
+    set-stable with no arbitrary pick. Scale: the per-part min is one
+    map-combinable shuffle on partkey; part (filtered) / supplier /
+    nation all broadcast."""
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    cost = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", _vol().cast("decimal(28,6)").alias("cost")
+    )
+    mn = cost.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    return (
+        cost.join(mn, ["l_partkey"])
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.col("min_cost").cast("double").alias("min_cost"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q120_supplier_part_counts",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_size IN (1, 9, 19, 25, 36, 45)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q120_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part group,
+    excluding a NOT-IN subquery of suppliers (negative balance stands
+    in for the complaints LIKE — same plan shape: the exclusion list
+    is a broadcast LEFT ANTI join, never a shuffle). The grouped
+    COUNT(DISTINCT) partial-aggregates per (group, suppkey) before
+    the final count, so the shuffle carries deduplicated pairs."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 9, 19, 25, 36, 45)
+    )
+    bad = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q121_concentrated_suppliers",
+    oracle="""
+        WITH sp AS (
+            SELECT l_suppkey, l_partkey,
+                   SUM(CAST(l_quantity AS DECIMAL(28,6))) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT l_partkey AS pk,
+                   SUM(qty) AS total_qty,
+                   COUNT(*) AS n_suppliers
+            FROM sp GROUP BY 1
+        )
+        SELECT DISTINCT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE EXISTS (
+            SELECT 1 FROM sp JOIN p ON sp.l_partkey = p.pk
+            WHERE sp.l_suppkey = s_suppkey
+              AND sp.qty * p.n_suppliers > 3 * p.total_qty
+        )
+    """,
+)
+def q121_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominate the 1997 supply of some
+    part — the nested-aggregate EXISTS (per-(supplier,part) aggregate
+    compared against a per-part aggregate, then a semi join up to the
+    supplier). The availqty comparison becomes "this supplier moved
+    >3× the per-supplier average for the part", cross-multiplied
+    (qty·n > 3·total) so both sides stay exact decimals — no
+    division, no float compare. Scale: two map-combinable aggregates
+    sharing the partkey shuffle, then a keys-only semi join."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("qty")
+    )
+    p = sp.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    dominant = (
+        sp.join(p, ["l_partkey"])
+        .filter(F.col("qty") * F.col("n_suppliers") > F.lit(3) * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
+
+
+@query(
+    "q122_waiting_orders",
+    oracle="""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3, orders o3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND o3.o_orderkey = l3.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s_name
+    """,
+)
+def q122_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order — the EXISTS + NOT-EXISTS pair on
+    the same relation (semi join then anti join on the order key,
+    both with a supplier-inequality residual). Lateness is ship-lag
+    >60 days (schema has no receipt/commit dates). Scale: all three
+    lineitem legs share the orderkey shuffle key, so AQE plans them
+    as one exchange reused three times; the anti join carries only
+    (orderkey, suppkey) pairs."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = read_table(spark, sf_dir, "supplier")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    l1 = late.select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sole_late = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
