@@ -141,3 +141,93 @@ def q46_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance invariants in tests."""
     d = read_table(spark, sf_dir, "documents")
     return DD.simhash64(d)
+
+
+_PAIRS_05 = f"""
+        d AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+        i0 AS (SELECT doc_id, unnest(toks) AS item FROM d),
+        keep AS (SELECT item FROM i0 GROUP BY item HAVING COUNT(*) <= 100),
+        i AS (SELECT i0.doc_id, i0.item FROM i0 JOIN keep USING (item)),
+        sz AS (SELECT doc_id, COUNT(*) AS set_size FROM i GROUP BY 1),
+        sh AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+            FROM i a JOIN i b USING (item)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ),
+        pr AS (
+            SELECT id_a, id_b FROM (
+                SELECT id_a, id_b,
+                       CAST(shared AS DOUBLE)
+                           / (sa.set_size + sb.set_size - shared) AS j
+                FROM sh
+                JOIN sz sa ON sh.id_a = sa.doc_id
+                JOIN sz sb ON sh.id_b = sb.doc_id
+            ) WHERE j >= 0.5
+        ),
+        e AS (SELECT id_a AS a, id_b AS b FROM pr
+              UNION SELECT id_b, id_a FROM pr),
+        walk AS (
+            SELECT a AS id, a AS label FROM e
+            UNION
+            SELECT e.b AS id, w.label FROM e JOIN walk w ON e.a = w.id
+        ),
+        cc AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id)
+"""
+
+
+def _neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databricks_etl_spark.operators.graph import connected_components
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(d, 0.5, ngram=1, max_df=100)
+    return connected_components(pairs, "id_a", "id_b")
+
+
+@query(
+    "q123_dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_PAIRS_05}
+        SELECT id AS doc_id, component FROM cc
+    """,
+)
+def q123_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: unigram-Jaccard pairs (≥0.5, df-capped —
+    same index as q43) closed under connectivity by distributed
+    min-label propagation with pointer jumping
+    (:func:`~databricks_etl_spark.operators.graph.connected_components`).
+    Component = min reachable doc_id — deterministic, seedless, and
+    exactly reproduced by the oracle's recursive-CTE closure, making
+    the ITERATIVE operator hash-checkable, not just rows-only. This is
+    the step that turns pair emission into "keep one survivor per
+    duplicate group" even when similarity is not transitive."""
+    return _neardup_components(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+@query(
+    "q124_cluster_survivors",
+    oracle=f"""
+        WITH RECURSIVE {_PAIRS_05}
+        SELECT doc_id,
+               CASE WHEN cc.id IS NOT NULL THEN TRUE ELSE FALSE END
+                   AS was_clustered
+        FROM documents LEFT JOIN cc ON documents.doc_id = cc.id
+        WHERE cc.id IS NULL OR cc.id = cc.component
+    """,
+)
+def q124_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLICATION of q123: the corpus with every non-
+    canonical cluster member removed (survivor = the cluster's min
+    doc_id; untouched docs pass through, flagged FALSE). One anti-ish
+    left join against the component labels — the final step of the
+    near-dup pipeline a training-data run would ship."""
+    comps = _neardup_components(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        d.join(comps, d.doc_id == comps.id, "left")
+        .filter(F.col("id").isNull() | (F.col("id") == F.col("component")))
+        .select(
+            "doc_id", F.col("id").isNotNull().alias("was_clustered")
+        )
+    )

@@ -171,8 +171,8 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_tpch  # noqa: F401
     import databricks_etl_spark.plans.queries_breadth  # noqa: F401
 
-    assert len(QUERIES) >= 122, (
-        f"query registry shrank: {len(QUERIES)} < 122 — a module failed to register"
+    assert len(QUERIES) >= 124, (
+        f"query registry shrank: {len(QUERIES)} < 124 — a module failed to register"
     )
     _reorder()
     _loaded = True
