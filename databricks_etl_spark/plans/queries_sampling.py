@@ -1,0 +1,95 @@
+"""Sampling + frequency-sketch queries: the reproducible-subset and
+heavy-hitter surface (SURVEY.md §2.12 extension — a training-data
+pipeline needs deterministic corpus subsets and cheap skew probes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.functions.scalars import decimal_sum
+from databricks_etl_spark.operators.sampling import (
+    freq_items,
+    hash_stratified_sample,
+)
+from databricks_etl_spark.plans.registry import query
+from databricks_etl_spark.sources.readers import read_table
+
+_RATES = {"F": 10, "P": 50, "O": 25}
+
+
+@query(
+    "q125_stratified_hash_sample",
+    oracle="""
+        WITH s AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   ((o_orderkey % 1000000007) * 48271) % 1000000007 % 100
+                       AS bucket
+            FROM orders
+        )
+        SELECT o_orderkey, o_orderstatus
+        FROM s
+        WHERE bucket < CASE o_orderstatus
+                           WHEN 'F' THEN 10 WHEN 'P' THEN 50
+                           WHEN 'O' THEN 25 ELSE 0 END
+    """,
+)
+def q125_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 10% of finished, 50% of
+    pending, 25% of open orders, selected by a portable MINSTD hash
+    of the order key — the SAME rows on any engine / partitioning /
+    run (hash-verified against the oracle computing the identical
+    arithmetic), unlike seeded ``sampleBy`` whose row set depends on
+    partition layout. Zero-shuffle: the bucket filter evaluates
+    per-row inside the scan stage. This is how a 100 TB pipeline
+    pins a reproducible training subset."""
+    o = read_table(spark, sf_dir, "orders")
+    return hash_stratified_sample(
+        o, "o_orderkey", "o_orderstatus", _RATES
+    ).select("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "q126_sample_stratum_stats",
+    oracle="""
+        WITH s AS (
+            SELECT o_orderstatus, o_totalprice
+            FROM orders
+            WHERE ((o_orderkey % 1000000007) * 48271) % 1000000007 % 100
+                  < CASE o_orderstatus
+                        WHEN 'F' THEN 10 WHEN 'P' THEN 50
+                        WHEN 'O' THEN 25 ELSE 0 END
+        )
+        SELECT o_orderstatus, COUNT(*) AS n_sampled,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sampled_totalprice
+        FROM s GROUP BY 1
+    """,
+)
+def q126_sample_stratum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over the deterministic sample (count + exact decimal
+    sum per stratum) — the downstream-consumer proof: statistics over
+    the sampled subset are themselves reproducible cross-engine."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        hash_stratified_sample(o, "o_orderkey", "o_orderstatus", _RATES)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            decimal_sum(F.col("o_totalprice"), "sampled_totalprice"),
+        )
+    )
+
+
+@query("q127_freq_items_sketch", oracle=None)
+def q127_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass heavy-hitter candidates (Karp et al. via
+    ``df.stat.freqItems``) over order status and priority at 5%
+    support — the no-shuffle skew probe you run BEFORE choosing a
+    join strategy at 100 TB (a key appearing in >support of rows is
+    a salting candidate). Superset-guarantee sketch (false positives
+    possible, no false negatives) → rows-only driver check; the
+    guarantee itself is count-verified in tests/test_sampling.py."""
+    o = read_table(spark, sf_dir, "orders")
+    return freq_items(o, ["o_orderstatus", "o_orderpriority"], 0.05)

@@ -170,9 +170,10 @@ def _load() -> None:
     # driver's 50-entry window (verify oldest claims first)
     import databricks_etl_spark.plans.queries_tpch  # noqa: F401
     import databricks_etl_spark.plans.queries_breadth  # noqa: F401
+    import databricks_etl_spark.plans.queries_sampling  # noqa: F401
 
-    assert len(QUERIES) >= 124, (
-        f"query registry shrank: {len(QUERIES)} < 124 — a module failed to register"
+    assert len(QUERIES) >= 127, (
+        f"query registry shrank: {len(QUERIES)} < 127 — a module failed to register"
     )
     _reorder()
     _loaded = True

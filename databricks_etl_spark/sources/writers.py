@@ -75,3 +75,34 @@ def write_iceberg(
 ) -> None:
     """Apache Iceberg table sink, same gating as :func:`write_delta`."""
     _write_table_format(df, "iceberg", path, mode, partition_by)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    *,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed/external table sink — the
+    co-location primitive for 100 TB joins: two tables bucketed by
+    the same key into the same bucket count join WITHOUT any
+    Exchange (the shuffle happened once, at write time, and is
+    amortized over every subsequent join/aggregate on that key).
+    ``sort_cols`` additionally pre-sorts within buckets so the
+    sort-merge join skips its sort. Asserted plan-level in
+    tests/test_bucketing.py.
+
+    Spark-specific: bucketing metadata lives in the catalog, so this
+    writes via ``saveAsTable`` (``path`` makes it external); plain
+    ``.parquet(path)`` cannot carry bucket info.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)

@@ -1,0 +1,90 @@
+"""Sampling/frequency-sketch contracts: determinism of the hash
+sample, statistical sanity of its rates, the freqItems superset
+guarantee, and the seeded-sampleBy distributional tolerance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.operators.sampling import (
+    freq_items,
+    hash_stratified_sample,
+)
+from databricks_etl_spark.sources.readers import read_table
+
+
+def test_hash_sample_is_deterministic_across_partitionings(spark, smoke_sf_dir):
+    o = read_table(spark, smoke_sf_dir, "orders")
+    rates = {"F": 10, "P": 50, "O": 25}
+    a = {
+        r["o_orderkey"]
+        for r in hash_stratified_sample(o, "o_orderkey", "o_orderstatus", rates)
+        .select("o_orderkey")
+        .collect()
+    }
+    b = {
+        r["o_orderkey"]
+        for r in hash_stratified_sample(
+            o.repartition(7), "o_orderkey", "o_orderstatus", rates
+        )
+        .select("o_orderkey")
+        .collect()
+    }
+    assert a == b and a
+
+
+def test_hash_sample_rates_approximate_targets(spark, smoke_sf_dir):
+    o = read_table(spark, smoke_sf_dir, "orders")
+    rates = {"F": 10, "P": 50, "O": 25}
+    totals = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    sampled = {
+        r["o_orderstatus"]: r["n"]
+        for r in hash_stratified_sample(o, "o_orderkey", "o_orderstatus", rates)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for status, pct in rates.items():
+        if totals.get(status, 0) >= 100:
+            got = sampled.get(status, 0) / totals[status]
+            assert abs(got - pct / 100) < 0.08, (status, got, pct)
+
+
+def test_freq_items_no_false_negatives(spark, smoke_sf_dir):
+    o = read_table(spark, smoke_sf_dir, "orders")
+    n = o.count()
+    support = 0.05
+    row = freq_items(o, ["o_orderpriority"], support).collect()[0]
+    candidates = set(row["o_orderpriority_freqItems"])
+    exact = {
+        r["o_orderpriority"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > support * n)
+        .collect()
+    }
+    assert exact <= candidates, f"missing heavy hitters: {exact - candidates}"
+
+
+def test_sampleby_seeded_rates(spark, smoke_sf_dir):
+    """Built-in seeded Bernoulli stratified sampling: per-stratum
+    fractions near targets (row identity is partition-layout-
+    dependent, so only the distribution is asserted)."""
+    o = read_table(spark, smoke_sf_dir, "orders")
+    fractions = {"F": 0.2, "P": 0.5, "O": 0.3}
+    s = o.sampleBy("o_orderstatus", fractions, seed=42)
+    totals = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    sampled = {
+        r["o_orderstatus"]: r["n"]
+        for r in s.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    for status, frac in fractions.items():
+        if totals.get(status, 0) >= 100:
+            got = sampled.get(status, 0) / totals[status]
+            assert abs(got - frac) < 0.1, (status, got, frac)
