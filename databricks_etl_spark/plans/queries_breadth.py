@@ -149,3 +149,19 @@ def q118_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFram
     and the NULL-emission frontier asserted in
     tests/test_streaming.py."""
     return W.run_stream_stream_left_outer_join(spark, sf_dir)
+
+
+@query("q128_stateful_sessionize", oracle=None)
+def q128_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM stateful streaming
+    operator (``applyInPandasWithState`` + EventTimeTimeout): open
+    sessions ride in state as arrays, and a session is emitted
+    exactly once — when the watermark passes its end + gap, so
+    out-of-order events inside the horizon can still extend or
+    bridge sessions (eager emission would double-count). Rows-only
+    driver check; EXACT equality against the batch lag/cumsum
+    sessionizer (q80) up to the final watermark is asserted in
+    tests/test_streaming.py."""
+    from databricks_etl_spark.streaming.stateful import run_sessionize_stream
+
+    return run_sessionize_stream(spark, sf_dir)

@@ -169,3 +169,57 @@ def test_stream_stream_left_outer_join_null_frontier(spark, smoke_sf_dir):
     assert must_emit, "fixture should have watermark-dead unmatched clicks"
     assert must_emit <= got_nulls, "watermark-dead unmatched clicks missing"
     assert got_nulls <= may_emit, "NULL emitted for a matched or unknown click"
+
+
+def test_merge_sessions_pure():
+    from databricks_etl_spark.streaming.stateful import _merge
+
+    # chain within gap merges; > gap splits; out-of-order input is fine
+    got = _merge([(1000, 1000, 1), (1250, 1250, 1), (2000, 2000, 1), (700, 700, 1)])
+    assert got == [(700, 1250, 3), (2000, 2000, 1)]
+    # an event landing between two stored sessions bridges them
+    assert _merge([(0, 100, 2), (700, 900, 3), (400, 400, 1)]) == [(0, 900, 6)]
+
+
+def test_stateful_sessionize_matches_batch_up_to_watermark(spark, smoke_sf_dir):
+    """Sessions emitted by the stateful operator must be EXACTLY the
+    batch-computed sessions whose end+gap the final watermark passed:
+    equality on (user, start, end, n), nothing extra, nothing closed
+    missing."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from databricks_etl_spark.streaming import stateful as ST
+
+    out = ST.run_sessionize_stream(spark, smoke_sf_dir)
+    got = {
+        (r["user_id"], r["session_start_epoch"], r["session_end_epoch"], r["n_events"])
+        for r in out.collect()
+    }
+
+    e = read_table(spark, smoke_sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    g = e.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap > float(ST.SESSION_GAP_S)), 1)
+        .otherwise(0),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = g.withColumn("sess_id", F.sum("new_sess").over(run))
+    batch = s.groupBy("user_id", "sess_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("start_s"),
+        F.unix_timestamp(F.max("ts")).alias("end_s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    max_ts_ms = e.agg(
+        (F.unix_micros(F.max("ts")) / 1000).cast("long").alias("m")
+    ).first()["m"]
+    final_wm_ms = max_ts_ms - 300_000  # delay "5 minutes"
+    want = {
+        (r["user_id"], r["start_s"], r["end_s"], r["n"])
+        for r in batch.collect()
+        if (r["end_s"] + ST.SESSION_GAP_S) * 1000 <= final_wm_ms
+    }
+    assert want, "fixture should contain watermark-closed sessions"
+    assert got == want
