@@ -106,3 +106,28 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """ORC directory sink (built-in columnar alternative to parquet —
+    same predicate-pushdown/column-pruning story; useful when the
+    downstream warehouse is ORC-native)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_json(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """JSON-lines directory sink — the interchange format for
+    downstream consumers without a parquet reader. Schemaless on
+    disk: re-reads need an explicit schema for round-trip fidelity
+    (JSON has no int/long or date/timestamp distinction)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)

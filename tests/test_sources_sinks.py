@@ -108,3 +108,29 @@ def test_lakehouse_sinks_gated(spark, smoke_sf_dir, tmp_path):
             assert fmt in str(ex)
         else:  # connector available: verify round-trip
             assert spark.read.format(fmt).load(out).count() == nation.count()
+
+
+def test_orc_sink_roundtrip(spark, smoke_sf_dir, tmp_path):
+    from databricks_etl_spark.sources.writers import write_orc
+
+    orders = read_table(spark, smoke_sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out, partition_by=["o_orderstatus"])
+    assert any(e.startswith("o_orderstatus=") for e in os.listdir(out))
+    back = spark.read.orc(out).select(*orders.columns)  # partition col reorders
+    assert back.schema["o_orderdate"].dataType == orders.schema["o_orderdate"].dataType
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
+
+
+def test_json_sink_roundtrip_with_schema(spark, smoke_sf_dir, tmp_path):
+    """JSON round-trip is only faithful with an explicit read schema
+    (ints and timestamps don't survive schemaless inference) — the
+    writer docstring's contract, proven here."""
+    from databricks_etl_spark.sources.writers import write_json
+
+    nation = read_table(spark, smoke_sf_dir, "nation")
+    out = str(tmp_path / "nation_json")
+    write_json(nation, out)
+    back = spark.read.schema(nation.schema).json(out)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
