@@ -229,7 +229,7 @@ def q92_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    round(CAST(c_acctbal + 100.0 AS DECIMAL(28,6)), 2) AS c_acctbal
             FROM customer WHERE c_custkey % 10 = 0
             UNION ALL
-            SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer) AS c_custkey,
+            SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer) AS c_custkey,
                    'new-' || c_name AS c_name,
                    CAST(0.0 AS DECIMAL(28,6)) AS c_acctbal
             FROM customer WHERE c_custkey % 100 = 0
@@ -254,8 +254,8 @@ def q98_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle on the merge key for the outer join
     (changes are usually ≪ base, so AQE broadcasts them); no windows,
-    no driver-side state. Insert keys are offset by MAX(c_custkey)
-    (1-row aggregate, broadcast) so they are disjoint from base keys
+    no driver-side state. Insert keys are offset by MAX(c_custkey)+1
+    (1-row aggregate, broadcast; the +1 keeps key 0's insert disjoint) so they are disjoint from base keys
     at ANY scale factor — a fixed offset would collide once the key
     space outgrows it.
     """
@@ -268,7 +268,7 @@ def q98_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("c_acctbal") + 100.0).cast("decimal(28,6)"), 2).alias("c_acctbal"),
         )
     )
-    mx = b.agg(F.max("c_custkey").alias("__max_key"))
+    mx = b.agg((F.max("c_custkey") + 1).alias("__max_key"))
     inserts = (
         b.filter(F.col("c_custkey") % 100 == 0)
         .crossJoin(F.broadcast(mx))
