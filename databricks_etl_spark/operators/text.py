@@ -165,3 +165,40 @@ def bottom_k_sketch(df: DataFrame, k: int = 8, text_col: str = "text") -> DataFr
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("h")).alias("sketch"))
     )
+
+
+def bigram_coherence(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-bigram coherence score per document — an LM-style text
+    quality signal with EXACT arithmetic (the reason it is not a log
+    perplexity: cross-engine ``log()`` is not guaranteed bit-identical,
+    but integer count sums and one final 6dp-rounded division are).
+
+    score(d) = Σ_i c2(w_i, w_{i+1}) / Σ_i c1(w_i) over d's bigrams,
+    where c2/c1 are corpus bigram/unigram occurrence counts: how much
+    of the mass following each token the document's actual next token
+    captures, averaged. Repetitive/templated text scores high; random
+    token salads score near the background rate — same direction as a
+    perplexity filter, deterministic enough to hash-check.
+
+    Scale: two map-combinable count aggregates (token, bigram) +
+    two broadcast-friendly joins back to the per-doc bigram stream;
+    everything shuffles on token-ish keys, no row blowup beyond the
+    token grain."""
+    tok = df.select(id_col, F.posexplode(tokens_col(text_col)).alias("pos", "w1"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        tok.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(id_col, "w1", "w2")
+    )
+    c1 = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("c2") / F.sum("c1"), 6).alias("coherence"),
+        )
+    )

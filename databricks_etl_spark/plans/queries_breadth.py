@@ -165,3 +165,17 @@ def q128_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databricks_etl_spark.streaming.stateful import run_sessionize_stream
 
     return run_sessionize_stream(spark, sf_dir)
+
+
+@query("q131_foreachbatch_materialized_counts", oracle=None)
+def q131_foreachbatch_materialized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming materialization: per-user counts driven
+    through a ``foreachBatch`` sink partitioned by epoch with dynamic
+    partition overwrite (replayed micro-batches overwrite, never
+    duplicate — Structured Streaming's at-least-once turned into
+    exactly-once by sink idempotence), then read back latest-per-key.
+    Rows-only driver check; exact batch equality + replay idempotence
+    in tests/test_streaming.py."""
+    from databricks_etl_spark.streaming.sinks import run_foreachbatch_counts
+
+    return run_foreachbatch_counts(spark, sf_dir)

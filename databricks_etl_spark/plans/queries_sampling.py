@@ -93,3 +93,42 @@ def q127_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee itself is count-verified in tests/test_sampling.py."""
     o = read_table(spark, sf_dir, "orders")
     return freq_items(o, ["o_orderstatus", "o_orderpriority"], 0.05)
+
+
+@query(
+    "q129_topk_per_stratum_sample",
+    oracle="""
+        WITH h AS (
+            SELECT o_orderkey, o_orderstatus,
+                   ((o_orderkey % 1000000007) * 48271) % 1000000007 AS hk
+            FROM orders
+        ),
+        r AS (
+            SELECT o_orderkey, o_orderstatus,
+                   row_number() OVER (
+                       PARTITION BY o_orderstatus ORDER BY hk, o_orderkey
+                   ) AS rk
+            FROM h
+        )
+        SELECT o_orderkey, o_orderstatus, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 50
+    """,
+)
+def q129_topk_per_stratum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-per-stratum sample (exactly k=50 rows per order
+    status) chosen by ranking the portable hash — the deterministic
+    stand-in for per-group reservoir sampling: same k rows on any
+    engine/run, and uniform-ish because the hash decorrelates rank
+    from key order. One shuffle on the stratum; at 100 TB replace the
+    full window sort with a per-partition top-k + merge (the
+    TakeOrderedAndProject pattern) if strata are huge."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    hk = ((F.col("o_orderkey") % 1000000007) * 48271) % 1000000007
+    w = Window.partitionBy("o_orderstatus").orderBy(hk, F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 50)
+        .select("o_orderkey", "o_orderstatus", "rk")
+    )

@@ -324,3 +324,38 @@ def q41_bottom_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     sk = TX.bottom_k_sketch(d, 8)
     return sk.select("doc_id", F.concat_ws(",", "sketch").alias("sketch_str"))
+
+
+@query(
+    "q130_bigram_coherence",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, unnest(toks) AS w1 FROM t
+        ),
+        big AS (
+            SELECT doc_id,
+                   unnest(toks[1:len(toks)-1]) AS w1,
+                   unnest(toks[2:len(toks)]) AS w2
+            FROM t WHERE len(toks) >= 2
+        ),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM tok GROUP BY 1),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2)
+        SELECT big.doc_id,
+               COUNT(*) AS n_bigrams,
+               round(CAST(SUM(c2.c2) AS DOUBLE) / CAST(SUM(c1.c1) AS DOUBLE), 6)
+                   AS coherence
+        FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        GROUP BY big.doc_id
+    """,
+)
+def q130_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-style quality signal with exact arithmetic: per-doc corpus-
+    bigram conditional-mass score (see
+    :func:`~databricks_etl_spark.operators.text.bigram_coherence` for
+    why this replaces log-perplexity cross-engine). Hash-exact: integer
+    count sums, one 6dp-rounded division."""
+    d = read_table(spark, sf_dir, "documents")
+    return TX.bigram_coherence(d)

@@ -1,0 +1,77 @@
+"""Streaming sinks beyond the built-ins: the ``foreachBatch``
+exactly-once materialization pattern.
+
+Structured Streaming's delivery guarantee is at-least-once per
+micro-batch into arbitrary sinks; exactly-once requires the sink write
+to be IDEMPOTENT in ``epoch_id`` (the engine may re-run a batch after
+failure with the same epoch). The standard recipe: partition the
+output by epoch and use dynamic partition overwrite, so a replayed
+epoch overwrites its own partition instead of appending duplicates —
+the same idea a Delta/Iceberg MERGE would implement transactionally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def epoch_idempotent_sink(path: str) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function writing each micro-batch to
+    ``path/__epoch=<epoch_id>/`` with dynamic partition overwrite:
+    re-delivery of the same epoch replaces, never duplicates. The
+    write itself is a normal distributed parquet write (no driver
+    collect)."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+
+    return write
+
+
+def read_latest_per_key(spark: SparkSession, path: str, keys: list[str]) -> DataFrame:
+    """Materialized view over an epoch-partitioned sink: for each key,
+    the row from the HIGHEST epoch (update-mode streams re-emit a
+    key's row each time it changes; the latest epoch wins).
+    Deterministic: epoch is a total order per key."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(path)
+    w = Window.partitionBy(*keys).orderBy(F.col("__epoch").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__epoch")
+    )
+
+
+def run_foreachbatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive a per-user event-count stream through the idempotent
+    foreachBatch sink (availableNow), then return the materialized
+    latest-per-user counts."""
+    import tempfile
+
+    from databricks_etl_spark.streaming.windows import stream_events
+
+    out = tempfile.mkdtemp(prefix="fbsink_")
+    counts = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(epoch_idempotent_sink(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_latest_per_key(spark, out, ["user_id"])

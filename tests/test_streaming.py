@@ -223,3 +223,32 @@ def test_stateful_sessionize_matches_batch_up_to_watermark(spark, smoke_sf_dir):
     }
     assert want, "fixture should contain watermark-closed sessions"
     assert got == want
+
+
+def test_foreachbatch_sink_exactly_once_and_idempotent(spark, smoke_sf_dir, tmp_path):
+    """The epoch-partitioned foreachBatch sink: (1) materialized
+    latest-per-key counts equal the batch aggregate exactly;
+    (2) replaying an epoch (the at-least-once failure mode) leaves
+    the materialization unchanged — idempotence, hence exactly-once."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_spark.streaming import sinks as SK
+
+    out = SK.run_foreachbatch_counts(spark, smoke_sf_dir)
+    got = {(r["user_id"], r["n_events"]) for r in out.collect()}
+    e = read_table(spark, smoke_sf_dir, "events")
+    want = {
+        (r["user_id"], r["n"])
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+    # idempotent replay: same payload, same epoch, written twice
+    path = str(tmp_path / "sink")
+    sink = SK.epoch_idempotent_sink(path)
+    batch = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    sink(batch, 7)
+    once = sorted(map(tuple, SK.read_latest_per_key(spark, path, ["user_id"]).collect()))
+    sink(batch, 7)  # replay
+    twice = sorted(map(tuple, SK.read_latest_per_key(spark, path, ["user_id"]).collect()))
+    assert once == twice
