@@ -334,3 +334,195 @@ def q99_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double").alias("total_price"),
         )
     )
+
+
+@query(
+    "q132_incremental_agg_maintenance",
+    bench=True,
+    oracle="""
+        WITH changes AS (
+            SELECT c_custkey, c_nationkey,
+                   round(CAST(c_acctbal + 100.0 AS DECIMAL(28,6)), 2) AS c_acctbal
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer),
+                   c_nationkey,
+                   CAST(0.0 AS DECIMAL(28,6))
+            FROM customer WHERE c_custkey % 100 = 0
+        ),
+        merged AS (
+            SELECT COALESCE(ch.c_custkey, b.c_custkey) AS c_custkey,
+                   COALESCE(ch.c_nationkey, b.c_nationkey) AS c_nationkey,
+                   COALESCE(ch.c_acctbal, CAST(b.c_acctbal AS DECIMAL(28,6)))
+                       AS c_acctbal
+            FROM customer b FULL OUTER JOIN changes ch USING (c_custkey)
+        )
+        SELECT c_nationkey, COUNT(*) AS n_customers,
+               CAST(SUM(c_acctbal) AS DOUBLE) AS total_bal
+        FROM merged GROUP BY 1
+    """,
+)
+def q132_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: per-nation
+    (count, sum(acctbal)) updated from a CDC change batch WITHOUT
+    rescanning the base — new_agg = old_agg + Σ(new values) −
+    Σ(overwritten old values), where the overwritten values come from
+    a semi-join of base against change keys (|changes| ≪ |base|, so
+    it broadcasts). The oracle recomputes the aggregate from the
+    fully-merged table — algebraic-delta maintenance must equal the
+    full recomputation exactly, which is why sums stay in exact
+    decimals until the final cast. THE 100 TB pattern: the daily
+    change set touches the scan, the 100 TB base only feeds the
+    (cached/stored) old aggregate."""
+    b = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    mx = b.agg((F.max("c_custkey") + 1).alias("__off"))
+    dec = "decimal(28,6)"
+    updates = b.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round((F.col("c_acctbal") + 100.0).cast(dec), 2).alias("c_acctbal"),
+    )
+    inserts = (
+        b.filter(F.col("c_custkey") % 100 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("c_custkey") + F.col("__off")).alias("c_custkey"),
+            "c_nationkey",
+            F.lit(0.0).cast(dec).alias("c_acctbal"),
+        )
+    )
+    changes = updates.unionByName(inserts)
+
+    # the stored aggregate (in production: read from the serving store)
+    old_agg = b.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast(dec)).alias("total_bal"),
+    )
+    # retracted rows: base rows whose key is overwritten by a change
+    retracted = b.join(
+        changes.select("c_custkey"), "c_custkey", "left_semi"
+    )
+    delta = (
+        changes.select(
+            "c_nationkey", F.lit(1).alias("dn"), F.col("c_acctbal").alias("dv")
+        )
+        .unionByName(
+            retracted.select(
+                "c_nationkey",
+                F.lit(-1).alias("dn"),
+                (-F.col("c_acctbal").cast(dec)).alias("dv"),
+            )
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
+    )
+    return (
+        old_agg.join(delta, "c_nationkey", "left")
+        .select(
+            "c_nationkey",
+            (F.col("n_customers") + F.coalesce("dn", F.lit(0))).alias("n_customers"),
+            (F.col("total_bal") + F.coalesce(F.col("dv"), F.lit(0).cast(dec)))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q133_order_day_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT o_custkey,
+                   CAST(floor(epoch(o_orderdate)) / 86400 AS BIGINT) AS d
+            FROM orders
+        ),
+        grp AS (
+            SELECT o_custkey, d,
+                   d - row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY d
+                   ) AS island
+            FROM days
+        ),
+        streaks AS (
+            SELECT o_custkey, COUNT(*) AS streak_len
+            FROM grp GROUP BY o_custkey, island
+        )
+        SELECT o_custkey,
+               CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+               COUNT(*) AS n_streaks
+        FROM streaks GROUP BY 1
+    """,
+)
+def q133_order_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE order days per
+    customer via the row_number-difference trick (day − rank is
+    constant within an island) — the classic shape for streaks/
+    uptime/sessions-on-a-grid that needs no self-join and no
+    iteration: two windows + two aggregates, all partitioned by
+    customer."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    days = o.select(
+        "o_custkey",
+        (F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))).cast("bigint").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    grp = days.withColumn("island", F.col("d") - F.row_number().over(w))
+    streaks = grp.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("o_custkey").agg(
+        F.max("streak_len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@query(
+    "q134_revenue_share_of_nation",
+    oracle="""
+        WITH rev AS (
+            SELECT n_name, c_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS cust_rev
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT n_name, c_custkey,
+               CAST(cust_rev AS DOUBLE) AS cust_rev,
+               round(CAST(cust_rev AS DOUBLE)
+                     / CAST(SUM(cust_rev) OVER (PARTITION BY n_name) AS DOUBLE),
+                     6) AS share_of_nation
+        FROM rev
+    """,
+)
+def q134_revenue_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each customer's share of their nation's order
+    revenue — aggregate once, then a partition-window sum turns the
+    same pass into percent-of-parent (no second scan, no self-join
+    against the totals). Decimal-exact numerator and denominator; the
+    division is the only float step, rounded identically."""
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("cust_rev"))
+    )
+    w = Window.partitionBy("n_name")
+    return rev.select(
+        "n_name",
+        "c_custkey",
+        F.col("cust_rev").cast("double").alias("cust_rev"),
+        F.round(
+            F.col("cust_rev").cast("double") / F.sum("cust_rev").over(w).cast("double"),
+            6,
+        ).alias("share_of_nation"),
+    )

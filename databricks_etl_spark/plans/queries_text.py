@@ -328,6 +328,7 @@ def q41_bottom_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q130_bigram_coherence",
+    bench=True,
     oracle=rf"""
         WITH t AS (
             SELECT doc_id, {_TOKS} AS toks FROM documents

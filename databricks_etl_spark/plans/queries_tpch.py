@@ -562,6 +562,7 @@ def q114_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q119_min_cost_supplier",
+    bench=True,
     oracle=f"""
         WITH cost AS (
             SELECT l_partkey, l_suppkey, {_VOL} AS cost
@@ -591,22 +592,26 @@ def q119_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the min and the join-back equality are on exact DECIMAL(28,6)
     values (double equality after exact decimal min is safe); ties
     on the min keep EVERY tied supplier (hence DISTINCT), which is
-    set-stable with no arbitrary pick. Scale: the per-part min is one
-    map-combinable shuffle on partkey; part (filtered) / supplier /
-    nation all broadcast."""
+    set-stable with no arbitrary pick. Scale: the QUALIFYING-part
+    broadcast semi-filters lineitem BEFORE the min aggregate (min is
+    per-part, so restricting parts first is lossless — measured ~2×
+    at sf0.1, and the selectivity factor at 100 TB), then one
+    map-combinable shuffle on partkey for min + join-back; supplier /
+    nation broadcast."""
     part = read_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
     )
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation")
-    cost = read_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", _vol().cast("decimal(28,6)").alias("cost")
+    cost = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", _vol().cast("decimal(28,6)").alias("cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
     )
     mn = cost.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
     return (
         cost.join(mn, ["l_partkey"])
         .filter(F.col("cost") == F.col("min_cost"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -723,6 +728,7 @@ def q121_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q122_waiting_orders",
+    bench=True,
     oracle="""
         SELECT s_name, COUNT(*) AS numwait
         FROM supplier, lineitem l1, orders
