@@ -457,3 +457,97 @@ def q64_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databricks_etl_spark.streaming.stateful import run_running_totals_stream
 
     return run_running_totals_stream(spark, sf_dir)
+
+
+@query(
+    "q135_variant_json",
+    oracle="""
+        SELECT event_type,
+               COUNT(CAST(props->>'$.k' AS INTEGER)) AS n_parsed,
+               CAST(SUM(CASE WHEN CAST(props->>'$.k' AS INTEGER) >= 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def q135_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4 VARIANT (``parse_json`` +
+    ``try_variant_get``) — the open-schema alternative to q72's
+    fixed-struct ``from_json``: the binary variant encoding keeps
+    shredded field access columnar without declaring a schema up
+    front, the engine-native way to hold heterogeneous event payloads
+    at 100 TB. ``try_variant_get`` yields NULL on missing/mistyped
+    paths (same contract as the oracle's ->> cast)."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_parsed"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "q136_nested_line_structs",
+    oracle="""
+        WITH g AS (
+            SELECT l_orderkey,
+                   list_sort(list(struct_pack(
+                       ln := l_linenumber,
+                       qty := l_quantity,
+                       px := CAST(l_extendedprice AS DECIMAL(28,6))
+                   ))) AS lines
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_orderkey,
+               CAST(len(lines) AS INTEGER) AS n_lines,
+               CAST(len(list_filter(lines, x -> x.qty >= 30)) AS INTEGER)
+                   AS n_big,
+               COALESCE(CAST(list_sum(list_transform(
+                   list_filter(lines, x -> x.qty >= 30), x -> x.px
+               )) AS DOUBLE), 0.0) AS big_rev
+        FROM g
+    """,
+)
+def q136_nested_line_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested array-of-structs surface: order lines collected into a
+    SORTED struct array (sort_array fixes collect_list's
+    nondeterministic order — the rule for any collected array), then
+    processed entirely with higher-order functions (filter /
+    transform / aggregate lambdas) — no explode-regroup round trip,
+    no UDF. The fold accumulates in exact decimal over the sorted
+    array, so the cross-engine sum is order-stable by construction."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = "decimal(28,6)"
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_extendedprice").cast(dec).alias("px"),
+                )
+            )
+        ).alias("lines")
+    )
+    big = F.filter(F.col("lines"), lambda x: x["qty"] >= 30)
+    return g.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.size(big).alias("n_big"),
+        F.aggregate(
+            big,
+            F.lit(0).cast(dec),
+            # decimal + widens to (29,6); re-cast keeps the accumulator type
+            lambda acc, x: (acc + x["px"]).cast(dec),
+        )
+        .cast("double")
+        .alias("big_rev"),
+    )

@@ -97,3 +97,35 @@ def test_q113_disjunctive_stays_hash_join(spark, sf_dir):
 def test_q114_not_exists_is_anti_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q114_idle_rich_customers")
     assert "LeftAnti" in plan
+
+
+def test_join_strategy_hints_respected(spark, smoke_sf_dir):
+    """Catalyst honors per-join strategy hints — the manual override
+    lane when AQE's choice is wrong for a known workload: broadcast()
+    forces BroadcastHashJoin, merge() forces SortMergeJoin, and
+    shuffle_hash() forces ShuffledHashJoin, on the SAME join."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_spark.sources.readers import read_table
+
+    o = read_table(spark, smoke_sf_dir, "orders")
+    c = read_table(spark, smoke_sf_dir, "customer")
+
+    def plan_of(hinted):
+        df = o.join(hinted, o.o_custkey == hinted.c_custkey).groupBy().count()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan_of(F.broadcast(c))
+    assert "SortMergeJoin" in plan_of(c.hint("merge"))
+    assert "ShuffledHashJoin" in plan_of(c.hint("shuffle_hash"))
+
+
+def test_q136_no_explode_regroup(spark, sf_dir):
+    """The nested-struct pipeline must stay at one aggregate (the
+    collect_list) — higher-order lambdas must NOT re-explode or add a
+    second shuffle."""
+    plan = _plan(spark, sf_dir, "q136_nested_line_structs")
+    assert "Generate" not in plan  # no explode
+    # formatted plans repeat each node in the detail section; count the
+    # tree markers only — exactly the one groupBy shuffle
+    assert plan.count("+- Exchange") == 1

@@ -88,3 +88,27 @@ def test_sampleby_seeded_rates(spark, smoke_sf_dir):
         if totals.get(status, 0) >= 100:
             got = sampled.get(status, 0) / totals[status]
             assert abs(got - frac) < 0.1, (status, got, frac)
+
+
+def test_percentile_approx_within_tolerance(spark, sf_dir):
+    """Mergeable approximate percentiles (the 100 TB path — one pass,
+    no global sort) land within the accuracy implied by the given
+    relative-error parameter, judged against exact percentiles."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_spark.sources.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    approx = o.select(
+        F.percentile_approx("o_totalprice", qs, 10000).alias("p")
+    ).first()["p"]
+    exact = o.select(F.expr(
+        f"percentile(o_totalprice, array({','.join(map(str, qs))}))"
+    ).alias("p")).first()["p"]
+    lo, hi = (
+        o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    )
+    spread = hi - lo
+    for a, e in zip(approx, exact):
+        assert abs(a - e) <= 0.01 * spread, (a, e)
