@@ -179,3 +179,73 @@ def q131_foreachbatch_materialized_counts(spark: SparkSession, sf_dir: str) -> D
     from databricks_etl_spark.streaming.sinks import run_foreachbatch_counts
 
     return run_foreachbatch_counts(spark, sf_dir)
+
+
+_Q137_SQL = """
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM {lineitem}
+    WHERE l_shipdate <= TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q137_sql_lane_pricing", oracle=_Q137_SQL.format(lineitem="lineitem"))
+def q137_sql_lane_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL user lane: register temp views and run the EXACT
+    SAME ANSI text through ``spark.sql`` that the DuckDB oracle runs —
+    one source string, two engines, hash-equal. Proves the engine
+    serves SQL-first users (not just the DataFrame API) and that the
+    dialect subset used throughout this repo is genuinely portable.
+    Catalyst compiles this to the identical plan as the DataFrame
+    formulation (same scan pushdown, same partial aggregates)."""
+    view = "li_q137"
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    return spark.sql(_Q137_SQL.format(lineitem=view))
+
+
+@query(
+    "q138_python_datasource",
+    oracle="""
+        WITH src AS (
+            SELECT range AS id,
+                   CAST(((range % 1000000007) * 48271) % 1000000007 % 10
+                        AS INTEGER) AS bucket,
+                   CAST(((range % 1000000007) * 48271) % 1000000007 AS DOUBLE)
+                       / 1000000007 AS val
+            FROM range(10000)
+        )
+        SELECT bucket, COUNT(*) AS n,
+               CAST(MIN(id) AS BIGINT) AS min_id,
+               CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE) AS sum_val
+        FROM src GROUP BY bucket
+    """,
+)
+def q138_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector lane: a Python DataSource (Spark 4 API —
+    executor-side partitioned reads, no JVM code) generating a
+    deterministic sequence, aggregated per bucket and hash-checked
+    against the oracle reproducing the generator arithmetic in SQL.
+    Proves the full third-party-source path: registration, options,
+    split planning, executor reads, schema projection. sum_val uses
+    the repo's decimal-sum rule (quantize each value to 6dp, exact
+    decimal accumulation) so the aggregate is order-independent
+    cross-engine."""
+    from databricks_etl_spark.sources.pydatasource import register
+
+    register(spark)
+    src = (
+        spark.read.format("seqgen")
+        .option("rows", 10000)
+        .option("partitions", 8)
+        .load()
+    )
+    return src.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("id").cast("bigint").alias("min_id"),
+        F.sum(F.col("val").cast("decimal(28,6)")).cast("double").alias("sum_val"),
+    )

@@ -172,8 +172,8 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_breadth  # noqa: F401
     import databricks_etl_spark.plans.queries_sampling  # noqa: F401
 
-    assert len(QUERIES) >= 136, (
-        f"query registry shrank: {len(QUERIES)} < 136 — a module failed to register"
+    assert len(QUERIES) >= 138, (
+        f"query registry shrank: {len(QUERIES)} < 138 — a module failed to register"
     )
     _reorder()
     _loaded = True

@@ -252,3 +252,45 @@ def test_foreachbatch_sink_exactly_once_and_idempotent(spark, smoke_sf_dir, tmp_
     sink(batch, 7)  # replay
     twice = sorted(map(tuple, SK.read_latest_per_key(spark, path, ["user_id"]).collect()))
     assert once == twice
+
+
+def test_checkpoint_restart_processes_each_file_once(spark, smoke_sf_dir, tmp_path):
+    """Checkpointed file-source stream: a restarted query (same
+    checkpoint dir) must pick up ONLY files that arrived after the
+    first run — each input row lands in the sink exactly once across
+    restarts. This is the recovery half of exactly-once (the sink
+    idempotence half is the foreachBatch test)."""
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, smoke_sf_dir, "events")
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    first = e.filter(F.col("event_id") % 2 == 0)
+    second = e.filter(F.col("event_id") % 2 == 1)
+    first.write.parquet(in_dir)  # batch 1 file(s)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(e.schema)
+            .parquet(in_dir)
+            .select("event_id", "user_id", "event_type")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == first.count()
+
+    second.write.mode("append").parquet(in_dir)  # new files arrive
+    run_once()  # restart from the same checkpoint
+    out = spark.read.parquet(out_dir)
+    assert out.count() == e.count()  # nothing reprocessed, nothing lost
+    assert out.select("event_id").distinct().count() == e.count()
