@@ -171,9 +171,10 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_tpch  # noqa: F401
     import databricks_etl_spark.plans.queries_breadth  # noqa: F401
     import databricks_etl_spark.plans.queries_sampling  # noqa: F401
+    import databricks_etl_spark.plans.queries_llmprep  # noqa: F401
 
-    assert len(QUERIES) >= 138, (
-        f"query registry shrank: {len(QUERIES)} < 138 — a module failed to register"
+    assert len(QUERIES) >= 142, (
+        f"query registry shrank: {len(QUERIES)} < 142 — a module failed to register"
     )
     _reorder()
     _loaded = True
