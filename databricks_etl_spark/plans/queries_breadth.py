@@ -249,3 +249,92 @@ def q138_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").cast("bigint").alias("min_id"),
         F.sum(F.col("val").cast("decimal(28,6)")).cast("double").alias("sum_val"),
     )
+
+
+@query("q143_hll_mergeable_distinct", oracle=None)
+def q143_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Spark 4 Apache DataSketches
+    HLL): per-nation customer sketches PLUS the union-merged global
+    estimate computed FROM the per-nation sketches — the 100 TB
+    property that matters: partial sketches built per partition/day
+    merge into any rollup without touching raw data again (exact
+    distinct cannot do this). Sketch binaries are engine-specific →
+    rows-only driver check; the estimate-vs-exact tolerance and the
+    merge-consistency (union estimate == full-scan estimate) are
+    asserted in tests/test_sampling.py."""
+    c = read_table(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_distinct"),
+    )
+    return (
+        per_nation.select(
+            "c_nationkey",
+            F.hll_sketch_estimate("sk").alias("est_distinct"),
+            "exact_distinct",
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q144_morton_layout",
+    oracle="""
+        WITH m AS (
+            SELECT o_orderkey,
+                   CAST(o_custkey % 256 AS BIGINT) AS x,
+                   CAST(CAST(floor(epoch(o_orderdate)) / 86400 AS BIGINT) % 256
+                        AS BIGINT) AS y
+            FROM orders
+        ),
+        z AS (
+            SELECT o_orderkey,
+                   (((x >> 0) & 1) << 0) | (((y >> 0) & 1) << 1) |
+                   (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3) |
+                   (((x >> 2) & 1) << 4) | (((y >> 2) & 1) << 5) |
+                   (((x >> 3) & 1) << 6) | (((y >> 3) & 1) << 7) |
+                   (((x >> 4) & 1) << 8) | (((y >> 4) & 1) << 9) |
+                   (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11) |
+                   (((x >> 6) & 1) << 12) | (((y >> 6) & 1) << 13) |
+                   (((x >> 7) & 1) << 14) | (((y >> 7) & 1) << 15)
+                       AS morton
+            FROM m
+        )
+        SELECT CAST(morton >> 8 AS BIGINT) AS tile,
+               COUNT(*) AS n_orders,
+               CAST(MIN(morton) AS BIGINT) AS min_morton,
+               CAST(MAX(morton) AS BIGINT) AS max_morton
+        FROM z GROUP BY 1
+    """,
+)
+def q144_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key: bit-interleaving customer and
+    order-day into one sort key so rows close in BOTH dimensions are
+    close on disk — the multi-dimensional clustering trick behind
+    Delta Z-ORDER / Iceberg sort orders, built from plain bit ops (no
+    engine extension). Sorting/range-partitioning 100 TB by this key
+    makes min/max file statistics prune BOTH predicates (customer
+    range AND date range), where single-column sort prunes only one.
+    The query emits per-tile (morton >> 8) file-statistics analogues
+    (count, min/max key) — exactly what a data-skipping planner reads
+    — and is fully oracled bit-for-bit."""
+    o = read_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).cast("long")
+    y = (
+        F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400)).cast("long") % 256
+    )
+    morton = None
+    for i in range(8):
+        xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        piece = xb.bitwiseOR(yb)
+        morton = piece if morton is None else morton.bitwiseOR(piece)
+    z = o.select("o_orderkey", morton.alias("morton"))
+    return (
+        z.groupBy(F.shiftright("morton", 8).cast("long").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("morton").cast("long").alias("min_morton"),
+            F.max("morton").cast("long").alias("max_morton"),
+        )
+    )

@@ -173,8 +173,8 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_sampling  # noqa: F401
     import databricks_etl_spark.plans.queries_llmprep  # noqa: F401
 
-    assert len(QUERIES) >= 142, (
-        f"query registry shrank: {len(QUERIES)} < 142 — a module failed to register"
+    assert len(QUERIES) >= 144, (
+        f"query registry shrank: {len(QUERIES)} < 144 — a module failed to register"
     )
     _reorder()
     _loaded = True

@@ -112,3 +112,39 @@ def test_percentile_approx_within_tolerance(spark, sf_dir):
     spread = hi - lo
     for a, e in zip(approx, exact):
         assert abs(a - e) <= 0.01 * spread, (a, e)
+
+
+def test_hll_estimates_close_and_merge_consistent(spark, sf_dir):
+    """DataSketches HLL: per-group estimates within 5% of exact, and
+    the union of per-group sketches estimates the GLOBAL distinct the
+    same as a single full-scan sketch — mergeability, the property
+    that lets 100 TB partials roll up without rescans."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_spark.sources.readers import read_table
+
+    c = read_table(spark, sf_dir, "customer")
+    rows = (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.hll_sketch_agg("c_custkey").alias("sk"),
+            F.countDistinct("c_custkey").alias("exact"),
+        )
+        .select(F.hll_sketch_estimate("sk").alias("est"), "exact", "sk")
+    )
+    collected = rows.select("est", "exact").collect()
+    assert collected
+    for r in collected:
+        assert abs(r["est"] - r["exact"]) <= max(2, 0.05 * r["exact"]), r
+    merged = rows.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u")
+    ).first()["u"]
+    direct = c.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey")).alias("d")
+    ).first()["d"]
+    exact_global = c.select("c_custkey").distinct().count()
+    # Union-of-partials and single-scan sketches take different internal
+    # promotion paths (sparse->dense), so estimates differ slightly; both
+    # must land within HLL error bounds of the exact global count.
+    assert abs(merged - exact_global) <= 0.05 * exact_global, (merged, exact_global)
+    assert abs(direct - exact_global) <= 0.05 * exact_global, (direct, exact_global)
