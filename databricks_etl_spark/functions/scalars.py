@@ -39,6 +39,32 @@ def decimal_avg(expr: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def gap_exceeds(ts: Column | str, prev: Column | str, seconds: int) -> Column:
+    """Exact "strictly more than ``seconds`` elapsed between ``prev`` and
+    ``ts``" — the sessionization split predicate.
+
+    Computed as ``ts > prev + INTERVAL seconds`` so it is
+    microsecond-exact on TIMESTAMP and TIMESTAMP_NTZ alike and matches a
+    DuckDB ``ts - lag(ts) > INTERVAL ...`` oracle bit-for-bit. Never
+    cast a timestamp to double for this: TIMESTAMP_NTZ→DOUBLE is an
+    illegal cast in Spark 4 (broke q80 in round 2), and
+    ``unix_timestamp()`` floors to whole seconds, which disagrees with
+    an exact interval comparison for gaps in (N, N+1). NULL when
+    ``prev`` is NULL (guard with ``isNull()`` at the call site).
+    """
+    t = F.col(ts) if isinstance(ts, str) else ts
+    p = F.col(prev) if isinstance(prev, str) else prev
+    return t > p + F.make_interval(secs=F.lit(seconds))
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Whole-second epoch (BIGINT) of a timestamp column —
+    ``unix_timestamp``, which FLOORS sub-second precision; pair with a
+    DuckDB ``CAST(floor(epoch(ts)) AS BIGINT)`` oracle. For gap/order
+    *comparisons* use :func:`gap_exceeds` (exact) instead."""
+    return F.unix_timestamp(col)
+
+
 def day_diff(later: Column | str, earlier: Column | str) -> Column:
     """F7 ``datediff`` (``transform.py:144,155,179``)."""
     return F.datediff(F.to_date(later), F.to_date(earlier))

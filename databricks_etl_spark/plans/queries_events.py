@@ -125,14 +125,14 @@ def q80_sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from databricks_etl_spark.functions.scalars import decimal_sum
+    from databricks_etl_spark.functions.scalars import decimal_sum, gap_exceeds
 
     e = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    prev = F.lag("ts").over(w)
     g = e.withColumn(
         "new_sess",
-        F.when(F.lag("ts").over(w).isNull() | (gap > 300.0), 1).otherwise(0),
+        F.when(prev.isNull() | gap_exceeds("ts", prev, 300), 1).otherwise(0),
     )
     run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

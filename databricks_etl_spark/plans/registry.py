@@ -62,13 +62,16 @@ def bench_queries() -> dict[str, QueryFn]:
 
 _loaded = False
 
-# Queries with a green (rows+schema+hash) row in CORRECTNESS_r01.json.
-# The external driver verifies the FIRST 50 registry entries in insertion
-# order, so _load() sorts never-yet-verified queries to the front (keeping
-# q01 as the smoke query) — each round rotates fresh queries into the
-# driver's verification window instead of re-proving the same 50.
+# Queries with a green (rows+schema+hash) row in CORRECTNESS_r01.json or
+# CORRECTNESS_r02.json. The external driver verifies the FIRST 50 registry
+# entries in insertion order, so _load() sorts never-yet-verified queries
+# to the front (keeping q01 as the smoke query) — each round rotates fresh
+# queries into the driver's verification window instead of re-proving the
+# same 50. q80 is NOT listed: its r2 row errored (TIMESTAMP_NTZ cast,
+# fixed) and it must re-enter the window for a green row.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
+        # --- round 1 greens ---
         "q01_revenue_by_nation",
         "q02_projection_prune",
         "q03_isin_membership_sort",
@@ -118,6 +121,55 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q77_unpivot_melt",
         "q78_array_functions",
         "q79_zscore_within_group",
+        # --- round 2 greens (CORRECTNESS_r02.json; q80 excluded — errored) ---
+        "q36_text_token_counts",
+        "q37_text_quality",
+        "q38_lang_id",
+        "q39_term_frequency",
+        "q40_doc_fingerprint",
+        "q41_bottom_k_sketch",
+        "q42_dedup_exact",
+        "q43_jaccard_unigram_pairs",
+        "q44_jaccard_3gram_pairs",
+        "q47_cosine_topk_bruteforce",
+        "q49_label_centroid_similarity",
+        "q50_tumbling_window",
+        "q51_sliding_window",
+        "q52_session_windows",
+        "q54_customer_features",
+        "q56_multimodal_binary_meta",
+        "q73_shipping_priority",
+        "q74_region_supplier_volume",
+        "q75_topk_per_group",
+        "q76_scd2_history",
+        "q81_inter_event_gaps",
+        "q82_tfidf_top_terms",
+        "q83_langid_confusion",
+        "q84_training_data_prep",
+        "q85_rolling_avg_range_frame",
+        "q86_multires_rollup",
+        "q87_bpe_regex_tokens",
+        "q88_distribution_windows",
+        "q89_grouping_sets",
+        "q90_funnel_conversion",
+        "q91_retention_cohorts",
+        "q92_levenshtein_neardup",
+        "q94_volume_shipping",
+        "q95_returned_items",
+        "q96_large_orders",
+        "q97_broadcast_udf_lookup",
+        "q98_merge_upsert",
+        "q99_value_histogram",
+        "q102_filtered_revenue",
+        "q103_order_priority_exists",
+        "q123_dup_clusters",
+        "q124_cluster_survivors",
+        "q130_bigram_coherence",
+        "q132_incremental_agg_maintenance",
+        "q133_order_day_streaks",
+        "q134_revenue_share_of_nation",
+        "q135_variant_json",
+        "q136_nested_line_structs",
     }
 )
 

@@ -27,12 +27,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan by Catalyst; no schema is forced so that pushdown and
     vectorized decoding stay on the native path.
 
-    Nanosecond-precision parquet timestamps (e.g. ``events.ts``,
-    written as TIMESTAMP(NANOS)) are illegal for Spark's vectorized
-    reader; those columns are read as nano-longs
-    (``spark.sql.legacy.parquet.nanosAsLong``) and converted to
-    microsecond timestamps JVM-side (integer DIV — exact, no double
-    round-trip).
+    Timestamp contract (testdata has changed precision between rounds;
+    the parquet footer, not an assumption, decides):
+
+    - today ``events.ts`` is ``timestamp[us]`` → Spark 4 reads it as
+      TIMESTAMP_NTZ natively (no conversion fires). NTZ cannot be cast
+      to double and ``unix_micros`` rejects it — see CLAUDE.md gotchas.
+    - if a column is ever TIMESTAMP(NANOS) again (as in earlier
+      rounds), Spark's vectorized reader can't decode it; it is read
+      as nano-longs (``spark.sql.legacy.parquet.nanosAsLong``) and
+      converted to microsecond timestamps JVM-side (integer DIV —
+      exact, no double round-trip).
+
+    Either way callers always see a microsecond timestamp column;
+    tests/test_sources_sinks.py pins this contract so a silent testdata
+    regeneration fails loudly here, not deep inside one query.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_cols(path)

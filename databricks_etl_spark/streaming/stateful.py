@@ -108,9 +108,13 @@ def _session_update(key, pdfs, state: GroupState):
         starts, ends, counts = state.get
         sessions.extend(zip(starts, ends, counts))
     for pdf in pdfs:
-        # ts may arrive object-dtype in the state UDF — normalize first
+        # ts may arrive object-dtype in the state UDF — normalize first.
+        # Exact integer floor to epoch seconds via timedelta floordiv:
+        # total_seconds() would round-trip through float64, whose ULP at
+        # epoch-nanosecond magnitude (~256 ns) can mis-floor an
+        # exact-second timestamp.
         ts = pd.to_datetime(pdf["ts"])
-        secs = ((ts - pd.Timestamp(0)).dt.total_seconds()).astype("int64")
+        secs = (ts - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
         sessions.extend((int(t), int(t), 1) for t in secs)
     sessions = _merge(sessions)
 
@@ -146,8 +150,13 @@ def sessionize_stateful(events: DataFrame, *, delay: str = "5 minutes") -> DataF
     payloads, dynamic gaps, early heartbeats). Contract: a session is
     emitted exactly once, when the watermark passes its end + gap;
     state holds only open sessions per user (bounded by the watermark
-    horizon). Batch-equivalence and emission-frontier asserted in
-    tests/test_streaming.py."""
+    horizon). Event time is discretized to whole epoch seconds (exact
+    integer floor) — gap decisions are made in floored-second space,
+    which keeps state integer-typed and mergeable; the batch twin in
+    tests/test_streaming.py computes gaps in the same space
+    (``unix_timestamp`` diffs), while q80/q52 are microsecond-exact
+    against their SQL oracles. Batch-equivalence and emission-frontier
+    asserted in tests/test_streaming.py."""
     return (
         events.withWatermark("ts", delay)
         .groupBy("user_id")

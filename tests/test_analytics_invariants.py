@@ -13,6 +13,7 @@ exact-value oracle parity:
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from databricks_etl_spark.plans.registry import queries
@@ -80,6 +81,7 @@ def test_rolling_avg_bounded_by_frame(spark, sf_dir):
     ).count() == 0
 
 
+@pytest.mark.slow
 def test_streaming_dedup_within_watermark(spark, smoke_sf_dir):
     from databricks_etl_spark.streaming.windows import run_streaming_dedup
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from databricks_etl_spark.sources.readers import read_table
@@ -28,6 +29,7 @@ def test_seeded_sample_deterministic(spark, sf_dir):
     assert s1 == s2 and len(s1) > 0
 
 
+@pytest.mark.slow
 def test_foreach_batch_sink(spark, smoke_sf_dir, tmp_path):
     """foreachBatch: the exactly-once sink pattern — each micro-batch
     lands as one parquet write keyed by batch id."""

@@ -134,3 +134,35 @@ def test_json_sink_roundtrip_with_schema(spark, smoke_sf_dir, tmp_path):
     back = spark.read.schema(nation.schema).json(out)
     assert back.schema == nation.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_events_ts_dtype_contract(spark, smoke_sf_dir):
+    """Pin the events.ts type contract so a silent testdata
+    regeneration (it has already flipped nanos→micros once between
+    rounds) fails HERE, loudly, instead of deep inside one query.
+
+    Contract: read_table always yields a usable timestamp column —
+    either TIMESTAMP_NTZ (today's timestamp[us] parquet) or TIMESTAMP
+    (if a future regeneration writes tz-aware); never bigint (the raw
+    nanosAsLong fallback must have been converted) and never a type
+    that breaks the gap_exceeds interval arithmetic every
+    sessionization query relies on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from databricks_etl_spark.functions.scalars import gap_exceeds
+
+    e = read_table(spark, smoke_sf_dir, "events")
+    dtype = dict(e.dtypes)["ts"]
+    assert dtype in ("timestamp_ntz", "timestamp"), (
+        f"events.ts read as {dtype!r} — testdata regenerated with a new "
+        "physical type? extend sources/readers.py conversion"
+    )
+    # the split predicate that broke in round 2 must analyze and run
+    w = Window.partitionBy("user_id").orderBy("ts")
+    n = (
+        e.limit(1000)
+        .select(gap_exceeds("ts", F.lag("ts").over(w), 300).alias("g"))
+        .count()
+    )
+    assert n == 1000

@@ -7,8 +7,13 @@ Spark's unified semantics, asserted rather than assumed.
 
 from __future__ import annotations
 
+import pytest
+
 from databricks_etl_spark.sources.readers import read_table
 from databricks_etl_spark.streaming import windows as W
+
+# every test here drains at least one real streaming query
+pytestmark = pytest.mark.slow
 
 
 def _rows(df):
@@ -199,10 +204,15 @@ def test_stateful_sessionize_matches_batch_up_to_watermark(spark, smoke_sf_dir):
 
     e = read_table(spark, smoke_sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # The stateful operator discretizes event time to whole epoch
+    # seconds (its documented contract), so the batch reference must
+    # compute gaps in the same floored-second space — NOT the
+    # microsecond-exact interval comparison q80 uses against its oracle.
+    prev_s = F.unix_timestamp(F.lag("ts").over(w))
+    gap_s = F.unix_timestamp("ts") - prev_s
     g = e.withColumn(
         "new_sess",
-        F.when(F.lag("ts").over(w).isNull() | (gap > float(ST.SESSION_GAP_S)), 1)
+        F.when(prev_s.isNull() | (gap_s > ST.SESSION_GAP_S), 1)
         .otherwise(0),
     )
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -212,9 +222,13 @@ def test_stateful_sessionize_matches_batch_up_to_watermark(spark, smoke_sf_dir):
         F.unix_timestamp(F.max("ts")).alias("end_s"),
         F.count(F.lit(1)).alias("n"),
     )
-    max_ts_ms = e.agg(
-        (F.unix_micros(F.max("ts")) / 1000).cast("long").alias("m")
-    ).first()["m"]
+    # NTZ timestamps are epoch-micros interpreted as-if-UTC — the same
+    # value Spark derives the watermark from (unix_micros rejects NTZ,
+    # so floor to ms driver-side from the collected naive datetime).
+    import datetime as dt
+
+    max_ts = e.agg(F.max("ts").alias("m")).first()["m"]
+    max_ts_ms = (max_ts - dt.datetime(1970, 1, 1)) // dt.timedelta(milliseconds=1)
     final_wm_ms = max_ts_ms - 300_000  # delay "5 minutes"
     want = {
         (r["user_id"], r["start_s"], r["end_s"], r["n"])
