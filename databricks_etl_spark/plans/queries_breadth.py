@@ -381,18 +381,14 @@ def q144_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query emits per-tile (morton >> 8) file-statistics analogues
     (count, min/max key) — exactly what a data-skipping planner reads
     — and is fully oracled bit-for-bit."""
+    from databricks_etl_spark.operators.layout import morton_key
+
     o = read_table(spark, sf_dir, "orders")
     x = (F.col("o_custkey") % 256).cast("long")
     y = (
         F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400)).cast("long") % 256
     )
-    morton = None
-    for i in range(8):
-        xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        yb = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        piece = xb.bitwiseOR(yb)
-        morton = piece if morton is None else morton.bitwiseOR(piece)
-    z = o.select("o_orderkey", morton.alias("morton"))
+    z = o.select("o_orderkey", morton_key(x, y, 8).alias("morton"))
     return (
         z.groupBy(F.shiftright("morton", 8).cast("long").alias("tile"))
         .agg(
