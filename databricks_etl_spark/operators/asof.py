@@ -83,3 +83,82 @@ def asof_join(
         *left.columns,
         *[F.col(f"__fill.{c}").alias(c) for c in payload_cols],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Forward as-of: for every left row, attach ``payload_cols`` from
+    the EARLIEST right row of the same key with ``right_ts`` strictly
+    AFTER ``left_ts`` (and, with ``tolerance_seconds``, no more than
+    that far ahead) — the "next purchase after this click" shape.
+    NULL payloads when no such row; left rows/count preserved.
+
+    Same union + single-windowed-pass design as :func:`asof_join`
+    (one key shuffle, per-partition sort, no range cross-product),
+    mirrored: right rows at equal timestamps sort BEFORE left rows and
+    the frame starts one row AFTER current, so an equal-``ts`` right
+    row is excluded (strict >) without hiding later matches. Among
+    right rows sharing a timestamp the least payload struct wins —
+    put an id first in ``payload_cols`` for a deterministic tiebreak.
+    """
+    lt_full = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+        .select(
+            *left.columns,
+            "__ts",
+            "__side",
+            *[F.lit(None).alias(f"__p_{c}") for c in payload_cols],
+        )
+    )
+    rt_full = right.select(
+        *[F.col(c) if c == on else F.lit(None).alias(c) for c in left.columns],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+    )
+    unioned = lt_full.unionByName(rt_full)
+    pay = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__ts").alias("__match_ts"),
+            *[F.col(f"__p_{c}").alias(c) for c in payload_cols],
+        ),
+    )
+    unioned = unioned.withColumn("__pay", pay)
+    # rights sort before lefts at equal __ts → excluded from the
+    # strictly-following frame → strict-after semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__pay"))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        *left.columns,
+        "__ts",
+        "__side",
+        F.first(F.col("__pay"), ignorenulls=True).over(w).alias("__fill"),
+    )
+    matched = F.col("__fill").isNotNull() & (
+        F.lit(True)
+        if tolerance_seconds is None
+        else (
+            F.col("__fill.__match_ts")
+            <= F.col("__ts") + F.make_interval(secs=F.lit(tolerance_seconds))
+        )
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *left.columns,
+        *[
+            F.when(matched, F.col(f"__fill.{c}")).alias(c)
+            for c in payload_cols
+        ],
+    )

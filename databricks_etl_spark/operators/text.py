@@ -202,3 +202,50 @@ def bigram_coherence(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.round(F.sum("c2") / F.sum("c1"), 6).alias("coherence"),
         )
     )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals — the filter family (popularized
+    by the Gopher/MassiveText data-quality rules) that catches boilerplate
+    and degenerate machine-generated text which length/punctuation
+    heuristics (:func:`quality_features`) miss:
+
+    - ``top_unigram_share``: count of the most frequent token / total
+      tokens (degenerate docs repeat one token);
+    - ``dup_bigram_frac``: 1 - distinct/total bigrams (looping text
+      re-uses the same word pairs).
+
+    Unigram mode needs a per-(doc, token) count → one hash-shuffle on
+    (doc_id, token); bigram stats are computed array-natively
+    (``zip_with`` of the token array with its tail — zero shuffle).
+    Docs with fewer than 2 tokens are excluded (bigrams undefined).
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    uni = (
+        df.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_tokens"))
+    )
+    bg = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    big = df.filter(n >= 2).select(
+        "doc_id",
+        F.size(bg).alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).alias("n_distinct_bigrams"),
+    )
+    return uni.join(big, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("top_cnt").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_unigram_share"
+        ),
+        F.round(
+            1 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"), 6
+        ).alias("dup_bigram_frac"),
+    )

@@ -1,0 +1,244 @@
+r"""Corpus-hygiene queries (round 3): the pre-training data filters a
+100 TB text pipeline runs between crawl and tokenizer.
+
+Boilerplate phrase detection, benchmark-contamination audit, staged
+quality funnel, and within-document repetition (Gopher-style) filters —
+each fully DuckDB-oracled over the ``documents`` table. No reference
+analog (the reference is a tabular ETL pipeline); north-star surface.
+
+All tokenizations mirror the repo-wide rule: whitespace split of
+lower(trim(text)) — ``string_split_regex(lower(trim(text)), '\s+')``
+in the oracles, :func:`databricks_etl_spark.operators.text.tokens_col`
+in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.operators import text as TX
+from databricks_etl_spark.plans.registry import query
+from databricks_etl_spark.sources.readers import read_table
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+# distinct word-4-grams per document, as a DuckDB CTE body
+_GRAMS4 = f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3])) AS gs
+        FROM t WHERE len(toks) >= 4
+    ),
+    e AS (SELECT doc_id, unnest(gs) AS g FROM g)
+"""
+
+
+def _grams4(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, 4-gram) pairs — Spark twin of ``_GRAMS4``."""
+    return TX.shingles(d, 4).distinct().withColumnRenamed("shingle", "g")
+
+
+@query(
+    "q151_boilerplate_phrases",
+    oracle=f"""
+        WITH {_GRAMS4},
+        dfreq AS (SELECT g, COUNT(*) AS df FROM e GROUP BY 1),
+        boiler AS (SELECT g FROM dfreq WHERE df >= 3),
+        per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM e GROUP BY 1),
+        hits AS (
+            SELECT e.doc_id, COUNT(*) AS n_boiler
+            FROM e JOIN boiler USING (g) GROUP BY 1
+        )
+        SELECT p.doc_id, p.n_grams,
+               COALESCE(h.n_boiler, 0) AS n_boiler,
+               round(CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / p.n_grams, 6)
+                   AS boiler_ratio
+        FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+    """,
+)
+def q151_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: a word-4-gram appearing in ≥3 distinct
+    documents is corpus boilerplate (nav text, license headers,
+    templated spam); each document is scored by the fraction of its
+    distinct 4-grams that are boilerplate — the doc-level signal C4-
+    style cleaners threshold on. Two hash shuffles (gram df, per-doc
+    rollup), both on bounded keys; at 100 TB the gram id would be a
+    64-bit hash instead of the string (same plan shape)."""
+    d = read_table(spark, sf_dir, "documents")
+    e = _grams4(d)
+    boiler = (
+        e.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= 3)
+    )
+    per_doc = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        e.join(boiler.select("g"), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return per_doc.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+        F.round(
+            F.coalesce("n_boiler", F.lit(0)).cast("double") / F.col("n_grams"), 6
+        ).alias("boiler_ratio"),
+    )
+
+
+@query(
+    "q152_contamination_audit",
+    oracle=f"""
+        WITH {_GRAMS4},
+        ev AS (SELECT DISTINCT g FROM e WHERE doc_id % 50 = 0),
+        corpus AS (SELECT doc_id, g FROM e WHERE doc_id % 50 != 0),
+        per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY 1),
+        hits AS (
+            SELECT corpus.doc_id, COUNT(*) AS n_contaminated
+            FROM corpus JOIN ev USING (g) GROUP BY 1
+        )
+        SELECT h.doc_id, p.n_grams, h.n_contaminated,
+               round(CAST(h.n_contaminated AS DOUBLE) / p.n_grams, 6)
+                   AS contamination_ratio
+        FROM hits h JOIN per_doc p ON h.doc_id = p.doc_id
+    """,
+)
+def q152_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: overlap of training documents
+    with a held-out eval set (here: every 50th doc plays the
+    benchmark) measured as shared distinct word-4-grams — the n-gram
+    decontamination check run before any pre-training corpus ships.
+    Only contaminated docs are emitted (doc, gram counts, ratio). The
+    eval gram set is tiny → Catalyst broadcasts it; the corpus side
+    never shuffles its text, only gram hits."""
+    d = read_table(spark, sf_dir, "documents")
+    e = _grams4(d)
+    ev = e.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    corpus = e.filter(F.col("doc_id") % 50 != 0)
+    per_doc = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return hits.join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated").cast("double") / F.col("n_grams"), 6
+        ).alias("contamination_ratio"),
+    )
+
+
+@query(
+    "q153_quality_funnel",
+    oracle=f"""
+        WITH f AS (
+            SELECT lang = 'en' AS c1,
+                   lang = 'en' AND length(text) >= 200 AS c2,
+                   lang = 'en' AND length(text) >= 200
+                       AND len({_TOKS}) >= 30 AS c3,
+                   lang = 'en' AND length(text) >= 200
+                       AND len({_TOKS}) >= 30
+                       AND CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                           / len({_TOKS}) >= 0.5 AS c4
+            FROM documents
+        )
+        SELECT 's0_all' AS stage, COUNT(*) AS n_docs FROM f
+        UNION ALL SELECT 's1_lang_en', CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        UNION ALL SELECT 's2_len_ge_200', CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        UNION ALL SELECT 's3_toks_ge_30', CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        UNION ALL SELECT 's4_uniq_ge_050', CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+    """,
+)
+def q153_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged quality-filter funnel: how many documents survive each
+    cumulative filter (language → length → token count → lexical
+    diversity) — the per-stage yield report every corpus build emits
+    so a mis-tuned filter is caught before it silently drops half the
+    data. ONE scan computes all stage flags as conditional sums
+    (map-side combine; no per-stage rescans), then the 1-row aggregate
+    unpivots to (stage, n_docs) rows."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens_col("text")
+    c1 = F.col("lang") == "en"
+    c2 = c1 & (F.length("text") >= 200)
+    c3 = c2 & (F.size(toks) >= 30)
+    c4 = c3 & (
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= 0.5
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(c1.cast("long")).alias("n1"),
+        F.sum(c2.cast("long")).alias("n2"),
+        F.sum(c3.cast("long")).alias("n3"),
+        F.sum(c4.cast("long")).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 's0_all', n0, 's1_lang_en', n1, 's2_len_ge_200', n2, "
+            "'s3_toks_ge_30', n3, 's4_uniq_ge_050', n4) AS (stage, n_docs)"
+        )
+    )
+
+
+@query(
+    "q154_repetition_filters",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        uni AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+            GROUP BY 1, 2
+        ),
+        u AS (
+            SELECT doc_id, MAX(c) AS top_cnt, CAST(SUM(c) AS BIGINT) AS n_tokens
+            FROM uni GROUP BY 1
+        ),
+        b AS (
+            SELECT doc_id,
+                   len(bg) AS n_bigrams,
+                   len(list_distinct(bg)) AS n_distinct_bigrams
+            FROM (
+                SELECT doc_id,
+                       list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1]) AS bg
+                FROM t WHERE len(toks) >= 2
+            )
+        ),
+        r AS (
+            SELECT u.doc_id, u.n_tokens,
+                   round(CAST(u.top_cnt AS DOUBLE) / u.n_tokens, 6)
+                       AS top_unigram_share,
+                   round(1 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 6)
+                       AS dup_bigram_frac
+            FROM u JOIN b ON u.doc_id = b.doc_id
+        )
+        SELECT doc_id, n_tokens, top_unigram_share, dup_bigram_frac,
+               top_unigram_share > 0.1 OR dup_bigram_frac > 0.2
+                   AS flagged_repetitive
+        FROM r
+    """,
+)
+def q154_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters: top-unigram
+    share and duplicate-bigram fraction, plus the composite flag a
+    pre-training cleaner would drop on — catches degenerate/looping
+    text that length and punctuation heuristics (q37) miss. The flag
+    is computed from the ROUNDED ratios in both engines so the
+    boolean can never straddle a float boundary differently."""
+    d = read_table(spark, sf_dir, "documents")
+    r = TX.repetition_features(d)
+    return r.select(
+        "doc_id",
+        "n_tokens",
+        "top_unigram_share",
+        "dup_bigram_frac",
+        (
+            (F.col("top_unigram_share") > 0.1) | (F.col("dup_bigram_frac") > 0.2)
+        ).alias("flagged_repetitive"),
+    )

@@ -318,3 +318,176 @@ def q150_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         F.round(m.cast("double") / F.size("u"), 6).alias("minhash_est"),
     )
+
+
+@query(
+    "q155_window_function_breadth",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cum_dist,
+               nth_value(o_orderkey, 2) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_cheapest_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q155_window_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window breadth in one pass: ntile quartiles,
+    percent_rank, cume_dist, and a full-frame nth_value, all over the
+    same (priority, price) window — one shuffle on the partition key,
+    one per-partition sort, four functions. The ORDER BY carries an
+    explicit o_orderkey tiebreak so every rank is a deterministic
+    total order (the repo-wide rule that makes window output
+    hash-comparable across engines); nth_value pins an explicit
+    unbounded frame because engines disagree on its default."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_cheapest_key"),
+    )
+
+
+_EMB_DOT_REV = (
+    "list_sum(list_transform(range(1, len(embedding) + 1), "
+    "i -> CAST(embedding[i] AS DOUBLE) "
+    "* CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)))"
+)
+
+
+@query(
+    "q156_higher_order_arrays",
+    oracle=f"""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               CAST(len(list_filter(embedding, v -> v > 0)) AS BIGINT) AS n_pos,
+               round(sqrt(list_sum(list_transform(embedding,
+                     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 6) AS l2_norm,
+               CASE WHEN list_max(embedding) > list_min(embedding)
+                    THEN round((CAST(embedding[1] AS DOUBLE)
+                                - CAST(list_min(embedding) AS DOUBLE))
+                               / (CAST(list_max(embedding) AS DOUBLE)
+                                  - CAST(list_min(embedding) AS DOUBLE)), 6)
+               END AS first_minmax_scaled,
+               round({_EMB_DOT_REV}, 6) AS self_reverse_dot
+        FROM embeddings
+    """,
+)
+def q156_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class vector math —
+    ``filter``/``transform``/``aggregate``/``zip_with``/``reverse``
+    composed per row with ZERO shuffle and zero UDFs (all lambda
+    expressions run inside whole-stage codegen): positive-component
+    count, L2 norm (sequential left fold — bit-identical to DuckDB's
+    list_sum fold, the repo's cross-engine float rule), min-max
+    scaling of the first component (guarded against constant vectors),
+    and the self·reverse dot. This is the expression toolbox the
+    embedding operators (q47/q63) are built from, proven element-wise."""
+    from databricks_etl_spark.operators.similarity import dot
+
+    e = read_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    mn = F.array_min(emb).cast("double")
+    mx = F.array_max(emb).cast("double")
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("long").alias("dim"),
+        F.size(F.filter(emb, lambda v: v > 0)).cast("long").alias("n_pos"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(emb, lambda v: v.cast("double") * v.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.when(
+            mx > mn, F.round((emb[0].cast("double") - mn) / (mx - mn), 6)
+        ).alias("first_minmax_scaled"),
+        F.round(dot(emb, F.reverse(emb)), 6).alias("self_reverse_dot"),
+    )
+
+
+@query(
+    "q157_asof_forward_tolerance",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_id AS click_id, ts AS cts
+            FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT user_id, event_id AS purchase_id, ts AS pts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT c.user_id, c.click_id, c.cts, p.purchase_id, p.pts,
+                   row_number() OVER (
+                       PARTITION BY c.user_id, c.click_id
+                       ORDER BY p.pts, p.purchase_id
+                   ) AS rn
+            FROM c LEFT JOIN p
+              ON c.user_id = p.user_id
+             AND p.pts > c.cts
+             AND p.pts <= c.cts + INTERVAL '30 minutes'
+        )
+        SELECT user_id, click_id,
+               CAST(floor(epoch(cts)) AS BIGINT) AS click_epoch,
+               purchase_id,
+               CAST(floor(epoch(pts)) AS BIGINT) AS purchase_epoch
+        FROM j WHERE rn = 1
+    """,
+)
+def q157_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: every click is attributed to
+    the EARLIEST same-user purchase strictly after it and within 30
+    minutes (NULLs otherwise) — the pick-one attribution shape, vs
+    q101's stream-stream variant that keeps every match. Runs as the
+    union + single-windowed-pass operator (one user_id shuffle, no
+    range cross-product — the oracle's LEFT JOIN + row_number is the
+    quadratic formulation this operator replaces at scale); tiebreak
+    among equal-timestamp purchases is the least (ts, purchase_id)
+    struct, mirrored by the oracle's ORDER BY."""
+    from databricks_etl_spark.operators.asof import asof_join_forward
+
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    out = asof_join_forward(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="cts",
+        right_ts="pts",
+        payload_cols=["pts", "purchase_id"],
+        tolerance_seconds=1800,
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        F.unix_timestamp("cts").alias("click_epoch"),
+        "purchase_id",
+        F.unix_timestamp("pts").alias("purchase_epoch"),
+    )

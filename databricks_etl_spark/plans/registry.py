@@ -226,9 +226,10 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_llmprep  # noqa: F401
     # round-3 modules
     import databricks_etl_spark.plans.queries_scale  # noqa: F401
+    import databricks_etl_spark.plans.queries_corpus  # noqa: F401
 
-    assert len(QUERIES) >= 150, (
-        f"query registry shrank: {len(QUERIES)} < 150 — a module failed to register"
+    assert len(QUERIES) >= 157, (
+        f"query registry shrank: {len(QUERIES)} < 157 — a module failed to register"
     )
     _reorder()
     _loaded = True

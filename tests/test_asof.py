@@ -82,3 +82,45 @@ def test_asof_multi_payload_from_same_row(spark):
     assert out[10] == (1, None)
     assert out[20] == (None, 2)  # not (1, 2): fields never mix rows
     assert out[30] == (None, 2)
+
+
+def test_asof_forward_strict_after_tolerance_and_tiebreak(spark):
+    """Forward as-of edge semantics the fixture can't guarantee to hit:
+    a right row at EXACTLY the left ts is not a match (strict >), a
+    right row at exactly ts+tolerance IS (inclusive <=), one just past
+    it is not, and equal-timestamp right rows resolve to the least
+    payload struct (id tiebreak)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from databricks_etl_spark.operators.asof import asof_join_forward
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    left = spark.createDataFrame(
+        [
+            (1, 10, base),            # match at +tol exactly
+            (1, 11, base + 500 * s),  # no right row within tol
+            (2, 20, base),            # equal-ts right must NOT match; later one does
+            (3, 30, base),            # two rights at same ts → least id wins
+        ],
+        "user_id long, click_id long, cts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 100, base + 30 * s),   # exactly +tolerance for click 10
+            (2, 200, base),            # equal ts → excluded (strict after)
+            (2, 201, base + 31 * s),   # past tolerance → excluded
+            (3, 302, base + 5 * s),
+            (3, 301, base + 5 * s),    # same ts as 302 → 301 wins (least id)
+        ],
+        "user_id long, purchase_id long, pts timestamp",
+    )
+    out = asof_join_forward(
+        left, right, on="user_id", left_ts="cts", right_ts="pts",
+        payload_cols=["purchase_id"], tolerance_seconds=30,
+    )
+    got = {r["click_id"]: r["purchase_id"] for r in out.collect()}
+    assert got == {10: 100, 11: None, 20: None, 30: 301}
+    assert out.count() == left.count()  # left rows preserved
