@@ -242,3 +242,94 @@ def q154_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("top_unigram_share") > 0.1) | (F.col("dup_bigram_frac") > 0.2)
         ).alias("flagged_repetitive"),
     )
+
+
+@query(
+    "q164_map_functions",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+            GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_terms,
+               CAST(COUNT(*) FILTER (c >= 3) AS BIGINT) AS n_frequent,
+               COALESCE(array_to_string(
+                   list_sort(list(tok || ':' || c) FILTER (c >= 3)), ','
+               ), '') AS frequent_terms
+        FROM tf GROUP BY doc_id
+    """,
+)
+def q164_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns end to end: per-document term-frequency MAP
+    built with ``map_from_entries``, thresholded with ``map_filter``,
+    and read back out via ``map_entries`` — the Spark map-function
+    surface (maps are how feature dictionaries and sparse vectors ride
+    in columns). Maps have no cross-engine wire order, so the oracle
+    compares a canonical serialization (sorted ``term:count`` strings)
+    plus size aggregates — semantics checked, representation-free.
+    collect_list order nondeterminism is irrelevant: map content is a
+    set, and the serialization sorts."""
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(TX.tokens_col("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = tf.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("tok", "c"))).alias("m")
+    )
+    filt = F.map_filter("m", lambda k, v: v >= 3)
+    return m.select(
+        "doc_id",
+        F.size("m").cast("long").alias("n_terms"),
+        F.size(filt).cast("long").alias("n_frequent"),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(filt),
+                    lambda e: F.concat_ws(":", e["key"], e["value"]),
+                )
+            ),
+            ",",
+        ).alias("frequent_terms"),
+    )
+
+
+@query(
+    "q166_regexp_extract_all",
+    oracle=r"""
+        WITH n AS (
+            SELECT doc_id,
+                   list_transform(regexp_extract_all(text, '[0-9]+'),
+                                  x -> TRY_CAST(x AS BIGINT)) AS nums
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(nums) AS BIGINT) AS n_numbers,
+               CAST(len(list_distinct(nums)) AS BIGINT) AS n_distinct_numbers,
+               list_max(nums) AS max_number
+        FROM n
+    """,
+)
+def q166_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``regexp_extract_all`` as a columnar extractor: pull every
+    integer literal out of each document and profile them (count,
+    distinct, max) — the structured-signal-from-raw-text shape (dates,
+    ids, prices) that complements q141's redaction (which removes) by
+    EXTRACTING. Element-wise ``try_cast`` inside the lambda keeps a
+    pathological 30-digit token a NULL instead of an ANSI overflow
+    error. Empty matches → empty array → NULL max, mirrored exactly."""
+    d = read_table(spark, sf_dir, "documents")
+    nums = F.transform(
+        F.regexp_extract_all("text", F.lit("[0-9]+")),
+        lambda x: x.try_cast("bigint"),
+    )
+    n = d.select("doc_id", nums.alias("nums"))
+    return n.select(
+        "doc_id",
+        F.size("nums").cast("long").alias("n_numbers"),
+        F.size(F.array_distinct("nums")).cast("long").alias("n_distinct_numbers"),
+        F.array_max("nums").alias("max_number"),
+    )

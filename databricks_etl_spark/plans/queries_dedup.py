@@ -231,3 +231,100 @@ def q124_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("id").isNotNull().alias("was_clustered")
         )
     )
+
+
+def _simhash_md5_sql() -> str:
+    """Generate the q163 oracle: 16 nibble extractions, 64 bit-vote
+    sums, and two 32-bit signature assemblies — the same expression
+    tree the Spark side builds, rendered as ANSI SQL."""
+    nibbles = ", ".join(
+        f"instr('0123456789abcdef', substr(h, {k}, 1)) - 1 AS n{k}"
+        for k in range(1, 17)
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN ((n{k} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v_{k}_{b}"
+        for k in range(1, 17)
+        for b in range(4)
+    )
+
+    def assemble(chars: range) -> str:
+        terms = []
+        for idx, k in enumerate(chars):
+            for b in range(4):
+                shift = 4 * (7 - idx) + b
+                terms.append(
+                    f"CASE WHEN v_{k}_{b} > 0 THEN (CAST(1 AS BIGINT) << {shift}) "
+                    f"ELSE 0 END"
+                )
+        return " + ".join(terms)
+
+    return f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+            FROM documents
+        ),
+        h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+        n AS (SELECT doc_id, {nibbles} FROM h),
+        v AS (SELECT doc_id, {votes} FROM n GROUP BY doc_id)
+        SELECT doc_id,
+               CAST({assemble(range(1, 9))} AS BIGINT) AS sig_hi,
+               CAST({assemble(range(9, 17))} AS BIGINT) AS sig_lo
+        FROM v
+    """
+
+
+@query("q163_simhash_md5_oracled", oracle=_simhash_md5_sql())
+def q163_simhash_md5_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with an ENGINE-INDEPENDENT hash family, hash-checked
+    bit-for-bit: the same frequency-weighted bit-vote construction as
+    q46, but votes come from md5 (identical hex in Spark and DuckDB)
+    instead of the engine-seeded xxhash64 — so the dedup ladder's
+    signature semantics are driver-PROVEN, not just locally asserted.
+    The 64-bit signature is emitted as two 32-bit halves (sig_hi from
+    md5 chars 1–8, sig_lo from 9–16; both positive — no sign-bit
+    ambiguity across engines). Same plan shape as q46: 64 map-side-
+    combinable vote sums, one shuffle on doc_id, signature assembled
+    from vote signs with literal shifts. q46 stays the fast path at
+    scale (one xxhash64 vs 16 nibble extractions per token); this
+    query is its cross-engine proof."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    h = toks.withColumn("h", F.md5("tok"))
+    n = h.select(
+        "doc_id",
+        *[
+            (F.instr(F.lit("0123456789abcdef"), F.substring("h", k, 1)) - 1).alias(
+                f"n{k}"
+            )
+            for k in range(1, 17)
+        ],
+    )
+    v = n.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"((n{k} >> {b}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v_{k}_{b}")
+            for k in range(1, 17)
+            for b in range(4)
+        ]
+    )
+
+    def assemble(chars: range):
+        sig = F.lit(0).cast("long")
+        for idx, k in enumerate(chars):
+            for b in range(4):
+                shift = 4 * (7 - idx) + b
+                sig = sig + F.when(
+                    F.col(f"v_{k}_{b}") > 0,
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), {shift})"),
+                ).otherwise(F.lit(0).cast("long"))
+        return sig
+
+    return v.select(
+        "doc_id",
+        assemble(range(1, 9)).cast("long").alias("sig_hi"),
+        assemble(range(9, 17)).cast("long").alias("sig_lo"),
+    )

@@ -226,3 +226,69 @@ def q101_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver check; exact batch-equivalence asserted in
     tests/test_streaming.py."""
     return W.run_stream_stream_join(spark, sf_dir)
+
+
+@query(
+    "q161_session_conversion",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, event_type,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+                   ) AS sess_id
+            FROM g
+        ),
+        sess AS (
+            SELECT user_id, sess_id,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM s GROUP BY 1, 2
+        )
+        SELECT user_id,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(converted) AS BIGINT) AS n_converting,
+               round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conv_rate
+        FROM sess GROUP BY user_id
+    """,
+)
+def q161_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion rate: sessionize (the q80 lag-cumsum,
+    microsecond-exact gap predicate), flag sessions containing a
+    purchase, and roll up per user — the composition (sessionize →
+    per-session flag → per-user rate) every product-analytics pipeline
+    runs on top of raw events. Window + two aggregations, one user_id
+    shuffle end to end (all three steps share the partitioning)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from databricks_etl_spark.functions.scalars import gap_exceeds
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    g = e.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | gap_exceeds("ts", prev, 300), 1).otherwise(0),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = g.withColumn("sess_id", F.sum("new_sess").over(run))
+    sess = s.groupBy("user_id", "sess_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converting"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conv_rate"),
+    )

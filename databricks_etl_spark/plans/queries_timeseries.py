@@ -189,3 +189,166 @@ def q88_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cum_frac"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+_DAY = "CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400"
+
+
+@query(
+    "q158_gapfill_forward_fill",
+    oracle=f"""
+        WITH daily AS (
+            SELECT user_id, {_DAY} AS day_epoch,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS day_value
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, MIN(day_epoch) AS mn, MAX(day_epoch) AS mx
+            FROM daily GROUP BY 1
+        ),
+        grid AS (
+            SELECT user_id, unnest(generate_series(mn, mx, 86400)) AS day_epoch
+            FROM span
+        ),
+        j AS (
+            SELECT g.user_id, g.day_epoch, d.day_value
+            FROM grid g LEFT JOIN daily d USING (user_id, day_epoch)
+        )
+        SELECT user_id, day_epoch, day_value,
+               day_value IS NOT NULL AS observed,
+               last_value(day_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day_epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_ffill
+        FROM j
+    """,
+)
+def q158_gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap filling (``time_bucket_gapfill`` shape):
+    densify each user's sparse daily series onto a regular calendar
+    grid (``sequence`` + explode — per-user, no cross join against a
+    global calendar) and forward-fill the last observation across the
+    gaps (``last(ignorenulls)`` over an ordered running frame). The
+    regularized-series prerequisite for any rolling/seasonal model.
+    Scale: the grid explode is proportional to user-span days, not
+    users × global span; the fill is one partitioned window — no
+    driver loop, no self-join per gap."""
+    e = read_table(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    daily = e.groupBy("user_id", day.alias("day_epoch")).agg(
+        F.sum(F.col("value").cast(MONEY)).cast("double").alias("day_value")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day_epoch").alias("mn"), F.max("day_epoch").alias("mx")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.lit(86400).cast("long"))).alias("day_epoch"),
+    )
+    j = grid.join(daily, ["user_id", "day_epoch"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day_epoch",
+        "day_value",
+        F.col("day_value").isNotNull().alias("observed"),
+        F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
+@query(
+    "q159_cumulative_distinct_users",
+    oracle=f"""
+        WITH du AS (
+            SELECT DISTINCT {_DAY} AS day_epoch, user_id FROM events
+        ),
+        active AS (
+            SELECT day_epoch, COUNT(*) AS n_active FROM du GROUP BY 1
+        ),
+        fs AS (
+            SELECT user_id, MIN(day_epoch) AS d0 FROM du GROUP BY 1
+        ),
+        news AS (
+            SELECT d0 AS day_epoch, COUNT(*) AS n_new FROM fs GROUP BY 1
+        )
+        SELECT a.day_epoch, a.n_active,
+               COALESCE(n.n_new, 0) AS n_new,
+               CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+                   ORDER BY a.day_epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_users
+        FROM active a LEFT JOIN news n ON a.day_epoch = n.day_epoch
+    """,
+)
+def q159_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve metric a
+    naive ``COUNT(DISTINCT) OVER (ORDER BY day)`` cannot express
+    (distinct isn't window-decomposable). The scalable identity:
+    cumulative distinct = running SUM of first-appearance counts — one
+    distinct (day, user) pass, one MIN per user, one tiny ordered
+    window over days. The same identity is how a 100 TB pipeline
+    maintains the curve incrementally (new days only touch new
+    first-appearances)."""
+    e = read_table(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    du = e.select(day.alias("day_epoch"), "user_id").distinct()
+    active = du.groupBy("day_epoch").agg(F.count(F.lit(1)).alias("n_active"))
+    news = (
+        du.groupBy("user_id")
+        .agg(F.min("day_epoch").alias("day_epoch"))
+        .groupBy("day_epoch")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    j = active.join(news, "day_epoch", "left").select(
+        "day_epoch", "n_active", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    w = Window.orderBy("day_epoch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.withColumn("cum_users", F.sum("n_new").over(w))
+
+
+@query(
+    "q160_rolling_median",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, {_DAY} AS day_epoch,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS day_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day_epoch, day_value,
+               round(quantile_cont(day_value, 0.5) OVER (
+                   PARTITION BY event_type ORDER BY day_epoch
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ), 6) AS roll_median7
+        FROM daily
+    """,
+)
+def q160_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day MEDIAN per event type — a holistic (full-frame)
+    window aggregate, unlike the decomposable rolling average (q85):
+    the engine must keep the frame's values, so this is the shape that
+    stresses window memory at scale (bounded here by the 7-row frame).
+    Both engines interpolate identically (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` at rank p·(n-1)) over identical decimal-summed
+    inputs, so the medians hash-match exactly."""
+    e = read_table(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    daily = e.groupBy("event_type", day.alias("day_epoch")).agg(
+        F.sum(F.col("value").cast(MONEY)).cast("double").alias("day_value")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_epoch")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day_epoch",
+        "day_value",
+        F.round(F.expr("percentile(day_value, 0.5)").over(w), 6).alias("roll_median7"),
+    )
