@@ -333,3 +333,66 @@ def q166_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("nums")).cast("long").alias("n_distinct_numbers"),
         F.array_max("nums").alias("max_number"),
     )
+
+
+@query(
+    "q167_mixture_reweighting",
+    oracle=f"""
+        WITH per AS (
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM per
+        ),
+        lang_tot AS (
+            SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_docs
+            FROM per GROUP BY 1
+        )
+        SELECT p.lang, p.source, p.n_docs, p.n_tokens,
+               round(CAST(l.lang_docs AS DOUBLE) / t.total_docs, 6) AS lang_share,
+               round((1.0 / t.n_langs)
+                     / (CAST(l.lang_docs AS DOUBLE) / t.total_docs), 6) AS weight,
+               round(p.n_docs * round((1.0 / t.n_langs)
+                     / (CAST(l.lang_docs AS DOUBLE) / t.total_docs), 6), 6)
+                   AS expected_docs
+        FROM per p
+        JOIN lang_tot l ON p.lang = l.lang
+        CROSS JOIN tot t
+    """,
+)
+def q167_mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: compute per-language sampling
+    weights that rebalance the corpus to a UNIFORM language mixture
+    (weight = target_share / actual_share), reported per (lang,
+    source) cell with document and token masses — the
+    domain/language-rebalancing pass every pre-training data recipe
+    applies before sampling. The two scalar totals ride a 1-row
+    broadcast cross join (the repo's scalar-aggregate pattern — no
+    row explosion); expected_docs multiplies the ROUNDED weight in
+    both engines so the product can't straddle a float boundary."""
+    d = read_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TX.tokens_col("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    lang_tot = per.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("lang_docs"))
+    j = per.join(lang_tot, "lang").crossJoin(F.broadcast(tot))
+    share = F.col("lang_docs").cast("double") / F.col("total_docs")
+    weight = F.round((F.lit(1.0) / F.col("n_langs")) / share, 6)
+    return j.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("lang_share"),
+        weight.alias("weight"),
+        F.round(F.col("n_docs") * weight, 6).alias("expected_docs"),
+    )

@@ -104,12 +104,18 @@ def q147_skew_stress_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deliberately skewed fact-dim join: ~29% of lineitem rows are
     remapped onto one hot order key, the canonical power-law key
     distribution that sinks naive shuffle joins (one straggler
-    partition does a third of the work). Registered as a BENCH entry
-    so the timing at sf0.1 exercises AQE's skew-join split
-    (``spark.sql.adaptive.skewJoin`` subdivides the hot partition at
-    runtime); at sf0.01 the dim may broadcast, which is equally
-    correct. Result is the per-status revenue rollup — small output,
-    all the cost is the skewed shuffle."""
+    partition does a third of the work). Plan ladder, verified: at
+    sf0.01–sf0.1 Catalyst broadcasts the column-pruned dim
+    (BroadcastHashJoin — skew-IMMUNE by construction, no hot
+    partition exists), which is the optimal plan and the point of
+    letting the optimizer choose; at cluster scale where the dim
+    exceeds the broadcast threshold, the same query becomes a
+    sort-merge join and AQE's skew split subdivides the hot partition
+    — that runtime rewrite is PROVEN (``SortMergeJoin(skew=true)`` in
+    the final adaptive plan) by
+    tests/test_misc_exec.py::test_aqe_skew_split_actually_fires.
+    Registered as a BENCH entry; result is the per-status revenue
+    rollup — small output, all the cost is the skewed join."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     fact = li.select(

@@ -61,3 +61,46 @@ def test_aqe_handles_skewed_join(spark):
     n = j.count()
     expected = 200_000 + rest.join(right, "k").count()
     assert n == expected
+
+
+def test_aqe_skew_split_actually_fires(spark):
+    """PROVE the AQE skew-join split, not just survive skew: force a
+    sort-merge join (merge hint + broadcast disabled — at test scale
+    Catalyst would otherwise broadcast the dim, which is skew-immune
+    and proves nothing) and lower the skew thresholds to test scale;
+    the FINAL adaptive plan must carry ``SortMergeJoin(skew=true)``
+    with an ``AQEShuffleRead skewed`` feeding it, and the result must
+    equal the unskewed-join answer. This is the runtime behavior
+    q147_skew_stress_join relies on at cluster scale, where the dim
+    exceeds the broadcast threshold and the hot partition exceeds the
+    default 256MB skew threshold."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        hot = spark.range(300_000).select(F.lit(7).alias("k"), F.col("id").alias("v"))
+        rest = spark.range(1_000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(100).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = hot.union(rest).join(right.hint("merge"), "k")
+        # collect() the join itself: count() would execute a different
+        # plan tree and leave this one unadapted (isFinalPlan=false)
+        assert len(j.collect()) == 301_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
