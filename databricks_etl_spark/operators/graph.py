@@ -106,3 +106,67 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Distributed PageRank by power iteration over an edge relation —
+    pure DataFrame ops (no RDDs/GraphX): each round every node sends
+    rank/out_degree along its out-edges (one join keyed on ``src``),
+    contributions are map-side-combinable SUMs on ``dst``, and dangling
+    nodes' mass is redistributed uniformly via a 1-row broadcast scalar
+    (so total rank is conserved each round — asserted in tests).
+
+    Returns (node, rank) for every node appearing as src or dst.
+    Deterministic up to float addition order (seedless but sums are
+    order-dependent) → registered rows-only; the invariants
+    (conservation, positivity, hub-dominance on a planted graph) live
+    in tests/test_graph.py.
+
+    Scale: identical shuffle profile to one groupBy per iteration, all
+    keyed on node id — at 100 TB pre-partition edges by ``src`` once
+    and every round reuses it; ``localCheckpoint`` each round keeps the
+    plan from growing with iteration count (same lineage rule as
+    :func:`connected_components`).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        with_deg = ranks.join(out_deg, ranks["node"] == out_deg[src], "left")
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            .first()["dm"]
+        )
+        contrib = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(out_deg, src)
+            .select(F.col(dst).alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -397,3 +397,51 @@ def q144_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("morton").cast("long").alias("max_morton"),
         )
     )
+
+
+@query(
+    "q168_udtf_sentences",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, string_split(text, '. ') AS ss FROM documents
+        ),
+        x AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ss) + 1),
+                       i -> {'pos': i - 1, 'sent': trim(ss[i])})) AS r
+            FROM s
+        )
+        SELECT doc_id, CAST(r.pos AS INT) AS pos, r.sent AS sentence
+        FROM x WHERE length(r.sent) >= 5
+    """,
+)
+def q168_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF lane (Spark 4 user-defined TABLE function): a
+    sentence-splitting UDTF applied per document via LATERAL join —
+    the third-party-extension API q138's DataSource covers for
+    sources, covered here for row-generating functions (registration,
+    return schema, lateral correlation, NULL input handling). The
+    oracle reproduces the split/trim/filter in pure SQL, so the UDTF's
+    row semantics are hash-checked. UDTFs are Python-side (API lane,
+    not a hot path — the repo's built-in explode/split expressions
+    are the 100 TB route); enable
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` for Arrow
+    batching in production."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string")
+    class SplitSentences:
+        def eval(self, text):
+            if text is None:
+                return
+            for i, s in enumerate(t.strip() for t in text.split(". ")):
+                if len(s) >= 5:
+                    yield i, s
+
+    spark.udtf.register("q168_split_sentences", SplitSentences)
+    view = "q168_docs"
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM {view} d, LATERAL q168_split_sentences(d.text) s
+    """)

@@ -328,3 +328,24 @@ def q163_simhash_md5_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         assemble(range(1, 9)).cast("long").alias("sig_hi"),
         assemble(range(9, 17)).cast("long").alias("sig_lo"),
     )
+
+
+@query("q169_pagerank_dupgraph", oracle=None)
+def q169_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup similarity graph (q44's exact
+    3-gram pairs as undirected edges): rank ≈ how central a document
+    is in its duplication neighborhood — the centrality-based survivor
+    choice (keep the most-connected copy) that complements q123/q124's
+    connected-components clustering. Power iteration with dangling-
+    mass redistribution (total rank conserved). Float-sum order makes
+    exact cross-engine hashing inappropriate → rows-only; conservation
+    /positivity/hub invariants in tests/test_graph.py."""
+    from databricks_etl_spark.operators.graph import pagerank
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(d, 0.05, ngram=3, max_df=100)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    pr = pagerank(edges, iterations=10, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")

@@ -43,3 +43,39 @@ def test_max_iter_guard(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a long, id_b long")
     with pytest.raises(RuntimeError):
         connected_components(df, "id_a", "id_b", max_iter=1)
+
+
+def test_pagerank_invariants_on_planted_star(spark):
+    """On a star graph (hub ↔ 5 spokes, directed both ways): total
+    rank is conserved at 1, all ranks positive, and the hub dominates
+    every spoke. On a dangling chain, mass is redistributed, not lost."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_spark.operators.graph import pagerank
+
+    spokes = list(range(1, 6))
+    star = [(0, s) for s in spokes] + [(s, 0) for s in spokes]
+    edges = spark.createDataFrame(star, "src long, dst long")
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, iterations=15).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert all(v > 0 for v in pr.values())
+    assert all(pr[0] > pr[s] for s in spokes)
+    # symmetric spokes must tie exactly
+    assert len({round(pr[s], 12) for s in spokes}) == 1
+
+    # dangling node: 2 -> nothing; conservation must still hold
+    chain = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    pr2 = {r["node"]: r["rank"] for r in pagerank(chain, iterations=15).collect()}
+    assert abs(sum(pr2.values()) - 1.0) < 1e-9
+    assert pr2[2] == max(pr2.values())  # sink accumulates
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """A directed cycle is perfectly symmetric: every node's rank must
+    be exactly 1/n at every iteration count."""
+    from databricks_etl_spark.operators.graph import pagerank
+
+    n = 6
+    cyc = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)], "src long, dst long")
+    pr = {r["node"]: r["rank"] for r in pagerank(cyc, iterations=7).collect()}
+    assert all(abs(v - 1.0 / n) < 1e-12 for v in pr.values())

@@ -308,3 +308,28 @@ def test_checkpoint_restart_processes_each_file_once(spark, smoke_sf_dir, tmp_pa
     out = spark.read.parquet(out_dir)
     assert out.count() == e.count()  # nothing reprocessed, nothing lost
     assert out.select("event_id").distinct().count() == e.count()
+
+
+def test_rocksdb_state_store_matches_batch(spark, smoke_sf_dir):
+    """The same windowed aggregation, state kept in RocksDB instead of
+    the default in-memory HDFS-backed store, must produce the
+    identical result — the provider that makes streaming state larger
+    than executor memory viable at scale (spill-to-disk, incremental
+    checkpoints). Provider is a per-query conf read at stream start,
+    so set-and-restore is safe on the shared session."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        out = W.run_tumbling_stream(spark, smoke_sf_dir)
+        batch = W.tumbling_counts(read_table(spark, smoke_sf_dir, "events"))
+        assert _rows(out) == _rows(batch)
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
