@@ -44,6 +44,7 @@ def _grams4(d: DataFrame) -> DataFrame:
 
 @query(
     "q151_boilerplate_phrases",
+    bench=True,
     oracle=f"""
         WITH {_GRAMS4},
         dfreq AS (SELECT g, COUNT(*) AS df FROM e GROUP BY 1),

@@ -274,7 +274,7 @@ def _simhash_md5_sql() -> str:
     """
 
 
-@query("q163_simhash_md5_oracled", oracle=_simhash_md5_sql())
+@query("q163_simhash_md5_oracled", oracle=_simhash_md5_sql(), bench=True)
 def q163_simhash_md5_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash with an ENGINE-INDEPENDENT hash family, hash-checked
     bit-for-bit: the same frequency-weighted bit-vote construction as

@@ -196,6 +196,7 @@ _DAY = "CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400"
 
 @query(
     "q158_gapfill_forward_fill",
+    bench=True,
     oracle=f"""
         WITH daily AS (
             SELECT user_id, {_DAY} AS day_epoch,
