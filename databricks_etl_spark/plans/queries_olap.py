@@ -304,3 +304,42 @@ def q97_broadcast_udf_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup = make_broadcast_lookup_udf(spark, mapping)
     s = read_table(spark, sf_dir, "supplier")
     return s.select("s_suppkey", lookup(F.col("s_nationkey")).alias("nation_name"))
+
+
+@query(
+    "q170_equidepth_histogram",
+    oracle="""
+        WITH b AS (
+            SELECT l_extendedprice,
+                   ntile(10) OVER (
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ) AS bucket
+            FROM lineitem
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               COUNT(*) AS n_rows,
+               MIN(l_extendedprice) AS lo,
+               MAX(l_extendedprice) AS hi
+        FROM b GROUP BY bucket
+    """,
+)
+def q170_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (equal row count per bucket, data-driven
+    boundaries) via ntile — the complement of q99's fixed-width
+    equi-WIDTH histogram, and the structure behind optimizer column
+    statistics and quantile-bucketed feature binning. The ORDER BY
+    carries (orderkey, linenumber) so tied prices land in a
+    deterministic bucket; boundary values (per-bucket min/max) are the
+    histogram the engine would publish as column stats. Note the
+    global ntile is a single-ordering window — at 100 TB the same
+    buckets come from approx quantile boundaries (q149's machinery)
+    + a range join, trading exactness for parallelism; this query is
+    the exact baseline."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    b = li.select("l_extendedprice", F.ntile(10).over(w).alias("bucket"))
+    return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )

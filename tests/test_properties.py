@@ -67,3 +67,36 @@ def test_dedup_idempotent_and_minimal(spark, seed):
     twice = R.dedup_keep_first(once, ["k"], [F.col("c"), F.col("v").asc_nulls_last()])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
     assert once.count() == df.select("k").distinct().count()
+
+
+def test_shingles_matches_python_reference(spark):
+    """The array-native shingle operator must emit exactly the n-grams
+    a straightforward Python sliding window produces, for assorted
+    token counts around the n boundary (0, 1, n-1, n, n+1, many) and
+    for n in {2, 3, 4} — locks the round-3 window→transform rewrite."""
+    from databricks_etl_spark.operators.text import shingles
+
+    texts = [
+        (0, ""),
+        (1, "one"),
+        (2, "one two"),
+        (3, "one two three"),
+        (4, "alpha beta gamma delta"),
+        (5, "a b c d e f g h"),
+        (6, "  Mixed   CASE  spacing\ttabs  here  "),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    import re
+
+    for n in (2, 3, 4):
+        got = sorted(
+            (r["doc_id"], r["shingle"]) for r in shingles(df, n).collect()
+        )
+        want = []
+        for doc_id, text in texts:
+            toks = re.split(r"\s+", text.strip().lower())
+            want += [
+                (doc_id, " ".join(toks[i : i + n]))
+                for i in range(len(toks) - n + 1)
+            ]
+        assert got == sorted(want), f"n={n}"
