@@ -135,20 +135,29 @@ def pagerank(
     plan from growing with iteration count (same lineage rule as
     :func:`connected_components`).
     """
+    # materialize the loop-invariant relations ONCE: edges may be an
+    # expensive upstream plan (near-dup pair generation), and nodes /
+    # out_deg would otherwise be recomputed from it every iteration
+    edges = edges.select(src, dst).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
-    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
+    out_deg = (
+        edges.groupBy(src)
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
-        with_deg = ranks.join(out_deg, ranks["node"] == out_deg[src], "left")
+        # dangling mass as a 1-row aggregate folded in via broadcast
+        # cross join — no per-iteration driver collect blocking the loop
         dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
+            ranks.join(out_deg, ranks["node"] == out_deg[src], "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-            .first()["dm"]
         )
         contrib = (
             edges.join(ranks, edges[src] == ranks["node"])
@@ -157,13 +166,14 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.col("dm") / F.lit(float(n_nodes))
                     + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
                 ).alias("rank"),
             )

@@ -434,7 +434,10 @@ def q168_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text):
             if text is None:
                 return
-            for i, s in enumerate(t.strip() for t in text.split(". ")):
+            # strip SPACES only — the oracle's trim() trims ' ' not \t\n,
+            # so stripping all whitespace here would diverge on documents
+            # with tabs/newlines adjacent to '. ' boundaries
+            for i, s in enumerate(t.strip(" ") for t in text.split(". ")):
                 if len(s) >= 5:
                     yield i, s
 

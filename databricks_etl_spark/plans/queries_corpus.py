@@ -321,17 +321,26 @@ def q166_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, prices) that complements q141's redaction (which removes) by
     EXTRACTING. Element-wise ``try_cast`` inside the lambda keeps a
     pathological 30-digit token a NULL instead of an ANSI overflow
-    error. Empty matches → empty array → NULL max, mirrored exactly."""
+    error. Empty matches → empty array → NULL max, mirrored exactly.
+    NULLs (overflowed casts) are dropped BEFORE the distinct count:
+    DuckDB's ``list_distinct`` removes NULLs while Spark's
+    ``array_distinct`` keeps one, so the filter makes both engines
+    count only castable values (tests/test_corpus_queries.py locks
+    the 30-digit-token case)."""
     d = read_table(spark, sf_dir, "documents")
+    # idx=0 (whole match): Spark's default idx=1 raises on a group-less
+    # pattern the moment a row actually matches — latent until data
+    # contains digits (tests/test_corpus_queries.py plants some)
     nums = F.transform(
-        F.regexp_extract_all("text", F.lit("[0-9]+")),
+        F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0)),
         lambda x: x.try_cast("bigint"),
     )
     n = d.select("doc_id", nums.alias("nums"))
+    non_null = F.filter("nums", lambda x: x.isNotNull())
     return n.select(
         "doc_id",
         F.size("nums").cast("long").alias("n_numbers"),
-        F.size(F.array_distinct("nums")).cast("long").alias("n_distinct_numbers"),
+        F.size(F.array_distinct(non_null)).cast("long").alias("n_distinct_numbers"),
         F.array_max("nums").alias("max_number"),
     )
 

@@ -11,8 +11,6 @@ layout proving the data-skipping path end-to-end. No reference analog
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -20,6 +18,7 @@ from databricks_etl_spark.functions.scalars import decimal_sum
 from databricks_etl_spark.operators.layout import morton_key, tiles_covering_box
 from databricks_etl_spark.plans.registry import query
 from databricks_etl_spark.sources.readers import read_table
+from databricks_etl_spark.sources.writers import scratch_dir
 
 _CMS_EPS = 0.001
 _CMS_SEED = 42
@@ -173,7 +172,10 @@ def q148_morton_box_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     laid = laid.withColumn(
         "tile", F.shiftright(morton_key(F.col("x"), F.col("y"), 8), 10)
     )
-    out = tempfile.mkdtemp(prefix="zorder_")
+    # stable scratch path (mode=overwrite truncates it each run; removed
+    # at interpreter exit) — a fresh mkdtemp per call would leak one
+    # parquet copy of orders per driver/bench/test invocation
+    out = scratch_dir("zorder_", key=sf_dir)
     laid.repartition(8, "tile").write.mode("overwrite").partitionBy("tile").parquet(out)
 
     tiles = tiles_covering_box(_Q148_BOX_X, _Q148_BOX_Y, bits=8, tile_bits=3)

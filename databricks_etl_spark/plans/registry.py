@@ -62,13 +62,13 @@ def bench_queries() -> dict[str, QueryFn]:
 
 _loaded = False
 
-# Queries with a green (rows+schema+hash) row in CORRECTNESS_r01.json or
-# CORRECTNESS_r02.json. The external driver verifies the FIRST 50 registry
-# entries in insertion order, so _load() sorts never-yet-verified queries
-# to the front (keeping q01 as the smoke query) — each round rotates fresh
+# Queries with a green (rows+schema+hash) row in CORRECTNESS_r01/r02/r03
+# .json. The external driver verifies the FIRST 50 registry entries in
+# insertion order, so _load() sorts never-yet-verified queries to the
+# front (keeping q01 as the smoke query) — each round rotates fresh
 # queries into the driver's verification window instead of re-proving the
-# same 50. q80 is NOT listed: its r2 row errored (TIMESTAMP_NTZ cast,
-# fixed) and it must re-enter the window for a green row.
+# same 50. MUST be refreshed each round with the new greens from
+# CORRECTNESS_r{N}.json (exclude errored rows) or the window stalls.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         # --- round 1 greens ---
@@ -170,6 +170,56 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q134_revenue_share_of_nation",
         "q135_variant_json",
         "q136_nested_line_structs",
+        # --- round 3 greens (CORRECTNESS_r03.json; 50/50 green) ---
+        "q80_sessionize_lag_cumsum",
+        "q104_local_supplier_volume",
+        "q105_market_share",
+        "q106_product_type_profit",
+        "q107_late_shipment_priority",
+        "q108_order_count_distribution",
+        "q109_promo_revenue",
+        "q110_top_supplier",
+        "q111_national_acctbal_threshold",
+        "q112_small_qty_revenue",
+        "q113_disjunctive_revenue",
+        "q114_idle_rich_customers",
+        "q115_pergroup_ols",
+        "q116_ivf_fullprobe_exact",
+        "q119_min_cost_supplier",
+        "q120_supplier_part_counts",
+        "q121_concentrated_suppliers",
+        "q122_waiting_orders",
+        "q125_stratified_hash_sample",
+        "q126_sample_stratum_stats",
+        "q129_topk_per_stratum_sample",
+        "q131_foreachbatch_materialized_counts",
+        "q137_sql_lane_pricing",
+        "q138_python_datasource",
+        "q139_doc_chunking",
+        "q140_sequence_packing",
+        "q141_pii_redaction",
+        "q142_vocab_oov",
+        "q144_morton_layout",
+        "q145_ann_recall_gate",
+        "q146_cms_heavy_hitters_gate",
+        "q147_skew_stress_join",
+        "q148_morton_box_prune",
+        "q149_quantile_sketch_gate",
+        "q150_minhash_estimate_error",
+        "q151_boilerplate_phrases",
+        "q152_contamination_audit",
+        "q153_quality_funnel",
+        "q154_repetition_filters",
+        "q155_window_function_breadth",
+        "q156_higher_order_arrays",
+        "q157_asof_forward_tolerance",
+        "q158_gapfill_forward_fill",
+        "q159_cumulative_distinct_users",
+        "q160_rolling_median",
+        "q161_session_conversion",
+        "q163_simhash_md5_oracled",
+        "q168_udtf_sentences",
+        "q170_equidepth_histogram",
     }
 )
 

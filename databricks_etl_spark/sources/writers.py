@@ -8,7 +8,32 @@ driver jar is on the classpath — stubbed-friendly for local runs).
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
+
+_SCRATCH: dict[str, str] = {}
+
+
+def scratch_dir(prefix: str, key: str = "") -> str:
+    """Per-process scratch directory, stable per ``(prefix, key)``.
+
+    Queries that materialize an intermediate layout (Z-order write,
+    foreachBatch sink) must return a LAZY DataFrame over the written
+    path, so the path can't be removed before the caller collects.
+    Instead of leaking one ``mkdtemp`` per invocation, repeated calls
+    reuse the same directory (callers overwrite, so reruns replace
+    rather than accumulate) and the whole tree is removed at
+    interpreter exit. ``key`` separates callers whose payloads differ
+    per input (e.g. per ``sf_dir``)."""
+    k = f"{prefix}|{key}"
+    if k not in _SCRATCH:
+        path = tempfile.mkdtemp(prefix=prefix)
+        _SCRATCH[k] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return _SCRATCH[k]
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -66,11 +66,17 @@ def run_foreachbatch_counts(
     at-least-once re-delivery after a failure. Idempotence means the
     materialization is unchanged, so the result stays byte-equal to
     the batch aggregate (q131's DuckDB oracle hash-checks this)."""
-    import tempfile
+    import shutil
 
+    from databricks_etl_spark.sources.writers import scratch_dir
     from databricks_etl_spark.streaming.windows import stream_events
 
-    out = tempfile.mkdtemp(prefix="fbsink_")
+    # stable per-(process, sf_dir) path, removed at interpreter exit.
+    # Dynamic partition overwrite replaces only matching epochs, so a
+    # previous run's stale extra epochs must be cleared up front — each
+    # call is self-contained (full availableNow drain + optional replay).
+    out = scratch_dir("fbsink_", key=sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
     counts = (
         stream_events(spark, sf_dir)
         .groupBy("user_id")
