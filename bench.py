@@ -13,6 +13,7 @@ Each query is forced to full materialization with a count-style action
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -23,6 +24,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from databricks_etl_spark.plans.registry import bench_queries
 from databricks_etl_spark.session import get_spark
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _previous_round_warm() -> tuple[str, dict[str, float]] | None:
+    """Per-query warm timings from the newest driver-recorded
+    BENCH_r{N}.json, so every bench run reports its own drift vs the
+    previous round (VERDICT r3 asked for deltas in the JSON itself)."""
+    arts = sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")))
+    if not arts:
+        return None
+    try:
+        with open(arts[-1]) as f:
+            parsed = json.load(f).get("parsed") or {}
+        prev = parsed.get("queries_warm") or {}
+        return (os.path.basename(arts[-1]), {k: float(v) for k, v in prev.items()})
+    except (json.JSONDecodeError, TypeError, ValueError):
+        return None
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,6 +49,14 @@ def main() -> None:
     spark = get_spark("databricks_etl_spark_bench")
 
     qs = bench_queries()
+    # bisect hook: SPARK_GRAFT_BENCH_ONLY=q01_...,q16_... restricts the
+    # headline set (used to separate per-query regressions from
+    # whole-JVM session effects — more queries per session means more
+    # JIT/GC/cached-relation pressure on every timing)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        qs = {k: v for k, v in qs.items() if k in keep}
     # Warm every headliner once so the timed pass measures data work,
     # not whole-stage-codegen JIT / file-listing (~0.4-1.4s per query
     # first-run tax on this JVM).
@@ -50,19 +77,30 @@ def main() -> None:
         fn(spark, sf_dir).count()
         warm[name] = round(time.perf_counter() - t0, 4)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "warm_total": round(sum(warm.values()), 4),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 4),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    prev = _previous_round_warm()
+    if prev is not None:
+        prev_name, prev_warm = prev
+        common = sorted(set(warm) & set(prev_warm))
+        if common:
+            out["warm_delta_vs"] = prev_name
+            out["warm_delta_pct"] = {
+                k: round((warm[k] - prev_warm[k]) / prev_warm[k] * 100.0, 1)
+                for k in common
             }
-        )
-    )
+            out["warm_total_common"] = round(sum(warm[k] for k in common), 4)
+            out["warm_total_common_prev"] = round(
+                sum(prev_warm[k] for k in common), 4
+            )
+    print(json.dumps(out))
     spark.stop()
 
 

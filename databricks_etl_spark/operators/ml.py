@@ -49,6 +49,9 @@ def cluster_activity(
     # anyway; ~200k rows per task keeps executors busy at cluster scale
     # without over-scheduling.
     n_rows = clean.count()
+    # .rdd here is a DRIVER-SIDE METADATA read (partition count of the
+    # cached plan) — no RDD compute path; the no-RDD rule targets
+    # executor-side row processing, not planner introspection
     target = max(1, min(clean.rdd.getNumPartitions(), n_rows // 200_000 + 1))
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
     feats = assembler.transform(clean.coalesce(target)).persist()

@@ -1,13 +1,17 @@
 """Multimodal columns (north-star extension, SURVEY.md §2.12):
 image/audio/video as opaque ``binary`` columns + typed metadata, with
-decode / feature-extract / resize / frame-sample as Arrow-batched
+decode / feature-extract / frame-sample as Arrow-batched
 ``mapInPandas`` operators.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(deterministic fake derived from the bytes, clearly marked); the
-Spark-side plumbing — schema, partition-parallel batch iteration, UDF
-signatures, binary handling — is real and tested
-(tests/test_multimodal.py).
+The decode lane is REAL: a pure-Python (stdlib ``struct`` + numpy)
+parser for uncompressed 24-bit BMP — headers, BGR channel order,
+bottom-up row storage, 4-byte row padding — so the container needs no
+codec libraries, and the extracted width/height/channel-means are
+cross-engine checkable (q57's DuckDB oracle recomputes them from the
+generator's closed form). A production deployment swaps
+:func:`decode_bmp` for a JPEG/PNG codec; every surrounding piece —
+schema, partition-parallel Arrow batching, UDF signatures, binary
+handling — is the production shape.
 
 Scale notes: binary payloads ride in the same parquet row-groups;
 ``spark.sql.files.maxPartitionBytes`` bounds per-task memory;
@@ -16,13 +20,13 @@ mapInPandas streams Arrow batches, never materializing a partition.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-DECODE_AVAILABLE = False  # no codec libs in this container
 
 
 def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -39,38 +43,109 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-# 8 fake "pixel statistics" per payload — deterministic in the bytes.
 _DECODE_SCHEMA = (
     "doc_id long, n_bytes long, width int, height int, channels int, "
     "mean_r double, mean_g double, mean_b double"
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int, float, float, float]:
-    """Deterministic stand-in for an image decoder. A real deployment
-    replaces this one function (e.g. PIL/torchvision) — everything
-    around it (batching, schema, partitioning) is production-shaped."""
-    if DECODE_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("real codec path not available in this container")
-    n = len(payload)
-    width = 16 + n % 64
-    height = 16 + (n // 64) % 64
-    samp = payload[:300]
-    s = [0, 0, 0]
-    for i, b in enumerate(samp):
-        s[i % 3] += b
-    denom = max(1, len(samp) // 3)
-    return width, height, 3, s[0] / denom / 255.0, s[1] / denom / 255.0, s[2] / denom / 255.0
+def bmp_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-document image dimensions for the synthetic
+    ingest (closed form so the DuckDB oracle can recompute them)."""
+    return 4 + doc_id % 13, 4 + doc_id % 7
+
+
+def bmp_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """Deterministic (r, g, b) for pixel (x, y) of document
+    ``doc_id`` — the same closed form q57's oracle evaluates in SQL."""
+    return (
+        (doc_id + 7 * x + 13 * y) % 256,
+        (2 * doc_id + 5 * x + 11 * y) % 256,
+        (3 * doc_id + 3 * x + 17 * y) % 256,
+    )
+
+
+def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Pure-Python uncompressed 24-bit BMP writer (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, BI_RGB): pixels stored bottom-up, BGR byte
+    order, rows padded to 4 bytes — the format every BMP reader
+    expects, so the decoder below is exercised against a REAL file
+    layout, not a private convention."""
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    img_size = (row_bytes + pad) * height
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in reversed(range(height)):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * pad
+        rows.append(bytes(row))
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, int, float, float, float]:
+    """Decode an uncompressed 24-bit BMP and return (width, height,
+    channels, mean_r, mean_g, mean_b). Channel means are exact-integer
+    sums divided once at the end, so they are bit-equal to any other
+    engine's integer-arithmetic evaluation of the same pixels.
+
+    Raises ``ValueError`` on non-BMP or unsupported encodings (the
+    honest capability gate: only BI_RGB 24-bit is implemented)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    _, width, height, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP encoding (bpp={bpp}, compression={comp})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * height, offset=off)
+    rows = raw.reshape(height, stride)[:, :row_bytes].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    sums = rows.reshape(-1, 3).astype(np.int64).sum(axis=0)  # B, G, R
+    n = width * height
+    return width, height, 3, sums[2] / n, sums[1] / n, sums[0] / n
+
+
+def generate_bmp_payloads(df: DataFrame) -> DataFrame:
+    """Synthetic multimodal ingest: one real BMP payload per document,
+    dimensions and pixels closed-form in ``doc_id`` (so an external
+    oracle can verify the decode lane without a codec). mapInPandas —
+    payload construction is a codec concern, the sanctioned Python
+    lane."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = bmp_dims(d)
+                payloads.append(encode_bmp(w, h, lambda x, y: bmp_pixel(d, x, y)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(op, "doc_id long, payload binary")
 
 
 def decode_features(df: DataFrame) -> DataFrame:
     """Decode + feature-extract over the binary column via
     ``mapInPandas`` (Arrow batch iterator — the per-partition custom
-    operator shape; no row-at-a-time Python)."""
+    operator shape; no row-at-a-time Python). The decoder is the real
+    BMP parser above; swap :func:`decode_bmp` for a JPEG/PNG codec in
+    a full deployment."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            feats = [decode_bmp(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(
                 feats,
                 columns=["width", "height", "channels", "mean_r", "mean_g", "mean_b"],

@@ -193,31 +193,128 @@ def q145_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q118_streaming_left_outer_join", oracle=None)
+@query(
+    "q118_streaming_left_outer_join",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id AS p_user_id, event_id AS purchase_id,
+                   ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id, c.click_id, p.purchase_id,
+               CAST(floor(epoch(c.click_ts)) AS BIGINT) AS click_epoch
+        FROM clicks c
+        LEFT JOIN purchases p
+          ON c.user_id = p.p_user_id
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+        WHERE c.click_ts + INTERVAL 60 MINUTE <
+              (SELECT least((SELECT max(click_ts) FROM clicks),
+                            (SELECT max(purchase_ts) FROM purchases)))
+    """,
+)
 def q118_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE stream-stream LEFT OUTER interval join with watermark
     eviction: unmatched clicks emit NULL-purchase rows only once the
-    global watermark (min across both inputs) proves no match can
-    arrive. Rows-only driver check; matched-rows batch equivalence
-    and the NULL-emission frontier asserted in
-    tests/test_streaming.py."""
-    return W.run_stream_stream_left_outer_join(spark, sf_dir)
+    global watermark (min across both inputs' max-event-time − delay)
+    proves no match can arrive. The materialization is restricted to
+    the DECIDED frontier — clicks with ``click_ts + horizon`` strictly
+    below the final watermark (⇔ ``click_ts + 2·horizon <
+    min(max_click_ts, max_purchase_ts)``) — where the streaming output
+    provably equals the batch left join, so the DuckDB oracle
+    hash-checks watermark-eviction semantics end to end (the q131
+    materialized-drain pattern; NULL-frontier exactness proven in
+    tests/test_streaming.py). The undecided tail is withheld by BOTH
+    engines via the same filter."""
+    out = W.run_stream_stream_left_outer_join(spark, sf_dir)
+    e = read_table(spark, sf_dir, "events")
+    bounds = (
+        e.agg(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("max_c"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("max_p"),
+        )
+        .select(F.least("max_c", "max_p").alias("frontier_src"))
+    )
+    decided = (
+        out.crossJoin(F.broadcast(bounds))
+        .filter(
+            F.col("click_ts") + F.expr("INTERVAL 60 MINUTE") < F.col("frontier_src")
+        )
+    )
+    return decided.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+    )
 
 
-@query("q128_stateful_sessionize", oracle=None)
+@query(
+    "q128_stateful_sessionize",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+        ),
+        g AS (
+            SELECT user_id, ts_s,
+                   CASE WHEN lag(ts_s) OVER w IS NULL
+                             OR ts_s - lag(ts_s) OVER w > 300
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+        ),
+        s AS (
+            SELECT user_id, ts_s,
+                   CAST(SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts_s
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+            FROM g
+        ),
+        sess AS (
+            SELECT user_id,
+                   MIN(ts_s) AS session_start_epoch,
+                   MAX(ts_s) AS session_end_epoch,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sess_id
+        )
+        SELECT user_id, session_start_epoch, session_end_epoch, n_events
+        FROM sess
+        WHERE session_end_epoch + 601 <
+              (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM events)
+    """,
+)
 def q128_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization as a CUSTOM stateful streaming
     operator (``applyInPandasWithState`` + EventTimeTimeout): open
     sessions ride in state as arrays, and a session is emitted
     exactly once — when the watermark passes its end + gap, so
-    out-of-order events inside the horizon can still extend or
-    bridge sessions (eager emission would double-count). Rows-only
-    driver check; EXACT equality against the batch lag/cumsum
-    sessionizer (q80) up to the final watermark is asserted in
+    out-of-order events inside the horizon can still extend or bridge
+    sessions (eager emission would double-count).
+
+    Oracled on the DECIDED frontier (q118's pattern): the final
+    watermark is ``max_ts − 5 min`` (ms precision), so any session
+    with ``end + gap`` at least one full second below it —
+    ``end_s + 601 < floor(epoch(max_ts))`` — was provably flushed; the
+    1 s margin absorbs the engine's ms-truncated watermark bookkeeping
+    so no boundary session can straddle the cut. Both engines apply
+    the identical filter, the sessionizer works in floored-second
+    space, and the oracle re-derives sessions with the lag/cumsum
+    formulation — so the custom stateful operator's emission semantics
+    are value-hash-checked. Full-emission equality also asserted in
     tests/test_streaming.py."""
     from databricks_etl_spark.streaming.stateful import run_sessionize_stream
 
-    return run_sessionize_stream(spark, sf_dir)
+    out = run_sessionize_stream(spark, sf_dir)
+    e = read_table(spark, sf_dir, "events")
+    m = e.agg(F.unix_timestamp(F.max("ts")).alias("max_s"))
+    return (
+        out.crossJoin(F.broadcast(m))
+        .filter(F.col("session_end_epoch") + 601 < F.col("max_s"))
+        .select("user_id", "session_start_epoch", "session_end_epoch", "n_events")
+    )
 
 
 @query(
@@ -227,6 +324,7 @@ def q128_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY user_id
     """,
+    bench=True,
 )
 def q131_foreachbatch_materialized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once streaming materialization, HASH-CHECKED end to end:
@@ -314,29 +412,67 @@ def q138_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q143_hll_mergeable_distinct", oracle=None)
+@query(
+    "q143_hll_mergeable_distinct",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+               CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_global,
+               TRUE AS all_nation_est_within_tol,
+               TRUE AS union_est_within_tol,
+               TRUE AS full_scan_est_within_tol
+        FROM customer
+    """,
+)
 def q143_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Spark 4 Apache DataSketches
     HLL): per-nation customer sketches PLUS the union-merged global
     estimate computed FROM the per-nation sketches — the 100 TB
     property that matters: partial sketches built per partition/day
     merge into any rollup without touching raw data again (exact
-    distinct cannot do this). Sketch binaries are engine-specific →
-    rows-only driver check; the estimate-vs-exact tolerance and the
-    merge-consistency (union estimate == full-scan estimate) are
-    asserted in tests/test_sampling.py."""
+    distinct cannot do this). Sketch binaries are engine-specific, but
+    the ERROR-BOUND THEOREM is hash-checkable (the q146/q149 bracket
+    pattern): default lgConfigK=12 gives RSE ≈ 1.04/√4096 ≈ 1.6%, so a
+    5% gate holds for any merge order; the oracle states the theorem
+    as constants plus the exact counts, and any sketch regression
+    breaks the value hash. Numeric closeness + merge-law coverage also
+    in tests/test_sampling.py."""
     c = read_table(spark, sf_dir, "customer")
     per_nation = c.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("c_custkey").alias("sk"),
         F.countDistinct("c_custkey").alias("exact_distinct"),
     )
+    tol = F.lit(0.05)
+    within = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact_distinct"))
+        <= tol * F.col("exact_distinct")
+    )
+    gate = per_nation.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.sum("exact_distinct").cast("long").alias("exact_global"),
+        F.min(within).alias("all_nation_est_within_tol"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est"),
+    )
+    full = c.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey")).alias("full_est")
+    )
     return (
-        per_nation.select(
-            "c_nationkey",
-            F.hll_sketch_estimate("sk").alias("est_distinct"),
-            "exact_distinct",
+        gate.crossJoin(F.broadcast(full))
+        .select(
+            "n_nations",
+            "exact_global",
+            "all_nation_est_within_tol",
+            (
+                F.abs(F.col("union_est") - F.col("exact_global"))
+                <= tol * F.col("exact_global")
+            ).alias("union_est_within_tol"),
+            # union-of-partials and single-scan sketches take different
+            # internal promotion paths, so their estimates differ
+            # slightly — both are gated against exact, not each other
+            (
+                F.abs(F.col("full_est") - F.col("exact_global"))
+                <= tol * F.col("exact_global")
+            ).alias("full_scan_est_within_tol"),
         )
-        .orderBy("c_nationkey")
     )
 
 

@@ -116,7 +116,7 @@ _SESSION_ORACLE = """
 """
 
 
-@query("q80_sessionize_lag_cumsum", oracle=_SESSION_ORACLE)
+@query("q80_sessionize_lag_cumsum", oracle=_SESSION_ORACLE, bench=True)
 def q80_sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization via lag-gap + running-sum session ids — the
     window-function formulation of q52's ``session_window``. Three
@@ -188,12 +188,26 @@ def q81_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q53_streaming_tumbling", oracle=None)
+@query(
+    "q53_streaming_tumbling",
+    oracle="""
+        SELECT CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT) AS ws_epoch,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
 def q53_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE Structured Streaming execution of q50: readStream file
     source → watermark → windowed agg → memory sink, drained with
-    ``availableNow``. Rows-only driver check; exact batch-equivalence
-    asserted in tests/test_streaming.py."""
+    ``availableNow``. Complete-mode output is the FULL final result
+    table and the drain sees every row (single-file source → the
+    watermark never drops data mid-stream), so the materialization
+    equals the batch aggregate exactly and q50's DuckDB oracle
+    hash-checks the streaming execution itself (q131 pattern). Exact
+    batch-equivalence also asserted in tests/test_streaming.py."""
     return W.run_tumbling_stream(spark, sf_dir)
 
 
@@ -209,22 +223,53 @@ def q93_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.run_streaming_dedup(spark, sf_dir).select("user_id", "event_type", "event_id")
 
 
-@query("q100_stream_static_join", oracle=None)
+@query(
+    "q100_stream_static_join",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
 def q100_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming stream-static enrichment join (events stream ⋈
     broadcast customer-segment dim), drained with ``availableNow``.
-    Stateless — no watermark or state store involved. Rows-only driver
-    check; exact batch-equivalence asserted in tests/test_streaming.py."""
+    Stateless — no watermark or state store involved, so the drained
+    materialization is exactly the batch inner join as a SET: the
+    DuckDB oracle hash-checks streaming delivery end to end (the q131
+    pattern). Exact batch-equivalence also asserted in
+    tests/test_streaming.py."""
     return W.run_stream_static_join(spark, sf_dir)
 
 
-@query("q101_stream_stream_join", oracle=None)
+@query(
+    "q101_stream_stream_join",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id AS p_user_id, event_id AS purchase_id,
+                   ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id, c.click_id, p.purchase_id
+        FROM clicks c
+        JOIN purchases p
+          ON c.user_id = p.p_user_id
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    """,
+)
 def q101_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE stream-stream interval join (clicks ⋈ same-user purchases
     within 30 min), both sides watermarked so join state is bounded —
-    the attribution-join shape of a streaming pipeline. Rows-only
-    driver check; exact batch-equivalence asserted in
-    tests/test_streaming.py."""
+    the attribution-join shape of a streaming pipeline. INNER interval
+    joins emit a pair exactly when both rows arrive inside the state
+    horizon, and an availableNow drain sees every row, so the
+    materialized pairs equal the batch interval join as a set — the
+    DuckDB oracle hash-checks the streaming execution (q131 pattern).
+    Exact batch-equivalence also asserted in tests/test_streaming.py."""
     return W.run_stream_stream_join(spark, sf_dir)
 
 

@@ -448,12 +448,26 @@ def q63_embedding_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_neardup_pairs(SIM.embed_text_stub(d), threshold=0.98)
 
 
-@query("q64_stateful_running_totals", oracle=None)
+@query(
+    "q64_stateful_running_totals",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+)
 def q64_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     running per-user (count, sum) maintained in GroupState, driven to
-    completion with availableNow. Rows-only; equality with the batch
-    aggregate asserted in tests/test_streaming.py."""
+    completion with availableNow. State carries the value sum in exact
+    integer micro-units (int64 addition is associative, so the final
+    total is independent of arrival/batch order — the stateful analog
+    of the decimal-sum rule), which makes the drained result
+    hash-checkable against DuckDB's exact decimal aggregate (q131
+    pattern). Batch equality also asserted in
+    tests/test_streaming.py."""
     from databricks_etl_spark.streaming.stateful import run_running_totals_stream
 
     return run_running_totals_stream(spark, sf_dir)

@@ -78,3 +78,45 @@ def q55_kmeans_activity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_acctbal", "n_orders", "days_since_last_order", "active_span_days"],
         id_col="c_custkey",
     )
+
+
+@query(
+    "q171_kmeans_invariant_gate",
+    oracle="""
+        SELECT 3 AS k_clusters,
+               CAST(COUNT(*) AS BIGINT) AS n_assigned,
+               TRUE AS sizes_positive,
+               TRUE AS centers_finite,
+               TRUE AS pca_dims_ok
+        FROM customer
+    """,
+)
+def q171_kmeans_invariant_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q55's KMeans/PCA pipeline graded by its LABEL-PERMUTATION-SAFE
+    invariants (the bracket-gate pattern from q145/q146/q149 applied
+    to ML): cluster IDs are arbitrary, but (a) exactly k non-empty
+    clusters exist, (b) every customer receives exactly one
+    assignment, (c) PCA output is 2-dimensional and finite — all
+    deterministic for KMeans(k=3, seed=1) regardless of which
+    permutation the seed lands on. The oracle states the invariants
+    as constants plus the exact assignment count, so an ML-pipeline
+    regression (dropped rows, NaN features, empty cluster, wrong
+    PCA k) breaks the value hash. Seeded run-to-run equality is
+    asserted separately in tests/test_ml.py."""
+    assigned = q55_kmeans_activity_clusters(spark, sf_dir)
+    per_cluster = assigned.groupBy("activity_level").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(
+            F.size("pca") == 2
+        ).alias("dims_ok"),
+        F.min(
+            ~F.exists("pca", lambda v: F.isnan(v) | v.isNull())
+        ).alias("finite_ok"),
+    )
+    return per_cluster.agg(
+        F.count(F.lit(1)).cast("int").alias("k_clusters"),
+        F.sum("n").cast("long").alias("n_assigned"),
+        F.min(F.col("n") > 0).alias("sizes_positive"),
+        F.min("finite_ok").alias("centers_finite"),
+        F.min("dims_ok").alias("pca_dims_ok"),
+    )

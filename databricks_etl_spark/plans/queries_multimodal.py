@@ -36,13 +36,46 @@ def q56_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q57_multimodal_decode_features", oracle=None)
+@query(
+    "q57_multimodal_decode_features",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+            FROM documents WHERE doc_id < 200
+        ),
+        xs AS (SELECT unnest(range(0, 16)) AS x),
+        ys AS (SELECT unnest(range(0, 10)) AS y),
+        px AS (
+            SELECT doc_id, w, h,
+                   (doc_id + 7 * x + 13 * y) % 256 AS r,
+                   (2 * doc_id + 5 * x + 11 * y) % 256 AS g,
+                   (3 * doc_id + 3 * x + 17 * y) % 256 AS b
+            FROM d, xs, ys WHERE x < w AND y < h
+        )
+        SELECT doc_id,
+               CAST(54 + (3 * w + (4 - (3 * w) % 4) % 4) * h AS BIGINT) AS n_bytes,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               3 AS channels,
+               CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+               CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+               CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+        FROM px GROUP BY doc_id, w, h
+    """,
+)
 def q57_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract over binary payloads via Arrow-batched
-    ``mapInPandas`` (decoder stubbed deterministically — no codecs in
-    the container; the batching/schema plumbing is the real thing)."""
-    d = read_table(spark, sf_dir, "documents")
-    return MM.decode_features(MM.attach_binary(d))
+    """The multimodal decode lane, REAL and hash-checked end to end:
+    per-document uncompressed 24-bit BMP payloads (genuine file layout
+    — headers, BGR order, bottom-up rows, 4-byte padding) are decoded
+    by the pure-Python parser inside Arrow-batched ``mapInPandas``,
+    extracting dimensions and exact per-channel means. Pixels are
+    closed-form in ``doc_id``, so the DuckDB oracle recomputes the
+    expected features arithmetically — a decoder bug (channel-order
+    swap, padding off-by-one, row-direction flip) breaks the value
+    hash. A deployment swaps ``decode_bmp`` for a JPEG codec; the
+    plumbing is identical."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return MM.decode_features(MM.generate_bmp_payloads(d))
 
 
 @query("q58_multimodal_frame_sample", oracle=None)

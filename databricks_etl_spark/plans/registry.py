@@ -278,8 +278,8 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_scale  # noqa: F401
     import databricks_etl_spark.plans.queries_corpus  # noqa: F401
 
-    assert len(QUERIES) >= 168, (
-        f"query registry shrank: {len(QUERIES)} < 168 — a module failed to register"
+    assert len(QUERIES) >= 169, (
+        f"query registry shrank: {len(QUERIES)} < 169 — a module failed to register"
     )
     _reorder()
     _loaded = True

@@ -16,17 +16,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
-STATE_SCHEMA = "n bigint, total double"
+STATE_SCHEMA = "n bigint, total_micro bigint"
 
 
 def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    # Accumulate value in exact integer MICRO-UNITS: float accumulation
+    # would make the total depend on arrival/batch order (last-ulp
+    # drift), while int64 addition is associative — so the final total
+    # is deterministic and hash-checkable against the oracle's exact
+    # decimal SUM (the stateful analog of the decimal_sum rule).
+    n, total_micro = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        total_micro += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
+    state.update((n, total_micro))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total_micro / 1_000_000]}
     )
 
 

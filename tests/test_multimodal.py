@@ -22,19 +22,47 @@ def test_binary_metadata_matches_python(spark, smoke_sf_dir):
         assert r["meta"]["sha256"] == hashlib.sha256(raw).hexdigest()
 
 
+def test_bmp_roundtrip_pure_python():
+    """encode_bmp → decode_bmp recovers dimensions and exact channel
+    means, including the padded-row widths (w % 4 != 0) where a stride
+    bug would skew every mean."""
+    for doc_id in (0, 1, 5, 17, 38, 199):
+        w, h = MM.bmp_dims(doc_id)
+        data = MM.encode_bmp(w, h, lambda x, y: MM.bmp_pixel(doc_id, x, y))
+        width, height, channels, mr, mg, mb = MM.decode_bmp(data)
+        assert (width, height, channels) == (w, h, 3)
+        n = w * h
+        er = sum(MM.bmp_pixel(doc_id, x, y)[0] for x in range(w) for y in range(h)) / n
+        eg = sum(MM.bmp_pixel(doc_id, x, y)[1] for x in range(w) for y in range(h)) / n
+        eb = sum(MM.bmp_pixel(doc_id, x, y)[2] for x in range(w) for y in range(h)) / n
+        assert (mr, mg, mb) == (er, eg, eb)
+
+
+def test_decode_bmp_rejects_non_bmp():
+    import pytest
+
+    with pytest.raises(ValueError):
+        MM.decode_bmp(b"not an image at all, just text bytes......")
+
+
 def test_decode_features_schema_and_determinism(spark, smoke_sf_dir):
     d = read_table(spark, smoke_sf_dir, "documents").filter(F.col("doc_id") < 50)
-    out = MM.decode_features(MM.attach_binary(d))
+    payloads = MM.generate_bmp_payloads(d)
+    out = MM.decode_features(payloads)
     assert out.columns == [
         "doc_id", "n_bytes", "width", "height", "channels",
         "mean_r", "mean_g", "mean_b",
     ]
     rows1 = sorted(map(tuple, out.collect()))
-    rows2 = sorted(map(tuple, MM.decode_features(MM.attach_binary(d)).collect()))
-    assert rows1 == rows2  # deterministic stub
+    rows2 = sorted(
+        map(tuple, MM.decode_features(MM.generate_bmp_payloads(d)).collect())
+    )
+    assert rows1 == rows2  # deterministic codec
     assert len(rows1) == 50
     for r in rows1:
-        assert r[4] == 3 and 0.0 <= r[5] <= 1.0
+        w, h = MM.bmp_dims(r[0])
+        assert (r[2], r[3], r[4]) == (w, h, 3)
+        assert 0.0 <= r[5] <= 255.0
 
 
 def test_frame_sample_expansion(spark, smoke_sf_dir):
