@@ -114,14 +114,26 @@ def minhash_lsh_pairs(
     num_features: int = 1 << 18,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Approximate near-dup pairs via ``pyspark.ml`` MinHashLSH.
 
-    Pipeline: distinct unigram tokens → HashingTF binary vectors →
-    MinHashLSH(seed) → ``approxSimilarityJoin`` (bucketed equi-join on
-    band hashes — candidate generation never goes quadratic). Distance
-    is (1 - estimated Jaccard); rows-only oracle (seeded hash family is
-    not SQL-reproducible).
+    Pipeline: distinct word ``shingle_n``-gram shingles → HashingTF
+    binary vectors → MinHashLSH(seed) → ``approxSimilarityJoin``
+    (bucketed equi-join on band hashes — candidate generation never
+    goes quadratic *in the corpus*). Distance is (1 - estimated
+    Jaccard); rows-only oracle (seeded hash family is not
+    SQL-reproducible).
+
+    Shingles, not unigrams, are the 100 TB-safe feature set: unigram
+    token SETS over a bounded vocabulary converge (any two long docs
+    share most words), so the TRUE near-dup pair count — which no LSH
+    can undercut — goes quadratic. 3-gram shingles are position-
+    sensitive and effectively unique per phrase, keeping true pairs
+    (and therefore output + distance work) near-linear; the scale gate
+    in tests/test_dedup_similarity.py locks a ≤4× wall ratio on a 16×
+    corpus, which the unigram formulation fails by ~16×. Same
+    granularity as the exact 3-gram Jaccard twin (q44).
 
     The input is hash-repartitioned to the cluster's parallelism first:
     the LSH explode+self-join otherwise inherits
@@ -131,10 +143,19 @@ def minhash_lsh_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    from databricks_etl_spark.operators.text import shingle_array
+
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # materialize the token array behind a projection boundary first —
+    # inlining tokens_col into shingle_array's lambda would re-run the
+    # regex split once per element_at (same rule as text.shingles)
     toks = (
         df.repartition(parallelism, id_col)
-        .select(id_col, F.array_distinct(tokens_col(text_col)).alias("toks"))
+        .select(id_col, tokens_col(text_col).alias("__toks"))
+        .select(
+            id_col,
+            F.array_distinct(shingle_array(F.col("__toks"), shingle_n)).alias("toks"),
+        )
         .filter(F.size("toks") > 0)
     )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=num_features, binary=True)

@@ -138,17 +138,27 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "d
     re-run the regex split n times per position per row (measured 10×
     slower)."""
     base = df.select(id_col, tokens_col(text_col).alias("__toks"))
-    toks = F.col("__toks")
+    return base.select(
+        id_col, F.explode(shingle_array(F.col("__toks"), n)).alias("shingle")
+    )
+
+
+def shingle_array(toks: Column, n: int) -> Column:
+    """Array of word n-gram shingles from a pre-materialized token
+    array column (the per-row expression :func:`shingles` explodes;
+    exposed separately so set-valued consumers — MinHash featurization
+    — can keep the array form without paying the explode)."""
+    if n == 1:
+        return toks
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
+    return F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
         ),
     )
-    return base.select(id_col, F.explode(sh).alias("shingle"))
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -82,17 +82,82 @@ def q126_sample_stratum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q127_freq_items_sketch", oracle=None)
+@query(
+    "q127_freq_items_sketch",
+    oracle="""
+        WITH n AS (SELECT COUNT(*) AS total FROM orders),
+        hh_s AS (
+            SELECT COUNT(*) AS n_hh FROM (
+                SELECT o_orderstatus FROM orders, n
+                GROUP BY o_orderstatus, n.total
+                HAVING COUNT(*) > 0.05 * n.total
+            )
+        ),
+        hh_p AS (
+            SELECT COUNT(*) AS n_hh FROM (
+                SELECT o_orderpriority FROM orders, n
+                GROUP BY o_orderpriority, n.total
+                HAVING COUNT(*) > 0.05 * n.total
+            )
+        )
+        SELECT CAST(hh_s.n_hh AS BIGINT) AS n_true_hh_status,
+               CAST(hh_p.n_hh AS BIGINT) AS n_true_hh_priority,
+               TRUE AS status_hh_all_contained,
+               TRUE AS priority_hh_all_contained
+        FROM hh_s, hh_p
+    """,
+)
 def q127_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass heavy-hitter candidates (Karp et al. via
     ``df.stat.freqItems``) over order status and priority at 5%
     support — the no-shuffle skew probe you run BEFORE choosing a
-    join strategy at 100 TB (a key appearing in >support of rows is
-    a salting candidate). Superset-guarantee sketch (false positives
-    possible, no false negatives) → rows-only driver check; the
-    guarantee itself is count-verified in tests/test_sampling.py."""
+    join strategy at 100 TB (a key appearing in >support of rows is a
+    salting candidate). The sketch's candidate LIST admits false
+    positives (engine/partition dependent), but its superset GUARANTEE
+    (no false negatives) is deterministic — so the query emits the
+    exact true-heavy-hitter counts plus containment booleans (the
+    q146/q149 bracket pattern) and the oracle states the theorem; a
+    sketch regression (a dropped true heavy hitter) flips a boolean
+    and breaks the hash. Count-level coverage also in
+    tests/test_sampling.py."""
     o = read_table(spark, sf_dir, "orders")
-    return freq_items(o, ["o_orderstatus", "o_orderpriority"], 0.05)
+    cand = freq_items(o, ["o_orderstatus", "o_orderpriority"], 0.05)
+    tot = o.agg(F.count(F.lit(1)).alias("total"))
+
+    def true_hh(col: str):
+        return (
+            o.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .crossJoin(F.broadcast(tot))
+            .filter(F.col("c") > 0.05 * F.col("total"))
+        )
+
+    hh_s = true_hh("o_orderstatus")
+    hh_p = true_hh("o_orderpriority")
+    gate_s = (
+        hh_s.crossJoin(F.broadcast(cand))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_hh_status"),
+            F.min(
+                F.array_contains("o_orderstatus_freqItems", F.col("o_orderstatus"))
+            ).alias("status_hh_all_contained"),
+        )
+    )
+    gate_p = (
+        hh_p.crossJoin(F.broadcast(cand))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_hh_priority"),
+            F.min(
+                F.array_contains("o_orderpriority_freqItems", F.col("o_orderpriority"))
+            ).alias("priority_hh_all_contained"),
+        )
+    )
+    return gate_s.crossJoin(F.broadcast(gate_p)).select(
+        "n_true_hh_status",
+        "n_true_hh_priority",
+        "status_hh_all_contained",
+        "priority_hh_all_contained",
+    )
 
 
 @query(

@@ -125,3 +125,60 @@ def test_ann_recall_query_shape_and_thresholds(spark, smoke_sf_dir):
     avg_ivf = sum(r["ivf_recall_at10"] for r in rows) / len(rows)
     assert avg_lsh >= 0.6
     assert avg_ivf >= 0.5
+
+
+def test_lsh_neardup_scales_near_linear(spark, smoke_sf_dir, monkeypatch):
+    """100 TB shape regression gate (VERDICT r3 #5): a 16× salted
+    corpus through the MinHashLSH near-dup path must cost well under
+    16× the 1× wall time (bucketed candidates → near-linear; an
+    accidental all-pairs formulation would go ~256×), and the
+    TEST-ONLY all-pairs baseline must never be invoked on this path.
+    EVERY token is salted per replica so replicas share no shingles —
+    corpus grows 16×, dup structure per replica unchanged. (This gate
+    is what caught the unigram-feature formulation: unigram token sets
+    over the corpus's bounded vocabulary made most doc pairs TRUE
+    near-dups — 22M output pairs, 66× wall — which no LSH can
+    undercut; shingle features keep true pairs near-linear.)"""
+    import time
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    def _forbidden(*a, **k):  # pragma: no cover
+        raise AssertionError("all-pairs baseline invoked on the LSH scale path")
+
+    monkeypatch.setattr(SIM, "embedding_neardup_pairs_allpairs", _forbidden)
+
+    d = read_table(spark, smoke_sf_dir, "documents").select("doc_id", "text")
+    reps = [
+        d.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t, i=i: F.concat(F.lit(f"r{i}x"), t),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        for i in range(16)
+    ]
+    big = reduce(DataFrame.unionByName, reps)
+
+    def run(df) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        n = DD.minhash_lsh_pairs(df, threshold=0.7).count()
+        return time.perf_counter() - t0, n
+
+    run(d)  # warm codegen/JIT so t1 isn't first-run-taxed
+    t1, pairs1 = run(d)
+    t16, pairs16 = run(big)
+    # The deterministic quadratic detector: true near-dup pairs must
+    # grow ~linearly with the corpus (disjoint replicas → exactly 16×).
+    # The failed unigram formulation produced 256× (22M pairs) here.
+    assert pairs16 <= 20 * max(pairs1, 1), (pairs1, pairs16)
+    # Wall backstop, calibrated: at smoke scale the 1× run is fixed-
+    # cost dominated (1.4-2.4s observed, mostly overhead), so linear
+    # work lands at t16 ≈ 13s; quadratic landed at 219s. The 2s floor
+    # de-flakes the denominator; 8× separates the two regimes by >13×.
+    assert t16 < 8.0 * max(t1, 2.0), (t1, t16)
