@@ -48,3 +48,36 @@ def test_q158_gapfill_no_nested_loop(spark, smoke_sf_dir):
     plan = _executed_plan(queries()["q158_gapfill_forward_fill"](spark, smoke_sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q173_band_candidates_equi_join(spark, smoke_sf_dir):
+    """LSH candidate generation must be an EQUI-join on the band-bucket
+    key (hash or sort-merge — bucketed either way): a nested-loop or
+    cartesian plan here is exactly the all-pairs explosion the banding
+    exists to prevent."""
+    plan = _executed_plan(
+        queries()["q173_band_collision_candidates"](spark, smoke_sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_q183_novelty_equi_join_and_partial_agg(spark, smoke_sf_dir):
+    """The first-seen inverted index joins back on the shingle key
+    (equi-join) and both aggregates must have map-side partials — at
+    100 TB the shingle relation dwarfs the corpus."""
+    plan = _executed_plan(queries()["q183_ngram_novelty"](spark, smoke_sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_q175_shard_assignment_is_scan_local(spark, smoke_sf_dir):
+    """Shard assignment must evaluate inside the scan stage: one scan,
+    one aggregate exchange (16 groups), nothing else — the whole point
+    of hash sharding is zero data movement before the rollup."""
+    plan = _executed_plan(queries()["q175_shard_balance"](spark, smoke_sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
