@@ -78,9 +78,37 @@ def q57_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFram
     return MM.decode_features(MM.generate_bmp_payloads(d))
 
 
-@query("q58_multimodal_frame_sample", oracle=None)
+@query(
+    "q58_multimodal_frame_sample",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, text,
+                   unnest(range(0, greatest(1, length(text)), 128))
+                       AS frame_offset
+            FROM documents WHERE doc_id < 100
+        ),
+        c AS (
+            SELECT doc_id, frame_offset,
+                   substr(text, CAST(frame_offset + 1 AS INT), 128) AS chunk
+            FROM f
+        )
+        SELECT doc_id,
+               CAST(frame_offset AS BIGINT) AS frame_offset,
+               CAST(length(chunk) AS BIGINT) AS frame_bytes,
+               CAST(CAST(COALESCE(list_sum(list_transform(
+                        range(1, length(chunk) + 1),
+                        i -> ord(substr(chunk, CAST(i AS INT), 1)))), 0)
+                    AS BIGINT) % 256 AS INT) AS frame_checksum
+        FROM c
+    """,
+)
 def q58_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame-sampling shape over binary payloads (mapInPandas row
-    expansion — a real video sampler emits one row per frame)."""
+    expansion — a real video sampler emits one row per frame). The
+    payloads are UTF-8 text bytes and the corpus is pure ASCII (byte
+    == codepoint, verified at every SF), so each frame's byte-sum
+    checksum is recomputable per character in SQL — the expansion
+    arithmetic AND the per-frame byte accounting are value-hash-checked
+    (previously rows-only on plumbing-test evidence alone)."""
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return MM.frame_sample(MM.attach_binary(d), every_n_bytes=128)
