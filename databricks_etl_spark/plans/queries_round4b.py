@@ -1,0 +1,1064 @@
+"""Round-4 second wave: graph analytics over the dup-candidate graph,
+a cross-engine Bloom-filter membership gate, interval-concurrency
+sweep, a deequ-style data-quality expectation report, CDC changelog
+compaction, and marketing attribution.
+
+Every query here is hash-checked against DuckDB. None have a reference
+analog (the reference is a fixed 3-notebook pipeline — see SURVEY.md
+§2); they extend §2.12's large-pipeline surface: the triangle census
+completes the graph ladder (connected components q123 → PageRank q169
+→ triangles), the Bloom gate completes the sketch ladder (HLL q143 →
+CMS q146 → KLL q149 → Bloom), and compaction/attribution/DQ are the
+operational queries a 100 TB ingestion pipeline runs daily.
+
+Determinism rules followed throughout (README): identical aliases both
+sides, md5 for cross-engine hashing, integer/decimal arithmetic before
+any double division, round(·, 6) on every ratio, explicit (ts,
+event_id) tiebreakers, second-floored epoch diffs via the q81 pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.plans.queries_round4 import _band_buckets, _BANDS_SQL
+from databricks_etl_spark.plans.registry import query
+from databricks_etl_spark.sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# q185 — triangle census / global clustering coefficient of the LSH
+# candidate graph
+# ---------------------------------------------------------------------------
+
+_EDGES_SQL = f"""
+        WITH {_BANDS_SQL},
+        e AS (
+            SELECT DISTINCT a.doc_id AS u, c.doc_id AS v
+            FROM b a JOIN b c
+              ON a.band = c.band AND a.band_hash = c.band_hash
+             AND a.doc_id < c.doc_id
+        )
+"""
+
+
+@query(
+    "q185_triangle_census",
+    oracle=f"""
+        {_EDGES_SQL},
+        deg AS (
+            SELECT node, COUNT(*) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node
+        ),
+        tri AS (
+            SELECT COUNT(*) AS n_tri
+            FROM e ab JOIN e bc ON ab.v = bc.u
+                      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+        )
+        SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT n_tri FROM tri) AS BIGINT) AS n_triangles,
+               CAST((SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) FROM deg)
+                   AS BIGINT) AS n_wedges,
+               round(CASE WHEN (SELECT SUM(d * (d - 1)) / 2 FROM deg) > 0
+                          THEN 3.0 * (SELECT n_tri FROM tri)
+                               / (SELECT SUM(d * (d - 1)) / 2 FROM deg)
+                          END, 6) AS global_clustering
+    """,
+)
+def q185_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the LSH
+    near-dup candidate graph — the graph-shape diagnostic a dedup
+    pipeline runs before clustering: high clustering means collision
+    buckets are coherent groups (safe to transitively merge, q123);
+    low clustering means chains of borderline pairs that transitive
+    closure would over-merge. Completes the graph ladder (components
+    q123 → PageRank q169 → triangles).
+
+    Plan: edges oriented u < v, so each triangle u<v<w is counted
+    exactly once by the two-join wedge-close ((u,v)⋈(v,w)⋈(u,w)) —
+    the standard distributed triangle enumeration. At 100 TB the
+    orientation bounds join fan-out by max out-degree; the candidate
+    graph is near-linear in corpus size (scale gate on q173's
+    generator), so both joins are shuffle-bounded equi-joins, never a
+    cross product. Wedge count Σ d(d-1)/2 is one map-combinable agg.
+    """
+    b = _band_buckets(spark, sf_dir)
+    a = b.select(F.col("doc_id").alias("u"), "band", "band_hash")
+    c = b.select(F.col("doc_id").alias("v"), "band", "band_hash")
+    e = (
+        a.join(c, ["band", "band_hash"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges")
+    )
+    ab = e.select(F.col("u").alias("tu"), F.col("v").alias("tv"))
+    bc = e.select(F.col("u").alias("tv"), F.col("v").alias("tw"))
+    ac = e.select(F.col("u").alias("tu"), F.col("v").alias("tw"))
+    tri = (
+        ab.join(bc, "tv")
+        .join(ac, ["tu", "tw"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    row = n_edges.crossJoin(tri).crossJoin(wedges)  # three 1-row aggregates
+    return row.select(
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ),
+            6,
+        ).alias("global_clustering"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q186 — Bloom-filter membership gate (completes the sketch ladder)
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 3  # hash functions
+_BLOOM_PRICE = 490_000  # member set: orders priced above this
+
+
+def _pos_sql(i: int, key: str) -> str:
+    """Bit position 0..4095 for hash function ``i``: first three md5
+    nibbles of ``'i|key'`` (the q163 nibble-extraction idiom)."""
+    h = f"md5('{i}|' || CAST({key} AS VARCHAR))"
+    return (
+        f"((instr('0123456789abcdef', substr({h}, 1, 1)) - 1) * 256"
+        f" + (instr('0123456789abcdef', substr({h}, 2, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr({h}, 3, 1)) - 1))"
+    )
+
+
+def _pos_col(i: int, key) -> F.Column:
+    h = F.md5(F.concat(F.lit(f"{i}|"), key.cast("string")))
+    nib = lambda k: F.instr(F.lit("0123456789abcdef"), F.substring(h, k, 1)) - 1
+    return nib(1) * 256 + nib(2) * 16 + nib(3)
+
+
+@query(
+    "q186_bloom_membership_gate",
+    oracle=f"""
+        WITH members AS (
+            SELECT o_orderkey AS k FROM orders WHERE o_totalprice > {_BLOOM_PRICE}
+        ),
+        mpos AS (
+            {" UNION ALL ".join(f"SELECT k, {_pos_sql(i, 'k')} AS pos FROM members" for i in range(_BLOOM_K))}
+        ),
+        words AS (
+            SELECT pos >> 5 AS word,
+                   bit_or(CAST(1 AS BIGINT) << (pos & 31)) AS bits
+            FROM mpos GROUP BY 1
+        ),
+        probes AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        ppos AS (
+            {" UNION ALL ".join(f"SELECT k, {_pos_sql(i, 'k')} AS pos FROM probes" for i in range(_BLOOM_K))}
+        ),
+        hits AS (
+            SELECT p.k,
+                   SUM(CASE WHEN ((COALESCE(w.bits, 0) >> (p.pos & 31)) & 1) = 1
+                            THEN 1 ELSE 0 END) AS n_set
+            FROM ppos p LEFT JOIN words w ON w.word = p.pos >> 5
+            GROUP BY p.k
+        ),
+        verdicts AS (
+            SELECT h.k,
+                   h.n_set = {_BLOOM_K} AS bloom_hit,
+                   m.k IS NOT NULL AS is_member
+            FROM hits h LEFT JOIN members m ON m.k = h.k
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(COUNT(*) FILTER (is_member) AS BIGINT) AS n_members,
+               CAST(COUNT(*) FILTER (bloom_hit) AS BIGINT) AS n_bloom_hits,
+               CAST(COUNT(*) FILTER (bloom_hit AND NOT is_member) AS BIGINT)
+                   AS n_false_positives,
+               CAST(COUNT(*) FILTER (is_member AND NOT bloom_hit) AS BIGINT)
+                   AS n_false_negatives,
+               COUNT(*) FILTER (bloom_hit AND NOT is_member) * 20
+                   <= COUNT(*) FILTER (NOT is_member) AS fp_rate_ok
+        FROM verdicts
+    """,
+)
+def q186_bloom_membership_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, cross-engine bit-for-bit: build
+    a 4096-bit / 3-hash Bloom filter over high-value order keys, probe
+    every distinct lineitem orderkey through it, and report exact
+    true/false-positive counts against the real semi-join (false
+    negatives must be 0 — Bloom's one-sided guarantee — and the
+    empirical FP rate among true non-members must be ≤ 5%, checked in
+    integer arithmetic). This is the primitive behind runtime join
+    pruning at 100 TB: ship the O(KB) bit array to every scan task and
+    skip rows/row-groups that cannot join, paying only the bounded FP
+    rate in wasted reads. md5-nibble positions (q163 idiom) keep both
+    engines' bit arrays identical; the filter itself is built with one
+    map-combinable ``bit_or`` aggregate over ≤128 words.
+
+    Reference has no sketch surface (SURVEY §2); completes the
+    mergeable-sketch ladder HLL (q143) → CMS (q146) → KLL (q149) →
+    Bloom."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    members = orders.filter(F.col("o_totalprice") > _BLOOM_PRICE).select(
+        F.col("o_orderkey").alias("k")
+    )
+    mpos = None
+    for i in range(_BLOOM_K):
+        part = members.select("k", _pos_col(i, F.col("k")).alias("pos"))
+        mpos = part if mpos is None else mpos.unionAll(part)
+    words = mpos.groupBy((F.col("pos") / 32).cast("int").alias("word")).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), pos % 32)")).alias("bits")
+    )
+    probes = li.select(F.col("l_orderkey").alias("k")).distinct()
+    ppos = None
+    for i in range(_BLOOM_K):
+        part = probes.select("k", _pos_col(i, F.col("k")).alias("pos"))
+        ppos = part if ppos is None else ppos.unionAll(part)
+    hits = (
+        ppos.join(
+            F.broadcast(words),
+            (F.col("pos") / 32).cast("int") == F.col("word"),
+            "left",
+        )
+        .select(
+            "k",
+            F.expr(
+                "CASE WHEN (shiftright(COALESCE(bits, CAST(0 AS BIGINT)), pos % 32)"
+                " & 1) = 1 THEN 1 ELSE 0 END"
+            ).alias("set_bit"),
+        )
+        .groupBy("k")
+        .agg(F.sum("set_bit").alias("n_set"))
+    )
+    verdicts = hits.join(
+        F.broadcast(members.withColumn("__m", F.lit(1))), "k", "left"
+    ).select(
+        (F.col("n_set") == _BLOOM_K).alias("bloom_hit"),
+        F.col("__m").isNotNull().alias("is_member"),
+    )
+    return verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.count_if(F.col("is_member")).cast("long").alias("n_members"),
+        F.count_if(F.col("bloom_hit")).cast("long").alias("n_bloom_hits"),
+        F.count_if(F.col("bloom_hit") & ~F.col("is_member"))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.count_if(F.col("is_member") & ~F.col("bloom_hit"))
+        .cast("long")
+        .alias("n_false_negatives"),
+        (
+            F.count_if(F.col("bloom_hit") & ~F.col("is_member")) * 20
+            <= F.count_if(~F.col("is_member"))
+        ).alias("fp_rate_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187 — maximum interval concurrency (sweep-line over event intervals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q187_max_concurrent_intervals",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type, ts AS t, 1 AS delta FROM events
+            UNION ALL
+            SELECT event_type, ts + INTERVAL 5 MINUTE, -1 FROM events
+        ),
+        net AS (
+            SELECT event_type, t, SUM(delta) AS net
+            FROM pts GROUP BY 1, 2
+        ),
+        run AS (
+            SELECT event_type, t,
+                   SUM(net) OVER (PARTITION BY event_type ORDER BY t) AS conc
+            FROM net
+        ),
+        peak AS (
+            SELECT event_type, MAX(conc) AS peak_concurrency
+            FROM run GROUP BY event_type
+        )
+        SELECT p.event_type,
+               CAST(p.peak_concurrency AS BIGINT) AS peak_concurrency,
+               MIN(r.t) AS peak_at
+        FROM peak p JOIN run r
+          ON r.event_type = p.event_type AND r.conc = p.peak_concurrency
+        GROUP BY 1, 2
+    """,
+)
+def q187_max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per event type — each event held open
+    for 5 minutes, sweep-line (+1 at start, −1 at end), running sum,
+    max + earliest time the max is reached. The capacity-planning
+    query behind connection pools and stream-state sizing (peak
+    concurrent sessions = peak state entries).
+
+    Determinism: deltas are SUMMED PER TIMESTAMP before the running
+    sum (an interval ending exactly when another starts nets out), so
+    the window's ORDER BY t is a total order per group and no
+    tie-break ambiguity exists across engines. Scale: groupBy + one
+    window per event_type partition; state is one running integer —
+    the same sweep runs over any horizon. 100 TB variant: partition
+    the sweep by (event_type, day) after splitting intervals at day
+    boundaries (documented here; the 30-day test horizon needs none).
+    """
+    e = read_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        e.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    net = pts.groupBy("event_type", "t").agg(F.sum("delta").alias("net"))
+    w = Window.partitionBy("event_type").orderBy("t")
+    run = net.select("event_type", "t", F.sum("net").over(w).alias("conc"))
+    peak = run.groupBy("event_type").agg(F.max("conc").alias("peak_concurrency"))
+    return (
+        run.join(peak, "event_type")
+        .filter(F.col("conc") == F.col("peak_concurrency"))
+        .groupBy("event_type", F.col("peak_concurrency").cast("long").alias("peak_concurrency"))
+        .agg(F.min("t").alias("peak_at"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 — data-quality expectation report (deequ-style constraint suite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q188_dq_expectations",
+    oracle="""
+        WITH o AS (
+            SELECT COUNT(*) AS n,
+                   COUNT(DISTINCT o_orderkey) AS n_keys,
+                   COUNT(*) FILTER (o_orderstatus IN ('P','O','F')) AS n_status_ok,
+                   COUNT(*) FILTER (o_totalprice >= 1000 AND o_totalprice <= 500000)
+                       AS n_price_ok,
+                   COUNT(o_orderdate) AS n_date
+            FROM orders
+        ),
+        l AS (
+            SELECT COUNT(*) AS n,
+                   COUNT(*) FILTER (l_quantity >= 1 AND l_quantity <= 50) AS n_qty_ok,
+                   COUNT(*) FILTER (l_discount >= 0 AND l_discount <= 0.1) AS n_disc_ok
+            FROM lineitem
+        ),
+        ref AS (
+            SELECT COUNT(*) AS n_orphans
+            FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        )
+        SELECT 'orders' AS tbl, 'orderkey_unique' AS check_name,
+               round(CAST(n_keys AS DOUBLE) / n, 6) AS metric, n_keys = n AS passed
+        FROM o
+        UNION ALL SELECT 'orders', 'status_in_domain',
+               round(CAST(n_status_ok AS DOUBLE) / n, 6), n_status_ok = n FROM o
+        UNION ALL SELECT 'orders', 'price_in_range',
+               round(CAST(n_price_ok AS DOUBLE) / n, 6), n_price_ok = n FROM o
+        UNION ALL SELECT 'orders', 'orderdate_complete',
+               round(CAST(n_date AS DOUBLE) / n, 6), n_date = n FROM o
+        UNION ALL SELECT 'lineitem', 'quantity_in_range',
+               round(CAST(n_qty_ok AS DOUBLE) / n, 6), n_qty_ok = n FROM l
+        UNION ALL SELECT 'lineitem', 'discount_in_range',
+               round(CAST(n_disc_ok AS DOUBLE) / n, 6), n_disc_ok = n FROM l
+        UNION ALL SELECT 'lineitem', 'orderkey_references_orders',
+               round(1.0 - CAST(ref.n_orphans AS DOUBLE) / l.n, 6),
+               ref.n_orphans = 0
+        FROM l, ref
+    """,
+)
+def q188_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite as one report: uniqueness,
+    domain membership, range, completeness, and referential-integrity
+    checks over orders+lineitem, each emitting (tbl, check_name,
+    metric, passed) — the deequ/Great-Expectations contract a pipeline
+    gates ingestion on. Extends the reference's ad-hoc profiling
+    (SURVEY §2 A9–A11, ``pre_process.py``'s isnull/distinct counts)
+    into a single declarative constraint report.
+
+    Plan: ONE conditional-aggregate pass per table (all metrics fused,
+    map-side combinable — the A9 fusion rule) plus one anti-join for
+    the FK check; verdicts are integer comparisons (no float
+    equality). 100 TB: per-table scans dominate and fuse all checks;
+    adding a check adds a column, not a pass."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    oagg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        F.count_if(F.col("o_orderstatus").isin("P", "O", "F")).alias("n_status_ok"),
+        F.count_if(
+            (F.col("o_totalprice") >= 1000) & (F.col("o_totalprice") <= 500000)
+        ).alias("n_price_ok"),
+        F.count("o_orderdate").alias("n_date"),
+    )
+    lagg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50)).alias(
+            "n_qty_ok"
+        ),
+        F.count_if((F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1)).alias(
+            "n_disc_ok"
+        ),
+    )
+    orphans = li.join(
+        o.select("o_orderkey"),
+        li["l_orderkey"] == o["o_orderkey"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_orphans"))
+
+    def check(agg, tbl, name, num, den, strict=None):
+        ok = strict if strict is not None else (F.col(num) == F.col(den))
+        return agg.select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(name).alias("check_name"),
+            F.round(F.col(num).cast("double") / F.col(den), 6).alias("metric"),
+            ok.alias("passed"),
+        )
+
+    fk = lagg.crossJoin(orphans).select(  # two 1-row aggregates
+        F.lit("lineitem").alias("tbl"),
+        F.lit("orderkey_references_orders").alias("check_name"),
+        F.round(1.0 - F.col("n_orphans").cast("double") / F.col("n"), 6).alias(
+            "metric"
+        ),
+        (F.col("n_orphans") == 0).alias("passed"),
+    )
+    return (
+        check(oagg, "orders", "orderkey_unique", "n_keys", "n")
+        .unionAll(check(oagg, "orders", "status_in_domain", "n_status_ok", "n"))
+        .unionAll(check(oagg, "orders", "price_in_range", "n_price_ok", "n"))
+        .unionAll(check(oagg, "orders", "orderdate_complete", "n_date", "n"))
+        .unionAll(check(lagg, "lineitem", "quantity_in_range", "n_qty_ok", "n"))
+        .unionAll(check(lagg, "lineitem", "discount_in_range", "n_disc_ok", "n"))
+        .unionAll(fk)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 — CDC changelog compaction (latest-wins with tombstones)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q189_changelog_compaction",
+    oracle="""
+        WITH log AS (
+            SELECT o_orderkey AS k,
+                   i AS seq,
+                   CASE WHEN i = o_orderkey % 3 AND o_orderkey % 7 = 0 THEN 'D'
+                        WHEN i = 0 THEN 'I' ELSE 'U' END AS op,
+                   round(o_totalprice + i, 2) AS price_v
+            FROM orders, unnest(range(0, 1 + o_orderkey % 3)) t(i)
+        ),
+        latest AS (
+            SELECT k, seq, op, price_v,
+                   row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY k) AS n_versions
+            FROM log
+        )
+        SELECT k AS o_orderkey, op AS last_op, price_v AS final_price,
+               CAST(n_versions AS BIGINT) AS n_versions
+        FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q189_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog → snapshot compaction: a sequence-numbered I/U/D
+    changelog (synthesized deterministically from orders: 1–3 versions
+    per key, every 7th key ends in a delete tombstone) compacted to
+    latest-version-wins with tombstoned keys dropped — the core of
+    every incremental ingestion sink (Delta/Iceberg MERGE, Kafka
+    compacted topics). Complements q98 (two-table upsert) and q76
+    (SCD2 full history): this is the N-version single-stream shape.
+
+    Plan: one window (row_number DESC over seq, partitioned by key) —
+    a single shuffle on the key; at 100 TB this is the standard
+    hash-partitioned compaction and the window never materializes more
+    than one key's versions per task. Per-key version counts ride the
+    same window (COUNT OVER), not a second aggregate."""
+    o = read_table(spark, sf_dir, "orders")
+    log = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("o_orderkey") % 3).cast("int"))
+        ).alias("seq"),
+        "o_totalprice",
+    ).select(
+        "k",
+        "seq",
+        F.when(
+            (F.col("seq") == F.col("k") % 3) & (F.col("k") % 7 == 0), "D"
+        )
+        .when(F.col("seq") == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.round(F.col("o_totalprice") + F.col("seq"), 2).alias("price_v"),
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    wc = Window.partitionBy("k")
+    latest = log.select(
+        "k",
+        "op",
+        "price_v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_versions"),
+    )
+    return latest.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        F.col("k").alias("o_orderkey"),
+        F.col("op").alias("last_op"),
+        F.col("price_v").alias("final_price"),
+        F.col("n_versions").cast("long").alias("n_versions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190 — first/last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q190_touch_attribution",
+    oracle="""
+        WITH conv AS (
+            SELECT user_id, MIN(ts) AS conv_ts
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        touches AS (
+            SELECT e.user_id, e.event_type, e.ts, e.event_id,
+                   row_number() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id) AS rn_first,
+                   row_number() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts DESC, e.event_id DESC) AS rn_last
+            FROM events e JOIN conv c
+              ON e.user_id = c.user_id AND e.ts < c.conv_ts
+            WHERE e.event_type <> 'purchase'
+        )
+        SELECT event_type,
+               CAST(COUNT(*) FILTER (rn_first = 1) AS BIGINT) AS n_first_touch,
+               CAST(COUNT(*) FILTER (rn_last = 1) AS BIGINT) AS n_last_touch
+        FROM touches
+        GROUP BY event_type
+    """,
+)
+def q190_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every user
+    who purchased, credit the earliest and the latest non-purchase
+    event strictly before their first purchase, rolled up by channel
+    (event_type) — the two classic attribution models over the same
+    window pass. Tiebreaker (ts, event_id) is total per user, so both
+    row_numbers are cross-engine deterministic.
+
+    Plan: conversion timestamps are a grouped MIN (map-combinable);
+    touches join on user_id (co-partitioned with both windows'
+    partition key, so the join shuffle is REUSED by the windows — one
+    exchange total). At 100 TB: per-user windows, no global sort."""
+    e = read_table(spark, sf_dir, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        e.join(conv, "user_id")
+        .filter((F.col("ts") < F.col("conv_ts")) & (F.col("event_type") != "purchase"))
+    )
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = touches.select(
+        "event_type",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count_if(F.col("rn_first") == 1).cast("long").alias("n_first_touch"),
+        F.count_if(F.col("rn_last") == 1).cast("long").alias("n_last_touch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q191 — event-type transition matrix (first-order Markov estimate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q191_event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        t AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type,
+               CAST(n_transitions AS BIGINT) AS n_transitions,
+               round(CAST(n_transitions AS DOUBLE)
+                     / SUM(n_transitions) OVER (PARTITION BY prev_type), 6) AS p_next
+        FROM t
+    """,
+)
+def q191_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag(event_type) within user ordered by (ts, event_id),
+    transition counts, and the row-normalized transition probability —
+    the behavioral model behind session simulation and anomaly scoring
+    (a user whose path's likelihood under this matrix collapses is a
+    bot). Deterministic: the (ts, event_id) tiebreak totals the order;
+    normalization divides two exact BIGINTs once, then rounds.
+
+    Plan: one window (user partition) + one grouped count + one
+    normalize window over the 25-row matrix. 100 TB: the per-user lag
+    shuffle is the only data-sized exchange."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wn = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.round(
+            F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wn), 6
+        ).alias("p_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192 — decile lift table (propensity-model evaluation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q192_decile_lift",
+    oracle="""
+        WITH buyers AS (SELECT DISTINCT o_custkey FROM orders),
+        scored AS (
+            SELECT c.c_custkey,
+                   b.o_custkey IS NOT NULL AS bought,
+                   ntile(10) OVER (ORDER BY c.c_acctbal DESC, c.c_custkey) AS decile
+            FROM customer c LEFT JOIN buyers b ON c.c_custkey = b.o_custkey
+        ),
+        d AS (
+            SELECT decile, COUNT(*) AS n,
+                   COUNT(*) FILTER (bought) AS n_buyers
+            FROM scored GROUP BY decile
+        )
+        SELECT CAST(decile AS INT) AS decile,
+               CAST(n AS BIGINT) AS n_customers,
+               CAST(n_buyers AS BIGINT) AS n_buyers,
+               round(CAST(n_buyers AS DOUBLE) / n, 6) AS buy_rate,
+               round((CAST(n_buyers AS DOUBLE) / n)
+                     / (CAST(SUM(n_buyers) OVER () AS DOUBLE) / SUM(n) OVER ()),
+                     6) AS lift
+        FROM d
+    """,
+)
+def q192_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the standard propensity-model evaluation:
+    rank customers by score (acctbal as the stand-in model score,
+    c_custkey tiebreak makes the ntile deterministic), split into 10
+    equal-depth bins, and report each bin's buy rate against the
+    population rate. Top-decile lift > 1 means the score ranks
+    buyers ahead of non-buyers. Completes the ML-adjacent surface
+    (per-group OLS q115, KMeans q55/q171) with the evaluation side.
+
+    Plan: buyer flags come from a distinct + left join (broadcastable
+    dim); ntile is one global-sort window — at 100 TB swap for the
+    equi-depth histogram's percentile-bound binning (q170) to avoid
+    the total order; the 10-row lift arithmetic is window-over-10."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    buyers = o.select("o_custkey").distinct()
+    scored = c.join(
+        buyers, c["c_custkey"] == buyers["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        F.col("o_custkey").isNotNull().alias("bought"),
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("c_acctbal"), F.col("c_custkey")))
+        .alias("decile"),
+    )
+    d = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.count_if(F.col("bought")).alias("n_buyers")
+    )
+    wall = Window.partitionBy()
+    return d.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("n_buyers").cast("long").alias("n_buyers"),
+        F.round(F.col("n_buyers").cast("double") / F.col("n"), 6).alias("buy_rate"),
+        F.round(
+            (F.col("n_buyers").cast("double") / F.col("n"))
+            / (
+                F.sum("n_buyers").over(wall).cast("double")
+                / F.sum("n").over(wall)
+            ),
+            6,
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q193 — cosine similarity threshold join (exact audit rung)
+# ---------------------------------------------------------------------------
+
+_Q193_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "q193_cosine_threshold_join",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS id_a, embedding AS qe FROM embeddings
+                   WHERE vec_id < 50),
+             c AS (SELECT vec_id AS id_b, embedding AS ce FROM embeddings),
+             s AS (
+                SELECT id_a, id_b,
+                       round({_Q193_DOT.format(a='qe', b='ce')}
+                             / (sqrt({_Q193_DOT.format(a='qe', b='qe')})
+                                * sqrt({_Q193_DOT.format(a='ce', b='ce')})), 6)
+                           AS cosine_sim
+                FROM q, c WHERE id_a < id_b
+             )
+        SELECT id_a, id_b, cosine_sim FROM s WHERE cosine_sim >= 0.35
+    """,
+)
+def q193_cosine_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity THRESHOLD join (all pairs above τ), the set-valued
+    sibling of top-k (q47): for a bounded audit set of vectors
+    (vec_id < 50, broadcast), every corpus vector within cosine ≥
+    0.35. Same bit-exact sequential-fold cosine as q47, so the driver
+    hash-checks the join's value semantics exactly. This is the exact
+    verification rung under the LSH near-dup path (q63): production
+    runs LSH candidates → this exact predicate; the audit query runs
+    the exact predicate alone on a sampled query set to measure the
+    LSH path's recall (the q145 gate does exactly that for top-k).
+
+    Scale: broadcast-nested-loop with a BOUNDED query side — linear
+    in corpus, embarrassingly parallel; never an unbounded self-join
+    (the all-pairs variant is explicitly TEST-ONLY,
+    similarity.py:277)."""
+    from databricks_etl_spark.operators.similarity import cosine
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("ce"))
+    s = (
+        F.broadcast(q)
+        .join(c, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine_sim"),
+        )
+    )
+    return s.filter(F.col("cosine_sim") >= 0.35)
+
+
+# ---------------------------------------------------------------------------
+# q194 — late-arrival audit (watermark sizing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q194_late_arrival_audit",
+    oracle="""
+        WITH arr AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                   MAX(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS hwm_s
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(*) FILTER (hwm_s - ts_s > 60) AS BIGINT) AS n_late,
+               CAST(COALESCE(MAX(CASE WHEN hwm_s - ts_s > 0
+                                      THEN hwm_s - ts_s END), 0) AS BIGINT)
+                   AS max_late_s
+        FROM arr
+        GROUP BY event_type
+    """,
+)
+def q194_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data audit for watermark sizing: replay events in arrival
+    order (event_id is the ingestion sequence), track the per-type
+    event-time high-water mark, and measure how far behind it each
+    event arrives — n_late (> 60 s behind) and the worst lateness.
+    This is THE query that chooses ``withWatermark`` delays for the
+    streaming lane (q80/q128/q131): a 60 s watermark would drop
+    exactly n_late rows. Second-floored epoch diffs (the q81 rule)
+    keep the arithmetic integer and cross-engine exact.
+
+    Plan: one running-max window per event_type partition + fused
+    conditional aggregates. 100 TB: arrival order is per-partition
+    monotone in real ingestion, so the window partitions by (type,
+    ingest shard) and never globally sorts."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = e.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.max(F.unix_timestamp("ts")).over(w).alias("hwm_s"),
+    )
+    late = F.col("hwm_s") - F.col("ts_s")
+    return arr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_if(late > 60).cast("long").alias("n_late"),
+        F.coalesce(F.max(F.when(late > 0, late)), F.lit(0))
+        .cast("long")
+        .alias("max_late_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q195 — snapshot diff (data-diff between table versions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q195_snapshot_diff",
+    oracle="""
+        WITH old AS (
+            SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+            FROM orders WHERE o_orderkey % 10 <> 3
+        ),
+        new AS (
+            SELECT o_orderkey AS k,
+                   round(o_totalprice
+                         + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END, 2) AS price,
+                   CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END
+                       AS status
+            FROM orders WHERE o_orderkey % 10 <> 7
+        ),
+        d AS (
+            SELECT COALESCE(o.k, n.k) AS k,
+                   CASE WHEN o.k IS NULL THEN 'added'
+                        WHEN n.k IS NULL THEN 'removed'
+                        WHEN o.price <> n.price OR o.status <> n.status
+                            THEN 'changed'
+                        ELSE 'unchanged' END AS diff_status,
+                   CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                             AND o.price <> n.price THEN 1 ELSE 0 END AS price_chg,
+                   CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                             AND o.status <> n.status THEN 1 ELSE 0 END AS status_chg
+            FROM old o FULL OUTER JOIN new n ON o.k = n.k
+        )
+        SELECT diff_status,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(price_chg) AS BIGINT) AS n_price_changed,
+               CAST(SUM(status_chg) AS BIGINT) AS n_status_changed
+        FROM d GROUP BY diff_status
+    """,
+)
+def q195_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot data-diff: full-outer join two versions of a table on
+    the primary key and classify every key as added / removed /
+    changed / unchanged, with per-column change counts — the
+    regression report run between pipeline versions before promoting
+    an output (the data-diff tool pattern). The two versions are
+    synthesized deterministically from orders (disjoint key drops on
+    each side, a price bump every 5th key, a status rewrite every
+    13th).
+
+    Plan: one full-outer hash join on the key + fused conditional
+    aggregates; at 100 TB both sides partition on the key and the
+    diff is a co-partitioned merge, no second shuffle."""
+    o = read_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 3).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    new = o.filter(F.col("o_orderkey") % 10 != 7).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 5 == 0, 1).otherwise(0),
+            2,
+        ).alias("price"),
+        F.when(F.col("o_orderkey") % 13 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    j = old.alias("o").join(new.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer")
+    both = F.col("o.k").isNotNull() & F.col("n.k").isNotNull()
+    d = j.select(
+        F.when(F.col("o.k").isNull(), "added")
+        .when(F.col("n.k").isNull(), "removed")
+        .when(
+            (F.col("o.price") != F.col("n.price"))
+            | (F.col("o.status") != F.col("n.status")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("diff_status"),
+        F.when(both & (F.col("o.price") != F.col("n.price")), 1)
+        .otherwise(0)
+        .alias("price_chg"),
+        F.when(both & (F.col("o.status") != F.col("n.status")), 1)
+        .otherwise(0)
+        .alias("status_chg"),
+    )
+    return d.groupBy("diff_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("price_chg").cast("long").alias("n_price_changed"),
+        F.sum("status_chg").cast("long").alias("n_status_changed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196 — token co-occurrence lift (log-free PMI)
+# ---------------------------------------------------------------------------
+
+_Q196_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+@query(
+    "q196_token_association_lift",
+    oracle=f"""
+        WITH pres AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, unnest({_Q196_TOKS}) AS tok FROM documents)
+        ),
+        df AS (SELECT tok, COUNT(*) AS n_docs FROM pres GROUP BY tok),
+        top AS (
+            SELECT tok, n_docs,
+                   row_number() OVER (ORDER BY n_docs DESC, tok) AS r
+            FROM df
+        ),
+        top50 AS (SELECT tok, n_docs FROM top WHERE r <= 50),
+        p AS (
+            SELECT pr.doc_id, pr.tok, t.n_docs
+            FROM pres pr JOIN top50 t ON pr.tok = t.tok
+        ),
+        pairs AS (
+            SELECT a.tok AS tok_a, b.tok AS tok_b,
+                   MIN(a.n_docs) AS n_a, MIN(b.n_docs) AS n_b,
+                   COUNT(*) AS n_both
+            FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2
+        ),
+        total AS (SELECT COUNT(*) AS n FROM documents),
+        lifted AS (
+            SELECT tok_a, tok_b,
+                   CAST(n_both AS BIGINT) AS n_both,
+                   round(CAST(n_both AS DOUBLE) * total.n / (n_a * n_b), 6) AS lift
+            FROM pairs, total WHERE n_both >= 5
+        )
+        SELECT tok_a, tok_b, n_both, lift,
+               CAST(row_number() OVER (ORDER BY lift DESC, tok_a, tok_b) AS BIGINT)
+                   AS rank
+        FROM lifted
+        QUALIFY rank <= 20
+    """,
+)
+def q196_token_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence association as LIFT — P(a,b)/(P(a)P(b))
+    over document-level presence, the log-free core of PMI (log is
+    monotone, so lift ranks pairs identically to PMI while keeping the
+    arithmetic a single exact-integer ratio — no cross-engine libm
+    log). Top-20 associated pairs among the 50 highest-document-
+    frequency tokens: collocation mining for tokenizer/boilerplate
+    diagnostics (a pair with lift ≈ 1/P(a) is a glued phrase).
+
+    Scale: the vocabulary is CAPPED (top-50 by document frequency,
+    deterministic ties) and broadcast, so per-doc candidate pairs are
+    bounded by C(50,2) — linear in corpus, never vocab². One grouped
+    count per pair; the final top-20 is a 20-row window."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    pres = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    ).distinct()
+    df_ = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
+    top50 = (
+        df_.select(
+            "tok",
+            "n_docs",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_docs"), F.col("tok")))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 50)
+        .drop("r")
+    )
+    p = pres.join(F.broadcast(top50), "tok")
+    a = p.select(
+        F.col("doc_id"), F.col("tok").alias("tok_a"), F.col("n_docs").alias("n_a")
+    )
+    b = p.select(
+        F.col("doc_id"), F.col("tok").alias("tok_b"), F.col("n_docs").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+            F.count(F.lit(1)).alias("n_both"),
+        )
+        .filter(F.col("n_both") >= 5)
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    lifted = pairs.crossJoin(F.broadcast(total)).select(  # 1-row total broadcast
+        "tok_a",
+        "tok_b",
+        F.col("n_both").cast("long").alias("n_both"),
+        F.round(
+            F.col("n_both").cast("double") * F.col("n") / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    )
+    return (
+        lifted.select(
+            "tok_a",
+            "tok_b",
+            "n_both",
+            "lift",
+            F.row_number()
+            .over(Window.orderBy(F.desc("lift"), "tok_a", "tok_b"))
+            .cast("long")
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= 20)
+    )

@@ -277,11 +277,12 @@ def _load() -> None:
     # round-3 modules
     import databricks_etl_spark.plans.queries_scale  # noqa: F401
     import databricks_etl_spark.plans.queries_corpus  # noqa: F401
-    # round-4 module
+    # round-4 modules
     import databricks_etl_spark.plans.queries_round4  # noqa: F401
+    import databricks_etl_spark.plans.queries_round4b  # noqa: F401
 
-    assert len(QUERIES) >= 182, (
-        f"query registry shrank: {len(QUERIES)} < 182 — a module failed to register"
+    assert len(QUERIES) >= 188, (
+        f"query registry shrank: {len(QUERIES)} < 188 — a module failed to register"
     )
     _reorder()
     _loaded = True

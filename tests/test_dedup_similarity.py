@@ -137,9 +137,14 @@ def test_lsh_neardup_scales_near_linear(spark, smoke_sf_dir, monkeypatch):
     corpus grows 16×, dup structure per replica unchanged. (This gate
     is what caught the unigram-feature formulation: unigram token sets
     over the corpus's bounded vocabulary made most doc pairs TRUE
-    near-dups — 22M output pairs, 66× wall — which no LSH can
-    undercut; shingle features keep true pairs near-linear.)"""
-    import time
+    near-dups — 22M output pairs — which no LSH can undercut; shingle
+    features keep true pairs near-linear.)
+
+    Both gates are deterministic COUNT gates (seed fixed), not wall
+    clocks: an earlier wall-ratio backstop flaked under full-suite CPU
+    load (t4 landing under its floor while a GC pause hit t16), and
+    candidate/pair counts detect a quadratic formulation more sharply
+    than wall time anyway (256× vs 16× growth, no noise)."""
     from functools import reduce
 
     from pyspark.sql import DataFrame
@@ -163,24 +168,24 @@ def test_lsh_neardup_scales_near_linear(spark, smoke_sf_dir, monkeypatch):
         )
         for i in range(16)
     ]
-    big4 = reduce(DataFrame.unionByName, reps[:4])
     big16 = reduce(DataFrame.unionByName, reps)
 
-    def run(df) -> tuple[float, int]:
-        t0 = time.perf_counter()
-        n = DD.minhash_lsh_pairs(df, threshold=0.7).count()
-        return time.perf_counter() - t0, n
-
-    _, pairs1 = run(d)  # also warms codegen/JIT
-    t4, _ = run(big4)
-    t16, pairs16 = run(big16)
-    # The deterministic quadratic detector: true near-dup pairs must
-    # grow ~linearly with the corpus (disjoint replicas → exactly 16×).
-    # The failed unigram formulation produced 256× (22M pairs) here.
+    # Gate 1 — true near-dup pairs grow ~linearly with the corpus
+    # (disjoint replicas → exactly 16×). The failed unigram
+    # formulation produced 256× (22M pairs) here.
+    pairs1 = DD.minhash_lsh_pairs(d, threshold=0.7).count()
+    pairs16 = DD.minhash_lsh_pairs(big16, threshold=0.7).count()
     assert pairs16 <= 20 * max(pairs1, 1), (pairs1, pairs16)
-    # Wall backstop as a 16×-vs-4× ratio: both runs are parallel-heavy,
-    # so ambient CPU contention cancels (a 1× denominator is overhead-
-    # bound and inflated 10× less by load — measured flaking at 128s
-    # vs 13s under a concurrent bench). Linear work → ratio ≈ 2-4;
-    # quadratic → (16/4)² ≈ 16. The 1.5s floor de-flakes tiny t4.
-    assert t16 < 6.0 * max(t4, 1.5), (t4, t16)
+    # Gate 2 — CANDIDATE work (threshold=0.0 → distance cutoff 1.0 →
+    # every bucket-collision pair the join ever materializes). This is
+    # the Σ C(bucket_size, 2) the bucketed plan actually pays. A
+    # healthy formulation measures 40× here (16× true linear growth
+    # plus the unavoidable J·random band-collision floor, which is
+    # itself mildly quadratic but tiny in absolute rate: 1755 → 70202
+    # pairs, deterministic under the fixed seed); the quadratic
+    # unigram failure measures ≥256×. 100× separates the regimes with
+    # margin on both sides. The 50-row denominator floor guards a
+    # near-empty 1× candidate set.
+    cand1 = DD.minhash_lsh_pairs(d, threshold=0.0).count()
+    cand16 = DD.minhash_lsh_pairs(big16, threshold=0.0).count()
+    assert cand16 <= 100 * max(cand1, 50), (cand1, cand16)
