@@ -1062,3 +1062,550 @@ def q196_token_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q197 — integer-weight EWMA smoothing (exact-arithmetic time series)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q197_ewma_revenue",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderpriority AS priority, o_orderdate AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+            FROM orders GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT priority, day, rev,
+                   lag(rev, 1) OVER w AS r1, lag(rev, 2) OVER w AS r2,
+                   lag(rev, 3) OVER w AS r3, lag(rev, 4) OVER w AS r4
+            FROM daily
+            WINDOW w AS (PARTITION BY priority ORDER BY day)
+        )
+        SELECT priority, day,
+               CAST(rev AS DOUBLE) AS daily_rev,
+               round(CAST(16 * rev + 8 * COALESCE(r1, 0) + 4 * COALESCE(r2, 0)
+                          + 2 * COALESCE(r3, 0) + COALESCE(r4, 0) AS DOUBLE)
+                     / (16 + CASE WHEN r1 IS NULL THEN 0 ELSE 8 END
+                           + CASE WHEN r2 IS NULL THEN 0 ELSE 4 END
+                           + CASE WHEN r3 IS NULL THEN 0 ELSE 2 END
+                           + CASE WHEN r4 IS NULL THEN 0 ELSE 1 END), 6) AS ewma
+        FROM lagged
+    """,
+)
+def q197_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue per
+    order priority — the trailing-window smoother behind every metrics
+    dashboard — built with EXACT arithmetic so it cross-engine
+    hash-matches: weights are the dyadic ladder 16/8/4/2/1 over the
+    last five days, revenue terms stay DECIMAL through the weighted
+    sum (integer × decimal is exact), and the single double division
+    happens once at the end (the q130 exact-arithmetic rule; a
+    float-recursive ewma(t) = αx + (1−α)ewma(t−1) would accumulate
+    engine-order error and can never hash-match). Warm-up days
+    renormalize over the weights actually present.
+
+    Plan: one grouped decimal sum + one 4-lag window per priority
+    partition — a 100 TB-safe per-key series pass, no global sort."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast(MONEY)).alias("rev"))
+    w = Window.partitionBy("priority").orderBy("day")
+    lagged = daily.select(
+        "priority",
+        "day",
+        "rev",
+        *[F.lag("rev", k).over(w).alias(f"r{k}") for k in (1, 2, 3, 4)],
+    )
+    num = (
+        16 * F.col("rev")
+        + 8 * F.coalesce(F.col("r1"), F.lit(0))
+        + 4 * F.coalesce(F.col("r2"), F.lit(0))
+        + 2 * F.coalesce(F.col("r3"), F.lit(0))
+        + F.coalesce(F.col("r4"), F.lit(0))
+    )
+    den = (
+        F.lit(16)
+        + F.when(F.col("r1").isNull(), 0).otherwise(8)
+        + F.when(F.col("r2").isNull(), 0).otherwise(4)
+        + F.when(F.col("r3").isNull(), 0).otherwise(2)
+        + F.when(F.col("r4").isNull(), 0).otherwise(1)
+    )
+    return lagged.select(
+        "priority",
+        "day",
+        F.col("rev").cast("double").alias("daily_rev"),
+        F.round(num.cast("double") / den, 6).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q198 — rank-based quantile normalization (feature scaling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q198_quantile_normalization",
+    oracle="""
+        WITH r AS (
+            SELECT c_custkey, c_mktsegment,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey) AS rk,
+                   COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+            FROM customer
+        )
+        SELECT c_custkey, c_mktsegment,
+               round(CASE WHEN n > 1
+                          THEN CAST(rk - 1 AS DOUBLE) / (n - 1) END, 6) AS qnorm
+        FROM r
+    """,
+)
+def q198_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of a feature within groups: each
+    customer's account balance mapped to its empirical quantile in
+    [0, 1] within its market segment — the distribution-free feature
+    scaling used before training when raw scales are incomparable
+    across segments. (c_acctbal, c_custkey) tiebreak totals the order,
+    so ranks — and therefore every output value — are cross-engine
+    deterministic; the only float op is one division, rounded.
+
+    Plan: one rank window per segment partition (no global sort); at
+    100 TB segments partition the shuffle and the transform stays one
+    exchange. Single-row groups emit NULL (undefined quantile), same
+    CASE both engines."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    r = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(
+            F.when(
+                F.col("n") > 1,
+                (F.col("rk") - 1).cast("double") / (F.col("n") - 1),
+            ),
+            6,
+        ).alias("qnorm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199 — partition manifest statistics (data-skipping file stats)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q199_partition_manifest",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INT) AS part_year,
+               CAST(month(o_orderdate) AS INT) AS part_month,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+               MAX(o_totalprice) < 490000 AS prunable_for_highvalue
+        FROM orders
+        GROUP BY 1, 2
+    """,
+)
+def q199_partition_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-manifest statistics — the min/max/count column stats
+    a lakehouse table format (Delta/Iceberg manifests, parquet
+    row-group footers) keeps per partition for data skipping, computed
+    as a table: one row per (year, month) partition of orders with key
+    and price bounds plus a concrete skipping verdict
+    (``prunable_for_highvalue``: a ``price > 490k`` scan — q186's
+    Bloom member set — can skip this partition entirely). Together
+    with q148 (Z-order pruning proven in the physical plan) this
+    covers data skipping from both ends: q148 proves Spark PRUNES,
+    this produces the stats a planner prunes WITH.
+
+    Plan: one grouped aggregate, all stats fused and map-combinable
+    (min/max/count/distinct-status); at 100 TB this is the manifest-
+    build job that runs per written partition."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("int").alias("part_year"),
+        F.month("o_orderdate").cast("int").alias("part_month"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count_distinct("o_orderstatus").cast("long").alias("n_statuses"),
+        (F.max("o_totalprice") < 490000).alias("prunable_for_highvalue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q200 — Gini concentration of supplier revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q200_gini_concentration",
+    oracle="""
+        WITH srev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(28,6))) AS rev
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        ranked AS (
+            SELECT rev,
+                   row_number() OVER (ORDER BY rev, l_suppkey) AS i,
+                   COUNT(*) OVER () AS n
+            FROM srev
+        ),
+        tops AS (
+            SELECT SUM(rev) AS top10_rev
+            FROM (SELECT rev FROM srev ORDER BY rev DESC, l_suppkey LIMIT 10)
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_suppliers,
+               CAST(SUM(rev) AS DOUBLE) AS total_rev,
+               round(2.0 * CAST(SUM(i * rev) AS DOUBLE)
+                     / (MAX(n) * CAST(SUM(rev) AS DOUBLE))
+                     - (MAX(n) + 1.0) / MAX(n), 6) AS gini,
+               round(CAST((SELECT top10_rev FROM tops) AS DOUBLE)
+                     / CAST(SUM(rev) AS DOUBLE), 6) AS top10_share
+        FROM ranked
+    """,
+)
+def q200_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-revenue concentration: the Gini coefficient (via the
+    exact rank formula G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over revenues
+    sorted ascending) plus the top-10 revenue share — the inequality
+    metrics a marketplace health report tracks. All sums are DECIMAL
+    (i·xᵢ is int × decimal, exact and order-independent); ties in
+    revenue are rank-order-invariant in Σ i·xᵢ (equal x swaps change
+    nothing), so the suppkey tiebreak is belt-and-braces.
+
+    Plan: grouped decimal revenue, one rank window over the ~supplier-
+    count rows (small after aggregation — the window input is
+    |suppliers|, not |lineitem|), and a 10-row top-k. 100 TB: lineitem
+    aggregates map-side first; only supplier-cardinality data sorts."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    li = read_table(spark, sf_dir, "lineitem")
+    srev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(MONEY)
+        ).alias("rev")
+    )
+    w = Window.orderBy("rev", "l_suppkey")
+    ranked = srev.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    top10 = (
+        srev.orderBy(F.desc("rev"), "l_suppkey")
+        .limit(10)
+        .agg(F.sum("rev").alias("top10_rev"))
+    )
+    agg = ranked.agg(
+        F.max("n").cast("long").alias("n_suppliers"),
+        F.sum("rev").cast("double").alias("total_rev"),
+        F.sum(F.col("i") * F.col("rev")).alias("sum_i_rev"),
+        F.max("n").alias("n_raw"),
+    )
+    return agg.crossJoin(F.broadcast(top10)).select(  # 1-row aggregates
+        "n_suppliers",
+        "total_rev",
+        F.round(
+            2.0 * F.col("sum_i_rev").cast("double")
+            / (F.col("n_raw") * F.col("total_rev"))
+            - (F.col("n_raw") + 1.0) / F.col("n_raw"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.col("top10_rev").cast("double") / F.col("total_rev"), 6
+        ).alias("top10_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q201 — seasonality index (month-of-year decomposition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q201_seasonality_index",
+    oracle="""
+        WITH monthly AS (
+            SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+            FROM orders GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT CAST(SUM(rev) AS DOUBLE) AS total,
+                   COUNT(*) AS n_months
+            FROM monthly
+        )
+        SELECT CAST(m AS INT) AS month_of_year,
+               CAST(COUNT(*) AS BIGINT) AS n_years,
+               CAST(SUM(rev) AS DOUBLE) AS month_rev,
+               round((CAST(SUM(rev) AS DOUBLE) / COUNT(*))
+                     / ((SELECT total FROM stats)
+                        / (SELECT n_months FROM stats)), 6) AS seasonal_index
+        FROM monthly
+        GROUP BY m
+    """,
+)
+def q201_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: average monthly revenue for
+    each calendar month divided by the overall monthly average — the
+    classical multiplicative-decomposition seasonal factor (index 1.1
+    = that month runs 10% hot), used to deseasonalize forecasts.
+    Decimal month sums; the index is a ratio of two exact-input
+    averages computed with identical IEEE ops on both engines, then
+    rounded.
+
+    Plan: two grouped aggregates (year-month, then month) + a 1-row
+    overall stat broadcast — all map-combinable; nothing scales past
+    |months|."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast(MONEY)).alias("rev"))
+    stats = monthly.agg(
+        F.sum("rev").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    bym = monthly.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_years"), F.sum("rev").alias("mrev")
+    )
+    return bym.crossJoin(F.broadcast(stats)).select(  # 1-row overall stats
+        F.col("m").cast("int").alias("month_of_year"),
+        F.col("n_years").cast("long").alias("n_years"),
+        F.col("mrev").cast("double").alias("month_rev"),
+        F.round(
+            (F.col("mrev").cast("double") / F.col("n_years"))
+            / (F.col("total") / F.col("n_months")),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q202 — weighted Bernoulli sampling with Horvitz-Thompson estimate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q202_weighted_sample_ht",
+    oracle="""
+        WITH keyed AS (
+            SELECT l_returnflag, l_quantity,
+                   ((l_orderkey * 10 + l_linenumber) % 1000000007) * 48271
+                       % 1000000007 % 500 AS bucket
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (bucket < l_quantity * 10) AS BIGINT)
+                   AS n_sampled,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                   AS exact_total_qty,
+               CAST(COUNT(*) FILTER (bucket < l_quantity * 10) * 50 AS BIGINT)
+                   AS ht_total_qty,
+               round((COUNT(*) FILTER (bucket < l_quantity * 10) * 50
+                      - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE))
+                     / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE),
+                     6) AS ht_rel_err
+        FROM keyed
+        GROUP BY l_returnflag
+    """,
+)
+def q202_weighted_sample_ht(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling, deterministic and cross-engine:
+    each lineitem survives with probability proportional to its
+    quantity (p = qty/50), decided by the portable MINSTD hash of its
+    (orderkey, linenumber) key against an integer threshold — the
+    same row set on any engine or partitioning (the q125 portability
+    contract, extended from uniform to weighted). The Horvitz-
+    Thompson estimator Σ qty/p = 50·|sample| then reconstructs total
+    quantity from the sample alone; the report shows the HT estimate
+    landing within a few percent of the exact decimal total — the
+    math a pipeline trusts when it trains on a weighted subsample.
+
+    Plan: scan-local filter (no shuffle to sample) + one grouped
+    aggregate. 100 TB: identical — sampling never shuffles."""
+    from databricks_etl_spark.functions.scalars import MONEY
+    from databricks_etl_spark.operators.sampling import hash_bucket
+
+    li = read_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_returnflag",
+        "l_quantity",
+        hash_bucket(
+            F.col("l_orderkey") * 10 + F.col("l_linenumber"), 500
+        ).alias("bucket"),
+    )
+    sampled = F.col("bucket") < F.col("l_quantity") * 10
+    exact = F.sum(F.col("l_quantity").cast(MONEY)).cast("double")
+    ht = F.count_if(sampled) * 50
+    return keyed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.count_if(sampled).cast("long").alias("n_sampled"),
+        exact.alias("exact_total_qty"),
+        ht.cast("long").alias("ht_total_qty"),
+        F.round((ht - exact) / exact, 6).alias("ht_rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q203 — conversion-latency quantiles (signup → first purchase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q203_conversion_latency",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, MIN(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        p AS (
+            SELECT s.user_id,
+                   MIN(e.ts) AS purchase_ts
+            FROM s JOIN events e
+              ON e.user_id = s.user_id AND e.event_type = 'purchase'
+             AND e.ts >= s.signup_ts
+            GROUP BY s.user_id
+        ),
+        gaps AS (
+            SELECT CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+                   - CAST(floor(epoch(s.signup_ts)) AS BIGINT) AS gap_s
+            FROM s JOIN p ON s.user_id = p.user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+               quantile_cont(gap_s, 0.5) AS median_gap_s,
+               quantile_cont(gap_s, 0.9) AS p90_gap_s,
+               CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+        FROM gaps
+    """,
+)
+def q203_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, the gap between
+    first signup and first subsequent purchase; min / median / p90 /
+    max across converting users — the activation-funnel latency report
+    (p90 tells growth how long to wait before calling a cohort cold).
+    Second-floored epoch gaps (q81 rule) keep the input integers;
+    percentile interpolation on BIGINTs matches DuckDB's
+    ``quantile_cont`` exactly (q81 precedent).
+
+    Plan: two grouped MINs on the user key (co-partitioned joins) +
+    one 1-row aggregate; the quantile runs over |converted users|."""
+    e = read_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    gaps = s.join(p, "user_id").select(
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+        ).alias("gap_s")
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.expr("percentile(gap_s, 0.5)").alias("median_gap_s"),
+        F.expr("percentile(gap_s, 0.9)").alias("p90_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q204 — week-over-week revenue delta per nation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q204_wow_revenue_delta",
+    oracle="""
+        WITH weekly AS (
+            SELECT n.n_name,
+                   CAST(date_trunc('week', o.o_orderdate) AS TIMESTAMP) AS week,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS rev
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT n_name, week,
+               CAST(rev AS DOUBLE) AS weekly_rev,
+               round(CASE WHEN lag(rev) OVER w IS NOT NULL
+                          THEN 100.0 * CAST(rev - lag(rev) OVER w AS DOUBLE)
+                               / CAST(lag(rev) OVER w AS DOUBLE) END, 6)
+                   AS wow_delta_pct
+        FROM weekly
+        WINDOW w AS (PARTITION BY n_name ORDER BY week)
+    """,
+)
+def q204_wow_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change per nation — the reporting
+    staple (weekly rollup + lag + percent delta). Weeks come from
+    ``date_trunc('week', ·)`` (Monday-start on both engines, emitted
+    as TIMESTAMP per the determinism rules); revenue sums are
+    decimal; the percent delta is one double division on exact
+    decimal inputs, rounded. First week of each nation is NULL (no
+    prior), same CASE both sides.
+
+    Plan: broadcast nation, one shuffle for the (nation, week)
+    aggregate, one lag window over the aggregated series (|weeks| per
+    nation, tiny). 100 TB: the aggregate is map-combinable and the
+    window input is already reduced."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    weekly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name", F.date_trunc("week", "o_orderdate").alias("week")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(MONEY)).alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("week")
+    prev = F.lag("rev").over(w)
+    return weekly.select(
+        "n_name",
+        "week",
+        F.col("rev").cast("double").alias("weekly_rev"),
+        F.round(
+            F.when(
+                prev.isNotNull(),
+                100.0 * (F.col("rev") - prev).cast("double") / prev.cast("double"),
+            ),
+            6,
+        ).alias("wow_delta_pct"),
+    )
