@@ -65,6 +65,7 @@ _EDGES_SQL = f"""
                                / (SELECT SUM(d * (d - 1)) / 2 FROM deg)
                           END, 6) AS global_clustering
     """,
+    bench=True,
 )
 def q185_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the LSH
@@ -478,6 +479,7 @@ def q188_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(n_versions AS BIGINT) AS n_versions
         FROM latest WHERE rn = 1 AND op <> 'D'
     """,
+    bench=True,
 )
 def q189_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog → snapshot compaction: a sequence-numbered I/U/D
@@ -1608,4 +1610,281 @@ def q204_wow_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("wow_delta_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q205/q206 — Spark 4 SQL-surface lane: recursive CTE + LATERAL join.
+# One source string, two engines (the q137 sql-lane pattern): the
+# EXACT text the DuckDB oracle runs also goes through spark.sql.
+# ---------------------------------------------------------------------------
+
+_Q205_SQL = """
+        WITH RECURSIVE h(c_custkey, root_key, depth) AS (
+            SELECT c_custkey, c_custkey AS root_key, 0 AS depth
+            FROM {customer} WHERE c_custkey < 10
+            UNION ALL
+            SELECT c.c_custkey, h.root_key, h.depth + 1
+            FROM {customer} c
+            JOIN h ON CAST(floor(c.c_custkey / 10) AS BIGINT) = h.c_custkey
+            WHERE c.c_custkey >= 10
+        )
+        SELECT c_custkey, CAST(root_key AS BIGINT) AS root_key,
+               CAST(depth AS INT) AS depth
+        FROM h
+"""
+
+
+@query("q205_recursive_hierarchy", oracle=_Q205_SQL.format(customer="customer"))
+def q205_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) walking a synthetic
+    reporting hierarchy: parent(custkey) = floor(custkey/10), roots
+    below 10 — every customer annotated with its root and depth, the
+    org-chart / BOM-explosion query shape relational engines
+    historically could not express without driver loops. Same source
+    text runs through spark.sql and DuckDB (q137 sql-lane pattern), so
+    the recursion SEMANTICS (not a re-implementation) are what's
+    hash-checked. Complements the manual iterative operators (connected
+    components q123, PageRank q169) with the declarative form.
+
+    Scale: each iteration is one equi-join of the frontier against the
+    base relation — Spark executes exactly the loop q123 hand-rolls,
+    depth here is ≤ 4 and the frontier shrinks geometrically."""
+    view = "cust_q205"
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView(view)
+    return spark.sql(_Q205_SQL.format(customer=view))
+
+
+_Q206_SQL = """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal, CAST(t.rnk AS INT) AS rnk
+        FROM {nation} n, LATERAL (
+            SELECT c_custkey, c_acctbal,
+                   row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rnk
+            FROM {customer} c WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+        ) t
+"""
+
+
+@query("q206_lateral_topk", oracle=_Q206_SQL.format(nation="nation", customer="customer"))
+def q206_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: top-3
+    customers by balance per nation, written as the for-each-row join
+    SQL users reach for — and decorrelated by Catalyst into the same
+    ranked-window plan the DataFrame formulation (q75) produces.
+    Identical text on both engines; (c_acctbal DESC, c_custkey)
+    totals the order so rank and row set are deterministic.
+
+    Scale: decorrelation turns the per-row subquery into one
+    partitioned window over customer — no N-queries re-execution."""
+    cv, nv = "cust_q206", "nat_q206"
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView(cv)
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView(nv)
+    return spark.sql(_Q206_SQL.format(nation=nv, customer=cv))
+
+
+# ---------------------------------------------------------------------------
+# q207 — higher moments from raw power sums (skewness/kurtosis)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q207_higher_moments",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                        AS DOUBLE) AS s2,
+                   CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS s3,
+                   CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS s4
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        m AS (
+            SELECT l_returnflag, n,
+                   s1 / n AS mean,
+                   s2 / n - (s1 / n) * (s1 / n) AS var_pop,
+                   s3 / n - 3 * (s1 / n) * (s2 / n)
+                          + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                   s4 / n - 4 * (s1 / n) * (s3 / n)
+                          + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                          - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+            FROM s
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               round(mean, 6) AS mean,
+               round(var_pop, 6) AS var_pop,
+               round(m3 / (var_pop * sqrt(var_pop)), 6) AS skewness,
+               round(m4 / (var_pop * var_pop) - 3, 6) AS excess_kurtosis
+        FROM m
+    """,
+)
+def q207_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis from RAW POWER SUMS
+    (Σx..Σx⁴ in exact decimal, central moments assembled at the end) —
+    the one-pass, map-combinable distribution profile a feature store
+    computes per column at 100 TB (engines' built-in ``skewness`` /
+    ``kurtosis`` differ in sample-vs-population convention across
+    engines, so the portable form IS the raw-moment form). Every
+    division happens on exact-decimal-derived doubles in the same
+    expression order on both engines; x⁴ ≤ 50⁴ stays integral in
+    double, so the power sums are exact.
+
+    Plan: ONE grouped aggregate, four fused decimal sums — identical
+    shuffle profile to a plain SUM."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(MONEY)).cast("double").alias("s1"),
+        F.sum((x * x).cast(MONEY)).cast("double").alias("s2"),
+        F.sum((x * x * x).cast(MONEY)).cast("double").alias("s3"),
+        F.sum((x * x * x * x).cast(MONEY)).cast("double").alias("s4"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var_pop = F.col("s2") / F.col("n") - mean * mean
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * mean * (F.col("s2") / F.col("n"))
+        + 2 * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mean * (F.col("s3") / F.col("n"))
+        + 6 * mean * mean * (F.col("s2") / F.col("n"))
+        - 3 * mean * mean * mean * mean
+    )
+    m = s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        mean.alias("mean"),
+        var_pop.alias("var_pop"),
+        m3.alias("m3"),
+        m4.alias("m4"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("var_pop", 6).alias("var_pop"),
+        F.round(
+            F.col("m3") / (F.col("var_pop") * F.sqrt(F.col("var_pop"))), 6
+        ).alias("skewness"),
+        F.round(
+            F.col("m4") / (F.col("var_pop") * F.col("var_pop")) - 3, 6
+        ).alias("excess_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208 — chi-square independence contingency (event type × weekday)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q208_chisq_contingency",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type, dayofweek(ts) AS dow_sun0, COUNT(*) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, dow_sun0, o,
+                   SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+                   SUM(o) OVER (PARTITION BY dow_sun0) AS col_tot,
+                   SUM(o) OVER () AS n
+            FROM obs
+        )
+        SELECT event_type, CAST(dow_sun0 AS INT) AS dow_sun0,
+               CAST(o AS BIGINT) AS observed,
+               round(CAST(row_tot AS DOUBLE) * col_tot / n, 6) AS expected,
+               round((o - CAST(row_tot AS DOUBLE) * col_tot / n)
+                     * (o - CAST(row_tot AS DOUBLE) * col_tot / n)
+                     / (CAST(row_tot AS DOUBLE) * col_tot / n), 6) AS chisq_contrib
+        FROM tot
+    """,
+)
+def q208_chisq_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence contingency for event type × weekday:
+    observed counts, expected-under-independence counts (row·col/n)
+    and each cell's χ² contribution — the seasonality-vs-channel
+    dependence screen an events pipeline runs before trusting a
+    day-of-week feature. Marginals ride window sums over the 35-cell
+    aggregate (integers, exact); each cell does the identical double
+    arithmetic on both engines. Weekday is Sunday-0 on both (Spark
+    ``dayofweek`` is 1-based → minus 1, the q181 dow rule).
+
+    Plan: one grouped count (map-combinable) + windows over 35 rows."""
+    e = read_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow_sun0")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = obs.select(
+        "event_type",
+        "dow_sun0",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("dow_sun0")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    expected = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    return tot.select(
+        "event_type",
+        F.col("dow_sun0").cast("int").alias("dow_sun0"),
+        F.col("o").cast("long").alias("observed"),
+        F.round(expected, 6).alias("expected"),
+        F.round((F.col("o") - expected) * (F.col("o") - expected) / expected, 6).alias(
+            "chisq_contrib"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q209 — ordered string aggregation (canonical list serialization)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q209_string_agg_ordered",
+    oracle="""
+        WITH r AS (
+            SELECT c_mktsegment, c_name,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_name, c_custkey) AS rk
+            FROM customer
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_listed,
+               string_agg(c_name, ',' ORDER BY c_name) AS first5_names
+        FROM r WHERE rk <= 5
+        GROUP BY c_mktsegment
+    """,
+)
+def q209_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED string aggregation — DuckDB's ``string_agg(... ORDER
+    BY)`` against Spark's ``sort_array(collect_list(...))`` +
+    ``array_join``: collect_list's arrival order is nondeterministic
+    by contract, so the SORT is what makes list-valued aggregation
+    hash-checkable cross-engine (the q164 canonical-serialization rule
+    applied to the string_agg surface). Five alphabetically-first
+    customer names per market segment.
+
+    Plan: one rank window per segment + one grouped collect over ≤5
+    rows per group — the collect never sees unbounded groups."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_name", "c_custkey")
+    r = c.select(
+        "c_mktsegment", "c_name", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 5)
+    return r.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_listed"),
+        F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias(
+            "first5_names"
+        ),
     )

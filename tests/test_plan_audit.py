@@ -81,3 +81,49 @@ def test_q175_shard_assignment_is_scan_local(spark, smoke_sf_dir):
     of hash sharding is zero data movement before the rollup."""
     plan = _executed_plan(queries()["q175_shard_balance"](spark, smoke_sf_dir))
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_q186_bloom_words_broadcast(spark, smoke_sf_dir):
+    """The Bloom word table (≤128 rows) must BROADCAST to the probe
+    side — that physical shape IS the runtime-filter pattern the query
+    demonstrates; shuffling distinct probe keys against a 128-row
+    table would defeat it."""
+    plan = _executed_plan(queries()["q186_bloom_membership_gate"](spark, smoke_sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q199_manifest_single_scan_single_shuffle(spark, smoke_sf_dir):
+    """Manifest stats must fuse ALL column stats into one grouped
+    aggregate over one scan: a stats-per-column formulation would
+    rescan the partition per stat at 100 TB."""
+    plan = _executed_plan(queries()["q199_partition_manifest"](spark, smoke_sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial" in plan.lower(), plan  # map-side combine
+
+
+def test_q202_sampling_filter_is_scan_local(spark, smoke_sf_dir):
+    """Weighted sampling must evaluate in the scan stage — no Exchange
+    may appear below the aggregate's own shuffle (sampling that
+    shuffles first moves 100% of the data to keep ~40%)."""
+    plan = _executed_plan(queries()["q202_weighted_sample_ht"](spark, smoke_sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_q204_nation_broadcast(spark, smoke_sf_dir):
+    """The 25-row nation dim must broadcast into the weekly rollup, and
+    the customer join must not degrade to a nested loop."""
+    plan = _executed_plan(queries()["q204_wow_revenue_delta"](spark, smoke_sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q185_triangle_joins_are_equi(spark, smoke_sf_dir):
+    """Both triangle-closing joins must be equi-joins on edge
+    endpoints — a nested-loop here is the all-pairs wedge explosion
+    the id-orientation exists to prevent."""
+    plan = _executed_plan(queries()["q185_triangle_census"](spark, smoke_sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the final 1-row x 1-row stat join
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
