@@ -398,59 +398,36 @@ def q188_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combinable — the A9 fusion rule) plus one anti-join for
     the FK check; verdicts are integer comparisons (no float
     equality). 100 TB: per-table scans dominate and fuse all checks;
-    adding a check adds a column, not a pass."""
+    adding a check adds a column, not a pass. The suite compiles via
+    :mod:`databricks_etl_spark.operators.dq` (declarative Check
+    objects, one ``expect`` pass per table)."""
+    from databricks_etl_spark.operators import dq
+
     o = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    oagg = o.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct("o_orderkey").alias("n_keys"),
-        F.count_if(F.col("o_orderstatus").isin("P", "O", "F")).alias("n_status_ok"),
-        F.count_if(
-            (F.col("o_totalprice") >= 1000) & (F.col("o_totalprice") <= 500000)
-        ).alias("n_price_ok"),
-        F.count("o_orderdate").alias("n_date"),
+    orders_report = dq.expect(
+        o,
+        "orders",
+        [
+            dq.unique("o_orderkey", name="orderkey_unique"),
+            dq.in_domain("o_orderstatus", ["P", "O", "F"], name="status_in_domain"),
+            dq.in_range("o_totalprice", 1000, 500000, name="price_in_range"),
+            dq.not_null("o_orderdate", name="orderdate_complete"),
+        ],
     )
-    lagg = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_if((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50)).alias(
-            "n_qty_ok"
-        ),
-        F.count_if((F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1)).alias(
-            "n_disc_ok"
-        ),
+    lineitem_report = dq.expect(
+        li,
+        "lineitem",
+        [
+            dq.in_range("l_quantity", 1, 50, name="quantity_in_range"),
+            dq.in_range("l_discount", 0, 0.1, name="discount_in_range"),
+        ],
     )
-    orphans = li.join(
-        o.select("o_orderkey"),
-        li["l_orderkey"] == o["o_orderkey"],
-        "left_anti",
-    ).agg(F.count(F.lit(1)).alias("n_orphans"))
-
-    def check(agg, tbl, name, num, den, strict=None):
-        ok = strict if strict is not None else (F.col(num) == F.col(den))
-        return agg.select(
-            F.lit(tbl).alias("tbl"),
-            F.lit(name).alias("check_name"),
-            F.round(F.col(num).cast("double") / F.col(den), 6).alias("metric"),
-            ok.alias("passed"),
-        )
-
-    fk = lagg.crossJoin(orphans).select(  # two 1-row aggregates
-        F.lit("lineitem").alias("tbl"),
-        F.lit("orderkey_references_orders").alias("check_name"),
-        F.round(1.0 - F.col("n_orphans").cast("double") / F.col("n"), 6).alias(
-            "metric"
-        ),
-        (F.col("n_orphans") == 0).alias("passed"),
+    fk = dq.expect_references(
+        li, "l_orderkey", o, "o_orderkey", "lineitem",
+        name="orderkey_references_orders",
     )
-    return (
-        check(oagg, "orders", "orderkey_unique", "n_keys", "n")
-        .unionAll(check(oagg, "orders", "status_in_domain", "n_status_ok", "n"))
-        .unionAll(check(oagg, "orders", "price_in_range", "n_price_ok", "n"))
-        .unionAll(check(oagg, "orders", "orderdate_complete", "n_date", "n"))
-        .unionAll(check(lagg, "lineitem", "quantity_in_range", "n_qty_ok", "n"))
-        .unionAll(check(lagg, "lineitem", "discount_in_range", "n_disc_ok", "n"))
-        .unionAll(fk)
-    )
+    return orders_report.unionAll(lineitem_report).unionAll(fk)
 
 
 # ---------------------------------------------------------------------------
