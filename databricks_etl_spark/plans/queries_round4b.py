@@ -1865,3 +1865,175 @@ def q209_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first5_names"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q210 — NULL-semantics function family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q210_null_semantics",
+    oracle="""
+        WITH x AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                        ELSE o_totalprice END AS maybe_price,
+                   CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                        ELSE o_orderstatus END AS maybe_status
+            FROM orders
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(maybe_price) AS BIGINT) AS n_price_present,
+               CAST(COUNT(*) FILTER (maybe_price IS NOT DISTINCT FROM NULL)
+                    AS BIGINT) AS n_price_null_safe,
+               CAST(COUNT(*) FILTER (nullif(maybe_status, 'P') IS NULL)
+                    AS BIGINT) AS n_nullif_p,
+               CAST(SUM(CAST(COALESCE(maybe_price, 0) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sum_imputed,
+               CAST(COUNT(*) FILTER (
+                        CASE WHEN maybe_price IS NOT NULL AND maybe_status IS NOT NULL
+                             THEN 'both' ELSE 'gap' END = 'both')
+                    AS BIGINT) AS n_both_present
+        FROM x
+    """,
+)
+def q210_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL-handling function family in one fused pass: COUNT's
+    NULL skipping, null-safe equality (``<=>`` ≡ IS NOT DISTINCT
+    FROM), ``nullif`` collapsing a sentinel to NULL, ``coalesce``
+    imputation feeding a decimal sum, and an ``nvl2``-shaped
+    both-present classifier — the semantics every cleaning rule leans
+    on (reference's impute/delete rules, ``pre_process.py:110-168``),
+    proven equivalent cross-engine rather than assumed. NULLs are
+    planted deterministically from the key so the oracle sees the
+    same gaps.
+
+    Plan: one scan, one fused aggregate."""
+    o = read_table(spark, sf_dir, "orders")
+    x = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("maybe_price"),
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("maybe_status"),
+    )
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    return x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("maybe_price").cast("long").alias("n_price_present"),
+        F.count_if(F.col("maybe_price").eqNullSafe(F.lit(None).cast("double")))
+        .cast("long")
+        .alias("n_price_null_safe"),
+        F.count_if(F.nullif(F.col("maybe_status"), F.lit("P")).isNull())
+        .cast("long")
+        .alias("n_nullif_p"),
+        F.sum(F.coalesce(F.col("maybe_price"), F.lit(0)).cast(MONEY))
+        .cast("double")
+        .alias("sum_imputed"),
+        F.count_if(
+            F.nvl2(F.col("maybe_price"), F.lit("x"), F.lit(None)).isNotNull()
+            & F.col("maybe_status").isNotNull()
+        )
+        .cast("long")
+        .alias("n_both_present"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q211 — array set operations (canonical serialization)
+# ---------------------------------------------------------------------------
+
+_Q211_STOP = ["the", "and", "of", "to", "a", "in", "is", "for", "on", "with"]
+
+
+@query(
+    "q211_array_set_ops",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS toks
+            FROM documents
+        ),
+        stop AS (SELECT {str(_Q211_STOP).replace("'", chr(39))}::VARCHAR[] AS sw)
+        SELECT doc_id,
+               CAST(len(list_sort(list_intersect(toks, sw))) AS INT) AS n_stop,
+               CAST(len(list_filter(toks, x -> NOT list_contains(sw, x)))
+                    AS INT) AS n_content,
+               COALESCE(array_to_string(list_sort(list_intersect(toks, sw)), ','),
+                        '') AS stop_csv
+        FROM t, stop
+    """,
+)
+def q211_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array SET operations against a broadcast literal set —
+    intersect (which stopwords a doc uses), except (content-token
+    count), and the canonical sorted serialization that makes
+    list-valued output hash-checkable (the q164/q209 rule: engines
+    don't share array wire order, so SORT before comparing). The
+    everyday shape of vocab masking and stopword analysis done
+    entirely in JVM array kernels — no explode, no shuffle beyond the
+    scan.
+
+    DuckDB's ``list_intersect`` has no order/dup guarantee and its
+    ``list_except`` NULL quirks bit q166 once — so the except side is
+    expressed as an explicit ``filter(NOT contains)`` on BOTH engines
+    (identical semantics by construction), the intersect is
+    sort-canonicalized, and the empty-list serialization is pinned to
+    '' (DuckDB's ``array_to_string([])`` is NULL, Spark's is '')."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(s) for s in _Q211_STOP])
+    toks = F.array_distinct(tokens_col("text"))
+    inter = F.array_sort(F.array_intersect(toks, sw))
+    content = F.filter(toks, lambda x: ~F.array_contains(sw, x))
+    return d.select(
+        "doc_id",
+        F.size(inter).cast("int").alias("n_stop"),
+        F.size(content).cast("int").alias("n_content"),
+        F.array_join(inter, ",").alias("stop_csv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q212 — 2-D histogram (price × order month grid)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q212_histogram2d",
+    oracle="""
+        SELECT CAST(floor(o_totalprice / 50000) AS INT) AS price_bin,
+               CAST(month(o_orderdate) AS INT) AS month_bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS bin_revenue
+        FROM orders
+        GROUP BY 1, 2
+    """,
+)
+def q212_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram: equi-width price bins × calendar month, with
+    per-cell count and decimal revenue — the joint-distribution grid
+    behind heatmap dashboards and the 2-D analog of q99's 1-D
+    width-bucket histogram (and the statistics a 2-D Z-order layout
+    like q144 clusters by). Bin edges are exact integer arithmetic
+    (floor of double/50000 — integral doubles, no rounding ambiguity).
+
+    Plan: one scan, one grouped aggregate over ~120 cells —
+    map-combinable, the canonical scale-safe profile."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("int").alias("price_bin"),
+        F.month("o_orderdate").cast("int").alias("month_bin"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast(MONEY)).cast("double").alias("bin_revenue"),
+    )
