@@ -2037,3 +2037,117 @@ def q212_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("o_totalprice").cast(MONEY)).cast("double").alias("bin_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — PageRank in integer fixed-point: an ITERATIVE algorithm made
+# bit-for-bit oracle-checkable (deterministic twin of q169)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000  # ranks carried as 1e12-scaled BIGINTs
+_PR_TELEPORT = 150_000_000_000  # 0.15 * SCALE, exact literal
+_PR_ITERS = 4
+
+
+def _pagerank_sql() -> str:
+    """Generate the q213 oracle: the same fixed-point update unrolled
+    as chained CTEs (standard SQL forbids aggregation in a recursive
+    term, so iterations unroll — the oracle mirrors the Spark loop
+    exactly, iteration for iteration)."""
+    steps = []
+    for k in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""r{k} AS (
+            SELECT e.v AS node,
+                   {_PR_TELEPORT} + (85 * SUM(r{k - 1}.rank // deg.d)) // 100
+                       AS rank
+            FROM r{k - 1}
+            JOIN deg ON deg.u = r{k - 1}.node
+            JOIN e ON e.u = r{k - 1}.node
+            GROUP BY e.v
+        )"""
+        )
+    return f"""
+        WITH {_BANDS_SQL},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM b a JOIN b c
+              ON a.band = c.band AND a.band_hash = c.band_hash
+             AND a.doc_id < c.doc_id
+        ),
+        e AS (
+            SELECT id_a AS u, id_b AS v FROM cand
+            UNION ALL SELECT id_b, id_a FROM cand
+        ),
+        deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+        r0 AS (SELECT u AS node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg),
+        {", ".join(steps)}
+        SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_fp
+        FROM r{_PR_ITERS}
+    """
+
+
+@query("q213_pagerank_fixed_point", oracle=_pagerank_sql())
+def q213_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup candidate graph in INTEGER
+    fixed-point — the driver-provable twin of q169 (which, like every
+    float power iteration, cannot cross-engine hash: double summation
+    order differs). Ranks are 1e12-scaled BIGINTs; each iteration is
+    share = rank DIV deg, contrib = Σ shares over in-edges, rank' =
+    0.15·SCALE + (85·contrib) DIV 100 — all integer DIV/sum, so both
+    engines compute the identical lattice point at every iteration
+    and the final ranks hash-match exactly. The bidirected candidate
+    graph has no dangling nodes (every node has an edge), so no
+    dangling-mass term. 4 iterations — enough to rank hub documents
+    (the q169 float form remains the convergence-tested production
+    path; this query is its cross-engine proof, the same relationship
+    q163 has to q46).
+
+    Plan: per iteration one rank⋈deg⋈edges join + one grouped sum —
+    exactly the q169 loop shape, map-combinable; the oracle unrolls
+    the same iterations as chained CTEs. At 100 TB each iteration is
+    one co-partitioned shuffle on the node key."""
+    b = _band_buckets(spark, sf_dir)
+    a = b.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+    c = b.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+    cand = (
+        a.join(c, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    e = cand.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionAll(cand.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(
+        F.col("u").alias("node"), F.lit(_PR_SCALE).cast("long").alias("rank")
+    )
+    # edges and degrees feed every iteration — cache once (the q169
+    # loop-invariant rule from round 3's advice, applied from day one)
+    e = e.persist()
+    deg = deg.persist()
+    try:
+        for _ in range(_PR_ITERS):
+            shares = ranks.join(deg, ranks["node"] == deg["u"]).select(
+                F.col("node").alias("src"), F.expr("rank DIV d").alias("share")
+            )
+            contrib = (
+                e.join(shares, e["u"] == shares["src"])
+                .groupBy("v")
+                .agg(F.sum("share").alias("c"))
+            )
+            ranks = contrib.select(
+                F.col("v").alias("node"),
+                (F.lit(_PR_TELEPORT) + F.expr("(85 * c) DIV 100"))
+                .cast("long")
+                .alias("rank"),
+            )
+        out = ranks.select(
+            F.col("node").alias("doc_id"), F.col("rank").alias("rank_fp")
+        )
+        out = out.localCheckpoint(eager=True)  # cut lineage before unpersist
+    finally:
+        e.unpersist()
+        deg.unpersist()
+    return out

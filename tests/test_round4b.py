@@ -161,3 +161,43 @@ def test_weighted_sample_ht_accuracy(spark, sf_dir):
     assert (out.n_sampled < out.n_total).all()
     # Horvitz-Thompson over ~20k rows per flag: within 10%
     assert (out.ht_rel_err.abs() < 0.10).all()
+
+
+def test_pagerank_fixed_point_vs_python_replay(spark, smoke_sf_dir):
+    """q213's integer fixed-point update replayed exactly in pure
+    Python over the same candidate edges must reproduce every rank
+    bit-for-bit (integer arithmetic has one right answer — this is
+    what makes the iterative algorithm oracle-checkable at all)."""
+    from databricks_etl_spark.plans.queries_round4 import (
+        q173_band_collision_candidates,
+    )
+    from databricks_etl_spark.plans.queries_round4b import (
+        _PR_ITERS,
+        _PR_SCALE,
+        _PR_TELEPORT,
+        q213_pagerank_fixed_point,
+    )
+
+    pairs = (
+        q173_band_collision_candidates(spark, smoke_sf_dir)
+        .select("id_a", "id_b")
+        .toPandas()
+    )
+    edges = []
+    for a, b in pairs.itertuples(index=False):
+        edges += [(a, b), (b, a)]
+    deg: dict[int, int] = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {u: _PR_SCALE for u in deg}
+    for _ in range(_PR_ITERS):
+        contrib: dict[int, int] = {}
+        for u, v in edges:
+            contrib[v] = contrib.get(v, 0) + rank[u] // deg[u]
+        rank = {v: _PR_TELEPORT + (85 * c) // 100 for v, c in contrib.items()}
+    got = {
+        r.doc_id: r.rank_fp
+        for r in q213_pagerank_fixed_point(spark, smoke_sf_dir).collect()
+    }
+    assert got == rank
+    assert all(v >= _PR_TELEPORT for v in got.values())
