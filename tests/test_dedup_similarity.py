@@ -127,6 +127,7 @@ def test_ann_recall_query_shape_and_thresholds(spark, smoke_sf_dir):
     assert avg_ivf >= 0.5
 
 
+@pytest.mark.slow  # four LSH runs over a 16x corpus — minutes, not seconds
 def test_lsh_neardup_scales_near_linear(spark, smoke_sf_dir, monkeypatch):
     """100 TB shape regression gate (VERDICT r3 #5): a 16× salted
     corpus through the MinHashLSH near-dup path must cost well under
