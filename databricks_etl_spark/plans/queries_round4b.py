@@ -2151,3 +2151,390 @@ def q213_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.unpersist()
         deg.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# q214 — nearest-centroid assignment (planar vector quantization)
+# ---------------------------------------------------------------------------
+
+_Q214_CENTERS = [(0, 20.0, 30.0), (1, 80.0, 25.0), (2, 50.0, 75.0),
+                 (3, 10.0, 90.0), (4, 90.0, 85.0)]
+
+
+@query(
+    "q214_nearest_centroid",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey, c_acctbal,
+                   CAST(c_custkey % 97 AS DOUBLE) / 97 * 100 AS x,
+                   CAST(c_custkey % 89 AS DOUBLE) / 89 * 100 AS y
+            FROM customer
+        ),
+        centers(cid, cx, cy) AS (
+            VALUES {", ".join(f"({c}, {x}, {y})" for c, x, y in _Q214_CENTERS)}
+        ),
+        d AS (
+            SELECT c_custkey, c_acctbal, cid,
+                   (x - cx) * (x - cx) + (y - cy) * (y - cy) AS d2,
+                   row_number() OVER (
+                       PARTITION BY c_custkey
+                       ORDER BY (x - cx) * (x - cx) + (y - cy) * (y - cy), cid
+                   ) AS rn
+            FROM pts, centers
+        )
+        SELECT CAST(cid AS INT) AS center_id,
+               CAST(COUNT(*) AS BIGINT) AS n_assigned,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_acctbal
+        FROM d WHERE rn = 1
+        GROUP BY cid
+    """,
+)
+def q214_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment over a planar embedding (customers
+    mapped to deterministic 2-D coordinates, 5 literal centers) — the
+    assignment step of KMeans / vector quantization made exactly
+    hash-checkable: squared Euclidean distance needs no sqrt (argmin
+    is monotone in d²), all arithmetic is the same IEEE ops both
+    engines, and the (d², cid) tiebreak settles equidistant points.
+    The oracle-checkable twin of the q55 assignment step, the same
+    way q213 twins q169.
+
+    Plan: 5-row literal centers broadcast into a projection, per-point
+    argmin via a 5-row window partition — linear scan, one aggregate.
+    At 100 TB this IS the KMeans-assign job (centers always
+    broadcast)."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    c = read_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        "c_acctbal",
+        ((F.col("c_custkey") % 97).cast("double") / 97 * 100).alias("x"),
+        ((F.col("c_custkey") % 89).cast("double") / 89 * 100).alias("y"),
+    )
+    centers = spark.createDataFrame(_Q214_CENTERS, "cid INT, cx DOUBLE, cy DOUBLE")
+    d2 = (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")) + (
+        F.col("y") - F.col("cy")
+    ) * (F.col("y") - F.col("cy"))
+    w = Window.partitionBy("c_custkey").orderBy(d2.asc(), F.col("cid"))
+    d = pts.crossJoin(F.broadcast(centers)).select(  # 5 literal centers
+        "c_custkey", "c_acctbal", "cid", F.row_number().over(w).alias("rn")
+    )
+    return (
+        d.filter(F.col("rn") == 1)
+        .groupBy(F.col("cid").cast("int").alias("center_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            (F.sum(F.col("c_acctbal").cast(MONEY)).cast("double") / F.count(F.lit(1)))
+            .alias("avg_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q215 — event-path pattern matching (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+_Q215_PATTERNS = [
+    ("view_then_click_then_purchase", "v.*c.*p"),
+    ("starts_with_signup", "^s"),
+    ("error_free", "^[^e]*$"),
+]
+
+
+@query(
+    "q215_path_pattern_match",
+    oracle=f"""
+        WITH paths AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS path
+            FROM events GROUP BY user_id
+        ),
+        pat(pattern_name, pat) AS (
+            VALUES {", ".join(f"('{n}', '{p}')" for n, p in _Q215_PATTERNS)}
+        )
+        SELECT pattern_name,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COUNT(*) FILTER (regexp_matches(path, pat)) AS BIGINT)
+                   AS n_matching,
+               round(CAST(COUNT(*) FILTER (regexp_matches(path, pat)) AS DOUBLE)
+                     / COUNT(*), 6) AS match_rate
+        FROM paths, pat
+        GROUP BY pattern_name
+    """,
+)
+def q215_path_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over event paths — MATCH_RECOGNIZE
+    semantics via the collapse-to-string trick: each user's events
+    become an ordered initial-letter string ((ts, event_id) total
+    order), and behavioral patterns become regexes (subsequence
+    view→click→purchase, anchored first-event, absence-of-error).
+    This is how funnel DSLs compile when the engine lacks native row-
+    pattern matching. collect_list order is nondeterministic, so the
+    Spark side sorts (ts, event_id, initial) structs before
+    concatenation (the q209 canonicalization rule).
+
+    Plan: one grouped path build (paths are |events-per-user| chars,
+    bounded) + a 3-literal-pattern broadcast; regexes run per user
+    row, scan-local."""
+    e = read_table(spark, sf_dir, "events")
+    paths = (
+        e.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("i")).alias(
+                "s"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("s")), lambda x: x["i"]), ""
+            ).alias("path")
+        )
+    )
+    pat = spark.createDataFrame(_Q215_PATTERNS, "pattern_name STRING, pat STRING")
+    return (
+        paths.crossJoin(F.broadcast(pat))  # 3 literal patterns
+        .groupBy("pattern_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.count_if(F.expr("path RLIKE pat")).cast("long").alias("n_matching"),
+            F.round(
+                F.count_if(F.expr("path RLIKE pat")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("match_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216 — Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+_BENFORD = {1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+            6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757}
+
+
+@query(
+    "q216_benford_audit",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INT) AS d
+            FROM orders WHERE o_totalprice >= 1
+        ),
+        exp(d, benford_expected) AS (
+            VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD.items())}
+        )
+        SELECT exp.d AS first_digit,
+               CAST(COALESCE(COUNT(digits.d), 0) AS BIGINT) AS n,
+               round(CAST(COUNT(digits.d) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM digits), 6) AS freq,
+               benford_expected,
+               round(CAST(COUNT(digits.d) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM digits) - benford_expected, 6)
+                   AS deviation
+        FROM exp LEFT JOIN digits ON digits.d = exp.d
+        GROUP BY exp.d, benford_expected
+    """,
+)
+def q216_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fraud/synthetic-data screen (natural multiplicative amounts follow
+    log10(1+1/d); flat-generated data shows up instantly, as this
+    near-uniform TPC-H-ish column does). Expected frequencies are the
+    nine Benford constants as 6-dp literals on BOTH engines — no
+    cross-engine log10. First digit via integer→string, locale-free.
+
+    Plan: one scan → digit projection → 9-group count with the
+    expectation table broadcast; everything map-combinable."""
+    o = read_table(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    total = digits.agg(F.count(F.lit(1)).alias("tot"))
+    exp = spark.createDataFrame(
+        list(_BENFORD.items()), "d INT, benford_expected DOUBLE"
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        F.broadcast(exp)
+        .join(counts, "d", "left")
+        .crossJoin(F.broadcast(total))  # 1-row total
+        .select(
+            F.col("d").alias("first_digit"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("tot"), 6
+            ).alias("freq"),
+            "benford_expected",
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("tot")
+                - F.col("benford_expected"),
+                6,
+            ).alias("deviation"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217 — winsorized statistics (rank-exact p5/p95 clipping)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q217_winsorized_stats",
+    oracle="""
+        WITH r AS (
+            SELECT l_returnflag, l_extendedprice,
+                   row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        ),
+        bounds AS (
+            SELECT l_returnflag,
+                   MIN(CASE WHEN rk = (n + 19) // 20 THEN l_extendedprice END)
+                       AS lo_val,
+                   MIN(CASE WHEN rk = (19 * n + 19) // 20 THEN l_extendedprice END)
+                       AS hi_val
+            FROM r GROUP BY l_returnflag
+        )
+        SELECT r.l_returnflag,
+               bounds.lo_val, bounds.hi_val,
+               CAST(COUNT(*) FILTER (l_extendedprice < lo_val) AS BIGINT)
+                   AS n_clipped_low,
+               CAST(COUNT(*) FILTER (l_extendedprice > hi_val) AS BIGINT)
+                   AS n_clipped_high,
+               CAST(SUM(CAST(
+                        CASE WHEN l_extendedprice < lo_val THEN lo_val
+                             WHEN l_extendedprice > hi_val THEN hi_val
+                             ELSE l_extendedprice END AS DECIMAL(28,6)))
+                    AS DOUBLE) / COUNT(*) AS winsorized_mean
+        FROM r JOIN bounds ON r.l_returnflag = bounds.l_returnflag
+        GROUP BY r.l_returnflag, bounds.lo_val, bounds.hi_val
+    """,
+)
+def q217_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group — outlier-robust feature scaling:
+    clip each group's prices at rank-EXACT p5/p95 order statistics
+    (rank ceil(n/20) computed as the integer (n+19) DIV 20: no 0.05·n
+    float whose representation error could flip a ceil across
+    engines), then decimal-average the clipped column. The robust-
+    stats counterpart to q207's raw moments; percentile_approx stays
+    the sketch path (q149 gates its error).
+
+    Plan: one rank window per group + a per-group bound lookup joined
+    back — two shuffles on the group key, both map-combinable."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = r.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("rk") == F.expr("(n + 19) DIV 20"), F.col("l_extendedprice"))
+        ).alias("lo_val"),
+        F.min(
+            F.when(
+                F.col("rk") == F.expr("(19 * n + 19) DIV 20"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("hi_val"),
+    )
+    j = r.join(bounds, "l_returnflag")
+    clipped = (
+        F.when(F.col("l_extendedprice") < F.col("lo_val"), F.col("lo_val"))
+        .when(F.col("l_extendedprice") > F.col("hi_val"), F.col("hi_val"))
+        .otherwise(F.col("l_extendedprice"))
+    )
+    return j.groupBy("l_returnflag", "lo_val", "hi_val").agg(
+        F.count_if(F.col("l_extendedprice") < F.col("lo_val"))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.count_if(F.col("l_extendedprice") > F.col("hi_val"))
+        .cast("long")
+        .alias("n_clipped_high"),
+        (F.sum(clipped.cast(MONEY)).cast("double") / F.count(F.lit(1))).alias(
+            "winsorized_mean"
+        ),
+    ).select(
+        "l_returnflag", "lo_val", "hi_val", "n_clipped_low", "n_clipped_high",
+        "winsorized_mean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q218 — seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q218_seasonal_naive_forecast",
+    oracle="""
+        WITH monthly AS (
+            SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT CAST(a.y AS INT) AS y, CAST(a.m AS INT) AS m,
+               CAST(a.rev AS DOUBLE) AS actual,
+               CAST(p.rev AS DOUBLE) AS forecast,
+               CAST(abs(a.rev - p.rev) AS DOUBLE) AS abs_err,
+               round(CAST(abs(a.rev - p.rev) AS DOUBLE) / CAST(a.rev AS DOUBLE),
+                     6) AS pct_err
+        FROM monthly a JOIN monthly p ON p.y = a.y - 1 AND p.m = a.m
+    """,
+)
+def q218_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each month's revenue
+    as the same month last year (THE baseline every forecasting model
+    must beat) and report per-month absolute and percentage error.
+    Decimal month sums keep actual/forecast/abs_err exact; pct_err is
+    one rounded double division. Self-join on (y−1, m) instead of a
+    lag-12 window — immune to gap months.
+
+    Plan: one grouped decimal aggregate + an equi-join over the
+    ~|months| relation. Completes the time-series lane: EWMA (q197)
+    smooths, seasonality (q201) decomposes, this one backtests."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast(MONEY)).alias("rev"))
+    a = monthly.select(
+        F.col("y").alias("ay"), F.col("m").alias("am"), F.col("rev").alias("arev")
+    )
+    p = monthly.select(
+        F.col("y").alias("py"), F.col("m").alias("pm"), F.col("rev").alias("prev_rev")
+    )
+    j = a.join(p, (F.col("py") == F.col("ay") - 1) & (F.col("pm") == F.col("am")))
+    abs_err = F.abs(F.col("arev") - F.col("prev_rev"))
+    return j.select(
+        F.col("ay").cast("int").alias("y"),
+        F.col("am").cast("int").alias("m"),
+        F.col("arev").cast("double").alias("actual"),
+        F.col("prev_rev").cast("double").alias("forecast"),
+        abs_err.cast("double").alias("abs_err"),
+        F.round(
+            abs_err.cast("double") / F.col("arev").cast("double"), 6
+        ).alias("pct_err"),
+    )
