@@ -2538,3 +2538,311 @@ def q218_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             abs_err.cast("double") / F.col("arev").cast("double"), 6
         ).alias("pct_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 — two-proportion A/B z-test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q219_ab_test_ztest",
+    oracle="""
+        WITH conv AS (
+            SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 250000
+        ),
+        assign AS (
+            SELECT c.c_custkey % 2 AS variant,
+                   CASE WHEN conv.o_custkey IS NULL THEN 0 ELSE 1 END AS converted
+            FROM customer c LEFT JOIN conv ON c.c_custkey = conv.o_custkey
+        ),
+        agg AS (
+            SELECT
+                COUNT(*) FILTER (variant = 0) AS n_a,
+                COUNT(*) FILTER (variant = 1) AS n_b,
+                SUM(converted) FILTER (variant = 0) AS conv_a,
+                SUM(converted) FILTER (variant = 1) AS conv_b
+            FROM assign
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+               round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+               round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+               round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                     / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                            * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat,
+               abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                   / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                          * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant_95
+        FROM agg
+    """,
+)
+def q219_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the experimentation-platform readout:
+    customers split into variants by key parity (deterministic
+    assignment, the q125 portable-bucketing idea), conversion = any
+    high-value order, pooled-variance z statistic and the |z| > 1.96
+    verdict. Every input to the float expression is an exact integer,
+    and both engines evaluate the identical IEEE expression tree
+    (division/sqrt are correctly-rounded per IEEE 754, unlike
+    transcendentals), so even the boolean verdict hash-matches — the
+    p-value lookup is the only piece left client-side (no cross-engine
+    erf).
+
+    Plan: one broadcast semi-join flag + one fused conditional
+    aggregate; 1-row output."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    conv = o.filter(F.col("o_totalprice") > 250000).select("o_custkey").distinct()
+    assign = c.join(
+        F.broadcast(conv), c["c_custkey"] == conv["o_custkey"], "left"
+    ).select(
+        (F.col("c_custkey") % 2).alias("variant"),
+        F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("converted"),
+    )
+    agg = assign.agg(
+        F.count_if(F.col("variant") == 0).alias("n_a"),
+        F.count_if(F.col("variant") == 1).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted"))).alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted"))).alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (ra - rb) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220 — RFM segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_AS_OF = "2001-09-01"  # fixed as-of (F6 rule: never current_date)
+
+
+@query(
+    "q220_rfm_segmentation",
+    oracle=f"""
+        WITH rfm AS (
+            SELECT o_custkey,
+                   date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                             DATE '{_RFM_AS_OF}') AS r_days,
+                   COUNT(*) AS freq,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey, monetary,
+                   ntile(5) OVER (ORDER BY r_days DESC, o_custkey) AS r_q,
+                   ntile(5) OVER (ORDER BY freq ASC, o_custkey) AS f_q,
+                   ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS m_q
+            FROM rfm
+        )
+        SELECT CAST(r_q AS INT) || '-' || CAST(f_q AS INT) || '-'
+                   || CAST(m_q AS INT) AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(monetary) AS DOUBLE) / COUNT(*) AS avg_monetary
+        FROM scored
+        GROUP BY segment
+    """,
+)
+def q220_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the retention-marketing workhorse: per
+    customer recency (days before a FIXED as-of date, the F6
+    no-current_date rule), frequency, and decimal monetary value,
+    each quintiled (ntile with custkey tiebreaks → deterministic bin
+    edges), then segment labels like '5-4-3' rolled up with average
+    value. Quintile 5 = most recent / most frequent / highest value.
+
+    Plan: one grouped aggregate per customer, three windows over the
+    |customers| relation, one rollup. At 100 TB swap ntile's global
+    sort for q170's percentile-bound binning; per-customer aggs
+    map-combine."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    o = read_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(_RFM_AS_OF).cast("date"), F.max("o_orderdate").cast("date"))
+        .alias("r_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast(MONEY)).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5).over(Window.orderBy(F.desc("r_days"), "o_custkey")).alias("r_q"),
+        F.ntile(5).over(Window.orderBy(F.asc("freq"), "o_custkey")).alias("f_q"),
+        F.ntile(5).over(Window.orderBy(F.asc("monetary"), "o_custkey")).alias("m_q"),
+    )
+    return scored.groupBy(
+        F.concat_ws(
+            "-",
+            F.col("r_q").cast("int"),
+            F.col("f_q").cast("int"),
+            F.col("m_q").cast("int"),
+        ).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum("monetary").cast("double") / F.count(F.lit(1))).alias("avg_monetary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221 — Pareto 80/20 concentration
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q221_pareto_8020",
+    oracle="""
+        WITH crev AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT rev,
+                   row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+                   SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_rev,
+                   SUM(rev) OVER () AS total_rev,
+                   COUNT(*) OVER () AS n
+            FROM crev
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+               CAST(MIN(CASE WHEN 10 * cum_rev >= 8 * total_rev THEN rk END)
+                    AS BIGINT) AS n_for_80pct,
+               round(CAST(MIN(CASE WHEN 10 * cum_rev >= 8 * total_rev THEN rk END)
+                          AS DOUBLE) / MAX(n), 6) AS share_customers_for_80pct,
+               round(CAST(MAX(CASE WHEN rk = n // 5 THEN cum_rev END) AS DOUBLE)
+                     / CAST(MAX(total_rev) AS DOUBLE), 6) AS top20pct_rev_share
+        FROM ranked
+    """,
+)
+def q221_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 concentration: how many customers produce 80% of
+    revenue, and what share the top 20% of customers hold — the
+    concentration summary next to Gini (q200). The 80% threshold is
+    the EXACT decimal comparison 10·cum ≥ 8·total (no float cutoff
+    that a half-ulp could flip); the top-20% rank is the integer
+    n DIV 5. Cumulative decimal sums over the (rev DESC, custkey)
+    total order are order-deterministic by construction.
+
+    Plan: per-customer decimal aggregate, one ranked cumulative window
+    over |customers|, 1-row output."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    o = read_table(spark, sf_dir, "orders")
+    crev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(MONEY)).alias("rev")
+    )
+    word = Window.orderBy(F.desc("rev"), "o_custkey")
+    ranked = crev.select(
+        "rev",
+        F.row_number().over(word).alias("rk"),
+        F.sum("rev").over(word.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_rev"
+        ),
+        F.sum("rev").over(Window.partitionBy()).alias("total_rev"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    hit80 = F.when(
+        10 * F.col("cum_rev") >= 8 * F.col("total_rev"), F.col("rk")
+    )
+    top20 = F.when(F.col("rk") == F.expr("n DIV 5"), F.col("cum_rev"))
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.min(hit80).cast("long").alias("n_for_80pct"),
+        F.round(F.min(hit80).cast("double") / F.max("n"), 6).alias(
+            "share_customers_for_80pct"
+        ),
+        F.round(
+            F.max(top20).cast("double") / F.max("total_rev").cast("double"), 6
+        ).alias("top20pct_rev_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q222 — cohort LTV curves
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q222_cohort_ltv",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_ym
+            FROM orders GROUP BY o_custkey
+        ),
+        facts AS (
+            SELECT f.cohort_ym,
+                   (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                       - f.cohort_ym AS offset_m,
+                   o.o_custkey,
+                   CAST(o.o_totalprice AS DECIMAL(28,6)) AS rev
+            FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        ),
+        grid AS (
+            SELECT cohort_ym, offset_m,
+                   COUNT(DISTINCT o_custkey) AS n_active,
+                   SUM(rev) AS rev_m
+            FROM facts GROUP BY 1, 2
+        )
+        SELECT CAST(cohort_ym AS INT) AS cohort_ym,
+               CAST(offset_m AS INT) AS offset_m,
+               CAST(n_active AS BIGINT) AS n_active,
+               CAST(SUM(rev_m) OVER (PARTITION BY cohort_ym ORDER BY offset_m)
+                    AS DOUBLE) AS cum_revenue
+        FROM grid
+    """,
+)
+def q222_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month (cohort as YEAR·12+MONTH — pure integer month arithmetic,
+    no cross-engine months_between fraction), revenue accumulated by
+    month offset — the LTV triangle finance reads next to q91's
+    retention triangle. Cumulative sums stay DECIMAL through the
+    window (exact, order-independent) and cast to double only on
+    output.
+
+    Plan: per-customer first-order min (map-combinable), fact join on
+    the customer key, grid aggregate, and one cumulative window per
+    cohort partition."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    o = read_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+    firsts = o.groupBy("o_custkey").agg(F.min(ym).alias("cohort_ym"))
+    facts = o.join(firsts, "o_custkey").select(
+        "cohort_ym",
+        (ym - F.col("cohort_ym")).alias("offset_m"),
+        "o_custkey",
+        F.col("o_totalprice").cast(MONEY).alias("rev"),
+    )
+    grid = facts.groupBy("cohort_ym", "offset_m").agg(
+        F.count_distinct("o_custkey").alias("n_active"),
+        F.sum("rev").alias("rev_m"),
+    )
+    w = Window.partitionBy("cohort_ym").orderBy("offset_m")
+    return grid.select(
+        F.col("cohort_ym").cast("int").alias("cohort_ym"),
+        F.col("offset_m").cast("int").alias("offset_m"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.sum("rev_m").over(w).cast("double").alias("cum_revenue"),
+    )
