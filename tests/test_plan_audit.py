@@ -127,3 +127,31 @@ def test_q185_triangle_joins_are_equi(spark, smoke_sf_dir):
     assert "CartesianProduct" not in plan
     # the only nested-loop allowed is the final 1-row x 1-row stat join
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_q213_pagerank_lineage_is_cut(spark, smoke_sf_dir):
+    """The fixed-point PageRank must hand back a CHECKPOINTED result:
+    4 iterations of join-on-join lineage re-executes the LSH banding
+    per downstream action (the q169 loop-invariant bug round 3's
+    advice flagged) — the returned plan must therefore be a
+    materialized ExistingRDD scan, not the unrolled iteration tree."""
+    plan = _executed_plan(queries()["q213_pagerank_fixed_point"](spark, smoke_sf_dir))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q217_winsorize_bounds_join_not_nested_loop(spark, smoke_sf_dir):
+    """The per-group p5/p95 bound lookup joins back on the group key —
+    equi-join, never a nested loop over the fact relation."""
+    plan = _executed_plan(queries()["q217_winsorized_stats"](spark, smoke_sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q222_cohort_ltv_single_fact_shuffle_profile(spark, smoke_sf_dir):
+    """Cohort LTV joins firsts back on the customer key and windows
+    over the aggregated grid — the orders fact must be scanned at
+    most twice (firsts + facts), not once per cohort."""
+    plan = _executed_plan(queries()["q222_cohort_ltv"](spark, smoke_sf_dir))
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "CartesianProduct" not in plan
