@@ -2846,3 +2846,115 @@ def q222_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_active").cast("long").alias("n_active"),
         F.sum("rev_m").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — maximum drawdown of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q223_max_drawdown",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderpriority AS priority, o_orderdate AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+            FROM orders GROUP BY 1, 2
+        ),
+        dd AS (
+            SELECT priority, day, rev,
+                   MAX(rev) OVER (PARTITION BY priority ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) - rev AS draw
+            FROM daily
+        ),
+        flagged AS (
+            SELECT priority, day, draw,
+                   MAX(draw) OVER (PARTITION BY priority) AS max_draw
+            FROM dd
+        )
+        SELECT priority,
+               CAST(MAX(draw) AS DOUBLE) AS max_drawdown,
+               MIN(CASE WHEN draw = max_draw THEN day END) AS trough_day
+        FROM flagged
+        GROUP BY priority
+    """,
+)
+def q223_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series — the finance risk metric (largest
+    peak-to-trough fall of daily revenue), computed with a running-max
+    window over exact decimals so the drawdown and its (earliest)
+    trough day are cross-engine exact. Completes the time-series
+    analytics lane (EWMA smooths, seasonal index decomposes, naive
+    forecast backtests, drawdown measures risk).
+
+    Plan: grouped decimal daily aggregate + one running-max window
+    per series partition + a per-series argmin — two window passes
+    over the reduced |days| relation."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast(MONEY)).alias("rev"))
+    w = Window.partitionBy("priority").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = daily.select(
+        "priority", "day", "rev", F.max("rev").over(w).alias("peak")
+    ).withColumn("draw", F.col("peak") - F.col("rev"))
+    wmax = Window.partitionBy("priority")
+    flagged = dd.withColumn("max_draw", F.max("draw").over(wmax))
+    return flagged.groupBy("priority").agg(
+        F.max("draw").cast("double").alias("max_drawdown"),
+        F.min(
+            F.when(F.col("draw") == F.col("max_draw"), F.col("day"))
+        ).alias("trough_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224 — top-k WITH TIES (dense_rank vs row_number semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q224_topk_with_ties",
+    oracle="""
+        WITH r AS (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   dense_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY CAST(o_totalprice AS DECIMAL(28,6))
+                                          DESC) AS price_rank
+            FROM orders
+        )
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(price_rank AS INT) AS price_rank
+        FROM r WHERE price_rank <= 3
+    """,
+)
+def q224_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES — the FETCH FIRST k WITH TIES semantics:
+    dense_rank ≤ 3 keeps EVERY order at the three highest price
+    points per priority (row_number-based top-k, q23/q75, silently
+    drops tied rows — the difference matters whenever ranking feeds
+    entitlements or dedup survivorship). Ranking on the DECIMAL price
+    makes tie groups identical across engines, so no arbitrary-order
+    row can leak in or out of the result set.
+
+    Plan: one ranked window per priority partition, filter — same
+    shuffle profile as q75's TakeOrderedAndProject shape but
+    necessarily materializing rank, since ties can exceed k rows."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").cast("decimal(28,6)").desc()
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.dense_rank().over(w).cast("int").alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= 3)
+    )

@@ -281,8 +281,8 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_round4  # noqa: F401
     import databricks_etl_spark.plans.queries_round4b  # noqa: F401
 
-    assert len(QUERIES) >= 220, (
-        f"query registry shrank: {len(QUERIES)} < 220 — a module failed to register"
+    assert len(QUERIES) >= 222, (
+        f"query registry shrank: {len(QUERIES)} < 222 — a module failed to register"
     )
     _reorder()
     _loaded = True
