@@ -76,31 +76,40 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         warm[name] = round(time.perf_counter() - t0, 4)
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 2)
+    # The driver captures only the LAST ~2000 chars of stdout; round 4's
+    # line outgrew that (BENCH_r04 parsed: null). Keep the stdout line
+    # compact (2-decimal timings, no delta block) and hard-assert the
+    # budget; full-precision detail + round-over-round deltas go to
+    # stderr, which the driver ignores.
     out = {
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "queries_warm": warm,
-        "warm_total": round(sum(warm.values()), 4),
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries_warm": {k: round(v, 2) for k, v in warm.items()},
+        "warm_total": round(sum(warm.values()), 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    detail = {"queries": timings, "queries_warm": warm}
     prev = _previous_round_warm()
     if prev is not None:
         prev_name, prev_warm = prev
         common = sorted(set(warm) & set(prev_warm))
         if common:
-            out["warm_delta_vs"] = prev_name
-            out["warm_delta_pct"] = {
+            detail["warm_delta_vs"] = prev_name
+            detail["warm_delta_pct"] = {
                 k: round((warm[k] - prev_warm[k]) / prev_warm[k] * 100.0, 1)
                 for k in common
             }
-            out["warm_total_common"] = round(sum(warm[k] for k in common), 4)
-            out["warm_total_common_prev"] = round(
+            detail["warm_total_common"] = round(sum(warm[k] for k in common), 4)
+            detail["warm_total_common_prev"] = round(
                 sum(prev_warm[k] for k in common), 4
             )
-    print(json.dumps(out))
+    print(json.dumps(detail), file=sys.stderr)
+    line = json.dumps(out)
+    assert len(line) < 1900, f"bench line {len(line)} chars exceeds driver capture"
+    print(line)
     spark.stop()
 
 

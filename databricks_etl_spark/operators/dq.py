@@ -70,7 +70,9 @@ def expect(df: DataFrame, table: str, checks: list[Check]) -> DataFrame:
 
     Returns (tbl, check_name, metric, passed): metric is the satisfied
     fraction rounded to 6 dp, passed is the exact integer verdict
-    ``n_ok == n``. Uniqueness checks ride the same pass as
+    ``n > 0 AND n_ok == n`` — an EMPTY table fails every check (metric
+    NULL, passed false), so a zero-row ingestion can never green-light
+    the gate silently. Uniqueness checks ride the same pass as
     count-distinct aggregates.
     """
     row = df.agg(F.count(F.lit(1)).alias("__n"), *[c.agg() for c in checks])
@@ -83,9 +85,14 @@ def expect(df: DataFrame, table: str, checks: list[Check]) -> DataFrame:
         F.struct(
             F.lit(c.name).alias("check_name"),
             F.round(
-                F.col(f"__ok_{c.name}").cast("double") / F.col("__n"), 6
+                F.try_divide(
+                    F.col(f"__ok_{c.name}").cast("double"), F.col("__n")
+                ),
+                6,
             ).alias("metric"),
-            (F.col(f"__ok_{c.name}") == F.col("__n")).alias("passed"),
+            (
+                (F.col("__n") > 0) & (F.col(f"__ok_{c.name}") == F.col("__n"))
+            ).alias("passed"),
         )
         for c in checks
     ]
@@ -104,9 +111,17 @@ def expect_references(
 ) -> DataFrame:
     """Referential-integrity check: every child key resolves in the
     parent. One anti-join (broadcastable when the parent key set is
-    small) + one 1-row aggregate; reports the resolved fraction."""
+    small) + one 1-row aggregate; reports the resolved fraction.
+
+    NULL-key policy (NOT IN semantics): a NULL child key is NOT an
+    orphan — it is excluded from the anti-join, exactly as SQL's
+    ``child_col NOT IN (SELECT parent_col ...)`` never returns a
+    NULL-keyed row. NULL-key *completeness* is a separate
+    :func:`not_null` check, not this one's job. The denominator stays
+    the full child row count, so metric = resolved fraction of ALL
+    rows. An empty child table reports passed false (metric NULL)."""
     n = child.agg(F.count(F.lit(1)).alias("__n"))
-    orphans = child.join(
+    orphans = child.filter(child[child_col].isNotNull()).join(
         parent.select(parent_col),
         child[child_col] == parent[parent_col],
         "left_anti",
@@ -115,7 +130,9 @@ def expect_references(
         F.lit(table).alias("tbl"),
         F.lit(name or f"{child_col}_references").alias("check_name"),
         F.round(
-            1.0 - F.col("__orphans").cast("double") / F.col("__n"), 6
+            1.0
+            - F.try_divide(F.col("__orphans").cast("double"), F.col("__n")),
+            6,
         ).alias("metric"),
-        (F.col("__orphans") == 0).alias("passed"),
+        ((F.col("__n") > 0) & (F.col("__orphans") == 0)).alias("passed"),
     )

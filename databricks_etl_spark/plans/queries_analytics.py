@@ -511,7 +511,7 @@ def q134_revenue_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     o = read_table(spark, sf_dir, "orders")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", "c_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("cust_rev"))

@@ -113,15 +113,16 @@ def q152_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark) measured as shared distinct word-4-grams — the n-gram
     decontamination check run before any pre-training corpus ships.
     Only contaminated docs are emitted (doc, gram counts, ratio). The
-    eval gram set is tiny → Catalyst broadcasts it; the corpus side
-    never shuffles its text, only gram hits."""
+    eval gram set scales with the corpus (every 50th doc), so no
+    hard broadcast hint — AQE broadcasts it while small; the corpus
+    side never shuffles its text, only gram hits."""
     d = read_table(spark, sf_dir, "documents")
     e = _grams4(d)
     ev = e.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
     corpus = e.filter(F.col("doc_id") % 50 != 0)
     per_doc = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
-        corpus.join(F.broadcast(ev), "g")
+        corpus.join(ev, "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )

@@ -229,8 +229,9 @@ def q08_null_branch_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q09_dup_key_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+A5: find over-represented keys (groupBy+HAVING,
     ``pre_analysis.py:199``) and inner-join them back to expand their
-    rows (``pre_analysis.py:201``). The heavy-keys side is tiny →
-    broadcast, no shuffle of the fact table."""
+    rows (``pre_analysis.py:201``). The heavy-keys side scales with
+    |customer|, so no hard broadcast hint — AQE broadcasts it while it
+    fits the 64 MB threshold and falls back to shuffle join beyond."""
     o = read_table(spark, sf_dir, "orders")
     heavy = (
         o.groupBy(F.col("o_custkey").alias("k"))
@@ -238,7 +239,7 @@ def q09_dup_key_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") > 15)
     )
     return (
-        o.join(F.broadcast(heavy), o.o_custkey == heavy.k, "inner")
+        o.join(heavy, o.o_custkey == heavy.k, "inner")
         .select("o_orderkey", "o_custkey", "n_orders")
         .orderBy("o_orderkey")
     )

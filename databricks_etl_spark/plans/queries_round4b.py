@@ -92,6 +92,11 @@ def q185_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
+        # five consumers below (degree, three triangle legs, edge
+        # count): materialize the banding subplan once instead of
+        # relying on unasserted exchange reuse (r4 verdict #4); lazy so
+        # a pure explain() never triggers the job
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -245,7 +250,7 @@ def q186_bloom_membership_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("set_bit").alias("n_set"))
     )
     verdicts = hits.join(
-        F.broadcast(members.withColumn("__m", F.lit(1))), "k", "left"
+        members.withColumn("__m", F.lit(1)), "k", "left"
     ).select(
         (F.col("n_set") == _BLOOM_K).alias("bloom_hit"),
         F.col("__m").isNotNull().alias("is_member"),
@@ -364,24 +369,27 @@ def q187_max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         ref AS (
             SELECT COUNT(*) AS n_orphans
-            FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
         )
         SELECT 'orders' AS tbl, 'orderkey_unique' AS check_name,
-               round(CAST(n_keys AS DOUBLE) / n, 6) AS metric, n_keys = n AS passed
+               round(CAST(n_keys AS DOUBLE) / n, 6) AS metric,
+               n > 0 AND n_keys = n AS passed
         FROM o
         UNION ALL SELECT 'orders', 'status_in_domain',
-               round(CAST(n_status_ok AS DOUBLE) / n, 6), n_status_ok = n FROM o
+               round(CAST(n_status_ok AS DOUBLE) / n, 6), n > 0 AND n_status_ok = n FROM o
         UNION ALL SELECT 'orders', 'price_in_range',
-               round(CAST(n_price_ok AS DOUBLE) / n, 6), n_price_ok = n FROM o
+               round(CAST(n_price_ok AS DOUBLE) / n, 6), n > 0 AND n_price_ok = n FROM o
         UNION ALL SELECT 'orders', 'orderdate_complete',
-               round(CAST(n_date AS DOUBLE) / n, 6), n_date = n FROM o
+               round(CAST(n_date AS DOUBLE) / n, 6), n > 0 AND n_date = n FROM o
         UNION ALL SELECT 'lineitem', 'quantity_in_range',
-               round(CAST(n_qty_ok AS DOUBLE) / n, 6), n_qty_ok = n FROM l
+               round(CAST(n_qty_ok AS DOUBLE) / n, 6), n > 0 AND n_qty_ok = n FROM l
         UNION ALL SELECT 'lineitem', 'discount_in_range',
-               round(CAST(n_disc_ok AS DOUBLE) / n, 6), n_disc_ok = n FROM l
+               round(CAST(n_disc_ok AS DOUBLE) / n, 6), n > 0 AND n_disc_ok = n FROM l
         UNION ALL SELECT 'lineitem', 'orderkey_references_orders',
                round(1.0 - CAST(ref.n_orphans AS DOUBLE) / l.n, 6),
-               ref.n_orphans = 0
+               l.n > 0 AND ref.n_orphans = 0
         FROM l, ref
     """,
 )
@@ -2591,13 +2599,15 @@ def q219_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     p-value lookup is the only piece left client-side (no cross-engine
     erf).
 
-    Plan: one broadcast semi-join flag + one fused conditional
+    Plan: one left join for the conversion flag (the converter set
+    approaches |customer| as conversion rises, so no hard broadcast
+    hint — AQE broadcasts while it fits) + one fused conditional
     aggregate; 1-row output."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     conv = o.filter(F.col("o_totalprice") > 250000).select("o_custkey").distinct()
     assign = c.join(
-        F.broadcast(conv), c["c_custkey"] == conv["o_custkey"], "left"
+        conv, c["c_custkey"] == conv["o_custkey"], "left"
     ).select(
         (F.col("c_custkey") % 2).alias("variant"),
         F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("converted"),

@@ -220,6 +220,56 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q163_simhash_md5_oracled",
         "q168_udtf_sentences",
         "q170_equidepth_histogram",
+        # --- round 4 greens (CORRECTNESS_r04.json; 50/50 green) ---
+        "q53_streaming_tumbling",
+        "q57_multimodal_decode_features",
+        "q58_multimodal_frame_sample",
+        "q64_stateful_running_totals",
+        "q93_streaming_dedup",
+        "q100_stream_static_join",
+        "q101_stream_stream_join",
+        "q118_streaming_left_outer_join",
+        "q127_freq_items_sketch",
+        "q128_stateful_sessionize",
+        "q143_hll_mergeable_distinct",
+        "q164_map_functions",
+        "q166_regexp_extract_all",
+        "q167_mixture_reweighting",
+        "q171_kmeans_invariant_gate",
+        "q172_lsh_band_buckets",
+        "q173_band_collision_candidates",
+        "q174_neardup_rate_by_source",
+        "q175_shard_balance",
+        "q176_chunk_fill_stats",
+        "q177_bitwise_aggregates",
+        "q178_boolean_aggregates",
+        "q179_string_function_breadth",
+        "q180_try_arithmetic",
+        "q181_date_function_breadth",
+        "q182_regexp_breadth",
+        "q183_ngram_novelty",
+        "q184_prefix_dedup_survivorship",
+        "q185_triangle_census",
+        "q186_bloom_membership_gate",
+        "q187_max_concurrent_intervals",
+        "q188_dq_expectations",
+        "q189_changelog_compaction",
+        "q190_touch_attribution",
+        "q191_event_transition_matrix",
+        "q192_decile_lift",
+        "q193_cosine_threshold_join",
+        "q194_late_arrival_audit",
+        "q195_snapshot_diff",
+        "q196_token_association_lift",
+        "q197_ewma_revenue",
+        "q198_quantile_normalization",
+        "q199_partition_manifest",
+        "q200_gini_concentration",
+        "q201_seasonality_index",
+        "q202_weighted_sample_ht",
+        "q203_conversion_latency",
+        "q204_wow_revenue_delta",
+        "q205_recursive_hierarchy",
     }
 )
 

@@ -208,7 +208,9 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension (customer segment) — stateless in Structured Streaming
     (each micro-batch joins against the batch table; no watermark, no
     state store), so it composes with downstream windowed aggs freely.
-    The static side follows normal join planning (broadcast here).
+    The static side follows normal join planning — no hard hint:
+    the dimension scales with data, so each micro-batch's planner
+    picks broadcast only while the stats-estimated size allows.
 
     Returns the materialized enriched rows (append mode, availableNow).
     Batch-equivalence is exact — asserted in tests.
@@ -223,7 +225,7 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     q = (
-        events.join(F.broadcast(dim), "user_id")
+        events.join(dim, "user_id")
         .select("event_id", "user_id", "event_type", "c_mktsegment")
         .writeStream.outputMode("append")
         .format("memory")

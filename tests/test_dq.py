@@ -79,3 +79,34 @@ def test_references_reports_orphans(spark):
         child.filter(F.col("k") < 3), "k", parent, "p", "c"
     ).collect()[0]
     assert ok.metric == 1.0 and ok.passed
+
+
+def test_references_null_child_key_is_not_orphan(spark):
+    """NOT IN semantics (r4 ADVICE): a NULL child key never counts as
+    an orphan — completeness is not_null's job — but it DOES stay in
+    the denominator, so the resolved fraction reflects all rows."""
+    child = spark.createDataFrame([(1,), (None,), (9,), (2,)], "k INT")
+    parent = spark.createDataFrame([(1,), (2,)], "p INT")
+    r = dq.expect_references(child, "k", parent, "p", "c").collect()[0]
+    assert r.metric == 0.75 and not r.passed  # 1 orphan (9), NULL excluded
+    clean = dq.expect_references(
+        child.filter((F.col("k") != 9) | F.col("k").isNull()),
+        "k", parent, "p", "c",
+    ).collect()[0]
+    assert clean.metric == 1.0 and clean.passed  # NULL alone can't fail it
+
+
+def test_empty_table_fails_every_check(spark):
+    """A zero-row scan must not green-light the gate (r4 ADVICE): every
+    check on an empty table reports passed=false, metric NULL."""
+    empty = spark.createDataFrame([], "id INT, cat STRING")
+    out = dq.expect(
+        empty, "t", [dq.unique("id"), dq.in_domain("cat", ["a"])]
+    ).collect()
+    assert len(out) == 2
+    assert all(not r.passed and r.metric is None for r in out)
+    parent = spark.createDataFrame([(1,)], "p INT")
+    fk = dq.expect_references(
+        empty.select(F.col("id").alias("k")), "k", parent, "p", "c"
+    ).collect()[0]
+    assert not fk.passed and fk.metric is None

@@ -127,6 +127,10 @@ def test_q185_triangle_joins_are_equi(spark, smoke_sf_dir):
     assert "CartesianProduct" not in plan
     # the only nested-loop allowed is the final 1-row x 1-row stat join
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    # the edge relation is localCheckpointed: its five consumers must
+    # read the materialized RDD, never re-run the banding subplan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
 
 
 def test_q213_pagerank_lineage_is_cut(spark, smoke_sf_dir):
