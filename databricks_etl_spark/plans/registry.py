@@ -330,9 +330,11 @@ def _load() -> None:
     # round-4 modules
     import databricks_etl_spark.plans.queries_round4  # noqa: F401
     import databricks_etl_spark.plans.queries_round4b  # noqa: F401
+    # round-5 modules
+    import databricks_etl_spark.plans.queries_round5  # noqa: F401
 
-    assert len(QUERIES) >= 222, (
-        f"query registry shrank: {len(QUERIES)} < 222 — a module failed to register"
+    assert len(QUERIES) >= 234, (
+        f"query registry shrank: {len(QUERIES)} < 234 — a module failed to register"
     )
     _reorder()
     _loaded = True
