@@ -106,6 +106,61 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: C(a→b) = |S_a ∩ S_b| /
+    |S_a|. Catches SUBSET duplication Jaccard misses — a short doc
+    fully quoted inside a long one has high containment but low
+    Jaccard (|union| is dominated by the long doc). The standard
+    second rung of a dedup ladder after symmetric Jaccard.
+
+    Emits (id_a < id_b, cont_ab, cont_ba) where either direction
+    clears ``threshold``. Same inverted-index plan and ``max_df``
+    posting-cap scale guard as :func:`jaccard_pairs` — identical
+    shuffle profile, one extra division per candidate pair.
+    """
+    if ngram == 1:
+        items = token_sets(df, text_col, id_col).withColumnRenamed("token", "item")
+    else:
+        items = shingles(df, ngram, text_col, id_col).select(
+            id_col, F.col("shingle").alias("item")
+        ).distinct()
+    if max_df is not None:
+        keep = (
+            items.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("item")
+        )
+        items = items.join(keep, "item").select(id_col, "item")
+    sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = items.select(F.col(id_col).alias("id_a"), "item")
+    b = items.select(F.col(id_col).alias("id_b"), "item")
+    shared = (
+        a.join(b, "item")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    cab = F.round(F.col("shared").cast("double") / F.col("size_a"), 6)
+    cba = F.round(F.col("shared").cast("double") / F.col("size_b"), 6)
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", cab.alias("cont_ab"), cba.alias("cont_ba"))
+        .filter((F.col("cont_ab") >= threshold) | (F.col("cont_ba") >= threshold))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
