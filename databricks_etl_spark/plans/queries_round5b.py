@@ -198,6 +198,7 @@ def q239_group_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q240_lsh_quality_audit",
     oracle=None,  # set below — needs _BANDS_SQL from queries_round4
+    bench=True,
 )
 def q240_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ladder's quality report, fully oracled: candidate
