@@ -1,0 +1,133 @@
+"""Spark 4 ``transformWithStateInPandas`` lane (the successor API to
+``applyInPandasWithState`` — typed per-state handles, timers, TTL,
+RocksDB-backed).
+
+CAPABILITY-GATED: the TransformWithStateInPySpark driver worker
+imports ``google.protobuf``, which this container ships broken
+(``ImportError: cannot import name 'descriptor'``) — the stream
+crashes at runner init, not in our code. :func:`tws_available` probes
+for that dependency; the test suite skips (never silently passes) when
+it is absent, exactly like the delta/iceberg sink gates in
+``sources/writers.py``. The processor itself is complete and mirrors
+q64's exact-integer-state running totals, so the two stateful APIs are
+drop-in twins where the dependency exists.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+OUTPUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def tws_available() -> bool:
+    """True when the transformWithState Python runner can start: its
+    driver worker hard-imports protobuf descriptors."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _build_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        """Per-user running (count, sum(value)) in a typed ValueState.
+
+        Same determinism contract as the applyInPandasWithState twin
+        (streaming/stateful.py:_update): value accumulates in exact
+        int64 MICRO-UNITS so the total is independent of batch/arrival
+        order and hash-checkable against a decimal-sum oracle."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "totals", "n BIGINT, total_micro BIGINT"
+            )
+
+        def handleInputRows(
+            self, key, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            n, total = self._st.get() if self._st.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                total += int(
+                    (pdf["value"] * 1_000_000).round().astype("int64").sum()
+                )
+            self._st.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total / 1_000_000],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+def running_user_totals_v2(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas running totals (update mode, no time
+    semantics). ``events`` must be a streaming DataFrame. Requires the
+    RocksDB state store provider (set by :func:`run_running_totals_v2`)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _build_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def run_running_totals_v2(spark, sf_dir: str) -> DataFrame:
+    """Drain the v2 stateful stream with availableNow; return final
+    per-user totals (last update per key). Raises the underlying
+    streaming error where the protobuf dependency is broken — callers
+    gate on :func:`tws_available` first."""
+    import uuid
+
+    from databricks_etl_spark.streaming.windows import stream_events
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+    try:
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            running_user_totals_v2(stream_events(spark, sf_dir))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        df = spark.table(name)
+        from pyspark.sql import functions as F
+
+        return df.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

@@ -333,3 +333,27 @@ def test_rocksdb_state_store_matches_batch(spark, smoke_sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+def test_transform_with_state_v2_matches_batch(spark, smoke_sf_dir):
+    """Spark 4's transformWithStateInPandas lane: the v2 running-totals
+    processor must agree exactly with the batch aggregate (and thus
+    with the q64 applyInPandasWithState twin, which is oracle-proven
+    against the same expression). Skips — never silently passes — when
+    the container's protobuf install can't start the TWS driver worker
+    (capability gate, streaming/stateful_v2.py)."""
+    from databricks_etl_spark.streaming import stateful_v2 as V2
+
+    if not V2.tws_available():
+        pytest.skip("transformWithState runner needs google.protobuf (broken in container)")
+    from pyspark.sql import functions as F
+
+    out = V2.run_running_totals_v2(spark, smoke_sf_dir)
+    e = read_table(spark, smoke_sf_dir, "events")
+    batch = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")) / 1_000_000
+        ).alias("total_value"),
+    )
+    assert _rows(out) == _rows(batch)
