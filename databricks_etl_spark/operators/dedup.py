@@ -50,6 +50,7 @@ def jaccard_pairs(
     threshold: float,
     *,
     ngram: int = 1,
+    items: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
@@ -70,12 +71,15 @@ def jaccard_pairs(
     O(Σ min(df, max_df)²). The df filter is one extra groupBy on the
     same ``item`` key the self-join shuffles on — no new shuffle key.
     """
-    if ngram == 1:
-        items = token_sets(df, text_col, id_col).withColumnRenamed("token", "item")
-    else:
-        items = shingles(df, ngram, text_col, id_col).select(
-            id_col, F.col("shingle").alias("item")
-        ).distinct()
+    if items is None:
+        if ngram == 1:
+            items = token_sets(df, text_col, id_col).withColumnRenamed(
+                "token", "item"
+            )
+        else:
+            items = shingles(df, ngram, text_col, id_col).select(
+                id_col, F.col("shingle").alias("item")
+            ).distinct()
     if max_df is not None:
         keep = (
             items.groupBy("item")
@@ -111,6 +115,7 @@ def containment_pairs(
     threshold: float,
     *,
     ngram: int = 3,
+    items: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
@@ -126,12 +131,15 @@ def containment_pairs(
     posting-cap scale guard as :func:`jaccard_pairs` — identical
     shuffle profile, one extra division per candidate pair.
     """
-    if ngram == 1:
-        items = token_sets(df, text_col, id_col).withColumnRenamed("token", "item")
-    else:
-        items = shingles(df, ngram, text_col, id_col).select(
-            id_col, F.col("shingle").alias("item")
-        ).distinct()
+    if items is None:
+        if ngram == 1:
+            items = token_sets(df, text_col, id_col).withColumnRenamed(
+                "token", "item"
+            )
+        else:
+            items = shingles(df, ngram, text_col, id_col).select(
+                id_col, F.col("shingle").alias("item")
+            ).distinct()
     if max_df is not None:
         keep = (
             items.groupBy("item")

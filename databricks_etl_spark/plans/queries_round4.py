@@ -49,7 +49,9 @@ _BANDS_SQL = f"""
 """
 
 
-def _band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _band_buckets(
+    spark: SparkSession, sf_dir: str, shingle_set: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, band, band_hash): md5-banded MinHash — ONE md5 per
     distinct 3-gram shingle, split into 4 disjoint 8-hex-char (32-bit)
     slices, band b's value = per-doc min over slice b (the standard
@@ -62,8 +64,13 @@ def _band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle: the per-doc 4-column min-aggregate (map-side combinable,
     carries 4 hashes/doc/partition — no 4× explode row blowup);
     the band unpivot afterwards is shuffle-free."""
-    d = read_table(spark, sf_dir, "documents")
-    sh = TX.shingles(d, 3).distinct()
+    if shingle_set is None:
+        d = read_table(spark, sf_dir, "documents")
+        sh = TX.shingles(d, 3).distinct()
+    else:
+        # caller shares one materialized (doc_id, shingle) relation
+        # across several ladder rungs (q240) — skip the corpus pass
+        sh = shingle_set
     hh = sh.select("doc_id", F.md5("shingle").alias("h"))
     wide = hh.groupBy("doc_id").agg(
         *[

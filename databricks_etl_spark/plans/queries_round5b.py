@@ -213,10 +213,14 @@ def q240_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth side is the max_df-capped inverted index; the intersection
     is an equi-join of two pair sets on (u, v). 100 TB: every stage
     bucketed or posting-capped."""
+    from databricks_etl_spark.operators.text import shingles
     from databricks_etl_spark.plans.queries_round4 import _band_buckets
 
     d = read_table(spark, sf_dir, "documents")
-    b = _band_buckets(spark, sf_dir)
+    # both ladder rungs consume the SAME distinct 3-gram shingle set —
+    # tokenize/shingle the corpus once and share the materialization
+    sh = shingles(d, 3).distinct().localCheckpoint(eager=False)
+    b = _band_buckets(spark, sf_dir, shingle_set=sh)
     a = b.select(F.col("doc_id").alias("u"), "band", "band_hash")
     c = b.select(F.col("doc_id").alias("v"), "band", "band_hash")
     cands = (
@@ -227,7 +231,13 @@ def q240_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # two consumers: count + hit join
     )
     truth = (
-        DD.jaccard_pairs(d, 0.5, ngram=3, max_df=100)
+        DD.jaccard_pairs(
+            d,
+            0.5,
+            ngram=3,
+            max_df=100,
+            items=sh.select("doc_id", F.col("shingle").alias("item")),
+        )
         .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .localCheckpoint(eager=False)
     )
