@@ -190,3 +190,43 @@ def test_lsh_neardup_scales_near_linear(spark, smoke_sf_dir, monkeypatch):
     cand1 = DD.minhash_lsh_pairs(d, threshold=0.0).count()
     cand16 = DD.minhash_lsh_pairs(big16, threshold=0.0).count()
     assert cand16 <= 100 * max(cand1, 50), (cand1, cand16)
+
+
+@pytest.mark.slow  # inverted-index joins over an 8x corpus
+def test_containment_pairs_scale_near_linear(spark, smoke_sf_dir):
+    """Scale gate for the round-5 containment operator (same quadratic
+    risk class as Jaccard: a pair-generating inverted-index join).
+    Replicas are token-salted so they share no shingles — an 8x corpus
+    must produce EXACTLY 8x the true pairs (disjoint replicas) and at
+    most ~8x the posting-join work; a formulation that lost the max_df
+    cap or joined raw text would go ~64x. Deterministic count gates,
+    not wall clocks (see the LSH gate above for why)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    d = read_table(spark, smoke_sf_dir, "documents").select("doc_id", "text")
+    reps = [
+        d.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t, i=i: F.concat(F.lit(f"r{i}x"), t),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        for i in range(8)
+    ]
+    big8 = reduce(DataFrame.unionByName, reps)
+
+    pairs1 = DD.containment_pairs(d, 0.4, ngram=3, max_df=100).count()
+    pairs8 = DD.containment_pairs(big8, 0.4, ngram=3, max_df=100).count()
+    assert pairs8 == 8 * pairs1, (pairs1, pairs8)
+
+    # candidate work: threshold 0 -> every pair the posting join ever
+    # materializes (the actual join cost); must stay ~linear
+    cand1 = DD.containment_pairs(d, 0.0, ngram=3, max_df=100).count()
+    cand8 = DD.containment_pairs(big8, 0.0, ngram=3, max_df=100).count()
+    assert cand8 <= 10 * max(cand1, 50), (cand1, cand8)
