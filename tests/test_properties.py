@@ -100,3 +100,36 @@ def test_shingles_matches_python_reference(spark):
                 for i in range(len(toks) - n + 1)
             ]
         assert got == sorted(want), f"n={n}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_containment_dominates_jaccard(spark, seed):
+    """Algebra of the round-5 containment operator against Jaccard on
+    the SAME random corpora: for every pair, max(C(a→b), C(b→a)) ≥
+    J(a,b) (containment divides by one set, Jaccard by the union), and
+    both lie in (0, 1]. Verified pairwise by joining the two operator
+    outputs at threshold 0."""
+    from databricks_etl_spark.operators import dedup as DD
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=int(rng.integers(4, 25)))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r.id_a, r.id_b): (r.cont_ab, r.cont_ba)
+        for r in DD.containment_pairs(df, 0.0, ngram=3).collect()
+    }
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.jaccard_pairs(df, 0.0, ngram=3).collect()
+    }
+    assert set(cont) == set(jac)  # same candidate pairs from the same index
+    assert len(cont) > 0
+    for pair, (cab, cba) in cont.items():
+        j = jac[pair]
+        assert 0.0 < j <= 1.0
+        assert 0.0 < cab <= 1.0 and 0.0 < cba <= 1.0
+        assert max(cab, cba) >= j - 1e-9, (pair, cab, cba, j)
