@@ -62,8 +62,8 @@ def bench_queries() -> dict[str, QueryFn]:
 
 _loaded = False
 
-# Queries with a green (rows+schema+hash) row in CORRECTNESS_r01/r02/r03
-# .json. The external driver verifies the FIRST 50 registry entries in
+# Queries with a green (rows+schema+hash) row in any CORRECTNESS_r0N
+# .json artifact so far. The external driver verifies the FIRST 50 registry entries in
 # insertion order, so _load() sorts never-yet-verified queries to the
 # front (keeping q01 as the smoke query) — each round rotates fresh
 # queries into the driver's verification window instead of re-proving the

@@ -167,3 +167,22 @@ def test_q230_hygiene_on_clean_vectors(spark, sf_dir):
     assert r.dim_min == r.dim_max  # fixed-dimension corpus
     assert r.n_nonfinite == 0 and r.n_zero_norm == 0
     assert 0 < r.avg_norm <= r.max_norm
+
+
+def test_q234_split_invariant_to_partitioning(spark, sf_dir):
+    """The split is a pure function of md5(doc_id): re-partitioning the
+    input must not move a single document between splits — the
+    property that makes the assignment reproducible on any engine and
+    any cluster layout."""
+    from databricks_etl_spark.operators.text import tokens_col  # noqa: F401
+    from pyspark.sql import functions as F
+    from databricks_etl_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    nib = lambda k: F.instr(F.lit("0123456789abcdef"), F.substring(h, k, 1)) - 1  # noqa: E731
+    v = nib(1) * 16 + nib(2)
+    split = F.when(v < 204, "train").when(v < 230, "val").otherwise("test")
+    a = {r.doc_id: r.s for r in d.repartition(3).select("doc_id", split.alias("s")).collect()}
+    b = {r.doc_id: r.s for r in d.repartition(17, "lang").select("doc_id", split.alias("s")).collect()}
+    assert a == b and len(a) > 0
