@@ -20,7 +20,13 @@ shard ids) in ``partitions()`` and its decode loop in ``read()``.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _P = 1_000_000_007
 _A = 48_271
@@ -60,6 +66,88 @@ class SeqGenReader(DataSourceReader):
             yield (i, h % 10, h / _P)
 
 
+# ---------------------------------------------------------------------------
+# Write side: Python DataSource WRITER with a two-phase commit protocol
+# ---------------------------------------------------------------------------
+
+
+class JsonLinesDataSource(DataSource):
+    """``df.write.format("pyjsonl").option("path", dir).mode(...)
+    .save()`` — newline-delimited JSON sink via the Python DataSource
+    writer API (the lane for pushing to a system Spark has no built-in
+    sink for: an internal queue, an HTTP ingest endpoint, a bespoke
+    format).
+
+    Exactly-once file semantics by two-phase commit: each task writes
+    an invisible ``.tmp`` file and returns its path in a
+    WriterCommitMessage; only the driver-side ``commit()`` renames the
+    complete set to visible ``part-*.jsonl`` and drops a ``_SUCCESS``
+    marker, and ``abort()`` deletes the temps — a failed/partial job
+    leaves NOTHING visible. This is the same task-temp + driver-rename
+    protocol Spark's FileFormatWriter uses; a real connector would
+    replace rename with its system's atomic publish (staging table
+    swap, queue transaction commit)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def schema(self) -> str:  # pragma: no cover — writer never infers
+        return "unused string"
+
+    def writer(self, schema, overwrite: bool) -> "JsonLinesWriter":
+        return JsonLinesWriter(self.options["path"], overwrite)
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, path: str, overwrite: bool) -> None:
+        self.path = path
+        self.overwrite = overwrite
+
+    # runs ON EXECUTORS, one call per partition
+    def write(self, iterator) -> WriterCommitMessage:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".part-{uuid.uuid4().hex}.tmp")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return JsonLinesCommit(tmp, n)
+
+    # runs ON THE DRIVER after every task succeeded
+    def commit(self, messages) -> None:
+        import glob
+        import os
+
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(old)
+        for i, m in enumerate(messages):
+            os.rename(m.tmp_path, os.path.join(self.path, f"part-{i:05d}.jsonl"))
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(str(sum(m.n_rows for m in messages)))
+
+    # runs ON THE DRIVER if any task failed
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class JsonLinesCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, n_rows: int) -> None:
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
 def register(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(SeqGenDataSource)
+    spark.dataSource.register(JsonLinesDataSource)

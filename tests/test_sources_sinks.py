@@ -166,3 +166,44 @@ def test_events_ts_dtype_contract(spark, smoke_sf_dir):
         .count()
     )
     assert n == 1000
+
+
+def test_pyjsonl_writer_roundtrip_and_atomicity(spark, smoke_sf_dir, tmp_path):
+    """Python DataSource WRITER (write side of q138's connector lane):
+    exact round-trip through the jsonl sink, visible files only after
+    the driver-side commit (two-phase protocol), _SUCCESS carries the
+    row count, and overwrite mode replaces prior parts."""
+    import glob
+    import os
+
+    from databricks_etl_spark.sources import pydatasource as PDS
+    from databricks_etl_spark.sources.readers import read_table
+
+    PDS.register(spark)
+    out = str(tmp_path / "docs_jsonl")
+    d = read_table(spark, smoke_sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    d.write.format("pyjsonl").option("path", out).mode("append").save()
+
+    # commit protocol: only finalized parts + _SUCCESS, no temps
+    assert not glob.glob(os.path.join(out, ".part-*.tmp"))
+    parts = glob.glob(os.path.join(out, "part-*.jsonl"))
+    assert parts
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert int(f.read()) == d.count()
+
+    back = spark.read.json(out)
+    assert back.count() == d.count()
+    a = sorted(map(tuple, d.collect()))
+    b = sorted(
+        (r.doc_id, r.lang, r.source, r.n_chars)
+        for r in back.select("doc_id", "lang", "source", "n_chars").collect()
+    )
+    assert a == b
+
+    # overwrite replaces, not appends
+    half = d.filter("doc_id % 2 = 0")
+    half.write.format("pyjsonl").option("path", out).mode("overwrite").save()
+    back2 = spark.read.json(out)
+    assert back2.count() == half.count()
