@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -98,6 +99,9 @@ class JsonLinesDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "JsonLinesWriter":
         return JsonLinesWriter(self.options["path"], overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "JsonLinesStreamWriter":
+        return JsonLinesStreamWriter(self.options["path"])
+
 
 class JsonLinesWriter(DataSourceWriter):
     def __init__(self, path: str, overwrite: bool) -> None:
@@ -145,6 +149,56 @@ class JsonLinesCommit(WriterCommitMessage):
     def __init__(self, tmp_path: str, n_rows: int) -> None:
         self.tmp_path = tmp_path
         self.n_rows = n_rows
+
+
+class JsonLinesStreamWriter(DataSourceStreamWriter):
+    """Streaming side of the jsonl sink: the same task-temp protocol,
+    committed PER EPOCH with the batchId in the final file names —
+    ``part-<batchId>-<i>.jsonl`` — and commit() first deletes any files
+    of its own batchId before renaming, so an epoch REPLAY after a
+    failure (Structured Streaming's at-least-once delivery to sinks)
+    lands exactly the same files it would have the first time:
+    idempotent per-epoch overwrite = exactly-once output, the same
+    contract the foreachBatch sink in ``streaming/sinks.py`` proves
+    for parquet."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".part-{uuid.uuid4().hex}.tmp")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return JsonLinesCommit(tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import glob
+        import os
+
+        # replay-idempotence: this epoch's previous (possibly partial)
+        # output is replaced wholesale
+        for old in glob.glob(os.path.join(self.path, f"part-{batchId:05d}-*.jsonl")):
+            os.remove(old)
+        for i, m in enumerate(messages):
+            os.rename(
+                m.tmp_path,
+                os.path.join(self.path, f"part-{batchId:05d}-{i:05d}.jsonl"),
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
 
 
 def register(spark) -> None:

@@ -357,3 +357,44 @@ def test_transform_with_state_v2_matches_batch(spark, smoke_sf_dir):
         ).alias("total_value"),
     )
     assert _rows(out) == _rows(batch)
+
+
+def test_python_datasource_stream_writer_exactly_once(spark, smoke_sf_dir, tmp_path):
+    """Streaming Python DataSource writer: availableNow drain of the
+    events table through the pyjsonl stream sink must land every row
+    exactly once (batchId-named parts, per-epoch idempotent commit),
+    and a RESTART from the same checkpoint must add nothing."""
+    import glob
+    import os
+
+    from databricks_etl_spark.sources import pydatasource as PDS
+    from databricks_etl_spark.streaming.windows import stream_events
+
+    PDS.register(spark)
+    out = str(tmp_path / "events_jsonl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            stream_events(spark, smoke_sf_dir)
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("pyjsonl")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n_src = read_table(spark, smoke_sf_dir, "events").count()
+    back = spark.read.json(out)
+    assert back.count() == n_src
+    assert back.select("event_id").distinct().count() == n_src
+    assert not glob.glob(os.path.join(out, ".part-*.tmp"))
+    n_files = len(glob.glob(os.path.join(out, "part-*.jsonl")))
+
+    # restart on the same checkpoint: no new batches, no new rows
+    drain()
+    assert spark.read.json(out).count() == n_src
+    assert len(glob.glob(os.path.join(out, "part-*.jsonl"))) == n_files
