@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -50,6 +51,12 @@ class SeqGenDataSource(DataSource):
             int(self.options.get("partitions", 4)),
         )
 
+    def simpleStreamReader(self, schema) -> "SeqGenStreamReader":
+        return SeqGenStreamReader(
+            int(self.options.get("rows", 1000)),
+            int(self.options.get("batchrows", 250)),
+        )
+
 
 class SeqGenReader(DataSourceReader):
     def __init__(self, rows: int, partitions: int) -> None:
@@ -65,6 +72,47 @@ class SeqGenReader(DataSourceReader):
         for i in range(start, min(start + per, self.rows)):
             h = ((i % _P) * _A) % _P
             yield (i, h % 10, h / _P)
+
+
+class SeqGenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming read side of the same connector: the deterministic
+    sequence replayed as a micro-batched stream with JSON offsets
+    ``{"pos": N}`` — each trigger serves the next ``batchrows`` ids
+    until ``rows`` is exhausted. Because every row is a pure function
+    of its id, ``readBetweenOffsets`` (the recovery path Structured
+    Streaming calls when replaying a committed-but-lost batch) returns
+    bit-identical rows to the original ``read`` — the replayability
+    contract a real connector meets by re-fetching a stable upstream
+    range (Kafka offsets, file ranges, cursor pages)."""
+
+    def __init__(self, rows: int, batch_rows: int) -> None:
+        self.rows = rows
+        self.batch_rows = batch_rows
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _emit(self, start: int, end: int):
+        for i in range(start, end):
+            h = ((i % _P) * _A) % _P
+            yield (i, h % 10, h / _P)
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.batch_rows, self.rows)
+        # a PICKLABLE ITERATOR (iter over a materialized list), not a
+        # bare generator: the prefetch wrapper both calls next() on it
+        # (empty-batch validation) and pickles it to ship the cached
+        # batch to the JVM — which is also why this API is for LOW-
+        # throughput sources; a high-volume connector uses the
+        # partition-planning DataSourceStreamReader instead
+        return iter(list(self._emit(lo, hi))), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._emit(start["pos"], end["pos"])))
+
+    def commit(self, end: dict) -> None:
+        pass  # upstream is immutable — nothing to truncate
 
 
 # ---------------------------------------------------------------------------
