@@ -343,9 +343,11 @@ def q229_skew_factor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     key needs salting (q62) / AQE skew-split at 100 TB. A skew factor
     near 1 is uniform; >> 1 means the hottest key dominates a reducer.
 
-    Plan: one map-combinable per-key count per table (the same
+    Plan: one map-combinable per-key count per audited key (the same
     aggregate AQE's runtime statistics come from), each collapsing to
-    a 1-row summary; 4 rows out."""
+    a 1-row summary; 4 rows out. lineitem is read once per audited key
+    (two column-pruned single-column scans) — cheaper at scale than
+    one scan + a 2x expand shuffle via grouping sets."""
     parts = []
     for tbl, col in _SKEW_KEYS:
         t = read_table(spark, sf_dir, tbl)

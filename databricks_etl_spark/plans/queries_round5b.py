@@ -687,6 +687,8 @@ def q245_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one user-key shuffle; both windows and both rollups ride the
     same partitioning (the q80 sessionize pattern). All integer epoch
     arithmetic."""
+    from databricks_etl_spark.operators.intervals import interval_union_stats
+
     e = read_table(spark, sf_dir, "events")
     iv = e.select(
         "user_id",
@@ -694,36 +696,11 @@ def q245_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("ts") - _HALF_W).alias("s"),
         (F.unix_timestamp("ts") + _HALF_W).alias("e"),
     )
-    wprev = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    m = iv.select(
-        "user_id", "s", "e", F.max("e").over(wprev).alias("prev_max_e")
-    )
-    f = m.select(
+    out = interval_union_stats(iv, "user_id", "s", "e", order_tiebreak="event_id")
+    return out.select(
         "user_id",
-        "s",
-        "e",
-        F.when(
-            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
-        ).otherwise(0).alias("new_island"),
-    )
-    wcum = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    isl = f.select(
-        "user_id", "s", "e", F.sum("new_island").over(wcum).alias("island_id")
-    )
-    per_island = isl.groupBy("user_id", "island_id").agg(
-        (F.max("e") - F.min("s")).alias("covered")
-    )
-    return per_island.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_islands"),
-        F.sum("covered").cast("long").alias("covered_seconds"),
+        "n_islands",
+        F.col("covered").cast("long").alias("covered_seconds"),
     )
 
 

@@ -133,3 +133,40 @@ def test_containment_dominates_jaccard(spark, seed):
         assert 0.0 < j <= 1.0
         assert 0.0 < cab <= 1.0 and 0.0 < cba <= 1.0
         assert max(cab, cba) >= j - 1e-9, (pair, cab, cba, j)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_interval_union_matches_bruteforce(spark, seed):
+    """interval_union_stats vs a plain-Python sweep over random
+    integer intervals (heavy overlap, touching edges, duplicates):
+    island counts and union lengths must match exactly per key."""
+    from databricks_etl_spark.operators.intervals import interval_union_stats
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    rid = 0
+    for k in range(8):
+        for _ in range(int(rng.integers(1, 40))):
+            s = int(rng.integers(0, 300))
+            rows.append((k, rid, s, s + int(rng.integers(1, 60))))
+            rid += 1
+    df = spark.createDataFrame(rows, "k long, rid long, s long, e long")
+    got = {
+        r.k: (r.n_islands, r.covered)
+        for r in interval_union_stats(df, "k", "s", "e", "rid").collect()
+    }
+
+    expect = {}
+    by_k = {}
+    for k, _, s, e in rows:
+        by_k.setdefault(k, []).append((s, e))
+    for k, ivs in by_k.items():
+        ivs.sort()
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        expect[k] = (len(islands), sum(e - s for s, e in islands))
+    assert got == expect
