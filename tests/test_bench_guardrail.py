@@ -17,15 +17,16 @@ import time
 
 from databricks_etl_spark.plans.registry import bench_queries
 
-# Committed ceiling for the 21-query warm total at sf0.01. Measured
-# 12.3s under full concurrent load (round 5); clean-machine runs are
-# well under 10s.
-_WARM_CEILING_SEC = 20.0
+# Committed ceiling for the 23-query warm total at sf0.01. Measured
+# 14.7s clean (round 5, after adding q228/q240 to the headline set);
+# concurrent full-suite load adds ~25%. Loose by design: this catches
+# a 2x regression in-round, not a 10% drift.
+_WARM_CEILING_SEC = 26.0
 
 
 def test_headline_warm_total_under_ceiling(spark, sf_dir):
     qs = bench_queries()
-    assert len(qs) >= 21, "headline set shrank"
+    assert len(qs) >= 23, "headline set shrank"
     for fn in qs.values():  # warm pass: JIT + file listing
         fn(spark, sf_dir).count()
     t0 = time.perf_counter()
