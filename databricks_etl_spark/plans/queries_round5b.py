@@ -168,25 +168,30 @@ def q239_group_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one shuffle (lang partition) for the rank window, rollup on
     the same key — no second exchange."""
+    from fractions import Fraction
+
+    from databricks_etl_spark.operators.stats import group_quantiles
     from databricks_etl_spark.operators.text import tokens_col
 
     d = read_table(spark, sf_dir, "documents")
     x = d.select("lang", "doc_id", F.size(tokens_col("text")).alias("n_toks"))
-    w = Window.partitionBy("lang")
-    r = x.select(
+    q = group_quantiles(
+        x,
         "lang",
         "n_toks",
-        F.row_number().over(w.orderBy("n_toks", "doc_id")).alias("rn"),
-        F.count(F.lit(1)).over(w).alias("n"),
+        {
+            "p25_toks": Fraction(1, 4),
+            "p50_toks": Fraction(1, 2),
+            "p75_toks": Fraction(3, 4),
+        },
+        tiebreak="doc_id",
     )
-    pick = lambda rank_expr: F.max(  # noqa: E731
-        F.when(F.col("rn") == F.expr(rank_expr), F.col("n_toks"))
-    ).cast("long")
-    return r.groupBy("lang").agg(
-        F.max("n").cast("long").alias("n_docs"),
-        pick("(n + 3) DIV 4").alias("p25_toks"),
-        pick("(n + 1) DIV 2").alias("p50_toks"),
-        pick("(3 * n + 3) DIV 4").alias("p75_toks"),
+    return q.select(
+        "lang",
+        F.col("n_rows").alias("n_docs"),
+        F.col("p25_toks").cast("long").alias("p25_toks"),
+        F.col("p50_toks").cast("long").alias("p50_toks"),
+        F.col("p75_toks").cast("long").alias("p75_toks"),
     )
 
 
@@ -369,41 +374,18 @@ def q241_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: two rank windows on the lang key + joins against two
     ≤|langs|-row medians relations (AQE broadcasts). 100 TB: windows
     partition by lang; skewed language sizes would salt (q62) first."""
+    from databricks_etl_spark.operators.stats import mad_outliers
     from databricks_etl_spark.operators.text import tokens_col
 
     d = read_table(spark, sf_dir, "documents")
     x = d.select("lang", "doc_id", F.size(tokens_col("text")).alias("n_toks"))
-    w = Window.partitionBy("lang")
-
-    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
-        r = df.select(
-            "lang",
-            F.col(col),
-            F.row_number().over(w.orderBy(col, "doc_id")).alias("rn"),
-            F.count(F.lit(1)).over(w).alias("n"),
-        )
-        return r.groupBy("lang").agg(
-            F.max(
-                F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col(col))
-            ).alias(out)
-        )
-
-    med = lower_median(x, "n_toks", "median_toks")
-    dev = x.join(med, "lang").withColumn(
-        "adev", F.abs(F.col("n_toks") - F.col("median_toks"))
-    )
-    mad = lower_median(dev.select("lang", "doc_id", "adev"), "adev", "mad_toks")
-    return (
-        dev.join(mad, "lang")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.max("median_toks").cast("long").alias("median_toks"),
-            F.max("mad_toks").cast("long").alias("mad_toks"),
-            F.count_if(F.col("adev") > 3 * F.col("mad_toks"))
-            .cast("long")
-            .alias("n_outliers"),
-        )
+    out = mad_outliers(x, "lang", "n_toks", k=3.0, tiebreak="doc_id")
+    return out.select(
+        "lang",
+        F.col("n_rows").alias("n_docs"),
+        F.col("median").cast("long").alias("median_toks"),
+        F.col("mad").cast("long").alias("mad_toks"),
+        "n_outliers",
     )
 
 
