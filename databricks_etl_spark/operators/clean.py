@@ -28,14 +28,12 @@ Rule inventory (citations into the reference):
 
 from __future__ import annotations
 
-from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from databricks_etl_spark.operators.relational import (
-    anti_delete,
     conditional_null_out,
     conditional_update,
     dedup_keep_first,

@@ -157,7 +157,7 @@ def ivf_topk(
     approximate → rows-only oracle; recall-vs-exact tested.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(id_col, vec_col, array_to_vector(F.col(vec_col)).alias("__fv"))
     km = KMeans(k=n_centroids, seed=42, featuresCol="__fv", predictionCol="cell")
