@@ -60,3 +60,41 @@ def test_bench_stdout_line_fits_driver_capture():
         f"bench line would be {len(line)} chars — trim the headline set "
         "or move fields to stderr"
     )
+
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.slow  # boots its own JVM (~40s)
+def test_bench_cli_contract_end_to_end():
+    """The driver's actual invocation: `python bench.py` must put ONE
+    parseable JSON line as the LAST stdout line (Spark logs may only
+    go to stderr), with the contract keys, under the capture budget."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY="q16_tpch_q1_pricing_summary,q01_revenue_by_nation",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    last = out.stdout.strip().splitlines()[-1]
+    assert len(last) < 1900
+    d = json.loads(last)
+    for k in ["metric", "value", "unit", "queries", "queries_warm", "warm_total", "sf"]:
+        assert k in d, k
+    assert d["unit"] == "sec" and d["sf"] == 0.001
+    assert set(d["queries"]) == {
+        "q16_tpch_q1_pricing_summary", "q01_revenue_by_nation",
+    }
