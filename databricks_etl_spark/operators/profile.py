@@ -40,7 +40,10 @@ def completeness(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
         *[F.count(c).alias(c) for c in cols],  # count(col) skips NULLs
     )
     wide = agg.select(
-        *[(F.lit(100.0) * F.col(f"`{c}`") / F.col("__total")).alias(c) for c in cols]
+        *[
+            F.try_divide(F.lit(100.0) * F.col(f"`{c}`"), F.col("__total")).alias(c)
+            for c in cols
+        ]  # try_divide: an EMPTY table reports NULL, never 100%-complete
     )
     return _unpivot(wide, cols, "pct_complete")
 
@@ -60,7 +63,10 @@ def uniqueness(df: DataFrame, cols: Sequence[str] | None = None, *, exact: bool 
         *[d(c).alias(c) for c in cols],
     )
     wide = agg.select(
-        *[(F.lit(100.0) * F.col(f"`{c}`") / F.col("__total")).alias(c) for c in cols]
+        *[
+            F.try_divide(F.lit(100.0) * F.col(f"`{c}`"), F.col("__total")).alias(c)
+            for c in cols
+        ]  # NULL on empty input, as in completeness
     )
     return _unpivot(wide, cols, "pct_unique")
 
@@ -84,9 +90,11 @@ def integrity(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     )
     wide = agg.select(
         *[
-            (F.lit(100.0) * F.col(f"__ok_{c}") / F.col(f"__nn_{c}")).alias(c)
+            F.try_divide(
+                F.lit(100.0) * F.col(f"__ok_{c}"), F.col(f"__nn_{c}")
+            ).alias(c)
             for c in cols
-        ]
+        ]  # NULL when the column has no non-null values (0/0 trap)
     )
     return _unpivot(wide, cols, "pct_valid")
 

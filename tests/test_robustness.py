@@ -1,0 +1,96 @@
+"""Degenerate-input hardening: empty tables and NULL-riddled columns
+through the operator library. Generalizes the r4 ADVICE lesson (the DQ
+gate silently passing on zero rows): every operator must either return
+a sane empty/zero result or a well-defined row — never crash, never
+fabricate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.operators import dedup as DD
+from databricks_etl_spark.operators import relational as R
+from databricks_etl_spark.operators import text as TX
+from databricks_etl_spark.operators.intervals import interval_union_stats
+from databricks_etl_spark.operators.profile import completeness, uniqueness
+from databricks_etl_spark.operators.stats import group_quantiles, mad_outliers
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_empty_corpus_through_dedup_ladder(spark, empty_docs):
+    assert DD.jaccard_pairs(empty_docs, 0.5, ngram=3).count() == 0
+    assert DD.containment_pairs(empty_docs, 0.5, ngram=3).count() == 0
+    assert DD.dedup_exact(empty_docs, ["text"], "doc_id").count() == 0
+    assert TX.shingles(empty_docs, 3).count() == 0
+
+
+def test_empty_tables_through_relational_and_stats(spark, empty_docs):
+    e = spark.createDataFrame([], "k long, rid long, s long, e long")
+    assert interval_union_stats(e, "k", "s", "e", "rid").count() == 0
+    from fractions import Fraction
+
+    x = spark.createDataFrame([], "g string, v long, id long")
+    assert group_quantiles(x, "g", "v", {"p50": Fraction(1, 2)}, "id").count() == 0
+    assert mad_outliers(x, "g", "v", tiebreak="id").count() == 0
+    assert R.dedup_keep_first(empty_docs, ["text"], [F.col("doc_id")]).count() == 0
+
+
+def test_empty_profile_reports_no_rows_not_full_marks(spark):
+    """Profile metrics on an empty table must not report 100%-complete/
+    unique columns (the 0/0 trap the DQ gate fixed): NULL metric or
+    zero rows are both acceptable — a 100.0 is not."""
+    df = spark.createDataFrame([], "a long, b string")
+    for report in (completeness(df), uniqueness(df)):
+        for r in report.collect():
+            val = r[1]
+            assert val is None or val == 0.0, r
+
+
+def test_null_text_rows_flow_through_text_ops(spark):
+    """NULL and whitespace-only texts must not crash tokenization or
+    pair generation — NULL text yields no shingles, so NULL docs can
+    never appear in a similarity pair."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "a b c d e f"), (4, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    sh = TX.shingles(df, 3)
+    assert sh.filter(F.col("doc_id") == 1).count() == 0
+    pairs = DD.jaccard_pairs(df, 0.5, ngram=3).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(3, 4)}
+    # exact dedup: NULL texts group together deterministically
+    kept = DD.dedup_exact(df, ["text"], "doc_id")
+    assert kept.count() == 3  # NULL, "   ", and the duplicated text
+
+
+def test_null_keys_through_interval_union(spark):
+    """A NULL key forms its own group (Spark groupBy semantics) rather
+    than being dropped — callers filter if they want otherwise."""
+    df = spark.createDataFrame(
+        [(None, 1, 0, 10), (None, 2, 5, 15), (7, 3, 0, 10)],
+        "k long, rid long, s long, e long",
+    )
+    rows = {r.k: (r.n_islands, r.covered) for r in
+            interval_union_stats(df, "k", "s", "e", "rid").collect()}
+    assert rows[None] == (1, 15) and rows[7] == (1, 10)
+
+
+def test_single_row_group_stats(spark):
+    """n=1 group: every quantile is the single value, MAD is 0, and
+    the sole row is never an outlier of itself."""
+    from fractions import Fraction
+
+    df = spark.createDataFrame([("g", 42, 1)], "g string, v long, id long")
+    q = group_quantiles(
+        df, "g", "v",
+        {"p25": Fraction(1, 4), "p50": Fraction(1, 2), "p75": Fraction(3, 4)},
+        "id",
+    ).collect()[0]
+    assert (q.p25, q.p50, q.p75) == (42, 42, 42)
+    m = mad_outliers(df, "g", "v", tiebreak="id").collect()[0]
+    assert m.median == 42 and m.mad == 0 and m.n_outliers == 0
