@@ -36,7 +36,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector yields NULL similarity instead of
+    # killing the job (Spark 4 ANSI raises DIVIDE_BY_ZERO even for
+    # double division) — one corrupt embedding must not fail a 100 TB
+    # ANN sweep; the q230 hygiene gate counts such vectors upstream
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(

@@ -94,3 +94,39 @@ def test_single_row_group_stats(spark):
     assert (q.p25, q.p50, q.p75) == (42, 42, 42)
     m = mad_outliers(df, "g", "v", tiebreak="id").collect()[0]
     assert m.median == 42 and m.mad == 0 and m.n_outliers == 0
+
+
+def test_zero_norm_vector_yields_null_cosine_not_crash(spark):
+    """Spark 4 ANSI raises DIVIDE_BY_ZERO even for double division: a
+    single corrupt (all-zero) embedding must yield NULL similarity,
+    not kill the ANN job."""
+    from databricks_etl_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "id long, v array<double>",
+    )
+    a, b = df.alias("a"), df.alias("b")
+    rows = (
+        a.crossJoin(b)
+        .select(
+            F.col("a.id").alias("ia"), F.col("b.id").alias("ib"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("c"),
+        )
+        .collect()
+    )
+    for r in rows:
+        if 1 in (r.ia, r.ib):
+            assert r.c is None, r  # any pair touching the zero vector
+        else:
+            assert r.c is not None
+
+
+def test_empty_graph_and_empty_sample(spark):
+    from databricks_etl_spark.operators.graph import connected_components
+    from databricks_etl_spark.operators.sampling import hash_stratified_sample
+
+    e = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(e).count() == 0
+    s = spark.createDataFrame([], "k long, g string")
+    assert hash_stratified_sample(s, "k", "g", {"x": 10}).count() == 0
