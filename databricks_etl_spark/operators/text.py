@@ -60,9 +60,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop = [w for ws in STOPWORDS.values() for w in ws]
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
     n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_RE, ""))
-    punct_ratio = n_punct.cast("double") / n_chars
-    stop_ratio = n_stop.cast("double") / n_tokens
-    mean_tok_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    # try_divide: an empty-string doc (n_chars = 0) reports NULL ratios
+    # and scores 0, instead of DIVIDE_BY_ZERO killing the scan under
+    # Spark 4 ANSI (NULL < 0.1 is false, so every score branch misses)
+    punct_ratio = F.try_divide(n_punct.cast("double"), n_chars)
+    stop_ratio = F.try_divide(n_stop.cast("double"), n_tokens)
+    mean_tok_len = F.try_divide(
+        (n_chars - (n_tokens - 1)).cast("double"), n_tokens
+    )
     score = (
         F.when(n_tokens.between(5, 1000), F.lit(0.25)).otherwise(0.0)
         + F.when(punct_ratio < 0.1, F.lit(0.25)).otherwise(0.0)

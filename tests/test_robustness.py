@@ -130,3 +130,19 @@ def test_empty_graph_and_empty_sample(spark):
     assert connected_components(e).count() == 0
     s = spark.createDataFrame([], "k long, g string")
     assert hash_stratified_sample(s, "k", "g", {"x": 10}).count() == 0
+
+
+def test_empty_string_doc_through_quality_features(spark):
+    """An empty-string document must score 0 with NULL ratios — not
+    raise DIVIDE_BY_ZERO (Spark 4 ANSI) and kill the corpus scan."""
+    rows = {
+        r.doc_id: r
+        for r in TX.quality_features(
+            spark.createDataFrame(
+                [(1, ""), (2, None), (3, "the cat sat on the mat today ok")],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    assert rows[1].quality_score == 0.0 and rows[1].punct_ratio is None
+    assert rows[3].quality_score > 0.0
