@@ -74,14 +74,23 @@ def ols_fit_per_group(
         sxx = sum(x * x for x in xs)  # ×1e12
         sxy = sum(x * y for x, y in zip(xs, ys))  # ×1e12
         num, den = n * sxy - sx * sy, n * sxx - sx * sx  # both ×1e12
-        slope = float(num) / float(den)
-        intercept = (float(sy) / 1e6 - slope * (float(sx) / 1e6)) / n
+        if den == 0:
+            # degenerate group: constant x (or n = 1) has no defined
+            # slope — report NULLs instead of ZeroDivisionError killing
+            # the whole applyInPandas stage
+            slope = intercept = None
+        else:
+            b = float(num) / float(den)  # unrounded for the intercept
+            slope = round(b, 6)
+            intercept = round(
+                (float(sy) / 1e6 - b * (float(sx) / 1e6)) / n, 6
+            )
         return pd.DataFrame(
             {
                 group_col: [pdf[group_col].iloc[0]],
                 "n_rows": [n],
-                "slope": [round(slope, 6)],
-                "intercept": [round(intercept, 6)],
+                "slope": [slope],
+                "intercept": [intercept],
             }
         )
 

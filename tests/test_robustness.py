@@ -146,3 +146,20 @@ def test_empty_string_doc_through_quality_features(spark):
     }
     assert rows[1].quality_score == 0.0 and rows[1].punct_ratio is None
     assert rows[3].quality_score > 0.0
+
+
+def test_pergroup_ols_degenerate_groups(spark):
+    """Constant-x and single-row groups report NULL slope/intercept —
+    not a ZeroDivisionError inside the Arrow batch that would fail the
+    whole stage."""
+    from databricks_etl_spark.operators.grouped import ols_fit_per_group as pergroup_ols
+
+    df = spark.createDataFrame(
+        [("const", 1.0, 5.0), ("const", 1.0, 7.0), ("solo", 2.0, 3.0),
+         ("ok", 1.0, 2.0), ("ok", 2.0, 4.0)],
+        "g string, x double, y double",
+    )
+    rows = {r.g: r for r in pergroup_ols(df, "g", "x", "y").collect()}
+    assert rows["const"].slope is None and rows["const"].intercept is None
+    assert rows["solo"].slope is None
+    assert abs(rows["ok"].slope - 2.0) < 1e-9
