@@ -146,6 +146,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph: no nodes, no ranks — not a ZeroDivisionError
+        # from the uniform 1/n initialization
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = (
         edges.groupBy(src)
         .agg(F.count(F.lit(1)).alias("out_deg"))

@@ -144,8 +144,21 @@ def decode_features(df: DataFrame) -> DataFrame:
     a full deployment."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nulls = (None,) * 6
+
+        def safe(p: bytes):
+            # quarantine-by-NULL: one corrupt payload in a 100 TB
+            # multimodal corpus must NOT kill the stage — it reports
+            # NULL features (n_bytes stays populated) and the caller
+            # counts/filters NULL widths, mirroring the q230 hygiene
+            # pattern for embeddings
+            try:
+                return decode_bmp(p)
+            except Exception:
+                return nulls
+
         for pdf in batches:
-            feats = [decode_bmp(bytes(p)) for p in pdf["payload"]]
+            feats = [safe(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(
                 feats,
                 columns=["width", "height", "channels", "mean_r", "mean_g", "mean_b"],

@@ -163,3 +163,26 @@ def test_pergroup_ols_degenerate_groups(spark):
     assert rows["const"].slope is None and rows["const"].intercept is None
     assert rows["solo"].slope is None
     assert abs(rows["ok"].slope - 2.0) < 1e-9
+
+
+def test_corrupt_payload_quarantined_not_fatal(spark):
+    """One bad binary in the batch yields NULL features; the valid row
+    still decodes — the stage never dies."""
+    from databricks_etl_spark.operators import multimodal as MM
+
+    valid = MM.encode_bmp(2, 2, lambda x, y: (10, 20, 30))
+    df = spark.createDataFrame(
+        [(1, bytearray(b"NOTABMP")), (2, bytearray(b"")), (3, bytearray(valid))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in MM.decode_features(df).collect()}
+    assert rows[1].width is None and rows[2].width is None
+    assert rows[3].width == 2 and rows[3].height == 2
+    assert rows[1].n_bytes == 7  # metadata survives the quarantine
+
+
+def test_empty_graph_pagerank(spark):
+    from databricks_etl_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(e).count() == 0
