@@ -223,7 +223,11 @@ def q240_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     # both ladder rungs consume the SAME distinct 3-gram shingle set —
-    # tokenize/shingle the corpus once and share the materialization
+    # tokenize/shingle the corpus once and share the materialization.
+    # Storage trade: the checkpointed relation is distinct-(doc,shingle)
+    # sized (spills via MEMORY_AND_DISK); at 100 TB one would persist
+    # DISK_ONLY or re-derive per rung if executor storage is tighter
+    # than compute — measured here, materialize-once wins
     sh = shingles(d, 3).distinct().localCheckpoint(eager=False)
     b = _band_buckets(spark, sf_dir, shingle_set=sh)
     a = b.select(F.col("doc_id").alias("u"), "band", "band_hash")
