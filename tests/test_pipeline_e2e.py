@@ -1,0 +1,85 @@
+"""End-to-end library composition: the daily-ingestion pipeline a user
+of this engine would actually run, chained from the operator library —
+validity filter → exact dedup (keep-first) → quality gate → MAD length
+outlier cut → deterministic split assignment → two-phase-commit jsonl
+sink → read-back. Every stage is individually oracled/tested
+elsewhere; this locks that they COMPOSE (schemas line up, NULL
+policies agree, determinism survives the chain)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.operators import dedup as DD
+from databricks_etl_spark.operators import text as TX
+from databricks_etl_spark.operators.stats import group_mad
+from databricks_etl_spark.sources import pydatasource as PDS
+from databricks_etl_spark.sources.readers import read_table
+
+
+def _split_col():
+    h = F.md5(F.col("doc_id").cast("string"))
+    nib = lambda k: F.instr(F.lit("0123456789abcdef"), F.substring(h, k, 1)) - 1  # noqa: E731
+    v = nib(1) * 16 + nib(2)
+    return F.when(v < 204, "train").when(v < 230, "val").otherwise("test")
+
+
+def test_ingestion_pipeline_composes(spark, sf_dir, tmp_path):
+    d = read_table(spark, sf_dir, "documents")
+    raw = d.union(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+
+    # 1. validity
+    valid = raw.filter((F.col("n_chars") >= 150) & F.col("lang").isNotNull())
+    # 2. exact dedup, deterministic survivor
+    uniq = DD.dedup_exact(valid, ["text"], "doc_id")
+    # 3. quality gate
+    scored = TX.quality_features(uniq.select("doc_id", "text")).join(
+        uniq.select("doc_id", "lang", "source"), "doc_id"
+    )
+    good = scored.filter(F.col("quality_score") >= 0.5)
+    # 4. robust per-language length cut (|len - med| <= 3 MAD)
+    mm = group_mad(
+        good.select("lang", "doc_id", F.col("n_tokens").alias("v")),
+        "lang", "v", tiebreak="doc_id",
+    )
+    kept = (
+        good.join(mm, "lang")
+        .filter(F.abs(F.col("n_tokens") - F.col("median")) <= 3 * F.col("mad"))
+    )
+    # 5. deterministic split + 6. two-phase-commit sink
+    final = kept.select("doc_id", "lang", "source", _split_col().alias("split"))
+    out = str(tmp_path / "corpus_jsonl")
+    PDS.register(spark)
+    final.write.format("pyjsonl").option("path", out).mode("append").save()
+
+    # read-back: exact row fidelity through the custom sink
+    back = spark.read.json(out)
+    assert back.count() == final.count() > 0
+    assert not glob.glob(os.path.join(out, ".part-*.tmp"))
+    a = sorted(map(tuple, final.collect()))
+    b = sorted(
+        (r.doc_id, r.lang, r.source, r.split)
+        for r in back.select("doc_id", "lang", "source", "split").collect()
+    )
+    assert a == b
+
+    # pipeline invariants: monotone funnel, dedup really deduped,
+    # split is total and per-doc unique
+    assert raw.count() >= valid.count() >= uniq.count() >= good.count() >= kept.count()
+    assert uniq.count() == valid.select("text").distinct().count()
+    assert final.select("doc_id").distinct().count() == final.count()
+    assert set(r.split for r in back.select("split").distinct().collect()) <= {
+        "train", "val", "test",
+    }
+
+    # determinism: the whole chain reruns bit-identically
+    rerun = sorted(map(tuple, final.collect()))
+    assert rerun == a
