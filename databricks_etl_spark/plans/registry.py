@@ -333,9 +333,10 @@ def _load() -> None:
     # round-5 modules
     import databricks_etl_spark.plans.queries_round5  # noqa: F401
     import databricks_etl_spark.plans.queries_round5b  # noqa: F401
+    import databricks_etl_spark.plans.queries_round5c  # noqa: F401
 
-    assert len(QUERIES) >= 243, (
-        f"query registry shrank: {len(QUERIES)} < 243 — a module failed to register"
+    assert len(QUERIES) >= 244, (
+        f"query registry shrank: {len(QUERIES)} < 244 — a module failed to register"
     )
     _reorder()
     _loaded = True

@@ -186,3 +186,17 @@ def test_q234_split_invariant_to_partitioning(spark, sf_dir):
     a = {r.doc_id: r.s for r in d.repartition(3).select("doc_id", split.alias("s")).collect()}
     b = {r.doc_id: r.s for r in d.repartition(17, "lang").select("doc_id", split.alias("s")).collect()}
     assert a == b and len(a) > 0
+
+
+def test_q246_scorecard_consistent_with_component_audits(spark, sf_dir):
+    """The composed scorecard must agree with the standalone audits it
+    joins: per-source near-dup counts match q174 and totals match the
+    corpus."""
+    sc = {r.source: r for r in queries()["q246_source_scorecard"](spark, sf_dir).collect()}
+    q174 = {r.source: r for r in queries()["q174_neardup_rate_by_source"](spark, sf_dir).collect()}
+    assert set(sc) == set(q174)
+    for s, r in sc.items():
+        assert r.n_neardup == q174[s].n_flagged
+        assert r.n_docs == q174[s].n_docs
+        assert 0 <= r.n_contaminated <= r.n_docs
+        assert 0 <= r.n_quality <= r.n_docs
