@@ -88,11 +88,19 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     path = f"{sf_dir}/events.parquet"
-    arrow = pq.read_schema(path)
     fields = []
     ns_cols = []
+    try:
+        arrow = pq.read_schema(path)
+    except (FileNotFoundError, OSError):
+        # empty ingestion day: no file yet — declare the canonical
+        # schema and drain zero rows instead of crashing at plan time
+        # (files that appear later still match: testdata is µs today)
+        arrow = None
     for f_ in SCHEMAS["events"].fields:
-        if str(arrow.field(f_.name).type).startswith("timestamp[ns"):
+        if arrow is not None and str(
+            arrow.field(f_.name).type
+        ).startswith("timestamp[ns"):
             ns_cols.append(f_.name)
             fields.append(T.StructField(f_.name, T.LongType(), True))
         else:

@@ -438,3 +438,13 @@ def test_python_datasource_stream_reader_offsets(spark, tmp_path):
     )
     assert got.count() == 1000
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_empty_ingestion_day_drains_zero_rows(spark, tmp_path):
+    """An empty input directory (no events file yet) must plan and
+    drain cleanly with zero output — the empty-ingestion-day case a
+    scheduled pipeline hits on day one, not a plan-time crash."""
+    empty_dir = tmp_path / "empty_day"
+    empty_dir.mkdir()
+    out = W.run_tumbling_stream(spark, str(empty_dir))
+    assert out.count() == 0
