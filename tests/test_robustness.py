@@ -186,3 +186,27 @@ def test_empty_graph_pagerank(spark):
 
     e = spark.createDataFrame([], "src long, dst long")
     assert pagerank(e).count() == 0
+
+
+def test_udf_lanes_degenerate_inputs(spark):
+    """Arrow-batched UDF lanes: empty broadcast mapping falls back to
+    the default, NULL/empty text embeds to the zero vector — no
+    Python-worker exceptions."""
+    from databricks_etl_spark.functions.udfs import (
+        make_broadcast_lookup_udf,
+        make_embed_udf,
+    )
+    from databricks_etl_spark.operators.skew import salted_join
+
+    u = make_broadcast_lookup_udf(spark, {}, default="unknown")
+    df = spark.createDataFrame([(1, "x")], "id long, k string")
+    assert df.select(u(F.col("k")).alias("v")).collect()[0].v == "unknown"
+
+    e = make_embed_udf(4)
+    df2 = spark.createDataFrame([(1, None), (2, "")], "id long, t string")
+    for r in df2.select(e(F.col("t")).alias("v")).collect():
+        assert r.v == [0.0, 0.0, 0.0, 0.0]
+
+    left = spark.createDataFrame([], "k long, a long")
+    right = spark.createDataFrame([], "k long, b long")
+    assert salted_join(left, right, "k").count() == 0
