@@ -146,24 +146,29 @@ def decode_features(df: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         nulls = (None,) * 6
 
-        def safe(p: bytes):
-            # quarantine-by-NULL: one corrupt payload in a 100 TB
-            # multimodal corpus must NOT kill the stage — it reports
-            # NULL features (n_bytes stays populated) and the caller
-            # counts/filters NULL widths, mirroring the q230 hygiene
-            # pattern for embeddings
+        def safe(p):
+            # quarantine-by-NULL: one corrupt OR NULL payload in a
+            # 100 TB multimodal corpus must NOT kill the stage — it
+            # reports NULL features (n_bytes stays populated for
+            # non-NULL payloads) and the caller counts/filters NULL
+            # widths, mirroring the q230 hygiene pattern for
+            # embeddings. The bytes() conversion lives INSIDE the try
+            # so a NULL payload (p is None → TypeError) is quarantined
+            # like corrupt bytes instead of failing the Arrow batch.
             try:
-                return decode_bmp(p)
+                return decode_bmp(bytes(p))
             except Exception:
                 return nulls
 
         for pdf in batches:
-            feats = [safe(bytes(p)) for p in pdf["payload"]]
+            feats = [safe(p) for p in pdf["payload"]]
             out = pd.DataFrame(
                 feats,
                 columns=["width", "height", "channels", "mean_r", "mean_g", "mean_b"],
             )
-            out.insert(0, "n_bytes", [len(p) for p in pdf["payload"]])
+            out.insert(
+                0, "n_bytes", [len(p) if p is not None else None for p in pdf["payload"]]
+            )
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 

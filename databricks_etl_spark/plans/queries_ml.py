@@ -71,12 +71,25 @@ def q54_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q55_kmeans_activity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1–M4: feature assembly → KMeans(k=3, seed=1) → PCA(2) → join-
     back (``transform.py:192-240``). Rows-only; determinism and
-    cluster-count invariants in tests/test_ml.py."""
+    cluster-count invariants in tests/test_ml.py.
+
+    The registered query projects the ``pca array<double>`` into scalar
+    ``pca_x``/``pca_y`` doubles: the driver canonicalizer sorts/hashes
+    result columns with pandas, which cannot factorize list cells
+    (r5 driver record crashed on exactly this). The array form stays
+    available from :func:`operators.ml.cluster_activity` for library
+    users."""
     feats = _customer_activity(spark, sf_dir)
-    return cluster_activity(
+    assigned = cluster_activity(
         feats,
         ["c_acctbal", "n_orders", "days_since_last_order", "active_span_days"],
         id_col="c_custkey",
+    )
+    return assigned.select(
+        "c_custkey",
+        "activity_level",
+        F.col("pca")[0].alias("pca_x"),
+        F.col("pca")[1].alias("pca_y"),
     )
 
 
@@ -103,7 +116,12 @@ def q171_kmeans_invariant_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression (dropped rows, NaN features, empty cluster, wrong
     PCA k) breaks the value hash. Seeded run-to-run equality is
     asserted separately in tests/test_ml.py."""
-    assigned = q55_kmeans_activity_clusters(spark, sf_dir)
+    feats = _customer_activity(spark, sf_dir)
+    assigned = cluster_activity(
+        feats,
+        ["c_acctbal", "n_orders", "days_since_last_order", "active_span_days"],
+        id_col="c_custkey",
+    )
     per_cluster = assigned.groupBy("activity_level").agg(
         F.count(F.lit(1)).alias("n"),
         F.min(

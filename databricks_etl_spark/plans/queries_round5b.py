@@ -629,7 +629,7 @@ _HALF_W = 300  # seconds each side of an event
             FROM events
         ),
         m AS (
-            SELECT user_id, s, e,
+            SELECT user_id, event_id, s, e,
                    max(e) OVER (
                        PARTITION BY user_id ORDER BY s, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -637,15 +637,19 @@ _HALF_W = 300  # seconds each side of an event
             FROM iv
         ),
         f AS (
-            SELECT user_id, s, e,
+            SELECT user_id, event_id, s, e,
                    CASE WHEN prev_max_e IS NULL OR s > prev_max_e
                         THEN 1 ELSE 0 END AS new_island
             FROM m
         ),
         isl AS (
+            -- event_id in the ORDER BY so both windows share one TOTAL
+            -- order; with duplicate (user_id, ts) rows, (s, e) alone
+            -- ties and DuckDB's two sorts could disagree on which tied
+            -- row carries the flag (r5 ADVICE.md)
             SELECT user_id, s, e,
                    SUM(new_island) OVER (
-                       PARTITION BY user_id ORDER BY s, e
+                       PARTITION BY user_id ORDER BY s, e, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS island_id
             FROM f

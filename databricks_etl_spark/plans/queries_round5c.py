@@ -74,7 +74,7 @@ def q246_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-crawling itself, scraping the eval set, or shipping short spam
     shows up as one bad row.
 
-    Plan: three doc-level flag relations (each a bucketed/посting-
+    Plan: three doc-level flag relations (each a bucketed/posting-
     capped build the individual queries plan-audit), then ONE grouped
     rollup over documents with three membership left-joins — flags are
     doc_id-keyed and far smaller than the corpus, so AQE broadcasts

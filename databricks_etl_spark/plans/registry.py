@@ -270,6 +270,49 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q203_conversion_latency",
         "q204_wow_revenue_delta",
         "q205_recursive_hierarchy",
+        # --- round 5 greens (CORRECTNESS_r05.json; 42 green, q55 errored,
+        # 7 rows-only `no_oracle` rows records excluded by definition) ---
+        "q206_lateral_topk",
+        "q207_higher_moments",
+        "q208_chisq_contingency",
+        "q209_string_agg_ordered",
+        "q210_null_semantics",
+        "q211_array_set_ops",
+        "q212_histogram2d",
+        "q213_pagerank_fixed_point",
+        "q214_nearest_centroid",
+        "q215_path_pattern_match",
+        "q216_benford_audit",
+        "q217_winsorized_stats",
+        "q218_seasonal_naive_forecast",
+        "q219_ab_test_ztest",
+        "q220_rfm_segmentation",
+        "q221_pareto_8020",
+        "q222_cohort_ltv",
+        "q223_max_drawdown",
+        "q224_topk_with_ties",
+        "q225_windowed_batch_dedup",
+        "q226_join_size_estimation",
+        "q227_contamination_by_source",
+        "q228_ingestion_capstone",
+        "q229_skew_factor_audit",
+        "q230_embedding_hygiene",
+        "q231_cross_shard_duplicates",
+        "q232_dedup_token_budget",
+        "q233_tombstone_cascade",
+        "q234_train_split_assignment",
+        "q235_range_partition_plan",
+        "q236_novelty_by_batch",
+        "q237_feature_leakage_audit",
+        "q238_containment_neardup",
+        "q239_group_quantile_bands",
+        "q240_lsh_quality_audit",
+        "q241_mad_outliers",
+        "q242_broadcast_decision_audit",
+        "q243_fk_orphan_matrix",
+        "q244_neardup_degree_distribution",
+        "q245_interval_union_coverage",
+        "q246_source_scorecard",
     }
 )
 

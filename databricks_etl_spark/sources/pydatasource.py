@@ -175,12 +175,21 @@ class JsonLinesWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import glob
         import os
+        import uuid
 
         if self.overwrite:
             for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
                 os.remove(old)
+        # Per-job unique token in the final names (Spark's FileFormatWriter
+        # does the same): without it a second append-mode save() into the
+        # same path would os.rename over the previous job's
+        # part-00000.jsonl... and silently drop its rows.
+        job_token = uuid.uuid4().hex[:12]
         for i, m in enumerate(messages):
-            os.rename(m.tmp_path, os.path.join(self.path, f"part-{i:05d}.jsonl"))
+            os.rename(
+                m.tmp_path,
+                os.path.join(self.path, f"part-{i:05d}-{job_token}.jsonl"),
+            )
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(str(sum(m.n_rows for m in messages)))
 

@@ -17,7 +17,9 @@ def test_kmeans_invariants(spark, smoke_sf_dir):
     assert len(rows) == 150  # one per customer at sf0.001
     levels = {r["activity_level"] for r in rows}
     assert levels <= {0, 1, 2} and len(levels) == 3
-    assert all(len(r["pca"]) == 2 for r in rows)
+    # registered query projects the pca array to scalar pca_x/pca_y so
+    # the driver canonicalizer can sort/hash it
+    assert all(r["pca_x"] is not None and r["pca_y"] is not None for r in rows)
 
 
 def test_kmeans_seeded_determinism(spark, smoke_sf_dir):

@@ -38,6 +38,25 @@ def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.reset_index(drop=True)
 
 
+def assert_scalar_schema(df, name: str) -> None:
+    """Driver-canonicalizability guard: the driver sorts/hashes query
+    output with pandas, which cannot factorize list/map/struct cells
+    (q55's r5 driver record crashed on a raw ``array<double>`` column).
+    Every registered query — oracled or rows-only — must emit only
+    scalar (atomic) columns."""
+    from pyspark.sql.types import AtomicType, NullType
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if not isinstance(f.dataType, (AtomicType, NullType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} — the driver canonicalizer "
+        "cannot hash array/map/struct cells; project them to scalars"
+    )
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: column names differ: {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
@@ -61,7 +80,9 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(name, spark, duck, sf_dir):
     qd = QUERIES[name]
-    spark_pdf = qd.fn(spark, sf_dir).toPandas()
+    df = qd.fn(spark, sf_dir)
+    assert_scalar_schema(df, name)
+    spark_pdf = df.toPandas()
     duck_pdf = duck.execute(qd.oracle).fetchdf()
     assert_frames_match(spark_pdf, duck_pdf, name)
 
@@ -70,6 +91,7 @@ def test_oracle_parity(name, spark, duck, sf_dir):
 def test_rows_only_queries_run(name, spark, sf_dir):
     qd = QUERIES[name]
     df = qd.fn(spark, sf_dir)
+    assert_scalar_schema(df, name)
     assert df.count() >= 0
 
 

@@ -172,13 +172,19 @@ def test_corrupt_payload_quarantined_not_fatal(spark):
 
     valid = MM.encode_bmp(2, 2, lambda x, y: (10, 20, 30))
     df = spark.createDataFrame(
-        [(1, bytearray(b"NOTABMP")), (2, bytearray(b"")), (3, bytearray(valid))],
+        [
+            (1, bytearray(b"NOTABMP")),
+            (2, bytearray(b"")),
+            (3, bytearray(valid)),
+            (4, None),  # NULL payload must quarantine too (r5 ADVICE.md)
+        ],
         "doc_id long, payload binary",
     )
     rows = {r.doc_id: r for r in MM.decode_features(df).collect()}
     assert rows[1].width is None and rows[2].width is None
     assert rows[3].width == 2 and rows[3].height == 2
     assert rows[1].n_bytes == 7  # metadata survives the quarantine
+    assert rows[4].width is None and rows[4].n_bytes is None
 
 
 def test_empty_graph_pagerank(spark):

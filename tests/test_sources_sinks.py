@@ -202,6 +202,13 @@ def test_pyjsonl_writer_roundtrip_and_atomicity(spark, smoke_sf_dir, tmp_path):
     )
     assert a == b
 
+    # append into a NON-empty dir accumulates — per-job unique token in
+    # final part names, so a second job cannot os.rename over the first
+    # job's part-00000.jsonl (r5 ADVICE.md finding)
+    extra = d.filter("doc_id % 2 = 1")
+    extra.write.format("pyjsonl").option("path", out).mode("append").save()
+    assert spark.read.json(out).count() == d.count() + extra.count()
+
     # overwrite replaces, not appends
     half = d.filter("doc_id % 2 = 0")
     half.write.format("pyjsonl").option("path", out).mode("overwrite").save()
