@@ -1,0 +1,168 @@
+"""Scale-safe equi-depth bucketing: approximate quantile boundaries
+(tiny one-row aggregate) broadcast back onto the scaling side, bucket
+assigned by a map-side range comparison — NO global-ordering window.
+
+This is the 100 TB replacement for ``ntile(k) OVER (ORDER BY col)``:
+a global ntile funnels the entire relation through one task's sort,
+which is a hard wall once the windowed side reaches 10⁸–10⁹ rows.
+Here the scaling side is touched twice, both times embarrassingly
+parallel: once by the mergeable quantile sketch (map-combined
+``percentile_approx``), once by the per-row bucket assignment against
+the broadcast boundary array.
+
+Determinism: ``percentile_approx`` may pick different (valid) boundary
+elements under different partitionings, so exact bucket contents are
+NOT cross-engine stable. Queries built on this operator therefore
+register as *bracket gates* (the q145/q149 pattern): they assert the
+rank-error theorem — every bucket's size is within a provable
+tolerance of n/k — plus structural invariants that hold for ANY valid
+boundary choice (bucket ranges ordered and disjoint, total row count
+preserved, per-bucket value aggregates monotone across buckets). The
+oracle states those invariants as constants, so a regression breaks
+the value hash while partitioning noise cannot.
+
+Rank-error bound (Greenwald–Khanna, as implemented by Spark's
+ApproximatePercentile): the element returned for probability p has a
+rank within ``n/accuracy`` of ``p·n``. The ≤-count of that element
+additionally overshoots its rank by at most (dup(b) − 1) when the
+boundary value is duplicated, so bucket i's size deviates from n/k by
+at most ``2·(n/accuracy + 1) + dup(bᵢ₋₁) + dup(bᵢ)``; the audit
+helper uses the uniform bound ``2·n/accuracy + 2·maxdup + 2``.
+
+Reference parity: the reference has no quantile machinery at all —
+this generalizes its fixed-threshold bucketing (``pre_analysis.py``
+value-counts buckets) to data-driven boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_approx_buckets(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    *,
+    accuracy: int = 1000,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Add ``bucket_col`` ∈ 1..n_buckets to ``df`` by approx equi-depth
+    boundaries on ``col``. Values equal to a boundary land in the lower
+    bucket (assignment is ``1 + #{boundaries < value}``, strict).
+
+    The boundary relation is ONE row (an array of k−1 doubles) and is
+    broadcast; the big side sees only a map-side expression — the plan
+    contains no Window and no global Sort (asserted in
+    tests/test_plan_audit.py).
+    """
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    bounds = df.agg(
+        F.percentile_approx(col, probs, F.lit(accuracy)).alias("_bounds")
+    )
+    assigned = df.join(F.broadcast(bounds)).withColumn(
+        bucket_col,
+        (
+            F.lit(1)
+            + F.aggregate(
+                "_bounds",
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
+            )
+        ).cast("int"),
+    )
+    return assigned.drop("_bounds")
+
+
+def bucket_size_tolerance(
+    df: DataFrame, col: str, n_buckets: int, *, accuracy: int = 1000
+) -> Column:
+    """Provable per-bucket size tolerance for :func:`assign_approx_buckets`
+    given the SAME boundary sketch: ``2·n/accuracy + 2·maxdup + 2``
+    where ``maxdup`` is the highest multiplicity among boundary values.
+
+    Returns a scalar Column usable against a 1-row frame that carries
+    ``_n_total`` and ``_maxdup`` columns (see :func:`size_audit`).
+    """
+    return (
+        2.0 * F.col("_n_total") / F.lit(accuracy)
+        + 2.0 * F.col("_maxdup")
+        + F.lit(2.0)
+    )
+
+
+def size_audit(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    *,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """One-row audit frame proving the equi-depth bracket for ``df[col]``:
+
+    - ``n_buckets``   observed distinct bucket count (== k for non-
+      degenerate data: boundaries distinct);
+    - ``n_total``     rows in = rows out (assignment loses nothing);
+    - ``sizes_within_tol``  every bucket size within the rank-error
+      tolerance of n/k;
+    - ``buckets_ordered``   bucket value-ranges are ordered and
+      disjoint (max of bucket i ≤ min of bucket i+1) — TRUE by
+      construction of range assignment, so a FALSE means the operator
+      itself broke.
+
+    All four are deterministic for ANY valid sketch output, so the
+    DuckDB oracle states them as constants + the exact COUNT(*).
+    """
+    assigned = assign_approx_buckets(
+        df, col, n_buckets, accuracy=accuracy, bucket_col="_qb"
+    )
+    per_bucket = assigned.groupBy("_qb").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(col).alias("_lo"),
+        F.max(col).alias("_hi"),
+    )
+    # multiplicity of boundary values: re-derive the (tiny) boundary
+    # array, explode, count matching rows — touches only rows equal to
+    # one of the k−1 boundary values
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    bounds = df.agg(
+        F.percentile_approx(col, probs, F.lit(accuracy)).alias("_bounds")
+    )
+    bvals = bounds.select(F.explode("_bounds").alias("_bv")).distinct()
+    dup = (
+        df.join(F.broadcast(bvals), F.col(col) == F.col("_bv"))
+        .groupBy("_bv")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg(F.coalesce(F.max("_d"), F.lit(0)).alias("_maxdup"))
+    )
+    # per-bucket frame is ≤ k rows — the ordered-ranges check is a
+    # window over k, not over the data
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_qb")
+    chk = per_bucket.select(
+        "_qb",
+        "_n",
+        (F.lag("_hi").over(w) <= F.col("_lo")).alias("_ord_ok"),
+    )
+    summary = chk.agg(
+        F.count(F.lit(1)).cast("int").alias("n_buckets"),
+        F.sum("_n").cast("long").alias("n_total"),
+        F.max("_n").cast("double").alias("_max_n"),
+        F.min("_n").cast("double").alias("_min_n"),
+        F.min(F.coalesce("_ord_ok", F.lit(True))).alias("buckets_ordered"),
+    )
+    audit = summary.join(F.broadcast(dup)).withColumn(
+        "_n_total", F.col("n_total").cast("double")
+    )
+    tol = bucket_size_tolerance(df, col, n_buckets, accuracy=accuracy)
+    target = F.col("_n_total") / F.lit(n_buckets)
+    return audit.select(
+        "n_buckets",
+        "n_total",
+        (
+            (F.col("_max_n") - target <= tol) & (target - F.col("_min_n") <= tol)
+        ).alias("sizes_within_tol"),
+        "buckets_ordered",
+    )

@@ -377,6 +377,8 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_round5  # noqa: F401
     import databricks_etl_spark.plans.queries_round5b  # noqa: F401
     import databricks_etl_spark.plans.queries_round5c  # noqa: F401
+    # round-6 modules
+    import databricks_etl_spark.plans.queries_round6  # noqa: F401
 
     assert len(QUERIES) >= 244, (
         f"query registry shrank: {len(QUERIES)} < 244 — a module failed to register"
