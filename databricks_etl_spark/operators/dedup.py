@@ -268,3 +268,61 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     for t in terms[1:]:
         sig = sig + t
     return votes.select(id_col, sig.cast("long").alias("simhash"))
+
+
+def incremental_band_join(
+    batch_bands: DataFrame,
+    corpus_bands: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup maintenance: candidates for a NEW batch
+    against an EXISTING corpus band index — the production shape at
+    100 TB, where re-banding the whole corpus per ingest is a
+    non-starter. Inputs are (id, band, band_hash) relations (the q172
+    construction, ``plans/queries_round4._band_buckets``); the corpus
+    side is the *persisted* index — its documents are never re-read,
+    re-shingled, or re-hashed.
+
+    Emits (id_a, id_b, n_shared_bands, cross_corpus) for every pair
+    that TOUCHES the batch: batch×corpus collisions (cross_corpus
+    true) plus batch×batch collisions (false) — corpus×corpus pairs
+    are by definition already known to the index owner and never
+    recomputed. id_a < id_b always.
+
+    Scale: two band-bucket equi-joins (delta×index, delta×delta).
+    The delta side is small by definition, so the delta×index join
+    broadcasts the batch bands when they fit; candidate volume is
+    bounded by band-bucket collisions exactly as in the full-corpus
+    ladder, never |batch|×|corpus|.
+    """
+    a = batch_bands.select(
+        F.col(id_col).alias("_ba"), "band", "band_hash"
+    )
+    c = corpus_bands.select(
+        F.col(id_col).alias("_cb"), "band", "band_hash"
+    )
+    cross = (
+        a.join(c, ["band", "band_hash"])
+        .select(
+            F.least("_ba", "_cb").alias("id_a"),
+            F.greatest("_ba", "_cb").alias("id_b"),
+            F.lit(True).alias("cross_corpus"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    b2 = batch_bands.select(F.col(id_col).alias("_bb"), "band", "band_hash")
+    within = (
+        a.join(b2, ["band", "band_hash"])
+        .filter(F.col("_ba") < F.col("_bb"))
+        .select(
+            F.col("_ba").alias("id_a"),
+            F.col("_bb").alias("id_b"),
+            F.lit(False).alias("cross_corpus"),
+        )
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("id_a", "id_b", "cross_corpus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )

@@ -29,8 +29,12 @@ from databricks_etl_spark.sources.readers import read_table
 _TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
 _N_BANDS = 4
 
-_BANDS_SQL = f"""
-        t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+def _bands_sql_over(src: str) -> str:
+    """The md5-banding CTE chain over an arbitrary (doc_id, text)
+    source relation — shared with the incremental-maintenance queries
+    (queries_round6), which band a corpus ∪ batch union."""
+    return f"""
+        t AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
         sh AS (
             SELECT DISTINCT doc_id,
                    array_to_string(toks[i : i + 2], ' ') AS shingle
@@ -47,6 +51,9 @@ _BANDS_SQL = f"""
             {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, b{b} AS band_hash FROM w" for b in range(_N_BANDS))}
         )
 """
+
+
+_BANDS_SQL = _bands_sql_over("documents")
 
 
 def _band_buckets(

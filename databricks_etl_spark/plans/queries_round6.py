@@ -256,3 +256,126 @@ def q251_vocab_topk_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("token"),
         F.col("c").cast("long").alias("n_occurrences"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q252/q253 — incremental near-dup maintenance (new batch vs corpus index)
+# ---------------------------------------------------------------------------
+
+_B252 = 10_000  # batch re-id offset: batch doc ids = corpus id + offset
+
+
+def _bands_sql_incremental() -> str:
+    from databricks_etl_spark.plans.queries_round4 import _bands_sql_over
+
+    return f"""
+        raw AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_B252} AS doc_id, text FROM documents
+            WHERE doc_id % 5 = 0
+        ),
+        {_bands_sql_over("raw")},
+        bb AS (SELECT * FROM b WHERE doc_id >= {_B252}),
+        cb AS (SELECT * FROM b WHERE doc_id < {_B252})
+    """
+
+
+def _incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.operators.dedup import incremental_band_join
+    from databricks_etl_spark.plans.queries_round4 import _band_buckets
+
+    corpus_bands = _band_buckets(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _B252).alias("doc_id"), "text"
+    )
+    batch_bands = _band_buckets(
+        spark, sf_dir, shingle_set=TX.shingles(batch, 3).distinct()
+    )
+    return incremental_band_join(batch_bands, corpus_bands)
+
+
+@query(
+    "q252_incremental_neardup_candidates",
+    oracle=f"""
+        WITH {_bands_sql_incremental()},
+        cross_p AS (
+            SELECT least(a.doc_id, c.doc_id) AS id_a,
+                   greatest(a.doc_id, c.doc_id) AS id_b,
+                   TRUE AS cross_corpus
+            FROM bb a JOIN cb c
+              ON a.band = c.band AND a.band_hash = c.band_hash
+        ),
+        within_p AS (
+            SELECT a.doc_id AS id_a, c.doc_id AS id_b, FALSE AS cross_corpus
+            FROM bb a JOIN bb c
+              ON a.band = c.band AND a.band_hash = c.band_hash
+             AND a.doc_id < c.doc_id
+        ),
+        u AS (SELECT * FROM cross_p UNION ALL SELECT * FROM within_p)
+        SELECT id_a, id_b, cross_corpus,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+        FROM u GROUP BY 1, 2, 3
+    """,
+)
+def q252_incremental_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance, fully hash-oracled: a NEW
+    ingest batch (every 5th document, re-identified) is band-bucketed
+    and equi-joined against the PERSISTED corpus band index
+    (``dedup.incremental_band_join``) — the corpus text is never
+    re-shingled. Candidates = batch×corpus collisions (cross_corpus)
+    + batch×batch collisions; corpus×corpus pairs are never
+    recomputed. The oracle runs the same banding over corpus ∪ batch
+    restricted to pairs touching the batch — the 'recompute the world'
+    semantics the incremental plan must (and does) reproduce exactly.
+    This is the production ingest shape at 100 TB: per-batch cost is
+    O(|batch| + collisions), not O(|corpus|)."""
+    return _incremental_candidates(spark, sf_dir)
+
+
+@query(
+    "q253_incremental_batch_novelty",
+    oracle=f"""
+        WITH {_bands_sql_incremental()},
+        batch_ids AS (
+            SELECT DISTINCT doc_id + {_B252} AS batch_doc_id
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        hit AS (
+            SELECT DISTINCT a.doc_id AS batch_doc_id
+            FROM bb a JOIN cb c
+              ON a.band = c.band AND a.band_hash = c.band_hash
+        )
+        SELECT i.batch_doc_id,
+               (h.batch_doc_id IS NULL) AS is_novel
+        FROM batch_ids i LEFT JOIN hit h USING (batch_doc_id)
+    """,
+)
+def q253_incremental_batch_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship side of incremental maintenance: which batch
+    documents are NOVEL vs the corpus index (no band collision with
+    any existing doc) and which are near-dup suspects to route into
+    exact verification (q240's ladder). Composes q252's candidates —
+    batch ids with a cross-corpus hit are flagged; the rest enter the
+    corpus as new survivors. At 100 TB this list IS the ingest
+    decision: append novel docs + their bands to the index, quarantine
+    the rest."""
+    pairs = _incremental_candidates(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents")
+    batch_ids = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + _B252).alias("batch_doc_id"))
+        .distinct()
+    )
+    # in a cross-corpus pair the batch doc is the greater id (batch ids
+    # are offset above every corpus id)
+    hit = (
+        pairs.filter("cross_corpus")
+        .select(F.col("id_b").alias("batch_doc_id"))
+        .distinct()
+    )
+    return batch_ids.join(
+        hit.withColumn("_hit", F.lit(1)), "batch_doc_id", "left"
+    ).select("batch_doc_id", F.col("_hit").isNull().alias("is_novel"))

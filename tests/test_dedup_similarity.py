@@ -230,3 +230,47 @@ def test_containment_pairs_scale_near_linear(spark, smoke_sf_dir):
     cand1 = DD.containment_pairs(d, 0.0, ngram=3, max_df=100).count()
     cand8 = DD.containment_pairs(big8, 0.0, ngram=3, max_df=100).count()
     assert cand8 <= 10 * max(cand1, 50), (cand1, cand8)
+
+
+def test_incremental_band_join_planted_batch(spark):
+    """Planted-batch contract for incremental near-dup maintenance: an
+    exact copy in the batch collides with its corpus twin in ALL 4
+    bands; a novel batch doc collides with nothing; two identical
+    batch docs surface as a within-batch (cross_corpus=false) pair.
+    The corpus side enters ONLY as its band index — this test never
+    hands the operator corpus text."""
+    from databricks_etl_spark.operators import dedup as DD
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.plans.queries_round4 import _band_buckets
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different corpus content about spark shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+            (102, "utterly novel sentence with unique tokens zq wv xk jj pp"),
+            (103, "another shared duplicate inside the batch only here now"),
+            (104, "another shared duplicate inside the batch only here now"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus_bands = _band_buckets(
+        spark, "", shingle_set=TX.shingles(corpus, 3).distinct()
+    )
+    batch_bands = _band_buckets(
+        spark, "", shingle_set=TX.shingles(batch, 3).distinct()
+    )
+    pairs = {
+        (r.id_a, r.id_b, r.cross_corpus): r.n_shared_bands
+        for r in DD.incremental_band_join(batch_bands, corpus_bands).collect()
+    }
+    assert pairs[(1, 101, True)] == 4  # exact copy: all bands collide
+    assert pairs[(103, 104, False)] == 4  # within-batch dup pair
+    assert not any(102 in (a, b) for a, b, _ in pairs)  # novel doc clean
+    # corpus x corpus pairs never emitted
+    assert not any(a < 100 and b < 100 for a, b, _ in pairs)
