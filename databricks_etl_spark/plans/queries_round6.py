@@ -379,3 +379,36 @@ def q253_incremental_batch_novelty(spark: SparkSession, sf_dir: str) -> DataFram
     return batch_ids.join(
         hit.withColumn("_hit", F.lit(1)), "batch_doc_id", "left"
     ).select("batch_doc_id", F.col("_hit").isNull().alias("is_novel"))
+
+
+# ---------------------------------------------------------------------------
+# q254 — streaming content-fingerprint dedup (the q42 streaming twin)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q254_streaming_fingerprint_dedup",
+    oracle=r"""
+        SELECT DISTINCT
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   AS md5_fp
+        FROM documents
+    """,
+)
+def q254_streaming_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-real-time corpus dedup, drained and hash-checked:
+    documents arrive as a stream, are fingerprinted map-side (md5 of
+    normalized text — ``doc_fingerprint``'s exact-dedup key), and
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per
+    fingerprint with watermark-bounded state
+    (``streaming/windows.run_streaming_fingerprint_dedup``) — the
+    true-stream twin of q42's batch exact dedup. Survivor CHOICE is
+    arrival-order dependent, but the drained fingerprint set must
+    equal the batch DISTINCT exactly (q93/q131 pattern), which the
+    DuckDB oracle hash-checks. Survivor-level invariants (count ==
+    distinct count under a drain-spanning watermark) are asserted in
+    tests/test_streaming.py."""
+    from databricks_etl_spark.streaming import windows as W
+
+    drained = W.run_streaming_fingerprint_dedup(spark, sf_dir)
+    return drained.select("md5_fp").distinct()

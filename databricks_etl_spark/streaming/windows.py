@@ -346,3 +346,62 @@ def run_stream_stream_left_outer_join(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the documents parquet — the corpus-ingest
+    stream for content-fingerprint dedup. Documents carry no event
+    time, so a deterministic ingest timestamp is synthesized from
+    doc_id (``timestamp_micros(doc_id + 1 day)``) — monotone in id,
+    stable across engines, and good enough to anchor a watermark. The
+    one-day offset keeps doc_id=0 strictly ABOVE the stream's initial
+    watermark (epoch 0): at exactly epoch 0 the dedup operator treats
+    the row as late and silently drops it."""
+    df = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return df.withColumn(
+        "ingest_ts", F.timestamp_micros(F.col("doc_id") + F.lit(86_400_000_000))
+    )
+
+
+def run_streaming_fingerprint_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """True-stream content dedup: the q42 exact-dedup semantics as a
+    Structured Streaming drain. Each arriving document is fingerprinted
+    map-side (md5 of whitespace-normalized lowercased text — the
+    ``operators.text.doc_fingerprint`` md5_fp lane; a pure projection,
+    so it composes with append-mode dedup without any aggregation
+    state), then ``dropDuplicatesWithinWatermark`` keeps the first
+    arrival per fingerprint with state bounded by the watermark — the
+    unbounded-corpus ingest shape: state holds only fingerprints seen
+    within the horizon, not the whole history.
+
+    Returns the materialized survivors (append mode, availableNow).
+    WHICH duplicate survives is arrival-order dependent; the drained
+    FINGERPRINT SET equals the batch distinct — hash-checked by q254.
+    """
+    import uuid
+
+    name = f"fpdedup_{uuid.uuid4().hex[:8]}"
+    docs = stream_documents(spark, sf_dir).withWatermark("ingest_ts", watermark)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = docs.select(
+        "doc_id", "source", "ingest_ts", F.md5(norm).alias("md5_fp")
+    )
+    q = (
+        fp.dropDuplicatesWithinWatermark(["md5_fp"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -448,3 +448,31 @@ def test_empty_ingestion_day_drains_zero_rows(spark, tmp_path):
     empty_dir.mkdir()
     out = W.run_tumbling_stream(spark, str(empty_dir))
     assert out.count() == 0
+
+
+def test_streaming_fingerprint_dedup_matches_batch(spark, smoke_sf_dir):
+    """q254's lane at survivor level: with a watermark spanning the
+    whole drain, every distinct content fingerprint survives exactly
+    once, each survivor's doc really carries that fingerprint, and
+    planted duplicate content collapses to one survivor."""
+    import pyspark.sql.functions as F
+
+    from databricks_etl_spark.sources.readers import read_table
+    from databricks_etl_spark.streaming import windows as W
+
+    drained = W.run_streaming_fingerprint_dedup(spark, smoke_sf_dir)
+    d = read_table(spark, smoke_sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    batch = d.select("doc_id", F.md5(norm).alias("md5_fp"))
+    n_distinct = batch.select("md5_fp").distinct().count()
+    # one survivor per fingerprint (drain-spanning watermark → no
+    # state eviction mid-drain, no re-emits)
+    assert drained.count() == n_distinct
+    assert drained.select("md5_fp").distinct().count() == n_distinct
+    # every survivor (doc_id, fp) pair is genuine
+    assert (
+        drained.select("doc_id", "md5_fp")
+        .join(batch, ["doc_id", "md5_fp"], "left_anti")
+        .count()
+        == 0
+    )
