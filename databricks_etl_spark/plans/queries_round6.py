@@ -412,3 +412,44 @@ def q254_streaming_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFr
 
     drained = W.run_streaming_fingerprint_dedup(spark, sf_dir)
     return drained.select("md5_fp").distinct()
+
+
+# ---------------------------------------------------------------------------
+# q255 — LSH quality audit on a deterministic md5-sampled slice
+# ---------------------------------------------------------------------------
+
+# portable deterministic ~50% slice: first hex char of md5(doc_id-as-
+# string) ≤ '7' — identical row set in Spark and DuckDB
+_Q255_PRED_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7'"
+
+
+def _q255_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round5b import _q240_oracle
+
+    return _q240_oracle(
+        "docslice",
+        extra_ctes=(
+            "docslice AS (SELECT doc_id, text FROM documents "
+            f"WHERE {_Q255_PRED_SQL}), "
+        ),
+    )
+
+
+@query("q255_lsh_quality_audit_sampled", oracle=_q255_oracle(), bench=True)
+def q255_lsh_quality_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q240's precision/recall audit run the way production runs it at
+    100 TB: on a DETERMINISTIC hash-sampled corpus slice (md5 of
+    doc_id, first hex char ≤ '7' — ~50%, portable so DuckDB draws the
+    identical slice). Both ladder rungs — banding candidates and
+    exact-Jaccard truth — see only the slice, so the audit measures
+    the same banding configuration at half the quadratic-truth cost;
+    the full-corpus exhaustive form stays registered as q240. This
+    carries the headline-bench slot (q240 was 18% of the r5 bench
+    warm total)."""
+    from databricks_etl_spark.plans.queries_round5b import _lsh_quality_audit
+
+    d = read_table(spark, sf_dir, "documents")
+    sliced = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "7"
+    )
+    return _lsh_quality_audit(sliced)

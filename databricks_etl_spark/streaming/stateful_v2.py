@@ -8,7 +8,11 @@ imports ``google.protobuf``, which this container ships broken
 crashes at runner init, not in our code. :func:`tws_available` probes
 for that dependency; the test suite skips (never silently passes) when
 it is absent, exactly like the delta/iceberg sink gates in
-``sources/writers.py``. The processor itself is complete and mirrors
+``sources/writers.py``. Un-gating was re-attempted 2026-08-14: the
+container has no ``google`` namespace package at all and no network
+route to fetch a ``protobuf`` wheel (pip download fails at DNS), so
+a vendored/pinned install is not possible here; the gate remains the
+honest state. The processor itself is complete and mirrors
 q64's exact-integer-state running totals, so the two stateful APIs are
 drop-in twins where the dependency exists.
 """
