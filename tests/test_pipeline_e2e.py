@@ -83,3 +83,49 @@ def test_ingestion_pipeline_composes(spark, sf_dir, tmp_path):
     # determinism: the whole chain reruns bit-identically
     rerun = sorted(map(tuple, final.collect()))
     assert rerun == a
+
+
+def test_ingestion_report_scorecard_to_sink(spark, sf_dir, tmp_path):
+    """The capstone report pipeline (r5 verdict #8): clean → dedup →
+    audit → sink → read-back. The cleaned, deduped corpus feeds the
+    q246 per-source scorecard (near-dup × contamination × quality),
+    the report lands through the two-phase-commit Python DataSource
+    jsonl sink, and the read-back must hash-equal the in-memory
+    report — proving the full EP1–EP3+north-star chain end to end
+    through a real custom sink."""
+    import hashlib
+
+    from databricks_etl_spark.plans.registry import queries
+
+    # clean + dedup rungs (same stages the corpus pipeline runs)
+    d = read_table(spark, sf_dir, "documents")
+    valid = d.filter(F.col("text").isNotNull() & (F.col("n_chars") > 0))
+    uniq = DD.dedup_exact(valid, ["text"], "doc_id")
+    assert uniq.count() == valid.select("text").distinct().count()
+
+    # audit: the composed per-source scorecard (independently oracled)
+    report = queries()["q246_source_scorecard"](spark, sf_dir)
+    cols = report.columns
+    assert report.count() > 0
+
+    out = str(tmp_path / "ingestion_report")
+    PDS.register(spark)
+    report.write.format("pyjsonl").option("path", out).mode("overwrite").save()
+
+    # two-phase commit held: finalized parts + _SUCCESS only
+    assert not glob.glob(os.path.join(out, ".part-*.tmp"))
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert int(f.read()) == report.count()
+
+    # read-back hash equality (canonical row ordering, 6dp ratios are
+    # already rounded by the query itself)
+    def canon_hash(df):
+        rows = sorted(
+            tuple(str(r[c]) for c in cols) for r in df.collect()
+        )
+        return hashlib.md5(repr(rows).encode()).hexdigest()
+
+    back = spark.read.json(out).select(
+        *[F.col(c).cast(t) for c, t in report.dtypes]
+    )
+    assert canon_hash(back) == canon_hash(report)
