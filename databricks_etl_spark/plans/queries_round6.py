@@ -453,3 +453,93 @@ def q255_lsh_quality_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFram
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "7"
     )
     return _lsh_quality_audit(sliced)
+
+
+@query(
+    "q256_band_index_update",
+    oracle=f"""
+        WITH {_bands_sql_incremental()},
+        hit AS (
+            SELECT DISTINCT a.doc_id
+            FROM bb a JOIN cb c
+              ON a.band = c.band AND a.band_hash = c.band_hash
+        ),
+        novel AS (
+            SELECT doc_id FROM bb EXCEPT SELECT doc_id FROM hit
+        )
+        SELECT doc_id, band, band_hash FROM cb
+        UNION ALL
+        SELECT b2.doc_id, b2.band, b2.band_hash
+        FROM bb b2 JOIN (SELECT DISTINCT doc_id FROM novel) n USING (doc_id)
+    """,
+)
+def q256_band_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write side of incremental maintenance: the UPDATED corpus
+    band index after an ingest = existing index ∪ bands of the batch's
+    NOVEL documents only (q253's decision applied) — near-dup suspects
+    are quarantined, so their bands never pollute the index. The
+    oracle recomputes the same index from scratch over corpus ∪ batch,
+    proving the incremental append equals the recompute-the-world
+    result. At 100 TB this is an append-only partition write of
+    |novel|×4 rows per batch; the index itself is never rewritten."""
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.operators.dedup import incremental_band_join
+    from databricks_etl_spark.plans.queries_round4 import _band_buckets
+
+    corpus_bands = _band_buckets(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _B252).alias("doc_id"), "text"
+    )
+    batch_bands = _band_buckets(
+        spark, sf_dir, shingle_set=TX.shingles(batch, 3).distinct()
+    )
+    pairs = incremental_band_join(batch_bands, corpus_bands)
+    hit = (
+        pairs.filter("cross_corpus")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    novel_bands = batch_bands.join(hit, "doc_id", "left_anti")
+    return corpus_bands.unionByName(novel_bands)
+
+
+@query(
+    "q257_streaming_incremental_neardup",
+    oracle=f"""
+        WITH {_bands_sql_incremental()},
+        cross_p AS (
+            SELECT least(a.doc_id, c.doc_id) AS id_a,
+                   greatest(a.doc_id, c.doc_id) AS id_b,
+                   TRUE AS cross_corpus
+            FROM bb a JOIN cb c
+              ON a.band = c.band AND a.band_hash = c.band_hash
+        ),
+        within_p AS (
+            SELECT a.doc_id AS id_a, c.doc_id AS id_b, FALSE AS cross_corpus
+            FROM bb a JOIN bb c
+              ON a.band = c.band AND a.band_hash = c.band_hash
+             AND a.doc_id < c.doc_id
+        ),
+        u AS (SELECT * FROM cross_p UNION ALL SELECT * FROM within_p)
+        SELECT id_a, id_b, cross_corpus,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+        FROM u GROUP BY 1, 2, 3
+    """,
+)
+def q257_streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q252's incremental near-dup run as a TRUE Structured Streaming
+    ingest loop (``streaming/neardup.py``): per micro-batch the delta
+    is banded, joined against the index-so-far, pairs land in an
+    epoch-idempotent sink, and the delta's bands are appended to the
+    index for later epochs — so the drained pair set is invariant to
+    how the engine slices micro-batches (a cross-epoch pair is found
+    exactly once, when its later doc arrives). Hash-checked against
+    the same recompute-the-world oracle as q252; the epoch-slicing
+    invariance itself is unit-tested with a forced two-epoch harness
+    in tests/test_streaming.py."""
+    from databricks_etl_spark.streaming.neardup import (
+        run_streaming_incremental_neardup,
+    )
+
+    return run_streaming_incremental_neardup(spark, sf_dir)

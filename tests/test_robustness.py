@@ -216,3 +216,23 @@ def test_udf_lanes_degenerate_inputs(spark):
     left = spark.createDataFrame([], "k long, a long")
     right = spark.createDataFrame([], "k long, b long")
     assert salted_join(left, right, "k").count() == 0
+
+
+def test_approx_buckets_degenerate_inputs(spark):
+    """quantile_bucket edge behavior: a constant column collapses to
+    ONE bucket (all boundaries equal, strict > assignment sends every
+    row to bucket 1) and an empty relation yields an empty assignment
+    — no crashes, no NULL buckets."""
+    import pyspark.sql.functions as F
+
+    from databricks_etl_spark.operators.quantile_bucket import (
+        assign_approx_buckets,
+    )
+
+    const = spark.range(100).select(F.lit(7.5).alias("v"))
+    got = assign_approx_buckets(const, "v", 10).select("bucket").distinct().collect()
+    assert [r.bucket for r in got] == [1]
+
+    empty = spark.createDataFrame([], "v double")
+    assigned = assign_approx_buckets(empty, "v", 10)
+    assert assigned.count() == 0

@@ -476,3 +476,64 @@ def test_streaming_fingerprint_dedup_matches_batch(spark, smoke_sf_dir):
         .count()
         == 0
     )
+
+
+def test_incremental_neardup_epoch_slicing_invariant(spark, tmp_path):
+    """The streaming ingest loop's core claim: the drained pair set
+    does not depend on micro-batch slicing. Drive make_ingest_epoch by
+    hand — once with the whole batch in one epoch, once split into two
+    epochs with a planted cross-epoch duplicate pair — and assert both
+    runs produce the identical pair set, equal to the one-shot batch
+    incremental join."""
+    import pyspark.sql.functions as F
+
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.operators.dedup import incremental_band_join
+    from databricks_etl_spark.plans.queries_round4 import _band_buckets
+    from databricks_etl_spark.streaming.neardup import make_ingest_epoch
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+            (102, "cross epoch duplicate sentence shared by two stream docs"),
+            (103, "cross epoch duplicate sentence shared by two stream docs"),
+            (104, "totally novel text with nothing in common at all"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus_bands = _band_buckets(
+        spark, "", shingle_set=TX.shingles(corpus, 3).distinct()
+    )
+
+    def drain(slices):
+        ix = str(tmp_path / f"ix_{len(slices)}_{slices[0][0]}")
+        pr = str(tmp_path / f"pr_{len(slices)}_{slices[0][0]}")
+        corpus_bands.withColumn("__epoch", F.lit(-1)).write.mode(
+            "overwrite"
+        ).partitionBy("__epoch").parquet(ix)
+        ingest = make_ingest_epoch(ix, pr)
+        for epoch, ids in enumerate(slices):
+            ingest(batch.filter(F.col("doc_id").isin(ids)), epoch)
+        return {
+            (r.id_a, r.id_b): r.n_shared_bands
+            for r in spark.read.parquet(pr).collect()
+        }
+
+    one_epoch = drain([[101, 102, 103, 104]])
+    two_epochs = drain([[101, 102], [103, 104]])  # 102/103 dup split
+    batch_bands = _band_buckets(
+        spark, "", shingle_set=TX.shingles(batch, 3).distinct()
+    )
+    oneshot = {
+        (r.id_a, r.id_b): r.n_shared_bands
+        for r in incremental_band_join(batch_bands, corpus_bands).collect()
+    }
+    assert one_epoch == two_epochs == oneshot
+    assert (102, 103) in oneshot and (1, 101) in oneshot
