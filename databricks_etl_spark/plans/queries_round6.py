@@ -543,3 +543,258 @@ def q257_streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> Data
     )
 
     return run_streaming_incremental_neardup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q258 — quality-aware near-dup survivor selection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q258_quality_survivor_dedup",
+    oracle=None,  # set below — needs _PAIRS_05 + the q37 quality SQL
+)
+def q258_quality_survivor_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivorship by QUALITY, not by id: within each
+    near-dup cluster (q123's connected components over unigram-Jaccard
+    pairs) the survivor is the member with the highest quality_score
+    (q37's composite; doc_id min as tiebreak) — the production rule
+    for choosing which copy of duplicated content enters the training
+    mix. Unclustered docs pass through. The per-cluster ranking window
+    is bounded by cluster size (dup groups, not the corpus), so the
+    plan stays scale-safe; quality_score is a sum of exact 0.25 terms,
+    so the cross-engine ordering cannot diverge on ulps. Fully
+    hash-oracled: recursive-CTE closure + identical quality SQL."""
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.plans.queries_dedup import _neardup_components
+
+    d = read_table(spark, sf_dir, "documents")
+    comps = _neardup_components(spark, sf_dir)
+    quality = TX.quality_features(d).select("doc_id", "quality_score")
+    labeled = (
+        d.select("doc_id")
+        .join(comps, d.doc_id == comps.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+            F.col("id").isNotNull().alias("was_clustered"),
+        )
+        .join(quality, "doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "cluster_id", "was_clustered", "quality_score")
+    )
+
+
+def _q258_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _PAIRS_05
+    from databricks_etl_spark.plans.queries_text import _STOP_ALL
+    from databricks_etl_spark.plans.queries_text import _TOKS as _TTOKS
+
+    return f"""
+        WITH RECURSIVE {_PAIRS_05},
+        q AS (
+            SELECT doc_id,
+                   CAST(
+                     (CASE WHEN len({_TTOKS}) BETWEEN 5 AND 1000
+                           THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN CAST(length(text)
+                             - length(regexp_replace(text,
+                                 '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                             / length(text) < 0.1 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN CAST(len(list_filter({_TTOKS},
+                             t -> t IN ({_STOP_ALL}))) AS DOUBLE)
+                             / len({_TTOKS}) > 0.01 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN CAST(length(text) - (len({_TTOKS}) - 1)
+                             AS DOUBLE) / len({_TTOKS})
+                             BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+                     AS DOUBLE) AS quality_score
+            FROM documents
+        ),
+        lab AS (
+            SELECT d.doc_id,
+                   COALESCE(cc.component, d.doc_id) AS cluster_id,
+                   (cc.id IS NOT NULL) AS was_clustered,
+                   q.quality_score
+            FROM documents d
+            LEFT JOIN cc ON d.doc_id = cc.id
+            JOIN q ON d.doc_id = q.doc_id
+        )
+        SELECT doc_id, cluster_id, was_clustered, quality_score
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY cluster_id
+                ORDER BY quality_score DESC, doc_id) AS rn
+            FROM lab
+        ) WHERE rn = 1
+    """
+
+
+from dataclasses import replace as _replace  # noqa: E402
+
+from databricks_etl_spark.plans.registry import QUERIES as _Q  # noqa: E402
+
+_Q["q258_quality_survivor_dedup"] = _replace(
+    _Q["q258_quality_survivor_dedup"], oracle=_q258_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
+# q259 — change-point detection (binary segmentation, step 1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q259_revenue_changepoint",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+            FROM orders GROUP BY 1
+        ),
+        c AS (
+            SELECT d,
+                   SUM(rev) OVER (ORDER BY d
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(rev) OVER () AS tot,
+                   CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS nt,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS nn
+            FROM daily
+        ),
+        g AS (
+            SELECT d, nt, nn,
+                   CAST(cum AS DOUBLE) / nt AS mean_before,
+                   CAST(tot - cum AS DOUBLE) / (nn - nt) AS mean_after
+            FROM c WHERE nt < nn
+        )
+        SELECT CAST(d AS TIMESTAMP) AS split_date,
+               nt AS n_days_before,
+               (nn - nt) AS n_days_after,
+               round(mean_before, 6) AS mean_before,
+               round(mean_after, 6) AS mean_after,
+               round(abs(mean_before - mean_after), 6) AS mean_gap
+        FROM g
+        ORDER BY abs(mean_before - mean_after) DESC, d
+        LIMIT 1
+    """,
+)
+def q259_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection on the daily-revenue series (binary
+    segmentation, first split): the date that maximizes the absolute
+    gap between the mean revenue before and after it. Cumulative sums
+    are exact decimals (order-independent), so the double means and
+    the argmax ordering are bit-identical cross-engine with no
+    rounding tricks; tie broken by date. The windows run over the
+    per-DAY grid (~2.4k rows for TPC-H's 7-year span) — bounded by
+    the calendar, not the fact table, so the single-ordering window
+    is scale-safe (the same argument as the EWMA/seasonality series
+    queries)."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast(MONEY)).alias("rev")
+    )
+    w = Window.orderBy("d")
+    c = daily.select(
+        "d",
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("tot"),
+        F.row_number().over(w).cast("long").alias("nt"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("nn"),
+    ).filter(F.col("nt") < F.col("nn"))
+    g = c.select(
+        "d",
+        "nt",
+        "nn",
+        (F.col("cum").cast("double") / F.col("nt")).alias("mean_before"),
+        ((F.col("tot") - F.col("cum")).cast("double") / (F.col("nn") - F.col("nt"))).alias(
+            "mean_after"
+        ),
+    )
+    return (
+        g.orderBy(F.abs(F.col("mean_before") - F.col("mean_after")).desc(), "d")
+        .limit(1)
+        .select(
+            F.col("d").cast("timestamp").alias("split_date"),
+            F.col("nt").alias("n_days_before"),
+            (F.col("nn") - F.col("nt")).alias("n_days_after"),
+            F.round("mean_before", 6).alias("mean_before"),
+            F.round("mean_after", 6).alias("mean_after"),
+            F.round(F.abs(F.col("mean_before") - F.col("mean_after")), 6).alias(
+                "mean_gap"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q260 — per-document unigram entropy (sequential-fold determinism)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q260_token_entropy",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        ),
+        pd AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   list_sort(list(CAST(c AS DOUBLE))) AS cs
+            FROM cnt GROUP BY 1
+        )
+        SELECT doc_id,
+               n AS n_tokens,
+               n_distinct,
+               round(log2(CAST(n AS DOUBLE))
+                     - list_reduce(list_transform(cs, x -> x * log2(x)),
+                                   (a, b) -> a + b) / n,
+                     6) AS entropy_bits
+        FROM pd
+    """,
+)
+def q260_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy — the repetition/diversity
+    quality signal (low entropy = boilerplate or token spam; the
+    information-theoretic sibling of q82's repetition ratio).
+    H = log2(n) − (Σ c·log2(c))/n over the doc's distinct-token
+    counts. Cross-engine determinism by the SEQUENTIAL-FOLD rule
+    (README): the counts are sorted, then both engines left-fold
+    c·log2(c) in identical order (F.aggregate here, list_reduce in
+    DuckDB), so the floating sum is bit-identical — no reliance on
+    unordered SUM. Shuffle profile: two map-combinable aggregates on
+    (doc, token) then doc — the same as TF (q39)."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+    cnt = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    pd_ = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sort_array(F.collect_list(F.col("c").cast("double"))).alias("cs"),
+    )
+    fold = F.aggregate(
+        "cs", F.lit(0.0), lambda a, c: a + c * F.log2(c)
+    )
+    return pd_.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_distinct",
+        F.round(
+            F.log2(F.col("n").cast("double")) - fold / F.col("n"), 6
+        ).alias("entropy_bits"),
+    )
