@@ -798,3 +798,269 @@ def q260_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log2(F.col("n").cast("double")) - fold / F.col("n"), 6
         ).alias("entropy_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q261 — VARIANT semi-structured lane (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q261_variant_semistructured",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+               round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+                   AS sum_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def q261_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT end to end: each event's fields are re-encoded
+    as one nested JSON document, ingested with ``try_parse_json`` into
+    a VARIANT column (the open-schema semi-structured type — Spark's
+    answer to JSON columns at 100 TB: parsed once into a binary
+    encoding, path access without re-parsing, malformed input → NULL
+    not a crash), then typed back out with ``variant_get`` paths
+    ($.k int, $.et string, $.m.v double) and aggregated. The oracle
+    computes the same aggregate from the raw columns — equality proves
+    the encode → variant → typed-extract path is lossless. The JSON
+    construction is deliberately part of the query so the lane tests
+    nested objects, not just the flat {"k": n} testdata props."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    e = read_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.col("event_type").alias("et"),
+            F.struct(F.col("value").alias("v")).alias("m"),
+        )
+    )
+    v = e.select(F.try_parse_json(doc).alias("v"))
+    typed = v.select(
+        F.variant_get("v", "$.k", "int").alias("k"),
+        F.variant_get("v", "$.et", "string").alias("event_type"),
+        F.variant_get("v", "$.m.v", "double").alias("value"),
+    )
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.round(
+            F.sum(F.col("value").cast(MONEY)).cast("double"), 6
+        ).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q262 — per-brand Pareto front (skyline query)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q262_pareto_front_parts",
+    oracle="""
+        SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part o
+            WHERE o.p_brand = p.p_brand
+              AND o.p_retailprice <= p.p_retailprice
+              AND o.p_size <= p.p_size
+              AND (o.p_retailprice < p.p_retailprice
+                   OR o.p_size < p.p_size)
+        )
+    """,
+)
+def q262_pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front query: per brand, the parts not dominated
+    on (retailprice, size) — both minimized; a part survives unless a
+    same-brand part is ≤ on both axes and < on one. The oracle states
+    the quadratic NOT EXISTS definition; the engine computes it in
+    O(n log n) per brand with the sort-and-running-min skyline sweep:
+    group to (brand, price) with the group's min size, a per-brand
+    ordered window over the DISTINCT PRICE groups gives the min size
+    among strictly-cheaper groups, and a part is on the front iff it
+    is min-size within its price group AND no cheaper group undercuts
+    its size. No quadratic self-join anywhere; the window runs over
+    price groups within one brand (bounded, and never the fact
+    table)."""
+    p = read_table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+    grp = p.groupBy("p_brand", "p_retailprice").agg(
+        F.min("p_size").alias("msize")
+    )
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    grp2 = grp.withColumn(
+        "prev_min",
+        F.min("msize").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    j = p.join(grp2, ["p_brand", "p_retailprice"])
+    return j.filter(
+        (F.col("p_size") == F.col("msize"))
+        & (F.col("prev_min").isNull() | (F.col("prev_min") > F.col("p_size")))
+    ).select("p_brand", "p_partkey", "p_retailprice", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# q263 — BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+# fixed query terms (the IR probe a retrieval pipeline would score):
+_Q263_TERMS = ("data", "model", "training", "quality")
+_Q263_K1, _Q263_B = 1.2, 0.75
+
+
+@query(
+    "q263_bm25_retrieval",
+    oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY 1),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   AVG(CAST(len AS DOUBLE)) AS avgdl
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, w, COUNT(*) AS f FROM tok
+            WHERE w IN ({", ".join(f"'{t}'" for t in _Q263_TERMS)})
+            GROUP BY 1, 2
+        ),
+        df AS (SELECT w, COUNT(*) AS d FROM tf GROUP BY 1),
+        contrib AS (
+            SELECT tf.doc_id, tf.w,
+                   CAST(round(
+                       ln((stats.n_docs - df.d + 0.5) / (df.d + 0.5) + 1.0)
+                       * (tf.f * ({_Q263_K1} + 1.0))
+                       / (tf.f + {_Q263_K1} * (1.0 - {_Q263_B}
+                          + {_Q263_B} * dl.len / stats.avgdl)),
+                       9) AS DECIMAL(18,9)) AS c
+            FROM tf
+            JOIN df USING (w)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+               round(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+        FROM contrib GROUP BY doc_id
+    """,
+)
+def q263_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scoring of the corpus against a fixed query-term set — the
+    lexical-retrieval sibling of the embedding ANN lane (hybrid search
+    scores both). Classic Okapi form (k1=1.2, b=0.75) with
+    the +1 idf smoothing. Cross-engine float discipline: each (doc,
+    term) contribution is one deterministic double expression, rounded
+    to 9dp and cast to DECIMAL(18,9) BEFORE the per-doc sum — decimal
+    addition is order-independent, so the score hash cannot flake on
+    summation order (the same rule as decimal revenue sums). Shuffle
+    profile: the term filter prunes the token stream to the query
+    vocabulary before any shuffle; df/avgdl are tiny broadcast
+    aggregates."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("len").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("w").isin(*_Q263_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+    contrib = (
+        tf.join(F.broadcast(df_), "w")
+        # dl scales with the corpus — NEVER broadcast; the doc_id hash
+        # join is the right plan (tf is already query-vocab-pruned)
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("d") + 0.5) / (F.col("d") + 0.5)
+                    + 1.0
+                )
+                * (F.col("f") * (_Q263_K1 + 1.0))
+                / (
+                    F.col("f")
+                    + _Q263_K1
+                    * (1.0 - _Q263_B + _Q263_B * F.col("len") / F.col("avgdl"))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("c"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.round(F.sum("c").cast("double"), 6).alias("bm25"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q264 — k-anonymity audit (privacy lane, next to q141's PII redaction)
+# ---------------------------------------------------------------------------
+
+_Q264_K = 5
+
+
+@query(
+    "q264_k_anonymity_audit",
+    oracle=f"""
+        WITH qi AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                   COUNT(*) AS n
+            FROM customer GROUP BY 1, 2, 3
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN n < {_Q264_K} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_small_classes,
+               CAST(SUM(CASE WHEN n < {_Q264_K} THEN n ELSE 0 END) AS BIGINT)
+                   AS n_reidentifiable_rows,
+               CAST(MIN(n) AS BIGINT) AS k_anonymity,
+               round(CAST(SUM(CASE WHEN n < {_Q264_K} THEN n ELSE 0 END)
+                          AS DOUBLE) / SUM(n), 6) AS reident_risk_share
+        FROM qi
+    """,
+)
+def q264_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation × market
+    segment × $1000 balance band): the privacy gate a data release
+    runs next to PII redaction (q141) — equivalence classes smaller
+    than k={_Q264_K} members make their rows re-identifiable. Reports
+    the achieved k (min class size), the count of small classes, and
+    the share of at-risk rows. One map-combinable groupBy on the
+    quasi-identifier tuple + a 1-row summary — the same profile as a
+    value-counts query at any scale."""
+    c = read_table(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    small = F.when(F.col("n") < _Q264_K, 1).otherwise(0)
+    small_rows = F.when(F.col("n") < _Q264_K, F.col("n")).otherwise(0)
+    return qi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(small).cast("long").alias("n_small_classes"),
+        F.sum(small_rows).cast("long").alias("n_reidentifiable_rows"),
+        F.min("n").cast("long").alias("k_anonymity"),
+        F.round(
+            F.sum(small_rows).cast("double") / F.sum("n"), 6
+        ).alias("reident_risk_share"),
+    )
