@@ -1064,3 +1064,213 @@ def q264_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(small_rows).cast("double") / F.sum("n"), 6
         ).alias("reident_risk_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q265 — per-dimension embedding statistics (hygiene sibling of q230)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q265_embedding_dim_stats",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id,
+                   unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        )
+        SELECT CAST(dim AS INT) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_x,
+               round(CAST(SUM(CAST(CAST(x AS DECIMAL(18,9))
+                                   * CAST(x AS DECIMAL(18,9))
+                              AS DECIMAL(38,18))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_x2,
+               round(CAST(MIN(x) AS DOUBLE), 6) AS min_x,
+               round(CAST(MAX(x) AS DOUBLE), 6) AS max_x
+        FROM e GROUP BY dim
+    """,
+)
+def q265_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution stats — the drift /
+    normalization audit run before indexing a vector corpus (a
+    collapsed or exploded dimension shows up as a degenerate mean or
+    range; the per-VECTOR hygiene gate is q230). posexplode keys the
+    shuffle by (dim), 16–1024 groups — map-combinable, flat at any
+    corpus size. Decimal discipline: float32 inputs are exact in
+    DECIMAL(18,9) (x and x² likewise in the widened product type), so
+    the sums are order-independent and the 6dp means hash-stable."""
+    e = read_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).cast("int").alias("dim"), "x")
+    xd = F.col("x").cast("decimal(18,9)")
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            (F.sum(F.col("x").cast("decimal(28,12)")).cast("double"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_x"),
+        F.round(
+            F.sum((xd * xd).cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_x2"),
+        F.round(F.min("x").cast("double"), 6).alias("min_x"),
+        F.round(F.max("x").cast("double"), 6).alias("max_x"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q266 — embedded-record parsing breadth (from_csv, str_to_map)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q266_embedded_record_parsing",
+    oracle="""
+        WITH enc AS (
+            SELECT event_id,
+                   event_type || ',' || CAST(user_id AS VARCHAR)
+                       || ',' || CAST(round(value, 3) AS VARCHAR) AS csv_s,
+                   'et=' || event_type || ';uid='
+                       || CAST(user_id AS VARCHAR) AS kv_s
+            FROM events
+        ),
+        parsed AS (
+            SELECT event_id,
+                   string_split(csv_s, ',')[1] AS c_type,
+                   CAST(string_split(csv_s, ',')[2] AS BIGINT) AS c_user,
+                   CAST(string_split(csv_s, ',')[3] AS DOUBLE) AS c_value,
+                   string_split(string_split(kv_s, ';')[1], '=')[2] AS m_type,
+                   CAST(string_split(string_split(kv_s, ';')[2], '=')[2]
+                        AS BIGINT) AS m_user
+            FROM enc
+        )
+        SELECT c_type AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c_user) AS BIGINT) AS sum_user,
+               round(CAST(SUM(CAST(c_value AS DECIMAL(18,3))) AS DOUBLE), 3)
+                   AS sum_value,
+               CAST(MIN(CASE WHEN c_type = m_type AND c_user = m_user
+                             THEN 1 ELSE 0 END) AS BIGINT) AS parsers_agree
+        FROM parsed GROUP BY 1
+    """,
+)
+def q266_embedded_record_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-record parsing breadth: events re-encoded as delimited
+    strings, then recovered with BOTH structured parsers — ``from_csv``
+    (schema'd CSV-in-a-cell, the S2 lane at cell granularity) and
+    ``str_to_map`` (k=v;k=v attribute strings) — and cross-validated:
+    parsers_agree proves the two decoders reconstruct identical
+    fields. Values round-trip through round(·,3) text so the
+    double→string→double path is exact on both engines. Everything is
+    map-side expression work; the only shuffle is the final 5-key
+    aggregate."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    e = read_table(spark, sf_dir, "events")
+    csv_s = F.concat_ws(
+        ",",
+        "event_type",
+        F.col("user_id").cast("string"),
+        F.round("value", 3).cast("string"),
+    )
+    kv_s = F.concat(
+        F.lit("et="),
+        F.col("event_type"),
+        F.lit(";uid="),
+        F.col("user_id").cast("string"),
+    )
+    enc = e.select("event_id", csv_s.alias("csv_s"), kv_s.alias("kv_s"))
+    parsed = enc.select(
+        "event_id",
+        F.from_csv(
+            "csv_s", F.lit("c_type string, c_user bigint, c_value double")
+        ).alias("r"),
+        F.str_to_map("kv_s", F.lit(";"), F.lit("=")).alias("m"),
+    ).select(
+        "event_id",
+        "r.c_type",
+        "r.c_user",
+        "r.c_value",
+        F.col("m")["et"].alias("m_type"),
+        F.col("m")["uid"].cast("bigint").alias("m_user"),
+    )
+    agree = F.when(
+        (F.col("c_type") == F.col("m_type"))
+        & (F.col("c_user") == F.col("m_user")),
+        1,
+    ).otherwise(0)
+    return parsed.groupBy(F.col("c_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_user").cast("long").alias("sum_user"),
+        F.round(
+            F.sum(F.col("c_value").cast("decimal(18,3)")).cast("double"), 3
+        ).alias("sum_value"),
+        F.min(agree).cast("long").alias("parsers_agree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q267 — time-weighted average value per user (TWAP)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q267_time_weighted_average",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                   value,
+                   lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+            FROM events
+        ),
+        seg AS (
+            SELECT user_id,
+                   CAST(value AS DECIMAL(28,6)) * (t_next - t) AS wv,
+                   (t_next - t) AS w
+            FROM seq WHERE t_next IS NOT NULL AND t_next > t
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(w) AS BIGINT) AS held_seconds,
+               round(CAST(SUM(wv) AS DOUBLE) / SUM(w), 6) AS twap
+        FROM seg GROUP BY user_id
+    """,
+)
+def q267_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each event's value is held until
+    the user's next event; the average weights each value by its
+    holding duration — the correct aggregate for sampled-state series
+    (balances, prices, queue depths), where the plain AVG over-weights
+    bursts. lead() over the per-user order gives segment ends;
+    weighted sums are exact decimals × integer seconds (epoch floor on
+    both engines), so the 6dp ratio is hash-stable. Zero-length
+    segments (duplicate timestamps) carry zero weight and are dropped
+    identically on both sides. One shuffle on user_id."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        "value",
+        F.lead(F.unix_timestamp("ts")).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull() & (F.col("t_next") > F.col("t")))
+    seg = seq.select(
+        "user_id",
+        (F.col("value").cast(MONEY) * (F.col("t_next") - F.col("t"))).alias("wv"),
+        (F.col("t_next") - F.col("t")).alias("w"),
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("w").cast("long").alias("held_seconds"),
+        F.round(F.sum("wv").cast("double") / F.sum("w"), 6).alias("twap"),
+    )
