@@ -113,38 +113,56 @@ def size_audit(
 
     All four are deterministic for ANY valid sketch output, so the
     DuckDB oracle states them as constants + the exact COUNT(*).
+
+    Textbook two-pass plan — the minimum for data-driven boundaries:
+    pass 1 runs the mergeable quantile sketch and lands k−1 doubles on
+    the driver (Observation-sized, the S10-sanctioned collect class);
+    pass 2 assigns buckets against LITERAL boundaries (pure map-side
+    expressions, no join) and computes the per-bucket stats AND the
+    per-boundary duplicate counts in ONE fused aggregate — so the
+    relation is scanned exactly twice at any scale, and the tolerance
+    provably refers to the same sketch that did the bucketing.
     """
-    assigned = assign_approx_buckets(
-        df, col, n_buckets, accuracy=accuracy, bucket_col="_qb"
-    )
-    per_bucket = assigned.groupBy("_qb").agg(
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    row = df.agg(
+        F.percentile_approx(col, probs, F.lit(accuracy)).alias("_bounds")
+    ).first()
+    bounds = list(row["_bounds"] or [])
+    spark = df.sparkSession
+    if not bounds:  # empty input: report zeros, vacuously ordered
+        return spark.createDataFrame(
+            [(0, 0, True, True)],
+            "n_buckets int, n_total long, sizes_within_tol boolean, "
+            "buckets_ordered boolean",
+        )
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
+    per_bucket = df.groupBy(bucket.cast("int").alias("_qb")).agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(col).alias("_lo"),
         F.max(col).alias("_hi"),
-    )
-    # multiplicity of boundary values: re-derive the (tiny) boundary
-    # array, explode, count matching rows — touches only rows equal to
-    # one of the k−1 boundary values
-    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
-    bounds = df.agg(
-        F.percentile_approx(col, probs, F.lit(accuracy)).alias("_bounds")
-    )
-    bvals = bounds.select(F.explode("_bounds").alias("_bv")).distinct()
-    dup = (
-        df.join(F.broadcast(bvals), F.col(col) == F.col("_bv"))
-        .groupBy("_bv")
-        .agg(F.count(F.lit(1)).alias("_d"))
-        .agg(F.coalesce(F.max("_d"), F.lit(0)).alias("_maxdup"))
+        # duplicate multiplicity of each boundary value, fused into the
+        # same aggregate (a boundary value b_i is a data element and
+        # lands in its own bucket, so per-bucket counting loses nothing)
+        *[
+            F.sum(F.when(F.col(col) == F.lit(b), 1).otherwise(0)).alias(
+                f"_dup{i}"
+            )
+            for i, b in enumerate(dict.fromkeys(bounds))
+        ],
     )
     # per-bucket frame is ≤ k rows — the ordered-ranges check is a
     # window over k, not over the data
     from pyspark.sql import Window
 
     w = Window.orderBy("_qb")
+    dup_cols = [c for c in per_bucket.columns if c.startswith("_dup")]
     chk = per_bucket.select(
         "_qb",
         "_n",
         (F.lag("_hi").over(w) <= F.col("_lo")).alias("_ord_ok"),
+        F.greatest(*dup_cols, F.lit(0)).alias("_dmax"),
     )
     summary = chk.agg(
         F.count(F.lit(1)).cast("int").alias("n_buckets"),
@@ -152,10 +170,9 @@ def size_audit(
         F.max("_n").cast("double").alias("_max_n"),
         F.min("_n").cast("double").alias("_min_n"),
         F.min(F.coalesce("_ord_ok", F.lit(True))).alias("buckets_ordered"),
+        F.max("_dmax").cast("double").alias("_maxdup"),
     )
-    audit = summary.join(F.broadcast(dup)).withColumn(
-        "_n_total", F.col("n_total").cast("double")
-    )
+    audit = summary.withColumn("_n_total", F.col("n_total").cast("double"))
     tol = bucket_size_tolerance(df, col, n_buckets, accuracy=accuracy)
     target = F.col("_n_total") / F.lit(n_buckets)
     return audit.select(
