@@ -1274,3 +1274,131 @@ def q267_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("long").alias("held_seconds"),
         F.round(F.sum("wv").cast("double") / F.sum("w"), 6).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q268 — multimodal corrupt-rate audit (quarantine lane, driver-checked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q268_multimodal_corrupt_rate",
+    oracle="""
+        WITH pay AS (
+            SELECT doc_id, source,
+                   CASE
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+                       THEN 'truncated'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '1'
+                       THEN 'null'
+                     ELSE 'ok'
+                   END AS kind
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_payloads,
+               CAST(SUM(CASE WHEN kind = 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_decoded,
+               CAST(SUM(CASE WHEN kind <> 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quarantined,
+               round(CAST(SUM(CASE WHEN kind <> 'ok' THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS corrupt_rate
+        FROM pay GROUP BY source
+    """,
+)
+def q268_multimodal_corrupt_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal QUARANTINE lane driver-checked end to end (until
+    now it was unit-test evidence only): real BMP payloads are planted
+    with deterministic corruption — md5(doc_id) first hex '0' →
+    truncated bytes, '1' → NULL payload — pushed through the Arrow
+    ``mapInPandas`` decoder, and the per-source decode/quarantine
+    counts are aggregated. A decoded row has a width; a quarantined
+    one reports NULL features but never kills the stage. The oracle
+    recomputes the rates from the planting predicate alone, so the
+    value hash proves BOTH that corrupt payloads quarantine AND that
+    valid ones all decode."""
+    from databricks_etl_spark.operators import multimodal as MM
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pay = MM.generate_bmp_payloads(d)
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    planted = pay.withColumn(
+        "payload",
+        F.when(h1 == "0", F.expr("substring(payload, 1, 10)"))
+        .when(h1 == "1", F.lit(None).cast("binary"))
+        .otherwise(F.col("payload")),
+    )
+    feats = MM.decode_features(planted)
+    src = d.select("doc_id", "source")
+    j = feats.join(src, "doc_id")
+    bad = F.when(F.col("width").isNull(), 1).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum(1 - bad).cast("long").alias("n_decoded"),
+        F.sum(bad).cast("long").alias("n_quarantined"),
+        F.round(F.sum(bad).cast("double") / F.count(F.lit(1)), 6).alias(
+            "corrupt_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q269 — LSH pruning-efficiency report (the 100 TB cost story, measured)
+# ---------------------------------------------------------------------------
+
+
+def _q269_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round4 import _BANDS_SQL
+
+    return f"""
+        WITH {_BANDS_SQL},
+        buckets AS (
+            SELECT band, band_hash, COUNT(*) AS s
+            FROM b GROUP BY 1, 2
+        ),
+        tot AS (SELECT COUNT(DISTINCT doc_id) AS n FROM b)
+        SELECT CAST(tot.n AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(MAX(s) AS BIGINT) AS max_bucket,
+               CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS candidate_pairs,
+               CAST(tot.n * (tot.n - 1) / 2 AS BIGINT) AS allpairs,
+               round(CAST(tot.n * (tot.n - 1) / 2 AS DOUBLE)
+                     / SUM(s * (s - 1) / 2), 2) AS pruning_factor
+        FROM buckets, tot
+        GROUP BY tot.n
+    """
+
+
+@query("q269_lsh_pruning_efficiency", oracle=_q269_oracle())
+def q269_lsh_pruning_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured cost story behind the 'banding is 100 TB-safe'
+    claim: per band-bucket of size s the candidate join materializes
+    s·(s−1)/2 comparisons; this audit sums that over every bucket and
+    reports the pruning factor vs the N·(N−1)/2 all-pairs product —
+    the number a capacity plan would use to size the dedup stage.
+    (Bucket-pair counting happens BEFORE pair dedup across bands, i.e.
+    it measures join work, not distinct candidates — deliberately, as
+    that is what the executors actually pay.) One aggregate over the
+    band relation; no pair materialization anywhere."""
+    from databricks_etl_spark.plans.queries_round4 import _band_buckets
+
+    b = _band_buckets(spark, sf_dir)
+    buckets = b.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("s"))
+    tot = b.agg(F.count_distinct("doc_id").alias("n"))
+    cand = F.sum(F.expr("s * (s - 1) DIV 2"))
+    return buckets.join(F.broadcast(tot)).groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("s").cast("long").alias("max_bucket"),
+        cand.cast("long").alias("candidate_pairs"),
+        F.expr("first(n * (n - 1) DIV 2)").cast("long").alias("allpairs"),
+        F.round(
+            F.expr("first(n * (n - 1) DIV 2)").cast("double") / cand, 2
+        ).alias("pruning_factor"),
+    ).select(
+        F.col("n").cast("long").alias("n_docs"),
+        "n_buckets",
+        "max_bucket",
+        "candidate_pairs",
+        "allpairs",
+        "pruning_factor",
+    )
