@@ -1402,3 +1402,173 @@ def q269_lsh_pruning_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "allpairs",
         "pruning_factor",
     )
+
+
+# ---------------------------------------------------------------------------
+# q270 — trending tokens per event-week (windowed top-K, partitioned)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q270_trending_tokens_weekly",
+    oracle=r"""
+        WITH tok AS (
+            SELECT (doc_id % 10) AS wk,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ),
+        cnt AS (
+            SELECT wk, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT wk, w, c,
+                   row_number() OVER (
+                       PARTITION BY wk ORDER BY c DESC, w) AS rk
+            FROM cnt
+        )
+        SELECT CAST(wk AS BIGINT) AS wk,
+               CAST(rk AS BIGINT) AS rank,
+               w AS token,
+               CAST(c AS BIGINT) AS n_occurrences
+        FROM ranked WHERE rk <= 3
+    """,
+)
+def q270_trending_tokens_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending tokens per ingest batch (doc_id % 10 as the batch/week
+    key): top-3 tokens by count within each batch with the
+    deterministic (count DESC, token) tiebreak — the dashboard query
+    behind 'what is this week's crawl full of'. The ranking window is
+    PARTITIONED by the batch key (unlike q142's global vocab rank), so
+    at 100 TB each partition sorts only its own token tally — this is
+    the shape the scale rules allow without a twin."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 10).alias("wk"),
+        F.explode(tokens_col("text")).alias("w"),
+    )
+    cnt = tok.groupBy("wk", "w").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("wk").orderBy(F.desc("c"), "w")
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("wk").cast("long").alias("wk"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("w").alias("token"),
+            F.col("c").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q271 — TF-IDF weighted cosine pairs (sparse similarity join)
+# ---------------------------------------------------------------------------
+
+_Q271_MAXDF = 100
+_Q271_THRESH = 0.5
+
+
+@query(
+    "q271_tfidf_cosine_pairs",
+    oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, w, COUNT(*) AS f FROM tok GROUP BY 1, 2),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf),
+        dfq AS (
+            SELECT w, COUNT(*) AS d FROM tf GROUP BY 1
+            HAVING COUNT(*) <= {_Q271_MAXDF}
+        ),
+        wt AS (
+            SELECT tf.doc_id, tf.w,
+                   tf.f * ln(n.nd / dfq.d) AS wd
+            FROM tf JOIN dfq USING (w) CROSS JOIN n
+        ),
+        norm AS (
+            SELECT doc_id,
+                   sqrt(CAST(SUM(CAST(round(wd * wd, 9) AS DECIMAL(28,9)))
+                             AS DOUBLE)) AS nrm
+            FROM wt GROUP BY 1
+        ),
+        prod AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(SUM(CAST(round(a.wd * b.wd, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE) AS dot,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+            FROM wt a JOIN wt b USING (w)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, n_shared_terms,
+               round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM prod
+        JOIN norm na ON prod.id_a = na.doc_id
+        JOIN norm nb ON prod.id_b = nb.doc_id
+        WHERE dot / (na.nrm * nb.nrm) >= {_Q271_THRESH}
+    """,
+)
+def q271_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weighted cosine similarity join — the SPARSE-vector rung
+    between exact set Jaccard (q43) and dense embedding cosine (q47):
+    rare shared vocabulary counts more, so it catches topical
+    near-dups that set overlap underweights. Same inverted-index plan
+    and max_df posting cap as the Jaccard ladder (the df cap also
+    kills the idf≈0 stop-tokens that would dominate join cost while
+    contributing nothing to the score). Float discipline: each w_a·w_b
+    product and each w² norm term is rounded to 9dp and summed as
+    DECIMAL(28,9) — order-independent — before the one final sqrt /
+    divide, so the 6dp cosine is hash-stable cross-engine. The
+    threshold compares the UNROUNDED ratio on both sides."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("f"))
+    nd = tf.agg(F.count_distinct("doc_id").cast("double").alias("nd"))
+    dfq = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= _Q271_MAXDF)
+    )
+    wt = (
+        tf.join(dfq, "w")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("f") * F.log(F.col("nd") / F.col("d"))).alias("wd"),
+        )
+    )
+    dec = "decimal(28,9)"
+    norm = wt.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("wd") * F.col("wd"), 9).cast(dec)).cast("double")
+        ).alias("nrm")
+    )
+    a = wt.select(F.col("doc_id").alias("id_a"), "w", F.col("wd").alias("wa"))
+    b = wt.select(F.col("doc_id").alias("id_b"), "w", F.col("wd").alias("wb"))
+    prod = (
+        a.join(b, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.round(F.col("wa") * F.col("wb"), 9).cast(dec))
+            .cast("double")
+            .alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+        )
+    )
+    na = norm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        prod.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= _Q271_THRESH)
+        .select("id_a", "id_b", "n_shared_terms", F.round(cos, 6).alias("cosine"))
+    )

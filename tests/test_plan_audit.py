@@ -205,3 +205,15 @@ def test_q251_vocab_is_take_ordered(spark, smoke_sf_dir):
     tokens."""
     plan = _executed_plan(queries()["q251_vocab_topk_scalable"](spark, smoke_sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q252_incremental_join_is_equi(spark, smoke_sf_dir):
+    """Incremental near-dup candidates must come from band-bucket
+    EQUI-joins (delta x index, delta x delta) — a nested-loop or
+    cartesian plan is the batch-vs-corpus explosion the index
+    exists to prevent."""
+    plan = _executed_plan(
+        queries()["q252_incremental_neardup_candidates"](spark, smoke_sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
