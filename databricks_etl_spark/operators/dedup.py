@@ -275,6 +275,7 @@ def incremental_band_join(
     corpus_bands: DataFrame,
     *,
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup maintenance: candidates for a NEW batch
     against an EXISTING corpus band index — the production shape at
@@ -295,6 +296,19 @@ def incremental_band_join(
     broadcasts the batch bands when they fit; candidate volume is
     bounded by band-bucket collisions exactly as in the full-corpus
     ladder, never |batch|×|corpus|.
+
+    ``max_bucket`` is the hot-bucket guard (the band-join analog of
+    ``jaccard_pairs``'s ``max_df`` posting cap): a band bucket holding
+    s docs contributes O(s²) candidate pairs, and mass-duplicated
+    boilerplate (cookie banners, license headers) concentrates
+    thousands of docs into ONE bucket — quadratic join work that no
+    banding theorem bounds, because the true-duplicate set really is
+    quadratic. With ``max_bucket`` set, buckets whose TOTAL size
+    (index + delta) exceeds the cap are excluded from candidate
+    generation — standard near-dup practice: giant collision clusters
+    are boilerplate, routed to a dedicated boilerplate handler (q151)
+    rather than pairwise-verified. The cap check is one counting
+    aggregate on the same (band, band_hash) key the joins shuffle on.
     """
     a = batch_bands.select(
         F.col(id_col).alias("_ba"), "band", "band_hash"
@@ -302,6 +316,17 @@ def incremental_band_join(
     c = corpus_bands.select(
         F.col(id_col).alias("_cb"), "band", "band_hash"
     )
+    if max_bucket is not None:
+        sizes = (
+            a.select("band", "band_hash")
+            .unionByName(c.select("band", "band_hash"))
+            .groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__s"))
+            .filter(F.col("__s") <= max_bucket)
+            .select("band", "band_hash")
+        )
+        a = a.join(sizes, ["band", "band_hash"])
+        c = c.join(sizes, ["band", "band_hash"])
     cross = (
         a.join(c, ["band", "band_hash"])
         .select(
@@ -311,7 +336,7 @@ def incremental_band_join(
         )
         .filter(F.col("id_a") != F.col("id_b"))
     )
-    b2 = batch_bands.select(F.col(id_col).alias("_bb"), "band", "band_hash")
+    b2 = a.select(F.col("_ba").alias("_bb"), "band", "band_hash")
     within = (
         a.join(b2, ["band", "band_hash"])
         .filter(F.col("_ba") < F.col("_bb"))

@@ -1572,3 +1572,64 @@ def q271_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= _Q271_THRESH)
         .select("id_a", "id_b", "n_shared_terms", F.round(cos, 6).alias("cosine"))
     )
+
+
+_Q272_CAP = 8
+
+
+@query(
+    "q272_incremental_neardup_capped",
+    oracle=f"""
+        WITH {_bands_sql_incremental()},
+        ok AS (
+            SELECT band, band_hash FROM b
+            GROUP BY 1, 2 HAVING COUNT(*) <= {_Q272_CAP}
+        ),
+        bbk AS (SELECT bb.* FROM bb JOIN ok USING (band, band_hash)),
+        cbk AS (SELECT cb.* FROM cb JOIN ok USING (band, band_hash)),
+        cross_p AS (
+            SELECT least(a.doc_id, c.doc_id) AS id_a,
+                   greatest(a.doc_id, c.doc_id) AS id_b,
+                   TRUE AS cross_corpus
+            FROM bbk a JOIN cbk c
+              ON a.band = c.band AND a.band_hash = c.band_hash
+        ),
+        within_p AS (
+            SELECT a.doc_id AS id_a, c.doc_id AS id_b, FALSE AS cross_corpus
+            FROM bbk a JOIN bbk c
+              ON a.band = c.band AND a.band_hash = c.band_hash
+             AND a.doc_id < c.doc_id
+        ),
+        u AS (SELECT * FROM cross_p UNION ALL SELECT * FROM within_p)
+        SELECT id_a, id_b, cross_corpus,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+        FROM u GROUP BY 1, 2, 3
+    """,
+)
+def q272_incremental_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q252 with the HOT-BUCKET GUARD engaged (max_bucket={_Q272_CAP}):
+    band buckets whose total (index + delta) size exceeds the cap are
+    excluded from candidate generation — the guard that keeps the band
+    join from going quadratic when mass-duplicated boilerplate piles
+    thousands of docs into one bucket (the band-join analog of the
+    Jaccard ladder's max_df posting cap; the excluded clusters route
+    to the boilerplate handler instead). Oracled with the same
+    recompute-the-world SQL under an identical HAVING size cap, so
+    the guard's exact semantics — not just its existence — are
+    hash-checked. The cap-vs-work curve is unit-tested with a planted
+    boilerplate cluster in tests/test_dedup_similarity.py."""
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.operators.dedup import incremental_band_join
+    from databricks_etl_spark.plans.queries_round4 import _band_buckets
+
+    corpus_bands = _band_buckets(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _B252).alias("doc_id"), "text"
+    )
+    batch_bands = _band_buckets(
+        spark, sf_dir, shingle_set=TX.shingles(batch, 3).distinct()
+    )
+    return incremental_band_join(
+        batch_bands, corpus_bands, max_bucket=_Q272_CAP
+    )

@@ -274,3 +274,35 @@ def test_incremental_band_join_planted_batch(spark):
     assert not any(102 in (a, b) for a, b, _ in pairs)  # novel doc clean
     # corpus x corpus pairs never emitted
     assert not any(a < 100 and b < 100 for a, b, _ in pairs)
+
+
+def test_incremental_band_join_hot_bucket_cap(spark):
+    """The max_bucket guard: a planted boilerplate cluster (40
+    identical batch docs vs 10 identical corpus twins) floods one
+    bucket; uncapped, the join pays O(50 squared) pairs — capped, the
+    bucket is excluded entirely while unrelated small-bucket pairs
+    survive untouched."""
+    from databricks_etl_spark.operators import dedup as DD
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.plans.queries_round4 import _band_buckets
+
+    boiler = "all rights reserved this page uses cookies accept to continue"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(10)]
+        + [(90, "one unique corpus sentence about spark physical planning")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(40)]
+        + [(190, "one unique corpus sentence about spark physical planning")],
+        "doc_id long, text string",
+    )
+    cb = _band_buckets(spark, "", shingle_set=TX.shingles(corpus, 3).distinct())
+    bb = _band_buckets(spark, "", shingle_set=TX.shingles(batch, 3).distinct())
+
+    uncapped = DD.incremental_band_join(bb, cb).count()
+    capped = DD.incremental_band_join(bb, cb, max_bucket=8).collect()
+    # boilerplate cluster: 40x10 cross + 40C2 within = 1180 pairs, all
+    # in hot buckets; the capped run keeps only the unique-pair match
+    assert uncapped > 1000
+    assert {(r.id_a, r.id_b) for r in capped} == {(90, 190)}
