@@ -1633,3 +1633,82 @@ def q272_incremental_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFra
     return incremental_band_join(
         batch_bands, corpus_bands, max_bucket=_Q272_CAP
     )
+
+
+# ---------------------------------------------------------------------------
+# q273 — dynamic-gap sessionization (per-event inactivity timeout)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q273_dynamic_gap_sessions",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, event_id, ts, event_type,
+                   ts + CASE WHEN event_type = 'click'
+                             THEN INTERVAL '5 minutes'
+                             ELSE INTERVAL '30 minutes' END AS e
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, event_id, ts, event_type, e,
+                   max(e) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max_e
+            FROM iv
+        ),
+        f AS (
+            SELECT user_id, event_id, ts, event_type, e,
+                   CASE WHEN prev_max_e IS NULL OR ts > prev_max_e
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM m
+        ),
+        s AS (
+            SELECT user_id, ts, event_type,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id, e
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM f
+        )
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clicks
+        FROM s GROUP BY user_id, sess_id
+    """,
+)
+def q273_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a PER-EVENT inactivity timeout
+    (``session_window`` with a gap EXPRESSION — Spark's dynamic-gap
+    form): clicks hold the session 5 minutes, heavier events 30 — the
+    engagement-dependent timeout real session models use. Semantics
+    are interval islands with e = ts + gap(event) and running-max-end
+    (boundary-inclusive merge, exactly q245's machinery), which the
+    oracle reproduces in µs-exact interval arithmetic — no float
+    timestamps anywhere. One shuffle on user_id, state bounded by the
+    largest gap."""
+    e = read_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "click", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        e.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clicks"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias(
+                "session_start_epoch"
+            ),
+            "n_events",
+            "n_clicks",
+        )
+    )

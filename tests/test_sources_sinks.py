@@ -214,3 +214,25 @@ def test_pyjsonl_writer_roundtrip_and_atomicity(spark, smoke_sf_dir, tmp_path):
     half.write.format("pyjsonl").option("path", out).mode("overwrite").save()
     back2 = spark.read.json(out)
     assert back2.count() == half.count()
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on read: a landing directory accumulates files
+    written under an old (a, b) and a new (a, b, c) schema; reading
+    with mergeSchema=true unions the schemas — old rows surface c as
+    NULL, new rows keep their values, and nothing is dropped. This is
+    the ingest contract for a 100 TB lake directory whose producers
+    upgrade at different times."""
+    out = str(tmp_path / "landing")
+    spark.createDataFrame([(1, "x")], "a long, b string").write.mode(
+        "append"
+    ).parquet(out)
+    spark.createDataFrame(
+        [(2, "y", 9.5)], "a long, b string, c double"
+    ).write.mode("append").parquet(out)
+
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(back.columns) == {"a", "b", "c"}
+    rows = {r.a: r for r in back.collect()}
+    assert rows[1].c is None and rows[2].c == 9.5
+    assert back.count() == 2
