@@ -180,7 +180,10 @@ def q142_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     its token stream against the vocab — the coverage metric that
     sizes a tokenizer. Scale: the vocab is tiny (broadcast); the only
     shuffles are the corpus count and the per-doc regroup, both
-    map-combinable."""
+    map-combinable — but the vocab RANK here is a global row_number
+    over every distinct token, so this exact form is the sf-bounded
+    BASELINE; the 100 TB path builds the vocab with q251's
+    TakeOrderedAndProject top-K (no global sort)."""
     d = read_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",

@@ -331,10 +331,10 @@ def q170_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries (orderkey, linenumber) so tied prices land in a
     deterministic bucket; boundary values (per-bucket min/max) are the
     histogram the engine would publish as column stats. Note the
-    global ntile is a single-ordering window — at 100 TB the same
-    buckets come from approx quantile boundaries (q149's machinery)
-    + a range join, trading exactness for parallelism; this query is
-    the exact baseline."""
+    global ntile is a single-ordering window — this query is the
+    sf-bounded exact BASELINE; the 100 TB path is q247's two-pass
+    approx-boundary twin (broadcast boundaries + map-side range
+    assignment, bracket-gated on the rank-error theorem)."""
     li = read_table(spark, sf_dir, "lineitem")
     w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
     b = li.select("l_extendedprice", F.ntile(10).over(w).alias("bucket"))

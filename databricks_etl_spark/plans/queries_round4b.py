@@ -677,9 +677,10 @@ def q192_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-group OLS q115, KMeans q55/q171) with the evaluation side.
 
     Plan: buyer flags come from a distinct + left join (broadcastable
-    dim); ntile is one global-sort window — at 100 TB swap for the
-    equi-depth histogram's percentile-bound binning (q170) to avoid
-    the total order; the 10-row lift arithmetic is window-over-10."""
+    dim); ntile is one global-sort window, so this exact form is the
+    sf-bounded BASELINE — the production path at 100 TB is q249's
+    broadcast approx-decile twin (no total order); the 10-row lift
+    arithmetic is window-over-10."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     buyers = o.select("o_custkey").distinct()
@@ -2680,9 +2681,10 @@ def q220_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     value. Quintile 5 = most recent / most frequent / highest value.
 
     Plan: one grouped aggregate per customer, three windows over the
-    |customers| relation, one rollup. At 100 TB swap ntile's global
-    sort for q170's percentile-bound binning; per-customer aggs
-    map-combine."""
+    |customers| relation, one rollup. This exact form is the
+    sf-bounded BASELINE; the 100 TB path is q248's per-dimension
+    broadcast approx-quintile twin (no global sort); per-customer
+    aggs map-combine."""
     from databricks_etl_spark.functions.scalars import MONEY
 
     o = read_table(spark, sf_dir, "orders")
@@ -2754,7 +2756,9 @@ def q221_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order are order-deterministic by construction.
 
     Plan: per-customer decimal aggregate, one ranked cumulative window
-    over |customers|, 1-row output."""
+    over |customers|, 1-row output. This exact form is the sf-bounded
+    BASELINE; the 100 TB path is q250's broadcast approx-p80 bracket
+    (no ranked cumulative window)."""
     from databricks_etl_spark.functions.scalars import MONEY
 
     o = read_table(spark, sf_dir, "orders")
