@@ -1712,3 +1712,118 @@ def q273_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clicks",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q274 — exact distinct counting via bitmap aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q274_bitmap_distinct_customers",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q274_bitmap_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through the bitmap aggregate family
+    (``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_count``) — the middle rung of
+    the distinct ladder: exact like COUNT(DISTINCT) but MERGEABLE like
+    HLL (q143), because per-bucket bitmaps OR together. That is the
+    materialized-rollup trick at 100 TB: persist per-(group, bucket)
+    bitmaps once, answer any distinct query over group unions by
+    bitmap_or_agg + popcount without touching raw data again. The
+    oracle is plain COUNT(DISTINCT) — value equality proves the whole
+    encode → construct → popcount chain exact."""
+    o = read_table(spark, sf_dir, "orders")
+    enc = o.select(
+        "o_orderpriority",
+        F.bitmap_bucket_number("o_custkey").alias("bkt"),
+        F.bitmap_bit_position("o_custkey").alias("pos"),
+    )
+    per_bucket = enc.groupBy("o_orderpriority", "bkt").agg(
+        F.bitmap_construct_agg("pos").alias("bm"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_customers"),
+        F.sum("n_rows").cast("long").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q275 — regression aggregates from exact decimal moment sums
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q275_regression_moments",
+    oracle="""
+        WITH pts AS (
+            SELECT l_returnflag AS g,
+                   CAST(l_quantity AS DECIMAL(28,6)) AS x,
+                   CAST(l_extendedprice AS DECIMAL(28,6)) AS y
+            FROM lineitem
+        ),
+        m AS (
+            SELECT g,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+                   SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+            FROM pts GROUP BY g
+        )
+        SELECT g, n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                     6) AS slope,
+               round((CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE)) / n,
+                     6) AS intercept
+        FROM m
+    """,
+)
+def q275_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit (price ~ quantity) from EXACT
+    decimal moment sums — the distributed-regression recipe: the five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) are map-combinable
+    decimal aggregates (order-independent, unlike the built-in
+    ``regr_slope``'s float accumulation, which cannot cross-engine
+    hash), and the slope/intercept algebra runs on the final tiny
+    per-group row. Inputs are TPC-H decimals, so x·y and x² are exact
+    in the widened type. The same pattern extends to r², covariance
+    matrices, and one-pass PCA moments at any scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dec, wide = "decimal(28,6)", "decimal(38,12)"
+    pts = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast(dec).alias("x"),
+        F.col("l_extendedprice").cast(dec).alias("y"),
+    )
+    m = pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(wide)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(wide)).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return m.select(
+        "g",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / F.col("n"), 6).alias("intercept"),
+    )
