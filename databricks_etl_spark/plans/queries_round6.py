@@ -1827,3 +1827,98 @@ def q275_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / F.col("n"), 6).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q276 — embedding covariance matrix (one-pass distributed PCA moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q276_embedding_covariance",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id, a.dim AS i, b.dim AS j,
+                   CAST(CAST(a.x AS DECIMAL(18,9)) * CAST(b.x AS DECIMAL(18,9))
+                        AS DECIMAL(38,18)) AS xij
+            FROM e a JOIN e b USING (vec_id)
+            WHERE a.dim <= b.dim
+        ),
+        m AS (
+            SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(xij) AS sxy
+            FROM p GROUP BY 1, 2
+        ),
+        mu AS (
+            SELECT dim, SUM(CAST(x AS DECIMAL(28,12))) AS sx
+            FROM e GROUP BY 1
+        )
+        SELECT CAST(m.i AS INT) AS i, CAST(m.j AS INT) AS j,
+               round((CAST(m.sxy AS DOUBLE)
+                      - CAST(mi.sx AS DOUBLE) * CAST(mj.sx AS DOUBLE) / m.n)
+                     / m.n, 6) AS cov
+        FROM m
+        JOIN mu mi ON m.i = mi.dim
+        JOIN mu mj ON m.j = mj.dim
+    """,
+)
+def q276_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upper-triangular covariance matrix of the embedding space in
+    ONE distributed pass — the moment-sum route to PCA at 100 TB
+    (q55's ``pyspark.ml`` PCA is the library form; this is what it
+    computes underneath): per-vector dim-pair products are exact
+    decimals, the (i, j)-keyed sums are map-combinable, and the
+    d(d+1)/2-row result is eigendecomposed driver-side in any numeric
+    library. For d=64 the pair relation is 2080 rows per vector and
+    the final shuffle carries 2080 keys regardless of corpus size
+    (a fused single-aggregate form would need 2080 codegen'd sum
+    expressions — the keyed join is the shape that survives wide
+    embeddings). Decimal discipline as q265 (float32 exact in
+    DECIMAL(18,9); products in the widened type) makes every entry
+    hash-stable."""
+    e = read_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("x").cast("decimal(18,9)").alias("x"),
+    )
+    a = ex.select("vec_id", F.col("dim").alias("i"), F.col("x").alias("xa"))
+    b = ex.select("vec_id", F.col("dim").alias("j"), F.col("x").alias("xb"))
+    p = (
+        a.join(b, "vec_id")
+        .filter(F.col("i") <= F.col("j"))
+        .select(
+            "i", "j", (F.col("xa") * F.col("xb")).cast("decimal(38,18)").alias("xij")
+        )
+    )
+    m = p.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("xij").alias("sxy")
+    )
+    mu = ex.groupBy("dim").agg(F.sum(F.col("x").cast("decimal(28,12)")).alias("sx"))
+    mi = mu.select(F.col("dim").alias("i"), F.col("sx").alias("sxi"))
+    mj = mu.select(F.col("dim").alias("j"), F.col("sx").alias("sxj"))
+    return (
+        m.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("sxy").cast("double")
+                    - F.col("sxi").cast("double")
+                    * F.col("sxj").cast("double")
+                    / F.col("n")
+                )
+                / F.col("n"),
+                6,
+            ).alias("cov"),
+        )
+    )

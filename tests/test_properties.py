@@ -170,3 +170,77 @@ def test_interval_union_matches_bruteforce(spark, seed):
                 islands.append([s, e])
         expect[k] = (len(islands), sum(e - s for s, e in islands))
     assert got == expect
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_approx_bucket_invariants_random(spark, seed):
+    """Random data through assign_approx_buckets: every row is
+    assigned exactly one bucket in 1..k, no rows are lost, and
+    bucket value-ranges are ordered and disjoint — for any seed."""
+    from databricks_etl_spark.operators.quantile_bucket import (
+        assign_approx_buckets,
+        size_audit,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = [(float(x),) for x in rng.normal(size=500)]
+    df = spark.createDataFrame(rows, "v double")
+    assigned = assign_approx_buckets(df, "v", 7)
+    got = assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()
+    assert sum(r.n for r in got) == 500
+    assert all(1 <= r.bucket <= 7 for r in got)
+    ordered = sorted(got, key=lambda r: r.bucket)
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert prev.hi <= cur.lo
+    audit = size_audit(df, "v", 7).collect()[0]
+    assert audit.n_total == 500
+    assert audit.buckets_ordered and audit.sizes_within_tol
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_incremental_band_join_equals_full_banding(spark, seed):
+    """Property: the incremental join (delta vs corpus index + delta
+    self-join) emits EXACTLY the full-corpus banding pairs restricted
+    to pairs touching the delta — for random corpora and batches."""
+    from databricks_etl_spark.operators import dedup as DD
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.plans.queries_round4 import _band_buckets
+
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+
+    def doc():
+        return " ".join(rng.choice(vocab, size=8))
+
+    corpus_rows = [(i, doc()) for i in range(30)]
+    batch_rows = [(1000 + i, doc()) for i in range(10)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    both = corpus.unionByName(batch)
+
+    cb = _band_buckets(spark, "", shingle_set=TX.shingles(corpus, 3).distinct())
+    bb = _band_buckets(spark, "", shingle_set=TX.shingles(batch, 3).distinct())
+    inc = {
+        (r.id_a, r.id_b): r.n_shared_bands
+        for r in DD.incremental_band_join(bb, cb).collect()
+    }
+
+    # full recompute over the union, restricted to pairs touching batch
+    ub = _band_buckets(spark, "", shingle_set=TX.shingles(both, 3).distinct())
+    a = ub.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+    c = ub.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+    full = (
+        a.join(c, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    expected = {
+        (r.id_a, r.id_b): r.n for r in full if r.id_b >= 1000
+    }
+    assert inc == expected
