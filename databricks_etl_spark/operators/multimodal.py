@@ -194,3 +194,127 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         op, "doc_id long, frame_offset long, frame_bytes long, frame_checksum int"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio lane: real RIFF/WAVE PCM16 codec (the audio leg of the
+# multimodal mandate, same architecture as the BMP image lane)
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000
+
+
+def wav_n_samples(doc_id: int) -> int:
+    """Deterministic per-document sample count (closed form for the
+    oracle)."""
+    return 32 + doc_id % 97
+
+
+def wav_sample(doc_id: int, i: int) -> int:
+    """Deterministic signed 16-bit PCM sample i of document ``doc_id``
+    — the same closed form q277's oracle evaluates in SQL."""
+    return ((doc_id * 131 + i * 7919) % 65536) - 32768
+
+
+def encode_wav(n_samples: int, sample_fn, rate: int = _WAV_RATE) -> bytes:
+    """Pure-Python RIFF/WAVE writer: canonical 44-byte header (PCM
+    format chunk: audio_format=1, mono, 16-bit little-endian) + the
+    sample data chunk — a file any audio tool opens."""
+    data = b"".join(
+        struct.pack("<h", sample_fn(i)) for i in range(n_samples)
+    )
+    byte_rate = rate * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """Pure-Python RIFF/WAVE PCM16 parser: validates the RIFF/WAVE
+    magic and the PCM format chunk, walks to the data chunk, and
+    returns (n_samples, sample_rate, sum_abs, sum_sq) — integer
+    aggregate features, exactly recomputable by an external oracle.
+    Raises on anything malformed (the quarantine wrapper catches)."""
+    if len(payload) < 44 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt_id, audio_format, channels = payload[12:16], *struct.unpack(
+        "<HH", payload[20:24]
+    )
+    if fmt_id != b"fmt " or audio_format != 1 or channels != 1:
+        raise ValueError("unsupported WAV format")
+    rate = struct.unpack("<I", payload[24:28])[0]
+    bits = struct.unpack("<H", payload[34:36])[0]
+    if bits != 16 or payload[36:40] != b"data":
+        raise ValueError("unsupported WAV layout")
+    n_bytes = struct.unpack("<I", payload[40:44])[0]
+    raw = payload[44 : 44 + n_bytes]
+    if len(raw) != n_bytes or n_bytes % 2 != 0:
+        raise ValueError("truncated WAV data chunk")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    return (
+        int(samples.size),
+        int(rate),
+        int(np.abs(samples).sum()),
+        int((samples * samples).sum()),
+    )
+
+
+_AUDIO_SCHEMA = (
+    "doc_id long, n_bytes long, n_samples long, sample_rate long, "
+    "sum_abs long, sum_sq long"
+)
+
+
+def generate_wav_payloads(df: DataFrame) -> DataFrame:
+    """One real WAV payload per document, samples closed-form in
+    ``doc_id`` (oracle-recomputable without a codec)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_wav(wav_n_samples(d), lambda i: wav_sample(d, i))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(op, "doc_id long, payload binary")
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract over WAV payloads via ``mapInPandas``,
+    with the same quarantine-by-NULL contract as the image lane: a
+    corrupt or NULL payload reports NULL features (n_bytes stays
+    populated for non-NULL payloads) and never kills the stage."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nulls = (None,) * 4
+
+        def safe(p):
+            try:
+                return decode_wav(bytes(p))
+            except Exception:
+                return nulls
+
+        for pdf in batches:
+            feats = [safe(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                feats, columns=["n_samples", "sample_rate", "sum_abs", "sum_sq"]
+            )
+            out.insert(
+                0,
+                "n_bytes",
+                [len(p) if p is not None else None for p in pdf["payload"]],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(op, _AUDIO_SCHEMA)

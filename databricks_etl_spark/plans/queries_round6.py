@@ -1922,3 +1922,48 @@ def q276_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q277 — multimodal audio lane: real WAV/PCM16 codec, hash-checked
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q277_multimodal_audio_features",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, 32 + doc_id % 97 AS n
+            FROM documents WHERE doc_id < 200
+        ),
+        s AS (
+            SELECT doc_id, n,
+                   ((doc_id * 131 + unnest(range(0, n)) * 7919) % 65536)
+                       - 32768 AS v
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+               CAST(SUM(v * v) AS BIGINT) AS sum_sq
+        FROM s GROUP BY doc_id, n
+    """,
+)
+def q277_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO leg of the multimodal surface, real and hash-checked
+    end to end (the WAV sibling of q57's BMP lane): per-document
+    RIFF/WAVE PCM16 payloads — genuine file layout, stdlib
+    ``wave``-openable — are parsed by the pure-Python decoder inside
+    Arrow-batched ``mapInPandas``, extracting sample count, rate, and
+    exact integer energy features (Σ|s|, Σs²). Samples are closed-form
+    in ``doc_id``, so the DuckDB oracle recomputes every feature
+    arithmetically: a parser bug (endianness, header walk, data-chunk
+    offset) breaks the value hash. A deployment swaps
+    ``decode_wav`` for an MP3/FLAC codec; the plumbing is
+    identical."""
+    from databricks_etl_spark.operators import multimodal as MM
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return MM.audio_features(MM.generate_wav_payloads(d))

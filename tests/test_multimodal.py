@@ -73,3 +73,38 @@ def test_frame_sample_expansion(spark, smoke_sf_dir):
     for r in got:
         expected = max(1, -(-sizes[r["doc_id"]] // 100))  # ceil(n/100)
         assert r["count"] == expected
+
+
+def test_wav_codec_roundtrip_and_quarantine(spark):
+    """The audio lane's codec contract: (1) encode_wav emits a file the
+    stdlib wave module opens with identical frame/rate metadata;
+    (2) decode_wav returns exact integer features; (3) corrupt and
+    NULL payloads quarantine by NULL without killing the stage."""
+    import io
+    import wave as stdwave
+
+    from databricks_etl_spark.operators import multimodal as MM
+
+    p = MM.encode_wav(MM.wav_n_samples(9), lambda i: MM.wav_sample(9, i))
+    w = stdwave.open(io.BytesIO(p))
+    assert (w.getnframes(), w.getframerate(), w.getsampwidth(), w.getnchannels()) == (
+        MM.wav_n_samples(9), 8000, 2, 1
+    )
+    n, rate, sabs, ssq = MM.decode_wav(p)
+    samples = [MM.wav_sample(9, i) for i in range(MM.wav_n_samples(9))]
+    assert (n, rate) == (len(samples), 8000)
+    assert sabs == sum(abs(s) for s in samples)
+    assert ssq == sum(s * s for s in samples)
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(p)),
+            (2, bytearray(b"RIFFgarbage")),
+            (3, None),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in MM.audio_features(df).collect()}
+    assert rows[1].n_samples == n and rows[1].sum_sq == ssq
+    assert rows[2].n_samples is None and rows[2].n_bytes == 11
+    assert rows[3].n_samples is None and rows[3].n_bytes is None
