@@ -1967,3 +1967,110 @@ def q277_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFram
 
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return MM.audio_features(MM.generate_wav_payloads(d))
+
+
+# ---------------------------------------------------------------------------
+# q278 — multimodal readiness report (image x audio x text composition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q278_multimodal_readiness",
+    oracle=r"""
+        WITH img AS (
+            SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+            FROM documents WHERE doc_id < 100
+        ),
+        aud AS (
+            SELECT doc_id, 32 + doc_id % 97 AS n
+            FROM documents WHERE doc_id < 100
+        ),
+        txt AS (
+            SELECT doc_id,
+                   len(string_split_regex(lower(trim(text)), '\s+'))
+                       AS n_tokens
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT img.doc_id,
+               CAST(img.w * img.h AS BIGINT) AS n_pixels,
+               CAST(aud.n AS BIGINT) AS n_samples,
+               CAST(txt.n_tokens AS BIGINT) AS n_tokens,
+               (img.w >= 8 AND aud.n >= 64 AND txt.n_tokens >= 5)
+                   AS train_ready
+        FROM img JOIN aud USING (doc_id) JOIN txt USING (doc_id)
+    """,
+)
+def q278_multimodal_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal composition capstone: every document's IMAGE
+    (q57's BMP decode), AUDIO (q277's WAV decode), and TEXT (q36's
+    tokenizer) features joined into one per-document training-
+    readiness row — the join-modalities step every multimodal data
+    pipeline ends with. Both codec lanes run for real inside
+    mapInPandas; the oracle recomputes everything from the closed
+    forms, so the hash proves the three lanes agree doc-by-doc after
+    the join. One equi-join chain on doc_id; each modality is scanned
+    once."""
+    from databricks_etl_spark.operators import multimodal as MM
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    img = MM.decode_features(MM.generate_bmp_payloads(d)).select(
+        "doc_id", (F.col("width") * F.col("height")).cast("long").alias("n_pixels"),
+        F.col("width").alias("_w"),
+    )
+    aud = MM.audio_features(MM.generate_wav_payloads(d)).select(
+        "doc_id", F.col("n_samples").alias("n_samples")
+    )
+    txt = d.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        img.join(aud, "doc_id")
+        .join(txt, "doc_id")
+        .select(
+            "doc_id",
+            "n_pixels",
+            "n_samples",
+            "n_tokens",
+            (
+                (F.col("_w") >= 8)
+                & (F.col("n_samples") >= 64)
+                & (F.col("n_tokens") >= 5)
+            ).alias("train_ready"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q279 — streaming sliding-window drain (overlapping-window state)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q279_streaming_sliding_window",
+    oracle="""
+        WITH assigned AS (
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', event_type
+            FROM events
+        )
+        SELECT CAST(floor(epoch(ws)) AS BIGINT) AS ws_epoch,
+               event_type,
+               COUNT(*) AS n_events
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+)
+def q279_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming sliding (hopping) windows, drained and
+    hash-checked (the overlapping-window sibling of q53's tumbling
+    drain — state per key × overlap factor, the state-pressure case a
+    windowed stream must survive): each event lands in two 10-minute
+    windows hopping every 5. availableNow drain with a
+    disorder-covering watermark makes the materialization equal the
+    batch assignment, which the DuckDB oracle (q51's double-assignment
+    form) hash-checks."""
+    from databricks_etl_spark.streaming import windows as W
+
+    return W.run_sliding_stream(spark, sf_dir)

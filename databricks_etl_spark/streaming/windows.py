@@ -405,3 +405,32 @@ def run_streaming_fingerprint_dedup(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_sliding_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """The sliding (hopping) aggregation as a real Structured Streaming
+    query — each event lands in duration/slide OVERLAPPING windows, the
+    state-heavier sibling of the tumbling drain (state rows per key ×
+    overlap factor). availableNow + complete mode drains the input;
+    with the watermark ≥ max disorder the materialization equals batch
+    :func:`sliding_counts` — q279's DuckDB oracle hash-checks it."""
+    import uuid
+
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    events = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    agg = sliding_counts(events, duration, slide)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
