@@ -562,7 +562,9 @@ def q258_quality_survivor_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for choosing which copy of duplicated content enters the training
     mix. Unclustered docs pass through. The per-cluster ranking window
     is bounded by cluster size (dup groups, not the corpus), so the
-    plan stays scale-safe; quality_score is a sum of exact 0.25 terms,
+    plan stays scale-safe — a degenerate giant cluster (mass
+    boilerplate) is excluded upstream by q272's hot-bucket cap before
+    it ever reaches clustering; quality_score is a sum of exact 0.25 terms,
     so the cross-engine ordering cannot diverge on ulps. Fully
     hash-oracled: recursive-CTE closure + identical quality SQL."""
     from databricks_etl_spark.operators import text as TX
@@ -1170,8 +1172,6 @@ def q266_embedded_record_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     double→string→double path is exact on both engines. Everything is
     map-side expression work; the only shuffle is the final 5-key
     aggregate."""
-    from databricks_etl_spark.functions.scalars import MONEY
-
     e = read_table(spark, sf_dir, "events")
     csv_s = F.concat_ws(
         ",",

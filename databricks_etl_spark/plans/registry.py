@@ -380,7 +380,7 @@ def _load() -> None:
     # round-6 modules
     import databricks_etl_spark.plans.queries_round6  # noqa: F401
 
-    assert len(QUERIES) >= 265, (
+    assert len(QUERIES) >= 277, (
         f"query registry shrank: {len(QUERIES)} < 244 — a module failed to register"
     )
     _reorder()
