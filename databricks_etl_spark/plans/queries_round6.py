@@ -199,9 +199,6 @@ def q250_pareto_approx_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("q5") == 5, F.col("rev")).otherwise(0.0)).alias(
             "rev_top"
         ),
-        # boundary-value multiplicity bound for the tolerance: revenue
-        # per customer is near-unique, but stay provable
-        F.lit(0.0).alias("_pad"),
     )
     tol = 2.0 * F.col("n") / F.lit(_ACC) + F.lit(2.0)
     return tot.select(
