@@ -75,15 +75,27 @@ def assign_approx_buckets(
     return assigned.drop("_bounds")
 
 
-def bucket_size_tolerance(
-    df: DataFrame, col: str, n_buckets: int, *, accuracy: int = 1000
-) -> Column:
-    """Provable per-bucket size tolerance for :func:`assign_approx_buckets`
-    given the SAME boundary sketch: ``2·n/accuracy + 2·maxdup + 2``
-    where ``maxdup`` is the highest multiplicity among boundary values.
+def assign_literal_buckets(
+    df: DataFrame, col: str, bounds: list, *, bucket_col: str = "bucket"
+) -> DataFrame:
+    """Bucket assignment against DRIVER-HELD literal boundaries (the
+    output of one collected sketch pass): pure map-side expressions,
+    no join — use when several consumers must share the exact same
+    boundary list (q249, size_audit's pass 2)."""
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
+    return df.withColumn(bucket_col, bucket.cast("int"))
 
-    Returns a scalar Column usable against a 1-row frame that carries
-    ``_n_total`` and ``_maxdup`` columns (see :func:`size_audit`).
+
+def bucket_size_tolerance(*, accuracy: int = 1000) -> Column:
+    """Provable per-bucket size tolerance for the sketch that produced
+    the audit frame: ``2·n/accuracy + 2·maxdup + 2`` where ``maxdup``
+    is the highest multiplicity among boundary values.
+
+    Returns a scalar Column against a 1-row frame carrying
+    ``_n_total`` and ``_maxdup`` columns (see :func:`size_audit`) —
+    the tolerance depends only on those columns and ``accuracy``.
     """
     return (
         2.0 * F.col("_n_total") / F.lit(accuracy)
@@ -98,6 +110,7 @@ def size_audit(
     n_buckets: int,
     *,
     accuracy: int = 1000,
+    bounds: list | None = None,
 ) -> DataFrame:
     """One-row audit frame proving the equi-depth bracket for ``df[col]``:
 
@@ -122,12 +135,19 @@ def size_audit(
     per-boundary duplicate counts in ONE fused aggregate — so the
     relation is scanned exactly twice at any scale, and the tolerance
     provably refers to the same sketch that did the bucketing.
+
+    ``bounds`` lets a caller that ALREADY collected the boundary list
+    share it (one sketch feeding both its own stats and this audit —
+    q249's shape) instead of paying a second sketch pass.
     """
-    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
-    row = df.agg(
-        F.percentile_approx(col, probs, F.lit(accuracy)).alias("_bounds")
-    ).first()
-    bounds = list(row["_bounds"] or [])
+    if bounds is None:
+        probs = F.array(
+            *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+        )
+        row = df.agg(
+            F.percentile_approx(col, probs, F.lit(accuracy)).alias("_bounds")
+        ).first()
+        bounds = list(row["_bounds"] or [])
     spark = df.sparkSession
     if not bounds:  # empty input: report zeros, vacuously ordered
         return spark.createDataFrame(
@@ -135,10 +155,8 @@ def size_audit(
             "n_buckets int, n_total long, sizes_within_tol boolean, "
             "buckets_ordered boolean",
         )
-    bucket = F.lit(1)
-    for b in bounds:
-        bucket = bucket + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
-    per_bucket = df.groupBy(bucket.cast("int").alias("_qb")).agg(
+    assigned = assign_literal_buckets(df, col, bounds, bucket_col="_qb")
+    per_bucket = assigned.groupBy("_qb").agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(col).alias("_lo"),
         F.max(col).alias("_hi"),
@@ -173,7 +191,7 @@ def size_audit(
         F.max("_dmax").cast("double").alias("_maxdup"),
     )
     audit = summary.withColumn("_n_total", F.col("n_total").cast("double"))
-    tol = bucket_size_tolerance(df, col, n_buckets, accuracy=accuracy)
+    tol = bucket_size_tolerance(accuracy=accuracy)
     target = F.col("_n_total") / F.lit(n_buckets)
     return audit.select(
         "n_buckets",

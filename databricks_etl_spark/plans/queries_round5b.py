@@ -263,11 +263,23 @@ def _lsh_quality_audit(d: DataFrame) -> DataFrame:
     # cands/truth (formerly two consumers each; measured ~30% off the
     # sampled audit's warm wall at sf0.1)
     both = cands.join(truth, ["u", "v"], "full_outer")
+    # outer coalesce: on a DEGENERATE corpus (no pairs at all) SUM over
+    # zero rows is NULL while the oracle's COUNT(*) is 0 — the counts
+    # must agree on empty input too
     agg = both.agg(
-        F.sum(F.coalesce("is_cand", F.lit(0))).cast("long").alias("n_candidates"),
-        F.sum(F.coalesce("is_true", F.lit(0))).cast("long").alias("n_true"),
-        F.sum(
-            F.when((F.col("is_cand") == 1) & (F.col("is_true") == 1), 1).otherwise(0)
+        F.coalesce(F.sum(F.coalesce("is_cand", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_candidates"),
+        F.coalesce(F.sum(F.coalesce("is_true", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_true"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("is_cand") == 1) & (F.col("is_true") == 1), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_hits"),

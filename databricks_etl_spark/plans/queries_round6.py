@@ -128,6 +128,10 @@ def q249_decile_lift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, size tolerance, per-decile mean balance monotone
     nondecreasing (bucket value-ranges are disjoint and ordered, so
     their means must be), and every decile's buy-rate in [0, 1]."""
+    from databricks_etl_spark.operators.quantile_bucket import (
+        assign_literal_buckets,
+    )
+
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     buyers = o.select("o_custkey").distinct()
@@ -136,13 +140,22 @@ def q249_decile_lift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("bal"),
         F.col("o_custkey").isNotNull().alias("bought"),
     )
-    assigned = assign_approx_buckets(base, "bal", 10, accuracy=_ACC, bucket_col="decile")
+    # ONE sketch pass shared by the per-decile stats and the audit:
+    # the audited boundaries are exactly the ones that did the
+    # bucketing (2 passes over base total, not 4)
+    probs = F.array(*[F.lit(i / 10) for i in range(1, 10)])
+    bounds = list(
+        base.agg(
+            F.percentile_approx("bal", probs, F.lit(_ACC)).alias("b")
+        ).first()["b"]
+    )
+    assigned = assign_literal_buckets(base, "bal", bounds, bucket_col="decile")
     per = assigned.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("bal").alias("avg_bal"),
         F.count_if(F.col("bought")).alias("n_buyers"),
     )
-    audit = size_audit(base, "bal", 10, accuracy=_ACC)
+    audit = size_audit(base, "bal", 10, accuracy=_ACC, bounds=bounds)
     w = Window.orderBy("decile")  # ≤10 rows — bounded window
     chk = per.select(
         "n",
@@ -178,29 +191,40 @@ def q250_pareto_approx_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     window: the 'top ~20% of customers' is cut at the broadcast approx
     p80 revenue boundary (strictly-above assignment). Invariants
     deterministic for any valid sketch: the top bucket's customer
-    count is within rank-error tolerance of n/5, and — because every
-    top-bucket customer's revenue ≥ every other customer's — the top
-    bucket's revenue share must be at least its count share (the
-    direction of Pareto concentration, stated without depending on
-    which boundary element the sketch picked)."""
+    count is within rank-error tolerance of n/5 (the tolerance carries
+    the boundary value's duplicate multiplicity, as the operator's
+    theorem requires — a heavily-tied boundary widens it), and —
+    because every top-bucket customer's revenue ≥ every other
+    customer's — the top bucket's revenue share must be at least its
+    count share (the direction of Pareto concentration, stated without
+    depending on which boundary element the sketch picked). Two-pass
+    literal-bound plan, the size_audit shape: sketch collected
+    driver-side, then ONE fused aggregate computes count/share/dup
+    terms together."""
     from databricks_etl_spark.functions.scalars import MONEY
 
     o = read_table(spark, sf_dir, "orders")
     crev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(MONEY)).cast("double").alias("rev")
     )
-    assigned = assign_approx_buckets(crev, "rev", 5, accuracy=_ACC, bucket_col="q5")
-    tot = assigned.agg(
+    b80 = crev.agg(
+        F.percentile_approx("rev", F.lit(0.8), F.lit(_ACC)).alias("b")
+    ).first()["b"]
+    tot = crev.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("rev").alias("rev_total"),
-        F.sum(F.when(F.col("q5") == 5, 1).otherwise(0))
+        F.sum(F.when(F.col("rev") > F.lit(b80), 1).otherwise(0))
         .cast("double")
         .alias("n_top"),
-        F.sum(F.when(F.col("q5") == 5, F.col("rev")).otherwise(0.0)).alias(
-            "rev_top"
-        ),
+        F.sum(
+            F.when(F.col("rev") > F.lit(b80), F.col("rev")).otherwise(0.0)
+        ).alias("rev_top"),
+        F.sum(F.when(F.col("rev") == F.lit(b80), 1).otherwise(0))
+        .cast("double")
+        .alias("dup"),
     )
-    tol = 2.0 * F.col("n") / F.lit(_ACC) + F.lit(2.0)
+    # |n_top - n/5| ≤ rank error (n/_ACC + 1) + boundary multiplicity
+    tol = F.col("n") / F.lit(_ACC) + F.col("dup") + F.lit(2.0)
     return tot.select(
         F.col("n").cast("long").alias("n_customers"),
         (F.abs(F.col("n_top") - F.col("n") / 5) <= tol).alias(
@@ -259,7 +283,13 @@ def q251_vocab_topk_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q252/q253 — incremental near-dup maintenance (new batch vs corpus index)
 # ---------------------------------------------------------------------------
 
-_B252 = 10_000  # batch re-id offset: batch doc ids = corpus id + offset
+# batch re-id offset: batch doc ids = corpus id + offset. 10^10 sits
+# above any plausible corpus doc_id (sf0.1 tops out at 4999; even a
+# 50M-doc sf1000 corpus stays 3 orders of magnitude below), so batch
+# and corpus id ranges can never collide — the id-derived invariants
+# (batch doc is always the greater id; cross_corpus = id_a < offset)
+# stay sound at every scale factor
+_B252 = 10_000_000_000
 
 
 def _bands_sql_incremental() -> str:
@@ -278,9 +308,14 @@ def _bands_sql_incremental() -> str:
     """
 
 
-def _incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _incremental_bands(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(batch_bands, corpus_bands) for the shared q252/q253/q256/q272
+    construction: batch = every 5th document re-identified by _B252 —
+    ONE definition, so the Spark side can never drift from the oracles'
+    shared ``_bands_sql_incremental`` CTE."""
     from databricks_etl_spark.operators import text as TX
-    from databricks_etl_spark.operators.dedup import incremental_band_join
     from databricks_etl_spark.plans.queries_round4 import _band_buckets
 
     corpus_bands = _band_buckets(spark, sf_dir)
@@ -291,7 +326,16 @@ def _incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_bands = _band_buckets(
         spark, sf_dir, shingle_set=TX.shingles(batch, 3).distinct()
     )
-    return incremental_band_join(batch_bands, corpus_bands)
+    return batch_bands, corpus_bands
+
+
+def _incremental_candidates(
+    spark: SparkSession, sf_dir: str, *, max_bucket: int | None = None
+) -> DataFrame:
+    from databricks_etl_spark.operators.dedup import incremental_band_join
+
+    batch_bands, corpus_bands = _incremental_bands(spark, sf_dir)
+    return incremental_band_join(batch_bands, corpus_bands, max_bucket=max_bucket)
 
 
 @query(
@@ -479,18 +523,9 @@ def q256_band_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     proving the incremental append equals the recompute-the-world
     result. At 100 TB this is an append-only partition write of
     |novel|×4 rows per batch; the index itself is never rewritten."""
-    from databricks_etl_spark.operators import text as TX
     from databricks_etl_spark.operators.dedup import incremental_band_join
-    from databricks_etl_spark.plans.queries_round4 import _band_buckets
 
-    corpus_bands = _band_buckets(spark, sf_dir)
-    d = read_table(spark, sf_dir, "documents")
-    batch = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + _B252).alias("doc_id"), "text"
-    )
-    batch_bands = _band_buckets(
-        spark, sf_dir, shingle_set=TX.shingles(batch, 3).distinct()
-    )
+    batch_bands, corpus_bands = _incremental_bands(spark, sf_dir)
     pairs = incremental_band_join(batch_bands, corpus_bands)
     hit = (
         pairs.filter("cross_corpus")
@@ -1081,10 +1116,11 @@ def q264_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(dim AS INT) AS dim,
                CAST(COUNT(*) AS BIGINT) AS n,
-               round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+               round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+                          AS DOUBLE)
                      / COUNT(*), 6) AS mean_x,
-               round(CAST(SUM(CAST(CAST(x AS DECIMAL(18,9))
-                                   * CAST(x AS DECIMAL(18,9))
+               round(CAST(SUM(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
+                                   * CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
                               AS DECIMAL(38,18))) AS DOUBLE)
                      / COUNT(*), 6) AS mean_x2,
                round(CAST(MIN(x) AS DOUBLE), 6) AS min_x,
@@ -1105,11 +1141,15 @@ def q265_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "x")
     ).select("vec_id", (F.col("pos") + 1).cast("int").alias("dim"), "x")
-    xd = F.col("x").cast("decimal(18,9)")
+    xd = F.col("x").cast("double").cast("decimal(18,9)")
     return ex.groupBy("dim").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(
-            (F.sum(F.col("x").cast("decimal(28,12)")).cast("double"))
+            (
+                F.sum(
+                    F.col("x").cast("double").cast("decimal(28,12)")
+                ).cast("double")
+            )
             / F.count(F.lit(1)),
             6,
         ).alias("mean_x"),
@@ -1615,21 +1655,7 @@ def q272_incremental_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFra
     the guard's exact semantics — not just its existence — are
     hash-checked. The cap-vs-work curve is unit-tested with a planted
     boilerplate cluster in tests/test_dedup_similarity.py."""
-    from databricks_etl_spark.operators import text as TX
-    from databricks_etl_spark.operators.dedup import incremental_band_join
-    from databricks_etl_spark.plans.queries_round4 import _band_buckets
-
-    corpus_bands = _band_buckets(spark, sf_dir)
-    d = read_table(spark, sf_dir, "documents")
-    batch = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + _B252).alias("doc_id"), "text"
-    )
-    batch_bands = _band_buckets(
-        spark, sf_dir, shingle_set=TX.shingles(batch, 3).distinct()
-    )
-    return incremental_band_join(
-        batch_bands, corpus_bands, max_bucket=_Q272_CAP
-    )
+    return _incremental_candidates(spark, sf_dir, max_bucket=_Q272_CAP)
 
 
 # ---------------------------------------------------------------------------
@@ -1841,7 +1867,8 @@ def q275_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         p AS (
             SELECT a.vec_id, a.dim AS i, b.dim AS j,
-                   CAST(CAST(a.x AS DECIMAL(18,9)) * CAST(b.x AS DECIMAL(18,9))
+                   CAST(CAST(CAST(a.x AS DOUBLE) AS DECIMAL(18,9))
+                        * CAST(CAST(b.x AS DOUBLE) AS DECIMAL(18,9))
                         AS DECIMAL(38,18)) AS xij
             FROM e a JOIN e b USING (vec_id)
             WHERE a.dim <= b.dim
@@ -1852,7 +1879,7 @@ def q275_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM p GROUP BY 1, 2
         ),
         mu AS (
-            SELECT dim, SUM(CAST(x AS DECIMAL(28,12))) AS sx
+            SELECT dim, SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS sx
             FROM e GROUP BY 1
         )
         SELECT CAST(m.i AS INT) AS i, CAST(m.j AS INT) AS j,
@@ -1884,7 +1911,7 @@ def q276_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         (F.col("pos") + 1).cast("int").alias("dim"),
-        F.col("x").cast("decimal(18,9)").alias("x"),
+        F.col("x").cast("double").cast("decimal(18,9)").alias("x"),
     )
     a = ex.select("vec_id", F.col("dim").alias("i"), F.col("x").alias("xa"))
     b = ex.select("vec_id", F.col("dim").alias("j"), F.col("x").alias("xb"))
@@ -1898,7 +1925,9 @@ def q276_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = p.groupBy("i", "j").agg(
         F.count(F.lit(1)).cast("long").alias("n"), F.sum("xij").alias("sxy")
     )
-    mu = ex.groupBy("dim").agg(F.sum(F.col("x").cast("decimal(28,12)")).alias("sx"))
+    mu = ex.groupBy("dim").agg(
+        F.sum(F.col("x").cast("decimal(28,12)")).alias("sx")
+    )
     mi = mu.select(F.col("dim").alias("i"), F.col("sx").alias("sxi"))
     mj = mu.select(F.col("dim").alias("j"), F.col("sx").alias("sxj"))
     return (

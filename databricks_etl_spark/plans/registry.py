@@ -381,7 +381,7 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_round6  # noqa: F401
 
     assert len(QUERIES) >= 277, (
-        f"query registry shrank: {len(QUERIES)} < 244 — a module failed to register"
+        f"query registry shrank: {len(QUERIES)} < 277 — a module failed to register"
     )
     _reorder()
     _loaded = True

@@ -45,9 +45,17 @@ def make_ingest_epoch(index_path: str, pairs_path: str):
         delta_bands = _band_buckets(
             spark, "", shingle_set=TX.shingles(batch_df, 3).distinct()
         ).localCheckpoint()  # two consumers (join + index append) and
-        # the join must see the index BEFORE this epoch's append
-        index = spark.read.parquet(index_path).select(
-            "doc_id", "band", "band_hash"
+        # the join must see the index BEFORE this epoch's append.
+        # The __epoch < epoch_id filter makes a REPLAYED epoch
+        # idempotent: after a failure between the two writes, the
+        # index may already hold this epoch's own bands — reading them
+        # back would discover every same-epoch pair twice (once via
+        # delta×index, once via delta×delta) and corrupt the
+        # overwritten pair partition.
+        index = (
+            spark.read.parquet(index_path)
+            .filter(F.col("__epoch") < int(epoch_id))
+            .select("doc_id", "band", "band_hash")
         )
         pairs = incremental_band_join(delta_bands, index)
         (
@@ -73,7 +81,7 @@ def run_streaming_incremental_neardup(
     sf_dir: str,
     *,
     batch_mod: int = 5,
-    id_offset: int = 10_000,
+    id_offset: int = 10_000_000_000,
 ) -> DataFrame:
     """Drive the ingest loop end to end with availableNow: the corpus
     index is seeded from the existing documents table (epoch −1), the

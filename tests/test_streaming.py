@@ -528,6 +528,17 @@ def test_incremental_neardup_epoch_slicing_invariant(spark, tmp_path):
 
     one_epoch = drain([[101, 102, 103, 104]])
     two_epochs = drain([[101, 102], [103, 104]])  # 102/103 dup split
+    # replay idempotency: re-running the LAST epoch (Structured
+    # Streaming's at-least-once re-delivery) must not change the pair
+    # set — the handler's index read excludes its own epoch partition
+    ix = str(tmp_path / "ix_2_101")
+    pr = str(tmp_path / "pr_2_101")
+    make_ingest_epoch(ix, pr)(batch.filter(F.col("doc_id").isin([103, 104])), 1)
+    replayed = {
+        (r.id_a, r.id_b): r.n_shared_bands
+        for r in spark.read.parquet(pr).collect()
+    }
+    assert replayed == two_epochs
     batch_bands = _band_buckets(
         spark, "", shingle_set=TX.shingles(batch, 3).distinct()
     )
