@@ -149,9 +149,13 @@ def size_audit(
         ).first()
         bounds = list(row["_bounds"] or [])
     spark = df.sparkSession
-    if not bounds:  # empty input: report zeros, vacuously ordered
+    if not bounds:
+        # empty (or all-NULL) input: the bracket is VACUOUS — report the
+        # REQUESTED bucket count with zero rows and TRUE checks, so the
+        # engine agrees with a constant-stating oracle on degenerate
+        # ingestion days instead of diverging on an observed 0
         return spark.createDataFrame(
-            [(0, 0, True, True)],
+            [(n_buckets, 0, True, True)],
             "n_buckets int, n_total long, sizes_within_tol boolean, "
             "buckets_ordered boolean",
         )

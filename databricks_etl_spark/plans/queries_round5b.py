@@ -284,16 +284,19 @@ def _lsh_quality_audit(d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_hits"),
     )
+    # try_divide: a degenerate zero-pair corpus reports NULL ratios
+    # (DuckDB's x/0 behavior) instead of an ANSI DIVIDE_BY_ZERO crash
     return agg.select(
         "n_candidates",
         "n_true",
         "n_hits",
         F.round(
-            F.col("n_hits").cast("double") / F.col("n_candidates"), 6
+            F.try_divide(F.col("n_hits").cast("double"), F.col("n_candidates")),
+            6,
         ).alias("precision"),
-        F.round(F.col("n_hits").cast("double") / F.col("n_true"), 6).alias(
-            "recall"
-        ),
+        F.round(
+            F.try_divide(F.col("n_hits").cast("double"), F.col("n_true")), 6
+        ).alias("recall"),
     )
 
 

@@ -148,6 +148,7 @@ def q249_decile_lift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.agg(
             F.percentile_approx("bal", probs, F.lit(_ACC)).alias("b")
         ).first()["b"]
+        or []  # empty/all-NULL customer day: percentile returns NULL
     )
     assigned = assign_literal_buckets(base, "bal", bounds, bucket_col="decile")
     per = assigned.groupBy("decile").agg(
@@ -164,8 +165,12 @@ def q249_decile_lift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate_ok"
         ),
     ).agg(
-        F.min(F.coalesce("mono_ok", F.lit(True))).alias("avg_balance_monotone"),
-        F.min("rate_ok").alias("rates_valid"),
+        # outer coalesce: MIN over zero rows (empty input) is NULL; the
+        # vacuous bracket is TRUE, matching the constant-stating oracle
+        F.coalesce(
+            F.min(F.coalesce("mono_ok", F.lit(True))), F.lit(True)
+        ).alias("avg_balance_monotone"),
+        F.coalesce(F.min("rate_ok"), F.lit(True)).alias("rates_valid"),
     )
     return audit.join(F.broadcast(chk)).select(
         F.col("n_buckets").alias("n_deciles"),
@@ -227,12 +232,15 @@ def q250_pareto_approx_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     tol = F.col("n") / F.lit(_ACC) + F.col("dup") + F.lit(2.0)
     return tot.select(
         F.col("n").cast("long").alias("n_customers"),
-        (F.abs(F.col("n_top") - F.col("n") / 5) <= tol).alias(
-            "top_count_within_tol"
-        ),
-        (
-            F.col("rev_top") / F.col("rev_total")
-            >= F.col("n_top") / F.col("n") - F.lit(1e-12)
+        # coalesce(·, TRUE): on an empty orders day the sums are NULL
+        # and the bracket is vacuous — match the oracle's constants
+        F.coalesce(
+            F.abs(F.col("n_top") - F.col("n") / 5) <= tol, F.lit(True)
+        ).alias("top_count_within_tol"),
+        F.coalesce(
+            F.try_divide(F.col("rev_top"), F.col("rev_total"))
+            >= F.try_divide(F.col("n_top"), F.col("n")) - F.lit(1e-12),
+            F.lit(True),
         ).alias("top_share_exceeds_count_share"),
     )
 
@@ -1429,7 +1437,8 @@ def q269_lsh_pruning_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.cast("long").alias("candidate_pairs"),
         F.expr("first(n * (n - 1) DIV 2)").cast("long").alias("allpairs"),
         F.round(
-            F.expr("first(n * (n - 1) DIV 2)").cast("double") / cand, 2
+            F.try_divide(F.expr("first(n * (n - 1) DIV 2)").cast("double"), cand),
+            2,
         ).alias("pruning_factor"),
     ).select(
         F.col("n").cast("long").alias("n_docs"),
@@ -1602,7 +1611,9 @@ def q271_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
     nb = norm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
-    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    # try_divide: an all-boilerplate corpus (every idf = 0) yields zero
+    # norms; NULL cosine fails the >= filter, matching DuckDB's WHERE
+    cos = F.try_divide(F.col("dot"), F.col("na") * F.col("nb"))
     return (
         prod.join(na, "id_a")
         .join(nb, "id_b")

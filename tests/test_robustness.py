@@ -236,3 +236,27 @@ def test_approx_buckets_degenerate_inputs(spark):
     empty = spark.createDataFrame([], "v double")
     assigned = assign_approx_buckets(empty, "v", 10)
     assert assigned.count() == 0
+
+
+def test_lsh_quality_audit_empty_corpus(spark):
+    """Zero-pair corpus through the q240/q255 audit body: counts are 0
+    (not NULL), ratios are NULL (not an ANSI DIVIDE_BY_ZERO crash) —
+    the same row DuckDB's oracle produces on the degenerate input."""
+    from databricks_etl_spark.plans.queries_round5b import _lsh_quality_audit
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r = _lsh_quality_audit(empty).collect()[0]
+    assert (r.n_candidates, r.n_true, r.n_hits) == (0, 0, 0)
+    assert r.precision is None and r.recall is None
+
+
+def test_size_audit_empty_reports_requested_buckets(spark):
+    """Empty input: the bracket is vacuous — size_audit reports the
+    REQUESTED bucket count with zero rows and TRUE checks, matching a
+    constant-stating oracle instead of diverging on an observed 0."""
+    from databricks_etl_spark.operators.quantile_bucket import size_audit
+
+    empty = spark.createDataFrame([], "v double")
+    r = size_audit(empty, "v", 10).collect()[0]
+    assert (r.n_buckets, r.n_total) == (10, 0)
+    assert r.sizes_within_tol and r.buckets_ordered
