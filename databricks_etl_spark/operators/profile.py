@@ -189,11 +189,24 @@ def profile_report(
         for c, pred in checks.items()
     ]
     wide = df.agg(*aggs).persist()  # one row; reused by each unpivot
+    # try_divide: an EMPTY table (total = 0) reports NULL metrics, never
+    # a DIVIDE_BY_ZERO crash and never a fabricated 100% (the same 0/0
+    # policy as the standalone completeness/uniqueness operators)
     comp = wide.select(
-        *[(F.lit(100.0) * F.col(f"__nn_{c}") / F.col("__total")).alias(c) for c in cols]
+        *[
+            F.try_divide(
+                F.lit(100.0) * F.col(f"__nn_{c}"), F.col("__total")
+            ).alias(c)
+            for c in cols
+        ]
     )
     uniq = wide.select(
-        *[(F.lit(100.0) * F.col(f"__nd_{c}") / F.col("__total")).alias(c) for c in cols]
+        *[
+            F.try_divide(
+                F.lit(100.0) * F.col(f"__nd_{c}"), F.col("__total")
+            ).alias(c)
+            for c in cols
+        ]
     )
     out = _unpivot(comp, cols, "value").withColumn("metric", F.lit("pct_complete")).union(
         _unpivot(uniq, cols, "value").withColumn("metric", F.lit("pct_unique"))
@@ -201,7 +214,9 @@ def profile_report(
     if checks:
         integ = wide.select(
             *[
-                (F.lit(100.0) * F.col(f"__ok_{c}") / F.col(f"__nn_{c}")).alias(c)
+                F.try_divide(
+                    F.lit(100.0) * F.col(f"__ok_{c}"), F.col(f"__nn_{c}")
+                ).alias(c)
                 for c in checks
             ]
         )
