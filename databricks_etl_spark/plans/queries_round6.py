@@ -2111,3 +2111,286 @@ def q279_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame
     from databricks_etl_spark.streaming import windows as W
 
     return W.run_sliding_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q280–q282 — schema-profiling trio (the reference's cross-table
+# relationship analysis, pre_analysis.py:299-327, generalized to
+# DISCOVERY instead of checking declared edges)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q280_fk_inference",
+    oracle="""
+        WITH pairs(child_tbl, child_col, parent_tbl, parent_col) AS (
+            VALUES ('orders', 'o_custkey', 'customer', 'c_custkey'),
+                   ('customer', 'c_custkey', 'orders', 'o_custkey'),
+                   ('lineitem', 'l_partkey', 'part', 'p_partkey'),
+                   ('part', 'p_partkey', 'lineitem', 'l_partkey'),
+                   ('supplier', 's_nationkey', 'nation', 'n_nationkey'),
+                   ('nation', 'n_nationkey', 'supplier', 's_nationkey')
+        ),
+        d AS (
+            SELECT 'orders' AS tbl, 'o_custkey' AS col, o_custkey AS v FROM orders
+            UNION SELECT 'customer', 'c_custkey', c_custkey FROM customer
+            UNION SELECT 'lineitem', 'l_partkey', l_partkey FROM lineitem
+            UNION SELECT 'part', 'p_partkey', p_partkey FROM part
+            UNION SELECT 'supplier', 's_nationkey', s_nationkey FROM supplier
+            UNION SELECT 'nation', 'n_nationkey', n_nationkey FROM nation
+        ),
+        sz AS (SELECT tbl, col, COUNT(*) AS n FROM d GROUP BY 1, 2),
+        inter AS (
+            SELECT p.child_tbl, p.child_col, p.parent_tbl, p.parent_col,
+                   COUNT(*) AS shared
+            FROM pairs p
+            JOIN d a ON a.tbl = p.child_tbl AND a.col = p.child_col
+            JOIN d b ON b.tbl = p.parent_tbl AND b.col = p.parent_col
+                    AND b.v = a.v
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT i.child_tbl, i.child_col, i.parent_tbl, i.parent_col,
+               CAST(sa.n AS BIGINT) AS n_child_distinct,
+               round(CAST(i.shared AS DOUBLE) / sa.n, 6) AS containment,
+               (i.shared = sa.n) AS fk_candidate
+        FROM inter i
+        JOIN sz sa ON sa.tbl = i.child_tbl AND sa.col = i.child_col
+    """,
+)
+def q280_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key DISCOVERY by value-set containment — the inference
+    generalization of the reference's declared-edge relationship
+    checks (``pre_analysis.py:299-327``, our q33/q243): for candidate
+    column pairs, containment = |distinct(child) ∩ distinct(parent)| /
+    |distinct(child)|; containment 1.0 marks an FK candidate, and the
+    reversed direction scores low — how schema-profiling tools propose
+    join graphs over undocumented lakes. Each column's distinct set is
+    computed once (map-combinable DISTINCT union), intersections are
+    equi-joins on values; both directions of three edges are scored so
+    the output shows the asymmetry that makes the signal useful."""
+    tables = {
+        "orders": ("o_custkey",),
+        "customer": ("c_custkey",),
+        "lineitem": ("l_partkey",),
+        "part": ("p_partkey",),
+        "supplier": ("s_nationkey",),
+        "nation": ("n_nationkey",),
+    }
+    d = None
+    for tbl, cols in tables.items():
+        t = read_table(spark, sf_dir, tbl)
+        for col in cols:
+            part = t.select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(col).alias("col"),
+                F.col(col).alias("v"),
+            ).distinct()
+            d = part if d is None else d.unionByName(part)
+    pairs = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("part", "p_partkey", "lineitem", "l_partkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_nationkey", "supplier", "s_nationkey"),
+    ]
+    pdf = spark.createDataFrame(
+        pairs, "child_tbl string, child_col string, parent_tbl string, parent_col string"
+    )
+    sz = d.groupBy("tbl", "col").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(
+        F.col("tbl").alias("child_tbl"),
+        F.col("col").alias("child_col"),
+        "v",
+    )
+    b = d.select(
+        F.col("tbl").alias("p_tbl"),
+        F.col("col").alias("p_col"),
+        F.col("v").alias("pv"),
+    )
+    inter = (
+        F.broadcast(pdf)
+        .join(a, ["child_tbl", "child_col"])
+        .join(
+            b,
+            (F.col("pv") == F.col("v"))
+            & (F.col("p_tbl") == F.col("parent_tbl"))
+            & (F.col("p_col") == F.col("parent_col")),
+        )
+        .groupBy("child_tbl", "child_col", "parent_tbl", "parent_col")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sz.select(
+        F.col("tbl").alias("child_tbl"),
+        F.col("col").alias("child_col"),
+        F.col("n").alias("n_child_distinct"),
+    )
+    return inter.join(sa, ["child_tbl", "child_col"]).select(
+        "child_tbl",
+        "child_col",
+        "parent_tbl",
+        "parent_col",
+        F.col("n_child_distinct").cast("long").alias("n_child_distinct"),
+        F.round(
+            F.col("shared").cast("double") / F.col("n_child_distinct"), 6
+        ).alias("containment"),
+        (F.col("shared") == F.col("n_child_distinct")).alias("fk_candidate"),
+    )
+
+
+@query(
+    "q281_functional_dependencies",
+    oracle="""
+        WITH cand(det, dep) AS (
+            VALUES ('c_custkey', 'c_name'),
+                   ('c_custkey', 'c_nationkey'),
+                   ('c_nationkey', 'c_mktsegment'),
+                   ('c_mktsegment', 'c_nationkey')
+        ),
+        s AS (
+            SELECT 'c_custkey' AS det, 'c_name' AS dep,
+                   COUNT(DISTINCT c_custkey) AS n_det,
+                   COUNT(DISTINCT (c_custkey, c_name)) AS n_pair
+            FROM customer
+            UNION ALL
+            SELECT 'c_custkey', 'c_nationkey',
+                   COUNT(DISTINCT c_custkey),
+                   COUNT(DISTINCT (c_custkey, c_nationkey))
+            FROM customer
+            UNION ALL
+            SELECT 'c_nationkey', 'c_mktsegment',
+                   COUNT(DISTINCT c_nationkey),
+                   COUNT(DISTINCT (c_nationkey, c_mktsegment))
+            FROM customer
+            UNION ALL
+            SELECT 'c_mktsegment', 'c_nationkey',
+                   COUNT(DISTINCT c_mktsegment),
+                   COUNT(DISTINCT (c_mktsegment, c_nationkey))
+            FROM customer
+        )
+        SELECT det AS determinant, dep AS dependent,
+               CAST(n_det AS BIGINT) AS n_determinant_values,
+               CAST(n_pair AS BIGINT) AS n_pairs,
+               (n_det = n_pair) AS fd_holds,
+               round(CAST(n_det AS DOUBLE) / n_pair, 6) AS fd_strength
+        FROM s
+    """,
+)
+def q281_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (A → B holds iff every value of
+    A maps to exactly one B, i.e. |distinct(A)| = |distinct(A,B)|) —
+    the consistency-analysis sibling of FK inference (q280) and the
+    formal version of the reference's flag-consistency checks
+    (``pre_analysis.py:374-402``): key→attribute FDs must hold
+    (c_custkey→c_name), category↔category generally do not; the
+    strength ratio quantifies 'how close'. One conditional-distinct
+    aggregation per candidate over a shared scan — at 100 TB the
+    distinct counts switch to HLL (q143's lane) with a bracket."""
+    c = read_table(spark, sf_dir, "customer")
+    cands = [
+        ("c_custkey", "c_name"),
+        ("c_custkey", "c_nationkey"),
+        ("c_nationkey", "c_mktsegment"),
+        ("c_mktsegment", "c_nationkey"),
+    ]
+    out = None
+    for det, dep in cands:
+        row = c.agg(
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            F.count_distinct(F.col(det)).cast("long").alias(
+                "n_determinant_values"
+            ),
+            F.count_distinct(F.struct(det, dep)).cast("long").alias("n_pairs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "determinant",
+        "dependent",
+        "n_determinant_values",
+        "n_pairs",
+        (F.col("n_determinant_values") == F.col("n_pairs")).alias("fd_holds"),
+        F.round(
+            F.col("n_determinant_values").cast("double") / F.col("n_pairs"), 6
+        ).alias("fd_strength"),
+    )
+
+
+@query(
+    "q282_header_detail_reconciliation",
+    oracle="""
+        WITH line_sums AS (
+            SELECT l_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                       * CAST(1 - l_discount AS DECIMAL(28,6))
+                       * CAST(1 + l_tax AS DECIMAL(28,6))) AS computed
+            FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders_with_lines,
+               CAST(SUM(CASE WHEN abs(CAST(computed AS DOUBLE) - o_totalprice)
+                                  <= 0.02 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_reconciled,
+               CAST(SUM(CASE WHEN abs(CAST(computed AS DOUBLE) - o_totalprice)
+                                  > 0.02 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_discrepant,
+               round(CAST(SUM(CASE WHEN abs(CAST(computed AS DOUBLE)
+                                            - o_totalprice) <= 0.02
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS reconciled_share,
+               round(CAST(SUM(CAST(abs(CAST(computed AS DOUBLE)
+                                       - o_totalprice) AS DECIMAL(28,6)))
+                          AS DOUBLE) / COUNT(*), 2) AS avg_abs_gap
+        FROM orders JOIN line_sums ON o_orderkey = l_orderkey
+    """,
+)
+def q282_header_detail_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail reconciliation — the accounting-grade cross-table
+    consistency audit (the quantitative extension of the reference's
+    relationship analysis): each order's o_totalprice must equal the
+    sum of its lines' extendedprice·(1−discount)·(1+tax) within a
+    2-cent tolerance (real TPC-H's generation invariant). Line sums
+    accumulate in exact decimals (order-independent); the comparison
+    happens once per order. On THIS synthetic testdata the audit
+    fires for every order (o_totalprice is generated independently of
+    the lines — avg gap ≈ $157k at sf0.01), which is exactly the
+    point: the audit detects a generator-level inconsistency a
+    billing pipeline would page on, and the hash-checked counts prove
+    both engines measure the same violation. One shuffle (orderkey
+    rollup) + one equi-join with the header."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    line_sums = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            F.col("l_extendedprice").cast(MONEY)
+            * (F.lit(1) - F.col("l_discount")).cast(MONEY)
+            * (F.lit(1) + F.col("l_tax")).cast(MONEY)
+        ).alias("computed"),
+    )
+    j = o.join(line_sums, o.o_orderkey == line_sums.l_orderkey)
+    ok = (
+        F.abs(F.col("computed").cast("double") - F.col("o_totalprice"))
+        <= 0.02
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_with_lines"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_reconciled"),
+        F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias("n_discrepant"),
+        F.round(
+            F.sum(F.when(ok, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("reconciled_share"),
+        F.round(
+            F.sum(
+                F.abs(
+                    F.col("computed").cast("double") - F.col("o_totalprice")
+                ).cast(MONEY)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            2,
+        ).alias("avg_abs_gap"),
+    )

@@ -380,8 +380,8 @@ def _load() -> None:
     # round-6 modules
     import databricks_etl_spark.plans.queries_round6  # noqa: F401
 
-    assert len(QUERIES) >= 277, (
-        f"query registry shrank: {len(QUERIES)} < 277 — a module failed to register"
+    assert len(QUERIES) >= 280, (
+        f"query registry shrank: {len(QUERIES)} < 280 — a module failed to register"
     )
     _reorder()
     _loaded = True
