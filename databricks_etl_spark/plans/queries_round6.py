@@ -1896,7 +1896,7 @@ def q275_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(m.i AS INT) AS i, CAST(m.j AS INT) AS j,
                round((CAST(m.sxy AS DOUBLE)
                       - CAST(mi.sx AS DOUBLE) * CAST(mj.sx AS DOUBLE) / m.n)
-                     / m.n, 6) AS cov
+                     / m.n, 6) + 0.0 AS cov
         FROM m
         JOIN mu mi ON m.i = mi.dim
         JOIN mu mj ON m.j = mj.dim
@@ -1947,15 +1947,23 @@ def q276_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             "j",
-            F.round(
-                (
-                    F.col("sxy").cast("double")
-                    - F.col("sxi").cast("double")
-                    * F.col("sxj").cast("double")
-                    / F.col("n")
+            (
+                F.round(
+                    (
+                        F.col("sxy").cast("double")
+                        - F.col("sxi").cast("double")
+                        * F.col("sxj").cast("double")
+                        / F.col("n")
+                    )
+                    / F.col("n"),
+                    6,
                 )
-                / F.col("n"),
-                6,
+                # Zero-sign normalization: DuckDB's round() emits -0.0 for
+                # tiny negative covariances while Spark's BigDecimal HALF_UP
+                # emits +0.0; IEEE `-0.0 + 0.0 = +0.0` makes both engines
+                # byte-identical under the driver's value hash (the oracle
+                # applies the same `+ 0.0`).
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )

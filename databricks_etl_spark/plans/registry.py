@@ -313,6 +313,44 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q244_neardup_degree_distribution",
         "q245_interval_union_coverage",
         "q246_source_scorecard",
+        # --- round 6 greens (CORRECTNESS_r06.json; 41 green rows, q276
+        # hash-red excluded, 8 rows-only `no_oracle` rows records excluded
+        # by definition; q89/q90/q91/q92/q98 re-proven, already listed) ---
+        "q247_equidepth_histogram_approx",
+        "q248_rfm_approx_quintiles",
+        "q249_decile_lift_approx",
+        "q250_pareto_approx_topshare",
+        "q251_vocab_topk_scalable",
+        "q252_incremental_neardup_candidates",
+        "q253_incremental_batch_novelty",
+        "q254_streaming_fingerprint_dedup",
+        "q255_lsh_quality_audit_sampled",
+        "q256_band_index_update",
+        "q257_streaming_incremental_neardup",
+        "q258_quality_survivor_dedup",
+        "q259_revenue_changepoint",
+        "q260_token_entropy",
+        "q261_variant_semistructured",
+        "q262_pareto_front_parts",
+        "q263_bm25_retrieval",
+        "q264_k_anonymity_audit",
+        "q265_embedding_dim_stats",
+        "q266_embedded_record_parsing",
+        "q267_time_weighted_average",
+        "q268_multimodal_corrupt_rate",
+        "q269_lsh_pruning_efficiency",
+        "q270_trending_tokens_weekly",
+        "q271_tfidf_cosine_pairs",
+        "q272_incremental_neardup_capped",
+        "q273_dynamic_gap_sessions",
+        "q274_bitmap_distinct_customers",
+        "q275_regression_moments",
+        "q277_multimodal_audio_features",
+        "q278_multimodal_readiness",
+        "q279_streaming_sliding_window",
+        "q280_fk_inference",
+        "q281_functional_dependencies",
+        "q282_header_detail_reconciliation",
     }
 )
 

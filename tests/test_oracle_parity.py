@@ -71,7 +71,10 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
             if x is None or (isinstance(x, float) and math.isnan(x)):
                 ok = y is None or (isinstance(y, float) and math.isnan(y))
             elif isinstance(x, float) and isinstance(y, float):
-                ok = x == y or math.isclose(x, y, rel_tol=0, abs_tol=0)
+                # Exact equality AND matching zero sign: the driver hashes
+                # raw bytes, so -0.0 vs +0.0 (Python ==-equal) is a driver
+                # hash mismatch (q276's r6 failure class).
+                ok = x == y and math.copysign(1.0, x) == math.copysign(1.0, y)
             else:
                 ok = x == y
             assert ok, f"{name}: col {c} row {i}: spark={x!r} duck={y!r}"
@@ -102,6 +105,17 @@ def test_entry_smoke(spark, smoke_sf_dir):
     rows = df.collect()
     assert len(rows) > 0
     assert {"n_name", "revenue", "n_items"} == set(df.columns)
+
+
+def test_zero_sign_mismatch_is_caught():
+    """Regression for q276's r6 driver failure: -0.0 vs +0.0 compares
+    Python-== equal but hashes differently driver-side; the harness must
+    treat it as a mismatch so the class is caught locally."""
+    a = pd.DataFrame({"v": [0.0]})
+    b = pd.DataFrame({"v": [-0.0]})
+    with pytest.raises(AssertionError):
+        assert_frames_match(a, b, "zero-sign sentinel")
+    assert_frames_match(a, a.copy(), "zero-sign identical")
 
 
 def test_contract_shape():
