@@ -81,9 +81,16 @@ def assign_literal_buckets(
     """Bucket assignment against DRIVER-HELD literal boundaries (the
     output of one collected sketch pass): pure map-side expressions,
     no join — use when several consumers must share the exact same
-    boundary list (q249, size_audit's pass 2)."""
+    boundary list (q249, size_audit's pass 2).
+
+    Boundaries are de-duplicated first: on tie-heavy dimensions a
+    quantile sketch legitimately returns the same element for several
+    probabilities, and naive per-boundary increments would then skip
+    bucket ids entirely (value > b counts twice), leaving structurally
+    empty buckets that make the observed bucket count sketch-dependent.
+    """
     bucket = F.lit(1)
-    for b in bounds:
+    for b in dict.fromkeys(bounds):
         bucket = bucket + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
     return df.withColumn(bucket_col, bucket.cast("int"))
 
@@ -114,8 +121,13 @@ def size_audit(
 ) -> DataFrame:
     """One-row audit frame proving the equi-depth bracket for ``df[col]``:
 
-    - ``n_buckets``   observed distinct bucket count (== k for non-
-      degenerate data: boundaries distinct);
+    - ``n_buckets``   the REQUESTED bucket count k (a literal — on
+      tie-heavy dimensions a valid sketch may return duplicated
+      boundaries, so the observed distinct bucket count is sketch-
+      dependent and must not appear in a hash-compared output; a
+      genuinely broken assignment still trips ``sizes_within_tol``,
+      whose tolerance only forgives deviations explained by boundary
+      multiplicity);
     - ``n_total``     rows in = rows out (assignment loses nothing);
     - ``sizes_within_tol``  every bucket size within the rank-error
       tolerance of n/k;
@@ -187,7 +199,7 @@ def size_audit(
         F.greatest(*dup_cols, F.lit(0)).alias("_dmax"),
     )
     summary = chk.agg(
-        F.count(F.lit(1)).cast("int").alias("n_buckets"),
+        F.lit(n_buckets).cast("int").alias("n_buckets"),
         F.sum("_n").cast("long").alias("n_total"),
         F.max("_n").cast("double").alias("_max_n"),
         F.min("_n").cast("double").alias("_min_n"),

@@ -266,7 +266,7 @@ _V251 = 100
 )
 def q251_vocab_topk_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q142's vocabulary build without the global row_number over every
-    distinct token: top-{_V251} tokens come from ``orderBy().limit()``,
+    distinct token: top-100 tokens come from ``orderBy().limit()``,
     which Spark executes as TakeOrderedAndProject — per-partition
     top-K then a driver merge of K-row heaps, no global sort shuffle
     (plan asserted in tests/test_plan_audit.py). Only the K surviving
@@ -1084,7 +1084,7 @@ def q264_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over quasi-identifiers (nation × market
     segment × $1000 balance band): the privacy gate a data release
     runs next to PII redaction (q141) — equivalence classes smaller
-    than k={_Q264_K} members make their rows re-identifiable. Reports
+    than k=5 members make their rows re-identifiable. Reports
     the achieved k (min class size), the count of small classes, and
     the share of at-risk rows. One map-combinable groupBy on the
     quasi-identifier tuple + a 1-row summary — the same profile as a
@@ -1655,7 +1655,7 @@ _Q272_CAP = 8
     """,
 )
 def q272_incremental_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q252 with the HOT-BUCKET GUARD engaged (max_bucket={_Q272_CAP}):
+    """q252 with the HOT-BUCKET GUARD engaged (max_bucket=8):
     band buckets whose total (index + delta) size exceeds the cap are
     excluded from candidate generation — the guard that keeps the band
     join from going quadratic when mass-duplicated boilerplate piles

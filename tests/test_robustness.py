@@ -260,3 +260,35 @@ def test_size_audit_empty_reports_requested_buckets(spark):
     r = size_audit(empty, "v", 10).collect()[0]
     assert (r.n_buckets, r.n_total) == (10, 0)
     assert r.sizes_within_tol and r.buckets_ordered
+
+
+def test_size_audit_tie_heavy_dimension(spark):
+    """Tie-heavy dimension (small-integer values, q248's 'frequency'
+    shape): a valid sketch returns DUPLICATED quintile boundaries, so
+    the observed distinct bucket count is sketch-dependent — the audit
+    must still report the requested k (the hash-compared constant) and
+    hold the bracket, with duplicated bounds de-duplicated so bucket
+    ids never skip (value > b must not count one tie twice)."""
+    import pyspark.sql.functions as F
+
+    from databricks_etl_spark.operators.quantile_bucket import (
+        assign_literal_buckets,
+        size_audit,
+    )
+
+    # 90% of rows share one value — every interior quintile boundary
+    # collapses onto it
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(3.0))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v")
+    )
+    r = size_audit(df, "v", 5).collect()[0]
+    assert (r.n_buckets, r.n_total) == (5, 1000)
+    assert r.sizes_within_tol and r.buckets_ordered
+
+    # duplicated literal bounds: ids stay contiguous from 1 (naive
+    # per-boundary increments would emit buckets {1, 4, 5} here)
+    assigned = assign_literal_buckets(df, "v", [3.0, 3.0, 3.0, 950.0])
+    ids = sorted(x.bucket for x in assigned.select("bucket").distinct().collect())
+    assert ids == [1, 2, 3], ids  # ≤3.0 | (3.0, 950.0] | >950.0
