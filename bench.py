@@ -27,10 +27,12 @@ from databricks_etl_spark.session import get_spark
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _previous_round_warm() -> tuple[str, dict[str, float]] | None:
-    """Per-query warm timings from the newest driver-recorded
-    BENCH_r{N}.json, so every bench run reports its own drift vs the
-    previous round (VERDICT r3 asked for deltas in the JSON itself)."""
+def _previous_round_warm() -> tuple[str, dict[str, float], float | None] | None:
+    """Per-query warm timings (and machine load, if recorded) from the
+    newest driver-recorded BENCH_r{N}.json, so every bench run reports
+    its own drift vs the previous round (VERDICT r3 asked for deltas in
+    the JSON itself; VERDICT r6 asked that deltas only be trusted
+    between like-loaded runs)."""
     arts = sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")))
     if not arts:
         return None
@@ -38,14 +40,45 @@ def _previous_round_warm() -> tuple[str, dict[str, float]] | None:
         with open(arts[-1]) as f:
             parsed = json.load(f).get("parsed") or {}
         prev = parsed.get("queries_warm") or {}
-        return (os.path.basename(arts[-1]), {k: float(v) for k, v in prev.items()})
+        load = parsed.get("load1")
+        return (
+            os.path.basename(arts[-1]),
+            {k: float(v) for k, v in prev.items()},
+            float(load) if load is not None else None,
+        )
     except (json.JSONDecodeError, TypeError, ValueError):
         return None
+
+
+def _attempt_number(sf_dir: str) -> int:
+    """1-based count of bench invocations for this (sf_dir, day) —
+    scratch state in /tmp, NOT the repo. The r6 capture's tail recorded
+    a retried run on a badly loaded machine; stamping the attempt makes
+    retries visible in the artifact instead of inferred from tails."""
+    import datetime
+
+    key = f"{sf_dir}:{datetime.date.today().isoformat()}"
+    path = "/tmp/spark_graft_bench_attempts.json"
+    try:
+        with open(path) as f:
+            state = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        state = {}
+    n = int(state.get(key, 0)) + 1
+    state = {key: n}  # keep only the live key — stale days pruned
+    try:
+        with open(path, "w") as f:
+            json.dump(state, f)
+    except OSError:
+        pass
+    return n
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    load_start = os.getloadavg()
+    attempt = _attempt_number(sf_dir)
     spark = get_spark("databricks_etl_spark_bench")
 
     qs = bench_queries()
@@ -82,19 +115,34 @@ def main() -> None:
     # compact (2-decimal timings, no delta block) and hard-assert the
     # budget; full-precision detail + round-over-round deltas go to
     # stderr, which the driver ignores.
+    load_end = os.getloadavg()
+    # ambient load BEFORE this process spun up its executors: the
+    # 1-min average at start. The r6 round-over-round "+17% regression"
+    # was a loaded machine; this makes that visible in the artifact.
     out = {
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
-        "queries_warm": {k: round(v, 2) for k, v in warm.items()},
+        # warm at 1 decimal: keeps the worst-case line under the 1900-
+        # char driver budget with the r7 load telemetry added; full
+        # precision is in the stderr detail block
+        "queries_warm": {k: round(v, 1) for k, v in warm.items()},
         "warm_total": round(sum(warm.values()), 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load1": round(load_start[0], 1),
+        "attempt": attempt,
     }
-    detail = {"queries": timings, "queries_warm": warm}
+    detail = {
+        "queries": timings,
+        "queries_warm": warm,
+        "load_start": [round(x, 2) for x in load_start],
+        "load_end": [round(x, 2) for x in load_end],
+        "attempt": attempt,
+    }
     prev = _previous_round_warm()
     if prev is not None:
-        prev_name, prev_warm = prev
+        prev_name, prev_warm, prev_load = prev
         common = sorted(set(warm) & set(prev_warm))
         if common:
             detail["warm_delta_vs"] = prev_name
@@ -106,6 +154,19 @@ def main() -> None:
             detail["warm_total_common_prev"] = round(
                 sum(prev_warm[k] for k in common), 4
             )
+            # like-loaded gate: deltas are only comparable when both
+            # captures started at similar ambient load (±8 on the 1-min
+            # average for this 32-cpu box ≈ ±25% of capacity)
+            if prev_load is None:
+                detail["warm_delta_caveat"] = (
+                    f"{prev_name} carries no load telemetry — treat "
+                    "deltas as unconfirmed"
+                )
+            elif abs(load_start[0] - prev_load) > 8.0:
+                detail["warm_delta_caveat"] = (
+                    f"load mismatch (cur {load_start[0]:.1f} vs prev "
+                    f"{prev_load:.1f}) — deltas not like-loaded"
+                )
     print(json.dumps(detail), file=sys.stderr)
     line = json.dumps(out)
     assert len(line) < 1900, f"bench line {len(line)} chars exceeds driver capture"

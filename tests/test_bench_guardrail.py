@@ -51,9 +51,11 @@ def test_bench_stdout_line_fits_driver_capture():
             "value": 99999.99,
             "unit": "sec",
             "queries": worst,
-            "queries_warm": worst,
+            "queries_warm": {n: 99999.9 for n in names},  # bench emits warm @1dp
             "warm_total": 99999.99,
             "sf": 0.1,
+            "load1": 999.9,
+            "attempt": 99,
         }
     )
     assert len(line) < 1900, (
@@ -92,9 +94,13 @@ def test_bench_cli_contract_end_to_end():
     last = out.stdout.strip().splitlines()[-1]
     assert len(last) < 1900
     d = json.loads(last)
-    for k in ["metric", "value", "unit", "queries", "queries_warm", "warm_total", "sf"]:
+    for k in [
+        "metric", "value", "unit", "queries", "queries_warm", "warm_total",
+        "sf", "load1", "attempt",
+    ]:
         assert k in d, k
     assert d["unit"] == "sec" and d["sf"] == 0.001
+    assert d["attempt"] >= 1 and d["load1"] >= 0.0
     assert set(d["queries"]) == {
         "q16_tpch_q1_pricing_summary", "q01_revenue_by_nation",
     }
