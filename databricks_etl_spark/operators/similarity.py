@@ -316,3 +316,102 @@ def label_centroids(embeddings: DataFrame, *, vec_col: str = "embedding") -> Dat
             F.transform(F.col("pairs"), lambda s: s.getField("mean_v")).alias("centroid"),
         )
     )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell assignment (the IVF/SemDeDup coarse
+    quantizer as a standalone op): squared-euclidean argmin against a
+    BROADCAST centroid table ``(cid int, centroid array<double>)``,
+    tiebroken by cid — q214's planar assignment generalized to
+    arbitrary dimension. The fold is the same sequential
+    ``zip_with``/``aggregate`` as :func:`dot`, so a DuckDB
+    ``list_sum(list_transform(...))`` oracle is bit-identical.
+    Returns (id, vec, cell_id); the argmin window runs over
+    n_centroids rows per vector, never over the data."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(id_col).orderBy(d2.asc(), F.col("cid").asc())
+    return (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, F.col("cid").cast("int").alias("cell_id"))
+    )
+
+
+def semdedup_prune(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    quality: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup (cf. Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest centroid,
+    then WITHIN EACH CELL ONLY prune members that have a strictly
+    higher-priority near-duplicate (rounded cosine ≥ ``threshold``;
+    priority = (quality_score DESC, id ASC), q258's survivor rule) —
+    never an all-pairs comparison across the corpus.
+
+    Returns one row per vector: (id, cell_id, pruned, quality_score).
+    Deterministic given fixed centroids: the dominated-member rule
+    needs no iterative clustering, so a DuckDB oracle states it
+    exactly. Seeded-KMeans centroids (q286) reuse this body rows-only.
+
+    Scale: the only join keyed on data volume is the within-cell
+    equi-join on ``cell_id`` — the SemDeDup contract bounds the
+    quadratic to cell size (at 100 TB you scale n_centroids so cells
+    stay ~10⁴–10⁵ rows; a mass-duplicated hot cell is the same
+    failure mode q272's hot-bucket cap guards in the MinHash lane).
+    """
+    cells = assign_cells(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    lab = cells.join(quality, id_col)
+    a = lab.select(
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        "cell_id",
+        F.col("quality_score").alias("__qa"),
+    )
+    b = lab.select(
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        "cell_id",
+        F.col("quality_score").alias("__qb"),
+    )
+    dominated = (
+        a.join(b, "cell_id")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= threshold)
+        .filter(
+            (F.col("__qb") > F.col("__qa"))
+            | ((F.col("__qb") == F.col("__qa")) & (F.col("__idb") < F.col("__ida")))
+        )
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+        .withColumn("__pruned", F.lit(True))
+    )
+    return (
+        lab.join(dominated, id_col, "left")
+        .select(
+            id_col,
+            "cell_id",
+            F.coalesce("__pruned", F.lit(False)).alias("pruned"),
+            "quality_score",
+        )
+    )

@@ -281,3 +281,81 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             1 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"), 6
         ).alias("dup_bigram_frac"),
     )
+
+
+def char_grams(
+    df: DataFrame,
+    length: int,
+    stride: int = 1,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "gram",
+) -> DataFrame:
+    """Distinct fixed-length CHARACTER grams per document, sampled at
+    ``stride`` offsets (1 = every position). Map-side only: sequence +
+    transform + array_distinct + explode, no shuffle until a consumer
+    joins — the building block of exact-substring decontamination.
+
+    Documents shorter than ``length`` contribute nothing (and the
+    ``sequence`` bounds stay legal)."""
+    pos = F.sequence(
+        F.lit(1), F.length(text_col) - F.lit(length - 1), F.lit(stride)
+    )
+    return (
+        df.filter(F.length(text_col) >= length)
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.transform(pos, lambda i: F.col(text_col).substr(i, F.lit(length)))
+                )
+            ).alias(out),
+        )
+    )
+
+
+def exact_substring_hits(
+    corpus: DataFrame,
+    bench: DataFrame,
+    *,
+    length: int = 24,
+    stride: int = 8,
+    corpus_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring benchmark contamination: for every (corpus doc,
+    benchmark doc) pair sharing a VERIFIED exact character gram, the
+    count of corpus-side grams hit — the reference-free twin of a
+    suffix-array decontamination scan (n-gram lanes q152/q227 catch
+    paraphrase-level overlap; this catches verbatim copies).
+
+    Guarantee: the benchmark side grams EVERY offset (stride 1) while
+    the corpus side samples every ``stride`` offsets, so any exact
+    common substring of ``length + stride - 1`` chars or more contains
+    a corpus gram entirely and is always detected.
+
+    Scale shape (100 TB corpus, small benchmark suite): corpus grams
+    carry an 8-byte ``xxhash64`` instead of shuffling gram strings;
+    the benchmark's (id, hash) set and its raw texts are BROADCAST, so
+    the corpus is scanned once map-side with zero shuffle of corpus
+    text. Hash collisions are then removed by the verify step — a
+    ``contains`` probe of the candidate gram against the benchmark
+    text (by construction a true gram always passes: the benchmark
+    side enumerated every offset)."""
+    cg = char_grams(corpus, length, stride, text_col=text_col, id_col=corpus_id)
+    cg = cg.withColumn("__h", F.xxhash64("gram"))
+    bg = (
+        char_grams(bench, length, 1, text_col=text_col, id_col=bench_id)
+        .select(bench_id, F.xxhash64("gram").alias("__h"))
+        .distinct()
+    )
+    cand = cg.join(F.broadcast(bg), "__h")
+    btxt = bench.select(bench_id, F.col(text_col).alias("__btext"))
+    verified = cand.join(F.broadcast(btxt), bench_id).filter(
+        F.contains(F.col("__btext"), F.col("gram"))
+    )
+    return verified.groupBy(corpus_id, bench_id).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams_hit")
+    )

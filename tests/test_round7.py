@@ -1,0 +1,155 @@
+"""Round-7 operator tests: exact-substring decontamination (planted
+verbatim overlaps, stride-guarantee boundary) and SemDeDup embedding-
+cluster dedup (survivor invariants, clone pruning, scale gate)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from databricks_etl_spark.operators.similarity import semdedup_prune
+from databricks_etl_spark.operators.text import char_grams, exact_substring_hits
+
+
+def _docs(spark, rows, id_name="doc_id"):
+    return spark.createDataFrame(rows, f"{id_name} long, text string")
+
+
+def test_exact_substring_planted_overlap(spark):
+    """A 49-char verbatim benchmark span inside a training doc is
+    found; an unrelated doc is not; the reported count equals the
+    number of stride-sampled corpus grams inside the span."""
+    span = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG TODAY"  # 49 chars
+    corpus = _docs(
+        spark,
+        [
+            (1, "x" * 10 + span + "y" * 10),
+            (2, "totally unrelated content with no verbatim benchmark text"),
+        ],
+    )
+    bench = _docs(spark, [(100, "zzz " + span + " qqq")], id_name="bench_id")
+    out = exact_substring_hits(corpus, bench, length=24, stride=8).collect()
+    assert len(out) == 1
+    assert (out[0].doc_id, out[0].bench_id) == (1, 100)
+    assert out[0].n_grams_hit >= 1
+
+
+def test_exact_substring_stride_guarantee(spark):
+    """Detection contract: a common substring of length
+    >= L + stride - 1 (= 31 for L=24, s=8) is ALWAYS hit regardless of
+    alignment; below the gram length L nothing can match."""
+    span31 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ01234"  # 31 chars
+    assert len(span31) == 31
+    bench = _docs(spark, [(100, "<<" + span31 + ">>")], id_name="bench_id")
+    for offset in range(8):  # every alignment of the span in the doc
+        corpus = _docs(spark, [(1, "x" * (10 + offset) + span31 + "y" * 10)])
+        got = exact_substring_hits(corpus, bench, length=24, stride=8).collect()
+        assert len(got) == 1, f"span missed at alignment {offset}"
+
+    short = "ABCDEFGHIJKLMNOPQRSTUVW"  # 23 chars < L
+    corpus = _docs(spark, [(1, "x" * 10 + short + "y" * 20)])
+    bench2 = _docs(spark, [(100, "-- " + short + " --")], id_name="bench_id")
+    assert exact_substring_hits(corpus, bench2, length=24, stride=8).count() == 0
+
+
+def test_char_grams_stride_and_dedup(spark):
+    """char_grams emits distinct grams at exactly the stride offsets,
+    and drops docs shorter than the gram length."""
+    df = _docs(spark, [(1, "abcdefghij"), (2, "abc")])
+    got = char_grams(df, 4, 3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, set()).add(r.gram)
+    # offsets 1, 4, 7 of "abcdefghij" -> abcd, defg, ghij
+    assert by_doc == {1: {"abcd", "defg", "ghij"}}
+
+
+def _clone_corpus(spark):
+    """3 exact clone-groups of embeddings + 1 singleton; equal quality
+    inside each group so the survivor rule falls to vec_id ASC."""
+    base = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.5, 0.5, 0.5, 0.0],
+    ]
+    rows = []
+    vid = 0
+    for g, v in enumerate(base):
+        for _ in range(3 if g < 3 else 1):
+            rows.append((vid, v))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    quality = spark.createDataFrame(
+        [(i, 1.0) for i, _ in rows], "vec_id long, quality_score double"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.0])],
+        "cid int, centroid array<double>",
+    )
+    return vecs, quality, cents
+
+
+def test_semdedup_prunes_clones_keeps_survivor(spark):
+    """Exact clones land in one cell (cosine 1.0 >= τ); every clone
+    except the lowest-id (equal quality) is pruned; the singleton and
+    each group's survivor pass through."""
+    vecs, quality, cents = _clone_corpus(spark)
+    out = {r.vec_id: r for r in semdedup_prune(vecs, cents, quality, 0.95).collect()}
+    assert len(out) == 10  # one row per vector, nothing lost
+    survivors = {v for v, r in out.items() if not r.pruned}
+    assert survivors == {0, 3, 6, 9}  # group minima + singleton
+
+
+def test_semdedup_cell_top_priority_never_pruned(spark):
+    """In every cell the max-priority member survives (the dominance
+    rule is a strict order, so the top element has no dominator)."""
+    vecs, quality, cents = _clone_corpus(spark)
+    out = semdedup_prune(vecs, cents, quality, 0.5)
+    top = out.groupBy("cell_id").agg(F.min(F.when(~F.col("pruned"), F.col("vec_id"))).alias("surv"))
+    assert top.filter(F.col("surv").isNull()).count() == 0
+
+
+@pytest.mark.slow
+def test_semdedup_scale_gate_8x(spark, sf_dir):
+    """8× duplicated corpus through the q285 body: completes with one
+    row per vector and the plan contains no CartesianProduct — the
+    only nested-loop is the 8-row centroid broadcast; candidate pairs
+    come from the within-cell equi-join."""
+    from databricks_etl_spark.plans.queries_round7 import (
+        _Q285_CENTS,
+        _Q285_T,
+    )
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    big = e
+    for i in range(1, 8):
+        big = big.unionByName(
+            e.select((F.col("vec_id") + F.lit(i * 100000)).alias("vec_id"),
+                     "embedding", "label")
+        )
+    quality = TX.quality_features(d).select(
+        F.col("doc_id").alias("vec_id"), "quality_score"
+    )
+    qbig = quality
+    for i in range(1, 8):
+        qbig = qbig.unionByName(
+            quality.select((F.col("vec_id") + F.lit(i * 100000)).alias("vec_id"),
+                           "quality_score")
+        )
+    cents = spark.createDataFrame(
+        list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
+    )
+    out = semdedup_prune(big, cents, qbig, _Q285_T)
+    n_in = big.count()
+    assert out.count() == n_in
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # every original vector now has 8 exact clones -> at least 7/8 of
+    # rows are pruned (clones always share a cell and have cosine 1.0)
+    n_pruned = out.filter("pruned").count()
+    assert n_pruned >= n_in * 7 // 8
