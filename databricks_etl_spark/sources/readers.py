@@ -133,3 +133,37 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     """Register testdata tables as temp views for the SQL API."""
     for name in names or list(SCHEMAS):
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str,
+    lower_bound,
+    upper_bound,
+    num_partitions: int = 4,
+    **options,
+) -> DataFrame:
+    """Partitioned JDBC read — the parallel ingest twin of S8's sink
+    (reference ``transform.py:260`` publishes to a SQL database; a
+    user porting that step needs the read-back too). Spark splits
+    ``[lower_bound, upper_bound)`` on ``partition_column`` into
+    ``num_partitions`` range predicates, one executor-side connection
+    each — a single-connection serial read of a large table is the
+    classic 100 TB-pipeline bottleneck this avoids. Filters on the
+    returned frame push down into the remote query (asserted in
+    tests/test_sources_sinks.py via the JDBCRelation PushedFilters).
+    """
+    return (
+        spark.read.format("jdbc")
+        .options(**options)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower_bound))
+        .option("upperBound", str(upper_bound))
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )

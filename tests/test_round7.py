@@ -153,3 +153,47 @@ def test_semdedup_scale_gate_8x(spark, sf_dir):
     # rows are pruned (clones always share a cell and have cosine 1.0)
     n_pruned = out.filter("pruned").count()
     assert n_pruned >= n_in * 7 // 8
+
+
+def test_band_ledger_three_ingest_e2e(spark, smoke_sf_dir, tmp_path):
+    """Cross-run dedup ledger through the jsonl DataSource sink: three
+    ingests, each banding ONLY its own delta and appending those bands
+    to a durable jsonl ledger; run 3's incremental candidates against
+    the READ-BACK ledger must equal a from-scratch recompute that
+    re-bands runs 1+2 as the corpus. Closes the loop between
+    ``incremental_band_join`` (q252/q256) and a persisted index — no
+    ingest ever re-reads or re-shingles prior corpus text."""
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.operators.dedup import incremental_band_join
+    from databricks_etl_spark.plans.queries_round4 import _band_buckets
+    from databricks_etl_spark.sources import pydatasource as PDS
+    from databricks_etl_spark.sources.readers import read_table
+
+    PDS.register(spark)
+    ledger = str(tmp_path / "band_ledger")
+    d = read_table(spark, smoke_sf_dir, "documents")
+    runs = [
+        d.filter(F.col("doc_id") % 3 == i).select("doc_id", "text")
+        for i in range(3)
+    ]
+    bands = [
+        _band_buckets(spark, smoke_sf_dir, shingle_set=TX.shingles(r, 3).distinct())
+        for r in runs
+    ]
+    schema = "doc_id long, band int, band_hash string"
+
+    bands[0].write.format("pyjsonl").option("path", ledger).mode("append").save()
+    led1 = spark.read.schema(schema).json(ledger)
+    assert incremental_band_join(bands[1], led1).count() >= 0
+    bands[1].write.format("pyjsonl").option("path", ledger).mode("append").save()
+
+    led2 = spark.read.schema(schema).json(ledger)
+    got = sorted(map(tuple, incremental_band_join(bands[2], led2).collect()))
+
+    corpus = runs[0].unionByName(runs[1])
+    corpus_bands = _band_buckets(
+        spark, smoke_sf_dir, shingle_set=TX.shingles(corpus, 3).distinct()
+    )
+    ref = sorted(map(tuple, incremental_band_join(bands[2], corpus_bands).collect()))
+    assert got == ref
+    assert len(got) > 0  # the corpus plants near-dup clusters across runs
