@@ -415,3 +415,46 @@ def semdedup_prune(
             "quality_score",
         )
     )
+
+
+def semdedup_incremental(
+    batch: DataFrame,
+    corpus_cells: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ingest-time SemDeDup (the embedding-lane analog of
+    ``dedup.incremental_band_join``): assign ONLY the delta batch to
+    cells (broadcast centroids, map-side argmin) and probe the
+    PERSISTED corpus cell index — ``(id, vec, cell_id)``, built once
+    by :func:`assign_cells` and maintained across ingests — within
+    matching cells only. The corpus is never re-assigned, and the only
+    data-sized join is delta×same-cell-index.
+
+    Returns one row per batch vector:
+    (id, cell_id, n_matches, max_sim, is_novel) where matches are
+    corpus members with rounded cosine ≥ ``threshold``; ``max_sim`` is
+    NULL for novel vectors."""
+    bc = assign_cells(batch, centroids, id_col=id_col, vec_col=vec_col)
+    idx = corpus_cells.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"), "cell_id"
+    )
+    m = (
+        bc.join(idx, "cell_id")
+        .withColumn("__s", F.round(cosine(F.col(vec_col), F.col("__cv")), 6))
+        .filter(F.col("__s") >= threshold)
+    )
+    agg = m.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.max("__s").alias("max_sim"),
+    )
+    return bc.join(agg, id_col, "left").select(
+        id_col,
+        "cell_id",
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_matches"),
+        "max_sim",
+        F.col("__n").isNull().alias("is_novel"),
+    )

@@ -284,3 +284,299 @@ def q286_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid int, centroid array<double>",
     )
     return SIM.semdedup_prune(e, cents, quality, _Q285_T)
+
+
+# ---------------------------------------------------------------------------
+# q287 — incremental SemDeDup (delta vs persisted cell index)
+# ---------------------------------------------------------------------------
+
+_B287 = 10_000_000_000
+
+
+def _q287_oracle() -> str:
+    vals = ", ".join(f"({j}, {c})" for j, c in enumerate(_Q285_CENTS))
+    dot = _Q285_DOT
+    sim = (
+        f"round({dot.format(a='b.embedding', b='c.embedding')}"
+        f" / (sqrt({dot.format(a='b.embedding', b='b.embedding')})"
+        f" * sqrt({dot.format(a='c.embedding', b='c.embedding')})), 6)"
+    )
+    return f"""
+        WITH cents(cid, c) AS (VALUES {vals}),
+        casg AS (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY {_Q285_D2}, cid
+                   ) AS rn
+            FROM embeddings, cents
+        ),
+        corpus AS (
+            SELECT vec_id, embedding, CAST(cid AS INT) AS cell_id
+            FROM casg WHERE rn = 1
+        ),
+        delta AS (
+            SELECT vec_id + {_B287} AS vec_id,
+                   list_reverse(embedding) AS embedding
+            FROM embeddings WHERE vec_id % 5 = 0
+        ),
+        basg AS (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY {_Q285_D2}, cid
+                   ) AS rn
+            FROM delta, cents
+        ),
+        batch AS (
+            SELECT vec_id, embedding, CAST(cid AS INT) AS cell_id
+            FROM basg WHERE rn = 1
+        ),
+        hits AS (
+            SELECT b.vec_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_matches,
+                   MAX(s) AS max_sim
+            FROM (
+                SELECT b.vec_id, {sim} AS s
+                FROM batch b JOIN corpus c ON b.cell_id = c.cell_id
+            ) b WHERE s >= {_Q285_T} GROUP BY 1
+        )
+        SELECT b.vec_id, b.cell_id,
+               COALESCE(h.n_matches, 0) AS n_matches,
+               h.max_sim,
+               (h.n_matches IS NULL) AS is_novel
+        FROM batch b LEFT JOIN hits h ON b.vec_id = h.vec_id
+    """
+
+
+@query("q287_semdedup_incremental", oracle=None)  # oracle set below
+def q287_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup — the ingest shape at 100 TB: a NEW batch
+    of vectors (every 5th embedding, deterministically perturbed by
+    array reversal and re-identified) is cell-assigned against the
+    SAME fixed centroids as the persisted corpus index (q285's cells)
+    and probed for semantic near-dups WITHIN matching cells only —
+    the corpus is never re-assigned, and the only data-sized join is
+    delta×same-cell-index (``similarity.semdedup_incremental``, the
+    embedding-lane analog of q252's band-index maintenance). Emits
+    per batch vector its cell, match count, best similarity, and a
+    novelty verdict."""
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
+    )
+    corpus_cells = SIM.assign_cells(e, cents)
+    batch = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + F.lit(_B287)).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    return SIM.semdedup_incremental(batch, corpus_cells, cents, _Q285_T)
+
+
+_Q["q287_semdedup_incremental"] = _replace(
+    _Q["q287_semdedup_incremental"], oracle=_q287_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
+# q288 — int8 embedding quantization fidelity audit
+# ---------------------------------------------------------------------------
+
+_Q288_DOT = _Q285_DOT
+
+
+@query(
+    "q288_embedding_quantization_audit",
+    oracle=f"""
+        WITH ex AS (
+            SELECT unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        ),
+        sc AS (
+            SELECT list(s ORDER BY dim) AS sl FROM (
+                SELECT dim,
+                       greatest(max(abs(CAST(x AS DOUBLE))), 1e-12) AS s
+                FROM ex GROUP BY dim
+            )
+        ),
+        dq AS (
+            SELECT vec_id, embedding,
+                   list_transform(range(1, len(embedding) + 1),
+                       i -> least(127.0, greatest(-127.0,
+                                floor(CAST(embedding[i] AS DOUBLE)
+                                      / sl[i] * 127.0 + 0.5)))
+                            * sl[i] / 127.0) AS d
+            FROM embeddings, sc
+        ),
+        per AS (
+            SELECT vec_id,
+                   round({_Q288_DOT.format(a='embedding', b='d')}
+                         / (sqrt({_Q288_DOT.format(a='embedding', b='embedding')})
+                            * sqrt({_Q288_DOT.format(a='d', b='d')})), 6)
+                       AS fid,
+                   round(list_max(list_transform(range(1, len(embedding) + 1),
+                       i -> abs(CAST(embedding[i] AS DOUBLE) - d[i]))), 6)
+                       AS aerr
+            FROM dq
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               round(CAST(SUM(CAST(fid AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_fidelity,
+               MIN(fid) AS min_fidelity,
+               MAX(aerr) AS max_abs_err
+        FROM per
+    """,
+)
+def q288_embedding_quantization_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding
+    corpus (q_i = clamp(floor(x_i/s_d·127 + .5)) — floor(v+.5), not
+    round(), so no engine half-rule ambiguity) and its fidelity audit:
+    cosine(original, dequantized) and worst per-dim absolute error —
+    the memory-×4 compression decision an ANN serving tier makes
+    before building an IVF index at 100 TB. Scales are per-dim
+    max-abs (one tiny aggregate, 64 rows, the S10-sanctioned driver
+    collect — production ships them as model metadata) broadcast as a
+    literal array into a map-side zip_with; one corpus scan for the
+    scales, one for the audit; mean fidelity through exact decimal
+    accumulation."""
+    e = read_table(spark, sf_dir, "embeddings")
+    dims = e.select(F.posexplode("embedding").alias("dim", "v"))
+    rows = (
+        dims.groupBy("dim")
+        .agg(
+            F.greatest(
+                F.max(F.abs(F.col("v").cast("double"))), F.lit(1e-12)
+            ).alias("s")
+        )
+        .collect()
+    )
+    scales = [r.s for r in sorted(rows, key=lambda r: r.dim)]
+    sarr = F.array(*[F.lit(s) for s in scales])
+    dq = F.zip_with(
+        "embedding",
+        sarr,
+        lambda x, s: F.least(
+            F.lit(127.0),
+            F.greatest(F.lit(-127.0), F.floor(x.cast("double") / s * 127.0 + 0.5)),
+        )
+        * s
+        / 127.0,
+    )
+    from databricks_etl_spark.operators.similarity import cosine
+
+    per = e.withColumn("__dq", dq).select(
+        F.round(cosine(F.col("embedding"), F.col("__dq")), 6).alias("fid"),
+        F.round(
+            F.array_max(
+                F.zip_with(
+                    "embedding", F.col("__dq"), lambda x, d: F.abs(x.cast("double") - d)
+                )
+            ),
+            6,
+        ).alias("aerr"),
+    )
+    n = F.count(F.lit(1))
+    return per.agg(
+        n.cast("long").alias("n_vectors"),
+        F.round(
+            F.sum(F.col("fid").cast("decimal(18,6)")).cast("double") / n, 6
+        ).alias("mean_fidelity"),
+        F.min("fid").alias("min_fidelity"),
+        F.max("aerr").alias("max_abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q289 — near-dup-cluster-aware train/val/test split (leakage-proof)
+# ---------------------------------------------------------------------------
+
+
+def _q289_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _PAIRS_05
+
+    return f"""
+        WITH RECURSIVE {_PAIRS_05},
+        asg AS (
+            SELECT d.doc_id,
+                   COALESCE(cc.component, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+        ),
+        sp AS (
+            SELECT doc_id, cluster_id,
+                   CASE WHEN b = 0 THEN 'test'
+                        WHEN b <= 2 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM (
+                SELECT doc_id, cluster_id,
+                       ((cluster_id % 1000000007) * 48271)
+                           % 1000000007 % 10 AS b
+                FROM asg
+            )
+        ),
+        leak AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS leak_pairs
+            FROM pr
+            JOIN sp a ON pr.id_a = a.doc_id
+            JOIN sp b ON pr.id_b = b.doc_id
+            WHERE a.split != b.split
+        )
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+               leak.leak_pairs
+        FROM sp, leak
+        GROUP BY split, leak.leak_pairs
+    """
+
+
+@query("q289_cluster_aware_split", oracle=None)  # oracle set below
+def q289_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the split key is the
+    near-dup CLUSTER (q123's connected components over unigram-Jaccard
+    pairs; singletons are their own cluster), hashed by the portable
+    MINSTD arithmetic (q125's sampler) into 10/20/70 — so two near-
+    duplicate documents can never straddle train and eval, the
+    leakage mode a doc-keyed split cannot prevent. Emits per-split
+    sizes plus the straddling-pair count, which is ZERO by
+    construction and stated as such by the oracle — a regression in
+    the clustering or the split key breaks the hash."""
+    from databricks_etl_spark.plans.queries_dedup import _neardup_components
+    from databricks_etl_spark.operators.dedup import jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    comps = _neardup_components(spark, sf_dir)
+    asg = (
+        d.select("doc_id")
+        .join(comps, d["doc_id"] == comps["id"], "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    b = (F.col("cluster_id") % 1000000007) * 48271 % 1000000007 % 10
+    sp = asg.withColumn(
+        "split",
+        F.when(b == 0, "test").when(b <= 2, "val").otherwise("train"),
+    )
+    pairs = jaccard_pairs(d, 0.5, ngram=1, max_df=100)
+    a_sp = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("__sa"))
+    b_sp = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("__sb"))
+    leak = (
+        pairs.join(a_sp, "id_a")
+        .join(b_sp, "id_b")
+        .filter(F.col("__sa") != F.col("__sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("leak_pairs"))
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )
+
+
+_Q["q289_cluster_aware_split"] = _replace(
+    _Q["q289_cluster_aware_split"], oracle=_q289_oracle()
+)

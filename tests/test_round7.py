@@ -197,3 +197,34 @@ def test_band_ledger_three_ingest_e2e(spark, smoke_sf_dir, tmp_path):
     ref = sorted(map(tuple, incremental_band_join(bands[2], corpus_bands).collect()))
     assert got == ref
     assert len(got) > 0  # the corpus plants near-dup clusters across runs
+
+
+def test_semdedup_incremental_novelty_semantics(spark):
+    """Batch vectors probe ONLY their own cell: an exact clone of a
+    corpus vector is flagged (n_matches >= 1, max_sim = 1.0); an
+    orthogonal new vector is novel with a NULL max_sim."""
+    from databricks_etl_spark.operators.similarity import (
+        assign_cells,
+        semdedup_incremental,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid int, centroid array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.1, 0.0, 0.0]), (2, [0.0, 1.0, 0.1, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cells = assign_cells(corpus, cents)
+    batch = spark.createDataFrame(
+        [(10, [1.0, 0.1, 0.0, 0.0]),   # clone of corpus 1
+         (11, [0.0, 0.9, -0.9, 0.0])], # near-orthogonal to both
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in
+           semdedup_incremental(batch, cells, cents, 0.95).collect()}
+    assert out[10].n_matches >= 1 and not out[10].is_novel
+    assert abs(out[10].max_sim - 1.0) < 1e-9
+    assert out[11].is_novel and out[11].n_matches == 0
+    assert out[11].max_sim is None
