@@ -213,3 +213,36 @@ def test_q252_incremental_join_is_equi(spark, smoke_sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q283_broadcasts_benchmark_side(spark, smoke_sf_dir):
+    """Exact-substring decontamination: both joins (hash-candidate and
+    contains-verify) must BROADCAST the benchmark side — the corpus
+    grams never shuffle as strings, and nothing is a cartesian."""
+    plan = _executed_plan(
+        queries()["q283_exact_contamination_pairs"](spark, smoke_sf_dir)
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q285_semdedup_no_cartesian(spark, smoke_sf_dir):
+    """SemDeDup: the only nested-loop allowed is the 8-row centroid
+    broadcast; candidate pairs come from the within-cell equi-join —
+    an unbounded CartesianProduct means the cell bound broke."""
+    plan = _executed_plan(
+        queries()["q285_semdedup_fixed_centroids"](spark, smoke_sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # within-cell pair join
+
+
+def test_q287_incremental_probe_is_equi_join(spark, smoke_sf_dir):
+    """Incremental SemDeDup: the delta probes the corpus index via a
+    cell_id equi-join only — never delta×corpus."""
+    plan = _executed_plan(
+        queries()["q287_semdedup_incremental"](spark, smoke_sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
