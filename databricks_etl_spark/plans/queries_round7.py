@@ -11,7 +11,7 @@ these extend the engine's north-star LLM-data surface (SURVEY.md §2.12).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_etl_spark.operators import similarity as SIM
@@ -580,3 +580,221 @@ def q289_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q["q289_cluster_aware_split"] = _replace(
     _Q["q289_cluster_aware_split"], oracle=_q289_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# q290 — cross-source near-dup overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def _q290_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round4 import _BANDS_SQL
+
+    return f"""
+        WITH {_BANDS_SQL},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM b a JOIN b c
+              ON a.band = c.band AND a.band_hash = c.band_hash
+             AND a.doc_id < c.doc_id
+        ),
+        lab AS (
+            SELECT cand.id_a, cand.id_b, da.source AS sa, db.source AS sb
+            FROM cand
+            JOIN documents da ON cand.id_a = da.doc_id
+            JOIN documents db ON cand.id_b = db.doc_id
+        )
+        SELECT least(sa, sb) AS source_a,
+               greatest(sa, sb) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM lab GROUP BY 1, 2
+    """
+
+
+@query("q290_source_overlap_matrix", oracle=None)  # oracle set below
+def q290_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH feeds mirror each other: the LSH candidate graph (q173)
+    rolled up into an unordered source×source near-dup pair matrix —
+    q174 tells an operator THAT a feed is duplicated; this tells them
+    against WHOM (a syndication partner, a re-crawl of their own CDN,
+    an aggregator). Candidates come from the banded equi-join only;
+    the doc→source enrichment is two joins against the (tiny relative
+    to pairs) documents projection, and the matrix is at most
+    |sources|² rows."""
+    from databricks_etl_spark.plans.queries_round4 import (
+        q173_band_collision_candidates,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    cand = q173_band_collision_candidates(spark, sf_dir).select("id_a", "id_b")
+    lab = (
+        cand.join(d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+    )
+    return (
+        lab.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+_Q["q290_source_overlap_matrix"] = _replace(
+    _Q["q290_source_overlap_matrix"], oracle=_q290_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
+# q291 — length-bucketed batching: padding-waste audit
+# ---------------------------------------------------------------------------
+
+_Q291_TOKS = r"len(string_split_regex(lower(trim(text)), '\s+'))"
+
+
+@query(
+    "q291_padding_waste_audit",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_Q291_TOKS} AS n_tokens FROM documents),
+        m AS (SELECT MAX(n_tokens) AS mx FROM t),
+        g(n_buckets_cfg) AS (VALUES (1), (4), (16)),
+        asg AS (
+            SELECT g.n_buckets_cfg, t.doc_id, t.n_tokens,
+                   CAST(floor(t.n_tokens * g.n_buckets_cfg
+                              / (m.mx + 1)) AS BIGINT) AS bkt
+            FROM t, m, g
+        ),
+        bmax AS (
+            SELECT n_buckets_cfg, bkt, MAX(n_tokens) AS bkt_max
+            FROM asg GROUP BY 1, 2
+        )
+        SELECT a.n_buckets_cfg,
+               CAST(SUM(a.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(b.bkt_max - a.n_tokens) AS BIGINT) AS padded_tokens,
+               round(CAST(SUM(b.bkt_max - a.n_tokens) AS DOUBLE)
+                     / (SUM(a.n_tokens) + SUM(b.bkt_max - a.n_tokens)), 6)
+                   AS waste_ratio
+        FROM asg a JOIN bmax b
+          ON a.n_buckets_cfg = b.n_buckets_cfg AND a.bkt = b.bkt
+        GROUP BY 1
+    """,
+)
+def q291_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why length-bucketed batching matters, quantified: pad every
+    document to the max length of its bucket under 1 / 4 / 16
+    equal-width token-length buckets, and report the share of compute
+    that would be padding — the audit that sizes the bucketing knob
+    of a training dataloader before anyone burns accelerator-hours.
+    Integer arithmetic end-to-end (token counts, floor bucketing,
+    exact BIGINT sums); the global max is a one-row broadcast; bucket
+    maxima are a ≤16-row aggregate joined back map-side."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    m = t.agg(F.max("n_tokens").alias("mx"))
+    g = spark.createDataFrame([(1,), (4,), (16,)], "n_buckets_cfg int")
+    asg = (
+        t.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "n_buckets_cfg",
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                F.col("n_tokens") * F.col("n_buckets_cfg") / (F.col("mx") + 1)
+            ).cast("long").alias("bkt"),
+        )
+    )
+    bmax = asg.groupBy("n_buckets_cfg", "bkt").agg(
+        F.max("n_tokens").alias("bkt_max")
+    )
+    joined = asg.join(F.broadcast(bmax), ["n_buckets_cfg", "bkt"])
+    pad = F.col("bkt_max") - F.col("n_tokens")
+    return joined.groupBy("n_buckets_cfg").agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(pad).cast("long").alias("padded_tokens"),
+        F.round(
+            F.sum(pad).cast("double") / (F.sum("n_tokens") + F.sum(pad)), 6
+        ).alias("waste_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q292 — hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q292_hard_negatives",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS nid, embedding AS ce, label AS nl
+                   FROM embeddings),
+             s AS (
+                SELECT qid, nid, nl,
+                       round({_Q285_DOT.format(a='qe', b='ce')}
+                             / (sqrt({_Q285_DOT.format(a='qe', b='qe')})
+                                * sqrt({_Q285_DOT.format(a='ce', b='ce')})), 6)
+                           AS cosine_sim
+                FROM q, c WHERE ql != nl
+             ),
+             r AS (
+                SELECT qid AS query_id, nid AS neighbor_id,
+                       CAST(nl AS INT) AS neg_label, cosine_sim,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY cosine_sim DESC, nid
+                       ) AS rank
+                FROM s
+             )
+        SELECT query_id, neighbor_id, neg_label,
+               CAST(rank AS BIGINT) AS rank, cosine_sim
+        FROM r WHERE rank <= 5
+    """,
+)
+def q292_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (contrastive/retrieval training prep): for
+    each query vector, the 5 most-similar corpus vectors with a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss, vs easy random ones. Same broadcast-query brute-force shape
+    as q47 with a label-inequality predicate fused into the scoring
+    join; at scale the corpus side swaps to the IVF probe (q68) with
+    the same re-rank."""
+    from databricks_etl_spark.operators.similarity import cosine
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qe"),
+        F.col("label").alias("__ql"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__ce"),
+        F.col("label").alias("__nl"),
+    )
+    s = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("__ql") != F.col("__nl"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("__nl").cast("int").alias("neg_label"),
+            F.round(cosine(F.col("__qe"), F.col("__ce")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "neg_label",
+            F.col("rank").cast("long").alias("rank"), "cosine_sim",
+        )
+    )
