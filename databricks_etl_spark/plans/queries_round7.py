@@ -798,3 +798,194 @@ def q292_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"), "cosine_sim",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q293 — population stability index (distribution drift monitor)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q293_psi_drift",
+    oracle="""
+        WITH t AS (
+            SELECT CASE WHEN year(o_orderdate) <= 1997 THEN 'a' ELSE 'b' END
+                       AS period,
+                   least(9, CAST(floor(CAST(o_totalprice AS DOUBLE) / 60000.0)
+                                 AS BIGINT)) AS bin
+            FROM orders
+        ),
+        bins(bin) AS (
+            SELECT CAST(unnest(range(0, 10)) AS BIGINT)
+        ),
+        per AS (
+            SELECT bins.bin,
+                   CAST(SUM(CASE WHEN t.period = 'a' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN t.period = 'b' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b
+            FROM bins LEFT JOIN t ON bins.bin = t.bin
+            GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM per),
+        p AS (
+            SELECT bin, n_a, n_b,
+                   (CAST(n_a AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + 10.0)
+                       AS pa,
+                   (CAST(n_b AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + 10.0)
+                       AS pb
+            FROM per, tot
+        ),
+        c AS (
+            SELECT bin, n_a, n_b,
+                   round((pa - pb) * ln(pa / pb), 6) AS psi_contrib
+            FROM p
+        ),
+        s AS (
+            SELECT round(CAST(SUM(CAST(psi_contrib AS DECIMAL(18,6)))
+                              AS DOUBLE), 6) AS psi_total
+            FROM c
+        )
+        SELECT c.bin, c.n_a, c.n_b, c.psi_contrib, s.psi_total FROM c, s
+    """,
+)
+def q293_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two order cohorts (orders
+    through 1997 vs after) over fixed $60k totalprice bins — the
+    standard drift monitor an ML-feature pipeline alarms on before a
+    model silently degrades. Laplace-smoothed shares so empty bins
+    never divide by zero; contributions rounded then decimal-summed
+    (ln is empirically bit-identical across engines here — the same
+    discipline as the BM25/TF-IDF lanes). Plan: one scan, a 10-row
+    conditional aggregate, a broadcast total — flat at any scale."""
+    o = read_table(spark, sf_dir, "orders")
+    t = o.select(
+        F.when(F.year("o_orderdate") <= 1997, "a").otherwise("b").alias("period"),
+        F.least(
+            F.lit(9),
+            F.floor(F.col("o_totalprice").cast("double") / 60000.0),
+        ).cast("long").alias("bin"),
+    )
+    bins = spark.range(0, 10).select(F.col("id").alias("bin"))
+    per = (
+        bins.join(t, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("period") == "a", 1).otherwise(0))
+            .cast("long").alias("n_a"),
+            F.sum(F.when(F.col("period") == "b", 1).otherwise(0))
+            .cast("long").alias("n_b"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    p = per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        ((F.col("n_a").cast("double") + 1.0) / (F.col("ta").cast("double") + 10.0)).alias("pa"),
+        ((F.col("n_b").cast("double") + 1.0) / (F.col("tb").cast("double") + 10.0)).alias("pb"),
+    )
+    c = p.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 6).alias(
+            "psi_contrib"
+        ),
+    )
+    s = c.agg(
+        F.round(
+            F.sum(F.col("psi_contrib").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("psi_total")
+    )
+    return c.crossJoin(F.broadcast(s))
+
+
+# ---------------------------------------------------------------------------
+# q294 — rank-based winsorized group stats (robust mean)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q294_winsorized_acctbal",
+    oracle="""
+        WITH r AS (
+            SELECT c_nationkey, c_acctbal,
+                   row_number() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY c_acctbal, c_custkey
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+            FROM customer
+        ),
+        k AS (
+            SELECT c_nationkey, c_acctbal, rn, n,
+                   CAST(floor(0.05 * n) AS BIGINT) AS kk
+            FROM r
+        ),
+        caps AS (
+            SELECT c_nationkey,
+                   MIN(CASE WHEN rn = kk + 1 THEN c_acctbal END) AS lo_cap,
+                   MIN(CASE WHEN rn = n - kk THEN c_acctbal END) AS hi_cap
+            FROM k GROUP BY 1
+        )
+        SELECT k.c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(caps.lo_cap AS DOUBLE) AS lo_cap,
+               CAST(caps.hi_cap AS DOUBLE) AS hi_cap,
+               round(CAST(SUM(CAST(least(greatest(k.c_acctbal, caps.lo_cap),
+                                         caps.hi_cap) AS DECIMAL(28,6)))
+                          AS DOUBLE) / COUNT(*), 6) AS winsorized_mean,
+               round(CAST(SUM(CAST(k.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS raw_mean
+        FROM k JOIN caps ON k.c_nationkey = caps.c_nationkey
+        GROUP BY k.c_nationkey, caps.lo_cap, caps.hi_cap
+    """,
+)
+def q294_winsorized_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based 5% winsorized mean of customer balances per nation —
+    the robust aggregate a feature pipeline substitutes when a raw
+    mean is hostage to a few whale accounts. Caps are the exact k-th
+    smallest / largest VALUES (rank positions, no interpolation — so
+    both engines pick identical caps even under ties), clamping via
+    least/greatest, means through exact decimal sums. This exact form
+    is the sf-bounded baseline: its per-group sort window funnels each
+    nation through one task, so the 100 TB path swaps the caps for
+    broadcast approx-quantile boundaries (quantile_bucket's bracket
+    pattern, q247-q250) with this query as the correctness anchor."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_nationkey")
+    r = c.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn("kk", F.floor(0.05 * F.col("n")).cast("long"))
+    caps = r.groupBy("c_nationkey").agg(
+        F.min(F.when(F.col("rn") == F.col("kk") + 1, F.col("c_acctbal"))).alias("lo_cap"),
+        F.min(F.when(F.col("rn") == F.col("n") - F.col("kk"), F.col("c_acctbal"))).alias("hi_cap"),
+    )
+    j = r.join(F.broadcast(caps), "c_nationkey")
+    clamped = F.least(F.greatest(F.col("c_acctbal"), F.col("lo_cap")), F.col("hi_cap"))
+    n = F.count(F.lit(1))
+    return j.groupBy("c_nationkey", "lo_cap", "hi_cap").agg(
+        n.cast("long").alias("n_customers"),
+        F.round(F.sum(clamped.cast(MONEY)).cast("double") / n, 6).alias(
+            "winsorized_mean"
+        ),
+        F.round(F.sum(F.col("c_acctbal").cast(MONEY)).cast("double") / n, 6).alias(
+            "raw_mean"
+        ),
+    ).select(
+        "c_nationkey",
+        "n_customers",
+        F.col("lo_cap").cast("double").alias("lo_cap"),
+        F.col("hi_cap").cast("double").alias("hi_cap"),
+        "winsorized_mean",
+        "raw_mean",
+    )
