@@ -989,3 +989,108 @@ def q294_winsorized_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "winsorized_mean",
         "raw_mean",
     )
+
+
+# ---------------------------------------------------------------------------
+# q295 — streaming SemDeDup ingest loop
+# ---------------------------------------------------------------------------
+
+
+def _q295_oracle() -> str:
+    vals = ", ".join(f"({j}, {c})" for j, c in enumerate(_Q285_CENTS))
+    dot = _Q285_DOT
+
+    def sim(x, y):
+        return (
+            f"round({dot.format(a=x, b=y)}"
+            f" / (sqrt({dot.format(a=x, b=x)})"
+            f" * sqrt({dot.format(a=y, b=y)})), 6)"
+        )
+
+    return f"""
+        WITH cents(cid, c) AS (VALUES {vals}),
+        casg AS (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY {_Q285_D2}, cid
+                   ) AS rn
+            FROM embeddings, cents
+        ),
+        corpus AS (
+            SELECT vec_id, embedding, CAST(cid AS INT) AS cell_id
+            FROM casg WHERE rn = 1
+        ),
+        delta AS (
+            SELECT vec_id + {_B287} AS vec_id,
+                   list_reverse(embedding) AS embedding
+            FROM embeddings WHERE vec_id % 5 = 0
+        ),
+        basg AS (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY {_Q285_D2}, cid
+                   ) AS rn
+            FROM delta, cents
+        ),
+        batch AS (
+            SELECT vec_id, embedding, CAST(cid AS INT) AS cell_id
+            FROM basg WHERE rn = 1
+        ),
+        cross_p AS (
+            SELECT b.vec_id AS id_a, c.vec_id AS id_b,
+                   {sim('b.embedding', 'c.embedding')} AS s
+            FROM batch b JOIN corpus c ON b.cell_id = c.cell_id
+        ),
+        within_p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {sim('a.embedding', 'b.embedding')} AS s
+            FROM batch a JOIN batch b
+              ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        ),
+        u AS (
+            SELECT * FROM cross_p WHERE s >= {_Q285_T}
+            UNION ALL
+            SELECT * FROM within_p WHERE s >= {_Q285_T}
+        ),
+        touched AS (
+            SELECT id_a AS vec_id, s FROM u
+            UNION ALL
+            SELECT id_b, s FROM u WHERE id_b >= {_B287}
+        ),
+        hits AS (
+            SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+                   MAX(s) AS max_sim
+            FROM touched GROUP BY 1
+        )
+        SELECT b.vec_id, b.cell_id,
+               COALESCE(h.n_matches, 0) AS n_matches,
+               h.max_sim,
+               (h.vec_id IS NULL) AS is_novel
+        FROM batch b LEFT JOIN hits h ON b.vec_id = h.vec_id
+    """
+
+
+@query("q295_streaming_semdedup", oracle=None)  # oracle set below
+def q295_streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q287's incremental SemDeDup run as a TRUE Structured Streaming
+    ingest loop (``streaming/semdedup.py``): per micro-batch the delta
+    vectors are cell-assigned, probed against the index-so-far, pairs
+    land in an epoch-idempotent sink, and the delta's cells append to
+    the index for later epochs — the drained pair set is invariant to
+    micro-batch slicing (a cross-epoch pair is found exactly once,
+    when its later vector arrives; unit-tested with a forced two-epoch
+    harness in tests/test_streaming.py). The per-vector verdict is
+    SYMMETRIC — each delta counts pairs in both roles — so the oracle
+    states the whole-stream semantics: matches against corpus plus ALL
+    other deltas, not just earlier ones."""
+    from databricks_etl_spark.streaming.semdedup import run_streaming_semdedup
+
+    cents = spark.createDataFrame(
+        list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
+    )
+    return run_streaming_semdedup(spark, sf_dir, cents, _Q285_T, id_offset=_B287)
+
+
+_Q["q295_streaming_semdedup"] = _replace(
+    _Q["q295_streaming_semdedup"], oracle=_q295_oracle()
+)

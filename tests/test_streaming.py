@@ -548,3 +548,60 @@ def test_incremental_neardup_epoch_slicing_invariant(spark, tmp_path):
     }
     assert one_epoch == two_epochs == oneshot
     assert (102, 103) in oneshot and (1, 101) in oneshot
+
+
+def test_streaming_semdedup_epoch_slicing_invariant(spark, tmp_path):
+    """The embedding-lane ingest loop's core claim (mirror of the band
+    lane's test above): the drained semantic-pair set is invariant to
+    micro-batch slicing, including a planted cross-epoch near-dup pair,
+    and replaying the last epoch (at-least-once delivery) changes
+    nothing."""
+    import pyspark.sql.functions as F
+
+    from databricks_etl_spark.operators.similarity import assign_cells
+    from databricks_etl_spark.streaming.semdedup import make_semdedup_epoch
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid int, centroid array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, [1.0, 0.05, 0.0, 0.0]),   # near-dup of corpus 1
+            (102, [0.0, 1.0, 0.05, 0.0]),   # cross-epoch dup pair with 103
+            (103, [0.0, 1.0, 0.049, 0.0]),
+            (104, [-1.0, 0.0, 0.0, 0.0]),   # novel (anti-parallel to c0)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    def drain(slices, tag):
+        ix = str(tmp_path / f"sdix_{tag}")
+        pr = str(tmp_path / f"sdpr_{tag}")
+        assign_cells(corpus, cents).withColumn("__epoch", F.lit(-1)).write.mode(
+            "overwrite"
+        ).partitionBy("__epoch").parquet(ix)
+        ingest = make_semdedup_epoch(ix, pr, cents, 0.95)
+        for epoch, ids in enumerate(slices):
+            ingest(batch.filter(F.col("vec_id").isin(ids)), epoch)
+        return ix, pr, {
+            (r.id_a, r.id_b): r.s for r in spark.read.parquet(pr).collect()
+        }
+
+    _, _, one = drain([[101, 102, 103, 104]], "one")
+    ix2, pr2, two = drain([[101, 102], [103, 104]], "two")
+    assert one == two and len(one) >= 2  # 101-corpus1 and 102-103 found
+    assert (102, 103) in one or (103, 102) in one
+
+    # replay idempotency: re-run the LAST epoch; pair set unchanged
+    make_semdedup_epoch(ix2, pr2, cents, 0.95)(
+        batch.filter(F.col("vec_id").isin([103, 104])), 1
+    )
+    replayed = {
+        (r.id_a, r.id_b): r.s for r in spark.read.parquet(pr2).collect()
+    }
+    assert replayed == two
