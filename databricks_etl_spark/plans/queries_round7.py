@@ -1094,3 +1094,110 @@ def q295_streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q["q295_streaming_semdedup"] = _replace(
     _Q["q295_streaming_semdedup"], oracle=_q295_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# q296 — bigram-LM pseudo-perplexity quality scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q296_bigram_lm_score",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, unnest(
+                list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS b
+            FROM t WHERE len(toks) >= 2
+        ),
+        cb AS (SELECT b, COUNT(*) AS nb FROM bg GROUP BY 1),
+        lc AS (
+            SELECT string_split(b, ' ')[1] AS w1, SUM(nb) AS nl
+            FROM cb GROUP BY 1
+        ),
+        v AS (
+            SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vs
+            FROM (SELECT unnest(toks) AS w FROM t)
+        ),
+        contrib AS (
+            SELECT bg.doc_id,
+                   CAST(round(
+                       -ln((CAST(cb.nb AS DOUBLE) + 1.0)
+                           / (CAST(lc.nl AS DOUBLE) + v.vs)),
+                       9) AS DECIMAL(18,9)) AS c
+            FROM bg
+            JOIN cb USING (b)
+            JOIN lc ON string_split(bg.b, ' ')[1] = lc.w1
+            CROSS JOIN v
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+        FROM contrib GROUP BY doc_id
+    """,
+)
+def q296_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (the CCNet/KenLM move, corpus-
+    self-trained): an add-one-smoothed bigram model is counted over
+    the corpus and every document is scored by its average negative
+    log-likelihood — gibberish and shuffled-token spam score high,
+    fluent templated text scores low; the heavy-tail quality filter
+    that runs where a neural perplexity model is too expensive.
+    Per-(doc, bigram) contributions are rounded to 9dp and cast to
+    DECIMAL(18,9) BEFORE the per-doc sum (q263's discipline), so the
+    hash cannot flake on summation order. Shuffles: bigram-count join
+    keyed on the bigram, left-count join keyed on w1 — both scale-flat
+    hash joins; only the 1-row vocab size broadcasts."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens_col("text").alias("toks"))
+    n = F.size("toks")
+    bg = (
+        t.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, n - 1),
+                    F.slice("toks", 2, n - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("b"),
+        )
+    )
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    lc = cb.groupBy(F.split("b", " ")[0].alias("w1")).agg(
+        F.sum("nb").alias("nl")
+    )
+    v = t.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").cast("double").alias("vs")
+    )
+    contrib = (
+        bg.join(cb, "b")
+        .join(lc, F.split(bg["b"], " ")[0] == lc["w1"])
+        .join(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    (F.col("nb").cast("double") + 1.0)
+                    / (F.col("nl").cast("double") + F.col("vs"))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("c"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum("c").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_nll"
+        ),
+    )
