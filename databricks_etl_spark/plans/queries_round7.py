@@ -1201,3 +1201,72 @@ def q296_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_nll"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q297 — deterministic weighted sampling (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q297_weighted_sample",
+    oracle="""
+        WITH s AS (
+            SELECT o_orderstatus, o_orderkey,
+                   round(ln((CAST(((o_orderkey % 1000000007) * 48271)
+                                  % 1000000007 AS DOUBLE) + 1.0)
+                            / 1000000008.0)
+                         / CAST(o_totalprice AS DOUBLE), 9) AS sample_key
+            FROM orders
+        ),
+        r AS (
+            SELECT o_orderstatus, o_orderkey, sample_key,
+                   row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY sample_key DESC, o_orderkey
+                   ) AS rank
+            FROM s
+        )
+        SELECT o_orderstatus, o_orderkey, sample_key,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 50
+    """,
+)
+def q297_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis
+    A-ES scheme made fully deterministic: each order draws a portable
+    pseudo-uniform u from the MINSTD hash of its key (q125's
+    arithmetic, +1 so u is never 0) and competes on ln(u)/weight with
+    weight = o_totalprice — the top-k per stratum IS a weighted sample
+    (big orders proportionally likelier), reproducible on any engine /
+    partitioning / run, unlike rand()-based sampling. Keys are rounded
+    to 9dp BEFORE ranking with an explicit id tiebreak, so the
+    selected set is hash-stable. Per-stratum top-k is a bounded
+    window; at 100 TB this is the standard importance-sampled data
+    subset pin (high-value transactions over-represented in an audit
+    extract)."""
+    o = read_table(spark, sf_dir, "orders")
+    u = (
+        ((F.col("o_orderkey") % 1000000007) * 48271 % 1000000007).cast("double")
+        + 1.0
+    ) / 1000000008.0
+    s = o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.log(u) / F.col("o_totalprice").cast("double"), 9).alias(
+            "sample_key"
+        ),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("sample_key"), F.asc("o_orderkey")
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            "sample_key",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
