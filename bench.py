@@ -65,7 +65,11 @@ def _attempt_number(sf_dir: str) -> int:
     except (OSError, json.JSONDecodeError):
         state = {}
     n = int(state.get(key, 0)) + 1
-    state = {key: n}  # keep only the live key — stale days pruned
+    today = key.rsplit(":", 1)[-1]
+    # keep every key for TODAY (different sf_dirs count independently);
+    # prune stale days
+    state = {k: v for k, v in state.items() if k.endswith(today)}
+    state[key] = n
     try:
         with open(path, "w") as f:
             json.dump(state, f)

@@ -125,16 +125,23 @@ def size_audit(
       tie-heavy dimensions a valid sketch may return duplicated
       boundaries, so the observed distinct bucket count is sketch-
       dependent and must not appear in a hash-compared output; a
-      genuinely broken assignment still trips ``sizes_within_tol``,
-      whose tolerance only forgives deviations explained by boundary
-      multiplicity);
+      broken assignment is instead caught by the id-consistency check
+      folded into ``buckets_ordered`` below — on extreme-tie inputs
+      the ``2·maxdup`` term can push the size tolerance past n, so
+      ``sizes_within_tol`` alone would be vacuous there);
     - ``n_total``     rows in = rows out (assignment loses nothing);
     - ``sizes_within_tol``  every bucket size within the rank-error
       tolerance of n/k;
     - ``buckets_ordered``   bucket value-ranges are ordered and
-      disjoint (max of bucket i ≤ min of bucket i+1) — TRUE by
-      construction of range assignment, so a FALSE means the operator
-      itself broke.
+      disjoint (max of bucket i ≤ min of bucket i+1) AND the observed
+      bucket-id set is exactly the one the de-duplicated boundary list
+      implies: every boundary is a data element, so with m distinct
+      boundaries a correct assignment yields m non-empty lower buckets
+      plus a top bucket iff the data max exceeds the largest boundary.
+      Both facts are TRUE for ANY valid sketch output, so a FALSE
+      means the assignment operator itself broke (e.g. every row
+      dumped into one bucket), even when tie-driven tolerance
+      inflation makes ``sizes_within_tol`` undiscriminating.
 
     All four are deterministic for ANY valid sketch output, so the
     DuckDB oracle states them as constants + the exact COUNT(*).
@@ -197,15 +204,28 @@ def size_audit(
         "_n",
         (F.lag("_hi").over(w) <= F.col("_lo")).alias("_ord_ok"),
         F.greatest(*dup_cols, F.lit(0)).alias("_dmax"),
+        F.col("_hi").alias("_gmax"),
     )
+    distinct_bounds = list(dict.fromkeys(bounds))
     summary = chk.agg(
         F.lit(n_buckets).cast("int").alias("n_buckets"),
         F.sum("_n").cast("long").alias("n_total"),
         F.max("_n").cast("double").alias("_max_n"),
         F.min("_n").cast("double").alias("_min_n"),
-        F.min(F.coalesce("_ord_ok", F.lit(True))).alias("buckets_ordered"),
+        F.min(F.coalesce("_ord_ok", F.lit(True))).alias("_ordered"),
         F.max("_dmax").cast("double").alias("_maxdup"),
+        # id-consistency inputs: observed non-empty bucket count and
+        # the data max (max over per-bucket maxima)
+        F.count(F.lit(1)).cast("int").alias("_obs"),
+        F.max("_gmax").alias("_datamax"),
     )
+    # every distinct boundary is a data element -> m non-empty lower
+    # buckets; the (m+1)-th exists iff some value exceeds the largest
+    # boundary. Holds for ANY valid sketch, so stating it is
+    # sketch-independent.
+    expected = F.lit(len(distinct_bounds)) + F.when(
+        F.col("_datamax") > F.lit(max(distinct_bounds)), 1
+    ).otherwise(0)
     audit = summary.withColumn("_n_total", F.col("n_total").cast("double"))
     tol = bucket_size_tolerance(accuracy=accuracy)
     target = F.col("_n_total") / F.lit(n_buckets)
@@ -215,5 +235,7 @@ def size_audit(
         (
             (F.col("_max_n") - target <= tol) & (target - F.col("_min_n") <= tol)
         ).alias("sizes_within_tol"),
-        "buckets_ordered",
+        (F.col("_ordered") & (F.col("_obs") == expected)).alias(
+            "buckets_ordered"
+        ),
     )

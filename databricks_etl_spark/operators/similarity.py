@@ -369,10 +369,14 @@ def semdedup_prune(
     priority = (quality_score DESC, id ASC), q258's survivor rule) —
     never an all-pairs comparison across the corpus.
 
-    Returns one row per vector: (id, cell_id, pruned, quality_score).
-    Deterministic given fixed centroids: the dominated-member rule
-    needs no iterative clustering, so a DuckDB oracle states it
-    exactly. Seeded-KMeans centroids (q286) reuse this body rows-only.
+    Returns one row per vector: (id, cell_id, pruned, quality_score) —
+    including vectors ABSENT from the quality frame (left join; their
+    quality_score is NULL and they rank BELOW every scored member, so
+    a scored near-duplicate always survives over an unscored one, and
+    two unscored near-dups tiebreak on id). Deterministic given fixed
+    centroids: the dominated-member rule needs no iterative
+    clustering, so a DuckDB oracle states it exactly. Seeded-KMeans
+    centroids (q286) reuse this body rows-only.
 
     Scale: the only join keyed on data volume is the within-cell
     equi-join on ``cell_id`` — the SemDeDup contract bounds the
@@ -381,18 +385,22 @@ def semdedup_prune(
     failure mode q272's hot-bucket cap guards in the MinHash lane).
     """
     cells = assign_cells(vectors, centroids, id_col=id_col, vec_col=vec_col)
-    lab = cells.join(quality, id_col)
+    # LEFT join: a vector with no quality row must still appear in the
+    # output (the operator's one-row-per-vector contract); its NULL
+    # score is coalesced to -inf for the dominance order only
+    lab = cells.join(quality, id_col, "left")
+    neg_inf = F.lit(float("-inf"))
     a = lab.select(
         F.col(id_col).alias("__ida"),
         F.col(vec_col).alias("__va"),
         "cell_id",
-        F.col("quality_score").alias("__qa"),
+        F.coalesce(F.col("quality_score"), neg_inf).alias("__qa"),
     )
     b = lab.select(
         F.col(id_col).alias("__idb"),
         F.col(vec_col).alias("__vb"),
         "cell_id",
-        F.col("quality_score").alias("__qb"),
+        F.coalesce(F.col("quality_score"), neg_inf).alias("__qb"),
     )
     dominated = (
         a.join(b, "cell_id")

@@ -541,11 +541,15 @@ def q289_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes plus the straddling-pair count, which is ZERO by
     construction and stated as such by the oracle — a regression in
     the clustering or the split key breaks the hash."""
-    from databricks_etl_spark.plans.queries_dedup import _neardup_components
     from databricks_etl_spark.operators.dedup import jaccard_pairs
+    from databricks_etl_spark.operators.graph import connected_components
 
     d = read_table(spark, sf_dir, "documents")
-    comps = _neardup_components(spark, sf_dir)
+    # ONE Jaccard self-join feeds both the clustering and the leak
+    # count — the inverted-index pair build dominates this query's
+    # cost, so materializing it once halves the heavy work
+    pairs = jaccard_pairs(d, 0.5, ngram=1, max_df=100).localCheckpoint()
+    comps = connected_components(pairs, "id_a", "id_b")
     asg = (
         d.select("doc_id")
         .join(comps, d["doc_id"] == comps["id"], "left")
@@ -558,7 +562,6 @@ def q289_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         F.when(b == 0, "test").when(b <= 2, "val").otherwise("train"),
     )
-    pairs = jaccard_pairs(d, 0.5, ngram=1, max_df=100)
     a_sp = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("__sa"))
     b_sp = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("__sb"))
     leak = (
@@ -650,7 +653,9 @@ _Q["q290_source_overlap_matrix"] = _replace(
 # q291 — length-bucketed batching: padding-waste audit
 # ---------------------------------------------------------------------------
 
-_Q291_TOKS = r"len(string_split_regex(lower(trim(text)), '\s+'))"
+from databricks_etl_spark.plans.queries_text import _TOKS as _Q291_RAWTOKS
+
+_Q291_TOKS = f"len({_Q291_RAWTOKS})"  # the canonical tokenizer, shared
 
 
 @query(
@@ -690,9 +695,11 @@ def q291_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINT sums); the global max is a one-row broadcast; bucket
     maxima are a ≤16-row aggregate joined back map-side."""
     d = read_table(spark, sf_dir, "documents")
+    from databricks_etl_spark.operators.text import tokens_col
+
     t = d.select(
         "doc_id",
-        F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
     )
     m = t.agg(F.max("n_tokens").alias("mx"))
     g = spark.createDataFrame([(1,), (4,), (16,)], "n_buckets_cfg int")

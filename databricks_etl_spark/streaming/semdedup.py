@@ -156,7 +156,17 @@ def run_streaming_semdedup(
     )
     q.awaitTermination()
 
-    pairs = spark.read.parquet(pairs_path)
+    # explicit schema + existence guard: a drain where NO epoch found a
+    # pair leaves pairs_path with no parquet parts (or, if the filtered
+    # stream never fired, no directory at all) — an all-novel verdict,
+    # not a crash
+    import os
+
+    pairs_schema = "id_a long, id_b long, s double, __epoch int"
+    if os.path.isdir(pairs_path):
+        pairs = spark.read.schema(pairs_schema).parquet(pairs_path)
+    else:
+        pairs = spark.createDataFrame([], pairs_schema)
     # symmetric per-vector aggregate over the invariant pair set:
     # every delta vector counts its pairs in both roles; corpus-side
     # ids (< id_offset) never produce result rows

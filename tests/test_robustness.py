@@ -292,3 +292,28 @@ def test_size_audit_tie_heavy_dimension(spark):
     assigned = assign_literal_buckets(df, "v", [3.0, 3.0, 3.0, 950.0])
     ids = sorted(x.bucket for x in assigned.select("bucket").distinct().collect())
     assert ids == [1, 2, 3], ids  # ≤3.0 | (3.0, 950.0] | >950.0
+
+
+def test_size_audit_detects_broken_assignment(spark, monkeypatch):
+    """The id-consistency check folded into buckets_ordered catches a
+    genuinely broken assignment (every row in one bucket) even on
+    tie-heavy inputs where the size tolerance is inflated past n by
+    the 2*maxdup term."""
+    import pyspark.sql.functions as F
+
+    from databricks_etl_spark.operators import quantile_bucket as QB
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(3.0))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v")
+    )
+    ok = QB.size_audit(df, "v", 5).collect()[0]
+    assert ok.buckets_ordered  # healthy operator passes
+
+    def broken(df, col, bounds, *, bucket_col="bucket"):
+        return df.withColumn(bucket_col, F.lit(1))
+
+    monkeypatch.setattr(QB, "assign_literal_buckets", broken)
+    bad = QB.size_audit(df, "v", 5).collect()[0]
+    assert not bad.buckets_ordered  # all-in-one-bucket is caught

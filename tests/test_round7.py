@@ -228,3 +228,44 @@ def test_semdedup_incremental_novelty_semantics(spark):
     assert abs(out[10].max_sim - 1.0) < 1e-9
     assert out[11].is_novel and out[11].n_matches == 0
     assert out[11].max_sim is None
+
+
+def test_semdedup_prune_missing_quality_retained(spark):
+    """One-row-per-vector contract: a vector ABSENT from the quality
+    frame still appears (NULL score), ranks below every scored member
+    (so its scored near-dup survives over it), and two unscored
+    near-dups tiebreak on id."""
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cid int, centroid array<double>"
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    quality = spark.createDataFrame(  # vec 2 and 3 unscored
+        [(1, 0.5)], "vec_id long, quality_score double"
+    )
+    out = {r.vec_id: r for r in
+           semdedup_prune(vecs, cents, quality, 0.95).collect()}
+    assert set(out) == {1, 2, 3}  # nothing dropped
+    assert not out[1].pruned          # scored member survives
+    assert out[2].pruned and out[3].pruned  # unscored clones pruned
+    assert out[2].quality_score is None
+
+
+def test_streaming_semdedup_zero_pairs_drain(spark, smoke_sf_dir):
+    """A drain where no delta has any semantic match (threshold above
+    every attainable similarity) returns an all-novel verdict frame —
+    not an UNABLE_TO_INFER_SCHEMA crash on the empty pairs sink."""
+    from databricks_etl_spark.plans.queries_round7 import _Q285_CENTS
+    from databricks_etl_spark.streaming.semdedup import run_streaming_semdedup
+
+    cents = spark.createDataFrame(
+        list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
+    )
+    out = run_streaming_semdedup(
+        spark, smoke_sf_dir, cents, 1.01, id_offset=77_000_000_000
+    ).collect()
+    assert len(out) == 100  # every 5th of 500 vectors
+    assert all(r.is_novel and r.n_matches == 0 and r.max_sim is None
+               for r in out)
