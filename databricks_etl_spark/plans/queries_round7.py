@@ -1277,3 +1277,166 @@ def q297_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q298 — event rate-spike detection (ops anomaly monitor)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q298_rate_spike_detection",
+    oracle="""
+        WITH h AS (
+            SELECT event_type,
+                   CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0)
+                        AS BIGINT) AS hour_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT event_type, hour_bucket, n_events,
+                   SUM(n_events) OVER (
+                       PARTITION BY event_type ORDER BY hour_bucket
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS tsum,
+                   COUNT(*) OVER (
+                       PARTITION BY event_type ORDER BY hour_bucket
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS tcnt
+            FROM h
+        ),
+        z AS (
+            SELECT event_type, hour_bucket, n_events,
+                   round(CAST(tsum AS DOUBLE) / tcnt, 6) AS expected,
+                   round((n_events - CAST(tsum AS DOUBLE) / tcnt)
+                         / sqrt(CAST(tsum AS DOUBLE) / tcnt), 6) AS z
+            FROM w WHERE tcnt >= 6 AND tsum > 0
+        )
+        SELECT event_type, hour_bucket, n_events, expected, z
+        FROM z WHERE z >= 3.0
+    """,
+)
+def q298_rate_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-style rate-spike detection per event type: hourly counts
+    vs the trailing-24-observed-hours mean, flagging hours whose
+    z-score (obs − exp)/√exp reaches 3 — the ops anomaly monitor a
+    streaming ingest watches for bot storms and replay incidents
+    (trend smoothing is q197's EWMA; this is the alarm on top).
+    Requires ≥6 trailing observed hours so cold starts never alarm.
+    Per-type windows are bounded by the hour count, not the event
+    count — the hourly pre-aggregate is the only data-sized shuffle.
+    NTZ discipline: epoch seconds via unix_timestamp (the README
+    rule), identical to the oracle's floor(epoch(ts))."""
+    e = read_table(spark, sf_dir, "events")
+    h = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts").cast("double") / 3600.0)
+            .cast("long")
+            .alias("hour_bucket"),
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    trail = Window.partitionBy("event_type").orderBy("hour_bucket").rowsBetween(-24, -1)
+    w = h.select(
+        "event_type",
+        "hour_bucket",
+        "n_events",
+        F.sum("n_events").over(trail).alias("tsum"),
+        F.count(F.lit(1)).over(trail).alias("tcnt"),
+    )
+    exp_ = F.col("tsum").cast("double") / F.col("tcnt")
+    z = (
+        w.filter((F.col("tcnt") >= 6) & (F.col("tsum") > 0))
+        .select(
+            "event_type",
+            "hour_bucket",
+            "n_events",
+            F.round(exp_, 6).alias("expected"),
+            F.round((F.col("n_events") - exp_) / F.sqrt(exp_), 6).alias("z"),
+        )
+    )
+    return z.filter(F.col("z") >= 3.0)
+
+
+# ---------------------------------------------------------------------------
+# q299 — near-dup cluster size distribution
+# ---------------------------------------------------------------------------
+
+
+def _q299_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _PAIRS_05
+
+    return f"""
+        WITH RECURSIVE {_PAIRS_05},
+        sizes AS (
+            SELECT component, CAST(COUNT(*) AS BIGINT) AS k FROM cc GROUP BY 1
+        ),
+        singles AS (
+            SELECT CAST((SELECT COUNT(*) FROM documents)
+                        - (SELECT COUNT(*) FROM cc) AS BIGINT) AS n
+        ),
+        dist AS (
+            SELECT k AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                   CAST(SUM(k) AS BIGINT) AS n_docs
+            FROM sizes GROUP BY 1
+            UNION ALL
+            SELECT 1, n, n FROM singles WHERE n > 0
+        )
+        SELECT cluster_size,
+               CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs
+        FROM dist GROUP BY 1
+    """
+
+
+@query("q299_dup_cluster_sizes", oracle=None)  # oracle set below
+def q299_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is duplication: the size distribution of
+    near-dup clusters (connected components over unigram-Jaccard
+    pairs, q123's graph), with unclustered documents counted as
+    size-1 clusters — the shape an operator reads before picking
+    dedup policy (a fat tail of giant clusters means boilerplate and
+    calls for q272's hot-bucket cap; many 2–3-clusters means organic
+    re-posting and survivor selection, q258). Component sizes are a
+    tiny aggregate over the components relation; the corpus is
+    touched only by the pair build."""
+    from databricks_etl_spark.plans.queries_dedup import _neardup_components
+
+    d = read_table(spark, sf_dir, "documents")
+    # one materialization feeds both the size histogram and the
+    # singleton count — a driver-side count() here would re-run the
+    # whole iterative component build per action
+    comps = _neardup_components(spark, sf_dir).localCheckpoint()
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    dist = sizes.groupBy(F.col("k").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("k").cast("long").alias("n_docs"),
+    )
+    singles = (
+        d.select("doc_id")
+        .join(comps, d["doc_id"] == comps["id"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+    return (
+        dist.unionByName(singles)
+        .groupBy("cluster_size")
+        .agg(
+            F.sum("n_clusters").cast("long").alias("n_clusters"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+_Q["q299_dup_cluster_sizes"] = _replace(
+    _Q["q299_dup_cluster_sizes"], oracle=_q299_oracle()
+)
