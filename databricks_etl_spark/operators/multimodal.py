@@ -318,3 +318,77 @@ def audio_features(df: DataFrame) -> DataFrame:
             yield out
 
     return df.select("doc_id", "payload").mapInPandas(op, _AUDIO_SCHEMA)
+
+
+def bmp_pixel_array(data: bytes) -> "np.ndarray":
+    """(height, width, 3) uint8 RGB pixel array from a BI_RGB 24-bit
+    BMP — the raw-pixel sibling of :func:`decode_bmp` for operators
+    that need spatial structure (perceptual hashing), not just means."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    _, width, height, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP encoding (bpp={bpp}, compression={comp})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * height, offset=off)
+    rows = raw.reshape(height, stride)[:, :row_bytes].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[..., ::-1]  # BGR on disk -> RGB
+
+
+def ahash16(data: bytes) -> int:
+    """16-bit average-hash of a BMP: the image is partitioned into a
+    4×4 block grid (block of pixel (x, y) is (x·4//w, y·4//h)), and
+    bit (by·4 + bx) is set iff the block's mean gray (r+g+b) STRICTLY
+    exceeds the image mean. All comparisons are exact integer
+    cross-products (bsum·icnt > isum·bcnt) — no float division — so
+    an arithmetic oracle reproduces the hash bit-for-bit."""
+    px = bmp_pixel_array(data).astype(np.int64)
+    h, w, _ = px.shape
+    gray = px.sum(axis=2)
+    ys = (np.arange(h) * 4) // h
+    xs = (np.arange(w) * 4) // w
+    isum = int(gray.sum())
+    icnt = h * w
+    val = 0
+    for by in range(4):
+        rowsel = gray[ys == by]
+        for bx in range(4):
+            block = rowsel[:, xs == bx]
+            if int(block.sum()) * icnt > isum * int(block.size):
+                val |= 1 << (by * 4 + bx)
+    return val
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual-hash extraction over the binary column: decode each
+    BMP and emit its 16-bit aHash (corrupt/NULL payloads quarantine to
+    NULL, same policy as :func:`decode_features`). The downstream
+    dedup is an equi-join on the hash — the image analog of the text
+    lanes' fingerprint bucketing."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def safe(p):
+            if p is None:
+                return None
+            try:
+                return ahash16(bytes(p))
+            except (ValueError, struct.error, IndexError):
+                return None
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "ahash": pd.array(
+                        [safe(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, "doc_id long, ahash long")

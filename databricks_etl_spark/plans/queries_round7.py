@@ -1440,3 +1440,99 @@ def q299_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q["q299_dup_cluster_sizes"] = _replace(
     _Q["q299_dup_cluster_sizes"], oracle=_q299_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# q300/q301 — image perceptual-hash (aHash) dedup lane
+# ---------------------------------------------------------------------------
+
+# closed-form aHash of the synthetic BMPs (q57's pixel formula), as a
+# CTE: 4x4 block grid, bit set iff block mean gray strictly exceeds the
+# image mean — exact integer cross-products, no division
+_Q300_AHASH = """
+        d AS (
+            SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+            FROM documents WHERE doc_id < 200
+        ),
+        xs AS (SELECT unnest(range(0, 16)) AS x),
+        ys AS (SELECT unnest(range(0, 10)) AS y),
+        px AS (
+            SELECT doc_id, w, h, x, y,
+                   (doc_id + 7 * x + 13 * y) % 256
+                   + (2 * doc_id + 5 * x + 11 * y) % 256
+                   + (3 * doc_id + 3 * x + 17 * y) % 256 AS gray
+            FROM d, xs, ys WHERE x < w AND y < h
+        ),
+        blocks AS (
+            SELECT doc_id, w, h,
+                   CAST(x * 4 // w AS BIGINT) AS bx,
+                   CAST(y * 4 // h AS BIGINT) AS by,
+                   SUM(gray) AS bsum, COUNT(*) AS bcnt
+            FROM px GROUP BY 1, 2, 3, 4, 5
+        ),
+        tot AS (
+            SELECT doc_id, SUM(bsum) AS isum, SUM(bcnt) AS icnt
+            FROM blocks GROUP BY 1
+        ),
+        ah AS (
+            SELECT b.doc_id,
+                   CAST(SUM(CASE WHEN b.bsum * t.icnt > t.isum * b.bcnt
+                            THEN (CAST(1 AS BIGINT) << (b.by * 4 + b.bx))
+                            ELSE 0 END) AS BIGINT) AS ahash
+            FROM blocks b JOIN tot t USING (doc_id)
+            GROUP BY 1
+        )"""
+
+
+@query(
+    "q300_image_ahash",
+    oracle=f"""
+        WITH {_Q300_AHASH}
+        SELECT doc_id, ahash FROM ah
+    """,
+)
+def q300_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual hashing, REAL and hash-checked end to end: the
+    synthetic BMP payloads (genuine file layout, q57's lane) are
+    decoded to raw pixels inside Arrow-batched ``mapInPandas`` and
+    reduced to a 16-bit average-hash (4×4 block grid, bit = block mean
+    gray strictly above image mean, exact integer cross-products —
+    ``operators/multimodal.ahash16``). Pixels are closed-form in
+    doc_id, so the oracle recomputes the hash arithmetically: a
+    decoder bug (row flip, channel swap, padding off-by-one) or a
+    hashing bug (block boundary, tie handling, bit order) breaks the
+    value hash. A deployment swaps the BMP parser for a JPEG codec +
+    64-bit pHash; the plumbing and the dedup join are identical."""
+    from databricks_etl_spark.operators import multimodal as MM
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return MM.image_ahash(MM.generate_bmp_payloads(d))
+
+
+@query(
+    "q301_image_ahash_pairs",
+    oracle=f"""
+        WITH {_Q300_AHASH}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ahash
+        FROM ah a JOIN ah b ON a.ahash = b.ahash AND a.doc_id < b.doc_id
+    """,
+)
+def q301_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidates: the aHash equi-join — every pair of
+    images sharing a perceptual fingerprint (the image analog of the
+    text fingerprint dedup q42/q254; a production system follows with
+    a hamming-radius verify on a wider hash). The join is bucketed by
+    the hash — never an image×image cross product — so the candidate
+    volume is bounded by fingerprint collisions exactly like the
+    MinHash band lanes."""
+    from databricks_etl_spark.operators import multimodal as MM
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ah = MM.image_ahash(MM.generate_bmp_payloads(d))
+    a = ah.select(F.col("doc_id").alias("id_a"), "ahash")
+    b = ah.select(F.col("doc_id").alias("id_b"), "ahash")
+    return (
+        a.join(b, "ahash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ahash")
+    )

@@ -108,3 +108,27 @@ def test_wav_codec_roundtrip_and_quarantine(spark):
     assert rows[1].n_samples == n and rows[1].sum_sq == ssq
     assert rows[2].n_samples is None and rows[2].n_bytes == 11
     assert rows[3].n_samples is None and rows[3].n_bytes is None
+
+
+def test_ahash_invariants_and_quarantine(spark):
+    """aHash contract: 16-bit range, exact clone payloads hash equal,
+    corrupt/NULL payloads quarantine to NULL ahash."""
+    from databricks_etl_spark.operators import multimodal as MM
+
+    v1 = MM.encode_bmp(8, 6, lambda x, y: MM.bmp_pixel(3, x, y))
+    v2 = MM.encode_bmp(8, 6, lambda x, y: MM.bmp_pixel(3, x, y))
+    other = MM.encode_bmp(8, 6, lambda x, y: MM.bmp_pixel(99, x, y))
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(v1)),
+            (2, bytearray(v2)),
+            (3, bytearray(other)),
+            (4, bytearray(b"NOTABMP")),
+            (5, None),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r.ahash for r in MM.image_ahash(df).collect()}
+    assert rows[1] == rows[2]  # clones collide
+    assert 0 <= rows[1] <= 0xFFFF and 0 <= rows[3] <= 0xFFFF
+    assert rows[4] is None and rows[5] is None
