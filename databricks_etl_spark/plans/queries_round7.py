@@ -1536,3 +1536,68 @@ def q301_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "ahash")
     )
+
+
+@query(
+    "q302_image_hamming_pairs",
+    oracle=f"""
+        WITH {_Q300_AHASH},
+        bands AS (
+            SELECT doc_id, ahash, b.band,
+                   (ahash >> (b.band * 4)) & 15 AS band_val
+            FROM ah, (SELECT unnest(range(0, 4)) AS band) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                   a.ahash AS ha, c.ahash AS hb
+            FROM bands a JOIN bands c
+              ON a.band = c.band AND a.band_val = c.band_val
+             AND a.doc_id < c.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+)
+def q302_image_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-radius image near-dup — the production follow-up to the
+    exact-collision join (q301): pairs of perceptual hashes within
+    Hamming distance 3, found WITHOUT a cross product by the pigeonhole
+    band trick on bit-hashes (split 16 bits into 4 bands of 4; any two
+    hashes differing in ≤3 bits must agree on ≥1 whole band, so a
+    band equi-join generates every true candidate) and verified by
+    ``bit_count(xor)`` — the same candidates-then-verify ladder as the
+    MinHash lanes, applied to a bit-fingerprint (this is how SimHash
+    dedup, q46/q163, scales too). Everything after the decode is
+    JVM-side bit arithmetic."""
+    from databricks_etl_spark.operators import multimodal as MM
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ah = MM.image_ahash(MM.generate_bmp_payloads(d)).localCheckpoint()
+    bands = ah.crossJoin(
+        F.broadcast(spark.range(0, 4).select(F.col("id").alias("band")))
+    ).select(
+        "doc_id",
+        "ahash",
+        "band",
+        F.expr("shiftright(ahash, cast(band * 4 as int)) & 15").alias(
+            "band_val"
+        ),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("ahash").alias("ha"), "band", "band_val"
+    )
+    c = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("ahash").alias("hb"), "band", "band_val"
+    )
+    cand = (
+        a.join(c, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(ham <= 3).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )
