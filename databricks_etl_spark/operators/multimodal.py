@@ -392,3 +392,74 @@ def image_ahash(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(op, "doc_id long, ahash long")
+
+
+def wav_pcm16_array(payload: bytes) -> "np.ndarray":
+    """int64 sample array from a RIFF/WAVE PCM16 payload — the
+    raw-sample sibling of :func:`decode_wav` for operators needing
+    temporal structure (fingerprinting). Same validation and
+    failure contract."""
+    if len(payload) < 44 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt_id, audio_format, channels = payload[12:16], *struct.unpack(
+        "<HH", payload[20:24]
+    )
+    if fmt_id != b"fmt " or audio_format != 1 or channels != 1:
+        raise ValueError("unsupported WAV format")
+    bits = struct.unpack("<H", payload[34:36])[0]
+    if bits != 16 or payload[36:40] != b"data":
+        raise ValueError("unsupported WAV layout")
+    n_bytes = struct.unpack("<I", payload[40:44])[0]
+    raw = payload[44 : 44 + n_bytes]
+    if len(raw) != n_bytes or n_bytes % 2 != 0:
+        raise ValueError("truncated WAV data chunk")
+    return np.frombuffer(raw, dtype="<i2").astype(np.int64)
+
+
+def audio_fingerprint16(payload: bytes) -> int:
+    """15-bit energy-contour fingerprint of a PCM16 clip: samples are
+    partitioned into 16 equal frames (frame of sample i is i·16//n),
+    and bit f (0..14) is set iff frame f+1's energy (Σ s²) STRICTLY
+    exceeds frame f's — the sign-of-energy-delta construction
+    (chromaprint's core idea reduced to one band). Pure integer
+    comparisons, so an arithmetic oracle reproduces it exactly."""
+    s = wav_pcm16_array(payload)
+    n = s.size
+    if n < 16:
+        raise ValueError("clip too short to fingerprint")
+    frames = (np.arange(n) * 16) // n
+    energy = np.zeros(16, dtype=np.int64)
+    np.add.at(energy, frames, s * s)
+    val = 0
+    for f in range(15):
+        if energy[f + 1] > energy[f]:
+            val |= 1 << f
+    return val
+
+
+def audio_fingerprints(df: DataFrame) -> DataFrame:
+    """Fingerprint extraction over WAV payloads via ``mapInPandas``,
+    quarantining corrupt/NULL payloads to NULL — the audio analog of
+    :func:`image_ahash`; dedup downstream is an equi-join on the
+    fingerprint."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def safe(p):
+            if p is None:
+                return None
+            try:
+                return audio_fingerprint16(bytes(p))
+            except (ValueError, struct.error, IndexError):
+                return None
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "afp": pd.array(
+                        [safe(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, "doc_id long, afp long")

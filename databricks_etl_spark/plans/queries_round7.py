@@ -1601,3 +1601,53 @@ def q302_image_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(ham <= 3).select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# q303 — audio energy-contour fingerprint
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q303_audio_fingerprint",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, 32 + doc_id % 97 AS n
+            FROM documents WHERE doc_id < 200
+        ),
+        s AS (
+            SELECT doc_id, n, i,
+                   ((doc_id * 131 + i * 7919) % 65536) - 32768 AS v
+            FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d)
+        ),
+        fr AS (
+            SELECT doc_id, CAST(i * 16 // n AS BIGINT) AS f,
+                   SUM(v * v) AS energy
+            FROM s GROUP BY 1, 2
+        ),
+        bits AS (
+            SELECT a.doc_id,
+                   CASE WHEN b.energy > a.energy
+                        THEN (CAST(1 AS BIGINT) << CAST(a.f AS INT))
+                        ELSE 0 END AS bit
+            FROM fr a JOIN fr b
+              ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        )
+        SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS afp
+        FROM bits GROUP BY doc_id
+    """,
+)
+def q303_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup fingerprint, real and hash-checked end to end (the
+    WAV sibling of the image aHash q300): PCM16 samples come out of
+    the genuine RIFF parser inside ``mapInPandas`` and reduce to a
+    15-bit energy-contour fingerprint — 16 equal frames, bit f set
+    iff frame f+1's integer energy strictly exceeds frame f's (the
+    sign-of-energy-delta construction at the core of production audio
+    fingerprinting). Samples are closed-form in doc_id, so the oracle
+    recomputes the fingerprint arithmetically; dedup downstream is
+    the same fingerprint equi-join / Hamming-band ladder as q301/q302."""
+    from databricks_etl_spark.operators import multimodal as MM
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return MM.audio_fingerprints(MM.generate_wav_payloads(d))
