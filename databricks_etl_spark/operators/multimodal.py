@@ -97,24 +97,16 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, float, float, float]:
     engine's integer-arithmetic evaluation of the same pixels.
 
     Raises ``ValueError`` on non-BMP or unsupported encodings (the
-    honest capability gate: only BI_RGB 24-bit is implemented)."""
-    if data[:2] != b"BM":
-        raise ValueError("not a BMP payload")
-    off = struct.unpack_from("<I", data, 10)[0]
-    _, width, height, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
-    if bpp != 24 or comp != 0:
-        raise ValueError(f"unsupported BMP encoding (bpp={bpp}, compression={comp})")
-    bottom_up = height > 0
-    height = abs(height)
-    row_bytes = width * 3
-    stride = row_bytes + (4 - row_bytes % 4) % 4
-    raw = np.frombuffer(data, dtype=np.uint8, count=stride * height, offset=off)
-    rows = raw.reshape(height, stride)[:, :row_bytes].reshape(height, width, 3)
-    if bottom_up:
-        rows = rows[::-1]
-    sums = rows.reshape(-1, 3).astype(np.int64).sum(axis=0)  # B, G, R
+    honest capability gate: only BI_RGB 24-bit is implemented).
+
+    Parsing delegates to :func:`bmp_pixel_array` — ONE copy of the
+    header/stride/flip layout logic, so the feature lane and the
+    perceptual-hash lane can never drift on the same payload."""
+    rows = bmp_pixel_array(data)  # (h, w, 3) RGB
+    height, width, _ = rows.shape
+    sums = rows.reshape(-1, 3).astype(np.int64).sum(axis=0)  # R, G, B
     n = width * height
-    return width, height, 3, sums[2] / n, sums[1] / n, sums[0] / n
+    return width, height, 3, sums[0] / n, sums[1] / n, sums[2] / n
 
 
 def generate_bmp_payloads(df: DataFrame) -> DataFrame:
@@ -241,23 +233,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
     magic and the PCM format chunk, walks to the data chunk, and
     returns (n_samples, sample_rate, sum_abs, sum_sq) — integer
     aggregate features, exactly recomputable by an external oracle.
-    Raises on anything malformed (the quarantine wrapper catches)."""
-    if len(payload) < 44 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE file")
-    fmt_id, audio_format, channels = payload[12:16], *struct.unpack(
-        "<HH", payload[20:24]
-    )
-    if fmt_id != b"fmt " or audio_format != 1 or channels != 1:
-        raise ValueError("unsupported WAV format")
+    Raises on anything malformed (the quarantine wrapper catches).
+
+    Validation and sample extraction delegate to
+    :func:`wav_pcm16_array` — ONE copy of the RIFF layout logic, so
+    the feature lane and the fingerprint lane can never drift."""
+    samples = wav_pcm16_array(payload)
     rate = struct.unpack("<I", payload[24:28])[0]
-    bits = struct.unpack("<H", payload[34:36])[0]
-    if bits != 16 or payload[36:40] != b"data":
-        raise ValueError("unsupported WAV layout")
-    n_bytes = struct.unpack("<I", payload[40:44])[0]
-    raw = payload[44 : 44 + n_bytes]
-    if len(raw) != n_bytes or n_bytes % 2 != 0:
-        raise ValueError("truncated WAV data chunk")
-    samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
     return (
         int(samples.size),
         int(rate),

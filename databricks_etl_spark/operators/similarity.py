@@ -433,6 +433,7 @@ def semdedup_incremental(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Ingest-time SemDeDup (the embedding-lane analog of
     ``dedup.incremental_band_join``): assign ONLY the delta batch to
@@ -445,11 +446,31 @@ def semdedup_incremental(
     Returns one row per batch vector:
     (id, cell_id, n_matches, max_sim, is_novel) where matches are
     corpus members with rounded cosine ≥ ``threshold``; ``max_sim`` is
-    NULL for novel vectors."""
+    NULL for novel vectors.
+
+    ``max_cell`` is the hot-cell guard (the cell-lane analog of
+    ``incremental_band_join``'s ``max_bucket``): a cell holding s
+    index members costs O(|delta∩cell|·s) comparisons, and a
+    mass-duplicated embedding (boilerplate re-encoded millions of
+    times) concentrates them into ONE cell. With the cap set, cells
+    whose INDEX population exceeds it are excluded from probing —
+    batch members landing there report n_matches = 0 with is_novel
+    NULL (unknown, routed to the boilerplate handler), never a
+    quadratic join."""
     bc = assign_cells(batch, centroids, id_col=id_col, vec_col=vec_col)
     idx = corpus_cells.select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"), "cell_id"
     )
+    hot = None
+    if max_cell is not None:
+        hot = (
+            idx.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("__s"))
+            .filter(F.col("__s") > max_cell)
+            .select("cell_id")
+            .withColumn("__hot", F.lit(True))
+        )
+        idx = idx.join(hot.select("cell_id"), "cell_id", "left_anti")
     m = (
         bc.join(idx, "cell_id")
         .withColumn("__s", F.round(cosine(F.col(vec_col), F.col("__cv")), 6))
@@ -459,10 +480,18 @@ def semdedup_incremental(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.max("__s").alias("max_sim"),
     )
-    return bc.join(agg, id_col, "left").select(
+    out = bc.join(agg, id_col, "left")
+    if hot is not None:
+        out = out.join(F.broadcast(hot), "cell_id", "left")
+        novel = F.when(F.col("__hot"), F.lit(None).cast("boolean")).otherwise(
+            F.col("__n").isNull()
+        )
+    else:
+        novel = F.col("__n").isNull()
+    return out.select(
         id_col,
         "cell_id",
         F.coalesce("__n", F.lit(0)).cast("long").alias("n_matches"),
         "max_sim",
-        F.col("__n").isNull().alias("is_novel"),
+        novel.alias("is_novel"),
     )

@@ -207,18 +207,23 @@ def _q285_oracle() -> str:
         ),
         {_quality_sql()},
         lab AS (
+            -- LEFT join: the operator's contract keeps vectors with no
+            -- quality row (NULL score, ranked below every scored
+            -- member via the -infinity coalesce in the dominance
+            -- order only — mirrors semdedup_prune exactly)
             SELECT cells.vec_id, cells.embedding, cells.cell_id,
-                   q.quality_score
-            FROM cells JOIN q ON cells.vec_id = q.doc_id
+                   q.quality_score,
+                   COALESCE(q.quality_score,
+                            CAST('-infinity' AS DOUBLE)) AS qrank
+            FROM cells LEFT JOIN q ON cells.vec_id = q.doc_id
         ),
         dom AS (
             SELECT DISTINCT a.vec_id
             FROM lab a JOIN lab b
               ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
             WHERE {sim} >= {_Q285_T}
-              AND (b.quality_score > a.quality_score
-                   OR (b.quality_score = a.quality_score
-                       AND b.vec_id < a.vec_id))
+              AND (b.qrank > a.qrank
+                   OR (b.qrank = a.qrank AND b.vec_id < a.vec_id))
         )
         SELECT l.vec_id, l.cell_id,
                (dom.vec_id IS NOT NULL) AS pruned,
@@ -293,16 +298,14 @@ def q286_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _B287 = 10_000_000_000
 
 
-def _q287_oracle() -> str:
+def _semdedup_cells_sql() -> str:
+    """Shared oracle CTE chain for the incremental-SemDeDup family
+    (q287 batch, q295 streaming): fixed comb centroids, corpus cell
+    assignment, and the reversed/re-identified delta batch — ONE
+    definition so the two oracles can never drift (the
+    _bands_sql_over precedent from queries_round4)."""
     vals = ", ".join(f"({j}, {c})" for j, c in enumerate(_Q285_CENTS))
-    dot = _Q285_DOT
-    sim = (
-        f"round({dot.format(a='b.embedding', b='c.embedding')}"
-        f" / (sqrt({dot.format(a='b.embedding', b='b.embedding')})"
-        f" * sqrt({dot.format(a='c.embedding', b='c.embedding')})), 6)"
-    )
-    return f"""
-        WITH cents(cid, c) AS (VALUES {vals}),
+    return f"""cents(cid, c) AS (VALUES {vals}),
         casg AS (
             SELECT vec_id, embedding, cid,
                    row_number() OVER (
@@ -329,7 +332,18 @@ def _q287_oracle() -> str:
         batch AS (
             SELECT vec_id, embedding, CAST(cid AS INT) AS cell_id
             FROM basg WHERE rn = 1
-        ),
+        )"""
+
+
+def _q287_oracle() -> str:
+    dot = _Q285_DOT
+    sim = (
+        f"round({dot.format(a='b.embedding', b='c.embedding')}"
+        f" / (sqrt({dot.format(a='b.embedding', b='b.embedding')})"
+        f" * sqrt({dot.format(a='c.embedding', b='c.embedding')})), 6)"
+    )
+    return f"""
+        WITH {_semdedup_cells_sql()},
         hits AS (
             SELECT b.vec_id,
                    CAST(COUNT(*) AS BIGINT) AS n_matches,
@@ -1004,7 +1018,6 @@ def q294_winsorized_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q295_oracle() -> str:
-    vals = ", ".join(f"({j}, {c})" for j, c in enumerate(_Q285_CENTS))
     dot = _Q285_DOT
 
     def sim(x, y):
@@ -1015,34 +1028,7 @@ def _q295_oracle() -> str:
         )
 
     return f"""
-        WITH cents(cid, c) AS (VALUES {vals}),
-        casg AS (
-            SELECT vec_id, embedding, cid,
-                   row_number() OVER (
-                       PARTITION BY vec_id ORDER BY {_Q285_D2}, cid
-                   ) AS rn
-            FROM embeddings, cents
-        ),
-        corpus AS (
-            SELECT vec_id, embedding, CAST(cid AS INT) AS cell_id
-            FROM casg WHERE rn = 1
-        ),
-        delta AS (
-            SELECT vec_id + {_B287} AS vec_id,
-                   list_reverse(embedding) AS embedding
-            FROM embeddings WHERE vec_id % 5 = 0
-        ),
-        basg AS (
-            SELECT vec_id, embedding, cid,
-                   row_number() OVER (
-                       PARTITION BY vec_id ORDER BY {_Q285_D2}, cid
-                   ) AS rn
-            FROM delta, cents
-        ),
-        batch AS (
-            SELECT vec_id, embedding, CAST(cid AS INT) AS cell_id
-            FROM basg WHERE rn = 1
-        ),
+        WITH {_semdedup_cells_sql()},
         cross_p AS (
             SELECT b.vec_id AS id_a, c.vec_id AS id_b,
                    {sim('b.embedding', 'c.embedding')} AS s

@@ -117,24 +117,30 @@ def run_streaming_semdedup(
     novelty verdict derived from the drained (slicing-invariant) pair
     set — matches counted in both pair roles, so two near-dup stream
     vectors each see the other regardless of arrival order."""
-    import shutil
-
     from databricks_etl_spark.operators.similarity import assign_cells
     from databricks_etl_spark.sources.readers import SCHEMAS, read_table
     from databricks_etl_spark.sources.writers import scratch_dir
 
     index_path = scratch_dir("sd_index_", key=sf_dir)
     pairs_path = scratch_dir("sd_pairs_", key=sf_dir)
-    shutil.rmtree(index_path, ignore_errors=True)
-    shutil.rmtree(pairs_path, ignore_errors=True)
 
     corpus = read_table(spark, sf_dir, "embeddings")
+    # FULL (non-dynamic) overwrites clear stale epochs from a previous
+    # run — scratch_dir's contract: reruns REPLACE, callers never
+    # rmtree a path a returned lazy DataFrame may still read
     (
         assign_cells(corpus, centroids)
         .withColumn("__epoch", F.lit(-1))
         .write.mode("overwrite")
         .partitionBy("__epoch")
         .parquet(index_path)
+    )
+    pairs_schema = "id_a long, id_b long, s double, __epoch int"
+    (
+        spark.createDataFrame([], pairs_schema)
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .parquet(pairs_path)
     )
 
     delta_stream = (
@@ -156,17 +162,10 @@ def run_streaming_semdedup(
     )
     q.awaitTermination()
 
-    # explicit schema + existence guard: a drain where NO epoch found a
-    # pair leaves pairs_path with no parquet parts (or, if the filtered
-    # stream never fired, no directory at all) — an all-novel verdict,
-    # not a crash
-    import os
-
-    pairs_schema = "id_a long, id_b long, s double, __epoch int"
-    if os.path.isdir(pairs_path):
-        pairs = spark.read.schema(pairs_schema).parquet(pairs_path)
-    else:
-        pairs = spark.createDataFrame([], pairs_schema)
+    # explicit schema: a drain where NO epoch found a pair leaves the
+    # (pre-created) pairs sink with no parquet parts — an all-novel
+    # verdict, not an UNABLE_TO_INFER_SCHEMA crash
+    pairs = spark.read.schema(pairs_schema).parquet(pairs_path)
     # symmetric per-vector aggregate over the invariant pair set:
     # every delta vector counts its pairs in both roles; corpus-side
     # ids (< id_offset) never produce result rows

@@ -269,3 +269,36 @@ def test_streaming_semdedup_zero_pairs_drain(spark, smoke_sf_dir):
     assert len(out) == 100  # every 5th of 500 vectors
     assert all(r.is_novel and r.n_matches == 0 and r.max_sim is None
                for r in out)
+
+
+def test_semdedup_incremental_hot_cell_cap(spark):
+    """max_cell guard: an over-populated index cell is excluded from
+    probing — batch members landing there report is_novel NULL
+    (unknown), not a quadratic join result; normal cells unaffected."""
+    from databricks_etl_spark.operators.similarity import (
+        assign_cells,
+        semdedup_incremental,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, centroid array<double>"
+    )
+    # cell 0 holds 5 index members (hot at cap 3); cell 1 holds one
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.001 * i]) for i in range(5)] + [(99, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cells = assign_cells(corpus, cents)
+    batch = spark.createDataFrame(
+        [(201, [1.0, 0.0]), (202, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in
+           semdedup_incremental(batch, cells, cents, 0.9, max_cell=3).collect()}
+    assert out[201].is_novel is None and out[201].n_matches == 0  # hot cell
+    assert out[202].is_novel is False and out[202].n_matches == 1
+
+    # uncapped: the hot cell is probed normally
+    full = {r.vec_id: r for r in
+            semdedup_incremental(batch, cells, cents, 0.9).collect()}
+    assert full[201].n_matches == 5
