@@ -1637,3 +1637,85 @@ def q303_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return MM.audio_fingerprints(MM.generate_wav_payloads(d))
+
+
+# ---------------------------------------------------------------------------
+# q304 — seasonal-naive forecast backtest (MAPE/SMAPE)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q304_seasonal_naive_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0)
+                        AS BIGINT) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        f AS (
+            SELECT event_type, day, n,
+                   lag(n, 7) OVER (
+                       PARTITION BY event_type ORDER BY day) AS fc
+            FROM daily
+        ),
+        e AS (
+            SELECT event_type, day, n, fc,
+                   CAST(round(abs(n - fc) / CAST(n AS DOUBLE), 9)
+                        AS DECIMAL(18,9)) AS ape,
+                   CAST(round(2.0 * abs(n - fc)
+                              / (CAST(n AS DOUBLE) + fc), 9)
+                        AS DECIMAL(18,9)) AS sape
+            FROM f WHERE fc IS NOT NULL AND n > 0
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+               round(CAST(SUM(ape) AS DOUBLE) / COUNT(*), 6) AS mape,
+               round(CAST(SUM(sape) AS DOUBLE) / COUNT(*), 6) AS smape
+        FROM e GROUP BY event_type
+    """,
+)
+def q304_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality backtest with the seasonal-naive baseline
+    (forecast(day) = actual(day − 7)) over daily event counts per
+    type — the first eval any capacity-planning forecast must beat,
+    and the standard way to size an alerting band (q298's spike
+    detector alarms; this quantifies baseline predictability). MAPE
+    and SMAPE per type, with per-day rounded ratios accumulated in
+    DECIMAL (q263's discipline) so the averages are order-independent.
+    The lag(7) window is per (type, day) — bounded by day count, the
+    daily pre-aggregate is the only data-sized shuffle."""
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts").cast("double") / 86400.0)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = daily.withColumn("fc", F.lag("n", 7).over(w))
+    ev = f.filter(F.col("fc").isNotNull() & (F.col("n") > 0)).select(
+        "event_type",
+        F.round(F.abs(F.col("n") - F.col("fc")) / F.col("n").cast("double"), 9)
+        .cast("decimal(18,9)")
+        .alias("ape"),
+        F.round(
+            2.0
+            * F.abs(F.col("n") - F.col("fc"))
+            / (F.col("n").cast("double") + F.col("fc")),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("sape"),
+    )
+    n = F.count(F.lit(1))
+    return ev.groupBy("event_type").agg(
+        n.cast("long").alias("n_eval_days"),
+        F.round(F.sum("ape").cast("double") / n, 6).alias("mape"),
+        F.round(F.sum("sape").cast("double") / n, 6).alias("smape"),
+    )
