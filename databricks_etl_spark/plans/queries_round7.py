@@ -1719,3 +1719,78 @@ def q304_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("ape").cast("double") / n, 6).alias("mape"),
         F.round(F.sum("sape").cast("double") / n, 6).alias("smape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q305 — erasure-cascade audit (right-to-be-forgotten sizing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q305_erasure_cascade_audit",
+    oracle="""
+        WITH del_cust AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+        ),
+        del_ord AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+        ),
+        del_li AS (
+            SELECT 1 AS x FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM del_ord)
+        )
+        SELECT 'customer' AS table_name,
+               CAST((SELECT COUNT(*) FROM del_cust) AS BIGINT) AS n_rows,
+               round(CAST((SELECT COUNT(*) FROM del_cust) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM customer), 6) AS pct_of_table
+        UNION ALL
+        SELECT 'orders',
+               CAST((SELECT COUNT(*) FROM del_ord) AS BIGINT),
+               round(CAST((SELECT COUNT(*) FROM del_ord) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM orders), 6)
+        UNION ALL
+        SELECT 'lineitem',
+               CAST((SELECT COUNT(*) FROM del_li) AS BIGINT),
+               round(CAST((SELECT COUNT(*) FROM del_li) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM lineitem), 6)
+    """,
+)
+def q305_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sizing: given an erasure request set
+    (every 97th customer plays the deletion list), the cascade of rows
+    that must go with it across the FK graph — orders of those
+    customers, line items of those orders — as absolute counts and
+    table fractions. This is the compliance-planning query a data
+    platform runs BEFORE executing deletes (sizing the rewrite, and
+    the anti-join delete itself is J4's left-anti shape, q11).
+    Cascade membership via left-semi joins — the key sets move, never
+    the fact rows; each level's key relation feeds the next, exactly
+    how a 100 TB cascade would propagate."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    del_cust = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_ord = o.join(
+        del_cust, o["o_custkey"] == del_cust["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        del_ord, li["l_orderkey"] == del_ord["o_orderkey"], "left_semi"
+    )
+
+    def row(name, part, whole):
+        n = part.agg(F.count(F.lit(1)).alias("n"))
+        t = whole.agg(F.count(F.lit(1)).alias("t"))
+        return n.crossJoin(t).select(
+            F.lit(name).alias("table_name"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias(
+                "pct_of_table"
+            ),
+        )
+
+    return (
+        row("customer", del_cust, c)
+        .unionByName(row("orders", del_ord, o))
+        .unionByName(row("lineitem", del_li, li))
+    )
