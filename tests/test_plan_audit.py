@@ -246,3 +246,22 @@ def test_q287_incremental_probe_is_equi_join(spark, smoke_sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q291_bucket_maxima_broadcast(spark, smoke_sf_dir):
+    """Padding-waste audit: the global max (1 row) and bucket maxima
+    (<=48 rows) must broadcast — a shuffle join keyed on bucket ids
+    would move the doc stream for no reason."""
+    plan = _executed_plan(
+        queries()["q291_padding_waste_audit"](spark, smoke_sf_dir)
+    )
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q296_bigram_lm_no_cartesian(spark, smoke_sf_dir):
+    """Bigram-LM scoring: the bigram-count and left-count joins are
+    hash equi-joins; only the 1-row vocab size may nested-loop."""
+    plan = _executed_plan(queries()["q296_bigram_lm_score"](spark, smoke_sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row vocab
