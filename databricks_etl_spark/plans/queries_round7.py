@@ -1794,3 +1794,98 @@ def q305_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("orders", del_ord, o))
         .unionByName(row("lineitem", del_li, li))
     )
+
+
+# ---------------------------------------------------------------------------
+# q306 — dedup threshold sweep (policy-tuning audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q306_dedup_threshold_sweep",
+    oracle=r"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_distinct(string_split_regex(lower(trim(text)), '\s+'))
+                       AS toks
+            FROM documents
+        ),
+        i0 AS (SELECT doc_id, unnest(toks) AS item FROM d),
+        keep AS (SELECT item FROM i0 GROUP BY item HAVING COUNT(*) <= 100),
+        i AS (SELECT i0.doc_id, i0.item FROM i0 JOIN keep USING (item)),
+        sz AS (SELECT doc_id, COUNT(*) AS set_size FROM i GROUP BY 1),
+        sh AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+            FROM i a JOIN i b USING (item)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ),
+        pj AS (
+            SELECT id_a, id_b,
+                   round(CAST(shared AS DOUBLE)
+                         / (sa.set_size + sb.set_size - shared), 6) AS j
+            FROM sh
+            JOIN sz sa ON sh.id_a = sa.doc_id
+            JOIN sz sb ON sh.id_b = sb.doc_id
+        ),
+        th(threshold) AS (VALUES (0.5), (0.6), (0.7), (0.8)),
+        np AS (
+            SELECT th.threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM th JOIN pj ON pj.j >= th.threshold GROUP BY 1
+        ),
+        u AS (
+            SELECT DISTINCT th.threshold, pj.id_a AS doc
+            FROM th JOIN pj ON pj.j >= th.threshold
+            UNION
+            SELECT DISTINCT th.threshold, pj.id_b
+            FROM th JOIN pj ON pj.j >= th.threshold
+        ),
+        imp AS (
+            SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_docs_implicated
+            FROM u GROUP BY 1
+        )
+        SELECT th.threshold,
+               COALESCE(np.n_pairs, 0) AS n_pairs,
+               COALESCE(imp.n_docs_implicated, 0) AS n_docs_implicated
+        FROM th
+        LEFT JOIN np ON th.threshold = np.threshold
+        LEFT JOIN imp ON th.threshold = imp.threshold
+    """,
+)
+def q306_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How aggressive should dedup be: pair and implicated-doc counts
+    at Jaccard thresholds 0.5–0.8 from ONE shared pair build (the
+    max_df-capped inverted index, q43's construction, localCheckpointed
+    so the sweep never re-shingles) — the policy-tuning audit an
+    operator reads next to the cluster-size distribution (q299) before
+    committing a threshold. Comparisons run on the 6dp-rounded Jaccard
+    both engines compute identically."""
+    from databricks_etl_spark.operators.dedup import jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    pj = jaccard_pairs(d, 0.5, ngram=1, max_df=100).localCheckpoint()
+    th = spark.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,)], "threshold double"
+    )
+    hit = F.broadcast(th).join(pj, pj["jaccard"] >= th["threshold"])
+    np_ = hit.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    u = (
+        hit.select("threshold", F.col("id_a").alias("doc"))
+        .unionByName(hit.select("threshold", F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    imp = u.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_implicated")
+    )
+    return (
+        th.join(np_, "threshold", "left")
+        .join(imp, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_implicated", F.lit(0))
+            .cast("long")
+            .alias("n_docs_implicated"),
+        )
+    )
