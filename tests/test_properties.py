@@ -244,3 +244,88 @@ def test_incremental_band_join_equals_full_banding(spark, seed):
         (r.id_a, r.id_b): r.n for r in full if r.id_b >= 1000
     }
     assert inc == expected
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_exact_substring_guarantee_random(spark, seed):
+    """Random-corpus property for the decontamination stride math:
+    every planted shared span of length >= L + stride - 1 (= 31) is
+    detected at any alignment; docs with no planted span share no
+    24-gram with the benchmark (26-letter random text, collision
+    probability ~26^-24 per pair — deterministic seeds, no flake)."""
+    from databricks_etl_spark.operators.text import exact_substring_hits
+
+    rng = np.random.default_rng(seed)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha, size=n))
+
+    span = rand_text(int(rng.integers(31, 60)))
+    bench_rows = [(1000, rand_text(30) + span + rand_text(30))]
+    corpus_rows, planted = [], set()
+    for i in range(20):
+        base = rand_text(int(rng.integers(40, 200)))
+        if rng.random() < 0.5:
+            pos = int(rng.integers(0, len(base)))
+            corpus_rows.append((i, base[:pos] + span + base[pos:]))
+            planted.add(i)
+        else:
+            corpus_rows.append((i, base))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "bench_id long, text string")
+    got = {
+        r.doc_id
+        for r in exact_substring_hits(corpus, bench, length=24, stride=8).collect()
+    }
+    assert got == planted, (got, planted)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_semdedup_dominance_properties(spark, seed):
+    """Random-vector properties of the dominated-member prune: exactly
+    one output row per vector; every pruned member has a same-cell
+    dominator with rounded cosine >= tau; the top-priority member of
+    each cell is never pruned (verified against a numpy recompute)."""
+    from databricks_etl_spark.operators.similarity import semdedup_prune
+
+    rng = np.random.default_rng(seed)
+    n, dim, tau = 60, 8, 0.8
+    vecs_np = rng.normal(size=(n, dim))
+    # plant some near-clones so the prune actually fires
+    for j in range(0, n, 7):
+        vecs_np[j + 1 if j + 1 < n else 0] = vecs_np[j] * (
+            1.0 + 0.001 * rng.random()
+        )
+    quality_np = np.round(rng.random(n), 3)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in vecs_np[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    quality = spark.createDataFrame(
+        [(i, float(quality_np[i])) for i in range(n)],
+        "vec_id long, quality_score double",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * (dim - 1)), (1, [0.0, 1.0] + [0.0] * (dim - 2)),
+         (2, [0.0, 0.0, 1.0] + [0.0] * (dim - 3))],
+        "cid int, centroid array<double>",
+    )
+    rows = semdedup_prune(vecs, cents, quality, tau).collect()
+    assert len(rows) == n and len({r.vec_id for r in rows}) == n
+
+    cells = {r.vec_id: r.cell_id for r in rows}
+    pruned = {r.vec_id for r in rows if r.pruned}
+    norms = np.linalg.norm(vecs_np, axis=1)
+
+    def sim(i, j):
+        return round(float(vecs_np[i] @ vecs_np[j]) / (norms[i] * norms[j]), 6)
+
+    for i in range(n):
+        doms = [
+            j for j in range(n)
+            if j != i and cells[j] == cells[i] and sim(i, j) >= tau
+            and (quality_np[j] > quality_np[i]
+                 or (quality_np[j] == quality_np[i] and j < i))
+        ]
+        assert (i in pruned) == bool(doms), (i, doms)
