@@ -1889,3 +1889,108 @@ def q306_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs_implicated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q307 — geospatial radius join (grid-bucketed haversine)
+# ---------------------------------------------------------------------------
+
+_Q307_R = 40.0  # km — below one grid degree everywhere at |lat| <= 60
+
+
+@query(
+    "q307_geo_radius_join",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey AS id,
+                   CAST(c_custkey % 12000 AS DOUBLE) / 100.0 - 60.0 AS lat,
+                   CAST((c_custkey * 7) % 36000 AS DOUBLE) / 100.0 - 180.0
+                       AS lon
+            FROM customer
+        ),
+        cells AS (
+            SELECT id, lat, lon,
+                   CAST(floor(lat) AS BIGINT) AS cy,
+                   CAST(floor(lon) AS BIGINT) AS cx
+            FROM pts
+        ),
+        nb AS (
+            SELECT id, lat, lon, cy + dy AS cy, cx + dx AS cx
+            FROM cells,
+                 (SELECT unnest(range(-1, 2)) AS dy) a,
+                 (SELECT unnest(range(-1, 2)) AS dx) b
+        ),
+        cand AS (
+            SELECT n.id AS id_a, c.id AS id_b,
+                   n.lat AS la, n.lon AS loa, c.lat AS lb, c.lon AS lob
+            FROM nb n JOIN cells c ON n.cy = c.cy AND n.cx = c.cx
+            WHERE n.id < c.id
+        ),
+        d AS (
+            SELECT id_a, id_b,
+                   round(2.0 * 6371.0 * asin(sqrt(
+                       sin(radians(lb - la) / 2.0)
+                           * sin(radians(lb - la) / 2.0)
+                       + cos(radians(la)) * cos(radians(lb))
+                           * sin(radians(lob - loa) / 2.0)
+                           * sin(radians(lob - loa) / 2.0))), 3) AS dist_km
+            FROM cand
+        )
+        SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= {_Q307_R}
+    """,
+)
+def q307_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial radius self-join, the scalable way: customers mapped
+    to deterministic lat/lon (|lat| ≤ 60°, where one 1°-grid degree ≥
+    55 km > the 40 km radius), bucketed into a 1° grid, one side
+    exploded to its 3×3 cell neighborhood, candidates from the cell
+    equi-join only — NEVER an all-pairs distance computation — then
+    exact haversine verify on candidates (the standard geohash-bucket
+    + verify spatial join, cf. any production geo pipeline). Each true
+    pair is generated exactly once: the right side carries its single
+    home cell, which appears in the left side's neighborhood exactly
+    once. Trig is cross-engine bit-stable here (the ln/exp precedent);
+    distances round to 3 dp before the threshold compare."""
+    c = read_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 12000).cast("double") / 100.0 - 60.0).alias("lat"),
+        (((F.col("c_custkey") * 7) % 36000).cast("double") / 100.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    cells = pts.select(
+        "id", "lat", "lon",
+        F.floor("lat").cast("long").alias("cy"),
+        F.floor("lon").cast("long").alias("cx"),
+    )
+    off = spark.createDataFrame(
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], "dy long, dx long"
+    )
+    nb = cells.crossJoin(F.broadcast(off)).select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("la"),
+        F.col("lon").alias("loa"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+    )
+    right = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lb"),
+        F.col("lon").alias("lob"),
+        "cy",
+        "cx",
+    )
+    cand = nb.join(right, ["cy", "cx"]).filter(F.col("id_a") < F.col("id_b"))
+    half_dlat = F.radians(F.col("lb") - F.col("la")) / 2.0
+    half_dlon = F.radians(F.col("lob") - F.col("loa")) / 2.0
+    hav = (
+        F.sin(half_dlat) * F.sin(half_dlat)
+        + F.cos(F.radians("la")) * F.cos(F.radians("lb"))
+        * F.sin(half_dlon) * F.sin(half_dlon)
+    )
+    d = cand.select(
+        "id_a", "id_b",
+        F.round(2.0 * 6371.0 * F.asin(F.sqrt(hav)), 3).alias("dist_km"),
+    )
+    return d.filter(F.col("dist_km") <= _Q307_R)
