@@ -1994,3 +1994,108 @@ def q307_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(2.0 * 6371.0 * F.asin(F.sqrt(hav)), 3).alias("dist_km"),
     )
     return d.filter(F.col("dist_km") <= _Q307_R)
+
+
+@query(
+    "q308_geo_nearest_neighbor",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey AS id,
+                   CAST(c_custkey % 12000 AS DOUBLE) / 100.0 - 60.0 AS lat,
+                   CAST((c_custkey * 7) % 36000 AS DOUBLE) / 100.0 - 180.0
+                       AS lon
+            FROM customer
+        ),
+        cells AS (
+            SELECT id, lat, lon,
+                   CAST(floor(lat) AS BIGINT) AS cy,
+                   CAST(floor(lon) AS BIGINT) AS cx
+            FROM pts
+        ),
+        nb AS (
+            SELECT id, lat, lon, cy + dy AS cy, cx + dx AS cx
+            FROM cells,
+                 (SELECT unnest(range(-1, 2)) AS dy) a,
+                 (SELECT unnest(range(-1, 2)) AS dx) b
+        ),
+        cand AS (
+            SELECT n.id AS id, c.id AS nn,
+                   n.lat AS la, n.lon AS loa, c.lat AS lb, c.lon AS lob
+            FROM nb n JOIN cells c ON n.cy = c.cy AND n.cx = c.cx
+            WHERE n.id <> c.id
+        ),
+        d AS (
+            SELECT id, nn,
+                   round(2.0 * 6371.0 * asin(sqrt(
+                       sin(radians(lb - la) / 2.0)
+                           * sin(radians(lb - la) / 2.0)
+                       + cos(radians(la)) * cos(radians(lb))
+                           * sin(radians(lob - loa) / 2.0)
+                           * sin(radians(lob - loa) / 2.0))), 3) AS dist_km
+            FROM cand
+        ),
+        r AS (
+            SELECT id, nn AS nearest_id, dist_km,
+                   row_number() OVER (
+                       PARTITION BY id ORDER BY dist_km, nn) AS rk
+            FROM d WHERE dist_km <= {_Q307_R}
+        )
+        SELECT id, nearest_id, dist_km FROM r WHERE rk = 1
+    """,
+)
+def q308_geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest spatial neighbor within the 40 km working radius, from
+    the SAME grid-neighborhood candidate machinery as q307 (points
+    whose nearest neighbor is farther than the radius are absent —
+    production then widens the ring, the standard iterative-expansion
+    NN search). Argmin per point over candidates only, (dist, id)
+    tiebroken; the per-point window is bounded by cell occupancy."""
+    c = read_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 12000).cast("double") / 100.0 - 60.0).alias("lat"),
+        (((F.col("c_custkey") * 7) % 36000).cast("double") / 100.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    cells = pts.select(
+        "id", "lat", "lon",
+        F.floor("lat").cast("long").alias("cy"),
+        F.floor("lon").cast("long").alias("cx"),
+    )
+    off = spark.createDataFrame(
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], "dy long, dx long"
+    )
+    nb = cells.crossJoin(F.broadcast(off)).select(
+        "id",
+        F.col("lat").alias("la"),
+        F.col("lon").alias("loa"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+    )
+    right = cells.select(
+        F.col("id").alias("nn"),
+        F.col("lat").alias("lb"),
+        F.col("lon").alias("lob"),
+        "cy",
+        "cx",
+    )
+    cand = nb.join(right, ["cy", "cx"]).filter(F.col("id") != F.col("nn"))
+    half_dlat = F.radians(F.col("lb") - F.col("la")) / 2.0
+    half_dlon = F.radians(F.col("lob") - F.col("loa")) / 2.0
+    hav = (
+        F.sin(half_dlat) * F.sin(half_dlat)
+        + F.cos(F.radians("la")) * F.cos(F.radians("lb"))
+        * F.sin(half_dlon) * F.sin(half_dlon)
+    )
+    d = cand.select(
+        "id",
+        F.col("nn").alias("nearest_id"),
+        F.round(2.0 * 6371.0 * F.asin(F.sqrt(hav)), 3).alias("dist_km"),
+    ).filter(F.col("dist_km") <= _Q307_R)
+    w = Window.partitionBy("id").orderBy("dist_km", "nearest_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("id", "nearest_id", "dist_km")
+    )
