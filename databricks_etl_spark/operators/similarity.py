@@ -463,12 +463,18 @@ def semdedup_incremental(
     )
     hot = None
     if max_cell is not None:
+        # materialize the (tiny) hot-cell set once: its lineage is a
+        # full aggregate over the corpus index, and it feeds BOTH the
+        # anti-join and the verdict join — without the checkpoint each
+        # ingest batch would pay that scan twice (the per-ingest cost
+        # the incremental design exists to avoid). Eager by design.
         hot = (
             idx.groupBy("cell_id")
             .agg(F.count(F.lit(1)).alias("__s"))
             .filter(F.col("__s") > max_cell)
             .select("cell_id")
             .withColumn("__hot", F.lit(True))
+            .localCheckpoint()
         )
         idx = idx.join(hot.select("cell_id"), "cell_id", "left_anti")
     m = (

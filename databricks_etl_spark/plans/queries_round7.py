@@ -1655,10 +1655,14 @@ def q303_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY 1, 2
         ),
         f AS (
-            SELECT event_type, day, n,
-                   lag(n, 7) OVER (
-                       PARTITION BY event_type ORDER BY day) AS fc
-            FROM daily
+            -- DAY-KEYED join, not a row-based lag: a (type, day) bucket
+            -- with zero events produces no row, and lag(7) over rows
+            -- would then silently misalign the calendar; the self-join
+            -- states forecast(day) = actual(day - 7) exactly, and days
+            -- whose day-7 is absent drop out of the eval window
+            SELECT a.event_type, a.day, a.n, p.n AS fc
+            FROM daily a JOIN daily p
+              ON a.event_type = p.event_type AND p.day = a.day - 7
         ),
         e AS (
             SELECT event_type, day, n, fc,
@@ -1684,7 +1688,8 @@ def q304_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector alarms; this quantifies baseline predictability). MAPE
     and SMAPE per type, with per-day rounded ratios accumulated in
     DECIMAL (q263's discipline) so the averages are order-independent.
-    The lag(7) window is per (type, day) — bounded by day count, the
+    The forecast alignment is a DAY-KEYED self-join (calendar day − 7,
+    never a row-based lag that would misalign on missing days); the
     daily pre-aggregate is the only data-sized shuffle."""
     e = read_table(spark, sf_dir, "events")
     daily = (
@@ -1697,8 +1702,14 @@ def q304_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    w = Window.partitionBy("event_type").orderBy("day")
-    f = daily.withColumn("fc", F.lag("n", 7).over(w))
+    # day-keyed self-join (see oracle comment): forecast(day) is the
+    # actual at day-7 BY CALENDAR, robust to missing (type, day) rows
+    past = daily.select(
+        F.col("event_type"),
+        (F.col("day") + 7).alias("day"),
+        F.col("n").alias("fc"),
+    )
+    f = daily.join(past, ["event_type", "day"])
     ev = f.filter(F.col("fc").isNotNull() & (F.col("n") > 0)).select(
         "event_type",
         F.round(F.abs(F.col("n") - F.col("fc")) / F.col("n").cast("double"), 9)
@@ -1892,16 +1903,20 @@ def q306_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q307 — geospatial radius join (grid-bucketed haversine)
+# q307/q308 — geospatial lane: grid-bucketed haversine radius join + NN
 # ---------------------------------------------------------------------------
 
 _Q307_R = 40.0  # km — below one grid degree everywhere at |lat| <= 60
 
 
-@query(
-    "q307_geo_radius_join",
-    oracle=f"""
-        WITH pts AS (
+def _geo_sql() -> str:
+    """Shared oracle CTE chain for the geo lane: deterministic lat/lon
+    points, 1-degree grid cells, the 3x3 neighborhood with ANTIMERIDIAN
+    WRAP (cx arithmetic mod 360, so lon +179.9 and -179.9 are
+    neighbors), and DIRECTED candidate distances within the working
+    radius — ONE definition for both queries and both engines (the
+    _semdedup_cells_sql precedent)."""
+    return f"""pts AS (
             SELECT c_custkey AS id,
                    CAST(c_custkey % 12000 AS DOUBLE) / 100.0 - 60.0 AS lat,
                    CAST((c_custkey * 7) % 36000 AS DOUBLE) / 100.0 - 180.0
@@ -1915,7 +1930,8 @@ _Q307_R = 40.0  # km — below one grid degree everywhere at |lat| <= 60
             FROM pts
         ),
         nb AS (
-            SELECT id, lat, lon, cy + dy AS cy, cx + dx AS cx
+            SELECT id, lat, lon, cy + dy AS cy,
+                   ((cx + dx + 540) % 360) - 180 AS cx
             FROM cells,
                  (SELECT unnest(range(-1, 2)) AS dy) a,
                  (SELECT unnest(range(-1, 2)) AS dx) b
@@ -1924,7 +1940,7 @@ _Q307_R = 40.0  # km — below one grid degree everywhere at |lat| <= 60
             SELECT n.id AS id_a, c.id AS id_b,
                    n.lat AS la, n.lon AS loa, c.lat AS lb, c.lon AS lob
             FROM nb n JOIN cells c ON n.cy = c.cy AND n.cx = c.cx
-            WHERE n.id < c.id
+            WHERE n.id <> c.id
         ),
         d AS (
             SELECT id_a, id_b,
@@ -1935,22 +1951,22 @@ _Q307_R = 40.0  # km — below one grid degree everywhere at |lat| <= 60
                            * sin(radians(lob - loa) / 2.0)
                            * sin(radians(lob - loa) / 2.0))), 3) AS dist_km
             FROM cand
-        )
-        SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= {_Q307_R}
-    """,
-)
-def q307_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geospatial radius self-join, the scalable way: customers mapped
-    to deterministic lat/lon (|lat| ≤ 60°, where one 1°-grid degree ≥
-    55 km > the 40 km radius), bucketed into a 1° grid, one side
-    exploded to its 3×3 cell neighborhood, candidates from the cell
-    equi-join only — NEVER an all-pairs distance computation — then
-    exact haversine verify on candidates (the standard geohash-bucket
-    + verify spatial join, cf. any production geo pipeline). Each true
-    pair is generated exactly once: the right side carries its single
-    home cell, which appears in the left side's neighborhood exactly
-    once. Trig is cross-engine bit-stable here (the ln/exp precedent);
-    distances round to 3 dp before the threshold compare."""
+        ),
+        within AS (
+            SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= {_Q307_R}
+        )"""
+
+
+def _geo_neighbor_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED (id_a, id_b, dist_km) pairs within the working radius —
+    the engine twin of :func:`_geo_sql`'s ``within`` CTE: points on a
+    1-degree grid, left side exploded to its 3x3 cell neighborhood
+    with antimeridian wrap, candidates from the cell equi-join only
+    (never all-pairs), exact haversine verify on candidates. Each
+    directed pair appears exactly once (the right side carries its
+    single home cell). |lat| <= 60 keeps one grid degree >= 55 km >
+    the 40 km radius, so the 3x3 ring is complete; latitude cells
+    never wrap (no points near the poles)."""
     c = read_table(spark, sf_dir, "customer")
     pts = c.select(
         F.col("c_custkey").alias("id"),
@@ -1972,7 +1988,7 @@ def q307_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lat").alias("la"),
         F.col("lon").alias("loa"),
         (F.col("cy") + F.col("dy")).alias("cy"),
-        (F.col("cx") + F.col("dx")).alias("cx"),
+        (((F.col("cx") + F.col("dx") + 540) % 360) - 180).alias("cx"),
     )
     right = cells.select(
         F.col("id").alias("id_b"),
@@ -1981,7 +1997,7 @@ def q307_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cy",
         "cx",
     )
-    cand = nb.join(right, ["cy", "cx"]).filter(F.col("id_a") < F.col("id_b"))
+    cand = nb.join(right, ["cy", "cx"]).filter(F.col("id_a") != F.col("id_b"))
     half_dlat = F.radians(F.col("lb") - F.col("la")) / 2.0
     half_dlon = F.radians(F.col("lob") - F.col("loa")) / 2.0
     hav = (
@@ -1989,113 +2005,62 @@ def q307_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.cos(F.radians("la")) * F.cos(F.radians("lb"))
         * F.sin(half_dlon) * F.sin(half_dlon)
     )
-    d = cand.select(
+    return cand.select(
         "id_a", "id_b",
         F.round(2.0 * 6371.0 * F.asin(F.sqrt(hav)), 3).alias("dist_km"),
+    ).filter(F.col("dist_km") <= _Q307_R)
+
+
+@query(
+    "q307_geo_radius_join",
+    oracle=f"""
+        WITH {_geo_sql()}
+        SELECT id_a, id_b, dist_km FROM within WHERE id_a < id_b
+    """,
+)
+def q307_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial radius self-join, the scalable way: 1-degree grid
+    bucketing with antimeridian wrap, 3x3 neighborhood candidates from
+    the cell equi-join only — NEVER an all-pairs distance computation
+    — then exact haversine verify (the standard geohash-bucket +
+    verify spatial join). Undirected output: each pair once via
+    id_a < id_b over the shared directed candidate relation
+    (:func:`_geo_neighbor_distances`). Trig is cross-engine bit-stable
+    here (the ln/exp precedent); distances round to 3 dp before the
+    threshold compare."""
+    return _geo_neighbor_distances(spark, sf_dir).filter(
+        F.col("id_a") < F.col("id_b")
     )
-    return d.filter(F.col("dist_km") <= _Q307_R)
 
 
 @query(
     "q308_geo_nearest_neighbor",
     oracle=f"""
-        WITH pts AS (
-            SELECT c_custkey AS id,
-                   CAST(c_custkey % 12000 AS DOUBLE) / 100.0 - 60.0 AS lat,
-                   CAST((c_custkey * 7) % 36000 AS DOUBLE) / 100.0 - 180.0
-                       AS lon
-            FROM customer
-        ),
-        cells AS (
-            SELECT id, lat, lon,
-                   CAST(floor(lat) AS BIGINT) AS cy,
-                   CAST(floor(lon) AS BIGINT) AS cx
-            FROM pts
-        ),
-        nb AS (
-            SELECT id, lat, lon, cy + dy AS cy, cx + dx AS cx
-            FROM cells,
-                 (SELECT unnest(range(-1, 2)) AS dy) a,
-                 (SELECT unnest(range(-1, 2)) AS dx) b
-        ),
-        cand AS (
-            SELECT n.id AS id, c.id AS nn,
-                   n.lat AS la, n.lon AS loa, c.lat AS lb, c.lon AS lob
-            FROM nb n JOIN cells c ON n.cy = c.cy AND n.cx = c.cx
-            WHERE n.id <> c.id
-        ),
-        d AS (
-            SELECT id, nn,
-                   round(2.0 * 6371.0 * asin(sqrt(
-                       sin(radians(lb - la) / 2.0)
-                           * sin(radians(lb - la) / 2.0)
-                       + cos(radians(la)) * cos(radians(lb))
-                           * sin(radians(lob - loa) / 2.0)
-                           * sin(radians(lob - loa) / 2.0))), 3) AS dist_km
-            FROM cand
-        ),
+        WITH {_geo_sql()},
         r AS (
-            SELECT id, nn AS nearest_id, dist_km,
+            SELECT id_a AS id, id_b AS nearest_id, dist_km,
                    row_number() OVER (
-                       PARTITION BY id ORDER BY dist_km, nn) AS rk
-            FROM d WHERE dist_km <= {_Q307_R}
+                       PARTITION BY id_a ORDER BY dist_km, id_b) AS rk
+            FROM within
         )
         SELECT id, nearest_id, dist_km FROM r WHERE rk = 1
     """,
 )
 def q308_geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest spatial neighbor within the 40 km working radius, from
-    the SAME grid-neighborhood candidate machinery as q307 (points
-    whose nearest neighbor is farther than the radius are absent —
-    production then widens the ring, the standard iterative-expansion
-    NN search). Argmin per point over candidates only, (dist, id)
-    tiebroken; the per-point window is bounded by cell occupancy."""
-    c = read_table(spark, sf_dir, "customer")
-    pts = c.select(
-        F.col("c_custkey").alias("id"),
-        ((F.col("c_custkey") % 12000).cast("double") / 100.0 - 60.0).alias("lat"),
-        (((F.col("c_custkey") * 7) % 36000).cast("double") / 100.0 - 180.0).alias(
-            "lon"
-        ),
-    )
-    cells = pts.select(
-        "id", "lat", "lon",
-        F.floor("lat").cast("long").alias("cy"),
-        F.floor("lon").cast("long").alias("cx"),
-    )
-    off = spark.createDataFrame(
-        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], "dy long, dx long"
-    )
-    nb = cells.crossJoin(F.broadcast(off)).select(
-        "id",
-        F.col("lat").alias("la"),
-        F.col("lon").alias("loa"),
-        (F.col("cy") + F.col("dy")).alias("cy"),
-        (F.col("cx") + F.col("dx")).alias("cx"),
-    )
-    right = cells.select(
-        F.col("id").alias("nn"),
-        F.col("lat").alias("lb"),
-        F.col("lon").alias("lob"),
-        "cy",
-        "cx",
-    )
-    cand = nb.join(right, ["cy", "cx"]).filter(F.col("id") != F.col("nn"))
-    half_dlat = F.radians(F.col("lb") - F.col("la")) / 2.0
-    half_dlon = F.radians(F.col("lob") - F.col("loa")) / 2.0
-    hav = (
-        F.sin(half_dlat) * F.sin(half_dlat)
-        + F.cos(F.radians("la")) * F.cos(F.radians("lb"))
-        * F.sin(half_dlon) * F.sin(half_dlon)
-    )
-    d = cand.select(
-        "id",
-        F.col("nn").alias("nearest_id"),
-        F.round(2.0 * 6371.0 * F.asin(F.sqrt(hav)), 3).alias("dist_km"),
-    ).filter(F.col("dist_km") <= _Q307_R)
-    w = Window.partitionBy("id").orderBy("dist_km", "nearest_id")
+    the SAME directed candidate relation as q307 (points whose nearest
+    neighbor is farther than the radius are absent — production then
+    widens the ring, the standard iterative-expansion NN search).
+    Argmin per point, (dist, id) tiebroken; the per-point window is
+    bounded by cell occupancy."""
+    d = _geo_neighbor_distances(spark, sf_dir)
+    w = Window.partitionBy("id_a").orderBy("dist_km", "id_b")
     return (
         d.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("id", "nearest_id", "dist_km")
+        .select(
+            F.col("id_a").alias("id"),
+            F.col("id_b").alias("nearest_id"),
+            "dist_km",
+        )
     )

@@ -125,13 +125,17 @@ def run_streaming_semdedup(
     pairs_path = scratch_dir("sd_pairs_", key=sf_dir)
 
     corpus = read_table(spark, sf_dir, "embeddings")
-    # FULL (non-dynamic) overwrites clear stale epochs from a previous
-    # run — scratch_dir's contract: reruns REPLACE, callers never
-    # rmtree a path a returned lazy DataFrame may still read
+    # FULL overwrites clear stale epochs from a previous run —
+    # scratch_dir's contract: reruns REPLACE, callers never rmtree a
+    # path a returned lazy DataFrame may still read. The STATIC mode
+    # is pinned per-write: a session-level dynamic default (a config
+    # this module itself uses for epoch writes) would otherwise turn
+    # these into partition-scoped overwrites that leak stale epochs.
     (
         assign_cells(corpus, centroids)
         .withColumn("__epoch", F.lit(-1))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("__epoch")
         .parquet(index_path)
     )
@@ -139,6 +143,7 @@ def run_streaming_semdedup(
     (
         spark.createDataFrame([], pairs_schema)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("__epoch")
         .parquet(pairs_path)
     )

@@ -302,3 +302,20 @@ def test_semdedup_incremental_hot_cell_cap(spark):
     full = {r.vec_id: r for r in
             semdedup_incremental(batch, cells, cents, 0.9).collect()}
     assert full[201].n_matches == 5
+
+
+def test_geo_radius_antimeridian_wrap(spark):
+    """The grid neighborhood wraps across lon ±180: the sf0.1 custkey
+    pair (5142, 5143) sits ~7.8 km apart straddling the antimeridian
+    (lon +179.95 vs −179.99) and must appear in the radius join —
+    an unwrapped cx join would silently drop it while parity stays
+    green (the oracle shares the construction)."""
+    import pyspark.sql.functions as F
+
+    from databricks_etl_spark.plans.queries_round7 import (
+        _geo_neighbor_distances,
+    )
+
+    d = _geo_neighbor_distances(spark, "/root/testdata/sf0.1")
+    hit = d.filter((F.col("id_a") == 5142) & (F.col("id_b") == 5143)).collect()
+    assert len(hit) == 1 and hit[0].dist_km < 40.0, hit
