@@ -2064,3 +2064,104 @@ def q308_geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist_km",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q309 — multimodal joint dedup verdict
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q309_multimodal_dedup_verdict",
+    oracle=rf"""
+        WITH {_Q300_AHASH},
+        tfp AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fp
+            FROM documents WHERE doc_id < 200
+        ),
+        wd AS (
+            SELECT doc_id, 32 + doc_id % 97 AS n
+            FROM documents WHERE doc_id < 200
+        ),
+        ws AS (
+            SELECT doc_id, n, i,
+                   ((doc_id * 131 + i * 7919) % 65536) - 32768 AS v
+            FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM wd)
+        ),
+        wfr AS (
+            SELECT doc_id, CAST(i * 16 // n AS BIGINT) AS f,
+                   SUM(v * v) AS energy
+            FROM ws GROUP BY 1, 2
+        ),
+        afp AS (
+            SELECT a.doc_id,
+                   CAST(SUM(CASE WHEN b.energy > a.energy
+                            THEN (CAST(1 AS BIGINT) << CAST(a.f AS INT))
+                            ELSE 0 END) AS BIGINT) AS fp
+            FROM wfr a JOIN wfr b
+              ON a.doc_id = b.doc_id AND b.f = a.f + 1
+            GROUP BY 1
+        ),
+        tdup AS (
+            SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) > 1 AS hit
+            FROM tfp
+        ),
+        idup AS (
+            SELECT doc_id, COUNT(*) OVER (PARTITION BY ahash) > 1 AS hit
+            FROM ah
+        ),
+        adup AS (
+            SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) > 1 AS hit
+            FROM afp
+        )
+        SELECT t.doc_id,
+               t.hit AS text_dup,
+               i.hit AS image_dup,
+               a.hit AS audio_dup,
+               (t.hit OR i.hit OR a.hit) AS any_dup
+        FROM tdup t
+        JOIN idup i ON t.doc_id = i.doc_id
+        JOIN adup a ON t.doc_id = a.doc_id
+    """,
+)
+def q309_multimodal_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal dedup capstone: ONE verdict per document joining
+    the three modality fingerprints the engine extracts through real
+    codecs — normalized-text md5 (q40), image aHash through the BMP
+    parser (q300), audio energy contour through the RIFF parser (q303)
+    — a document is a duplicate candidate if ANY modality collides
+    with another document. This is the cross-modal policy a training
+    pipeline actually enforces (re-encoded images and re-narrated
+    audio survive text-only dedup). Each modality's collision flag is
+    a count-over-fingerprint window (bounded by fingerprint
+    multiplicity); the three flags join on doc_id."""
+    from databricks_etl_spark.operators import multimodal as MM
+    from databricks_etl_spark.operators.text import doc_fingerprint
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tfp = doc_fingerprint(d).select("doc_id", F.col("md5_fp").alias("fp"))
+    ifp = MM.image_ahash(MM.generate_bmp_payloads(d))
+    afp = MM.audio_fingerprints(MM.generate_wav_payloads(d))
+
+    def flag(df, col, name):
+        w = Window.partitionBy(col)
+        return df.select(
+            "doc_id", (F.count(F.lit(1)).over(w) > 1).alias(name)
+        )
+
+    return (
+        flag(tfp, "fp", "text_dup")
+        .join(flag(ifp, "ahash", "image_dup"), "doc_id")
+        .join(flag(afp, "afp", "audio_dup"), "doc_id")
+        .select(
+            "doc_id",
+            "text_dup",
+            "image_dup",
+            "audio_dup",
+            (F.col("text_dup") | F.col("image_dup") | F.col("audio_dup")).alias(
+                "any_dup"
+            ),
+        )
+    )
