@@ -2165,3 +2165,254 @@ def q309_multimodal_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q310 — ANN quality metrics (recall@10 / MRR), fully oracled
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q310_ann_recall_mrr",
+    oracle=f"""
+        WITH cents(cid, c) AS (
+            VALUES {", ".join(f"({j}, {c})" for j, c in enumerate(_Q285_CENTS))}
+        ),
+        casg AS (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY {_Q285_D2}, cid
+                   ) AS rn
+            FROM embeddings, cents
+        ),
+        cells AS (
+            SELECT vec_id, embedding, CAST(cid AS INT) AS cell_id
+            FROM casg WHERE rn = 1
+        ),
+        q AS (SELECT * FROM cells WHERE vec_id < 20),
+        s AS (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   q.cell_id = c.cell_id AS same_cell,
+                   round({_Q285_DOT.format(a='q.embedding', b='c.embedding')}
+                         / (sqrt({_Q285_DOT.format(a='q.embedding', b='q.embedding')})
+                            * sqrt({_Q285_DOT.format(a='c.embedding', b='c.embedding')})),
+                         6) AS sim
+            FROM q JOIN cells c ON q.vec_id <> c.vec_id
+        ),
+        ex AS (
+            SELECT qid, nid,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+            FROM s
+        ),
+        truth AS (SELECT qid, nid, rk FROM ex WHERE rk <= 10),
+        ann AS (
+            SELECT qid, nid,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+            FROM s WHERE same_cell
+        ),
+        approx AS (SELECT qid, nid FROM ann WHERE rk <= 10),
+        hits AS (
+            SELECT t.qid,
+                   CAST(COUNT(a.nid) AS BIGINT) AS n_hit,
+                   MIN(CASE WHEN t.rk = 1 AND a.nid IS NOT NULL
+                            THEN 1.0 END) AS top1_found
+            FROM truth t
+            LEFT JOIN approx a ON t.qid = a.qid AND t.nid = a.nid
+            GROUP BY t.qid
+        ),
+        per AS (
+            SELECT qid,
+                   CAST(round(n_hit / 10.0, 6) AS DECIMAL(18,9)) AS recall10,
+                   CAST(COALESCE(top1_found, 0.0) AS DECIMAL(18,9)) AS top1
+            FROM hits
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               round(CAST(SUM(recall10) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_recall_at_10,
+               round(CAST(SUM(top1) AS DOUBLE) / COUNT(*), 6)
+                   AS top1_recall
+        FROM per
+    """,
+)
+def q310_ann_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QUALITY metrics made hash-checkable: the deterministic
+    cell-restricted search (probe only the query's own comb cell —
+    IVF with n_probe=1 over q285's quantizer) scored against the exact
+    brute-force top-10 truth: mean recall@10 and top-1 recall over 20
+    query vectors. The seeded production indexes (BRP q48, IVF q68)
+    get rows-only bracket gates (q145/q116); this twin proves the
+    *evaluation machinery itself* end to end against an oracle, so a
+    recall-computation bug can't hide inside the gates. Per-query
+    ratios accumulate in DECIMAL; both rankings share the
+    (sim DESC, id) total order."""
+    from databricks_etl_spark.operators.similarity import assign_cells, cosine
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
+    )
+    cells = assign_cells(e, cents).localCheckpoint()
+    qv = cells.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("__qe"),
+        F.col("cell_id").alias("__qc"),
+    )
+    s = (
+        cells.join(F.broadcast(qv), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (F.col("cell_id") == F.col("__qc")).alias("same_cell"),
+            F.round(cosine(F.col("__qe"), F.col("embedding")), 6).alias("sim"),
+        )
+        .localCheckpoint()  # one scoring pass feeds both rankings
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    truth = (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "nid", "rk")
+    )
+    # FULL rename on the approx side: truth and ann share lineage (one
+    # localCheckpointed scoring pass), so joining on same-named columns
+    # would hit Spark's ambiguous self-join resolution
+    ann = (
+        s.filter("same_cell")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(F.col("qid").alias("__aqid"), F.col("nid").alias("__anid"))
+    )
+    hits = (
+        truth.join(
+            ann,
+            (F.col("qid") == F.col("__aqid")) & (F.col("nid") == F.col("__anid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("__anid").cast("long").alias("n_hit"),
+            F.min(
+                F.when((F.col("rk") == 1) & F.col("__anid").isNotNull(), 1.0)
+            ).alias("top1_found"),
+        )
+    )
+    per = hits.select(
+        F.round(F.col("n_hit") / 10.0, 6).cast("decimal(18,9)").alias("recall10"),
+        F.coalesce("top1_found", F.lit(0.0)).cast("decimal(18,9)").alias("top1"),
+    )
+    n = F.count(F.lit(1))
+    return per.agg(
+        n.cast("long").alias("n_queries"),
+        F.round(F.sum("recall10").cast("double") / n, 6).alias("mean_recall_at_10"),
+        F.round(F.sum("top1").cast("double") / n, 6).alias("top1_recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q311 — vocabulary drift between corpus snapshots (token-level PSI)
+# ---------------------------------------------------------------------------
+
+_Q311_K = 50
+
+
+@query(
+    "q311_vocab_drift",
+    oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id % 2 AS snap,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ),
+        top AS (
+            SELECT w FROM (
+                SELECT w, COUNT(*) AS c FROM tok GROUP BY 1
+                ORDER BY c DESC, w LIMIT {_Q311_K}
+            )
+        ),
+        per AS (
+            SELECT top.w,
+                   CAST(SUM(CASE WHEN tok.snap = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN tok.snap = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b
+            FROM top JOIN tok ON top.w = tok.w
+            GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM per),
+        c AS (
+            SELECT w AS token, n_a, n_b,
+                   round(((CAST(n_a AS DOUBLE) + 1.0)
+                              / (CAST(ta AS DOUBLE) + {_Q311_K})
+                          - (CAST(n_b AS DOUBLE) + 1.0)
+                              / (CAST(tb AS DOUBLE) + {_Q311_K}))
+                         * ln(((CAST(n_a AS DOUBLE) + 1.0)
+                                   / (CAST(ta AS DOUBLE) + {_Q311_K}))
+                              / ((CAST(n_b AS DOUBLE) + 1.0)
+                                   / (CAST(tb AS DOUBLE) + {_Q311_K}))),
+                         6) AS psi_contrib
+            FROM per, tot
+        ),
+        s AS (
+            SELECT round(CAST(SUM(CAST(psi_contrib AS DECIMAL(18,6)))
+                              AS DOUBLE), 6) AS psi_total
+            FROM c
+        )
+        SELECT c.token, c.n_a, c.n_b, c.psi_contrib, s.psi_total FROM c, s
+    """,
+)
+def q311_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitor at the VOCABULARY level: the top-50 tokens
+    by total count, with their Laplace-smoothed frequency shares
+    compared between two snapshots (even/odd doc halves playing two
+    crawls) via per-token PSI contributions — the drift alarm an LLM
+    data pipeline runs between crawl batches (a topic shift or a spam
+    influx moves token mass long before quality metrics drop; q293 is
+    the numeric-feature sibling). Top-K selection is
+    TakeOrderedAndProject with an explicit (count, token) total order;
+    contributions round then decimal-sum into the stated total."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("snap"), F.explode(tokens_col("text")).alias("w")
+    )
+    top = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_Q311_K)
+        .select("w")
+    )
+    per = (
+        top.join(tok, "w")
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    tot = per.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    pa = (F.col("n_a").cast("double") + 1.0) / (
+        F.col("ta").cast("double") + float(_Q311_K)
+    )
+    pb = (F.col("n_b").cast("double") + 1.0) / (
+        F.col("tb").cast("double") + float(_Q311_K)
+    )
+    c = per.crossJoin(F.broadcast(tot)).select(
+        F.col("w").alias("token"),
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+    )
+    s = c.agg(
+        F.round(
+            F.sum(F.col("psi_contrib").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("psi_total")
+    )
+    return c.crossJoin(F.broadcast(s))
