@@ -17,6 +17,7 @@ import glob
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -58,7 +59,12 @@ def _attempt_number(sf_dir: str) -> int:
     import datetime
 
     key = f"{sf_dir}:{datetime.date.today().isoformat()}"
-    path = "/tmp/spark_graft_bench_attempts.json"
+    # UID-namespaced so two users on a shared machine never collide on
+    # (or lose tracking to) each other's scratch file.
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bench_attempts_{uid}.json"
+    )
     try:
         with open(path) as f:
             state = json.load(f)

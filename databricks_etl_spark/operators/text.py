@@ -299,6 +299,11 @@ def char_grams(
 
     Documents shorter than ``length`` contribute nothing (and the
     ``sequence`` bounds stay legal)."""
+    if length < 1 or stride < 1:
+        raise ValueError(
+            f"char_grams requires length >= 1 and stride >= 1, "
+            f"got length={length} stride={stride}"
+        )
     pos = F.sequence(
         F.lit(1), F.length(text_col) - F.lit(length - 1), F.lit(stride)
     )

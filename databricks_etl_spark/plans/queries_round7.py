@@ -760,7 +760,7 @@ def q291_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                        round({_Q285_DOT.format(a='qe', b='ce')}
                              / (sqrt({_Q285_DOT.format(a='qe', b='qe')})
                                 * sqrt({_Q285_DOT.format(a='ce', b='ce')})), 6)
-                           AS cosine_sim
+                           + 0.0 AS cosine_sim
                 FROM q, c WHERE ql != nl
              ),
              r AS (
@@ -805,7 +805,9 @@ def q292_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.col("__nl").cast("int").alias("neg_label"),
-            F.round(cosine(F.col("__qe"), F.col("__ce")), 6).alias("cosine_sim"),
+            (F.round(cosine(F.col("__qe"), F.col("__ce")), 6) + F.lit(0.0)).alias(
+                "cosine_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -859,12 +861,12 @@ def q292_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         c AS (
             SELECT bin, n_a, n_b,
-                   round((pa - pb) * ln(pa / pb), 6) AS psi_contrib
+                   round((pa - pb) * ln(pa / pb), 6) + 0.0 AS psi_contrib
             FROM p
         ),
         s AS (
             SELECT round(CAST(SUM(CAST(psi_contrib AS DECIMAL(18,6)))
-                              AS DOUBLE), 6) AS psi_total
+                              AS DOUBLE), 6) + 0.0 AS psi_total
             FROM c
         )
         SELECT c.bin, c.n_a, c.n_b, c.psi_contrib, s.psi_total FROM c, s
@@ -912,13 +914,19 @@ def q293_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         "n_a",
         "n_b",
-        F.round((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 6).alias(
-            "psi_contrib"
-        ),
+        (
+            F.round(
+                (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 6
+            )
+            + F.lit(0.0)
+        ).alias("psi_contrib"),
     )
     s = c.agg(
-        F.round(
-            F.sum(F.col("psi_contrib").cast("decimal(18,6)")).cast("double"), 6
+        (
+            F.round(
+                F.sum(F.col("psi_contrib").cast("decimal(18,6)")).cast("double"), 6
+            )
+            + F.lit(0.0)
         ).alias("psi_total")
     )
     return c.crossJoin(F.broadcast(s))
@@ -2351,12 +2359,12 @@ _Q311_K = 50
                                    / (CAST(ta AS DOUBLE) + {_Q311_K}))
                               / ((CAST(n_b AS DOUBLE) + 1.0)
                                    / (CAST(tb AS DOUBLE) + {_Q311_K}))),
-                         6) AS psi_contrib
+                         6) + 0.0 AS psi_contrib
             FROM per, tot
         ),
         s AS (
             SELECT round(CAST(SUM(CAST(psi_contrib AS DECIMAL(18,6)))
-                              AS DOUBLE), 6) AS psi_total
+                              AS DOUBLE), 6) + 0.0 AS psi_total
             FROM c
         )
         SELECT c.token, c.n_a, c.n_b, c.psi_contrib, s.psi_total FROM c, s
@@ -2408,11 +2416,14 @@ def q311_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("token"),
         "n_a",
         "n_b",
-        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+        (F.round((pa - pb) * F.log(pa / pb), 6) + F.lit(0.0)).alias("psi_contrib"),
     )
     s = c.agg(
-        F.round(
-            F.sum(F.col("psi_contrib").cast("decimal(18,6)")).cast("double"), 6
+        (
+            F.round(
+                F.sum(F.col("psi_contrib").cast("decimal(18,6)")).cast("double"), 6
+            )
+            + F.lit(0.0)
         ).alias("psi_total")
     )
     return c.crossJoin(F.broadcast(s))

@@ -351,6 +351,39 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q280_fk_inference",
         "q281_functional_dependencies",
         "q282_header_detail_reconciliation",
+        # --- round 7 greens (CORRECTNESS_r07.json; 41 green rows, 9
+        # rows-only `no_oracle` rows records excluded by definition;
+        # q01/q42/q43/q89-q92/q98/q99/q132-q134 re-proven, already
+        # listed) ---
+        "q276_embedding_covariance",
+        "q283_exact_contamination_pairs",
+        "q284_scorecard_exact_contamination",
+        "q285_semdedup_fixed_centroids",
+        "q287_semdedup_incremental",
+        "q288_embedding_quantization_audit",
+        "q289_cluster_aware_split",
+        "q290_source_overlap_matrix",
+        "q291_padding_waste_audit",
+        "q292_hard_negatives",
+        "q293_psi_drift",
+        "q294_winsorized_acctbal",
+        "q295_streaming_semdedup",
+        "q296_bigram_lm_score",
+        "q297_weighted_sample",
+        "q298_rate_spike_detection",
+        "q299_dup_cluster_sizes",
+        "q300_image_ahash",
+        "q301_image_ahash_pairs",
+        "q302_image_hamming_pairs",
+        "q303_audio_fingerprint",
+        "q304_seasonal_naive_backtest",
+        "q305_erasure_cascade_audit",
+        "q306_dedup_threshold_sweep",
+        "q307_geo_radius_join",
+        "q308_geo_nearest_neighbor",
+        "q309_multimodal_dedup_verdict",
+        "q310_ann_recall_mrr",
+        "q311_vocab_drift",
     }
 )
 

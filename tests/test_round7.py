@@ -304,18 +304,55 @@ def test_semdedup_incremental_hot_cell_cap(spark):
     assert full[201].n_matches == 5
 
 
-def test_geo_radius_antimeridian_wrap(spark):
-    """The grid neighborhood wraps across lon ±180: the sf0.1 custkey
-    pair (5142, 5143) sits ~7.8 km apart straddling the antimeridian
-    (lon +179.95 vs −179.99) and must appear in the radius join —
-    an unwrapped cx join would silently drop it while parity stays
-    green (the oracle shares the construction)."""
+def test_geo_radius_antimeridian_wrap(spark, sf_dir):
+    """The grid neighborhood wraps across lon ±180: a consecutive
+    custkey pair straddling the antimeridian (derived from the
+    closed-form lon(k) = (7k mod 36000)/100 − 180, so (7k mod 36000)
+    + 7 >= 36000 puts k at lon ≈ +179.9x and k+1 wrapped to ≈ −180)
+    must appear in the radius join — an unwrapped cx join would
+    silently drop it while parity stays green (the oracle shares the
+    construction). The pair is derived, not hardcoded, so the test
+    follows the sf_dir fixture; if the configured SF's key range
+    contains no straddling pair (true below custkey 5142, e.g.
+    sf0.01) it falls back to the largest sibling SF that does."""
+    import glob
+    import os
+
     import pyspark.sql.functions as F
 
     from databricks_etl_spark.plans.queries_round7 import (
         _geo_neighbor_distances,
     )
+    from databricks_etl_spark.sources.readers import read_table
 
-    d = _geo_neighbor_distances(spark, "/root/testdata/sf0.1")
-    hit = d.filter((F.col("id_a") == 5142) & (F.col("id_b") == 5143)).collect()
-    assert len(hit) == 1 and hit[0].dist_km < 40.0, hit
+    def wrap_pair(max_key):
+        return next(
+            (
+                (k, k + 1)
+                for k in range(1, max_key)
+                if (7 * k) % 36000 + 7 >= 36000
+            ),
+            None,
+        )
+
+    def max_key(d):
+        return read_table(spark, d, "customer").agg(F.max("c_custkey")).first()[0]
+
+    use_dir, pair = sf_dir, wrap_pair(max_key(sf_dir))
+    if pair is None:
+        for cand in sorted(
+            glob.glob(os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf*")),
+            key=lambda p: -os.path.getsize(os.path.join(p, "customer.parquet")),
+        ):
+            pair = wrap_pair(max_key(cand))
+            if pair is not None:
+                use_dir = cand
+                break
+    if pair is None:
+        pytest.skip("no SF with an antimeridian-straddling custkey pair")
+
+    d = _geo_neighbor_distances(spark, use_dir)
+    hit = d.filter(
+        (F.col("id_a") == pair[0]) & (F.col("id_b") == pair[1])
+    ).collect()
+    assert len(hit) == 1 and hit[0].dist_km < 40.0, (pair, hit)
