@@ -1,0 +1,86 @@
+"""Sequence packing for training dataloaders: first-fit-decreasing
+bin-packing of documents into fixed-token-budget sequences.
+
+FFD is an inherently sequential fold (each placement depends on every
+earlier one), so it is the sanctioned ``applyInPandas`` case: the fold
+runs Arrow-batched inside fixed-size PLANNING SHARDS that pack
+independently and in parallel — the standard 100 TB compromise (one
+global FFD would serialize the cluster). Sharding is ``doc_id % S``
+with S sized so each shard holds ~``shard_size`` docs: deterministic,
+shuffle-free beyond the one groupBy, and the waste bound degrades only
+by <= 1 partial sequence per shard vs global FFD. Inside a shard the
+classic (length DESC, doc_id ASC) FFD total order applies, so the plan
+is bit-reproducible on any partitioning/engine — a DuckDB recursive
+CTE states the identical placement (plans/queries_round8.py).
+
+NOTE: this module deliberately has no ``from __future__ import
+annotations`` (pandas-UDF machinery breaks under it — CLAUDE.md).
+
+No reference counterpart (the reference has no training-data
+machinery); extends SURVEY.md §2.12.
+"""
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SEQ_NS = 1_000_000  # seq_id = shard * _SEQ_NS + within-shard bin (1-based)
+
+
+def ffd_pack(
+    docs: DataFrame,
+    budget: int,
+    shard_size: int = 128,
+    *,
+    id_col: str = "doc_id",
+    len_col: str = "len",
+) -> DataFrame:
+    """Pack ``docs`` (``id_col``, ``len_col`` token counts) into
+    sequences of capacity ``budget`` via per-shard FFD.
+
+    Returns one row per document: (doc_id, seq_id, seq_offset,
+    n_tokens) with the invariants a training dataloader relies on —
+    every doc placed exactly once, per-sequence token sums never
+    exceed ``budget``, and segments within a sequence are contiguous
+    from offset 0 (FFD fills bins front-to-back). Lengths are clamped
+    to ``budget`` (an over-long doc occupies a full sequence; the
+    chunking lane is the upstream fix for those).
+    """
+    if budget < 1 or shard_size < 1:
+        raise ValueError(
+            f"ffd_pack requires budget >= 1 and shard_size >= 1, "
+            f"got budget={budget} shard_size={shard_size}"
+        )
+    import pandas as pd
+
+    n = docs.count()  # one scalar to size the shard modulus
+    n_shards = max(1, math.ceil(n / shard_size))
+    it = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.least(F.col(len_col), F.lit(budget)).cast("long").alias("len"),
+    ).withColumn("shard", (F.col("doc_id") % n_shards).cast("long"))
+
+    def _ffd(pdf):
+        pdf = pdf.sort_values(["len", "doc_id"], ascending=[False, True])
+        shard = int(pdf["shard"].iloc[0])
+        residuals = []
+        out = []
+        for doc_id, ln in zip(pdf["doc_id"], pdf["len"]):
+            ln = int(ln)
+            j = next((i for i, r in enumerate(residuals) if r >= ln), None)
+            if j is None:
+                residuals.append(budget - ln)
+                j = len(residuals) - 1
+                off = 0
+            else:
+                off = budget - residuals[j]
+                residuals[j] -= ln
+            out.append((int(doc_id), shard * _SEQ_NS + j + 1, off, ln))
+        return pd.DataFrame(
+            out, columns=["doc_id", "seq_id", "seq_offset", "n_tokens"]
+        )
+
+    return it.groupBy("shard").applyInPandas(
+        _ffd, "doc_id long, seq_id long, seq_offset long, n_tokens long"
+    )

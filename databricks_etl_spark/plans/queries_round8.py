@@ -146,3 +146,154 @@ from dataclasses import replace as _replace  # noqa: E402
 QUERIES["q312_training_manifest"] = _replace(
     QUERIES["q312_training_manifest"], oracle=_q312_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# q313/q314 — sequence-packing planner (fixes the waste q291 measures)
+# ---------------------------------------------------------------------------
+
+_Q313_B = 256  # token budget per training sequence
+_Q313_P = 128  # planning-shard size (docs per independent FFD fold)
+
+# first index of a residual bin that fits the item, else NULL — the
+# first-fit probe, shared across every recursive-term use below
+_Q313_FIT = "list_filter(range(1, len(p.res) + 1), jj -> p.res[jj] >= i.len)[1]"
+
+
+def _q313_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _Q291_TOKS
+
+    return f"""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, least({_Q291_TOKS}, {_Q313_B}) AS len
+              FROM documents),
+        sc AS (SELECT CAST(ceil(COUNT(*) / {_Q313_P}.0) AS BIGINT) AS s
+               FROM t),
+        it AS (
+            SELECT doc_id, len, doc_id % sc.s AS shard,
+                   row_number() OVER (PARTITION BY doc_id % sc.s
+                                      ORDER BY len DESC, doc_id) AS k
+            FROM t, sc
+        ),
+        pack AS (
+            SELECT shard, CAST(0 AS BIGINT) AS k,
+                   CAST([] AS BIGINT[]) AS res,
+                   CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS BIGINT) AS bin,
+                   CAST(NULL AS BIGINT) AS off
+            FROM (SELECT DISTINCT shard FROM it)
+            UNION ALL
+            SELECT i.shard, i.k,
+                   CASE WHEN {_Q313_FIT} IS NULL
+                        THEN list_append(p.res, {_Q313_B} - i.len)
+                        ELSE list_transform(range(1, len(p.res) + 1),
+                             jj -> CASE WHEN jj = {_Q313_FIT}
+                                        THEN p.res[jj] - i.len
+                                        ELSE p.res[jj] END)
+                   END,
+                   i.doc_id,
+                   COALESCE({_Q313_FIT}, len(p.res) + 1),
+                   CASE WHEN {_Q313_FIT} IS NULL THEN 0
+                        ELSE {_Q313_B} - p.res[{_Q313_FIT}]
+                   END
+            FROM pack p JOIN it i ON i.shard = p.shard AND i.k = p.k + 1
+        )
+        SELECT p.doc_id,
+               CAST(p.shard * 1000000 + p.bin AS BIGINT) AS seq_id,
+               CAST(p.off AS BIGINT) AS seq_offset,
+               CAST(i.len AS BIGINT) AS n_tokens
+        FROM pack p JOIN it i ON p.shard = i.shard AND p.k = i.k
+        WHERE p.k >= 1
+    """
+
+
+@query("q313_sequence_packing", oracle=None)  # oracle set below
+def q313_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sequence-packing PLANNER that fixes the padding waste q291
+    measures: first-fit-decreasing bin-packing of documents into
+    fixed-256-token training sequences, emitting (doc_id, seq_id,
+    seq_offset, n_tokens). FFD runs inside ~128-doc planning shards
+    (``doc_id % S``) that pack independently — the parallel-at-100TB
+    compromise (a single global FFD fold would serialize the cluster;
+    the waste bound degrades by <= 1 partial sequence per shard) —
+    with the stated (length DESC, doc_id ASC) total order inside each
+    shard, so the placement is deterministic on any partitioning. The
+    fold itself is the sanctioned Arrow-batched ``applyInPandas``
+    case (operators/packing.py); the oracle states the identical
+    placement with a per-shard simultaneous recursive CTE carrying
+    each shard's residual list."""
+    from databricks_etl_spark.operators.packing import ffd_pack
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(tokens_col("text")).cast("long").alias("len"))
+    return ffd_pack(t, _Q313_B, _Q313_P)
+
+
+QUERIES["q313_sequence_packing"] = _replace(
+    QUERIES["q313_sequence_packing"], oracle=_q313_oracle()
+)
+
+
+@query("q314_packing_efficiency", oracle=None)  # oracle set below
+def q314_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-efficiency audit closing q291's loop: ONE row
+    comparing the FFD plan's realized waste (padding = unfilled
+    capacity across its sequences) against q291's single-bucket
+    pad-to-max baseline — the before/after a dataloader change ships
+    with. Composes the two registered queries (q313 placements, q291
+    baseline) so the audit can never drift from the plans it scores;
+    integer sums, two non-negative 6dp ratios."""
+    from databricks_etl_spark.plans.queries_round7 import (
+        q291_padding_waste_audit,
+    )
+
+    p = q313_sequence_packing(spark, sf_dir)
+    agg = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("seq_id").cast("long").alias("n_seqs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    ).select(
+        F.lit(_Q313_B).cast("long").alias("budget"),
+        "n_docs",
+        "n_seqs",
+        "total_tokens",
+        F.round(
+            (F.col("n_seqs") * _Q313_B - F.col("total_tokens")).cast("double")
+            / (F.col("n_seqs") * _Q313_B),
+            6,
+        ).alias("packed_waste_ratio"),
+    )
+    base = (
+        q291_padding_waste_audit(spark, sf_dir)
+        .filter(F.col("n_buckets_cfg") == 1)
+        .select(F.col("waste_ratio").alias("baseline_waste_ratio"))
+    )
+    return agg.crossJoin(F.broadcast(base))
+
+
+def _q314_oracle() -> str:
+    o313 = _q313_oracle()
+    o291 = QUERIES["q291_padding_waste_audit"].oracle
+    return f"""
+        WITH p AS (SELECT * FROM ({o313})),
+        agg AS (
+            SELECT CAST({_Q313_B} AS BIGINT) AS budget,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM p
+        )
+        SELECT a.budget, a.n_docs, a.n_seqs, a.total_tokens,
+               round(CAST(a.n_seqs * {_Q313_B} - a.total_tokens AS DOUBLE)
+                     / (a.n_seqs * {_Q313_B}), 6) AS packed_waste_ratio,
+               b.waste_ratio AS baseline_waste_ratio
+        FROM agg a
+        CROSS JOIN (SELECT waste_ratio FROM ({o291})
+                    WHERE n_buckets_cfg = 1) b
+    """
+
+
+QUERIES["q314_packing_efficiency"] = _replace(
+    QUERIES["q314_packing_efficiency"], oracle=_q314_oracle()
+)

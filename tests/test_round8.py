@@ -53,3 +53,63 @@ def test_training_manifest_sink_roundtrip(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, rows))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def _pack(spark, rows, budget, shard_size):
+    from databricks_etl_spark.operators.packing import ffd_pack
+
+    df = spark.createDataFrame(rows, "doc_id long, len long")
+    return ffd_pack(df, budget, shard_size).collect()
+
+
+def test_ffd_pack_invariants(spark):
+    """The packing contract: every doc placed exactly once, no
+    sequence over budget, segments within a sequence contiguous from
+    offset 0, and the whole plan bit-deterministic across reruns."""
+    import random
+
+    rng = random.Random(8)
+    rows = [(i, rng.randint(1, 200)) for i in range(300)]
+    budget, shard = 256, 64
+    placed = _pack(spark, rows, budget, shard)
+
+    assert sorted(p.doc_id for p in placed) == [r[0] for r in rows]
+    lens = dict(rows)
+    by_seq = {}
+    for p in placed:
+        assert p.n_tokens == min(lens[p.doc_id], budget)
+        by_seq.setdefault(p.seq_id, []).append(p)
+    for seq, members in by_seq.items():
+        members.sort(key=lambda p: p.seq_offset)
+        total = sum(p.n_tokens for p in members)
+        assert total <= budget, (seq, total)
+        # FFD fills bins front-to-back: contiguous from 0
+        cursor = 0
+        for p in members:
+            assert p.seq_offset == cursor, (seq, p)
+            cursor += p.n_tokens
+
+    rerun = _pack(spark, rows, budget, shard)
+    assert sorted(map(tuple, placed)) == sorted(map(tuple, rerun))
+
+
+def test_ffd_pack_overlong_doc_clamped(spark):
+    """A doc longer than the budget occupies one full sequence alone
+    (clamped length), never corrupting neighbors' offsets."""
+    placed = _pack(spark, [(1, 999), (2, 10), (3, 10)], 64, 128)
+    one = next(p for p in placed if p.doc_id == 1)
+    assert one.n_tokens == 64 and one.seq_offset == 0
+    others = [p for p in placed if p.doc_id != 1]
+    assert all(p.seq_id != one.seq_id for p in others)
+
+
+def test_ffd_pack_validates_args(spark):
+    import pytest as _pytest
+
+    from databricks_etl_spark.operators.packing import ffd_pack
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, len long")
+    with _pytest.raises(ValueError):
+        ffd_pack(df, 0)
+    with _pytest.raises(ValueError):
+        ffd_pack(df, 64, 0)
