@@ -501,3 +501,66 @@ def semdedup_incremental(
         "max_sim",
         novel.alias("is_novel"),
     )
+
+
+def pq_assign(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``n_sub``
+    contiguous ``sub_dim``-wide subspaces and assign each subvector to
+    its nearest codeword in that subspace's codebook (squared-euclidean
+    argmin, tiebroken by code id) — the memory-compression half of the
+    IVF-PQ ANN story (q288's int8 lane is the scalar sibling).
+
+    ``codebooks`` is a BROADCAST literal frame ``(m int, k int,
+    cw array<double>)`` — n_sub x K rows. Returns one row per (vector,
+    subspace): (id, m, k, cw). The argmin window runs over K rows per
+    subvector, never over the data; the distance fold is the same
+    sequential ``zip_with``/``aggregate`` as :func:`dot`, so a DuckDB
+    ``list_sum(list_transform(...))`` oracle is bit-identical."""
+    subs = vectors.sparkSession.createDataFrame(
+        [(m,) for m in range(n_sub)], "m int"
+    )
+    sv = F.slice(F.col(vec_col), F.col("m") * sub_dim + 1, sub_dim)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__sv"),
+            F.col("cw"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(id_col, "m").orderBy(d2.asc(), F.col("k").asc())
+    return (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(subs))
+        .select(id_col, "m", sv.alias("__sv"))
+        .join(F.broadcast(codebooks), "m")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "m", "k", "cw")
+    )
+
+
+def pq_reconstruct(
+    assignments: DataFrame, *, id_col: str = "vec_id"
+) -> DataFrame:
+    """Decode PQ assignments back to full vectors: concatenate each
+    vector's chosen codewords in subspace order. Returns (id,
+    reconstructed array<double>) — one groupBy keyed on the id, the
+    per-group list is exactly n_sub elements."""
+    return assignments.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cw"))),
+                lambda s: s.getField("cw"),
+            )
+        ).alias("reconstructed")
+    )

@@ -297,3 +297,403 @@ def _q314_oracle() -> str:
 QUERIES["q314_packing_efficiency"] = _replace(
     QUERIES["q314_packing_efficiency"], oracle=_q314_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# q315 — temperature-weighted multilingual source mixing (alpha = 0.7)
+# ---------------------------------------------------------------------------
+
+_Q315_N = 200  # total mixture size
+_Q315_A = 0.7  # temperature exponent (the multilingual-mixing rule)
+
+
+@query(
+    "q315_temperature_mixed_sample",
+    oracle=f"""
+        WITH s AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        ),
+        w AS (
+            SELECT lang, n_docs,
+                   pow(CAST(n_docs AS DOUBLE), {_Q315_A}) AS wt
+            FROM s
+        ),
+        tot AS (SELECT SUM(wt) AS tw FROM w),
+        alloc AS (
+            SELECT lang, round(wt / tw, 6) AS target_share,
+                   CAST(floor({_Q315_N} * round(wt / tw, 6)) AS BIGINT)
+                       AS quota
+            FROM w, tot
+        ),
+        u AS (
+            SELECT doc_id, lang,
+                   (CAST((doc_id % 1000000007) * 48271 % 1000000007
+                         AS DOUBLE) + 1.0) / 1000000008.0 AS uk
+            FROM documents
+        ),
+        r AS (
+            SELECT u.lang, u.doc_id, a.target_share, a.quota,
+                   row_number() OVER (
+                       PARTITION BY u.lang ORDER BY uk DESC, doc_id
+                   ) AS rank
+            FROM u JOIN alloc a USING (lang)
+        )
+        SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank, target_share
+        FROM r WHERE rank <= {_Q315_N} AND rank <= quota
+    """,
+)
+def q315_temperature_mixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted multilingual mixing, the alpha = 0.7 rule
+    every multilingual pretraining recipe applies: per-language quotas
+    proportional to count^0.7 (upsampling the tail languages relative
+    to raw frequency — en dominates raw counts but not the mixture),
+    filled by a deterministic uniform sample (q297's MINSTD key
+    discipline, so the drawn set is reproducible on any engine /
+    partitioning). Quotas are floor(N x share) with the share rounded
+    to 6dp FIRST on both engines, which pins the float boundary; the
+    oracle states the exact expected proportions. The literal
+    rank <= {_Q315_N} bound keeps the per-language window map-side
+    group-limited before the data-dependent quota filter applies."""
+    d = read_table(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = s.select(
+        "lang", F.pow(F.col("n_docs").cast("double"), _Q315_A).alias("wt")
+    )
+    tot = w.agg(F.sum("wt").alias("tw"))
+    share = F.round(F.col("wt") / F.col("tw"), 6)
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        share.alias("target_share"),
+        F.floor(_Q315_N * share).cast("long").alias("quota"),
+    )
+    uk = (
+        (F.col("doc_id") % 1000000007) * 48271 % 1000000007
+    ).cast("double") + 1.0
+    u = d.select("doc_id", "lang", (uk / 1000000008.0).alias("uk"))
+    r = u.join(F.broadcast(alloc), "lang").withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("uk"), F.asc("doc_id"))
+        ),
+    )
+    return r.filter(
+        (F.col("rank") <= _Q315_N) & (F.col("rank") <= F.col("quota"))
+    ).select("lang", "doc_id", F.col("rank").cast("long").alias("rank"), "target_share")
+
+
+# ---------------------------------------------------------------------------
+# q316/q317 — product-quantization audit + ANN recall impact
+# ---------------------------------------------------------------------------
+
+_Q316_M = 8  # subspaces
+_Q316_K = 16  # codewords per subspace
+_Q316_SUB = 8  # dims per subspace (8 x 8 = the 64-dim embeddings)
+
+# Deterministic literal codebooks (q285's fixed-centroid pattern): a
+# shifted-ramp lattice over the embeddings' observed value range
+# (~[-0.5, 0.5]); every value is an exact binary double (halves / 16),
+# so the literals cannot drift between engines.
+_Q316_CB: list[list[list[float]]] = [
+    [
+        [(((k * 3 + j * 5 + m * 7) % 16) - 7.5) / 16.0 for j in range(_Q316_SUB)]
+        for k in range(_Q316_K)
+    ]
+    for m in range(_Q316_M)
+]
+
+
+def _q316_chain() -> str:
+    """Shared oracle CTE chain: codebooks, per-subspace argmin
+    assignment, reconstruction, and per-vector cosine fidelity."""
+    vals = ", ".join(
+        f"({m}, {k}, {_Q316_CB[m][k]})"
+        for m in range(_Q316_M)
+        for k in range(_Q316_K)
+    )
+    from databricks_etl_spark.plans.queries_round7 import _Q285_DOT
+
+    sim = (
+        f"round({_Q285_DOT.format(a='e.embedding', b='r.rv')}"
+        f" / (sqrt({_Q285_DOT.format(a='e.embedding', b='e.embedding')})"
+        f" * sqrt({_Q285_DOT.format(a='r.rv', b='r.rv')})), 6)"
+    )
+    return f"""cb(m, k, cw) AS (VALUES {vals}),
+        sub AS (
+            SELECT vec_id, m,
+                   list_slice(embedding, m * {_Q316_SUB} + 1,
+                              m * {_Q316_SUB} + {_Q316_SUB}) AS sv
+            FROM embeddings,
+                 (SELECT unnest(range(0, {_Q316_M})) AS m)
+        ),
+        dists AS (
+            SELECT vec_id, m, k, cw,
+                   list_sum(list_transform(range(1, {_Q316_SUB} + 1),
+                       j -> (CAST(sv[j] AS DOUBLE) - cw[j])
+                            * (CAST(sv[j] AS DOUBLE) - cw[j]))) AS d2
+            FROM sub JOIN cb USING (m)
+        ),
+        chosen AS (
+            SELECT vec_id, m, k, cw FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        rec AS (
+            SELECT vec_id, flatten(list(cw ORDER BY m)) AS rv
+            FROM chosen GROUP BY 1
+        ),
+        fid AS (
+            SELECT e.vec_id, {sim} + 0.0 AS sim
+            FROM embeddings e JOIN rec r ON e.vec_id = r.vec_id
+        )"""
+
+
+@query("q316_pq_audit", oracle=None)  # oracle set below
+def q316_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization fidelity audit — the other half of the ANN
+    memory story next to q288's int8 lane: encode every 64-dim
+    embedding as 8 sub-codes from fixed 16-entry literal codebooks
+    (8 bytes per vector, a 32x compression), reconstruct, and report
+    ONE row: vectors audited, distinct codewords actually used (the
+    codebook-utilization signal that catches a dead lattice), and the
+    mean / min cosine between original and reconstruction. Per-vector
+    cosines round to 6dp then decimal-sum (the README discipline);
+    the argmin and fold shapes are q285's, so the DuckDB oracle
+    states the identical encoding."""
+    from databricks_etl_spark.operators.similarity import (
+        cosine,
+        pq_assign,
+        pq_reconstruct,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cb = spark.createDataFrame(
+        [
+            (m, k, _Q316_CB[m][k])
+            for m in range(_Q316_M)
+            for k in range(_Q316_K)
+        ],
+        "m int, k int, cw array<double>",
+    )
+    asg = pq_assign(e, cb, _Q316_M, _Q316_SUB)
+    rec = pq_reconstruct(asg)
+    fid = e.join(rec, "vec_id").select(
+        "vec_id",
+        (
+            F.round(cosine(F.col("embedding"), F.col("reconstructed")), 6)
+            + F.lit(0.0)
+        ).alias("sim"),
+    )
+    used = (
+        asg.select("m", "k")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("codes_used"))
+    )
+    n = F.count(F.lit(1))
+    stats = fid.agg(
+        n.cast("long").alias("n_vectors"),
+        (
+            F.round(F.sum(F.col("sim").cast("decimal(18,6)")).cast("double") / n, 6)
+            + F.lit(0.0)
+        ).alias("mean_cosine_fidelity"),
+        (F.min("sim") + F.lit(0.0)).alias("min_cosine_fidelity"),
+    )
+    return stats.crossJoin(F.broadcast(used)).select(
+        "n_vectors",
+        "codes_used",
+        F.round(F.col("codes_used") / float(_Q316_M * _Q316_K), 6).alias(
+            "utilization"
+        ),
+        "mean_cosine_fidelity",
+        "min_cosine_fidelity",
+    )
+
+
+def _q316_oracle() -> str:
+    return f"""
+        WITH {_q316_chain()}
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT DISTINCT m, k FROM chosen)) AS codes_used,
+               round((SELECT COUNT(*)
+                      FROM (SELECT DISTINCT m, k FROM chosen))
+                     / {float(_Q316_M * _Q316_K)}, 6) AS utilization,
+               round(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) + 0.0 AS mean_cosine_fidelity,
+               MIN(sim) + 0.0 AS min_cosine_fidelity
+        FROM fid
+    """
+
+
+QUERIES["q316_pq_audit"] = _replace(
+    QUERIES["q316_pq_audit"], oracle=_q316_oracle()
+)
+
+
+@query("q317_pq_recall_impact", oracle=None)  # oracle set below
+def q317_pq_recall_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What PQ compression costs in retrieval quality, measured the
+    q310 way: rank the corpus for each of the 20 query vectors by
+    asymmetric distance (exact query vs PQ-reconstructed corpus),
+    score top-10 against the exact brute-force truth, and emit ONE
+    row joining pq_recall_at_10 / pq_top1_recall with q310's
+    cell-probe recall — the side-by-side an index-tuning decision
+    reads. Composes the registered q310 metrics (broadcast 1-row) so
+    the comparison can never drift."""
+    from databricks_etl_spark.operators.similarity import (
+        cosine,
+        pq_assign,
+        pq_reconstruct,
+    )
+    from databricks_etl_spark.plans.queries_round7 import q310_ann_recall_mrr
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cb = spark.createDataFrame(
+        [
+            (m, k, _Q316_CB[m][k])
+            for m in range(_Q316_M)
+            for k in range(_Q316_K)
+        ],
+        "m int, k int, cw array<double>",
+    )
+    rec = pq_reconstruct(pq_assign(e, cb, _Q316_M, _Q316_SUB))
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qe")
+    )
+    exact = (
+        e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("__ce"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("__qe"), F.col("__ce")), 6).alias("sim"),
+        )
+    )
+    approx = (
+        rec.select(F.col("vec_id").alias("nid"), F.col("reconstructed").alias("__rv"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("__qe"), F.col("__rv")), 6).alias("sim"),
+        )
+    )
+
+    def top10(df):
+        w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("qid", "nid", "rk")
+        )
+
+    truth, pq = top10(exact), top10(approx)
+    hits = (
+        truth.alias("t")
+        .join(
+            pq.alias("a"),
+            (F.col("t.qid") == F.col("a.qid")) & (F.col("t.nid") == F.col("a.nid")),
+            "left",
+        )
+        .groupBy(F.col("t.qid").alias("qid"))
+        .agg(
+            F.count(F.col("a.nid")).cast("long").alias("n_hit"),
+            F.min(
+                F.when(
+                    (F.col("t.rk") == 1) & F.col("a.nid").isNotNull(), 1.0
+                )
+            ).alias("top1_found"),
+        )
+    )
+    per = hits.select(
+        "qid",
+        F.round(F.col("n_hit") / 10.0, 6).cast("decimal(18,9)").alias("recall10"),
+        F.coalesce(F.col("top1_found"), F.lit(0.0))
+        .cast("decimal(18,9)")
+        .alias("top1"),
+    )
+    n = F.count(F.lit(1))
+    agg = per.agg(
+        n.cast("long").alias("n_queries"),
+        F.round(F.sum("recall10").cast("double") / n, 6).alias("pq_recall_at_10"),
+        F.round(F.sum("top1").cast("double") / n, 6).alias("pq_top1_recall"),
+    )
+    cell = q310_ann_recall_mrr(spark, sf_dir).select(
+        F.col("mean_recall_at_10").alias("cell_recall_at_10")
+    )
+    return agg.crossJoin(F.broadcast(cell))
+
+
+def _q317_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _Q285_DOT
+
+    o310 = QUERIES["q310_ann_recall_mrr"].oracle
+    sim_exact = (
+        f"round({_Q285_DOT.format(a='q.__qe', b='c.embedding')}"
+        f" / (sqrt({_Q285_DOT.format(a='q.__qe', b='q.__qe')})"
+        f" * sqrt({_Q285_DOT.format(a='c.embedding', b='c.embedding')})), 6)"
+    )
+    sim_pq = (
+        f"round({_Q285_DOT.format(a='q.__qe', b='r.rv')}"
+        f" / (sqrt({_Q285_DOT.format(a='q.__qe', b='q.__qe')})"
+        f" * sqrt({_Q285_DOT.format(a='r.rv', b='r.rv')})), 6)"
+    )
+    return f"""
+        WITH {_q316_chain()},
+        q AS (SELECT vec_id AS qid, embedding AS __qe
+              FROM embeddings WHERE vec_id < 20),
+        se AS (
+            SELECT q.qid, c.vec_id AS nid, {sim_exact} AS sim
+            FROM q JOIN embeddings c ON q.qid <> c.vec_id
+        ),
+        sa AS (
+            SELECT q.qid, r.vec_id AS nid, {sim_pq} AS sim
+            FROM q JOIN rec r ON q.qid <> r.vec_id
+        ),
+        truth AS (
+            SELECT qid, nid, rk FROM (
+                SELECT qid, nid, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+                FROM se
+            ) WHERE rk <= 10
+        ),
+        approx AS (
+            SELECT qid, nid FROM (
+                SELECT qid, nid, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+                FROM sa
+            ) WHERE rk <= 10
+        ),
+        hits AS (
+            SELECT t.qid,
+                   CAST(COUNT(a.nid) AS BIGINT) AS n_hit,
+                   MIN(CASE WHEN t.rk = 1 AND a.nid IS NOT NULL
+                            THEN 1.0 END) AS top1_found
+            FROM truth t
+            LEFT JOIN approx a ON t.qid = a.qid AND t.nid = a.nid
+            GROUP BY t.qid
+        ),
+        per AS (
+            SELECT qid,
+                   CAST(round(n_hit / 10.0, 6) AS DECIMAL(18,9)) AS recall10,
+                   CAST(COALESCE(top1_found, 0.0) AS DECIMAL(18,9)) AS top1
+            FROM hits
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               round(CAST(SUM(recall10) AS DOUBLE) / COUNT(*), 6)
+                   AS pq_recall_at_10,
+               round(CAST(SUM(top1) AS DOUBLE) / COUNT(*), 6)
+                   AS pq_top1_recall,
+               (SELECT mean_recall_at_10 FROM ({o310}))
+                   AS cell_recall_at_10
+        FROM per
+    """
+
+
+QUERIES["q317_pq_recall_impact"] = _replace(
+    QUERIES["q317_pq_recall_impact"], oracle=_q317_oracle()
+)
