@@ -364,3 +364,48 @@ def exact_substring_hits(
     return verified.groupBy(corpus_id, bench_id).agg(
         F.count(F.lit(1)).cast("long").alias("n_grams_hit")
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    window: int,
+    stride: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows with stable
+    chunk ids — the pre-embedding step every RAG / pretraining pipeline
+    runs before vectors or packing. Chunk ``i`` covers tokens
+    ``[i*stride, i*stride + window)`` of the canonical whitespace
+    tokenization (case-folded, the same stream every text lane here
+    uses); starts enumerate ``0, stride, 2*stride, ...`` while they
+    fall inside the document, so tail chunks may be short but every
+    token is covered and any span of <= ``stride`` + overlap tokens
+    lands whole in some chunk.
+
+    Map-side only (sequence + explode + slice, no shuffle); returns
+    (id, chunk_idx, chunk_start_token, n_chunk_tokens, chunk_text)."""
+    if window < 1 or stride < 1 or stride > window:
+        raise ValueError(
+            f"chunk_tokens requires 1 <= stride <= window, "
+            f"got window={window} stride={stride}"
+        )
+    toks = tokens_col(text_col)
+    st = df.select(
+        id_col, toks.alias("__toks")
+    ).select(
+        id_col,
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(stride))
+        ).alias("__p"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__p") + 1, window)
+    return st.select(
+        id_col,
+        (F.col("__p") / stride).cast("long").alias("chunk_idx"),
+        F.col("__p").cast("long").alias("chunk_start_token"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

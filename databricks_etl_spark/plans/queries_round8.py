@@ -697,3 +697,135 @@ def _q317_oracle() -> str:
 QUERIES["q317_pq_recall_impact"] = _replace(
     QUERIES["q317_pq_recall_impact"], oracle=_q317_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# q318/q319 — long-document chunking + chunk-level contamination
+# ---------------------------------------------------------------------------
+
+_Q318_W = 64  # chunk window (tokens)
+_Q318_S = 32  # chunk stride (tokens) — 50% overlap
+
+_Q318_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def _q318_chunks_sql(where: str = "") -> str:
+    """Shared chunking CTE chain (t, st, chunks) over ``documents``."""
+    return f"""t AS (
+            SELECT doc_id, {_Q318_TOKS} AS toks FROM documents {where}
+        ),
+        st AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, len(toks), {_Q318_S})) AS p
+            FROM t
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(p // {_Q318_S} AS BIGINT) AS chunk_idx,
+                   CAST(p AS BIGINT) AS chunk_start_token,
+                   CAST(len(list_slice(toks, p + 1, p + {_Q318_W}))
+                        AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(list_slice(toks, p + 1, p + {_Q318_W}),
+                                   ' ') AS chunk_text
+            FROM st
+        )"""
+
+
+@query(
+    "q318_document_chunking",
+    oracle=f"""
+        WITH {_q318_chunks_sql()}
+        SELECT doc_id, chunk_idx, chunk_start_token, n_chunk_tokens,
+               chunk_text
+        FROM chunks
+    """,
+)
+def q318_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document handling: split every document into overlapping
+    64-token windows at stride 32 with stable (doc_id, chunk_idx) ids
+    — the pre-embedding step every RAG / pretraining pipeline runs
+    (the chunk stream is what feeds the embedding, packing q313 and
+    ANN lanes at scale). Map-side only: sequence + explode + slice,
+    zero shuffle; chunk text is the canonical case-folded token
+    stream re-joined, so every downstream text lane sees one
+    normalization."""
+    from databricks_etl_spark.operators.text import chunk_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    return chunk_tokens(d, _Q318_W, _Q318_S)
+
+
+@query("q319_chunk_contamination", oracle=None)  # oracle set below
+def q319_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination at CHUNK granularity: q283
+    reports which training DOC contains a verbatim benchmark span;
+    this composes the chunking lane (q318) with the same stride-gram
+    machinery so the hit names the chunk — what a pipeline actually
+    drops or masks (killing a whole 100-page doc for one contaminated
+    paragraph wastes data). Benchmark side is case-folded to the
+    chunk stream's normalization; the 32-token overlap guarantees any
+    span that fits a chunk window is seen whole by some chunk. Same
+    broadcast-bench / map-side corpus-gram shape as q283 — zero
+    corpus-text shuffle."""
+    from databricks_etl_spark.operators.text import (
+        chunk_tokens,
+        exact_substring_hits,
+    )
+    from databricks_etl_spark.plans.queries_round7 import _XL, _XS
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    chunks = chunk_tokens(corpus, _Q318_W, _Q318_S).select(
+        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("ckey"),
+        F.col("chunk_text").alias("text"),
+    )
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.lower(F.trim(F.col("text"))).alias("text"),
+    )
+    hits = exact_substring_hits(
+        chunks, bench, length=_XL, stride=_XS, corpus_id="ckey"
+    )
+    return hits.select(
+        (F.col("ckey") / 100000).cast("long").alias("doc_id"),
+        (F.col("ckey") % 100000).cast("long").alias("chunk_idx"),
+        "bench_id",
+        "n_grams_hit",
+    )
+
+
+def _q319_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _XL, _XS
+
+    return f"""
+        WITH {_q318_chunks_sql("WHERE doc_id % 50 != 0")},
+        cg AS (
+            SELECT doc_id, chunk_idx,
+                   unnest(list_distinct(list_transform(
+                       range(1, length(chunk_text) - {_XL - 2}, {_XS}),
+                       i -> substr(chunk_text, CAST(i AS INT), {_XL}))))
+                       AS gram
+            FROM chunks WHERE length(chunk_text) >= {_XL}
+        ),
+        bg AS (
+            SELECT doc_id AS bench_id, lower(trim(text)) AS btext
+            FROM documents WHERE doc_id % 50 = 0
+        ),
+        bgrams AS (
+            SELECT bench_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, length(btext) - {_XL - 2}),
+                       i -> substr(btext, CAST(i AS INT), {_XL}))))
+                       AS gram
+            FROM bg WHERE length(btext) >= {_XL}
+        )
+        SELECT doc_id, chunk_idx, bench_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams_hit
+        FROM cg JOIN bgrams USING (gram)
+        GROUP BY 1, 2, 3
+    """
+
+
+QUERIES["q319_chunk_contamination"] = _replace(
+    QUERIES["q319_chunk_contamination"], oracle=_q319_oracle()
+)

@@ -113,3 +113,57 @@ def test_ffd_pack_validates_args(spark):
         ffd_pack(df, 0)
     with _pytest.raises(ValueError):
         ffd_pack(df, 64, 0)
+
+
+def test_chunk_tokens_coverage_and_overlap(spark):
+    """The chunking contract (the q318 stride guarantee, mirroring the
+    round-7 gram-stride test): chunk i starts at token i*stride, every
+    token is covered, consecutive chunks overlap by window - stride
+    tokens, and tail chunks are short but present."""
+    import pytest as _pytest
+
+    from databricks_etl_spark.operators.text import chunk_tokens
+
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(chunk_tokens(df, 64, 32).collect(), key=lambda r: r.chunk_idx)
+    # starts: 0, 32, 64, 96 (96 < 100) — 4 chunks
+    assert [r.chunk_start_token for r in got] == [0, 32, 64, 96]
+    assert [r.n_chunk_tokens for r in got] == [64, 64, 36, 4]
+    toks = text.split()
+    for r in got:
+        expect = toks[r.chunk_start_token : r.chunk_start_token + 64]
+        assert r.chunk_text.split() == expect
+    # overlap: chunk k shares its last window-stride tokens with k+1
+    assert got[0].chunk_text.split()[32:] == got[1].chunk_text.split()[:32]
+    # every token covered
+    covered = set()
+    for r in got:
+        covered.update(
+            range(r.chunk_start_token, r.chunk_start_token + r.n_chunk_tokens)
+        )
+    assert covered == set(range(100))
+
+    with _pytest.raises(ValueError):
+        chunk_tokens(df, 4, 8)  # stride > window
+    with _pytest.raises(ValueError):
+        chunk_tokens(df, 4, 0)
+
+
+def test_chunk_contamination_names_the_chunk(spark, sf_dir):
+    """A doc-level contamination hit (q283) maps to at least one
+    specific chunk in q319, and every q319 (doc, bench) pair is a
+    q283 pair — chunk granularity refines, never invents."""
+    from databricks_etl_spark.plans.registry import queries
+
+    qs = queries()
+    doc_hits = {
+        (r.doc_id, r.bench_id)
+        for r in qs["q283_exact_contamination_pairs"](spark, sf_dir).collect()
+    }
+    chunk_hits = qs["q319_chunk_contamination"](spark, sf_dir).collect()
+    chunk_pairs = {(r.doc_id, r.bench_id) for r in chunk_hits}
+    assert chunk_pairs <= doc_hits
+    # spans short enough to fit a chunk window are found at chunk level
+    assert len(chunk_pairs) > 0
+    assert all(r.chunk_idx >= 0 and r.n_grams_hit >= 1 for r in chunk_hits)
