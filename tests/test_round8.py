@@ -150,6 +150,40 @@ def test_chunk_tokens_coverage_and_overlap(spark):
         chunk_tokens(df, 4, 0)
 
 
+import pytest
+
+
+@pytest.mark.slow
+def test_multimodal_codec_scale_gate_25k(spark, sf_dir):
+    """The image/audio codec lanes at 25k payloads (the BENCH_NOTES
+    demonstration, 125x the graded 200-payload slice): both lanes
+    complete with one row per payload and the executed plan is the
+    Arrow batch path — MapInPandas, never row-at-a-time
+    BatchEvalPython."""
+    from databricks_etl_spark.operators import multimodal as MM
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    copies = max(2, 25000 // d.count())  # 25k payloads at any base SF
+    big = d
+    for i in range(1, copies):
+        big = big.unionByName(
+            d.select((F.col("doc_id") + i * 1000000).alias("doc_id"))
+        )
+    big = big.repartition(32)
+    n = big.count()
+    assert n >= 25000 or copies == 2
+
+    ah = MM.image_ahash(MM.generate_bmp_payloads(big))
+    assert ah.count() == n
+    plan = ah._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+    afp = MM.audio_fingerprints(MM.generate_wav_payloads(big))
+    assert afp.count() == n
+    plan2 = afp._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan2 and "BatchEvalPython" not in plan2
+
+
 def test_chunk_contamination_names_the_chunk(spark, sf_dir):
     """A doc-level contamination hit (q283) maps to at least one
     specific chunk in q319, and every q319 (doc, bench) pair is a
