@@ -829,3 +829,479 @@ def _q319_oracle() -> str:
 QUERIES["q319_chunk_contamination"] = _replace(
     QUERIES["q319_chunk_contamination"], oracle=_q319_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# q320 — packing attention audit (what doc-boundary masking saves)
+# ---------------------------------------------------------------------------
+
+
+@query("q320_packing_attention_audit", oracle=None)  # oracle set below
+def q320_packing_attention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What document-boundary attention masking saves on the q313
+    packing plan: within a packed sequence of filled length S holding
+    docs of lengths l_i, full self-attention is S^2 token pairs but
+    cross-doc pairs (S^2 - sum l_i^2) are masked — the accounting
+    that justifies packed training vs per-doc padding. ONE row:
+    sequences, filled tokens, total/cross pair counts (exact BIGINT),
+    and the masked fraction. Composes the registered q313 placements
+    so the audit can never drift from the plan it scores."""
+    p = q313_sequence_packing(spark, sf_dir)
+    seq = p.groupBy("seq_id").agg(
+        F.sum("n_tokens").alias("s"),
+        F.sum(F.col("n_tokens") * F.col("n_tokens")).alias("ssq"),
+    )
+    total_pairs = F.sum(F.col("s") * F.col("s"))
+    cross_pairs = F.sum(F.col("s") * F.col("s") - F.col("ssq"))
+    return seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("s").cast("long").alias("filled_tokens"),
+        total_pairs.cast("long").alias("token_pairs"),
+        cross_pairs.cast("long").alias("cross_doc_pairs"),
+        F.round(cross_pairs.cast("double") / total_pairs, 6).alias(
+            "masked_fraction"
+        ),
+    )
+
+
+def _q320_oracle() -> str:
+    return f"""
+        WITH seq AS (
+            SELECT seq_id, SUM(n_tokens) AS s,
+                   SUM(n_tokens * n_tokens) AS ssq
+            FROM ({_q313_oracle()}) GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_seqs,
+               CAST(SUM(s) AS BIGINT) AS filled_tokens,
+               CAST(SUM(s * s) AS BIGINT) AS token_pairs,
+               CAST(SUM(s * s - ssq) AS BIGINT) AS cross_doc_pairs,
+               round(CAST(SUM(s * s - ssq) AS DOUBLE) / SUM(s * s), 6)
+                   AS masked_fraction
+        FROM seq
+    """
+
+
+QUERIES["q320_packing_attention_audit"] = _replace(
+    QUERIES["q320_packing_attention_audit"], oracle=_q320_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
+# q321 — soft dedup: inverse-propensity duplicate weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q321_soft_dedup_weights",
+    oracle=r"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS f
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) OVER (PARTITION BY f) AS BIGINT)
+                   AS cluster_size,
+               round(1.0 / COUNT(*) OVER (PARTITION BY f), 6) AS weight
+        FROM fp
+    """,
+)
+def q321_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of dropping exact duplicates, keep
+    every copy downweighted to 1/cluster_size so each distinct text
+    contributes unit mass to the training loss — the
+    inverse-propensity alternative to hard dedup (q42) that preserves
+    natural-distribution signal. Fingerprint is the q40
+    whitespace-normalized md5; the count-over-fingerprint window is
+    bounded by duplicate multiplicity, the same shape the q309 text
+    flag uses."""
+    from databricks_etl_spark.operators.text import doc_fingerprint
+
+    d = read_table(spark, sf_dir, "documents")
+    fp = doc_fingerprint(d).select("doc_id", F.col("md5_fp").alias("f"))
+    w = Window.partitionBy("f")
+    n = F.count(F.lit(1)).over(w)
+    return fp.select(
+        "doc_id",
+        n.cast("long").alias("cluster_size"),
+        F.round(1.0 / n, 6).alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q322 — decontamination cost accounting (tokens lost per source)
+# ---------------------------------------------------------------------------
+
+
+@query("q322_decontamination_cost", oracle=None)  # oracle set below
+def q322_decontamination_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What chunk-level decontamination (q319) actually costs, per
+    ingestion feed: chunks and tokens in the corpus vs chunks/tokens
+    that would be dropped because they carry a verbatim benchmark
+    span — the budget line a data lead reads before approving the
+    drop (doc-level dropping, q284, overstates the cost; this states
+    the chunk-level price). Composes the registered q318/q319 lanes;
+    integer sums plus one 6dp ratio."""
+    from databricks_etl_spark.operators.text import chunk_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    chunks = chunk_tokens(corpus, _Q318_W, _Q318_S).join(
+        corpus.select("doc_id", "source"), "doc_id"
+    )
+    hit = (
+        q319_chunk_contamination(spark, sf_dir)
+        .select("doc_id", "chunk_idx")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    j = chunks.join(hit, ["doc_id", "chunk_idx"], "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count("__hit").cast("long").alias("n_contaminated_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("chunk_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("__hit").isNotNull(), F.col("n_chunk_tokens"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("contaminated_tokens"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__hit").isNotNull(), F.col("n_chunk_tokens"))
+                ),
+                F.lit(0),
+            ).cast("double")
+            / F.sum("n_chunk_tokens"),
+            6,
+        ).alias("cost_ratio"),
+    )
+
+
+def _q322_oracle() -> str:
+    return f"""
+        WITH {_q318_chunks_sql("WHERE doc_id % 50 != 0")},
+        src AS (SELECT doc_id, source FROM documents WHERE doc_id % 50 != 0),
+        hit AS (
+            SELECT DISTINCT doc_id, chunk_idx FROM ({_q319_oracle()})
+        )
+        SELECT s.source,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(h.doc_id) AS BIGINT) AS n_contaminated_chunks,
+               CAST(SUM(c.n_chunk_tokens) AS BIGINT) AS chunk_tokens,
+               CAST(COALESCE(SUM(CASE WHEN h.doc_id IS NOT NULL
+                                      THEN c.n_chunk_tokens END), 0)
+                    AS BIGINT) AS contaminated_tokens,
+               round(CAST(COALESCE(SUM(CASE WHEN h.doc_id IS NOT NULL
+                                             THEN c.n_chunk_tokens END), 0)
+                          AS DOUBLE) / SUM(c.n_chunk_tokens), 6)
+                   AS cost_ratio
+        FROM chunks c
+        JOIN src s ON c.doc_id = s.doc_id
+        LEFT JOIN hit h
+          ON c.doc_id = h.doc_id AND c.chunk_idx = h.chunk_idx
+        GROUP BY 1
+    """
+
+
+QUERIES["q322_decontamination_cost"] = _replace(
+    QUERIES["q322_decontamination_cost"], oracle=_q322_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
+# q323 — data-constrained epoch allocation
+# ---------------------------------------------------------------------------
+
+_Q323_MAX_EPOCHS = 4
+
+
+@query(
+    "q323_epoch_allocation",
+    oracle=f"""
+        WITH {{quality}},
+        t AS (
+            SELECT d.source, d.doc_id, q.quality_score,
+                   {{toks}} AS n_tokens
+            FROM documents d JOIN q ON d.doc_id = q.doc_id
+        ),
+        per AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6)))
+                              AS DOUBLE) / COUNT(*), 6) AS mean_quality
+            FROM t GROUP BY 1
+        )
+        SELECT source, n_docs, total_tokens, mean_quality,
+               CAST(least({_Q323_MAX_EPOCHS}, greatest(1,
+                    CAST(floor({_Q323_MAX_EPOCHS} * mean_quality + 0.5)
+                         AS BIGINT))) AS BIGINT) AS epochs,
+               CAST(total_tokens
+                    * least({_Q323_MAX_EPOCHS}, greatest(1,
+                          CAST(floor({_Q323_MAX_EPOCHS} * mean_quality + 0.5)
+                               AS BIGINT))) AS BIGINT) AS effective_tokens
+        FROM per
+    """,
+)
+def q323_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch allocation (the repeat-high-quality-data
+    rule): each source earns 1..{max_epochs} training epochs
+    proportional to its mean quality score, and the plan states the
+    effective token budget per source — the knob a data-constrained
+    run turns instead of crawling more. Mean quality decimal-sums;
+    the epoch rounding is floor(x + 0.5) (the README rule — round()
+    half-even diverges between engines on exact halves, and quality
+    scores are exact quarters so halves DO occur)."""
+    from databricks_etl_spark.operators.text import quality_features, tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.size(tokens_col("text")).alias("n_tokens")).join(
+        quality_features(d).select("doc_id", "quality_score"), "doc_id"
+    )
+    n = F.count(F.lit(1))
+    per = t.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double") / n,
+            6,
+        ).alias("mean_quality"),
+    )
+    epochs = F.least(
+        F.lit(_Q323_MAX_EPOCHS),
+        F.greatest(
+            F.lit(1),
+            F.floor(_Q323_MAX_EPOCHS * F.col("mean_quality") + 0.5).cast("int"),
+        ),
+    ).cast("long")
+    return per.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "mean_quality",
+        epochs.alias("epochs"),
+        (F.col("total_tokens") * epochs).cast("long").alias("effective_tokens"),
+    )
+
+
+def _q323_fix_oracle() -> None:
+    from databricks_etl_spark.plans.queries_round7 import (
+        _Q291_TOKS,
+        _quality_sql,
+    )
+
+    o = QUERIES["q323_epoch_allocation"].oracle
+    QUERIES["q323_epoch_allocation"] = _replace(
+        QUERIES["q323_epoch_allocation"],
+        oracle=o.replace("{quality}", _quality_sql()).replace(
+            "{toks}", _Q291_TOKS
+        ),
+    )
+
+
+_q323_fix_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q324 — Zipf fit over the vocabulary head
+# ---------------------------------------------------------------------------
+
+_Q324_K = 100
+
+
+@query("q324_zipf_fit", oracle=None)  # oracle set below
+def q324_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How Zipfian is the corpus vocabulary: OLS fit of ln(freq) ~
+    ln(rank) over the top-{k} tokens — a healthy natural-language
+    corpus slopes near -1; a flat or cliff-shaped head is the
+    template-spam signature (the q151 boilerplate lane's statistical
+    sibling). Top-K is TakeOrderedAndProject with the (freq DESC,
+    token) total order; the regression uses q275's exact-decimal
+    moment discipline with ln() inputs rounded to 9dp first (ln is
+    empirically bit-identical cross-engine — the BM25/entropy
+    precedent). ONE row: n, slope, intercept."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    top = (
+        d.select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_Q324_K)
+    )
+    r = Window.orderBy(F.desc("c"), F.asc("w"))
+    pts = top.select(
+        F.round(F.log(F.row_number().over(r).cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,18)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return m.select(
+        "n",
+        (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round((sy - slope * sx) / F.col("n"), 6) + F.lit(0.0)).alias(
+            "intercept"
+        ),
+    )
+
+
+def _q324_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _Q291_RAWTOKS
+
+    return f"""
+        WITH tok AS (
+            SELECT unnest({_Q291_RAWTOKS}) AS w FROM documents
+        ),
+        top AS (
+            SELECT w, COUNT(*) AS c FROM tok GROUP BY 1
+            ORDER BY c DESC, w LIMIT {_Q324_K}
+        ),
+        pts AS (
+            SELECT CAST(round(ln(CAST(row_number() OVER (
+                           ORDER BY c DESC, w) AS DOUBLE)), 9)
+                        AS DECIMAL(18,9)) AS x,
+                   CAST(round(ln(CAST(c AS DOUBLE)), 9)
+                        AS DECIMAL(18,9)) AS y
+            FROM top
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(CAST(x * y AS DECIMAL(38,18))) AS sxy,
+                   SUM(CAST(x * x AS DECIMAL(38,18))) AS sxx
+            FROM pts
+        )
+        SELECT n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                     6) + 0.0 AS zipf_slope,
+               round((CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE)) / n,
+                     6) + 0.0 AS intercept
+        FROM m
+    """
+
+
+QUERIES["q324_zipf_fit"] = _replace(
+    QUERIES["q324_zipf_fit"], oracle=_q324_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
+# q325 — two-sample Kolmogorov–Smirnov drift test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q325_ks_drift",
+    oracle="""
+        WITH t AS (
+            SELECT CASE WHEN year(o_orderdate) <= 1997 THEN 'a' ELSE 'b'
+                   END AS period,
+                   CAST(floor(CAST(o_totalprice AS DOUBLE) / 100.0)
+                        AS BIGINT) AS bin
+            FROM orders
+        ),
+        per AS (
+            SELECT bin,
+                   CAST(SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b
+            FROM t GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM per),
+        cum AS (
+            SELECT bin,
+                   SUM(n_a) OVER (ORDER BY bin) AS ca,
+                   SUM(n_b) OVER (ORDER BY bin) AS cb
+            FROM per
+        ),
+        d AS (
+            SELECT MAX(abs(CAST(ca AS DOUBLE) / ta
+                           - CAST(cb AS DOUBLE) / tb)) AS ks
+            FROM cum, tot
+        )
+        SELECT CAST(tot.ta AS BIGINT) AS n_a, CAST(tot.tb AS BIGINT) AS n_b,
+               round(d.ks, 6) AS ks_stat,
+               d.ks > 1.36 * sqrt((tot.ta + tot.tb)
+                                  / (CAST(tot.ta AS DOUBLE) * tot.tb))
+                   AS drifted
+        FROM d, tot
+    """,
+)
+def q325_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between the q293
+    cohorts (orders through 1997 vs after) on totalprice — the
+    distribution-shape alarm PSI's fixed bins can miss. Values
+    quantize to $100 bins FIRST so the CDF window runs over a bounded
+    bin set (the 100 TB discipline: never a global sort of raw
+    values), then D = max |F_a - F_b| over cumulative bin counts,
+    compared against the 95% critical value 1.36*sqrt((na+nb)/(na*nb)).
+    ONE row: cohort sizes, D, and the verdict."""
+    o = read_table(spark, sf_dir, "orders")
+    t = o.select(
+        F.when(F.year("o_orderdate") <= 1997, "a").otherwise("b").alias("period"),
+        F.floor(F.col("o_totalprice").cast("double") / 100.0)
+        .cast("long")
+        .alias("bin"),
+    )
+    per = t.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    tot = per.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "bin",
+        F.sum("n_a").over(w).alias("ca"),
+        F.sum("n_b").over(w).alias("cb"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("ta")
+                    - F.col("cb").cast("double") / F.col("tb")
+                )
+            ).alias("ks")
+        )
+    )
+    crit = 1.36 * F.sqrt(
+        (F.col("ta") + F.col("tb"))
+        / (F.col("ta").cast("double") * F.col("tb"))
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        F.col("ta").cast("long").alias("n_a"),
+        F.col("tb").cast("long").alias("n_b"),
+        F.round(F.col("ks"), 6).alias("ks_stat"),
+        (F.col("ks") > crit).alias("drifted"),
+    )

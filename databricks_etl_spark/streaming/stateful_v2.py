@@ -8,10 +8,12 @@ imports ``google.protobuf``, which this container ships broken
 crashes at runner init, not in our code. :func:`tws_available` probes
 for that dependency; the test suite skips (never silently passes) when
 it is absent, exactly like the delta/iceberg sink gates in
-``sources/writers.py``. Un-gating was re-attempted 2026-08-14: the
-container has no ``google`` namespace package at all and no network
-route to fetch a ``protobuf`` wheel (pip download fails at DNS), so
-a vendored/pinned install is not possible here; the gate remains the
+``sources/writers.py``. Un-gating was re-attempted 2026-08-14 (r7)
+and again in round 8: the container has no ``google`` namespace
+package at all, ``pip download protobuf`` still fails at DNS against
+its configured index, and a filesystem sweep for a vendorable wheel
+or a real ``descriptor_pb2`` found only typeshed stubs — so a
+vendored/pinned install is not possible here; the gate remains the
 honest state. The processor itself is complete and mirrors
 q64's exact-integer-state running totals, so the two stateful APIs are
 drop-in twins where the dependency exists.
