@@ -157,9 +157,11 @@ _Q285_DOT = (
 )
 
 
-def _quality_sql() -> str:
+def _quality_sql(src: str = "documents") -> str:
     """q258's composite quality-score expression (verbatim — the
-    survivor-priority the SemDeDup prune reuses), as a CTE body."""
+    survivor-priority the SemDeDup prune reuses), as a CTE body.
+    ``src`` lets a composing oracle score a derived doc set (q326's
+    delta batch) with the identical expression."""
     from databricks_etl_spark.plans.queries_text import _STOP_ALL
     from databricks_etl_spark.plans.queries_text import _TOKS as _TTOKS
 
@@ -180,7 +182,7 @@ def _quality_sql() -> str:
                              AS DOUBLE) / len({_TTOKS})
                              BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
                      AS DOUBLE) AS quality_score
-            FROM documents
+            FROM {src}
         )"""
 
 

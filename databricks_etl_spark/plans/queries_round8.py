@@ -160,14 +160,15 @@ _Q313_P = 128  # planning-shard size (docs per independent FFD fold)
 _Q313_FIT = "list_filter(range(1, len(p.res) + 1), jj -> p.res[jj] >= i.len)[1]"
 
 
-def _q313_oracle() -> str:
-    from databricks_etl_spark.plans.queries_round7 import _Q291_TOKS
-
+def _ffd_oracle(items: str, budget: int = _Q313_B, shard: int = _Q313_P) -> str:
+    """The per-shard simultaneous recursive-CTE FFD, parameterized by
+    an ``items`` SELECT yielding (doc_id, len) — q313 packs documents,
+    q329 packs the chunk stream through the SAME placement logic."""
     return f"""
         WITH RECURSIVE
-        t AS (SELECT doc_id, least({_Q291_TOKS}, {_Q313_B}) AS len
-              FROM documents),
-        sc AS (SELECT CAST(ceil(COUNT(*) / {_Q313_P}.0) AS BIGINT) AS s
+        t AS (SELECT doc_id, least(len, {budget}) AS len
+              FROM ({items})),
+        sc AS (SELECT CAST(ceil(COUNT(*) / {shard}.0) AS BIGINT) AS s
                FROM t),
         it AS (
             SELECT doc_id, len, doc_id % sc.s AS shard,
@@ -185,7 +186,7 @@ def _q313_oracle() -> str:
             UNION ALL
             SELECT i.shard, i.k,
                    CASE WHEN {_Q313_FIT} IS NULL
-                        THEN list_append(p.res, {_Q313_B} - i.len)
+                        THEN list_append(p.res, {budget} - i.len)
                         ELSE list_transform(range(1, len(p.res) + 1),
                              jj -> CASE WHEN jj = {_Q313_FIT}
                                         THEN p.res[jj] - i.len
@@ -194,7 +195,7 @@ def _q313_oracle() -> str:
                    i.doc_id,
                    COALESCE({_Q313_FIT}, len(p.res) + 1),
                    CASE WHEN {_Q313_FIT} IS NULL THEN 0
-                        ELSE {_Q313_B} - p.res[{_Q313_FIT}]
+                        ELSE {budget} - p.res[{_Q313_FIT}]
                    END
             FROM pack p JOIN it i ON i.shard = p.shard AND i.k = p.k + 1
         )
@@ -205,6 +206,14 @@ def _q313_oracle() -> str:
         FROM pack p JOIN it i ON p.shard = i.shard AND p.k = i.k
         WHERE p.k >= 1
     """
+
+
+def _q313_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _Q291_TOKS
+
+    return _ffd_oracle(
+        f"SELECT doc_id, {_Q291_TOKS} AS len FROM documents"
+    )
 
 
 @query("q313_sequence_packing", oracle=None)  # oracle set below
