@@ -384,6 +384,24 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q309_multimodal_dedup_verdict",
         "q310_ann_recall_mrr",
         "q311_vocab_drift",
+        # --- round 8 greens (CORRECTNESS_r08.json; 41 green rows, 9
+        # rows-only `no_oracle` rows records excluded by definition;
+        # q01/q42/q50-q53/q80/q89/q91/q93/q98/q100/q101/q161/q163 etc.
+        # re-proven, already listed) ---
+        "q312_training_manifest",
+        "q313_sequence_packing",
+        "q314_packing_efficiency",
+        "q315_temperature_mixed_sample",
+        "q316_pq_audit",
+        "q317_pq_recall_impact",
+        "q318_document_chunking",
+        "q319_chunk_contamination",
+        "q320_packing_attention_audit",
+        "q321_soft_dedup_weights",
+        "q322_decontamination_cost",
+        "q323_epoch_allocation",
+        "q324_zipf_fit",
+        "q325_ks_drift",
     }
 )
 
