@@ -47,10 +47,12 @@ def ffd_pack(
     to ``budget`` (an over-long doc occupies a full sequence; the
     chunking lane is the upstream fix for those).
     """
-    if budget < 1 or shard_size < 1:
+    if budget < 1 or not (1 <= shard_size <= _SEQ_NS):
         raise ValueError(
-            f"ffd_pack requires budget >= 1 and shard_size >= 1, "
-            f"got budget={budget} shard_size={shard_size}"
+            f"ffd_pack requires budget >= 1 and 1 <= shard_size <= "
+            f"{_SEQ_NS} (seq_id packs the within-shard bin below the "
+            f"shard multiplier, and bins per shard are bounded by docs "
+            f"per shard), got budget={budget} shard_size={shard_size}"
         )
     import pandas as pd
 

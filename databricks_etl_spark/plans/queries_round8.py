@@ -775,7 +775,12 @@ def q319_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk stream's normalization; the 32-token overlap guarantees any
     span that fits a chunk window is seen whole by some chunk. Same
     broadcast-bench / map-side corpus-gram shape as q283 — zero
-    corpus-text shuffle."""
+    corpus-text shuffle. The bench side is whitespace-collapsed to the
+    SAME normalization the chunk stream applies (tokens re-joined with
+    single spaces), so a benchmark span containing a whitespace run is
+    still caught at chunk level; the composite chunk key is a string
+    concat (collision-free at any chunk count, unlike an integer
+    pack)."""
     from databricks_etl_spark.operators.text import (
         chunk_tokens,
         exact_substring_hits,
@@ -785,19 +790,22 @@ def q319_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 50 != 0)
     chunks = chunk_tokens(corpus, _Q318_W, _Q318_S).select(
-        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("ckey"),
+        F.concat_ws(":", "doc_id", "chunk_idx").alias("ckey"),
         F.col("chunk_text").alias("text"),
     )
     bench = d.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("bench_id"),
-        F.lower(F.trim(F.col("text"))).alias("text"),
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias(
+            "text"
+        ),
     )
     hits = exact_substring_hits(
         chunks, bench, length=_XL, stride=_XS, corpus_id="ckey"
     )
+    k = F.split(F.col("ckey"), ":")
     return hits.select(
-        (F.col("ckey") / 100000).cast("long").alias("doc_id"),
-        (F.col("ckey") % 100000).cast("long").alias("chunk_idx"),
+        k.getItem(0).cast("long").alias("doc_id"),
+        k.getItem(1).cast("long").alias("chunk_idx"),
         "bench_id",
         "n_grams_hit",
     )
@@ -817,7 +825,9 @@ def _q319_oracle() -> str:
             FROM chunks WHERE length(chunk_text) >= {_XL}
         ),
         bg AS (
-            SELECT doc_id AS bench_id, lower(trim(text)) AS btext
+            SELECT doc_id AS bench_id,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                       AS btext
             FROM documents WHERE doc_id % 50 = 0
         ),
         bgrams AS (

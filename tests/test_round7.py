@@ -341,7 +341,13 @@ def test_geo_radius_antimeridian_wrap(spark, sf_dir):
     use_dir, pair = sf_dir, wrap_pair(max_key(sf_dir))
     if pair is None:
         for cand in sorted(
-            glob.glob(os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf*")),
+            (
+                p
+                for p in glob.glob(
+                    os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf*")
+                )
+                if os.path.exists(os.path.join(p, "customer.parquet"))
+            ),
             key=lambda p: -os.path.getsize(os.path.join(p, "customer.parquet")),
         ):
             pair = wrap_pair(max_key(cand))

@@ -185,15 +185,35 @@ def test_multimodal_codec_scale_gate_25k(spark, sf_dir):
 
 
 def test_chunk_contamination_names_the_chunk(spark, sf_dir):
-    """A doc-level contamination hit (q283) maps to at least one
-    specific chunk in q319, and every q319 (doc, bench) pair is a
-    q283 pair — chunk granularity refines, never invents."""
+    """Every q319 (doc, bench) pair is a doc-level pair under the SAME
+    normalization — chunk granularity refines, never invents. The
+    reference set is a doc-level exact_substring_hits recomputation on
+    the whitespace-collapsed case-folded text q319 uses (q283 itself
+    grams the RAW text, so it is not a superset by construction: case
+    folding can legitimately surface pairs q283 never reports — the
+    r8 ADVICE asymmetry), with corpus-side stride 1 so every chunk
+    gram offset is also a sampled doc offset."""
+    import pyspark.sql.functions as F
+
+    from databricks_etl_spark.operators.text import exact_substring_hits
+    from databricks_etl_spark.plans.queries_round7 import _XL
     from databricks_etl_spark.plans.registry import queries
+    from databricks_etl_spark.sources.readers import read_table
 
     qs = queries()
+    d = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    corpus = d.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", norm.alias("text")
+    )
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), norm.alias("text")
+    )
     doc_hits = {
         (r.doc_id, r.bench_id)
-        for r in qs["q283_exact_contamination_pairs"](spark, sf_dir).collect()
+        for r in exact_substring_hits(
+            corpus, bench, length=_XL, stride=1
+        ).collect()
     }
     chunk_hits = qs["q319_chunk_contamination"](spark, sf_dir).collect()
     chunk_pairs = {(r.doc_id, r.bench_id) for r in chunk_hits}
