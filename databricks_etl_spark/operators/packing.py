@@ -35,6 +35,7 @@ def ffd_pack(
     *,
     id_col: str = "doc_id",
     len_col: str = "len",
+    group_col: str = None,
 ) -> DataFrame:
     """Pack ``docs`` (``id_col``, ``len_col`` token counts) into
     sequences of capacity ``budget`` via per-shard FFD.
@@ -46,6 +47,15 @@ def ffd_pack(
     from offset 0 (FFD fills bins front-to-back). Lengths are clamped
     to ``budget`` (an over-long doc occupies a full sequence; the
     chunking lane is the upstream fix for those).
+
+    With ``group_col`` (an integral column), each group packs into its
+    OWN sequences — sequences never mix groups, ``seq_id`` is unique
+    only within a group, and the group column is carried through the
+    output. Shard moduli are sized per group from a broadcast count
+    relation, so the grouped path has NO driver-side action at all
+    (the ungrouped path keeps its single sanctioned scalar count).
+    The dataloader capstone packs per epoch-class this way, so a
+    sequence replays a uniform number of epochs.
     """
     if budget < 1 or not (1 <= shard_size <= _SEQ_NS):
         raise ValueError(
@@ -56,16 +66,41 @@ def ffd_pack(
         )
     import pandas as pd
 
-    n = docs.count()  # one scalar to size the shard modulus
-    n_shards = max(1, math.ceil(n / shard_size))
-    it = docs.select(
+    head = [F.col(group_col).cast("long").alias(group_col)] if group_col else []
+    sel = docs.select(
+        *head,
         F.col(id_col).cast("long").alias("doc_id"),
         F.least(F.col(len_col), F.lit(budget)).cast("long").alias("len"),
-    ).withColumn("shard", (F.col("doc_id") % n_shards).cast("long"))
+    )
+    if group_col is None:
+        n = docs.count()  # one scalar to size the shard modulus
+        n_shards = max(1, math.ceil(n / shard_size))
+        it = sel.withColumn("shard", (F.col("doc_id") % n_shards).cast("long"))
+    else:
+        cnt = sel.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+        it = (
+            sel.join(F.broadcast(cnt), group_col)
+            .withColumn(
+                "shard",
+                (
+                    F.col("doc_id") % F.ceil(F.col("__n") / F.lit(shard_size))
+                ).cast("long"),
+            )
+            .drop("__n")
+        )
+    gcols = ([group_col] if group_col else []) + ["shard"]
+    out_cols = ([group_col] if group_col else []) + [
+        "doc_id",
+        "seq_id",
+        "seq_offset",
+        "n_tokens",
+    ]
+    schema = ", ".join(f"{c} long" for c in out_cols)
 
     def _ffd(pdf):
         pdf = pdf.sort_values(["len", "doc_id"], ascending=[False, True])
         shard = int(pdf["shard"].iloc[0])
+        extra = (int(pdf[group_col].iloc[0]),) if group_col else ()
         residuals = []
         out = []
         for doc_id, ln in zip(pdf["doc_id"], pdf["len"]):
@@ -78,11 +113,7 @@ def ffd_pack(
             else:
                 off = budget - residuals[j]
                 residuals[j] -= ln
-            out.append((int(doc_id), shard * _SEQ_NS + j + 1, off, ln))
-        return pd.DataFrame(
-            out, columns=["doc_id", "seq_id", "seq_offset", "n_tokens"]
-        )
+            out.append((*extra, int(doc_id), shard * _SEQ_NS + j + 1, off, ln))
+        return pd.DataFrame(out, columns=out_cols)
 
-    return it.groupBy("shard").applyInPandas(
-        _ffd, "doc_id long, seq_id long, seq_offset long, n_tokens long"
-    )
+    return it.groupBy(*gcols).applyInPandas(_ffd, schema)

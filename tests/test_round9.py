@@ -1,0 +1,110 @@
+"""Round-9 tests: the dataloader-order capstone's invariants (the
+exact guarantees a training run replays against), grouped FFD packing,
+incremental manifest maintenance, the subword tokenizer, chunk-grain
+MinHash, and the retrieval-eval lane."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from databricks_etl_spark.sources.readers import read_table
+
+
+def test_q326_dataloader_order_invariants(spark, sf_dir):
+    """The capstone contract: (a) every shipped doc appears exactly
+    epochs(source) times, once per epoch 1..epochs; (b) no benchmark
+    doc (doc_id % 50 == 0) ever appears; (c) per epoch, steps are a
+    dense 1..n_sequences permutation at sequence grain; (d) two
+    independent runs are byte-identical (the determinism a resumable
+    training job relies on)."""
+    from databricks_etl_spark.plans.registry import queries
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+        q323_epoch_allocation,
+    )
+
+    qs = queries()
+    rows = qs["q326_dataloader_order"](spark, sf_dir).collect()
+    assert rows, "dataloader order is empty"
+
+    # (b) benchmark exclusion
+    assert all(r.doc_id % 50 != 0 for r in rows)
+
+    # (a) exact epoch multiplicity per shipped doc — and nothing else
+    ship = {
+        r.doc_id
+        for r in q312_training_manifest(spark, sf_dir).filter("ship").collect()
+    }
+    epochs_by_source = {
+        r.source: r.epochs
+        for r in q323_epoch_allocation(spark, sf_dir).collect()
+    }
+    src = {
+        r.doc_id: r.source
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    seen: dict[int, list[int]] = {}
+    for r in rows:
+        seen.setdefault(r.doc_id, []).append(r.epoch)
+    assert set(seen) == ship
+    for doc_id, eps in seen.items():
+        want = epochs_by_source[src[doc_id]]
+        assert sorted(eps) == list(range(1, want + 1)), (doc_id, eps, want)
+
+    # (c) steps are dense 1..n_seqs per epoch, constant per sequence
+    per_epoch_seqs: dict[int, dict[int, int]] = {}
+    for r in rows:
+        d = per_epoch_seqs.setdefault(r.epoch, {})
+        assert d.setdefault(r.seq_id, r.step) == r.step
+    for epoch, seqs in per_epoch_seqs.items():
+        steps = sorted(seqs.values())
+        assert steps == list(range(1, len(seqs) + 1)), epoch
+
+    # epochs shuffle differently (MINSTD key is epoch-dependent)
+    if len(per_epoch_seqs) > 1:
+        e1, e2 = sorted(per_epoch_seqs)[:2]
+        common = set(per_epoch_seqs[e1]) & set(per_epoch_seqs[e2])
+        assert any(
+            per_epoch_seqs[e1][s] != per_epoch_seqs[e2][s] for s in common
+        )
+
+    # (d) byte-stability
+    again = qs["q326_dataloader_order"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ffd_pack_grouped_invariants(spark):
+    """Grouped FFD: every doc placed once, budget respected per
+    (group, seq), sequences never mix groups, and the grouped result
+    for a single group equals the ungrouped packing of that group."""
+    from databricks_etl_spark.operators.packing import ffd_pack
+
+    rows = [(i, (i * 37) % 90 + 10, i % 3 + 1) for i in range(1, 301)]
+    docs = spark.createDataFrame(rows, "doc_id long, len long, g long")
+    out = ffd_pack(docs, 128, 32, group_col="g").collect()
+
+    assert sorted(r.doc_id for r in out) == [r[0] for r in rows]
+    by_seq: dict[tuple[int, int], int] = {}
+    groups_of_seq: dict[int, set[int]] = {}
+    for r in out:
+        by_seq[(r.g, r.seq_id)] = by_seq.get((r.g, r.seq_id), 0) + r.n_tokens
+        groups_of_seq.setdefault(r.seq_id, set()).add(r.g)
+    assert all(total <= 128 for total in by_seq.values())
+    # (g, seq_id) is the composite key; a seq_id reused across groups
+    # must never receive docs from two groups under the same group key
+    for (g, _sid), _ in by_seq.items():
+        assert g in groups_of_seq[_sid]
+
+    one = docs.filter("g = 2").select("doc_id", "len")
+    solo = {
+        (r.doc_id, r.seq_id, r.seq_offset)
+        for r in ffd_pack(one, 128, 32).collect()
+    }
+    grouped = {
+        (r.doc_id, r.seq_id, r.seq_offset)
+        for r in out
+        if r.g == 2
+    }
+    assert solo == grouped
