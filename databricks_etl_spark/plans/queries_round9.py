@@ -21,6 +21,12 @@ from pyspark.sql import functions as F
 from databricks_etl_spark.plans.registry import QUERIES, query
 from databricks_etl_spark.sources.readers import read_table
 
+# the oracles below embed round-7/8 oracle SQL via the registry, so a
+# DIRECT import of this module must register those rounds first (via
+# registry._load() the order is already right; this makes standalone
+# imports — tests, notebooks — work too)
+import databricks_etl_spark.plans.queries_round8  # noqa: E402,F401  isort: skip
+
 # ---------------------------------------------------------------------------
 # q326 — dataloader-order capstone: the epoch-by-epoch training stream
 # ---------------------------------------------------------------------------
@@ -230,4 +236,268 @@ def q326_dataloader_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q326_dataloader_order"] = _replace(
     QUERIES["q326_dataloader_order"], oracle=_q326_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
+# q327 — incremental manifest maintenance (delta verdicts, corpus untouched)
+# ---------------------------------------------------------------------------
+
+_B327 = 10_000_000_000  # delta re-identification offset (q287's discipline)
+_Q327_QUALITY_MIN = 0.5  # q312's ship floor
+_Q327_PSI_MAX = 0.25  # q312's drift alarm
+
+
+def _q327_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import (
+        _Q285_CENTS,
+        _Q285_D2,
+        _Q285_DOT,
+        _Q285_T,
+        _XL,
+        _XS,
+        _quality_sql,
+    )
+
+    o311 = QUERIES["q311_vocab_drift"].oracle
+    o312 = QUERIES["q312_training_manifest"].oracle
+    vals = ", ".join(f"({j}, {c})" for j, c in enumerate(_Q285_CENTS))
+    sim = (
+        f"round({_Q285_DOT.format(a='b.embedding', b='c.embedding')}"
+        f" / (sqrt({_Q285_DOT.format(a='b.embedding', b='b.embedding')})"
+        f" * sqrt({_Q285_DOT.format(a='c.embedding', b='c.embedding')})), 6)"
+    )
+    return f"""
+        WITH delta_docs AS (
+            SELECT dd0.doc_id + {_B327} AS doc_id,
+                   CASE WHEN dd0.doc_id % 10 = 1 THEN dd0.text
+                        ELSE array_to_string(list_reverse(
+                            string_split_regex(lower(trim(dd0.text)),
+                                               '\\s+')), ' ')
+                   END AS text
+            FROM documents dd0 WHERE dd0.doc_id % 5 = 1
+        ),
+        {_quality_sql("delta_docs")},
+        dcg AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, length(text) - {_XL - 2}, {_XS}),
+                       i -> substr(text, CAST(i AS INT), {_XL}))))
+                       AS gram
+            FROM delta_docs WHERE length(text) >= {_XL}
+        ),
+        bgr AS (
+            SELECT DISTINCT unnest(list_distinct(list_transform(
+                       range(1, length(text) - {_XL - 2}),
+                       i -> substr(text, CAST(i AS INT), {_XL}))))
+                       AS gram
+            FROM documents WHERE doc_id % 50 = 0 AND length(text) >= {_XL}
+        ),
+        dhit AS (SELECT DISTINCT dcg.doc_id FROM dcg JOIN bgr USING (gram)),
+        cents(cid, c) AS (VALUES {vals}),
+        casg AS (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY {_Q285_D2}, cid
+                   ) AS rn
+            FROM embeddings, cents
+        ),
+        corpusc AS (
+            SELECT vec_id, embedding, CAST(cid AS INT) AS cell_id
+            FROM casg WHERE rn = 1
+        ),
+        deltav AS (
+            SELECT ev0.vec_id + {_B327} AS vec_id,
+                   CASE WHEN ev0.vec_id % 10 = 1 THEN ev0.embedding
+                        ELSE list_reverse(ev0.embedding)
+                   END AS embedding
+            FROM embeddings ev0 WHERE ev0.vec_id % 5 = 1
+        ),
+        basg AS (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY {_Q285_D2}, cid
+                   ) AS rn
+            FROM deltav, cents
+        ),
+        batchv AS (
+            SELECT vec_id, embedding, CAST(cid AS INT) AS cell_id
+            FROM basg WHERE rn = 1
+        ),
+        prs AS (
+            SELECT b.vec_id AS delta_id, c.vec_id AS corpus_id
+            FROM batchv b JOIN corpusc c ON b.cell_id = c.cell_id
+            WHERE {sim} >= {_Q285_T}
+        ),
+        nm AS (
+            SELECT delta_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM prs GROUP BY 1
+        ),
+        gate AS (SELECT DISTINCT psi_total FROM ({o311}))
+        SELECT dd.doc_id, 'new' AS role,
+               (dhit.doc_id IS NOT NULL) AS contaminated,
+               (nm.n IS NOT NULL) AS sem_dup,
+               COALESCE(q.quality_score >= {_Q327_QUALITY_MIN}, FALSE)
+                   AS quality_ok,
+               (dhit.doc_id IS NULL AND nm.n IS NULL
+                AND COALESCE(q.quality_score >= {_Q327_QUALITY_MIN}, FALSE)
+                AND gate.psi_total < {_Q327_PSI_MAX}) AS ship,
+               COALESCE(nm.n, 0) AS n_new_collisions
+        FROM delta_docs dd
+        LEFT JOIN dhit ON dd.doc_id = dhit.doc_id
+        LEFT JOIN q ON dd.doc_id = q.doc_id
+        LEFT JOIN nm ON dd.doc_id = nm.delta_id
+        CROSS JOIN gate
+        UNION ALL
+        SELECT t.corpus_id AS doc_id, 'touched' AS role,
+               CAST(NULL AS BOOLEAN) AS contaminated,
+               CAST(NULL AS BOOLEAN) AS sem_dup,
+               CAST(NULL AS BOOLEAN) AS quality_ok,
+               CAST(NULL AS BOOLEAN) AS ship,
+               t.n AS n_new_collisions
+        FROM (
+            SELECT corpus_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM prs GROUP BY 1
+        ) t
+        JOIN (SELECT doc_id FROM ({o312}) WHERE ship) s
+            ON t.corpus_id = s.doc_id
+    """
+
+
+@query("q327_manifest_maintenance", oracle=None)  # oracle set below
+def q327_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MANIFEST maintenance — the missing delta lane
+    between the persisted q312 manifest and the incremental dedup
+    machinery (q287 cells, q252 bands): a batch of NEW documents
+    (every doc_id % 5 == 1 source doc, re-identified +1e10; half
+    arrive verbatim — the re-ingested-crawl case — and half
+    deterministically perturbed by token/embedding reversal — the
+    genuinely-novel case) is scored WITHOUT recomputing the corpus.
+
+    Emits only new/changed rows: one 'new' row per delta doc with the
+    full gate set — benchmark contamination (delta grams x broadcast
+    bench, q283's construction at delta size), semantic collision
+    against the PERSISTED q285 cell index (delta x same-cell only,
+    q287's probe — the corpus is never re-assigned or re-compared),
+    the quality floor on the delta text, and the persisted PSI drift
+    scalar — plus one 'touched' row per prior SURVIVOR a delta doc
+    collides with (collision count only; its verdict columns stay
+    NULL because the corpus is not re-scored — the consumer decides
+    whether new collisions demote a survivor). Delta docs carry no
+    multimodal payloads, so the q309 gate is clean by definition.
+    Scale: every corpus-sized input is the persisted index; all new
+    work is delta-sized or delta x cell-bounded."""
+    from databricks_etl_spark.operators import similarity as SIM
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.operators.text import (
+        exact_substring_hits,
+        tokens_col,
+    )
+    from databricks_etl_spark.plans.queries_round7 import (
+        _Q285_CENTS,
+        _Q285_T,
+        _XL,
+        _XS,
+        q311_vocab_drift,
+    )
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    pert = F.array_join(F.reverse(tokens_col("text")), " ")
+    delta = d.filter(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + _B327).alias("doc_id"),
+        F.when(F.col("doc_id") % 10 == 1, F.col("text"))
+        .otherwise(pert)
+        .alias("text"),
+    )
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    cont = (
+        exact_substring_hits(delta, bench, length=_XL, stride=_XS)
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    qual = TX.quality_features(delta).select("doc_id", "quality_score")
+
+    cents = spark.createDataFrame(
+        list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
+    )
+    corpus_cells = SIM.assign_cells(e, cents)
+    dv = e.filter(F.col("vec_id") % 5 == 1).select(
+        (F.col("vec_id") + _B327).alias("vec_id"),
+        F.when(F.col("vec_id") % 10 == 1, F.col("embedding"))
+        .otherwise(F.reverse("embedding"))
+        .alias("embedding"),
+    )
+    bc = SIM.assign_cells(dv, cents)
+    idx = corpus_cells.select(
+        F.col("vec_id").alias("__cid"),
+        F.col("embedding").alias("__cv"),
+        "cell_id",
+    )
+    pairs = (
+        bc.join(idx, "cell_id")
+        .withColumn(
+            "__s", F.round(SIM.cosine(F.col("embedding"), F.col("__cv")), 6)
+        )
+        .filter(F.col("__s") >= _Q285_T)
+        .select(
+            F.col("vec_id").alias("delta_id"),
+            F.col("__cid").alias("corpus_id"),
+        )
+    )
+    nm = pairs.groupBy("delta_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    gate = q311_vocab_drift(spark, sf_dir).select("psi_total").distinct()
+
+    contaminated = F.coalesce(F.col("__hit"), F.lit(False))
+    sem_dup = F.col("__n").isNotNull()
+    quality_ok = F.coalesce(
+        F.col("quality_score") >= _Q327_QUALITY_MIN, F.lit(False)
+    )
+    drift_ok = F.col("psi_total") < _Q327_PSI_MAX
+    new_rows = (
+        delta.select("doc_id")
+        .join(cont, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+        .join(nm, delta.doc_id == nm.delta_id, "left")
+        .crossJoin(F.broadcast(gate))
+        .select(
+            "doc_id",
+            F.lit("new").alias("role"),
+            contaminated.alias("contaminated"),
+            sem_dup.alias("sem_dup"),
+            quality_ok.alias("quality_ok"),
+            (~contaminated & ~sem_dup & quality_ok & drift_ok).alias("ship"),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias(
+                "n_new_collisions"
+            ),
+        )
+    )
+    surv = q312_training_manifest(spark, sf_dir).filter("ship").select("doc_id")
+    touched = (
+        pairs.groupBy("corpus_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_collisions"))
+        .join(surv, F.col("corpus_id") == surv.doc_id)
+        .select(
+            F.col("corpus_id").alias("doc_id"),
+            F.lit("touched").alias("role"),
+            F.lit(None).cast("boolean").alias("contaminated"),
+            F.lit(None).cast("boolean").alias("sem_dup"),
+            F.lit(None).cast("boolean").alias("quality_ok"),
+            F.lit(None).cast("boolean").alias("ship"),
+            "n_new_collisions",
+        )
+    )
+    return new_rows.unionByName(touched)
+
+
+QUERIES["q327_manifest_maintenance"] = _replace(
+    QUERIES["q327_manifest_maintenance"], oracle=_q327_oracle()
 )
