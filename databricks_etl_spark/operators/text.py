@@ -366,6 +366,100 @@ def exact_substring_hits(
     )
 
 
+# Fixed literal subword vocabulary for the greedy longest-match
+# tokenizer — deliberately small, lowercase-ASCII, and grouped by piece
+# length so the same literal lists embed in the SQL oracle (the q285
+# fixed-centroid discipline applied to tokenization). Any character not
+# starting a vocab piece is consumed as a 1-char piece, so every word
+# tokenizes totally.
+SUBWORD_VOCAB_4: tuple[str, ...] = (
+    "tion", "ment", "able", "ness", "ight", "ough", "ance", "ware",
+)
+SUBWORD_VOCAB_3: tuple[str, ...] = (
+    "ing", "ion", "ent", "the", "and", "ati", "ere", "ter",
+    "est", "ers", "pre", "con", "com", "for", "int", "sub",
+)
+SUBWORD_VOCAB_2: tuple[str, ...] = (
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "es",
+    "or", "te", "ed", "st", "ar", "nd", "to", "it", "ou", "is",
+    "le", "al", "de", "se", "ti", "ra",
+)
+
+
+def subword_count(w: Column) -> Column:
+    """Number of greedy longest-match subword pieces in word ``w``.
+
+    Classic left-to-right longest-match-first tokenization (the
+    WordPiece/BPE *inference* rule) against the fixed literal
+    vocabulary above: at each position try a 4-char piece, then
+    3, then 2, else consume 1 char. Expressed as a pure ``aggregate``
+    fold over character positions — position ``pos`` carries the next
+    unconsumed offset, and iterations past the final position are
+    no-ops (each real step consumes >= 1 char, so length(w)
+    iterations always suffice). Whole-stage-codegen JVM expression,
+    no UDF; a DuckDB recursive CTE states the identical consumption
+    (plans/queries_round9.py)."""
+
+    def _step(acc: Column, _: Column) -> Column:
+        pos, cnt = acc.getField("pos"), acc.getField("cnt")
+        ml = (
+            F.when(w.substr(pos, F.lit(4)).isin(*SUBWORD_VOCAB_4), F.lit(4))
+            .when(w.substr(pos, F.lit(3)).isin(*SUBWORD_VOCAB_3), F.lit(3))
+            .when(w.substr(pos, F.lit(2)).isin(*SUBWORD_VOCAB_2), F.lit(2))
+            .otherwise(F.lit(1))
+        )
+        return F.when(pos > F.length(w), acc).otherwise(
+            F.struct((pos + ml).alias("pos"), (cnt + F.lit(1)).alias("cnt"))
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(w)),
+        F.struct(F.lit(1).alias("pos"), F.lit(0).alias("cnt")),
+        _step,
+        lambda acc: acc.getField("cnt"),
+    )
+
+
+def subword_doc_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document subword token counts under :func:`subword_count`.
+
+    Tokenizes each DISTINCT word once (the vocabulary is tiny next to
+    the corpus, so the fold runs |vocab(corpus)| times, not |tokens|
+    times) and joins the piece counts back to the exploded token
+    stream — the q82 TF-IDF shuffle shape, hash-partitioned on the
+    word. Returns (doc_id, n_words, n_subword_tokens,
+    pieces_per_word); empty documents report 0/0/NULL."""
+    tok = df.select(
+        "doc_id", F.explode(tokens_col(text_col)).alias("w")
+    ).filter(F.length("w") >= 1)
+    wc = (
+        tok.select("w")
+        .distinct()
+        .select("w", subword_count(F.col("w")).alias("pieces"))
+    )
+    per = (
+        tok.join(wc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("pieces").cast("long").alias("n_subword_tokens"),
+        )
+    )
+    return df.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_subword_tokens", F.lit(0))
+        .cast("long")
+        .alias("n_subword_tokens"),
+        F.round(
+            F.try_divide(
+                F.col("n_subword_tokens").cast("double"), F.col("n_words")
+            ),
+            6,
+        ).alias("pieces_per_word"),
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     window: int,

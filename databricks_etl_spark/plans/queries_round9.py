@@ -501,3 +501,103 @@ def q327_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q327_manifest_maintenance"] = _replace(
     QUERIES["q327_manifest_maintenance"], oracle=_q327_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# q328/q329 — greedy longest-match subword tokenizer + subword packing
+# ---------------------------------------------------------------------------
+
+
+def _q328_oracle() -> str:
+    from databricks_etl_spark.operators.text import (
+        SUBWORD_VOCAB_2,
+        SUBWORD_VOCAB_3,
+        SUBWORD_VOCAB_4,
+    )
+
+    v4 = ", ".join(f"'{p}'" for p in SUBWORD_VOCAB_4)
+    v3 = ", ".join(f"'{p}'" for p in SUBWORD_VOCAB_3)
+    v2 = ", ".join(f"'{p}'" for p in SUBWORD_VOCAB_2)
+    return f"""
+        WITH RECURSIVE
+        tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        ),
+        vt AS (SELECT doc_id, w FROM tok WHERE length(w) >= 1),
+        words AS (SELECT DISTINCT w FROM vt),
+        tk AS (
+            SELECT w, 1 AS pos, 0 AS cnt FROM words
+            UNION ALL
+            SELECT w,
+                   pos + CASE WHEN substr(w, pos, 4) IN ({v4}) THEN 4
+                              WHEN substr(w, pos, 3) IN ({v3}) THEN 3
+                              WHEN substr(w, pos, 2) IN ({v2}) THEN 2
+                              ELSE 1 END,
+                   cnt + 1
+            FROM tk WHERE pos <= length(w)
+        ),
+        wc AS (SELECT w, MAX(cnt) AS pieces FROM tk GROUP BY 1),
+        per AS (
+            SELECT vt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(wc.pieces) AS BIGINT) AS n_subword_tokens
+            FROM vt JOIN wc USING (w) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(per.n_words, 0) AS n_words,
+               COALESCE(per.n_subword_tokens, 0) AS n_subword_tokens,
+               round(CAST(per.n_subword_tokens AS DOUBLE) / per.n_words, 6)
+                   AS pieces_per_word
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+
+@query("q328_subword_tokenize", oracle=_q328_oracle())
+def q328_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match SUBWORD tokenization — the realism gap the
+    r8 verdict named: every token count in the repo is whitespace-
+    split, but pipelines budget in subword tokens. WordPiece/BPE
+    *inference* (longest-match-first against a fixed vocabulary) over
+    a literal vocab grouped by piece length (4/3/2-char pieces,
+    1-char fallback — total coverage by construction), expressed as a
+    pure JVM ``aggregate`` fold over character positions: no UDF, no
+    model artifact, engine-reproducible (the q285 fixed-centroid
+    discipline applied to tokenization). Each DISTINCT word tokenizes
+    once; piece counts join back to the exploded token stream (the
+    q82 shuffle shape). The oracle states the identical consumption
+    as a recursive CTE — the terminal piece count per word is the
+    fold's MAX(cnt). Per doc: whitespace words, subword tokens, and
+    the fertility ratio (pieces per word, the tokenizer-quality
+    metric)."""
+    from databricks_etl_spark.operators.text import subword_doc_counts
+
+    d = read_table(spark, sf_dir, "documents")
+    return subword_doc_counts(d)
+
+
+def _q329_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round8 import _ffd_oracle
+
+    return _ffd_oracle(
+        f"SELECT doc_id, n_subword_tokens AS len FROM ({_q328_oracle()})"
+    )
+
+
+@query("q329_subword_packing", oracle=_q329_oracle())
+def q329_subword_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q313 packing plan RE-BASED on subword lengths (q328): the
+    token budget a training run actually spends is subword tokens,
+    and a pack plan built on whitespace counts under-fills every
+    sequence by the fertility ratio. Identical FFD machinery and
+    placement order (length DESC, doc_id) through the SAME
+    ``ffd_pack`` operator and the SAME parameterized recursive-CTE
+    oracle as q313 — only the length column changes, which is the
+    point: the packing lane is length-source-agnostic."""
+    from databricks_etl_spark.operators.packing import ffd_pack
+    from databricks_etl_spark.plans.queries_round8 import _Q313_B, _Q313_P
+
+    lens = q328_subword_tokenize(spark, sf_dir).select(
+        "doc_id", F.col("n_subword_tokens").alias("len")
+    )
+    return ffd_pack(lens, _Q313_B, _Q313_P)

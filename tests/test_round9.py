@@ -110,6 +110,61 @@ def test_ffd_pack_grouped_invariants(spark):
     assert solo == grouped
 
 
+def test_subword_greedy_longest_match(spark):
+    """The fold implements longest-match-first exactly: hand-computed
+    consumptions for known words, 1-char fallback for OOV characters,
+    and the fertility bound 1 <= pieces <= length(word)."""
+    from databricks_etl_spark.operators.text import subword_count
+
+    # "nation" -> "na"? no ("na" not in V2) -> n,a? Walk it by hand:
+    # pos1 "nati"X "nat"X "na"X -> "n"(1); pos2 "atio"X "ati"OK(3);
+    # pos5 "on"OK(2) => 3 pieces
+    # "the" -> "the"(3) => 1 piece; "thex" -> "the"+"x" => 2
+    # "zzz" -> z,z,z => 3 (all OOV); "ingestion" -> "inge"X "ing"(3)
+    #   + "esti"X "est"(3) + "on"(2) => 3 pieces
+    cases = {
+        "nation": 3,
+        "the": 1,
+        "thex": 2,
+        "zzz": 3,
+        "ingestion": 3,
+        "a": 1,
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    got = {
+        r.w: r.p
+        for r in df.select("w", subword_count(F.col("w")).alias("p")).collect()
+    }
+    assert got == cases
+
+    import random
+
+    rng = random.Random(9)
+    words = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz.!")
+                for _ in range(rng.randint(1, 30)))
+        for _ in range(200)
+    ]
+    df2 = spark.createDataFrame([(w,) for w in words], "w string")
+    for r in df2.select("w", subword_count(F.col("w")).alias("p")).collect():
+        assert 1 <= r.p <= len(r.w), r
+
+
+def test_subword_fertility_vs_whitespace(spark, sf_dir):
+    """Subword counts dominate whitespace counts (every word is >= 1
+    piece) and the fertility ratio is >= 1 wherever defined — the
+    invariant that makes the q329 re-based packing strictly tighter
+    than q313's whitespace budget."""
+    from databricks_etl_spark.plans.registry import queries
+
+    rows = queries()["q328_subword_tokenize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_subword_tokens >= r.n_words, r
+        if r.pieces_per_word is not None:
+            assert r.pieces_per_word >= 1.0, r
+
+
 def test_q327_corpus_never_rescored(spark, sf_dir):
     """Incremental maintenance emits ONLY new/changed rows: 'new' rows
     are exactly the delta batch, 'touched' rows carry collision counts
