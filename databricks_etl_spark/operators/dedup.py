@@ -212,14 +212,27 @@ def minhash_lsh_pairs(
     # materialize the token array behind a projection boundary first —
     # inlining tokens_col into shingle_array's lambda would re-run the
     # regex split once per element_at (same rule as text.shingles)
+    # Rows with an EMPTY shingle set are filtered out — but Catalyst
+    # may reorder the LSH model's hash UDF (deterministic) ahead of
+    # this filter inside a merged predicate, and MinHashLSHModel
+    # refuses all-zero vectors. Substituting a sentinel singleton for
+    # empty sets makes the UDF total on every row it can possibly see;
+    # the filter still drops those rows from every result, so two
+    # empty inputs can never pair via the shared sentinel.
+    sh = F.array_distinct(shingle_array(F.col("__toks"), shingle_n))
     toks = (
         df.repartition(parallelism, id_col)
         .select(id_col, tokens_col(text_col).alias("__toks"))
+        .select(id_col, sh.alias("__sh"))
         .select(
             id_col,
-            F.array_distinct(shingle_array(F.col("__toks"), shingle_n)).alias("toks"),
+            F.when(F.size("__sh") > 0, F.col("__sh"))
+            .otherwise(F.array(F.lit("\x00empty")))
+            .alias("toks"),
+            F.size("__sh").alias("__n"),
         )
-        .filter(F.size("toks") > 0)
+        .filter(F.col("__n") > 0)
+        .drop("__n")
     )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=num_features, binary=True)
     feats = tf.transform(toks)

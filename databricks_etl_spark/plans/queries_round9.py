@@ -601,3 +601,220 @@ def q329_subword_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_subword_tokens").alias("len")
     )
     return ffd_pack(lens, _Q313_B, _Q313_P)
+
+
+# ---------------------------------------------------------------------------
+# q330/q331 — chunk-grain MinHash near-dup (oracled gate + LSH lane)
+# ---------------------------------------------------------------------------
+
+_Q330_H = 8  # minhash functions
+_Q330_BANDS = 4  # bands of 2 rows each
+_Q330_MIN_EQ = 4  # >= 4/8 matching components ~ est Jaccard >= 0.5
+
+
+def _q330_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round8 import _q318_chunks_sql
+
+    sig_cols = ", ".join(
+        f"MIN(md5('{i}:' || s)) AS h{i}" for i in range(_Q330_H)
+    )
+    band_case = " ".join(
+        f"WHEN {b} THEN h{2 * b} || h{2 * b + 1}"
+        for b in range(_Q330_BANDS)
+    )
+    n_eq = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(_Q330_H)
+    )
+    return f"""
+        WITH {_q318_chunks_sql()},
+        ct AS (
+            SELECT doc_id, chunk_idx, string_split(chunk_text, ' ') AS toks
+            FROM chunks WHERE n_chunk_tokens >= 3
+        ),
+        sh AS (
+            SELECT doc_id, chunk_idx,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                       AS s
+            FROM ct
+        ),
+        sig AS (
+            SELECT doc_id, chunk_idx, {sig_cols}
+            FROM sh GROUP BY 1, 2
+        ),
+        bands AS (
+            SELECT doc_id, chunk_idx, bb.band,
+                   CASE bb.band {band_case} END AS bh
+            FROM sig, (SELECT unnest(range(0, {_Q330_BANDS})) AS band) bb
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, a.chunk_idx AS chunk_a,
+                   b.doc_id AS doc_b, b.chunk_idx AS chunk_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+            FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ),
+        scored AS (
+            SELECT c.doc_a, c.chunk_a, c.doc_b, c.chunk_b,
+                   c.n_shared_bands, {n_eq} AS n_matching
+            FROM cand c
+            JOIN sig sa ON c.doc_a = sa.doc_id AND c.chunk_a = sa.chunk_idx
+            JOIN sig sb ON c.doc_b = sb.doc_id AND c.chunk_b = sb.chunk_idx
+        )
+        SELECT doc_a, chunk_a, doc_b, chunk_b, n_shared_bands,
+               CAST(n_matching AS BIGINT) AS n_matching,
+               round(n_matching / {_Q330_H}.0, 6) AS est_jaccard
+        FROM scored WHERE n_matching >= {_Q330_MIN_EQ}
+    """
+
+
+@query("q330_chunk_minhash_neardup", oracle=_q330_oracle())
+def q330_chunk_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-grain MinHash near-dup, hash-checked end to end — the
+    fuzzy complement of q319 at the grain pipelines actually mask:
+    q319 catches VERBATIM chunk contamination; whitespace/punctuation-
+    perturbed near-copies escape exact grams but not MinHash. The
+    q163 discipline applied to the full MinHash LSH ladder: an
+    ENGINE-INDEPENDENT hash family (md5 of a salted shingle, lex-min
+    per salt = one permutation per salt) over the q318 chunk stream's
+    3-gram shingles, {_Q330_H} signature components banded into
+    {_Q330_BANDS} x 2 bands, candidates from the band equi-join
+    (never all-pairs), scored by matching-component fraction and kept
+    at est >= 0.5. Same-doc pairs are excluded (overlapping chunks of
+    one doc are near-dups by construction). q45/q331 stay the fast
+    seeded paths at scale; this twin driver-PROVES the banding +
+    estimation semantics. Scale shape: map-side shingle+min per
+    chunk, one shuffle on (band, band_hash), candidate volume bounded
+    by true collisions (duplicate-doc chunks), signature join keyed
+    on (doc, chunk)."""
+    from databricks_etl_spark.operators.text import (
+        chunk_tokens,
+        shingle_array,
+        tokens_col,
+    )
+    from databricks_etl_spark.plans.queries_round8 import _Q318_S, _Q318_W
+
+    d = read_table(spark, sf_dir, "documents")
+    ct = (
+        chunk_tokens(d, _Q318_W, _Q318_S)
+        .filter(F.col("n_chunk_tokens") >= 3)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            tokens_col("chunk_text").alias("toks"),
+        )
+    )
+    sh = ct.select(
+        "doc_id",
+        "chunk_idx",
+        F.explode(F.array_distinct(shingle_array(F.col("toks"), 3))).alias("s"),
+    )
+    sig = sh.groupBy("doc_id", "chunk_idx").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(_Q330_H)
+        ]
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(
+                    "bh"
+                ),
+            )
+            for b in range(_Q330_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "chunk_idx", F.explode(band_arr).alias("x")
+    ).select("doc_id", "chunk_idx", "x.band", "x.bh")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("chunk_idx").alias("chunk_a"),
+        "band",
+        "bh",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("chunk_idx").alias("chunk_b"),
+        "band",
+        "bh",
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("chunk_idx").alias("chunk_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_Q330_H)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("chunk_idx").alias("chunk_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_Q330_H)],
+    )
+    n_eq = None
+    for i in range(_Q330_H):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        n_eq = term if n_eq is None else n_eq + term
+    return (
+        cand.join(sa, ["doc_a", "chunk_a"])
+        .join(sb, ["doc_b", "chunk_b"])
+        .withColumn("n_matching", n_eq.cast("long"))
+        .filter(F.col("n_matching") >= _Q330_MIN_EQ)
+        .select(
+            "doc_a",
+            "chunk_a",
+            "doc_b",
+            "chunk_b",
+            "n_shared_bands",
+            "n_matching",
+            F.round(F.col("n_matching") / float(_Q330_H), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+@query("q331_chunk_lsh_pairs", oracle=None)  # seeded engine hash: rows-only
+def q331_chunk_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production chunk near-dup path: ``pyspark.ml`` MinHashLSH
+    over the q318 chunk stream (the q45 machinery at chunk grain),
+    cross-doc pairs at est Jaccard >= 0.5. Seeded engine hash family
+    → rows-only driver record; q330 is its oracled md5 twin proving
+    the banding + estimation semantics cross-engine. Chunk keys ride
+    as 'doc:idx' strings through the LSH (collision-free at any chunk
+    count) and decode on output."""
+    from databricks_etl_spark.operators.dedup import minhash_lsh_pairs
+    from databricks_etl_spark.operators.text import chunk_tokens
+    from databricks_etl_spark.plans.queries_round8 import _Q318_S, _Q318_W
+
+    d = read_table(spark, sf_dir, "documents")
+    chunks = (
+        chunk_tokens(d, _Q318_W, _Q318_S)
+        .filter(F.col("n_chunk_tokens") >= 3)
+        .select(
+            F.concat_ws(":", "doc_id", "chunk_idx").alias("ckey"),
+            F.col("chunk_text").alias("text"),
+        )
+    )
+    pairs = minhash_lsh_pairs(chunks, threshold=0.5, id_col="ckey")
+    ka, kb = F.split(F.col("id_a"), ":"), F.split(F.col("id_b"), ":")
+    return (
+        pairs.select(
+            ka.getItem(0).cast("long").alias("doc_a"),
+            ka.getItem(1).cast("long").alias("chunk_a"),
+            kb.getItem(0).cast("long").alias("doc_b"),
+            kb.getItem(1).cast("long").alias("chunk_b"),
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )

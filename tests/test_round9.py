@@ -165,6 +165,81 @@ def test_subword_fertility_vs_whitespace(spark, sf_dir):
             assert r.pieces_per_word >= 1.0, r
 
 
+def test_chunk_minhash_vs_exact_jaccard(spark, sf_dir):
+    """The md5-MinHash chunk twin scored against EXACT shingle
+    Jaccard (computed independently in Python): every near-verbatim
+    cross-doc chunk pair (exact J >= 0.9) is detected — the recall a
+    masking pipeline relies on — 8/8-component pairs are high-J in
+    truth, no reported pair is junk, and the seeded LSH lane agrees
+    on the near-verbatim set. Deterministic: md5 hashes and the
+    testdata are both fixed."""
+    import itertools
+
+    from databricks_etl_spark.operators.text import chunk_tokens
+    from databricks_etl_spark.plans.queries_round8 import _Q318_S, _Q318_W
+    from databricks_etl_spark.plans.registry import queries
+
+    qs = queries()
+    d = read_table(spark, sf_dir, "documents")
+    ch = (
+        chunk_tokens(d, _Q318_W, _Q318_S)
+        .filter(F.col("n_chunk_tokens") >= 3)
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .collect()
+    )
+
+    def shingles(t: str) -> set[str]:
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    S = {(r.doc_id, r.chunk_idx): shingles(r.chunk_text) for r in ch}
+
+    def jac(ka, kb) -> float:
+        a, b = S[ka], S[kb]
+        return len(a & b) / len(a | b)
+
+    truth = set()
+    for ka, kb in itertools.combinations(sorted(S), 2):
+        if ka[0] != kb[0] and jac(ka, kb) >= 0.9:
+            truth.add((ka, kb))
+    assert truth, "testdata has near-verbatim cross-doc chunks"
+
+    g330 = qs["q330_chunk_minhash_neardup"](spark, sf_dir).collect()
+    det = {((r.doc_a, r.chunk_a), (r.doc_b, r.chunk_b)) for r in g330}
+    assert truth <= det  # 100% recall on near-verbatim pairs
+    for r in g330:
+        assert r.doc_a < r.doc_b and 4 <= r.n_matching <= 8, r
+        j = jac((r.doc_a, r.chunk_a), (r.doc_b, r.chunk_b))
+        assert j > 0.1, (r, j)  # no junk pairs
+        if r.n_matching == 8:
+            assert j >= 0.5, (r, j)
+
+    g331 = qs["q331_chunk_lsh_pairs"](spark, sf_dir).collect()
+    assert g331 and all(r.doc_a != r.doc_b for r in g331)
+    lsh = {((r.doc_a, r.chunk_a), (r.doc_b, r.chunk_b)) for r in g331}
+    assert lsh & truth
+
+
+def test_minhash_lsh_survives_empty_shingle_rows(spark):
+    """Regression (found via the chunk lane): Catalyst may evaluate
+    the LSH hash UDF ahead of the empty-shingle filter, and
+    MinHashLSHModel rejects all-zero vectors — rows too short to
+    shingle must neither crash the join nor appear in its output."""
+    from databricks_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [
+        ("a", "alpha beta gamma delta epsilon"),
+        ("b", "alpha beta gamma delta epsilon"),
+        ("c", "too short"),
+        ("d", ""),
+        ("e", "x y"),
+    ]
+    df = spark.createDataFrame(rows, "k string, text string")
+    got = minhash_lsh_pairs(df, threshold=0.5, id_col="k").collect()
+    ids = {r.id_a for r in got} | {r.id_b for r in got}
+    assert ids == {"a", "b"}
+
+
 def test_q327_corpus_never_rescored(spark, sf_dir):
     """Incremental maintenance emits ONLY new/changed rows: 'new' rows
     are exactly the delta batch, 'touched' rows carry collision counts
