@@ -818,3 +818,314 @@ def q331_chunk_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_a") != F.col("doc_b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q332 — RAG retrieval eval: chunk embeddings + IVF vs brute-force truth
+# ---------------------------------------------------------------------------
+
+_Q332_D = 32  # feature-hash embedding dims
+_Q332_K = 8  # IVF cells (comb quantizer: cell j owns dims {i: i%8==j})
+_Q332_TOPK = 10
+
+
+def _q332_nibble(k: int) -> str:
+    return f"(instr('0123456789abcdef', substr(md5(t), {k}, 1)) - 1)"
+
+
+def _q332_emb_list() -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN bucket = {i} THEN sign ELSE 0 END) AS DOUBLE)"
+        for i in range(_Q332_D)
+    )
+    return f"[{sums}]"
+
+
+def _q332_cell_case(col: str) -> str:
+    """Argmax-with-smallest-j-tiebreak over the comb-cell scores.
+
+    For the indicator-comb centroids c_j (1.0 at dims i % K == j),
+    squared distance d2_j = ||x||^2 - 2*s_j + (D/K) where s_j is the
+    sum of x at cell j's dims — so argmin d2 with (d2, cid) tiebreak
+    is EXACTLY argmax s_j with smallest-j tiebreak (the constant terms
+    do not depend on j). The cell assignment is a pure per-row
+    expression: no centroid join, no shuffle."""
+    s = {
+        j: " + ".join(
+            f"{col}[{i + 1}]" for i in range(_Q332_D) if i % _Q332_K == j
+        )
+        for j in range(_Q332_K)
+    }
+    whens = []
+    for j in range(_Q332_K - 1):
+        conds = " AND ".join(
+            f"({s[j]}) >= ({s[k]})" for k in range(j + 1, _Q332_K)
+        )
+        whens.append(f"WHEN {conds} THEN {j}")
+    return f"CASE {' '.join(whens)} ELSE {_Q332_K - 1} END"
+
+
+def _q332_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round8 import _q318_chunks_sql
+
+    n1, n2, n3 = _q332_nibble(1), _q332_nibble(2), _q332_nibble(3)
+    dot_qc = (
+        f"list_sum(list_transform(range(1, {_Q332_D} + 1), "
+        f"i -> q.qe[i] * c.ce[i]))"
+    )
+    nrm = "list_sum(list_transform({v}, x -> x * x))"
+    sim = (
+        f"round({dot_qc} / (sqrt({nrm.format(v='q.qe')})"
+        f" * sqrt({nrm.format(v='c.ce')})), 6)"
+    )
+    return f"""
+        WITH {_q318_chunks_sql("WHERE doc_id % 50 != 0")},
+        ctok AS (
+            SELECT doc_id, chunk_idx,
+                   unnest(string_split(chunk_text, ' ')) AS t
+            FROM chunks WHERE n_chunk_tokens >= 1
+        ),
+        cent AS (
+            SELECT doc_id, chunk_idx,
+                   ({n1} * 16 + {n2}) % {_Q332_D} AS bucket,
+                   CASE WHEN {n3} % 2 = 0 THEN 1 ELSE -1 END AS sign
+            FROM ctok WHERE length(t) >= 1
+        ),
+        cemb0 AS (
+            SELECT doc_id, chunk_idx, {_q332_emb_list()} AS ce
+            FROM cent GROUP BY 1, 2
+        ),
+        cemb AS (
+            SELECT doc_id, chunk_idx, ce,
+                   {_q332_cell_case('ce')} AS cell
+            FROM cemb0 WHERE {nrm.format(v='ce')} > 0
+        ),
+        qtok AS (
+            SELECT doc_id AS qid,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents WHERE doc_id % 50 = 0
+        ),
+        qent AS (
+            SELECT qid,
+                   ({n1} * 16 + {n2}) % {_Q332_D} AS bucket,
+                   CASE WHEN {n3} % 2 = 0 THEN 1 ELSE -1 END AS sign
+            FROM qtok WHERE length(t) >= 1
+        ),
+        qemb0 AS (
+            SELECT qid, {_q332_emb_list()} AS qe
+            FROM (SELECT qid, bucket, sign FROM qent) cent GROUP BY 1
+        ),
+        qemb AS (
+            SELECT qid, qe, {_q332_cell_case('qe')} AS cell
+            FROM qemb0 WHERE {nrm.format(v='qe')} > 0
+        ),
+        s AS (
+            SELECT q.qid, c.doc_id, c.chunk_idx,
+                   q.cell = c.cell AS same_cell, {sim} AS sim
+            FROM qemb q JOIN cemb c ON TRUE
+        ),
+        truth AS (
+            SELECT qid, doc_id, chunk_idx, rk FROM (
+                SELECT qid, doc_id, chunk_idx,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, doc_id, chunk_idx) AS rk
+                FROM s
+            ) WHERE rk <= {_Q332_TOPK}
+        ),
+        approx AS (
+            SELECT qid, doc_id, chunk_idx FROM (
+                SELECT qid, doc_id, chunk_idx,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, doc_id, chunk_idx) AS rk
+                FROM s WHERE same_cell
+            ) WHERE rk <= {_Q332_TOPK}
+        ),
+        hits AS (
+            SELECT t.qid,
+                   CAST(COUNT(a.doc_id) AS BIGINT) AS n_hit,
+                   MIN(CASE WHEN t.rk = 1 AND a.doc_id IS NOT NULL
+                            THEN 1.0 END) AS top1_found
+            FROM truth t
+            LEFT JOIN approx a ON t.qid = a.qid AND t.doc_id = a.doc_id
+                              AND t.chunk_idx = a.chunk_idx
+            GROUP BY t.qid
+        ),
+        per AS (
+            SELECT qid,
+                   CAST(round(n_hit / {_Q332_TOPK}.0, 6)
+                        AS DECIMAL(18,9)) AS recall10,
+                   CAST(COALESCE(top1_found, 0.0) AS DECIMAL(18,9)) AS top1
+            FROM hits
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               round(CAST(SUM(recall10) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_recall_at_10,
+               round(CAST(SUM(top1) AS DOUBLE) / COUNT(*), 6)
+                   AS top1_recall
+        FROM per
+    """
+
+
+def _q332_embed(df: DataFrame, id_cols: list[str], tok_col) -> DataFrame:
+    """Feature-hash embedding: md5-nibble bucket + sign per token,
+    {_Q332_D} signed-count dims per entity — deterministic on any
+    engine (the hashing-trick twin of the q163 md5 discipline). All
+    values are small exact integers in double, so every downstream
+    dot/norm is float-exact and engine-identical."""
+    n = [
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("t"), k, 1)) - 1
+        for k in (1, 2, 3)
+    ]
+    ent = df.select(
+        *id_cols, F.explode(tok_col).alias("t")
+    ).filter(F.length("t") >= 1).select(
+        *id_cols,
+        ((n[0] * 16 + n[1]) % _Q332_D).alias("bucket"),
+        F.when(n[2] % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+    )
+    sums = [
+        F.sum(F.when(F.col("bucket") == i, F.col("sign")).otherwise(0))
+        .cast("double")
+        .alias(f"__e{i}")
+        for i in range(_Q332_D)
+    ]
+    return (
+        ent.groupBy(*id_cols)
+        .agg(*sums)
+        .select(
+            *id_cols,
+            F.array(*[F.col(f"__e{i}") for i in range(_Q332_D)]).alias("emb"),
+        )
+    )
+
+
+def _q332_cell(emb) -> F.Column:
+    s = [
+        sum(
+            (F.element_at(emb, i + 1) for i in range(_Q332_D) if i % _Q332_K == j),
+            F.lit(0.0),
+        )
+        for j in range(_Q332_K)
+    ]
+    cell = F.lit(_Q332_K - 1)
+    for j in range(_Q332_K - 2, -1, -1):
+        cond = None
+        for k in range(j + 1, _Q332_K):
+            c = s[j] >= s[k]
+            cond = c if cond is None else (cond & c)
+        cell = F.when(cond, F.lit(j)).otherwise(cell)
+    return cell
+
+
+@query("q332_rag_retrieval_eval", oracle=_q332_oracle())
+def q332_rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval evaluation, fully oracled — WHY the chunk lane
+    exists: the q318 chunk stream is embedded (deterministic
+    feature-hash embedding: md5-nibble bucket + sign per token — the
+    model-free stand-in with the exact plumbing of a real encoder),
+    indexed into {_Q332_K} IVF cells by a comb quantizer whose cell
+    assignment reduces to a PURE per-row expression (argmax of per-
+    cell dim sums — no centroid join, no shuffle), and benchmark docs
+    (doc_id % 50 == 0) query it. Cell-restricted (n_probe=1) top-10
+    retrieval is scored against the exact brute-force truth:
+    recall@10 and top-1 recall, the q310 evaluation machinery at
+    chunk grain. Scale shape: the query set is broadcast, chunk
+    scoring is one map-side pass, both rankings share one scored
+    relation and the (sim DESC, doc, chunk) total order; all
+    embedding values are small exact integers so every cross-engine
+    float op is exact."""
+    from databricks_etl_spark.operators.similarity import cosine
+    from databricks_etl_spark.operators.text import chunk_tokens, tokens_col
+    from databricks_etl_spark.plans.queries_round8 import _Q318_S, _Q318_W
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    chunks = chunk_tokens(corpus, _Q318_W, _Q318_S).select(
+        "doc_id", "chunk_idx", tokens_col("chunk_text").alias("__toks")
+    )
+    nrm = lambda v: F.aggregate(  # noqa: E731
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    cemb = (
+        _q332_embed(chunks, ["doc_id", "chunk_idx"], F.col("__toks"))
+        .filter(nrm(F.col("emb")) > 0)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("emb").alias("ce"),
+            _q332_cell(F.col("emb")).alias("cell"),
+        )
+    )
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"), tokens_col("text").alias("__toks")
+    )
+    qemb = (
+        _q332_embed(bench, ["qid"], F.col("__toks"))
+        .filter(nrm(F.col("emb")) > 0)
+        .select(
+            "qid",
+            F.col("emb").alias("qe"),
+            _q332_cell(F.col("emb")).alias("__qc"),
+        )
+    )
+    s = (
+        cemb.join(F.broadcast(qemb), F.lit(True))
+        .select(
+            "qid",
+            "doc_id",
+            "chunk_idx",
+            (F.col("cell") == F.col("__qc")).alias("same_cell"),
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+        )
+        .localCheckpoint()  # one scoring pass feeds both rankings
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("sim"), F.asc("doc_id"), F.asc("chunk_idx")
+    )
+    truth = (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _Q332_TOPK)
+        .select("qid", "doc_id", "chunk_idx", "rk")
+    )
+    ann = (
+        s.filter("same_cell")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _Q332_TOPK)
+        .select(
+            F.col("qid").alias("__aq"),
+            F.col("doc_id").alias("__ad"),
+            F.col("chunk_idx").alias("__ac"),
+        )
+    )
+    hits = (
+        truth.join(
+            ann,
+            (F.col("qid") == F.col("__aq"))
+            & (F.col("doc_id") == F.col("__ad"))
+            & (F.col("chunk_idx") == F.col("__ac")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("__ad").cast("long").alias("n_hit"),
+            F.min(
+                F.when((F.col("rk") == 1) & F.col("__ad").isNotNull(), 1.0)
+            ).alias("top1_found"),
+        )
+    )
+    per = hits.select(
+        F.round(F.col("n_hit") / float(_Q332_TOPK), 6)
+        .cast("decimal(18,9)")
+        .alias("recall10"),
+        F.coalesce("top1_found", F.lit(0.0))
+        .cast("decimal(18,9)")
+        .alias("top1"),
+    )
+    n = F.count(F.lit(1))
+    return per.agg(
+        n.cast("long").alias("n_queries"),
+        F.round(F.sum("recall10").cast("double") / n, 6).alias(
+            "mean_recall_at_10"
+        ),
+        F.round(F.sum("top1").cast("double") / n, 6).alias("top1_recall"),
+    )

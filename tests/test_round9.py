@@ -240,6 +240,27 @@ def test_minhash_lsh_survives_empty_shingle_rows(spark):
     assert ids == {"a", "b"}
 
 
+def test_q332_retrieval_eval_bounds(spark, sf_dir):
+    """The retrieval eval covers every benchmark query with a nonzero
+    embedding, reports recall in (0, 1] bounds, and shows the
+    n_probe=1 IVF trade-off: nontrivial recall, but not free — the
+    cell restriction must actually restrict (some query's truth set
+    crosses cells at this SF)."""
+    from databricks_etl_spark.plans.registry import queries
+
+    row = queries()["q332_rag_retrieval_eval"](spark, sf_dir).collect()[0]
+    n_bench = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .count()
+    )
+    assert row.n_queries == n_bench
+    assert 0.0 < row.mean_recall_at_10 <= 1.0
+    assert 0.0 <= row.top1_recall <= 1.0
+    assert row.mean_recall_at_10 > 0.3  # the index is useful...
+    assert row.mean_recall_at_10 < 1.0  # ...and the restriction real
+
+
 def test_q327_corpus_never_rescored(spark, sf_dir):
     """Incremental maintenance emits ONLY new/changed rows: 'new' rows
     are exactly the delta batch, 'touched' rows carry collision counts
