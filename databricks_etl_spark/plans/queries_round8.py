@@ -67,7 +67,7 @@ def _q312_oracle() -> str:
     """
 
 
-@query("q312_training_manifest", oracle=None)  # oracle set below
+@query("q312_training_manifest", oracle=None, bench=True)  # oracle set below
 def q312_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline-of-record manifest a 100 TB training run actually
     emits: ONE row per corpus document (benchmark docs, doc_id % 50
@@ -216,7 +216,7 @@ def _q313_oracle() -> str:
     )
 
 
-@query("q313_sequence_packing", oracle=None)  # oracle set below
+@query("q313_sequence_packing", oracle=None, bench=True)  # oracle set below
 def q313_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sequence-packing PLANNER that fixes the padding waste q291
     measures: first-fit-decreasing bin-packing of documents into
