@@ -1129,3 +1129,178 @@ def q332_rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum("top1").cast("double") / n, 6).alias("top1_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q333 — partial-overlap docs: doc-level rollup of chunk near-dups
+# ---------------------------------------------------------------------------
+
+
+def _q333_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round8 import _q318_chunks_sql
+
+    return f"""
+        WITH {_q318_chunks_sql("WHERE doc_id % 50 != 0")},
+        tot AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+            FROM chunks WHERE n_chunk_tokens >= 3 GROUP BY 1
+        ),
+        prs AS (SELECT * FROM ({_q330_oracle()})),
+        sym AS (
+            SELECT doc_a AS doc_id, doc_b AS other_doc, chunk_a AS chunk_idx
+            FROM prs
+            UNION ALL
+            SELECT doc_b AS doc_id, doc_a AS other_doc, chunk_b AS chunk_idx
+            FROM prs
+        ),
+        cov AS (
+            SELECT doc_id, other_doc,
+                   CAST(COUNT(DISTINCT chunk_idx) AS BIGINT)
+                       AS n_overlap_chunks
+            FROM sym GROUP BY 1, 2
+        )
+        SELECT c.doc_id, c.other_doc, c.n_overlap_chunks, t.n_chunks,
+               round(CAST(c.n_overlap_chunks AS DOUBLE) / t.n_chunks, 6)
+                   AS containment
+        FROM cov c JOIN tot t ON c.doc_id = t.doc_id
+        WHERE CAST(c.n_overlap_chunks AS DOUBLE) / t.n_chunks >= 0.25
+    """
+
+
+@query("q333_partial_overlap_docs", oracle=None)  # oracle set below
+def q333_partial_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY chunk-grain dedup exists, rolled back up to doc grain:
+    doc-level MinHash (q45) misses a document that copies 30%% of
+    another (whole-doc Jaccard dilutes below any sane threshold), but
+    the copied CHUNKS pair up in q330 — this rollup reports, per
+    ordered (doc, other_doc) direction, how much of the doc's chunk
+    stream has a near-dup counterpart in the other: the containment
+    estimate at chunk grain (the q238 containment lane's scalable
+    sibling — candidate generation is q330's banding, never an
+    all-pairs posting join). Directional by design: a small doc fully
+    contained in a big one scores ~1.0 in that direction and low in
+    the reverse — exactly the asymmetry survivorship policies key on.
+    Kept at containment >= 0.25."""
+    from databricks_etl_spark.operators.text import chunk_tokens
+    from databricks_etl_spark.plans.queries_round8 import _Q318_S, _Q318_W
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    tot = (
+        chunk_tokens(corpus, _Q318_W, _Q318_S)
+        .filter(F.col("n_chunk_tokens") >= 3)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+    )
+    prs = q330_chunk_minhash_neardup(spark, sf_dir)
+    sym = prs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("other_doc"),
+        F.col("chunk_a").alias("chunk_idx"),
+    ).unionByName(
+        prs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("other_doc"),
+            F.col("chunk_b").alias("chunk_idx"),
+        )
+    )
+    cov = sym.groupBy("doc_id", "other_doc").agg(
+        F.countDistinct("chunk_idx").cast("long").alias("n_overlap_chunks")
+    )
+    ratio = F.col("n_overlap_chunks").cast("double") / F.col("n_chunks")
+    return (
+        cov.join(tot, "doc_id")
+        .filter(ratio >= 0.25)
+        .select(
+            "doc_id",
+            "other_doc",
+            "n_overlap_chunks",
+            "n_chunks",
+            F.round(ratio, 6).alias("containment"),
+        )
+    )
+
+
+QUERIES["q333_partial_overlap_docs"] = _replace(
+    QUERIES["q333_partial_overlap_docs"], oracle=_q333_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
+# q334 — epoch token accounting: the dataloader stream audits the budget
+# ---------------------------------------------------------------------------
+
+
+def _q334_oracle() -> str:
+    o326 = _q326_oracle()
+    o323 = QUERIES["q323_epoch_allocation"].oracle
+    return f"""
+        WITH ord AS (SELECT * FROM ({o326})),
+        src AS (SELECT doc_id, source FROM documents),
+        per_epoch AS (
+            SELECT s.source, o.epoch,
+                   CAST(COUNT(*) AS BIGINT) AS n_doc_slots
+            FROM ord o JOIN src s ON o.doc_id = s.doc_id
+            GROUP BY 1, 2
+        ),
+        realized AS (
+            SELECT source,
+                   CAST(COUNT(DISTINCT epoch) AS BIGINT) AS epochs_realized,
+                   CAST(SUM(n_doc_slots) AS BIGINT) AS total_doc_slots
+            FROM per_epoch GROUP BY 1
+        ),
+        plan AS (SELECT source, epochs AS epochs_planned FROM ({o323}))
+        SELECT p.source, p.epochs_planned, r.epochs_realized,
+               COALESCE(r.total_doc_slots, 0) AS total_doc_slots,
+               (r.epochs_realized = p.epochs_planned) AS epochs_consistent
+        FROM plan p JOIN realized r ON p.source = r.source
+    """
+
+
+@query("q334_epoch_token_accounting", oracle=None)  # oracle set below
+def q334_epoch_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consistency audit between the PLAN (q323: how many epochs
+    each source earned) and the STREAM (q326: what the dataloader
+    actually replays): per source, planned epochs vs epochs realized
+    in the order artifact and the total doc-slots scheduled — the
+    row a training lead checks before launch (a mismatch means the
+    packing or shuffle dropped or duplicated work). Composes the two
+    registered queries so the audit can never drift from the
+    artifacts it reconciles; sources whose every doc was gated out by
+    q312 (nothing shipped) simply have no realized rows and drop from
+    the inner join — the audit covers every source that ships
+    anything."""
+    from databricks_etl_spark.plans.queries_round8 import (
+        q323_epoch_allocation,
+    )
+
+    ordr = q326_dataloader_order(spark, sf_dir)
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_epoch = (
+        ordr.join(src, "doc_id")
+        .groupBy("source", "epoch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_doc_slots"))
+    )
+    realized = per_epoch.groupBy("source").agg(
+        F.countDistinct("epoch").cast("long").alias("epochs_realized"),
+        F.sum("n_doc_slots").cast("long").alias("total_doc_slots"),
+    )
+    plan = q323_epoch_allocation(spark, sf_dir).select(
+        "source", F.col("epochs").alias("epochs_planned")
+    )
+    return plan.join(realized, "source").select(
+        "source",
+        "epochs_planned",
+        "epochs_realized",
+        F.coalesce("total_doc_slots", F.lit(0)).cast("long").alias(
+            "total_doc_slots"
+        ),
+        (F.col("epochs_realized") == F.col("epochs_planned")).alias(
+            "epochs_consistent"
+        ),
+    )
+
+
+QUERIES["q334_epoch_token_accounting"] = _replace(
+    QUERIES["q334_epoch_token_accounting"], oracle=_q334_oracle()
+)

@@ -261,6 +261,37 @@ def test_q332_retrieval_eval_bounds(spark, sf_dir):
     assert row.mean_recall_at_10 < 1.0  # ...and the restriction real
 
 
+def test_q333_containment_directional(spark, sf_dir):
+    """Containment is a valid ratio (0, 1], directional (a small doc
+    inside a big one scores higher toward the big one), and every
+    reported doc actually has q330 chunk pairs."""
+    from databricks_etl_spark.plans.registry import queries
+
+    qs = queries()
+    rows = qs["q333_partial_overlap_docs"](spark, sf_dir).collect()
+    assert rows
+    pair_docs = set()
+    for r in qs["q330_chunk_minhash_neardup"](spark, sf_dir).collect():
+        pair_docs |= {r.doc_a, r.doc_b}
+    for r in rows:
+        assert 0.0 < r.containment <= 1.0, r
+        assert 1 <= r.n_overlap_chunks <= r.n_chunks, r
+        assert r.doc_id in pair_docs and r.other_doc in pair_docs, r
+
+
+def test_q334_plan_stream_reconcile(spark, sf_dir):
+    """Every shipping source's realized epochs equal its planned
+    epochs — the audit column is true across the board (a false row
+    means packing or the shuffle dropped/duplicated work)."""
+    from databricks_etl_spark.plans.registry import queries
+
+    rows = queries()["q334_epoch_token_accounting"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.epochs_consistent, r
+        assert r.total_doc_slots >= r.epochs_planned, r
+
+
 def test_q327_corpus_never_rescored(spark, sf_dir):
     """Incremental maintenance emits ONLY new/changed rows: 'new' rows
     are exactly the delta batch, 'touched' rows carry collision counts
