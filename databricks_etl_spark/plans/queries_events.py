@@ -24,7 +24,6 @@ from databricks_etl_spark.streaming import windows as W
         FROM events
         GROUP BY 1, 2
     """,
-    bench=True,
 )
 def q50_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (10 min) — ``F.window`` batch mode;

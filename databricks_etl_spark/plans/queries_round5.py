@@ -249,7 +249,6 @@ def q227_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN s_valid v ON r.source = v.source
         LEFT JOIN s_uniq u ON r.source = u.source
     """,
-    bench=True,
 )
 def q228_ingestion_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The daily-ingestion capstone: one query chaining the pipeline's

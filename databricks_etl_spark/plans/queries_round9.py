@@ -248,7 +248,13 @@ _Q327_QUALITY_MIN = 0.5  # q312's ship floor
 _Q327_PSI_MAX = 0.25  # q312's drift alarm
 
 
-def _q327_oracle() -> str:
+def _q327_chain() -> str:
+    """Shared oracle CTE chain for the manifest-maintenance family
+    (q327 new-doc verdicts, q335 touched survivors) — ONE definition
+    so the two relations can never drift (the _semdedup_cells_sql
+    precedent). The caller appends its final SELECT via
+    ``.replace('{final}', ...)`` (str.format would trip on the
+    regexp braces inside the quality CTE)."""
     from databricks_etl_spark.plans.queries_round7 import (
         _Q285_CENTS,
         _Q285_D2,
@@ -260,7 +266,6 @@ def _q327_oracle() -> str:
     )
 
     o311 = QUERIES["q311_vocab_drift"].oracle
-    o312 = QUERIES["q312_training_manifest"].oracle
     vals = ", ".join(f"({j}, {c})" for j, c in enumerate(_Q285_CENTS))
     sim = (
         f"round({_Q285_DOT.format(a='b.embedding', b='c.embedding')}"
@@ -334,7 +339,14 @@ def _q327_oracle() -> str:
             FROM prs GROUP BY 1
         ),
         gate AS (SELECT DISTINCT psi_total FROM ({o311}))
-        SELECT dd.doc_id, 'new' AS role,
+        {{final}}
+    """
+
+
+def _q327_oracle() -> str:
+    return _q327_chain().replace(
+        "{final}",
+        f"""SELECT dd.doc_id,
                (dhit.doc_id IS NOT NULL) AS contaminated,
                (nm.n IS NOT NULL) AS sem_dup,
                COALESCE(q.quality_score >= {_Q327_QUALITY_MIN}, FALSE)
@@ -347,21 +359,8 @@ def _q327_oracle() -> str:
         LEFT JOIN dhit ON dd.doc_id = dhit.doc_id
         LEFT JOIN q ON dd.doc_id = q.doc_id
         LEFT JOIN nm ON dd.doc_id = nm.delta_id
-        CROSS JOIN gate
-        UNION ALL
-        SELECT t.corpus_id AS doc_id, 'touched' AS role,
-               CAST(NULL AS BOOLEAN) AS contaminated,
-               CAST(NULL AS BOOLEAN) AS sem_dup,
-               CAST(NULL AS BOOLEAN) AS quality_ok,
-               CAST(NULL AS BOOLEAN) AS ship,
-               t.n AS n_new_collisions
-        FROM (
-            SELECT corpus_id, CAST(COUNT(*) AS BIGINT) AS n
-            FROM prs GROUP BY 1
-        ) t
-        JOIN (SELECT doc_id FROM ({o312}) WHERE ship) s
-            ON t.corpus_id = s.doc_id
-    """
+        CROSS JOIN gate""",
+    )
 
 
 @query("q327_manifest_maintenance", oracle=None)  # oracle set below
@@ -374,38 +373,31 @@ def q327_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically perturbed by token/embedding reversal — the
     genuinely-novel case) is scored WITHOUT recomputing the corpus.
 
-    Emits only new/changed rows: one 'new' row per delta doc with the
-    full gate set — benchmark contamination (delta grams x broadcast
-    bench, q283's construction at delta size), semantic collision
-    against the PERSISTED q285 cell index (delta x same-cell only,
-    q287's probe — the corpus is never re-assigned or re-compared),
-    the quality floor on the delta text, and the persisted PSI drift
-    scalar — plus one 'touched' row per prior SURVIVOR a delta doc
-    collides with (collision count only; its verdict columns stay
-    NULL because the corpus is not re-scored — the consumer decides
-    whether new collisions demote a survivor). Delta docs carry no
-    multimodal payloads, so the q309 gate is clean by definition.
-    Scale: every corpus-sized input is the persisted index; all new
-    work is delta-sized or delta x cell-bounded."""
-    from databricks_etl_spark.operators import similarity as SIM
+    One verdict row per delta doc with the full gate set — benchmark
+    contamination (delta grams x broadcast bench, q283's construction
+    at delta size), semantic collision against the PERSISTED q285
+    cell index (delta x same-cell only, q287's probe — the corpus is
+    never re-assigned or re-compared), the quality floor on the delta
+    text, and the persisted PSI drift scalar. The other change class
+    — prior survivors a delta doc collides with — is q335, its own
+    relation (a survivor's verdicts are NOT re-scored, so forcing the
+    two classes into one schema would need NULL booleans — a
+    cross-engine hash hazard). Delta docs carry no multimodal
+    payloads, so the q309 gate is clean by definition. Scale: every
+    corpus-sized input is the persisted index; all new work is
+    delta-sized or delta x cell-bounded."""
     from databricks_etl_spark.operators import text as TX
     from databricks_etl_spark.operators.text import (
         exact_substring_hits,
         tokens_col,
     )
     from databricks_etl_spark.plans.queries_round7 import (
-        _Q285_CENTS,
-        _Q285_T,
         _XL,
         _XS,
         q311_vocab_drift,
     )
-    from databricks_etl_spark.plans.queries_round8 import (
-        q312_training_manifest,
-    )
 
     d = read_table(spark, sf_dir, "documents")
-    e = read_table(spark, sf_dir, "embeddings")
     pert = F.array_join(F.reverse(tokens_col("text")), " ")
     delta = d.filter(F.col("doc_id") % 5 == 1).select(
         (F.col("doc_id") + _B327).alias("doc_id"),
@@ -423,7 +415,50 @@ def q327_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__hit", F.lit(True))
     )
     qual = TX.quality_features(delta).select("doc_id", "quality_score")
+    nm = (
+        _q327_collision_pairs(spark, sf_dir)
+        .groupBy("delta_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    gate = q311_vocab_drift(spark, sf_dir).select("psi_total").distinct()
 
+    contaminated = F.coalesce(F.col("__hit"), F.lit(False))
+    sem_dup = F.col("__n").isNotNull()
+    quality_ok = F.coalesce(
+        F.col("quality_score") >= _Q327_QUALITY_MIN, F.lit(False)
+    )
+    drift_ok = F.col("psi_total") < _Q327_PSI_MAX
+    return (
+        delta.select("doc_id")
+        .join(cont, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+        .join(nm, delta.doc_id == nm.delta_id, "left")
+        .crossJoin(F.broadcast(gate))
+        .select(
+            "doc_id",
+            contaminated.alias("contaminated"),
+            sem_dup.alias("sem_dup"),
+            quality_ok.alias("quality_ok"),
+            (~contaminated & ~sem_dup & quality_ok & drift_ok).alias("ship"),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias(
+                "n_new_collisions"
+            ),
+        )
+    )
+
+
+def _q327_collision_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta x persisted-cell-index collision pairs (delta_id,
+    corpus_id) at the q285 threshold — the one shared input of the
+    maintenance family: q327 counts them per delta doc, q335 per
+    touched survivor."""
+    from databricks_etl_spark.operators import similarity as SIM
+    from databricks_etl_spark.plans.queries_round7 import (
+        _Q285_CENTS,
+        _Q285_T,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
     cents = spark.createDataFrame(
         list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
     )
@@ -440,7 +475,7 @@ def q327_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("__cv"),
         "cell_id",
     )
-    pairs = (
+    return (
         bc.join(idx, "cell_id")
         .withColumn(
             "__s", F.round(SIM.cosine(F.col("embedding"), F.col("__cv")), 6)
@@ -451,55 +486,55 @@ def q327_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__cid").alias("corpus_id"),
         )
     )
-    nm = pairs.groupBy("delta_id").agg(
-        F.count(F.lit(1)).cast("long").alias("__n")
-    )
-    gate = q311_vocab_drift(spark, sf_dir).select("psi_total").distinct()
-
-    contaminated = F.coalesce(F.col("__hit"), F.lit(False))
-    sem_dup = F.col("__n").isNotNull()
-    quality_ok = F.coalesce(
-        F.col("quality_score") >= _Q327_QUALITY_MIN, F.lit(False)
-    )
-    drift_ok = F.col("psi_total") < _Q327_PSI_MAX
-    new_rows = (
-        delta.select("doc_id")
-        .join(cont, "doc_id", "left")
-        .join(qual, "doc_id", "left")
-        .join(nm, delta.doc_id == nm.delta_id, "left")
-        .crossJoin(F.broadcast(gate))
-        .select(
-            "doc_id",
-            F.lit("new").alias("role"),
-            contaminated.alias("contaminated"),
-            sem_dup.alias("sem_dup"),
-            quality_ok.alias("quality_ok"),
-            (~contaminated & ~sem_dup & quality_ok & drift_ok).alias("ship"),
-            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias(
-                "n_new_collisions"
-            ),
-        )
-    )
-    surv = q312_training_manifest(spark, sf_dir).filter("ship").select("doc_id")
-    touched = (
-        pairs.groupBy("corpus_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_new_collisions"))
-        .join(surv, F.col("corpus_id") == surv.doc_id)
-        .select(
-            F.col("corpus_id").alias("doc_id"),
-            F.lit("touched").alias("role"),
-            F.lit(None).cast("boolean").alias("contaminated"),
-            F.lit(None).cast("boolean").alias("sem_dup"),
-            F.lit(None).cast("boolean").alias("quality_ok"),
-            F.lit(None).cast("boolean").alias("ship"),
-            "n_new_collisions",
-        )
-    )
-    return new_rows.unionByName(touched)
 
 
 QUERIES["q327_manifest_maintenance"] = _replace(
     QUERIES["q327_manifest_maintenance"], oracle=_q327_oracle()
+)
+
+
+def _q335_oracle() -> str:
+    o312 = QUERIES["q312_training_manifest"].oracle
+    return _q327_chain().replace(
+        "{final}",
+        f"""SELECT t.corpus_id AS doc_id, t.n_new_collisions
+        FROM (
+            SELECT corpus_id, CAST(COUNT(*) AS BIGINT) AS n_new_collisions
+            FROM prs GROUP BY 1
+        ) t
+        JOIN (SELECT doc_id FROM ({o312}) WHERE ship) s
+            ON t.corpus_id = s.doc_id""",
+    )
+
+
+@query("q335_manifest_touched_survivors", oracle=None)  # oracle set below
+def q335_manifest_touched_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The OTHER change class of manifest maintenance: prior shipped
+    survivors (persisted q312 manifest) that a q327 delta doc
+    collides with semantically — one row per touched survivor with
+    its new-collision count, and nothing else (the corpus is never
+    re-scored; the consumer decides whether new collisions demote a
+    survivor, mirroring how q256 maintains the band index without
+    re-banding). Untouched corpus docs never appear — the relation
+    is collision-bounded, not corpus-sized."""
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+    )
+
+    surv = q312_training_manifest(spark, sf_dir).filter("ship").select("doc_id")
+    return (
+        _q327_collision_pairs(spark, sf_dir)
+        .groupBy("corpus_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_collisions"))
+        .join(surv, F.col("corpus_id") == surv.doc_id)
+        .select(F.col("corpus_id").alias("doc_id"), "n_new_collisions")
+    )
+
+
+QUERIES["q335_manifest_touched_survivors"] = _replace(
+    QUERIES["q335_manifest_touched_survivors"], oracle=_q335_oracle()
 )
 
 

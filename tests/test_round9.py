@@ -293,48 +293,42 @@ def test_q334_plan_stream_reconcile(spark, sf_dir):
 
 
 def test_q327_corpus_never_rescored(spark, sf_dir):
-    """Incremental maintenance emits ONLY new/changed rows: 'new' rows
-    are exactly the delta batch, 'touched' rows carry collision counts
-    but NULL verdicts (the corpus is not re-scored), every touched doc
-    is a prior shipped survivor that a delta doc actually collides
-    with, and the verbatim half of the delta (re-ingested crawl) is
-    flagged sem_dup — it collides with its own source at sim 1.0."""
-    from databricks_etl_spark.plans.queries_round9 import (
-        _B327,
-        q327_manifest_maintenance,
-    )
+    """Incremental maintenance emits ONLY new/changed rows across its
+    two relations: q327 verdict rows are exactly the delta batch (the
+    verbatim half — re-ingested crawl — always flags sem_dup: it
+    collides with its own source at sim 1.0); q335 touched rows are
+    prior shipped survivors a delta doc actually collides with,
+    carrying collision counts and NO verdict columns (the corpus is
+    not re-scored), and no untouched corpus doc ever appears."""
     from databricks_etl_spark.plans.queries_round8 import (
         q312_training_manifest,
     )
+    from databricks_etl_spark.plans.queries_round9 import (
+        _B327,
+        q327_manifest_maintenance,
+        q335_manifest_touched_survivors,
+    )
 
-    rows = q327_manifest_maintenance(spark, sf_dir).collect()
-    new = [r for r in rows if r.role == "new"]
-    touched = [r for r in rows if r.role == "touched"]
-
+    new = q327_manifest_maintenance(spark, sf_dir).collect()
     d = read_table(spark, sf_dir, "documents")
     delta_src = {
         r.doc_id
         for r in d.filter(F.col("doc_id") % 5 == 1).select("doc_id").collect()
     }
     assert {r.doc_id for r in new} == {i + _B327 for i in delta_src}
-
-    # verbatim half always collides with its source
+    # all verdicts are scored (non-null) — no corpus rows mixed in
     for r in new:
-        if (r.doc_id - _B327) % 10 == 1:
+        assert None not in (r.contaminated, r.sem_dup, r.quality_ok, r.ship), r
+        if (r.doc_id - _B327) % 10 == 1:  # verbatim half
             assert r.sem_dup and r.n_new_collisions >= 1, r
 
+    touched = q335_manifest_touched_survivors(spark, sf_dir).collect()
     shipped = {
         r.doc_id
         for r in q312_training_manifest(spark, sf_dir).filter("ship").collect()
     }
     assert touched, "verbatim deltas guarantee at least one touched survivor"
+    assert set(touched[0].asDict()) == {"doc_id", "n_new_collisions"}
     for r in touched:
         assert r.doc_id in shipped, r
         assert r.n_new_collisions >= 1, r
-        # corpus rows are not re-scored: verdicts stay NULL
-        assert (
-            r.contaminated is None
-            and r.sem_dup is None
-            and r.quality_ok is None
-            and r.ship is None
-        ), r
