@@ -539,6 +539,53 @@ QUERIES["q335_manifest_touched_survivors"] = _replace(
 
 
 # ---------------------------------------------------------------------------
+# q336 — streaming chunk decontamination (ingest-time screen ≡ batch q319)
+# ---------------------------------------------------------------------------
+
+
+@query("q336_streaming_chunk_decontam", oracle=None)  # q319's oracle, below
+def q336_streaming_chunk_decontam(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chunk-level benchmark decontamination AT INGEST: the q319
+    screen run as a TRUE Structured Streaming loop
+    (``streaming/decontam.py``) — corpus documents arrive as an
+    availableNow stream, each micro-batch is chunked, grammed, and
+    probed against the static broadcast benchmark set, and the
+    per-chunk hits land in an epoch-idempotent sink (replayed epochs
+    overwrite themselves). Contamination is per-doc independent, so
+    the drained hit set is invariant to micro-batch slicing and
+    byte-equal to the batch computation — this query registers with
+    q319's OWN oracle SQL, making the streaming path itself
+    driver-hash-checked (the q131 exactly-once discipline applied to
+    the decontamination lane)."""
+    from databricks_etl_spark.plans.queries_round7 import _XL, _XS
+    from databricks_etl_spark.plans.queries_round8 import _Q318_S, _Q318_W
+    from databricks_etl_spark.streaming.decontam import (
+        run_streaming_chunk_decontam,
+    )
+
+    return run_streaming_chunk_decontam(
+        spark,
+        sf_dir,
+        window=_Q318_W,
+        stride=_Q318_S,
+        length=_XL,
+        gram_stride=_XS,
+    )
+
+
+def _q336_fix_oracle() -> None:
+    QUERIES["q336_streaming_chunk_decontam"] = _replace(
+        QUERIES["q336_streaming_chunk_decontam"],
+        oracle=QUERIES["q319_chunk_contamination"].oracle,
+    )
+
+
+_q336_fix_oracle()
+
+
+# ---------------------------------------------------------------------------
 # q328/q329 — greedy longest-match subword tokenizer + subword packing
 # ---------------------------------------------------------------------------
 

@@ -261,6 +261,68 @@ def test_q332_retrieval_eval_bounds(spark, sf_dir):
     assert row.mean_recall_at_10 < 1.0  # ...and the restriction real
 
 
+def test_q336_slicing_invariance_and_replay(spark, sf_dir, tmp_path):
+    """The streaming decontamination drain equals batch q319 under a
+    FORCED two-epoch slicing, and re-delivering an epoch (Structured
+    Streaming's at-least-once failure mode) leaves the sink unchanged
+    — the exactly-once contract the epoch-partitioned sink provides."""
+    from databricks_etl_spark.plans.queries_round7 import _XL, _XS
+    from databricks_etl_spark.plans.queries_round8 import _Q318_S, _Q318_W
+    from databricks_etl_spark.plans.registry import queries
+    from databricks_etl_spark.streaming.decontam import make_decontam_epoch
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias(
+            "text"
+        ),
+    )
+    path = str(tmp_path / "dc_hits")
+    spark.createDataFrame(
+        [], "ckey string, bench_id long, n_grams_hit long, __epoch int"
+    ).write.mode("overwrite").partitionBy("__epoch").parquet(path)
+
+    ingest = make_decontam_epoch(
+        path, bench, window=_Q318_W, stride=_Q318_S,
+        length=_XL, gram_stride=_XS,
+    )
+    half_a = corpus.filter(F.col("doc_id") % 2 == 0)
+    half_b = corpus.filter(F.col("doc_id") % 2 == 1)
+    ingest(half_a, 0)
+    ingest(half_b, 1)
+
+    def drained():
+        hits = spark.read.schema(
+            "ckey string, bench_id long, n_grams_hit long, __epoch int"
+        ).parquet(path)
+        k = F.split(F.col("ckey"), ":")
+        return sorted(
+            map(
+                tuple,
+                hits.select(
+                    k.getItem(0).cast("long"),
+                    k.getItem(1).cast("long"),
+                    "bench_id",
+                    "n_grams_hit",
+                ).collect(),
+            )
+        )
+
+    first = drained()
+    batch = sorted(
+        map(
+            tuple,
+            queries()["q319_chunk_contamination"](spark, sf_dir).collect(),
+        )
+    )
+    assert first == batch
+
+    ingest(half_b, 1)  # re-delivery of epoch 1
+    assert drained() == first
+
+
 def test_q333_containment_directional(spark, sf_dir):
     """Containment is a valid ratio (0, 1], directional (a small doc
     inside a big one scores higher toward the big one), and every
