@@ -354,6 +354,79 @@ def test_q334_plan_stream_reconcile(spark, sf_dir):
         assert r.total_doc_slots >= r.epochs_planned, r
 
 
+import pytest
+
+
+@pytest.mark.slow
+def test_round9_lane_scale_gate_25k(spark, sf_dir):
+    """Round-9 lanes at ~25k docs (50x the graded 500-doc slice):
+    the subword fold and the chunk-MinHash signature build complete
+    in bounded wall time with whole-stage-codegen plans — no
+    BatchEvalPython anywhere (both are pure JVM expression lanes; the
+    only sanctioned Python is the FFD Arrow fold, gated elsewhere).
+    Work scales with DISTINCT words (subword) and chunks (MinHash),
+    the properties that hold at 100 TB."""
+    import time
+
+    from databricks_etl_spark.operators.text import (
+        chunk_tokens,
+        shingle_array,
+        subword_doc_counts,
+        tokens_col,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = max(2, 25000 // d.count())
+    big = d
+    for i in range(1, copies):
+        big = big.unionByName(
+            d.select((F.col("doc_id") + i * 1000000).alias("doc_id"), "text")
+        )
+    big = big.repartition(32).localCheckpoint()
+    n = big.count()
+
+    t0 = time.time()
+    sw = subword_doc_counts(big)
+    assert sw.count() == n
+    sw_wall = time.time() - t0
+    plan = sw._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+    t0 = time.time()
+    sig = (
+        chunk_tokens(big, 64, 32)
+        .filter(F.col("n_chunk_tokens") >= 3)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.explode(
+                F.array_distinct(
+                    shingle_array(tokens_col("chunk_text"), 3)
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(
+                    f"h{i}"
+                )
+                for i in range(8)
+            ]
+        )
+    )
+    n_sigs = sig.count()
+    mh_wall = time.time() - t0
+    assert n_sigs >= n  # every doc has at least one >=3-token chunk here
+    plan2 = sig._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan2
+
+    # generous ceilings — the gate catches quadratic regressions, not
+    # machine noise (r8 multimodal precedent: single-digit seconds)
+    assert sw_wall < 120, sw_wall
+    assert mh_wall < 120, mh_wall
+
+
 def test_q327_corpus_never_rescored(spark, sf_dir):
     """Incremental maintenance emits ONLY new/changed rows across its
     two relations: q327 verdict rows are exactly the delta batch (the
