@@ -166,11 +166,11 @@ def _ffd_oracle(items: str, budget: int = _Q313_B, shard: int = _Q313_P) -> str:
     q329 packs the chunk stream through the SAME placement logic."""
     return f"""
         WITH RECURSIVE
-        t AS (SELECT doc_id, least(len, {budget}) AS len
+        t AS MATERIALIZED (SELECT doc_id, least(len, {budget}) AS len
               FROM ({items})),
         sc AS (SELECT CAST(ceil(COUNT(*) / {shard}.0) AS BIGINT) AS s
                FROM t),
-        it AS (
+        it AS MATERIALIZED (
             SELECT doc_id, len, doc_id % sc.s AS shard,
                    row_number() OVER (PARTITION BY doc_id % sc.s
                                       ORDER BY len DESC, doc_id) AS k

@@ -49,9 +49,9 @@ def _q326_oracle() -> str:
     )
     return f"""
         WITH RECURSIVE
-        ship AS (SELECT doc_id FROM ({o312}) WHERE ship),
-        ep AS (SELECT source, epochs FROM ({o323})),
-        base AS (
+        ship AS MATERIALIZED (SELECT doc_id FROM ({o312}) WHERE ship),
+        ep AS MATERIALIZED (SELECT source, epochs FROM ({o323})),
+        base AS MATERIALIZED (
             SELECT d.doc_id, least({_Q291_TOKS}, {_Q326_B}) AS len,
                    e.epochs AS eclass
             FROM documents d
@@ -62,7 +62,7 @@ def _q326_oracle() -> str:
             SELECT eclass, CAST(ceil(COUNT(*) / {_Q326_P}.0) AS BIGINT) AS s
             FROM base GROUP BY 1
         ),
-        it AS (
+        it AS MATERIALIZED (
             SELECT b.doc_id, b.len, b.eclass, b.doc_id % sc.s AS shard,
                    row_number() OVER (
                        PARTITION BY b.eclass, b.doc_id % sc.s
@@ -1317,7 +1317,7 @@ def _q334_oracle() -> str:
     o326 = _q326_oracle()
     o323 = QUERIES["q323_epoch_allocation"].oracle
     return f"""
-        WITH ord AS (SELECT * FROM ({o326})),
+        WITH ord AS MATERIALIZED (SELECT * FROM ({o326})),
         src AS (SELECT doc_id, source FROM documents),
         per_epoch AS (
             SELECT s.source, o.epoch,
