@@ -583,8 +583,6 @@ def _q336_fix_oracle() -> None:
 
 
 _q336_fix_oracle()
-
-
 # ---------------------------------------------------------------------------
 # q328/q329 — greedy longest-match subword tokenizer + subword packing
 # ---------------------------------------------------------------------------
@@ -1386,3 +1384,79 @@ def q334_epoch_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q334_epoch_token_accounting"] = _replace(
     QUERIES["q334_epoch_token_accounting"], oracle=_q334_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# q337 — split-leakage audit at chunk grain (q330 pairs x q234 splits)
+# ---------------------------------------------------------------------------
+
+
+def _q337_split_sql(col: str) -> str:
+    nib = (
+        "(instr('0123456789abcdef', "
+        f"substr(md5(CAST({col} AS VARCHAR)), {{k}}, 1)) - 1)"
+    )
+    v = f"{nib.format(k=1)} * 16 + {nib.format(k=2)}"
+    return (
+        f"CASE WHEN {v} < 204 THEN 'train' "
+        f"WHEN {v} < 230 THEN 'val' ELSE 'test' END"
+    )
+
+
+def _q337_oracle() -> str:
+    return f"""
+        WITH prs AS MATERIALIZED (SELECT * FROM ({_q330_oracle()})),
+        lab AS (
+            SELECT {_q337_split_sql('doc_a')} AS split_a,
+                   {_q337_split_sql('doc_b')} AS split_b
+            FROM prs
+        )
+        SELECT split_a, split_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               (split_a <> split_b) AS is_leakage
+        FROM lab GROUP BY 1, 2
+    """
+
+
+@query("q337_split_leakage_audit", oracle=_q337_oracle())
+def q337_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene capstone for the chunk lanes: near-verbatim chunk
+    pairs (q330) whose parent documents land in DIFFERENT q234
+    train/val/test splits are evaluation leakage — the held-out set
+    contains passages the model trained on, which doc-level split
+    hygiene (q237/q289) cannot see when only a FRACTION of the doc
+    was copied (exactly the q333 partial-overlap case). The audit is
+    the (split_a, split_b) pair-count matrix with a leakage flag;
+    split assignment is the q234 portable md5 rule, a pure per-row
+    expression — the whole audit adds one bounded 3x3 rollup on top
+    of q330's banding."""
+    from databricks_etl_spark.plans.queries_round5 import (
+        q234_train_split_assignment,  # noqa: F401  (cited rule source)
+    )
+
+    prs = q330_chunk_minhash_neardup(spark, sf_dir)
+
+    def split_of(col: str) -> F.Column:
+        h = F.md5(F.col(col).cast("string"))
+        nib = lambda k: (  # noqa: E731
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, k, 1)) - 1
+        )
+        v = nib(1) * 16 + nib(2)
+        return (
+            F.when(v < 204, "train").when(v < 230, "val").otherwise("test")
+        )
+
+    return (
+        prs.select(
+            split_of("doc_a").alias("split_a"),
+            split_of("doc_b").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
+        )
+    )

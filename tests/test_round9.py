@@ -354,6 +354,57 @@ def test_q334_plan_stream_reconcile(spark, sf_dir):
         assert r.total_doc_slots >= r.epochs_planned, r
 
 
+def test_q337_leakage_matrix_accounts_for_all_pairs(spark, sf_dir):
+    """The split-leakage matrix partitions q330's pair set exactly
+    (counts sum to the pair count), flags precisely the off-diagonal
+    cells, and at this SF actually finds leakage — the failure mode
+    doc-level split hygiene cannot see."""
+    from databricks_etl_spark.plans.registry import queries
+
+    qs = queries()
+    n_pairs = len(qs["q330_chunk_minhash_neardup"](spark, sf_dir).collect())
+    rows = qs["q337_split_leakage_audit"](spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.is_leakage == (r.split_a != r.split_b), r
+    assert any(r.is_leakage for r in rows)
+
+
+def test_ffd_pack_grouped_property(spark):
+    """Property test over random length distributions: grouped FFD
+    always places every doc exactly once, never overfills a sequence,
+    and keeps within-sequence segments contiguous from offset 0."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from databricks_etl_spark.operators.packing import ffd_pack
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        lens=st.lists(st.integers(1, 300), min_size=1, max_size=60),
+        budget=st.integers(16, 256),
+    )
+    def check(lens, budget):
+        rows = [(i + 1, ln, (i % 2) + 1) for i, ln in enumerate(lens)]
+        docs = spark.createDataFrame(rows, "doc_id long, len long, g long")
+        out = ffd_pack(docs, budget, 16, group_col="g").collect()
+        assert sorted(r.doc_id for r in out) == [r[0] for r in rows]
+        seqs: dict[tuple[int, int], list] = {}
+        for r in out:
+            seqs.setdefault((r.g, r.seq_id), []).append(
+                (r.seq_offset, r.n_tokens)
+            )
+        for segs in seqs.values():
+            segs.sort()
+            pos = 0
+            for off, n in segs:
+                assert off == pos  # contiguous from 0, no holes
+                pos += n
+            assert pos <= budget
+
+    check()
+
+
 import pytest
 
 
