@@ -386,8 +386,12 @@ SUBWORD_VOCAB_2: tuple[str, ...] = (
 )
 
 
-def subword_count(w: Column) -> Column:
-    """Number of greedy longest-match subword pieces in word ``w``.
+def subword_piece_stats(w: Column) -> Column:
+    """Greedy longest-match consumption stats for word ``w`` as a
+    struct ``(cnt, unk)``: total subword pieces and how many of them
+    were the 1-char FALLBACK (no vocab piece matched — the OOV-rate
+    analog for subword tokenizers; the vocabulary has no 1-char
+    entries, so every single-char consumption is a fallback).
 
     Classic left-to-right longest-match-first tokenization (the
     WordPiece/BPE *inference* rule) against the fixed literal
@@ -402,6 +406,7 @@ def subword_count(w: Column) -> Column:
 
     def _step(acc: Column, _: Column) -> Column:
         pos, cnt = acc.getField("pos"), acc.getField("cnt")
+        unk = acc.getField("unk")
         ml = (
             F.when(w.substr(pos, F.lit(4)).isin(*SUBWORD_VOCAB_4), F.lit(4))
             .when(w.substr(pos, F.lit(3)).isin(*SUBWORD_VOCAB_3), F.lit(3))
@@ -409,15 +414,31 @@ def subword_count(w: Column) -> Column:
             .otherwise(F.lit(1))
         )
         return F.when(pos > F.length(w), acc).otherwise(
-            F.struct((pos + ml).alias("pos"), (cnt + F.lit(1)).alias("cnt"))
+            F.struct(
+                (pos + ml).alias("pos"),
+                (cnt + F.lit(1)).alias("cnt"),
+                (unk + F.when(ml == 1, F.lit(1)).otherwise(F.lit(0))).alias(
+                    "unk"
+                ),
+            )
         )
 
     return F.aggregate(
         F.sequence(F.lit(1), F.length(w)),
-        F.struct(F.lit(1).alias("pos"), F.lit(0).alias("cnt")),
+        F.struct(
+            F.lit(1).alias("pos"), F.lit(0).alias("cnt"), F.lit(0).alias("unk")
+        ),
         _step,
-        lambda acc: acc.getField("cnt"),
+        lambda acc: F.struct(
+            acc.getField("cnt").alias("cnt"), acc.getField("unk").alias("unk")
+        ),
     )
+
+
+def subword_count(w: Column) -> Column:
+    """Number of greedy longest-match subword pieces in word ``w``
+    (the ``cnt`` field of :func:`subword_piece_stats`)."""
+    return subword_piece_stats(w).getField("cnt")
 
 
 def subword_doc_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1460,3 +1460,111 @@ def q337_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q338 — tokenizer vocabulary-coverage audit (fallback ratio per source)
+# ---------------------------------------------------------------------------
+
+
+def _q338_oracle() -> str:
+    from databricks_etl_spark.operators.text import (
+        SUBWORD_VOCAB_2,
+        SUBWORD_VOCAB_3,
+        SUBWORD_VOCAB_4,
+    )
+
+    v4 = ", ".join(f"'{p}'" for p in SUBWORD_VOCAB_4)
+    v3 = ", ".join(f"'{p}'" for p in SUBWORD_VOCAB_3)
+    v2 = ", ".join(f"'{p}'" for p in SUBWORD_VOCAB_2)
+    ml = (
+        f"CASE WHEN substr(w, pos, 4) IN ({v4}) THEN 4 "
+        f"WHEN substr(w, pos, 3) IN ({v3}) THEN 3 "
+        f"WHEN substr(w, pos, 2) IN ({v2}) THEN 2 ELSE 1 END"
+    )
+    return f"""
+        WITH RECURSIVE
+        tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        ),
+        vt AS (SELECT doc_id, w FROM tok WHERE length(w) >= 1),
+        words AS (SELECT DISTINCT w FROM vt),
+        tk AS (
+            SELECT w, 1 AS pos, 0 AS cnt, 0 AS unk FROM words
+            UNION ALL
+            SELECT w, pos + {ml}, cnt + 1,
+                   unk + CASE WHEN {ml} = 1 THEN 1 ELSE 0 END
+            FROM tk WHERE pos <= length(w)
+        ),
+        wc AS (
+            SELECT w, MAX(cnt) AS pieces, MAX(unk) AS fallbacks
+            FROM tk GROUP BY 1
+        ),
+        per AS (
+            SELECT s.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(wc.pieces) AS BIGINT) AS n_pieces,
+                   CAST(SUM(wc.fallbacks) AS BIGINT) AS n_fallback_pieces
+            FROM vt
+            JOIN documents s ON vt.doc_id = s.doc_id
+            JOIN wc USING (w)
+            GROUP BY 1
+        )
+        SELECT source, n_words, n_pieces, n_fallback_pieces,
+               round(CAST(n_fallback_pieces AS DOUBLE) / n_pieces, 6)
+                   AS fallback_ratio,
+               round(CAST(n_pieces AS DOUBLE) / n_words, 6) AS fertility
+        FROM per
+    """
+
+
+@query("q338_vocab_coverage_audit", oracle=_q338_oracle())
+def q338_vocab_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER tokenizer-quality metric next to q328's fertility:
+    what fraction of emitted pieces are 1-char FALLBACKS (no vocab
+    entry matched — the subword analog of q142's OOV rate), per
+    ingestion source. A source whose fallback ratio spikes is text
+    the vocabulary was not built for (new language, code, corruption)
+    — the signal that triggers retraining the tokenizer before it
+    silently inflates sequence lengths and training cost. Same
+    distinct-word fold as q328 with a second accumulator
+    (``subword_piece_stats``); per-source rollup is bounded-key."""
+    from databricks_etl_spark.operators.text import (
+        subword_piece_stats,
+        tokens_col,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("w")
+    ).filter(F.length("w") >= 1)
+    wc = (
+        tok.select("w")
+        .distinct()
+        .select("w", subword_piece_stats(F.col("w")).alias("st"))
+        .select("w", F.col("st.cnt").alias("pieces"), F.col("st.unk").alias("fallbacks"))
+    )
+    per = (
+        tok.join(wc, "w")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("pieces").cast("long").alias("n_pieces"),
+            F.sum("fallbacks").cast("long").alias("n_fallback_pieces"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_words",
+        "n_pieces",
+        "n_fallback_pieces",
+        F.round(
+            F.col("n_fallback_pieces").cast("double") / F.col("n_pieces"), 6
+        ).alias("fallback_ratio"),
+        F.round(F.col("n_pieces").cast("double") / F.col("n_words"), 6).alias(
+            "fertility"
+        ),
+    )
