@@ -1568,3 +1568,107 @@ def q338_vocab_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q339 — per-source data card (the release datasheet)
+# ---------------------------------------------------------------------------
+
+
+def _q339_oracle() -> str:
+    o322 = QUERIES["q322_decontamination_cost"].oracle
+    o323 = QUERIES["q323_epoch_allocation"].oracle
+    o338 = QUERIES["q338_vocab_coverage_audit"].oracle
+    return rf"""
+        WITH ep AS MATERIALIZED (SELECT * FROM ({o323})),
+        dc AS MATERIALIZED (SELECT * FROM ({o322})),
+        vc AS MATERIALIZED (SELECT * FROM ({o338})),
+        fp AS (
+            SELECT source,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS f
+            FROM documents
+        ),
+        cl AS (
+            SELECT source, f, COUNT(*) AS k FROM fp GROUP BY 1, 2
+        ),
+        dup AS (
+            SELECT source,
+                   CAST(SUM(k) AS BIGINT) AS n_docs_fp,
+                   CAST(SUM(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT)
+                       AS n_dup_docs
+            FROM cl GROUP BY 1
+        )
+        SELECT ep.source, ep.n_docs, ep.total_tokens, ep.mean_quality,
+               ep.epochs, ep.effective_tokens,
+               round(CAST(dup.n_dup_docs AS DOUBLE) / dup.n_docs_fp, 6)
+                   AS exact_dup_rate,
+               dc.cost_ratio AS contamination_cost_ratio,
+               vc.fallback_ratio, vc.fertility
+        FROM ep
+        JOIN dup ON ep.source = dup.source
+        JOIN dc ON ep.source = dc.source
+        JOIN vc ON ep.source = vc.source
+    """
+
+
+@query("q339_source_datacard", oracle=None)  # oracle set below
+def q339_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATA CARD a corpus release ships with — one row
+    per ingestion feed composing the audits this engine runs: volume
+    and quality with the earned epoch budget (q323), the exact-dup
+    rate (fraction of docs inside a >1-member md5 fingerprint
+    cluster, q321's window stated as a rate), the chunk-level
+    decontamination cost (q322), and the tokenizer coverage metrics
+    (q338's fallback ratio + fertility). Every input is an
+    already-oracled registered lane and the composition is
+    source-keyed joins over a bounded (per-source) key space — the
+    datasheet can never drift from the audits it summarizes."""
+    from databricks_etl_spark.operators.text import doc_fingerprint
+    from databricks_etl_spark.plans.queries_round8 import (
+        q322_decontamination_cost,
+        q323_epoch_allocation,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    epochs = q323_epoch_allocation(spark, sf_dir)
+    dc = q322_decontamination_cost(spark, sf_dir).select(
+        "source", F.col("cost_ratio").alias("contamination_cost_ratio")
+    )
+    vc = q338_vocab_coverage_audit(spark, sf_dir).select(
+        "source", "fallback_ratio", "fertility"
+    )
+    fp = doc_fingerprint(d).select("doc_id", F.col("md5_fp").alias("f")).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    cl = fp.groupBy("source", "f").agg(F.count(F.lit(1)).alias("k"))
+    dup = cl.groupBy("source").agg(
+        F.sum("k").cast("long").alias("n_docs_fp"),
+        F.sum(F.when(F.col("k") > 1, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+    )
+    return (
+        epochs.join(dup, "source")
+        .join(dc, "source")
+        .join(vc, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_quality",
+            "epochs",
+            "effective_tokens",
+            F.round(
+                F.col("n_dup_docs").cast("double") / F.col("n_docs_fp"), 6
+            ).alias("exact_dup_rate"),
+            "contamination_cost_ratio",
+            "fallback_ratio",
+            "fertility",
+        )
+    )
+
+
+QUERIES["q339_source_datacard"] = _replace(
+    QUERIES["q339_source_datacard"], oracle=_q339_oracle()
+)
