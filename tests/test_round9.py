@@ -75,6 +75,22 @@ def test_q326_dataloader_order_invariants(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_ffd_pack_rejects_unencodable_shard_size(spark):
+    """The r8-ADVICE guard: shard_size above the seq_id bin namespace
+    would let within-shard bins collide across shards — rejected up
+    front, alongside the existing bounds."""
+    import pytest as _pytest
+
+    from databricks_etl_spark.operators.packing import _SEQ_NS, ffd_pack
+
+    docs = spark.createDataFrame([(1, 10)], "doc_id long, len long")
+    with _pytest.raises(ValueError):
+        ffd_pack(docs, 128, _SEQ_NS + 1)
+    with _pytest.raises(ValueError):
+        ffd_pack(docs, 128, 0)
+    assert ffd_pack(docs, 128, _SEQ_NS).count() == 1  # boundary is legal
+
+
 def test_ffd_pack_grouped_invariants(spark):
     """Grouped FFD: every doc placed once, budget respected per
     (group, seq), sequences never mix groups, and the grouped result
