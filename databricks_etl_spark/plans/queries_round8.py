@@ -162,8 +162,11 @@ _Q313_FIT = "list_filter(range(1, len(p.res) + 1), jj -> p.res[jj] >= i.len)[1]"
 
 def _ffd_oracle(items: str, budget: int = _Q313_B, shard: int = _Q313_P) -> str:
     """The per-shard simultaneous recursive-CTE FFD, parameterized by
-    an ``items`` SELECT yielding (doc_id, len) — q313 packs documents,
-    q329 packs the chunk stream through the SAME placement logic."""
+    an ``items`` SELECT yielding (doc_id, len) — q313 packs whitespace
+    token counts, q329 re-packs on subword lengths through the SAME
+    placement logic. ``t`` and ``it`` are MATERIALIZED: the recursive
+    term re-joins ``it`` every iteration, and DuckDB would otherwise
+    inline (re-evaluate) the whole items subquery per step."""
     return f"""
         WITH RECURSIVE
         t AS MATERIALIZED (SELECT doc_id, least(len, {budget}) AS len
