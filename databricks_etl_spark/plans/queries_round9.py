@@ -1672,3 +1672,75 @@ def q339_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q339_source_datacard"] = _replace(
     QUERIES["q339_source_datacard"], oracle=_q339_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# q340 — chunk-stream packing (the embedding-batch plan)
+# ---------------------------------------------------------------------------
+
+_Q340_CK = 1_000_000  # chunk key multiplier: doc_id * 1e6 + chunk_idx.
+# Bounds (documented, not silent): chunk_idx < 1e6 ⟺ < 32M tokens per
+# document at the q318 stride — far beyond any real document (book-scale
+# is ~1e5–1e6 tokens); doc_id < 9.2e12 for BIGINT headroom ⟺ ~180× the
+# doc count of a 100 TB corpus at 2 KB/doc. The q319 ADVICE fix moved
+# that lane to string keys; packing needs an ORDERABLE integral key for
+# the FFD total order, so here the multiplier is widened instead and
+# the bounds stated.
+
+
+def _q340_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round8 import (
+        _ffd_oracle,
+        _q318_chunks_sql,
+    )
+
+    items = f"""WITH {_q318_chunks_sql()}
+        SELECT doc_id * {_Q340_CK} + chunk_idx AS doc_id,
+               n_chunk_tokens AS len
+        FROM chunks"""
+    inner = _ffd_oracle(items)
+    return f"""
+        WITH packed AS MATERIALIZED (SELECT * FROM ({inner}))
+        SELECT CAST(doc_id // {_Q340_CK} AS BIGINT) AS doc_id,
+               CAST(doc_id % {_Q340_CK} AS BIGINT) AS chunk_idx,
+               seq_id, seq_offset, n_tokens
+        FROM packed
+    """
+
+
+@query("q340_chunk_packing", oracle=_q340_oracle())
+def q340_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing at CHUNK grain — the embedding-batch plan on the RAG
+    side of the chunk stream: an embedding service batches by token
+    budget, and packing the q318 chunks into 256-token sequences is
+    what sizes those batches (the q313 training-sequence planner's
+    serving-side sibling; q176 audits fill of a naive chunk relation,
+    this PLANS the packed one). Same ``ffd_pack`` operator and
+    recursive-CTE oracle as q313/q329 — the third length source
+    through one placement logic. Chunk identity rides as
+    doc_id * 1e6 + chunk_idx (orderable key for the FFD total order;
+    bounds documented at the constant, decoded on output)."""
+    from databricks_etl_spark.operators.packing import ffd_pack
+    from databricks_etl_spark.operators.text import chunk_tokens
+    from databricks_etl_spark.plans.queries_round8 import (
+        _Q313_B,
+        _Q313_P,
+        _Q318_S,
+        _Q318_W,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    items = chunk_tokens(d, _Q318_W, _Q318_S).select(
+        (F.col("doc_id") * _Q340_CK + F.col("chunk_idx")).alias("ck"),
+        F.col("n_chunk_tokens").alias("len"),
+    )
+    packed = ffd_pack(items, _Q313_B, _Q313_P, id_col="ck")
+    # DIV/%: exact integral decode (double division would lose bits
+    # once keys pass 2^53)
+    return packed.select(
+        F.expr(f"doc_id DIV {_Q340_CK}").cast("long").alias("doc_id"),
+        (F.col("doc_id") % _Q340_CK).cast("long").alias("chunk_idx"),
+        "seq_id",
+        "seq_offset",
+        "n_tokens",
+    )
