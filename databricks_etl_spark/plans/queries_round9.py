@@ -993,7 +993,7 @@ def _q332_oracle() -> str:
         ),
         qemb0 AS (
             SELECT qid, {_q332_emb_list()} AS qe
-            FROM (SELECT qid, bucket, sign FROM qent) cent GROUP BY 1
+            FROM qent GROUP BY 1
         ),
         qemb AS (
             SELECT qid, qe, {_q332_cell_case('qe')} AS cell
@@ -1260,7 +1260,12 @@ def q333_partial_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs posting join). Directional by design: a small doc fully
     contained in a big one scores ~1.0 in that direction and low in
     the reverse — exactly the asymmetry survivorship policies key on.
-    Kept at containment >= 0.25."""
+    Kept at containment >= 0.25. Grain note: q330 pairs span ALL
+    documents, but the containment denominator (and therefore the
+    reported ``doc_id`` side) covers CORPUS docs only — overlap with
+    a benchmark doc still counts toward a corpus doc's containment
+    (that overlap is contamination-adjacent signal, not noise); the
+    oracle applies the identical corpus filter."""
     from databricks_etl_spark.operators.text import chunk_tokens
     from databricks_etl_spark.plans.queries_round8 import _Q318_S, _Q318_W
 
