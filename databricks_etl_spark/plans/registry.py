@@ -402,6 +402,24 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q323_epoch_allocation",
         "q324_zipf_fit",
         "q325_ks_drift",
+        # --- round 9 greens (CORRECTNESS_r09.json; 41 green rows, 11
+        # rows-only `no_oracle` rows records excluded by definition;
+        # q01/q42-q44/q50-q53/q80/q81/q89-q93/q98-q101/q123/q124/
+        # q132-q134/q161/q163 re-proven, already listed) ---
+        "q326_dataloader_order",
+        "q327_manifest_maintenance",
+        "q328_subword_tokenize",
+        "q329_subword_packing",
+        "q330_chunk_minhash_neardup",
+        "q332_rag_retrieval_eval",
+        "q333_partial_overlap_docs",
+        "q334_epoch_token_accounting",
+        "q335_manifest_touched_survivors",
+        "q336_streaming_chunk_decontam",
+        "q337_split_leakage_audit",
+        "q338_vocab_coverage_audit",
+        "q339_source_datacard",
+        "q340_chunk_packing",
     }
 )
 
