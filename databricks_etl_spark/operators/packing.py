@@ -61,8 +61,10 @@ def ffd_pack(
         raise ValueError(
             f"ffd_pack requires budget >= 1 and 1 <= shard_size <= "
             f"{_SEQ_NS} (seq_id packs the within-shard bin below the "
-            f"shard multiplier, and bins per shard are bounded by docs "
-            f"per shard), got budget={budget} shard_size={shard_size}"
+            f"shard multiplier; docs per shard — and hence bins — are "
+            f"bounded by shard_size only in expectation under uniform "
+            f"doc_id residues, so _ffd re-asserts the bound per shard), "
+            f"got budget={budget} shard_size={shard_size}"
         )
     import pandas as pd
 
@@ -107,6 +109,19 @@ def ffd_pack(
             ln = int(ln)
             j = next((i for i, r in enumerate(residuals) if r >= ln), None)
             if j is None:
+                # seq_id packs bin j+1 (1-based) into the _SEQ_NS slots
+                # below the shard multiplier; shard sizing only bounds
+                # bins IN EXPECTATION (skewed doc_id residues can
+                # overfill a shard), so fail loudly before seq_ids
+                # would collide across shards — identically on both
+                # engines, where the oracle could not catch it.
+                if len(residuals) + 1 >= _SEQ_NS:
+                    raise ValueError(
+                        f"ffd_pack: shard {shard} needs more than "
+                        f"{_SEQ_NS - 1} bins (skewed {id_col} residues); "
+                        f"seq_ids would collide across shards — lower "
+                        f"shard_size or re-key {id_col}"
+                    )
                 residuals.append(budget - ln)
                 j = len(residuals) - 1
                 off = 0

@@ -166,6 +166,17 @@ def shingle_array(toks: Column, n: int) -> Column:
     )
 
 
+def md5_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-dedup fingerprint only: (doc_id, md5_fp) where ``md5_fp``
+    is md5 of whitespace-normalized lower-cased text. Scan-local (no
+    shuffle) — consumers that need just the exact key (q339's dup-rate
+    card) use this instead of :func:`doc_fingerprint`, whose shingle
+    side pays a corpus-wide explode+groupBy Spark cannot prune away.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select("doc_id", F.md5(norm).alias("md5_fp"))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints, both SQL-exact:
 
@@ -174,13 +185,9 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``min_shingle_fp``: lexicographic min of md5(3-gram shingle) — a
       1-permutation MinHash; equal fingerprints ⇒ likely near-dups.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     sh = shingles(df, 3, text_col)
     minfp = sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("min_shingle_fp"))
-    return (
-        df.select("doc_id", F.md5(norm).alias("md5_fp"))
-        .join(minfp, "doc_id", "left")
-    )
+    return md5_fingerprint(df, text_col).join(minfp, "doc_id", "left")
 
 
 def bottom_k_sketch(df: DataFrame, k: int = 8, text_col: str = "text") -> DataFrame:

@@ -700,24 +700,35 @@ def q233_tombstone_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NIB = "instr('0123456789abcdef', substr({h}, {k}, 1)) - 1"
 
 
+def split_sql(col: str) -> str:
+    """The q234 portable md5-nibble split rule as an ANSI-SQL fragment:
+    first two nibbles of md5(col) → 0..255; <204 train, <230 val, else
+    test (~80/10/10). THE single source of the thresholds/positions —
+    every consumer (q234's own oracle, q337's leakage audit) embeds
+    this fragment so the rule cannot drift per-query. Twin of
+    :func:`split_col`; keep the two in lockstep."""
+    h = f"md5(CAST({col} AS VARCHAR))"
+    v = f"(({_NIB.format(h=h, k=1)}) * 16 + ({_NIB.format(h=h, k=2)}))"
+    return (
+        f"CASE WHEN {v} < 204 THEN 'train' "
+        f"WHEN {v} < 230 THEN 'val' ELSE 'test' END"
+    )
+
+
+def split_col(col: str) -> F.Column:
+    """Spark twin of :func:`split_sql` — the same md5-nibble rule as a
+    pure scan-local Column expression (no shuffle, engine-portable)."""
+    h = F.md5(F.col(col).cast("string"))
+    nib = lambda k: F.instr(F.lit("0123456789abcdef"), F.substring(h, k, 1)) - 1  # noqa: E731
+    v = nib(1) * 16 + nib(2)
+    return F.when(v < 204, "train").when(v < 230, "val").otherwise("test")
+
+
 @query(
     "q234_train_split_assignment",
     oracle=f"""
-        WITH h AS (
-            SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
-        ),
-        b AS (
-            SELECT lang,
-                   ({_NIB.format(h='h', k=1)}) * 16
-                   + ({_NIB.format(h='h', k=2)}) AS v
-            FROM h
-        ),
-        s AS (
-            SELECT lang,
-                   CASE WHEN v < 204 THEN 'train'
-                        WHEN v < 230 THEN 'val'
-                        ELSE 'test' END AS split
-            FROM b
+        WITH s AS (
+            SELECT lang, {split_sql('doc_id')} AS split FROM documents
         ),
         per AS (SELECT lang, split, COUNT(*) AS n_docs FROM s GROUP BY 1, 2),
         tot AS (SELECT lang, SUM(n_docs) AS n_lang FROM per GROUP BY 1)
@@ -739,15 +750,7 @@ def q234_train_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the report is a bounded-key (lang × 3) rollup. 100 TB: embarrass-
     ingly parallel."""
     d = read_table(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string"))
-    nib = lambda k: F.instr(F.lit("0123456789abcdef"), F.substring(h, k, 1)) - 1  # noqa: E731
-    v = nib(1) * 16 + nib(2)
-    s = d.select(
-        "lang",
-        F.when(v < 204, "train").when(v < 230, "val").otherwise("test").alias(
-            "split"
-        ),
-    )
+    s = d.select("lang", split_col("doc_id").alias("split"))
     per = s.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
     tot = per.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
     return per.join(tot, "lang").select(

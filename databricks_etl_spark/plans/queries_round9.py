@@ -1397,15 +1397,9 @@ QUERIES["q334_epoch_token_accounting"] = _replace(
 
 
 def _q337_split_sql(col: str) -> str:
-    nib = (
-        "(instr('0123456789abcdef', "
-        f"substr(md5(CAST({col} AS VARCHAR)), {{k}}, 1)) - 1)"
-    )
-    v = f"{nib.format(k=1)} * 16 + {nib.format(k=2)}"
-    return (
-        f"CASE WHEN {v} < 204 THEN 'train' "
-        f"WHEN {v} < 230 THEN 'val' ELSE 'test' END"
-    )
+    from databricks_etl_spark.plans.queries_round5 import split_sql
+
+    return split_sql(col)
 
 
 def _q337_oracle() -> str:
@@ -1435,26 +1429,14 @@ def q337_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     split assignment is the q234 portable md5 rule, a pure per-row
     expression — the whole audit adds one bounded 3x3 rollup on top
     of q330's banding."""
-    from databricks_etl_spark.plans.queries_round5 import (
-        q234_train_split_assignment,  # noqa: F401  (cited rule source)
-    )
+    from databricks_etl_spark.plans.queries_round5 import split_col
 
     prs = q330_chunk_minhash_neardup(spark, sf_dir)
 
-    def split_of(col: str) -> F.Column:
-        h = F.md5(F.col(col).cast("string"))
-        nib = lambda k: (  # noqa: E731
-            F.instr(F.lit("0123456789abcdef"), F.substring(h, k, 1)) - 1
-        )
-        v = nib(1) * 16 + nib(2)
-        return (
-            F.when(v < 204, "train").when(v < 230, "val").otherwise("test")
-        )
-
     return (
         prs.select(
-            split_of("doc_a").alias("split_a"),
-            split_of("doc_b").alias("split_b"),
+            split_col("doc_a").alias("split_a"),
+            split_col("doc_b").alias("split_b"),
         )
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
@@ -1629,7 +1611,7 @@ def q339_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-oracled registered lane and the composition is
     source-keyed joins over a bounded (per-source) key space — the
     datasheet can never drift from the audits it summarizes."""
-    from databricks_etl_spark.operators.text import doc_fingerprint
+    from databricks_etl_spark.operators.text import md5_fingerprint
     from databricks_etl_spark.plans.queries_round8 import (
         q322_decontamination_cost,
         q323_epoch_allocation,
@@ -1643,7 +1625,7 @@ def q339_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = q338_vocab_coverage_audit(spark, sf_dir).select(
         "source", "fallback_ratio", "fertility"
     )
-    fp = doc_fingerprint(d).select("doc_id", F.col("md5_fp").alias("f")).join(
+    fp = md5_fingerprint(d).select("doc_id", F.col("md5_fp").alias("f")).join(
         d.select("doc_id", "source"), "doc_id"
     )
     cl = fp.groupBy("source", "f").agg(F.count(F.lit(1)).alias("k"))

@@ -115,6 +115,28 @@ def test_ffd_pack_validates_args(spark):
         ffd_pack(df, 64, 0)
 
 
+def test_ffd_pack_skewed_residues_raise_not_collide(spark, monkeypatch):
+    """Shard sizing bounds bins per shard only IN EXPECTATION: if every
+    doc_id lands on one residue class mod n_shards, a single shard gets
+    the whole corpus and its bin count can exceed the seq_id namespace.
+    The fold must fail loudly (both engines would otherwise collide
+    seq_ids identically, invisible to the oracle). _SEQ_NS is shrunk so
+    the overflow is reachable at test size; cloudpickle captures the
+    patched global by value into the executor-side fold."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from databricks_etl_spark.operators import packing
+
+    monkeypatch.setattr(packing, "_SEQ_NS", 4)
+    # n=6 docs, shard_size=3 -> n_shards=2, but every doc_id is even:
+    # shard 0 holds all 6 docs, each full-budget -> 6 bins > 3 allowed.
+    rows = [(2 * i, 64) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, len long")
+    with _pytest.raises((Py4JJavaError, Exception), match="collide"):
+        packing.ffd_pack(df, 64, 3).collect()
+
+
 def test_chunk_tokens_coverage_and_overlap(spark):
     """The chunking contract (the q318 stride guarantee, mirroring the
     round-7 gram-stride test): chunk i starts at token i*stride, every
