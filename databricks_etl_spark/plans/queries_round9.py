@@ -945,21 +945,32 @@ def _q332_cell_case(col: str) -> str:
     return f"CASE {' '.join(whens)} ELSE {_Q332_K - 1} END"
 
 
-def _q332_oracle() -> str:
-    from databricks_etl_spark.plans.queries_round8 import _q318_chunks_sql
+_Q332_NRM = "list_sum(list_transform({v}, x -> x * x))"
 
-    n1, n2, n3 = _q332_nibble(1), _q332_nibble(2), _q332_nibble(3)
+
+def _q332_sim_sql() -> str:
+    """Cosine(q.qe, c.ce) rounded to 6 — for CTEs exposing aliases q/c."""
     dot_qc = (
         f"list_sum(list_transform(range(1, {_Q332_D} + 1), "
         f"i -> q.qe[i] * c.ce[i]))"
     )
-    nrm = "list_sum(list_transform({v}, x -> x * x))"
-    sim = (
-        f"round({dot_qc} / (sqrt({nrm.format(v='q.qe')})"
-        f" * sqrt({nrm.format(v='c.ce')})), 6)"
+    return (
+        f"round({dot_qc} / (sqrt({_Q332_NRM.format(v='q.qe')})"
+        f" * sqrt({_Q332_NRM.format(v='c.ce')})), 6)"
     )
-    return f"""
-        WITH {_q318_chunks_sql("WHERE doc_id % 50 != 0")},
+
+
+def _q332_base_sql() -> str:
+    """Shared CTE chain (chunk + query feature-hash embeddings with IVF
+    cells): everything through ``cemb``/``qemb``. THE single source of
+    the embedding/quantizer SQL — q332's eval and q341's probe sweep
+    (queries_round10) both embed this block so the index definition
+    cannot drift between the one-point eval and the sweep."""
+    from databricks_etl_spark.plans.queries_round8 import _q318_chunks_sql
+
+    n1, n2, n3 = _q332_nibble(1), _q332_nibble(2), _q332_nibble(3)
+    nrm = _Q332_NRM
+    return f"""{_q318_chunks_sql("WHERE doc_id % 50 != 0")},
         ctok AS (
             SELECT doc_id, chunk_idx,
                    unnest(string_split(chunk_text, ' ')) AS t
@@ -998,7 +1009,13 @@ def _q332_oracle() -> str:
         qemb AS (
             SELECT qid, qe, {_q332_cell_case('qe')} AS cell
             FROM qemb0 WHERE {nrm.format(v='qe')} > 0
-        ),
+        )"""
+
+
+def _q332_oracle() -> str:
+    sim = _q332_sim_sql()
+    return f"""
+        WITH {_q332_base_sql()},
         s AS (
             SELECT q.qid, c.doc_id, c.chunk_idx,
                    q.cell = c.cell AS same_cell, {sim} AS sim
@@ -1097,24 +1114,12 @@ def _q332_cell(emb) -> F.Column:
     return cell
 
 
-@query("q332_rag_retrieval_eval", oracle=_q332_oracle())
-def q332_rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG retrieval evaluation, fully oracled — WHY the chunk lane
-    exists: the q318 chunk stream is embedded (deterministic
-    feature-hash embedding: md5-nibble bucket + sign per token — the
-    model-free stand-in with the exact plumbing of a real encoder),
-    indexed into {_Q332_K} IVF cells by a comb quantizer whose cell
-    assignment reduces to a PURE per-row expression (argmax of per-
-    cell dim sums — no centroid join, no shuffle), and benchmark docs
-    (doc_id % 50 == 0) query it. Cell-restricted (n_probe=1) top-10
-    retrieval is scored against the exact brute-force truth:
-    recall@10 and top-1 recall, the q310 evaluation machinery at
-    chunk grain. Scale shape: the query set is broadcast, chunk
-    scoring is one map-side pass, both rankings share one scored
-    relation and the (sim DESC, doc, chunk) total order; all
-    embedding values are small exact integers so every cross-engine
-    float op is exact."""
-    from databricks_etl_spark.operators.similarity import cosine
+def _q332_relations(spark: SparkSession, sf_dir: str):
+    """Spark twin of :func:`_q332_base_sql`: the shared index/query
+    relations ``cemb`` (doc_id, chunk_idx, ce, cell) and ``qemb``
+    (qid, qe, qcell) — q332's one-point eval and q341's probe sweep
+    (queries_round10) build on the same pair so the quantizer cannot
+    drift between them."""
     from databricks_etl_spark.operators.text import chunk_tokens, tokens_col
     from databricks_etl_spark.plans.queries_round8 import _Q318_S, _Q318_W
 
@@ -1145,16 +1150,39 @@ def q332_rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             F.col("emb").alias("qe"),
-            _q332_cell(F.col("emb")).alias("__qc"),
+            _q332_cell(F.col("emb")).alias("qcell"),
         )
     )
+    return cemb, qemb
+
+
+@query("q332_rag_retrieval_eval", oracle=_q332_oracle())
+def q332_rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval evaluation, fully oracled — WHY the chunk lane
+    exists: the q318 chunk stream is embedded (deterministic
+    feature-hash embedding: md5-nibble bucket + sign per token — the
+    model-free stand-in with the exact plumbing of a real encoder),
+    indexed into {_Q332_K} IVF cells by a comb quantizer whose cell
+    assignment reduces to a PURE per-row expression (argmax of per-
+    cell dim sums — no centroid join, no shuffle), and benchmark docs
+    (doc_id % 50 == 0) query it. Cell-restricted (n_probe=1) top-10
+    retrieval is scored against the exact brute-force truth:
+    recall@10 and top-1 recall, the q310 evaluation machinery at
+    chunk grain. Scale shape: the query set is broadcast, chunk
+    scoring is one map-side pass, both rankings share one scored
+    relation and the (sim DESC, doc, chunk) total order; all
+    embedding values are small exact integers so every cross-engine
+    float op is exact."""
+    from databricks_etl_spark.operators.similarity import cosine
+
+    cemb, qemb = _q332_relations(spark, sf_dir)
     s = (
         cemb.join(F.broadcast(qemb), F.lit(True))
         .select(
             "qid",
             "doc_id",
             "chunk_idx",
-            (F.col("cell") == F.col("__qc")).alias("same_cell"),
+            (F.col("cell") == F.col("qcell")).alias("same_cell"),
             F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
         )
         .localCheckpoint()  # one scoring pass feeds both rankings

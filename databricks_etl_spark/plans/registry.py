@@ -492,6 +492,8 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_round8  # noqa: F401
     # round-9 modules
     import databricks_etl_spark.plans.queries_round9  # noqa: F401
+    # round-10 modules
+    import databricks_etl_spark.plans.queries_round10  # noqa: F401
 
     assert len(QUERIES) >= 280, (
         f"query registry shrank: {len(QUERIES)} < 280 — a module failed to register"

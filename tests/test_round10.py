@@ -1,0 +1,124 @@
+"""Round-10 lane tests: the multi-probe IVF sweep's construction
+invariants (monotone recall, exact full-probe recall, agreement with
+q332's one-point eval and with literal per-probe re-retrieval)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import SMOKE_SF_DIR
+
+
+@pytest.fixture(scope="module")
+def probe_sweep(spark, sf_dir):
+    from databricks_etl_spark.plans.queries_round10 import q341_ivf_probe_sweep
+
+    rows = q341_ivf_probe_sweep(spark, sf_dir).collect()
+    return sorted(rows, key=lambda r: r.n_probe)
+
+
+def test_q341_recall_monotone_in_n_probe(probe_sweep):
+    """More probes can only add candidates; truth items are never
+    evicted (docstring proof), so both metrics are non-decreasing."""
+    recalls = [float(r.mean_recall_at_10) for r in probe_sweep]
+    top1s = [float(r.top1_recall) for r in probe_sweep]
+    assert recalls == sorted(recalls)
+    assert top1s == sorted(top1s)
+
+
+def test_q341_full_probe_exact(probe_sweep):
+    """n_probe == K probes every cell: ANN == brute force, recall
+    EXACTLY 1.0 (the q116 full-probe-exactness precedent)."""
+    full = probe_sweep[-1]
+    assert full.n_probe == 8
+    assert float(full.mean_recall_at_10) == 1.0
+    assert float(full.top1_recall) == 1.0
+
+
+def test_q341_nprobe1_equals_q332(spark, sf_dir):
+    """The sweep's n_probe=1 row IS q332's one-point eval (same index,
+    same tiebreaks): metrics must agree exactly."""
+    from databricks_etl_spark.plans.queries_round9 import q332_rag_retrieval_eval
+    from databricks_etl_spark.plans.queries_round10 import q341_ivf_probe_sweep
+
+    one = (
+        q341_ivf_probe_sweep(spark, sf_dir)
+        .filter(F.col("n_probe") == 1)
+        .collect()[0]
+    )
+    base = q332_rag_retrieval_eval(spark, sf_dir).collect()[0]
+    assert one.n_queries == base.n_queries
+    assert one.mean_recall_at_10 == base.mean_recall_at_10
+    assert one.top1_recall == base.top1_recall
+
+
+def test_q341_matches_literal_per_probe_retrieval(spark):
+    """The one-pass shortcut (truth hit at probe p ⟺ cell_rank <= p)
+    must equal LITERALLY re-running ANN top-k retrieval restricted to
+    the p best cells, for every p — the eviction-impossibility proof,
+    checked by brute force at smoke scale."""
+    from databricks_etl_spark.operators.similarity import cosine
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q332_TOPK,
+        _q332_relations,
+    )
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q341_PROBES,
+        _q341_cell_rank,
+        q341_ivf_probe_sweep,
+    )
+
+    cemb, qemb = _q332_relations(spark, SMOKE_SF_DIR)
+    sr = cemb.join(F.broadcast(qemb), F.lit(True)).select(
+        "qid",
+        "doc_id",
+        "chunk_idx",
+        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+        _q341_cell_rank(F.col("qe"), F.col("cell")).alias("cell_rank"),
+    ).localCheckpoint()
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("sim"), F.asc("doc_id"), F.asc("chunk_idx")
+    )
+    truth = (
+        sr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _Q332_TOPK)
+        .select("qid", "rk", "doc_id", "chunk_idx")
+    )
+    literal = {}
+    for p in _Q341_PROBES:
+        ann = (
+            sr.filter(F.col("cell_rank") <= p)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _Q332_TOPK)
+            .select(
+                F.col("qid").alias("aq"),
+                F.col("doc_id").alias("ad"),
+                F.col("chunk_idx").alias("ac"),
+            )
+        )
+        hit = truth.join(
+            ann,
+            (F.col("qid") == F.col("aq"))
+            & (F.col("doc_id") == F.col("ad"))
+            & (F.col("chunk_idx") == F.col("ac")),
+            "left",
+        )
+        agg = hit.groupBy("qid").agg(
+            (F.count("ad") / float(_Q332_TOPK)).alias("recall"),
+            F.max(
+                F.when((F.col("rk") == 1) & F.col("ad").isNotNull(), 1.0)
+                .otherwise(0.0)
+            ).alias("top1"),
+        ).agg(
+            F.round(F.avg("recall"), 6).alias("r"),
+            F.round(F.avg("top1"), 6).alias("t"),
+        ).collect()[0]
+        literal[p] = (float(agg.r), float(agg.t))
+
+    sweep = {
+        r.n_probe: (float(r.mean_recall_at_10), float(r.top1_recall))
+        for r in q341_ivf_probe_sweep(spark, SMOKE_SF_DIR).collect()
+    }
+    assert sweep == literal
