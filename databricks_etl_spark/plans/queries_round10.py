@@ -11,6 +11,7 @@ these extend the engine's north-star LLM-data surface (SURVEY.md §2.12).
 
 from __future__ import annotations
 
+from dataclasses import replace as _replace
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -216,3 +217,149 @@ def q341_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum("top1").cast("double") / n, 6).alias("top1_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q342 — realized-mixture audit over the dataloader stream
+# ---------------------------------------------------------------------------
+
+
+def _q342_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round8 import temp_weight_sql
+    from databricks_etl_spark.plans.queries_round9 import _q326_oracle
+
+    o312 = QUERIES["q312_training_manifest"].oracle
+    return f"""
+        WITH shipped AS MATERIALIZED (
+            SELECT doc_id FROM ({o312}) WHERE ship
+        ),
+        pool AS (
+            SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_shipped
+            FROM shipped JOIN documents d USING (doc_id) GROUP BY 1
+        ),
+        tw AS (SELECT SUM({temp_weight_sql('n_shipped')}) AS tw FROM pool),
+        tgt AS (
+            SELECT source,
+                   round({temp_weight_sql('n_shipped')} / tw.tw, 6)
+                       AS target_share
+            FROM pool, tw
+        ),
+        ord AS MATERIALIZED (SELECT * FROM ({_q326_oracle()})),
+        eps AS (SELECT DISTINCT epoch FROM ord),
+        slots AS (
+            SELECT o.epoch, d.source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ord o JOIN documents d USING (doc_id) GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT t.source, t.target_share, e.epoch FROM tgt t, eps e
+        ),
+        fil AS (
+            SELECT g.epoch, g.source,
+                   CAST(COALESCE(s.n, 0) AS BIGINT) AS n_doc_slots,
+                   g.target_share
+            FROM grid g LEFT JOIN slots s
+                ON g.epoch = s.epoch AND g.source = s.source
+        ),
+        et AS (
+            SELECT epoch, SUM(n_doc_slots) AS tot FROM fil GROUP BY 1
+        ),
+        dv AS (
+            SELECT f.epoch, f.source, f.n_doc_slots,
+                   round(CAST(f.n_doc_slots AS DOUBLE)
+                         / CAST(et.tot AS DOUBLE), 6) AS realized_share,
+                   f.target_share
+            FROM fil f JOIN et USING (epoch)
+        )
+        SELECT epoch, source, n_doc_slots, realized_share, target_share,
+               round(realized_share - target_share, 6) AS deviation,
+               (row_number() OVER (PARTITION BY epoch
+                    ORDER BY abs(realized_share - target_share) DESC,
+                             source) = 1) AS is_max_abs_deviation
+        FROM dv
+    """
+
+
+@query("q342_realized_mixture_audit", oracle=None)  # oracle set below
+def q342_realized_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the stream the dataloader REPLAYS actually deliver the
+    mixture the temperature rule promises? q315 fixes the targets and
+    q326 fixes the order, but nothing between them checked the
+    realized per-epoch source mixture — the thing temperature mixing
+    exists to guarantee. Per (epoch, source): doc-slot share within
+    the epoch vs the q315 temperature target (count^alpha over the
+    SHIPPED pool, the same exported kernel), the signed deviation, and
+    the epoch's worst-deviation row flagged. Sources absent from an
+    epoch (their q323 budget ran out) appear with zero slots — exactly
+    the honest drift: later epochs lose the low-epoch sources, so the
+    mixture departs from target and the audit shows by how much.
+
+    Composes two registered queries (q312's ship pool, q326's stream)
+    like q334, so the audit cannot drift from the artifacts it checks.
+    Scale shape: both rollups are (epoch x source)-bounded; the grid
+    is a broadcast cross of two tiny aggregates; the only real cost is
+    the q326 composition itself."""
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+        temp_weight_col,
+    )
+    from databricks_etl_spark.plans.queries_round9 import q326_dataloader_order
+
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ship = q312_training_manifest(spark, sf_dir).filter("ship").select("doc_id")
+    pool = (
+        ship.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shipped"))
+    )
+    tw = pool.agg(F.sum(temp_weight_col(F.col("n_shipped"))).alias("tw"))
+    tgt = pool.crossJoin(F.broadcast(tw)).select(
+        "source",
+        F.round(temp_weight_col(F.col("n_shipped")) / F.col("tw"), 6).alias(
+            "target_share"
+        ),
+    )
+    ordr = q326_dataloader_order(spark, sf_dir)
+    slots = (
+        ordr.join(src, "doc_id")
+        .groupBy("epoch", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    eps = ordr.select("epoch").distinct()
+    grid = tgt.crossJoin(F.broadcast(eps))
+    fil = grid.join(slots, ["epoch", "source"], "left").select(
+        "epoch",
+        "source",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_doc_slots"),
+        "target_share",
+    )
+    et = fil.groupBy("epoch").agg(F.sum("n_doc_slots").alias("tot"))
+    dv = fil.join(F.broadcast(et), "epoch").select(
+        "epoch",
+        "source",
+        "n_doc_slots",
+        F.round(
+            F.col("n_doc_slots").cast("double") / F.col("tot").cast("double"),
+            6,
+        ).alias("realized_share"),
+        "target_share",
+    )
+    w = Window.partitionBy("epoch").orderBy(
+        F.abs(F.col("realized_share") - F.col("target_share")).desc(),
+        F.asc("source"),
+    )
+    return dv.select(
+        "epoch",
+        "source",
+        "n_doc_slots",
+        "realized_share",
+        "target_share",
+        F.round(F.col("realized_share") - F.col("target_share"), 6).alias(
+            "deviation"
+        ),
+        (F.row_number().over(w) == 1).alias("is_max_abs_deviation"),
+    )
+
+
+QUERIES["q342_realized_mixture_audit"] = _replace(
+    QUERIES["q342_realized_mixture_audit"], oracle=_q342_oracle()
+)

@@ -319,6 +319,21 @@ _Q315_N = 200  # total mixture size
 _Q315_A = 0.7  # temperature exponent (the multilingual-mixing rule)
 
 
+def temp_weight_sql(n: str) -> str:
+    """count^alpha temperature weight — the q315 mixing kernel as an
+    ANSI-SQL fragment. THE single source of the exponent rule; q315's
+    own oracle and q342's realized-mixture audit (queries_round10)
+    both embed it so the rule cannot drift per-query (the
+    split_sql/split_col sharing pattern). Twin of
+    :func:`temp_weight_col`; keep the two in lockstep."""
+    return f"pow(CAST({n} AS DOUBLE), {_Q315_A})"
+
+
+def temp_weight_col(n) -> F.Column:
+    """Spark twin of :func:`temp_weight_sql`."""
+    return F.pow(n.cast("double"), _Q315_A)
+
+
 @query(
     "q315_temperature_mixed_sample",
     oracle=f"""
@@ -328,7 +343,7 @@ _Q315_A = 0.7  # temperature exponent (the multilingual-mixing rule)
         ),
         w AS (
             SELECT lang, n_docs,
-                   pow(CAST(n_docs AS DOUBLE), {_Q315_A}) AS wt
+                   {temp_weight_sql('n_docs')} AS wt
             FROM s
         ),
         tot AS (SELECT SUM(wt) AS tw FROM w),
@@ -369,9 +384,7 @@ def q315_temperature_mixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     group-limited before the data-dependent quota filter applies."""
     d = read_table(spark, sf_dir, "documents")
     s = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    w = s.select(
-        "lang", F.pow(F.col("n_docs").cast("double"), _Q315_A).alias("wt")
-    )
+    w = s.select("lang", temp_weight_col(F.col("n_docs")).alias("wt"))
     tot = w.agg(F.sum("wt").alias("tw"))
     share = F.round(F.col("wt") / F.col("tw"), 6)
     alloc = w.crossJoin(F.broadcast(tot)).select(

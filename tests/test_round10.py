@@ -122,3 +122,54 @@ def test_q341_matches_literal_per_probe_retrieval(spark):
         for r in q341_ivf_probe_sweep(spark, SMOKE_SF_DIR).collect()
     }
     assert sweep == literal
+
+
+@pytest.fixture(scope="module")
+def mixture_audit(spark, sf_dir):
+    from databricks_etl_spark.plans.queries_round10 import (
+        q342_realized_mixture_audit,
+    )
+
+    return q342_realized_mixture_audit(spark, sf_dir).collect()
+
+
+def test_q342_shares_form_distributions(mixture_audit):
+    """Within each epoch the realized shares sum to 1, and the
+    temperature targets (constant across epochs) sum to 1 — both up to
+    the 6dp rounding of the individual shares."""
+    by_epoch = {}
+    for r in mixture_audit:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert len(by_epoch) >= 1
+    for rows in by_epoch.values():
+        n = len(rows)
+        assert abs(sum(r.realized_share for r in rows) - 1.0) <= n * 5e-7
+        assert abs(sum(r.target_share for r in rows) - 1.0) <= n * 5e-7
+
+
+def test_q342_deviation_bound_and_max_flag(mixture_audit):
+    """deviation == realized - target (6dp), every |deviation| < 1,
+    and per epoch EXACTLY one row carries the max-|deviation| flag and
+    it attains the epoch maximum."""
+    by_epoch = {}
+    for r in mixture_audit:
+        assert abs(r.deviation - round(r.realized_share - r.target_share, 6)) < 1e-9
+        assert abs(r.deviation) < 1.0
+        by_epoch.setdefault(r.epoch, []).append(r)
+    for rows in by_epoch.values():
+        flagged = [r for r in rows if r.is_max_abs_deviation]
+        assert len(flagged) == 1
+        mx = max(abs(r.deviation) for r in rows)
+        assert abs(abs(flagged[0].deviation) - mx) < 1e-9
+
+
+def test_q342_grid_is_complete(mixture_audit):
+    """Zero-slot honesty: every shipped source appears in EVERY epoch
+    (absent sources with 0 slots included), so the audit grid is the
+    full epochs x sources cross."""
+    epochs = {r.epoch for r in mixture_audit}
+    sources = {r.source for r in mixture_audit}
+    assert len(mixture_audit) == len(epochs) * len(sources)
+    zero_rows = [r for r in mixture_audit if r.n_doc_slots == 0]
+    for r in zero_rows:  # a zero-slot row still states its target miss
+        assert r.deviation == round(-r.target_share, 6)
