@@ -36,6 +36,7 @@ def ffd_pack(
     id_col: str = "doc_id",
     len_col: str = "len",
     group_col: str = None,
+    shard_col: str = None,
 ) -> DataFrame:
     """Pack ``docs`` (``id_col``, ``len_col`` token counts) into
     sequences of capacity ``budget`` via per-shard FFD.
@@ -56,6 +57,15 @@ def ffd_pack(
     (the ungrouped path keeps its single sanctioned scalar count).
     The dataloader capstone packs per epoch-class this way, so a
     sequence replays a uniform number of epochs.
+
+    With ``shard_col`` (an integral column), the caller supplies the
+    planning-shard assignment and NO modulus is derived from counts —
+    the incremental-maintenance path: a persisted packing's shard
+    moduli are part of the artifact, so a delta re-pack must reuse the
+    FROZEN moduli (re-deriving them from the grown corpus would move
+    every doc's shard and re-pack the world). The caller owns the
+    seq_id-namespace bound in this mode (shard values and per-shard
+    doc counts are theirs); _ffd still hard-fails before a collision.
     """
     if budget < 1 or not (1 <= shard_size <= _SEQ_NS):
         raise ValueError(
@@ -73,8 +83,15 @@ def ffd_pack(
         *head,
         F.col(id_col).cast("long").alias("doc_id"),
         F.least(F.col(len_col), F.lit(budget)).cast("long").alias("len"),
+        *(
+            [F.col(shard_col).cast("long").alias("shard")]
+            if shard_col is not None
+            else []
+        ),
     )
-    if group_col is None:
+    if shard_col is not None:
+        it = sel
+    elif group_col is None:
         n = docs.count()  # one scalar to size the shard modulus
         n_shards = max(1, math.ceil(n / shard_size))
         it = sel.withColumn("shard", (F.col("doc_id") % n_shards).cast("long"))

@@ -363,3 +363,192 @@ def q342_realized_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q342_realized_mixture_audit"] = _replace(
     QUERIES["q342_realized_mixture_audit"], oracle=_q342_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# q343 — incremental dataloader-order maintenance (delta re-pack, frozen shards)
+# ---------------------------------------------------------------------------
+
+
+def _q343_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _Q291_TOKS
+    from databricks_etl_spark.plans.queries_round9 import (
+        _B327,
+        _Q326_B,
+        _Q326_P,
+        _grouped_ffd_sql,
+    )
+
+    o312 = QUERIES["q312_training_manifest"].oracle
+    o323 = QUERIES["q323_epoch_allocation"].oracle
+    o327 = QUERIES["q327_manifest_maintenance"].oracle
+    return f"""
+        WITH RECURSIVE
+        ship AS MATERIALIZED (SELECT doc_id FROM ({o312}) WHERE ship),
+        ep AS MATERIALIZED (SELECT source, epochs FROM ({o323})),
+        base AS MATERIALIZED (
+            SELECT d.doc_id, least({_Q291_TOKS}, {_Q326_B}) AS len,
+                   e.epochs AS eclass
+            FROM documents d
+            JOIN ship ON d.doc_id = ship.doc_id
+            JOIN ep e ON d.source = e.source
+        ),
+        sc AS MATERIALIZED (
+            SELECT eclass, CAST(ceil(COUNT(*) / {_Q326_P}.0) AS BIGINT) AS s
+            FROM base GROUP BY 1
+        ),
+        dship AS MATERIALIZED (SELECT doc_id FROM ({o327}) WHERE ship),
+        ddocs AS MATERIALIZED (
+            SELECT dd0.doc_id + {_B327} AS doc_id,
+                   least({_Q291_TOKS}, {_Q326_B}) AS len,
+                   e.epochs AS eclass
+            FROM documents dd0
+            JOIN ep e ON dd0.source = e.source
+            JOIN dship ON dd0.doc_id + {_B327} = dship.doc_id
+            WHERE dd0.doc_id % 5 = 1
+        ),
+        allin AS MATERIALIZED (
+            SELECT b.doc_id, b.len, b.eclass, b.doc_id % sc.s AS shard
+            FROM base b JOIN sc ON b.eclass = sc.eclass
+            UNION ALL
+            SELECT d.doc_id, d.len, d.eclass, d.doc_id % sc.s
+            FROM ddocs d JOIN sc ON d.eclass = sc.eclass
+        ),
+        touched AS MATERIALIZED (
+            SELECT DISTINCT d.eclass, d.doc_id % sc.s AS shard
+            FROM ddocs d JOIN sc ON d.eclass = sc.eclass
+        ),
+        it AS MATERIALIZED (
+            SELECT doc_id, len, eclass, shard,
+                   row_number() OVER (
+                       PARTITION BY eclass, shard
+                       ORDER BY len DESC, doc_id) AS k
+            FROM allin
+        ),
+        {_grouped_ffd_sql()}
+        SELECT p.doc_id, p.eclass, CAST(p.shard AS BIGINT) AS shard,
+               CAST(p.seq_uid AS BIGINT) AS seq_uid,
+               CAST(p.off AS BIGINT) AS seq_offset,
+               CAST(a.len AS BIGINT) AS n_tokens,
+               (p.doc_id >= {_B327}) AS is_delta_doc,
+               (t.shard IS NOT NULL) AS shard_touched
+        FROM placed p
+        JOIN allin a ON p.doc_id = a.doc_id
+        LEFT JOIN touched t ON p.eclass = t.eclass AND p.shard = t.shard
+    """
+
+
+@query("q343_incremental_order_maintenance", oracle=None)  # oracle set below
+def q343_incremental_order_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of the ORDER artifact's placement layer:
+    when a delta of newly shipped docs (q327's verdicts) lands, only
+    the (eclass, shard) FFD groups that RECEIVE a delta doc re-pack;
+    every untouched shard's placement rows are byte-identical to the
+    persisted artifact — _q327_collision_pairs' delta discipline
+    applied to ``ffd_pack``.
+
+    The key mechanical point is the FROZEN shard moduli: a persisted
+    packing's per-eclass modulus is part of the artifact, so delta
+    docs hash into shards with the CORPUS-sized moduli
+    (``ffd_pack(shard_col=...)``, the new frozen-shard path) —
+    re-deriving moduli from the grown corpus would move every doc's
+    shard and re-pack the world. Delta work is therefore
+    |touched shards| x shard_size Arrow folds, independent of corpus
+    size; the corpus-side placement here stands in for reading the
+    persisted artifact back (the q327 persisted-index convention).
+    Output is placement-grain (doc_id, eclass, shard, seq_uid,
+    seq_offset, n_tokens) with is_delta_doc / shard_touched flags;
+    seq_uid keeps q326's low-bits-eclass packing so maintained and
+    original artifacts share one id space. The oracle states the
+    equivalent BATCH re-pack over corpus ∪ delta with the same frozen
+    moduli — the incremental path must (and does) reproduce it
+    exactly; a test additionally pins untouched-shard rows to the
+    corpus-only packing."""
+    from databricks_etl_spark.operators.packing import ffd_pack
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+        q323_epoch_allocation,
+    )
+    from databricks_etl_spark.plans.queries_round9 import (
+        _B327,
+        _Q326_B,
+        _Q326_P,
+        _Q326_SEQNS,
+        q327_manifest_maintenance,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    ship = q312_training_manifest(spark, sf_dir).filter("ship").select("doc_id")
+    ep = q323_epoch_allocation(spark, sf_dir).select("source", "epochs")
+    clamped_len = F.least(
+        F.size(tokens_col("text")).cast("long"), F.lit(_Q326_B).cast("long")
+    ).alias("len")
+    base = (
+        d.join(ship, "doc_id")
+        .join(F.broadcast(ep), "source")
+        .select("doc_id", clamped_len, F.col("epochs").cast("long").alias("eclass"))
+    )
+    sc = base.groupBy("eclass").agg(
+        F.ceil(F.count(F.lit(1)) / float(_Q326_P)).cast("long").alias("s")
+    )
+    shard = (F.col("doc_id") % F.col("s")).cast("long").alias("shard")
+    corpus_in = base.join(F.broadcast(sc), "eclass").select(
+        "doc_id", "len", "eclass", shard
+    )
+    # the persisted placement artifact (production reads this back)
+    corpus_placed = ffd_pack(
+        corpus_in, _Q326_B, group_col="eclass", shard_col="shard"
+    )
+    # delta docs that ship, with frozen-modulus shard assignment; the
+    # token count is computed on the source text (q327's delta bodies
+    # are verbatim or token-reversed — both length-preserving)
+    dship = (
+        q327_manifest_maintenance(spark, sf_dir).filter("ship").select("doc_id")
+    )
+    ddocs = (
+        d.filter(F.col("doc_id") % 5 == 1)
+        .select((F.col("doc_id") + _B327).alias("doc_id"), clamped_len, "source")
+        .join(F.broadcast(ep), "source")
+        .select("doc_id", "len", F.col("epochs").cast("long").alias("eclass"))
+        .join(dship, "doc_id")
+    )
+    delta_in = ddocs.join(F.broadcast(sc), "eclass").select(
+        "doc_id", "len", "eclass", shard
+    )
+    touched = delta_in.select("eclass", "shard").distinct()
+    # INCREMENTAL work: re-fold ONLY the groups a delta doc lands in
+    touched_in = corpus_in.join(
+        F.broadcast(touched), ["eclass", "shard"]
+    ).unionByName(delta_in)
+    repacked = ffd_pack(
+        touched_in, _Q326_B, group_col="eclass", shard_col="shard"
+    )
+    shard_of_seq = F.expr(f"seq_id DIV {_Q326_SEQNS}").alias("shard")
+    kept = (
+        corpus_placed.select("*", shard_of_seq)
+        .join(F.broadcast(touched), ["eclass", "shard"], "left_anti")
+    )
+
+    def finish(pl: DataFrame, touched_flag: bool) -> DataFrame:
+        return pl.select(
+            "doc_id",
+            "eclass",
+            "shard",
+            (F.col("seq_id") * 8 + F.col("eclass")).alias("seq_uid"),
+            "seq_offset",
+            "n_tokens",
+            (F.col("doc_id") >= _B327).alias("is_delta_doc"),
+            F.lit(touched_flag).alias("shard_touched"),
+        )
+
+    return finish(kept, False).unionByName(
+        finish(repacked.select("*", shard_of_seq), True)
+    )
+
+
+QUERIES["q343_incremental_order_maintenance"] = _replace(
+    QUERIES["q343_incremental_order_maintenance"], oracle=_q343_oracle()
+)

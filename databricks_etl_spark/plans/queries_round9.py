@@ -38,38 +38,22 @@ _Q326_BKTS = 64  # step-rank bucket fan-out (distributed dense rank)
 _MINSTD_P = 1_000_000_007
 
 
-def _q326_oracle() -> str:
-    from databricks_etl_spark.plans.queries_round7 import _Q291_TOKS
-
-    o312 = QUERIES["q312_training_manifest"].oracle
-    o323 = QUERIES["q323_epoch_allocation"].oracle
+def _grouped_ffd_sql() -> str:
+    """The grouped-FFD recursion as a ``pack``+``placed`` CTE block
+    over a prepared ``it`` relation (doc_id, len, eclass, shard, k
+    with k = row_number by (len DESC, doc_id) within (eclass, shard)).
+    THE single source of the placement recursion — q326's order
+    capstone and q343's incremental maintenance (queries_round10)
+    both embed it so the packing rule cannot drift between the full
+    and the delta lane. Must appear inside a WITH RECURSIVE chain.
+    ``placed`` emits (eclass, shard, doc_id, seq_uid, off) with
+    seq_uid = (shard * {_Q326_SEQNS} + bin) * 8 + eclass — eclass in
+    the LOW 3 bits, collision-free at any shard count."""
     fit = (
         "list_filter(range(1, len(p.res) + 1), "
         "jj -> p.res[jj] >= i.len)[1]"
     )
-    return f"""
-        WITH RECURSIVE
-        ship AS MATERIALIZED (SELECT doc_id FROM ({o312}) WHERE ship),
-        ep AS MATERIALIZED (SELECT source, epochs FROM ({o323})),
-        base AS MATERIALIZED (
-            SELECT d.doc_id, least({_Q291_TOKS}, {_Q326_B}) AS len,
-                   e.epochs AS eclass
-            FROM documents d
-            JOIN ship ON d.doc_id = ship.doc_id
-            JOIN ep e ON d.source = e.source
-        ),
-        sc AS (
-            SELECT eclass, CAST(ceil(COUNT(*) / {_Q326_P}.0) AS BIGINT) AS s
-            FROM base GROUP BY 1
-        ),
-        it AS MATERIALIZED (
-            SELECT b.doc_id, b.len, b.eclass, b.doc_id % sc.s AS shard,
-                   row_number() OVER (
-                       PARTITION BY b.eclass, b.doc_id % sc.s
-                       ORDER BY b.len DESC, b.doc_id) AS k
-            FROM base b JOIN sc ON b.eclass = sc.eclass
-        ),
-        pack AS (
+    return f"""pack AS (
             SELECT eclass, shard, CAST(0 AS BIGINT) AS k,
                    CAST([] AS BIGINT[]) AS res,
                    CAST(NULL AS BIGINT) AS doc_id,
@@ -95,12 +79,42 @@ def _q326_oracle() -> str:
                      AND i.k = p.k + 1
         ),
         placed AS (
-            SELECT p.eclass, p.doc_id,
+            SELECT p.eclass, p.shard, p.doc_id,
                    (p.shard * {_Q326_SEQNS} + p.bin) * 8 + p.eclass
                        AS seq_uid,
                    p.off
             FROM pack p WHERE p.k >= 1
+        )"""
+
+
+def _q326_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _Q291_TOKS
+
+    o312 = QUERIES["q312_training_manifest"].oracle
+    o323 = QUERIES["q323_epoch_allocation"].oracle
+    return f"""
+        WITH RECURSIVE
+        ship AS MATERIALIZED (SELECT doc_id FROM ({o312}) WHERE ship),
+        ep AS MATERIALIZED (SELECT source, epochs FROM ({o323})),
+        base AS MATERIALIZED (
+            SELECT d.doc_id, least({_Q291_TOKS}, {_Q326_B}) AS len,
+                   e.epochs AS eclass
+            FROM documents d
+            JOIN ship ON d.doc_id = ship.doc_id
+            JOIN ep e ON d.source = e.source
         ),
+        sc AS (
+            SELECT eclass, CAST(ceil(COUNT(*) / {_Q326_P}.0) AS BIGINT) AS s
+            FROM base GROUP BY 1
+        ),
+        it AS MATERIALIZED (
+            SELECT b.doc_id, b.len, b.eclass, b.doc_id % sc.s AS shard,
+                   row_number() OVER (
+                       PARTITION BY b.eclass, b.doc_id % sc.s
+                       ORDER BY b.len DESC, b.doc_id) AS k
+            FROM base b JOIN sc ON b.eclass = sc.eclass
+        ),
+        {_grouped_ffd_sql()},
         es AS (
             SELECT seq_uid, unnest(range(1, eclass + 1)) AS epoch
             FROM (SELECT DISTINCT eclass, seq_uid FROM placed)

@@ -173,3 +173,72 @@ def test_q342_grid_is_complete(mixture_audit):
     zero_rows = [r for r in mixture_audit if r.n_doc_slots == 0]
     for r in zero_rows:  # a zero-slot row still states its target miss
         assert r.deviation == round(-r.target_share, 6)
+
+
+def _frozen_pack(spark, rows, n_shards, budget=64):
+    from databricks_etl_spark.operators.packing import ffd_pack
+
+    df = spark.createDataFrame(rows, "doc_id long, len long").select(
+        "doc_id",
+        "len",
+        F.lit(1).cast("long").alias("eclass"),
+        (F.col("doc_id") % n_shards).cast("long").alias("shard"),
+    )
+    return ffd_pack(df, budget, group_col="eclass", shard_col="shard")
+
+
+def test_ffd_pack_frozen_shards_untouched_byte_identical(spark):
+    """The q343 incremental discipline at operator level: packing
+    corpus ∪ delta with FROZEN shard moduli changes placements ONLY in
+    the shards a delta doc hashes into — every untouched shard's rows
+    are byte-identical to the corpus-only packing."""
+    corpus = [(i, 1 + (i * 7) % 40) for i in range(400)]
+    n_shards = 25  # frozen from the corpus (400 / 16)
+    base = _frozen_pack(spark, corpus, n_shards).collect()
+
+    delta = [(10_000, 33), (10_101, 40), (10_202, 7)]
+    touched = {d % n_shards for d, _ in delta}
+    assert 0 < len(touched) < n_shards  # sparse delta: real untouched shards
+    incr = _frozen_pack(spark, corpus + delta, n_shards).collect()
+
+    def rows_of(placed, pred):
+        return sorted(
+            tuple(r) for r in placed if pred(r.seq_id // 1_000_000)
+        )
+
+    assert rows_of(incr, lambda s: s not in touched) == rows_of(
+        base, lambda s: s not in touched
+    )
+    # and the touched shards did absorb the delta docs
+    delta_ids = {d for d, _ in delta}
+    placed_delta = [r for r in incr if r.doc_id in delta_ids]
+    assert len(placed_delta) == len(delta)
+    assert all(r.seq_id // 1_000_000 in touched for r in placed_delta)
+
+
+def test_q343_placement_invariants(spark):
+    """Smoke-scale invariants of the maintained artifact: every doc
+    placed exactly once, sequences stay within budget with contiguous
+    offsets, delta docs only ever sit in touched shards."""
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B
+    from databricks_etl_spark.plans.queries_round10 import (
+        q343_incremental_order_maintenance,
+    )
+
+    rows = q343_incremental_order_maintenance(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_seq = {}
+    for r in rows:
+        if r.is_delta_doc:
+            assert r.shard_touched
+        by_seq.setdefault(r.seq_uid, []).append(r)
+    for members in by_seq.values():
+        members.sort(key=lambda r: r.seq_offset)
+        assert sum(m.n_tokens for m in members) <= _Q326_B
+        cursor = 0
+        for m in members:
+            assert m.seq_offset == cursor
+            cursor += m.n_tokens
+        # a sequence never mixes touched and untouched provenance
+        assert len({m.shard_touched for m in members}) == 1
