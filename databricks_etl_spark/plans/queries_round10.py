@@ -552,3 +552,104 @@ def q343_incremental_order_maintenance(
 QUERIES["q343_incremental_order_maintenance"] = _replace(
     QUERIES["q343_incremental_order_maintenance"], oracle=_q343_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# q345 — chunk packing re-based on subword lengths
+# ---------------------------------------------------------------------------
+
+
+def _q345_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round8 import (
+        _ffd_oracle,
+        _q318_chunks_sql,
+    )
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q340_CK,
+        _subword_wc_sql,
+    )
+
+    items = f"""WITH RECURSIVE {_q318_chunks_sql()},
+        ctok AS (
+            SELECT doc_id, chunk_idx,
+                   unnest(string_split(chunk_text, ' ')) AS w
+            FROM chunks WHERE n_chunk_tokens >= 1
+        ),
+        vt AS (
+            SELECT doc_id, chunk_idx, w FROM ctok WHERE length(w) >= 1
+        ),
+        words AS (SELECT DISTINCT w FROM vt),
+        {_subword_wc_sql()},
+        clen AS (
+            SELECT doc_id, chunk_idx,
+                   CAST(SUM(wc.pieces) AS BIGINT) AS len
+            FROM vt JOIN wc USING (w) GROUP BY 1, 2
+        )
+        SELECT doc_id * {_Q340_CK} + chunk_idx AS doc_id, len FROM clen"""
+    inner = _ffd_oracle(items)
+    return f"""
+        WITH packed AS MATERIALIZED (SELECT * FROM ({inner}))
+        SELECT CAST(doc_id // {_Q340_CK} AS BIGINT) AS doc_id,
+               CAST(doc_id % {_Q340_CK} AS BIGINT) AS chunk_idx,
+               seq_id, seq_offset, n_tokens
+        FROM packed
+    """
+
+
+@query("q345_chunk_subword_packing", oracle=_q345_oracle())
+def q345_chunk_subword_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q340's embedding-batch plan RE-BASED on subword lengths: q328
+    and q338 establish fertility > 1 (every word costs more than one
+    subword piece), so batches sized on whitespace counts over-fill
+    the embedding service's true token budget by the fertility ratio —
+    exactly the under/over-fill q329 fixed for training sequences, now
+    at chunk grain. Same ``ffd_pack`` operator and parameterized
+    recursive-CTE oracle (the FOURTH length source through one
+    placement logic); per-chunk subword counts reuse the
+    fold-per-DISTINCT-word discipline (the chunk stream's vocabulary
+    is the corpus vocabulary, so the fold cost is unchanged from
+    q328), and the tokenizer recursion SQL is the exported q328 kernel
+    so the rule cannot drift between grains. Chunk identity rides
+    q340's documented doc_id * 1e6 + chunk_idx orderable key with
+    exact DIV/% decode."""
+    from databricks_etl_spark.operators.packing import ffd_pack
+    from databricks_etl_spark.operators.text import chunk_tokens, subword_count
+    from databricks_etl_spark.plans.queries_round8 import (
+        _Q313_B,
+        _Q313_P,
+        _Q318_S,
+        _Q318_W,
+    )
+    from databricks_etl_spark.plans.queries_round9 import _Q340_CK
+
+    d = read_table(spark, sf_dir, "documents")
+    chunks = chunk_tokens(d, _Q318_W, _Q318_S).filter(
+        F.col("n_chunk_tokens") >= 1
+    )
+    tok = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.explode(F.split("chunk_text", " ")).alias("w"),
+    ).filter(F.length("w") >= 1)
+    wc = (
+        tok.select("w")
+        .distinct()
+        .select("w", subword_count(F.col("w")).alias("pieces"))
+    )
+    items = (
+        tok.join(wc, "w")
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.sum("pieces").cast("long").alias("len"))
+        .select(
+            (F.col("doc_id") * _Q340_CK + F.col("chunk_idx")).alias("ck"),
+            "len",
+        )
+    )
+    packed = ffd_pack(items, _Q313_B, _Q313_P, id_col="ck")
+    return packed.select(
+        F.expr(f"doc_id DIV {_Q340_CK}").cast("long").alias("doc_id"),
+        (F.col("doc_id") % _Q340_CK).cast("long").alias("chunk_idx"),
+        "seq_id",
+        "seq_offset",
+        "n_tokens",
+    )

@@ -602,7 +602,13 @@ _q336_fix_oracle()
 # ---------------------------------------------------------------------------
 
 
-def _q328_oracle() -> str:
+def _subword_wc_sql() -> str:
+    """The greedy longest-match consumption recursion as a ``tk``+``wc``
+    CTE pair over a prepared ``words`` relation (DISTINCT ``w``):
+    ``wc`` yields (w, pieces). THE single source of the piece-count
+    recursion — q328's doc-grain counts and q345's chunk-grain packing
+    (queries_round10) both embed it so the tokenizer rule cannot drift
+    between grains. Must sit inside a WITH RECURSIVE chain."""
     from databricks_etl_spark.operators.text import (
         SUBWORD_VOCAB_2,
         SUBWORD_VOCAB_3,
@@ -612,16 +618,7 @@ def _q328_oracle() -> str:
     v4 = ", ".join(f"'{p}'" for p in SUBWORD_VOCAB_4)
     v3 = ", ".join(f"'{p}'" for p in SUBWORD_VOCAB_3)
     v2 = ", ".join(f"'{p}'" for p in SUBWORD_VOCAB_2)
-    return f"""
-        WITH RECURSIVE
-        tok AS (
-            SELECT doc_id,
-                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-            FROM documents
-        ),
-        vt AS (SELECT doc_id, w FROM tok WHERE length(w) >= 1),
-        words AS (SELECT DISTINCT w FROM vt),
-        tk AS (
+    return f"""tk AS (
             SELECT w, 1 AS pos, 0 AS cnt FROM words
             UNION ALL
             SELECT w,
@@ -632,7 +629,20 @@ def _q328_oracle() -> str:
                    cnt + 1
             FROM tk WHERE pos <= length(w)
         ),
-        wc AS (SELECT w, MAX(cnt) AS pieces FROM tk GROUP BY 1),
+        wc AS (SELECT w, MAX(cnt) AS pieces FROM tk GROUP BY 1)"""
+
+
+def _q328_oracle() -> str:
+    return f"""
+        WITH RECURSIVE
+        tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        ),
+        vt AS (SELECT doc_id, w FROM tok WHERE length(w) >= 1),
+        words AS (SELECT DISTINCT w FROM vt),
+        {_subword_wc_sql()},
         per AS (
             SELECT vt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
                    CAST(SUM(wc.pieces) AS BIGINT) AS n_subword_tokens

@@ -242,3 +242,24 @@ def test_q343_placement_invariants(spark):
             cursor += m.n_tokens
         # a sequence never mixes touched and untouched provenance
         assert len({m.shard_touched for m in members}) == 1
+
+
+def test_q345_subword_rebasing_reflects_fertility(spark):
+    """The re-based plan packs the SAME chunk set as q340 but budgets
+    strictly more tokens per chunk (fertility > 1: every word costs at
+    least one piece, multi-char words outside the vocab cost more), so
+    the subword plan needs at least as many sequences."""
+    from databricks_etl_spark.plans.queries_round9 import q340_chunk_packing
+    from databricks_etl_spark.plans.queries_round10 import (
+        q345_chunk_subword_packing,
+    )
+
+    ws = q340_chunk_packing(spark, SMOKE_SF_DIR).collect()
+    sw = q345_chunk_subword_packing(spark, SMOKE_SF_DIR).collect()
+    key = lambda r: (r.doc_id, r.chunk_idx)  # noqa: E731
+    ws_chunks = {key(r): r.n_tokens for r in ws if r.n_tokens >= 1}
+    sw_chunks = {key(r): r.n_tokens for r in sw}
+    assert set(sw_chunks) == set(ws_chunks)
+    assert all(sw_chunks[k] >= ws_chunks[k] for k in ws_chunks)
+    assert sum(sw_chunks.values()) > sum(ws_chunks.values())
+    assert len({r.seq_id for r in sw}) >= len({r.seq_id for r in ws})
