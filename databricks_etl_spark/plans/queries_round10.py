@@ -555,6 +555,160 @@ QUERIES["q343_incremental_order_maintenance"] = _replace(
 
 
 # ---------------------------------------------------------------------------
+# q344 — materialized training artifact + per-shard manifest
+# ---------------------------------------------------------------------------
+
+_Q344_STEPS = 64  # steps (== sequences) per shard file: the "sized" unit
+_Q344_MOD = 1_000_000_007  # per-row hash modulus (MINSTD prime): keeps the
+# order-independent SUM of row hashes far below BIGINT overflow on both
+# engines (DuckDB SUM(BIGINT) widens to HUGEINT, Spark would wrap)
+_Q344_HEX = 12  # md5 hex chars decoded per row (48 bits, then mod)
+
+
+def _md5_mod_sql(payload: str) -> str:
+    """First {_Q344_HEX} md5 nibbles of ``payload`` decoded to a BIGINT
+    (the q332 instr-nibble discipline widened to a row hash), mod
+    {_Q344_MOD}. Twin of :func:`_md5_mod_col`."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({payload}), {k}, 1)) - 1)"
+        f" * {16 ** (_Q344_HEX - k)}"
+        for k in range(1, _Q344_HEX + 1)
+    )
+    return f"(({terms}) % {_Q344_MOD})"
+
+
+def _md5_mod_col(payload) -> F.Column:
+    """Spark twin of :func:`_md5_mod_sql`."""
+    h = F.md5(payload)
+    val = reduce(
+        lambda a, b: a + b,
+        [
+            (
+                F.instr(F.lit("0123456789abcdef"), F.substring(h, k, 1)) - 1
+            ).cast("long")
+            * F.lit(16 ** (_Q344_HEX - k)).cast("long")
+            for k in range(1, _Q344_HEX + 1)
+        ],
+    )
+    return val % _Q344_MOD
+
+
+def _q344_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The physical training-artifact rows: q326's stream joined with
+    each slot's packed token count and the step-sized shard id."""
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q326_B,
+        q326_dataloader_order,
+    )
+
+    ordr = q326_dataloader_order(spark, sf_dir)
+    lens = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(
+            F.size(tokens_col("text")).cast("long"),
+            F.lit(_Q326_B).cast("long"),
+        ).alias("n_tokens"),
+    )
+    return ordr.join(lens, "doc_id").select(
+        "epoch",
+        "step",
+        "seq_id",
+        "doc_id",
+        "seq_offset",
+        "n_tokens",
+        F.expr(f"step DIV {_Q344_STEPS}").cast("long").alias("shard_id"),
+    )
+
+
+def _q344_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _Q291_TOKS
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B, _q326_oracle
+
+    payload = (
+        "CAST(epoch AS VARCHAR) || '|' || CAST(step AS VARCHAR) || '|' || "
+        "CAST(seq_id AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR) || '|' || "
+        "CAST(seq_offset AS VARCHAR) || '|' || CAST(n_tokens AS VARCHAR)"
+    )
+    return f"""
+        WITH ord AS MATERIALIZED (SELECT * FROM ({_q326_oracle()})),
+        art AS (
+            SELECT o.epoch, o.step, o.seq_id, o.doc_id, o.seq_offset,
+                   least({_Q291_TOKS}, {_Q326_B}) AS n_tokens,
+                   o.step // {_Q344_STEPS} AS shard_id
+            FROM ord o JOIN documents d ON o.doc_id = d.doc_id
+        ),
+        h AS (
+            SELECT epoch, shard_id, seq_id, n_tokens,
+                   {_md5_mod_sql(payload)} AS rh
+            FROM art
+        )
+        SELECT epoch, CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+               CAST(COUNT(*) AS BIGINT) AS n_doc_slots,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(rh) AS BIGINT) AS content_hash
+        FROM h GROUP BY 1, 2
+    """
+
+
+@query("q344_training_artifact_manifest", oracle=None)  # oracle set below
+def q344_training_artifact_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The training artifact made PHYSICAL, then proven: q326 returns a
+    DataFrame, but a training run consumes FILES. The stream (with each
+    slot's packed token count) is written through the two-phase-commit
+    jsonl writer (``sources/pydatasource.JsonLinesDataSource``: task
+    temps + driver rename + _SUCCESS — a failed job leaves the previous
+    artifact untouched and NOTHING partial visible), sharded by
+    step DIV {_Q344_STEPS} so every shard holds <= {_Q344_STEPS}
+    sequences of one epoch. The registered result is the per-shard
+    MANIFEST computed from the RE-READ files — n_seqs, doc slots,
+    token count, and an order-independent content hash (sum of
+    md5-nibble row hashes mod {_Q344_MOD}) — against an oracle that
+    derives the same manifest from the PLAN. Hash-green therefore
+    means the bytes on disk are exactly the planned stream: the
+    q131/q336 sink-then-prove discipline for the artifact a trainer
+    actually replays. One batch write, repartitioned by (epoch,
+    shard_id) so transport files align with whole shards; no driver
+    loop anywhere."""
+    import os
+
+    from databricks_etl_spark.sources.pydatasource import register
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    register(spark)
+    art = _q344_artifact(spark, sf_dir)
+    out = scratch_dir("train_artifact_", key=sf_dir)
+    (
+        art.repartition(F.col("epoch"), F.col("shard_id"))
+        .write.format("pyjsonl")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    back = spark.read.schema(
+        "epoch long, step long, seq_id long, doc_id long, "
+        "seq_offset long, n_tokens long, shard_id long"
+    ).json(os.path.join(out, "part-*.jsonl"))
+    payload = F.concat_ws(
+        "|", "epoch", "step", "seq_id", "doc_id", "seq_offset", "n_tokens"
+    )
+    return back.groupBy("epoch", "shard_id").agg(
+        F.countDistinct("seq_id").cast("long").alias("n_seqs"),
+        F.count(F.lit(1)).cast("long").alias("n_doc_slots"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(_md5_mod_col(payload)).cast("long").alias("content_hash"),
+    )
+
+
+QUERIES["q344_training_artifact_manifest"] = _replace(
+    QUERIES["q344_training_artifact_manifest"], oracle=_q344_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
 # q345 — chunk packing re-based on subword lengths
 # ---------------------------------------------------------------------------
 

@@ -153,8 +153,16 @@ class JsonLinesDataSource(DataSource):
 
 class JsonLinesWriter(DataSourceWriter):
     def __init__(self, path: str, overwrite: bool) -> None:
+        import uuid
+
         self.path = path
         self.overwrite = overwrite
+        # job-scoped temp-name token (driver-side, shipped to every
+        # task): lets abort() sweep temps of THIS job's killed tasks —
+        # a task killed mid-write never returns a commit message, so
+        # per-message cleanup alone would leak its temp file — without
+        # touching a concurrent job's temps in the same path
+        self.job_token = uuid.uuid4().hex[:12]
 
     # runs ON EXECUTORS, one call per partition
     def write(self, iterator) -> WriterCommitMessage:
@@ -163,43 +171,66 @@ class JsonLinesWriter(DataSourceWriter):
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".part-{uuid.uuid4().hex}.tmp")
+        tmp = os.path.join(
+            self.path, f".part-{self.job_token}-{uuid.uuid4().hex}.tmp"
+        )
         n = 0
-        with open(tmp, "w") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict(), default=str) + "\n")
-                n += 1
+        try:
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+        except BaseException:
+            # task-side prompt cleanup when the INPUT fails mid-write
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
         return JsonLinesCommit(tmp, n)
 
     # runs ON THE DRIVER after every task succeeded
     def commit(self, messages) -> None:
         import glob
         import os
-        import uuid
 
         if self.overwrite:
             for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
                 os.remove(old)
+            # overwrite declares ownership of the directory: sweep temp
+            # litter from PRIOR crashed jobs (a task killed after its
+            # job's abort() ran can land a temp nobody saw — the same
+            # hole Hadoop committers have with zombie speculative
+            # tasks; the next successful publish is the janitor)
+            for stale in glob.glob(os.path.join(self.path, ".part-*.tmp")):
+                if f".part-{self.job_token}-" not in os.path.basename(stale):
+                    os.remove(stale)
         # Per-job unique token in the final names (Spark's FileFormatWriter
         # does the same): without it a second append-mode save() into the
         # same path would os.rename over the previous job's
         # part-00000.jsonl... and silently drop its rows.
-        job_token = uuid.uuid4().hex[:12]
         for i, m in enumerate(messages):
             os.rename(
                 m.tmp_path,
-                os.path.join(self.path, f"part-{i:05d}-{job_token}.jsonl"),
+                os.path.join(
+                    self.path, f"part-{i:05d}-{self.job_token}.jsonl"
+                ),
             )
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(str(sum(m.n_rows for m in messages)))
 
     # runs ON THE DRIVER if any task failed
     def abort(self, messages) -> None:
+        import glob
         import os
 
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+        # sweep temps of killed tasks (no commit message ever arrived);
+        # the job token keeps the sweep scoped to THIS job
+        for orphan in glob.glob(
+            os.path.join(self.path, f".part-{self.job_token}-*.tmp")
+        ):
+            os.remove(orphan)
 
 
 class JsonLinesCommit(WriterCommitMessage):
@@ -220,7 +251,10 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
     for parquet."""
 
     def __init__(self, path: str) -> None:
+        import uuid
+
         self.path = path
+        self.job_token = uuid.uuid4().hex[:12]  # see JsonLinesWriter
 
     def write(self, iterator) -> WriterCommitMessage:
         import json
@@ -228,12 +262,19 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".part-{uuid.uuid4().hex}.tmp")
+        tmp = os.path.join(
+            self.path, f".part-{self.job_token}-{uuid.uuid4().hex}.tmp"
+        )
         n = 0
-        with open(tmp, "w") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict(), default=str) + "\n")
-                n += 1
+        try:
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
         return JsonLinesCommit(tmp, n)
 
     def commit(self, messages, batchId: int) -> None:
@@ -251,11 +292,16 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
             )
 
     def abort(self, messages, batchId: int) -> None:
+        import glob
         import os
 
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+        for orphan in glob.glob(
+            os.path.join(self.path, f".part-{self.job_token}-*.tmp")
+        ):
+            os.remove(orphan)
 
 
 def register(spark) -> None:

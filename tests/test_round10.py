@@ -244,6 +244,59 @@ def test_q343_placement_invariants(spark):
         assert len({m.shard_touched for m in members}) == 1
 
 
+def test_q344_artifact_restart_atomicity(spark):
+    """The materialized-artifact contract: (a) shards are sized
+    (<= _Q344_STEPS sequences each) and _SUCCESS counts every row;
+    (b) a FAILED job into the same path leaves the published artifact
+    byte-identical and no temp litter (two-phase commit); (c) a full
+    restart republishes an identical manifest."""
+    import glob
+    import os
+
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q344_STEPS,
+        q344_training_artifact_manifest,
+    )
+    from databricks_etl_spark.sources.pydatasource import register
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    m1 = sorted(
+        map(tuple, q344_training_artifact_manifest(spark, SMOKE_SF_DIR).collect())
+    )
+    assert m1
+    for row in m1:
+        assert row[2] <= _Q344_STEPS  # n_seqs per shard file
+    out = scratch_dir("train_artifact_", key=SMOKE_SF_DIR)
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert int(f.read()) == sum(r[3] for r in m1)  # n_doc_slots
+
+    def snapshot():
+        return {
+            p: os.path.getsize(p)
+            for p in glob.glob(os.path.join(out, "part-*.jsonl"))
+        }
+
+    before = snapshot()
+    register(spark)
+    bad = spark.range(4).select(
+        F.expr("raise_error('boom')").alias("payload")
+    )
+    with pytest.raises(Exception, match="boom"):
+        bad.write.format("pyjsonl").option("path", out).mode(
+            "overwrite"
+        ).save()
+    assert snapshot() == before  # published artifact untouched
+
+    m2 = sorted(
+        map(tuple, q344_training_artifact_manifest(spark, SMOKE_SF_DIR).collect())
+    )
+    assert m2 == m1
+    # the restart's successful overwrite-commit also swept any temp
+    # litter from the crashed job's zombie tasks (tasks killed after
+    # abort() ran can land temps nobody saw)
+    assert not glob.glob(os.path.join(out, ".part-*.tmp"))
+
+
 def test_q345_subword_rebasing_reflects_fertility(spark):
     """The re-based plan packs the SAME chunk set as q340 but budgets
     strictly more tokens per chunk (fertility > 1: every word costs at
