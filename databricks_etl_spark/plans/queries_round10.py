@@ -466,6 +466,15 @@ def q343_incremental_order_maintenance(
     moduli — the incremental path must (and does) reproduce it
     exactly; a test additionally pins untouched-shard rows to the
     corpus-only packing."""
+    parts = _q343_build(spark, sf_dir)
+    return parts["kept"].unionByName(parts["repacked"])
+
+
+def _q343_build(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """q343's moving parts, exposed for composition (q346 publishes
+    pre/post artifacts from the same relations): ``corpus`` — the full
+    persisted corpus packing; ``kept``/``repacked`` — q343's finished
+    untouched/re-folded rows."""
     from databricks_etl_spark.operators.packing import ffd_pack
     from databricks_etl_spark.operators.text import tokens_col
     from databricks_etl_spark.plans.queries_round8 import (
@@ -544,14 +553,186 @@ def q343_incremental_order_maintenance(
             F.lit(touched_flag).alias("shard_touched"),
         )
 
-    return finish(kept, False).unionByName(
-        finish(repacked.select("*", shard_of_seq), True)
-    )
+    return {
+        "corpus": finish(corpus_placed.select("*", shard_of_seq), False),
+        "kept": finish(kept, False),
+        "repacked": finish(repacked.select("*", shard_of_seq), True),
+    }
 
 
 QUERIES["q343_incremental_order_maintenance"] = _replace(
     QUERIES["q343_incremental_order_maintenance"], oracle=_q343_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# q346 — incremental artifact publish: only touched shard files change
+# ---------------------------------------------------------------------------
+
+_Q346_COLS = ("doc_id", "eclass", "shard", "seq_uid", "seq_offset", "n_tokens")
+
+
+def _q346_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _Q291_TOKS
+    from databricks_etl_spark.plans.queries_round9 import (
+        _B327,
+        _Q326_B,
+        _Q326_P,
+        _grouped_ffd_sql,
+    )
+
+    o312 = QUERIES["q312_training_manifest"].oracle
+    o323 = QUERIES["q323_epoch_allocation"].oracle
+    o327 = QUERIES["q327_manifest_maintenance"].oracle
+    payload = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in _Q346_COLS)
+    manifest = f"""SELECT eclass, shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM({_md5_mod_sql(payload)}) AS BIGINT) AS h
+            FROM {{rows}} GROUP BY 1, 2"""
+    return f"""
+        WITH RECURSIVE
+        ship AS MATERIALIZED (SELECT doc_id FROM ({o312}) WHERE ship),
+        ep AS MATERIALIZED (SELECT source, epochs FROM ({o323})),
+        base AS MATERIALIZED (
+            SELECT d.doc_id, least({_Q291_TOKS}, {_Q326_B}) AS len,
+                   e.epochs AS eclass
+            FROM documents d
+            JOIN ship ON d.doc_id = ship.doc_id
+            JOIN ep e ON d.source = e.source
+        ),
+        sc AS MATERIALIZED (
+            SELECT eclass, CAST(ceil(COUNT(*) / {_Q326_P}.0) AS BIGINT) AS s
+            FROM base GROUP BY 1
+        ),
+        dship AS MATERIALIZED (SELECT doc_id FROM ({o327}) WHERE ship),
+        ddocs AS MATERIALIZED (
+            SELECT dd0.doc_id + {_B327} AS doc_id,
+                   least({_Q291_TOKS}, {_Q326_B}) AS len,
+                   e.epochs AS eclass
+            FROM documents dd0
+            JOIN ep e ON dd0.source = e.source
+            JOIN dship ON dd0.doc_id + {_B327} = dship.doc_id
+            WHERE dd0.doc_id % 5 = 1
+        ),
+        allin AS MATERIALIZED (
+            SELECT b.doc_id, b.len, b.eclass, b.doc_id % sc.s AS shard
+            FROM base b JOIN sc ON b.eclass = sc.eclass
+            UNION ALL
+            SELECT d.doc_id, d.len, d.eclass, d.doc_id % sc.s
+            FROM ddocs d JOIN sc ON d.eclass = sc.eclass
+        ),
+        it AS MATERIALIZED (
+            SELECT doc_id, len, eclass, shard,
+                   row_number() OVER (
+                       PARTITION BY eclass, shard
+                       ORDER BY len DESC, doc_id) AS k
+            FROM allin
+        ),
+        {_grouped_ffd_sql()},
+        itpre AS MATERIALIZED (
+            SELECT b.doc_id, b.len, b.eclass, b.doc_id % sc.s AS shard,
+                   row_number() OVER (
+                       PARTITION BY b.eclass, b.doc_id % sc.s
+                       ORDER BY b.len DESC, b.doc_id) AS k
+            FROM base b JOIN sc ON b.eclass = sc.eclass
+        ),
+        {_grouped_ffd_sql("pre")},
+        rows_post AS (
+            SELECT p.doc_id, p.eclass, p.shard, p.seq_uid,
+                   p.off AS seq_offset, a.len AS n_tokens
+            FROM placed p JOIN allin a ON p.doc_id = a.doc_id
+        ),
+        rows_pre AS (
+            SELECT p.doc_id, p.eclass, p.shard, p.seq_uid,
+                   p.off AS seq_offset, b.len AS n_tokens
+            FROM placedpre p JOIN base b ON p.doc_id = b.doc_id
+        ),
+        mpre AS ({manifest.format(rows='rows_pre')}),
+        mpost AS ({manifest.format(rows='rows_post')})
+        SELECT COALESCE(mpre.eclass, mpost.eclass) AS eclass,
+               COALESCE(mpre.shard, mpost.shard) AS shard,
+               COALESCE(mpre.n_docs, 0) AS n_docs_pre,
+               COALESCE(mpost.n_docs, 0) AS n_docs_post,
+               COALESCE(mpre.h, -1) AS content_hash_pre,
+               COALESCE(mpost.h, -1) AS content_hash_post,
+               (COALESCE(mpre.h, -1) <> COALESCE(mpost.h, -1))
+                   AS file_changed
+        FROM mpre FULL OUTER JOIN mpost
+            ON mpre.eclass = mpost.eclass AND mpre.shard = mpost.shard
+    """
+
+
+@query("q346_incremental_artifact_publish", oracle=None)  # oracle set below
+def q346_incremental_artifact_publish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The q343 delta discipline carried through to the FILES: publish
+    the pre-delta placement artifact and the q343-maintained one
+    through the two-phase-commit jsonl writer (one shard-aligned file
+    group each), then diff the per-(eclass, shard) manifests computed
+    FROM THE RE-READ FILES — counts and order-independent content
+    hashes on both sides, with ``file_changed`` stating which shard
+    files an incremental publisher must actually re-ship. The
+    headline property, visible in the result and pinned by a test:
+    ``file_changed`` is EXACTLY the set of delta-touched shards —
+    untouched shards' bytes on disk are identical before and after
+    the delta, so a 100 TB artifact store re-publishes only
+    |touched shards| files. Composes q343's parts and q344's
+    sink-then-prove manifest discipline; the oracle runs BOTH packs
+    (the suffix-parameterized grouped-FFD recursion) and states the
+    same diff from the plan."""
+    import os
+
+    from databricks_etl_spark.sources.pydatasource import register
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    register(spark)
+    parts = _q343_build(spark, sf_dir)
+    pre = parts["corpus"].select(*_Q346_COLS)
+    post = parts["kept"].select(*_Q346_COLS).unionByName(
+        parts["repacked"].select(*_Q346_COLS)
+    )
+    back = {}
+    for tag, df in (("pre", pre), ("post", post)):
+        out = scratch_dir(f"artifact_{tag}_", key=sf_dir)
+        (
+            df.repartition(F.col("eclass"), F.col("shard"))
+            .write.format("pyjsonl")
+            .option("path", out)
+            .mode("overwrite")
+            .save()
+        )
+        back[tag] = spark.read.schema(
+            ", ".join(f"{c} long" for c in _Q346_COLS)
+        ).json(os.path.join(out, "part-*.jsonl"))
+    payload = F.concat_ws("|", *_Q346_COLS)
+
+    def manifest(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("eclass", "shard").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_docs_{tag}"),
+            F.sum(_md5_mod_col(payload))
+            .cast("long")
+            .alias(f"content_hash_{tag}"),
+        )
+
+    m = manifest(back["pre"], "pre").join(
+        manifest(back["post"], "post"), ["eclass", "shard"], "full_outer"
+    )
+    hp = F.coalesce("content_hash_pre", F.lit(-1)).cast("long")
+    hq = F.coalesce("content_hash_post", F.lit(-1)).cast("long")
+    return m.select(
+        "eclass",
+        "shard",
+        F.coalesce("n_docs_pre", F.lit(0)).cast("long").alias("n_docs_pre"),
+        F.coalesce("n_docs_post", F.lit(0)).cast("long").alias("n_docs_post"),
+        hp.alias("content_hash_pre"),
+        hq.alias("content_hash_post"),
+        (hp != hq).alias("file_changed"),
+    )
+
+
+# oracle set at module end: _q346_oracle needs the _md5_mod helpers
+# defined with q344 below
 
 
 # ---------------------------------------------------------------------------
@@ -807,3 +988,113 @@ def q345_chunk_subword_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq_offset",
         "n_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# q347 — epoch-shuffle decorrelation audit
+# ---------------------------------------------------------------------------
+
+
+def _q347_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round9 import _q326_oracle
+
+    return f"""
+        WITH ord AS MATERIALIZED (SELECT * FROM ({_q326_oracle()})),
+        seqs AS (SELECT DISTINCT epoch, seq_id, step FROM ord),
+        shared AS (
+            SELECT a.epoch AS epoch_a, b.epoch AS epoch_b,
+                   a.step AS x, b.step AS y
+            FROM seqs a JOIN seqs b
+                ON a.seq_id = b.seq_id AND a.epoch < b.epoch
+        ),
+        s AS (
+            SELECT epoch_a, epoch_b,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+                   SUM(CAST(y AS DECIMAL(18,0))) AS sy,
+                   SUM(CAST(x AS DECIMAL(18,0))
+                       * CAST(y AS DECIMAL(18,0))) AS sxy,
+                   SUM(CAST(x AS DECIMAL(18,0))
+                       * CAST(x AS DECIMAL(18,0))) AS sx2,
+                   SUM(CAST(y AS DECIMAL(18,0))
+                       * CAST(y AS DECIMAL(18,0))) AS sy2
+            FROM shared GROUP BY 1, 2
+        )
+        SELECT epoch_a, epoch_b, n AS n_shared_seqs,
+               round((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(n * CAST(sx2 AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(n * CAST(sy2 AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS step_correlation
+        FROM s WHERE n >= 2
+    """
+
+
+@query("q347_epoch_shuffle_decorrelation", oracle=_q347_oracle())
+def q347_epoch_shuffle_decorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does the per-epoch reshuffle actually DECORRELATE replay order?
+    q326 keys each epoch's permutation on an epoch-dependent MINSTD
+    rehash precisely so no two epochs replay related orders (correlated
+    epochs re-create the batch-composition biases epoch shuffling
+    exists to break). The audit: for every epoch pair, the Pearson
+    correlation of step positions over the sequences BOTH epochs
+    schedule (steps are ranks, so this is rank correlation with gaps
+    on the earlier epoch's side) — near 0 means independent orders;
+    1.0 would mean the shuffle silently degenerated to a repeat.
+
+    Scale shape: one distinct + one seq_id-keyed self-join + a
+    5-moment aggregate per pair — NO windows, no re-ranking pass; the
+    moment sums multiply and accumulate in DECIMAL(18,0)-derived exact
+    decimals (order-free on both engines — the README decimal-sum rule
+    applied to correlation, as q275's regression moments do; products
+    stay exact for any step count below 1e18) and only the final
+    closed-form division runs in double. Pair fan-out is
+    epochs^2 <= 16 rows."""
+    from databricks_etl_spark.plans.queries_round9 import q326_dataloader_order
+
+    ordr = q326_dataloader_order(spark, sf_dir)
+    seqs = ordr.select("epoch", "seq_id", "step").distinct()
+    a = seqs.select(
+        F.col("epoch").alias("epoch_a"),
+        "seq_id",
+        F.col("step").alias("x"),
+    )
+    b = seqs.select(
+        F.col("epoch").alias("epoch_b"),
+        "seq_id",
+        F.col("step").alias("y"),
+    )
+    shared = a.join(b, "seq_id").filter(F.col("epoch_a") < F.col("epoch_b"))
+    d18 = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    x, y = F.col("x"), F.col("y")
+    s = shared.groupBy("epoch_a", "epoch_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d18(x)).alias("sx"),
+        F.sum(d18(y)).alias("sy"),
+        F.sum(d18(x) * d18(y)).alias("sxy"),
+        F.sum(d18(x) * d18(x)).alias("sx2"),
+        F.sum(d18(y) * d18(y)).alias("sy2"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    return s.filter(n >= 2).select(
+        "epoch_a",
+        "epoch_b",
+        n.alias("n_shared_seqs"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy)),
+            6,
+        ).alias("step_correlation"),
+    )
+
+
+QUERIES["q346_incremental_artifact_publish"] = _replace(
+    QUERIES["q346_incremental_artifact_publish"], oracle=_q346_oracle()
+)

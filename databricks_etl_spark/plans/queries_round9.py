@@ -38,14 +38,17 @@ _Q326_BKTS = 64  # step-rank bucket fan-out (distributed dense rank)
 _MINSTD_P = 1_000_000_007
 
 
-def _grouped_ffd_sql() -> str:
+def _grouped_ffd_sql(suffix: str = "") -> str:
     """The grouped-FFD recursion as a ``pack``+``placed`` CTE block
     over a prepared ``it`` relation (doc_id, len, eclass, shard, k
     with k = row_number by (len DESC, doc_id) within (eclass, shard)).
     THE single source of the placement recursion — q326's order
-    capstone and q343's incremental maintenance (queries_round10)
-    both embed it so the packing rule cannot drift between the full
-    and the delta lane. Must appear inside a WITH RECURSIVE chain.
+    capstone and q343/q346's incremental maintenance
+    (queries_round10) all embed it so the packing rule cannot drift
+    between the full and the delta lane. Must appear inside a WITH
+    RECURSIVE chain. ``suffix`` renames the three CTEs
+    (it/pack/placed + suffix) so one oracle can run two independent
+    packs (q346 compares pre- and post-delta artifacts).
     ``placed`` emits (eclass, shard, doc_id, seq_uid, off) with
     seq_uid = (shard * {_Q326_SEQNS} + bin) * 8 + eclass — eclass in
     the LOW 3 bits, collision-free at any shard count."""
@@ -53,13 +56,14 @@ def _grouped_ffd_sql() -> str:
         "list_filter(range(1, len(p.res) + 1), "
         "jj -> p.res[jj] >= i.len)[1]"
     )
-    return f"""pack AS (
+    it, pack, placed = (n + suffix for n in ("it", "pack", "placed"))
+    return f"""{pack} AS (
             SELECT eclass, shard, CAST(0 AS BIGINT) AS k,
                    CAST([] AS BIGINT[]) AS res,
                    CAST(NULL AS BIGINT) AS doc_id,
                    CAST(NULL AS BIGINT) AS bin,
                    CAST(NULL AS BIGINT) AS off
-            FROM (SELECT DISTINCT eclass, shard FROM it)
+            FROM (SELECT DISTINCT eclass, shard FROM {it})
             UNION ALL
             SELECT i.eclass, i.shard, i.k,
                    CASE WHEN {fit} IS NULL
@@ -74,16 +78,16 @@ def _grouped_ffd_sql() -> str:
                    CASE WHEN {fit} IS NULL THEN 0
                         ELSE {_Q326_B} - p.res[{fit}]
                    END
-            FROM pack p
-            JOIN it i ON i.eclass = p.eclass AND i.shard = p.shard
+            FROM {pack} p
+            JOIN {it} i ON i.eclass = p.eclass AND i.shard = p.shard
                      AND i.k = p.k + 1
         ),
-        placed AS (
+        {placed} AS (
             SELECT p.eclass, p.shard, p.doc_id,
                    (p.shard * {_Q326_SEQNS} + p.bin) * 8 + p.eclass
                        AS seq_uid,
                    p.off
-            FROM pack p WHERE p.k >= 1
+            FROM {pack} p WHERE p.k >= 1
         )"""
 
 

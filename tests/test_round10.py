@@ -297,6 +297,64 @@ def test_q344_artifact_restart_atomicity(spark):
     assert not glob.glob(os.path.join(out, ".part-*.tmp"))
 
 
+def test_q346_file_changed_is_exactly_the_touched_set(spark):
+    """The incremental-publish contract: a shard's file hash changes
+    between pre- and post-delta publishes IFF the delta touched that
+    shard — so a publisher re-ships exactly |touched| files. Counts
+    reconcile: post - pre == delta docs landed in the shard."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        q343_incremental_order_maintenance,
+        q346_incremental_artifact_publish,
+    )
+
+    pub = q346_incremental_artifact_publish(spark, SMOKE_SF_DIR).collect()
+    maint = q343_incremental_order_maintenance(spark, SMOKE_SF_DIR).collect()
+    touched = {(r.eclass, r.shard) for r in maint if r.shard_touched}
+    delta_per_shard = {}
+    for r in maint:
+        if r.is_delta_doc:
+            k = (r.eclass, r.shard)
+            delta_per_shard[k] = delta_per_shard.get(k, 0) + 1
+    assert pub
+    for row in pub:
+        k = (row.eclass, row.shard)
+        assert row.file_changed == (k in touched)
+        assert row.n_docs_post - row.n_docs_pre == delta_per_shard.get(k, 0)
+        if not row.file_changed:
+            assert row.content_hash_pre == row.content_hash_post
+
+
+def test_q347_decorrelation_shape(spark):
+    """Epoch-pair audit invariants: one row per ordered epoch pair,
+    shared count == the later epoch's full sequence census (later
+    epochs schedule a subset of earlier epochs' sequences), and the
+    correlation is a genuine [-1, 1] value never reaching a repeat
+    (1.0) — the degenerate-shuffle alarm the audit exists to raise."""
+    from databricks_etl_spark.plans.queries_round9 import q326_dataloader_order
+    from databricks_etl_spark.plans.queries_round10 import (
+        q347_epoch_shuffle_decorrelation,
+    )
+
+    rows = q347_epoch_shuffle_decorrelation(spark, SMOKE_SF_DIR).collect()
+    seqs = (
+        q326_dataloader_order(spark, SMOKE_SF_DIR)
+        .select("epoch", "seq_id")
+        .distinct()
+        .collect()
+    )
+    census = {}
+    for r in seqs:
+        census[r.epoch] = census.get(r.epoch, 0) + 1
+    epochs = sorted(census)
+    expected_pairs = {
+        (a, b) for a in epochs for b in epochs if a < b
+    }
+    assert {(r.epoch_a, r.epoch_b) for r in rows} == expected_pairs
+    for r in rows:
+        assert r.n_shared_seqs == census[r.epoch_b]
+        assert -1.0 <= r.step_correlation < 1.0
+
+
 def test_q345_subword_rebasing_reflects_fertility(spark):
     """The re-based plan packs the SAME chunk set as q340 but budgets
     strictly more tokens per chunk (fertility > 1: every word costs at
