@@ -1098,3 +1098,220 @@ def q347_epoch_shuffle_decorrelation(
 QUERIES["q346_incremental_artifact_publish"] = _replace(
     QUERIES["q346_incremental_artifact_publish"], oracle=_q346_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# shared corpus-placement builders (q348 efficiency / q349 segments)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(eclass, shard, seq_uid, doc_id, n_tokens) for the shipped
+    corpus — q326's grouped-FFD packing WITHOUT the epoch/step
+    expansion, for audits that care about the physical sequences
+    rather than the replay stream. Mirrors q326's composition exactly
+    (same ship gate, same epoch classes, same budget/shard constants)
+    so audit rows describe the artifact the dataloader actually
+    serves."""
+    from databricks_etl_spark.operators.packing import ffd_pack
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+        q323_epoch_allocation,
+    )
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q326_B,
+        _Q326_P,
+        _Q326_SEQNS,
+    )
+
+    ship = q312_training_manifest(spark, sf_dir).filter("ship").select("doc_id")
+    ep = q323_epoch_allocation(spark, sf_dir).select("source", "epochs")
+    d = read_table(spark, sf_dir, "documents")
+    base = (
+        d.join(ship, "doc_id")
+        .join(F.broadcast(ep), "source")
+        .select(
+            "doc_id",
+            F.size(tokens_col("text")).cast("long").alias("len"),
+            F.col("epochs").cast("long").alias("eclass"),
+        )
+    )
+    packed = ffd_pack(base, _Q326_B, _Q326_P, group_col="eclass")
+    return packed.select(
+        "eclass",
+        F.expr(f"seq_id DIV {_Q326_SEQNS}").alias("shard"),
+        (F.col("seq_id") * 8 + F.col("eclass")).alias("seq_uid"),
+        "doc_id",
+        "n_tokens",
+    )
+
+
+def _placed_len_sql() -> str:
+    """The corpus-placement oracle chain: q326's WITH RECURSIVE prefix
+    through ``placed``, extended with ``pj`` joining each placement
+    back to its token length — the single SQL twin of
+    ``_corpus_placement`` (q348/q349 both append their final rollup to
+    this block so the audited relation cannot drift from q326's)."""
+    from databricks_etl_spark.plans.queries_round7 import _Q291_TOKS
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q326_B,
+        _Q326_P,
+        _grouped_ffd_sql,
+    )
+
+    o312 = QUERIES["q312_training_manifest"].oracle
+    o323 = QUERIES["q323_epoch_allocation"].oracle
+    return f"""WITH RECURSIVE
+        ship AS MATERIALIZED (SELECT doc_id FROM ({o312}) WHERE ship),
+        ep AS MATERIALIZED (SELECT source, epochs FROM ({o323})),
+        base AS MATERIALIZED (
+            SELECT d.doc_id, least({_Q291_TOKS}, {_Q326_B}) AS len,
+                   e.epochs AS eclass
+            FROM documents d
+            JOIN ship ON d.doc_id = ship.doc_id
+            JOIN ep e ON d.source = e.source
+        ),
+        sc AS (
+            SELECT eclass, CAST(ceil(COUNT(*) / {_Q326_P}.0) AS BIGINT) AS s
+            FROM base GROUP BY 1
+        ),
+        it AS MATERIALIZED (
+            SELECT b.doc_id, b.len, b.eclass, b.doc_id % sc.s AS shard,
+                   row_number() OVER (
+                       PARTITION BY b.eclass, b.doc_id % sc.s
+                       ORDER BY b.len DESC, b.doc_id) AS k
+            FROM base b JOIN sc ON b.eclass = sc.eclass
+        ),
+        {_grouped_ffd_sql()},
+        pj AS (
+            SELECT p.eclass, p.shard, p.seq_uid, p.doc_id, b.len
+            FROM placed p JOIN base b ON p.doc_id = b.doc_id
+        )"""
+
+
+# ---------------------------------------------------------------------------
+# q348 — packing-efficiency audit: FFD vs the ceil lower bound
+# ---------------------------------------------------------------------------
+
+
+def _q348_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B
+
+    b = _Q326_B
+    return f"""
+        {_placed_len_sql()},
+        g AS (
+            SELECT eclass, shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT seq_uid) AS BIGINT) AS n_seqs,
+                   CAST(SUM(len) AS BIGINT) AS sum_tokens
+            FROM pj GROUP BY 1, 2
+        )
+        SELECT eclass, shard, n_docs, n_seqs, sum_tokens,
+               CAST((sum_tokens + {b - 1}) // {b} AS BIGINT) AS lb_seqs,
+               CAST(n_seqs - (sum_tokens + {b - 1}) // {b} AS BIGINT)
+                   AS overhead_seqs,
+               CAST(n_seqs * {b} - sum_tokens AS BIGINT) AS pad_tokens,
+               round(CAST(sum_tokens AS DOUBLE) / (n_seqs * {b}), 6)
+                   AS fill_frac
+        FROM g
+    """
+
+
+@query("q348_packing_efficiency", oracle=_q348_oracle())
+def q348_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is the sharded FFD actually? Per (eclass, shard): the
+    sequence count the pack produced vs the information-theoretic
+    floor ceil(sum_tokens / budget) no packer can beat, the padding
+    tokens a training run burns compute on, and the fill fraction.
+    ``overhead_seqs`` is the price of SHARDED (parallel) FFD over the
+    floor — measured instead of assumed; a test pins the first-fit
+    guarantee (every bin but at most one ends more than half full, so
+    n_seqs <= 2 * lb_seqs in every shard). At 100 TB this is the report
+    that says whether re-sharding or a bigger budget is worth it: one
+    groupBy on the placement keys, pure integer arithmetic (lower
+    bound via (sum + B-1) DIV B — no float ceil), only the final
+    fill fraction divides in double."""
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B
+
+    b = _Q326_B
+    g = (
+        _corpus_placement(spark, sf_dir)
+        .groupBy("eclass", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("seq_uid").cast("long").alias("n_seqs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+    )
+    lb = F.expr(f"(sum_tokens + {b - 1}) DIV {b}")
+    return g.select(
+        "eclass",
+        "shard",
+        "n_docs",
+        "n_seqs",
+        "sum_tokens",
+        lb.alias("lb_seqs"),
+        (F.col("n_seqs") - lb).alias("overhead_seqs"),
+        (F.col("n_seqs") * b - F.col("sum_tokens")).alias("pad_tokens"),
+        F.round(F.col("sum_tokens").cast("double") / (F.col("n_seqs") * b), 6)
+            .alias("fill_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q349 — attention-segment audit over packed sequences
+# ---------------------------------------------------------------------------
+
+
+def _q349_oracle() -> str:
+    return f"""
+        {_placed_len_sql()},
+        seg AS (
+            SELECT eclass, seq_uid,
+                   CAST(COUNT(*) AS BIGINT) AS n_segments,
+                   CAST(SUM(len) AS BIGINT) AS seq_tokens
+            FROM pj GROUP BY 1, 2
+        )
+        SELECT eclass, n_segments,
+               CAST(COUNT(*) AS BIGINT) AS n_seqs,
+               CAST(SUM(seq_tokens) AS BIGINT) AS sum_tokens,
+               CAST(COUNT(*) * (n_segments - 1) AS BIGINT) AS n_boundaries
+        FROM seg GROUP BY 1, 2
+    """
+
+
+@query("q349_attention_segment_audit", oracle=_q349_oracle())
+def q349_attention_segment_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Packed sequences hold multiple documents, and a training run
+    must mask attention at every document boundary (block-diagonal
+    attention) or tokens attend across unrelated docs. This audit
+    sizes that workload from the placement itself: the histogram of
+    segments-per-sequence per epoch class (how fragmented the
+    sequences are — FFD with many short docs drives this up) and the
+    total boundary count the masking kernel will process. A sequence
+    with n_segments = 1 is a single clamped doc (no mask needed);
+    the tail of the histogram is the packing-induced fragmentation
+    that a min-segments packing policy would trade fill for.
+
+    Scale shape: two chained groupBys on placement keys (seq grain
+    then histogram grain) — no windows, no joins beyond the
+    placement's own; all-integer output."""
+    seg = (
+        _corpus_placement(spark, sf_dir)
+        .groupBy("eclass", "seq_uid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        )
+    )
+    return seg.groupBy("eclass", "n_segments").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("seq_tokens").cast("long").alias("sum_tokens"),
+        (F.count(F.lit(1)) * (F.col("n_segments") - 1))
+            .cast("long")
+            .alias("n_boundaries"),
+    )

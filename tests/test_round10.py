@@ -374,3 +374,48 @@ def test_q345_subword_rebasing_reflects_fertility(spark):
     assert all(sw_chunks[k] >= ws_chunks[k] for k in ws_chunks)
     assert sum(sw_chunks.values()) > sum(ws_chunks.values())
     assert len({r.seq_id for r in sw}) >= len({r.seq_id for r in ws})
+
+
+def test_q348_efficiency_invariants(spark):
+    """Per-shard packing report reconciles with the placement it
+    audits: doc counts match, the lower bound is never beaten, pad
+    and fill are exact complements, and the first-fit guarantee
+    holds (all bins but at most one end more than half full, so
+    n_seqs <= 2 * lb_seqs in every shard)."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        _corpus_placement,
+        q348_packing_efficiency,
+    )
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B
+
+    rows = q348_packing_efficiency(spark, SMOKE_SF_DIR).collect()
+    placed = _corpus_placement(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    assert sum(r.n_docs for r in rows) == len(placed)
+    assert sum(r.n_seqs for r in rows) == len({p.seq_uid for p in placed})
+    for r in rows:
+        assert r.lb_seqs <= r.n_seqs <= 2 * r.lb_seqs
+        assert r.overhead_seqs == r.n_seqs - r.lb_seqs >= 0
+        assert r.pad_tokens == r.n_seqs * _Q326_B - r.sum_tokens >= 0
+        assert 0.0 < r.fill_frac <= 1.0
+
+
+def test_q349_segment_histogram_reconciles(spark):
+    """The segments-per-sequence histogram is a complete partition of
+    the placement: doc and token totals reconcile, boundaries are
+    n_seqs * (segments - 1) per row, and every sequence has at least
+    one segment."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        _corpus_placement,
+        q349_attention_segment_audit,
+    )
+
+    rows = q349_attention_segment_audit(spark, SMOKE_SF_DIR).collect()
+    placed = _corpus_placement(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    assert sum(r.n_seqs * r.n_segments for r in rows) == len(placed)
+    assert sum(r.sum_tokens for r in rows) == sum(p.n_tokens for p in placed)
+    assert sum(r.n_seqs for r in rows) == len({p.seq_uid for p in placed})
+    for r in rows:
+        assert r.n_segments >= 1
+        assert r.n_boundaries == r.n_seqs * (r.n_segments - 1)
