@@ -1315,3 +1315,409 @@ def q349_attention_segment_audit(
             .cast("long")
             .alias("n_boundaries"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q350 — quality-based dup-cluster retention report
+# ---------------------------------------------------------------------------
+
+
+def _q350_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _PAIRS_05
+    from databricks_etl_spark.plans.queries_round7 import _quality_sql
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    return f"""
+        WITH RECURSIVE {_PAIRS_05},
+        {_quality_sql()},
+        tk AS (
+            SELECT doc_id, source, len({_TOKS}) AS n_toks FROM documents
+        ),
+        rn AS (
+            SELECT t.source, t.n_toks,
+                   row_number() OVER (
+                       PARTITION BY cc.component
+                       ORDER BY q.quality_score DESC, t.doc_id) AS rn
+            FROM tk t
+            JOIN q ON t.doc_id = q.doc_id
+            JOIN cc ON t.doc_id = cc.id
+        ),
+        cl AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_clustered,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_survivors,
+                   CAST(SUM(CASE WHEN rn > 1 THEN n_toks ELSE 0 END)
+                        AS BIGINT) AS tokens_dropped
+            FROM rn GROUP BY 1
+        ),
+        tot AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS tokens_total
+            FROM tk GROUP BY 1
+        )
+        SELECT t.source, t.n_docs, t.tokens_total,
+               COALESCE(cl.n_clustered, 0) AS n_clustered,
+               COALESCE(cl.n_survivors, 0) AS n_survivors,
+               COALESCE(cl.n_clustered - cl.n_survivors, 0) AS n_dropped,
+               COALESCE(cl.tokens_dropped, 0) AS tokens_dropped
+        FROM tot t LEFT JOIN cl ON t.source = cl.source
+    """
+
+
+@query("q350_cluster_retention_report", oracle=_q350_oracle())
+def q350_cluster_retention_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What quality-aware dedup RETENTION costs each source: q123's
+    near-dup clusters (unigram-Jaccard >= 0.5 pairs closed under
+    connectivity by distributed min-label propagation) resolved with
+    q258's survivor priority — keep the HIGHEST-quality member of
+    each cluster (tie -> min doc_id) instead of q124's min-doc_id
+    canonical — then rolled up per source: docs clustered, survivors,
+    docs dropped and the whitespace tokens those drops remove from
+    the training pool. q124 answers "which rows remain"; this answers
+    the budgeting question "what does the policy delete, from whom,
+    and how many tokens" with the survivor rule a quality-curated
+    corpus actually ships.
+
+    The survivor window partitions by COMPONENT — dup clusters, whose
+    size is bounded by true near-dup multiplicity, never by corpus
+    size — so the rank is embarrassingly parallel at 100 TB; quality
+    scores are exact multiples of 0.25 (four binary-exact signal
+    quarters, `operators/text.quality_features`) so the cross-engine
+    DESC ordering has no float-tie hazard, and the report itself is
+    all-integer. Reference scope: dedup retention is §2.12 extension
+    surface (the reference engine has no graph/cluster operator)."""
+    from databricks_etl_spark.operators.text import quality_features
+    from databricks_etl_spark.plans.queries_dedup import _neardup_components
+
+    d = read_table(spark, sf_dir, "documents")
+    qf = quality_features(d).select("doc_id", "n_tokens", "quality_score")
+    base = d.select("doc_id", "source").join(qf, "doc_id")
+    comps = _neardup_components(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    cl = (
+        base.join(comps, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clustered"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_survivors"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_dropped"),
+        )
+    )
+    tot = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+    )
+    return tot.join(cl, "source", "left").select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        F.coalesce("n_clustered", F.lit(0)).cast("long").alias("n_clustered"),
+        F.coalesce("n_survivors", F.lit(0)).cast("long").alias("n_survivors"),
+        F.coalesce(F.col("n_clustered") - F.col("n_survivors"), F.lit(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce("tokens_dropped", F.lit(0))
+        .cast("long")
+        .alias("tokens_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q351 — checkpoint-resume accounting over the dataloader stream
+# ---------------------------------------------------------------------------
+
+_Q351_K = 32  # steps per checkpoint window
+
+
+def _q351_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _Q291_TOKS
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B, _q326_oracle
+
+    return f"""
+        WITH st AS MATERIALIZED (SELECT * FROM ({_q326_oracle()})),
+        dl AS (
+            SELECT doc_id, least({_Q291_TOKS}, {_Q326_B}) AS len
+            FROM documents
+        ),
+        j AS (
+            SELECT s.epoch, (s.step - 1) // {_Q351_K} AS ckpt_id,
+                   s.step, l.len
+            FROM st s JOIN dl l ON s.doc_id = l.doc_id
+        ),
+        g AS (
+            SELECT epoch, CAST(ckpt_id AS BIGINT) AS ckpt_id,
+                   CAST(MIN(step) AS BIGINT) AS from_step,
+                   CAST(MAX(step) AS BIGINT) AS to_step,
+                   CAST(COUNT(DISTINCT step) AS BIGINT) AS n_steps,
+                   CAST(COUNT(*) AS BIGINT) AS n_doc_slots,
+                   CAST(SUM(len) AS BIGINT) AS n_tokens
+            FROM j GROUP BY 1, 2
+        )
+        SELECT epoch, ckpt_id, from_step, to_step, n_steps, n_doc_slots,
+               n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY epoch ORDER BY ckpt_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tokens_before
+        FROM g
+    """
+
+
+@query("q351_checkpoint_resume_accounting", oracle=_q351_oracle())
+def q351_checkpoint_resume_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The checkpoint ledger a resumable training run reads: q326's
+    (epoch, step) stream sliced into {_Q351_K}-step checkpoint
+    windows, each window sized in steps, doc slots and tokens, with
+    ``tokens_before`` = tokens consumed by all earlier windows of the
+    epoch — so "resume from checkpoint c" maps to an exact skip count
+    and the worst-case replay after a crash is the one in-flight
+    window's n_tokens. Because q326's order is deterministic, the
+    ledger IS the resume contract: a restarted loader seeks to
+    from_step and provably replays nothing it already trained on.
+
+    Scale shape: one doc_id-keyed join of the stream to per-doc
+    clamped lengths (the packer's own least(len, B) convention), one
+    groupBy on (epoch, ckpt window), and a running sum over the
+    POST-AGGREGATION relation (epochs x windows rows — thousands at
+    100 TB, not data-sized; the per-epoch window partition is
+    bounded). Composes the registered q326 so ledger and stream
+    cannot drift."""
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q326_B,
+        q326_dataloader_order,
+    )
+
+    st = q326_dataloader_order(spark, sf_dir)
+    dl = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(F.size(tokens_col("text")).cast("long"), F.lit(_Q326_B))
+        .cast("long")
+        .alias("len"),
+    )
+    g = (
+        st.join(dl, "doc_id")
+        .withColumn("ckpt_id", F.expr(f"(step - 1) DIV {_Q351_K}"))
+        .groupBy("epoch", "ckpt_id")
+        .agg(
+            F.min("step").cast("long").alias("from_step"),
+            F.max("step").cast("long").alias("to_step"),
+            F.countDistinct("step").cast("long").alias("n_steps"),
+            F.count(F.lit(1)).cast("long").alias("n_doc_slots"),
+            F.sum("len").cast("long").alias("n_tokens"),
+        )
+    )
+    wpre = (
+        Window.partitionBy("epoch")
+        .orderBy("ckpt_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return g.select(
+        "epoch",
+        F.col("ckpt_id").cast("long").alias("ckpt_id"),
+        "from_step",
+        "to_step",
+        "n_steps",
+        "n_doc_slots",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(wpre), F.lit(0))
+        .cast("long")
+        .alias("tokens_before"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q352 — PQ candidate-depth re-rank sweep
+# ---------------------------------------------------------------------------
+
+_Q352_DEPTHS = (10, 25, 50, 100, 200)  # PQ candidate pool sizes swept
+
+
+def _q352_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _Q285_DOT
+    from databricks_etl_spark.plans.queries_round8 import _q316_chain
+
+    sim_exact = (
+        f"round({_Q285_DOT.format(a='q.__qe', b='c.embedding')}"
+        f" / (sqrt({_Q285_DOT.format(a='q.__qe', b='q.__qe')})"
+        f" * sqrt({_Q285_DOT.format(a='c.embedding', b='c.embedding')})), 6)"
+    )
+    sim_pq = (
+        f"round({_Q285_DOT.format(a='q.__qe', b='r.rv')}"
+        f" / (sqrt({_Q285_DOT.format(a='q.__qe', b='q.__qe')})"
+        f" * sqrt({_Q285_DOT.format(a='r.rv', b='r.rv')})), 6)"
+    )
+    depths = ", ".join(str(m) for m in _Q352_DEPTHS)
+    return f"""
+        WITH {_q316_chain()},
+        q AS (SELECT vec_id AS qid, embedding AS __qe
+              FROM embeddings WHERE vec_id < 20),
+        se AS (
+            SELECT q.qid, c.vec_id AS nid, {sim_exact} AS sim
+            FROM q JOIN embeddings c ON q.qid <> c.vec_id
+        ),
+        sa AS (
+            SELECT q.qid, r.vec_id AS nid, {sim_pq} AS sim
+            FROM q JOIN rec r ON q.qid <> r.vec_id
+        ),
+        truth AS (
+            SELECT qid, nid, rk FROM (
+                SELECT qid, nid, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+                FROM se
+            ) WHERE rk <= 10
+        ),
+        parnk AS (
+            SELECT qid, nid, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, nid) AS pqrk
+            FROM sa
+        ),
+        t AS (
+            SELECT tr.qid, tr.rk, p.pqrk
+            FROM truth tr JOIN parnk p
+              ON tr.qid = p.qid AND tr.nid = p.nid
+        ),
+        dep AS (SELECT CAST(unnest([{depths}]) AS INTEGER) AS depth),
+        per AS (
+            SELECT dep.depth, t.qid,
+                   CAST(round(SUM(CASE WHEN t.pqrk <= dep.depth
+                                       THEN 1 ELSE 0 END) / 10.0, 6)
+                        AS DECIMAL(18,9)) AS recall10,
+                   CAST(MAX(CASE WHEN t.rk = 1 AND t.pqrk <= dep.depth
+                                 THEN 1.0 ELSE 0.0 END)
+                        AS DECIMAL(18,9)) AS top1
+            FROM t JOIN dep ON TRUE
+            GROUP BY 1, 2
+        )
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               round(CAST(SUM(recall10) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_recall_at_10,
+               round(CAST(SUM(top1) AS DOUBLE) / COUNT(*), 6)
+                   AS top1_recall
+        FROM per GROUP BY 1
+    """
+
+
+@query("q352_pq_rerank_sweep", oracle=_q352_oracle())
+def q352_pq_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-candidate-depth CURVE for PQ-then-exact-re-rank
+    retrieval — q341's sweep discipline applied to q317's compressed
+    index. A PQ deployment fetches the top-m candidates by asymmetric
+    (exact-query x reconstructed-corpus) distance, then re-ranks that
+    pool with exact similarity; the tunable is m. Under exact
+    re-ranking, a truth-top-10 item is retrieved iff its PQ rank is
+    <= m (among any candidate subset the true top-10 outrank
+    everything else by exact sim), so ONE scored pass — exact rank
+    and PQ rank per (query, neighbor) — covers the whole sweep as a
+    bounded rollup of the 10-per-query truth rows, the same
+    no-re-retrieval argument as q341's probe sweep. Monotone in m by
+    construction (tested), and the m=10 point is q317's
+    pq_recall_at_10 re-ranked (re-rank cannot help at m=k: the pool
+    IS the answer).
+
+    Scale shape: the PQ scoring side reads 8 bytes/vector
+    (reconstructed from broadcast codebooks) against a broadcast
+    20-query set — map-side only; truth here is the same audited
+    brute-force EVAL as q310/q317 (documented as such), and the sweep
+    adds an O(queries x k x depths) explode. Reference scope: ANN
+    tuning is §2.12 extension surface."""
+    from databricks_etl_spark.operators.similarity import (
+        cosine,
+        pq_assign,
+        pq_reconstruct,
+    )
+    from databricks_etl_spark.plans.queries_round8 import (
+        _Q316_CB,
+        _Q316_K,
+        _Q316_M,
+        _Q316_SUB,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cb = spark.createDataFrame(
+        [
+            (m, k, _Q316_CB[m][k])
+            for m in range(_Q316_M)
+            for k in range(_Q316_K)
+        ],
+        "m int, k int, cw array<double>",
+    )
+    rec = pq_reconstruct(pq_assign(e, cb, _Q316_M, _Q316_SUB))
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qe")
+    )
+    se = (
+        e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("__ce"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("__qe"), F.col("__ce")), 6).alias("sim"),
+        )
+    )
+    sa = (
+        rec.select(
+            F.col("vec_id").alias("nid"), F.col("reconstructed").alias("__rv")
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("__qe"), F.col("__rv")), 6).alias("sim"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    truth = (
+        se.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "nid", "rk")
+    )
+    parnk = sa.withColumn("pqrk", F.row_number().over(wq)).select(
+        "qid", "nid", "pqrk"
+    )
+    t = truth.join(parnk, ["qid", "nid"]).withColumn(
+        "depth",
+        F.explode(F.array(*[F.lit(m) for m in _Q352_DEPTHS])),
+    )
+    per = t.groupBy("depth", "qid").agg(
+        F.round(
+            F.sum(F.when(F.col("pqrk") <= F.col("depth"), 1).otherwise(0))
+            / 10.0,
+            6,
+        )
+        .cast("decimal(18,9)")
+        .alias("recall10"),
+        F.max(
+            F.when(
+                (F.col("rk") == 1) & (F.col("pqrk") <= F.col("depth")),
+                F.lit(1.0),
+            ).otherwise(F.lit(0.0))
+        )
+        .cast("decimal(18,9)")
+        .alias("top1"),
+    )
+    n = F.count(F.lit(1))
+    return per.groupBy("depth").agg(
+        n.cast("long").alias("n_queries"),
+        F.round(F.sum("recall10").cast("double") / n, 6).alias(
+            "mean_recall_at_10"
+        ),
+        F.round(F.sum("top1").cast("double") / n, 6).alias("top1_recall"),
+    )

@@ -419,3 +419,103 @@ def test_q349_segment_histogram_reconciles(spark):
     for r in rows:
         assert r.n_segments >= 1
         assert r.n_boundaries == r.n_seqs * (r.n_segments - 1)
+
+
+def test_q350_retention_reconciles_with_clusters(spark):
+    """The retention report is an exact rollup of q123's clusters
+    under the quality-max survivor rule: clustered/survivor totals
+    match the component relation (one survivor per component), the
+    survivor count equals q124's (policies pick different members,
+    never different cluster counts), drops are non-negative and
+    token-bounded, and unclustered sources report zeros intact."""
+    from databricks_etl_spark.plans.queries_dedup import (
+        _neardup_components,
+        q124_cluster_survivors,
+    )
+    from databricks_etl_spark.plans.queries_round10 import (
+        q350_cluster_retention_report,
+    )
+
+    rows = q350_cluster_retention_report(spark, SMOKE_SF_DIR).collect()
+    comps = _neardup_components(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    assert sum(r.n_clustered for r in rows) == len(comps)
+    assert sum(r.n_survivors for r in rows) == len(
+        {c.component for c in comps}
+    )
+    q124_surv = (
+        q124_cluster_survivors(spark, SMOKE_SF_DIR)
+        .filter("was_clustered")
+        .count()
+    )
+    assert sum(r.n_survivors for r in rows) == q124_surv
+    for r in rows:
+        assert r.n_dropped == r.n_clustered - r.n_survivors >= 0
+        assert 0 <= r.tokens_dropped <= r.tokens_total
+        if r.n_clustered == 0:
+            assert r.n_survivors == r.n_dropped == r.tokens_dropped == 0
+
+
+def test_q351_ledger_partitions_the_stream(spark):
+    """Checkpoint windows are a complete, gap-free partition of
+    q326's stream: doc slots and tokens reconcile, steps are dense
+    within each window (from/to span == distinct steps), windows
+    start exactly at ckpt_id*K+1, tokens_before is the running sum of
+    earlier windows, and only an epoch's LAST window may be ragged."""
+    from databricks_etl_spark.plans.queries_round9 import (
+        q326_dataloader_order,
+    )
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q351_K,
+        q351_checkpoint_resume_accounting,
+    )
+
+    rows = q351_checkpoint_resume_accounting(spark, SMOKE_SF_DIR).collect()
+    stream = q326_dataloader_order(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    assert sum(r.n_doc_slots for r in rows) == len(stream)
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    max_step = {}
+    for s in stream:
+        max_step[s.epoch] = max(max_step.get(s.epoch, 0), s.step)
+    for epoch, ws in by_epoch.items():
+        ws.sort(key=lambda r: r.ckpt_id)
+        run = 0
+        for i, r in enumerate(ws):
+            assert r.from_step == r.ckpt_id * _Q351_K + 1
+            assert r.n_steps == r.to_step - r.from_step + 1
+            assert r.tokens_before == run
+            run += r.n_tokens
+            if i < len(ws) - 1:
+                assert r.n_steps == _Q351_K
+        assert ws[-1].to_step == max_step[epoch]
+
+
+def test_q352_rerank_sweep_invariants(spark):
+    """Deeper candidate pools only add candidates, so both metrics
+    are monotone in depth; the depth=10 point IS q317's single-point
+    pq_recall_at_10 (re-ranking a pool of size k cannot change the
+    answer set) — the two registered queries must agree exactly."""
+    from databricks_etl_spark.plans.queries_round8 import (
+        q317_pq_recall_impact,
+    )
+    from databricks_etl_spark.plans.queries_round10 import (
+        q352_pq_rerank_sweep,
+    )
+
+    rows = sorted(
+        q352_pq_rerank_sweep(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.depth,
+    )
+    assert [r.depth for r in rows] == [10, 25, 50, 100, 200]
+    recalls = [float(r.mean_recall_at_10) for r in rows]
+    top1s = [float(r.top1_recall) for r in rows]
+    assert recalls == sorted(recalls)
+    assert top1s == sorted(top1s)
+    assert all(r.n_queries == rows[0].n_queries for r in rows)
+    assert all(0.0 <= v <= 1.0 for v in recalls + top1s)
+    q317 = q317_pq_recall_impact(spark, SMOKE_SF_DIR).collect()[0]
+    assert abs(recalls[0] - float(q317.pq_recall_at_10)) < 1e-9
+    assert abs(top1s[0] - float(q317.pq_top1_recall)) < 1e-9
