@@ -1721,3 +1721,210 @@ def q352_pq_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum("top1").cast("double") / n, 6).alias("top1_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q353 — cross-source duplication-flow matrix
+# ---------------------------------------------------------------------------
+
+
+def _q353_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _PAIRS_05
+
+    return f"""
+        WITH RECURSIVE {_PAIRS_05},
+        src AS (SELECT doc_id, source FROM documents),
+        lab AS (
+            SELECT least(sa.source, sb.source) AS source_a,
+                   greatest(sa.source, sb.source) AS source_b,
+                   p.id_a, p.id_b
+            FROM pr p
+            JOIN src sa ON p.id_a = sa.doc_id
+            JOIN src sb ON p.id_b = sb.doc_id
+        ),
+        docs AS (
+            -- DISTINCT over UNION ALL, not bare UNION: DuckDB 1.0's
+            -- recursive-CTE inlining re-evaluates lab per branch and
+            -- bare UNION then fails to dedup across the two scans
+            -- (left a duplicate row; sibling of the CLAUDE.md
+            -- AS MATERIALIZED gotcha)
+            SELECT DISTINCT source_a, source_b, doc_id FROM (
+                SELECT source_a, source_b, id_a AS doc_id FROM lab
+                UNION ALL
+                SELECT source_a, source_b, id_b FROM lab
+            )
+        ),
+        dc AS (
+            SELECT source_a, source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs_involved
+            FROM docs GROUP BY 1, 2
+        )
+        SELECT l.source_a, l.source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               l.source_a <> l.source_b AS cross_source,
+               MIN(dc.n_docs_involved) AS n_docs_involved
+        FROM lab l JOIN dc
+          ON l.source_a = dc.source_a AND l.source_b = dc.source_b
+        GROUP BY 1, 2
+    """
+
+
+@query("q353_dup_flow_matrix", oracle=_q353_oracle())
+def q353_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO duplicates WHOM: q123's near-dup pair relation (unigram
+    Jaccard >= 0.5, df-capped index) rolled up into a source x source
+    matrix — pair counts on normalized (least, greatest) source keys
+    so the matrix is upper-triangular-symmetric, within-source
+    duplication on the diagonal, plus the distinct docs each cell
+    touches. q333 measures cross-CHUNK containment and q337 split
+    leakage; this is the provenance view a data-sourcing decision
+    reads ("crawl B is 80% re-crawl of A — drop it"). At 100 TB the
+    rollup rides the pair relation's own bounded output (true
+    collisions only, df-capped): one source-labeling join per side
+    against a slim (doc_id, source) projection, then a grouped
+    count — no new shuffle wider than the pair list itself."""
+    from databricks_etl_spark.operators.dedup import jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, 0.5, ngram=1, max_df=100)
+    src = d.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "id_a",
+            "id_b",
+        )
+    )
+    docs = lab.select("source_a", "source_b", F.col("id_a").alias("doc_id")).union(
+        lab.select("source_a", "source_b", F.col("id_b").alias("doc_id"))
+    ).distinct()
+    dc = docs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_involved")
+    )
+    return (
+        lab.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .join(dc, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            (F.col("source_a") != F.col("source_b")).alias("cross_source"),
+            "n_docs_involved",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q354 — within-epoch curriculum-flatness audit
+# ---------------------------------------------------------------------------
+
+
+def _q354_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _quality_sql
+    from databricks_etl_spark.plans.queries_round9 import _q326_oracle
+
+    return f"""
+        WITH st AS MATERIALIZED (SELECT * FROM ({_q326_oracle()})),
+        {_quality_sql()},
+        ns AS (SELECT epoch, MAX(step) AS n_steps FROM st GROUP BY 1),
+        slot AS (
+            SELECT s.epoch,
+                   ((s.step - 1) * 4) // ns.n_steps AS quartile,
+                   CAST(q.quality_score AS DECIMAL(18,2)) AS qs
+            FROM st s
+            JOIN q ON s.doc_id = q.doc_id
+            JOIN ns ON s.epoch = ns.epoch
+        ),
+        g AS (
+            SELECT epoch, CAST(quartile AS BIGINT) AS quartile,
+                   CAST(COUNT(*) AS BIGINT) AS n_doc_slots,
+                   SUM(qs) AS qsum
+            FROM slot GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT epoch, quartile, n_doc_slots, qsum,
+                   SUM(qsum) OVER (PARTITION BY epoch) AS esum,
+                   SUM(n_doc_slots) OVER (PARTITION BY epoch) AS ecnt
+            FROM g
+        )
+        SELECT epoch, quartile, n_doc_slots,
+               round(CAST(qsum AS DOUBLE) / n_doc_slots, 6)
+                   AS mean_quality,
+               round(CAST(esum AS DOUBLE) / ecnt, 6)
+                   AS epoch_mean_quality,
+               round(CAST(qsum AS DOUBLE) / n_doc_slots
+                     - CAST(esum AS DOUBLE) / ecnt, 6) AS deviation
+        FROM e
+    """
+
+
+@query("q354_curriculum_flatness", oracle=_q354_oracle())
+def q354_curriculum_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the epoch shuffle deliver a FLAT quality profile over the
+    course of each epoch? An unintended quality trend across training
+    steps is an accidental curriculum — late-epoch gradients see
+    systematically different data, the exact bias q326's MINSTD
+    reshuffle exists to prevent (q347 checks order correlation
+    BETWEEN epochs; this checks composition drift WITHIN one). The
+    audit: per (epoch, step quartile), the mean quality score of doc
+    slots consumed, against the epoch-wide mean, with the signed
+    deviation — flat means deviations near zero in every quartile.
+
+    Determinism: quality scores are exact quarters, summed in
+    DECIMAL(18,2) (order-free on both engines), only the final means
+    divide in double. Scale shape: one doc_id-keyed join of the
+    stream to quality scores, a broadcast (epoch -> n_steps) relation
+    for the quartile split, one groupBy to 4 x epochs rows, and the
+    epoch rollup as a window over THAT post-aggregation relation —
+    nothing epoch-partitioned ever exceeds 4 rows."""
+    from databricks_etl_spark.operators.text import quality_features
+    from databricks_etl_spark.plans.queries_round9 import q326_dataloader_order
+
+    st = q326_dataloader_order(spark, sf_dir)
+    qf = quality_features(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("quality_score").cast("decimal(18,2)").alias("qs")
+    )
+    ns = st.groupBy("epoch").agg(F.max("step").alias("n_steps"))
+    g = (
+        st.join(qf, "doc_id")
+        .join(F.broadcast(ns), "epoch")
+        .withColumn("quartile", F.expr("((step - 1) * 4) DIV n_steps"))
+        .groupBy("epoch", "quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_doc_slots"),
+            F.sum("qs").alias("qsum"),
+        )
+    )
+    we = Window.partitionBy("epoch")
+    e = g.select(
+        "epoch",
+        F.col("quartile").cast("long").alias("quartile"),
+        "n_doc_slots",
+        "qsum",
+        F.sum("qsum").over(we).alias("esum"),
+        F.sum("n_doc_slots").over(we).alias("ecnt"),
+    )
+    mq = F.col("qsum").cast("double") / F.col("n_doc_slots")
+    em = F.col("esum").cast("double") / F.col("ecnt")
+    return e.select(
+        "epoch",
+        "quartile",
+        "n_doc_slots",
+        F.round(mq, 6).alias("mean_quality"),
+        F.round(em, 6).alias("epoch_mean_quality"),
+        F.round(mq - em, 6).alias("deviation"),
+    )

@@ -519,3 +519,57 @@ def test_q352_rerank_sweep_invariants(spark):
     q317 = q317_pq_recall_impact(spark, SMOKE_SF_DIR).collect()[0]
     assert abs(recalls[0] - float(q317.pq_recall_at_10)) < 1e-9
     assert abs(top1s[0] - float(q317.pq_top1_recall)) < 1e-9
+
+
+def test_q353_matrix_reconciles_with_pairs(spark):
+    """The flow matrix is a complete partition of the pair relation:
+    cell pair counts sum to the pair list, source keys are normalized
+    (a <= b), cross_source mirrors the diagonal, and each cell's
+    distinct-doc count is bounded by [2, 2 * n_pairs]."""
+    from databricks_etl_spark.operators.dedup import jaccard_pairs
+    from databricks_etl_spark.plans.queries_round10 import q353_dup_flow_matrix
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = q353_dup_flow_matrix(spark, SMOKE_SF_DIR).collect()
+    d = read_table(spark, SMOKE_SF_DIR, "documents")
+    n_pairs = jaccard_pairs(d, 0.5, ngram=1, max_df=100).count()
+    assert rows
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.source_a <= r.source_b
+        assert r.cross_source == (r.source_a != r.source_b)
+        assert 2 <= r.n_docs_involved <= 2 * r.n_pairs
+
+
+def test_q354_quartiles_partition_each_epoch(spark):
+    """Quartile rows are a complete partition of q326's stream, the
+    epoch mean is the doc-slot-weighted mean of the quartile means,
+    and deviations are the signed quartile-minus-epoch gaps (weighted
+    deviations sum to ~0 per epoch)."""
+    from databricks_etl_spark.plans.queries_round9 import (
+        q326_dataloader_order,
+    )
+    from databricks_etl_spark.plans.queries_round10 import (
+        q354_curriculum_flatness,
+    )
+
+    rows = q354_curriculum_flatness(spark, SMOKE_SF_DIR).collect()
+    n_stream = q326_dataloader_order(spark, SMOKE_SF_DIR).count()
+    assert rows
+    assert sum(r.n_doc_slots for r in rows) == n_stream
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    for epoch, qs in by_epoch.items():
+        assert sorted(r.quartile for r in qs) == list(range(len(qs)))
+        assert len({r.epoch_mean_quality for r in qs}) == 1
+        tot = sum(r.n_doc_slots for r in qs)
+        wmean = sum(r.mean_quality * r.n_doc_slots for r in qs) / tot
+        assert abs(wmean - qs[0].epoch_mean_quality) < 1e-4
+        wdev = sum(r.deviation * r.n_doc_slots for r in qs) / tot
+        assert abs(wdev) < 1e-4
+        for r in qs:
+            assert (
+                abs(r.deviation - (r.mean_quality - r.epoch_mean_quality))
+                < 2e-6
+            )
