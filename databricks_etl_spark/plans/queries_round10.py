@@ -2179,3 +2179,302 @@ def q357_stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "doc_id", F.col("smp_rank").cast("long").alias("smp_rank")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q358 — shard prefetch-locality audit over the dataloader stream
+# ---------------------------------------------------------------------------
+
+
+def _q358_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q326_SEQNS,
+        _q326_oracle,
+    )
+
+    return f"""
+        WITH st AS MATERIALIZED (SELECT * FROM ({_q326_oracle()})),
+        seqs AS (
+            SELECT DISTINCT epoch, step, seq_id,
+                   seq_id % 8 AS eclass,
+                   (seq_id // 8) // {_Q326_SEQNS} AS shard
+            FROM st
+        ),
+        ns AS (SELECT epoch, MAX(step) AS n_steps FROM seqs GROUP BY 1),
+        gaps AS (
+            SELECT epoch, eclass, shard, step,
+                   step - lag(step) OVER (
+                       PARTITION BY epoch, eclass, shard ORDER BY step
+                   ) AS gap
+            FROM seqs
+        ),
+        g AS (
+            SELECT epoch, CAST(eclass AS BIGINT) AS eclass,
+                   CAST(shard AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_seqs,
+                   CAST(MIN(step) AS BIGINT) AS min_step,
+                   CAST(MAX(step) AS BIGINT) AS max_step,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap
+            FROM gaps GROUP BY 1, 2, 3
+        )
+        SELECT g.epoch, g.eclass, g.shard, g.n_seqs, g.min_step,
+               g.max_step, g.max_gap,
+               round(CAST(g.max_step - g.min_step AS DOUBLE)
+                     / (g.n_seqs - 1), 6) AS mean_gap,
+               round(CAST(g.max_step - g.min_step + 1 AS DOUBLE)
+                     / ns.n_steps, 6) AS span_frac
+        FROM g JOIN ns ON g.epoch = ns.epoch
+        WHERE g.n_seqs >= 2
+    """
+
+
+@query("q358_shard_prefetch_locality", oracle=_q358_oracle())
+def q358_shard_prefetch_locality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Can a dataloader worker prefetch a shard file once, or does the
+    epoch shuffle scatter the shard's sequences across the whole
+    epoch? The serving-side dual of q347: per (epoch, eclass, shard) —
+    the physical file key q344 publishes — the step positions at
+    which the shard's sequences are consumed: min/max step, the
+    largest gap between consecutive hits, the mean gap (closed form
+    (max-min)/(n-1), no per-row division), and ``span_frac`` = the
+    shard's serving window over the epoch length. A good shuffle
+    DESTROYS locality — span_frac near 1.0 is the design working, and
+    the audit turns "so every shard must stay resident all epoch"
+    into a measured I/O-planning fact (resident shards x shard size =
+    the prefetch cache a serving node needs).
+
+    Scale shape: one DISTINCT on the stream, shard decoded from
+    seq_id by pure integer arithmetic (the documented low-3-bits
+    eclass layout), a lag window partitioned by (epoch, eclass,
+    shard) — bounded by bins-per-shard, never data-sized — and a
+    broadcast (epoch -> n_steps) join."""
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q326_SEQNS,
+        q326_dataloader_order,
+    )
+
+    seqs = (
+        q326_dataloader_order(spark, sf_dir)
+        .select("epoch", "step", "seq_id")
+        .distinct()
+        .select(
+            "epoch",
+            "step",
+            (F.col("seq_id") % 8).cast("long").alias("eclass"),
+            F.expr(f"(seq_id DIV 8) DIV {_Q326_SEQNS}")
+            .cast("long")
+            .alias("shard"),
+        )
+    )
+    ns = seqs.groupBy("epoch").agg(F.max("step").alias("n_steps"))
+    wlag = Window.partitionBy("epoch", "eclass", "shard").orderBy("step")
+    g = (
+        seqs.withColumn("gap", F.col("step") - F.lag("step").over(wlag))
+        .groupBy("epoch", "eclass", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.min("step").cast("long").alias("min_step"),
+            F.max("step").cast("long").alias("max_step"),
+            F.max("gap").cast("long").alias("max_gap"),
+        )
+        .filter(F.col("n_seqs") >= 2)
+    )
+    return g.join(F.broadcast(ns), "epoch").select(
+        "epoch",
+        "eclass",
+        "shard",
+        "n_seqs",
+        "min_step",
+        "max_step",
+        "max_gap",
+        F.round(
+            (F.col("max_step") - F.col("min_step")).cast("double")
+            / (F.col("n_seqs") - 1),
+            6,
+        ).alias("mean_gap"),
+        F.round(
+            (F.col("max_step") - F.col("min_step") + 1).cast("double")
+            / F.col("n_steps"),
+            6,
+        ).alias("span_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q359 — SimHash hamming-radius calibration
+# ---------------------------------------------------------------------------
+
+_Q359_RADII = tuple(range(0, 11))  # hamming thresholds swept
+_Q359_SALT = ":negpairs"  # salt for the deterministic control pairs
+
+
+def _q359_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import (
+        _PAIRS_05,
+        _simhash_md5_sql,
+    )
+
+    radii = ", ".join(str(r) for r in _Q359_RADII)
+    return f"""
+        WITH RECURSIVE {_PAIRS_05},
+        sig AS MATERIALIZED ({_simhash_md5_sql()}),
+        ky AS (
+            SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || '{_Q359_SALT}') AS k
+            FROM documents
+        ),
+        rnk AS (
+            SELECT doc_id, substr(k, 1, 1) AS bk,
+                   row_number() OVER (
+                       PARTITION BY substr(k, 1, 1) ORDER BY k, doc_id
+                   ) AS rn
+            FROM ky
+        ),
+        rawneg AS (
+            SELECT least(a.doc_id, b.doc_id) AS id_a,
+                   greatest(a.doc_id, b.doc_id) AS id_b
+            FROM rnk a JOIN rnk b ON a.bk = b.bk AND b.rn = a.rn + 1
+            WHERE a.rn % 2 = 1
+        ),
+        neg AS (
+            SELECT id_a, id_b FROM rawneg n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pr
+                WHERE pr.id_a = n.id_a AND pr.id_b = n.id_b
+            )
+        ),
+        pairs AS (
+            SELECT id_a, id_b, TRUE AS is_near_dup FROM pr
+            UNION ALL
+            SELECT id_a, id_b, FALSE FROM neg
+        ),
+        ham AS (
+            SELECT p.is_near_dup,
+                   bit_count(xor(sa.sig_hi, sb.sig_hi))
+                   + bit_count(xor(sa.sig_lo, sb.sig_lo)) AS h
+            FROM pairs p
+            JOIN sig sa ON p.id_a = sa.doc_id
+            JOIN sig sb ON p.id_b = sb.doc_id
+        ),
+        rad AS (SELECT CAST(unnest([{radii}]) AS INTEGER) AS radius)
+        SELECT rad.radius,
+               CAST(SUM(CASE WHEN is_near_dup THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true_pairs,
+               CAST(SUM(CASE WHEN is_near_dup AND h <= rad.radius
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true_within,
+               round(SUM(CASE WHEN is_near_dup AND h <= rad.radius
+                              THEN 1 ELSE 0 END)
+                     / CAST(SUM(CASE WHEN is_near_dup THEN 1 ELSE 0 END)
+                            AS DOUBLE), 6) AS true_recall,
+               CAST(SUM(CASE WHEN NOT is_near_dup THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rand_pairs,
+               CAST(SUM(CASE WHEN NOT is_near_dup AND h <= rad.radius
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rand_within,
+               round(SUM(CASE WHEN NOT is_near_dup AND h <= rad.radius
+                              THEN 1 ELSE 0 END)
+                     / CAST(SUM(CASE WHEN NOT is_near_dup THEN 1 ELSE 0 END)
+                            AS DOUBLE), 6) AS rand_within_rate
+        FROM ham JOIN rad ON TRUE
+        GROUP BY 1
+    """
+
+
+@query("q359_simhash_radius_calibration", oracle=_q359_oracle())
+def q359_simhash_radius_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHERE should the SimHash hamming threshold sit? For each radius
+    r in 0..{_Q359_RADII[-1]}: the fraction of TRUE near-dup pairs
+    (the exact-Jaccard >= 0.5 relation, q123's pair set) whose 64-bit
+    md5-SimHash signatures (q163's cross-engine construction) fall
+    within hamming distance r — the recall curve — against the same
+    rate over a deterministic CONTROL of salted-md5-matched random
+    pairs (consecutive docs in 16 key-bucket rankings, true pairs
+    anti-joined out) — the false-positive curve. The q341/q352 sweep
+    discipline applied to threshold calibration: pick the radius
+    where true_recall is high and rand_within_rate still ~0; q302's
+    fixed <= 3 cut for image hashes gets its text-side evidence.
+
+    Scale shape: both pair relations are bounded (true collisions;
+    n/2 control pairs), the signature join is doc_id-keyed, the sweep
+    is a conditional rollup of one hamming column over an 11-radius
+    explode; control-pair ranking windows partition 16 ways on a key
+    nibble, never globally."""
+    from databricks_etl_spark.operators.dedup import jaccard_pairs
+    from databricks_etl_spark.plans.queries_dedup import (
+        q163_simhash_md5_oracled,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    sig = q163_simhash_md5_oracled(spark, sf_dir)
+    true_pairs = jaccard_pairs(d, 0.5, ngram=1, max_df=100).select(
+        "id_a", "id_b", F.lit(True).alias("is_near_dup")
+    )
+    ky = d.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_Q359_SALT))
+        ).alias("k"),
+    )
+    wb = Window.partitionBy(F.substring("k", 1, 1)).orderBy("k", "doc_id")
+    rnk = ky.select(
+        "doc_id", F.substring("k", 1, 1).alias("bk"), F.row_number().over(wb).alias("rn")
+    )
+    a = rnk.select(
+        F.col("doc_id").alias("xa"), "bk", F.col("rn").alias("ra")
+    ).filter(F.col("ra") % 2 == 1)
+    b = rnk.select(F.col("doc_id").alias("xb"), "bk", F.col("rn").alias("rb"))
+    rawneg = a.join(
+        b, (a.bk == b.bk) & (F.col("rb") == F.col("ra") + 1)
+    ).select(
+        F.least("xa", "xb").alias("id_a"),
+        F.greatest("xa", "xb").alias("id_b"),
+    )
+    neg = rawneg.join(
+        true_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).select("id_a", "id_b", F.lit(False).alias("is_near_dup"))
+    pairs = true_pairs.unionAll(neg)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sig_hi").alias("ha"),
+        F.col("sig_lo").alias("la"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig_hi").alias("hb"),
+        F.col("sig_lo").alias("lb"),
+    )
+    ham = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "is_near_dup",
+            (
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+            ).alias("h"),
+        )
+    )
+    r = ham.withColumn(
+        "radius", F.explode(F.array(*[F.lit(x) for x in _Q359_RADII]))
+    )
+    t = F.col("is_near_dup")
+    within = F.col("h") <= F.col("radius")
+    n_true = F.sum(F.when(t, 1).otherwise(0))
+    n_true_w = F.sum(F.when(t & within, 1).otherwise(0))
+    n_rand = F.sum(F.when(~t, 1).otherwise(0))
+    n_rand_w = F.sum(F.when(~t & within, 1).otherwise(0))
+    return r.groupBy("radius").agg(
+        n_true.cast("long").alias("n_true_pairs"),
+        n_true_w.cast("long").alias("n_true_within"),
+        F.round(n_true_w / n_true.cast("double"), 6).alias("true_recall"),
+        n_rand.cast("long").alias("n_rand_pairs"),
+        n_rand_w.cast("long").alias("n_rand_within"),
+        F.round(n_rand_w / n_rand.cast("double"), 6).alias(
+            "rand_within_rate"
+        ),
+    )

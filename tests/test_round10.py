@@ -680,3 +680,69 @@ def test_q357_two_phase_equals_single_window(spark):
     }
     for s, c in per_source.items():
         assert c == min(_Q357_N, avail[s])
+
+
+def test_q358_locality_reconciles_with_stream(spark):
+    """Every locality row is consistent with the stream it audits:
+    steps within [1, n_steps], max_gap between the uniform floor and
+    the span, mean_gap exact ((max-min)/(n-1)), span_frac in (0, 1],
+    and seq counts reconcile against a direct shard decode."""
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q326_SEQNS,
+        q326_dataloader_order,
+    )
+    from databricks_etl_spark.plans.queries_round10 import (
+        q358_shard_prefetch_locality,
+    )
+
+    rows = q358_shard_prefetch_locality(spark, SMOKE_SF_DIR).collect()
+    stream = q326_dataloader_order(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    seqs = {(s.epoch, s.seq_id) for s in stream}
+    decode: dict[tuple, int] = {}
+    for e, sid in seqs:
+        key = (e, sid % 8, (sid // 8) // _Q326_SEQNS)
+        decode[key] = decode.get(key, 0) + 1
+    n_steps = {}
+    for s in stream:
+        n_steps[s.epoch] = max(n_steps.get(s.epoch, 0), s.step)
+    assert sum(r.n_seqs for r in rows) == sum(
+        c for c in decode.values() if c >= 2
+    )
+    for r in rows:
+        assert decode[(r.epoch, r.eclass, r.shard)] == r.n_seqs
+        assert 1 <= r.min_step < r.max_step <= n_steps[r.epoch]
+        assert 1 <= r.max_gap <= r.max_step - r.min_step
+        assert (
+            abs(r.mean_gap - (r.max_step - r.min_step) / (r.n_seqs - 1))
+            < 1e-6
+        )
+        assert 0.0 < r.span_frac <= 1.0
+        assert r.max_gap >= r.mean_gap - 1e-6
+
+
+def test_q359_calibration_curves(spark):
+    """Both curves are monotone in radius (cumulative by
+    construction), counts are bounded by their pair totals, the pair
+    totals are constant across radii, true pairs separate from the
+    random control (at every radius, recall >= control rate), and the
+    control relation is non-trivially sized."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        q359_simhash_radius_calibration,
+    )
+
+    rows = sorted(
+        q359_simhash_radius_calibration(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.radius,
+    )
+    assert [r.radius for r in rows] == list(range(11))
+    assert len({r.n_true_pairs for r in rows}) == 1
+    assert len({r.n_rand_pairs for r in rows}) == 1
+    assert rows[0].n_true_pairs > 0 and rows[0].n_rand_pairs > 0
+    tw = [r.n_true_within for r in rows]
+    rw = [r.n_rand_within for r in rows]
+    assert tw == sorted(tw) and rw == sorted(rw)
+    for r in rows:
+        assert 0 <= r.n_true_within <= r.n_true_pairs
+        assert 0 <= r.n_rand_within <= r.n_rand_pairs
+        assert r.true_recall >= r.rand_within_rate
