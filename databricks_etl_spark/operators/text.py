@@ -393,7 +393,13 @@ SUBWORD_VOCAB_2: tuple[str, ...] = (
 )
 
 
-def subword_piece_stats(w: Column) -> Column:
+def subword_piece_stats(
+    w: Column,
+    *,
+    v4: tuple[str, ...] | None = None,
+    v3: tuple[str, ...] | None = None,
+    v2: tuple[str, ...] | None = None,
+) -> Column:
     """Greedy longest-match consumption stats for word ``w`` as a
     struct ``(cnt, unk)``: total subword pieces and how many of them
     were the 1-char FALLBACK (no vocab piece matched — the OOV-rate
@@ -409,17 +415,30 @@ def subword_piece_stats(w: Column) -> Column:
     no-ops (each real step consumes >= 1 char, so length(w)
     iterations always suffice). Whole-stage-codegen JVM expression,
     no UDF; a DuckDB recursive CTE states the identical consumption
-    (plans/queries_round9.py)."""
+    (plans/queries_round9.py).
+
+    ``v4``/``v3``/``v2`` override the vocabulary blocks (None = the
+    module constants; an EMPTY tuple drops that block entirely — the
+    vocab-ablation hook queries_round10's q360 sweeps)."""
+    v4 = SUBWORD_VOCAB_4 if v4 is None else v4
+    v3 = SUBWORD_VOCAB_3 if v3 is None else v3
+    v2 = SUBWORD_VOCAB_2 if v2 is None else v2
 
     def _step(acc: Column, _: Column) -> Column:
         pos, cnt = acc.getField("pos"), acc.getField("cnt")
         unk = acc.getField("unk")
-        ml = (
-            F.when(w.substr(pos, F.lit(4)).isin(*SUBWORD_VOCAB_4), F.lit(4))
-            .when(w.substr(pos, F.lit(3)).isin(*SUBWORD_VOCAB_3), F.lit(3))
-            .when(w.substr(pos, F.lit(2)).isin(*SUBWORD_VOCAB_2), F.lit(2))
-            .otherwise(F.lit(1))
-        )
+        # longest-match CASE over the non-empty blocks only, widest
+        # first (isin() requires at least one literal)
+        ml = None
+        for width, vocab in ((4, v4), (3, v3), (2, v2)):
+            if vocab:
+                cond = w.substr(pos, F.lit(width)).isin(*vocab)
+                ml = (
+                    F.when(cond, F.lit(width))
+                    if ml is None
+                    else ml.when(cond, F.lit(width))
+                )
+        ml = F.lit(1) if ml is None else ml.otherwise(F.lit(1))
         return F.when(pos > F.length(w), acc).otherwise(
             F.struct(
                 (pos + ml).alias("pos"),

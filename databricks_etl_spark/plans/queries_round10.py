@@ -2478,3 +2478,161 @@ def q359_simhash_radius_calibration(
             "rand_within_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q360 — tokenizer vocabulary-ablation sweep
+# ---------------------------------------------------------------------------
+
+# (level label, use v4 block, use v3 block, use v2 block) — nested
+# prefixes of the full vocabulary, 'none' = pure char fallback
+_Q360_LEVELS: tuple[tuple[str, bool, bool, bool], ...] = (
+    ("none", False, False, False),
+    ("2gram", False, False, True),
+    ("2+3gram", False, True, True),
+    ("full", True, True, True),
+)
+
+
+def _q360_wc_sql(sfx: str, use4: bool, use3: bool, use2: bool) -> str:
+    """q328's ``_subword_wc_sql`` recursion with the vocabulary blocks
+    ablated per level and CTE names suffixed so four recursions
+    coexist in one WITH RECURSIVE chain (same consumption rule —
+    cite: plans/queries_round9.py::_subword_wc_sql)."""
+    from databricks_etl_spark.operators.text import (
+        SUBWORD_VOCAB_2,
+        SUBWORD_VOCAB_3,
+        SUBWORD_VOCAB_4,
+    )
+
+    branches = []
+    for width, use, vocab in (
+        (4, use4, SUBWORD_VOCAB_4),
+        (3, use3, SUBWORD_VOCAB_3),
+        (2, use2, SUBWORD_VOCAB_2),
+    ):
+        if use:
+            lits = ", ".join(f"'{p}'" for p in vocab)
+            branches.append(
+                f"WHEN substr(w, pos, {width}) IN ({lits}) THEN {width}"
+            )
+    step = f"CASE {' '.join(branches)} ELSE 1 END" if branches else "1"
+    unk = f"CASE WHEN ({step}) = 1 THEN 1 ELSE 0 END"
+    return f"""tk{sfx} AS (
+            SELECT w, 1 AS pos, 0 AS cnt, 0 AS unk FROM words
+            UNION ALL
+            SELECT w, pos + {step}, cnt + 1, unk + {unk}
+            FROM tk{sfx} WHERE pos <= length(w)
+        ),
+        wc{sfx} AS (
+            SELECT w, MAX(cnt) AS pieces, MAX(unk) AS unk
+            FROM tk{sfx} GROUP BY 1
+        )"""
+
+
+def _q360_oracle() -> str:
+    chains = ",\n        ".join(
+        _q360_wc_sql(str(i), u4, u3, u2)
+        for i, (_, u4, u3, u2) in enumerate(_Q360_LEVELS)
+    )
+    unions = "\n            UNION ALL\n".join(
+        f"""            SELECT '{lvl}' AS level, ws.source,
+                   ws.c, ws.c * wc{i}.pieces AS p, ws.c * wc{i}.unk AS u
+            FROM ws JOIN wc{i} ON ws.w = wc{i}.w"""
+        for i, (lvl, _, _, _) in enumerate(_Q360_LEVELS)
+    )
+    return f"""
+        WITH RECURSIVE
+        tok AS (
+            SELECT source,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        ),
+        ws AS MATERIALIZED (
+            SELECT w, source, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok WHERE length(w) >= 1 GROUP BY 1, 2
+        ),
+        words AS MATERIALIZED (SELECT DISTINCT w FROM ws),
+        {chains},
+        lv AS (
+{unions}
+        )
+        SELECT level, source,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(SUM(p) AS BIGINT) AS n_pieces,
+               CAST(SUM(u) AS BIGINT) AS n_fallback,
+               round(CAST(SUM(p) AS DOUBLE) / SUM(c), 6) AS fertility,
+               round(CAST(SUM(u) AS DOUBLE) / SUM(p), 6) AS fallback_rate
+        FROM lv GROUP BY 1, 2
+    """
+
+
+@query("q360_vocab_ablation_sweep", oracle=_q360_oracle())
+def q360_vocab_ablation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does each vocabulary block BUY? The q341 sweep discipline
+    applied to the subword tokenizer: re-run q328's greedy
+    longest-match consumption under nested vocabulary prefixes —
+    char-fallback only, 2-gram block, 2+3-gram, full — and report per
+    (level, source) the fertility (pieces per word) and fallback rate
+    the corpus would see. This is the measurement behind a vocab-size
+    decision (the compression each additional block adds, per
+    source); q338 reports the FULL vocab's coverage, this is its
+    ablation curve. 'none' is the exact upper bound (every char a
+    fallback piece, fertility = chars/word, fallback_rate 1.0 — both
+    pinned by test); 'full' reproduces q328's totals (cross-checked
+    by test against the registered query).
+
+    Scale shape: the per-(word, source) occurrence relation is
+    aggregated ONCE; each ablation level folds over the DISTINCT word
+    list only (the q328 sublinear-vocabulary property times a
+    4-level constant), and the rollup is a join back on the word key.
+    No UDFs — the fold is the same whole-stage-codegen ``aggregate``
+    expression, parameterized by vocab blocks."""
+    from databricks_etl_spark.operators.text import (
+        SUBWORD_VOCAB_2,
+        SUBWORD_VOCAB_3,
+        SUBWORD_VOCAB_4,
+        subword_piece_stats,
+        tokens_col,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    ws = (
+        d.select("source", F.explode(tokens_col("text")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    words = ws.select("w").distinct()
+    levels = []
+    for lvl, u4, u3, u2 in _Q360_LEVELS:
+        st = subword_piece_stats(
+            F.col("w"),
+            v4=SUBWORD_VOCAB_4 if u4 else (),
+            v3=SUBWORD_VOCAB_3 if u3 else (),
+            v2=SUBWORD_VOCAB_2 if u2 else (),
+        )
+        wc = words.select(
+            "w",
+            st.getField("cnt").cast("long").alias("pieces"),
+            st.getField("unk").cast("long").alias("unk"),
+        )
+        levels.append(
+            ws.join(wc, "w").select(
+                F.lit(lvl).alias("level"),
+                "source",
+                "c",
+                (F.col("c") * F.col("pieces")).alias("p"),
+                (F.col("c") * F.col("unk")).alias("u"),
+            )
+        )
+    lv = reduce(lambda a, b: a.unionAll(b), levels)
+    return lv.groupBy("level", "source").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum("p").cast("long").alias("n_pieces"),
+        F.sum("u").cast("long").alias("n_fallback"),
+        F.round(F.sum("p").cast("double") / F.sum("c"), 6).alias("fertility"),
+        F.round(F.sum("u").cast("double") / F.sum("p"), 6).alias(
+            "fallback_rate"
+        ),
+    )

@@ -746,3 +746,57 @@ def test_q359_calibration_curves(spark):
         assert 0 <= r.n_true_within <= r.n_true_pairs
         assert 0 <= r.n_rand_within <= r.n_rand_pairs
         assert r.true_recall >= r.rand_within_rate
+
+
+def test_q360_ablation_bounds_and_full_level_matches_q328(spark):
+    """'none' is the exact char-fallback bound (fertility =
+    chars/word, fallback_rate 1.0), every vocab level stays within
+    [1, none]'s fertility, word totals are constant across levels,
+    and the 'full' level reproduces the registered q328's corpus
+    piece total exactly."""
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round9 import (
+        q328_subword_tokenize,
+    )
+    from databricks_etl_spark.plans.queries_round10 import (
+        q360_vocab_ablation_sweep,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = q360_vocab_ablation_sweep(spark, SMOKE_SF_DIR).collect()
+    by_level: dict[str, list] = {}
+    for r in rows:
+        by_level.setdefault(r.level, []).append(r)
+    assert set(by_level) == {"none", "2gram", "2+3gram", "full"}
+    words_by_src = {
+        (r.level, r.source): r.n_words for r in rows
+    }
+    sources = {r.source for r in rows}
+    for s in sources:
+        counts = {words_by_src[(lvl, s)] for lvl in by_level}
+        assert len(counts) == 1
+
+    for r in by_level["none"]:
+        assert r.fallback_rate == 1.0
+        assert r.n_fallback == r.n_pieces
+    none_pieces = {r.source: r.n_pieces for r in by_level["none"]}
+    for lvl in ("2gram", "2+3gram", "full"):
+        for r in by_level[lvl]:
+            assert r.n_words <= r.n_pieces <= none_pieces[r.source]
+            assert 0.0 <= r.fallback_rate <= 1.0
+
+    # 'none' pieces == total chars of length>=1 words, independently
+    d = read_table(spark, SMOKE_SF_DIR, "documents")
+    chars = (
+        d.select(F.explode(tokens_col("text")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .agg(F.sum(F.length("w")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert sum(r.n_pieces for r in by_level["none"]) == chars
+
+    q328_total = q328_subword_tokenize(spark, SMOKE_SF_DIR).agg(
+        F.sum("n_subword_tokens").alias("n")
+    ).collect()[0].n
+    assert sum(r.n_pieces for r in by_level["full"]) == q328_total
