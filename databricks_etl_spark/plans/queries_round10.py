@@ -1993,18 +1993,29 @@ def q355_repetition_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-back co-partitioned on h from the first groupBy; output is
     sources x 4 buckets. No windows, no all-pairs, occurrence counts
     (not strings) are all that survives the first exchange."""
+    d = read_table(spark, sf_dir, "documents")
+    return _q355_spectrum_rollup(_q355_shingle_counts(d))
+
+
+def _q355_shingle_counts(docs: DataFrame) -> DataFrame:
+    """(h, source, c): md5-keyed {_Q355_W}-token shingle occurrence
+    counts — the associative partial the streaming lane (q361)
+    accumulates per micro-batch."""
     from databricks_etl_spark.operators.text import shingle_array, tokens_col
 
-    d = read_table(spark, sf_dir, "documents")
-    sg = d.select(
+    sg = docs.select(
         "source",
-        F.explode(
-            shingle_array(tokens_col("text"), _Q355_W)
-        ).alias("s"),
+        F.explode(shingle_array(tokens_col("text"), _Q355_W)).alias("s"),
     ).select("source", F.md5(F.col("s")).alias("h"))
-    g = sg.groupBy("h", "source").agg(
+    return sg.groupBy("h", "source").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+
+
+def _q355_spectrum_rollup(g: DataFrame) -> DataFrame:
+    """The multiplicity bucketing + per-source rollup over an
+    (h, source, c) relation — SHARED by batch q355 and the streaming
+    drain q361 so the spectrum rule cannot drift between paths."""
     m = g.groupBy("h").agg(F.sum("c").alias("mult"))
     j = g.join(m, "h").select(
         "source",
@@ -2636,3 +2647,30 @@ def q360_vocab_ablation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fallback_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q361 — streaming repetition spectrum (ingest-time ≡ batch q355)
+# ---------------------------------------------------------------------------
+
+
+@query("q361_streaming_repetition_spectrum", oracle=_q355_oracle())
+def q361_streaming_repetition_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The q355 memorization-risk spectrum maintained AT INGEST — the
+    round's streaming lane, and a stronger discipline than q336's:
+    repetition is corpus-GLOBAL (a shingle's multiplicity sums over
+    every batch ever ingested), so the stream lands each micro-batch's
+    ASSOCIATIVE (shingle-hash, source, count) partial in an
+    epoch-idempotent sink — the sink IS the cross-batch state, bounded
+    by distinct keys, no in-memory state store — and the drain
+    re-aggregates before the SHARED spectrum rollup
+    (``streaming/repetition.py``). Counting is associative, so the
+    drain is slicing-invariant and registers with q355's OWN oracle
+    SQL: the streaming path itself is driver-hash-checked."""
+    from databricks_etl_spark.streaming.repetition import (
+        run_streaming_repetition_spectrum,
+    )
+
+    return run_streaming_repetition_spectrum(spark, sf_dir)

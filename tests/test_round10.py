@@ -800,3 +800,68 @@ def test_q360_ablation_bounds_and_full_level_matches_q328(spark):
         F.sum("n_subword_tokens").alias("n")
     ).collect()[0].n
     assert sum(r.n_pieces for r in by_level["full"]) == q328_total
+
+
+def test_q361_slicing_invariance_and_replay(spark, tmp_path):
+    """The streaming repetition drain equals batch q355 under a
+    FORCED two-epoch slicing — the cross-batch accumulation actually
+    exercised, unlike the per-doc-independent q336 case — and
+    re-delivering an epoch (at-least-once failure mode) leaves the
+    drained spectrum unchanged (partials overwrite their own epoch
+    partition: exactly-once)."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        q355_repetition_spectrum,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+    from databricks_etl_spark.streaming.repetition import (
+        _PARTIAL_SCHEMA,
+        drain_repetition_spectrum,
+        make_repetition_epoch,
+    )
+
+    d = read_table(spark, SMOKE_SF_DIR, "documents")
+    path = str(tmp_path / "rep_partials")
+    spark.createDataFrame([], _PARTIAL_SCHEMA).write.mode(
+        "overwrite"
+    ).partitionBy("__epoch").parquet(path)
+
+    ingest = make_repetition_epoch(path)
+    half_a = d.filter(F.col("doc_id") % 2 == 0)
+    half_b = d.filter(F.col("doc_id") % 2 == 1)
+    ingest(half_a, 0)
+    ingest(half_b, 1)
+
+    def drained():
+        return sorted(
+            map(tuple, drain_repetition_spectrum(spark, path).collect())
+        )
+
+    first = drained()
+    batch = sorted(
+        map(tuple, q355_repetition_spectrum(spark, SMOKE_SF_DIR).collect())
+    )
+    assert first == batch
+
+    ingest(half_b, 1)  # re-delivery of epoch 1
+    assert drained() == first
+
+    # planted cross-epoch accumulation: the same 5-token shingle
+    # arrives in two different epochs (one doc each) — the drain must
+    # SUM the partials into multiplicity 2 ('dup'), which no single
+    # epoch can report alone
+    path2 = str(tmp_path / "rep_planted")
+    spark.createDataFrame([], _PARTIAL_SCHEMA).write.mode(
+        "overwrite"
+    ).partitionBy("__epoch").parquet(path2)
+    ingest2 = make_repetition_epoch(path2)
+    mk = lambda i: spark.createDataFrame(  # noqa: E731
+        [(i, "srcP", "alpha beta gamma delta epsilon")],
+        "doc_id long, source string, text string",
+    )
+    ingest2(mk(1), 0)
+    ingest2(mk(2), 1)
+    planted = drain_repetition_spectrum(spark, path2).collect()
+    assert len(planted) == 1
+    row = planted[0]
+    assert (row.source, row.bucket) == ("srcP", "dup")
+    assert row.n_occurrences == 2 and row.n_distinct_shingles == 1
