@@ -2674,3 +2674,273 @@ def q361_streaming_repetition_spectrum(
     )
 
     return run_streaming_repetition_spectrum(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q362 — full ANN serving stack: IVF probe → PQ rank → exact re-rank
+# ---------------------------------------------------------------------------
+
+_Q362_P = 2  # cells probed
+_Q362_M = 50  # PQ candidates re-ranked
+
+
+def _q362_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import (
+        _Q285_CENTS,
+        _Q285_D2,
+        _Q285_DOT,
+    )
+    from databricks_etl_spark.plans.queries_round8 import _q316_chain
+
+    vals = ", ".join(f"({j}, {c})" for j, c in enumerate(_Q285_CENTS))
+    qd2 = _Q285_D2.replace("embedding", "__qe")
+    sim_exact = (
+        f"round({_Q285_DOT.format(a='q.__qe', b='c.embedding')}"
+        f" / (sqrt({_Q285_DOT.format(a='q.__qe', b='q.__qe')})"
+        f" * sqrt({_Q285_DOT.format(a='c.embedding', b='c.embedding')})), 6)"
+    )
+    sim_pq = (
+        f"round({_Q285_DOT.format(a='q.__qe', b='r.rv')}"
+        f" / (sqrt({_Q285_DOT.format(a='q.__qe', b='q.__qe')})"
+        f" * sqrt({_Q285_DOT.format(a='r.rv', b='r.rv')})), 6)"
+    )
+    return f"""
+        WITH {_q316_chain()},
+        cents(cid, cvec) AS (VALUES {vals}),
+        asg AS (
+            SELECT vec_id, CAST(cid AS INT) AS cell_id FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY {_Q285_D2.replace('c[i]', 'cvec[i]')}, cid
+                       ) AS rn
+                FROM embeddings, cents
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS qid, embedding AS __qe
+              FROM embeddings WHERE vec_id < 20),
+        probed AS (
+            SELECT qid, CAST(cid AS INT) AS cell_id FROM (
+                SELECT q.qid, cents.cid,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY {qd2.replace('c[i]', 'cvec[i]')}, cid
+                       ) AS rn
+                FROM q, cents
+            ) WHERE rn <= {_Q362_P}
+        ),
+        se AS (
+            SELECT q.qid, c.vec_id AS nid, a.cell_id, {sim_exact} AS sim
+            FROM q
+            JOIN embeddings c ON q.qid <> c.vec_id
+            JOIN asg a ON c.vec_id = a.vec_id
+        ),
+        sp AS (
+            SELECT q.qid, r.vec_id AS nid, {sim_pq} AS sim
+            FROM q JOIN rec r ON q.qid <> r.vec_id
+        ),
+        truth AS (
+            SELECT qid, nid, rk, cell_id FROM (
+                SELECT qid, nid, cell_id, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+                FROM se
+            ) WHERE rk <= 10
+        ),
+        pool AS (
+            SELECT qid, nid FROM (
+                SELECT se.qid, se.nid, row_number() OVER (
+                    PARTITION BY se.qid ORDER BY sp.sim DESC, sp.nid
+                ) AS pqrk
+                FROM se
+                JOIN probed p ON se.qid = p.qid AND se.cell_id = p.cell_id
+                JOIN sp ON se.qid = sp.qid AND se.nid = sp.nid
+            ) WHERE pqrk <= {_Q362_M}
+        ),
+        per AS (
+            SELECT t.qid,
+                   CAST(round(SUM(CASE WHEN pr.qid IS NOT NULL
+                                       THEN 1 ELSE 0 END) / 10.0, 6)
+                        AS DECIMAL(18,9)) AS cellr,
+                   CAST(round(SUM(CASE WHEN pl.qid IS NOT NULL
+                                       THEN 1 ELSE 0 END) / 10.0, 6)
+                        AS DECIMAL(18,9)) AS stackr,
+                   CAST(MAX(CASE WHEN t.rk = 1 AND pl.qid IS NOT NULL
+                                 THEN 1.0 ELSE 0.0 END)
+                        AS DECIMAL(18,9)) AS top1
+            FROM truth t
+            LEFT JOIN probed pr
+              ON t.qid = pr.qid AND t.cell_id = pr.cell_id
+            LEFT JOIN pool pl ON t.qid = pl.qid AND t.nid = pl.nid
+            GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               round(CAST(SUM(cellr) AS DOUBLE) / COUNT(*), 6)
+                   AS cell_recall_at_10,
+               round(CAST(SUM(stackr) AS DOUBLE) / COUNT(*), 6)
+                   AS stack_recall_at_10,
+               round(CAST(SUM(top1) AS DOUBLE) / COUNT(*), 6)
+                   AS stack_top1_recall
+        FROM per
+    """
+
+
+@query("q362_ann_stack_eval", oracle=_q362_oracle())
+def q362_ann_stack_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION retrieval stack evaluated end to end, with the
+    loss attributed by stage: IVF coarse probe (q285's comb quantizer,
+    n_probe={_Q362_P}) restricts the corpus, PQ asymmetric distance
+    (q316's 8-byte codes) ranks the probed candidates, the top
+    {_Q362_M} re-rank by exact similarity. ``cell_recall_at_10`` is
+    the ceiling the probe alone allows; ``stack_recall_at_10`` is what
+    survives PQ truncation on top — the gap is PQ's fault, not the
+    probe's, which is exactly the attribution an index-tuning decision
+    needs (q341 sweeps the probe axis, q352 the re-rank axis; this
+    composes the stages the way a serving system actually chains
+    them). Exact re-rank means a truth item in the pool always
+    surfaces (the q352 argument), so stack <= cell by construction
+    (tested), and both metrics sit against the same brute-force truth
+    as q310/q317.
+
+    Scale shape: centroids and the 20-query set broadcast; PQ codes
+    reconstruct from 8 bytes/vector; the only corpus-sized relations
+    are the two scored passes (truth is an audited EVAL, documented as
+    such); every window partitions by query id."""
+    from databricks_etl_spark.operators.similarity import (
+        assign_cells,
+        cosine,
+        pq_assign,
+        pq_reconstruct,
+    )
+    from databricks_etl_spark.plans.queries_round7 import _Q285_CENTS
+    from databricks_etl_spark.plans.queries_round8 import (
+        _Q316_CB,
+        _Q316_K,
+        _Q316_M,
+        _Q316_SUB,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
+    )
+    cells = assign_cells(e, cents).localCheckpoint()
+    cb = spark.createDataFrame(
+        [
+            (m, k, _Q316_CB[m][k])
+            for m in range(_Q316_M)
+            for k in range(_Q316_K)
+        ],
+        "m int, k int, cw array<double>",
+    )
+    rec = pq_reconstruct(pq_assign(e, cb, _Q316_M, _Q316_SUB))
+    qv = cells.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qe")
+    )
+    qd2 = F.aggregate(
+        F.zip_with(
+            F.col("__qe"),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("qid").orderBy(qd2.asc(), F.col("cid").asc())
+    probed = (
+        qv.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _Q362_P)
+        .select("qid", F.col("cid").alias("cell_id"))
+    )
+    base = cells.join(rec, "vec_id").select(
+        F.col("vec_id").alias("nid"),
+        "cell_id",
+        "embedding",
+        "reconstructed",
+    )
+    s = (
+        base.crossJoin(F.broadcast(qv))
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            "cell_id",
+            F.round(cosine(F.col("__qe"), F.col("embedding")), 6).alias("sim"),
+            F.round(cosine(F.col("__qe"), F.col("reconstructed")), 6).alias(
+                "psim"
+            ),
+        )
+        .localCheckpoint()  # one scored pass feeds truth, probe and pool
+    )
+    wt = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    truth = (
+        s.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "nid", "rk", "cell_id")
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("psim"), F.asc("nid"))
+    pool = (
+        s.join(
+            F.broadcast(
+                probed.select(
+                    F.col("qid").alias("__pq"),
+                    F.col("cell_id").alias("__pc"),
+                )
+            ),
+            (F.col("qid") == F.col("__pq")) & (F.col("cell_id") == F.col("__pc")),
+        )
+        .select(s.qid, s.nid, "psim")
+        .withColumn("pqrk", F.row_number().over(wp))
+        .filter(F.col("pqrk") <= _Q362_M)
+        .select(F.col("qid").alias("__lq"), F.col("nid").alias("__ln"))
+    )
+    pr = probed.select(
+        F.col("qid").alias("__rq"), F.col("cell_id").alias("__rc")
+    )
+    per = (
+        truth.join(
+            pr,
+            (F.col("qid") == F.col("__rq")) & (F.col("cell_id") == F.col("__rc")),
+            "left",
+        )
+        .join(
+            pool,
+            (F.col("qid") == F.col("__lq")) & (F.col("nid") == F.col("__ln")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("__rq").isNotNull(), 1).otherwise(0)) / 10.0,
+                6,
+            )
+            .cast("decimal(18,9)")
+            .alias("cellr"),
+            F.round(
+                F.sum(F.when(F.col("__lq").isNotNull(), 1).otherwise(0)) / 10.0,
+                6,
+            )
+            .cast("decimal(18,9)")
+            .alias("stackr"),
+            F.max(
+                F.when(
+                    (F.col("rk") == 1) & F.col("__lq").isNotNull(), 1.0
+                ).otherwise(0.0)
+            )
+            .cast("decimal(18,9)")
+            .alias("top1"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return per.agg(
+        n.cast("long").alias("n_queries"),
+        F.round(F.sum("cellr").cast("double") / n, 6).alias(
+            "cell_recall_at_10"
+        ),
+        F.round(F.sum("stackr").cast("double") / n, 6).alias(
+            "stack_recall_at_10"
+        ),
+        F.round(F.sum("top1").cast("double") / n, 6).alias(
+            "stack_top1_recall"
+        ),
+    )

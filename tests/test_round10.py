@@ -865,3 +865,24 @@ def test_q361_slicing_invariance_and_replay(spark, tmp_path):
     row = planted[0]
     assert (row.source, row.bucket) == ("srcP", "dup")
     assert row.n_occurrences == 2 and row.n_distinct_shingles == 1
+
+
+def test_q362_stage_attribution_invariants(spark):
+    """The stack's recall is bounded above by the probe ceiling
+    (pool subset of probed cells; exact re-rank never evicts a truth
+    item), the probe=2 ceiling dominates q310's registered n_probe=1
+    recall, all metrics live in [0, 1], and the query count matches
+    q310's."""
+    from databricks_etl_spark.plans.queries_round7 import (
+        q310_ann_recall_mrr,
+    )
+    from databricks_etl_spark.plans.queries_round10 import (
+        q362_ann_stack_eval,
+    )
+
+    row = q362_ann_stack_eval(spark, SMOKE_SF_DIR).collect()[0]
+    base = q310_ann_recall_mrr(spark, SMOKE_SF_DIR).collect()[0]
+    assert row.n_queries == base.n_queries
+    assert 0.0 <= row.stack_recall_at_10 <= row.cell_recall_at_10 <= 1.0
+    assert row.cell_recall_at_10 >= base.mean_recall_at_10 - 1e-9
+    assert 0.0 <= row.stack_top1_recall <= 1.0
