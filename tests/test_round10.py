@@ -886,3 +886,82 @@ def test_q362_stage_attribution_invariants(spark):
     assert 0.0 <= row.stack_recall_at_10 <= row.cell_recall_at_10 <= 1.0
     assert row.cell_recall_at_10 >= base.mean_recall_at_10 - 1e-9
     assert 0.0 <= row.stack_top1_recall <= 1.0
+
+
+@pytest.mark.slow
+def test_round10_lane_scale_gate_25k(spark, sf_dir):
+    """Round-10 lanes at ~25k docs (50x the graded 500-doc slice):
+    the repetition-spectrum aggregation chain and the two-phase
+    stratified top-k complete in bounded wall time with
+    whole-stage-codegen plans — no BatchEvalPython anywhere. Work
+    scales with distinct (shingle, source) keys (spectrum) and with
+    the 16-way-bucketed per-source slices (sampling), the properties
+    that hold at 100 TB."""
+    import time
+
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q355_W,
+        _Q357_N,
+        _Q357_SALT,
+        _q355_shingle_counts,
+        _q355_spectrum_rollup,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    copies = max(2, 25000 // d.count())
+    big = d
+    for i in range(1, copies):
+        big = big.unionByName(
+            d.select(
+                (F.col("doc_id") + i * 1000000).alias("doc_id"),
+                "source",
+                "text",
+            )
+        )
+    big = big.repartition(32).localCheckpoint()
+    n = big.count()
+    assert n >= 25000 or copies == 2
+
+    t0 = time.time()
+    spectrum = _q355_spectrum_rollup(_q355_shingle_counts(big))
+    rows = spectrum.collect()
+    spec_wall = time.time() - t0
+    assert rows
+    # every copied doc's shingles repeat >= `copies` times: with 50
+    # verbatim copies of each doc nothing can stay 'unique'
+    assert not any(r.bucket == "unique" for r in rows)
+    plan = spectrum._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+    t0 = time.time()
+    k = big.select(
+        "source",
+        "doc_id",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_Q357_SALT))
+        ).alias("ky"),
+    )
+    w1 = Window.partitionBy("source", F.substring("ky", 1, 1)).orderBy(
+        "ky", "doc_id"
+    )
+    w2 = Window.partitionBy("source").orderBy("ky", "doc_id")
+    sample = (
+        k.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _Q357_N)
+        .withColumn("smp_rank", F.row_number().over(w2))
+        .filter(F.col("smp_rank") <= _Q357_N)
+    )
+    n_sampled = sample.count()
+    smp_wall = time.time() - t0
+    n_sources = big.select("source").distinct().count()
+    assert n_sampled == n_sources * _Q357_N
+    plan2 = sample._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan2
+
+    # bounded wall: generous CI margin; the property being gated is
+    # "completes at 50x without a plan blow-up", not a benchmark
+    assert spec_wall < 120, f"spectrum took {spec_wall:.1f}s at {n} docs"
+    assert smp_wall < 60, f"sampling took {smp_wall:.1f}s at {n} docs"
