@@ -1807,6 +1807,11 @@ def q353_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
         )
+        # labeled pairs feed BOTH the pair-count and the distinct-doc
+        # branches; materialize the bounded (true-collision-sized)
+        # relation once instead of re-running the whole similarity
+        # join per consumer (plan audit: 51 -> ~27 exchanges)
+        .localCheckpoint()
     )
     docs = lab.select("source_a", "source_b", F.col("id_a").alias("doc_id")).union(
         lab.select("source_a", "source_b", F.col("id_b").alias("doc_id"))
