@@ -2949,3 +2949,169 @@ def q362_ann_stack_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack_top1_recall"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q363 — incremental dup-flow maintenance (frozen posting index)
+# ---------------------------------------------------------------------------
+
+_Q363_B = 20_000_000_000  # delta re-identification offset
+_Q363_DF = 100  # posting-list cap, FROZEN at corpus state
+_Q363_T = 0.5  # Jaccard threshold (q353's)
+
+
+def _q363_oracle() -> str:
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    return f"""
+        WITH i0 AS (
+            SELECT doc_id, unnest(list_distinct({_TOKS})) AS item
+            FROM documents
+        ),
+        keep AS (
+            SELECT item FROM i0 GROUP BY item
+            HAVING COUNT(*) <= {_Q363_DF}
+        ),
+        i AS (SELECT i0.doc_id, i0.item FROM i0 JOIN keep USING (item)),
+        szc AS (SELECT doc_id, COUNT(*) AS n FROM i GROUP BY 1),
+        corpus_vocab AS (SELECT DISTINCT item FROM i0),
+        delta AS (
+            SELECT doc_id + {_Q363_B} AS delta_id, source,
+                   CASE WHEN doc_id % 14 = 3 THEN text
+                        ELSE array_to_string(list_transform({_TOKS},
+                            t -> substr(md5(t), 1, 8)), ' ')
+                   END AS text
+            FROM documents WHERE doc_id % 7 = 3
+        ),
+        di0 AS (
+            SELECT delta_id, source,
+                   unnest(list_distinct({_TOKS})) AS item
+            FROM delta
+        ),
+        di AS (
+            -- frozen-index admission: corpus-kept items probe the
+            -- persisted postings; items the corpus has NEVER seen are
+            -- admitted (new vocabulary); corpus-capped hub items stay
+            -- dropped — the index is not re-built
+            SELECT d.delta_id, d.source, d.item
+            FROM di0 d
+            LEFT JOIN corpus_vocab cv ON d.item = cv.item
+            LEFT JOIN keep k ON d.item = k.item
+            WHERE cv.item IS NULL OR k.item IS NOT NULL
+        ),
+        szd AS (SELECT delta_id, COUNT(*) AS n FROM di GROUP BY 1),
+        sh AS (
+            SELECT di.delta_id, di.source AS delta_source,
+                   i.doc_id AS corpus_id, COUNT(*) AS shared
+            FROM di JOIN i ON di.item = i.item
+            GROUP BY 1, 2, 3
+        ),
+        pr AS (
+            SELECT sh.delta_id, sh.delta_source, sh.corpus_id
+            FROM sh
+            JOIN szd ON sh.delta_id = szd.delta_id
+            JOIN szc ON sh.corpus_id = szc.doc_id
+            WHERE CAST(sh.shared AS DOUBLE)
+                  / (szd.n + szc.n - sh.shared) >= {_Q363_T}
+        ),
+        lab AS (
+            SELECT p.delta_source, d.source AS corpus_source,
+                   p.delta_id, p.corpus_id
+            FROM pr p JOIN documents d ON p.corpus_id = d.doc_id
+        )
+        SELECT delta_source, corpus_source,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT delta_id) AS BIGINT) AS n_delta_docs,
+               CAST(COUNT(DISTINCT corpus_id) AS BIGINT) AS n_corpus_docs
+        FROM lab GROUP BY 1, 2
+    """
+
+
+@query("q363_incremental_dup_flow", oracle=_q363_oracle())
+def q363_incremental_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q353's provenance matrix kept FRESH as a crawl batch lands,
+    at delta cost: a batch of new documents (every doc_id % 7 == 3,
+    re-identified; half verbatim re-crawls, half vocabulary-rewritten
+    novel text) probes the PERSISTED unigram posting index — the
+    corpus is never re-tokenized, re-capped, or self-joined. The index
+    freeze is the honest production semantics (q327's discipline):
+    corpus-capped hub items stay dropped, corpus-unseen items are
+    admitted as new vocabulary, and the matrix this emits is the
+    directional (delta_source -> corpus_source) flow of the incoming
+    batch — who the new crawl copied from — with the delta x delta
+    class deferred to the next index rebuild (documented, as q327
+    defers survivor re-scoring to q335).
+
+    Scale shape: every corpus-sized relation is the persisted index
+    (postings + per-doc set sizes); all NEW work is delta-sized or
+    delta x posting-bounded (the frozen cap bounds every item's
+    posting list at {_Q363_DF}). One item-keyed join, one grouped
+    count, no windows."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens_col("text"))
+    i0 = d.select("doc_id", F.explode(toks).alias("item"))
+    keep = (
+        i0.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _Q363_DF)
+        .select("item")
+    )
+    i = i0.join(keep, "item").localCheckpoint()  # the persisted index
+    szc = i.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc"))
+    corpus_vocab = i0.select("item").distinct()
+
+    rewritten = F.array_join(
+        F.transform(
+            tokens_col("text"), lambda t: F.substring(F.md5(t), 1, 8)
+        ),
+        " ",
+    )
+    delta = d.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + _Q363_B).alias("delta_id"),
+        "source",
+        F.when(F.col("doc_id") % 14 == 3, F.col("text"))
+        .otherwise(rewritten)
+        .alias("text"),
+    )
+    di0 = delta.select(
+        "delta_id", "source", F.explode(toks).alias("item")
+    )
+    di = (
+        di0.join(
+            corpus_vocab.withColumn("__seen", F.lit(True)), "item", "left"
+        )
+        .join(keep.withColumn("__kept", F.lit(True)), "item", "left")
+        .filter(F.col("__seen").isNull() | F.col("__kept").isNotNull())
+        .select("delta_id", "source", "item")
+    )
+    szd = di.groupBy("delta_id").agg(F.count(F.lit(1)).alias("nd"))
+    sh = (
+        di.join(i, "item")
+        .groupBy(
+            "delta_id", F.col("source").alias("delta_source"),
+            F.col("doc_id").alias("corpus_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    pr = (
+        sh.join(szd, "delta_id")
+        .join(szc, sh.corpus_id == szc.doc_id)
+        .filter(
+            F.col("shared").cast("double")
+            / (F.col("nd") + F.col("nc") - F.col("shared"))
+            >= _Q363_T
+        )
+        .select("delta_id", "delta_source", "corpus_id")
+    )
+    lab = pr.join(
+        d.select(F.col("doc_id").alias("corpus_id"),
+                 F.col("source").alias("corpus_source")),
+        "corpus_id",
+    )
+    return lab.groupBy("delta_source", "corpus_source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("delta_id").cast("long").alias("n_delta_docs"),
+        F.countDistinct("corpus_id").cast("long").alias("n_corpus_docs"),
+    )

@@ -965,3 +965,51 @@ def test_round10_lane_scale_gate_25k(spark, sf_dir):
     # "completes at 50x without a plan blow-up", not a benchmark
     assert spec_wall < 120, f"spectrum took {spec_wall:.1f}s at {n} docs"
     assert smp_wall < 60, f"sampling took {smp_wall:.1f}s at {n} docs"
+
+
+def test_q363_verbatim_recrawls_found_rewrites_clean(spark):
+    """The frozen-index probe finds every verbatim re-crawl whose
+    origin survives the posting cap (J = 1 with itself), and the
+    vocabulary-rewritten half contributes no pairs (its items are
+    corpus-unseen by construction) — so every matrix cell is
+    delta-batch provenance, and each verbatim delta doc pairs with at
+    least its own origin."""
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q363_B,
+        _Q363_DF,
+        q363_incremental_dup_flow,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = q363_incremental_dup_flow(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    d = read_table(spark, SMOKE_SF_DIR, "documents")
+    # origins whose kept-item set is non-empty (cap survivors)
+    i0 = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("item")
+    )
+    keep = (
+        i0.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _Q363_DF)
+        .select("item")
+    )
+    viable = {
+        r.doc_id
+        for r in i0.join(keep, "item").select("doc_id").distinct().collect()
+    }
+    verbatim_origins = {
+        r.doc_id
+        for r in d.filter("doc_id % 14 = 3").select("doc_id").collect()
+    }
+    expected_hits = verbatim_origins & viable
+    # every viable verbatim origin must appear among the matrix's
+    # delta docs (J=1 with itself)
+    n_delta_docs = sum(r.n_delta_docs for r in rows)
+    assert n_delta_docs >= len({o + _Q363_B for o in expected_hits}) > 0
+    # directional matrix: sources are raw labels, no least/greatest
+    srcs = {r.source for r in d.select("source").distinct().collect()}
+    for r in rows:
+        assert r.delta_source in srcs and r.corpus_source in srcs
+        assert r.n_pairs >= max(r.n_delta_docs, r.n_corpus_docs) > 0
