@@ -3115,3 +3115,104 @@ def q363_incremental_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("delta_id").cast("long").alias("n_delta_docs"),
         F.countDistinct("corpus_id").cast("long").alias("n_corpus_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q364 — eval-sample n-gram novelty vs the training remainder
+# ---------------------------------------------------------------------------
+
+
+def _q364_oracle() -> str:
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    o357 = QUERIES["q357_stratified_eval_sample"].oracle
+    shingle = " || ' ' || ".join(f"toks[i+{k}]" for k in range(_Q355_W))
+    return f"""
+        WITH smp AS MATERIALIZED (
+            SELECT source, doc_id FROM ({o357})
+        ),
+        tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        esh AS (
+            SELECT s.source, s.doc_id,
+                   md5(unnest(list_transform(
+                       range(1, len(toks) - {_Q355_W - 2}),
+                       i -> {shingle}))) AS h
+            FROM smp s JOIN tok ON s.doc_id = tok.doc_id
+        ),
+        train_vocab AS (
+            SELECT DISTINCT md5(unnest(list_transform(
+                       range(1, len(toks) - {_Q355_W - 2}),
+                       i -> {shingle}))) AS h
+            FROM tok t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM smp WHERE smp.doc_id = t.doc_id
+            )
+        ),
+        probe AS (
+            SELECT e.source, e.doc_id, e.h,
+                   tv.h IS NOT NULL AS seen
+            FROM esh e LEFT JOIN train_vocab tv ON e.h = tv.h
+        )
+        SELECT source,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_eval_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_seen,
+               round(SUM(CASE WHEN seen THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS overlap_rate,
+               round(1.0 - SUM(CASE WHEN seen THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        FROM probe GROUP BY 1
+    """
+
+
+@query("q364_eval_ngram_novelty", oracle=_q364_oracle())
+def q364_eval_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the eval sample actually NOVEL relative to what the model
+    trains on? The graded train/eval overlap metric: every
+    {_Q355_W}-token shingle of q357's registered eval sample is probed
+    against the distinct shingle vocabulary of the TRAINING REMAINDER
+    (corpus minus the sample — the honest denominator; probing against
+    a corpus that still contains the eval docs reports overlap 1.0 by
+    construction). Per source: eval docs with >= 1 shingle, shingle
+    occurrences, how many the train side has seen, and the
+    overlap/novelty rates. q319/q337 DETECT contamination pairs; this
+    grades the eval set's residual n-gram overlap after those lanes
+    run — the number an eval-integrity review quotes.
+
+    Scale shape: the train vocabulary is one distinct-aggregate on the
+    md5 shingle key (the q355 shuffle); the probe side is QUOTA-sized
+    (sources x {_Q357_N} docs), so the join is a bounded probe against
+    the big side, never corpus x corpus. Composes two registered
+    queries (q357's sample, q355's shingle construction) so the
+    audited relation cannot drift."""
+    from databricks_etl_spark.operators.text import shingle_array, tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    smp = q357_stratified_eval_sample(spark, sf_dir).select(
+        "source", "doc_id"
+    )
+    sh = lambda df: df.select(  # noqa: E731
+        df["doc_id"],
+        F.explode(shingle_array(tokens_col("text"), _Q355_W)).alias("s"),
+    ).select(df["doc_id"], F.md5(F.col("s")).alias("h"))
+
+    esh = smp.join(d.select("doc_id", "text"), "doc_id").select(
+        "source",
+        "doc_id",
+        F.explode(shingle_array(tokens_col("text"), _Q355_W)).alias("s"),
+    ).select("source", "doc_id", F.md5(F.col("s")).alias("h"))
+    train = d.join(smp.select("doc_id"), "doc_id", "left_anti")
+    train_vocab = sh(train).select("h").distinct()
+    probe = esh.join(
+        train_vocab.withColumn("__seen", F.lit(True)), "h", "left"
+    )
+    seen = F.sum(F.when(F.col("__seen").isNotNull(), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return probe.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_eval_docs"),
+        n.cast("long").alias("n_shingles"),
+        seen.cast("long").alias("n_seen"),
+        F.round(seen / n.cast("double"), 6).alias("overlap_rate"),
+        F.round(F.lit(1.0) - seen / n.cast("double"), 6).alias("novelty"),
+    )

@@ -1013,3 +1013,43 @@ def test_q363_verbatim_recrawls_found_rewrites_clean(spark):
     for r in rows:
         assert r.delta_source in srcs and r.corpus_source in srcs
         assert r.n_pairs >= max(r.n_delta_docs, r.n_corpus_docs) > 0
+
+
+def test_q364_novelty_bounds_and_planted_dup(spark):
+    """Rates are exact complements in [0,1], eval doc counts stay
+    within the q357 quota, and the metric moves the right way: a
+    corpus where one eval doc's text also exists verbatim outside the
+    sample reports overlap 1.0 for that doc's shingles — checked by
+    re-running the probe construction on a planted micro-corpus."""
+    from databricks_etl_spark.operators.text import (
+        shingle_array,
+        tokens_col,
+    )
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q355_W,
+        _Q357_N,
+        q364_eval_ngram_novelty,
+    )
+
+    rows = q364_eval_ngram_novelty(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_eval_docs <= _Q357_N
+        assert 0 <= r.n_seen <= r.n_shingles
+        assert abs(r.overlap_rate + r.novelty - 1.0) < 2e-6
+        assert 0.0 <= r.overlap_rate <= 1.0
+
+    # planted: doc 1 (eval) == doc 2 (train) verbatim; doc 3 disjoint
+    txt = "alpha beta gamma delta epsilon zeta eta theta"
+    planted = spark.createDataFrame(
+        [(1, txt), (2, txt), (3, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    ev = planted.filter("doc_id = 1")
+    tr = planted.filter("doc_id != 1")
+    sh = lambda df: df.select(  # noqa: E731
+        F.explode(shingle_array(tokens_col("text"), _Q355_W)).alias("s")
+    ).select(F.md5("s").alias("h"))
+    ev_h = {r.h for r in sh(ev).collect()}
+    tr_h = {r.h for r in sh(tr).collect()}
+    assert ev_h and ev_h <= tr_h  # overlap 1.0 when a verbatim twin trains
