@@ -3216,3 +3216,234 @@ def q364_eval_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(seen / n.cast("double"), 6).alias("overlap_rate"),
         F.round(F.lit(1.0) - seen / n.cast("double"), 6).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q365 — dup-cluster edge-density audit (LSH-chaining detector)
+# ---------------------------------------------------------------------------
+
+
+def _q365_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _PAIRS_05
+
+    return f"""
+        WITH RECURSIVE {_PAIRS_05},
+        csz AS (
+            SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM cc GROUP BY 1
+        ),
+        ed AS (
+            SELECT cc.component, CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM pr JOIN cc ON pr.id_a = cc.id
+            GROUP BY 1
+        ),
+        cl AS (
+            SELECT csz.component, csz.n_members, ed.n_edges,
+                   CAST(round(CAST(ed.n_edges AS DOUBLE)
+                       / (csz.n_members * (csz.n_members - 1) / 2.0), 6)
+                       AS DECIMAL(18,6)) AS density
+            FROM csz JOIN ed ON csz.component = ed.component
+        ),
+        b AS (
+            SELECT CASE WHEN n_members = 2 THEN '2'
+                        WHEN n_members <= 4 THEN '3-4'
+                        WHEN n_members <= 9 THEN '5-9'
+                        ELSE '10+' END AS size_bucket,
+                   n_members, n_edges, density
+            FROM cl
+        )
+        SELECT size_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(n_members) AS BIGINT) AS n_docs,
+               CAST(SUM(n_edges) AS BIGINT) AS n_edges,
+               round(CAST(SUM(density) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_density,
+               MIN(density) + 0.0 AS min_density
+        FROM b GROUP BY 1
+    """
+
+
+@query("q365_cluster_density_audit", oracle=_q365_oracle())
+def q365_cluster_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are the dup clusters REAL duplicate groups or chaining
+    artifacts? Connectivity closure (q123) merges a~b, b~c into one
+    cluster even when a̸~c — correct for retention, but a LARGE
+    cluster held together by a thin chain of pairwise hits deletes
+    docs that never resembled each other. The audit: per cluster, the
+    edge density (observed >= -threshold pairs over member-choose-2)
+    rolled up by cluster-size bucket — density 1.0 means every member
+    pair really collides (a true duplicate clique); a fat low-density
+    tail in '10+' is the chaining signal that argues for a higher
+    threshold or a verify pass on the pair rung. Pair (2-member)
+    clusters are density 1.0 by construction, which the test pins.
+
+    Scale shape: edges attribute to their cluster by ONE id-keyed
+    join (both endpoints share the component by construction — no
+    per-pair double lookup), cluster sizes are a groupBy on the
+    label relation, per-cluster densities round@6 then decimal-sum
+    into bucket means (the README discipline). Everything after the
+    pair relation is cluster-count-sized."""
+    from databricks_etl_spark.operators.dedup import jaccard_pairs
+    from databricks_etl_spark.plans.queries_dedup import _neardup_components
+
+    d = read_table(spark, sf_dir, "documents")
+    comps = _neardup_components(spark, sf_dir).localCheckpoint()
+    pairs = jaccard_pairs(d, 0.5, ngram=1, max_df=100)
+    sz = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    ed = (
+        pairs.join(
+            comps.select(F.col("id").alias("id_a"), "component"), "id_a"
+        )
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    cl = sz.join(ed, "component").select(
+        "n_members",
+        "n_edges",
+        F.round(
+            F.col("n_edges").cast("double")
+            / (F.col("n_members") * (F.col("n_members") - 1) / 2.0),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("density"),
+    )
+    bucket = (
+        F.when(F.col("n_members") == 2, "2")
+        .when(F.col("n_members") <= 4, "3-4")
+        .when(F.col("n_members") <= 9, "5-9")
+        .otherwise("10+")
+    )
+    n = F.count(F.lit(1))
+    return cl.groupBy(bucket.alias("size_bucket")).agg(
+        n.cast("long").alias("n_clusters"),
+        F.sum("n_members").cast("long").alias("n_docs"),
+        F.sum("n_edges").cast("long").alias("n_edges"),
+        F.round(F.sum("density").cast("double") / n, 6).alias("mean_density"),
+        (F.min("density") + F.lit(0.0)).alias("min_density"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q366 — embedding-cell drift PSI between snapshots
+# ---------------------------------------------------------------------------
+
+_Q366_K = 8  # cells == len(_Q285_CENTS)
+
+
+def _q366_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import (
+        _Q285_CENTS,
+        _Q285_D2,
+    )
+
+    vals = ", ".join(f"({j}, {c})" for j, c in enumerate(_Q285_CENTS))
+    return f"""
+        WITH cents(cid, c) AS (VALUES {vals}),
+        asg AS (
+            SELECT vec_id, CAST(cid AS INT) AS cell_id,
+                   vec_id % 2 AS snap
+            FROM (
+                SELECT vec_id, embedding, cid,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY {_Q285_D2}, cid
+                       ) AS rn
+                FROM embeddings, cents
+            ) WHERE rn = 1
+        ),
+        per AS (
+            SELECT cell_id,
+                   CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b
+            FROM asg GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM per),
+        c AS (
+            SELECT cell_id, n_a, n_b,
+                   round(((CAST(n_a AS DOUBLE) + 1.0)
+                              / (CAST(ta AS DOUBLE) + {_Q366_K}.0)
+                          - (CAST(n_b AS DOUBLE) + 1.0)
+                              / (CAST(tb AS DOUBLE) + {_Q366_K}.0))
+                         * ln(((CAST(n_a AS DOUBLE) + 1.0)
+                               / (CAST(ta AS DOUBLE) + {_Q366_K}.0))
+                              / ((CAST(n_b AS DOUBLE) + 1.0)
+                                 / (CAST(tb AS DOUBLE) + {_Q366_K}.0))),
+                         6) + 0.0 AS psi_contrib
+            FROM per, tot
+        ),
+        s AS (
+            SELECT round(CAST(SUM(CAST(psi_contrib AS DECIMAL(18,6)))
+                              AS DOUBLE), 6) + 0.0 AS psi_total
+            FROM c
+        )
+        SELECT c.cell_id, c.n_a, c.n_b, c.psi_contrib, s.psi_total
+        FROM c, s
+    """
+
+
+@query("q366_embedding_cell_drift", oracle=_q366_oracle())
+def q366_embedding_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring in EMBEDDING space: q311's PSI discipline
+    (Laplace-smoothed shares, cross-engine-exact ln, round-then-
+    decimal-sum) applied to the coarse-quantizer cell histogram —
+    even/odd vec_id halves playing two crawl snapshots over q285's
+    fixed comb cells. Vocabulary PSI (q311) catches token-mass shifts;
+    a semantic shift that keeps the vocabulary (paraphrase spam, topic
+    rebalance, embedding-model version skew) moves the CELL mass
+    first, and this is the alarm the incremental lanes (q327/q363)
+    gate on before accepting a batch against a stale index.
+
+    Scale shape: cell assignment is the broadcast-centroid argmin
+    (never a data-sized window), the histogram is one {_Q366_K}-row
+    groupBy, and everything after it is constant-sized."""
+    from databricks_etl_spark.operators.similarity import assign_cells
+    from databricks_etl_spark.plans.queries_round7 import _Q285_CENTS
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
+    )
+    per = (
+        assign_cells(e, cents)
+        .select("cell_id", (F.col("vec_id") % 2).alias("snap"))
+        .groupBy("cell_id")
+        .agg(
+            F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    tot = per.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    pa = (F.col("n_a").cast("double") + 1.0) / (
+        F.col("ta").cast("double") + float(_Q366_K)
+    )
+    pb = (F.col("n_b").cast("double") + 1.0) / (
+        F.col("tb").cast("double") + float(_Q366_K)
+    )
+    c = per.crossJoin(F.broadcast(tot)).select(
+        "cell_id",
+        "n_a",
+        "n_b",
+        (F.round((pa - pb) * F.log(pa / pb), 6) + F.lit(0.0)).alias(
+            "psi_contrib"
+        ),
+    )
+    s = c.agg(
+        (
+            F.round(
+                F.sum(F.col("psi_contrib").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("psi_total")
+    )
+    return c.crossJoin(F.broadcast(s))

