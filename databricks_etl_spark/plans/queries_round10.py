@@ -3447,3 +3447,159 @@ def q366_embedding_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("psi_total")
     )
     return c.crossJoin(F.broadcast(s))
+
+
+# ---------------------------------------------------------------------------
+# q367 — token-weighted realized mixture (the grain the loss sees)
+# ---------------------------------------------------------------------------
+
+
+def _q367_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _Q291_TOKS
+    from databricks_etl_spark.plans.queries_round8 import temp_weight_sql
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q326_B,
+        _q326_oracle,
+    )
+
+    o312 = QUERIES["q312_training_manifest"].oracle
+    return f"""
+        WITH shipped AS MATERIALIZED (
+            SELECT doc_id FROM ({o312}) WHERE ship
+        ),
+        pool AS (
+            SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_shipped
+            FROM shipped JOIN documents d USING (doc_id) GROUP BY 1
+        ),
+        tw AS (SELECT SUM({temp_weight_sql('n_shipped')}) AS tw FROM pool),
+        tgt AS (
+            SELECT source,
+                   round({temp_weight_sql('n_shipped')} / tw.tw, 6)
+                       AS target_share
+            FROM pool, tw
+        ),
+        ord AS MATERIALIZED (SELECT * FROM ({_q326_oracle()})),
+        dl AS (
+            SELECT doc_id, source, least({_Q291_TOKS}, {_Q326_B}) AS len
+            FROM documents
+        ),
+        slots AS (
+            SELECT o.epoch, dl.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_doc_slots,
+                   CAST(SUM(dl.len) AS BIGINT) AS n_tokens
+            FROM ord o JOIN dl ON o.doc_id = dl.doc_id
+            GROUP BY 1, 2
+        ),
+        eps AS (SELECT DISTINCT epoch FROM ord),
+        grid AS (
+            SELECT t.source, t.target_share, e.epoch FROM tgt t, eps e
+        ),
+        fil AS (
+            SELECT g.epoch, g.source,
+                   CAST(COALESCE(s.n_doc_slots, 0) AS BIGINT) AS n_doc_slots,
+                   CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   g.target_share
+            FROM grid g LEFT JOIN slots s
+                ON g.epoch = s.epoch AND g.source = s.source
+        ),
+        et AS (
+            SELECT epoch, SUM(n_doc_slots) AS st, SUM(n_tokens) AS tt
+            FROM fil GROUP BY 1
+        )
+        SELECT f.epoch, f.source, f.n_doc_slots, f.n_tokens,
+               round(CAST(f.n_doc_slots AS DOUBLE) / et.st, 6)
+                   AS slot_share,
+               round(CAST(f.n_tokens AS DOUBLE) / et.tt, 6) AS token_share,
+               f.target_share,
+               round(CAST(f.n_tokens AS DOUBLE) / et.tt
+                     - f.target_share, 6) AS token_deviation,
+               round(CAST(f.n_tokens AS DOUBLE) / et.tt
+                     - CAST(f.n_doc_slots AS DOUBLE) / et.st, 6)
+                   AS token_vs_slot_gap
+        FROM fil f JOIN et ON f.epoch = et.epoch
+    """
+
+
+@query("q367_token_mixture_audit", oracle=_q367_oracle())
+def q367_token_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture at the grain the LOSS actually sees. q342 audits
+    doc-SLOT shares, but a gradient step weights sources by TOKENS —
+    and sources with systematically longer (or budget-clamped) docs
+    take a different token share than their slot share. Per (epoch,
+    source): tokens consumed (the packer's clamped lengths), token
+    share vs q315's temperature target, and ``token_vs_slot_gap`` —
+    the packing-induced distortion between the two grains that
+    q342 alone cannot show. A source whose docs average 2x the corpus
+    length trains 2x harder than its slot share suggests; this is the
+    relation that quantifies it per epoch.
+
+    Composes the registered q312 pool, q315 target kernel and q326
+    stream (the q342 discipline); all rollups (epoch x source)-
+    bounded, lengths joined doc_id-keyed with the packer's own
+    least(len, B) convention."""
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+        temp_weight_col,
+    )
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q326_B,
+        q326_dataloader_order,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    ship = q312_training_manifest(spark, sf_dir).filter("ship").select("doc_id")
+    pool = (
+        ship.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shipped"))
+    )
+    tw = pool.agg(F.sum(temp_weight_col(F.col("n_shipped"))).alias("tw"))
+    tgt = pool.crossJoin(F.broadcast(tw)).select(
+        "source",
+        F.round(temp_weight_col(F.col("n_shipped")) / F.col("tw"), 6).alias(
+            "target_share"
+        ),
+    )
+    dl = d.select(
+        "doc_id",
+        "source",
+        F.least(F.size(tokens_col("text")).cast("long"), F.lit(_Q326_B))
+        .cast("long")
+        .alias("len"),
+    )
+    ordr = q326_dataloader_order(spark, sf_dir)
+    slots = (
+        ordr.join(dl, "doc_id")
+        .groupBy("epoch", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__slots"),
+            F.sum("len").cast("long").alias("__toks"),
+        )
+    )
+    eps = ordr.select("epoch").distinct()
+    grid = tgt.crossJoin(F.broadcast(eps))
+    fil = grid.join(slots, ["epoch", "source"], "left").select(
+        "epoch",
+        "source",
+        F.coalesce("__slots", F.lit(0)).cast("long").alias("n_doc_slots"),
+        F.coalesce("__toks", F.lit(0)).cast("long").alias("n_tokens"),
+        "target_share",
+    )
+    et = fil.groupBy("epoch").agg(
+        F.sum("n_doc_slots").alias("st"), F.sum("n_tokens").alias("tt")
+    )
+    ss = F.col("n_doc_slots").cast("double") / F.col("st")
+    ts = F.col("n_tokens").cast("double") / F.col("tt")
+    return fil.join(F.broadcast(et), "epoch").select(
+        "epoch",
+        "source",
+        "n_doc_slots",
+        "n_tokens",
+        F.round(ss, 6).alias("slot_share"),
+        F.round(ts, 6).alias("token_share"),
+        "target_share",
+        F.round(ts - F.col("target_share"), 6).alias("token_deviation"),
+        F.round(ts - ss, 6).alias("token_vs_slot_gap"),
+    )

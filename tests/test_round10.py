@@ -1125,3 +1125,47 @@ def test_q366_psi_nonnegative_and_reconciles(spark):
     assert abs(s - total) < 2e-6
     for r in rows:
         assert r.psi_contrib >= 0.0
+
+
+def test_q367_token_mixture_reconciles_with_q342(spark):
+    """Token and slot shares each form per-epoch distributions, the
+    slot side agrees exactly with the registered q342's realized
+    shares, the gap column is the stated difference, and token totals
+    reconcile against q351's checkpoint ledger (same stream, same
+    clamped lengths, independent rollup)."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        q342_realized_mixture_audit,
+        q351_checkpoint_resume_accounting,
+        q367_token_mixture_audit,
+    )
+
+    rows = q367_token_mixture_audit(spark, SMOKE_SF_DIR).collect()
+    base = {
+        (r.epoch, r.source): r.realized_share
+        for r in q342_realized_mixture_audit(spark, SMOKE_SF_DIR).collect()
+    }
+    assert rows and len(rows) == len(base)
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        assert r.slot_share == base[(r.epoch, r.source)]
+        # gap/deviation are rounded from UNROUNDED shares, so
+        # recomputing from the rounded output columns can differ by
+        # one 6dp ulp
+        assert abs(r.token_vs_slot_gap - (r.token_share - r.slot_share)) < 1.1e-6
+        assert abs(r.token_deviation - (r.token_share - r.target_share)) < 1.1e-6
+        by_epoch.setdefault(r.epoch, []).append(r)
+    for eps in by_epoch.values():
+        n = len(eps)
+        assert abs(sum(r.token_share for r in eps) - 1.0) <= n * 5e-7
+        assert abs(sum(r.slot_share for r in eps) - 1.0) <= n * 5e-7
+
+    ledger = q351_checkpoint_resume_accounting(spark, SMOKE_SF_DIR).collect()
+    tok_by_epoch_ledger: dict[int, int] = {}
+    for r in ledger:
+        tok_by_epoch_ledger[r.epoch] = (
+            tok_by_epoch_ledger.get(r.epoch, 0) + r.n_tokens
+        )
+    tok_by_epoch = {
+        e: sum(r.n_tokens for r in rs) for e, rs in by_epoch.items()
+    }
+    assert tok_by_epoch == tok_by_epoch_ledger
