@@ -3603,3 +3603,104 @@ def q367_token_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ts - F.col("target_share"), 6).alias("token_deviation"),
         F.round(ts - ss, 6).alias("token_vs_slot_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q368 — quality-score calibration against dup and contamination flags
+# ---------------------------------------------------------------------------
+
+
+def _q368_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _PAIRS_05
+    from databricks_etl_spark.plans.queries_round7 import _quality_sql
+
+    o319 = QUERIES["q319_chunk_contamination"].oracle
+    return f"""
+        WITH RECURSIVE {_PAIRS_05},
+        {_quality_sql()},
+        cont AS MATERIALIZED (
+            SELECT DISTINCT doc_id FROM ({o319})
+        ),
+        uni AS (
+            SELECT d.doc_id, q.quality_score
+            FROM documents d JOIN q ON d.doc_id = q.doc_id
+            WHERE d.doc_id % 50 != 0
+        ),
+        lab AS (
+            SELECT u.quality_score,
+                   (cc.id IS NOT NULL) AS in_cluster,
+                   (ct.doc_id IS NOT NULL) AS contaminated
+            FROM uni u
+            LEFT JOIN cc ON u.doc_id = cc.id
+            LEFT JOIN cont ct ON u.doc_id = ct.doc_id
+        )
+        SELECT quality_score,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN in_cluster THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clustered,
+               round(SUM(CASE WHEN in_cluster THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+               CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               round(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS contam_rate
+        FROM lab GROUP BY 1
+    """
+
+
+@query("q368_quality_calibration", oracle=_q368_oracle())
+def q368_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the quality score PREDICTIVE of anything the pipeline
+    independently measures? Scores justify filter thresholds only if
+    low-score docs really are worse along the axes that matter; this
+    calibrates the composite score (exact quarters, so the score IS
+    the bucket) against two registered flag relations — near-dup
+    cluster membership (q123's closure) and chunk-level benchmark
+    contamination (q319, doc-rolled) — over q319's corpus universe
+    (benchmark docs excluded: they cannot be 'contaminated' by
+    themselves). Per score level: doc counts and both rates. A flat
+    dup_rate across score levels says dedup and quality filtering are
+    INDEPENDENT gates (both earn their keep); a collapsed one says
+    the score already subsumes dedup — the redundancy a pipeline-
+    simplification decision reads.
+
+    Scale shape: two doc_id-keyed left joins against bounded flag
+    relations, one 5-row rollup; the flag relations' own costs are
+    the registered lanes'."""
+    from databricks_etl_spark.operators.text import quality_features
+    from databricks_etl_spark.plans.queries_dedup import _neardup_components
+    from databricks_etl_spark.plans.queries_round8 import (
+        q319_chunk_contamination,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    uni = (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id")
+        .join(
+            quality_features(d).select("doc_id", "quality_score"), "doc_id"
+        )
+    )
+    clustered = _neardup_components(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), F.lit(True).alias("__cl")
+    )
+    cont = (
+        q319_chunk_contamination(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("__ct", F.lit(True))
+    )
+    lab = (
+        uni.join(clustered, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+    )
+    in_cl = F.sum(F.when(F.col("__cl").isNotNull(), 1).otherwise(0))
+    in_ct = F.sum(F.when(F.col("__ct").isNotNull(), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return lab.groupBy("quality_score").agg(
+        n.cast("long").alias("n_docs"),
+        in_cl.cast("long").alias("n_clustered"),
+        F.round(in_cl / n.cast("double"), 6).alias("dup_rate"),
+        in_ct.cast("long").alias("n_contaminated"),
+        F.round(in_ct / n.cast("double"), 6).alias("contam_rate"),
+    )

@@ -1169,3 +1169,48 @@ def test_q367_token_mixture_reconciles_with_q342(spark):
         e: sum(r.n_tokens for r in rs) for e, rs in by_epoch.items()
     }
     assert tok_by_epoch == tok_by_epoch_ledger
+
+
+def test_q368_calibration_reconciles(spark):
+    """Score levels are exact quarters, the universe is q319's corpus
+    (benchmark docs excluded), rates are exact count ratios, and the
+    flag totals reconcile against the registered flag relations
+    restricted to the same universe."""
+    from databricks_etl_spark.plans.queries_dedup import (
+        _neardup_components,
+    )
+    from databricks_etl_spark.plans.queries_round8 import (
+        q319_chunk_contamination,
+    )
+    from databricks_etl_spark.plans.queries_round10 import (
+        q368_quality_calibration,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = q368_quality_calibration(spark, SMOKE_SF_DIR).collect()
+    d = read_table(spark, SMOKE_SF_DIR, "documents")
+    n_uni = d.filter("doc_id % 50 != 0").count()
+    assert rows
+    assert {r.quality_score for r in rows} <= {0.0, 0.25, 0.5, 0.75, 1.0}
+    assert sum(r.n_docs for r in rows) == n_uni
+    cl = {
+        r.id
+        for r in _neardup_components(spark, SMOKE_SF_DIR).collect()
+        if r.id % 50 != 0
+    }
+    ct = {
+        r.doc_id
+        for r in q319_chunk_contamination(spark, SMOKE_SF_DIR)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert sum(r.n_clustered for r in rows) == len(cl)
+    assert sum(r.n_contaminated for r in rows) == len(ct)
+    for r in rows:
+        assert 0 <= r.n_clustered <= r.n_docs
+        assert 0 <= r.n_contaminated <= r.n_docs
+        assert abs(r.dup_rate - round(r.n_clustered / r.n_docs, 6)) < 1e-9
+        assert (
+            abs(r.contam_rate - round(r.n_contaminated / r.n_docs, 6)) < 1e-9
+        )
