@@ -3704,3 +3704,147 @@ def q368_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_ct.cast("long").alias("n_contaminated"),
         F.round(in_ct / n.cast("double"), 6).alias("contam_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q369 — dedup-savings threshold sweep
+# ---------------------------------------------------------------------------
+
+_Q369_TAUS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _q369_oracle() -> str:
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    taus = ", ".join(str(t) for t in _Q369_TAUS)
+    return f"""
+        WITH d0 AS (
+            SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+        ),
+        i0 AS (SELECT doc_id, unnest(toks) AS item FROM d0),
+        keep AS (
+            SELECT item FROM i0 GROUP BY item HAVING COUNT(*) <= 100
+        ),
+        i AS (SELECT i0.doc_id, i0.item FROM i0 JOIN keep USING (item)),
+        ssz AS (SELECT doc_id, COUNT(*) AS n FROM i GROUP BY 1),
+        sh AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+            FROM i a JOIN i b USING (item)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ),
+        jp AS (
+            SELECT id_a, id_b,
+                   round(CAST(shared AS DOUBLE)
+                         / (sa.n + sb.n - shared), 6) AS jaccard
+            FROM sh
+            JOIN ssz sa ON sh.id_a = sa.doc_id
+            JOIN ssz sb ON sh.id_b = sb.doc_id
+            WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)
+                  >= {_Q369_TAUS[0]}
+        ),
+        tk AS (SELECT doc_id, len({_TOKS}) AS n_toks FROM documents),
+        tau AS (SELECT CAST(unnest([{taus}]) AS DOUBLE) AS threshold),
+        lv AS (
+            SELECT tau.threshold, jp.id_a, jp.id_b
+            FROM jp JOIN tau ON jp.jaccard >= tau.threshold
+        ),
+        inv AS (
+            SELECT DISTINCT threshold, doc_id FROM (
+                SELECT threshold, id_a AS doc_id FROM lv
+                UNION ALL
+                SELECT threshold, id_b FROM lv
+            )
+        ),
+        drp AS (SELECT DISTINCT threshold, id_b FROM lv)
+        SELECT t.threshold,
+               CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(v.n_docs, 0) AS BIGINT) AS n_docs_involved,
+               CAST(COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+               CAST(COALESCE(dr.tokens_dropped, 0) AS BIGINT)
+                   AS tokens_dropped
+        FROM tau t
+        LEFT JOIN (SELECT threshold, COUNT(*) AS n_pairs
+                   FROM lv GROUP BY 1) p ON t.threshold = p.threshold
+        LEFT JOIN (SELECT threshold, COUNT(*) AS n_docs
+                   FROM inv GROUP BY 1) v ON t.threshold = v.threshold
+        LEFT JOIN (SELECT d.threshold, COUNT(*) AS n_dropped,
+                          SUM(tk.n_toks) AS tokens_dropped
+                   FROM drp d JOIN tk ON d.id_b = tk.doc_id
+                   GROUP BY 1) dr ON t.threshold = dr.threshold
+    """
+
+
+@query("q369_dedup_threshold_sweep", oracle=_q369_oracle())
+def q369_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does each notch of the Jaccard threshold BUY (and cost)?
+    The q341 sweep discipline on the dedup axis: one threshold-free
+    scored pair relation (J >= {_Q369_TAUS[0]}, the same index rule as
+    q123/q353) exploded across tau in {_Q369_TAUS}, reporting per
+    level the surviving pairs, docs involved, and the docs/tokens a
+    CONSERVATIVE drop rule removes — drop d iff some pair (a, d) with
+    a < d clears the threshold, which keeps every component's minimum
+    and guarantees each dropped doc has a DIRECT retained near-dup
+    (stricter than q124's closure rule, which drops transitively-
+    similar docs too; both are valid policies and the gap is the
+    chaining effect q365 measures). Every count is monotone
+    NON-INCREASING in tau by construction (tested) — the curve a
+    threshold decision reads next to q359's SimHash calibration.
+
+    Scale shape: the pair relation is computed ONCE at the loosest
+    tau (candidate volume bounded by the df cap); the sweep is a
+    {len(_Q369_TAUS)}-way explode of that bounded relation; token
+    sums join doc_id-keyed."""
+    from databricks_etl_spark.operators.dedup import jaccard_pairs
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        d, _Q369_TAUS[0], ngram=1, max_df=100
+    ).localCheckpoint()
+    tk = d.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_toks")
+    )
+    lv = pairs.withColumn(
+        "threshold",
+        F.explode(F.array(*[F.lit(float(t)) for t in _Q369_TAUS])),
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    p = lv.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    inv = (
+        lv.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("doc_id")
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_involved"))
+    )
+    drp = (
+        lv.select("threshold", "id_b")
+        .distinct()
+        .join(tk, F.col("id_b") == F.col("doc_id"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dropped"),
+            F.sum("n_toks").cast("long").alias("tokens_dropped"),
+        )
+    )
+    tau = spark.createDataFrame(
+        [(float(t),) for t in _Q369_TAUS], "threshold double"
+    )
+    return (
+        tau.join(p, "threshold", "left")
+        .join(inv, "threshold", "left")
+        .join(drp, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_involved", F.lit(0))
+            .cast("long")
+            .alias("n_docs_involved"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            F.coalesce("tokens_dropped", F.lit(0))
+            .cast("long")
+            .alias("tokens_dropped"),
+        )
+    )

@@ -1214,3 +1214,54 @@ def test_q368_calibration_reconciles(spark):
         assert (
             abs(r.contam_rate - round(r.n_contaminated / r.n_docs, 6)) < 1e-9
         )
+
+
+def test_q369_sweep_monotone_and_anchored(spark):
+    """Every count is non-increasing in threshold, the loosest level
+    anchors to the registered pair relation (same index rule as
+    q353's cell totals), the drop rule's guarantee holds (every
+    dropped doc has a retained direct near-dup at that level), and
+    bounds are consistent."""
+    from databricks_etl_spark.operators.dedup import jaccard_pairs
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q369_TAUS,
+        q369_dedup_threshold_sweep,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = sorted(
+        q369_dedup_threshold_sweep(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [float(t) for t in _Q369_TAUS]
+    for col in ("n_pairs", "n_docs_involved", "n_dropped", "tokens_dropped"):
+        vals = [getattr(r, col) for r in rows]
+        assert vals == sorted(vals, reverse=True), col
+    d = read_table(spark, SMOKE_SF_DIR, "documents")
+    pairs = jaccard_pairs(d, 0.5, ngram=1, max_df=100).collect()
+    assert rows[0].n_pairs == len(pairs)
+    assert rows[0].n_docs_involved == len(
+        {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    )
+    # drop-rule guarantee at the loosest level: every dropped doc
+    # (an id_b somewhere) has a direct partner that is NOT dropped,
+    # reachable by descending the a < b chain
+    dropped = {p.id_b for p in pairs}
+    kept_partner = {
+        p.id_b for p in pairs if p.id_a not in dropped
+    }
+    chained = dropped - kept_partner
+    # docs whose every smaller partner is itself dropped must still
+    # bottom out at a kept doc via a strictly-decreasing chain
+    by_b: dict[int, list] = {}
+    for p in pairs:
+        by_b.setdefault(p.id_b, []).append(p.id_a)
+    for b in chained:
+        cur, seen = b, set()
+        while cur in dropped and cur not in seen:
+            seen.add(cur)
+            cur = min(by_b[cur])
+        assert cur not in dropped
+    for r in rows:
+        assert r.n_dropped <= r.n_docs_involved
+        assert r.n_pairs >= r.n_dropped
