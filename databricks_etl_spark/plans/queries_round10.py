@@ -3848,3 +3848,140 @@ def q369_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q370 — packing budget sweep: is a bigger sequence budget worth it?
+# ---------------------------------------------------------------------------
+
+_Q370_BUDGETS = (128, 256, 512)  # 256 == _Q326_B, the production budget
+
+
+def _q370_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _Q291_TOKS
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q326_P,
+        _grouped_ffd_sql,
+    )
+
+    o312 = QUERIES["q312_training_manifest"].oracle
+    o323 = QUERIES["q323_epoch_allocation"].oracle
+    chains, unions = [], []
+    for idx, b in enumerate(_Q370_BUDGETS):
+        sfx = str(idx)
+        chains.append(f"""base{sfx} AS MATERIALIZED (
+            SELECT d.doc_id, least({_Q291_TOKS}, {b}) AS len,
+                   e.epochs AS eclass
+            FROM documents d
+            JOIN ship ON d.doc_id = ship.doc_id
+            JOIN ep e ON d.source = e.source
+        ),
+        it{sfx} AS MATERIALIZED (
+            SELECT b.doc_id, b.len, b.eclass, b.doc_id % sc.s AS shard,
+                   row_number() OVER (
+                       PARTITION BY b.eclass, b.doc_id % sc.s
+                       ORDER BY b.len DESC, b.doc_id) AS k
+            FROM base{sfx} b JOIN sc ON b.eclass = sc.eclass
+        ),
+        {_grouped_ffd_sql(sfx, budget=b)}""")
+        unions.append(f"""            SELECT CAST({b} AS BIGINT) AS budget,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT p.seq_uid) AS BIGINT) AS n_seqs,
+                   CAST(SUM(b.len) AS BIGINT) AS sum_tokens
+            FROM placed{sfx} p JOIN base{sfx} b ON p.doc_id = b.doc_id""")
+    chain_sql = ",\n        ".join(chains)
+    union_sql = "\n            UNION ALL\n".join(unions)
+    return f"""
+        WITH RECURSIVE
+        ship AS MATERIALIZED (SELECT doc_id FROM ({o312}) WHERE ship),
+        ep AS MATERIALIZED (SELECT source, epochs FROM ({o323})),
+        sc AS (
+            SELECT e.epochs AS eclass,
+                   CAST(ceil(COUNT(*) / {_Q326_P}.0) AS BIGINT) AS s
+            FROM documents d
+            JOIN ship ON d.doc_id = ship.doc_id
+            JOIN ep e ON d.source = e.source
+            GROUP BY 1
+        ),
+        {chain_sql},
+        g AS (
+{union_sql}
+        )
+        SELECT budget, n_docs, n_seqs,
+               CAST((sum_tokens + budget - 1) // budget AS BIGINT)
+                   AS lb_seqs,
+               sum_tokens,
+               CAST(n_seqs * budget - sum_tokens AS BIGINT) AS pad_tokens,
+               round(CAST(sum_tokens AS DOUBLE) / (n_seqs * budget), 6)
+                   AS fill_frac,
+               CAST(n_docs - n_seqs AS BIGINT) AS n_boundaries
+        FROM g
+    """
+
+
+@query("q370_packing_budget_sweep", oracle=_q370_oracle())
+def q370_packing_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report q348 promises: is a bigger sequence budget WORTH
+    it? The same shipped-doc pool packs at budgets {_Q370_BUDGETS}
+    (production = 256) and each level reports sequences vs the
+    ceil(sum/B) floor, pad tokens, fill fraction, and the attention-
+    mask boundaries (docs - seqs: every sequence's first doc is free,
+    each further doc adds one boundary). The trade is visible in one
+    relation: a larger B packs more docs per sequence (fewer
+    boundaries, usually better fill) but clamps fewer long docs
+    (sum_tokens GROWS with B — the clamp is the packer's own rule,
+    so truncation loss falls as B rises) and costs quadratically more
+    attention compute per sequence — the number next to fill_frac a
+    budget decision weighs.
+
+    Scale shape: one FFD per level over the same sharded groups
+    ({len(_Q370_BUDGETS)}x the q326 Arrow fold, each per-shard
+    bounded); rollups are budget-level scalars. The oracle runs the
+    suffixed recursion per level with MATERIALIZED inputs (the
+    CLAUDE.md recursion rule)."""
+    from databricks_etl_spark.operators.packing import ffd_pack
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+        q323_epoch_allocation,
+    )
+    from databricks_etl_spark.plans.queries_round9 import _Q326_P
+
+    ship = q312_training_manifest(spark, sf_dir).filter("ship").select("doc_id")
+    ep = q323_epoch_allocation(spark, sf_dir).select("source", "epochs")
+    d = read_table(spark, sf_dir, "documents")
+    base = (
+        d.join(ship, "doc_id")
+        .join(F.broadcast(ep), "source")
+        .select(
+            "doc_id",
+            F.size(tokens_col("text")).cast("long").alias("len"),
+            F.col("epochs").cast("long").alias("eclass"),
+        )
+        .localCheckpoint()  # one scan feeds every budget level
+    )
+    levels = []
+    for b in _Q370_BUDGETS:
+        packed = ffd_pack(base, b, _Q326_P, group_col="eclass")
+        levels.append(
+            packed.agg(
+                F.lit(b).cast("long").alias("budget"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.countDistinct("seq_id").cast("long").alias("n_seqs"),
+                F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            )
+        )
+    g = reduce(lambda a, c: a.unionAll(c), levels)
+    bud = F.col("budget")
+    return g.select(
+        "budget",
+        "n_docs",
+        "n_seqs",
+        F.expr("(sum_tokens + budget - 1) DIV budget").alias("lb_seqs"),
+        "sum_tokens",
+        (F.col("n_seqs") * bud - F.col("sum_tokens")).alias("pad_tokens"),
+        F.round(
+            F.col("sum_tokens").cast("double") / (F.col("n_seqs") * bud), 6
+        ).alias("fill_frac"),
+        (F.col("n_docs") - F.col("n_seqs")).alias("n_boundaries"),
+    )

@@ -38,7 +38,7 @@ _Q326_BKTS = 64  # step-rank bucket fan-out (distributed dense rank)
 _MINSTD_P = 1_000_000_007
 
 
-def _grouped_ffd_sql(suffix: str = "") -> str:
+def _grouped_ffd_sql(suffix: str = "", budget: int | None = None) -> str:
     """The grouped-FFD recursion as a ``pack``+``placed`` CTE block
     over a prepared ``it`` relation (doc_id, len, eclass, shard, k
     with k = row_number by (len DESC, doc_id) within (eclass, shard)).
@@ -49,6 +49,8 @@ def _grouped_ffd_sql(suffix: str = "") -> str:
     RECURSIVE chain. ``suffix`` renames the three CTEs
     (it/pack/placed + suffix) so one oracle can run two independent
     packs (q346 compares pre- and post-delta artifacts).
+    ``budget`` overrides the per-sequence token budget (None = the
+    production {_Q326_B}; queries_round10's q370 sweeps it).
     ``placed`` emits (eclass, shard, doc_id, seq_uid, off) with
     seq_uid = (shard * {_Q326_SEQNS} + bin) * 8 + eclass — eclass in
     the LOW 3 bits, collision-free at any shard count."""
@@ -56,6 +58,7 @@ def _grouped_ffd_sql(suffix: str = "") -> str:
         "list_filter(range(1, len(p.res) + 1), "
         "jj -> p.res[jj] >= i.len)[1]"
     )
+    b = _Q326_B if budget is None else budget
     it, pack, placed = (n + suffix for n in ("it", "pack", "placed"))
     return f"""{pack} AS (
             SELECT eclass, shard, CAST(0 AS BIGINT) AS k,
@@ -67,7 +70,7 @@ def _grouped_ffd_sql(suffix: str = "") -> str:
             UNION ALL
             SELECT i.eclass, i.shard, i.k,
                    CASE WHEN {fit} IS NULL
-                        THEN list_append(p.res, {_Q326_B} - i.len)
+                        THEN list_append(p.res, {b} - i.len)
                         ELSE list_transform(range(1, len(p.res) + 1),
                              jj -> CASE WHEN jj = {fit}
                                         THEN p.res[jj] - i.len
@@ -76,7 +79,7 @@ def _grouped_ffd_sql(suffix: str = "") -> str:
                    i.doc_id,
                    COALESCE({fit}, len(p.res) + 1),
                    CASE WHEN {fit} IS NULL THEN 0
-                        ELSE {_Q326_B} - p.res[{fit}]
+                        ELSE {b} - p.res[{fit}]
                    END
             FROM {pack} p
             JOIN {it} i ON i.eclass = p.eclass AND i.shard = p.shard

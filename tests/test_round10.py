@@ -1265,3 +1265,36 @@ def test_q369_sweep_monotone_and_anchored(spark):
     for r in rows:
         assert r.n_dropped <= r.n_docs_involved
         assert r.n_pairs >= r.n_dropped
+
+
+def test_q370_budget_sweep_tradeoffs(spark):
+    """Doc counts are constant across budgets, sum_tokens grows with
+    the budget (the clamp loosens), boundaries and the FFD bound hold
+    at every level, and the production level reconciles exactly with
+    q348's per-shard report."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q370_BUDGETS,
+        q348_packing_efficiency,
+        q370_packing_budget_sweep,
+    )
+
+    rows = sorted(
+        q370_packing_budget_sweep(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.budget,
+    )
+    assert [r.budget for r in rows] == list(_Q370_BUDGETS)
+    assert len({r.n_docs for r in rows}) == 1
+    toks = [r.sum_tokens for r in rows]
+    assert toks == sorted(toks)
+    for r in rows:
+        assert r.lb_seqs <= r.n_seqs <= 2 * r.lb_seqs
+        assert r.pad_tokens == r.n_seqs * r.budget - r.sum_tokens >= 0
+        assert r.n_boundaries == r.n_docs - r.n_seqs >= 0
+        assert 0.0 < r.fill_frac <= 1.0
+
+    prod = [r for r in rows if r.budget == 256][0]
+    q348 = q348_packing_efficiency(spark, SMOKE_SF_DIR).collect()
+    assert prod.n_docs == sum(r.n_docs for r in q348)
+    assert prod.n_seqs == sum(r.n_seqs for r in q348)
+    assert prod.sum_tokens == sum(r.sum_tokens for r in q348)
+    assert prod.pad_tokens == sum(r.pad_tokens for r in q348)
