@@ -3985,3 +3985,80 @@ def q370_packing_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fill_frac"),
         (F.col("n_docs") - F.col("n_seqs")).alias("n_boundaries"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q371 — truncation-loss audit: what the sequence-budget clamp destroys
+# ---------------------------------------------------------------------------
+
+
+def _q371_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _Q291_TOKS
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B
+
+    o312 = QUERIES["q312_training_manifest"].oracle
+    return f"""
+        WITH ship AS MATERIALIZED (
+            SELECT doc_id FROM ({o312}) WHERE ship
+        ),
+        dl AS (
+            SELECT d.source, {_Q291_TOKS} AS raw_len,
+                   least({_Q291_TOKS}, {_Q326_B}) AS kept_len
+            FROM documents d JOIN ship ON d.doc_id = ship.doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN raw_len > {_Q326_B} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clamped,
+               CAST(SUM(raw_len) AS BIGINT) AS raw_tokens,
+               CAST(SUM(kept_len) AS BIGINT) AS kept_tokens,
+               CAST(SUM(raw_len - kept_len) AS BIGINT) AS lost_tokens,
+               round(SUM(raw_len - kept_len)
+                     / CAST(SUM(raw_len) AS DOUBLE), 6) AS loss_frac,
+               CAST(MAX(raw_len) AS BIGINT) AS max_raw_len
+        FROM dl GROUP BY 1
+    """
+
+
+@query("q371_truncation_loss_audit", oracle=_q371_oracle())
+def q371_truncation_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the packer's budget clamp DESTROYS, attributed per
+    source: every shipped doc longer than the {_Q326_B}-token budget
+    loses its tail (the documented least(len, B) rule every packing
+    lane shares), and this audit reports the docs clamped, the raw vs
+    kept token masses, the loss fraction and the longest doc per
+    source. The decision it feeds: a source losing a big fraction of
+    its tokens to the clamp should route through q318's CHUNKING lane
+    (loss-free by construction) or argue for q370's bigger budget —
+    truncation is the one data loss the pipeline inflicts silently,
+    and q367's mixture audit can't see it because the stream only
+    carries clamped lengths.
+
+    Scale shape: one scan of the shipped pool, one per-source rollup;
+    pure integer sums plus one rounded ratio."""
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+    )
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B
+
+    ship = q312_training_manifest(spark, sf_dir).filter("ship").select("doc_id")
+    d = read_table(spark, sf_dir, "documents")
+    raw = F.size(tokens_col("text")).cast("long")
+    dl = d.join(ship, "doc_id").select(
+        "source",
+        raw.alias("raw_len"),
+        F.least(raw, F.lit(_Q326_B)).cast("long").alias("kept_len"),
+    )
+    lost = F.sum(F.col("raw_len") - F.col("kept_len"))
+    return dl.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("raw_len") > _Q326_B, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped"),
+        F.sum("raw_len").cast("long").alias("raw_tokens"),
+        F.sum("kept_len").cast("long").alias("kept_tokens"),
+        lost.cast("long").alias("lost_tokens"),
+        F.round(lost / F.sum("raw_len").cast("double"), 6).alias("loss_frac"),
+        F.max("raw_len").cast("long").alias("max_raw_len"),
+    )

@@ -1298,3 +1298,34 @@ def test_q370_budget_sweep_tradeoffs(spark):
     assert prod.n_seqs == sum(r.n_seqs for r in q348)
     assert prod.sum_tokens == sum(r.sum_tokens for r in q348)
     assert prod.pad_tokens == sum(r.pad_tokens for r in q348)
+
+
+def test_q371_truncation_reconciles_with_token_mixture(spark):
+    """Loss identities hold per row (raw = kept + lost; clamped docs
+    iff raw > B), kept tokens reconcile with q367's epoch-1 stream
+    totals per source (same clamp, independent derivation), and the
+    loss fraction is the exact ratio."""
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B
+    from databricks_etl_spark.plans.queries_round10 import (
+        q367_token_mixture_audit,
+        q371_truncation_loss_audit,
+    )
+
+    rows = q371_truncation_loss_audit(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.raw_tokens == r.kept_tokens + r.lost_tokens
+        assert 0 <= r.n_clamped <= r.n_docs
+        assert (r.lost_tokens > 0) == (r.max_raw_len > _Q326_B)
+        assert abs(r.loss_frac - round(r.lost_tokens / r.raw_tokens, 6)) < 1e-9
+        assert r.kept_tokens <= r.n_docs * _Q326_B
+
+    # epoch 1 of the stream carries every shipped doc exactly once,
+    # so q367's epoch-1 token mass per source == kept_tokens here
+    mix = {
+        r.source: r.n_tokens
+        for r in q367_token_mixture_audit(spark, SMOKE_SF_DIR).collect()
+        if r.epoch == 1
+    }
+    for r in rows:
+        assert mix.get(r.source, 0) == r.kept_tokens
