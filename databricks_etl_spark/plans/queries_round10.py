@@ -4062,3 +4062,191 @@ def q371_truncation_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lost / F.sum("raw_len").cast("double"), 6).alias("loss_frac"),
         F.max("raw_len").cast("long").alias("max_raw_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q372 — block-diagonal attention compute audit
+# ---------------------------------------------------------------------------
+
+
+def _q372_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B
+
+    b = _Q326_B
+    return f"""
+        {_placed_len_sql()},
+        g AS (
+            SELECT eclass,
+                   CAST(COUNT(DISTINCT seq_uid) AS BIGINT) AS n_seqs,
+                   CAST(SUM(len * len) AS BIGINT) AS eff_pairs
+            FROM pj GROUP BY 1
+        )
+        SELECT eclass, n_seqs,
+               CAST(n_seqs * {b * b} AS BIGINT) AS full_pairs,
+               eff_pairs,
+               round(1.0 - CAST(eff_pairs AS DOUBLE)
+                     / (n_seqs * {b * b}.0), 6) AS save_frac
+        FROM g
+    """
+
+
+@query("q372_attention_compute_audit", oracle=_q372_oracle())
+def q372_attention_compute_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What block-diagonal attention masking SAVES, in attention
+    pairs: a packed sequence without masking attends {_Q326_B}^2
+    token pairs; with per-document masks only sum(len^2) over its
+    segments compute (pad tokens mask out entirely). Per epoch class:
+    sequences, the full-attention pair count, the effective masked
+    pair count, and the saved fraction — q349 counts the mask
+    BOUNDARIES the kernel processes; this prices the FLOPs the mask
+    saves, the number that justifies running a masking kernel at all
+    (and, against q370's budget sweep, shows the quadratic penalty a
+    bigger budget pays). All-integer until the final ratio: len <=
+    {_Q326_B} so len^2 sums stay far inside BIGINT.
+
+    Scale shape: one groupBy over the placement relation; the len^2
+    term is a per-row expression."""
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B
+
+    b2 = _Q326_B * _Q326_B
+    g = (
+        _corpus_placement(spark, sf_dir)
+        .groupBy("eclass")
+        .agg(
+            F.countDistinct("seq_uid").cast("long").alias("n_seqs"),
+            F.sum(F.col("n_tokens") * F.col("n_tokens"))
+            .cast("long")
+            .alias("eff_pairs"),
+        )
+    )
+    return g.select(
+        "eclass",
+        "n_seqs",
+        (F.col("n_seqs") * b2).cast("long").alias("full_pairs"),
+        "eff_pairs",
+        F.round(
+            F.lit(1.0)
+            - F.col("eff_pairs").cast("double") / (F.col("n_seqs") * float(b2)),
+            6,
+        ).alias("save_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q373 — retrieval source-bias audit over the exact truth relation
+# ---------------------------------------------------------------------------
+
+
+def _q373_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round9 import _Q332_TOPK
+
+    return f"""
+        WITH {_q332_base_sql()},
+        s0 AS (
+            SELECT q.qid, c.doc_id, c.chunk_idx, {_q332_sim_sql()} AS sim
+            FROM qemb q JOIN cemb c ON TRUE
+        ),
+        truth AS (
+            SELECT qid, doc_id FROM (
+                SELECT qid, doc_id,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, doc_id, chunk_idx) AS rk
+                FROM s0
+            ) WHERE rk <= {_Q332_TOPK}
+        ),
+        hits AS (
+            SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM truth t JOIN documents d ON t.doc_id = d.doc_id
+            GROUP BY 1
+        ),
+        pool AS (
+            SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_chunks
+            FROM cemb c JOIN documents d ON c.doc_id = d.doc_id
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT (SELECT SUM(n_hits) FROM hits) AS th,
+                   (SELECT SUM(n_chunks) FROM pool) AS tc
+        )
+        SELECT p.source,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               p.n_chunks,
+               round(COALESCE(h.n_hits, 0) / CAST(tot.th AS DOUBLE), 6)
+                   AS hit_share,
+               round(p.n_chunks / CAST(tot.tc AS DOUBLE), 6)
+                   AS chunk_share,
+               round(COALESCE(h.n_hits, 0) / CAST(tot.th AS DOUBLE)
+                     - p.n_chunks / CAST(tot.tc AS DOUBLE), 6) AS bias
+        FROM pool p LEFT JOIN hits h ON p.source = h.source, tot
+    """
+
+
+@query("q373_retrieval_source_bias", oracle=_q373_oracle())
+def q373_retrieval_source_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO gets retrieved? A RAG index can systematically over-serve
+    one source (templated text embeds tightly; near-dup chunks vote
+    together), and recall metrics (q332/q341) can't see it. Over the
+    exact brute-force truth relation — the BEST the index could do,
+    so bias here is in the DATA, not the ANN approximation — per
+    source: top-{10} hits across the query set, the source's share of
+    those hits vs its share of the chunk pool, and the signed bias.
+    Sources never retrieved appear with zero hits (the grid is the
+    pool side, left-joined). An over-served source routes to q355's
+    repetition spectrum (templated boilerplate) or q321's soft-dedup
+    weights.
+
+    Scale shape: inherits q332's one scored pass (broadcast query
+    set); both rollups are source-bounded; truth is the audited EVAL
+    (documented as such, as q310/q341)."""
+    from databricks_etl_spark.operators.similarity import cosine
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q332_TOPK,
+        _q332_relations,
+    )
+
+    cemb, qemb = _q332_relations(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    s0 = cemb.join(F.broadcast(qemb), F.lit(True)).select(
+        "qid",
+        "doc_id",
+        "chunk_idx",
+        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("sim"), F.asc("doc_id"), F.asc("chunk_idx")
+    )
+    truth = (
+        s0.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _Q332_TOPK)
+        .select("qid", "doc_id")
+    )
+    hits = (
+        truth.join(d, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    pool = (
+        cemb.select("doc_id")
+        .join(d, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+    )
+    tot = hits.agg(F.sum("n_hits").alias("th")).crossJoin(
+        pool.agg(F.sum("n_chunks").alias("tc"))
+    )
+    hs = F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("th")
+    cs = F.col("n_chunks").cast("double") / F.col("tc")
+    return (
+        pool.join(hits, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            "n_chunks",
+            F.round(hs, 6).alias("hit_share"),
+            F.round(cs, 6).alias("chunk_share"),
+            F.round(hs - cs, 6).alias("bias"),
+        )
+    )

@@ -1329,3 +1329,63 @@ def test_q371_truncation_reconciles_with_token_mixture(spark):
     }
     for r in rows:
         assert mix.get(r.source, 0) == r.kept_tokens
+
+
+def test_q372_attention_audit_reconciles_with_segments(spark):
+    """Effective pairs reconcile against q349's segment histogram
+    (independent seq-grain derivation bounds them: n_segments >= 1
+    per sequence implies eff <= full), the save fraction is the exact
+    complement ratio, and per-eclass sequence counts match q349's."""
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B
+    from databricks_etl_spark.plans.queries_round10 import (
+        _corpus_placement,
+        q349_attention_segment_audit,
+        q372_attention_compute_audit,
+    )
+
+    rows = q372_attention_compute_audit(spark, SMOKE_SF_DIR).collect()
+    segs = q349_attention_segment_audit(spark, SMOKE_SF_DIR).collect()
+    placed = _corpus_placement(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    seqs_by_ec: dict[int, int] = {}
+    for s in segs:
+        seqs_by_ec[s.eclass] = seqs_by_ec.get(s.eclass, 0) + s.n_seqs
+    eff_by_ec: dict[int, int] = {}
+    for p in placed:
+        eff_by_ec[p.eclass] = (
+            eff_by_ec.get(p.eclass, 0) + p.n_tokens * p.n_tokens
+        )
+    for r in rows:
+        assert r.n_seqs == seqs_by_ec[r.eclass]
+        assert r.eff_pairs == eff_by_ec[r.eclass]
+        assert r.full_pairs == r.n_seqs * _Q326_B * _Q326_B
+        assert 0 < r.eff_pairs <= r.full_pairs
+        assert (
+            abs(r.save_frac - round(1.0 - r.eff_pairs / r.full_pairs, 6))
+            < 1e-9
+        )
+
+
+def test_q373_bias_shares_reconcile(spark):
+    """Hit and chunk shares each sum to 1, total hits equal
+    queries x k, never-retrieved sources appear with zero hits, and
+    bias is the stated share difference."""
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q332_TOPK,
+        _q332_relations,
+    )
+    from databricks_etl_spark.plans.queries_round10 import (
+        q373_retrieval_source_bias,
+    )
+
+    rows = q373_retrieval_source_bias(spark, SMOKE_SF_DIR).collect()
+    _, qemb = _q332_relations(spark, SMOKE_SF_DIR)
+    n_queries = qemb.count()
+    assert rows
+    assert sum(r.n_hits for r in rows) == n_queries * _Q332_TOPK
+    n = len(rows)
+    assert abs(sum(r.hit_share for r in rows) - 1.0) <= n * 5e-7
+    assert abs(sum(r.chunk_share for r in rows) - 1.0) <= n * 5e-7
+    for r in rows:
+        assert r.n_chunks > 0
+        assert abs(r.bias - (r.hit_share - r.chunk_share)) < 1.1e-6
