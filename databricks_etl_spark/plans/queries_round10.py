@@ -4250,3 +4250,195 @@ def q373_retrieval_source_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(hs - cs, 6).alias("bias"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q374 — incremental eval-sample maintenance (provably == recompute)
+# ---------------------------------------------------------------------------
+
+
+def _q374_oracle() -> str:
+    """Full recompute over corpus ∪ delta — the incremental Spark path
+    must hash-match THIS, so the maintenance rule itself is
+    driver-proven equal to recomputation."""
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    return f"""
+        WITH delta AS (
+            SELECT doc_id + {_Q363_B} AS doc_id, source,
+                   CASE WHEN doc_id % 14 = 3 THEN text
+                        ELSE array_to_string(list_transform({_TOKS},
+                            t -> substr(md5(t), 1, 8)), ' ')
+                   END AS text
+            FROM documents WHERE doc_id % 7 = 3
+        ),
+        uni AS (
+            SELECT source, doc_id FROM documents
+            UNION ALL
+            SELECT source, doc_id FROM delta
+        ),
+        k AS (
+            SELECT source, doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || '{_Q357_SALT}') AS ky
+            FROM uni
+        )
+        SELECT source, doc_id, CAST(smp_rank AS BIGINT) AS smp_rank,
+               doc_id >= {_Q363_B} AS from_delta
+        FROM (
+            SELECT source, doc_id, ky,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY ky, doc_id) AS smp_rank
+            FROM k
+        ) WHERE smp_rank <= {_Q357_N}
+    """
+
+
+@query("q374_incremental_sample_maintenance", oracle=_q374_oracle())
+def q374_incremental_sample_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eval-sample maintenance at DELTA cost, provably exact: when a
+    crawl batch lands (q363's delta), the q357 sample updates by
+    ranking only (old sample ∪ delta) per source — the corpus is
+    never re-scanned. The rule is exactly lossless: the old sample is
+    each source's salted-md5 top-{_Q357_N}, and any corpus doc
+    OUTSIDE it ranks below {_Q357_N} in the union too, so
+    top-{_Q357_N}(old sample ∪ delta) == top-{_Q357_N}(corpus ∪
+    delta) — not an approximation, an identity. The driver proves it:
+    this query RUNS the incremental path while its oracle RECOMPUTES
+    from scratch, so a hash match certifies the maintenance rule
+    itself (the strongest form of the q343/q346 delta discipline).
+    ``from_delta`` flags the churn — how many sample slots the batch
+    displaced.
+
+    Scale shape: the incremental input is (sources x {_Q357_N}) +
+    delta rows; the per-source re-rank is over a constant-plus-delta
+    relation (q357's two-phase split is unnecessary at that size)."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    old = q357_stratified_eval_sample(spark, sf_dir).select(
+        "source", "doc_id"
+    )
+    delta = d.filter(F.col("doc_id") % 7 == 3).select(
+        "source", (F.col("doc_id") + _Q363_B).alias("doc_id")
+    )
+    uni = old.unionAll(delta)
+    k = uni.select(
+        "source",
+        "doc_id",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_Q357_SALT))
+        ).alias("ky"),
+    )
+    w = Window.partitionBy("source").orderBy("ky", "doc_id")
+    return (
+        k.withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= _Q357_N)
+        .select(
+            "source",
+            "doc_id",
+            F.col("smp_rank").cast("long").alias("smp_rank"),
+            (F.col("doc_id") >= _Q363_B).alias("from_delta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q375 — batch-accept decision record (the drift-gated ingest verdict)
+# ---------------------------------------------------------------------------
+
+_Q375_PSI_MAX = 0.25  # vocab-PSI accept ceiling (q327's gate constant)
+_Q375_CELL_PSI_MAX = 0.25  # embedding-cell PSI accept ceiling
+
+
+def _q375_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round9 import _Q327_PSI_MAX
+
+    o311 = QUERIES["q311_vocab_drift"].oracle
+    o366 = QUERIES["q366_embedding_cell_drift"].oracle
+    o327 = QUERIES["q327_manifest_maintenance"].oracle
+    return f"""
+        WITH v AS (SELECT DISTINCT psi_total FROM ({o311})),
+        e AS (SELECT DISTINCT psi_total AS cell_psi FROM ({o366})),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_delta,
+                   CAST(SUM(CASE WHEN ship THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_shippable,
+                   CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_contaminated,
+                   CAST(SUM(CASE WHEN sem_dup THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sem_dup
+            FROM ({o327})
+        )
+        SELECT v.psi_total AS vocab_psi, e.cell_psi,
+               m.n_delta, m.n_shippable, m.n_contaminated, m.n_sem_dup,
+               round(CAST(m.n_shippable AS DOUBLE) / m.n_delta, 6)
+                   AS ship_frac,
+               (v.psi_total < {_Q327_PSI_MAX}
+                AND e.cell_psi < {_Q375_CELL_PSI_MAX}
+                AND m.n_shippable > 0) AS accept_batch
+        FROM v, e, m
+    """
+
+
+@query("q375_batch_accept_record", oracle=_q375_oracle())
+def q375_batch_accept_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE-ROW decision record an ingest gate writes before a
+    crawl batch enters the corpus: vocabulary PSI (q311), embedding-
+    cell PSI (q366 — the semantic alarm the vocab metric misses),
+    and the delta manifest's verdict counts (q327: contaminated /
+    semantic-dup / shippable), joined into an explicit accept verdict
+    (both drifts under their ceilings AND at least one shippable
+    doc). Every input is a REGISTERED query's own relation, so the
+    record can never disagree with the lanes it summarizes — the
+    composition discipline of q339's data card applied to the
+    ingest-time decision itself. At 100 TB this row is what lands in
+    the pipeline's audit log per batch; the expensive parts are the
+    component lanes, all delta-sized or persisted-index probes.
+
+    Scale shape: three 1-row/gated aggregates broadcast-crossed."""
+    from databricks_etl_spark.plans.queries_round7 import q311_vocab_drift
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q327_PSI_MAX,
+        q327_manifest_maintenance,
+    )
+
+    v = q311_vocab_drift(spark, sf_dir).select("psi_total").distinct()
+    e = (
+        q366_embedding_cell_drift(spark, sf_dir)
+        .select(F.col("psi_total").alias("cell_psi"))
+        .distinct()
+    )
+    m = q327_manifest_maintenance(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_delta"),
+        F.sum(F.when(F.col("ship"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_shippable"),
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.sum(F.when(F.col("sem_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sem_dup"),
+    )
+    return (
+        v.crossJoin(F.broadcast(e))
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("psi_total").alias("vocab_psi"),
+            "cell_psi",
+            "n_delta",
+            "n_shippable",
+            "n_contaminated",
+            "n_sem_dup",
+            F.round(
+                F.col("n_shippable").cast("double") / F.col("n_delta"), 6
+            ).alias("ship_frac"),
+            (
+                (F.col("psi_total") < _Q327_PSI_MAX)
+                & (F.col("cell_psi") < _Q375_CELL_PSI_MAX)
+                & (F.col("n_shippable") > 0)
+            ).alias("accept_batch"),
+        )
+    )

@@ -1389,3 +1389,94 @@ def test_q373_bias_shares_reconcile(spark):
     for r in rows:
         assert r.n_chunks > 0
         assert abs(r.bias - (r.hit_share - r.chunk_share)) < 1.1e-6
+
+
+def test_q374_incremental_sample_identity(spark):
+    """The maintenance identity holds literally: the incremental
+    result (rank old-sample ∪ delta) equals a from-scratch recompute
+    over corpus ∪ delta, per-source quotas hold, and non-displaced
+    rows keep q357's membership."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q357_N,
+        _Q357_SALT,
+        _Q363_B,
+        q357_stratified_eval_sample,
+        q374_incremental_sample_maintenance,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    got = {
+        (r.source, r.doc_id, r.smp_rank, r.from_delta)
+        for r in q374_incremental_sample_maintenance(
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    d = read_table(spark, SMOKE_SF_DIR, "documents")
+    full = d.select("source", "doc_id").unionAll(
+        d.filter("doc_id % 7 = 3").select(
+            "source", (F.col("doc_id") + _Q363_B).alias("doc_id")
+        )
+    )
+    k = full.select(
+        "source",
+        "doc_id",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_Q357_SALT))
+        ).alias("ky"),
+    )
+    w = Window.partitionBy("source").orderBy("ky", "doc_id")
+    want = {
+        (r.source, r.doc_id, r.smp_rank, r.doc_id >= _Q363_B)
+        for r in k.withColumn(
+            "smp_rank", F.row_number().over(w)
+        )
+        .filter(F.col("smp_rank") <= _Q357_N)
+        .select("source", "doc_id", F.col("smp_rank").cast("long").alias("smp_rank"))
+        .collect()
+    }
+    assert got == want
+    old = {
+        (r.source, r.doc_id)
+        for r in q357_stratified_eval_sample(spark, SMOKE_SF_DIR).collect()
+    }
+    for src, doc, _, from_delta in got:
+        if not from_delta:
+            assert (src, doc) in old
+
+
+def test_q375_record_reconciles_with_components(spark):
+    """The one-row record restates its registered components exactly:
+    PSI scalars equal q311/q366's, counts equal q327's aggregate,
+    and the accept verdict is the stated conjunction."""
+    from databricks_etl_spark.plans.queries_round7 import q311_vocab_drift
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q327_PSI_MAX,
+        q327_manifest_maintenance,
+    )
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q375_CELL_PSI_MAX,
+        q366_embedding_cell_drift,
+        q375_batch_accept_record,
+    )
+
+    row = q375_batch_accept_record(spark, SMOKE_SF_DIR).collect()[0]
+    vocab = (
+        q311_vocab_drift(spark, SMOKE_SF_DIR)
+        .select("psi_total")
+        .distinct()
+        .collect()[0]
+        .psi_total
+    )
+    cell = q366_embedding_cell_drift(spark, SMOKE_SF_DIR).collect()[0].psi_total
+    man = q327_manifest_maintenance(spark, SMOKE_SF_DIR).collect()
+    assert row.vocab_psi == vocab
+    assert row.cell_psi == cell
+    assert row.n_delta == len(man)
+    assert row.n_shippable == sum(1 for m in man if m.ship)
+    assert row.n_contaminated == sum(1 for m in man if m.contaminated)
+    assert row.n_sem_dup == sum(1 for m in man if m.sem_dup)
+    assert row.accept_batch == (
+        vocab < _Q327_PSI_MAX
+        and cell < _Q375_CELL_PSI_MAX
+        and row.n_shippable > 0
+    )
