@@ -4442,3 +4442,258 @@ def q375_batch_accept_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accept_batch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q376 — top repeated shingles: the actionable list behind q355
+# ---------------------------------------------------------------------------
+
+_Q376_K = 20
+
+
+def _q376_oracle() -> str:
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    shingle = " || ' ' || ".join(f"toks[i+{k}]" for k in range(_Q355_W))
+    return f"""
+        WITH tok AS (
+            SELECT source, {_TOKS} AS toks FROM documents
+        ),
+        sg AS (
+            SELECT source,
+                   unnest(list_transform(
+                       range(1, len(toks) - {_Q355_W - 2}),
+                       i -> {shingle})) AS s
+            FROM tok
+        ),
+        g AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+            FROM sg GROUP BY 1
+        )
+        SELECT s AS shingle, n_occurrences, n_sources
+        FROM g
+        ORDER BY n_occurrences DESC, s
+        LIMIT {_Q376_K}
+    """
+
+
+@query("q376_top_repeated_shingles", oracle=_q376_oracle())
+def q376_top_repeated_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE list behind q355's histogram: the top
+    {_Q376_K} most-repeated {_Q355_W}-token shingles by corpus-wide
+    occurrence (explicit (count DESC, shingle) total order), with the
+    number of sources each spans. q355 says HOW MUCH boilerplate a
+    source carries; this says WHAT it is — the literal license
+    headers / navigation chrome / template spans a cleaning rule gets
+    written against (and cross-source spread distinguishes shared
+    web boilerplate from one source's template).
+
+    Scale shape: one count aggregate on the shingle key (strings kept
+    only through the grouped relation — distinct shingles, not
+    occurrences), then a global top-k that compiles to
+    TakeOrderedAndProject (per-partition heads, never a full sort)."""
+    from databricks_etl_spark.operators.text import shingle_array, tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    sg = d.select(
+        "source",
+        F.explode(shingle_array(tokens_col("text"), _Q355_W)).alias("s"),
+    )
+    g = sg.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return (
+        g.orderBy(F.desc("n_occurrences"), F.asc("s"))
+        .limit(_Q376_K)
+        .select(
+            F.col("s").alias("shingle"), "n_occurrences", "n_sources"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q377 — training-path comparison: clamp vs loss-free chunking
+# ---------------------------------------------------------------------------
+
+_Q377_CW = 64  # non-overlapping chunk window (q318's window, stride=window)
+_Q377_CKEY = 1_000_000  # chunk-id packing base (q340's convention)
+
+
+def _q377_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _Q291_TOKS
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q326_B,
+        _Q326_P,
+        _grouped_ffd_sql,
+    )
+
+    o312 = QUERIES["q312_training_manifest"].oracle
+    o323 = QUERIES["q323_epoch_allocation"].oracle
+    b = _Q326_B
+    return f"""
+        WITH RECURSIVE
+        ship AS MATERIALIZED (SELECT doc_id FROM ({o312}) WHERE ship),
+        ep AS MATERIALIZED (SELECT source, epochs FROM ({o323})),
+        rawl AS MATERIALIZED (
+            SELECT d.doc_id, {_Q291_TOKS} AS rlen, e.epochs AS eclass
+            FROM documents d
+            JOIN ship ON d.doc_id = ship.doc_id
+            JOIN ep e ON d.source = e.source
+        ),
+        base0 AS MATERIALIZED (
+            SELECT doc_id, least(rlen, {b}) AS len, eclass FROM rawl
+        ),
+        sc0 AS (
+            SELECT eclass, CAST(ceil(COUNT(*) / {_Q326_P}.0) AS BIGINT) AS s
+            FROM base0 GROUP BY 1
+        ),
+        it0 AS MATERIALIZED (
+            SELECT b.doc_id, b.len, b.eclass, b.doc_id % sc0.s AS shard,
+                   row_number() OVER (
+                       PARTITION BY b.eclass, b.doc_id % sc0.s
+                       ORDER BY b.len DESC, b.doc_id) AS k
+            FROM base0 b JOIN sc0 ON b.eclass = sc0.eclass
+        ),
+        {_grouped_ffd_sql("0")},
+        ch AS (
+            SELECT doc_id, eclass, rlen,
+                   unnest(range(0, CAST(rlen AS BIGINT), {_Q377_CW})) AS p
+            FROM rawl
+        ),
+        cl AS MATERIALIZED (
+            SELECT doc_id * {_Q377_CKEY} + p // {_Q377_CW} AS doc_id,
+                   least({_Q377_CW}, rlen - p) AS len, eclass
+            FROM ch
+        ),
+        sc1 AS (
+            SELECT eclass, CAST(ceil(COUNT(*) / {_Q326_P}.0) AS BIGINT) AS s
+            FROM cl GROUP BY 1
+        ),
+        it1 AS MATERIALIZED (
+            SELECT c.doc_id, c.len, c.eclass, c.doc_id % sc1.s AS shard,
+                   row_number() OVER (
+                       PARTITION BY c.eclass, c.doc_id % sc1.s
+                       ORDER BY c.len DESC, c.doc_id) AS k
+            FROM cl c JOIN sc1 ON c.eclass = sc1.eclass
+        ),
+        {_grouped_ffd_sql("1")},
+        rt AS (SELECT CAST(SUM(rlen) AS BIGINT) AS raw FROM rawl),
+        g AS (
+            SELECT 'clamp' AS path,
+                   CAST(COUNT(*) AS BIGINT) AS n_units,
+                   CAST(SUM(b.len) AS BIGINT) AS kept_tokens,
+                   CAST(COUNT(DISTINCT p.seq_uid) AS BIGINT) AS n_seqs
+            FROM placed0 p JOIN base0 b ON p.doc_id = b.doc_id
+            UNION ALL
+            SELECT 'chunk',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(c.len) AS BIGINT),
+                   CAST(COUNT(DISTINCT p.seq_uid) AS BIGINT)
+            FROM placed1 p JOIN cl c ON p.doc_id = c.doc_id
+        )
+        SELECT path, n_units, rt.raw AS raw_tokens, kept_tokens,
+               CAST(rt.raw - kept_tokens AS BIGINT) AS lost_tokens,
+               n_seqs,
+               CAST(n_seqs * {b} - kept_tokens AS BIGINT) AS pad_tokens,
+               round(CAST(kept_tokens AS DOUBLE) / (n_seqs * {b}), 6)
+                   AS fill_frac
+        FROM g, rt
+    """
+
+
+@query("q377_clamp_vs_chunk_paths", oracle=_q377_oracle())
+def q377_clamp_vs_chunk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision q371 routes to, priced end to end: pack the
+    shipped pool by CLAMPING long docs at the {256}-token budget (the
+    production path; loses tails) vs by NON-OVERLAPPING
+    {_Q377_CW}-token CHUNKING first (loss-free by construction: chunk
+    lengths sum exactly to the raw length) — both through the same
+    sharded FFD at the same budget. Two rows: units packed, raw vs
+    kept tokens (chunk path keeps everything; clamp's loss is q371's
+    total), sequences, pad, fill. What it exposes: chunking trains
+    MORE tokens but costs more sequences and mask boundaries (q372's
+    axis), and the chunk grain packs tighter (64-token pieces fill
+    bins better) — the full trade a pipeline chooses between.
+
+    Scale shape: the chunk side never materializes text — only
+    lengths explode (range over the token count); both packs are the
+    per-shard FFD fold; chunk keys use q340's doc*1e6+idx convention
+    (chunk_idx < 1e6 by the length bound). The oracle runs both
+    suffixed recursions with MATERIALIZED inputs."""
+    from databricks_etl_spark.operators.packing import ffd_pack
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+        q323_epoch_allocation,
+    )
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B, _Q326_P
+
+    ship = q312_training_manifest(spark, sf_dir).filter("ship").select("doc_id")
+    ep = q323_epoch_allocation(spark, sf_dir).select("source", "epochs")
+    d = read_table(spark, sf_dir, "documents")
+    rawl = (
+        d.join(ship, "doc_id")
+        .join(F.broadcast(ep), "source")
+        .select(
+            "doc_id",
+            F.size(tokens_col("text")).cast("long").alias("rlen"),
+            F.col("epochs").cast("long").alias("eclass"),
+        )
+        .localCheckpoint()
+    )
+    raw_total = rawl.agg(F.sum("rlen").cast("long").alias("raw"))
+
+    clamp = ffd_pack(
+        rawl.select("doc_id", F.col("rlen").alias("len"), "eclass"),
+        _Q326_B,
+        _Q326_P,
+        group_col="eclass",
+    )
+    cl = rawl.select(
+        "doc_id",
+        "eclass",
+        "rlen",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("rlen") - 1,
+                F.lit(_Q377_CW).cast("long"),
+            )
+        ).alias("p"),
+    ).select(
+        (F.col("doc_id") * _Q377_CKEY + F.expr(f"p DIV {_Q377_CW}")).alias(
+            "doc_id"
+        ),
+        F.least(F.lit(_Q377_CW).cast("long"), F.col("rlen") - F.col("p"))
+        .cast("long")
+        .alias("len"),
+        "eclass",
+    )
+    chunk = ffd_pack(cl, _Q326_B, _Q326_P, group_col="eclass")
+
+    def roll(packed, path):
+        return packed.agg(
+            F.lit(path).alias("path"),
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("n_tokens").cast("long").alias("kept_tokens"),
+            F.countDistinct("seq_id").cast("long").alias("n_seqs"),
+        )
+
+    g = roll(clamp, "clamp").unionAll(roll(chunk, "chunk"))
+    return g.crossJoin(F.broadcast(raw_total)).select(
+        "path",
+        "n_units",
+        F.col("raw").alias("raw_tokens"),
+        "kept_tokens",
+        (F.col("raw") - F.col("kept_tokens")).cast("long").alias("lost_tokens"),
+        "n_seqs",
+        (F.col("n_seqs") * _Q326_B - F.col("kept_tokens"))
+        .cast("long")
+        .alias("pad_tokens"),
+        F.round(
+            F.col("kept_tokens").cast("double") / (F.col("n_seqs") * _Q326_B),
+            6,
+        ).alias("fill_frac"),
+    )

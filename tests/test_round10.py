@@ -1480,3 +1480,63 @@ def test_q375_record_reconciles_with_components(spark):
         and cell < _Q375_CELL_PSI_MAX
         and row.n_shippable > 0
     )
+
+
+def test_q376_top_shingles_anchor_to_spectrum(spark):
+    """The top-k list's occurrence counts are consistent with q355's
+    heavy/multi buckets (the #1 shingle's count appears in the right
+    multiplicity class), ordering is by (count DESC, shingle), and
+    source spans are bounded."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q376_K,
+        q355_repetition_spectrum,
+        q376_top_repeated_shingles,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = q376_top_repeated_shingles(spark, SMOKE_SF_DIR).collect()
+    assert 1 <= len(rows) <= _Q376_K
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for a, b in zip(rows, rows[1:]):
+        if a.n_occurrences == b.n_occurrences:
+            assert a.shingle < b.shingle
+    n_src = read_table(spark, SMOKE_SF_DIR, "documents").select(
+        "source"
+    ).distinct().count()
+    for r in rows:
+        assert 1 <= r.n_sources <= min(n_src, r.n_occurrences)
+    spec = q355_repetition_spectrum(spark, SMOKE_SF_DIR).collect()
+    max_mult = rows[0].n_occurrences
+    if max_mult >= 10:
+        assert any(r.bucket == "heavy" for r in spec)
+
+
+def test_q377_chunk_path_is_lossless_and_packs_tighter(spark):
+    """The chunk path keeps every raw token (loss 0) while the clamp
+    path's loss equals q371's total; unit counts and FFD bounds hold;
+    and the 64-token chunk grain fills at least as well as the
+    clamped-doc grain on this corpus."""
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B
+    from databricks_etl_spark.plans.queries_round10 import (
+        q371_truncation_loss_audit,
+        q377_clamp_vs_chunk_paths,
+    )
+
+    rows = {r.path: r for r in q377_clamp_vs_chunk_paths(
+        spark, SMOKE_SF_DIR
+    ).collect()}
+    assert set(rows) == {"clamp", "chunk"}
+    cl, ch = rows["clamp"], rows["chunk"]
+    assert cl.raw_tokens == ch.raw_tokens
+    assert ch.lost_tokens == 0 and ch.kept_tokens == ch.raw_tokens
+    q371_loss = sum(
+        r.lost_tokens
+        for r in q371_truncation_loss_audit(spark, SMOKE_SF_DIR).collect()
+    )
+    assert cl.lost_tokens == q371_loss
+    assert ch.n_units >= cl.n_units  # chunking splits, never merges
+    for r in (cl, ch):
+        assert r.pad_tokens == r.n_seqs * _Q326_B - r.kept_tokens >= 0
+        assert 0.0 < r.fill_frac <= 1.0
+    assert ch.fill_frac >= cl.fill_frac
