@@ -4697,3 +4697,106 @@ def q377_clamp_vs_chunk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fill_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q378 — mixing-temperature sweep: the alpha knob decision
+# ---------------------------------------------------------------------------
+
+_Q378_ALPHAS = (0.5, 0.7, 1.0)  # 0.7 == _Q315_A (production); 1.0 = raw
+
+
+def _q378_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round8 import temp_weight_sql
+
+    o312 = QUERIES["q312_training_manifest"].oracle
+    levels = "\n            UNION ALL\n".join(
+        f"""            SELECT CAST({a} AS DOUBLE) AS alpha, source, n_shipped,
+                   {temp_weight_sql('n_shipped', a)} AS w
+            FROM pool"""
+        for a in _Q378_ALPHAS
+    )
+    return f"""
+        WITH ship AS MATERIALIZED (
+            SELECT doc_id FROM ({o312}) WHERE ship
+        ),
+        pool AS (
+            SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_shipped
+            FROM ship JOIN documents d USING (doc_id) GROUP BY 1
+        ),
+        lv AS (
+{levels}
+        ),
+        sh AS (
+            SELECT alpha, source, n_shipped,
+                   round(w / SUM(w) OVER (PARTITION BY alpha), 6)
+                       AS target_share,
+                   w / SUM(w) OVER (PARTITION BY alpha) AS raw_share
+            FROM lv
+        )
+        SELECT alpha, source, n_shipped, target_share,
+               round(MAX(raw_share) OVER (PARTITION BY alpha)
+                     / MIN(raw_share) OVER (PARTITION BY alpha), 6)
+                   AS flat_ratio
+        FROM sh
+    """
+
+
+@query("q378_temperature_sweep", oracle=_q378_oracle())
+def q378_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alpha knob, swept: temperature mixing (count^alpha) trades
+    source diversity against data fidelity — alpha=1.0 trains
+    proportionally (big sources dominate), lower alphas flatten the
+    mixture (small sources upsample, repetition risk rises). Per
+    (alpha in {_Q378_ALPHAS}, source): the target share the kernel
+    would set over the SAME shipped pool q315 mixes, plus the
+    per-alpha flattening ratio (max share / min share — 1.0 would be
+    perfectly uniform). Production alpha {0.7} reproduces q342's
+    target column exactly (pinned by test), so the sweep and the
+    production audit cannot disagree; the flat_ratio column is
+    monotone in alpha by the kernel's shape (tested) — the curve a
+    mixture decision reads against q342's realized deviations and
+    q334's epoch-repetition costs.
+
+    Scale shape: the pool is a per-source aggregate; the sweep is a
+    {len(_Q378_ALPHAS)}-way union of constant-sized relations; the
+    share windows partition by alpha over sources-count rows."""
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+        temp_weight_col,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ship = q312_training_manifest(spark, sf_dir).filter("ship").select("doc_id")
+    pool = (
+        ship.join(d, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shipped"))
+        .localCheckpoint()  # one pool feeds every alpha level
+    )
+    levels = [
+        pool.select(
+            F.lit(float(a)).alias("alpha"),
+            "source",
+            "n_shipped",
+            temp_weight_col(F.col("n_shipped"), a).alias("w"),
+        )
+        for a in _Q378_ALPHAS
+    ]
+    lv = reduce(lambda x, y: x.unionAll(y), levels)
+    wa = Window.partitionBy("alpha")
+    raw_share = F.col("w") / F.sum("w").over(wa)
+    sh = lv.select(
+        "alpha", "source", "n_shipped",
+        F.round(raw_share, 6).alias("target_share"),
+        raw_share.alias("raw_share"),
+    )
+    return sh.select(
+        "alpha",
+        "source",
+        "n_shipped",
+        "target_share",
+        F.round(
+            F.max("raw_share").over(wa) / F.min("raw_share").over(wa), 6
+        ).alias("flat_ratio"),
+    )

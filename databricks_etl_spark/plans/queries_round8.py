@@ -319,19 +319,22 @@ _Q315_N = 200  # total mixture size
 _Q315_A = 0.7  # temperature exponent (the multilingual-mixing rule)
 
 
-def temp_weight_sql(n: str) -> str:
+def temp_weight_sql(n: str, alpha: float | None = None) -> str:
     """count^alpha temperature weight — the q315 mixing kernel as an
     ANSI-SQL fragment. THE single source of the exponent rule; q315's
     own oracle and q342's realized-mixture audit (queries_round10)
     both embed it so the rule cannot drift per-query (the
     split_sql/split_col sharing pattern). Twin of
-    :func:`temp_weight_col`; keep the two in lockstep."""
-    return f"pow(CAST({n} AS DOUBLE), {_Q315_A})"
+    :func:`temp_weight_col`; keep the two in lockstep. ``alpha``
+    overrides the exponent (None = the production {_Q315_A};
+    queries_round10's q378 sweeps it)."""
+    a = _Q315_A if alpha is None else alpha
+    return f"pow(CAST({n} AS DOUBLE), {a})"
 
 
-def temp_weight_col(n) -> F.Column:
+def temp_weight_col(n, alpha: float | None = None) -> F.Column:
     """Spark twin of :func:`temp_weight_sql`."""
-    return F.pow(n.cast("double"), _Q315_A)
+    return F.pow(n.cast("double"), _Q315_A if alpha is None else alpha)
 
 
 @query(

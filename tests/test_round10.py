@@ -1540,3 +1540,41 @@ def test_q377_chunk_path_is_lossless_and_packs_tighter(spark):
         assert r.pad_tokens == r.n_seqs * _Q326_B - r.kept_tokens >= 0
         assert 0.0 < r.fill_frac <= 1.0
     assert ch.fill_frac >= cl.fill_frac
+
+
+def test_q378_sweep_pins_production_and_flattens(spark):
+    """Shares form a distribution per alpha, the production alpha's
+    targets equal q342's target column exactly, flat_ratio is
+    monotone non-decreasing in alpha (lower temperature flattens),
+    and pool counts are alpha-invariant."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q378_ALPHAS,
+        q342_realized_mixture_audit,
+        q378_temperature_sweep,
+    )
+
+    rows = q378_temperature_sweep(spark, SMOKE_SF_DIR).collect()
+    by_alpha: dict[float, list] = {}
+    for r in rows:
+        by_alpha.setdefault(r.alpha, []).append(r)
+    assert set(by_alpha) == {float(a) for a in _Q378_ALPHAS}
+    pool_counts = None
+    for a, rs in by_alpha.items():
+        n = len(rs)
+        assert abs(sum(r.target_share for r in rs) - 1.0) <= n * 5e-7
+        assert len({r.flat_ratio for r in rs}) == 1
+        counts = {r.source: r.n_shipped for r in rs}
+        if pool_counts is None:
+            pool_counts = counts
+        assert counts == pool_counts
+
+    prod = {r.source: r.target_share for r in by_alpha[0.7]}
+    q342_tgt = {
+        r.source: r.target_share
+        for r in q342_realized_mixture_audit(spark, SMOKE_SF_DIR).collect()
+        if r.epoch == 1
+    }
+    assert prod == q342_tgt
+
+    flats = [by_alpha[float(a)][0].flat_ratio for a in _Q378_ALPHAS]
+    assert flats == sorted(flats)  # alpha up -> less flattening
