@@ -4800,3 +4800,211 @@ def q378_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("raw_share").over(wa) / F.min("raw_share").over(wa), 6
         ).alias("flat_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q379 — held-out leakage rate: the headline eval-contamination number
+# ---------------------------------------------------------------------------
+
+
+def _q379_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round5 import split_sql
+    from databricks_etl_spark.plans.queries_round8 import _q318_chunks_sql
+    from databricks_etl_spark.plans.queries_round9 import _q330_oracle
+
+    return f"""
+        WITH prs AS MATERIALIZED (SELECT * FROM ({_q330_oracle()})),
+        lk0 AS (
+            SELECT {split_sql('doc_a')} AS split, doc_a AS doc_id,
+                   chunk_a AS chunk_idx
+            FROM prs WHERE {split_sql('doc_b')} = 'train'
+            UNION ALL
+            SELECT {split_sql('doc_b')}, doc_b, chunk_b
+            FROM prs WHERE {split_sql('doc_a')} = 'train'
+        ),
+        lk AS (
+            SELECT DISTINCT split, doc_id, chunk_idx FROM lk0
+            WHERE split <> 'train'
+        ),
+        {_q318_chunks_sql()},
+        uni AS (
+            SELECT {split_sql('doc_id')} AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks
+            FROM chunks WHERE n_chunk_tokens >= 3
+              AND {split_sql('doc_id')} <> 'train'
+            GROUP BY 1
+        ),
+        lc AS (
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_leaked
+            FROM lk GROUP BY 1
+        )
+        SELECT u.split, u.n_chunks,
+               COALESCE(lc.n_leaked, 0) AS n_leaked,
+               round(COALESCE(lc.n_leaked, 0)
+                     / CAST(u.n_chunks AS DOUBLE), 6) AS leak_rate
+        FROM uni u LEFT JOIN lc ON u.split = lc.split
+    """
+
+
+@query("q379_heldout_leak_rate", oracle=_q379_oracle())
+def q379_heldout_leak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE eval-contamination headline: what fraction of each
+    held-out split's chunks has a near-verbatim TRAIN twin. q337
+    emits the full (split x split) pair matrix; a release review asks
+    one number per held-out split, at CHUNK grain (distinct leaked
+    chunks, not pair multiplicity — one train twin taints a chunk
+    the same as five). Numerator: q330's banding-certified near-dup
+    pairs with a train side, rolled to distinct held-out chunks;
+    denominator: the same chunk universe the banding indexes (>= 3
+    tokens, q318's stream), split by q234's portable rule. Sources
+    with no leaks report 0 (grid is the denominator side).
+
+    Scale shape: the numerator rides q330's bounded pair output; the
+    denominator is one split-keyed count over the chunk stream; both
+    rollups are 2-row relations at the end."""
+    from databricks_etl_spark.operators.text import chunk_tokens
+    from databricks_etl_spark.plans.queries_round5 import split_col
+    from databricks_etl_spark.plans.queries_round8 import _Q318_S, _Q318_W
+    from databricks_etl_spark.plans.queries_round9 import (
+        q330_chunk_minhash_neardup,
+    )
+
+    prs = q330_chunk_minhash_neardup(spark, sf_dir)
+    a_side = prs.filter(split_col("doc_b") == "train").select(
+        split_col("doc_a").alias("split"),
+        F.col("doc_a").alias("doc_id"),
+        F.col("chunk_a").alias("chunk_idx"),
+    )
+    b_side = prs.filter(split_col("doc_a") == "train").select(
+        split_col("doc_b").alias("split"),
+        F.col("doc_b").alias("doc_id"),
+        F.col("chunk_b").alias("chunk_idx"),
+    )
+    lk = (
+        a_side.unionAll(b_side)
+        .filter(F.col("split") != "train")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked"))
+    )
+    d = read_table(spark, sf_dir, "documents")
+    uni = (
+        chunk_tokens(d, _Q318_W, _Q318_S)
+        .filter(F.col("n_chunk_tokens") >= 3)
+        .select(split_col("doc_id").alias("split"))
+        .filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+    )
+    return uni.join(lk, "split", "left").select(
+        "split",
+        "n_chunks",
+        F.coalesce("n_leaked", F.lit(0)).cast("long").alias("n_leaked"),
+        F.round(
+            F.coalesce("n_leaked", F.lit(0)) / F.col("n_chunks").cast("double"),
+            6,
+        ).alias("leak_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q380 — prefetch working-set sizing over checkpoint windows
+# ---------------------------------------------------------------------------
+
+_Q380_SHKEY = 10_000_000  # packed (eclass, shard) key base
+
+
+def _q380_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q326_SEQNS,
+        _q326_oracle,
+    )
+
+    return f"""
+        WITH st AS MATERIALIZED (SELECT * FROM ({_q326_oracle()})),
+        seqs AS (
+            SELECT DISTINCT epoch, step,
+                   (seq_id % 8) * {_Q380_SHKEY}
+                       + (seq_id // 8) // {_Q326_SEQNS} AS shkey
+            FROM st
+        ),
+        w AS (
+            SELECT epoch, (step - 1) // {_Q351_K} AS win,
+                   CAST(COUNT(DISTINCT shkey) AS BIGINT) AS n_shards
+            FROM seqs GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT epoch, CAST(COUNT(DISTINCT shkey) AS BIGINT) AS t
+            FROM seqs GROUP BY 1
+        )
+        SELECT w.epoch,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(MAX(w.n_shards) AS BIGINT) AS max_shards_per_window,
+               round(CAST(SUM(w.n_shards) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_shards_per_window,
+               MIN(tot.t) AS total_shards
+        FROM w JOIN tot ON w.epoch = tot.epoch
+        GROUP BY 1
+    """
+
+
+@query("q380_prefetch_working_set", oracle=_q380_oracle())
+def q380_prefetch_working_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many shard files must be RESIDENT while a training run
+    works through one checkpoint window? q358 shows the shuffle
+    scatters each shard across the whole epoch (span_frac ~ 1); the
+    serving consequence is quantified here: per epoch, the distinct
+    (eclass, shard) files touched within each {_Q351_K}-step window —
+    max and mean over windows, against the epoch's total shard count.
+    max == total says the prefetch cache must hold EVERY shard all
+    epoch (the shuffled-order cost a node's memory budget pays);
+    windows aligned with q351's checkpoint ledger so the cache plan
+    and the resume plan share a unit.
+
+    Scale shape: one DISTINCT on the stream with the shard decoded by
+    integer arithmetic into a packed key (eclass < 8, shard < 1e6 —
+    documented bounds, exact decode), a (epoch x window) grouped
+    distinct-count, then epoch-level scalars."""
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q326_SEQNS,
+        q326_dataloader_order,
+    )
+
+    seqs = (
+        q326_dataloader_order(spark, sf_dir)
+        .select(
+            "epoch",
+            "step",
+            (
+                (F.col("seq_id") % 8) * _Q380_SHKEY
+                + F.expr(f"(seq_id DIV 8) DIV {_Q326_SEQNS}")
+            ).alias("shkey"),
+        )
+        .distinct()
+    )
+    w = (
+        seqs.withColumn("win", F.expr(f"(step - 1) DIV {_Q351_K}"))
+        .groupBy("epoch", "win")
+        .agg(F.countDistinct("shkey").cast("long").alias("n_shards"))
+    )
+    tot = seqs.groupBy("epoch").agg(
+        F.countDistinct("shkey").cast("long").alias("t")
+    )
+    return (
+        w.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.max("n_shards").cast("long").alias("max_shards_per_window"),
+            F.round(
+                F.sum("n_shards").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_shards_per_window"),
+        )
+        .join(F.broadcast(tot), "epoch")
+        .select(
+            "epoch",
+            "n_windows",
+            "max_shards_per_window",
+            "mean_shards_per_window",
+            F.col("t").alias("total_shards"),
+        )
+    )

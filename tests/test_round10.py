@@ -1578,3 +1578,57 @@ def test_q378_sweep_pins_production_and_flattens(spark):
 
     flats = [by_alpha[float(a)][0].flat_ratio for a in _Q378_ALPHAS]
     assert flats == sorted(flats)  # alpha up -> less flattening
+
+
+def test_q379_leak_rate_reconciles_with_q337(spark):
+    """Rates are exact count ratios over the val/test chunk universe;
+    a split has a non-zero rate exactly when q337's matrix shows a
+    leaking pair involving that split and train; leaked counts are
+    bounded by the pair matrix's involvement."""
+    from databricks_etl_spark.plans.queries_round9 import (
+        q337_split_leakage_audit,
+    )
+    from databricks_etl_spark.plans.queries_round10 import (
+        q379_heldout_leak_rate,
+    )
+
+    rows = q379_heldout_leak_rate(spark, SMOKE_SF_DIR).collect()
+    assert {r.split for r in rows} <= {"val", "test"}
+    assert rows
+    matrix = q337_split_leakage_audit(spark, SMOKE_SF_DIR).collect()
+    train_leak_splits = set()
+    pairs_involving = {"val": 0, "test": 0}
+    for m in matrix:
+        sides = {m.split_a, m.split_b}
+        if "train" in sides and m.is_leakage:
+            other = (sides - {"train"}).pop()
+            if other in pairs_involving:
+                train_leak_splits.add(other)
+                pairs_involving[other] += m.n_pairs
+    for r in rows:
+        assert 0 <= r.n_leaked <= r.n_chunks
+        assert abs(r.leak_rate - round(r.n_leaked / r.n_chunks, 6)) < 1e-9
+        assert (r.n_leaked > 0) == (r.split in train_leak_splits)
+        assert r.n_leaked <= pairs_involving.get(r.split, 0)
+
+
+def test_q380_working_set_bounds(spark):
+    """Window working sets are bounded by the epoch total and by the
+    window's step capacity; the mean never exceeds the max; window
+    counts match q351's ledger; and at least one epoch shows the
+    shuffle's scatter (mean well above 1 shard per window)."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        q351_checkpoint_resume_accounting,
+        q380_prefetch_working_set,
+    )
+
+    rows = q380_prefetch_working_set(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    ledger: dict[int, int] = {}
+    for r in q351_checkpoint_resume_accounting(spark, SMOKE_SF_DIR).collect():
+        ledger[r.epoch] = ledger.get(r.epoch, 0) + 1
+    for r in rows:
+        assert r.n_windows == ledger[r.epoch]
+        assert 1 <= r.max_shards_per_window <= r.total_shards
+        assert 0 < r.mean_shards_per_window <= r.max_shards_per_window
+    assert any(r.mean_shards_per_window > 1.0 for r in rows)
