@@ -1632,3 +1632,70 @@ def test_q380_working_set_bounds(spark):
         assert 1 <= r.max_shards_per_window <= r.total_shards
         assert 0 < r.mean_shards_per_window <= r.max_shards_per_window
     assert any(r.mean_shards_per_window > 1.0 for r in rows)
+
+
+def test_subword_fold_matches_python_reference(spark):
+    """The vocab-parameterized greedy fold (q360's new surface) agrees
+    with a pure-Python longest-match reference on random words and
+    random vocab ablations, including the empty-vocab identity
+    (cnt == len, unk == len)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from databricks_etl_spark.operators.text import (
+        SUBWORD_VOCAB_2,
+        SUBWORD_VOCAB_3,
+        SUBWORD_VOCAB_4,
+        subword_piece_stats,
+    )
+
+    def py_greedy(w, v4, v3, v2):
+        pos, cnt, unk = 0, 0, 0
+        while pos < len(w):
+            if w[pos : pos + 4] in v4:
+                step = 4
+            elif w[pos : pos + 3] in v3:
+                step = 3
+            elif w[pos : pos + 2] in v2:
+                step = 2
+            else:
+                step, unk = 1, unk + 1
+            pos += step
+            cnt += 1
+        return cnt, unk
+
+    alphabet = "theinrsgo"
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        words=st.lists(
+            st.text(alphabet=alphabet, min_size=1, max_size=14),
+            min_size=1,
+            max_size=12,
+            unique=True,
+        ),
+        use4=st.booleans(),
+        use3=st.booleans(),
+        use2=st.booleans(),
+    )
+    def check(words, use4, use3, use2):
+        v4 = SUBWORD_VOCAB_4 if use4 else ()
+        v3 = SUBWORD_VOCAB_3 if use3 else ()
+        v2 = SUBWORD_VOCAB_2 if use2 else ()
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        st_col = subword_piece_stats(F.col("w"), v4=v4, v3=v3, v2=v2)
+        got = {
+            r.w: (r.cnt, r.unk)
+            for r in df.select(
+                "w",
+                st_col.getField("cnt").alias("cnt"),
+                st_col.getField("unk").alias("unk"),
+            ).collect()
+        }
+        for w in words:
+            expect = py_greedy(w, set(v4), set(v3), set(v2))
+            assert got[w] == expect, (w, v4 and "4", v3 and "3", v2 and "2")
+            if not (v4 or v3 or v2):
+                assert got[w] == (len(w), len(w))
+
+    check()
