@@ -5008,3 +5008,112 @@ def q380_prefetch_working_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias("total_shards"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q381 — release datasheet v2: the round's per-source audits, one relation
+# ---------------------------------------------------------------------------
+
+
+def _q381_oracle() -> str:
+    o371 = QUERIES["q371_truncation_loss_audit"].oracle
+    o355 = QUERIES["q355_repetition_spectrum"].oracle
+    o350 = QUERIES["q350_cluster_retention_report"].oracle
+    o364 = QUERIES["q364_eval_ngram_novelty"].oracle
+    o373 = QUERIES["q373_retrieval_source_bias"].oracle
+    return f"""
+        WITH tr AS MATERIALIZED (
+            SELECT source, n_docs, loss_frac FROM ({o371})
+        ),
+        rep AS MATERIALIZED (
+            SELECT source,
+                   round(SUM(CASE WHEN bucket = 'heavy'
+                                  THEN n_occurrences ELSE 0 END)
+                         / CAST(SUM(n_occurrences) AS DOUBLE), 6)
+                       AS heavy_share
+            FROM ({o355}) GROUP BY 1
+        ),
+        ret AS MATERIALIZED (
+            SELECT source, n_dropped, tokens_dropped FROM ({o350})
+        ),
+        nv AS MATERIALIZED (
+            SELECT source, novelty AS eval_novelty FROM ({o364})
+        ),
+        rb AS MATERIALIZED (
+            SELECT source, bias AS retrieval_bias FROM ({o373})
+        )
+        SELECT tr.source, tr.n_docs, tr.loss_frac,
+               COALESCE(rep.heavy_share, 0.0) + 0.0 AS heavy_share,
+               ret.n_dropped AS dedup_dropped,
+               ret.tokens_dropped AS dedup_tokens_dropped,
+               nv.eval_novelty, rb.retrieval_bias
+        FROM tr
+        JOIN ret ON tr.source = ret.source
+        JOIN nv ON tr.source = nv.source
+        JOIN rb ON tr.source = rb.source
+        LEFT JOIN rep ON tr.source = rep.source
+    """
+
+
+@query("q381_release_datasheet_v2", oracle=_q381_oracle())
+def q381_release_datasheet_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's per-source audits folded into ONE release relation
+    — q339's datasheet discipline applied to the new lanes: shipped
+    docs and truncation loss (q371), the heavy-repetition occurrence
+    share (q355's memorization flag), quality-retention drops (q350),
+    eval n-gram novelty (q364) and retrieval bias (q373). Every
+    column is a REGISTERED query's own relation joined on the bounded
+    source key, so the datasheet can never disagree with the lanes it
+    cites; this is the one table a data-release review reads before
+    sign-off, with each number's full-audit provenance one query
+    away.
+
+    Scale shape: five source-keyed aggregates (each lane's own cost),
+    one bounded join chain — sources-count rows end to end."""
+    shv = (
+        q355_repetition_spectrum(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("bucket") == "heavy", F.col("n_occurrences")
+                    ).otherwise(0)
+                )
+                / F.sum("n_occurrences").cast("double"),
+                6,
+            ).alias("heavy_share")
+        )
+    )
+    tr = q371_truncation_loss_audit(spark, sf_dir).select(
+        "source", "n_docs", "loss_frac"
+    )
+    ret = q350_cluster_retention_report(spark, sf_dir).select(
+        "source",
+        F.col("n_dropped").alias("dedup_dropped"),
+        F.col("tokens_dropped").alias("dedup_tokens_dropped"),
+    )
+    nv = q364_eval_ngram_novelty(spark, sf_dir).select(
+        "source", F.col("novelty").alias("eval_novelty")
+    )
+    rb = q373_retrieval_source_bias(spark, sf_dir).select(
+        "source", F.col("bias").alias("retrieval_bias")
+    )
+    return (
+        tr.join(ret, "source")
+        .join(nv, "source")
+        .join(rb, "source")
+        .join(shv, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "loss_frac",
+            (F.coalesce("heavy_share", F.lit(0.0)) + F.lit(0.0)).alias(
+                "heavy_share"
+            ),
+            "dedup_dropped",
+            "dedup_tokens_dropped",
+            "eval_novelty",
+            "retrieval_bias",
+        )
+    )

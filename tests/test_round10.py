@@ -1699,3 +1699,51 @@ def test_subword_fold_matches_python_reference(spark):
                 assert got[w] == (len(w), len(w))
 
     check()
+
+
+def test_q381_datasheet_restates_components(spark):
+    """Every datasheet column equals its registered component exactly
+    — the composition can never drift from the lanes it cites."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        q350_cluster_retention_report,
+        q355_repetition_spectrum,
+        q364_eval_ngram_novelty,
+        q371_truncation_loss_audit,
+        q373_retrieval_source_bias,
+        q381_release_datasheet_v2,
+    )
+
+    rows = {r.source: r for r in q381_release_datasheet_v2(
+        spark, SMOKE_SF_DIR
+    ).collect()}
+    assert rows
+    tr = {r.source: r for r in q371_truncation_loss_audit(
+        spark, SMOKE_SF_DIR
+    ).collect()}
+    ret = {r.source: r for r in q350_cluster_retention_report(
+        spark, SMOKE_SF_DIR
+    ).collect()}
+    nv = {r.source: r.novelty for r in q364_eval_ngram_novelty(
+        spark, SMOKE_SF_DIR
+    ).collect()}
+    rb = {r.source: r.bias for r in q373_retrieval_source_bias(
+        spark, SMOKE_SF_DIR
+    ).collect()}
+    spec = q355_repetition_spectrum(spark, SMOKE_SF_DIR).collect()
+    heavy: dict[str, list] = {}
+    for s in spec:
+        tot_h = heavy.setdefault(s.source, [0, 0])
+        tot_h[1] += s.n_occurrences
+        if s.bucket == "heavy":
+            tot_h[0] += s.n_occurrences
+    assert set(rows) == set(tr)
+    for src, r in rows.items():
+        assert r.n_docs == tr[src].n_docs
+        assert r.loss_frac == tr[src].loss_frac
+        assert r.dedup_dropped == ret[src].n_dropped
+        assert r.dedup_tokens_dropped == ret[src].tokens_dropped
+        assert r.eval_novelty == nv[src]
+        assert r.retrieval_bias == rb[src]
+        h, t = heavy.get(src, (0, 0))
+        expect = round(h / t, 6) if t else 0.0
+        assert abs(r.heavy_share - expect) < 1e-9
