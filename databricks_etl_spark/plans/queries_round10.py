@@ -237,7 +237,8 @@ def _q342_oracle() -> str:
             SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_shipped
             FROM shipped JOIN documents d USING (doc_id) GROUP BY 1
         ),
-        tw AS (SELECT SUM({temp_weight_sql('n_shipped')}) AS tw FROM pool),
+        tw AS (SELECT CAST(SUM(CAST({temp_weight_sql('n_shipped')}
+                   AS DECIMAL(28,9))) AS DOUBLE) AS tw FROM pool),
         tgt AS (
             SELECT source,
                    round({temp_weight_sql('n_shipped')} / tw.tw, 6)
@@ -311,7 +312,14 @@ def q342_realized_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shipped"))
     )
-    tw = pool.agg(F.sum(temp_weight_col(F.col("n_shipped"))).alias("tw"))
+    # decimal-stable cross-partition sum (README rule): cast each weight
+    # to decimal(28,9) so the fold is exact and order-independent, then
+    # back to double for the share arithmetic.
+    tw = pool.agg(
+        F.sum(temp_weight_col(F.col("n_shipped")).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("tw")
+    )
     tgt = pool.crossJoin(F.broadcast(tw)).select(
         "source",
         F.round(temp_weight_col(F.col("n_shipped")) / F.col("tw"), 6).alias(
@@ -3471,7 +3479,8 @@ def _q367_oracle() -> str:
             SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_shipped
             FROM shipped JOIN documents d USING (doc_id) GROUP BY 1
         ),
-        tw AS (SELECT SUM({temp_weight_sql('n_shipped')}) AS tw FROM pool),
+        tw AS (SELECT CAST(SUM(CAST({temp_weight_sql('n_shipped')}
+                   AS DECIMAL(28,9))) AS DOUBLE) AS tw FROM pool),
         tgt AS (
             SELECT source,
                    round({temp_weight_sql('n_shipped')} / tw.tw, 6)
@@ -3555,7 +3564,14 @@ def q367_token_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shipped"))
     )
-    tw = pool.agg(F.sum(temp_weight_col(F.col("n_shipped"))).alias("tw"))
+    # decimal-stable cross-partition sum (README rule): cast each weight
+    # to decimal(28,9) so the fold is exact and order-independent, then
+    # back to double for the share arithmetic.
+    tw = pool.agg(
+        F.sum(temp_weight_col(F.col("n_shipped")).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("tw")
+    )
     tgt = pool.crossJoin(F.broadcast(tw)).select(
         "source",
         F.round(temp_weight_col(F.col("n_shipped")) / F.col("tw"), 6).alias(
@@ -4729,9 +4745,11 @@ def _q378_oracle() -> str:
         ),
         sh AS (
             SELECT alpha, source, n_shipped,
-                   round(w / SUM(w) OVER (PARTITION BY alpha), 6)
+                   round(w / CAST(SUM(CAST(w AS DECIMAL(28,9)))
+                         OVER (PARTITION BY alpha) AS DOUBLE), 6)
                        AS target_share,
-                   w / SUM(w) OVER (PARTITION BY alpha) AS raw_share
+                   w / CAST(SUM(CAST(w AS DECIMAL(28,9)))
+                       OVER (PARTITION BY alpha) AS DOUBLE) AS raw_share
             FROM lv
         )
         SELECT alpha, source, n_shipped, target_share,
@@ -4785,7 +4803,10 @@ def q378_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     lv = reduce(lambda x, y: x.unionAll(y), levels)
     wa = Window.partitionBy("alpha")
-    raw_share = F.col("w") / F.sum("w").over(wa)
+    # decimal-stable window sum (README rule): exact, order-independent
+    raw_share = F.col("w") / (
+        F.sum(F.col("w").cast("decimal(28,9)")).over(wa).cast("double")
+    )
     sh = lv.select(
         "alpha", "source", "n_shipped",
         F.round(raw_share, 6).alias("target_share"),

@@ -420,6 +420,48 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q338_vocab_coverage_audit",
         "q339_source_datacard",
         "q340_chunk_packing",
+        # round-10 driver greens (CORRECTNESS_r10.json: 41 hash-green rows)
+        "q341_ivf_probe_sweep",
+        "q342_realized_mixture_audit",
+        "q343_incremental_order_maintenance",
+        "q344_training_artifact_manifest",
+        "q345_chunk_subword_packing",
+        "q346_incremental_artifact_publish",
+        "q347_epoch_shuffle_decorrelation",
+        "q348_packing_efficiency",
+        "q349_attention_segment_audit",
+        "q350_cluster_retention_report",
+        "q351_checkpoint_resume_accounting",
+        "q352_pq_rerank_sweep",
+        "q353_dup_flow_matrix",
+        "q354_curriculum_flatness",
+        "q355_repetition_spectrum",
+        "q356_bucket_batching_waste",
+        "q357_stratified_eval_sample",
+        "q358_shard_prefetch_locality",
+        "q359_simhash_radius_calibration",
+        "q360_vocab_ablation_sweep",
+        "q361_streaming_repetition_spectrum",
+        "q362_ann_stack_eval",
+        "q363_incremental_dup_flow",
+        "q364_eval_ngram_novelty",
+        "q365_cluster_density_audit",
+        "q366_embedding_cell_drift",
+        "q367_token_mixture_audit",
+        "q368_quality_calibration",
+        "q369_dedup_threshold_sweep",
+        "q370_packing_budget_sweep",
+        "q371_truncation_loss_audit",
+        "q372_attention_compute_audit",
+        "q373_retrieval_source_bias",
+        "q374_incremental_sample_maintenance",
+        "q375_batch_accept_record",
+        "q376_top_repeated_shingles",
+        "q377_clamp_vs_chunk_paths",
+        "q378_temperature_sweep",
+        "q379_heldout_leak_rate",
+        "q380_prefetch_working_set",
+        "q381_release_datasheet_v2",
     }
 )
 
@@ -495,8 +537,8 @@ def _load() -> None:
     # round-10 modules
     import databricks_etl_spark.plans.queries_round10  # noqa: F401
 
-    assert len(QUERIES) >= 280, (
-        f"query registry shrank: {len(QUERIES)} < 280 — a module failed to register"
+    assert len(QUERIES) >= 379, (
+        f"query registry shrank: {len(QUERIES)} < 379 — a module failed to register"
     )
     _reorder()
     _loaded = True

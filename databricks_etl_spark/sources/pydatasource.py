@@ -152,6 +152,12 @@ class JsonLinesDataSource(DataSource):
 
 
 class JsonLinesWriter(DataSourceWriter):
+    # minimum age before the overwrite-mode janitor sweeps a foreign
+    # temp file: anything younger may belong to a LIVE concurrent job
+    # (its rename would fail after the sweep); crashed-job litter is
+    # by definition older than any plausible in-flight write
+    JANITOR_MIN_AGE_SEC = 3600.0
+
     def __init__(self, path: str, overwrite: bool) -> None:
         import uuid
 
@@ -199,9 +205,22 @@ class JsonLinesWriter(DataSourceWriter):
             # litter from PRIOR crashed jobs (a task killed after its
             # job's abort() ran can land a temp nobody saw — the same
             # hole Hadoop committers have with zombie speculative
-            # tasks; the next successful publish is the janitor)
+            # tasks; the next successful publish is the janitor).
+            # Only temps OLDER than the age threshold are swept: a
+            # concurrent job's in-flight temps are seconds old, a
+            # crashed job's litter is not — the mtime gate keeps the
+            # janitor from racing a live writer sharing the path.
+            import time
+
+            now = time.time()
             for stale in glob.glob(os.path.join(self.path, ".part-*.tmp")):
-                if f".part-{self.job_token}-" not in os.path.basename(stale):
+                if f".part-{self.job_token}-" in os.path.basename(stale):
+                    continue
+                try:
+                    age = now - os.path.getmtime(stale)
+                except OSError:
+                    continue  # already gone (owner cleaned it up)
+                if age > self.JANITOR_MIN_AGE_SEC:
                     os.remove(stale)
         # Per-job unique token in the final names (Spark's FileFormatWriter
         # does the same): without it a second append-mode save() into the

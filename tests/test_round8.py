@@ -133,7 +133,9 @@ def test_ffd_pack_skewed_residues_raise_not_collide(spark, monkeypatch):
     # shard 0 holds all 6 docs, each full-budget -> 6 bins > 3 allowed.
     rows = [(2 * i, 64) for i in range(6)]
     df = spark.createDataFrame(rows, "doc_id long, len long")
-    with _pytest.raises((Py4JJavaError, Exception), match="collide"):
+    from pyspark.errors.exceptions.base import PySparkException
+
+    with _pytest.raises((Py4JJavaError, PySparkException), match="collide"):
         packing.ffd_pack(df, 64, 3).collect()
 
 

@@ -216,6 +216,37 @@ def test_pyjsonl_writer_roundtrip_and_atomicity(spark, smoke_sf_dir, tmp_path):
     assert back2.count() == half.count()
 
 
+def test_pyjsonl_overwrite_janitor_is_age_gated(spark, smoke_sf_dir, tmp_path):
+    """The overwrite-mode janitor sweeps crashed-job temp litter but
+    must NOT race a live concurrent writer (r10 ADVICE): a foreign
+    .tmp older than JANITOR_MIN_AGE_SEC is swept, a fresh one — which
+    may be a concurrent job's in-flight write — survives the commit."""
+    import os
+    import time
+
+    from databricks_etl_spark.sources import pydatasource as PDS
+    from databricks_etl_spark.sources.readers import read_table
+
+    PDS.register(spark)
+    out = str(tmp_path / "janitor")
+    os.makedirs(out)
+    old = os.path.join(out, ".part-deadbeef0000-crashed.tmp")
+    fresh = os.path.join(out, ".part-cafebabe1111-inflight.tmp")
+    for p in (old, fresh):
+        with open(p, "w") as f:
+            f.write('{"doc_id": -1}\n')
+    stale_mtime = time.time() - 2 * PDS.JsonLinesWriter.JANITOR_MIN_AGE_SEC
+    os.utime(old, (stale_mtime, stale_mtime))
+
+    d = read_table(spark, smoke_sf_dir, "documents").select("doc_id").limit(5)
+    d.write.format("pyjsonl").option("path", out).mode("overwrite").save()
+
+    assert not os.path.exists(old), "stale crashed-job temp must be swept"
+    assert os.path.exists(fresh), "fresh (possibly live) temp must survive"
+    # and the fresh temp is invisible to readers (not a part file)
+    assert spark.read.json(out).count() == 5
+
+
 def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     """Schema evolution on read: a landing directory accumulates files
     written under an old (a, b) and a new (a, b, c) schema; reading
