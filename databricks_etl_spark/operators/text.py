@@ -507,6 +507,136 @@ def subword_doc_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _bpe_merge_fold(l: str, r: str):
+    """Replace-last merge fold for one learned BPE pair ``(l, r)``:
+    scanning the symbol array left to right, whenever the last emitted
+    symbol is ``l`` and the current symbol is ``r``, the two fuse into
+    ``l || r``. This is exactly the classic left-to-right
+    non-overlapping merge pass: a fused symbol is strictly longer than
+    ``l``, so it can never immediately fuse again as the LEFT side of
+    the same pair — the property that makes replace-last equivalent to
+    the index-skipping loop (property-tested against a pure-Python
+    reference in tests/test_round11.py)."""
+    merged = F.array(F.lit(l + r))
+
+    def stepf(acc: Column, s: Column) -> Column:
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(l))
+            & (s == F.lit(r))
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+                merged,
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return stepf
+
+
+def learn_bpe_merge_list(
+    df: DataFrame, k: int = 10, text_col: str = "text"
+) -> list[tuple[int, str, str, str, int]]:
+    """LEARN a byte-pair-encoding merge table from the corpus — the
+    vocabulary-induction step (Sennrich et al. 2016) upstream of the
+    greedy inference tokenizer :func:`subword_piece_stats`. Returns
+    ``[(step, left, right, merged, pair_count), ...]`` with at most
+    ``k`` merges, chosen by max frequency-weighted adjacent-pair count
+    with the deterministic tiebreak (count DESC, left ASC, right ASC).
+
+    Distribution shape (the q213 bounded-fixed-point discipline): the
+    ONLY corpus-sized pass is the initial word count; every iteration
+    then operates on the DISTINCT-word relation (vocabulary-bounded —
+    ~10^7 rows at 100 TB, hash-partitioned by word), as one pure
+    aggregation (pair explode + groupBy sum) whose single argmax row
+    is the per-iteration driver traffic. The re-segmentation is a
+    whole-stage-codegen ``aggregate`` fold (no UDF); ``localCheckpoint``
+    truncates the k-deep lineage so plan size stays O(1) per step.
+    There are exactly ``k`` bounded iterations and k 1-row collects —
+    no driver loop over data (S10 policy: the CMS-top-k precedent).
+
+    No reference counterpart (the reference notebooks have no
+    tokenizer); north-star SURVEY.md §2.12 surface."""
+    tok = df.select(F.explode(tokens_col(text_col)).alias("w")).filter(
+        F.length("w") >= 1
+    )
+    words = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    seg = words.select(
+        "w",
+        "f",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("syms"),
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, k + 1):
+        pairs = (
+            seg.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda j: F.struct(
+                            F.element_at("syms", j).alias("l"),
+                            F.element_at("syms", j + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "f")
+            .groupBy("l", "r")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not best:
+            break  # every word is a single symbol — vocabulary exhausted
+        l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        merges.append((step, l, r, l + r, cnt))
+        seg = seg.select(
+            "w",
+            "f",
+            F.aggregate(
+                "syms", F.array().cast("array<string>"), _bpe_merge_fold(l, r)
+            ).alias("syms"),
+        ).localCheckpoint()
+    return merges
+
+
+def learn_bpe_merges(
+    df: DataFrame, k: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """:func:`learn_bpe_merge_list` as a DataFrame relation
+    (step, left_sym, right_sym, merged, pair_count)."""
+    return df.sparkSession.createDataFrame(
+        learn_bpe_merge_list(df, k, text_col),
+        "step long, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
+
+
+def bpe_vocab_blocks(
+    merges: list[tuple[int, str, str, str, int]],
+) -> tuple[tuple[str, ...], tuple[str, ...], tuple[str, ...]]:
+    """Regroup a learned merge table into the (v4, v3, v2) literal
+    blocks :func:`subword_piece_stats` consumes: distinct merged
+    tokens of length 4/3/2, each block sorted. Learned pieces longer
+    than 4 chars are dropped (the greedy tokenizer's max piece width);
+    1-char pieces cannot occur (a merge is >= 2 chars)."""
+    by_len: dict[int, set[str]] = {2: set(), 3: set(), 4: set()}
+    for _, _, _, merged, _ in merges:
+        if len(merged) in by_len:
+            by_len[len(merged)].add(merged)
+    return (
+        tuple(sorted(by_len[4])),
+        tuple(sorted(by_len[3])),
+        tuple(sorted(by_len[2])),
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     window: int,

@@ -536,6 +536,8 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_round9  # noqa: F401
     # round-10 modules
     import databricks_etl_spark.plans.queries_round10  # noqa: F401
+    # round-11 modules
+    import databricks_etl_spark.plans.queries_round11  # noqa: F401
 
     assert len(QUERIES) >= 379, (
         f"query registry shrank: {len(QUERIES)} < 379 — a module failed to register"

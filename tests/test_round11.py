@@ -1,0 +1,191 @@
+"""Round-11 lane tests: BPE merge induction (learner vs pure-Python
+reference, replace-last fold equivalence, learned-vocab fertility
+reconciliation) and the round's incremental/skew/streaming lanes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SMOKE_SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference BPE (the index-skipping textbook loop)
+# ---------------------------------------------------------------------------
+
+
+def _py_merge_pass(syms, l, r):
+    out, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _py_bpe(word_freqs, k):
+    segs = {w: list(w) for w in word_freqs}
+    merges = []
+    for step in range(1, k + 1):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, l, r, l + r, cnt))
+        segs = {w: _py_merge_pass(s, l, r) for w, s in segs.items()}
+    return merges
+
+
+def test_bpe_merge_fold_matches_python_reference(spark):
+    """The Spark replace-last ``aggregate`` fold applies one merge pair
+    exactly like the textbook left-to-right index-skipping loop, on
+    random symbol sequences including the overlap traps (aaaa with
+    (a,a); ababab with (a,b)); a fused symbol is strictly longer than
+    its left side, so replace-last can never double-fuse."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from databricks_etl_spark.operators.text import _bpe_merge_fold
+
+    sym = st.sampled_from(["a", "b", "ab", "ba", "c"])
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        seqs=st.lists(
+            st.lists(sym, min_size=1, max_size=12),
+            min_size=1,
+            max_size=10,
+        ),
+        pair=st.tuples(sym, sym),
+    )
+    def check(seqs, pair):
+        l, r = pair
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(seqs)],
+            "i long, syms array<string>",
+        )
+        got = {
+            row.i: list(row.out)
+            for row in df.select(
+                "i",
+                F.aggregate(
+                    "syms",
+                    F.array().cast("array<string>"),
+                    _bpe_merge_fold(l, r),
+                ).alias("out"),
+            ).collect()
+        }
+        for i, s in enumerate(seqs):
+            assert got[i] == _py_merge_pass(s, l, r), (s, l, r)
+
+    check()
+
+
+def test_bpe_learner_matches_python_reference_on_fixture(spark):
+    """Full learner vs the pure-Python reference on a handcrafted
+    corpus that exercises overlap (aaaa), frequency weighting
+    (repeated words), and lexicographic tie-breaks."""
+    from databricks_etl_spark.operators.text import learn_bpe_merge_list
+
+    docs = [
+        "aaaa abab low lower lowest",
+        "low low newer newest wider",
+        "abab abab aaaa er er",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    wf: dict[str, int] = {}
+    for t in docs:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    for k in (1, 4, 8):
+        assert learn_bpe_merge_list(df, k) == _py_bpe(wf, k)
+
+
+def test_q382_merge_table_invariants(spark):
+    """Structural invariants of the learned table on sf0.001: steps
+    are 1..n consecutive, merged is the concatenation, and the best
+    pair count is non-increasing (a merge can only create pairs whose
+    occurrence sets are subsets of existing ones, so the running max
+    never rises — the classic BPE monotonicity)."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        q382_bpe_merge_induction,
+    )
+
+    rows = sorted(
+        q382_bpe_merge_induction(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.step,
+    )
+    assert rows, "corpus must yield at least one merge"
+    assert [r.step for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.merged == r.left_sym + r.right_sym
+        assert r.pair_count > 0
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # learned symbols compound: at least one merge's left or right side
+    # is itself a previously merged token (multi-char)
+    assert any(len(r.left_sym) > 1 or len(r.right_sym) > 1 for r in rows)
+
+
+def test_bpe_vocab_blocks_regroup():
+    from databricks_etl_spark.operators.text import bpe_vocab_blocks
+
+    merges = [
+        (1, "e", "r", "er", 9),
+        (2, "m", "er", "mer", 5),
+        (3, "mer", "s", "mers", 3),
+        (4, "mers", "x", "mersx", 2),  # len 5 — dropped (max width 4)
+        (5, "a", "t", "at", 2),
+    ]
+    v4, v3, v2 = bpe_vocab_blocks(merges)
+    assert v4 == ("mers",)
+    assert v3 == ("mer",)
+    assert v2 == ("at", "er")
+
+
+def test_q383_reconciles_with_q328_word_stream(spark):
+    """q383's per-source word counts must equal q328's per-doc word
+    counts rolled up by source — the two lanes share one token stream,
+    so the learned-vocab re-base cannot silently change the words it
+    tokenizes. Fertility is bounded below by 1 and above by the
+    all-fallback worst case (every piece 1 char)."""
+    from databricks_etl_spark.plans.queries_round9 import q328_subword_tokenize
+    from databricks_etl_spark.plans.queries_round11 import (
+        q383_learned_vocab_fertility,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    got = {
+        r.source: r for r in q383_learned_vocab_fertility(
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    src = read_table(spark, SMOKE_SF_DIR, "documents").select(
+        "doc_id", "source"
+    )
+    expect = {
+        r.source: r.n_words
+        for r in q328_subword_tokenize(spark, SMOKE_SF_DIR)
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_words").alias("n_words"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for s, row in got.items():
+        assert row.n_words == expect[s]
+        assert row.n_pieces >= row.n_words  # >= 1 piece per word
+        assert 0 <= row.n_unk <= row.n_pieces
+        assert row.fertility >= 1.0
