@@ -259,3 +259,217 @@ def q383_learned_vocab_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unk_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q384 — incremental ANN index maintenance (frozen centroids + codebooks)
+# ---------------------------------------------------------------------------
+
+_Q384_B = 10_000  # delta re-identification offset (embeddings max id ~5e3)
+_Q384_MODULUS = 7  # delta selector: vec_id % 7 == 2 becomes a new vector
+
+
+def _q384_index(vectors: DataFrame) -> DataFrame:
+    """The serving index rows for a vector batch under the FROZEN
+    coarse quantizer (q285's literal centroids) and FROZEN PQ
+    codebooks (q316's literal lattice): per vector, its IVF cell and
+    its 8-subspace PQ code rendered as a 16-hex-digit string (two
+    digits per subspace, subspace order). Pure composition of the
+    production operators — nothing here re-trains anything, which is
+    exactly what makes delta maintenance sound."""
+    from databricks_etl_spark.operators.similarity import (
+        assign_cells,
+        pq_assign,
+    )
+    from databricks_etl_spark.plans.queries_round7 import _Q285_CENTS
+    from databricks_etl_spark.plans.queries_round8 import (
+        _Q316_CB,
+        _Q316_K,
+        _Q316_M,
+        _Q316_SUB,
+    )
+
+    spark = vectors.sparkSession
+    cents = spark.createDataFrame(
+        list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
+    )
+    cb = spark.createDataFrame(
+        [
+            (m, k, _Q316_CB[m][k])
+            for m in range(_Q316_M)
+            for k in range(_Q316_K)
+        ],
+        "m int, k int, cw array<double>",
+    )
+    cells = assign_cells(vectors, cents).select("vec_id", "cell_id")
+    codes = (
+        pq_assign(vectors, cb, _Q316_M, _Q316_SUB)
+        .groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "k"))),
+                    lambda s: F.lpad(
+                        s.getField("k").cast("string"), 2, "0"
+                    ),
+                ),
+                "",
+            ).alias("code")
+        )
+    )
+    return cells.join(codes, "vec_id")
+
+
+def _q384_delta(base: DataFrame) -> DataFrame:
+    """Deterministic delta batch: every vec_id % {_Q384_MODULUS} == 2
+    vector arrives NEGATED (exact IEEE op — no cross-engine drift)
+    under a fresh id, so deltas scatter across cells and codewords."""
+    return base.filter(F.col("vec_id") % _Q384_MODULUS == 2).select(
+        (F.col("vec_id") + _Q384_B).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: -x.cast("double")
+        ).alias("embedding"),
+    )
+
+
+def _q384_manifest(idx: DataFrame, n_col: str, h_col: str) -> DataFrame:
+    from databricks_etl_spark.plans.queries_round10 import _md5_mod_col
+
+    payload = F.concat_ws("|", "vec_id", "cell_id", "code")
+    return idx.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias(n_col),
+        F.sum(_md5_mod_col(payload)).cast("long").alias(h_col),
+    )
+
+
+def _q384_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import (
+        _Q285_CENTS,
+        _Q285_D2,
+    )
+    from databricks_etl_spark.plans.queries_round8 import (
+        _Q316_CB,
+        _Q316_K,
+        _Q316_M,
+        _Q316_SUB,
+    )
+    from databricks_etl_spark.plans.queries_round10 import _md5_mod_sql
+
+    cvals = ", ".join(f"({j}, {c})" for j, c in enumerate(_Q285_CENTS))
+    cbvals = ", ".join(
+        f"({m}, {k}, {_Q316_CB[m][k]})"
+        for m in range(_Q316_M)
+        for k in range(_Q316_K)
+    )
+    payload = (
+        "CAST(vec_id AS VARCHAR) || '|' || CAST(cell_id AS VARCHAR)"
+        " || '|' || code"
+    )
+    return f"""
+        WITH au AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS embedding
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + {_Q384_B},
+                   list_transform(embedding, x -> -CAST(x AS DOUBLE))
+            FROM embeddings WHERE vec_id % {_Q384_MODULUS} = 2
+        ),
+        cents(cid, c) AS (VALUES {cvals}),
+        asg AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY {_Q285_D2}, cid
+                   ) AS rn
+            FROM au, cents
+        ),
+        cells AS (
+            SELECT vec_id, CAST(cid AS INT) AS cell_id
+            FROM asg WHERE rn = 1
+        ),
+        cb(m, k, cw) AS (VALUES {cbvals}),
+        sub AS (
+            SELECT vec_id, m,
+                   list_slice(embedding, m * {_Q316_SUB} + 1,
+                              m * {_Q316_SUB} + {_Q316_SUB}) AS sv
+            FROM au, (SELECT unnest(range(0, {_Q316_M})) AS m)
+        ),
+        dists AS (
+            SELECT vec_id, m, k,
+                   list_sum(list_transform(range(1, {_Q316_SUB} + 1),
+                       j -> (CAST(sv[j] AS DOUBLE) - cw[j])
+                            * (CAST(sv[j] AS DOUBLE) - cw[j]))) AS d2
+            FROM sub JOIN cb USING (m)
+        ),
+        chosen AS (
+            SELECT vec_id, m, k FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        codes AS (
+            SELECT vec_id,
+                   string_agg(lpad(CAST(k AS VARCHAR), 2, '0'), ''
+                              ORDER BY m) AS code
+            FROM chosen GROUP BY 1
+        ),
+        idx AS (
+            SELECT c.vec_id, c.cell_id, cd.code,
+                   CASE WHEN c.vec_id >= {_Q384_B} THEN 1 ELSE 0 END AS isd
+            FROM cells c JOIN codes cd USING (vec_id)
+        ),
+        h AS (
+            SELECT cell_id, isd, {_md5_mod_sql(payload)} AS rh FROM idx
+        )
+        SELECT CAST(cell_id AS BIGINT) AS cell_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(isd) AS BIGINT) AS n_delta,
+               CAST(SUM(rh) AS BIGINT) AS content_hash
+        FROM h GROUP BY 1
+    """
+
+
+@query("q384_incremental_ann_index", oracle=_q384_oracle())
+def q384_incremental_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — the q374 delta discipline
+    applied to the serving index q362 evaluates: the corpus index
+    (IVF cell + PQ code per vector, frozen q285 centroids and q316
+    codebooks) is the existing artifact; a delta batch (negated
+    re-identified vectors, the q363 synthesis pattern) is assigned and
+    encoded ALONE; and the published per-cell manifest is the old
+    manifest ⊕ the delta's contributions — counts add, and the
+    order-independent md5-nibble content hashes (q344's sum-mod
+    discipline) add exactly. The ORACLE is the from-scratch recompute
+    over corpus ∪ delta — hash-green means the incremental append is
+    byte-equivalent to rebuilding the index, which is the strongest
+    delta-identity proof available (q374's argument). Because the
+    quantizers are frozen, a delta vector's cell and code depend only
+    on itself — the property that makes append-only maintenance sound;
+    re-training either artifact would invalidate it, and that event is
+    exactly what the manifest hash would catch.
+
+    Scale shape: centroids (8 rows) and codebooks (128 rows)
+    broadcast; both index passes are per-vector windows over
+    n_centroids/n_codewords rows (never over the data); the manifest
+    combine is a per-cell outer join of two 8-row aggregates. The
+    corpus side would be READ from the published artifact at 100 TB —
+    here it is recomputed once to stand in for that read, and the
+    delta side provably never touches it (test:
+    untouched cells keep byte-identical manifest rows)."""
+    base = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    man_base = _q384_manifest(_q384_index(base), "nb", "hb")
+    man_delta = _q384_manifest(_q384_index(_q384_delta(base)), "nd", "hd")
+    return man_base.join(man_delta, "cell_id", "full_outer").select(
+        F.col("cell_id").cast("long").alias("cell_id"),
+        (F.coalesce("nb", F.lit(0)) + F.coalesce("nd", F.lit(0)))
+        .cast("long")
+        .alias("n_vectors"),
+        F.coalesce("nd", F.lit(0)).cast("long").alias("n_delta"),
+        (F.coalesce("hb", F.lit(0)) + F.coalesce("hd", F.lit(0)))
+        .cast("long")
+        .alias("content_hash"),
+    )

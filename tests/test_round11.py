@@ -189,3 +189,96 @@ def test_q383_reconciles_with_q328_word_stream(spark):
         assert row.n_pieces >= row.n_words  # >= 1 piece per word
         assert 0 <= row.n_unk <= row.n_pieces
         assert row.fertility >= 1.0
+
+
+# ---------------------------------------------------------------------------
+# q384 — incremental ANN index maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_q384_incremental_equals_rebuild_and_untouched_cells_identical(spark):
+    """On a crafted batch where every base vector sits exactly on one
+    comb centroid and the delta lands only in cell 0: the incremental
+    manifest (base manifest ⊕ delta manifest) equals the from-scratch
+    rebuild over base ∪ delta EXACTLY, and cells 1..7 — which receive
+    no delta — keep byte-identical manifest rows. The frozen-quantizer
+    argument made mechanical."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        _q384_index,
+        _q384_manifest,
+    )
+
+    base_rows = [
+        (j, [1.0 if i % 8 == j else 0.0 for i in range(64)])
+        for j in range(8)
+    ]
+    delta_rows = [
+        (100 + t, [0.9 if i % 8 == 0 else 0.0 for i in range(64)])
+        for t in range(2)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(base_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    full = spark.createDataFrame(base_rows + delta_rows, schema)
+
+    mb = {
+        r.cell_id: (r.n, r.h)
+        for r in _q384_manifest(_q384_index(base), "n", "h").collect()
+    }
+    md = {
+        r.cell_id: (r.n, r.h)
+        for r in _q384_manifest(_q384_index(delta), "n", "h").collect()
+    }
+    mf = {
+        r.cell_id: (r.n, r.h)
+        for r in _q384_manifest(_q384_index(full), "n", "h").collect()
+    }
+    assert set(mb) == set(range(8))  # one base vector per cell
+    assert set(md) == {0}  # delta confined to cell 0
+    # incremental combine == from-scratch rebuild, cell by cell
+    for cid in range(8):
+        dn, dh = md.get(cid, (0, 0))
+        assert mf[cid] == (mb[cid][0] + dn, mb[cid][1] + dh), cid
+    # untouched cells byte-identical (not just count-identical)
+    for cid in range(1, 8):
+        assert mf[cid] == mb[cid], cid
+
+
+def test_q384_manifest_reconciles_with_base_index(spark):
+    """The registered query's per-cell rows reconcile with a base-only
+    manifest on sf0.001: counts and content hashes are exactly
+    base ⊕ delta (hash additivity is what lets a 100 TB maintenance
+    job publish without re-reading the corpus postings)."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        _q384_delta,
+        _q384_index,
+        _q384_manifest,
+        q384_incremental_ann_index,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    base = read_table(spark, SMOKE_SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    mb = {
+        r.cell_id: (r.n, r.h)
+        for r in _q384_manifest(_q384_index(base), "n", "h").collect()
+    }
+    md = {
+        r.cell_id: (r.n, r.h)
+        for r in _q384_manifest(
+            _q384_index(_q384_delta(base)), "n", "h"
+        ).collect()
+    }
+    got = {
+        r.cell_id: r
+        for r in q384_incremental_ann_index(spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(got) == set(mb) | set(md)
+    for cid, row in got.items():
+        bn, bh = mb.get(cid, (0, 0))
+        dn, dh = md.get(cid, (0, 0))
+        assert row.n_vectors == bn + dn
+        assert row.n_delta == dn
+        assert row.content_hash == bh + dh
+    assert sum(r.n_delta for r in got.values()) > 0
