@@ -473,3 +473,42 @@ def q384_incremental_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("content_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q385 — streaming incremental dup-flow (ingest-time ≡ batch q363)
+# ---------------------------------------------------------------------------
+
+
+def _q385_register() -> None:
+    from databricks_etl_spark.plans.queries_round10 import _q363_oracle
+
+    @query("q385_streaming_dup_flow", oracle=_q363_oracle())
+    def q385_streaming_dup_flow(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """q363's incremental dup-flow maintained AT INGEST — the
+        round's streaming lane, completing the q361 discipline for the
+        delta-probe family: the crawl batch arrives as micro-batches,
+        the corpus posting index stays FROZEN (never re-tokenized,
+        re-capped, or self-joined), and each ``foreachBatch`` body
+        probes only its batch's synthesized delta docs against the
+        static index, landing the labeled PAIR relation in an
+        epoch-idempotent sink (``streaming/dupflow.py``). Every
+        delta doc's verdict depends only on itself plus the frozen
+        index — per-row independence — so the drained rollup is
+        micro-batch-slicing-invariant and registers with q363's OWN
+        oracle SQL: the streaming path itself is driver-hash-checked.
+        Landing pairs (not partial aggregates) keeps the matrix's
+        DISTINCT counts exact with zero cross-batch executor state;
+        the sink is bounded by the batch's duplicate pairs, which the
+        frozen posting cap bounds in turn (q363's scale argument,
+        unchanged)."""
+        from databricks_etl_spark.streaming.dupflow import (
+            run_streaming_dup_flow,
+        )
+
+        return run_streaming_dup_flow(spark, sf_dir)
+
+
+_q385_register()

@@ -282,3 +282,54 @@ def test_q384_manifest_reconciles_with_base_index(spark):
         assert row.n_delta == dn
         assert row.content_hash == bh + dh
     assert sum(r.n_delta for r in got.values()) > 0
+
+
+# ---------------------------------------------------------------------------
+# q385 — streaming incremental dup-flow
+# ---------------------------------------------------------------------------
+
+
+def test_q385_slicing_invariance_and_replay(spark, tmp_path):
+    """The streaming dup-flow drain equals batch q363 under a FORCED
+    two-epoch slicing of the delta docs, and re-delivering an epoch
+    (at-least-once failure mode) leaves the drained matrix unchanged
+    (pairs overwrite their own epoch partition: exactly-once). The
+    frozen index is built once and shared by both epochs — the
+    production shape."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        q363_incremental_dup_flow,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+    from databricks_etl_spark.streaming.dupflow import (
+        _PAIRS_SCHEMA,
+        build_frozen_index,
+        drain_dup_flow,
+        make_dupflow_epoch,
+    )
+
+    d = read_table(spark, SMOKE_SF_DIR, "documents")
+    path = str(tmp_path / "dupflow_pairs")
+    spark.createDataFrame([], _PAIRS_SCHEMA).write.mode(
+        "overwrite"
+    ).partitionBy("__epoch").parquet(path)
+
+    index = build_frozen_index(spark, SMOKE_SF_DIR)
+    ingest = make_dupflow_epoch(path, index)
+    ingest(d.filter(F.col("doc_id") % 2 == 0), 0)
+    ingest(d.filter(F.col("doc_id") % 2 == 1), 1)
+
+    def drained():
+        return sorted(map(tuple, drain_dup_flow(spark, path).collect()))
+
+    first = drained()
+    batch = sorted(
+        map(
+            tuple,
+            q363_incremental_dup_flow(spark, SMOKE_SF_DIR).collect(),
+        )
+    )
+    assert first == batch
+    assert first  # the synthesized verbatim re-crawls guarantee pairs
+
+    ingest(d.filter(F.col("doc_id") % 2 == 1), 1)  # epoch-1 re-delivery
+    assert drained() == first
