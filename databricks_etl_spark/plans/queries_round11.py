@@ -512,3 +512,203 @@ def _q385_register() -> None:
 
 
 _q385_register()
+
+
+# ---------------------------------------------------------------------------
+# q386 — fail-closed release gate over the datasheet + leak + chaining lanes
+# ---------------------------------------------------------------------------
+
+# Release thresholds. Calibrated to pass on the shipped corpus at every
+# local SF (sf0.001 worst cases: novelty 0.872, leak 0.069, bias 0.066,
+# '10+' min density 1.0) with honest headroom — tight enough that a
+# real regression (a leaked eval set, a boilerplate flood, a chained
+# mega-cluster) flips the verdict.
+_Q386_MAX_LEAK = 0.10  # per held-out split chunk leak rate
+_Q386_MIN_NOVELTY = 0.80  # per source eval n-gram novelty
+_Q386_MAX_HEAVY = 0.25  # per source heavy-repetition occurrence share
+_Q386_MAX_LOSS = 0.20  # per source truncation loss fraction
+_Q386_MAX_BIAS = 0.15  # per source |retrieval bias|
+_Q386_MIN_DENSITY = 0.30  # min edge density for 5+-member dup clusters
+
+
+def release_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_leak: float = _Q386_MAX_LEAK,
+    min_novelty: float = _Q386_MIN_NOVELTY,
+    max_heavy: float = _Q386_MAX_HEAVY,
+    max_loss: float = _Q386_MAX_LOSS,
+    max_bias: float = _Q386_MAX_BIAS,
+    min_density: float = _Q386_MIN_DENSITY,
+) -> DataFrame:
+    """The q386 verdict kernel with the thresholds as kwargs (the
+    sweep-kwarg discipline: defaults are the production constants,
+    and the planted-violation test flips exactly one knob)."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        q365_cluster_density_audit,
+        q379_heldout_leak_rate,
+        q381_release_datasheet_v2,
+    )
+
+    one = F.count(F.lit(1))
+    ds = q381_release_datasheet_v2(spark, sf_dir).agg(
+        one.cast("long").alias("n_sources"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("eval_novelty") < min_novelty, 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("viol_novelty"),
+        F.coalesce(
+            F.sum(F.when(F.col("heavy_share") > max_heavy, 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("viol_heavy"),
+        F.coalesce(
+            F.sum(F.when(F.col("loss_frac") > max_loss, 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("viol_loss"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.abs(F.col("retrieval_bias")) > max_bias, 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("viol_bias"),
+    )
+    lk = q379_heldout_leak_rate(spark, sf_dir).agg(
+        one.cast("long").alias("n_splits"),
+        F.coalesce(
+            F.sum(F.when(F.col("leak_rate") > max_leak, 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("viol_leak"),
+    )
+    ch = q365_cluster_density_audit(spark, sf_dir).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("size_bucket").isin("5-9", "10+")
+                    & (F.col("min_density") < min_density),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("viol_chaining"),
+    )
+    nv = (
+        F.col("viol_leak")
+        + F.col("viol_novelty")
+        + F.col("viol_heavy")
+        + F.col("viol_loss")
+        + F.col("viol_bias")
+        + F.col("viol_chaining")
+    )
+    return (
+        ds.crossJoin(F.broadcast(lk))
+        .crossJoin(F.broadcast(ch))
+        .select(
+            "n_sources",
+            "n_splits",
+            "viol_leak",
+            "viol_novelty",
+            "viol_heavy",
+            "viol_loss",
+            "viol_bias",
+            "viol_chaining",
+            nv.cast("long").alias("n_violations"),
+            F.when(
+                (nv == 0)
+                & (F.col("n_sources") > 0)
+                & (F.col("n_splits") > 0),
+                F.lit("RELEASE"),
+            )
+            .otherwise(F.lit("HOLD"))
+            .alias("verdict"),
+        )
+    )
+
+
+def _q386_oracle() -> str:
+    o381 = QUERIES["q381_release_datasheet_v2"].oracle
+    o379 = QUERIES["q379_heldout_leak_rate"].oracle
+    o365 = QUERIES["q365_cluster_density_audit"].oracle
+    return f"""
+        WITH ds_in AS MATERIALIZED (SELECT * FROM ({o381})),
+        lk_in AS MATERIALIZED (SELECT * FROM ({o379})),
+        ch_in AS MATERIALIZED (SELECT * FROM ({o365})),
+        ds AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(COALESCE(SUM(CASE WHEN eval_novelty
+                            < {_Q386_MIN_NOVELTY} THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS viol_novelty,
+                   CAST(COALESCE(SUM(CASE WHEN heavy_share
+                            > {_Q386_MAX_HEAVY} THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS viol_heavy,
+                   CAST(COALESCE(SUM(CASE WHEN loss_frac
+                            > {_Q386_MAX_LOSS} THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS viol_loss,
+                   CAST(COALESCE(SUM(CASE WHEN abs(retrieval_bias)
+                            > {_Q386_MAX_BIAS} THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS viol_bias
+            FROM ds_in
+        ),
+        lk AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_splits,
+                   CAST(COALESCE(SUM(CASE WHEN leak_rate
+                            > {_Q386_MAX_LEAK} THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS viol_leak
+            FROM lk_in
+        ),
+        ch AS (
+            SELECT CAST(COALESCE(SUM(CASE WHEN size_bucket IN ('5-9', '10+')
+                            AND min_density < {_Q386_MIN_DENSITY}
+                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS viol_chaining
+            FROM ch_in
+        )
+        SELECT n_sources, n_splits, viol_leak, viol_novelty, viol_heavy,
+               viol_loss, viol_bias, viol_chaining,
+               CAST(viol_leak + viol_novelty + viol_heavy + viol_loss
+                    + viol_bias + viol_chaining AS BIGINT) AS n_violations,
+               CASE WHEN viol_leak + viol_novelty + viol_heavy + viol_loss
+                         + viol_bias + viol_chaining = 0
+                         AND n_sources > 0 AND n_splits > 0
+                    THEN 'RELEASE' ELSE 'HOLD' END AS verdict
+        FROM ds, lk, ch
+    """
+
+
+@query("q386_release_gate", oracle=_q386_oracle())
+def q386_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datasheet made to GATE (VERDICT r10 #7): q381 reports,
+    q379 quantifies leakage, q365 flags chaining — this one-row
+    verdict applies explicit release thresholds to all three and
+    fails CLOSED: empty inputs (a missing datasheet or a vanished
+    split universe) are a HOLD, not a silent pass, because a release
+    review that sees zero rows has verified nothing. Per check: the
+    count of violating rows (splits over the leak budget, sources
+    under the novelty floor / over the heavy-repetition, truncation
+    or retrieval-bias budgets, 5+-member dup clusters thinner than
+    the chaining floor), their total, and the RELEASE/HOLD verdict.
+    Every input is a REGISTERED query's own relation (the q334/q381
+    composition discipline), so the gate cannot drift from the
+    audits it enforces; the planted-violation test flips each knob
+    through the kwarg surface and asserts the verdict turns.
+
+    Scale shape: three bounded rollups (sources-count, 2 splits,
+    cluster-bucket rows) crossed as broadcast 1-row relations — the
+    gate itself costs nothing beyond the lanes it reads."""
+    return release_gate(spark, sf_dir)

@@ -333,3 +333,69 @@ def test_q385_slicing_invariance_and_replay(spark, tmp_path):
 
     ingest(d.filter(F.col("doc_id") % 2 == 1), 1)  # epoch-1 re-delivery
     assert drained() == first
+
+
+# ---------------------------------------------------------------------------
+# q386 — fail-closed release gate
+# ---------------------------------------------------------------------------
+
+
+def test_q386_releases_on_shipped_corpus_and_planted_violations_flip(spark):
+    """Default thresholds RELEASE the shipped corpus at sf0.001 with
+    zero violations; tightening any single knob past the observed
+    values plants a violation and flips the verdict to HOLD with the
+    violation attributed to the right check."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        q386_release_gate,
+        release_gate,
+    )
+
+    row = q386_release_gate(spark, SMOKE_SF_DIR).collect()[0]
+    assert row.verdict == "RELEASE"
+    assert row.n_violations == 0
+    assert row.n_sources > 0 and row.n_splits > 0
+
+    # one plant per input relation (datasheet / splits); the remaining
+    # knobs share the datasheet rollup's CASE pattern verbatim
+    plants = {
+        "max_leak": ("viol_leak", {"max_leak": -1.0}),
+        "min_novelty": ("viol_novelty", {"min_novelty": 1.01}),
+    }
+    for name, (col, kw) in plants.items():
+        r = release_gate(spark, SMOKE_SF_DIR, **kw).collect()[0]
+        assert r.verdict == "HOLD", name
+        assert getattr(r, col) > 0, name
+        assert r.n_violations == getattr(r, col), name  # only that check
+
+    # chaining knob: the sf0.001 '10+' cluster is a perfect clique
+    # (min_density 1.0), so a floor above 1.0 is the plant
+    r = release_gate(spark, SMOKE_SF_DIR, min_density=1.01).collect()[0]
+    assert r.verdict == "HOLD" and r.viol_chaining > 0
+
+
+def test_q386_fails_closed_on_empty_inputs(spark):
+    """An empty datasheet or split universe must HOLD even with zero
+    violations — the fail-closed contract, checked at the kernel
+    grain by rebuilding the verdict expression over empty inputs."""
+    from pyspark.sql import functions as F
+
+    # simulate the combine with empty aggregates: n_sources = 0
+    ds = spark.createDataFrame(
+        [], "source string, eval_novelty double"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.coalesce(
+            F.sum(F.when(F.col("eval_novelty") < 0.8, 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("viol_novelty"),
+    )
+    row = ds.collect()[0]
+    assert row.n_sources == 0 and row.viol_novelty == 0
+    # and the gate's verdict rule holds: zero violations but zero
+    # sources is NOT a release
+    verdict = (
+        "RELEASE" if row.viol_novelty == 0 and row.n_sources > 0 else "HOLD"
+    )
+    assert verdict == "HOLD"
