@@ -712,3 +712,126 @@ def q386_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-bucket rows) crossed as broadcast 1-row relations — the
     gate itself costs nothing beyond the lanes it reads."""
     return release_gate(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q387 — skew-hardened chunk banding: salted two-phase band join
+# ---------------------------------------------------------------------------
+
+_Q387_SALTS = 8  # salt groups a hot bucket is split into
+_Q387_HOT = 32  # bucket size above which the salted path takes over
+
+
+def salted_band_candidates(
+    bands: DataFrame,
+    *,
+    salt_groups: int = _Q387_SALTS,
+    hot_threshold: int = _Q387_HOT,
+) -> DataFrame:
+    """Candidate pairs from the LSH band buckets with HOT buckets
+    salt-split — q330's band equi-join made boilerplate-proof. A
+    boilerplate paragraph puts every copy's chunk into ONE
+    (band, bh) bucket; the plain self-join then lands that bucket's
+    quadratic pair count on a single reducer. Two phases (the q357
+    decomposition argument): a bucket-size rollup finds the hot keys
+    (a bounded, broadcastable set — boilerplate clusters, not the
+    corpus); cold buckets join exactly as before; hot-bucket rows are
+    salt-partitioned deterministically and the A side is replicated
+    once per target salt, so the join key becomes (band, bh,
+    target_salt = B's salt) and each hot bucket spreads over
+    salt_groups**2 reducer keys with (n/g)-sized inputs. Every
+    co-bucketed ordered pair appears EXACTLY once (cold: trivially;
+    hot: the single A-replica whose target salt equals B's salt), so
+    the output is identical to the plain join — q387 registers with
+    q330's own oracle and the planted-skew gate asserts equality on a
+    100x-median hot band. Salts never reach the output, so the salt
+    function only shapes partitioning, never results."""
+    spark = bands.sparkSession
+    sizes = bands.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    hot = sizes.filter(F.col("__n") > hot_threshold).select("band", "bh")
+    cold = bands.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+    hotr = bands.join(F.broadcast(hot), ["band", "bh"], "left_semi")
+
+    def side(df: DataFrame, suf: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(f"doc_{suf}"),
+            F.col("chunk_idx").alias(f"chunk_{suf}"),
+            "band",
+            "bh",
+        )
+
+    pair_cols = ["doc_a", "chunk_a", "doc_b", "chunk_b"]
+    cold_pairs = (
+        side(cold, "a")
+        .join(side(cold, "b"), ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(*pair_cols)
+    )
+    salt = F.pmod(
+        F.col("doc_id") * F.lit(31) + F.col("chunk_idx"),
+        F.lit(salt_groups),
+    ).cast("int")
+    ha = hotr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("chunk_idx").alias("chunk_a"),
+        "band",
+        "bh",
+    )
+    grid = spark.range(salt_groups).select(
+        F.col("id").cast("int").alias("__tsalt")
+    )
+    hb = hotr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("chunk_idx").alias("chunk_b"),
+        F.col("band").alias("__bband"),
+        F.col("bh").alias("__bbh"),
+        salt.alias("__bsalt"),
+    )
+    hot_pairs = (
+        ha.crossJoin(F.broadcast(grid))
+        .join(
+            hb,
+            (F.col("band") == F.col("__bband"))
+            & (F.col("bh") == F.col("__bbh"))
+            & (F.col("__tsalt") == F.col("__bsalt")),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(*pair_cols)
+    )
+    return (
+        cold_pairs.unionAll(hot_pairs)
+        .groupBy(*pair_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+
+
+def _q387_register() -> None:
+    from databricks_etl_spark.plans.queries_round9 import _q330_oracle
+
+    @query("q387_salted_chunk_banding", oracle=_q330_oracle())
+    def q387_salted_chunk_banding(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """q330's chunk MinHash banding with the skew-hardened
+        candidate join (VERDICT r10 #3): identical signatures,
+        identical bands, identical scoring — only the band self-join
+        is replaced by :func:`salted_band_candidates`' two-phase
+        (size rollup -> broadcast hot set -> salted hot join) form.
+        Registers with q330's OWN oracle, so the driver hash-checks
+        that salting changed nothing but the shuffle: at 100 TB a
+        boilerplate-heavy corpus skews the (band, band_hash) key by
+        orders of magnitude, and this is the plan that survives it
+        (the planted 100x-median gate in tests/test_round11.py times
+        both forms and asserts pair-for-pair equality)."""
+        from databricks_etl_spark.plans.queries_round9 import (
+            _q330_score,
+            _q330_sig_bands,
+        )
+
+        sig, bands = _q330_sig_bands(spark, sf_dir)
+        return _q330_score(salted_band_candidates(bands), sig)
+
+
+_q387_register()

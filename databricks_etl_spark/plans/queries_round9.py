@@ -783,25 +783,20 @@ def _q330_oracle() -> str:
     """
 
 
-@query("q330_chunk_minhash_neardup", oracle=_q330_oracle())
-def q330_chunk_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-grain MinHash near-dup, hash-checked end to end — the
-    fuzzy complement of q319 at the grain pipelines actually mask:
-    q319 catches VERBATIM chunk contamination; whitespace/punctuation-
-    perturbed near-copies escape exact grams but not MinHash. The
-    q163 discipline applied to the full MinHash LSH ladder: an
-    ENGINE-INDEPENDENT hash family (md5 of a salted shingle, lex-min
-    per salt = one permutation per salt) over the q318 chunk stream's
-    3-gram shingles, {_Q330_H} signature components banded into
-    {_Q330_BANDS} x 2 bands, candidates from the band equi-join
-    (never all-pairs), scored by matching-component fraction and kept
-    at est >= 0.5. Same-doc pairs are excluded (overlapping chunks of
-    one doc are near-dups by construction). q45/q331 stay the fast
-    seeded paths at scale; this twin driver-PROVES the banding +
-    estimation semantics. Scale shape: map-side shingle+min per
-    chunk, one shuffle on (band, band_hash), candidate volume bounded
-    by true collisions (duplicate-doc chunks), signature join keyed
-    on (doc, chunk)."""
+def _q330_sig_bands(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """q330's signature and banding relations over the corpus table —
+    see :func:`_q330_sig_bands_df`."""
+    return _q330_sig_bands_df(read_table(spark, sf_dir, "documents"))
+
+
+def _q330_sig_bands_df(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """q330's signature and banding relations, factored so the salted
+    skew-hardened twin (queries_round11.q387) and its planted-skew
+    gate consume the IDENTICAL construction: ``sig`` (doc_id,
+    chunk_idx, h0..h{_Q330_H - 1}) and ``bands`` (doc_id, chunk_idx,
+    band, bh)."""
     from databricks_etl_spark.operators.text import (
         chunk_tokens,
         shingle_array,
@@ -809,7 +804,6 @@ def q330_chunk_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from databricks_etl_spark.plans.queries_round8 import _Q318_S, _Q318_W
 
-    d = read_table(spark, sf_dir, "documents")
     ct = (
         chunk_tokens(d, _Q318_W, _Q318_S)
         .filter(F.col("n_chunk_tokens") >= 3)
@@ -844,24 +838,12 @@ def q330_chunk_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", "chunk_idx", F.explode(band_arr).alias("x")
     ).select("doc_id", "chunk_idx", "x.band", "x.bh")
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("chunk_idx").alias("chunk_a"),
-        "band",
-        "bh",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("chunk_idx").alias("chunk_b"),
-        "band",
-        "bh",
-    )
-    cand = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "chunk_a", "doc_b", "chunk_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
-    )
+    return sig, bands
+
+
+def _q330_score(cand: DataFrame, sig: DataFrame) -> DataFrame:
+    """q330's candidate-scoring tail (signature join + matching-
+    component fraction + threshold), factored for the same reason."""
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         F.col("chunk_idx").alias("chunk_a"),
@@ -893,6 +875,47 @@ def q330_chunk_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("q330_chunk_minhash_neardup", oracle=_q330_oracle())
+def q330_chunk_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-grain MinHash near-dup, hash-checked end to end — the
+    fuzzy complement of q319 at the grain pipelines actually mask:
+    q319 catches VERBATIM chunk contamination; whitespace/punctuation-
+    perturbed near-copies escape exact grams but not MinHash. The
+    q163 discipline applied to the full MinHash LSH ladder: an
+    ENGINE-INDEPENDENT hash family (md5 of a salted shingle, lex-min
+    per salt = one permutation per salt) over the q318 chunk stream's
+    3-gram shingles, {_Q330_H} signature components banded into
+    {_Q330_BANDS} x 2 bands, candidates from the band equi-join
+    (never all-pairs), scored by matching-component fraction and kept
+    at est >= 0.5. Same-doc pairs are excluded (overlapping chunks of
+    one doc are near-dups by construction). q45/q331 stay the fast
+    seeded paths at scale; this twin driver-PROVES the banding +
+    estimation semantics. Scale shape: map-side shingle+min per
+    chunk, one shuffle on (band, band_hash), candidate volume bounded
+    by true collisions (duplicate-doc chunks), signature join keyed
+    on (doc, chunk)."""
+    sig, bands = _q330_sig_bands(spark, sf_dir)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("chunk_idx").alias("chunk_a"),
+        "band",
+        "bh",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("chunk_idx").alias("chunk_b"),
+        "band",
+        "bh",
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+    return _q330_score(cand, sig)
 
 
 @query("q331_chunk_lsh_pairs", oracle=None)  # seeded engine hash: rows-only

@@ -399,3 +399,113 @@ def test_q386_fails_closed_on_empty_inputs(spark):
         "RELEASE" if row.viol_novelty == 0 and row.n_sources > 0 else "HOLD"
     )
     assert verdict == "HOLD"
+
+
+# ---------------------------------------------------------------------------
+# q387 — skew-hardened (salted) chunk banding
+# ---------------------------------------------------------------------------
+
+
+def test_q387_salted_path_equals_plain_join_everywhere_hot(spark):
+    """With hot_threshold=1 EVERY bucket takes the salted path — the
+    strongest equality setting: the fully-salted candidate relation
+    matches q330's plain-join output pair for pair on sf0.001, and
+    the executed plan carries the salt join keys (the mechanism,
+    named)."""
+    from databricks_etl_spark.plans.queries_round9 import (
+        _q330_score,
+        _q330_sig_bands,
+        q330_chunk_minhash_neardup,
+    )
+    from databricks_etl_spark.plans.queries_round11 import (
+        salted_band_candidates,
+    )
+
+    sig, bands = _q330_sig_bands(spark, SMOKE_SF_DIR)
+    salted = _q330_score(
+        salted_band_candidates(bands, hot_threshold=1), sig
+    )
+    got = sorted(map(tuple, salted.collect()))
+    expect = sorted(
+        map(tuple, q330_chunk_minhash_neardup(spark, SMOKE_SF_DIR).collect())
+    )
+    assert got == expect
+    assert got  # sf0.001 has true chunk near-dups
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__bsalt" in plan and "__tsalt" in plan
+
+
+@pytest.mark.slow
+def test_q387_planted_hot_band_100x_median(spark):
+    """The adversarial fixture the verdict asked for: 200 boilerplate
+    copies put one (band, band_hash) bucket at >= 100x the median
+    bucket load. The salted two-phase join must (a) classify exactly
+    that bucket's keys as hot, (b) reproduce the plain join's pairs
+    EXACTLY (hashes unchanged), and (c) complete in bounded wall with
+    a whole-stage-codegen plan (no BatchEvalPython)."""
+    import time
+
+    from databricks_etl_spark.plans.queries_round9 import (
+        _q330_sig_bands_df,
+    )
+    from databricks_etl_spark.plans.queries_round11 import (
+        salted_band_candidates,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    d = read_table(spark, SMOKE_SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    boiler = " ".join(f"boiler{i % 17} tok{i}" for i in range(15))
+    planted = d.unionByName(
+        spark.range(200).select(
+            (F.col("id") + 5_000_000).alias("doc_id"),
+            F.lit(boiler).alias("text"),
+        )
+    ).localCheckpoint()
+
+    _, bands = _q330_sig_bands_df(planted)
+    bands = bands.localCheckpoint()  # same input to both forms
+    sizes = sorted(
+        r.n
+        for r in bands.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    median = sizes[len(sizes) // 2]
+    assert sizes[-1] >= 100 * median, (sizes[-1], median)
+
+    pair_cols = ["doc_a", "chunk_a", "doc_b", "chunk_b"]
+
+    def plain(b):
+        a = b.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("chunk_idx").alias("chunk_a"),
+            "band",
+            "bh",
+        )
+        bb = b.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("chunk_idx").alias("chunk_b"),
+            "band",
+            "bh",
+        )
+        return (
+            a.join(bb, ["band", "bh"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy(*pair_cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+        )
+
+    t0 = time.time()
+    salted = salted_band_candidates(bands)
+    got = sorted(map(tuple, salted.collect()))
+    salted_wall = time.time() - t0
+    expect = sorted(map(tuple, plain(bands).collect()))
+    assert got == expect
+    # the boilerplate clique is present: 200-choose-2 pairs at least
+    assert len(got) >= 200 * 199 // 2
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__bsalt" in plan and "__tsalt" in plan
+    assert "BatchEvalPython" not in plan
+    assert salted_wall < 120, f"salted join took {salted_wall:.1f}s"
