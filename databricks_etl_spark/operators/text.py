@@ -559,6 +559,19 @@ def learn_bpe_merge_list(
 
     No reference counterpart (the reference notebooks have no
     tokenizer); north-star SURVEY.md §2.12 surface."""
+    merges, _ = bpe_learn(df, k, text_col)
+    return merges
+
+
+def bpe_learn(
+    df: DataFrame, k: int = 10, text_col: str = "text"
+) -> tuple[list[tuple[int, str, str, str, int]], list[DataFrame]]:
+    """The learner core: returns ``(merges, segs)`` where ``segs[j]``
+    is the (w, f, syms) segmentation after the first ``j`` merges —
+    ``segs[0]`` is the character split. Each snapshot is already
+    ``localCheckpoint``'d by the loop, so keeping the references costs
+    nothing extra; the q389 merge-depth curve aggregates over them.
+    See :func:`learn_bpe_merge_list` for semantics and scale shape."""
     tok = df.select(F.explode(tokens_col(text_col)).alias("w")).filter(
         F.length("w") >= 1
     )
@@ -571,6 +584,7 @@ def learn_bpe_merge_list(
             lambda i: F.col("w").substr(i, F.lit(1)),
         ).alias("syms"),
     ).localCheckpoint()
+    segs: list[DataFrame] = [seg]
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, k + 1):
         pairs = (
@@ -603,7 +617,8 @@ def learn_bpe_merge_list(
                 "syms", F.array().cast("array<string>"), _bpe_merge_fold(l, r)
             ).alias("syms"),
         ).localCheckpoint()
-    return merges
+        segs.append(seg)
+    return merges, segs
 
 
 def learn_bpe_merges(

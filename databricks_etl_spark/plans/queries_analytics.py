@@ -144,7 +144,6 @@ def q90_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM activity a JOIN first_seen f USING (user_id)
         GROUP BY 1, 2
     """,
-    bench=True,
 )
 def q91_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users bucketed by first-seen ISO week,

@@ -50,7 +50,10 @@ def _q341_cell_sums_sql(col: str) -> list[str]:
     ]
 
 
-def _q341_oracle() -> str:
+def _q341_oracle(sample_pred: str = "") -> str:
+    """q341's oracle; ``sample_pred`` (a predicate over the cemb alias
+    ``c``) restricts the scored corpus for the bench-able sampled-truth
+    twin (queries_round11.q388) — empty default is byte-identical."""
     s = _q341_cell_sums_sql("qe")
     sc = (
         "CASE "
@@ -63,12 +66,14 @@ def _q341_oracle() -> str:
         for k in range(_Q332_K)
     )
     probes = ", ".join(str(p) for p in _Q341_PROBES)
+    where = f"WHERE {sample_pred}" if sample_pred else ""
     return f"""
         WITH {_q332_base_sql()},
         s0 AS (
             SELECT q.qid, c.doc_id, c.chunk_idx, c.cell, q.qe,
                    {_q332_sim_sql()} AS sim
             FROM qemb q JOIN cemb c ON TRUE
+            {where}
         ),
         s1 AS (
             SELECT qid, doc_id, chunk_idx, cell, qe, sim, {sc} AS sc
@@ -134,13 +139,18 @@ def _q341_cell_rank(emb, cell) -> F.Column:
     return F.lit(1) + reduce(lambda a, b: a + b, hits)
 
 
-def _q341_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q341_truth(
+    spark: SparkSession, sf_dir: str, sample: F.Column | None = None
+) -> DataFrame:
     """Exact top-{_Q332_TOPK} per query with each hit's probe depth:
     (qid, rk, cell_rank) — everything the sweep needs, in ONE scored
-    pass."""
+    pass. ``sample`` restricts the scored corpus (the q388 twin);
+    None is byte-identical to the full pass."""
     from databricks_etl_spark.operators.similarity import cosine
 
     cemb, qemb = _q332_relations(spark, sf_dir)
+    if sample is not None:
+        cemb = cemb.filter(sample)
     sr = cemb.join(F.broadcast(qemb), F.lit(True)).select(
         "qid",
         "doc_id",
@@ -181,7 +191,13 @@ def q341_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression); the sweep itself adds only a {len(_Q341_PROBES)}-way
     explode of the ≤ k-per-query truth rows. 100 TB: identical to
     q332 plus an O(queries × k × probes) rollup."""
-    truth = _q341_truth(spark, sf_dir)
+    return _q341_sweep(_q341_truth(spark, sf_dir))
+
+
+def _q341_sweep(truth: DataFrame) -> DataFrame:
+    """The probe-level rollup over a (qid, rk, cell_rank) truth
+    relation — shared by q341 and the sampled-truth bench twin
+    (queries_round11.q388)."""
     probed = truth.select(
         "qid",
         "rk",
@@ -1777,7 +1793,7 @@ def _q353_oracle() -> str:
     """
 
 
-@query("q353_dup_flow_matrix", oracle=_q353_oracle())
+@query("q353_dup_flow_matrix", oracle=_q353_oracle(), bench=True)
 def q353_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHO duplicates WHOM: q123's near-dup pair relation (unigram
     Jaccard >= 0.5, df-capped index) rolled up into a source x source
@@ -2160,7 +2176,7 @@ def _q357_oracle() -> str:
     """
 
 
-@query("q357_stratified_eval_sample", oracle=_q357_oracle())
+@query("q357_stratified_eval_sample", oracle=_q357_oracle(), bench=True)
 def q357_stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A deterministic, PORTABLE stratified sample: exactly
     min({_Q357_N}, available) docs per source, selected by salted-md5

@@ -108,7 +108,6 @@ def q38_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY freq DESC, token
         LIMIT 30
     """,
-    bench=True,
 )
 def q39_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency (explode → partial+final hash agg) with

@@ -509,3 +509,141 @@ def test_q387_planted_hot_band_100x_median(spark):
     assert "__bsalt" in plan and "__tsalt" in plan
     assert "BatchEvalPython" not in plan
     assert salted_wall < 120, f"salted join took {salted_wall:.1f}s"
+
+
+# ---------------------------------------------------------------------------
+# q388 — sampled-truth probe sweep (bench twin)
+# ---------------------------------------------------------------------------
+
+
+def test_q388_curve_invariants_and_q341_agreement(spark):
+    """The sampled-truth curve keeps q341's structural guarantees —
+    monotone recall in n_probe, EXACT 1.0 at full probe — and scores
+    the same query set; the sampled truth is a strict subset of the
+    scored pass, so the per-level recall may differ from q341's but
+    the probe levels and query counts must match."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q341_PROBES,
+        _Q332_K,
+        q341_ivf_probe_sweep,
+    )
+    from databricks_etl_spark.plans.queries_round11 import (
+        q388_ivf_probe_sweep_sampled,
+    )
+
+    got = sorted(
+        q388_ivf_probe_sweep_sampled(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.n_probe,
+    )
+    full = sorted(
+        q341_ivf_probe_sweep(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in got] == list(_Q341_PROBES)
+    assert [r.n_queries for r in got] == [r.n_queries for r in full]
+    recalls = [r.mean_recall_at_10 for r in got]
+    assert recalls == sorted(recalls)
+    assert got[-1].n_probe == _Q332_K
+    assert got[-1].mean_recall_at_10 == 1.0
+    assert got[-1].top1_recall == 1.0
+
+
+# ---------------------------------------------------------------------------
+# q389 — merge-depth compression curve
+# ---------------------------------------------------------------------------
+
+
+def test_q389_curve_monotone_and_pinned_to_python_reference(spark):
+    """n_pieces is non-increasing in merge depth, depth 0 is exactly
+    the frequency-weighted character total (compression 1.0), and the
+    full-depth row equals the pure-Python reference BPE's segmentation
+    totals on the same word frequencies."""
+    import duckdb
+
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q382_K,
+        _Q389_DEPTHS,
+        q389_merge_depth_curve,
+    )
+
+    rows = sorted(
+        q389_merge_depth_curve(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.depth,
+    )
+    assert [r.depth for r in rows] == sorted(_Q389_DEPTHS)
+    pieces = [r.n_pieces for r in rows]
+    assert pieces == sorted(pieces, reverse=True)
+    assert rows[0].compression_vs_chars == 1.0
+
+    con = duckdb.connect()
+    wf = dict(
+        con.execute(
+            f"""SELECT w, COUNT(*) FROM (
+                 SELECT unnest(string_split_regex(lower(trim(text)),
+                     '\\s+')) AS w
+                 FROM read_parquet('{SMOKE_SF_DIR}/documents.parquet'))
+               WHERE length(w) >= 1 GROUP BY 1"""
+        ).fetchall()
+    )
+    segs = {w: list(w) for w in wf}
+    for _, l, r, _, _ in _py_bpe(wf, _Q382_K):
+        segs = {w: _py_merge_pass(s, l, r) for w, s in segs.items()}
+    expect_full = sum(len(s) * wf[w] for w, s in segs.items())
+    assert rows[-1].n_pieces == expect_full
+    expect_chars = sum(len(w) * f for w, f in wf.items())
+    assert rows[0].n_pieces == expect_chars
+
+
+# ---------------------------------------------------------------------------
+# q390 — streaming ANN index maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_q390_slicing_invariance_and_replay(spark, tmp_path):
+    """The streaming manifest drain equals batch q384 under a FORCED
+    two-epoch slicing of the vector stream (additive partials summed
+    across epochs), and re-delivering an epoch leaves the drained
+    manifest unchanged (partials overwrite their own partition:
+    exactly-once)."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        q384_incremental_ann_index,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+    from databricks_etl_spark.streaming.annindex import (
+        _PARTIAL_SCHEMA,
+        drain_ann_index,
+        make_annindex_epoch,
+    )
+
+    e = read_table(spark, SMOKE_SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "annidx_partials")
+    spark.createDataFrame([], _PARTIAL_SCHEMA).write.mode(
+        "overwrite"
+    ).partitionBy("__epoch").parquet(path)
+
+    ingest = make_annindex_epoch(path)
+    ingest(e.filter(F.col("vec_id") % 2 == 0), 0)
+    ingest(e.filter(F.col("vec_id") % 2 == 1), 1)
+
+    def drained():
+        return sorted(
+            map(
+                tuple,
+                drain_ann_index(spark, SMOKE_SF_DIR, path).collect(),
+            )
+        )
+
+    first = drained()
+    batch = sorted(
+        map(
+            tuple,
+            q384_incremental_ann_index(spark, SMOKE_SF_DIR).collect(),
+        )
+    )
+    assert first == batch
+    assert sum(r[2] for r in first) > 0  # deltas present
+
+    ingest(e.filter(F.col("vec_id") % 2 == 1), 1)  # epoch-1 re-delivery
+    assert drained() == first
