@@ -27,7 +27,7 @@ import databricks_etl_spark.plans.queries_round10  # noqa: E402,F401  isort: ski
 _Q382_K = 10  # learned merges; bounded fixed-point iteration count
 
 
-def _bpe_chain_sql(k: int) -> str:
+def _bpe_chain_sql(k: int, prefix: str = "bpe", src: str = "documents") -> str:
     """The k-step BPE learning recursion, UNROLLED as a CTE chain (one
     (pairs, argmax, re-segment) triple per step) — the honest DuckDB
     statement of the same fixed point the Spark learner iterates.
@@ -36,43 +36,47 @@ def _bpe_chain_sql(k: int) -> str:
     inlines (re-evaluates!) non-materialized CTEs referenced from a
     recursive term — unmaterialized, step i would recompute the entire
     chain below it once per recursion depth (the q326 gotcha,
-    CLAUDE.md). Must sit inside a WITH RECURSIVE chain; exposes
+    CLAUDE.md). ``prefix``/``src`` re-point the CTE namespace and the
+    document relation (byte-identical at the defaults) so q391 can run
+    TWO chains — corpus and corpus∪delta — in one statement. Must sit
+    inside a WITH RECURSIVE chain; exposes
     ``bpe_vt`` (doc_id, w), ``bpe_words`` (w, f), ``bpe_seg_{k}`` (the
     final segmentation) and ``bpe_merges`` (step, l, r, cnt)."""
+    p_ = prefix
     parts = [
-        """bpe_tok AS (
+        f"""{p_}_tok AS (
             SELECT doc_id,
                    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-            FROM documents
+            FROM {src}
         ),
-        bpe_vt AS MATERIALIZED (
-            SELECT doc_id, w FROM bpe_tok WHERE length(w) >= 1
+        {p_}_vt AS MATERIALIZED (
+            SELECT doc_id, w FROM {p_}_tok WHERE length(w) >= 1
         ),
-        bpe_words AS MATERIALIZED (
-            SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM bpe_vt GROUP BY 1
+        {p_}_words AS MATERIALIZED (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM {p_}_vt GROUP BY 1
         ),
-        bpe_seg_0 AS MATERIALIZED (
+        {p_}_seg_0 AS MATERIALIZED (
             SELECT w, f,
                    list_transform(generate_series(1, length(w)),
                                   i -> substr(w, i, 1)) AS syms
-            FROM bpe_words
+            FROM {p_}_words
         )"""
     ]
     for i in range(k):
-        parts.append(f"""bpe_pr_{i} AS (
+        parts.append(f"""{p_}_pr_{i} AS (
             SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
                        j -> struct_pack(l := syms[j], r := syms[j + 1]))) AS p,
                    f
-            FROM bpe_seg_{i} WHERE len(syms) >= 2
+            FROM {p_}_seg_{i} WHERE len(syms) >= 2
         ),
-        bpe_best_{i} AS MATERIALIZED (
+        {p_}_best_{i} AS MATERIALIZED (
             SELECT p.l AS l, p.r AS r, CAST(SUM(f) AS BIGINT) AS cnt
-            FROM bpe_pr_{i} GROUP BY 1, 2
+            FROM {p_}_pr_{i} GROUP BY 1, 2
             ORDER BY cnt DESC, l, r LIMIT 1
         ),
-        bpe_rs_{i} AS (
+        {p_}_rs_{i} AS (
             SELECT s.w, s.f, s.syms, 1 AS j, CAST([] AS VARCHAR[]) AS out
-            FROM bpe_seg_{i} s
+            FROM {p_}_seg_{i} s
             UNION ALL
             SELECT t.w, t.f, t.syms,
                    t.j + CASE WHEN t.j < len(t.syms)
@@ -84,17 +88,17 @@ def _bpe_chain_sql(k: int) -> str:
                                  AND t.syms[t.j] = b.l
                                  AND t.syms[t.j + 1] = b.r
                             THEN b.l || b.r ELSE t.syms[t.j] END)
-            FROM bpe_rs_{i} t, bpe_best_{i} b WHERE t.j <= len(t.syms)
+            FROM {p_}_rs_{i} t, {p_}_best_{i} b WHERE t.j <= len(t.syms)
         ),
-        bpe_seg_{i + 1} AS MATERIALIZED (
-            SELECT w, f, out AS syms FROM bpe_rs_{i} WHERE j > len(syms)
+        {p_}_seg_{i + 1} AS MATERIALIZED (
+            SELECT w, f, out AS syms FROM {p_}_rs_{i} WHERE j > len(syms)
         )""")
     union = "\n            UNION ALL\n".join(
         f"            SELECT CAST({i + 1} AS BIGINT) AS step, l, r, cnt"
-        f" FROM bpe_best_{i}"
+        f" FROM {p_}_best_{i}"
         for i in range(k)
     )
-    parts.append(f"""bpe_merges AS MATERIALIZED (
+    parts.append(f"""{p_}_merges AS MATERIALIZED (
 {union}
         )""")
     return ",\n        ".join(parts)
@@ -1010,3 +1014,106 @@ def q390_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_ann_index(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q391 — vocabulary stability under a crawl delta
+# ---------------------------------------------------------------------------
+
+_Q391_B = 20_000_000_000  # delta re-identification offset (q363's)
+
+
+def _q391_delta_docs(d: DataFrame) -> DataFrame:
+    """q363's synthesized crawl batch, text grain: every
+    doc_id % 7 == 3 document re-arrives — half verbatim, half with its
+    vocabulary md5-rewritten (genuinely novel words, the q363
+    construction) — which is exactly the input mix that stresses a
+    learned vocabulary."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    rewritten = F.array_join(
+        F.transform(
+            tokens_col("text"), lambda t: F.substring(F.md5(t), 1, 8)
+        ),
+        " ",
+    )
+    return d.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + _Q391_B).alias("doc_id"),
+        F.when(F.col("doc_id") % 14 == 3, F.col("text"))
+        .otherwise(rewritten)
+        .alias("text"),
+    )
+
+
+def _q391_oracle() -> str:
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    return f"""
+        WITH RECURSIVE
+        aug AS MATERIALIZED (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_Q391_B},
+                   CASE WHEN doc_id % 14 = 3 THEN text
+                        ELSE array_to_string(list_transform({_TOKS},
+                            t -> substr(md5(t), 1, 8)), ' ')
+                   END
+            FROM documents WHERE doc_id % 7 = 3
+        ),
+        {_bpe_chain_sql(_Q382_K)},
+        {_bpe_chain_sql(_Q382_K, prefix="bpd", src="aug")}
+        SELECT b.step,
+               b.l AS base_left, b.r AS base_right, b.cnt AS base_count,
+               d.l AS delta_left, d.r AS delta_right, d.cnt AS delta_count,
+               CAST(CASE WHEN b.l = d.l AND b.r = d.r
+                         THEN 1 ELSE 0 END AS BIGINT) AS step_agree,
+               CAST((SELECT MIN(CASE WHEN b2.l = d2.l AND b2.r = d2.r
+                                     THEN 1 ELSE 0 END)
+                     FROM bpe_merges b2 JOIN bpd_merges d2 USING (step)
+                     WHERE b2.step <= b.step) AS BIGINT) AS prefix_agree
+        FROM bpe_merges b JOIN bpd_merges d USING (step)
+    """
+
+
+@query("q391_vocab_stability_delta", oracle=_q391_oracle())
+def q391_vocab_stability_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the learned vocabulary SURVIVE the next crawl batch? The
+    q382 learner run twice — on the corpus, and on corpus ∪ the q363
+    delta (half verbatim re-crawls, half vocabulary-rewritten novel
+    text) — with the merge tables aligned step by step: per step both
+    runs' chosen pairs and weighted counts, whether they agree, and
+    whether the tables still agree as a PREFIX up to that step. The
+    longest agreeing prefix is the actionable number: merges inside it
+    are stable under the crawl (retraining would reproduce them —
+    tokenizer artifacts keyed on them stay valid); the first
+    divergence step is where q384's frozen-quantizer argument for the
+    TOKENIZER breaks and a re-train decision starts. Verbatim
+    re-crawls only scale counts (stability); the rewritten half
+    injects an alien character distribution (md5 hex) that competes
+    for merges — exactly the drift this lane exists to quantify.
+
+    Scale shape: two bounded fixed-point runs (each the q382 shape —
+    corpus-sized word count once, then vocabulary-bounded pure aggs);
+    the alignment is a k-row join. Oracle: BOTH unrolled chains in
+    one statement via the chain builder's prefix/src hooks
+    (byte-identical at defaults — q382/q383/q389 re-proven)."""
+    from databricks_etl_spark.operators.text import learn_bpe_merge_list
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = learn_bpe_merge_list(d, _Q382_K)
+    aug = learn_bpe_merge_list(
+        d.unionByName(_q391_delta_docs(d)), _Q382_K
+    )
+    rows = []
+    prefix = 1
+    for (sb, bl, br, _, bc), (sd, dl, dr, _, dc) in zip(base, aug):
+        assert sb == sd
+        agree = 1 if (bl, br) == (dl, dr) else 0
+        prefix = prefix and agree
+        rows.append((sb, bl, br, bc, dl, dr, dc, agree, prefix))
+    return spark.createDataFrame(
+        rows,
+        "step long, base_left string, base_right string, base_count long, "
+        "delta_left string, delta_right string, delta_count long, "
+        "step_agree long, prefix_agree long",
+    )

@@ -269,7 +269,6 @@ def q83_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM kept k JOIN scored s ON k.doc_id = s.doc_id
         GROUP BY s.source
     """,
-    bench=True,
 )
 def q84_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the minimal pre-training data pipeline:

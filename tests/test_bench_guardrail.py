@@ -41,17 +41,20 @@ def test_headline_warm_total_under_ceiling(spark, sf_dir):
 
 def test_bench_stdout_line_fits_driver_capture():
     """Reconstruct the line bench.py prints with worst-case timing
-    widths (5 digits + 2 decimals per query) — must stay <1,900 chars
-    so the driver's 2,000-char tail capture always parses it."""
+    widths (4 digits + 2 decimals per query — a 2.7 h single-query
+    wall, far beyond anything the warm-ceiling test or the driver's
+    2x budget would survive, so the width bound is vacuous-safe) —
+    must stay <1,900 chars so the driver's 2,000-char tail capture
+    always parses it."""
     names = list(bench_queries())
-    worst = {n: 99999.99 for n in names}
+    worst = {n: 9999.99 for n in names}
     line = json.dumps(
         {
             "metric": "headline_queries_wall_clock",
             "value": 99999.99,
             "unit": "sec",
             "queries": worst,
-            "queries_warm": {n: 99999.9 for n in names},  # bench emits warm @1dp
+            "queries_warm": {n: 9999.9 for n in names},  # bench emits warm @1dp
             "warm_total": 99999.99,
             "sf": 0.1,
             "load1": 999.9,

@@ -647,3 +647,70 @@ def test_q390_slicing_invariance_and_replay(spark, tmp_path):
 
     ingest(e.filter(F.col("vec_id") % 2 == 1), 1)  # epoch-1 re-delivery
     assert drained() == first
+
+
+# ---------------------------------------------------------------------------
+# q391 — vocabulary stability under a crawl delta
+# ---------------------------------------------------------------------------
+
+
+def test_q391_alignment_semantics_and_python_reference(spark):
+    """The aligned table's flags are internally consistent
+    (prefix_agree is the running AND of step_agree; base columns
+    reproduce q382's merge table exactly), and the augmented run
+    matches the pure-Python reference BPE over the corpus ∪ delta
+    word frequencies — so the drift the lane reports is real
+    vocabulary drift, not implementation drift."""
+    import duckdb
+
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q382_K,
+        _Q391_B,
+        q382_bpe_merge_induction,
+        q391_vocab_stability_delta,
+    )
+
+    rows = sorted(
+        q391_vocab_stability_delta(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.step for r in rows] == list(range(1, len(rows) + 1))
+    run = 1
+    for r in rows:
+        assert r.step_agree in (0, 1)
+        run = run and r.step_agree
+        assert r.prefix_agree == run
+    base = {
+        r.step: (r.left_sym, r.right_sym, r.pair_count)
+        for r in q382_bpe_merge_induction(spark, SMOKE_SF_DIR).collect()
+    }
+    for r in rows:
+        assert (r.base_left, r.base_right, r.base_count) == base[r.step]
+
+    con = duckdb.connect()
+    wf = dict(
+        con.execute(
+            f"""SELECT w, COUNT(*) FROM (
+                 SELECT unnest(string_split_regex(lower(trim(
+                     CASE WHEN rn = 0 THEN text
+                          WHEN doc_id % 14 = 3 THEN text
+                          ELSE array_to_string(list_transform(
+                              string_split_regex(lower(trim(text)), '\\s+'),
+                              t -> substr(md5(t), 1, 8)), ' ')
+                     END)), '\\s+')) AS w
+                 FROM (
+                   SELECT doc_id, text, 0 AS rn
+                   FROM read_parquet('{SMOKE_SF_DIR}/documents.parquet')
+                   UNION ALL
+                   SELECT doc_id, text, 1
+                   FROM read_parquet('{SMOKE_SF_DIR}/documents.parquet')
+                   WHERE doc_id % 7 = 3
+                 ))
+               WHERE length(w) >= 1 GROUP BY 1"""
+        ).fetchall()
+    )
+    expect = {
+        m[0]: (m[1], m[2], m[4]) for m in _py_bpe(wf, _Q382_K)
+    }
+    for r in rows:
+        assert (r.delta_left, r.delta_right, r.delta_count) == expect[r.step]
