@@ -1117,3 +1117,123 @@ def q391_vocab_stability_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta_left string, delta_right string, delta_count long, "
         "step_agree long, prefix_agree long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q392 — sequence packing re-based on LEARNED-vocab lengths
+# ---------------------------------------------------------------------------
+
+
+def _q392_learned_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc subword token counts under the q382-learned vocabulary
+    (the q383 construction at doc grain): every DISTINCT word
+    tokenizes once through the production greedy kernel with the
+    learned blocks, counts join back to the exploded stream, docs
+    with no words report 0."""
+    from databricks_etl_spark.operators.text import (
+        bpe_vocab_blocks,
+        learn_bpe_merge_list,
+        subword_piece_stats,
+        tokens_col,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    v4, v3, v2 = bpe_vocab_blocks(learn_bpe_merge_list(d, _Q382_K))
+    tok = d.select("doc_id", F.explode(tokens_col("text")).alias("w")).filter(
+        F.length("w") >= 1
+    )
+    wc = (
+        tok.select("w")
+        .distinct()
+        .select(
+            "w",
+            subword_piece_stats(F.col("w"), v4=v4, v3=v3, v2=v2)
+            .getField("cnt")
+            .alias("pieces"),
+        )
+    )
+    per = (
+        tok.join(wc, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("pieces").cast("long").alias("len"))
+    )
+    return d.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id", F.coalesce("len", F.lit(0)).cast("long").alias("len")
+    )
+
+
+def _q392_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round8 import (
+        _Q313_B,
+        _Q313_P,
+        _ffd_oracle,
+    )
+
+    # the q383 chain (learner + learned-vocab consumption recursion),
+    # rolled to doc grain and nested as the FFD oracle's items input
+    items = f"""
+        WITH RECURSIVE
+        {_bpe_chain_sql(_Q382_K)},
+        lv4 AS MATERIALIZED (
+            SELECT DISTINCT l || r AS p FROM bpe_merges
+            WHERE length(l || r) = 4
+        ),
+        lv3 AS MATERIALIZED (
+            SELECT DISTINCT l || r AS p FROM bpe_merges
+            WHERE length(l || r) = 3
+        ),
+        lv2 AS MATERIALIZED (
+            SELECT DISTINCT l || r AS p FROM bpe_merges
+            WHERE length(l || r) = 2
+        ),
+        tk AS (
+            SELECT w, 1 AS pos, 0 AS cnt FROM bpe_words
+            UNION ALL
+            SELECT t.w,
+                   t.pos + CASE WHEN v4.p IS NOT NULL THEN 4
+                                WHEN v3.p IS NOT NULL THEN 3
+                                WHEN v2.p IS NOT NULL THEN 2
+                                ELSE 1 END,
+                   t.cnt + 1
+            FROM tk t
+            LEFT JOIN lv4 v4 ON v4.p = substr(t.w, t.pos, 4)
+            LEFT JOIN lv3 v3 ON v3.p = substr(t.w, t.pos, 3)
+            LEFT JOIN lv2 v2 ON v2.p = substr(t.w, t.pos, 2)
+            WHERE t.pos <= length(t.w)
+        ),
+        wc AS (SELECT w, cnt FROM tk WHERE pos > length(w)),
+        dl AS (
+            SELECT d.doc_id,
+                   CAST(COALESCE(SUM(wc.cnt), 0) AS BIGINT) AS len
+            FROM documents d
+            LEFT JOIN bpe_vt v ON d.doc_id = v.doc_id
+            LEFT JOIN wc ON v.w = wc.w
+            GROUP BY 1
+        )
+        SELECT doc_id, len FROM dl
+    """
+    return _ffd_oracle(items, _Q313_B, _Q313_P)
+
+
+@query("q392_learned_vocab_packing", oracle=_q392_oracle())
+def q392_learned_vocab_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q329's re-based packing taken one stage further up the learn
+    chain: q313 packs whitespace counts, q329 packs subword counts
+    under the GIVEN vocabulary — this packs under the vocabulary the
+    corpus itself LEARNED (q382 -> q383's tokenizer), which is the
+    plan a pipeline that trains its own tokenizer actually ships.
+    Identical FFD machinery, placement order and budget through the
+    same ``ffd_pack`` operator and the same parameterized
+    recursive-CTE oracle; only the length source changes — the
+    packing lane stays length-source-agnostic while the length source
+    is now itself corpus-derived end to end.
+
+    Scale shape: the learner's bounded fixed point (q382), the q328
+    distinct-word tokenize/join-back shuffle, then q313's per-shard
+    FFD (no global fold). The oracle nests the full learned-vocab
+    chain as the FFD oracle's items input — one statement, both
+    stages hash-checked together."""
+    from databricks_etl_spark.operators.packing import ffd_pack
+    from databricks_etl_spark.plans.queries_round8 import _Q313_B, _Q313_P
+
+    return ffd_pack(_q392_learned_lens(spark, sf_dir), _Q313_B, _Q313_P)

@@ -714,3 +714,45 @@ def test_q391_alignment_semantics_and_python_reference(spark):
     }
     for r in rows:
         assert (r.delta_left, r.delta_right, r.delta_count) == expect[r.step]
+
+
+# ---------------------------------------------------------------------------
+# q392 — packing re-based on learned-vocab lengths
+# ---------------------------------------------------------------------------
+
+
+def test_q392_packs_every_doc_once_and_conserves_learned_tokens(spark):
+    """FFD invariants on the learned-length pack: every document
+    placed exactly once, per-sequence sums within budget, and the
+    clamped length total equals the learned-vocab piece total (q383's
+    per-source n_pieces summed) after the same clamp — the
+    length-source hand-off conserved end to end."""
+    from databricks_etl_spark.plans.queries_round8 import _Q313_B
+    from databricks_etl_spark.plans.queries_round11 import (
+        _q392_learned_lens,
+        q383_learned_vocab_fertility,
+        q392_learned_vocab_packing,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = q392_learned_vocab_packing(spark, SMOKE_SF_DIR).collect()
+    n_docs = read_table(spark, SMOKE_SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    per_seq: dict = {}
+    for r in rows:
+        per_seq.setdefault(r.seq_id, 0)
+        per_seq[r.seq_id] += r.n_tokens
+    assert all(v <= _Q313_B for v in per_seq.values())
+
+    lens = {r.doc_id: r.len for r in _q392_learned_lens(
+        spark, SMOKE_SF_DIR
+    ).collect()}
+    assert sum(r.n_tokens for r in rows) == sum(
+        min(v, _Q313_B) for v in lens.values()
+    )
+    # the unclamped learned-length total reconciles with q383
+    assert sum(lens.values()) == sum(
+        r.n_pieces
+        for r in q383_learned_vocab_fertility(spark, SMOKE_SF_DIR).collect()
+    )
