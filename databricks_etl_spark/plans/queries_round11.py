@@ -835,6 +835,11 @@ def _q387_register() -> None:
         )
 
         sig, bands = _q330_sig_bands(spark, sf_dir)
+        # the salted form consumes bands five ways (size rollup, cold
+        # anti, hot semi, two join sides) and sig twice (scoring); the
+        # q353 lesson: materialize multi-consumer relations once
+        sig = sig.localCheckpoint()
+        bands = bands.localCheckpoint()
         return _q330_score(salted_band_candidates(bands), sig)
 
 
