@@ -26,6 +26,36 @@ import databricks_etl_spark.plans.queries_round10  # noqa: E402,F401  isort: ski
 
 _Q382_K = 10  # learned merges; bounded fixed-point iteration count
 
+# Session-scoped learner cache: six registered lanes (q382/q383/q389/
+# q391/q392/q393) consume the SAME deterministic learning run, and the
+# driver calls each as an independent query — without memoization every
+# lane re-pays the k bounded jobs. Keyed on (Spark application, corpus
+# dir, k, variant); values are the merge list plus the per-step
+# localCheckpoint'd segmentations, which stay valid for the life of the
+# application. Pure read-through cache of a deterministic computation —
+# results are byte-identical with or without it.
+_BPE_CACHE: dict = {}
+
+
+def _learned(spark: SparkSession, sf_dir: str, variant: str = "base"):
+    import os as _os
+
+    from databricks_etl_spark.operators.text import bpe_learn
+
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.realpath(sf_dir),
+        _Q382_K,
+        variant,
+    )
+    if key not in _BPE_CACHE:
+        d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        if variant == "aug":
+            d = d.unionByName(_q391_delta_docs(d))
+        _BPE_CACHE[key] = bpe_learn(d, _Q382_K)
+    return _BPE_CACHE[key]
+
+
 
 def _bpe_chain_sql(k: int, prefix: str = "bpe", src: str = "documents") -> str:
     """The k-step BPE learning recursion, UNROLLED as a CTE chain (one
@@ -137,10 +167,12 @@ def q382_bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-word recursive walk; Spark's fold and the oracle's walk are
     both property-tested against a pure-Python reference BPE
     (tests/test_round11.py)."""
-    from databricks_etl_spark.operators.text import learn_bpe_merges
-
-    d = read_table(spark, sf_dir, "documents")
-    return learn_bpe_merges(d, _Q382_K)
+    merges, _ = _learned(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "step long, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -224,13 +256,12 @@ def q383_learned_vocab_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-from-constants)."""
     from databricks_etl_spark.operators.text import (
         bpe_vocab_blocks,
-        learn_bpe_merge_list,
         subword_piece_stats,
         tokens_col,
     )
 
     d = read_table(spark, sf_dir, "documents")
-    v4, v3, v2 = bpe_vocab_blocks(learn_bpe_merge_list(d, _Q382_K))
+    v4, v3, v2 = bpe_vocab_blocks(_learned(spark, sf_dir)[0])
     tok = d.select(
         "doc_id", "source", F.explode(tokens_col("text")).alias("w")
     ).filter(F.length("w") >= 1)
@@ -961,11 +992,7 @@ def q389_merge_depth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation over the DISTINCT-word relation — no re-learning, no
     re-segmentation. The oracle aggregates the same unrolled chain's
     bpe_seg_j relations."""
-    from databricks_etl_spark.operators.text import bpe_learn
-    from databricks_etl_spark.sources.readers import read_table as _rt
-
-    d = _rt(spark, sf_dir, "documents")
-    merges, segs = bpe_learn(d, _Q382_K)
+    merges, segs = _learned(spark, sf_dir)
     assert len(segs) > max(_Q389_DEPTHS), "corpus exhausted before k merges"
     tot = segs[0].agg(
         F.sum("f").alias("nw"),
@@ -1102,13 +1129,8 @@ def q391_vocab_stability_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the alignment is a k-row join. Oracle: BOTH unrolled chains in
     one statement via the chain builder's prefix/src hooks
     (byte-identical at defaults — q382/q383/q389 re-proven)."""
-    from databricks_etl_spark.operators.text import learn_bpe_merge_list
-
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = learn_bpe_merge_list(d, _Q382_K)
-    aug = learn_bpe_merge_list(
-        d.unionByName(_q391_delta_docs(d)), _Q382_K
-    )
+    base, _ = _learned(spark, sf_dir)
+    aug, _ = _learned(spark, sf_dir, variant="aug")
     rows = []
     prefix = 1
     for (sb, bl, br, _, bc), (sd, dl, dr, _, dc) in zip(base, aug):
@@ -1137,13 +1159,12 @@ def _q392_learned_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no words report 0."""
     from databricks_etl_spark.operators.text import (
         bpe_vocab_blocks,
-        learn_bpe_merge_list,
         subword_piece_stats,
         tokens_col,
     )
 
     d = read_table(spark, sf_dir, "documents")
-    v4, v3, v2 = bpe_vocab_blocks(learn_bpe_merge_list(d, _Q382_K))
+    v4, v3, v2 = bpe_vocab_blocks(_learned(spark, sf_dir)[0])
     tok = d.select("doc_id", F.explode(tokens_col("text")).alias("w")).filter(
         F.length("w") >= 1
     )
@@ -1242,3 +1263,115 @@ def q392_learned_vocab_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databricks_etl_spark.plans.queries_round8 import _Q313_B, _Q313_P
 
     return ffd_pack(_q392_learned_lens(spark, sf_dir), _Q313_B, _Q313_P)
+
+
+# ---------------------------------------------------------------------------
+# q393 — tokenizer release datasheet (the q381 discipline for the tokenizer)
+# ---------------------------------------------------------------------------
+
+
+def _q393_oracle() -> str:
+    o382 = QUERIES["q382_bpe_merge_induction"].oracle
+    o383 = QUERIES["q383_learned_vocab_fertility"].oracle
+    o389 = QUERIES["q389_merge_depth_curve"].oracle
+    o391 = QUERIES["q391_vocab_stability_delta"].oracle
+    return f"""
+        WITH m AS MATERIALIZED (SELECT * FROM ({o382})),
+        f AS MATERIALIZED (SELECT * FROM ({o383})),
+        dc AS MATERIALIZED (SELECT * FROM ({o389})),
+        s AS MATERIALIZED (SELECT * FROM ({o391}))
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_merges,
+               (SELECT CAST(COUNT(DISTINCT merged) AS BIGINT) FROM m
+                WHERE length(merged) = 2) AS n_vocab2,
+               (SELECT CAST(COUNT(DISTINCT merged) AS BIGINT) FROM m
+                WHERE length(merged) = 3) AS n_vocab3,
+               (SELECT CAST(COUNT(DISTINCT merged) AS BIGINT) FROM m
+                WHERE length(merged) = 4) AS n_vocab4,
+               (SELECT CAST(n_pieces AS BIGINT) FROM dc
+                WHERE depth = {_Q382_K}) AS n_pieces_full,
+               (SELECT compression_vs_chars FROM dc
+                WHERE depth = {_Q382_K}) AS compression_full,
+               round((SELECT SUM(n_pieces) FROM f)
+                     / CAST((SELECT SUM(n_words) FROM f) AS DOUBLE), 6)
+                   AS fertility,
+               round((SELECT SUM(n_unk) FROM f)
+                     / CAST((SELECT SUM(n_pieces) FROM f) AS DOUBLE), 6)
+                   AS unk_rate,
+               (SELECT CAST(COALESCE(SUM(prefix_agree), 0) AS BIGINT)
+                FROM s) AS stable_prefix
+    """
+
+
+@query("q393_tokenizer_datasheet", oracle=_q393_oracle())
+def q393_tokenizer_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer family's release card — q381's datasheet
+    discipline applied to the learn chain: merge count and distinct
+    learned-vocab sizes by piece width (q382), full-depth corpus
+    token count and compression vs characters (q389's deepest row),
+    corpus-wide fertility and fallback rate under the learned vocab
+    (q383 rolled over sources), and the delta-stability prefix
+    length (q391 — how many leading merges survive the next crawl
+    batch, the retrain-decision number). Every column is a REGISTERED
+    query's own relation, so the card cannot disagree with the lanes
+    it cites; this is the one row a tokenizer review reads before
+    shipping the artifact q392 packs with.
+
+    Scale shape: four bounded rollups over the composed lanes (each
+    lane's own cost — the learner's bounded fixed point dominates),
+    crossed as broadcast 1-row relations."""
+    m = q382_bpe_merge_induction(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_merges"),
+        F.countDistinct(
+            F.when(F.length("merged") == 2, F.col("merged"))
+        )
+        .cast("long")
+        .alias("n_vocab2"),
+        F.countDistinct(
+            F.when(F.length("merged") == 3, F.col("merged"))
+        )
+        .cast("long")
+        .alias("n_vocab3"),
+        F.countDistinct(
+            F.when(F.length("merged") == 4, F.col("merged"))
+        )
+        .cast("long")
+        .alias("n_vocab4"),
+    )
+    f = q383_learned_vocab_fertility(spark, sf_dir).agg(
+        F.sum("n_pieces").alias("tp"),
+        F.sum("n_words").alias("tw"),
+        F.sum("n_unk").alias("tu"),
+    )
+    dc = (
+        q389_merge_depth_curve(spark, sf_dir)
+        .filter(F.col("depth") == _Q382_K)
+        .select(
+            F.col("n_pieces").alias("n_pieces_full"),
+            F.col("compression_vs_chars").alias("compression_full"),
+        )
+    )
+    s = q391_vocab_stability_delta(spark, sf_dir).agg(
+        F.coalesce(F.sum("prefix_agree"), F.lit(0))
+        .cast("long")
+        .alias("stable_prefix")
+    )
+    return (
+        m.crossJoin(F.broadcast(dc))
+        .crossJoin(F.broadcast(f))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "n_merges",
+            "n_vocab2",
+            "n_vocab3",
+            "n_vocab4",
+            "n_pieces_full",
+            "compression_full",
+            F.round(F.col("tp") / F.col("tw").cast("double"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.col("tu") / F.col("tp").cast("double"), 6).alias(
+                "unk_rate"
+            ),
+            "stable_prefix",
+        )
+    )

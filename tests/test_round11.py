@@ -756,3 +756,47 @@ def test_q392_packs_every_doc_once_and_conserves_learned_tokens(spark):
         r.n_pieces
         for r in q383_learned_vocab_fertility(spark, SMOKE_SF_DIR).collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# q393 — tokenizer release datasheet
+# ---------------------------------------------------------------------------
+
+
+def test_q393_every_column_pinned_to_component_lane(spark):
+    """The q381 discipline: each datasheet column equals its component
+    lane's own rollup on sf0.001 — merge/vocab counts to q382,
+    full-depth pieces/compression to q389, fertility/unk to q383's
+    totals, stability prefix to q391's running flag."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q382_K,
+        q382_bpe_merge_induction,
+        q383_learned_vocab_fertility,
+        q389_merge_depth_curve,
+        q391_vocab_stability_delta,
+        q393_tokenizer_datasheet,
+    )
+
+    row = q393_tokenizer_datasheet(spark, SMOKE_SF_DIR).collect()[0]
+    merges = q382_bpe_merge_induction(spark, SMOKE_SF_DIR).collect()
+    assert row.n_merges == len(merges)
+    for width, col in ((2, row.n_vocab2), (3, row.n_vocab3), (4, row.n_vocab4)):
+        assert col == len({m.merged for m in merges if len(m.merged) == width})
+    deep = [
+        r
+        for r in q389_merge_depth_curve(spark, SMOKE_SF_DIR).collect()
+        if r.depth == _Q382_K
+    ][0]
+    assert row.n_pieces_full == deep.n_pieces
+    assert row.compression_full == deep.compression_vs_chars
+    f = q383_learned_vocab_fertility(spark, SMOKE_SF_DIR).collect()
+    tp, tw, tu = (
+        sum(r.n_pieces for r in f),
+        sum(r.n_words for r in f),
+        sum(r.n_unk for r in f),
+    )
+    assert row.fertility == round(tp / tw, 6)
+    assert row.unk_rate == round(tu / tp, 6)
+    stab = q391_vocab_stability_delta(spark, SMOKE_SF_DIR).collect()
+    assert row.stable_prefix == sum(r.prefix_agree for r in stab)
+    assert 0 <= row.stable_prefix <= row.n_merges
