@@ -52,6 +52,17 @@ def _learned(spark: SparkSession, sf_dir: str, variant: str = "base"):
         d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
         if variant == "aug":
             d = d.unionByName(_q391_delta_docs(d))
+        elif variant == "shipped":
+            from databricks_etl_spark.plans.queries_round8 import (
+                q312_training_manifest,
+            )
+
+            ship = (
+                q312_training_manifest(spark, sf_dir)
+                .filter("ship")
+                .select("doc_id")
+            )
+            d = d.join(ship, "doc_id")
         _BPE_CACHE[key] = bpe_learn(d, _Q382_K)
     return _BPE_CACHE[key]
 
@@ -1374,4 +1385,73 @@ def q393_tokenizer_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "stable_prefix",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q394 — vocabulary sensitivity to cleaning (raw corpus vs shipped pool)
+# ---------------------------------------------------------------------------
+
+
+def _q394_oracle() -> str:
+    o312 = QUERIES["q312_training_manifest"].oracle
+    return f"""
+        WITH RECURSIVE
+        shp AS MATERIALIZED (
+            SELECT d.doc_id, d.text
+            FROM documents d
+            JOIN (SELECT doc_id FROM ({o312}) WHERE ship) s
+              ON d.doc_id = s.doc_id
+        ),
+        {_bpe_chain_sql(_Q382_K)},
+        {_bpe_chain_sql(_Q382_K, prefix="bps", src="shp")}
+        SELECT b.step,
+               b.l AS raw_left, b.r AS raw_right, b.cnt AS raw_count,
+               c.l AS clean_left, c.r AS clean_right, c.cnt AS clean_count,
+               CAST(CASE WHEN b.l = c.l AND b.r = c.r
+                         THEN 1 ELSE 0 END AS BIGINT) AS step_agree,
+               CAST((SELECT MIN(CASE WHEN b2.l = c2.l AND b2.r = c2.r
+                                     THEN 1 ELSE 0 END)
+                     FROM bpe_merges b2 JOIN bps_merges c2 USING (step)
+                     WHERE b2.step <= b.step) AS BIGINT) AS prefix_agree
+        FROM bpe_merges b JOIN bps_merges c USING (step)
+    """
+
+
+@query("q394_vocab_cleaning_sensitivity", oracle=_q394_oracle())
+def q394_vocab_cleaning_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does CLEANING change the vocabulary? The q391 alignment shape
+    pointed at the other input knob: the q382 learner run on the raw
+    corpus and on the SHIPPED pool (q312's dedup + decontamination +
+    quality survivors — the docs training actually sees), merge
+    tables step-aligned with per-step agreement and the running
+    prefix flag. If the tokenizer is trained before cleaning (the
+    common ops mistake — vocab jobs read the lake, training reads the
+    pool), the disagreement tail is the bias the artifact bakes in:
+    merges earned by boilerplate and near-dup mass that the pipeline
+    then deletes. A long agreeing prefix certifies train-time and
+    clean-time vocabularies compatible; the first divergence step
+    says where to stop trusting a lake-trained artifact.
+
+    Scale shape: two bounded fixed-point runs (the shipped side
+    filtered by one doc_id-keyed semi-join before the word count);
+    alignment is a k-row join. Both runs come from the family's
+    session cache, so the datasheet-family cost still pays each
+    learner once."""
+    raw, _ = _learned(spark, sf_dir)
+    clean, _ = _learned(spark, sf_dir, variant="shipped")
+    rows = []
+    prefix = 1
+    for (sb, bl, br, _m, bc), (sc, cl, cr, _n, cc) in zip(raw, clean):
+        assert sb == sc
+        agree = 1 if (bl, br) == (cl, cr) else 0
+        prefix = prefix and agree
+        rows.append((sb, bl, br, bc, cl, cr, cc, agree, prefix))
+    return spark.createDataFrame(
+        rows,
+        "step long, raw_left string, raw_right string, raw_count long, "
+        "clean_left string, clean_right string, clean_count long, "
+        "step_agree long, prefix_agree long",
     )

@@ -800,3 +800,51 @@ def test_q393_every_column_pinned_to_component_lane(spark):
     stab = q391_vocab_stability_delta(spark, SMOKE_SF_DIR).collect()
     assert row.stable_prefix == sum(r.prefix_agree for r in stab)
     assert 0 <= row.stable_prefix <= row.n_merges
+
+
+# ---------------------------------------------------------------------------
+# q394 — vocabulary sensitivity to cleaning
+# ---------------------------------------------------------------------------
+
+
+def test_q394_raw_side_pins_to_q382_and_flags_consistent(spark):
+    """The raw columns reproduce q382's merge table exactly; the clean
+    run matches a direct learner run over the shipped pool; flags are
+    the running AND."""
+    from databricks_etl_spark.operators.text import learn_bpe_merge_list
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+    )
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q382_K,
+        q382_bpe_merge_induction,
+        q394_vocab_cleaning_sensitivity,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = sorted(
+        q394_vocab_cleaning_sensitivity(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.step,
+    )
+    base = {
+        r.step: (r.left_sym, r.right_sym, r.pair_count)
+        for r in q382_bpe_merge_induction(spark, SMOKE_SF_DIR).collect()
+    }
+    run = 1
+    for r in rows:
+        assert (r.raw_left, r.raw_right, r.raw_count) == base[r.step]
+        run = run and r.step_agree
+        assert r.prefix_agree == run
+
+    d = read_table(spark, SMOKE_SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    ship = (
+        q312_training_manifest(spark, SMOKE_SF_DIR)
+        .filter("ship")
+        .select("doc_id")
+    )
+    direct = learn_bpe_merge_list(d.join(ship, "doc_id"), _Q382_K)
+    assert [(r.step, r.clean_left, r.clean_right, r.clean_count) for r in rows] == [
+        (s, l, rr, c) for (s, l, rr, _m, c) in direct
+    ]
