@@ -1455,3 +1455,102 @@ def q394_vocab_cleaning_sensitivity(
         "clean_left string, clean_right string, clean_count long, "
         "step_agree long, prefix_agree long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q395 — tokenizer release gate (fail-closed, the q386 pattern)
+# ---------------------------------------------------------------------------
+
+# Thresholds calibrated to pass on the shipped corpus at every local SF
+# (observed: fertility 3.60/3.61, unk 0.786/0.787, compression 0.800,
+# stable prefix 10/7 of 10) with honest headroom — a boilerplate-skewed
+# vocabulary (fertility or compression blow-up), a dead vocabulary
+# (everything fallback), or a crawl-unstable merge table flips it.
+_Q395_MIN_MERGES = _Q382_K  # learner must run to full depth
+_Q395_MAX_FERTILITY = 6.0  # pieces per word ceiling
+_Q395_MAX_UNK = 0.95  # fallback-share ceiling
+_Q395_MAX_COMPRESSION = 0.95  # learned vocab must actually compress
+_Q395_MIN_STABLE = 3  # leading merges that must survive the delta
+
+
+def tokenizer_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    min_merges: int = _Q395_MIN_MERGES,
+    max_fertility: float = _Q395_MAX_FERTILITY,
+    max_unk: float = _Q395_MAX_UNK,
+    max_compression: float = _Q395_MAX_COMPRESSION,
+    min_stable: int = _Q395_MIN_STABLE,
+) -> DataFrame:
+    """The q395 verdict kernel with thresholds as kwargs (the q386
+    discipline: defaults are the registered constants, the planted-
+    violation test flips one knob at a time)."""
+    ds = q393_tokenizer_datasheet(spark, sf_dir)
+    viol = (
+        F.when(F.col("n_merges") < min_merges, 1).otherwise(0)
+        + F.when(F.col("fertility") > max_fertility, 1).otherwise(0)
+        + F.when(F.col("unk_rate") > max_unk, 1).otherwise(0)
+        + F.when(F.col("compression_full") > max_compression, 1).otherwise(0)
+        + F.when(F.col("stable_prefix") < min_stable, 1).otherwise(0)
+    )
+    n = F.count(F.lit(1))
+    agg = ds.agg(
+        n.cast("long").alias("n_cards"),
+        F.coalesce(F.sum(viol), F.lit(0)).cast("long").alias("n_violations"),
+    )
+    return agg.select(
+        "n_cards",
+        "n_violations",
+        F.when(
+            (F.col("n_violations") == 0) & (F.col("n_cards") > 0),
+            F.lit("RELEASE"),
+        )
+        .otherwise(F.lit("HOLD"))
+        .alias("verdict"),
+    )
+
+
+def _q395_oracle() -> str:
+    o393 = QUERIES["q393_tokenizer_datasheet"].oracle
+    return f"""
+        WITH card AS MATERIALIZED (SELECT * FROM ({o393})),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cards,
+                   CAST(COALESCE(SUM(
+                       (CASE WHEN n_merges < {_Q395_MIN_MERGES}
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN fertility > {_Q395_MAX_FERTILITY}
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN unk_rate > {_Q395_MAX_UNK}
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN compression_full > {_Q395_MAX_COMPRESSION}
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN stable_prefix < {_Q395_MIN_STABLE}
+                             THEN 1 ELSE 0 END)
+                   ), 0) AS BIGINT) AS n_violations
+            FROM card
+        )
+        SELECT n_cards, n_violations,
+               CASE WHEN n_violations = 0 AND n_cards > 0
+                    THEN 'RELEASE' ELSE 'HOLD' END AS verdict
+        FROM agg
+    """
+
+
+@query("q395_tokenizer_gate", oracle=_q395_oracle())
+def q395_tokenizer_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer datasheet made to GATE — q386's fail-closed
+    pattern completing the learn → audit → gate arc: explicit
+    thresholds over q393's card (learner depth, fertility and
+    fallback ceilings, a real-compression requirement, and a
+    crawl-stability floor from q391), one RELEASE/HOLD row, empty
+    card = HOLD. A tokenizer review now has the same shape as the
+    data release review: every number's provenance one registered
+    query away, every budget explicit, and a planted violation flips
+    the verdict (tested through the kwarg surface).
+
+    Scale shape: one bounded rollup over a 1-row relation — the gate
+    costs nothing beyond the card, and the card rides the family's
+    shared learner run."""
+    return tokenizer_gate(spark, sf_dir)

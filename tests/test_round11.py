@@ -848,3 +848,70 @@ def test_q394_raw_side_pins_to_q382_and_flags_consistent(spark):
     assert [(r.step, r.clean_left, r.clean_right, r.clean_count) for r in rows] == [
         (s, l, rr, c) for (s, l, rr, _m, c) in direct
     ]
+
+
+# ---------------------------------------------------------------------------
+# q395 — tokenizer release gate
+# ---------------------------------------------------------------------------
+
+
+def test_q395_releases_and_planted_violations_flip(spark):
+    """Defaults RELEASE the shipped corpus at sf0.001 with zero
+    violations; tightening any knob past the observed card plants a
+    violation and flips the verdict (each knob exercises a distinct
+    CASE arm of the same rollup)."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        q395_tokenizer_gate,
+        tokenizer_gate,
+    )
+
+    row = q395_tokenizer_gate(spark, SMOKE_SF_DIR).collect()[0]
+    assert row.verdict == "RELEASE" and row.n_violations == 0
+
+    # the card rides the session learner cache, so each plant is cheap
+    for kw in (
+        {"min_merges": 11},
+        {"max_fertility": 1.0},
+        {"max_unk": 0.1},
+        {"max_compression": 0.5},
+        {"min_stable": 11},
+    ):
+        r = tokenizer_gate(spark, SMOKE_SF_DIR, **kw).collect()[0]
+        assert r.verdict == "HOLD" and r.n_violations == 1, kw
+
+
+@pytest.mark.slow
+def test_bpe_learner_duplication_invariance_25k(spark):
+    """BPE at 50x corpus duplication: verbatim copies scale every
+    pair count by the copy factor and change NOTHING else — the
+    merge table at ~25k docs must equal the 500-doc table with
+    counts multiplied, and the learner's wall stays bounded (its
+    per-iteration work rides the DISTINCT-word relation, which
+    duplication leaves untouched — the 100 TB argument made
+    mechanical)."""
+    import time
+
+    from databricks_etl_spark.operators.text import learn_bpe_merge_list
+    from databricks_etl_spark.plans.queries_round11 import _Q382_K
+    from databricks_etl_spark.sources.readers import read_table
+
+    d = read_table(spark, SMOKE_SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    base = learn_bpe_merge_list(d, _Q382_K)
+    copies = max(2, 25000 // d.count())
+    big = d
+    for i in range(1, copies):
+        big = big.unionByName(
+            d.select(
+                (F.col("doc_id") + i * 1000000).alias("doc_id"), "text"
+            )
+        )
+    big = big.repartition(32).localCheckpoint()
+    t0 = time.time()
+    scaled = learn_bpe_merge_list(big, _Q382_K)
+    wall = time.time() - t0
+    assert scaled == [
+        (s, l, r, m, c * copies) for (s, l, r, m, c) in base
+    ]
+    assert wall < 180, f"learner took {wall:.1f}s at {copies}x"
