@@ -751,8 +751,10 @@ def q386_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chaining floor), their total, and the RELEASE/HOLD verdict.
     Every input is a REGISTERED query's own relation (the q334/q381
     composition discipline), so the gate cannot drift from the
-    audits it enforces; the planted-violation test flips each knob
-    through the kwarg surface and asserts the verdict turns.
+    audits it enforces; the planted-violation tests flip one knob per
+    input relation through the kwarg surface (the remaining knobs
+    share the same CASE rollup verbatim) and assert the verdict
+    turns.
 
     Scale shape: three bounded rollups (sources-count, 2 splits,
     cluster-bucket rows) crossed as broadcast 1-row relations — the
