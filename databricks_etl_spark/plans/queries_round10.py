@@ -50,10 +50,13 @@ def _q341_cell_sums_sql(col: str) -> list[str]:
     ]
 
 
-def _q341_oracle(sample_pred: str = "") -> str:
-    """q341's oracle; ``sample_pred`` (a predicate over the cemb alias
-    ``c``) restricts the scored corpus for the bench-able sampled-truth
-    twin (queries_round11.q388) — empty default is byte-identical."""
+def _q341_truth_sql(sample_pred: str = "", topk: int = _Q332_TOPK) -> str:
+    """The scored-pass CTE head shared by q341's oracle and the graded
+    nDCG twin (queries_round11.q396): everything through the exact
+    ``truth`` relation (qid, rk, cell_rank), ranked to ``topk``.
+    ``sample_pred`` (a predicate over the cemb alias ``c``) restricts
+    the scored corpus (the q388 twin); both defaults are
+    byte-identical to q341's original oracle head."""
     s = _q341_cell_sums_sql("qe")
     sc = (
         "CASE "
@@ -65,7 +68,6 @@ def _q341_oracle(sample_pred: str = "") -> str:
         f"THEN 1 ELSE 0 END"
         for k in range(_Q332_K)
     )
-    probes = ", ".join(str(p) for p in _Q341_PROBES)
     where = f"WHERE {sample_pred}" if sample_pred else ""
     return f"""
         WITH {_q332_base_sql()},
@@ -90,8 +92,17 @@ def _q341_oracle(sample_pred: str = "") -> str:
                        row_number() OVER (PARTITION BY qid
                            ORDER BY sim DESC, doc_id, chunk_idx) AS rk
                 FROM sr
-            ) WHERE rk <= {_Q332_TOPK}
-        ),
+            ) WHERE rk <= {topk}
+        )"""
+
+
+def _q341_oracle(sample_pred: str = "") -> str:
+    """q341's oracle; ``sample_pred`` restricts the scored corpus for
+    the bench-able sampled-truth twin (queries_round11.q388) — empty
+    default is byte-identical. The scored-pass head is the shared
+    :func:`_q341_truth_sql`."""
+    probes = ", ".join(str(p) for p in _Q341_PROBES)
+    return f"""{_q341_truth_sql(sample_pred)},
         pr AS (SELECT CAST(unnest([{probes}]) AS INTEGER) AS n_probe),
         per AS (
             SELECT pr.n_probe, t.qid,
@@ -140,12 +151,16 @@ def _q341_cell_rank(emb, cell) -> F.Column:
 
 
 def _q341_truth(
-    spark: SparkSession, sf_dir: str, sample: F.Column | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    sample: F.Column | None = None,
+    topk: int = _Q332_TOPK,
 ) -> DataFrame:
-    """Exact top-{_Q332_TOPK} per query with each hit's probe depth:
+    """Exact top-``topk`` per query with each hit's probe depth:
     (qid, rk, cell_rank) — everything the sweep needs, in ONE scored
     pass. ``sample`` restricts the scored corpus (the q388 twin);
-    None is byte-identical to the full pass."""
+    ``topk`` deepens the ranked prefix (the q396 graded-nDCG twin);
+    both defaults are byte-identical to q341's own pass."""
     from databricks_etl_spark.operators.similarity import cosine
 
     cemb, qemb = _q332_relations(spark, sf_dir)
@@ -163,7 +178,7 @@ def _q341_truth(
     )
     return (
         sr.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _Q332_TOPK)
+        .filter(F.col("rk") <= topk)
         .select("qid", "rk", "cell_rank")
     )
 

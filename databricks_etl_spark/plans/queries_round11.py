@@ -1556,3 +1556,171 @@ def q395_tokenizer_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs nothing beyond the card, and the card rides the family's
     shared learner run."""
     return tokenizer_gate(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q396 — graded nDCG@10 probe sweep: the ranking-QUALITY curve
+# ---------------------------------------------------------------------------
+
+_Q396_TOPN = 20  # graded prefix of the exact ranking (3/2/1 bands)
+_Q396_AT = 10  # nDCG cutoff
+
+
+def _q396_table() -> tuple[list[str], str]:
+    """The 30-entry DCG contribution table and the IDCG constant, as
+    exact 9-dp decimal STRINGS computed once in Python — gain(grade) *
+    discount(position) for grade in {1,2,3} x position in 1..10, with
+    gain = 2^g - 1 and discount = 1/log2(pos+1). Embedding the table
+    as literals on BOTH engines removes every runtime transcendental
+    from the lane: neither Spark nor DuckDB evaluates a log, so the
+    hash cannot flake on libm differences. IDCG is the decimal sum of
+    the ideal prefix's own table entries (grades 3,3,3,2,...,2), which
+    makes full-probe nDCG EXACTLY 1.000000 by construction."""
+    import math
+    from decimal import Decimal
+
+    q9 = Decimal("1.000000000")
+    tab = [
+        str(
+            Decimal(
+                str(round((2**g - 1) / math.log2(p + 1), 9))
+            ).quantize(q9)
+        )
+        for g in (1, 2, 3)
+        for p in range(1, _Q396_AT + 1)
+    ]
+    ideal = [3] * 3 + [2] * (_Q396_AT - 3)
+    idcg = sum(
+        Decimal(tab[(g - 1) * _Q396_AT + i]) for i, g in enumerate(ideal)
+    )
+    return tab, str(idcg)
+
+
+_Q396_TAB, _Q396_IDCG = _q396_table()
+_Q396_GRADE_SQL = (
+    "CASE WHEN rk <= 3 THEN 3 WHEN rk <= 10 THEN 2 ELSE 1 END"
+)
+
+
+def _q396_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q341_PROBES,
+        _q341_truth_sql,
+    )
+
+    lits = ", ".join(f"CAST('{c}' AS DECIMAL(18,9))" for c in _Q396_TAB)
+    probes = ", ".join(str(p) for p in _Q341_PROBES)
+    return f"""{_q341_truth_sql(topk=_Q396_TOPN)},
+        pr AS (SELECT CAST(unnest([{probes}]) AS INTEGER) AS n_probe),
+        px AS (
+            SELECT pr.n_probe, t.qid, t.rk, t.cell_rank,
+                   SUM(CASE WHEN t.cell_rank <= pr.n_probe
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY pr.n_probe, t.qid
+                             ORDER BY t.rk) AS pos
+            FROM truth t JOIN pr ON TRUE
+        ),
+        per AS (
+            SELECT n_probe, qid,
+                   SUM(CASE WHEN cell_rank <= n_probe
+                             AND pos <= {_Q396_AT}
+                            THEN ([{lits}])[
+                                (({_Q396_GRADE_SQL}) - 1) * {_Q396_AT}
+                                + CAST(pos AS INTEGER)]
+                            ELSE CAST(0 AS DECIMAL(18,9)) END) AS dcg
+            FROM px GROUP BY 1, 2
+        ),
+        pn AS (
+            SELECT n_probe, qid,
+                   CAST(round(CAST(dcg AS DOUBLE) / {_Q396_IDCG}, 6)
+                        AS DECIMAL(18,9)) AS ndcg
+            FROM per
+        )
+        SELECT n_probe,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               round(CAST(SUM(ndcg) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_ndcg_at_10
+        FROM pn GROUP BY 1
+    """
+
+
+@query("q396_ivf_ndcg_sweep", oracle=_q396_oracle())
+def q396_ivf_ndcg_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded nDCG@10 vs n_probe for the q332 IVF index — the metric
+    the recall sweep (q341) cannot see: recall@10 counts WHICH truth
+    items survive probing, nDCG also scores WHERE the retriever puts
+    them. Relevance grades derive from the exact ranking itself
+    (global rank 1-3 -> grade 3, 4-10 -> 2, 11-20 -> 1), so the eval
+    needs no external labels and the ideal ranking is the exact one —
+    the standard graded-relevance protocol when the exact scorer IS
+    the ground truth.
+
+    One scored pass covers the whole curve, by the q341 subset
+    argument extended to positions: ANN retrieval at n_probe=p ranks
+    the candidate subset {{cell_rank <= p}} in the SAME global
+    (sim DESC, doc, chunk) order, so a graded item's ANN position is
+    just the count of probed items at or above its global rank — a
+    running window sum over the depth-{_Q396_TOPN} truth prefix. Two
+    invariants are proven and tested: DCG@10 is monotone in n_probe
+    (adding a probed cell inserts items that outrank everything they
+    displace, a pointwise-&ge; exchange), and full probe is EXACTLY
+    1.000000 (IDCG is defined as the decimal sum of the table's own
+    ideal prefix). Every gain x discount product is a Python-side
+    9-dp decimal literal on both engines — no runtime logs, no libm
+    hash risk (the q255 determinism discipline).
+
+    Scale shape: inherits the q341 scored pass (broadcast query set,
+    map-side scoring, no centroid join) plus an O(queries x {_Q396_TOPN}
+    x probes) windowed rollup — the curve stays one pass at 100 TB.
+    Reference: no counterpart (reference has no retrieval eval);
+    extends SURVEY.md §2.12 ANN eval family (q310/q332/q341/q352)."""
+    from pyspark.sql import Window
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q341_PROBES,
+        _q341_truth,
+    )
+
+    truth = _q341_truth(spark, sf_dir, topk=_Q396_TOPN)
+    probed = truth.select(
+        "qid",
+        "rk",
+        "cell_rank",
+        F.explode(
+            F.array(*[F.lit(p) for p in _Q341_PROBES])
+        ).alias("n_probe"),
+    )
+    w = Window.partitionBy("n_probe", "qid").orderBy("rk")
+    px = probed.withColumn(
+        "pos",
+        F.sum(
+            F.when(F.col("cell_rank") <= F.col("n_probe"), 1).otherwise(0)
+        ).over(w),
+    )
+    tab = F.array(*[F.lit(c) for c in _Q396_TAB])
+    grade = (
+        F.when(F.col("rk") <= 3, 3)
+        .when(F.col("rk") <= 10, 2)
+        .otherwise(1)
+    )
+    contrib = F.when(
+        (F.col("cell_rank") <= F.col("n_probe"))
+        & (F.col("pos") <= _Q396_AT),
+        F.element_at(
+            tab, ((grade - 1) * _Q396_AT + F.col("pos")).cast("int")
+        ).cast("decimal(18,9)"),
+    ).otherwise(F.lit("0").cast("decimal(18,9)"))
+    per = px.groupBy("n_probe", "qid").agg(F.sum(contrib).alias("dcg"))
+    pn = per.select(
+        "n_probe",
+        "qid",
+        F.round(F.col("dcg").cast("double") / float(_Q396_IDCG), 6)
+        .cast("decimal(18,9)")
+        .alias("ndcg"),
+    )
+    n = F.count(F.lit(1))
+    return pn.groupBy("n_probe").agg(
+        n.cast("long").alias("n_queries"),
+        F.round(F.sum("ndcg").cast("double") / n, 6).alias(
+            "mean_ndcg_at_10"
+        ),
+    )

@@ -915,3 +915,100 @@ def test_bpe_learner_duplication_invariance_25k(spark):
         (s, l, r, m, c * copies) for (s, l, r, m, c) in base
     ]
     assert wall < 180, f"learner took {wall:.1f}s at {copies}x"
+
+
+# ---------------------------------------------------------------------------
+# q396 — graded nDCG@10 probe sweep
+# ---------------------------------------------------------------------------
+
+
+def test_q396_table_pins_to_textbook_ndcg_arithmetic():
+    """The embedded 30-entry contribution table IS (2^g - 1) /
+    log2(pos+1) to 9dp, and IDCG is the decimal sum of the ideal
+    prefix's own entries — so the no-runtime-logs discipline cannot
+    drift from the textbook formula it freezes."""
+    import math
+    from decimal import Decimal
+
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q396_AT,
+        _Q396_IDCG,
+        _Q396_TAB,
+    )
+
+    for g in (1, 2, 3):
+        for p in range(1, _Q396_AT + 1):
+            want = (2**g - 1) / math.log2(p + 1)
+            got = float(_Q396_TAB[(g - 1) * _Q396_AT + (p - 1)])
+            assert abs(got - want) < 1e-9, (g, p, got, want)
+    ideal = [3] * 3 + [2] * (_Q396_AT - 3)
+    assert Decimal(_Q396_IDCG) == sum(
+        Decimal(_Q396_TAB[(g - 1) * _Q396_AT + i]) for i, g in enumerate(ideal)
+    )
+
+
+def test_q396_curve_invariants_and_python_rederivation(spark):
+    """nDCG@10 is monotone in n_probe (the pointwise-exchange
+    argument) and EXACTLY 1.0 at full probe; and the lane's windowed
+    ANN-position formulation agrees with an independent Python
+    re-derivation (explicit filter -> order -> enumerate loop) of
+    per-query DCG from the same truth prefix."""
+    from decimal import Decimal
+
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q332_K,
+        _Q341_PROBES,
+        _q341_truth,
+    )
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q396_AT,
+        _Q396_IDCG,
+        _Q396_TAB,
+        _Q396_TOPN,
+        q396_ivf_ndcg_sweep,
+    )
+
+    got = sorted(
+        q396_ivf_ndcg_sweep(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in got] == list(_Q341_PROBES)
+    curve = [r.mean_ndcg_at_10 for r in got]
+    assert curve == sorted(curve)
+    assert got[-1].n_probe == _Q332_K
+    assert got[-1].mean_ndcg_at_10 == 1.0
+
+    truth = _q341_truth(spark, SMOKE_SF_DIR, topk=_Q396_TOPN).collect()
+    byq: dict = {}
+    for r in truth:
+        byq.setdefault(r.qid, []).append((r.rk, r.cell_rank))
+    for n_probe, want_mean in zip([r.n_probe for r in got], curve):
+        ndcgs = []
+        for rows in byq.values():
+            retrieved = sorted(rk for rk, cr in rows if cr <= n_probe)
+            dcg = Decimal(0)
+            for pos, rk in enumerate(retrieved[:_Q396_AT], start=1):
+                g = 3 if rk <= 3 else (2 if rk <= 10 else 1)
+                dcg += Decimal(_Q396_TAB[(g - 1) * _Q396_AT + (pos - 1)])
+            ndcgs.append(round(float(dcg) / float(_Q396_IDCG), 6))
+        assert round(sum(ndcgs) / len(ndcgs), 6) == want_mean, n_probe
+
+
+def test_q341_truth_topk_default_is_prefix_of_deeper_pass(spark):
+    """The topk kwarg only EXTENDS the ranked prefix: the default
+    depth-10 truth is row-for-row the rk<=10 slice of the depth-20
+    pass (the byte-identical-at-default discipline for q396's shared
+    kernel)."""
+    from databricks_etl_spark.plans.queries_round10 import _q341_truth
+    from databricks_etl_spark.plans.queries_round11 import _Q396_TOPN
+
+    base = {
+        (r.qid, r.rk, r.cell_rank)
+        for r in _q341_truth(spark, SMOKE_SF_DIR).collect()
+    }
+    deep = {
+        (r.qid, r.rk, r.cell_rank)
+        for r in _q341_truth(spark, SMOKE_SF_DIR, topk=_Q396_TOPN).collect()
+        if r.rk <= 10
+    }
+    assert base == deep
