@@ -1724,3 +1724,113 @@ def q396_ivf_ndcg_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_ndcg_at_10"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q397 — quality-policy survivor election over near-dup clusters
+# ---------------------------------------------------------------------------
+
+
+def _q397_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _PAIRS_05
+    from databricks_etl_spark.plans.queries_round7 import _quality_sql
+
+    return f"""
+        WITH RECURSIVE {_PAIRS_05},
+        {_quality_sql()},
+        m AS (
+            SELECT cc.id AS doc_id, cc.component, q.quality_score
+            FROM cc JOIN q ON cc.id = q.doc_id
+        ),
+        r AS (
+            SELECT doc_id, component, quality_score,
+                   row_number() OVER (PARTITION BY component
+                       ORDER BY quality_score DESC, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY component) AS cluster_size
+            FROM m
+        ),
+        k AS (
+            SELECT component, doc_id AS kept_doc_id,
+                   quality_score AS kq
+            FROM r WHERE rn = 1
+        )
+        SELECT r.doc_id,
+               CAST(r.component AS BIGINT) AS cluster_id,
+               CAST(r.cluster_size AS BIGINT) AS cluster_size,
+               (r.rn = 1) AS is_kept,
+               k.kept_doc_id,
+               round(r.quality_score, 6) AS quality_score,
+               round(k.kq - r.quality_score, 6) AS quality_gap
+        FROM r JOIN k USING (component)
+    """
+
+
+@query("q397_quality_survivor_election", oracle=_q397_oracle())
+def q397_quality_survivor_election(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survivor election as a POLICY, not an accident of ids: q124
+    keeps each near-dup cluster's MIN doc_id (the label the component
+    algorithm happens to propagate); a production dedup keeps the
+    BEST member — this lane elects per cluster by (quality_score
+    DESC, doc_id ASC) over q258's composite quality score and emits
+    the full decision record per clustered doc: its cluster, the
+    elected survivor, whether it survived, and the quality gap it
+    loses if dropped (>= 0 by election, == 0 for the survivor — both
+    planted in tests). Clusters are q123's connected components over
+    the same df-capped unigram-Jaccard pairs, so the three dedup
+    lanes (q123 clusters / q124 id-policy / q397 quality-policy)
+    share one pair build and can be diffed row-for-row.
+
+    Determinism: q258's score is an exact sum of 0.25 quarters —
+    double compare and subtraction are exact, the (score, doc_id)
+    order is total, and the recursive-CTE oracle elects with the
+    identical ORDER BY.
+
+    Scale shape: the inverted-index pair build dominates (df-capped
+    posting lists, no all-pairs); election adds one window per
+    component (bounded by cluster size) and a cluster-keyed join of
+    members to their 1-row-per-cluster survivor relation. 100 TB:
+    identical to q123 plus O(clustered docs) windowed work.
+    Reference: pre_process.py's dedup keeps ROW_NUMBER()=1 per key —
+    this is that discipline lifted to non-transitive near-dup groups
+    with an explicit quality policy."""
+    from pyspark.sql import Window
+
+    from databricks_etl_spark.operators.text import quality_features
+    from databricks_etl_spark.plans.queries_dedup import (
+        _neardup_components,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    comps = _neardup_components(spark, sf_dir)
+    qf = quality_features(d).select("doc_id", "quality_score")
+    m = comps.join(qf, comps["id"] == qf["doc_id"]).select(
+        qf["doc_id"], comps["component"], qf["quality_score"]
+    )
+    w = Window.partitionBy("component")
+    r = m.select(
+        "doc_id",
+        "component",
+        "quality_score",
+        F.row_number()
+        .over(w.orderBy(F.desc("quality_score"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+    k = r.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("quality_score").alias("__kq"),
+    )
+    return r.join(k, "component").select(
+        "doc_id",
+        F.col("component").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("rn") == 1).alias("is_kept"),
+        "kept_doc_id",
+        F.round("quality_score", 6).alias("quality_score"),
+        F.round(F.col("__kq") - F.col("quality_score"), 6).alias(
+            "quality_gap"
+        ),
+    )

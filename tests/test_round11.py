@@ -1012,3 +1012,69 @@ def test_q341_truth_topk_default_is_prefix_of_deeper_pass(spark):
         if r.rk <= 10
     }
     assert base == deep
+
+
+# ---------------------------------------------------------------------------
+# q397 — quality-policy survivor election
+# ---------------------------------------------------------------------------
+
+
+def test_q397_election_invariants(spark):
+    """Exactly one survivor per cluster; the survivor's quality is the
+    cluster max (gap 0 for it, >= 0 for every member); cluster ids
+    and membership agree with q123."""
+    from databricks_etl_spark.plans.queries_dedup import q123_dup_clusters
+    from databricks_etl_spark.plans.queries_round11 import (
+        q397_quality_survivor_election,
+    )
+
+    rows = q397_quality_survivor_election(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    byc: dict = {}
+    for r in rows:
+        byc.setdefault(r.cluster_id, []).append(r)
+    for cid, members in byc.items():
+        kept = [r for r in members if r.is_kept]
+        assert len(kept) == 1, cid
+        k = kept[0]
+        assert k.kept_doc_id == k.doc_id and k.quality_gap == 0.0
+        assert len(members) == members[0].cluster_size
+        for r in members:
+            assert r.kept_doc_id == k.doc_id
+            assert r.quality_gap >= 0.0
+            assert r.quality_score <= k.quality_score
+    q123 = {
+        (r.doc_id, r.component)
+        for r in q123_dup_clusters(spark, SMOKE_SF_DIR).collect()
+    }
+    assert {(r.doc_id, r.cluster_id) for r in rows} == q123
+
+
+def test_q397_planted_quality_beats_min_id(spark, tmp_path):
+    """A planted cluster where the LOWEST id has the LOWEST quality:
+    the id policy (q124) would keep doc 1, the quality policy must
+    keep doc 2 — proving the election is by score, not by label."""
+    import pandas as pd
+
+    t1 = "alpha beta gamma delta"            # 4 tokens: fails len>=5
+    t2 = "alpha beta gamma delta the"        # 5 tokens + stopword
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 50],
+            "text": [t1, t2, "zzz qqq"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(t1), len(t2), 7],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    from databricks_etl_spark.plans.queries_round11 import (
+        q397_quality_survivor_election,
+    )
+
+    rows = q397_quality_survivor_election(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    kept = {r.doc_id: r.is_kept for r in rows}
+    assert kept == {1: False, 2: True}
+    gaps = {r.doc_id: r.quality_gap for r in rows}
+    assert gaps[2] == 0.0 and gaps[1] > 0.0
