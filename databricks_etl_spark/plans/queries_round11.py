@@ -1834,3 +1834,171 @@ def q397_quality_survivor_election(
             "quality_gap"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q398 — token-budget water-filling across sources
+# ---------------------------------------------------------------------------
+
+_Q398_WSCALE = 1_000_000  # weight quantization: w = floor(sqrt(cap)*1e6)
+
+
+def _q398_oracle() -> str:
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    return f"""
+        WITH cap AS (
+            SELECT source,
+                   CAST(SUM(len({_TOKS})) AS BIGINT) AS cap_tokens
+            FROM documents GROUP BY 1
+        ),
+        wt AS (
+            SELECT source, cap_tokens,
+                   CAST(floor(sqrt(CAST(cap_tokens AS DOUBLE))
+                              * {_Q398_WSCALE}) AS BIGINT) AS weight
+            FROM cap
+        ),
+        tot AS (
+            SELECT CAST(SUM(cap_tokens) AS BIGINT) // 2 AS budget
+            FROM wt
+        ),
+        srt AS (
+            SELECT source, cap_tokens, weight,
+                   SUM(cap_tokens) OVER w
+                       - cap_tokens AS cap_before,
+                   SUM(weight) OVER (
+                       ORDER BY CAST(cap_tokens AS DOUBLE) / weight, source
+                       ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS w_from_here
+            FROM wt
+            WINDOW w AS (
+                ORDER BY CAST(cap_tokens AS DOUBLE) / weight, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        flg AS (
+            SELECT *,
+                   ((tot.budget - cap_before) * weight
+                    >= cap_tokens * w_from_here) AS saturated
+            FROM srt, tot
+        ),
+        lvl AS (
+            SELECT COALESCE(SUM(CASE WHEN saturated
+                                     THEN cap_tokens END), 0) AS c_sat,
+                   COALESCE(SUM(CASE WHEN NOT saturated
+                                     THEN weight END), 0) AS w_unsat
+            FROM flg
+        )
+        SELECT f.source, f.cap_tokens, f.weight, f.saturated,
+               CASE WHEN f.saturated THEN f.cap_tokens
+                    ELSE (tot.budget - lvl.c_sat) * f.weight
+                         // lvl.w_unsat END AS alloc_tokens,
+               round(CAST(CASE WHEN f.saturated THEN f.cap_tokens
+                               ELSE (tot.budget - lvl.c_sat) * f.weight
+                                    // lvl.w_unsat END AS DOUBLE)
+                     / tot.budget, 6) AS budget_share
+        FROM flg f, tot, lvl
+    """
+
+
+@query("q398_token_budget_waterfill", oracle=_q398_oracle())
+def q398_token_budget_waterfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Capacity-capped token-budget allocation across sources — the
+    knob BETWEEN the mixture lanes (q342/q378 weight what was
+    sampled) and the samplers: given per-source token capacities
+    cap_s, temperature weights w_s ~ sqrt(cap_s) (tau=0.5 multinomial
+    upweighting of small sources), and a global budget B = half the
+    corpus, water-filling computes alloc_s = min(cap_s, lambda*w_s)
+    with sum(alloc) ~= B — small sources saturate at their capacity,
+    the rest split the remainder by weight. Closed form, no
+    iteration: sorted by cap/w ascending, the saturated set is a
+    PREFIX (if lambda_i < cap_i/w_i then lambda_{i+1} < cap_{i+1}/
+    w_{i+1} — the docstringed monotonicity proof), so one windowed
+    prefix/suffix-sum pass flags it and one 1-row rollup fixes the
+    water level.
+
+    Determinism: weights are INTEGERS (floor(sqrt(cap)*1e6) — sqrt is
+    IEEE-correctly-rounded on both engines), the saturation predicate
+    is exact integer cross-multiplication (no division), and the
+    unsaturated alloc is a single integer floor-division — the only
+    runtime doubles are the sort key and the final budget_share
+    display ratio. Floor leaves < n_unsat + 1 tokens of the budget
+    unallocated (tested).
+
+    Scale shape: one map-combinable per-source token rollup on the
+    corpus scan; everything after runs on the #sources-row relation
+    (the windows' SinglePartition is over that bounded relation — the
+    1-row-metric pattern). 100 TB: the scan dominates; allocation is
+    O(#sources log #sources).
+    Reference: no counterpart; extends the mixture/sampling family
+    (SURVEY.md §2.12)."""
+    from pyspark.sql import Window
+
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    cap = d.groupBy("source").agg(
+        F.sum(F.size(tokens_col("text"))).cast("long").alias("cap_tokens")
+    )
+    wt = cap.select(
+        "source",
+        "cap_tokens",
+        F.floor(
+            F.sqrt(F.col("cap_tokens").cast("double")) * _Q398_WSCALE
+        )
+        .cast("long")
+        .alias("weight"),
+    )
+    tot = wt.agg(
+        F.expr("CAST(SUM(cap_tokens) AS BIGINT) DIV 2").alias("budget")
+    )
+    w = Window.orderBy(
+        F.col("cap_tokens").cast("double") / F.col("weight"), "source"
+    )
+    srt = wt.select(
+        "source",
+        "cap_tokens",
+        "weight",
+        (
+            F.sum("cap_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("cap_tokens")
+        ).alias("cap_before"),
+        F.sum("weight")
+        .over(w.rowsBetween(0, Window.unboundedFollowing))
+        .alias("w_from_here"),
+    )
+    flg = srt.crossJoin(F.broadcast(tot)).withColumn(
+        "saturated",
+        (F.col("budget") - F.col("cap_before")) * F.col("weight")
+        >= F.col("cap_tokens") * F.col("w_from_here"),
+    )
+    lvl = flg.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("cap_tokens"))),
+            F.lit(0),
+        ).alias("c_sat"),
+        F.coalesce(
+            F.sum(F.when(~F.col("saturated"), F.col("weight"))),
+            F.lit(0),
+        ).alias("w_unsat"),
+    )
+    alloc = F.when(F.col("saturated"), F.col("cap_tokens")).otherwise(
+        F.expr("(budget - c_sat) * weight DIV w_unsat")
+    )
+    return (
+        flg.crossJoin(F.broadcast(lvl))
+        .withColumn("alloc_tokens", alloc)
+        .select(
+            "source",
+            "cap_tokens",
+            "weight",
+            "saturated",
+            "alloc_tokens",
+            F.round(
+                F.col("alloc_tokens").cast("double") / F.col("budget"), 6
+            ).alias("budget_share"),
+        )
+    )

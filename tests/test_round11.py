@@ -1078,3 +1078,85 @@ def test_q397_planted_quality_beats_min_id(spark, tmp_path):
     assert kept == {1: False, 2: True}
     gaps = {r.doc_id: r.quality_gap for r in rows}
     assert gaps[2] == 0.0 and gaps[1] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# q398 — token-budget water-filling
+# ---------------------------------------------------------------------------
+
+
+def _py_waterfill(caps: dict, budget: int):
+    """Independent reference: exact rational water-filling with the
+    same integer weights and floor division."""
+    import math
+
+    w = {s: math.floor(math.sqrt(c) * 1_000_000) for s, c in caps.items()}
+    order = sorted(caps, key=lambda s: (caps[s] / w[s], s))
+    sat, c_sat = set(), 0
+    for i, s in enumerate(order):
+        w_suffix = sum(w[t] for t in order[i:])
+        if (budget - c_sat) * w[s] >= caps[s] * w_suffix:
+            sat.add(s)
+            c_sat += caps[s]
+        else:
+            break  # prefix property
+    w_unsat = sum(w[t] for t in caps if t not in sat)
+    return {
+        s: caps[s] if s in sat else (budget - c_sat) * w[s] // w_unsat
+        for s in caps
+    }
+
+
+def test_q398_matches_python_reference_and_invariants(spark):
+    from databricks_etl_spark.plans.queries_round11 import (
+        q398_token_budget_waterfill,
+    )
+
+    rows = q398_token_budget_waterfill(spark, SMOKE_SF_DIR).collect()
+    caps = {r.source: r.cap_tokens for r in rows}
+    budget = sum(caps.values()) // 2
+    want = _py_waterfill(caps, budget)
+    got = {r.source: r.alloc_tokens for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.alloc_tokens <= r.cap_tokens
+        assert r.saturated == (r.alloc_tokens == r.cap_tokens) or (
+            not r.saturated
+        )
+    n_unsat = sum(1 for r in rows if not r.saturated)
+    spent = sum(got.values())
+    assert spent <= budget
+    assert budget - spent < n_unsat + 1
+
+
+def test_q398_planted_tiny_source_saturates(spark, tmp_path):
+    """sqrt-temperature upweights small sources: a 3-token source next
+    to a huge one must SATURATE (alloc == its full capacity) while the
+    big source stays level-bound — the branch the uniform testdata
+    never exercises."""
+    import pandas as pd
+
+    big = " ".join(f"tok{i}" for i in range(400))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["tiny doc here", big, big],
+            "lang": ["en"] * 3,
+            "source": ["small", "big", "big"],
+            "n_chars": [13, len(big), len(big)],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    from databricks_etl_spark.plans.queries_round11 import (
+        q398_token_budget_waterfill,
+    )
+
+    rows = {
+        r.source: r
+        for r in q398_token_budget_waterfill(spark, str(tmp_path)).collect()
+    }
+    assert rows["small"].saturated and not rows["big"].saturated
+    assert rows["small"].alloc_tokens == rows["small"].cap_tokens == 3
+    assert rows["big"].alloc_tokens < rows["big"].cap_tokens
+    budget = (3 + 2 * 400) // 2
+    assert rows["small"].alloc_tokens + rows["big"].alloc_tokens <= budget
