@@ -2002,3 +2002,146 @@ def q398_token_budget_waterfill(
             ).alias("budget_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q399 — pipeline attrition funnel: what each gate costs, in docs & tokens
+# ---------------------------------------------------------------------------
+
+_Q399_STAGES = (
+    (0, "raw"),
+    (1, "quality"),
+    (2, "decontam"),
+    (3, "semdedup"),
+    (4, "multimodal"),
+    (5, "shipped"),
+)
+
+
+def _q399_oracle() -> str:
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    o312 = QUERIES["q312_training_manifest"].oracle
+    stages = ", ".join(f"({i}, '{n}')" for i, n in _Q399_STAGES)
+    return f"""
+        WITH m AS MATERIALIZED (SELECT * FROM ({o312})),
+        tok AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS nt
+            FROM documents
+        ),
+        dep AS (
+            SELECT m.doc_id, tok.nt,
+                   CASE WHEN NOT m.quality_ok THEN 0
+                        WHEN m.contaminated THEN 1
+                        WHEN m.sem_dup THEN 2
+                        WHEN m.multimodal_dup THEN 3
+                        WHEN NOT m.drift_gate_ok THEN 4
+                        ELSE 5 END AS depth
+            FROM m JOIN tok USING (doc_id)
+        ),
+        st(stage, stage_name) AS (VALUES {stages}),
+        per AS (
+            SELECT st.stage, st.stage_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(dep.nt), 0) AS BIGINT) AS n_tokens
+            FROM st LEFT JOIN dep ON dep.depth >= st.stage
+            GROUP BY 1, 2
+        )
+        SELECT stage, stage_name, n_docs, n_tokens,
+               COALESCE(lag(n_docs) OVER (ORDER BY stage) - n_docs,
+                        0) AS n_dropped_here,
+               round(CAST(n_docs AS DOUBLE)
+                     / first_value(n_docs) OVER (ORDER BY stage), 6)
+                   AS doc_survival,
+               round(CAST(n_tokens AS DOUBLE)
+                     / first_value(n_tokens) OVER (ORDER BY stage), 6)
+                   AS token_survival
+        FROM per
+    """
+
+
+@query("q399_attrition_funnel", oracle=_q399_oracle())
+def q399_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-gate attrition funnel of the shipping pipeline — the
+    first question a data lead asks of a 100 TB run ("where did my
+    tokens go?") answered stage by stage: raw corpus -> quality floor
+    -> benchmark decontamination -> SemDeDup prune -> cross-modal
+    dedup -> drift circuit breaker == shipped. The stage flags are
+    q312's own manifest columns (the composition discipline: this
+    lane CALLS the registered manifest, so the funnel cannot drift
+    from the gates it narrates), gate order is the manifest's
+    documented precedence, and depth-5 survival is exactly q312's
+    ``ship`` verdict (asserted in tests). Each row reports surviving
+    docs AND tokens, the docs dropped at that specific gate, and
+    doc/token survival vs raw — token survival < doc survival means
+    the gates preferentially kill LONG documents (a curriculum bias
+    worth catching before training).
+
+    Determinism: counts and integer token sums only; the two ratios
+    are single divisions of exact integers rounded at 6dp.
+
+    Scale shape: the manifest's component lanes dominate; the funnel
+    adds one doc-keyed join to token counts, a 6-row broadcast stage
+    relation joined by a >= predicate (each doc touches <= 6 rows),
+    and a map-combinable rollup. The final window runs on the 6-row
+    relation (the 1-row-metric pattern). 100 TB: component cost,
+    funnel ~free.
+    Reference: pre_process.py drops rows silently; the funnel is the
+    audit trail it never emits."""
+    from pyspark.sql import Window
+
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("nt")
+    )
+    man = q312_training_manifest(spark, sf_dir)
+    dep = man.join(tok, "doc_id").select(
+        "doc_id",
+        "nt",
+        F.when(~F.col("quality_ok"), 0)
+        .when(F.col("contaminated"), 1)
+        .when(F.col("sem_dup"), 2)
+        .when(F.col("multimodal_dup"), 3)
+        .when(~F.col("drift_gate_ok"), 4)
+        .otherwise(5)
+        .alias("depth"),
+    )
+    st = spark.createDataFrame(
+        list(_Q399_STAGES), ["stage", "stage_name"]
+    )
+    per = (
+        F.broadcast(st)
+        .join(dep, dep["depth"] >= st["stage"], "left")
+        .groupBy("stage", "stage_name")
+        .agg(
+            F.count("doc_id").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("nt"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy("stage")
+    return per.select(
+        "stage",
+        "stage_name",
+        "n_docs",
+        "n_tokens",
+        F.coalesce(
+            F.lag("n_docs").over(w) - F.col("n_docs"), F.lit(0)
+        ).alias("n_dropped_here"),
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.first("n_docs").over(w),
+            6,
+        ).alias("doc_survival"),
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.first("n_tokens").over(w),
+            6,
+        ).alias("token_survival"),
+    )

@@ -1160,3 +1160,38 @@ def test_q398_planted_tiny_source_saturates(spark, tmp_path):
     assert rows["big"].alloc_tokens < rows["big"].cap_tokens
     budget = (3 + 2 * 400) // 2
     assert rows["small"].alloc_tokens + rows["big"].alloc_tokens <= budget
+
+
+# ---------------------------------------------------------------------------
+# q399 — attrition funnel
+# ---------------------------------------------------------------------------
+
+
+def test_q399_funnel_pins_to_q312_ship_and_is_monotone(spark):
+    """Stage-5 survival IS q312's ship verdict (count-identical);
+    counts are nonincreasing; per-stage drops reconcile raw ->
+    shipped."""
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+    )
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q399_STAGES,
+        q399_attrition_funnel,
+    )
+
+    rows = sorted(
+        q399_attrition_funnel(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.stage,
+    )
+    assert [(r.stage, r.stage_name) for r in rows] == list(_Q399_STAGES)
+    docs = [r.n_docs for r in rows]
+    toks = [r.n_tokens for r in rows]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert sum(r.n_dropped_here for r in rows) == docs[0] - docs[-1]
+    assert rows[0].doc_survival == 1.0 and rows[0].token_survival == 1.0
+
+    man = q312_training_manifest(spark, SMOKE_SF_DIR)
+    n_ship = man.filter("ship").count()
+    assert rows[-1].n_docs == n_ship
+    assert rows[0].n_docs == man.count()
