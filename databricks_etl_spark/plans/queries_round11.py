@@ -1843,14 +1843,18 @@ def q397_quality_survivor_election(
 _Q398_WSCALE = 1_000_000  # weight quantization: w = floor(sqrt(cap)*1e6)
 
 
-def _q398_oracle() -> str:
+def _q398_alloc_sql(src: str = "documents") -> str:
+    """The water-filling allocation as a CTE chain over a generic doc
+    relation ``src`` (doc_id, text, source) ending in the final
+    SELECT — shared verbatim by q398 (raw corpus) and q400 (the
+    shipped pool); the default is byte-identical to q398's original
+    oracle."""
     from databricks_etl_spark.plans.queries_text import _TOKS
 
-    return f"""
-        WITH cap AS (
+    return f"""cap AS (
             SELECT source,
                    CAST(SUM(len({_TOKS})) AS BIGINT) AS cap_tokens
-            FROM documents GROUP BY 1
+            FROM {src} GROUP BY 1
         ),
         wt AS (
             SELECT source, cap_tokens,
@@ -1896,7 +1900,12 @@ def _q398_oracle() -> str:
                                ELSE (tot.budget - lvl.c_sat) * f.weight
                                     // lvl.w_unsat END AS DOUBLE)
                      / tot.budget, 6) AS budget_share
-        FROM flg f, tot, lvl
+        FROM flg f, tot, lvl"""
+
+
+def _q398_oracle() -> str:
+    return f"""
+        WITH {_q398_alloc_sql()}
     """
 
 
@@ -1933,14 +1942,20 @@ def q398_token_budget_waterfill(
     O(#sources log #sources).
     Reference: no counterpart; extends the mixture/sampling family
     (SURVEY.md §2.12)."""
-    from pyspark.sql import Window
-
     from databricks_etl_spark.operators.text import tokens_col
 
     d = read_table(spark, sf_dir, "documents")
     cap = d.groupBy("source").agg(
         F.sum(F.size(tokens_col("text"))).cast("long").alias("cap_tokens")
     )
+    return _q398_waterfill(cap)
+
+
+def _q398_waterfill(cap: DataFrame) -> DataFrame:
+    """The allocation kernel over a (source, cap_tokens) relation —
+    shared by q398 (raw corpus) and q400 (shipped pool)."""
+    from pyspark.sql import Window
+
     wt = cap.select(
         "source",
         "cap_tokens",
@@ -2145,3 +2160,65 @@ def q399_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("token_survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q400 — budgeted shipping plan: water-filling over the SHIPPED pool
+# ---------------------------------------------------------------------------
+
+
+def _q400_oracle() -> str:
+    o312 = QUERIES["q312_training_manifest"].oracle
+    return f"""
+        WITH shp AS MATERIALIZED (
+            SELECT d.doc_id, d.text, d.source
+            FROM documents d
+            JOIN (SELECT doc_id FROM ({o312}) WHERE ship) s
+              ON d.doc_id = s.doc_id
+        ),
+        {_q398_alloc_sql(src="shp")}
+    """
+
+
+@query("q400_shipping_plan_waterfill", oracle=_q400_oracle())
+def q400_shipping_plan_waterfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q398's allocator pointed at the pool a run would actually
+    sample: capacities are per-source token counts over q312's
+    SHIPPED documents (post quality/decontam/SemDeDup/multimodal/
+    drift gates — the q399 funnel's stage 5), budget is half the
+    shipped tokens, weights are the same sqrt-temperature integers.
+    This is the end of the planning chain: q399 says what each gate
+    cost, q400 says how the surviving budget is split — and because
+    gates drop sources unevenly, the plan can differ materially from
+    q398's raw-corpus allocation (a source that ships little gets
+    its sqrt-upweighting applied to the SMALL capacity, exactly the
+    correction a raw-corpus plan would miss). Both the SQL chain and
+    the Spark kernel are the q398 code with only the input relation
+    swapped (kwarg/shared-kernel discipline, byte-identical at
+    default — tested), so the two plans cannot drift in semantics.
+
+    Determinism and scale: identical to q398 (integer
+    cross-multiplication saturation, floor-division allocation,
+    #sources-row windows); the shipped filter rides q312's manifest,
+    whose component lanes dominate the cost."""
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    ship = q312_training_manifest(spark, sf_dir).filter("ship").select(
+        "doc_id"
+    )
+    cap = (
+        d.join(ship, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(tokens_col("text")))
+            .cast("long")
+            .alias("cap_tokens")
+        )
+    )
+    return _q398_waterfill(cap)

@@ -1195,3 +1195,47 @@ def test_q399_funnel_pins_to_q312_ship_and_is_monotone(spark):
     n_ship = man.filter("ship").count()
     assert rows[-1].n_docs == n_ship
     assert rows[0].n_docs == man.count()
+
+
+# ---------------------------------------------------------------------------
+# q400 — shipping-plan water-fill
+# ---------------------------------------------------------------------------
+
+
+def test_q400_capacities_are_shipped_tokens_and_kernel_shared(spark):
+    """q400's capacities equal per-source token sums over exactly
+    q312's shipped docs, and its allocation equals the shared Python
+    reference on those capacities — the kernel cannot differ from
+    q398's."""
+    from pyspark.sql import functions as SF
+
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+    )
+    from databricks_etl_spark.plans.queries_round11 import (
+        q400_shipping_plan_waterfill,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = q400_shipping_plan_waterfill(spark, SMOKE_SF_DIR).collect()
+    caps = {r.source: r.cap_tokens for r in rows}
+
+    d = read_table(spark, SMOKE_SF_DIR, "documents")
+    ship = (
+        q312_training_manifest(spark, SMOKE_SF_DIR)
+        .filter("ship")
+        .select("doc_id")
+    )
+    want_caps = {
+        r.source: r.nt
+        for r in d.join(ship, "doc_id")
+        .groupBy("source")
+        .agg(SF.sum(SF.size(tokens_col("text"))).alias("nt"))
+        .collect()
+    }
+    assert caps == want_caps
+    budget = sum(caps.values()) // 2
+    assert {r.source: r.alloc_tokens for r in rows} == _py_waterfill(
+        caps, budget
+    )
