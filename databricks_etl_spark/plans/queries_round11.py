@@ -2222,3 +2222,138 @@ def q400_shipping_plan_waterfill(
         )
     )
     return _q398_waterfill(cap)
+
+
+# ---------------------------------------------------------------------------
+# q401 — per-source attrition: which sources lose most at which gate
+# ---------------------------------------------------------------------------
+
+
+def _q401_oracle() -> str:
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    o312 = QUERIES["q312_training_manifest"].oracle
+    stages = ", ".join(f"({i}, '{n}')" for i, n in _Q399_STAGES)
+    return f"""
+        WITH m AS MATERIALIZED (SELECT * FROM ({o312})),
+        tok AS (
+            SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS nt
+            FROM documents
+        ),
+        dep AS (
+            SELECT m.doc_id, tok.source, tok.nt,
+                   CASE WHEN NOT m.quality_ok THEN 0
+                        WHEN m.contaminated THEN 1
+                        WHEN m.sem_dup THEN 2
+                        WHEN m.multimodal_dup THEN 3
+                        WHEN NOT m.drift_gate_ok THEN 4
+                        ELSE 5 END AS depth
+            FROM m JOIN tok USING (doc_id)
+        ),
+        st(stage, stage_name) AS (VALUES {stages}),
+        base AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_raw,
+                   CAST(SUM(nt) AS BIGINT) AS t_raw
+            FROM dep GROUP BY 1
+        ),
+        per AS (
+            SELECT b.source, st.stage, st.stage_name,
+                   CAST(COUNT(dep.doc_id) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(dep.nt), 0) AS BIGINT) AS n_tokens,
+                   b.n_raw, b.t_raw
+            FROM base b
+            CROSS JOIN st
+            LEFT JOIN dep ON dep.source = b.source
+                         AND dep.depth >= st.stage
+            GROUP BY 1, 2, 3, 6, 7
+        )
+        SELECT source, stage, stage_name, n_docs, n_tokens,
+               round(CAST(n_docs AS DOUBLE) / n_raw, 6) AS doc_survival,
+               round(CAST(n_tokens AS DOUBLE) / t_raw, 6)
+                   AS token_survival
+        FROM per
+    """
+
+
+@query("q401_attrition_by_source", oracle=_q401_oracle())
+def q401_attrition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q399's funnel fanned out BY SOURCE — the attrition-bias audit:
+    the corpus-level funnel can look healthy while one source is
+    being silently gutted at a single gate (a crawl whose boilerplate
+    all lands in one SemDeDup cluster, a source whose docs straddle
+    the benchmark). One row per (source, stage) with surviving
+    docs/tokens and survival ratios against that source's OWN raw
+    counts, so sources of different sizes compare directly; the q399
+    row is the doc-weighted rollup of these (reconciliation tested).
+    Sources × 6 stages is a bounded relation; every source appears at
+    every stage (zero-surviving stages report 0, not a missing row —
+    the LEFT JOIN discipline).
+
+    Determinism: integer counts/sums, two exact-integer divisions
+    rounded at 6dp. Scale shape: q399's join plan with source carried
+    through the doc-keyed join; the rollup keys on (source, stage) —
+    map-combinable, no skew (stage fan-out is 6). 100 TB: manifest
+    cost dominates, breakdown ~free."""
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens_col("text")).cast("long").alias("nt"),
+    )
+    man = q312_training_manifest(spark, sf_dir)
+    dep = man.join(tok, "doc_id").select(
+        "doc_id",
+        "source",
+        "nt",
+        F.when(~F.col("quality_ok"), 0)
+        .when(F.col("contaminated"), 1)
+        .when(F.col("sem_dup"), 2)
+        .when(F.col("multimodal_dup"), 3)
+        .when(~F.col("drift_gate_ok"), 4)
+        .otherwise(5)
+        .alias("depth"),
+    )
+    base = dep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum("nt").cast("long").alias("t_raw"),
+    )
+    st = spark.createDataFrame(
+        list(_Q399_STAGES), ["stage", "stage_name"]
+    )
+    per = (
+        base.crossJoin(F.broadcast(st))
+        .join(
+            dep.select(
+                F.col("source").alias("__src"), "depth", "doc_id", "nt"
+            ),
+            (F.col("__src") == F.col("source"))
+            & (F.col("depth") >= F.col("stage")),
+            "left",
+        )
+        .groupBy("source", "stage", "stage_name", "n_raw", "t_raw")
+        .agg(
+            F.count("doc_id").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("nt"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    return per.select(
+        "source",
+        "stage",
+        "stage_name",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs").cast("double") / F.col("n_raw"), 6).alias(
+            "doc_survival"
+        ),
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("t_raw"), 6
+        ).alias("token_survival"),
+    )

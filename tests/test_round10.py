@@ -287,13 +287,32 @@ def test_q344_artifact_restart_atomicity(spark):
         ).save()
     assert snapshot() == before  # published artifact untouched
 
+    # zombie temps from the crashed job's killed tasks (landed after
+    # abort() ran, so nobody saw them) age past the janitor gate by
+    # the time a restart runs — the gate exists precisely so a LIVE
+    # concurrent job's young temps are never swept (r10 ADVICE;
+    # test_sources_sinks covers the young-temp-survives side)
+    import time as _time
+
+    from databricks_etl_spark.sources.pydatasource import JsonLinesWriter
+
+    # zombies land asynchronously after the driver-side raise — wait
+    # for the temp set to stabilize before backdating it
+    seen: set = set()
+    for _ in range(40):
+        now_set = set(glob.glob(os.path.join(out, ".part-*.tmp")))
+        if now_set and now_set == seen:
+            break
+        seen = now_set
+        _time.sleep(0.25)
+    stale = _time.time() - 2 * JsonLinesWriter.JANITOR_MIN_AGE_SEC
+    for p in seen:
+        os.utime(p, (stale, stale))
     m2 = sorted(
         map(tuple, q344_training_artifact_manifest(spark, SMOKE_SF_DIR).collect())
     )
     assert m2 == m1
-    # the restart's successful overwrite-commit also swept any temp
-    # litter from the crashed job's zombie tasks (tasks killed after
-    # abort() ran can land temps nobody saw)
+    # the restart's successful overwrite-commit swept the aged litter
     assert not glob.glob(os.path.join(out, ".part-*.tmp"))
 
 

@@ -1239,3 +1239,37 @@ def test_q400_capacities_are_shipped_tokens_and_kernel_shared(spark):
     assert {r.source: r.alloc_tokens for r in rows} == _py_waterfill(
         caps, budget
     )
+
+
+# ---------------------------------------------------------------------------
+# q401 — per-source attrition breakdown
+# ---------------------------------------------------------------------------
+
+
+def test_q401_rolls_up_to_q399_funnel(spark):
+    """Summing the per-source breakdown over sources at each stage
+    reproduces q399's corpus funnel exactly; every source emits all
+    six stages."""
+    from collections import defaultdict
+
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q399_STAGES,
+        q399_attrition_funnel,
+        q401_attrition_by_source,
+    )
+
+    per = q401_attrition_by_source(spark, SMOKE_SF_DIR).collect()
+    stages_per_source: dict = defaultdict(set)
+    docs = defaultdict(int)
+    toks = defaultdict(int)
+    for r in per:
+        stages_per_source[r.source].add(r.stage)
+        docs[r.stage] += r.n_docs
+        toks[r.stage] += r.n_tokens
+    assert all(
+        s == {i for i, _ in _Q399_STAGES}
+        for s in stages_per_source.values()
+    )
+    funnel = q399_attrition_funnel(spark, SMOKE_SF_DIR).collect()
+    assert {r.stage: r.n_docs for r in funnel} == dict(docs)
+    assert {r.stage: r.n_tokens for r in funnel} == dict(toks)
