@@ -2357,3 +2357,146 @@ def q401_attrition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("double") / F.col("t_raw"), 6
         ).alias("token_survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q402 — gate-ablation attribution: which filter is doing the work?
+# ---------------------------------------------------------------------------
+
+_Q402_GATES = (
+    ("quality", "NOT quality_ok"),
+    ("decontam", "contaminated"),
+    ("semdedup", "sem_dup"),
+    ("multimodal", "multimodal_dup"),
+    ("drift", "NOT drift_gate_ok"),
+)
+
+
+def _q402_oracle() -> str:
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    o312 = QUERIES["q312_training_manifest"].oracle
+    fails = ", ".join(
+        f"CAST({pred} AS INTEGER) AS f_{name}"
+        for name, pred in _Q402_GATES
+    )
+    nf = " + ".join(f"f_{name}" for name, _ in _Q402_GATES)
+    arms = "\n            UNION ALL\n".join(
+        f"            SELECT '{name}' AS gate, f_{name} AS failed,"
+        f" n_fails, nt FROM d"
+        for name, _ in _Q402_GATES
+    )
+    return f"""
+        WITH m AS MATERIALIZED (SELECT * FROM ({o312})),
+        tok AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS nt
+            FROM documents
+        ),
+        d AS (
+            SELECT m.doc_id, tok.nt, {fails}, ({nf}) AS n_fails
+            FROM m JOIN tok USING (doc_id)
+        ),
+        g AS (
+{arms}
+        )
+        SELECT gate,
+               CAST(SUM(failed) AS BIGINT) AS n_flagged,
+               CAST(SUM(CASE WHEN failed = 1 AND n_fails = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+               CAST(SUM(failed * nt) AS BIGINT) AS flagged_tokens,
+               CAST(SUM(CASE WHEN failed = 1 AND n_fails = 1
+                             THEN nt ELSE 0 END) AS BIGINT)
+                   AS unique_tokens,
+               CASE WHEN SUM(failed) > 0
+                    THEN round(CAST(SUM(CASE WHEN failed = 1
+                                             AND n_fails = 1
+                                            THEN 1 ELSE 0 END) AS DOUBLE)
+                               / SUM(failed), 6) END AS unique_share
+        FROM g GROUP BY 1
+    """
+
+
+@query("q402_gate_ablation_attribution", oracle=_q402_oracle())
+def q402_gate_ablation_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gate-removal counterfactuals over q312's manifest — the
+    question q399's SEQUENTIAL funnel cannot answer: the funnel
+    charges each doc to the FIRST gate that catches it, so a later
+    gate's true workload is hidden whenever flags overlap. Per gate:
+    how many docs (and tokens) it flags at all, and how many it flags
+    UNIQUELY — a doc with n_fails == 1 is exactly one the pipeline
+    would ship if that single gate were removed, so n_unique IS the
+    gate's marginal contribution and n_flagged - n_unique its overlap
+    with the others. A gate with large n_flagged but near-zero
+    n_unique is redundant (candidate for retirement); one with
+    unique_share ~ 1 is load-bearing. Flags come from the registered
+    manifest (composition discipline), q399/q402 reconciliation is
+    pinned in tests (funnel stage-1..5 drops sum to the distinct
+    flagged count, not the sum of n_flagged — that difference IS the
+    overlap).
+
+    Determinism: integer counts/sums; the one ratio is NULL-guarded
+    and rounded. Scale shape: manifest cost dominates; the 5-way gate
+    unpivot is an explode of a 5-entry literal array per doc followed
+    by a map-combinable rollup keyed on 5 gate values. 100 TB:
+    ~free."""
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("nt")
+    )
+    man = q312_training_manifest(spark, sf_dir)
+    fail_cols = {
+        "quality": (~F.col("quality_ok")).cast("int"),
+        "decontam": F.col("contaminated").cast("int"),
+        "semdedup": F.col("sem_dup").cast("int"),
+        "multimodal": F.col("multimodal_dup").cast("int"),
+        "drift": (~F.col("drift_gate_ok")).cast("int"),
+    }
+    base = man.join(tok, "doc_id").select(
+        "doc_id",
+        "nt",
+        *[c.alias(f"f_{n}") for n, c in fail_cols.items()],
+    )
+    nf = sum(
+        (F.col(f"f_{n}") for n in fail_cols), F.lit(0)
+    ).alias("n_fails")
+    dd = base.withColumn("n_fails", nf)
+    g = dd.select(
+        "nt",
+        "n_fails",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("gate"),
+                        F.col(f"f_{n}").alias("failed"),
+                    )
+                    for n in fail_cols
+                ]
+            )
+        ).alias("x"),
+    ).select("nt", "n_fails", "x.gate", "x.failed")
+    uniq = (F.col("failed") == 1) & (F.col("n_fails") == 1)
+    return g.groupBy("gate").agg(
+        F.sum("failed").cast("long").alias("n_flagged"),
+        F.sum(uniq.cast("int")).cast("long").alias("n_unique"),
+        F.sum(F.col("failed") * F.col("nt"))
+        .cast("long")
+        .alias("flagged_tokens"),
+        F.sum(F.when(uniq, F.col("nt")).otherwise(0))
+        .cast("long")
+        .alias("unique_tokens"),
+        F.when(
+            F.sum("failed") > 0,
+            F.round(
+                F.sum(uniq.cast("int")).cast("double") / F.sum("failed"),
+                6,
+            ),
+        ).alias("unique_share"),
+    )

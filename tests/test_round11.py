@@ -1273,3 +1273,62 @@ def test_q401_rolls_up_to_q399_funnel(spark):
     funnel = q399_attrition_funnel(spark, SMOKE_SF_DIR).collect()
     assert {r.stage: r.n_docs for r in funnel} == dict(docs)
     assert {r.stage: r.n_tokens for r in funnel} == dict(toks)
+
+
+# ---------------------------------------------------------------------------
+# q402 — gate-ablation attribution
+# ---------------------------------------------------------------------------
+
+
+def test_q402_reconciles_with_manifest_and_funnel(spark):
+    """Flag counts re-derived in Python from q312's manifest match;
+    the distinct-flagged count (NOT the sum of n_flagged — the
+    difference is overlap) equals the funnel's total raw->shipped
+    drop."""
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+    )
+    from databricks_etl_spark.plans.queries_round11 import (
+        q399_attrition_funnel,
+        q402_gate_ablation_attribution,
+    )
+
+    got = {
+        r.gate: r
+        for r in q402_gate_ablation_attribution(spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(got) == {
+        "quality",
+        "decontam",
+        "semdedup",
+        "multimodal",
+        "drift",
+    }
+    man = q312_training_manifest(spark, SMOKE_SF_DIR).collect()
+    fails = {
+        "quality": lambda r: not r.quality_ok,
+        "decontam": lambda r: r.contaminated,
+        "semdedup": lambda r: r.sem_dup,
+        "multimodal": lambda r: r.multimodal_dup,
+        "drift": lambda r: not r.drift_gate_ok,
+    }
+    for g, pred in fails.items():
+        flagged = [r for r in man if pred(r)]
+        assert got[g].n_flagged == len(flagged), g
+        n_unique = sum(
+            1
+            for r in flagged
+            if sum(p(r) for p in fails.values()) == 1
+        )
+        assert got[g].n_unique == n_unique, g
+        assert got[g].n_unique <= got[g].n_flagged
+
+    n_dropped_distinct = sum(
+        1 for r in man if any(p(r) for p in fails.values())
+    )
+    funnel = sorted(
+        q399_attrition_funnel(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.stage,
+    )
+    assert n_dropped_distinct == funnel[0].n_docs - funnel[-1].n_docs
+    assert sum(r.n_flagged for r in got.values()) >= n_dropped_distinct
