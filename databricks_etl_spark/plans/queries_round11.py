@@ -1953,9 +1953,17 @@ def q398_token_budget_waterfill(
 
 def _q398_waterfill(cap: DataFrame) -> DataFrame:
     """The allocation kernel over a (source, cap_tokens) relation —
-    shared by q398 (raw corpus) and q400 (shipped pool)."""
+    shared by q398 (raw corpus) and q400 (shipped pool). ``cap`` and
+    the flagged relation each feed MULTIPLE consumers (budget rollup,
+    sort windows, water-level rollup, final select) — without the
+    localCheckpoints every consumer re-derives the whole upstream
+    chain (for q400 that is the full q312 manifest: 244 exchanges
+    observed before vs 4 in the post-checkpoint plan, the upstream
+    running ONCE as the checkpoint job; both checkpointed relations
+    are #sources rows)."""
     from pyspark.sql import Window
 
+    cap = cap.localCheckpoint()
     wt = cap.select(
         "source",
         "cap_tokens",
@@ -1985,10 +1993,14 @@ def _q398_waterfill(cap: DataFrame) -> DataFrame:
         .over(w.rowsBetween(0, Window.unboundedFollowing))
         .alias("w_from_here"),
     )
-    flg = srt.crossJoin(F.broadcast(tot)).withColumn(
-        "saturated",
-        (F.col("budget") - F.col("cap_before")) * F.col("weight")
-        >= F.col("cap_tokens") * F.col("w_from_here"),
+    flg = (
+        srt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "saturated",
+            (F.col("budget") - F.col("cap_before")) * F.col("weight")
+            >= F.col("cap_tokens") * F.col("w_from_here"),
+        )
+        .localCheckpoint()
     )
     lvl = flg.agg(
         F.coalesce(
@@ -2307,17 +2319,26 @@ def q401_attrition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_col("text")).cast("long").alias("nt"),
     )
     man = q312_training_manifest(spark, sf_dir)
-    dep = man.join(tok, "doc_id").select(
-        "doc_id",
-        "source",
-        "nt",
-        F.when(~F.col("quality_ok"), 0)
-        .when(F.col("contaminated"), 1)
-        .when(F.col("sem_dup"), 2)
-        .when(F.col("multimodal_dup"), 3)
-        .when(~F.col("drift_gate_ok"), 4)
-        .otherwise(5)
-        .alias("depth"),
+    # dep feeds the per-source baseline AND the stage join — without
+    # materialization each consumer re-derives the full q312 manifest
+    # (140 exchanges observed before vs 7 after, the manifest running
+    # once as the checkpoint job); the relation is 4 skinny columns
+    # per corpus doc
+    dep = (
+        man.join(tok, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "nt",
+            F.when(~F.col("quality_ok"), 0)
+            .when(F.col("contaminated"), 1)
+            .when(F.col("sem_dup"), 2)
+            .when(F.col("multimodal_dup"), 3)
+            .when(~F.col("drift_gate_ok"), 4)
+            .otherwise(5)
+            .alias("depth"),
+        )
+        .localCheckpoint()
     )
     base = dep.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_raw"),
