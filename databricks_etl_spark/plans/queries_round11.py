@@ -1843,18 +1843,23 @@ def q397_quality_survivor_election(
 _Q398_WSCALE = 1_000_000  # weight quantization: w = floor(sqrt(cap)*1e6)
 
 
-def _q398_alloc_sql(src: str = "documents") -> str:
+def _q398_alloc_sql(
+    src: str = "documents", cap_body: str | None = None
+) -> str:
     """The water-filling allocation as a CTE chain over a generic doc
     relation ``src`` (doc_id, text, source) ending in the final
-    SELECT — shared verbatim by q398 (raw corpus) and q400 (the
-    shipped pool); the default is byte-identical to q398's original
-    oracle."""
+    SELECT — shared verbatim by q398 (raw corpus), q400 (the shipped
+    pool) and q403 (pre-tokenized pool via ``cap_body``, an override
+    for the capacity CTE body); the defaults are byte-identical to
+    q398's original oracle."""
     from databricks_etl_spark.plans.queries_text import _TOKS
 
-    return f"""cap AS (
-            SELECT source,
+    if cap_body is None:
+        cap_body = f"""SELECT source,
                    CAST(SUM(len({_TOKS})) AS BIGINT) AS cap_tokens
-            FROM {src} GROUP BY 1
+            FROM {src} GROUP BY 1"""
+    return f"""cap AS (
+            {cap_body}
         ),
         wt AS (
             SELECT source, cap_tokens,
@@ -2520,4 +2525,158 @@ def q402_gate_ablation_attribution(
                 6,
             ),
         ).alias("unique_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q403 — plan realization: hash-sample the shipped pool at planned rates
+# ---------------------------------------------------------------------------
+
+_Q403_PPM = 1_000_000  # sampling-rate resolution (parts per million)
+
+
+def _q403_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round10 import _md5_mod_sql
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    o312 = QUERIES["q312_training_manifest"].oracle
+    payload = "'alloc:' || CAST(doc_id AS VARCHAR)"
+    keep = f"({_md5_mod_sql(payload)} % {_Q403_PPM})"
+    cap_body = """SELECT source,
+                   CAST(SUM(nt) AS BIGINT) AS cap_tokens
+            FROM shp GROUP BY 1"""
+    alloc = _q398_alloc_sql(src="shp", cap_body=cap_body)
+    return f"""
+        WITH shp AS MATERIALIZED (
+            SELECT d.doc_id, d.source,
+                   CAST(len({_TOKS}) AS BIGINT) AS nt
+            FROM documents d
+            JOIN (SELECT doc_id FROM ({o312}) WHERE ship) s
+              ON d.doc_id = s.doc_id
+        ),
+        pl AS MATERIALIZED (
+            SELECT source, cap_tokens, alloc_tokens,
+                   (alloc_tokens * {_Q403_PPM}) // cap_tokens AS rate_ppm
+            FROM (
+                WITH {alloc}
+            )
+        ),
+        samp AS (
+            SELECT s.source, s.nt
+            FROM shp s JOIN pl USING (source)
+            WHERE {keep} < pl.rate_ppm
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS realized_docs,
+                   CAST(SUM(nt) AS BIGINT) AS realized_tokens
+            FROM samp GROUP BY 1
+        )
+        SELECT pl.source, pl.cap_tokens, pl.alloc_tokens, pl.rate_ppm,
+               COALESCE(agg.realized_docs, 0) AS realized_docs,
+               COALESCE(agg.realized_tokens, 0) AS realized_tokens,
+               CASE WHEN pl.alloc_tokens > 0
+                    THEN round(CAST(COALESCE(agg.realized_tokens, 0)
+                                    - pl.alloc_tokens AS DOUBLE)
+                               / pl.alloc_tokens, 6) END AS rel_error
+        FROM pl LEFT JOIN agg USING (source)
+    """
+
+
+@query("q403_plan_realization", oracle=_q403_oracle())
+def q403_plan_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The water-fill plan EXECUTED: per-source doc sampling at
+    rate_ppm = alloc/cap (q400's shipped-pool allocation, realized
+    through the portable md5-mod doc hash — partition-invariant,
+    engine-independent, stable under reruns), reporting what the
+    hash sample actually delivers against the planned token budget.
+    Doc-grain sampling realizes a TOKEN-grain plan only in
+    expectation — rel_error is the lane's story: long-doc-heavy
+    sources overshoot or undershoot, and a |rel_error| beyond the
+    binomial band is the signal to sample at finer grain (chunks) or
+    re-level the plan. A saturated source has rate_ppm == 1e6 and
+    realizes its capacity EXACTLY (planted test).
+
+    Shares q312's shipped pool with q400 through ONE materialized
+    relation and re-derives the allocation through the same
+    `_q398_waterfill` kernel, so (source, cap, alloc) is
+    row-identical to the registered q400 (tested) while the manifest
+    runs once, not twice.
+
+    Determinism: the keep predicate is exact integer arithmetic on
+    md5 nibbles (the q344 row-hash discipline); counts/sums integer;
+    one NULL-guarded ratio. Scale shape: manifest + one hash-join of
+    docs to the #sources-row plan + map-combinable rollup; the
+    sample never shuffles doc text. 100 TB: manifest cost dominates;
+    sampling is a scan with a per-row hash predicate."""
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round10 import _md5_mod_col
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    ship = q312_training_manifest(spark, sf_dir).filter("ship").select(
+        "doc_id"
+    )
+    shp = (
+        d.join(ship, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.size(tokens_col("text")).cast("long").alias("nt"),
+        )
+        .localCheckpoint()
+    )
+    cap = shp.groupBy("source").agg(
+        F.sum("nt").cast("long").alias("cap_tokens")
+    )
+    pl = _q398_waterfill(cap).select(
+        "source",
+        "cap_tokens",
+        "alloc_tokens",
+        F.expr(f"(alloc_tokens * {_Q403_PPM}) DIV cap_tokens").alias(
+            "rate_ppm"
+        ),
+    )
+    keep = (
+        _md5_mod_col(
+            F.concat(F.lit("alloc:"), F.col("doc_id").cast("string"))
+        )
+        % _Q403_PPM
+    )
+    samp = (
+        shp.withColumn("__k", keep)
+        .join(F.broadcast(pl.select("source", "rate_ppm")), "source")
+        .filter(F.col("__k") < F.col("rate_ppm"))
+    )
+    agg = samp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("realized_docs"),
+        F.sum("nt").cast("long").alias("realized_tokens"),
+    )
+    return (
+        pl.join(agg, "source", "left")
+        .select(
+            "source",
+            "cap_tokens",
+            "alloc_tokens",
+            "rate_ppm",
+            F.coalesce("realized_docs", F.lit(0))
+            .cast("long")
+            .alias("realized_docs"),
+            F.coalesce("realized_tokens", F.lit(0))
+            .cast("long")
+            .alias("realized_tokens"),
+            F.when(
+                F.col("alloc_tokens") > 0,
+                F.round(
+                    (
+                        F.coalesce("realized_tokens", F.lit(0))
+                        - F.col("alloc_tokens")
+                    ).cast("double")
+                    / F.col("alloc_tokens"),
+                    6,
+                ),
+            ).alias("rel_error"),
+        )
     )

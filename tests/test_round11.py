@@ -1332,3 +1332,38 @@ def test_q402_reconciles_with_manifest_and_funnel(spark):
     )
     assert n_dropped_distinct == funnel[0].n_docs - funnel[-1].n_docs
     assert sum(r.n_flagged for r in got.values()) >= n_dropped_distinct
+
+
+# ---------------------------------------------------------------------------
+# q403 — plan realization
+# ---------------------------------------------------------------------------
+
+
+def test_q403_plan_rows_are_q400_and_arithmetic_consistent(spark):
+    """(source, cap, alloc) is row-identical to the registered q400
+    (shared kernel + shared pool); rate/realization arithmetic is
+    self-consistent; doc-hash sampling never exceeds the pool."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q403_PPM,
+        q400_shipping_plan_waterfill,
+        q403_plan_realization,
+    )
+
+    rows = q403_plan_realization(spark, SMOKE_SF_DIR).collect()
+    plan = {
+        r.source: (r.cap_tokens, r.alloc_tokens)
+        for r in q400_shipping_plan_waterfill(spark, SMOKE_SF_DIR).collect()
+    }
+    assert {
+        r.source: (r.cap_tokens, r.alloc_tokens) for r in rows
+    } == plan
+    for r in rows:
+        assert r.rate_ppm == r.alloc_tokens * _Q403_PPM // r.cap_tokens
+        assert 0 <= r.rate_ppm <= _Q403_PPM
+        assert r.realized_tokens <= r.cap_tokens
+        if r.rate_ppm == _Q403_PPM:
+            assert r.realized_tokens == r.cap_tokens
+        want = round(
+            (r.realized_tokens - r.alloc_tokens) / r.alloc_tokens, 6
+        )
+        assert abs(r.rel_error - want) < 1e-9
