@@ -2583,6 +2583,88 @@ def _q403_oracle() -> str:
     """
 
 
+def _q403_pool_plan(
+    spark: SparkSession, sf_dir: str, *, with_text: bool = False
+):
+    """(shp, pl): the ONE materialized shipped pool (doc_id, source,
+    nt[, text]) and its water-fill plan with ppm rates — shared by
+    the doc-grain (q403) and chunk-grain (q404) realization lanes so
+    the q312 manifest runs once per lane, not per consumer."""
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round8 import (
+        q312_training_manifest,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    ship = q312_training_manifest(spark, sf_dir).filter("ship").select(
+        "doc_id"
+    )
+    cols = ["doc_id", "source"] + (["text"] if with_text else [])
+    shp = (
+        d.join(ship, "doc_id")
+        .select(
+            *cols,
+            F.size(tokens_col("text")).cast("long").alias("nt"),
+        )
+        .localCheckpoint()
+    )
+    cap = shp.groupBy("source").agg(
+        F.sum("nt").cast("long").alias("cap_tokens")
+    )
+    pl = _q398_waterfill(cap).select(
+        "source",
+        "cap_tokens",
+        "alloc_tokens",
+        F.expr(f"(alloc_tokens * {_Q403_PPM}) DIV cap_tokens").alias(
+            "rate_ppm"
+        ),
+    )
+    return shp, pl
+
+
+def _q403_realized(
+    units: DataFrame, pl: DataFrame, unit_alias: str
+) -> DataFrame:
+    """The realization rollup over sampling ``units`` (source, nt,
+    __k — the precomputed md5-ppm draw): keep units with __k below
+    the source's rate, report realized counts/tokens vs plan. Shared
+    by both grains; also driven directly by the planted grain-effect
+    test."""
+    samp = units.join(
+        F.broadcast(pl.select("source", "rate_ppm")), "source"
+    ).filter(F.col("__k") < F.col("rate_ppm"))
+    agg = samp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias(unit_alias),
+        F.sum("nt").cast("long").alias("realized_tokens"),
+    )
+    return (
+        pl.join(agg, "source", "left")
+        .select(
+            "source",
+            "cap_tokens",
+            "alloc_tokens",
+            "rate_ppm",
+            F.coalesce(unit_alias, F.lit(0))
+            .cast("long")
+            .alias(unit_alias),
+            F.coalesce("realized_tokens", F.lit(0))
+            .cast("long")
+            .alias("realized_tokens"),
+            F.when(
+                F.col("alloc_tokens") > 0,
+                F.round(
+                    (
+                        F.coalesce("realized_tokens", F.lit(0))
+                        - F.col("alloc_tokens")
+                    ).cast("double")
+                    / F.col("alloc_tokens"),
+                    6,
+                ),
+            ).alias("rel_error"),
+        )
+    )
+
+
 @query("q403_plan_realization", oracle=_q403_oracle())
 def q403_plan_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The water-fill plan EXECUTED: per-source doc sampling at
@@ -2609,74 +2691,135 @@ def q403_plan_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs to the #sources-row plan + map-combinable rollup; the
     sample never shuffles doc text. 100 TB: manifest cost dominates;
     sampling is a scan with a per-row hash predicate."""
-    from databricks_etl_spark.operators.text import tokens_col
     from databricks_etl_spark.plans.queries_round10 import _md5_mod_col
-    from databricks_etl_spark.plans.queries_round8 import (
-        q312_training_manifest,
-    )
 
-    d = read_table(spark, sf_dir, "documents")
-    ship = q312_training_manifest(spark, sf_dir).filter("ship").select(
-        "doc_id"
-    )
-    shp = (
-        d.join(ship, "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            F.size(tokens_col("text")).cast("long").alias("nt"),
-        )
-        .localCheckpoint()
-    )
-    cap = shp.groupBy("source").agg(
-        F.sum("nt").cast("long").alias("cap_tokens")
-    )
-    pl = _q398_waterfill(cap).select(
-        "source",
-        "cap_tokens",
-        "alloc_tokens",
-        F.expr(f"(alloc_tokens * {_Q403_PPM}) DIV cap_tokens").alias(
-            "rate_ppm"
-        ),
-    )
-    keep = (
+    shp, pl = _q403_pool_plan(spark, sf_dir)
+    units = shp.withColumn(
+        "__k",
         _md5_mod_col(
             F.concat(F.lit("alloc:"), F.col("doc_id").cast("string"))
         )
-        % _Q403_PPM
+        % _Q403_PPM,
     )
-    samp = (
-        shp.withColumn("__k", keep)
-        .join(F.broadcast(pl.select("source", "rate_ppm")), "source")
-        .filter(F.col("__k") < F.col("rate_ppm"))
+    return _q403_realized(units, pl, "realized_docs")
+
+
+# ---------------------------------------------------------------------------
+# q404 — chunk-grain plan realization: the variance fix for q403
+# ---------------------------------------------------------------------------
+
+_Q404_W = 64  # non-overlapping chunk size: window == stride, so chunk
+# token counts PARTITION each doc's tokens (sum == doc tokens) and the
+# same token budget is realized over many small units
+
+
+def _q404_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round10 import _md5_mod_sql
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    o312 = QUERIES["q312_training_manifest"].oracle
+    payload = (
+        "'alloc:' || CAST(c.doc_id AS VARCHAR) || ':'"
+        " || CAST(c.chunk_idx AS VARCHAR)"
     )
-    agg = samp.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("realized_docs"),
-        F.sum("nt").cast("long").alias("realized_tokens"),
-    )
-    return (
-        pl.join(agg, "source", "left")
+    keep = f"({_md5_mod_sql(payload)} % {_Q403_PPM})"
+    cap_body = """SELECT source,
+                   CAST(SUM(nt) AS BIGINT) AS cap_tokens
+            FROM shp GROUP BY 1"""
+    alloc = _q398_alloc_sql(src="shp", cap_body=cap_body)
+    return f"""
+        WITH shp AS MATERIALIZED (
+            SELECT d.doc_id, d.source, {_TOKS} AS toks,
+                   CAST(len({_TOKS}) AS BIGINT) AS nt
+            FROM documents d
+            JOIN (SELECT doc_id FROM ({o312}) WHERE ship) s
+              ON d.doc_id = s.doc_id
+        ),
+        pl AS MATERIALIZED (
+            SELECT source, cap_tokens, alloc_tokens,
+                   (alloc_tokens * {_Q403_PPM}) // cap_tokens AS rate_ppm
+            FROM (
+                WITH {alloc}
+            )
+        ),
+        ch AS (
+            SELECT doc_id, source,
+                   CAST(p // {_Q404_W} AS BIGINT) AS chunk_idx,
+                   CAST(len(list_slice(toks, p + 1, p + {_Q404_W}))
+                        AS BIGINT) AS nt
+            FROM (
+                SELECT doc_id, source, toks,
+                       unnest(range(0, len(toks), {_Q404_W})) AS p
+                FROM shp
+            )
+        ),
+        samp AS (
+            SELECT c.source, c.nt
+            FROM ch c JOIN pl ON c.source = pl.source
+            WHERE {keep} < pl.rate_ppm
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS realized_chunks,
+                   CAST(SUM(nt) AS BIGINT) AS realized_tokens
+            FROM samp GROUP BY 1
+        )
+        SELECT pl.source, pl.cap_tokens, pl.alloc_tokens, pl.rate_ppm,
+               COALESCE(agg.realized_chunks, 0) AS realized_chunks,
+               COALESCE(agg.realized_tokens, 0) AS realized_tokens,
+               CASE WHEN pl.alloc_tokens > 0
+                    THEN round(CAST(COALESCE(agg.realized_tokens, 0)
+                                    - pl.alloc_tokens AS DOUBLE)
+                               / pl.alloc_tokens, 6) END AS rel_error
+        FROM pl LEFT JOIN agg USING (source)
+    """
+
+
+@query("q404_plan_realization_chunks", oracle=_q404_oracle())
+def q404_plan_realization_chunks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q403's realization with the GRAIN knob turned: the same q400
+    plan and md5-ppm keep predicate, but the sampling unit is a
+    NON-overlapping {_Q404_W}-token chunk (window == stride, so
+    chunk token counts partition each doc exactly and capacity still
+    reconciles). Each Bernoulli draw then moves at most {_Q404_W}
+    tokens instead of a whole document, so when documents are LONG
+    relative to the chunk the realized tokens concentrate around
+    alloc — the planted long-doc test drives both grains through the
+    shared `_q403_realized` kernel and shows ~|100%| doc-grain error
+    collapse to a few percent at chunk grain. On this short-doc
+    testdata (~1 chunk/doc) the grains are statistically equivalent
+    and the lane's value is the knob itself, stated honestly: a real
+    run picks the grain whose error band its mixture tolerances
+    allow, paying chunk-id bookkeeping for budget fidelity.
+
+    Determinism/scale: identical discipline to q403 (integer md5-ppm
+    predicate, integer sums, one guarded ratio); chunking is the
+    map-side explode of q318 with stride == window, no extra shuffle
+    — the rollup keys on source either way. 100 TB: same plan as
+    q403 plus the explode."""
+    from databricks_etl_spark.operators.text import chunk_tokens
+    from databricks_etl_spark.plans.queries_round10 import _md5_mod_col
+
+    shp, pl = _q403_pool_plan(spark, sf_dir, with_text=True)
+    units = (
+        chunk_tokens(shp.select("doc_id", "text"), _Q404_W, _Q404_W)
+        .join(shp.select("doc_id", "source"), "doc_id")
         .select(
             "source",
-            "cap_tokens",
-            "alloc_tokens",
-            "rate_ppm",
-            F.coalesce("realized_docs", F.lit(0))
-            .cast("long")
-            .alias("realized_docs"),
-            F.coalesce("realized_tokens", F.lit(0))
-            .cast("long")
-            .alias("realized_tokens"),
-            F.when(
-                F.col("alloc_tokens") > 0,
-                F.round(
-                    (
-                        F.coalesce("realized_tokens", F.lit(0))
-                        - F.col("alloc_tokens")
-                    ).cast("double")
-                    / F.col("alloc_tokens"),
-                    6,
-                ),
-            ).alias("rel_error"),
+            F.col("n_chunk_tokens").cast("long").alias("nt"),
+            (
+                _md5_mod_col(
+                    F.concat(
+                        F.lit("alloc:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("chunk_idx").cast("string"),
+                    )
+                )
+                % _Q403_PPM
+            ).alias("__k"),
         )
     )
+    return _q403_realized(units, pl, "realized_chunks")

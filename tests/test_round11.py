@@ -1367,3 +1367,121 @@ def test_q403_plan_rows_are_q400_and_arithmetic_consistent(spark):
             (r.realized_tokens - r.alloc_tokens) / r.alloc_tokens, 6
         )
         assert abs(r.rel_error - want) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q404 — chunk-grain realization and the grain effect
+# ---------------------------------------------------------------------------
+
+
+def test_q404_reconciles_with_q403_plan(spark):
+    """Both grains share the identical plan columns; chunk capacity
+    partitions doc capacity exactly (window == stride)."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        q403_plan_realization,
+        q404_plan_realization_chunks,
+    )
+
+    a = {
+        r.source: r for r in q403_plan_realization(spark, SMOKE_SF_DIR).collect()
+    }
+    b = {
+        r.source: r
+        for r in q404_plan_realization_chunks(spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(a) == set(b)
+    for s in a:
+        assert (a[s].cap_tokens, a[s].alloc_tokens, a[s].rate_ppm) == (
+            b[s].cap_tokens,
+            b[s].alloc_tokens,
+            b[s].rate_ppm,
+        )
+        assert b[s].realized_chunks >= a[s].realized_docs * 0  # present
+        assert b[s].realized_tokens <= b[s].cap_tokens
+
+
+def test_q404_planted_long_docs_grain_effect(spark):
+    """The grain claim, proven where it applies: one 2048-token doc
+    per source at a ~half rate realizes 0%-or-200% of its allocation
+    at DOC grain (all-or-nothing), while chunk grain (32 x 64-token
+    draws) lands within a tight band — both grains driven through
+    the production `_q403_realized` kernel with the production keep
+    hash."""
+    from pyspark.sql import functions as SF
+
+    from databricks_etl_spark.operators.text import (
+        chunk_tokens,
+        tokens_col,
+    )
+    from databricks_etl_spark.plans.queries_round10 import _md5_mod_col
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q403_PPM,
+        _Q404_W,
+        _q398_waterfill,
+        _q403_realized,
+    )
+
+    text = " ".join(f"w{i}" for i in range(2048))
+    docs = spark.createDataFrame(
+        [(i, text, f"s{i}") for i in range(1, 5)],
+        ["doc_id", "text", "source"],
+    )
+    shp = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        SF.size(tokens_col("text")).cast("long").alias("nt"),
+    ).localCheckpoint()
+    cap = shp.groupBy("source").agg(
+        SF.sum("nt").cast("long").alias("cap_tokens")
+    )
+    pl = _q398_waterfill(cap).select(
+        "source",
+        "cap_tokens",
+        "alloc_tokens",
+        SF.expr(f"(alloc_tokens * {_Q403_PPM}) DIV cap_tokens").alias(
+            "rate_ppm"
+        ),
+    )
+    doc_units = shp.withColumn(
+        "__k",
+        _md5_mod_col(
+            SF.concat(SF.lit("alloc:"), SF.col("doc_id").cast("string"))
+        )
+        % _Q403_PPM,
+    )
+    chunk_units = (
+        chunk_tokens(shp.select("doc_id", "text"), _Q404_W, _Q404_W)
+        .join(shp.select("doc_id", "source"), "doc_id")
+        .select(
+            "source",
+            SF.col("n_chunk_tokens").cast("long").alias("nt"),
+            (
+                _md5_mod_col(
+                    SF.concat(
+                        SF.lit("alloc:"),
+                        SF.col("doc_id").cast("string"),
+                        SF.lit(":"),
+                        SF.col("chunk_idx").cast("string"),
+                    )
+                )
+                % _Q403_PPM
+            ).alias("__k"),
+        )
+    )
+    doc_err = [
+        abs(r.rel_error)
+        for r in _q403_realized(doc_units, pl, "realized_docs").collect()
+    ]
+    chunk_err = [
+        abs(r.rel_error)
+        for r in _q403_realized(
+            chunk_units, pl, "realized_chunks"
+        ).collect()
+    ]
+    # doc grain: each single-doc source realizes 0 or its whole
+    # capacity (~2x the half-budget alloc) — |err| ~= 1 either way
+    assert all(e > 0.8 for e in doc_err)
+    # chunk grain: 32 draws per source concentrate near the rate
+    assert sum(chunk_err) / len(chunk_err) < 0.5
+    assert sum(chunk_err) / len(chunk_err) < sum(doc_err) / len(doc_err)
