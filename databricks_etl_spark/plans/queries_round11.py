@@ -2823,3 +2823,187 @@ def q404_plan_realization_chunks(
         )
     )
     return _q403_realized(units, pl, "realized_chunks")
+
+
+# ---------------------------------------------------------------------------
+# q405 — impact-ordered BM25 index pruning: retrieval quality vs index size
+# ---------------------------------------------------------------------------
+
+_Q405_LEVELS = (25, 50, 75, 100)  # % of each term's postings retained
+_Q405_AT = 10  # overlap cutoff
+
+
+def _q405_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round6 import (
+        _Q263_CONTRIB_SQL,
+    )
+
+    levels = ", ".join(str(v) for v in _Q405_LEVELS)
+    return f"""
+        WITH {_Q263_CONTRIB_SQL},
+        pr AS (
+            SELECT doc_id, w, c,
+                   row_number() OVER (PARTITION BY w
+                       ORDER BY c DESC, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY w) AS d
+            FROM contrib
+        ),
+        lv AS (SELECT CAST(unnest([{levels}]) AS INTEGER) AS lvl),
+        kept AS (
+            SELECT lv.lvl, pr.doc_id, pr.c,
+                   CASE WHEN (pr.rn - 1) * 100 < pr.d * lv.lvl
+                        THEN 1 ELSE 0 END AS keep
+            FROM pr CROSS JOIN lv
+        ),
+        sc AS (
+            SELECT lvl, doc_id,
+                   SUM(CASE WHEN keep = 1 THEN c
+                            ELSE CAST(0 AS DECIMAL(18,9)) END) AS s,
+                   CAST(SUM(keep) AS BIGINT) AS n_kept
+            FROM kept GROUP BY 1, 2
+        ),
+        rk AS (
+            SELECT lvl, doc_id, s, n_kept,
+                   row_number() OVER (PARTITION BY lvl
+                       ORDER BY s DESC, doc_id) AS rk
+            FROM sc WHERE s > 0
+        ),
+        fl AS (
+            SELECT doc_id FROM rk
+            WHERE lvl = 100 AND rk <= {_Q405_AT}
+        )
+        SELECT r.lvl,
+               CAST(SUM(CASE WHEN r.rk <= {_Q405_AT} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ranked_at_10,
+               (SELECT CAST(SUM(n_kept) AS BIGINT) FROM sc
+                WHERE sc.lvl = r.lvl) AS kept_postings,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) AS total_postings,
+               round((SELECT CAST(SUM(n_kept) AS DOUBLE) FROM sc
+                      WHERE sc.lvl = r.lvl)
+                     / (SELECT COUNT(*) FROM pr), 6) AS retained_share,
+               round(CAST(SUM(CASE WHEN r.rk <= {_Q405_AT}
+                                    AND r.doc_id IN (SELECT doc_id FROM fl)
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / {_Q405_AT}, 6) AS overlap_at_10
+        FROM rk r
+        GROUP BY r.lvl
+    """
+
+
+@query("q405_bm25_impact_pruning", oracle=_q405_oracle())
+def q405_bm25_impact_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Impact-ordered index pruning for the lexical retriever — the
+    BM25 sibling of the IVF probe sweep (q341/q388/q396): a
+    100 TB-corpus posting list is served truncated to its highest-
+    impact entries (postings ranked per term by contribution, the
+    static index-pruning technique of impact-ordered/tiered
+    inverted indexes), and this lane measures what each retention
+    level costs in retrieval quality. Per level: postings kept
+    (ceil-of-share cutoff in exact integer cross-multiplication —
+    a rare term always keeps >= 1 posting), the pruned-index
+    top-{_Q405_AT} overlap with the full-index ranking, and the
+    ranked-doc count. Level 100 IS the full index (overlap exactly
+    1.0 by construction, tested) and scores are q263's own decimal
+    contributions through the shared `_q263_contrib` kernel, so the
+    sweep cannot drift from the registered retriever.
+
+    Determinism: contributions are q263's 9-dp decimals; posting
+    ranks and the keep cutoff are exact integer comparisons; doc
+    ranks tiebreak on doc_id; overlap is a count ratio.
+
+    Scale shape: the contribution build prunes the token stream to
+    the query vocabulary BEFORE any shuffle (q263's plan); ranking
+    windows run per (level, term) and per level over matched docs
+    only — bounded by the query-vocabulary postings, never the
+    corpus. The multi-consumer scored relation is localCheckpoint'd
+    once. 100 TB: posting-bounded, corpus-scan-free after tf."""
+    from pyspark.sql import Window
+
+    from databricks_etl_spark.plans.queries_round6 import _q263_contrib
+
+    contrib = _q263_contrib(spark, sf_dir)
+    wt = Window.partitionBy("w")
+    pr = contrib.select(
+        "doc_id",
+        "c",
+        F.row_number()
+        .over(wt.orderBy(F.desc("c"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("d"),
+    )
+    lv = F.explode(
+        F.array(*[F.lit(v) for v in _Q405_LEVELS])
+    ).alias("lvl")
+    kept = pr.select("doc_id", "c", "rn", "d", lv).withColumn(
+        "keep",
+        ((F.col("rn") - 1) * 100 < F.col("d") * F.col("lvl")).cast(
+            "int"
+        ),
+    )
+    sc = (
+        kept.groupBy("lvl", "doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("keep") == 1, F.col("c")).otherwise(
+                    F.lit("0").cast("decimal(18,9)")
+                )
+            ).alias("s"),
+            F.sum("keep").cast("long").alias("n_kept"),
+        )
+        .localCheckpoint()
+    )
+    rk = sc.filter(F.col("s") > 0).select(
+        "lvl",
+        "doc_id",
+        "n_kept",
+        F.row_number()
+        .over(
+            Window.partitionBy("lvl").orderBy(
+                F.desc("s"), F.asc("doc_id")
+            )
+        )
+        .alias("rk"),
+    )
+    fl = rk.filter(
+        (F.col("lvl") == 100) & (F.col("rk") <= _Q405_AT)
+    ).select(F.col("doc_id").alias("__fd"))
+    tot = pr.agg(
+        F.count(F.lit(1)).cast("long").alias("total_postings")
+    )
+    kp = sc.groupBy("lvl").agg(
+        F.sum("n_kept").cast("long").alias("kept_postings")
+    )
+    j = rk.join(F.broadcast(fl), rk["doc_id"] == F.col("__fd"), "left")
+    per = j.groupBy("lvl").agg(
+        F.sum(F.when(F.col("rk") <= _Q405_AT, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ranked_at_10"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("rk") <= _Q405_AT) & F.col("__fd").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).cast("double")
+            / _Q405_AT,
+            6,
+        ).alias("overlap_at_10"),
+    )
+    return (
+        per.join(kp, "lvl")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lvl",
+            "n_ranked_at_10",
+            "kept_postings",
+            "total_postings",
+            F.round(
+                F.col("kept_postings").cast("double")
+                / F.col("total_postings"),
+                6,
+            ).alias("retained_share"),
+            "overlap_at_10",
+        )
+    )

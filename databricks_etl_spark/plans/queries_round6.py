@@ -955,11 +955,10 @@ def q262_pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q263_TERMS = ("data", "model", "training", "quality")
 _Q263_K1, _Q263_B = 1.2, 0.75
 
-
-@query(
-    "q263_bm25_retrieval",
-    oracle=rf"""
-        WITH tok AS (
+# the (doc, term) BM25 contribution CTE chain (tok..contrib) — shared
+# verbatim by q263's oracle and the impact-ordered pruning sweep
+# (queries_round11.q405), so the two lanes score identically
+_Q263_CONTRIB_SQL = rf"""tok AS (
             SELECT doc_id,
                    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
             FROM documents
@@ -988,7 +987,13 @@ _Q263_K1, _Q263_B = 1.2, 0.75
             JOIN df USING (w)
             JOIN dl USING (doc_id)
             CROSS JOIN stats
-        )
+        )"""
+
+
+@query(
+    "q263_bm25_retrieval",
+    oracle=f"""
+        WITH {_Q263_CONTRIB_SQL}
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
                round(CAST(SUM(c) AS DOUBLE), 6) AS bm25
@@ -1007,6 +1012,16 @@ def q263_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile: the term filter prunes the token stream to the query
     vocabulary before any shuffle; df/avgdl are tiny broadcast
     aggregates."""
+    return _q263_contrib(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.round(F.sum("c").cast("double"), 6).alias("bm25"),
+    )
+
+
+def _q263_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, w, c) BM25 contribution relation — q263's scoring
+    kernel, shared with the impact-ordered pruning sweep
+    (queries_round11.q405). Spark twin of ``_Q263_CONTRIB_SQL``."""
     from databricks_etl_spark.operators.text import tokens_col
 
     d = read_table(spark, sf_dir, "documents")
@@ -1030,6 +1045,7 @@ def q263_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(stats))
         .select(
             "doc_id",
+            "w",
             F.round(
                 F.log(
                     (F.col("n_docs") - F.col("d") + 0.5) / (F.col("d") + 0.5)
@@ -1047,10 +1063,7 @@ def q263_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c"),
         )
     )
-    return contrib.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
-        F.round(F.sum("c").cast("double"), 6).alias("bm25"),
-    )
+    return contrib
 
 
 # ---------------------------------------------------------------------------

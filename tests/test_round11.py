@@ -1485,3 +1485,69 @@ def test_q404_planted_long_docs_grain_effect(spark):
     # chunk grain: 32 draws per source concentrate near the rate
     assert sum(chunk_err) / len(chunk_err) < 0.5
     assert sum(chunk_err) / len(chunk_err) < sum(doc_err) / len(doc_err)
+
+
+# ---------------------------------------------------------------------------
+# q405 — impact-ordered BM25 pruning
+# ---------------------------------------------------------------------------
+
+
+def test_q405_full_level_exact_and_shares(spark):
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q405_LEVELS,
+        q405_bm25_impact_pruning,
+    )
+
+    rows = sorted(
+        q405_bm25_impact_pruning(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.lvl,
+    )
+    assert [r.lvl for r in rows] == list(_Q405_LEVELS)
+    assert rows[-1].overlap_at_10 == 1.0
+    assert rows[-1].kept_postings == rows[-1].total_postings
+    kept = [r.kept_postings for r in rows]
+    assert kept == sorted(kept)
+    for r in rows:
+        # ceil cutoff: retained share always >= the nominal level
+        assert r.retained_share >= r.lvl / 100.0 - 1e-9
+
+
+def test_q405_planted_broad_match_lost_to_pruning(spark, tmp_path):
+    """A doc matching all 4 query terms ONCE each tops the full
+    ranking (4 unsaturated contributions beat any single saturated
+    one) but every one of its postings ranks below the 25% cutoff —
+    impact pruning drops it and overlap@10 falls below 1.0. The
+    failure mode impact-ordered indexes are known for, planted."""
+    import pandas as pd
+
+    from databricks_etl_spark.plans.queries_round11 import (
+        q405_bm25_impact_pruning,
+    )
+
+    terms = ["data", "model", "training", "quality"]
+    docs = []
+    did = 0
+    for t in terms:
+        for tf in (16, 15, 14, 13, 12, 11, 2, 2):
+            did += 1
+            toks = [t] * tf + [f"f{did}x{i}" for i in range(64 - tf)]
+            docs.append((did, " ".join(toks)))
+    did += 1
+    toks = terms + [f"f{did}x{i}" for i in range(60)]
+    docs.append((did, " ".join(toks)))  # the broad match
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r.lvl: r
+        for r in q405_bm25_impact_pruning(spark, str(tmp_path)).collect()
+    }
+    assert rows[100].overlap_at_10 == 1.0
+    assert rows[25].overlap_at_10 < 1.0
