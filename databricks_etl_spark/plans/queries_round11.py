@@ -1602,7 +1602,10 @@ _Q396_GRADE_SQL = (
 )
 
 
-def _q396_oracle() -> str:
+def _q396_oracle(sample_pred: str = "") -> str:
+    """q396's oracle; ``sample_pred`` restricts the scored corpus for
+    the bench-able sampled-truth twin (q406) — empty default is
+    byte-identical."""
     from databricks_etl_spark.plans.queries_round10 import (
         _Q341_PROBES,
         _q341_truth_sql,
@@ -1610,7 +1613,7 @@ def _q396_oracle() -> str:
 
     lits = ", ".join(f"CAST('{c}' AS DECIMAL(18,9))" for c in _Q396_TAB)
     probes = ", ".join(str(p) for p in _Q341_PROBES)
-    return f"""{_q341_truth_sql(topk=_Q396_TOPN)},
+    return f"""{_q341_truth_sql(sample_pred, topk=_Q396_TOPN)},
         pr AS (SELECT CAST(unnest([{probes}]) AS INTEGER) AS n_probe),
         px AS (
             SELECT pr.n_probe, t.qid, t.rk, t.cell_rank,
@@ -1680,7 +1683,17 @@ def q396_ivf_ndcg_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q341_truth,
     )
 
-    truth = _q341_truth(spark, sf_dir, topk=_Q396_TOPN)
+    return _q396_sweep(_q341_truth(spark, sf_dir, topk=_Q396_TOPN))
+
+
+def _q396_sweep(truth: DataFrame) -> DataFrame:
+    """The graded-nDCG rollup over a depth-{_Q396_TOPN} (qid, rk,
+    cell_rank) truth relation — shared by q396 and the sampled-truth
+    bench twin (q406)."""
+    from pyspark.sql import Window
+
+    from databricks_etl_spark.plans.queries_round10 import _Q341_PROBES
+
     probed = truth.select(
         "qid",
         "rk",
@@ -3006,4 +3019,51 @@ def q405_bm25_impact_pruning(
             ).alias("retained_share"),
             "overlap_at_10",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q406 — sampled-truth graded nDCG sweep (q396's bench-able twin)
+# ---------------------------------------------------------------------------
+
+
+def _q406_oracle() -> str:
+    return _q396_oracle(sample_pred=_Q388_PRED_SQL)
+
+
+@query("q406_ivf_ndcg_sweep_sampled", oracle=_q406_oracle())
+def q406_ivf_ndcg_sweep_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q396's graded nDCG curve against SAMPLED truth — the same
+    md5 ~1/8 chunk slice as q388, completing the twin symmetry:
+    (q341, q388) for recall, (q396, q406) for ranking quality. The
+    q396 proof carries verbatim because the slice only shrinks the
+    scored corpus, not the ordering: grades still derive from the
+    exact ranking OF THE SLICE, positions are still window counts of
+    the same total order, monotonicity and exact-1.0-at-full-probe
+    both survive (tested). Shares q396's rollup and q341's scored
+    pass through the sample/topk kwargs — byte-identical at
+    defaults.
+
+    Scale shape: q388's (slice-rate-bounded eval budget at any
+    corpus size)."""
+    import databricks_etl_spark.plans.queries_round10 as r10
+
+    sample = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("chunk_idx").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        <= "1"
+    )
+    return _q396_sweep(
+        r10._q341_truth(spark, sf_dir, sample=sample, topk=_Q396_TOPN)
     )

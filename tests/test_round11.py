@@ -1551,3 +1551,34 @@ def test_q405_planted_broad_match_lost_to_pruning(spark, tmp_path):
     }
     assert rows[100].overlap_at_10 == 1.0
     assert rows[25].overlap_at_10 < 1.0
+
+
+# ---------------------------------------------------------------------------
+# q406 — sampled-truth nDCG twin
+# ---------------------------------------------------------------------------
+
+
+def test_q406_keeps_q396_invariants_on_the_slice(spark):
+    from databricks_etl_spark.plans.queries_round10 import (
+        _Q332_K,
+        _Q341_PROBES,
+    )
+    from databricks_etl_spark.plans.queries_round11 import (
+        q396_ivf_ndcg_sweep,
+        q406_ivf_ndcg_sweep_sampled,
+    )
+
+    got = sorted(
+        q406_ivf_ndcg_sweep_sampled(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.n_probe,
+    )
+    full = sorted(
+        q396_ivf_ndcg_sweep(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in got] == list(_Q341_PROBES)
+    assert [r.n_queries for r in got] == [r.n_queries for r in full]
+    curve = [r.mean_ndcg_at_10 for r in got]
+    assert curve == sorted(curve)
+    assert got[-1].n_probe == _Q332_K
+    assert got[-1].mean_ndcg_at_10 == 1.0
