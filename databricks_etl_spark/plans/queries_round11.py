@@ -2650,6 +2650,15 @@ def _q403_realized(
         F.count(F.lit(1)).cast("long").alias(unit_alias),
         F.sum("nt").cast("long").alias("realized_tokens"),
     )
+    return _q403_report(pl, agg, unit_alias)
+
+
+def _q403_report(
+    pl: DataFrame, agg: DataFrame, unit_alias: str
+) -> DataFrame:
+    """The plan-vs-realized report join — shared by the batch grains
+    and the streaming drain (streaming/planrealize.py), so the
+    streaming twin's columns/rounding cannot drift from q403's."""
     return (
         pl.join(agg, "source", "left")
         .select(
@@ -3067,3 +3076,40 @@ def q406_ivf_ndcg_sweep_sampled(
     return _q396_sweep(
         r10._q341_truth(spark, sf_dir, sample=sample, topk=_Q396_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# q407 — STREAMING plan realization (q403 at ingest)
+# ---------------------------------------------------------------------------
+
+
+def _q407_register() -> None:
+    @query("q407_streaming_plan_realization", oracle=_q403_oracle())
+    def q407_streaming_plan_realization(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """q403's budgeted sampling maintained AT INGEST — the
+        q361/q385/q390 streaming discipline applied to the
+        realization step: the water-fill plan and pool membership
+        are FROZEN batch-side artifacts (a run approves a plan, then
+        ingest realizes it), each document micro-batch decides its
+        own keeps alone (the md5-ppm draw depends only on doc id +
+        its source's frozen rate), and — because per-source realized
+        counts are fully associative — lands just a #sources-row
+        PARTIAL per epoch in the epoch-idempotent sink
+        (``streaming/planrealize.py``). The drain sums partials and
+        joins the frozen plan through the SAME report helper the
+        batch lane uses, and q407 registers with q403's oracle — the
+        streamed sample is hash-proven equal to the batch sample.
+        Slicing invariance and epoch replay are tested like q390's.
+
+        State: #sources rows per epoch — independent of stream
+        length and of corpus size; the cheapest sink shape."""
+        from databricks_etl_spark.streaming.planrealize import (
+            run_streaming_plan_realization,
+        )
+
+        return run_streaming_plan_realization(spark, sf_dir)
+
+
+_q407_register()

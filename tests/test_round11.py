@@ -1582,3 +1582,58 @@ def test_q406_keeps_q396_invariants_on_the_slice(spark):
     assert curve == sorted(curve)
     assert got[-1].n_probe == _Q332_K
     assert got[-1].mean_ndcg_at_10 == 1.0
+
+
+# ---------------------------------------------------------------------------
+# q407 — streaming plan realization
+# ---------------------------------------------------------------------------
+
+
+def test_q407_slicing_invariance_and_replay(spark, tmp_path):
+    """The streaming drain equals batch q403 under a FORCED two-epoch
+    slicing of the document stream, and re-delivering an epoch leaves
+    the drained report unchanged (partials overwrite their own
+    partition: exactly-once)."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        _q403_pool_plan,
+        q403_plan_realization,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+    from databricks_etl_spark.streaming.planrealize import (
+        _PARTIAL_SCHEMA,
+        drain_plan_realization,
+        make_realize_epoch,
+    )
+
+    shp, pl = _q403_pool_plan(spark, SMOKE_SF_DIR)
+    pl = pl.localCheckpoint()
+    ship_ids = shp.select("doc_id")
+    rates = pl.select("source", "rate_ppm")
+
+    d = read_table(spark, SMOKE_SF_DIR, "documents")
+    path = str(tmp_path / "planrealize_partials")
+    spark.createDataFrame([], _PARTIAL_SCHEMA).write.mode(
+        "overwrite"
+    ).partitionBy("__epoch").parquet(path)
+
+    ingest = make_realize_epoch(path, ship_ids, rates)
+    ingest(d.filter(F.col("doc_id") % 2 == 0), 0)
+    ingest(d.filter(F.col("doc_id") % 2 == 1), 1)
+
+    def drained():
+        return sorted(
+            map(
+                tuple,
+                drain_plan_realization(spark, path, pl).collect(),
+            )
+        )
+
+    first = drained()
+    batch = sorted(
+        map(tuple, q403_plan_realization(spark, SMOKE_SF_DIR).collect())
+    )
+    assert first == batch
+    assert sum(r[4] for r in first) > 0  # realized docs present
+
+    ingest(d.filter(F.col("doc_id") % 2 == 1), 1)  # epoch-1 re-delivery
+    assert drained() == first
