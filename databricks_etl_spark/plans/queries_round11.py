@@ -3113,3 +3113,183 @@ def _q407_register() -> None:
 
 
 _q407_register()
+
+
+# ---------------------------------------------------------------------------
+# q408 — fail-closed shipping-plan gate: funnel + realization + pruning
+# ---------------------------------------------------------------------------
+
+# Calibrated to pass on the shipped corpus at every local SF with
+# honest headroom (sf0.001/sf0.01 worst cases: shipped token survival
+# 0.628/0.626, max |realization error| 0.49/0.41, pruning overlap@10
+# at the 50% tier 1.0/1.0) — tight enough that a gutted funnel, a
+# mis-leveled plan, or a collapsed pruned index flips the verdict.
+_Q408_MIN_SURVIVAL = 0.40  # shipped token survival floor (q399)
+_Q408_MAX_ABS_ERR = 0.75  # per-source |realization error| ceiling (q403)
+_Q408_MIN_OVERLAP = 0.60  # pruned-index overlap@10 floor at 50% (q405)
+_Q408_SERVE_LVL = 50  # the pruning tier a deployment would serve
+
+
+def shipping_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    min_survival: float = _Q408_MIN_SURVIVAL,
+    max_abs_err: float = _Q408_MAX_ABS_ERR,
+    min_overlap: float = _Q408_MIN_OVERLAP,
+) -> DataFrame:
+    """The q408 verdict kernel with thresholds as kwargs (the q386
+    discipline: defaults are the production constants, the planted
+    tests flip exactly one knob each). Fail-closed: missing funnel
+    stages, zero planned sources, or missing pruning tiers HOLD."""
+    one = F.count(F.lit(1))
+    fu = q399_attrition_funnel(spark, sf_dir).agg(
+        one.cast("long").alias("n_stages"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("stage_name") == "shipped")
+                    & (F.col("token_survival") < min_survival),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("viol_survival"),
+    )
+    rz = q403_plan_realization(spark, sf_dir).agg(
+        one.cast("long").alias("n_sources"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.abs(F.col("rel_error")) > max_abs_err, 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("viol_realization"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("alloc_tokens") > F.col("cap_tokens"), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("viol_infeasible"),
+    )
+    pz = q405_bm25_impact_pruning(spark, sf_dir).agg(
+        one.cast("long").alias("n_levels"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lvl") == _Q408_SERVE_LVL)
+                    & (F.col("overlap_at_10") < min_overlap),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("viol_pruning"),
+    )
+    nv = (
+        F.col("viol_survival")
+        + F.col("viol_realization")
+        + F.col("viol_infeasible")
+        + F.col("viol_pruning")
+    )
+    return (
+        fu.crossJoin(F.broadcast(rz))
+        .crossJoin(F.broadcast(pz))
+        .select(
+            "n_stages",
+            "n_sources",
+            "n_levels",
+            "viol_survival",
+            "viol_realization",
+            "viol_infeasible",
+            "viol_pruning",
+            nv.cast("long").alias("n_violations"),
+            F.when(
+                (nv == 0)
+                & (F.col("n_stages") == 6)
+                & (F.col("n_sources") > 0)
+                & (F.col("n_levels") == 4),
+                F.lit("RELEASE"),
+            )
+            .otherwise(F.lit("HOLD"))
+            .alias("verdict"),
+        )
+    )
+
+
+def _q408_oracle() -> str:
+    o399 = QUERIES["q399_attrition_funnel"].oracle
+    o403 = QUERIES["q403_plan_realization"].oracle
+    o405 = QUERIES["q405_bm25_impact_pruning"].oracle
+    return f"""
+        WITH fu_in AS MATERIALIZED (SELECT * FROM ({o399})),
+        rz_in AS MATERIALIZED (SELECT * FROM ({o403})),
+        pz_in AS MATERIALIZED (SELECT * FROM ({o405})),
+        fu AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_stages,
+                   CAST(COALESCE(SUM(CASE WHEN stage_name = 'shipped'
+                            AND token_survival < {_Q408_MIN_SURVIVAL}
+                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS viol_survival
+            FROM fu_in
+        ),
+        rz AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(COALESCE(SUM(CASE WHEN abs(rel_error)
+                            > {_Q408_MAX_ABS_ERR} THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS viol_realization,
+                   CAST(COALESCE(SUM(CASE WHEN alloc_tokens > cap_tokens
+                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS viol_infeasible
+            FROM rz_in
+        ),
+        pz AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_levels,
+                   CAST(COALESCE(SUM(CASE WHEN lvl = {_Q408_SERVE_LVL}
+                            AND overlap_at_10 < {_Q408_MIN_OVERLAP}
+                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS viol_pruning
+            FROM pz_in
+        )
+        SELECT n_stages, n_sources, n_levels, viol_survival,
+               viol_realization, viol_infeasible, viol_pruning,
+               CAST(viol_survival + viol_realization + viol_infeasible
+                    + viol_pruning AS BIGINT) AS n_violations,
+               CASE WHEN viol_survival + viol_realization
+                         + viol_infeasible + viol_pruning = 0
+                         AND n_stages = 6 AND n_sources > 0
+                         AND n_levels = 4
+                    THEN 'RELEASE' ELSE 'HOLD' END AS verdict
+        FROM fu, rz, pz
+    """
+
+
+@query("q408_shipping_plan_gate", oracle=_q408_oracle())
+def q408_shipping_plan_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuation arc's fail-closed capstone (q386/q395
+    discipline, third gate of the family): plan -> realize -> audit
+    -> GATE. One verdict row over three REGISTERED lanes — q399's
+    funnel (shipped token survival floor: a gutted pipeline HOLDs),
+    q403's realization (per-source |rel_error| ceiling: a
+    mis-leveled or mis-realized plan HOLDs; plus the structural
+    alloc<=cap feasibility check that can only fire on a kernel
+    regression), and q405's pruning sweep (overlap@10 floor at the
+    {_Q408_SERVE_LVL}% serving tier: a pruned index that lost the
+    ranking HOLDs). Missing stages/sources/tiers HOLD (fail-closed
+    on empty). Thresholds ride the kwarg surface; each planted test
+    flips one knob and asserts the verdict turns.
+
+    Scale shape: three bounded rollups over component lanes crossed
+    as broadcast 1-row relations — the gate costs nothing beyond the
+    lanes it composes."""
+    return shipping_gate(spark, sf_dir)

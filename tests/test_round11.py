@@ -1637,3 +1637,37 @@ def test_q407_slicing_invariance_and_replay(spark, tmp_path):
 
     ingest(d.filter(F.col("doc_id") % 2 == 1), 1)  # epoch-1 re-delivery
     assert drained() == first
+
+
+# ---------------------------------------------------------------------------
+# q408 — shipping-plan gate
+# ---------------------------------------------------------------------------
+
+
+def test_q408_releases_and_planted_violations_flip(spark):
+    """RELEASE at production thresholds on the shipped corpus; each
+    knob flipped through the kwarg surface turns the verdict and
+    increments exactly its own violation counter."""
+    from databricks_etl_spark.plans.queries_round11 import shipping_gate
+
+    base = shipping_gate(spark, SMOKE_SF_DIR).collect()[0]
+    assert base.verdict == "RELEASE" and base.n_violations == 0
+    assert (base.n_stages, base.n_levels) == (6, 4)
+    assert base.n_sources > 0
+
+    flips = [
+        ({"min_survival": 1.01}, "viol_survival"),
+        ({"max_abs_err": -0.01}, "viol_realization"),
+        ({"min_overlap": 1.01}, "viol_pruning"),
+    ]
+    for kw, col in flips:
+        r = shipping_gate(spark, SMOKE_SF_DIR, **kw).collect()[0]
+        assert r.verdict == "HOLD", kw
+        assert getattr(r, col) > 0, kw
+        others = {
+            "viol_survival",
+            "viol_realization",
+            "viol_pruning",
+            "viol_infeasible",
+        } - {col}
+        assert all(getattr(r, c) == 0 for c in others), kw
