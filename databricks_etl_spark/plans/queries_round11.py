@@ -1914,10 +1914,11 @@ def _q398_alloc_sql(
                CASE WHEN f.saturated THEN f.cap_tokens
                     ELSE (tot.budget - lvl.c_sat) * f.weight
                          // lvl.w_unsat END AS alloc_tokens,
-               round(CAST(CASE WHEN f.saturated THEN f.cap_tokens
-                               ELSE (tot.budget - lvl.c_sat) * f.weight
-                                    // lvl.w_unsat END AS DOUBLE)
-                     / tot.budget, 6) AS budget_share
+               CASE WHEN tot.budget > 0 THEN
+                   round(CAST(CASE WHEN f.saturated THEN f.cap_tokens
+                                   ELSE (tot.budget - lvl.c_sat) * f.weight
+                                        // lvl.w_unsat END AS DOUBLE)
+                         / tot.budget, 6) END AS budget_share
         FROM flg f, tot, lvl"""
 
 
@@ -2042,8 +2043,13 @@ def _q398_waterfill(cap: DataFrame) -> DataFrame:
             "weight",
             "saturated",
             "alloc_tokens",
-            F.round(
-                F.col("alloc_tokens").cast("double") / F.col("budget"), 6
+            F.when(
+                F.col("budget") > 0,
+                F.round(
+                    F.col("alloc_tokens").cast("double")
+                    / F.col("budget"),
+                    6,
+                ),
             ).alias("budget_share"),
         )
     )

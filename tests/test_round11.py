@@ -1671,3 +1671,40 @@ def test_q408_releases_and_planted_violations_flip(spark):
             "viol_infeasible",
         } - {col}
         assert all(getattr(r, c) == 0 for c in others), kw
+
+
+def test_q398_waterfill_property_random_capacities(spark):
+    """The closed-form windowed kernel equals the explicit iterative
+    reference on random skewed capacity profiles — including
+    multi-source saturation prefixes the uniform testdata never
+    produces — and always spends within the floor-division bound of
+    the budget."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from databricks_etl_spark.plans.queries_round11 import _q398_waterfill
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        caps=st.lists(
+            st.integers(min_value=1, max_value=100_000),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(caps):
+        named = {f"s{i}": c for i, c in enumerate(caps)}
+        cap_df = spark.createDataFrame(
+            list(named.items()), "source string, cap_tokens long"
+        )
+        rows = _q398_waterfill(cap_df).collect()
+        budget = sum(named.values()) // 2
+        want = _py_waterfill(named, budget)
+        got = {r.source: r.alloc_tokens for r in rows}
+        assert got == want, (named, budget)
+        spent = sum(got.values())
+        n_unsat = sum(1 for r in rows if not r.saturated)
+        assert spent <= budget
+        assert budget - spent < n_unsat + 1
+
+    check()
