@@ -1857,20 +1857,27 @@ _Q398_WSCALE = 1_000_000  # weight quantization: w = floor(sqrt(cap)*1e6)
 
 
 def _q398_alloc_sql(
-    src: str = "documents", cap_body: str | None = None
+    src: str = "documents",
+    cap_body: str | None = None,
+    budget_body: str | None = None,
 ) -> str:
     """The water-filling allocation as a CTE chain over a generic doc
     relation ``src`` (doc_id, text, source) ending in the final
     SELECT — shared verbatim by q398 (raw corpus), q400 (the shipped
-    pool) and q403 (pre-tokenized pool via ``cap_body``, an override
-    for the capacity CTE body); the defaults are byte-identical to
-    q398's original oracle."""
+    pool), q403 (pre-tokenized pool via ``cap_body``, an override for
+    the capacity CTE body) and q409 (residual fill via
+    ``budget_body``, an override for the 1-row budget CTE body); the
+    defaults are byte-identical to q398's original oracle."""
     from databricks_etl_spark.plans.queries_text import _TOKS
 
     if cap_body is None:
         cap_body = f"""SELECT source,
                    CAST(SUM(len({_TOKS})) AS BIGINT) AS cap_tokens
             FROM {src} GROUP BY 1"""
+    if budget_body is None:
+        budget_body = """SELECT CAST(SUM(cap_tokens) AS BIGINT) // 2
+                AS budget
+            FROM wt"""
     return f"""cap AS (
             {cap_body}
         ),
@@ -1881,8 +1888,7 @@ def _q398_alloc_sql(
             FROM cap
         ),
         tot AS (
-            SELECT CAST(SUM(cap_tokens) AS BIGINT) // 2 AS budget
-            FROM wt
+            {budget_body}
         ),
         srt AS (
             SELECT source, cap_tokens, weight,
@@ -1970,7 +1976,9 @@ def q398_token_budget_waterfill(
     return _q398_waterfill(cap)
 
 
-def _q398_waterfill(cap: DataFrame) -> DataFrame:
+def _q398_waterfill(
+    cap: DataFrame, budget: DataFrame | None = None
+) -> DataFrame:
     """The allocation kernel over a (source, cap_tokens) relation —
     shared by q398 (raw corpus) and q400 (shipped pool). ``cap`` and
     the flagged relation each feed MULTIPLE consumers (budget rollup,
@@ -1992,8 +2000,14 @@ def _q398_waterfill(cap: DataFrame) -> DataFrame:
         .cast("long")
         .alias("weight"),
     )
-    tot = wt.agg(
-        F.expr("CAST(SUM(cap_tokens) AS BIGINT) DIV 2").alias("budget")
+    tot = (
+        budget
+        if budget is not None
+        else wt.agg(
+            F.expr("CAST(SUM(cap_tokens) AS BIGINT) DIV 2").alias(
+                "budget"
+            )
+        )
     )
     w = Window.orderBy(
         F.col("cap_tokens").cast("double") / F.col("weight"), "source"
@@ -3299,3 +3313,135 @@ def q408_shipping_plan_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     as broadcast 1-row relations — the gate costs nothing beyond the
     lanes it composes."""
     return shipping_gate(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q409 — floored allocation: per-source minimum quotas + residual fill
+# ---------------------------------------------------------------------------
+
+_Q409_FLOOR_DIV = 10  # guaranteed minimum: 1/10 of each source's capacity
+
+
+def _q409_oracle() -> str:
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    cap_body = """SELECT source,
+                   full_cap - floor_tokens AS cap_tokens
+            FROM fcap"""
+    budget_body = """SELECT rbudget AS budget FROM gl"""
+    alloc = _q398_alloc_sql(cap_body=cap_body, budget_body=budget_body)
+    return f"""
+        WITH fcap AS (
+            SELECT source,
+                   CAST(SUM(len({_TOKS})) AS BIGINT) AS full_cap,
+                   CAST(SUM(len({_TOKS})) AS BIGINT)
+                       // {_Q409_FLOOR_DIV} AS floor_tokens
+            FROM documents GROUP BY 1
+        ),
+        gl AS (
+            SELECT CAST(SUM(full_cap) AS BIGINT) // 2 AS budget,
+                   CAST(SUM(full_cap) AS BIGINT) // 2
+                       - CAST(SUM(floor_tokens) AS BIGINT) AS rbudget
+            FROM fcap
+        ),
+        res AS (
+            SELECT * FROM (WITH {alloc})
+        )
+        SELECT f.source,
+               f.full_cap AS cap_tokens,
+               f.floor_tokens,
+               r.weight,
+               r.saturated,
+               f.floor_tokens + r.alloc_tokens AS alloc_tokens,
+               CASE WHEN g.budget > 0 THEN
+                   round(CAST(f.floor_tokens + r.alloc_tokens AS DOUBLE)
+                         / g.budget, 6) END AS budget_share
+        FROM fcap f
+        JOIN res r USING (source)
+        CROSS JOIN gl g
+    """
+
+
+@query("q409_floored_waterfill", oracle=_q409_oracle())
+def q409_floored_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q398's allocation with per-source MINIMUM quotas — the
+    constraint a real mixture adds first ("never starve a rare
+    domain"): every source is guaranteed floor_s = cap_s/{_Q409_FLOOR_DIV}
+    tokens off the top, and the REMAINING budget water-fills the
+    residual capacities (cap_s - floor_s) with the same
+    sqrt-temperature weights through the SAME kernel — the budget
+    override is the only new code path (kwarg discipline; q398's
+    oracle is byte-identical at defaults). alloc_s = floor_s +
+    min(cap_s - floor_s, lambda*w_s), so every source lands in
+    [floor_s, cap_s] by construction (tested), the floors sum is
+    feasible by construction (floors are a fixed fraction below the
+    half-capacity budget), and a source the unfloored plan would
+    starve gets its quota exactly (planted test: a giant source
+    crowds out a tiny one's level allocation but can never touch its
+    floor).
+
+    Determinism/scale: identical to q398 — the floors are integer
+    divisions, the residual fill is the proven kernel, and the whole
+    allocation runs on the #sources-row relation after one
+    map-combinable corpus rollup."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    fcap = (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.size(tokens_col("text")))
+            .cast("long")
+            .alias("full_cap")
+        )
+        .withColumn(
+            "floor_tokens",
+            F.expr(f"full_cap DIV {_Q409_FLOOR_DIV}"),
+        )
+        .localCheckpoint()
+    )
+    glob = fcap.agg(
+        F.expr("CAST(SUM(full_cap) AS BIGINT) DIV 2").alias("budget"),
+        (
+            F.expr("CAST(SUM(full_cap) AS BIGINT) DIV 2")
+            - F.sum("floor_tokens")
+        )
+        .cast("long")
+        .alias("rbudget"),
+    ).localCheckpoint()
+    res = _q398_waterfill(
+        fcap.select(
+            "source",
+            (F.col("full_cap") - F.col("floor_tokens")).alias(
+                "cap_tokens"
+            ),
+        ),
+        budget=glob.select(F.col("rbudget").alias("budget")),
+    )
+    return (
+        fcap.join(
+            res.select("source", "weight", "saturated", "alloc_tokens"),
+            "source",
+        )
+        .crossJoin(F.broadcast(glob.select("budget")))
+        .select(
+            "source",
+            F.col("full_cap").alias("cap_tokens"),
+            "floor_tokens",
+            "weight",
+            "saturated",
+            (F.col("floor_tokens") + F.col("alloc_tokens")).alias(
+                "alloc_tokens"
+            ),
+            F.when(
+                F.col("budget") > 0,
+                F.round(
+                    (
+                        F.col("floor_tokens") + F.col("alloc_tokens")
+                    ).cast("double")
+                    / F.col("budget"),
+                    6,
+                ),
+            ).alias("budget_share"),
+        )
+    )

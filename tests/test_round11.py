@@ -1708,3 +1708,75 @@ def test_q398_waterfill_property_random_capacities(spark):
         assert budget - spent < n_unsat + 1
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# q409 — floored water-fill
+# ---------------------------------------------------------------------------
+
+
+def test_q409_bounds_budget_and_python_reference(spark):
+    """Every allocation lands in [floor, cap]; spending stays within
+    the floor-division bound of the budget; and the residual fill
+    equals the iterative reference on the residual capacities."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        q409_floored_waterfill,
+    )
+
+    rows = q409_floored_waterfill(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    budget = sum(r.cap_tokens for r in rows) // 2
+    floors = {r.source: r.cap_tokens // 10 for r in rows}
+    res_caps = {r.source: r.cap_tokens - floors[r.source] for r in rows}
+    want = _py_waterfill(res_caps, budget - sum(floors.values()))
+    for r in rows:
+        assert floors[r.source] <= r.alloc_tokens <= r.cap_tokens
+        assert r.alloc_tokens == floors[r.source] + want[r.source]
+    spent = sum(r.alloc_tokens for r in rows)
+    n_unsat = sum(1 for r in rows if not r.saturated)
+    assert spent <= budget
+    assert budget - spent < n_unsat + 1
+
+
+def test_q409_planted_giant_cannot_starve_tiny_floor(spark, tmp_path):
+    """A giant source next to a tiny one: the unfloored plan gives
+    the tiny source whatever the level says, the floored plan never
+    hands it less than its 10% quota — and the giant's allocation
+    shrinks to pay for it."""
+    import pandas as pd
+
+    from databricks_etl_spark.plans.queries_round11 import (
+        q398_token_budget_waterfill,
+        q409_floored_waterfill,
+    )
+
+    big = " ".join(f"tok{i}" for i in range(800))
+    tiny = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 12)),
+            "text": [big] * 10 + [tiny],
+            "lang": ["en"] * 11,
+            "source": ["big"] * 10 + ["tiny"],
+            "n_chars": [len(big)] * 10 + [len(tiny)],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    flo = {
+        r.source: r
+        for r in q409_floored_waterfill(spark, str(tmp_path)).collect()
+    }
+    base = {
+        r.source: r
+        for r in q398_token_budget_waterfill(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert flo["tiny"].floor_tokens == 1  # 10 tokens // 10
+    assert flo["tiny"].alloc_tokens >= flo["tiny"].floor_tokens
+    # floors redirect budget: the giant pays for every quota
+    assert flo["big"].alloc_tokens <= base["big"].alloc_tokens
+    b = (8000 + 10) // 2
+    assert (
+        sum(r.alloc_tokens for r in flo.values()) <= b
+    )
