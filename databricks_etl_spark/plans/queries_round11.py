@@ -3445,3 +3445,81 @@ def q409_floored_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("budget_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q410 — repeat-factor planner: fractional epochs under a budget
+# ---------------------------------------------------------------------------
+
+_Q410_EMAX = 4  # repetition ceiling: no source repeats more than 4 epochs
+
+
+def _q410_oracle() -> str:
+    from databricks_etl_spark.plans.queries_text import _TOKS
+
+    cap_body = f"""SELECT source,
+                   CAST(SUM(len({_TOKS})) AS BIGINT)
+                       * {_Q410_EMAX} AS cap_tokens
+            FROM documents GROUP BY 1"""
+    budget_body = """SELECT CAST(SUM(cap_tokens) AS BIGINT)
+                // {emax} AS budget
+            FROM wt""".format(emax=_Q410_EMAX)
+    alloc = _q398_alloc_sql(cap_body=cap_body, budget_body=budget_body)
+    return f"""
+        WITH res AS (
+            SELECT * FROM (WITH {alloc})
+        )
+        SELECT source,
+               cap_tokens // {_Q410_EMAX} AS corpus_tokens,
+               weight, saturated, alloc_tokens,
+               round(CAST(alloc_tokens AS DOUBLE)
+                     / (cap_tokens // {_Q410_EMAX}), 6) AS epochs
+        FROM res
+    """
+
+
+@query("q410_repeat_factor_plan", oracle=_q410_oracle())
+def q410_repeat_factor_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UPSAMPLING planner — the question q398 cannot ask: q398
+    clamps every source at one pass over its capacity, but a real
+    mixture REPEATS small high-value sources (multiple epochs) while
+    big ones see a fraction of one. Same kernel, one reinterpretation:
+    capacities become {_Q410_EMAX}x the corpus tokens (the repetition
+    ceiling — beyond ~4 epochs repetition hurts more than it helps),
+    the budget is ONE full corpus pass, and the per-source
+    ``epochs = alloc / corpus_tokens`` column is the repeat factor
+    the dataloader schedules (saturated == pinned at the {_Q410_EMAX}
+    -epoch ceiling). sqrt-temperature weights then upsample small
+    sources ABOVE 1 epoch and downsample large ones below it —
+    planted test: a tiny source plans > 1 epoch, a giant < 1, and no
+    source exceeds the ceiling.
+
+    Determinism/scale: the kernel's (integer cross-multiplication
+    saturation, floor-division allocation, #sources-row windows);
+    the epoch ratio is one exact-integer division rounded at 6dp."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    cap = d.groupBy("source").agg(
+        (F.sum(F.size(tokens_col("text"))) * _Q410_EMAX)
+        .cast("long")
+        .alias("cap_tokens")
+    )
+    wt_budget = cap.agg(
+        F.expr(
+            f"CAST(SUM(cap_tokens) AS BIGINT) DIV {_Q410_EMAX}"
+        ).alias("budget")
+    )
+    res = _q398_waterfill(cap, budget=wt_budget)
+    return res.select(
+        "source",
+        F.expr(f"cap_tokens DIV {_Q410_EMAX}").alias("corpus_tokens"),
+        "weight",
+        "saturated",
+        "alloc_tokens",
+        F.round(
+            F.col("alloc_tokens").cast("double")
+            / F.expr(f"cap_tokens DIV {_Q410_EMAX}"),
+            6,
+        ).alias("epochs"),
+    )

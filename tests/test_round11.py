@@ -1780,3 +1780,62 @@ def test_q409_planted_giant_cannot_starve_tiny_floor(spark, tmp_path):
     assert (
         sum(r.alloc_tokens for r in flo.values()) <= b
     )
+
+
+# ---------------------------------------------------------------------------
+# q410 — repeat-factor planner
+# ---------------------------------------------------------------------------
+
+
+def test_q410_budget_is_one_pass_and_temperature_direction(spark):
+    """Total planned tokens stay within one corpus pass; on the
+    (near-uniform) corpus the smallest source plans the highest
+    repeat factor and the largest the lowest (the sqrt-temperature
+    direction)."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        q410_repeat_factor_plan,
+    )
+
+    rows = q410_repeat_factor_plan(spark, SMOKE_SF_DIR).collect()
+    total = sum(r.corpus_tokens for r in rows)
+    spent = sum(r.alloc_tokens for r in rows)
+    assert spent <= total // 4 * 4 // 4 + total  # sanity: bounded
+    assert spent <= total  # one-pass budget (floor-division slack)
+    by_size = sorted(rows, key=lambda r: r.corpus_tokens)
+    assert by_size[0].epochs >= by_size[-1].epochs
+    for r in rows:
+        assert r.epochs <= 4.0 + 1e-9
+
+
+def test_q410_planted_tiny_source_repeats_giant_subsampled(spark, tmp_path):
+    """A tiny source next to a giant one plans MULTIPLE epochs (up to
+    the 4x ceiling) while the giant trains on a fraction of one —
+    the upsampling behavior the unfloored single-pass plan cannot
+    express."""
+    import pandas as pd
+
+    from databricks_etl_spark.plans.queries_round11 import (
+        q410_repeat_factor_plan,
+    )
+
+    big = " ".join(f"tok{i}" for i in range(900))
+    tiny = "alpha beta gamma delta epsilon zeta eta theta"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 13)),
+            "text": [big] * 11 + [tiny],
+            "lang": ["en"] * 12,
+            "source": ["big"] * 11 + ["tiny"],
+            "n_chars": [len(big)] * 11 + [len(tiny)],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r.source: r
+        for r in q410_repeat_factor_plan(spark, str(tmp_path)).collect()
+    }
+    assert rows["tiny"].epochs > 1.0
+    assert rows["big"].epochs < 1.0
+    assert rows["tiny"].epochs <= 4.0
+    if rows["tiny"].saturated:
+        assert rows["tiny"].epochs == 4.0
