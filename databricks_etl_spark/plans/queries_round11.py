@@ -3523,3 +3523,104 @@ def q410_repeat_factor_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q411 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis keys)
+# ---------------------------------------------------------------------------
+
+_Q411_K = 50  # eval-set size drawn
+_Q411_MOD = 1_000_000_007  # md5-mod modulus (the q344 row-hash prime)
+
+
+def _q411_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _quality_sql
+    from databricks_etl_spark.plans.queries_round10 import _md5_mod_sql
+
+    payload = "'wsample:' || CAST(doc_id AS VARCHAR)"
+    return f"""
+        WITH {_quality_sql()},
+        wts AS (
+            SELECT doc_id,
+                   CAST(quality_score * 4 + 1 AS BIGINT) AS weight,
+                   ({_md5_mod_sql(payload)} + 1.0)
+                       / {_Q411_MOD + 1}.0 AS u
+            FROM q
+        ),
+        keyed AS (
+            SELECT doc_id, weight,
+                   round(ln(u) / weight, 9) AS sample_key
+            FROM wts
+        )
+        SELECT doc_id, weight, sample_key,
+               CAST(rk AS BIGINT) AS rank
+        FROM (
+            SELECT doc_id, weight, sample_key,
+                   row_number() OVER (
+                       ORDER BY sample_key DESC, doc_id) AS rk
+            FROM keyed
+        ) WHERE rk <= {_Q411_K}
+    """
+
+
+@query("q411_weighted_sample_noreplace", oracle=_q411_oracle())
+def q411_weighted_sample_noreplace(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-weighted sampling WITHOUT replacement, deterministic
+    and one-pass — the draw an eval-set curation actually needs
+    (md5-mod hash sampling q125/q403 is per-row Bernoulli: it cannot
+    hit an exact size, and weighting it distorts inclusion). The
+    Efraimidis–Spirakis A-ES scheme: each doc gets key u^(1/w) for a
+    uniform u — here the PORTABLE md5-mod uniform, so the draw is
+    reproducible across engines and reruns — and the top-{_Q411_K}
+    keys ARE a weighted sample without replacement (Efraimidis &
+    Spirakis, IPL 2006). Ranking by ln(u)/w descending is the same
+    order in exact arithmetic; ln is the one transcendental, and the
+    key is rounded to 9dp BEFORE ranking with a doc_id tiebreak, so
+    a sub-9dp libm divergence cannot flip the selected set. Weights
+    are q258's quality quarters mapped to integers 1..5 (a zero-
+    quality doc still has weight 1 — a true zero weight would need
+    an explicit filter, stated rather than implied).
+
+    Scale shape: one scan computing (weight, u, key) per row, then a
+    top-{_Q411_K} — TakeOrderedAndProject, per-partition heaps, no
+    global sort, no shuffle beyond the final K-row gather. 100 TB:
+    the scan dominates; the draw is free.
+    Reference: no counterpart; completes the sampling family
+    (Bernoulli q125, stratified q357, plan-rate q403) with the
+    exact-size weighted draw."""
+    from databricks_etl_spark.operators.text import quality_features
+    from databricks_etl_spark.plans.queries_round10 import _md5_mod_col
+
+    d = read_table(spark, sf_dir, "documents")
+    qf = quality_features(d).select("doc_id", "quality_score")
+    u = (
+        _md5_mod_col(
+            F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))
+        )
+        + 1.0
+    ) / float(_Q411_MOD + 1)
+    keyed = qf.select(
+        "doc_id",
+        (F.col("quality_score") * 4 + 1).cast("long").alias("weight"),
+        F.round(F.log(u) / ((F.col("quality_score") * 4 + 1).cast("long")), 9).alias(
+            "sample_key"
+        ),
+    )
+    from pyspark.sql import Window
+
+    # top-K via orderBy+limit — TakeOrderedAndProject (per-partition
+    # heaps, no global sort); rank assigned on the K-row result
+    top = keyed.orderBy(F.desc("sample_key"), F.asc("doc_id")).limit(
+        _Q411_K
+    )
+    return top.select(
+        "doc_id",
+        "weight",
+        "sample_key",
+        F.row_number()
+        .over(Window.orderBy(F.desc("sample_key"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rank"),
+    )

@@ -1839,3 +1839,58 @@ def test_q410_planted_tiny_source_repeats_giant_subsampled(spark, tmp_path):
     assert rows["tiny"].epochs <= 4.0
     if rows["tiny"].saturated:
         assert rows["tiny"].epochs == 4.0
+
+
+# ---------------------------------------------------------------------------
+# q411 — weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+
+def test_q411_matches_python_aes_reference(spark):
+    """The selected set and ranks equal a pure-Python A-ES reference
+    (same md5-mod uniform, same 9dp-rounded ln(u)/w key), keys are
+    negative and monotone in rank, and the draw is deterministic
+    across invocations."""
+    import hashlib
+    import math
+
+    from databricks_etl_spark.operators.text import quality_features
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q411_K,
+        _Q411_MOD,
+        q411_weighted_sample_noreplace,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = sorted(
+        q411_weighted_sample_noreplace(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.rank,
+    )
+    assert len(rows) == _Q411_K
+    assert [r.rank for r in rows] == list(range(1, _Q411_K + 1))
+    keys = [r.sample_key for r in rows]
+    assert all(k <= 0 for k in keys)
+    assert keys == sorted(keys, reverse=True)
+
+    d = read_table(spark, SMOKE_SF_DIR, "documents")
+    qf = {
+        r.doc_id: r.quality_score
+        for r in quality_features(d).select(
+            "doc_id", "quality_score"
+        ).collect()
+    }
+    ref = []
+    for doc_id, qs in qf.items():
+        w = int(qs * 4 + 1)
+        h = hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()
+        u = (int(h[:12], 16) % _Q411_MOD + 1.0) / (_Q411_MOD + 1.0)
+        ref.append((round(math.log(u) / w, 9), doc_id, w))
+    ref.sort(key=lambda t: (-t[0], t[1]))
+    want = [(d_, w_) for _, d_, w_ in ref[:_Q411_K]]
+    assert [(r.doc_id, r.weight) for r in rows] == want
+
+    again = sorted(
+        q411_weighted_sample_noreplace(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
