@@ -3624,3 +3624,207 @@ def q411_weighted_sample_noreplace(
         .cast("long")
         .alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q412 — Johnson–Lindenstrauss projection distortion audit
+# ---------------------------------------------------------------------------
+
+_Q412_D = 64  # source embedding dims (the embeddings table)
+_Q412_K = 16  # projected dims
+_Q412_BAND = 0.5  # |ratio - 1| band reported
+
+
+def _q412_signs() -> list[list[int]]:
+    """The deterministic ±1 projection matrix, computed ONCE in
+    Python from md5 parity and embedded as literals on both engines
+    (the q285 literal-centers discipline) — no runtime hashing."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[0], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(_Q412_D)
+        ]
+        for j in range(_Q412_K)
+    ]
+
+
+_Q412_S = _q412_signs()
+
+
+def _q412_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round10 import _md5_mod_sql
+
+    proj = ", ".join(
+        "("
+        + " + ".join(
+            f"{'' if s > 0 else '-'}CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i, s in enumerate(row)
+        )
+        + f") / {float(_Q412_K ** 0.5)}"
+        for row in _Q412_S
+    )
+    d2 = " + ".join(
+        f"(CAST(a.embedding[{i + 1}] AS DOUBLE)"
+        f" - CAST(b.embedding[{i + 1}] AS DOUBLE))"
+        f" * (CAST(a.embedding[{i + 1}] AS DOUBLE)"
+        f" - CAST(b.embedding[{i + 1}] AS DOUBLE))"
+        for i in range(_Q412_D)
+    )
+    p2 = " + ".join(
+        f"(a.y[{j + 1}] - b.y[{j + 1}]) * (a.y[{j + 1}] - b.y[{j + 1}])"
+        for j in range(_Q412_K)
+    )
+    return f"""
+        WITH sub AS (
+            SELECT vec_id, embedding, [{proj}] AS y
+            FROM embeddings
+            WHERE substr(md5('jl:' || CAST(vec_id AS VARCHAR)), 1, 1)
+                  = '0'
+        ),
+        pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   round(({p2}) / ({d2}), 6) AS ratio
+            FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+            WHERE ({d2}) > 0
+        )
+        SELECT CAST((SELECT COUNT(*) FROM sub) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               round(CAST(SUM(CAST(ratio AS DECIMAL(18,9))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_ratio,
+               round(MIN(ratio), 6) AS min_ratio,
+               round(MAX(ratio), 6) AS max_ratio,
+               round(CAST(SUM(CASE WHEN abs(ratio - 1.0) <= {_Q412_BAND}
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS share_in_band
+        FROM pairs
+    """
+
+
+@query("q412_jl_distortion_audit", oracle=_q412_oracle())
+def q412_jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality-reduction QA for the embedding store: project
+    the {_Q412_D}-dim vectors to {_Q412_K} dims with a deterministic
+    ±1/sqrt({_Q412_K}) matrix (Achlioptas' database-friendly
+    Johnson–Lindenstrauss construction — signs are md5 parity
+    computed ONCE in Python and embedded as literals on both
+    engines, the q285 discipline) and audit pairwise squared-
+    distance distortion ||Pa-Pb||²/||a-b||² over a deterministic
+    md5 1/16 vector slice, all pairs within the slice. Reports the
+    distortion envelope (mean/min/max ratio, share within the
+    ±{_Q412_BAND} band) — the go/no-go a pipeline checks before
+    swapping the ANN index onto compressed vectors. sqrt({_Q412_K})
+    is exact (= 4), so the only floats are fixed-order sums of the
+    same doubles on both engines; per-pair ratios round to 6dp and
+    cross-pair means go through decimal sums.
+
+    Scale shape: the projection maps only the sampled slice (slice
+    rate is the eval-budget knob, q388's argument); the pair join is
+    slice×slice with a<b — at 100 TB you lower the slice, never the
+    construction. No shuffle beyond the slice self-join; one 1-row
+    rollup."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sub = emb.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("jl:"), F.col("vec_id").cast("string"))),
+            1,
+            1,
+        )
+        == "0"
+    ).select(
+        "vec_id",
+        "embedding",
+        F.array(
+            *[
+                (
+                    sum(
+                        (
+                            F.element_at("embedding", i + 1).cast("double")
+                            if s > 0
+                            else -F.element_at("embedding", i + 1).cast(
+                                "double"
+                            )
+                        )
+                        for i, s in enumerate(row)
+                    )
+                    / float(_Q412_K ** 0.5)
+                )
+                for row in _Q412_S
+            ]
+        ).alias("y"),
+    )
+    a = sub.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("y").alias("ya"),
+    )
+    b = sub.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("y").alias("yb"),
+    )
+    d2 = sum(
+        (
+            (
+                F.element_at("ea", i + 1).cast("double")
+                - F.element_at("eb", i + 1).cast("double")
+            )
+            * (
+                F.element_at("ea", i + 1).cast("double")
+                - F.element_at("eb", i + 1).cast("double")
+            )
+            for i in range(_Q412_D)
+        ),
+        F.lit(0.0),
+    )
+    p2 = sum(
+        (
+            (F.element_at("ya", j + 1) - F.element_at("yb", j + 1))
+            * (F.element_at("ya", j + 1) - F.element_at("yb", j + 1))
+            for j in range(_Q412_K)
+        ),
+        F.lit(0.0),
+    )
+    pairs = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .filter(d2 > 0)
+        .select(F.round(p2 / d2, 6).alias("ratio"))
+    )
+    nv = sub.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_ratio"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("ratio") - 1.0) <= _Q412_BAND, 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("share_in_band"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "n_vecs",
+            "n_pairs",
+            "mean_ratio",
+            "min_ratio",
+            "max_ratio",
+            "share_in_band",
+        )
+    )

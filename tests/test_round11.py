@@ -1894,3 +1894,52 @@ def test_q411_matches_python_aes_reference(spark):
         key=lambda r: r.rank,
     )
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# q412 — JL distortion audit
+# ---------------------------------------------------------------------------
+
+
+def test_q412_matches_numpy_reference(spark):
+    """The distortion envelope equals a numpy reference computing the
+    same literal-matrix projection over the same md5 slice (tolerance
+    only for summation-order ulps under the 6dp rounds)."""
+    import hashlib
+
+    import numpy as np
+
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q412_BAND,
+        _Q412_K,
+        _Q412_S,
+        q412_jl_distortion_audit,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    got = q412_jl_distortion_audit(spark, SMOKE_SF_DIR).collect()[0]
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in read_table(spark, SMOKE_SF_DIR, "embeddings").collect()
+        if hashlib.md5(f"jl:{r.vec_id}".encode()).hexdigest()[0] == "0"
+    }
+    assert got.n_vecs == len(vecs)
+    S = np.array(_Q412_S, dtype=np.float64)
+    ys = {k: S @ v / np.sqrt(_Q412_K) for k, v in vecs.items()}
+    ids = sorted(vecs)
+    ratios = []
+    for i, va in enumerate(ids):
+        for vb in ids[i + 1 :]:
+            d2 = float(np.sum((vecs[va] - vecs[vb]) ** 2))
+            if d2 > 0:
+                p2 = float(np.sum((ys[va] - ys[vb]) ** 2))
+                ratios.append(round(p2 / d2, 6))
+    assert got.n_pairs == len(ratios)
+    assert abs(got.mean_ratio - round(sum(ratios) / len(ratios), 6)) < 1e-4
+    assert abs(got.min_ratio - min(ratios)) < 1e-4
+    assert abs(got.max_ratio - max(ratios)) < 1e-4
+    share = sum(1 for r in ratios if abs(r - 1.0) <= _Q412_BAND) / len(
+        ratios
+    )
+    assert abs(got.share_in_band - round(share, 6)) < 1e-4
