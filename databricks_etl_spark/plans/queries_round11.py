@@ -3659,10 +3659,34 @@ def _q412_signs() -> list[list[int]]:
 _Q412_S = _q412_signs()
 
 
-def _q412_oracle() -> str:
-    from databricks_etl_spark.plans.queries_round10 import _md5_mod_sql
+def _q412_y_col():
+    """The projected-vector array expression over an ``embedding``
+    column — the literal-matrix projection shared by q412's audit and
+    q413's compressed-recall eval."""
+    return F.array(
+        *[
+            (
+                sum(
+                    (
+                        F.element_at("embedding", i + 1).cast("double")
+                        if s > 0
+                        else -F.element_at("embedding", i + 1).cast(
+                            "double"
+                        )
+                    )
+                    for i, s in enumerate(row)
+                )
+                / float(_Q412_K ** 0.5)
+            )
+            for row in _Q412_S
+        ]
+    )
 
-    proj = ", ".join(
+
+def _q412_proj_sql() -> str:
+    """The DuckDB twin of :func:`_q412_y_col` (a LIST literal
+    expression over ``embedding``)."""
+    return ", ".join(
         "("
         + " + ".join(
             f"{'' if s > 0 else '-'}CAST(embedding[{i + 1}] AS DOUBLE)"
@@ -3671,6 +3695,10 @@ def _q412_oracle() -> str:
         + f") / {float(_Q412_K ** 0.5)}"
         for row in _Q412_S
     )
+
+
+def _q412_oracle() -> str:
+    proj = _q412_proj_sql()
     d2 = " + ".join(
         f"(CAST(a.embedding[{i + 1}] AS DOUBLE)"
         f" - CAST(b.embedding[{i + 1}] AS DOUBLE))"
@@ -3738,28 +3766,7 @@ def q412_jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         )
         == "0"
-    ).select(
-        "vec_id",
-        "embedding",
-        F.array(
-            *[
-                (
-                    sum(
-                        (
-                            F.element_at("embedding", i + 1).cast("double")
-                            if s > 0
-                            else -F.element_at("embedding", i + 1).cast(
-                                "double"
-                            )
-                        )
-                        for i, s in enumerate(row)
-                    )
-                    / float(_Q412_K ** 0.5)
-                )
-                for row in _Q412_S
-            ]
-        ).alias("y"),
-    )
+    ).select("vec_id", "embedding", _q412_y_col().alias("y"))
     a = sub.select(
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
@@ -3827,4 +3834,201 @@ def q412_jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_ratio",
             "share_in_band",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q413 — compressed-vector retrieval recall: serving on 16 of 64 dims
+# ---------------------------------------------------------------------------
+
+
+def _q413_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import _Q285_DOT
+
+    proj = _q412_proj_sql()
+    doty = lambda a, b: " + ".join(  # noqa: E731
+        f"{a}.y[{j + 1}] * {b}.y[{j + 1}]" for j in range(_Q412_K)
+    )
+    sim64 = (
+        f"round({_Q285_DOT.format(a='q.embedding', b='c.embedding')}"
+        f" / (sqrt({_Q285_DOT.format(a='q.embedding', b='q.embedding')})"
+        f" * sqrt({_Q285_DOT.format(a='c.embedding', b='c.embedding')}))"
+        f", 6)"
+    )
+    sim16 = (
+        f"round(({doty('q', 'c')})"
+        f" / (sqrt({doty('q', 'q')}) * sqrt({doty('c', 'c')})), 6)"
+    )
+    return f"""
+        WITH pj AS (
+            SELECT vec_id, embedding, [{proj}] AS y FROM embeddings
+        ),
+        qs AS (SELECT * FROM pj WHERE vec_id < 20),
+        s AS (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   {sim64} AS sim64, {sim16} AS sim16
+            FROM qs q JOIN pj c ON q.vec_id <> c.vec_id
+        ),
+        truth AS (
+            SELECT qid, nid, rk FROM (
+                SELECT qid, nid, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim64 DESC, nid) AS rk
+                FROM s
+            ) WHERE rk <= 10
+        ),
+        jl AS (
+            SELECT qid, nid, rk FROM (
+                SELECT qid, nid, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim16 DESC, nid) AS rk
+                FROM s
+            ) WHERE rk <= 10
+        ),
+        per AS (
+            SELECT t.qid,
+                   CAST(round(SUM(CASE WHEN j.nid IS NOT NULL
+                                       THEN 1 ELSE 0 END) / 10.0, 6)
+                        AS DECIMAL(18,9)) AS recall10,
+                   CAST(MAX(CASE WHEN t.rk = 1 AND j.rk = 1
+                                 THEN 1.0 ELSE 0.0 END)
+                        AS DECIMAL(18,9)) AS top1
+            FROM truth t
+            LEFT JOIN jl j ON t.qid = j.qid AND t.nid = j.nid
+            GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               round(CAST(SUM(recall10) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_recall_at_10,
+               round(CAST(SUM(top1) AS DOUBLE) / COUNT(*), 6)
+                   AS top1_match_rate
+        FROM per
+    """
+
+
+@query("q413_jl_retrieval_recall", oracle=_q413_oracle())
+def q413_jl_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What q412's distortion envelope actually costs a RETRIEVER:
+    brute-force cosine top-10 over the {_Q412_K}-dim JL projections
+    (the same literal ±1 matrix) scored against the exact 64-dim
+    top-10 truth — mean recall@10 and top-1 agreement over the q310
+    query set. The pair (q412, q413) is the compressed-serving
+    go/no-go: the audit bounds geometry loss, this lane states the
+    end-metric loss, and a deployment trades them against a 4x
+    memory/bandwidth cut on the vector store. On THIS corpus the
+    verdict is no-go (recall@10 ~ 0.13-0.17): the synthetic vectors
+    are near-isotropic, so exact top-10 margins sit inside the JL
+    distortion band — while on clustered data the same projection
+    keeps recall high (planted structured-clusters test). The metric
+    discriminates, which is what a go/no-go must do. One scored pass
+    computes BOTH similarities per (query, candidate) row (the q310
+    one-pass discipline, localCheckpoint'd for the two rankings);
+    both rankings share the (sim DESC, nid) total order and 6dp
+    rounds.
+
+    Scale shape: query-set-bounded brute force (broadcast queries,
+    map-side scoring) — the exact side IS the eval budget, and at
+    100 TB the compressed side is the one you can afford to serve;
+    the projection itself is a per-row literal expression, no
+    shuffle."""
+    pj = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _q412_y_col().alias("y")
+    )
+    qs = pj.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("__qe"),
+        F.col("y").alias("__qy"),
+    )
+    dot64 = lambda a, b: sum(  # noqa: E731
+        (
+            F.element_at(a, i + 1).cast("double")
+            * F.element_at(b, i + 1).cast("double")
+            for i in range(_Q412_D)
+        ),
+        F.lit(0.0),
+    )
+    doty = lambda a, b: sum(  # noqa: E731
+        (
+            F.element_at(a, j + 1) * F.element_at(b, j + 1)
+            for j in range(_Q412_K)
+        ),
+        F.lit(0.0),
+    )
+    s = (
+        pj.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(
+                dot64(F.col("__qe"), F.col("embedding"))
+                / (
+                    F.sqrt(dot64(F.col("__qe"), F.col("__qe")))
+                    * F.sqrt(dot64(F.col("embedding"), F.col("embedding")))
+                ),
+                6,
+            ).alias("sim64"),
+            F.round(
+                doty(F.col("__qy"), F.col("y"))
+                / (
+                    F.sqrt(doty(F.col("__qy"), F.col("__qy")))
+                    * F.sqrt(doty(F.col("y"), F.col("y")))
+                ),
+                6,
+            ).alias("sim16"),
+        )
+        .localCheckpoint()  # one scoring pass feeds both rankings
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("qid").orderBy(F.desc("sim64"), F.asc("nid"))
+    wj = Window.partitionBy("qid").orderBy(F.desc("sim16"), F.asc("nid"))
+    truth = (
+        s.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "nid", "rk")
+    )
+    jl = (
+        s.withColumn("rk", F.row_number().over(wj))
+        .filter(F.col("rk") <= 10)
+        .select(
+            F.col("qid").alias("__jq"),
+            F.col("nid").alias("__jn"),
+            F.col("rk").alias("__jr"),
+        )
+    )
+    per = (
+        truth.join(
+            jl,
+            (F.col("qid") == F.col("__jq"))
+            & (F.col("nid") == F.col("__jn")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("__jn").isNotNull(), 1).otherwise(0)
+                )
+                / 10.0,
+                6,
+            )
+            .cast("decimal(18,9)")
+            .alias("recall10"),
+            F.max(
+                F.when(
+                    (F.col("rk") == 1) & (F.col("__jr") == 1),
+                    F.lit(1.0),
+                ).otherwise(F.lit(0.0))
+            )
+            .cast("decimal(18,9)")
+            .alias("top1"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return per.agg(
+        n.cast("long").alias("n_queries"),
+        F.round(F.sum("recall10").cast("double") / n, 6).alias(
+            "mean_recall_at_10"
+        ),
+        F.round(F.sum("top1").cast("double") / n, 6).alias(
+            "top1_match_rate"
+        ),
     )

@@ -1943,3 +1943,45 @@ def test_q412_matches_numpy_reference(spark):
         ratios
     )
     assert abs(got.share_in_band - round(share, 6)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# q413 — compressed-vector retrieval recall
+# ---------------------------------------------------------------------------
+
+
+def test_q413_discriminates_structured_from_isotropic(spark, tmp_path):
+    """On well-separated clusters the 16-dim projection preserves the
+    top-10 (recall high); on the near-isotropic testdata it cannot
+    (recall low) — the go/no-go discriminates instead of flattering."""
+    import numpy as np
+    import pandas as pd
+
+    from databricks_etl_spark.plans.queries_round11 import (
+        q413_jl_retrieval_recall,
+    )
+
+    rng = np.random.default_rng(7)
+    bases = rng.normal(0, 10.0, size=(4, 64))
+    rows = []
+    for vid in range(48):
+        c = vid % 4
+        rows.append(
+            (
+                vid,
+                (bases[c] + rng.normal(0, 0.05, size=64)).astype(
+                    "float32"
+                ).tolist(),
+                c,
+            )
+        )
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    got = q413_jl_retrieval_recall(spark, str(tmp_path)).collect()[0]
+    assert got.n_queries == 20
+    assert got.mean_recall_at_10 >= 0.8
+
+    iso = q413_jl_retrieval_recall(spark, SMOKE_SF_DIR).collect()[0]
+    assert iso.n_queries == 20
+    assert iso.mean_recall_at_10 < got.mean_recall_at_10
