@@ -1096,7 +1096,15 @@ def q347_epoch_shuffle_decorrelation(
     from databricks_etl_spark.plans.queries_round9 import q326_dataloader_order
 
     ordr = q326_dataloader_order(spark, sf_dir)
-    seqs = ordr.select("epoch", "seq_id", "step").distinct()
+    return _epoch_step_corr(ordr.select("epoch", "seq_id", "step").distinct())
+
+
+def _epoch_step_corr(seqs: DataFrame) -> DataFrame:
+    """q347's moment kernel over a distinct (epoch, seq_id, step)
+    relation — factored so q418's dataloader gate (queries_round11)
+    aggregates the SAME correlation the audit lane reports; see
+    q347's docstring for the exact-decimal-moment determinism
+    argument."""
     a = seqs.select(
         F.col("epoch").alias("epoch_a"),
         "seq_id",

@@ -4032,3 +4032,830 @@ def q413_jl_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top1_match_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q414 — dataloader interleave run-length audit (batch homogeneity)
+# ---------------------------------------------------------------------------
+
+
+def _capped_doc_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, len) with len = q326's budget-capped token
+    count — the mass each doc contributes to the sequence it rides."""
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round9 import _Q326_B
+
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.least(F.size(tokens_col("text")).cast("long"), F.lit(_Q326_B))
+        .cast("long")
+        .alias("len"),
+    )
+
+
+def _step_dominant_source(ordr: DataFrame, lens: DataFrame) -> DataFrame:
+    """(epoch, step, source): each replay step attributed to the source
+    carrying the largest token mass in its sequence (tie → min source).
+    Window partitions are (epoch, step) — at most |sources| rows each,
+    so the rank is embarrassingly parallel at any corpus size."""
+    from pyspark.sql import Window
+
+    mass = (
+        ordr.join(lens, "doc_id")
+        .groupBy("epoch", "step", "source")
+        .agg(F.sum("len").cast("long").alias("mass"))
+    )
+    w = Window.partitionBy("epoch", "step").orderBy(
+        F.desc("mass"), F.asc("source")
+    )
+    return (
+        mass.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("epoch", "step", "source")
+    )
+
+
+def _interleave_audit(steps: DataFrame) -> DataFrame:
+    """Run-length statistics of a (epoch, step, source) replay stream,
+    per (epoch, source): how many contiguous same-source RUNS the
+    stream serves, the mean run length, and the realized count of
+    same-source adjacent step pairs against its expectation under an
+    independent shuffle (share^2 x pairs) — clumping_ratio ~ 1 means
+    the interleave is as mixed as random; >> 1 means the loader feeds
+    same-source blocks (batch-composition bias). The step-1 lag is an
+    equi-join on (epoch, step = step + 1), NOT a global window — no
+    single-task epoch scan at any scale. ``steps`` fans into three
+    consumers (cur/prev/tot) — localCheckpoint'd so the upstream
+    stream derivation runs once (the q387/q400 rule)."""
+    steps = steps.localCheckpoint()
+    cur = steps
+    prev = steps.select(
+        "epoch",
+        (F.col("step") + 1).alias("step"),
+        F.col("source").alias("__prev"),
+    )
+    adj = cur.join(prev, ["epoch", "step"], "left")
+    per = adj.groupBy("epoch", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.sum(
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("__prev") != F.col("source")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_runs"),
+        F.sum(F.when(F.col("__prev") == F.col("source"), 1).otherwise(0))
+        .cast("long")
+        .alias("self_adj_pairs"),
+    )
+    tot = steps.groupBy("epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("__t")
+    )
+    sh = F.col("n_steps").cast("double") / F.col("__t")
+    expected = sh * sh * (F.col("__t") - 1)
+    return per.join(F.broadcast(tot), "epoch").select(
+        "epoch",
+        "source",
+        "n_steps",
+        "n_runs",
+        F.round(F.col("n_steps").cast("double") / F.col("n_runs"), 6).alias(
+            "mean_run_len"
+        ),
+        F.round(sh, 6).alias("step_share"),
+        "self_adj_pairs",
+        F.round(expected, 6).alias("expected_self_adj"),
+        F.when(
+            F.col("__t") > 1,
+            F.round(F.col("self_adj_pairs") / expected, 6),
+        ).alias("clumping_ratio"),
+    )
+
+
+def _q414_dom_sql() -> str:
+    """Shared oracle CTE block: q326's stream (`ord`, MATERIALIZED)
+    reduced to per-step dominant sources (`dom`) — q414/q415/q418 all
+    append their rollups to this block so the step-attribution rule
+    cannot drift between the audit lanes."""
+    from databricks_etl_spark.plans.queries_round7 import _Q291_TOKS
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q326_B,
+        _q326_oracle,
+    )
+
+    return f"""
+        ord AS MATERIALIZED (SELECT * FROM ({_q326_oracle()})),
+        lens AS MATERIALIZED (
+            SELECT doc_id, source,
+                   least({_Q291_TOKS}, {_Q326_B}) AS len
+            FROM documents
+        ),
+        mass AS (
+            SELECT o.epoch, o.step, l.source,
+                   CAST(SUM(l.len) AS BIGINT) AS mass
+            FROM ord o JOIN lens l ON o.doc_id = l.doc_id
+            GROUP BY 1, 2, 3
+        ),
+        dom AS MATERIALIZED (
+            SELECT epoch, step, source FROM (
+                SELECT epoch, step, source,
+                       row_number() OVER (
+                           PARTITION BY epoch, step
+                           ORDER BY mass DESC, source) AS rk
+                FROM mass
+            ) WHERE rk = 1
+        )"""
+
+
+def _q414_run_sql() -> str:
+    """The run-statistics CTE block over ``dom`` (adj / per / tot) —
+    q414 appends its per-(epoch, source) SELECT, q418's gate appends
+    the pooled epoch-grain rollup, off ONE definition."""
+    return """
+        adj AS (
+            SELECT c.epoch, c.step, c.source, p.source AS prev_source
+            FROM dom c
+            LEFT JOIN dom p ON c.epoch = p.epoch AND c.step = p.step + 1
+        ),
+        per AS (
+            SELECT epoch, source,
+                   CAST(COUNT(*) AS BIGINT) AS n_steps,
+                   CAST(SUM(CASE WHEN prev_source IS NULL
+                                   OR prev_source <> source
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+                   CAST(SUM(CASE WHEN prev_source = source
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS self_adj_pairs
+            FROM adj GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT epoch, CAST(COUNT(*) AS BIGINT) AS t
+            FROM dom GROUP BY 1
+        )"""
+
+
+def _q414_oracle() -> str:
+    return f"""
+        WITH RECURSIVE
+        {_q414_dom_sql()},
+        {_q414_run_sql()}
+        SELECT p.epoch, p.source, p.n_steps, p.n_runs,
+               round(CAST(p.n_steps AS DOUBLE) / p.n_runs, 6)
+                   AS mean_run_len,
+               round(CAST(p.n_steps AS DOUBLE) / t.t, 6) AS step_share,
+               p.self_adj_pairs,
+               round((CAST(p.n_steps AS DOUBLE) / t.t)
+                     * (CAST(p.n_steps AS DOUBLE) / t.t)
+                     * (t.t - 1), 6) AS expected_self_adj,
+               CASE WHEN t.t > 1 THEN
+                   round(p.self_adj_pairs
+                         / ((CAST(p.n_steps AS DOUBLE) / t.t)
+                            * (CAST(p.n_steps AS DOUBLE) / t.t)
+                            * (t.t - 1)), 6)
+               END AS clumping_ratio
+        FROM per p JOIN tot t ON p.epoch = t.epoch
+    """
+
+
+@query("q414_interleave_runlength_audit", oracle=_q414_oracle())
+def q414_interleave_runlength_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does the epoch shuffle actually INTERLEAVE sources, step by
+    step? q342/q367 prove the epoch-grain mixture and q347 proves
+    epoch-pair decorrelation, but a loader can hit both and still
+    serve same-source BLOCKS inside an epoch (the batch-composition
+    bias curriculum papers warn about: consecutive gradient steps see
+    one domain). The audit attributes every step of q326's stream to
+    its dominant-mass source, then measures contiguous run structure
+    per (epoch, source): run count, mean run length, and realized
+    same-source adjacent pairs vs the share^2 x pairs expectation of
+    an independent shuffle — clumping_ratio ~ 1 is the pass signal.
+
+    Scale shape: one doc_id-keyed join + two grouped counts + a
+    (epoch, step)-bounded rank window; the lag is an equi-join on
+    step + 1, never a global ordered window, so no stage scans an
+    epoch single-task at 100 TB."""
+    from databricks_etl_spark.plans.queries_round9 import (
+        q326_dataloader_order,
+    )
+
+    ordr = q326_dataloader_order(spark, sf_dir)
+    lens = _capped_doc_lens(spark, sf_dir)
+    return _interleave_audit(_step_dominant_source(ordr, lens))
+
+
+# ---------------------------------------------------------------------------
+# q415 — batch-composition mixing entropy (step-window source diversity)
+# ---------------------------------------------------------------------------
+
+_Q415_BS = 32  # steps per optimizer batch (the audit's window)
+_Q415_TOP = 0.5  # dominance alarm: one source above half the batch
+
+
+def _batch_mixing(ordr: DataFrame, lens: DataFrame, bs: int) -> DataFrame:
+    """Per (epoch, batch = (step-1) DIV bs) source-mixing audit over a
+    (epoch, step, ...) replay stream: token mass per source inside
+    each batch window, Shannon entropy of the batch's source shares
+    (sequential-fold determinism: shares sorted then left-folded, the
+    q260 README rule), the dominant source and its share, and a
+    low_mixing alarm when one source carries more than
+    {_Q415_TOP} of the batch."""
+    from pyspark.sql import Window
+
+    mass = (
+        ordr.join(lens, "doc_id")
+        .groupBy(
+            "epoch",
+            F.expr(f"CAST((step - 1) DIV {bs} AS BIGINT)").alias("batch"),
+            "source",
+        )
+        .agg(F.sum("len").cast("long").alias("mass"))
+        .localCheckpoint()  # two consumers (top rank + entropy rollup)
+    )
+    wtop = Window.partitionBy("epoch", "batch").orderBy(
+        F.desc("mass"), F.asc("source")
+    )
+    top = (
+        mass.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") == 1)
+        .select(
+            "epoch",
+            "batch",
+            F.col("source").alias("top_source"),
+            F.col("mass").alias("__topm"),
+        )
+    )
+    per = mass.groupBy("epoch", "batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("mass").cast("long").alias("batch_tokens"),
+        F.sort_array(F.collect_list(F.col("mass").cast("double"))).alias(
+            "__cs"
+        ),
+    )
+    t = F.col("batch_tokens").cast("double")
+    fold = F.aggregate(
+        "__cs",
+        F.lit(0.0),
+        lambda a, c: a + (c / t) * F.log(c / t),
+    )
+    return per.join(top, ["epoch", "batch"]).select(
+        "epoch",
+        "batch",
+        "n_sources",
+        "batch_tokens",
+        F.round(F.lit(0.0) - fold, 6).alias("entropy_nats"),
+        "top_source",
+        F.round(F.col("__topm").cast("double") / t, 6).alias("top_share"),
+        (F.col("__topm").cast("double") / t > _Q415_TOP).alias(
+            "low_mixing"
+        ),
+    )
+
+
+def _q415_batch_sql(bs: int, top: float) -> str:
+    """The per-(epoch, batch) mixing rollup as SQL over the `ord`/
+    `lens` CTEs of ``_q414_dom_sql`` — q415 appends a SELECT *, q418's
+    gate appends a one-row aggregate."""
+    return f"""
+        bmass AS (
+            SELECT o.epoch,
+                   CAST((o.step - 1) // {bs} AS BIGINT) AS batch,
+                   l.source, CAST(SUM(l.len) AS BIGINT) AS mass
+            FROM ord o JOIN lens l ON o.doc_id = l.doc_id
+            GROUP BY 1, 2, 3
+        ),
+        btop AS (
+            SELECT epoch, batch, source AS top_source, mass AS topm
+            FROM (
+                SELECT epoch, batch, source, mass,
+                       row_number() OVER (
+                           PARTITION BY epoch, batch
+                           ORDER BY mass DESC, source) AS rk
+                FROM bmass
+            ) WHERE rk = 1
+        ),
+        bper AS (
+            SELECT epoch, batch,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(SUM(mass) AS BIGINT) AS batch_tokens,
+                   list_sort(list(CAST(mass AS DOUBLE))) AS cs
+            FROM bmass GROUP BY 1, 2
+        ),
+        bmix AS (
+            SELECT p.epoch, p.batch, p.n_sources, p.batch_tokens,
+                   round(0.0 - list_reduce(
+                       list_transform(
+                           cs,
+                           x -> (x / CAST(p.batch_tokens AS DOUBLE))
+                                * ln(x / CAST(p.batch_tokens AS DOUBLE))),
+                       (a, b) -> a + b), 6) AS entropy_nats,
+                   t.top_source,
+                   round(CAST(t.topm AS DOUBLE)
+                         / CAST(p.batch_tokens AS DOUBLE), 6) AS top_share,
+                   (CAST(t.topm AS DOUBLE)
+                    / CAST(p.batch_tokens AS DOUBLE) > {top}) AS low_mixing
+            FROM bper p
+            JOIN btop t ON p.epoch = t.epoch AND p.batch = t.batch
+        )"""
+
+
+def _q415_oracle() -> str:
+    return f"""
+        WITH RECURSIVE
+        {_q414_dom_sql()},
+        {_q415_batch_sql(_Q415_BS, _Q415_TOP)}
+        SELECT epoch, batch, n_sources, batch_tokens, entropy_nats,
+               top_source, top_share, low_mixing
+        FROM bmix
+    """
+
+
+@query("q415_batch_mixing_entropy", oracle=_q415_oracle())
+def q415_batch_mixing_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The grain an optimizer step actually SEES: group q326's replay
+    stream into {_Q415_BS}-step batch windows and measure each batch's
+    source composition — token mass per source, Shannon entropy of the
+    shares (high = well-mixed batch, 0 = single-domain batch), the
+    dominant source, and a low_mixing alarm when one source exceeds
+    {_Q415_TOP} of the batch's tokens. Complements q414 (adjacency
+    clumping) with the windowed view: a stream can alternate AB every
+    step (clumping 0) and still feed 50%-A batches — and a gradient
+    batch dominated by one domain is the bias the shuffle exists to
+    prevent.
+
+    Entropy determinism is the q260 sequential-fold rule: per-batch
+    mass lists are sorted then left-folded p·ln(p) identically on
+    both engines (ln is empirically bit-identical cross-engine; the
+    unordered-SUM hazard never arises). Scale shape: everything keys
+    on (epoch, batch) — grouped integer sums and a bounded rank
+    window; batch count grows with corpus size, per-batch state is
+    |sources| rows."""
+    from databricks_etl_spark.plans.queries_round9 import (
+        q326_dataloader_order,
+    )
+
+    ordr = q326_dataloader_order(spark, sf_dir)
+    lens = _capped_doc_lens(spark, sf_dir)
+    return _batch_mixing(ordr, lens, _Q415_BS)
+
+
+# ---------------------------------------------------------------------------
+# q416 — replay-spacing audit (how far apart are a sequence's repeats?)
+# ---------------------------------------------------------------------------
+
+
+def _q416_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round9 import _q326_oracle
+
+    return f"""
+        WITH ord AS MATERIALIZED (SELECT * FROM ({_q326_oracle()})),
+        seqs AS (SELECT DISTINCT epoch, step, seq_id FROM ord),
+        sizes AS (
+            SELECT epoch, CAST(COUNT(*) AS BIGINT) AS c
+            FROM seqs GROUP BY 1
+        ),
+        offs AS (
+            SELECT epoch,
+                   COALESCE(SUM(c) OVER (
+                       ORDER BY epoch
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS o
+            FROM sizes
+        ),
+        pos AS (
+            SELECT s.epoch, s.seq_id, f.o + s.step AS pos
+            FROM seqs s JOIN offs f ON s.epoch = f.epoch
+        ),
+        gaps AS (
+            SELECT a.seq_id % 8 AS eclass,
+                   a.epoch AS epoch_from, b.epoch AS epoch_to,
+                   b.pos - a.pos AS gap
+            FROM pos a
+            JOIN pos b ON a.seq_id = b.seq_id AND b.epoch = a.epoch + 1
+        )
+        SELECT eclass, epoch_from, epoch_to,
+               CAST(COUNT(*) AS BIGINT) AS n_seqs,
+               CAST(MIN(gap) AS BIGINT) AS min_gap,
+               CAST(MAX(gap) AS BIGINT) AS max_gap,
+               round(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS mean_gap
+        FROM gaps GROUP BY 1, 2, 3
+    """
+
+
+@query("q416_replay_spacing_audit", oracle=_q416_oracle())
+def q416_replay_spacing_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spaced repetition for the multi-epoch sequences: when q323
+    budgets a source more than one epoch, HOW FAR APART does the
+    loader replay each sequence? Back-to-back repeats (small gaps)
+    are the memorization-risk pattern data-constrained-scaling work
+    flags; well-spread repeats are the benign one. Every sequence's
+    replay positions are laid on ONE global step axis (per-epoch step
+    plus the exact cumulative size of all earlier epochs — epochs
+    shrink as eclasses retire, so the offsets are data, not
+    arithmetic), and consecutive-epoch gaps roll up per (eclass,
+    epoch pair): n_seqs, min/max gap, exact-integer mean gap.
+
+    Scale shape: the offsets relation is |epochs| <= 8 rows (the only
+    ordered window, trivially broadcast); everything else is a
+    seq_id-keyed self-join between adjacent epochs and an integer
+    aggregate — min_gap is the headline number a training engineer
+    reads (the closest ANY sequence's two replays ever get)."""
+    from pyspark.sql import Window
+
+    from databricks_etl_spark.plans.queries_round9 import (
+        q326_dataloader_order,
+    )
+
+    ordr = q326_dataloader_order(spark, sf_dir)
+    # seqs fans into sizes + pos, and pos into both join sides —
+    # checkpoint once so the FFD/manifest chain derives once
+    seqs = (
+        ordr.select("epoch", "step", "seq_id").distinct().localCheckpoint()
+    )
+    sizes = seqs.groupBy("epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    woff = Window.orderBy("epoch").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = sizes.select(
+        "epoch",
+        F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("o"),
+    )
+    pos = seqs.join(F.broadcast(offs), "epoch").select(
+        "epoch", "seq_id", (F.col("o") + F.col("step")).alias("pos")
+    )
+    a = pos.select(
+        "seq_id",
+        F.col("epoch").alias("epoch_from"),
+        F.col("pos").alias("__pa"),
+    )
+    b = pos.select(
+        "seq_id",
+        F.col("epoch").alias("epoch_to"),
+        F.col("pos").alias("__pb"),
+    )
+    gaps = a.join(b, "seq_id").filter(
+        F.col("epoch_to") == F.col("epoch_from") + 1
+    )
+    return (
+        gaps.select(
+            (F.col("seq_id") % 8).alias("eclass"),
+            "epoch_from",
+            "epoch_to",
+            (F.col("__pb") - F.col("__pa")).alias("gap"),
+        )
+        .groupBy("eclass", "epoch_from", "epoch_to")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.min("gap").cast("long").alias("min_gap"),
+            F.max("gap").cast("long").alias("max_gap"),
+            F.round(
+                F.sum("gap").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q417 — small-file compaction planner (ordered coalesce into target splits)
+# ---------------------------------------------------------------------------
+
+_Q417_TGT = 256  # target rows per compacted split (byte-size stand-in)
+_Q417_BKT = 8  # days per cumsum bucket (two-phase distributed prefix sum)
+
+
+@query(
+    "q417_compaction_plan",
+    oracle=f"""
+        WITH f AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS rws
+            FROM events GROUP BY 1, 2
+        ),
+        fb AS (
+            SELECT event_type, d, rws,
+                   datediff('day', DATE '1970-01-01', d) // {_Q417_BKT}
+                       AS bucket
+            FROM f
+        ),
+        parts AS (
+            SELECT event_type, bucket, CAST(SUM(rws) AS BIGINT) AS s
+            FROM fb GROUP BY 1, 2
+        ),
+        boff AS (
+            SELECT event_type, bucket,
+                   COALESCE(SUM(s) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS bo
+            FROM parts
+        ),
+        cb AS (
+            SELECT fb.event_type, fb.d, fb.rws,
+                   b.bo + COALESCE(SUM(fb.rws) OVER (
+                       PARTITION BY fb.event_type, fb.bucket
+                       ORDER BY fb.d
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_before
+            FROM fb
+            JOIN boff b ON fb.event_type = b.event_type
+                       AND fb.bucket = b.bucket
+        )
+        SELECT event_type,
+               CAST(cum_before // {_Q417_TGT} AS BIGINT) AS split_id,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(rws) AS BIGINT) AS split_rows,
+               CAST(MIN(d) AS TIMESTAMP) AS first_day,
+               CAST(MAX(d) AS TIMESTAMP) AS last_day,
+               (SUM(rws) > {_Q417_TGT}) AS over_target
+        FROM cb GROUP BY 1, 2
+    """,
+)
+def q417_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-file problem, planned away: streaming ingest lands one
+    file per (event_type, day) — at 100 TB that's millions of
+    kilobyte-grain files whose per-file open/footer cost dominates the
+    scan. The planner coalesces TIME-ADJACENT daily files into splits
+    of ~{_Q417_TGT} rows (row counts stand in for bytes — same plan,
+    different unit) WITHOUT breaking day order, so date predicates
+    still prune compacted splits by (first_day, last_day) zone — the
+    ordered-coalesce discipline of Delta OPTIMIZE, stated as a pure
+    plan relation: split_id = floor(prefix_rows / target) over the
+    day-ordered prefix sum, so a split overflows the target by at
+    most one file (floor-binning never splits a file).
+
+    The prefix sum is TWO-PHASE, never a single global window: files
+    bucket by day-index DIV {_Q417_BKT}, per-bucket partials take a
+    tiny per-source ordered window ({_Q417_BKT}x smaller than the file
+    count), and each file adds its within-bucket prefix to the
+    broadcast bucket offset — the q326 distributed-rank discipline
+    applied to cumsum. Output is the compaction manifest a rewrite
+    job executes: files per split, exact split rows, covering day
+    range, over-target flag."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    files = e.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("rws")
+    )
+    fb = files.withColumn(
+        "bucket",
+        F.expr(
+            f"CAST(datediff(d, DATE '1970-01-01') DIV {_Q417_BKT}"
+            " AS BIGINT)"
+        ),
+    )
+    parts = fb.groupBy("event_type", "bucket").agg(
+        F.sum("rws").cast("long").alias("s")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = parts.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.sum("s").over(wb), F.lit(0)).alias("bo"),
+    )
+    wf = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cb = fb.join(F.broadcast(boff), ["event_type", "bucket"]).select(
+        "event_type",
+        "d",
+        "rws",
+        (
+            F.col("bo") + F.coalesce(F.sum("rws").over(wf), F.lit(0))
+        ).alias("cum_before"),
+    )
+    return cb.groupBy(
+        "event_type",
+        F.expr(f"CAST(cum_before DIV {_Q417_TGT} AS BIGINT)").alias(
+            "split_id"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("rws").cast("long").alias("split_rows"),
+        F.min("d").cast("timestamp").alias("first_day"),
+        F.max("d").cast("timestamp").alias("last_day"),
+        (F.sum("rws") > _Q417_TGT).alias("over_target"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q418 — fail-closed dataloader gate (mixing ∧ clumping ∧ decorrelation)
+# ---------------------------------------------------------------------------
+
+_Q418_MIN_ENTROPY = 1.5  # nats; sf0.01 batches sit at 2.1-3.0
+_Q418_MAX_CLUMP = 2.0  # pooled clumping ratio; ~1.0 under a fair shuffle
+_Q418_MAX_CORR = 0.7  # |epoch-pair step corr|; 1/sqrt(n) noise at small n
+
+
+def _q418_oracle() -> str:
+    return f"""
+        WITH RECURSIVE
+        {_q414_dom_sql()},
+        {_q414_run_sql()},
+        {_q415_batch_sql(_Q415_BS, _Q415_TOP)},
+        pool AS (
+            SELECT epoch,
+                   CAST(SUM(self_adj_pairs) AS BIGINT) AS sa,
+                   CAST(SUM(n_steps * n_steps) AS BIGINT) AS sn2,
+                   CAST(SUM(n_steps) AS BIGINT) AS t
+            FROM per GROUP BY 1
+        ),
+        cseqs AS (SELECT DISTINCT epoch, seq_id, step FROM ord),
+        cmom AS (
+            SELECT a.epoch AS ea, b.epoch AS eb,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(a.step AS DECIMAL(18,0))) AS sx,
+                   SUM(CAST(b.step AS DECIMAL(18,0))) AS sy,
+                   SUM(CAST(a.step AS DECIMAL(18,0))
+                       * CAST(b.step AS DECIMAL(18,0))) AS sxy,
+                   SUM(CAST(a.step AS DECIMAL(18,0))
+                       * CAST(a.step AS DECIMAL(18,0))) AS sx2,
+                   SUM(CAST(b.step AS DECIMAL(18,0))
+                       * CAST(b.step AS DECIMAL(18,0))) AS sy2
+            FROM cseqs a
+            JOIN cseqs b ON a.seq_id = b.seq_id AND a.epoch < b.epoch
+            GROUP BY 1, 2
+        ),
+        ccorr AS (
+            SELECT round((n * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (sqrt(n * CAST(sx2 AS DOUBLE)
+                                 - CAST(sx AS DOUBLE)
+                                   * CAST(sx AS DOUBLE))
+                            * sqrt(n * CAST(sy2 AS DOUBLE)
+                                   - CAST(sy AS DOUBLE)
+                                     * CAST(sy AS DOUBLE))),
+                         6) AS r
+            FROM cmom WHERE n >= 2
+        ),
+        c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_steps_total FROM dom),
+        c2 AS (SELECT MIN(entropy_nats) AS min_batch_entropy FROM bmix),
+        c3 AS (
+            SELECT MAX(CASE WHEN t > 1 THEN
+                       round(CAST(sa AS DOUBLE) * t * t
+                             / (CAST(t - 1 AS DOUBLE) * sn2), 6)
+                   END) AS max_clumping_pooled
+            FROM pool
+        ),
+        c4 AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_epoch_pairs,
+                   MAX(abs(r)) AS max_abs_step_corr
+            FROM ccorr
+        )
+        SELECT c1.n_steps_total, c2.min_batch_entropy,
+               c3.max_clumping_pooled, c4.n_epoch_pairs,
+               c4.max_abs_step_corr,
+               (c1.n_steps_total > 0) AS check_nonempty,
+               COALESCE(c2.min_batch_entropy >= {_Q418_MIN_ENTROPY},
+                        FALSE) AS check_mixing,
+               COALESCE(c3.max_clumping_pooled <= {_Q418_MAX_CLUMP},
+                        FALSE) AS check_clumping,
+               (c4.n_epoch_pairs = 0
+                OR COALESCE(c4.max_abs_step_corr <= {_Q418_MAX_CORR},
+                            FALSE)) AS check_decorrelation,
+               CASE WHEN c1.n_steps_total > 0
+                     AND COALESCE(c2.min_batch_entropy
+                                  >= {_Q418_MIN_ENTROPY}, FALSE)
+                     AND COALESCE(c3.max_clumping_pooled
+                                  <= {_Q418_MAX_CLUMP}, FALSE)
+                     AND (c4.n_epoch_pairs = 0
+                          OR COALESCE(c4.max_abs_step_corr
+                                      <= {_Q418_MAX_CORR}, FALSE))
+                    THEN 'SHIP' ELSE 'HOLD' END AS verdict
+        FROM c1, c2, c3, c4
+    """
+
+
+def _q418_gate(
+    ordr: DataFrame,
+    lens: DataFrame,
+    *,
+    min_entropy: float = _Q418_MIN_ENTROPY,
+    max_clump: float = _Q418_MAX_CLUMP,
+    max_corr: float = _Q418_MAX_CORR,
+) -> DataFrame:
+    """The gate kernel over an explicit (ordr, lens) pair — planted
+    tests feed adversarial streams; q418 feeds q326's production
+    stream. Thresholds are kwargs so a planted violation flips ONE
+    knob (the q386/q395/q408 gate-family discipline)."""
+    from databricks_etl_spark.plans.queries_round10 import (
+        _epoch_step_corr,
+    )
+
+    steps = _step_dominant_source(ordr, lens)
+    per = _interleave_audit(steps)
+    pool = per.groupBy("epoch").agg(
+        F.sum("self_adj_pairs").cast("long").alias("sa"),
+        F.sum(F.col("n_steps") * F.col("n_steps"))
+        .cast("long")
+        .alias("sn2"),
+        F.sum("n_steps").cast("long").alias("t"),
+    )
+    clump = F.when(
+        F.col("t") > 1,
+        F.round(
+            F.col("sa").cast("double") * F.col("t") * F.col("t")
+            / ((F.col("t") - 1).cast("double") * F.col("sn2")),
+            6,
+        ),
+    )
+    corr = _epoch_step_corr(
+        ordr.select("epoch", "seq_id", "step").distinct()
+    )
+    c1 = steps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps_total")
+    )
+    c2 = _batch_mixing(ordr, lens, _Q415_BS).agg(
+        F.min("entropy_nats").alias("min_batch_entropy")
+    )
+    c3 = pool.agg(F.max(clump).alias("max_clumping_pooled"))
+    c4 = corr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_epoch_pairs"),
+        F.max(F.abs(F.col("step_correlation"))).alias(
+            "max_abs_step_corr"
+        ),
+    )
+    g = c1.crossJoin(c2).crossJoin(c3).crossJoin(c4)
+    ck_ne = F.col("n_steps_total") > 0
+    ck_mix = F.coalesce(
+        F.col("min_batch_entropy") >= min_entropy, F.lit(False)
+    )
+    ck_cl = F.coalesce(
+        F.col("max_clumping_pooled") <= max_clump, F.lit(False)
+    )
+    ck_dc = (F.col("n_epoch_pairs") == 0) | F.coalesce(
+        F.col("max_abs_step_corr") <= max_corr, F.lit(False)
+    )
+    return g.select(
+        "n_steps_total",
+        "min_batch_entropy",
+        "max_clumping_pooled",
+        "n_epoch_pairs",
+        "max_abs_step_corr",
+        ck_ne.alias("check_nonempty"),
+        ck_mix.alias("check_mixing"),
+        ck_cl.alias("check_clumping"),
+        ck_dc.alias("check_decorrelation"),
+        F.when(ck_ne & ck_mix & ck_cl & ck_dc, F.lit("SHIP"))
+        .otherwise(F.lit("HOLD"))
+        .alias("verdict"),
+    )
+
+
+@query("q418_dataloader_gate", oracle=_q418_oracle())
+def q418_dataloader_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fail-closed SERVING gate that fronts q326's stream: one
+    verdict row a launch pipeline reads before pointing trainers at
+    the artifact — batch mixing (q415's minimum batch entropy >=
+    {_Q418_MIN_ENTROPY} nats), interleave clumping (q414's
+    same-source adjacency POOLED per epoch <= {_Q418_MAX_CLUMP}; the
+    pooled form SUM(self_adj) * t^2 / ((t-1) * SUM(n^2)) keeps every
+    moment an exact BIGINT so no unordered float sum exists), and
+    epoch decorrelation (q347's |step correlation| <=
+    {_Q418_MAX_CORR}, vacuously true when nothing repeats). Empty
+    stream, missing batches, or an undefined metric all COALESCE to
+    failed checks — HOLD, never silently SHIP (the q386/q395/q408
+    fail-closed discipline; this completes the gate family across
+    the four ship surfaces: corpus, tokenizer, plan, loader).
+
+    The oracle restates all three checks in ONE statement off a
+    single MATERIALIZED stream CTE (q414's dom block + q415's batch
+    block + q347's exact-decimal moments), so the gate cannot drift
+    from the audit lanes it summarizes; the Spark side reuses those
+    lanes' kernels on one localCheckpoint'd stream for the same
+    reason."""
+    ordr = q326_order_checkpointed(spark, sf_dir)
+    lens = _capped_doc_lens(spark, sf_dir)
+    return _q418_gate(ordr, lens)
+
+
+def q326_order_checkpointed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q326's stream, localCheckpoint'd: q418 fans it into four
+    consumers (dominant-source steps, batch mixing, pooled runs,
+    correlation moments) — without the checkpoint each consumer
+    re-derives the FFD packing and the manifest (the q387/q400
+    multi-consumer materialization rule)."""
+    from databricks_etl_spark.plans.queries_round9 import (
+        q326_dataloader_order,
+    )
+
+    return q326_dataloader_order(spark, sf_dir).localCheckpoint()

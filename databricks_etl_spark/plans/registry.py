@@ -539,7 +539,7 @@ def _load() -> None:
     # round-11 modules
     import databricks_etl_spark.plans.queries_round11  # noqa: F401
 
-    assert len(QUERIES) >= 411, (
+    assert len(QUERIES) >= 416, (
         f"query registry shrank: {len(QUERIES)} < 411 — a module failed to register"
     )
     _reorder()

@@ -1985,3 +1985,205 @@ def test_q413_discriminates_structured_from_isotropic(spark, tmp_path):
     iso = q413_jl_retrieval_recall(spark, SMOKE_SF_DIR).collect()[0]
     assert iso.n_queries == 20
     assert iso.mean_recall_at_10 < got.mean_recall_at_10
+
+
+# ---------------------------------------------------------------------------
+# q414/q415 — interleave + batch-mixing kernels on planted streams
+# ---------------------------------------------------------------------------
+
+
+def test_q414_blocked_vs_alternating_streams(spark):
+    """AAAABBBB is one run per source with three self-adjacencies each;
+    ABABABAB is four runs per source with zero — the kernel must tell
+    them apart (that's the audit's whole job)."""
+    from databricks_etl_spark.plans.queries_round11 import _interleave_audit
+
+    def steps(srcs):
+        return spark.createDataFrame(
+            [(1, i + 1, s) for i, s in enumerate(srcs)],
+            "epoch long, step long, source string",
+        )
+
+    blocked = {
+        r["source"]: r
+        for r in _interleave_audit(steps("AAAABBBB")).collect()
+    }
+    assert blocked["A"]["n_runs"] == 1 and blocked["B"]["n_runs"] == 1
+    assert blocked["A"]["self_adj_pairs"] == 3
+    assert blocked["A"]["mean_run_len"] == 4.0
+    # share^2 * pairs = 0.25 * 7 = 1.75; 3 observed → clumping > 1
+    assert blocked["A"]["clumping_ratio"] > 1.5
+
+    alt = {
+        r["source"]: r
+        for r in _interleave_audit(steps("ABABABAB")).collect()
+    }
+    assert alt["A"]["n_runs"] == 4 and alt["A"]["self_adj_pairs"] == 0
+    assert alt["A"]["mean_run_len"] == 1.0
+    assert alt["A"]["clumping_ratio"] == 0.0
+
+
+def test_q415_single_source_batch_flags_low_mixing(spark):
+    """A batch served entirely from one source has entropy 0 and trips
+    the dominance alarm; a 50/50 batch sits at ln 2 and does not."""
+    import math
+
+    from databricks_etl_spark.plans.queries_round11 import _batch_mixing
+
+    # one epoch, 4 steps/batch: batch 0 all src A, batch 1 even A/B
+    rows = [(1, s, s) for s in range(1, 9)]  # doc_id == step
+    ordr = spark.createDataFrame(
+        rows, "epoch long, step long, doc_id long"
+    )
+    lens = spark.createDataFrame(
+        [(d, "A" if d <= 4 or d % 2 == 1 else "B", 10) for d in range(1, 9)],
+        "doc_id long, source string, len long",
+    )
+    out = {
+        r["batch"]: r for r in _batch_mixing(ordr, lens, 4).collect()
+    }
+    assert out[0]["entropy_nats"] == 0.0 and out[0]["low_mixing"]
+    assert out[0]["top_share"] == 1.0 and out[0]["top_source"] == "A"
+    assert abs(out[1]["entropy_nats"] - math.log(2.0)) < 1e-6
+    assert not out[1]["low_mixing"]
+
+
+def test_q416_spacing_consistent_per_eclass(spark):
+    """Every eclass-e sequence replays once per epoch 1..e, so each
+    consecutive-epoch pair row of one eclass covers the SAME sequence
+    population, and gaps are positive on the global axis."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        q416_replay_spacing_audit,
+    )
+
+    rows = q416_replay_spacing_audit(spark, SMOKE_SF_DIR).collect()
+    assert rows, "multi-epoch eclasses exist at the smoke scale"
+    by_ec = {}
+    for r in rows:
+        assert r["epoch_to"] == r["epoch_from"] + 1
+        assert 0 < r["min_gap"] <= r["mean_gap"] <= r["max_gap"]
+        by_ec.setdefault(r["eclass"], set()).add(r["n_seqs"])
+        assert r["epoch_from"] < r["eclass"]
+    for ec, ns in by_ec.items():
+        assert len(ns) == 1, f"eclass {ec} pair rows disagree on n_seqs"
+
+
+def test_q417_plan_partitions_days_and_bounds_overflow(spark):
+    """The compaction plan must cover every daily file exactly once,
+    keep splits time-contiguous (split ranges ordered by split_id,
+    non-overlapping), and overflow the row target by less than one
+    file (floor-binning never splits a file)."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q417_TGT,
+        q417_compaction_plan,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    e = read_table(spark, SMOKE_SF_DIR, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = e.groupBy("event_type", "d").count().collect()
+    n_days = {}
+    max_file = {}
+    for r in daily:
+        n_days[r["event_type"]] = n_days.get(r["event_type"], 0) + 1
+        max_file[r["event_type"]] = max(
+            max_file.get(r["event_type"], 0), r["count"]
+        )
+
+    plan = q417_compaction_plan(spark, SMOKE_SF_DIR).collect()
+    got_files = {}
+    for r in plan:
+        et = r["event_type"]
+        got_files[et] = got_files.get(et, 0) + r["n_files"]
+        assert r["split_rows"] < _Q417_TGT + max_file[et]
+        assert r["over_target"] == (r["split_rows"] > _Q417_TGT)
+        assert r["first_day"] <= r["last_day"]
+    assert got_files == n_days
+    for et in n_days:
+        spl = sorted(
+            (r for r in plan if r["event_type"] == et),
+            key=lambda r: r["split_id"],
+        )
+        for a, b in zip(spl, spl[1:]):
+            assert a["last_day"] < b["first_day"], "splits overlap"
+
+
+# ---------------------------------------------------------------------------
+# q418 — dataloader gate: planted violations flip, empty stream holds
+# ---------------------------------------------------------------------------
+
+
+def _planted_stream(spark, *, epochs=2):
+    """Adversarial stream: 8 one-doc steps per epoch, AAAA then BBBB,
+    IDENTICAL order every epoch — blocked batches AND perfectly
+    correlated replays."""
+    rows = [
+        (e, s, s, s) for e in range(1, epochs + 1) for s in range(1, 9)
+    ]
+    ordr = spark.createDataFrame(
+        rows, "epoch long, step long, seq_id long, doc_id long"
+    )
+    lens = spark.createDataFrame(
+        [(d, "A" if d <= 4 else "B", 10) for d in range(1, 9)],
+        "doc_id long, source string, len long",
+    )
+    return ordr, lens
+
+
+def test_q418_ships_production_and_holds_planted(spark):
+    from databricks_etl_spark.plans.queries_round11 import (
+        _q418_gate,
+        q418_dataloader_gate,
+    )
+
+    prod = q418_dataloader_gate(spark, SMOKE_SF_DIR).collect()[0]
+    assert prod["verdict"] == "SHIP" and prod["check_decorrelation"]
+
+    ordr, lens = _planted_stream(spark)
+    bad = _q418_gate(ordr, lens).collect()[0]
+    # identical epoch orders → corr 1.0; two-source blocked batch → ln 2
+    assert not bad["check_decorrelation"]
+    assert bad["max_abs_step_corr"] == 1.0
+    assert not bad["check_mixing"]
+    assert bad["verdict"] == "HOLD"
+
+
+def test_q418_each_knob_flips_alone(spark):
+    """One threshold at a time, against the healthy production stream
+    (the q386 discipline: every planted violation isolates its
+    check)."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        _capped_doc_lens,
+        _q418_gate,
+        q326_order_checkpointed,
+    )
+
+    ordr = q326_order_checkpointed(spark, SMOKE_SF_DIR)
+    lens = _capped_doc_lens(spark, SMOKE_SF_DIR)
+    base = _q418_gate(ordr, lens).collect()[0]
+    assert base["verdict"] == "SHIP"
+
+    r = _q418_gate(ordr, lens, min_entropy=99.0).collect()[0]
+    assert not r["check_mixing"] and r["verdict"] == "HOLD"
+    assert r["check_clumping"] and r["check_decorrelation"]
+
+    r = _q418_gate(ordr, lens, max_clump=0.0).collect()[0]
+    assert not r["check_clumping"] and r["verdict"] == "HOLD"
+    assert r["check_mixing"] and r["check_decorrelation"]
+
+    r = _q418_gate(ordr, lens, max_corr=0.0).collect()[0]
+    assert not r["check_decorrelation"] and r["verdict"] == "HOLD"
+
+
+def test_q418_empty_stream_holds(spark):
+    from databricks_etl_spark.plans.queries_round11 import _q418_gate
+
+    ordr = spark.createDataFrame(
+        [], "epoch long, step long, seq_id long, doc_id long"
+    )
+    lens = spark.createDataFrame([], "doc_id long, source string, len long")
+    r = _q418_gate(ordr, lens).collect()[0]
+    assert r["verdict"] == "HOLD"
+    assert not r["check_nonempty"]
+    assert not r["check_mixing"] and not r["check_clumping"]
