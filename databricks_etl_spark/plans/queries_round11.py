@@ -4600,14 +4600,33 @@ def q417_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to cumsum. Output is the compaction manifest a rewrite
     job executes: files per split, exact split rows, covering day
     range, over-target flag."""
+    return _split_rollup(_file_prefix_sums(_daily_files(spark, sf_dir)))
+
+
+def _daily_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-file model: one (event_type, day) file with its row
+    count — q417 plans over it, q419 audits pruning against it, q420
+    maintains it incrementally, the q421 stream accumulates it as
+    associative day-count partials."""
+    return (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("rws"))
+    )
+
+
+def _file_prefix_sums(
+    files: DataFrame, base_offsets: DataFrame | None = None
+) -> DataFrame:
+    """(event_type, d, rws, cum_before): the day-ordered exclusive
+    prefix sum, computed two-phase (per-bucket partials + broadcast
+    bucket offsets — never one global ordered window). When
+    ``base_offsets`` (event_type, base) is given, every prefix starts
+    from that frozen total — q420's incremental path appends a delta
+    AFTER a persisted plan without recomputing its prefix."""
     from pyspark.sql import Window
 
-    e = read_table(spark, sf_dir, "events").select(
-        "event_type", F.to_date("ts").alias("d")
-    )
-    files = e.groupBy("event_type", "d").agg(
-        F.count(F.lit(1)).cast("long").alias("rws")
-    )
     fb = files.withColumn(
         "bucket",
         F.expr(
@@ -4628,12 +4647,18 @@ def q417_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.coalesce(F.sum("s").over(wb), F.lit(0)).alias("bo"),
     )
+    if base_offsets is not None:
+        boff = boff.join(F.broadcast(base_offsets), "event_type").select(
+            "event_type",
+            "bucket",
+            (F.col("bo") + F.col("base")).alias("bo"),
+        )
     wf = (
         Window.partitionBy("event_type", "bucket")
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cb = fb.join(F.broadcast(boff), ["event_type", "bucket"]).select(
+    return fb.join(F.broadcast(boff), ["event_type", "bucket"]).select(
         "event_type",
         "d",
         "rws",
@@ -4641,6 +4666,11 @@ def q417_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bo") + F.coalesce(F.sum("rws").over(wf), F.lit(0))
         ).alias("cum_before"),
     )
+
+
+def _split_rollup(cb: DataFrame) -> DataFrame:
+    """Prefix-summed files → the split manifest (floor-binning by the
+    row target)."""
     return cb.groupBy(
         "event_type",
         F.expr(f"CAST(cum_before DIV {_Q417_TGT} AS BIGINT)").alias(
@@ -4859,3 +4889,281 @@ def q326_order_checkpointed(
     )
 
     return q326_dataloader_order(spark, sf_dir).localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
+# q419 — compaction pruning tradeoff (files saved vs rows over-scanned)
+# ---------------------------------------------------------------------------
+
+# the audited query workload: day-grain time windows over January
+_Q419_WINDOWS = [
+    (1, "2024-01-05", "2024-01-08"),
+    (2, "2024-01-10", "2024-01-20"),
+    (3, "2024-01-15", "2024-01-16"),
+    (4, "2024-01-25", "2024-02-01"),
+]
+
+
+def _q419_oracle() -> str:
+    o417 = QUERIES["q417_compaction_plan"].oracle
+    vals = ", ".join(
+        f"({wid}, DATE '{lo}', DATE '{hi}')"
+        for wid, lo, hi in _Q419_WINDOWS
+    )
+    return f"""
+        WITH plan AS MATERIALIZED (SELECT * FROM ({o417})),
+        f AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS rws
+            FROM events GROUP BY 1, 2
+        ),
+        w(wid, lo, hi) AS (VALUES {vals}),
+        pre AS (
+            SELECT f.event_type, w.wid,
+                   CAST(COUNT(*) AS BIGINT) AS n_files_before,
+                   CAST(SUM(f.rws) AS BIGINT) AS rows_useful
+            FROM f JOIN w ON f.d >= w.lo AND f.d < w.hi
+            GROUP BY 1, 2
+        ),
+        post AS (
+            SELECT p.event_type, w.wid,
+                   CAST(COUNT(*) AS BIGINT) AS n_splits_after,
+                   CAST(SUM(p.split_rows) AS BIGINT)
+                       AS rows_scanned_after
+            FROM plan p
+            JOIN w ON CAST(p.first_day AS DATE) < w.hi
+                  AND CAST(p.last_day AS DATE) >= w.lo
+            GROUP BY 1, 2
+        )
+        SELECT b.event_type, CAST(b.wid AS BIGINT) AS window_id,
+               b.n_files_before, a.n_splits_after,
+               b.rows_useful, a.rows_scanned_after,
+               round(CAST(a.rows_scanned_after AS DOUBLE)
+                     / b.rows_useful, 6) AS read_amplification,
+               round(1.0 - CAST(a.n_splits_after AS DOUBLE)
+                           / b.n_files_before, 6) AS files_saved_share
+        FROM pre b
+        JOIN post a ON b.event_type = a.event_type AND b.wid = a.wid
+    """
+
+
+@query("q419_compaction_pruning_tradeoff", oracle=_q419_oracle())
+def q419_compaction_pruning_tradeoff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What q417's compaction COSTS the reader: coalescing daily files
+    into multi-day splits cuts file-open overhead but coarsens the
+    (first_day, last_day) pruning zones — a day-grain predicate now
+    drags in every row of each overlapping split. For a literal
+    4-window query workload, per (event_type, window): files touched
+    before vs splits touched after, exact useful rows vs rows a
+    zone-pruned scan of the compacted layout reads, the
+    read-amplification ratio, and the file-open savings share. The
+    two numbers move oppositely by construction — this lane puts the
+    actual tradeoff curve in front of whoever tunes the
+    {_Q417_TGT}-row target (a narrow window pays ~split/window rows
+    of amplification; a wide window pays ~1 and banks the file
+    savings).
+
+    Scale shape: the plan relation is |splits| rows, the workload is
+    a literal broadcast — both joins are map-side; the audit never
+    rescans events beyond the one daily-file rollup q417 already
+    does."""
+    import datetime as _dt
+
+    w = spark.createDataFrame(
+        [
+            (
+                wid,
+                _dt.date.fromisoformat(lo),
+                _dt.date.fromisoformat(hi),
+            )
+            for wid, lo, hi in _Q419_WINDOWS
+        ],
+        "wid long, lo date, hi date",
+    )
+    files = _daily_files(spark, sf_dir)
+    plan = q417_compaction_plan(spark, sf_dir)
+    pre = (
+        files.join(
+            F.broadcast(w),
+            (F.col("d") >= F.col("lo")) & (F.col("d") < F.col("hi")),
+        )
+        .groupBy("event_type", "wid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files_before"),
+            F.sum("rws").cast("long").alias("rows_useful"),
+        )
+    )
+    post = (
+        plan.join(
+            F.broadcast(w),
+            (F.to_date("first_day") < F.col("hi"))
+            & (F.to_date("last_day") >= F.col("lo")),
+        )
+        .groupBy("event_type", "wid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_splits_after"),
+            F.sum("split_rows").cast("long").alias("rows_scanned_after"),
+        )
+    )
+    return pre.join(post, ["event_type", "wid"]).select(
+        "event_type",
+        F.col("wid").alias("window_id"),
+        "n_files_before",
+        "n_splits_after",
+        "rows_useful",
+        "rows_scanned_after",
+        F.round(
+            F.col("rows_scanned_after").cast("double")
+            / F.col("rows_useful"),
+            6,
+        ).alias("read_amplification"),
+        F.round(
+            1.0
+            - F.col("n_splits_after").cast("double")
+            / F.col("n_files_before"),
+            6,
+        ).alias("files_saved_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q420 — incremental compaction maintenance (append-only delta days)
+# ---------------------------------------------------------------------------
+
+_Q420_CUTOFF = "2024-01-25"  # days >= cutoff are the arriving delta
+
+
+def _q420_oracle() -> str:
+    o417 = QUERIES["q417_compaction_plan"].oracle
+    return f"""
+        SELECT p.event_type, p.split_id, p.n_files, p.split_rows,
+               p.first_day, p.last_day, p.over_target,
+               (CAST(p.last_day AS DATE) >= DATE '{_Q420_CUTOFF}')
+                   AS split_touched
+        FROM ({o417}) p
+    """
+
+
+@query("q420_incremental_compaction", oracle=_q420_oracle())
+def q420_incremental_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compaction planning maintained INCREMENTALLY as ingest appends
+    days — the q343/q363/q384 delta discipline applied to q417: the
+    persisted plan's per-type ROW TOTAL is the frozen artifact (one
+    number per event_type), arriving days prefix-sum from that base
+    (``_file_prefix_sums(base_offsets=...)``), and because q417's
+    split ids are floor(prefix / target) over an axis that only ever
+    EXTENDS, every persisted split except possibly the boundary one
+    is untouched — the merge is a split-grain additive rollup
+    (counts add, day ranges union), never a rescan of old files.
+    Delta work is |delta days| + |persisted splits| rows, independent
+    of history length.
+
+    The oracle IS the from-scratch rebuild over all days (q417's own
+    SQL) plus the touched flag — the incremental path must and does
+    reproduce it exactly; a test additionally pins untouched split
+    rows byte-identical to the persisted plan."""
+    parts = _q420_parts(spark, sf_dir)
+    merged = (
+        parts["persisted"]
+        .select(
+            "event_type",
+            "split_id",
+            "n_files",
+            "split_rows",
+            "first_day",
+            "last_day",
+        )
+        .unionByName(
+            parts["delta"].select(
+                "event_type",
+                "split_id",
+                "n_files",
+                "split_rows",
+                "first_day",
+                "last_day",
+            )
+        )
+        .groupBy("event_type", "split_id")
+        .agg(
+            F.sum("n_files").cast("long").alias("n_files"),
+            F.sum("split_rows").cast("long").alias("split_rows"),
+            F.min("first_day").alias("first_day"),
+            F.max("last_day").alias("last_day"),
+        )
+        .withColumn("over_target", F.col("split_rows") > _Q417_TGT)
+    )
+    touched = parts["delta"].select(
+        "event_type", "split_id", F.lit(True).alias("__t")
+    )
+    return merged.join(
+        touched, ["event_type", "split_id"], "left"
+    ).select(
+        "event_type",
+        "split_id",
+        "n_files",
+        "split_rows",
+        "first_day",
+        "last_day",
+        "over_target",
+        F.coalesce(F.col("__t"), F.lit(False)).alias("split_touched"),
+    )
+
+
+def _q420_parts(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """q420's moving parts, exposed for the untouched-shard pin test:
+    ``persisted`` — the plan over pre-cutoff days (stands in for
+    reading the artifact back, the q327 convention; localCheckpoint'd
+    as frozen); ``delta`` — the arriving days' split rows computed
+    from the frozen per-type row totals."""
+    files = _daily_files(spark, sf_dir).localCheckpoint()
+    cutoff = F.lit(_Q420_CUTOFF).cast("date")
+    old = files.filter(F.col("d") < cutoff)
+    delta = files.filter(F.col("d") >= cutoff)
+    persisted = _split_rollup(_file_prefix_sums(old)).localCheckpoint()
+    base = old.groupBy("event_type").agg(
+        F.sum("rws").cast("long").alias("base")
+    )
+    delta_plan = _split_rollup(_file_prefix_sums(delta, base_offsets=base))
+    return {"persisted": persisted, "delta": delta_plan}
+
+
+# ---------------------------------------------------------------------------
+# q421 — STREAMING compaction planning (q417 at ingest)
+# ---------------------------------------------------------------------------
+
+
+def _q421_register() -> None:
+    @query(
+        "q421_streaming_compaction",
+        oracle=QUERIES["q417_compaction_plan"].oracle,
+    )
+    def q421_streaming_compaction(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """q417's split manifest maintained AT INGEST — the q361/q385/
+        q390/q407 streaming discipline applied to layout planning:
+        day-grain file row counts are fully associative, so each
+        events micro-batch lands a (event_type, day) count PARTIAL in
+        the epoch-idempotent sink (``streaming/compaction.py``), and
+        the drain sums partials back to exact daily sizes and runs
+        the SAME ``_file_prefix_sums``/``_split_rollup`` kernels the
+        batch lane uses. Registered with q417's own oracle: the
+        streamed plan is hash-proven equal to the batch plan.
+        Slicing invariance and epoch replay are tested like q390's.
+
+        The production story: the compaction service never rescans
+        history — it keeps day-count partials as events arrive and
+        re-derives the (tiny) manifest on demand; state per epoch is
+        |event_types| x |days touched| rows."""
+        from databricks_etl_spark.streaming.compaction import (
+            run_streaming_compaction,
+        )
+
+        return run_streaming_compaction(spark, sf_dir)
+
+
+_q421_register()

@@ -2187,3 +2187,102 @@ def test_q418_empty_stream_holds(spark):
     assert r["verdict"] == "HOLD"
     assert not r["check_nonempty"]
     assert not r["check_mixing"] and not r["check_clumping"]
+
+
+# ---------------------------------------------------------------------------
+# q419/q420/q421 — compaction tradeoff, incremental and streaming twins
+# ---------------------------------------------------------------------------
+
+
+def test_q419_tradeoff_bounds(spark):
+    """Zone-pruned scans of the compacted layout can only over-read
+    (amplification >= 1) and compaction can only reduce touched file
+    handles — both directions of the tradeoff bounded row by row."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        q419_compaction_pruning_tradeoff,
+    )
+
+    rows = q419_compaction_pruning_tradeoff(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        seen.add(r["window_id"])
+        assert r["rows_scanned_after"] >= r["rows_useful"]
+        assert r["read_amplification"] >= 1.0
+        assert r["n_splits_after"] <= r["n_files_before"]
+        assert 0.0 <= r["files_saved_share"] < 1.0
+    assert seen == {1, 2, 3, 4}
+
+
+def test_q420_untouched_splits_byte_identical(spark):
+    """Splits that receive no delta day must replay the persisted
+    plan's rows verbatim — the incremental path never rewrites
+    history (the q343 untouched-shard pin, at the layout grain)."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        _q420_parts,
+        q420_incremental_compaction,
+    )
+    from tests.conftest import PARITY_SF_DIR
+
+    # sf0.01: ~2000 rows/type → ~8 splits, so pre-cutoff splits exist
+    # (at sf0.001 every type fits ONE split and everything is touched)
+    out = q420_incremental_compaction(spark, PARITY_SF_DIR).collect()
+    persisted = {
+        (r["event_type"], r["split_id"]): r
+        for r in _q420_parts(spark, PARITY_SF_DIR)["persisted"].collect()
+    }
+    untouched = [r for r in out if not r["split_touched"]]
+    assert untouched and any(r["split_touched"] for r in out)
+    for r in untouched:
+        p = persisted[(r["event_type"], r["split_id"])]
+        assert (
+            r["n_files"],
+            r["split_rows"],
+            r["first_day"],
+            r["last_day"],
+            r["over_target"],
+        ) == (
+            p["n_files"],
+            p["split_rows"],
+            p["first_day"],
+            p["last_day"],
+            p["over_target"],
+        )
+
+
+def test_q421_slicing_invariance_and_replay(spark, tmp_path):
+    """The streaming drain equals batch q417 under a FORCED two-epoch
+    slicing of the event stream, and re-delivering an epoch leaves the
+    drained manifest unchanged (exactly-once partials)."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        q417_compaction_plan,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+    from databricks_etl_spark.streaming.compaction import (
+        _PARTIAL_SCHEMA,
+        drain_compaction_plan,
+        make_compaction_epoch,
+    )
+
+    e = read_table(spark, SMOKE_SF_DIR, "events")
+    path = str(tmp_path / "compaction_partials")
+    spark.createDataFrame([], _PARTIAL_SCHEMA).write.mode(
+        "overwrite"
+    ).partitionBy("__epoch").parquet(path)
+
+    ingest = make_compaction_epoch(path)
+    ingest(e.filter(F.col("event_id") % 2 == 0), 0)
+    ingest(e.filter(F.col("event_id") % 2 == 1), 1)
+
+    def drained():
+        return sorted(
+            map(tuple, drain_compaction_plan(spark, path).collect())
+        )
+
+    first = drained()
+    batch = sorted(
+        map(tuple, q417_compaction_plan(spark, SMOKE_SF_DIR).collect())
+    )
+    assert first == batch
+    ingest(e.filter(F.col("event_id") % 2 == 1), 1)  # replay epoch 1
+    assert drained() == first
