@@ -5167,3 +5167,277 @@ def _q421_register() -> None:
 
 
 _q421_register()
+
+
+# ---------------------------------------------------------------------------
+# q422 — late-data rewrite cost: floor-binned vs week-aligned compaction
+# ---------------------------------------------------------------------------
+
+_Q422_CANDS = ["2024-01-03", "2024-01-10", "2024-01-17", "2024-01-24"]
+
+
+def _q422_oracle() -> str:
+    o417 = QUERIES["q417_compaction_plan"].oracle
+    vals = ", ".join(f"(DATE '{c}')" for c in _Q422_CANDS)
+    return f"""
+        WITH plan AS MATERIALIZED (SELECT * FROM ({o417})),
+        f AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS rws
+            FROM events GROUP BY 1, 2
+        ),
+        aw AS (
+            SELECT event_type, d, rws,
+                   datediff('day', DATE '1970-01-01', d) // 7 AS wk
+            FROM f
+        ),
+        ac AS (
+            SELECT event_type, d, wk,
+                   COALESCE(SUM(rws) OVER (
+                       PARTITION BY event_type, wk ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cumw
+            FROM aw
+        ),
+        asp AS (
+            SELECT event_type, wk, cumw // {_Q417_TGT} AS sid,
+                   MAX(d) AS ld
+            FROM ac GROUP BY 1, 2, 3
+        ),
+        cands(cd) AS (VALUES {vals}),
+        g AS (
+            SELECT p.event_type, c.cd,
+                   CAST(COUNT(*) AS BIGINT) AS n_splits_global,
+                   CAST(SUM(CASE WHEN CAST(p.last_day AS DATE) >= c.cd
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_rewritten_global
+            FROM plan p CROSS JOIN cands c GROUP BY 1, 2
+        ),
+        a AS (
+            SELECT s.event_type, c.cd,
+                   CAST(COUNT(*) AS BIGINT) AS n_splits_aligned,
+                   CAST(SUM(CASE WHEN s.wk = datediff('day',
+                                     DATE '1970-01-01', c.cd) // 7
+                                  AND s.ld >= c.cd
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_rewritten_aligned
+            FROM asp s CROSS JOIN cands c GROUP BY 1, 2
+        )
+        SELECT g.event_type, CAST(g.cd AS TIMESTAMP) AS late_day,
+               g.n_splits_global, g.n_rewritten_global,
+               round(CAST(g.n_rewritten_global AS DOUBLE)
+                     / g.n_splits_global, 6) AS rewrite_share_global,
+               a.n_splits_aligned, a.n_rewritten_aligned,
+               round(CAST(a.n_rewritten_aligned AS DOUBLE)
+                     / a.n_splits_aligned, 6) AS rewrite_share_aligned
+        FROM g JOIN a ON g.event_type = a.event_type AND g.cd = a.cd
+    """
+
+
+@query("q422_late_data_rewrite_cost", oracle=_q422_oracle())
+def q422_late_data_rewrite_cost(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q420 proves APPEND-only maintenance is cheap; this lane prices
+    the case q420 excludes — a LATE day landing mid-history. Under
+    q417's global floor-binning, inserting rows at day D shifts every
+    later file's prefix, so every split from D onward rewrites (the
+    blast radius is unbounded in history length). The standard fix is
+    ALIGNED binning: reset the prefix at week boundaries so a late
+    day can only rewrite splits inside its own week. For four literal
+    late-day candidates, per event_type: splits rewritten and the
+    rewrite share under both layouts — alongside the price of
+    alignment (more, smaller splits: n_splits_aligned >=
+    n_splits_global, since every week boundary forces a split break).
+    With q419 this completes the compaction design space: target size
+    vs pruning vs rewrite isolation.
+
+    Scale shape: the aligned prefix windows are (event_type, week)
+    partitions — at most 7 rows each, embarrassingly parallel (the
+    global plan keeps the two-phase sum); candidates are a 4-row
+    broadcast; outputs are |event_types| x |candidates| rows."""
+    import datetime as _dt
+
+    from pyspark.sql import Window
+
+    cands = spark.createDataFrame(
+        [(_dt.date.fromisoformat(c),) for c in _Q422_CANDS], "cd date"
+    )
+    plan = q417_compaction_plan(spark, sf_dir)
+    g = (
+        plan.crossJoin(F.broadcast(cands))
+        .groupBy("event_type", "cd")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_splits_global"),
+            F.sum(
+                F.when(F.to_date("last_day") >= F.col("cd"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_rewritten_global"),
+        )
+    )
+    aw = _daily_files(spark, sf_dir).withColumn(
+        "wk",
+        F.expr("CAST(datediff(d, DATE '1970-01-01') DIV 7 AS BIGINT)"),
+    )
+    wcum = (
+        Window.partitionBy("event_type", "wk")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    asp = (
+        aw.withColumn(
+            "cumw", F.coalesce(F.sum("rws").over(wcum), F.lit(0))
+        )
+        .groupBy(
+            "event_type",
+            "wk",
+            F.expr(f"CAST(cumw DIV {_Q417_TGT} AS BIGINT)").alias("sid"),
+        )
+        .agg(F.max("d").alias("ld"))
+    )
+    a = (
+        asp.crossJoin(F.broadcast(cands))
+        .groupBy("event_type", "cd")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_splits_aligned"),
+            F.sum(
+                F.when(
+                    (
+                        F.col("wk")
+                        == F.expr(
+                            "CAST(datediff(cd, DATE '1970-01-01')"
+                            " DIV 7 AS BIGINT)"
+                        )
+                    )
+                    & (F.col("ld") >= F.col("cd")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rewritten_aligned"),
+        )
+    )
+    return g.join(a, ["event_type", "cd"]).select(
+        "event_type",
+        F.col("cd").cast("timestamp").alias("late_day"),
+        "n_splits_global",
+        "n_rewritten_global",
+        F.round(
+            F.col("n_rewritten_global").cast("double")
+            / F.col("n_splits_global"),
+            6,
+        ).alias("rewrite_share_global"),
+        "n_splits_aligned",
+        "n_rewritten_aligned",
+        F.round(
+            F.col("n_rewritten_aligned").cast("double")
+            / F.col("n_splits_aligned"),
+            6,
+        ).alias("rewrite_share_aligned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q423 — dup-adjacency exposure: are near-dups served close together?
+# ---------------------------------------------------------------------------
+
+_Q423_W = 32  # "close" = within one q415 batch window
+
+
+def _q423_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _PAIRS_05
+    from databricks_etl_spark.plans.queries_round9 import _q326_oracle
+
+    return f"""
+        WITH RECURSIVE {_PAIRS_05},
+        ord AS MATERIALIZED (SELECT * FROM ({_q326_oracle()})),
+        pos AS MATERIALIZED (
+            SELECT o.epoch, o.step, o.doc_id, cc.component
+            FROM ord o JOIN cc ON o.doc_id = cc.id
+        ),
+        pp AS (
+            SELECT a.epoch,
+                   CAST(abs(a.step - b.step) AS BIGINT) AS dist
+            FROM pos a
+            JOIN pos b ON a.epoch = b.epoch
+                      AND a.component = b.component
+                      AND a.doc_id < b.doc_id
+        )
+        SELECT epoch,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN dist <= {_Q423_W} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_close_pairs,
+               round(CAST(SUM(CASE WHEN dist <= {_Q423_W}
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS close_share,
+               CAST(MIN(dist) AS BIGINT) AS min_dist,
+               round(CAST(SUM(dist) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_dist
+        FROM pp GROUP BY 1
+    """
+
+
+@query("q423_dup_exposure_audit", oracle=_q423_oracle())
+def q423_dup_exposure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memorization-adjacency audit: q312's ship gate prunes
+    SEMANTIC duplicates (q285) but deliberately ships q123's
+    text-Jaccard near-dup clusters (soft-dedup keeps them, q321) — so
+    the stream DOES serve near-duplicate pairs, and what matters to a
+    trainer is HOW CLOSE together: two near-dups inside one gradient
+    window double-count their shared text exactly where repetition
+    hurts most, while the same pair a half-epoch apart is benign
+    spaced repetition (q416's argument, at the duplicate grain). Per
+    epoch, over every same-cluster pair the stream serves: pair
+    count, pairs within {_Q423_W} steps, the close share, and the
+    min/mean step distance — the numbers a shuffle must keep honest
+    because packing CONCENTRATES near-dups (same eclass, often the
+    same shard) even when the step permutation is fair.
+
+    Scale shape: pairs exist only inside dup clusters (cluster-size-
+    bounded fan-out, the q123 argument); the stream join is
+    doc_id-keyed; the component self-join keys on (epoch,
+    component)."""
+    from databricks_etl_spark.plans.queries_dedup import q123_dup_clusters
+
+    cc = q123_dup_clusters(spark, sf_dir)
+    ordr = q326_order_checkpointed(spark, sf_dir)
+    pos = (
+        ordr.join(cc, "doc_id")
+        .select("epoch", "step", "doc_id", "component")
+        .localCheckpoint()  # both sides of the pair self-join
+    )
+    a = pos.select(
+        "epoch",
+        "component",
+        F.col("doc_id").alias("__da"),
+        F.col("step").alias("__sa"),
+    )
+    b = pos.select(
+        "epoch",
+        "component",
+        F.col("doc_id").alias("__db"),
+        F.col("step").alias("__sb"),
+    )
+    pp = a.join(b, ["epoch", "component"]).filter(
+        F.col("__da") < F.col("__db")
+    )
+    dist = F.abs(F.col("__sa") - F.col("__sb")).cast("long")
+    n = F.count(F.lit(1))
+    return pp.select("epoch", dist.alias("dist")).groupBy("epoch").agg(
+        n.cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("dist") <= _Q423_W, 1).otherwise(0))
+        .cast("long")
+        .alias("n_close_pairs"),
+        F.round(
+            F.sum(F.when(F.col("dist") <= _Q423_W, 1).otherwise(0)).cast(
+                "double"
+            )
+            / n,
+            6,
+        ).alias("close_share"),
+        F.min("dist").cast("long").alias("min_dist"),
+        F.round(F.sum("dist").cast("double") / n, 6).alias("mean_dist"),
+    )

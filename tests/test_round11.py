@@ -2286,3 +2286,54 @@ def test_q421_slicing_invariance_and_replay(spark, tmp_path):
     assert first == batch
     ingest(e.filter(F.col("event_id") % 2 == 1), 1)  # replay epoch 1
     assert drained() == first
+
+
+# ---------------------------------------------------------------------------
+# q422/q423 — rewrite blast radius and dup-exposure invariants
+# ---------------------------------------------------------------------------
+
+
+def test_q422_alignment_bounds_blast_radius(spark):
+    """Week-aligned binning must never rewrite MORE than global
+    floor-binning, costs extra splits (boundary breaks), and its
+    blast radius is bounded by one week's splits; global rewrites
+    shrink monotonically as the late day moves later."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        q422_late_data_rewrite_cost,
+    )
+
+    rows = q422_late_data_rewrite_cost(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    by_et = {}
+    for r in rows:
+        assert r["n_splits_aligned"] >= r["n_splits_global"]
+        assert r["rewrite_share_aligned"] <= r["rewrite_share_global"]
+        assert r["n_rewritten_aligned"] <= r["n_splits_aligned"]
+        by_et.setdefault(r["event_type"], []).append(
+            (r["late_day"], r["n_rewritten_global"])
+        )
+    for et, seq in by_et.items():
+        seq.sort()
+        rewrites = [n for _, n in seq]
+        assert rewrites == sorted(rewrites, reverse=True), (
+            f"{et}: later late-days must rewrite fewer global splits"
+        )
+
+
+def test_q423_exposure_nonvacuous_and_bounded(spark):
+    """The shipped pool DOES contain q123 near-dup cluster pairs (the
+    gate prunes semantic dups, not text-Jaccard clusters), so the
+    audit must report pairs; shares and distances obey their
+    definitions (dist 0 = both docs packed into one sequence)."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        q423_dup_exposure_audit,
+    )
+    from tests.conftest import PARITY_SF_DIR
+
+    rows = q423_dup_exposure_audit(spark, PARITY_SF_DIR).collect()
+    assert rows, "sf0.01 ships a 16-member Jaccard cluster"
+    for r in rows:
+        assert 0 < r["n_pairs"]
+        assert 0 <= r["n_close_pairs"] <= r["n_pairs"]
+        assert 0.0 <= r["close_share"] <= 1.0
+        assert 0 <= r["min_dist"] <= r["mean_dist"]
