@@ -5441,3 +5441,153 @@ def q423_dup_exposure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dist").cast("long").alias("min_dist"),
         F.round(F.sum("dist").cast("double") / n, 6).alias("mean_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q424 — IVF hot-cell rebalance (salted subcell split, frozen centroids)
+# ---------------------------------------------------------------------------
+
+_Q424_CELLS = 8  # the coarse quantizer's cell count (q285's centroids)
+
+
+def _q424_rebalance(vectors: DataFrame) -> DataFrame:
+    """The rebalance kernel over any (vec_id, embedding) batch: assign
+    cells under the FROZEN q285 centroids, set the per-subcell target
+    S = ceil(N / {_Q424_CELLS}) (exact integer ceil), split every cell
+    above S into ceil(n / S) md5-salted subcells (q387's salting
+    discipline applied to the vector index), and publish the
+    (cell, subcell) manifest with order-independent content hashes —
+    the artifact a serving tier reads to open one scan task per
+    subcell file. Probing is unchanged: a probe of cell c reads all
+    of c's subcells, so recall is IDENTICAL by construction — the
+    split buys bounded-size index files (in expectation per md5
+    uniformity; the planted 100x-hot test pins the bound) without
+    re-training the quantizer."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from databricks_etl_spark.operators.similarity import assign_cells
+    from databricks_etl_spark.plans.queries_round7 import _Q285_CENTS
+    from databricks_etl_spark.plans.queries_round10 import _md5_mod_col
+
+    spark = vectors.sparkSession
+    cents = spark.createDataFrame(
+        list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
+    )
+    cells = assign_cells(vectors, cents).select(
+        "vec_id", F.col("cell_id").cast("long").alias("cell_id")
+    )
+    tot = cells.agg(
+        F.expr(f"CAST((COUNT(*) + {_Q424_CELLS - 1})"
+               f" DIV {_Q424_CELLS} AS BIGINT)").alias("s")
+    )
+    sz = cells.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ns = sz.crossJoin(F.broadcast(tot)).select(
+        "cell_id",
+        F.expr("CAST((n + s - 1) DIV s AS BIGINT)").alias("n_sub"),
+    )
+    rb = cells.join(F.broadcast(ns), "cell_id").select(
+        "vec_id",
+        "cell_id",
+        (
+            _md5_mod_col(
+                F.concat(F.lit("rebal:"), F.col("vec_id").cast("string"))
+            )
+            % F.col("n_sub")
+        ).alias("subcell_id"),
+        "n_sub",
+    )
+    payload = F.concat_ws("|", "vec_id", "cell_id", "subcell_id")
+    return rb.groupBy("cell_id", "subcell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(_md5_mod_col(payload)).cast("long").alias("content_hash"),
+        (F.max("n_sub") > 1).alias("was_split"),
+    )
+
+
+def _q424_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round7 import (
+        _Q285_CENTS,
+        _Q285_D2,
+    )
+    from databricks_etl_spark.plans.queries_round10 import _md5_mod_sql
+
+    cvals = ", ".join(f"({j}, {c})" for j, c in enumerate(_Q285_CENTS))
+    salt = _md5_mod_sql("'rebal:' || CAST(vec_id AS VARCHAR)")
+    payload = (
+        "CAST(vec_id AS VARCHAR) || '|' || CAST(cell_id AS VARCHAR)"
+        " || '|' || CAST(subcell_id AS VARCHAR)"
+    )
+    return f"""
+        WITH au AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS embedding
+            FROM embeddings
+        ),
+        cents(cid, c) AS (VALUES {cvals}),
+        asg AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY {_Q285_D2}, cid
+                   ) AS rn
+            FROM au, cents
+        ),
+        cells AS (
+            SELECT vec_id, CAST(cid AS BIGINT) AS cell_id
+            FROM asg WHERE rn = 1
+        ),
+        tot AS (
+            SELECT CAST((COUNT(*) + {_Q424_CELLS - 1})
+                        // {_Q424_CELLS} AS BIGINT) AS s
+            FROM cells
+        ),
+        sz AS (
+            SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM cells GROUP BY 1
+        ),
+        ns AS (
+            SELECT cell_id, CAST((n + s - 1) // s AS BIGINT) AS n_sub
+            FROM sz, tot
+        ),
+        rb AS (
+            SELECT c.vec_id, c.cell_id,
+                   CAST({salt} % ns.n_sub AS BIGINT) AS subcell_id,
+                   ns.n_sub
+            FROM cells c JOIN ns USING (cell_id)
+        )
+        SELECT cell_id, subcell_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM({_md5_mod_sql(payload)}) AS BIGINT)
+                   AS content_hash,
+               (MAX(n_sub) > 1) AS was_split
+        FROM rb GROUP BY 1, 2
+    """
+
+
+@query("q424_ivf_cell_rebalance", oracle=_q424_oracle())
+def q424_ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE for the ANN serving stack: as a corpus grows
+    (or q384's deltas accumulate), IVF cells drift out of balance, and
+    the biggest cell sets the worst-case probe latency and the biggest
+    index file. The rebalance splits every cell above the uniform
+    target S = ceil(N / {_Q424_CELLS}) into ceil(n / S) md5-salted
+    subcells and re-publishes the per-(cell, subcell) manifest
+    (counts + order-independent content hashes, q384's discipline) —
+    recall-neutral by construction since a probe reads all subcells
+    of its cell, and quantizer-frozen so it composes with q384/q390's
+    append path. Completes the vector-index lifecycle the engine
+    proves: build (q116/q68) → incremental (q384) → streaming (q390)
+    → compress (q316/q412) → REBALANCE.
+
+    Scale shape: one broadcast 8-row centroid argmin per vector, two
+    tiny rollups (8 and ≤N/S rows), one broadcast salt join — no
+    vector ever shuffles by embedding; the planted 100x-hot-cell test
+    pins that a pathological cell actually splits and its subcells
+    bound at ~S in expectation."""
+    return _q424_rebalance(
+        read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    )

@@ -2337,3 +2337,58 @@ def test_q423_exposure_nonvacuous_and_bounded(spark):
         assert 0 <= r["n_close_pairs"] <= r["n_pairs"]
         assert 0.0 <= r["close_share"] <= 1.0
         assert 0 <= r["min_dist"] <= r["mean_dist"]
+
+
+# ---------------------------------------------------------------------------
+# q424 — IVF rebalance: conservation, neutrality, planted hot cell
+# ---------------------------------------------------------------------------
+
+
+def test_q424_conserves_vectors_and_splits_above_target(spark):
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q424_CELLS,
+        q424_ivf_cell_rebalance,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+    from tests.conftest import PARITY_SF_DIR
+
+    n_vecs = read_table(spark, PARITY_SF_DIR, "embeddings").count()
+    s = -(-n_vecs // _Q424_CELLS)
+    rows = q424_ivf_cell_rebalance(spark, PARITY_SF_DIR).collect()
+    assert sum(r["n_vectors"] for r in rows) == n_vecs
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell_id"], []).append(r)
+    for cell, subs in by_cell.items():
+        n_cell = sum(r["n_vectors"] for r in subs)
+        want = -(-n_cell // s)
+        assert len(subs) == want, (cell, len(subs), want)
+        assert all(r["was_split"] == (want > 1) for r in subs)
+        assert sorted(r["subcell_id"] for r in subs) == list(range(want))
+
+
+def test_q424_planted_hot_cell_splits_bounded(spark):
+    """A 100x-hot cell (vectors planted AT centroid 0) must split into
+    ceil(n/S) subcells whose sizes stay near S — the manifest a
+    serving tier can actually open one bounded task per file for."""
+    from databricks_etl_spark.plans.queries_round7 import _Q285_CENTS
+    from databricks_etl_spark.plans.queries_round11 import _q424_rebalance
+
+    hot = 400
+    c0 = list(_Q285_CENTS[0])
+    rows = [(i, c0) for i in range(hot)]
+    # a handful of cold vectors at the other centroids
+    rows += [(1000 + j, list(_Q285_CENTS[j])) for j in range(1, 8)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = _q424_rebalance(vecs).collect()
+    n = hot + 7
+    s = -(-n // 8)  # ceil(407/8) = 51
+    hot_subs = [r for r in out if r["cell_id"] == 0]
+    assert len(hot_subs) == -(-hot // s)
+    assert all(r["was_split"] for r in hot_subs)
+    assert sum(r["n_vectors"] for r in hot_subs) == hot
+    assert max(r["n_vectors"] for r in hot_subs) < 3 * s
+    cold = [r for r in out if r["cell_id"] != 0]
+    assert all(not r["was_split"] and r["subcell_id"] == 0 for r in cold)
