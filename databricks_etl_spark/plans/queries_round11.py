@@ -1917,9 +1917,10 @@ def _q398_alloc_sql(
             FROM flg
         )
         SELECT f.source, f.cap_tokens, f.weight, f.saturated,
-               CASE WHEN f.saturated THEN f.cap_tokens
-                    ELSE (tot.budget - lvl.c_sat) * f.weight
-                         // lvl.w_unsat END AS alloc_tokens,
+               CAST(CASE WHEN f.saturated THEN f.cap_tokens
+                         ELSE (tot.budget - lvl.c_sat) * f.weight
+                              // lvl.w_unsat END AS BIGINT)
+                   AS alloc_tokens,
                CASE WHEN tot.budget > 0 THEN
                    round(CAST(CASE WHEN f.saturated THEN f.cap_tokens
                                    ELSE (tot.budget - lvl.c_sat) * f.weight
@@ -4904,19 +4905,22 @@ _Q419_WINDOWS = [
 ]
 
 
-def _q419_oracle() -> str:
-    o417 = QUERIES["q417_compaction_plan"].oracle
+def _daily_files_sql() -> str:
+    return """
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS rws
+            FROM events GROUP BY 1, 2"""
+
+
+def _q419_ctes() -> str:
+    """q419's CTE chain over pre-defined ``plan``/``f`` relations,
+    ending in ``tr`` (the tradeoff rows) — q419 selects it whole,
+    q425's layout gate aggregates it, off ONE definition."""
     vals = ", ".join(
         f"({wid}, DATE '{lo}', DATE '{hi}')"
         for wid, lo, hi in _Q419_WINDOWS
     )
     return f"""
-        WITH plan AS MATERIALIZED (SELECT * FROM ({o417})),
-        f AS (
-            SELECT event_type, CAST(ts AS DATE) AS d,
-                   CAST(COUNT(*) AS BIGINT) AS rws
-            FROM events GROUP BY 1, 2
-        ),
         w(wid, lo, hi) AS (VALUES {vals}),
         pre AS (
             SELECT f.event_type, w.wid,
@@ -4934,16 +4938,28 @@ def _q419_oracle() -> str:
             JOIN w ON CAST(p.first_day AS DATE) < w.hi
                   AND CAST(p.last_day AS DATE) >= w.lo
             GROUP BY 1, 2
-        )
-        SELECT b.event_type, CAST(b.wid AS BIGINT) AS window_id,
-               b.n_files_before, a.n_splits_after,
-               b.rows_useful, a.rows_scanned_after,
-               round(CAST(a.rows_scanned_after AS DOUBLE)
-                     / b.rows_useful, 6) AS read_amplification,
-               round(1.0 - CAST(a.n_splits_after AS DOUBLE)
-                           / b.n_files_before, 6) AS files_saved_share
-        FROM pre b
-        JOIN post a ON b.event_type = a.event_type AND b.wid = a.wid
+        ),
+        tr AS (
+            SELECT b.event_type, CAST(b.wid AS BIGINT) AS window_id,
+                   b.n_files_before, a.n_splits_after,
+                   b.rows_useful, a.rows_scanned_after,
+                   round(CAST(a.rows_scanned_after AS DOUBLE)
+                         / b.rows_useful, 6) AS read_amplification,
+                   round(1.0 - CAST(a.n_splits_after AS DOUBLE)
+                               / b.n_files_before, 6)
+                       AS files_saved_share
+            FROM pre b
+            JOIN post a ON b.event_type = a.event_type AND b.wid = a.wid
+        )"""
+
+
+def _q419_oracle() -> str:
+    o417 = QUERIES["q417_compaction_plan"].oracle
+    return f"""
+        WITH plan AS MATERIALIZED (SELECT * FROM ({o417})),
+        f AS ({_daily_files_sql()}),
+        {_q419_ctes()}
+        SELECT * FROM tr
     """
 
 
@@ -4969,6 +4985,16 @@ def q419_compaction_pruning_tradeoff(
     a literal broadcast — both joins are map-side; the audit never
     rescans events beyond the one daily-file rollup q417 already
     does."""
+    return _q419_tradeoff(
+        spark, _daily_files(spark, sf_dir), q417_compaction_plan(spark, sf_dir)
+    )
+
+
+def _q419_tradeoff(
+    spark: SparkSession, files: DataFrame, plan: DataFrame
+) -> DataFrame:
+    """q419's tradeoff rows over explicit (files, plan) relations —
+    q425's layout gate feeds checkpointed ones."""
     import datetime as _dt
 
     w = spark.createDataFrame(
@@ -4982,8 +5008,6 @@ def q419_compaction_pruning_tradeoff(
         ],
         "wid long, lo date, hi date",
     )
-    files = _daily_files(spark, sf_dir)
-    plan = q417_compaction_plan(spark, sf_dir)
     pre = (
         files.join(
             F.broadcast(w),
@@ -5176,16 +5200,11 @@ _q421_register()
 _Q422_CANDS = ["2024-01-03", "2024-01-10", "2024-01-17", "2024-01-24"]
 
 
-def _q422_oracle() -> str:
-    o417 = QUERIES["q417_compaction_plan"].oracle
+def _q422_ctes() -> str:
+    """q422's CTE chain over pre-defined ``plan``/``f``, ending in
+    ``rc`` (the rewrite-cost rows) — shared with q425's gate."""
     vals = ", ".join(f"(DATE '{c}')" for c in _Q422_CANDS)
     return f"""
-        WITH plan AS MATERIALIZED (SELECT * FROM ({o417})),
-        f AS (
-            SELECT event_type, CAST(ts AS DATE) AS d,
-                   CAST(COUNT(*) AS BIGINT) AS rws
-            FROM events GROUP BY 1, 2
-        ),
         aw AS (
             SELECT event_type, d, rws,
                    datediff('day', DATE '1970-01-01', d) // 7 AS wk
@@ -5222,15 +5241,28 @@ def _q422_oracle() -> str:
                                  THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_rewritten_aligned
             FROM asp s CROSS JOIN cands c GROUP BY 1, 2
-        )
-        SELECT g.event_type, CAST(g.cd AS TIMESTAMP) AS late_day,
-               g.n_splits_global, g.n_rewritten_global,
-               round(CAST(g.n_rewritten_global AS DOUBLE)
-                     / g.n_splits_global, 6) AS rewrite_share_global,
-               a.n_splits_aligned, a.n_rewritten_aligned,
-               round(CAST(a.n_rewritten_aligned AS DOUBLE)
-                     / a.n_splits_aligned, 6) AS rewrite_share_aligned
-        FROM g JOIN a ON g.event_type = a.event_type AND g.cd = a.cd
+        ),
+        rc AS (
+            SELECT g.event_type, CAST(g.cd AS TIMESTAMP) AS late_day,
+                   g.n_splits_global, g.n_rewritten_global,
+                   round(CAST(g.n_rewritten_global AS DOUBLE)
+                         / g.n_splits_global, 6)
+                       AS rewrite_share_global,
+                   a.n_splits_aligned, a.n_rewritten_aligned,
+                   round(CAST(a.n_rewritten_aligned AS DOUBLE)
+                         / a.n_splits_aligned, 6)
+                       AS rewrite_share_aligned
+            FROM g JOIN a ON g.event_type = a.event_type AND g.cd = a.cd
+        )"""
+
+
+def _q422_oracle() -> str:
+    o417 = QUERIES["q417_compaction_plan"].oracle
+    return f"""
+        WITH plan AS MATERIALIZED (SELECT * FROM ({o417})),
+        f AS ({_daily_files_sql()}),
+        {_q422_ctes()}
+        SELECT * FROM rc
     """
 
 
@@ -5256,6 +5288,16 @@ def q422_late_data_rewrite_cost(
     partitions — at most 7 rows each, embarrassingly parallel (the
     global plan keeps the two-phase sum); candidates are a 4-row
     broadcast; outputs are |event_types| x |candidates| rows."""
+    return _q422_cost(
+        spark, _daily_files(spark, sf_dir), q417_compaction_plan(spark, sf_dir)
+    )
+
+
+def _q422_cost(
+    spark: SparkSession, files: DataFrame, plan: DataFrame
+) -> DataFrame:
+    """q422's rewrite-cost rows over explicit (files, plan) relations
+    — shared with q425's layout gate."""
     import datetime as _dt
 
     from pyspark.sql import Window
@@ -5263,7 +5305,6 @@ def q422_late_data_rewrite_cost(
     cands = spark.createDataFrame(
         [(_dt.date.fromisoformat(c),) for c in _Q422_CANDS], "cd date"
     )
-    plan = q417_compaction_plan(spark, sf_dir)
     g = (
         plan.crossJoin(F.broadcast(cands))
         .groupBy("event_type", "cd")
@@ -5278,7 +5319,7 @@ def q422_late_data_rewrite_cost(
             .alias("n_rewritten_global"),
         )
     )
-    aw = _daily_files(spark, sf_dir).withColumn(
+    aw = files.withColumn(
         "wk",
         F.expr("CAST(datediff(d, DATE '1970-01-01') DIV 7 AS BIGINT)"),
     )
