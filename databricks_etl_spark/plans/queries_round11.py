@@ -5632,3 +5632,146 @@ def q424_ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q425 — fail-closed storage-LAYOUT gate (overflow ∧ amplification ∧ rewrite)
+# ---------------------------------------------------------------------------
+
+# Calibrated to SHIP at sf0.01 (overflow 0.289, amplification 5.13,
+# aligned rewrite 0.111) and to HOLD at sf0.001 — where one split per
+# type covers the whole month and a day-grain query pays ~99x
+# amplification: at tiny volume the 256-row target over-compacts and
+# the gate SAYS so (a gate that cannot fail on real inputs gates
+# nothing).
+_Q425_MAX_OVERFLOW = 0.5  # (max split_rows - target) / target
+_Q425_MAX_AMP = 8.0  # worst workload-window read amplification
+_Q425_MAX_REWRITE = 0.35  # worst aligned late-day rewrite share
+
+
+def _q425_oracle() -> str:
+    o417 = QUERIES["q417_compaction_plan"].oracle
+    return f"""
+        WITH plan AS MATERIALIZED (SELECT * FROM ({o417})),
+        f AS MATERIALIZED ({_daily_files_sql()}),
+        {_q419_ctes()},
+        {_q422_ctes()},
+        c1 AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_splits,
+                   CASE WHEN COUNT(*) > 0 THEN
+                       round(CAST(GREATEST(MAX(split_rows)
+                                           - {_Q417_TGT}, 0)
+                                  AS DOUBLE) / {_Q417_TGT}, 6)
+                   END AS max_overflow_share
+            FROM plan
+        ),
+        c2 AS (
+            SELECT MAX(read_amplification) AS max_read_amplification
+            FROM tr
+        ),
+        c3 AS (
+            SELECT MAX(rewrite_share_aligned) AS max_rewrite_share
+            FROM rc
+        )
+        SELECT c1.n_splits, c1.max_overflow_share,
+               c2.max_read_amplification, c3.max_rewrite_share,
+               (c1.n_splits > 0) AS check_nonempty,
+               COALESCE(c1.max_overflow_share <= {_Q425_MAX_OVERFLOW},
+                        FALSE) AS check_overflow,
+               COALESCE(c2.max_read_amplification <= {_Q425_MAX_AMP},
+                        FALSE) AS check_amplification,
+               COALESCE(c3.max_rewrite_share <= {_Q425_MAX_REWRITE},
+                        FALSE) AS check_rewrite,
+               CASE WHEN c1.n_splits > 0
+                     AND COALESCE(c1.max_overflow_share
+                                  <= {_Q425_MAX_OVERFLOW}, FALSE)
+                     AND COALESCE(c2.max_read_amplification
+                                  <= {_Q425_MAX_AMP}, FALSE)
+                     AND COALESCE(c3.max_rewrite_share
+                                  <= {_Q425_MAX_REWRITE}, FALSE)
+                    THEN 'SHIP' ELSE 'HOLD' END AS verdict
+        FROM c1, c2, c3
+    """
+
+
+def _q425_gate(
+    spark: SparkSession,
+    files: DataFrame,
+    *,
+    max_overflow: float = _Q425_MAX_OVERFLOW,
+    max_amp: float = _Q425_MAX_AMP,
+    max_rewrite: float = _Q425_MAX_REWRITE,
+) -> DataFrame:
+    """The layout-gate kernel over an explicit daily-file relation —
+    planted tests feed adversarial layouts; q425 feeds the production
+    ingest model. One checkpointed file relation and one checkpointed
+    plan fan into the three check branches (the q418 discipline)."""
+    files = files.localCheckpoint()
+    plan = _split_rollup(_file_prefix_sums(files)).localCheckpoint()
+    c1 = plan.agg(
+        F.count(F.lit(1)).cast("long").alias("n_splits"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                F.greatest(
+                    F.max("split_rows") - _Q417_TGT, F.lit(0)
+                ).cast("double")
+                / _Q417_TGT,
+                6,
+            ),
+        ).alias("max_overflow_share"),
+    )
+    c2 = _q419_tradeoff(spark, files, plan).agg(
+        F.max("read_amplification").alias("max_read_amplification")
+    )
+    c3 = _q422_cost(spark, files, plan).agg(
+        F.max("rewrite_share_aligned").alias("max_rewrite_share")
+    )
+    g = c1.crossJoin(c2).crossJoin(c3)
+    ck_ne = F.col("n_splits") > 0
+    ck_of = F.coalesce(
+        F.col("max_overflow_share") <= max_overflow, F.lit(False)
+    )
+    ck_am = F.coalesce(
+        F.col("max_read_amplification") <= max_amp, F.lit(False)
+    )
+    ck_rw = F.coalesce(
+        F.col("max_rewrite_share") <= max_rewrite, F.lit(False)
+    )
+    return g.select(
+        "n_splits",
+        "max_overflow_share",
+        "max_read_amplification",
+        "max_rewrite_share",
+        ck_ne.alias("check_nonempty"),
+        ck_of.alias("check_overflow"),
+        ck_am.alias("check_amplification"),
+        ck_rw.alias("check_rewrite"),
+        F.when(ck_ne & ck_of & ck_am & ck_rw, F.lit("SHIP"))
+        .otherwise(F.lit("HOLD"))
+        .alias("verdict"),
+    )
+
+
+@query("q425_layout_gate", oracle=_q425_oracle())
+def q425_layout_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fail-closed STORAGE-LAYOUT gate — the fifth ship surface,
+    joining corpus (q386), tokenizer (q395), plan (q408) and loader
+    (q418): one verdict row a compaction service reads before
+    swapping the manifest in. Checks: floor-binning's structural
+    overflow bound held ((max split - target)/target <=
+    {_Q425_MAX_OVERFLOW}), the literal query workload's worst zone
+    read-amplification (q419's tr) <= {_Q425_MAX_AMP}, and the worst
+    week-aligned late-day rewrite share (q422's rc) <=
+    {_Q425_MAX_REWRITE}. Empty plan or undefined metrics COALESCE to
+    failed checks — HOLD, never silently SHIP.
+
+    The gate DISCRIMINATES on real inputs: at sf0.01 it ships with
+    honest margins, at sf0.001 it holds — one split per type covers
+    the whole month there, so a day-grain query pays ~99x
+    amplification, which is precisely the "don't compact yet" signal
+    a tiny table should produce (tested). Oracle restates all three
+    checks in ONE statement off the same plan/files CTEs the audit
+    lanes select from (_q419_ctes/_q422_ctes), so gate and audits
+    cannot drift."""
+    return _q425_gate(spark, _daily_files(spark, sf_dir))

@@ -2392,3 +2392,57 @@ def test_q424_planted_hot_cell_splits_bounded(spark):
     assert max(r["n_vectors"] for r in hot_subs) < 3 * s
     cold = [r for r in out if r["cell_id"] != 0]
     assert all(not r["was_split"] and r["subcell_id"] == 0 for r in cold)
+
+
+# ---------------------------------------------------------------------------
+# q425 — layout gate: discriminates by scale, knobs flip alone
+# ---------------------------------------------------------------------------
+
+
+def test_q425_ships_parity_holds_smoke(spark):
+    """sf0.01 ships with margins; sf0.001's one-split-per-type layout
+    pays ~99x day-query amplification and must HOLD — the gate's
+    whole value is that it can say 'do not compact yet'."""
+    from databricks_etl_spark.plans.queries_round11 import q425_layout_gate
+    from tests.conftest import PARITY_SF_DIR
+
+    ok = q425_layout_gate(spark, PARITY_SF_DIR).collect()[0]
+    assert ok["verdict"] == "SHIP"
+    assert ok["check_overflow"] and ok["check_amplification"]
+
+    tiny = q425_layout_gate(spark, SMOKE_SF_DIR).collect()[0]
+    assert tiny["verdict"] == "HOLD"
+    assert not tiny["check_amplification"]
+    assert tiny["max_read_amplification"] > 50
+    assert tiny["check_overflow"] and tiny["check_rewrite"]
+
+
+def test_q425_each_knob_flips_alone(spark):
+    from databricks_etl_spark.plans.queries_round11 import (
+        _daily_files,
+        _q425_gate,
+    )
+    from tests.conftest import PARITY_SF_DIR
+
+    files = _daily_files(spark, PARITY_SF_DIR)
+    r = _q425_gate(spark, files, max_overflow=0.0).collect()[0]
+    assert not r["check_overflow"] and r["verdict"] == "HOLD"
+    assert r["check_amplification"] and r["check_rewrite"]
+
+    r = _q425_gate(spark, files, max_amp=1.0).collect()[0]
+    assert not r["check_amplification"] and r["verdict"] == "HOLD"
+    assert r["check_overflow"] and r["check_rewrite"]
+
+    r = _q425_gate(spark, files, max_rewrite=0.0).collect()[0]
+    assert not r["check_rewrite"] and r["verdict"] == "HOLD"
+
+
+def test_q425_empty_layout_holds(spark):
+    from databricks_etl_spark.plans.queries_round11 import _q425_gate
+
+    files = spark.createDataFrame(
+        [], "event_type string, d date, rws long"
+    )
+    r = _q425_gate(spark, files).collect()[0]
+    assert r["verdict"] == "HOLD" and not r["check_nonempty"]
+    assert not r["check_overflow"]
