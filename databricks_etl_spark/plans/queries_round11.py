@@ -5775,3 +5775,118 @@ def q425_layout_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lanes select from (_q419_ctes/_q422_ctes), so gate and audits
     cannot drift."""
     return _q425_gate(spark, _daily_files(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q426 — ANN index datasheet (the publishable vector-index card)
+# ---------------------------------------------------------------------------
+
+
+def _q426_oracle() -> str:
+    o424 = QUERIES["q424_ivf_cell_rebalance"].oracle
+    o412 = QUERIES["q412_jl_distortion_audit"].oracle
+    o413 = QUERIES["q413_jl_retrieval_recall"].oracle
+    return f"""
+        WITH reb AS MATERIALIZED (SELECT * FROM ({o424})),
+        env AS (SELECT * FROM ({o412})),
+        rec AS (SELECT * FROM ({o413})),
+        cellr AS (
+            SELECT cell_id, CAST(SUM(n_vectors) AS BIGINT) AS n
+            FROM reb GROUP BY 1
+        ),
+        c1 AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nv,
+                   CAST(COUNT(*) AS BIGINT) AS nc,
+                   CAST(MAX(n) AS BIGINT) AS mx
+            FROM cellr
+        ),
+        c2 AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nsc,
+                   CAST(COUNT(DISTINCT CASE WHEN was_split
+                                            THEN cell_id END)
+                        AS BIGINT) AS nsplit,
+                   CAST(MAX(n_vectors) AS BIGINT) AS mxsub
+            FROM reb
+        )
+        SELECT c1.nv AS n_vectors, c1.nc AS n_cells,
+               round(CAST(c1.mx AS DOUBLE) / c1.nv, 6)
+                   AS max_cell_share,
+               c2.nsc AS n_subcells, c2.nsplit AS n_cells_split,
+               c2.mxsub AS max_subcell_rows,
+               env.mean_ratio AS jl_mean_ratio,
+               env.share_in_band AS jl_share_in_band,
+               rec.mean_recall_at_10 AS recall10_compressed,
+               rec.top1_match_rate AS top1_compressed
+        FROM c1, c2, env, rec
+    """
+
+
+@query("q426_ann_index_datasheet", oracle=_q426_oracle())
+def q426_ann_index_datasheet(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The vector-index release card — q393's datasheet discipline
+    (and q339's datacard) applied to the ANN serving stack: ONE row
+    stating what a consumer of the index needs before pointing a
+    retriever at it. Capacity & balance (vectors, cells, hottest-cell
+    share), layout (subcell count after q424's rebalance, cells that
+    split, biggest subcell file), compression honesty (q412's JL
+    distortion mean and in-band share — the geometry claim), and
+    end-metric honesty (q413's compressed recall@10 and top-1
+    agreement — what the compression actually costs a retriever; on
+    THIS near-isotropic corpus that verdict is no-go, and the
+    datasheet SAYS so rather than hiding it, which is the entire
+    point of shipping a datasheet).
+
+    Every number is lifted from an individually driver-proven lane —
+    the oracle embeds q424/q412/q413's SQL verbatim so the card
+    cannot drift from the audits it summarizes; the Spark side
+    aggregates the same registered queries (one-row relations
+    cross-joined, the q418/q425 composition shape)."""
+    reb = q424_ivf_cell_rebalance(spark, sf_dir).localCheckpoint()
+    env = q412_jl_distortion_audit(spark, sf_dir)
+    rec = q413_jl_retrieval_recall(spark, sf_dir)
+    cellr = reb.groupBy("cell_id").agg(
+        F.sum("n_vectors").cast("long").alias("n")
+    )
+    c1 = cellr.agg(
+        F.sum("n").cast("long").alias("nv"),
+        F.count(F.lit(1)).cast("long").alias("nc"),
+        F.max("n").cast("long").alias("mx"),
+    )
+    c2 = reb.agg(
+        F.count(F.lit(1)).cast("long").alias("nsc"),
+        F.countDistinct(
+            F.when(F.col("was_split"), F.col("cell_id"))
+        )
+        .cast("long")
+        .alias("nsplit"),
+        F.max("n_vectors").cast("long").alias("mxsub"),
+    )
+    e1 = env.select(
+        F.col("mean_ratio").alias("jl_mean_ratio"),
+        F.col("share_in_band").alias("jl_share_in_band"),
+    )
+    r1 = rec.select(
+        F.col("mean_recall_at_10").alias("recall10_compressed"),
+        F.col("top1_match_rate").alias("top1_compressed"),
+    )
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(e1)
+        .crossJoin(r1)
+        .select(
+            F.col("nv").alias("n_vectors"),
+            F.col("nc").alias("n_cells"),
+            F.round(
+                F.col("mx").cast("double") / F.col("nv"), 6
+            ).alias("max_cell_share"),
+            F.col("nsc").alias("n_subcells"),
+            F.col("nsplit").alias("n_cells_split"),
+            F.col("mxsub").alias("max_subcell_rows"),
+            "jl_mean_ratio",
+            "jl_share_in_band",
+            "recall10_compressed",
+            "top1_compressed",
+        )
+    )

@@ -2446,3 +2446,26 @@ def test_q425_empty_layout_holds(spark):
     r = _q425_gate(spark, files).collect()[0]
     assert r["verdict"] == "HOLD" and not r["check_nonempty"]
     assert not r["check_overflow"]
+
+
+def test_q426_datasheet_consistent_with_components(spark):
+    """Every datasheet number must equal the component lane it lifts
+    from — the card may summarize, never re-derive differently."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        q412_jl_distortion_audit,
+        q413_jl_retrieval_recall,
+        q424_ivf_cell_rebalance,
+        q426_ann_index_datasheet,
+    )
+    from tests.conftest import PARITY_SF_DIR
+
+    card = q426_ann_index_datasheet(spark, PARITY_SF_DIR).collect()[0]
+    reb = q424_ivf_cell_rebalance(spark, PARITY_SF_DIR).collect()
+    assert card["n_vectors"] == sum(r["n_vectors"] for r in reb)
+    assert card["n_subcells"] == len(reb)
+    assert card["n_cells"] == len({r["cell_id"] for r in reb})
+    assert card["max_subcell_rows"] == max(r["n_vectors"] for r in reb)
+    env = q412_jl_distortion_audit(spark, PARITY_SF_DIR).collect()[0]
+    assert card["jl_share_in_band"] == env["share_in_band"]
+    rec = q413_jl_retrieval_recall(spark, PARITY_SF_DIR).collect()[0]
+    assert card["recall10_compressed"] == rec["mean_recall_at_10"]
