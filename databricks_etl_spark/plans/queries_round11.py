@@ -5890,3 +5890,80 @@ def q426_ann_index_datasheet(
             "top1_compressed",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q427 — serving-config selection: min probes per recall target
+# ---------------------------------------------------------------------------
+
+_Q427_TARGETS = [0.5, 0.75, 0.9, 0.99]
+
+
+def _q427_oracle() -> str:
+    o388 = QUERIES["q388_ivf_probe_sweep_sampled"].oracle
+    vals = ", ".join(f"({t})" for t in _Q427_TARGETS)
+    return f"""
+        WITH sw AS MATERIALIZED (SELECT * FROM ({o388})),
+        tg(t) AS (VALUES {vals}),
+        cand AS (
+            SELECT tg.t, sw.n_probe, sw.mean_recall_at_10,
+                   row_number() OVER (
+                       PARTITION BY tg.t ORDER BY sw.n_probe) AS rn
+            FROM tg JOIN sw ON sw.mean_recall_at_10 >= tg.t
+        )
+        SELECT tg.t AS target_recall,
+               c.n_probe,
+               c.mean_recall_at_10 AS achieved_recall,
+               round(CAST(c.n_probe AS DOUBLE) / {_Q424_CELLS}, 6)
+                   AS probed_cell_share,
+               (c.n_probe IS NOT NULL) AS reachable
+        FROM tg LEFT JOIN cand c ON tg.t = c.t AND c.rn = 1
+    """
+
+
+@query("q427_serving_config_selection", oracle=_q427_oracle())
+def q427_serving_config_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closing the sweep → DECISION loop: q388 publishes the
+    recall-vs-probe curve, but what a serving deployment actually
+    needs is the CONFIG — for each recall SLO tier, the cheapest
+    probe count that clears it, what that setting actually achieves,
+    and its cost as the share of index cells scanned. One row per
+    target; an unreachable tier comes back (NULL, reachable=false)
+    rather than silently picking the max — the fail-closed convention
+    at the planning grain. The oracle embeds q388's sweep verbatim so
+    the decision table cannot drift from the measured curve.
+
+    Scale shape: the sweep relation is |probe settings| rows; the
+    selection is a broadcast 4-row join + bounded rank — free at any
+    corpus size (the sweep itself carries q388's slice-bounded eval
+    budget)."""
+    from pyspark.sql import Window
+
+    sweep = q388_ivf_probe_sweep_sampled(spark, sf_dir).localCheckpoint()
+    tg = spark.createDataFrame(
+        [(t,) for t in _Q427_TARGETS], "t double"
+    )
+    w = Window.partitionBy("t").orderBy("n_probe")
+    cand = (
+        tg.join(
+            sweep, F.col("mean_recall_at_10") >= F.col("t")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("t").alias("__t"),
+            "n_probe",
+            F.col("mean_recall_at_10").alias("achieved_recall"),
+        )
+    )
+    return tg.join(cand, F.col("t") == F.col("__t"), "left").select(
+        F.col("t").alias("target_recall"),
+        "n_probe",
+        "achieved_recall",
+        F.round(
+            F.col("n_probe").cast("double") / _Q424_CELLS, 6
+        ).alias("probed_cell_share"),
+        F.col("n_probe").isNotNull().alias("reachable"),
+    )

@@ -2469,3 +2469,28 @@ def test_q426_datasheet_consistent_with_components(spark):
     assert card["jl_share_in_band"] == env["share_in_band"]
     rec = q413_jl_retrieval_recall(spark, PARITY_SF_DIR).collect()[0]
     assert card["recall10_compressed"] == rec["mean_recall_at_10"]
+
+
+def test_q427_config_monotone_and_sufficient(spark):
+    """Higher recall targets can only cost more probes; every selected
+    config actually clears its target; cost is the probed cell
+    share."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q424_CELLS,
+        q427_serving_config_selection,
+    )
+    from tests.conftest import PARITY_SF_DIR
+
+    rows = sorted(
+        q427_serving_config_selection(spark, PARITY_SF_DIR).collect(),
+        key=lambda r: r["target_recall"],
+    )
+    assert [r["target_recall"] for r in rows] == [0.5, 0.75, 0.9, 0.99]
+    assert all(r["reachable"] for r in rows)
+    probes = [r["n_probe"] for r in rows]
+    assert probes == sorted(probes)
+    for r in rows:
+        assert r["achieved_recall"] >= r["target_recall"]
+        assert r["probed_cell_share"] == round(
+            r["n_probe"] / _Q424_CELLS, 6
+        )
