@@ -5967,3 +5967,138 @@ def q427_serving_config_selection(
         ).alias("probed_cell_share"),
         F.col("n_probe").isNotNull().alias("reachable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q428 — watermark demand audit (what lateness does the data actually have?)
+# ---------------------------------------------------------------------------
+
+_Q428_WMS = [1, 5, 30, 120]  # candidate watermarks, minutes
+_Q428_BKT = 256  # event_ids per running-max bucket (two-phase prefix max)
+
+
+def _q428_oracle() -> str:
+    vals = ", ".join(f"({w})" for w in _Q428_WMS)
+    return f"""
+        WITH e AS (
+            SELECT event_type, event_id, ts,
+                   MAX(ts) OVER (
+                       PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS rm
+            FROM events
+        ),
+        l AS (
+            SELECT event_type,
+                   (rm IS NOT NULL AND ts < rm) AS ooo,
+                   CASE WHEN rm IS NOT NULL AND ts < rm THEN
+                       CAST(floor(epoch(rm)) AS BIGINT)
+                       - CAST(floor(epoch(ts)) AS BIGINT)
+                   ELSE 0 END AS late_s
+            FROM e
+        ),
+        wm(w) AS (VALUES {vals})
+        SELECT l.event_type,
+               CAST(wm.w AS BIGINT) AS watermark_minutes,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               round(CAST(SUM(CASE WHEN l.ooo THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6)
+                   AS out_of_order_share,
+               CAST(SUM(CASE WHEN l.late_s > wm.w * 60
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               round(CAST(SUM(CASE WHEN l.late_s > wm.w * 60
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS dropped_share,
+               CAST(MAX(late_s) AS BIGINT) AS max_lateness_seconds
+        FROM l CROSS JOIN wm
+        GROUP BY 1, 2
+    """
+
+
+@query("q428_watermark_demand_audit", oracle=_q428_oracle())
+def q428_watermark_demand_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What watermark does this stream actually NEED? q52/q64/q93
+    consume `withWatermark` settings as given; nothing measured the
+    data's own disorder. Per event_type, against arrival order
+    (event_id): the out-of-order share, the maximum lateness (floored
+    seconds — both engines floor epoch identically; NTZ-safe, no
+    unix_micros), and for each candidate watermark the exact count
+    and share of events a stateful operator would DROP as too-late —
+    the table a streaming engineer reads to trade state size against
+    completeness before picking the `withWatermark` argument.
+
+    The Spark running max is TWO-PHASE, never one global ordered
+    window: events bucket by event_id DIV {_Q428_BKT}, per-bucket max
+    timestamps take a tiny per-type ordered window, and each event
+    compares against greatest(prior-bucket max, within-bucket running
+    max) — the q326/q417 prefix discipline applied to MAX. The oracle
+    deliberately states the NAIVE single-window form; hash equality
+    is the proof that the distributed decomposition computes the same
+    relation."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr(f"CAST(event_id DIV {_Q428_BKT} AS BIGINT)").alias(
+            "bucket"
+        ),
+    )
+    pb = e.groupBy("event_type", "bucket").agg(F.max("ts").alias("mx"))
+    wpb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = pb.select(
+        "event_type", "bucket", F.max("mx").over(wpb).alias("pre_mx")
+    )
+    win = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    l = (
+        e.join(F.broadcast(pre), ["event_type", "bucket"])
+        .withColumn("inmx", F.max("ts").over(win))
+        .withColumn("rm", F.greatest("pre_mx", "inmx"))
+        .select(
+            "event_type",
+            (F.col("rm").isNotNull() & (F.col("ts") < F.col("rm"))).alias(
+                "ooo"
+            ),
+            F.when(
+                F.col("rm").isNotNull() & (F.col("ts") < F.col("rm")),
+                F.floor(F.unix_timestamp("rm"))
+                - F.floor(F.unix_timestamp("ts")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("late_s"),
+        )
+    )
+    wm = spark.createDataFrame([(w,) for w in _Q428_WMS], "w long")
+    n = F.count(F.lit(1))
+    dropped = F.sum(
+        F.when(F.col("late_s") > F.col("w") * 60, 1).otherwise(0)
+    )
+    return (
+        l.crossJoin(F.broadcast(wm))
+        .groupBy("event_type", "w")
+        .agg(
+            n.cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.when(F.col("ooo"), 1).otherwise(0)).cast("double")
+                / n,
+                6,
+            ).alias("out_of_order_share"),
+            dropped.cast("long").alias("n_dropped"),
+            F.round(dropped.cast("double") / n, 6).alias("dropped_share"),
+            F.max("late_s").cast("long").alias("max_lateness_seconds"),
+        )
+        .withColumnRenamed("w", "watermark_minutes")
+    )

@@ -2494,3 +2494,26 @@ def test_q427_config_monotone_and_sufficient(spark):
         assert r["probed_cell_share"] == round(
             r["n_probe"] / _Q424_CELLS, 6
         )
+
+
+def test_q428_watermark_dropped_share_monotone(spark):
+    """Dropped share shrinks (weakly) as the watermark widens, never
+    exceeds the out-of-order share, and both are valid shares."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        q428_watermark_demand_audit,
+    )
+    from tests.conftest import PARITY_SF_DIR
+
+    rows = q428_watermark_demand_audit(spark, PARITY_SF_DIR).collect()
+    assert rows
+    by_et = {}
+    for r in rows:
+        assert 0.0 <= r["dropped_share"] <= r["out_of_order_share"] <= 1.0
+        assert r["n_dropped"] <= r["n_events"]
+        by_et.setdefault(r["event_type"], []).append(
+            (r["watermark_minutes"], r["dropped_share"])
+        )
+    for et, seq in by_et.items():
+        seq.sort()
+        shares = [s for _, s in seq]
+        assert shares == sorted(shares, reverse=True), et
