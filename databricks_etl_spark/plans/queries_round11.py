@@ -6102,3 +6102,211 @@ def q428_watermark_demand_audit(
         )
         .withColumnRenamed("w", "watermark_minutes")
     )
+
+
+# ---------------------------------------------------------------------------
+# q429 — chunk-reassembly fidelity + the overlap redundancy bill
+# ---------------------------------------------------------------------------
+
+
+def _q429_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round8 import (
+        _Q318_S,
+        _q318_chunks_sql,
+    )
+
+    return f"""
+        WITH {_q318_chunks_sql()},
+        per AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_chunk_tokens) AS BIGINT) AS sumc
+            FROM chunks GROUP BY 1
+        ),
+        lastc AS (
+            SELECT doc_id, n_chunk_tokens AS last_len FROM (
+                SELECT doc_id, n_chunk_tokens,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY chunk_idx DESC) AS rn
+                FROM chunks
+            ) WHERE rn = 1
+        ),
+        tl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t),
+        pd AS (
+            SELECT d.source, p.k, p.sumc, tl.n,
+                   {_Q318_S} * (p.k - 1) + l.last_len AS reassembled
+            FROM per p
+            JOIN lastc l ON p.doc_id = l.doc_id
+            JOIN tl ON p.doc_id = tl.doc_id
+            JOIN documents d ON p.doc_id = d.doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(k) AS BIGINT) AS n_chunks,
+               CAST(SUM(n) AS BIGINT) AS n_tokens_total,
+               CAST(SUM(sumc) AS BIGINT) AS chunk_tokens_total,
+               CAST(SUM(CASE WHEN reassembled = n THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_lossless_docs,
+               (SUM(CASE WHEN reassembled = n THEN 1 ELSE 0 END)
+                = COUNT(*)) AS all_lossless,
+               round(CAST(SUM(sumc) - SUM(n) AS DOUBLE) / SUM(n), 6)
+                   AS redundancy_share
+        FROM pd GROUP BY 1
+    """
+
+
+@query("q429_chunk_reassembly_fidelity", oracle=_q429_oracle())
+def q429_chunk_reassembly_fidelity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The integrity claim every chunk-grain lane rides (q318 → q319
+    decontam, q330 banding, q340 packing), stated and PRICED: stride
+    reassembly (stride x (k-1) + last chunk) must reconstruct every
+    document's exact token count — zero tokens lost at chunk
+    boundaries, per source — and the overlap that makes spans
+    catchable costs a measured redundancy share (chunk tokens over
+    original tokens, ~+100% at 50% overlap on long docs, less where
+    docs are shorter than one window). A pipeline that changes
+    window/stride re-reads THIS lane to see both the safety proof and
+    the storage/compute bill move together.
+
+    Scale shape: the chunker is map-side (q318); the per-doc rollup
+    keys on doc_id, the last-chunk rank window is per-doc bounded —
+    nothing scans beyond the chunk stream it audits."""
+    from pyspark.sql import Window
+
+    from databricks_etl_spark.operators.text import chunk_tokens, tokens_col
+    from databricks_etl_spark.plans.queries_round8 import _Q318_S, _Q318_W
+
+    d = read_table(spark, sf_dir, "documents")
+    chunks = chunk_tokens(d, _Q318_W, _Q318_S).localCheckpoint()
+    per = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_chunk_tokens").cast("long").alias("sumc"),
+    )
+    wl = Window.partitionBy("doc_id").orderBy(F.desc("chunk_idx"))
+    lastc = (
+        chunks.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("n_chunk_tokens").alias("last_len"))
+    )
+    tl = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens_col("text")).cast("long").alias("n"),
+    )
+    pd_ = (
+        per.join(lastc, "doc_id")
+        .join(tl, "doc_id")
+        .select(
+            "source",
+            "k",
+            "sumc",
+            "n",
+            (_Q318_S * (F.col("k") - 1) + F.col("last_len")).alias(
+                "reassembled"
+            ),
+        )
+    )
+    lossless = F.sum(
+        F.when(F.col("reassembled") == F.col("n"), 1).otherwise(0)
+    )
+    return pd_.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("k").cast("long").alias("n_chunks"),
+        F.sum("n").cast("long").alias("n_tokens_total"),
+        F.sum("sumc").cast("long").alias("chunk_tokens_total"),
+        lossless.cast("long").alias("n_lossless_docs"),
+        (lossless == F.count(F.lit(1))).alias("all_lossless"),
+        F.round(
+            (F.sum("sumc") - F.sum("n")).cast("double") / F.sum("n"), 6
+        ).alias("redundancy_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q430 — LAUNCH gate: the five ship-surface gates composed into one verdict
+# ---------------------------------------------------------------------------
+
+_Q430_GATES = [
+    ("corpus_verdict", "q386_release_gate", "RELEASE"),
+    ("tokenizer_verdict", "q395_tokenizer_gate", "RELEASE"),
+    ("plan_verdict", "q408_shipping_plan_gate", "RELEASE"),
+    ("loader_verdict", "q418_dataloader_gate", "SHIP"),
+    ("layout_verdict", "q425_layout_gate", "SHIP"),
+]
+
+
+def _q430_oracle() -> str:
+    cte = ",\n        ".join(
+        f"g{i} AS (SELECT MAX(verdict) AS v FROM "
+        f"({QUERIES[qname].oracle}))"
+        for i, (_, qname, _tok) in enumerate(_Q430_GATES)
+    )
+    cols = ",\n               ".join(
+        f"g{i}.v AS {alias}" for i, (alias, _, _) in enumerate(_Q430_GATES)
+    )
+    passes = " + ".join(
+        f"CASE WHEN g{i}.v = '{tok}' THEN 1 ELSE 0 END"
+        for i, (_, _, tok) in enumerate(_Q430_GATES)
+    )
+    allpass = " AND ".join(
+        f"COALESCE(g{i}.v = '{tok}', FALSE)"
+        for i, (_, _, tok) in enumerate(_Q430_GATES)
+    )
+    froms = ", ".join(f"g{i}" for i in range(len(_Q430_GATES)))
+    return f"""
+        WITH {cte}
+        SELECT {cols},
+               CAST({len(_Q430_GATES)} AS BIGINT) AS n_gates,
+               CAST({passes} AS BIGINT) AS n_pass,
+               CASE WHEN {allpass} THEN 'GO' ELSE 'NO_GO' END AS launch
+        FROM {froms}
+    """
+
+
+@query("q430_launch_gate", oracle=_q430_oracle())
+def q430_launch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Launch control: the five fail-closed ship-surface gates the
+    engine proves — corpus release (q386), tokenizer release (q395),
+    shipping plan (q408), dataloader serving (q418), storage layout
+    (q425) — composed into ONE row a run-approval system reads. GO
+    requires every gate at its own pass token; a missing verdict
+    (empty gate output) COALESCEs to a failed gate — NO_GO, never a
+    silent launch. The gates stay independently owned: each keeps its
+    own thresholds, planted-violation tests and oracle; this lane
+    embeds those oracles verbatim (the q312 composition rule), so the
+    launch row can never disagree with the gates it summarizes.
+
+    The composition DISCRIMINATES: at sf0.01 all five gates pass →
+    GO; at sf0.001 the layout gate's amplification check fires (one
+    split per type) → NO_GO with exactly one failing surface visible
+    (tested). Scale shape: five 1-row relations cross-joined;
+    component costs dominate by design."""
+    parts = None
+    for alias, qname, _tok in _Q430_GATES:
+        g = (
+            QUERIES[qname]
+            .fn(spark, sf_dir)
+            .agg(F.max("verdict").alias(alias))
+        )
+        parts = g if parts is None else parts.crossJoin(g)
+    n_pass = sum(
+        (
+            F.when(F.col(alias) == tok, 1).otherwise(0)
+            for alias, _, tok in _Q430_GATES
+        ),
+        F.lit(0),
+    )
+    allpass = None
+    for alias, _, tok in _Q430_GATES:
+        c = F.coalesce(F.col(alias) == tok, F.lit(False))
+        allpass = c if allpass is None else (allpass & c)
+    return parts.select(
+        *[F.col(a) for a, _, _ in _Q430_GATES],
+        F.lit(len(_Q430_GATES)).cast("long").alias("n_gates"),
+        n_pass.cast("long").alias("n_pass"),
+        F.when(allpass, F.lit("GO")).otherwise(F.lit("NO_GO")).alias(
+            "launch"
+        ),
+    )

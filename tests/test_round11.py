@@ -2517,3 +2517,37 @@ def test_q428_watermark_dropped_share_monotone(spark):
         seq.sort()
         shares = [s for _, s in seq]
         assert shares == sorted(shares, reverse=True), et
+
+
+def test_q429_lossless_everywhere_and_redundancy_bounded(spark):
+    """Stride reassembly must reconstruct every doc exactly — zero
+    boundary loss is the claim the whole chunk layer rides; the
+    overlap redundancy is bounded by (window/stride - 1)."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        q429_chunk_reassembly_fidelity,
+    )
+    from tests.conftest import PARITY_SF_DIR
+
+    rows = q429_chunk_reassembly_fidelity(spark, PARITY_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["all_lossless"]
+        assert r["n_lossless_docs"] == r["n_docs"]
+        assert r["chunk_tokens_total"] >= r["n_tokens_total"]
+        assert 0.0 <= r["redundancy_share"] <= 1.0  # W/S - 1 = 1.0
+
+
+def test_q430_go_at_parity_no_go_at_smoke(spark):
+    """All five surfaces pass at sf0.01 → GO; sf0.001's layout gate
+    fires (over-compaction) → NO_GO with exactly that surface
+    failing."""
+    from databricks_etl_spark.plans.queries_round11 import q430_launch_gate
+    from tests.conftest import PARITY_SF_DIR
+
+    go = q430_launch_gate(spark, PARITY_SF_DIR).collect()[0]
+    assert go["launch"] == "GO" and go["n_pass"] == 5
+
+    nogo = q430_launch_gate(spark, SMOKE_SF_DIR).collect()[0]
+    assert nogo["launch"] == "NO_GO"
+    assert nogo["layout_verdict"] == "HOLD"
+    assert nogo["n_pass"] == 4
