@@ -265,3 +265,48 @@ def test_q296_bigram_lm_no_cartesian(spark, smoke_sf_dir):
     plan = _executed_plan(queries()["q296_bigram_lm_score"](spark, smoke_sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row vocab
+
+
+def test_q414_lag_is_equi_join_no_epoch_window(spark, smoke_sf_dir):
+    """The step-1 lag must be an EQUI-join on (epoch, step+1) — a
+    global ordered window would scan each epoch single-task at
+    100 TB. The only SinglePartition nodes allowed are none: every
+    window in the lane partitions by (epoch, step) or richer."""
+    plan = _executed_plan(
+        queries()["q414_interleave_runlength_audit"](spark, smoke_sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_q417_prefix_sum_two_phase_no_global_window(spark, smoke_sf_dir):
+    """The compaction prefix sum must stay two-phase: the only ordered
+    windows run per (event_type[, bucket]) — a SinglePartition window
+    over all files would serialize the planet's file listing."""
+    plan = _executed_plan(
+        queries()["q417_compaction_plan"](spark, smoke_sf_dir)
+    )
+    assert "SinglePartition" not in plan, plan
+
+
+def test_q428_running_max_two_phase_and_broadcast(spark, smoke_sf_dir):
+    """The watermark audit's running max must compose per-bucket
+    windows with a BROADCAST prefix-max relation — never a global
+    per-type ordered scan of all events in one task."""
+    plan = _executed_plan(
+        queries()["q428_watermark_demand_audit"](spark, smoke_sf_dir)
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q424_rebalance_broadcasts_tiny_relations(spark, smoke_sf_dir):
+    """Centroids (8 rows), the target scalar and the per-cell subcell
+    counts must all broadcast — the vectors themselves never shuffle
+    by embedding."""
+    plan = _executed_plan(
+        queries()["q424_ivf_cell_rebalance"](spark, smoke_sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

@@ -2551,3 +2551,128 @@ def test_q430_go_at_parity_no_go_at_smoke(spark):
     assert nogo["launch"] == "NO_GO"
     assert nogo["layout_verdict"] == "HOLD"
     assert nogo["n_pass"] == 4
+
+
+# ---------------------------------------------------------------------------
+# two-phase prefix kernels vs pure-Python references (random streams)
+# ---------------------------------------------------------------------------
+
+
+def test_file_prefix_sums_matches_python_reference(spark):
+    """The bucketed two-phase exclusive prefix sum must equal the
+    sequential reference on random day/row layouts — including gaps
+    in the day axis and a frozen base offset."""
+    import datetime as _dt
+    import random
+
+    from databricks_etl_spark.plans.queries_round11 import (
+        _file_prefix_sums,
+    )
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        rows = []
+        ref = {}
+        for et in ("a", "b"):
+            days = sorted(
+                rng.sample(range(0, 120), rng.randint(3, 40))
+            )
+            cum = 0
+            for dd in days:
+                r = rng.randint(1, 500)
+                d = _dt.date(2024, 1, 1) + _dt.timedelta(days=dd)
+                rows.append((et, d, r))
+                ref[(et, d)] = cum
+                cum += r
+        files = spark.createDataFrame(
+            rows, "event_type string, d date, rws long"
+        )
+        got = {
+            (r["event_type"], r["d"]): r["cum_before"]
+            for r in _file_prefix_sums(files).collect()
+        }
+        assert got == ref, f"seed {seed}"
+
+        base = spark.createDataFrame(
+            [("a", 1000), ("b", 7)], "event_type string, base long"
+        )
+        got_b = {
+            (r["event_type"], r["d"]): r["cum_before"]
+            for r in _file_prefix_sums(files, base_offsets=base).collect()
+        }
+        off = {"a": 1000, "b": 7}
+        assert got_b == {
+            k: v + off[k[0]] for k, v in ref.items()
+        }, f"seed {seed} base"
+
+
+def test_q428_running_max_matches_python_reference(spark):
+    """The two-phase running max must label exactly the events a
+    sequential scan labels late, on random shuffled timestamps."""
+    import random
+
+    from databricks_etl_spark.plans.queries_round11 import (
+        q428_watermark_demand_audit,  # noqa: F401  (import sanity)
+    )
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    # drive the registered lane against a planted parquet dir
+    import datetime as _dt
+    import tempfile
+
+    rng = random.Random(42)
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    for et in ("x", "y"):
+        ts_list = [
+            base + _dt.timedelta(seconds=rng.randint(0, 10_000))
+            for _ in range(300)
+        ]
+        for i, ts in enumerate(ts_list):
+            rows.append((len(rows), ts, 1, et, 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="q428_prop_")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/tmp")
+    import glob as _g
+    import shutil as _sh
+
+    part = _g.glob(f"{d}/tmp/part-*.parquet")[0]
+    _sh.copy(part, f"{d}/events.parquet")
+
+    out = {
+        (r["event_type"], r["watermark_minutes"]): r
+        for r in QUERIES["q428_watermark_demand_audit"]
+        .fn(spark, d)
+        .collect()
+    }
+    # sequential reference
+    by_et = {}
+    for eid, ts, _u, et, _v, _p in sorted(rows):
+        by_et.setdefault(et, []).append(ts)
+    import math
+
+    for et, seq in by_et.items():
+        rm = None
+        ooo = 0
+        late_s = []
+        for ts in seq:
+            if rm is not None and ts < rm:
+                ooo += 1
+                late_s.append(
+                    math.floor(rm.timestamp()) - math.floor(ts.timestamp())
+                )
+            else:
+                late_s.append(0)
+            rm = ts if rm is None else max(rm, ts)
+        for w in (1, 5, 30, 120):
+            r = out[(et, w)]
+            assert r["n_events"] == len(seq)
+            assert r["out_of_order_share"] == round(ooo / len(seq), 6)
+            assert r["n_dropped"] == sum(
+                1 for s in late_s if s > w * 60
+            ), (et, w)
+            assert r["max_lateness_seconds"] == max(late_s)
