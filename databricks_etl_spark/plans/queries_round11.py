@@ -4535,6 +4535,7 @@ _Q417_BKT = 8  # days per cumsum bucket (two-phase distributed prefix sum)
 
 @query(
     "q417_compaction_plan",
+    bench=True,
     oracle=f"""
         WITH f AS (
             SELECT event_type, CAST(ts AS DATE) AS d,
