@@ -728,7 +728,6 @@ def q121_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q122_waiting_orders",
-    bench=True,
     oracle="""
         SELECT s_name, COUNT(*) AS numwait
         FROM supplier, lineitem l1, orders
