@@ -4239,11 +4239,7 @@ def q414_interleave_runlength_audit(
     (epoch, step)-bounded rank window; the lag is an equi-join on
     step + 1, never a global ordered window, so no stage scans an
     epoch single-task at 100 TB."""
-    from databricks_etl_spark.plans.queries_round9 import (
-        q326_dataloader_order,
-    )
-
-    ordr = q326_dataloader_order(spark, sf_dir)
+    ordr = q326_order_checkpointed(spark, sf_dir)
     lens = _capped_doc_lens(spark, sf_dir)
     return _interleave_audit(_step_dominant_source(ordr, lens))
 
@@ -4396,11 +4392,7 @@ def q415_batch_mixing_entropy(
     on (epoch, batch) — grouped integer sums and a bounded rank
     window; batch count grows with corpus size, per-batch state is
     |sources| rows."""
-    from databricks_etl_spark.plans.queries_round9 import (
-        q326_dataloader_order,
-    )
-
-    ordr = q326_dataloader_order(spark, sf_dir)
+    ordr = q326_order_checkpointed(spark, sf_dir)
     lens = _capped_doc_lens(spark, sf_dir)
     return _batch_mixing(ordr, lens, _Q415_BS)
 
@@ -4470,13 +4462,9 @@ def q416_replay_spacing_audit(
     reads (the closest ANY sequence's two replays ever get)."""
     from pyspark.sql import Window
 
-    from databricks_etl_spark.plans.queries_round9 import (
-        q326_dataloader_order,
-    )
-
-    ordr = q326_dataloader_order(spark, sf_dir)
+    ordr = q326_order_checkpointed(spark, sf_dir)
     # seqs fans into sizes + pos, and pos into both join sides —
-    # checkpoint once so the FFD/manifest chain derives once
+    # checkpoint the distinct so the shuffle runs once
     seqs = (
         ordr.select("epoch", "step", "seq_id").distinct().localCheckpoint()
     )
@@ -4878,19 +4866,34 @@ def q418_dataloader_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q418_gate(ordr, lens)
 
 
+_ORDER_CACHE: dict = {}
+
+
 def q326_order_checkpointed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """q326's stream, localCheckpoint'd: q418 fans it into four
-    consumers (dominant-source steps, batch mixing, pooled runs,
-    correlation moments) — without the checkpoint each consumer
-    re-derives the FFD packing and the manifest (the q387/q400
-    multi-consumer materialization rule)."""
+    """q326's stream, localCheckpoint'd and SESSION-CACHED: five
+    registered lanes consume it (q414/q415/q416 audits, q418's gate,
+    q423's exposure join), and q418 alone fans it into four check
+    branches — without memoization every consumer re-derives the FFD
+    packing and the manifest (the q387/q400 multi-consumer rule plus
+    the _learned()/_GATE_CACHE read-through discipline: keyed on
+    (application, sf_dir), byte-identical with or without)."""
+    import os as _os
+
     from databricks_etl_spark.plans.queries_round9 import (
         q326_dataloader_order,
     )
 
-    return q326_dataloader_order(spark, sf_dir).localCheckpoint()
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.realpath(sf_dir),
+    )
+    if key not in _ORDER_CACHE:
+        _ORDER_CACHE[key] = q326_dataloader_order(
+            spark, sf_dir
+        ).localCheckpoint()
+    return _ORDER_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
