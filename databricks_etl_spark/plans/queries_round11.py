@@ -6360,3 +6360,77 @@ for _gname in (
     QUERIES[_gname] = _gate_replace(
         QUERIES[_gname], fn=_gate_read_through(_gname)
     )
+
+
+# ---------------------------------------------------------------------------
+# q431 — watermark recommendation: cheapest setting under a loss SLO
+# ---------------------------------------------------------------------------
+
+_Q431_MAX_DROP = 0.005  # completeness SLO: lose at most 0.5% of events
+
+
+def _q431_oracle() -> str:
+    o428 = QUERIES["q428_watermark_demand_audit"].oracle
+    return f"""
+        WITH aud AS MATERIALIZED (SELECT * FROM ({o428})),
+        ok AS (
+            SELECT event_type, watermark_minutes, dropped_share,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY watermark_minutes) AS rn
+            FROM aud WHERE dropped_share <= {_Q431_MAX_DROP}
+        ),
+        et AS (SELECT DISTINCT event_type FROM aud)
+        SELECT et.event_type,
+               o.watermark_minutes AS recommended_watermark_minutes,
+               o.dropped_share AS expected_dropped_share,
+               (o.watermark_minutes IS NOT NULL) AS satisfiable
+        FROM et LEFT JOIN ok o
+            ON et.event_type = o.event_type AND o.rn = 1
+    """
+
+
+@query("q431_watermark_recommendation", oracle=_q431_oracle())
+def q431_watermark_recommendation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The decision row on top of q428's measurement — the q427
+    symmetry (sweep → config) applied to the streaming side: per
+    event_type, the SMALLEST candidate watermark whose measured
+    dropped share clears the {_Q431_MAX_DROP} completeness SLO
+    (smaller watermark = less state and lower emit latency, so min
+    is the right direction), what that setting is expected to drop,
+    and a fail-closed satisfiable flag when no candidate clears the
+    SLO (NULL recommendation, never a silent max). A q52/q64/q93
+    deployment reads this row instead of guessing its
+    ``withWatermark`` argument.
+
+    Scale shape: the audit relation is |types| x |candidates| rows;
+    selection is a bounded rank — free at any event volume."""
+    from pyspark.sql import Window
+
+    aud = q428_watermark_demand_audit(spark, sf_dir).localCheckpoint()
+    w = Window.partitionBy("event_type").orderBy("watermark_minutes")
+    ok = (
+        aud.filter(F.col("dropped_share") <= _Q431_MAX_DROP)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("__et"),
+            F.col("watermark_minutes").alias(
+                "recommended_watermark_minutes"
+            ),
+            F.col("dropped_share").alias("expected_dropped_share"),
+        )
+    )
+    et = aud.select("event_type").distinct()
+    return et.join(
+        ok, et["event_type"] == ok["__et"], "left"
+    ).select(
+        "event_type",
+        "recommended_watermark_minutes",
+        "expected_dropped_share",
+        F.col("recommended_watermark_minutes")
+        .isNotNull()
+        .alias("satisfiable"),
+    )

@@ -2676,3 +2676,35 @@ def test_q428_running_max_matches_python_reference(spark):
                 1 for s in late_s if s > w * 60
             ), (et, w)
             assert r["max_lateness_seconds"] == max(late_s)
+
+
+def test_q431_recommendation_is_minimal_and_sufficient(spark):
+    """The recommended watermark must clear the SLO, and no smaller
+    candidate may — minimality proven against the full q428 audit."""
+    from databricks_etl_spark.plans.queries_round11 import (
+        _Q431_MAX_DROP,
+        q428_watermark_demand_audit,
+        q431_watermark_recommendation,
+    )
+    from tests.conftest import PARITY_SF_DIR
+
+    aud = {}
+    for r in q428_watermark_demand_audit(spark, PARITY_SF_DIR).collect():
+        aud[(r["event_type"], r["watermark_minutes"])] = r[
+            "dropped_share"
+        ]
+    recs = q431_watermark_recommendation(spark, PARITY_SF_DIR).collect()
+    assert recs
+    cands = sorted({w for _, w in aud})
+    for r in recs:
+        if not r["satisfiable"]:
+            assert all(
+                aud[(r["event_type"], w)] > _Q431_MAX_DROP for w in cands
+            )
+            continue
+        rec = r["recommended_watermark_minutes"]
+        assert aud[(r["event_type"], rec)] <= _Q431_MAX_DROP
+        assert r["expected_dropped_share"] == aud[(r["event_type"], rec)]
+        for w in cands:
+            if w < rec:
+                assert aud[(r["event_type"], w)] > _Q431_MAX_DROP
