@@ -167,6 +167,59 @@ def decode_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(op, _DECODE_SCHEMA)
 
 
+def decode_features_arrow(df: DataFrame) -> DataFrame:
+    """:func:`decode_features`'s ``mapInArrow`` twin: the same decoder
+    over raw ``pyarrow.RecordBatch``es — no pandas materialization
+    between Arrow transport and the codec, the shape a binary-heavy
+    multimodal scan wants at 100 TB (pandas conversion would copy
+    every payload into Python objects TWICE). Output schema and
+    quarantine-by-NULL semantics are byte-identical to the pandas
+    lane; q432 registers it with q57's oracle, so the Arrow-native
+    path is itself hash-proven."""
+    import pyarrow as pa
+
+    def op(batches):
+        nulls = (None,) * 6
+
+        def safe(p):
+            try:
+                return decode_bmp(bytes(p))
+            except Exception:
+                return nulls
+
+        target = pa.schema(
+            [
+                pa.field("doc_id", pa.int64()),
+                pa.field("n_bytes", pa.int64()),
+                pa.field("width", pa.int32()),
+                pa.field("height", pa.int32()),
+                pa.field("channels", pa.int32()),
+                pa.field("mean_r", pa.float64()),
+                pa.field("mean_g", pa.float64()),
+                pa.field("mean_b", pa.float64()),
+            ]
+        )
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            feats = [safe(p) for p in payloads]
+            cols = {
+                "doc_id": doc_ids,
+                "n_bytes": [
+                    len(p) if p is not None else None for p in payloads
+                ],
+                "width": [f[0] for f in feats],
+                "height": [f[1] for f in feats],
+                "channels": [f[2] for f in feats],
+                "mean_r": [f[3] for f in feats],
+                "mean_g": [f[4] for f in feats],
+                "mean_b": [f[5] for f in feats],
+            }
+            yield pa.RecordBatch.from_pydict(cols, schema=target)
+
+    return df.select("doc_id", "payload").mapInArrow(op, _DECODE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """'Video frame sampling' stub: emit one row per sampled offset of
     each payload — demonstrates the 1→N mapInPandas expansion shape

@@ -112,3 +112,32 @@ def q58_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (previously rows-only on plumbing-test evidence alone)."""
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return MM.frame_sample(MM.attach_binary(d), every_n_bytes=128)
+
+
+def _q432_register() -> None:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    @query(
+        "q432_multimodal_decode_arrow",
+        oracle=QUERIES["q57_multimodal_decode_features"].oracle,
+    )
+    def q432_multimodal_decode_arrow(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """q57's decode lane on the ``mapInArrow`` path: the same
+        pure-Python BMP parser consuming raw Arrow RecordBatches with
+        no pandas materialization between transport and codec — for
+        binary-heavy multimodal scans the pandas hop copies every
+        payload into Python object arrays before the codec ever sees
+        it, which at 100 TB is a second full pass over the bytes.
+        Registered with q57's OWN closed-form oracle, so the
+        Arrow-native path is independently value-hash-proven (not
+        just claimed equivalent); the quarantine-by-NULL corrupt-
+        payload semantics carry over and are re-tested on this path."""
+        d = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 200
+        )
+        return MM.decode_features_arrow(MM.generate_bmp_payloads(d))
+
+
+_q432_register()

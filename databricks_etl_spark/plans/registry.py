@@ -539,8 +539,8 @@ def _load() -> None:
     # round-11 modules
     import databricks_etl_spark.plans.queries_round11  # noqa: F401
 
-    assert len(QUERIES) >= 429, (
-        f"query registry shrank: {len(QUERIES)} < 429 — a module failed to register"
+    assert len(QUERIES) >= 430, (
+        f"query registry shrank: {len(QUERIES)} < 430 — a module failed to register"
     )
     _reorder()
     _loaded = True

@@ -2708,3 +2708,27 @@ def test_q431_recommendation_is_minimal_and_sufficient(spark):
         for w in cands:
             if w < rec:
                 assert aud[(r["event_type"], w)] > _Q431_MAX_DROP
+
+
+def test_q432_arrow_path_quarantines_corrupt_payloads(spark):
+    """One corrupt (or NULL) payload must NULL its features, never
+    kill the Arrow batch — q57's hygiene contract on the mapInArrow
+    path."""
+    from databricks_etl_spark.operators import multimodal as MM
+
+    good = MM.generate_bmp_payloads(
+        spark.createDataFrame([(7,), (8,)], "doc_id long")
+    )
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"not a bmp")), (100, None)],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in MM.decode_features_arrow(
+            good.unionByName(bad)
+        ).collect()
+    }
+    assert out[7]["width"] is not None and out[8]["mean_b"] is not None
+    assert out[99]["width"] is None and out[99]["n_bytes"] == 9
+    assert out[100]["width"] is None and out[100]["n_bytes"] is None
