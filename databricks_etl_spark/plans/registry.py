@@ -470,17 +470,32 @@ def _reorder() -> None:
     """Rebuild QUERIES so unverified queries occupy the driver window.
 
     Priority: q01 smoke first, then oracled queries with no driver
-    correctness row yet, then rows-only queries with none, then the
-    already-verified remainder. Ties keep registration order.
+    correctness row yet (own-oracle lanes ahead of twins that REGISTER
+    another lane's oracle — a twin's SQL is verified through its
+    primary, so when the window overflows the displaced entries should
+    be twins, not capstones), then rows-only queries with none, then
+    the already-verified remainder. Ties keep registration order.
     """
 
-    def rank(item: tuple[str, QueryDef]) -> int:
+    seen_oracles: set[str] = set()
+    twin: set[str] = set()
+    for name, qdef in QUERIES.items():
+        if qdef.oracle is None:
+            continue
+        if qdef.oracle in seen_oracles:
+            twin.add(name)
+        else:
+            seen_oracles.add(qdef.oracle)
+
+    def rank(item: tuple[str, QueryDef]) -> tuple[int, int]:
         name, qdef = item
         if name == "q01_revenue_by_nation":
-            return 0
+            return (0, 0)
         if name not in _DRIVER_VERIFIED:
-            return 1 if qdef.oracle is not None else 2
-        return 3
+            if qdef.oracle is not None:
+                return (1, 1 if name in twin else 0)
+            return (2, 0)
+        return (3, 0)
 
     ordered = sorted(QUERIES.items(), key=rank)  # stable sort
     QUERIES.clear()
