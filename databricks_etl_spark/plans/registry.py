@@ -30,16 +30,28 @@ class QueryDef:
     fn: QueryFn
     oracle: str | None
     bench: bool = False  # include in bench.py headline set
+    # defer=True ranks an unverified oracled query BEHIND the round's
+    # non-deferred unverified set (own-oracle first, then twins) in the
+    # driver window: lanes landed after the current round's 50-entry
+    # window is already full opt in so they queue for the NEXT round's
+    # window instead of displacing verdict-requested lanes from this
+    # one. Once driver-verified they rank like any other verified query.
+    defer: bool = False
 
 
 QUERIES: dict[str, QueryDef] = {}
 
 
-def query(name: str, oracle: str | None = None, bench: bool = False):
+def query(
+    name: str,
+    oracle: str | None = None,
+    bench: bool = False,
+    defer: bool = False,
+):
     """Register a query under ``name`` with optional DuckDB oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = QueryDef(fn=fn, oracle=oracle, bench=bench)
+        QUERIES[name] = QueryDef(fn=fn, oracle=oracle, bench=bench, defer=defer)
         return fn
 
     return deco
@@ -493,6 +505,8 @@ def _reorder() -> None:
             return (0, 0)
         if name not in _DRIVER_VERIFIED:
             if qdef.oracle is not None:
+                if qdef.defer:
+                    return (1, 2)
                 return (1, 1 if name in twin else 0)
             return (2, 0)
         return (3, 0)
@@ -553,6 +567,7 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_round10  # noqa: F401
     # round-11 modules
     import databricks_etl_spark.plans.queries_round11  # noqa: F401
+    import databricks_etl_spark.plans.queries_round11b  # noqa: F401
 
     assert len(QUERIES) >= 430, (
         f"query registry shrank: {len(QUERIES)} < 430 — a module failed to register"

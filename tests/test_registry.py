@@ -77,3 +77,28 @@ def test_window_fronts_unverified_oracled_queries():
         )
     # sanity: QUERIES mutated in place, same object the driver sees
     assert list(QUERIES) == names
+
+
+def test_deferred_lanes_rank_behind_all_other_unverified_oracled():
+    """defer=True lanes (landed after the round's window filled) must
+    sort behind every non-deferred unverified oracled query — own-oracle
+    AND twins — so they queue for the next round's window instead of
+    displacing this round's."""
+    qs = queries()
+    names = list(qs)
+    ranks = {n: i for i, n in enumerate(names)}
+    deferred = [
+        n
+        for n, q in QUERIES.items()
+        if q.defer and q.oracle is not None and n not in _DRIVER_VERIFIED
+    ]
+    other_unv = [
+        n
+        for n, q in QUERIES.items()
+        if not q.defer and q.oracle is not None and n not in _DRIVER_VERIFIED
+        and n != "q01_revenue_by_nation"
+    ]
+    if deferred and other_unv:
+        assert min(ranks[n] for n in deferred) > max(
+            ranks[n] for n in other_unv
+        )
