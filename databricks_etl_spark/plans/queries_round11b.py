@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 from databricks_etl_spark.plans.registry import query
 from databricks_etl_spark.sources.readers import read_table
 
+# q434 embeds q170's oracle SQL via the registry, so a DIRECT import of
+# this module must register queries_olap first (round-11 precedent)
+import databricks_etl_spark.plans.queries_olap  # noqa: E402,F401  isort: skip
+
 # ---------------------------------------------------------------------------
 # q433 — table/column statistics collection (the ANALYZE TABLE surface)
 # ---------------------------------------------------------------------------
@@ -109,8 +113,9 @@ def q433_table_stats_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Range predicates on l_extendedprice (full data range ~[900, 105000]
 # at every SF): a low band, two mid bands, an open upper tail (hi past
-# the max exercises clamping) and a narrow sliver (the hard case for a
-# 10-bucket histogram — expect the largest q_error here).
+# the max exercises clamping) and a narrow intra-bucket sliver (pure
+# interpolation, no full bucket — the estimator leans entirely on the
+# uniform-within-bucket assumption there).
 _Q434_PREDS: list[tuple[int, float, float]] = [
     (1, 0.0, 10000.0),
     (2, 10000.0, 30000.0),
@@ -178,9 +183,11 @@ def q434_selectivity_estimation_audit(
     histogram (uniform-within-bucket interpolation — the estimator
     inside every cost-based optimizer), then measure the actual count
     and report the q-error (max of over/under-estimation factor). The
-    narrow-sliver predicate (#5) is planted to show where a 10-bucket
-    histogram degrades; the oracle embeds q170's histogram SQL
-    verbatim so the estimate cannot drift from the published stats.
+    narrow-sliver predicate (#5) rests entirely on the within-bucket
+    uniformity assumption (no fully-covered bucket) — on a skewed
+    column that is where a 10-bucket histogram degrades; the oracle
+    embeds q170's histogram SQL verbatim so the estimate cannot drift
+    from the published stats.
 
     Scale shape: the estimator runs on the HISTOGRAM (10 rows × 5
     predicates, broadcast cross join + decimal rollup) — free at any
@@ -296,9 +303,11 @@ def q435_join_cardinality_qerror(
     """Join-cardinality estimation under the textbook independence
     assumption — ``|R ⋈ S| ≈ |R|·|S| / max(ndv(R.k), ndv(S.k))`` —
     audited against the TRUE join size for every FK edge of the
-    schema, reported as a q-error. On clean FK edges (orders-lineitem)
-    the estimate is near-exact; edges where the dimension has unmatched
-    keys show the estimator's characteristic overcount.
+    schema, reported as a q-error. On this corpus's clean uniform FK
+    edges the estimate is exact (q_error = 1.0) — the audit's value is
+    the METRIC: on skewed or partially-matched keys the same rollup
+    exposes the estimator's characteristic overcount, and the q-error
+    is what a planner would feed back into join reordering.
 
     Scale shape: the true join size is computed WITHOUT materializing
     the join — per-key counts on each side (partial+final agg), an
@@ -364,3 +373,237 @@ def q435_join_cardinality_qerror(
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+# ---------------------------------------------------------------------------
+# q436 — stats-driven broadcast planning decision (the stats → plan loop)
+# ---------------------------------------------------------------------------
+
+# join edges reuse q435's spec; candidate autoBroadcast-style thresholds
+_Q436_THRESHOLDS = [65536, 1048576, 10485760]  # 64 KiB / 1 MiB / 10 MiB
+_Q436_NUM_WIDTH = 8  # bytes per profiled numeric column (the width model)
+
+
+def _q436_oracle() -> str:
+    edges = ", ".join(
+        f"('{e}', '{lt}', '{rt}')" for e, lt, _, rt, _ in _Q435_EDGES
+    )
+    ths = ", ".join(f"({t})" for t in _Q436_THRESHOLDS)
+    return f"""
+        WITH st AS MATERIALIZED ({_q433_oracle()}),
+        tb AS (
+            SELECT table_name,
+                   MAX(n_rows) * {_Q436_NUM_WIDTH} * COUNT(*) AS est_bytes
+            FROM st GROUP BY table_name
+        ),
+        ed(edge, lt, rt) AS (VALUES {edges}),
+        th(threshold_bytes) AS (VALUES {ths})
+        SELECT ed.edge,
+               CAST(th.threshold_bytes AS BIGINT) AS threshold_bytes,
+               CASE WHEN l.est_bytes <= r.est_bytes
+                    THEN ed.lt ELSE ed.rt END AS build_side,
+               CAST(LEAST(l.est_bytes, r.est_bytes) AS BIGINT)
+                   AS est_build_bytes,
+               CASE WHEN LEAST(l.est_bytes, r.est_bytes)
+                         <= th.threshold_bytes
+                    THEN 'broadcast' ELSE 'shuffle' END AS strategy
+        FROM ed
+        JOIN tb l ON l.table_name = ed.lt
+        JOIN tb r ON r.table_name = ed.rt
+        CROSS JOIN th
+    """
+
+
+@query("q436_broadcast_plan_decision", oracle=_q436_oracle(), defer=True)
+def q436_broadcast_plan_decision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closing the stats → PLAN loop: from q433's published column
+    stats alone (row count × a fixed per-numeric-column width model),
+    size every join edge's build side and decide broadcast vs shuffle
+    for each candidate threshold — exactly the decision Spark's own
+    ``autoBroadcastJoinThreshold`` makes from catalog stats, made
+    auditable. One row per (edge, threshold); the oracle embeds q433's
+    stats SQL verbatim so the decision table cannot drift from the
+    published stats. A plan-shape test cross-checks the model against
+    Spark's REAL planner: the edge this lane marks broadcast-able at
+    10 MiB plans as BroadcastHashJoin under the default threshold.
+
+    Scale shape: decisions run on the STATS relation (17 rows → 5
+    per-table sizes, broadcast-joined to a 4-edge × 3-threshold grid)
+    — free at any corpus size; the stats pass itself is q433's."""
+    st = q433_table_stats_collection(spark, sf_dir)
+    tb = st.groupBy("table_name").agg(
+        (
+            F.max("n_rows") * _Q436_NUM_WIDTH * F.count(F.lit(1))
+        ).alias("est_bytes")
+    )
+    ed = spark.createDataFrame(
+        [(e, lt, rt) for e, lt, _, rt, _ in _Q435_EDGES],
+        "edge string, lt string, rt string",
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _Q436_THRESHOLDS], "threshold_bytes long"
+    )
+    l = tb.select(
+        F.col("table_name").alias("lt"), F.col("est_bytes").alias("lb")
+    )
+    r = tb.select(
+        F.col("table_name").alias("rt"), F.col("est_bytes").alias("rb")
+    )
+    build = F.least("lb", "rb")
+    return (
+        ed.join(F.broadcast(l), "lt")
+        .join(F.broadcast(r), "rt")
+        .crossJoin(F.broadcast(th))
+        .select(
+            "edge",
+            "threshold_bytes",
+            F.when(F.col("lb") <= F.col("rb"), F.col("lt"))
+            .otherwise(F.col("rt"))
+            .alias("build_side"),
+            build.cast("long").alias("est_build_bytes"),
+            F.when(build <= F.col("threshold_bytes"), "broadcast")
+            .otherwise("shuffle")
+            .alias("strategy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q437 — stats staleness audit (drift since the last ANALYZE)
+# ---------------------------------------------------------------------------
+
+# Deterministic late-batch simulation: the "last ANALYZE" saw rows with
+# key % _Q437_MOD < _Q437_MOD - 1 (~90%); the full table is current.
+_Q437_MOD = 10
+_Q437_GROWTH_TOL = 0.05  # stale when rows or NDV grew past 5%
+
+# (table, split key, audited columns)
+_Q437_SPEC: list[tuple[str, str, list[str]]] = [
+    ("orders", "o_orderkey", ["o_orderkey", "o_custkey", "o_totalprice"]),
+    ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice"]),
+]
+
+
+def _q437_sql(mod: int = _Q437_MOD, tol: float = _Q437_GROWTH_TOL) -> str:
+    parts = []
+    for t, k, cols in _Q437_SPEC:
+        old = f"({k} % {mod}) < {mod - 1}"
+        for c in cols:
+            parts.append(f"""
+                SELECT '{t}' AS table_name, '{c}' AS column_name,
+                       CAST(SUM(CASE WHEN {old} THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_rows_old,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows_new,
+                       round((CAST(COUNT(*) AS DOUBLE)
+                              - SUM(CASE WHEN {old} THEN 1 ELSE 0 END))
+                             / SUM(CASE WHEN {old} THEN 1 ELSE 0 END), 6)
+                           AS row_growth,
+                       round((CAST(COUNT(DISTINCT {c}) AS DOUBLE)
+                              - COUNT(DISTINCT CASE WHEN {old}
+                                               THEN {c} END))
+                             / COUNT(DISTINCT CASE WHEN {old}
+                                              THEN {c} END), 6)
+                           AS ndv_growth,
+                       (CAST(MAX({c}) AS DOUBLE)
+                            > CAST(MAX(CASE WHEN {old} THEN {c} END)
+                                   AS DOUBLE)
+                        OR CAST(MIN({c}) AS DOUBLE)
+                            < CAST(MIN(CASE WHEN {old} THEN {c} END)
+                                   AS DOUBLE)) AS range_expanded,
+                       (round((CAST(COUNT(*) AS DOUBLE)
+                               - SUM(CASE WHEN {old} THEN 1 ELSE 0 END))
+                              / SUM(CASE WHEN {old} THEN 1 ELSE 0 END), 6)
+                            > {tol}
+                        OR round((CAST(COUNT(DISTINCT {c}) AS DOUBLE)
+                                  - COUNT(DISTINCT CASE WHEN {old}
+                                                   THEN {c} END))
+                                 / COUNT(DISTINCT CASE WHEN {old}
+                                                  THEN {c} END), 6)
+                            > {tol}
+                        OR CAST(MAX({c}) AS DOUBLE)
+                            > CAST(MAX(CASE WHEN {old} THEN {c} END)
+                                   AS DOUBLE)
+                        OR CAST(MIN({c}) AS DOUBLE)
+                            < CAST(MIN(CASE WHEN {old} THEN {c} END)
+                                   AS DOUBLE)) AS stale
+                FROM {t}""")
+    return " UNION ALL ".join(parts)
+
+
+def _q437_stats_drift(
+    spark: SparkSession,
+    sf_dir: str,
+    mod: int = _Q437_MOD,
+    tol: float = _Q437_GROWTH_TOL,
+) -> DataFrame:
+    out = []
+    for t, k, cols in _Q437_SPEC:
+        df = read_table(spark, sf_dir, t).select(k, *dict.fromkeys(cols))
+        old = (F.col(k) % mod) < (mod - 1)
+        aggs = [
+            F.sum(F.when(old, 1).otherwise(0)).cast("long").alias("__no"),
+            F.count(F.lit(1)).alias("__nn"),
+        ]
+        for c in cols:
+            cd = F.col(c).cast("double")
+            aggs += [
+                F.countDistinct(F.when(old, F.col(c))).alias(f"{c}__do"),
+                F.countDistinct(c).alias(f"{c}__dn"),
+                F.min(F.when(old, cd)).alias(f"{c}__mino"),
+                F.max(F.when(old, cd)).alias(f"{c}__maxo"),
+                F.min(cd).alias(f"{c}__minn"),
+                F.max(cd).alias(f"{c}__maxn"),
+            ]
+        row = df.agg(*aggs).localCheckpoint()
+        for c in cols:
+            rg = F.round(
+                (F.col("__nn").cast("double") - F.col("__no"))
+                / F.col("__no"),
+                6,
+            )
+            ng = F.round(
+                (F.col(f"{c}__dn").cast("double") - F.col(f"{c}__do"))
+                / F.col(f"{c}__do"),
+                6,
+            )
+            rexp = (F.col(f"{c}__maxn") > F.col(f"{c}__maxo")) | (
+                F.col(f"{c}__minn") < F.col(f"{c}__mino")
+            )
+            out.append(
+                row.select(
+                    F.lit(t).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    F.col("__no").alias("n_rows_old"),
+                    F.col("__nn").alias("n_rows_new"),
+                    rg.alias("row_growth"),
+                    ng.alias("ndv_growth"),
+                    rexp.alias("range_expanded"),
+                    ((rg > tol) | (ng > tol) | rexp).alias("stale"),
+                )
+            )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+@query("q437_stats_staleness_audit", oracle=_q437_sql(), defer=True)
+def q437_stats_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats STALENESS audit — how far has the table drifted since the
+    last ANALYZE? A deterministic late-batch split (key % 10 < 9 = the
+    rows the old stats saw; the full table = current) yields per-column
+    row growth, NDV growth and range expansion, and a fail-closed
+    ``stale`` flag when growth passes tolerance or the min/max range
+    moved (stale ranges silently break partition pruning and the q434
+    estimator — this lane is why engines re-ANALYZE). Kernel takes
+    (mod, tol) kwargs; the planted-violation test flips every flag with
+    tol=0 and clears them with tol large, and byte-identity at the
+    defaults is pinned.
+
+    Scale shape: ONE conditional-aggregation pass per table (old and
+    new stats fused into the same partial+final agg — no second scan,
+    no join); per-column outputs are projections of a localCheckpoint'd
+    1-row aggregate, exactly q433's shape."""
+    return _q437_stats_drift(spark, sf_dir)
