@@ -607,3 +607,383 @@ def q437_stats_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join); per-column outputs are projections of a localCheckpoint'd
     1-row aggregate, exactly q433's shape."""
     return _q437_stats_drift(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q438 — k-anonymity audit (re-identification risk of the QI release)
+# ---------------------------------------------------------------------------
+
+# Quasi-identifier spec: (include nation?, acctbal band width). Level 0
+# is the finest release a marketing export would plausibly contain.
+_Q438_K_GRID = [2, 5, 10, 20]
+# Widths form a REFINEMENT chain (500 | 2000 | 10000) and level 2 drops
+# nation: each step strictly merges level-below groups, so group sizes
+# only grow and rows_below_5 is provably non-increasing down the ladder.
+_PRIV_LEVELS: list[tuple[int, bool, int]] = [
+    (0, True, 500),
+    (1, True, 2000),
+    (2, False, 2000),
+    (3, False, 10000),
+]
+_Q441_RELEASE_LEVEL = 2  # the level the privacy gate actually releases
+
+
+def _priv_qi_sql(use_nation: bool, width: int) -> str:
+    nat = "c_nationkey" if use_nation else "-1"
+    return f"""
+        SELECT {nat} AS qi_nation, c_mktsegment AS qi_segment,
+               CAST(floor(c_acctbal / {width}) AS BIGINT) AS qi_band,
+               COUNT(*) AS c
+        FROM customer
+        GROUP BY 1, 2, 3"""
+
+
+def _priv_qi(df: DataFrame, use_nation: bool, width: int) -> DataFrame:
+    nat = F.col("c_nationkey") if use_nation else F.lit(-1)
+    return df.groupBy(
+        nat.alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.floor(F.col("c_acctbal") / width).cast("long").alias("qi_band"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def _q438_oracle() -> str:
+    ks = ", ".join(f"({k})" for k in _Q438_K_GRID)
+    return f"""
+        WITH g AS MATERIALIZED ({_priv_qi_sql(True, 500)}),
+        kk(k) AS (VALUES {ks})
+        SELECT kk.k,
+               CAST(SUM(g.c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(MIN(g.c) AS BIGINT) AS min_group_size,
+               CAST(SUM(CASE WHEN g.c < kk.k THEN g.c ELSE 0 END)
+                    AS BIGINT) AS rows_below_k,
+               round(CAST(SUM(CASE WHEN g.c < kk.k THEN g.c ELSE 0 END)
+                          AS DOUBLE)
+                     / CAST(SUM(g.c) AS DOUBLE), 6) AS share_below_k
+        FROM kk CROSS JOIN g
+        GROUP BY kk.k
+    """
+
+
+@query("q438_k_anonymity_audit", oracle=_q438_oracle(), defer=True)
+def q438_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the finest plausible release of customer
+    quasi-identifiers (nation, market segment, account-balance band):
+    for each candidate k, how many rows sit in QI groups smaller than
+    k — the classic re-identification risk measure (Sweeney). The
+    k-sweep runs on the GROUPED relation, so raising k only re-ranks
+    the same bounded histogram; q439 generalizes the QI until the risk
+    collapses, and q441 gates a release on it.
+
+    Scale shape: one grouped count over the QI key (partial+final
+    agg), then a broadcast |k-grid| × |groups| rollup — the group
+    relation is bounded by the QI cardinality (|nations| × |segments|
+    × |bands|), not the row count, so the sweep is free at 100 TB."""
+    g = _priv_qi(
+        read_table(spark, sf_dir, "customer"), True, 500
+    ).localCheckpoint()
+    kk = spark.createDataFrame([(k,) for k in _Q438_K_GRID], "k int")
+    below = F.sum(F.when(F.col("c") < F.col("k"), F.col("c")).otherwise(0))
+    return (
+        g.crossJoin(F.broadcast(kk))
+        .groupBy("k")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("c").cast("long").alias("min_group_size"),
+            below.cast("long").alias("rows_below_k"),
+            F.round(
+                below.cast("double") / F.sum("c").cast("double"), 6
+            ).alias("share_below_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q439 — generalization ladder (privacy-utility tradeoff curve)
+# ---------------------------------------------------------------------------
+
+
+def _q439_oracle() -> str:
+    parts = []
+    for lvl, nat, width in _PRIV_LEVELS:
+        parts.append(f"""
+            SELECT {lvl} AS level,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(MIN(c) AS BIGINT) AS min_group_size,
+                   round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6)
+                       AS avg_group_size,
+                   CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END)
+                        AS BIGINT) AS rows_below_5,
+                   round(CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END)
+                              AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                       AS share_below_5,
+                   (SUM(CASE WHEN c < 5 THEN c ELSE 0 END) = 0)
+                       AS anonymous_k5
+            FROM ({_priv_qi_sql(nat, width)}) g""")
+    return " UNION ALL ".join(parts)
+
+
+@query("q439_generalization_ladder", oracle=_q439_oracle(), defer=True)
+def q439_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-anonymization LADDER: re-measure q438's risk as the QI is
+    progressively generalized (coarser balance bands, then nation
+    dropped) — the privacy-utility tradeoff curve a data-governance
+    pipeline publishes to pick the release granularity. Utility falls
+    with n_groups (fewer distinguishable cohorts); risk falls with
+    rows_below_5. The ``anonymous_k5`` column marks the first level
+    that is fully 5-anonymous — the release candidate q441 gates on.
+
+    Scale shape: one grouped count per level over the same table scan
+    shape (4 bounded passes; the group relations are QI-cardinality-
+    bounded), each followed by a 1-row rollup — no joins, no windows,
+    no data-sized shuffle beyond the grouped counts themselves."""
+    cust = read_table(spark, sf_dir, "customer")
+    out = []
+    for lvl, nat, width in _PRIV_LEVELS:
+        g = _priv_qi(cust, nat, width)
+        below = F.sum(F.when(F.col("c") < 5, F.col("c")).otherwise(0))
+        out.append(
+            g.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.min("c").cast("long").alias("min_group_size"),
+                F.round(
+                    F.sum("c").cast("double") / F.count(F.lit(1)), 6
+                ).alias("avg_group_size"),
+                below.cast("long").alias("rows_below_5"),
+                F.round(
+                    below.cast("double") / F.sum("c").cast("double"), 6
+                ).alias("share_below_5"),
+                (below == 0).alias("anonymous_k5"),
+            ).select(F.lit(lvl).alias("level"), "*")
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# q440 — l-diversity audit (attribute disclosure, not just identity)
+# ---------------------------------------------------------------------------
+
+# QI levels for the sensitive-attribute audit; the sensitive value is
+# the account-balance band (fixed 2750-wide quartile-ish bins over the
+# [-1000, 10000] data range) — NOT part of these QIs.
+_Q440_LEVELS: list[tuple[int, str]] = [
+    (0, "nation+segment"),
+    (1, "nation"),
+    (2, "segment"),
+]
+_Q440_SENS_SQL = "CAST(floor((c_acctbal + 1000) / 2750) AS BIGINT)"
+
+
+def _q440_qi_cols(level: int) -> list[str]:
+    return {
+        0: ["c_nationkey", "c_mktsegment"],
+        1: ["c_nationkey"],
+        2: ["c_mktsegment"],
+    }[level]
+
+
+def _q440_oracle() -> str:
+    parts = []
+    for lvl, label in _Q440_LEVELS:
+        qi = ", ".join(_q440_qi_cols(lvl))
+        parts.append(f"""
+            SELECT {lvl} AS level, '{label}' AS qi,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(MIN(l) AS BIGINT) AS min_l,
+                   CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS homogeneous_groups,
+                   CAST(SUM(CASE WHEN l < 2 THEN c ELSE 0 END)
+                        AS BIGINT) AS rows_in_low_l,
+                   (MIN(l) >= 2) AS diverse_l2
+            FROM (
+                SELECT COUNT(DISTINCT {_Q440_SENS_SQL}) AS l,
+                       COUNT(*) AS c
+                FROM customer GROUP BY {qi}
+            ) g""")
+    return " UNION ALL ".join(parts)
+
+
+@query("q440_l_diversity_audit", oracle=_q440_oracle(), defer=True)
+def q440_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's blind spot is a group that is
+    large but HOMOGENEOUS in the sensitive attribute (everyone in the
+    cohort has the same balance band: group size protects identity,
+    not the attribute). Per QI level: the minimum number of distinct
+    sensitive values any group carries, how many groups are fully
+    homogeneous, and the rows exposed in them; ``diverse_l2`` is the
+    Machanavajjhala l>=2 bar q441 gates on.
+
+    Scale shape: per level, one grouped distinct-count over the QI key
+    (the sensitive domain is 5 fixed bins, so the distinct-agg state
+    is bounded) followed by a 1-row rollup — QI-cardinality-bounded,
+    like q438."""
+    cust = read_table(spark, sf_dir, "customer")
+    sens = F.floor((F.col("c_acctbal") + 1000) / 2750).cast("long")
+    out = []
+    for lvl, label in _Q440_LEVELS:
+        g = cust.groupBy(*_q440_qi_cols(lvl)).agg(
+            F.countDistinct(sens).alias("l"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        out.append(
+            g.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.min("l").cast("long").alias("min_l"),
+                F.sum(F.when(F.col("l") == 1, 1).otherwise(0))
+                .cast("long")
+                .alias("homogeneous_groups"),
+                F.sum(F.when(F.col("l") < 2, F.col("c")).otherwise(0))
+                .cast("long")
+                .alias("rows_in_low_l"),
+                (F.min("l") >= 2).alias("diverse_l2"),
+            ).select(
+                F.lit(lvl).alias("level"), F.lit(label).alias("qi"), "*"
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# q441 — privacy release gate (fail-closed, composes q438/q439/q440/q141)
+# ---------------------------------------------------------------------------
+
+_Q441_SHARE_TOL = 0.05  # max tolerated share of rows below k=5
+_Q441_MIN_L = 2  # Machanavajjhala bar
+
+
+def _q441_oracle(
+    share_tol: float = _Q441_SHARE_TOL, min_l: int = _Q441_MIN_L
+) -> str:
+    from databricks_etl_spark.plans.queries_llmprep import _EMAIL
+
+    lvl = dict((l, (n, w)) for l, n, w in _PRIV_LEVELS)[_Q441_RELEASE_LEVEL]
+    return f"""
+        WITH g AS (
+            SELECT CASE WHEN COUNT(*) > 0 THEN
+                       CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END)
+                            AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                   END AS share_below_5,
+                   CAST(SUM(c) AS BIGINT) AS n_customers
+            FROM ({_priv_qi_sql(lvl[0], lvl[1])}) q
+        ),
+        ld AS (
+            SELECT MIN(l) AS min_l FROM (
+                SELECT COUNT(DISTINCT {_Q440_SENS_SQL}) AS l
+                FROM customer GROUP BY c_mktsegment
+            ) x
+        ),
+        em AS (
+            SELECT CAST(SUM(CASE WHEN len(regexp_extract_all(
+                            text, '{_EMAIL}')) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+                   COUNT(*) AS n_docs
+            FROM documents
+        )
+        SELECT COALESCE(g.n_customers, 0) AS n_customers,
+               round(g.share_below_5, 6) AS share_below_5,
+               ld.min_l,
+               em.docs_with_email,
+               CASE WHEN g.n_customers > 0
+                    THEN g.share_below_5 <= {share_tol} END
+                   AS check_k_anonymity,
+               CASE WHEN g.n_customers > 0
+                    THEN ld.min_l >= {min_l} END AS check_l_diversity,
+               CASE WHEN em.n_docs > 0
+                    THEN em.docs_with_email = 0 END AS check_no_pii,
+               CASE WHEN (g.n_customers > 0
+                          AND g.share_below_5 <= {share_tol})
+                     AND ld.min_l >= {min_l}
+                     AND (em.n_docs > 0 AND em.docs_with_email = 0)
+                    THEN 'PASS' ELSE 'HOLD' END AS verdict
+        FROM g CROSS JOIN ld CROSS JOIN em
+    """
+
+
+def _q441_gate(
+    spark: SparkSession,
+    customers: DataFrame,
+    docs: DataFrame,
+    share_tol: float = _Q441_SHARE_TOL,
+    min_l: int = _Q441_MIN_L,
+) -> DataFrame:
+    from databricks_etl_spark.plans.queries_llmprep import _EMAIL
+
+    nat, width = dict((l, (n, w)) for l, n, w in _PRIV_LEVELS)[
+        _Q441_RELEASE_LEVEL
+    ]
+    below = F.sum(F.when(F.col("c") < 5, F.col("c")).otherwise(0))
+    g = _priv_qi(customers, nat, width).agg(
+        F.when(
+            F.count(F.lit(1)) > 0,
+            below.cast("double") / F.sum("c").cast("double"),
+        ).alias("share_below_5"),
+        F.coalesce(F.sum("c").cast("long"), F.lit(0)).alias("n_customers"),
+    )
+    sens = F.floor((F.col("c_acctbal") + 1000) / 2750).cast("long")
+    ld = (
+        customers.groupBy("c_mktsegment")
+        .agg(F.countDistinct(sens).alias("l"))
+        .agg(F.min("l").cast("long").alias("min_l"))
+    )
+    em = docs.agg(
+        F.sum(
+            F.when(
+                F.size(F.regexp_extract_all("text", F.lit(_EMAIL))) > 0, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("docs_with_email"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    ck = F.when(
+        F.col("n_customers") > 0, F.col("share_below_5") <= share_tol
+    )
+    cl = F.when(F.col("n_customers") > 0, F.col("min_l") >= min_l)
+    cp = F.when(F.col("n_docs") > 0, F.col("docs_with_email") == 0)
+    return (
+        g.crossJoin(ld)
+        .crossJoin(em)
+        .select(
+            "n_customers",
+            F.round("share_below_5", 6).alias("share_below_5"),
+            "min_l",
+            "docs_with_email",
+            ck.alias("check_k_anonymity"),
+            cl.alias("check_l_diversity"),
+            cp.alias("check_no_pii"),
+            F.when(ck & cl & cp, "PASS").otherwise("HOLD").alias("verdict"),
+        )
+    )
+
+
+@query("q441_privacy_release_gate", oracle=_q441_oracle(), defer=True)
+def q441_privacy_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fail-closed PRIVACY release gate — the one-row verdict on top of
+    the privacy family: the released QI level (q439's level 2) must
+    leave at most 5% of rows below k=5 (q438's measure), every
+    segment cohort must carry >=2 distinct sensitive values (q440's
+    l-diversity bar), and the document corpus must contain zero
+    unredacted e-mail addresses (q141's detector). Any check NULL (an
+    EMPTY input — the audit never ran) or false holds the release:
+    CASE's NULL-propagation makes missing evidence a HOLD, not a PASS
+    (the greatest(NULL,0) gotcha class, handled by COUNT guards). At
+    sf0.01 the gate PASSes; at sf0.001 the same thresholds HOLD (the
+    release level is not yet 5-anonymous at that corpus size) — the
+    gate moves with the data, like q430.
+
+    Scale shape: three 1-row aggregates (QI-bounded group rollup,
+    5-segment distinct rollup, one regexp pass over documents) crossed
+    together — no data-sized join anywhere."""
+    return _q441_gate(
+        spark,
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "documents").select("text"),
+    )

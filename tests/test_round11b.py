@@ -201,3 +201,129 @@ def test_q437_growth_matches_split_construction(spark):
     for r in _q437_stats_drift(spark, PARITY_SF_DIR).collect():
         assert 0.08 < r["row_growth"] < 0.14
         assert r["n_rows_old"] < r["n_rows_new"]
+
+
+# ---------------------------------------------------------------------------
+# q438/q439 — k-anonymity audit and generalization ladder
+# ---------------------------------------------------------------------------
+
+
+def test_q438_risk_monotone_in_k(spark):
+    """rows_below_k can only grow with k; group/row totals are
+    k-independent facts of the release."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        q438_k_anonymity_audit,
+    )
+
+    rows = sorted(
+        q438_k_anonymity_audit(spark, PARITY_SF_DIR).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [2, 5, 10, 20]
+    assert len({(r["n_rows"], r["n_groups"], r["min_group_size"])
+                for r in rows}) == 1
+    below = [r["rows_below_k"] for r in rows]
+    assert below == sorted(below)
+
+
+def test_q439_ladder_monotone_by_refinement(spark):
+    """The widths form a refinement chain, so generalizing can only
+    merge groups: n_groups non-increasing, rows_below_5 non-increasing,
+    min group size non-decreasing down the ladder."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        q439_generalization_ladder,
+    )
+
+    rows = sorted(
+        q439_generalization_ladder(spark, PARITY_SF_DIR).collect(),
+        key=lambda r: r["level"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_groups"] <= a["n_groups"]
+        assert b["rows_below_5"] <= a["rows_below_5"]
+        assert b["min_group_size"] >= a["min_group_size"]
+        assert b["anonymous_k5"] == (b["rows_below_5"] == 0)
+
+
+# ---------------------------------------------------------------------------
+# q440 — l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_q440_flags_consistent_and_release_level_diverse(spark):
+    from databricks_etl_spark.plans.queries_round11b import (
+        q440_l_diversity_audit,
+    )
+
+    rows = {r["level"]: r
+            for r in q440_l_diversity_audit(spark, PARITY_SF_DIR).collect()}
+    for r in rows.values():
+        assert r["diverse_l2"] == (r["min_l"] >= 2)
+        assert (r["homogeneous_groups"] == 0) == (r["rows_in_low_l"] == 0)
+    # the gate's QI (segment alone) is diverse at both test scales
+    assert rows[2]["diverse_l2"]
+
+
+# ---------------------------------------------------------------------------
+# q441 — privacy gate: scale split, planted violations, fail-closed empty
+# ---------------------------------------------------------------------------
+
+
+def test_q441_pass_at_parity_hold_at_smoke(spark):
+    """Same thresholds, different corpus sizes: the release level is
+    5-anonymous at sf0.01 (PASS) but not at sf0.001 (HOLD) — the gate
+    follows the data, like q430."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        q441_privacy_release_gate,
+    )
+
+    r = q441_privacy_release_gate(spark, PARITY_SF_DIR).collect()[0]
+    assert r["verdict"] == "PASS"
+    assert r["check_k_anonymity"] and r["check_l_diversity"]
+    assert r["check_no_pii"] and r["docs_with_email"] == 0
+    s = q441_privacy_release_gate(spark, SMOKE_SF_DIR).collect()[0]
+    assert s["verdict"] == "HOLD"
+    assert s["check_k_anonymity"] is False  # the violated check, named
+
+
+def test_q441_planted_violations_flip_the_verdict(spark):
+    from databricks_etl_spark.plans.queries_round11b import _q441_gate
+    from databricks_etl_spark.sources.readers import read_table
+
+    cust = read_table(spark, PARITY_SF_DIR, "customer")
+    docs = read_table(spark, PARITY_SF_DIR, "documents").select("text")
+    assert _q441_gate(spark, cust, docs).collect()[0]["verdict"] == "PASS"
+    r = _q441_gate(spark, cust, docs, share_tol=-0.1).collect()[0]
+    assert r["verdict"] == "HOLD" and r["check_k_anonymity"] is False
+    r = _q441_gate(spark, cust, docs, min_l=99).collect()[0]
+    assert r["verdict"] == "HOLD" and r["check_l_diversity"] is False
+
+
+def test_q441_empty_inputs_hold_fail_closed(spark):
+    """An audit that never saw data must HOLD with NULL checks, never
+    PASS — missing evidence is not evidence."""
+    from databricks_etl_spark.plans.queries_round11b import _q441_gate
+
+    cust = spark.createDataFrame(
+        [], "c_nationkey int, c_mktsegment string, c_acctbal double"
+    )
+    docs = spark.createDataFrame([], "text string")
+    r = _q441_gate(spark, cust, docs).collect()[0]
+    assert r["verdict"] == "HOLD"
+    assert r["check_k_anonymity"] is None
+    assert r["check_no_pii"] is None
+    assert r["n_customers"] == 0
+
+
+def test_q441_registered_oracle_is_the_default_kernel():
+    from databricks_etl_spark.plans.queries_round11b import (
+        _Q441_MIN_L,
+        _Q441_SHARE_TOL,
+        _q441_oracle,
+    )
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    assert (
+        _q441_oracle(share_tol=_Q441_SHARE_TOL, min_l=_Q441_MIN_L)
+        == QUERIES["q441_privacy_release_gate"].oracle
+    )
