@@ -987,3 +987,366 @@ def q441_privacy_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "customer"),
         read_table(spark, sf_dir, "documents").select("text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q442 — boolean conjunctive retrieval over the inverted index
+# ---------------------------------------------------------------------------
+
+# (query_id, terms): conjunctions over the corpus vocabulary; query 5
+# carries a term that appears nowhere, so its result set is EMPTY and
+# the left-join zero-hit path is exercised on the registered output.
+_Q442_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["spark", "join"]),
+    (2, ["window", "sort", "hash"]),
+    (3, ["vector", "stream", "filter", "batch"]),
+    (4, ["scan", "merge", "query", "group", "key"]),
+    (5, ["spark", "zzz_unseen_term"]),
+]
+
+
+def _q442_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _Q442_QUERIES for t in terms
+    )
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS w
+            FROM documents
+        ),
+        q(query_id, term) AS (VALUES {vals}),
+        qn AS (
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+            FROM q GROUP BY query_id
+        ),
+        m AS (
+            SELECT q.query_id, t.doc_id,
+                   COUNT(DISTINCT t.w) AS matched
+            FROM q JOIN toks t ON t.w = q.term
+            GROUP BY q.query_id, t.doc_id
+        ),
+        h AS (
+            SELECT m.query_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_hits,
+                   MIN(m.doc_id) AS first_doc
+            FROM m JOIN qn ON m.query_id = qn.query_id
+            WHERE m.matched = qn.n_terms
+            GROUP BY m.query_id
+        ),
+        n AS (SELECT COUNT(*) AS total FROM documents)
+        SELECT qn.query_id, qn.n_terms,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                     / n.total, 6) AS hit_share,
+               COALESCE(h.first_doc, -1) AS first_doc
+        FROM qn LEFT JOIN h ON qn.query_id = h.query_id
+        CROSS JOIN n
+    """
+
+
+@query("q442_boolean_retrieval", oracle=_q442_oracle(), defer=True)
+def q442_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive boolean retrieval (AND of terms) over the corpus
+    inverted index — the lexical sibling of the ANN serving stack and
+    the primitive under BM25's candidate generation: a document
+    matches when its posting appears under EVERY query term, evaluated
+    as posting-list intersection by counting distinct matched terms
+    per (query, doc) and keeping docs where the count equals the
+    query's term count. Query 5 carries an out-of-vocabulary term, so
+    its conjunction is empty by construction — the zero-hit row
+    (n_hits=0, first_doc=-1) proves the left-join path rather than
+    silently dropping the query.
+
+    Scale shape: the token stream is cut to the QUERY VOCABULARY by a
+    broadcast semi-join BEFORE any shuffle (q263's discipline — the
+    posting build never materializes postings for terms no query
+    uses); the intersection is one grouped count on (query_id,
+    doc_id), bounded by Σ|postings(term)|, never an all-pairs or a
+    per-term self-join chain."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    ).distinct()
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _Q442_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    qn = q.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    m = (
+        toks.join(F.broadcast(q), toks.w == q.term)
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("w").alias("matched"))
+    )
+    h = (
+        m.join(F.broadcast(qn), "query_id")
+        .filter(F.col("matched") == F.col("n_terms"))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        qn.join(h, "query_id", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "query_id",
+            "n_terms",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("total"),
+                6,
+            ).alias("hit_share"),
+            F.coalesce(F.col("first_doc"), F.lit(-1)).alias("first_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q443/q444 — time travel: versioned action log, as-of reads, vacuum
+# ---------------------------------------------------------------------------
+
+# Deterministic Delta-log-style history derived from orders: monthly
+# ingest files (file_id = month key, rows = orders that month), then
+#   v1: initial ingest (every file with rank % 3 != 0)
+#   v2: backfill        (the rank % 3 == 0 files)
+#   v3: compaction      (removes the two oldest files, adds one merged
+#                        file carrying their combined rows — ROW-
+#                        PRESERVING by construction)
+#   v4: retention delete (removes the rank-3 file — rows leave)
+_Q443_VERSIONS = [1, 2, 3, 4]
+_Q444_RETENTION_GRID = [0, 1, 2, 3]
+
+
+def _version_log_sql() -> str:
+    """The action log as a DuckDB CTE body (files + acts)."""
+    return """
+        files AS MATERIALIZED (
+            SELECT file_id, rws,
+                   row_number() OVER (ORDER BY file_id) AS rk
+            FROM (
+                SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                            AS BIGINT) AS file_id,
+                       CAST(COUNT(*) AS BIGINT) AS rws
+                FROM orders GROUP BY 1
+            ) m
+        ),
+        acts AS MATERIALIZED (
+            SELECT 1 AS version, 'add' AS action, file_id, rws
+            FROM files WHERE rk % 3 <> 0
+            UNION ALL
+            SELECT 2, 'add', file_id, rws FROM files WHERE rk % 3 = 0
+            UNION ALL
+            SELECT 3, 'remove', file_id, rws FROM files WHERE rk <= 2
+            UNION ALL
+            SELECT 3, 'add', CAST(-1 AS BIGINT),
+                   (SELECT CAST(SUM(rws) AS BIGINT) FROM files
+                    WHERE rk <= 2)
+            UNION ALL
+            SELECT 4, 'remove', file_id, rws FROM files WHERE rk = 3
+        )"""
+
+
+def _version_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(version, action, file_id, rws) — the Spark twin of the log."""
+    from pyspark.sql import Window
+
+    months = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            )
+            .cast("long")
+            .alias("file_id")
+        )
+        .groupBy("file_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("rws"))
+    )
+    files = months.withColumn(
+        "rk", F.row_number().over(Window.orderBy("file_id"))
+    ).localCheckpoint()  # five consumers below; rank is tiny (months)
+    compacted_rows = files.filter(F.col("rk") <= 2).agg(
+        F.sum("rws").cast("long").alias("rws")
+    )
+    v1 = files.filter(F.col("rk") % 3 != 0).select(
+        F.lit(1).alias("version"), F.lit("add").alias("action"),
+        "file_id", "rws",
+    )
+    v2 = files.filter(F.col("rk") % 3 == 0).select(
+        F.lit(2).alias("version"), F.lit("add").alias("action"),
+        "file_id", "rws",
+    )
+    v3r = files.filter(F.col("rk") <= 2).select(
+        F.lit(3).alias("version"), F.lit("remove").alias("action"),
+        "file_id", "rws",
+    )
+    v3a = compacted_rows.select(
+        F.lit(3).alias("version"), F.lit("add").alias("action"),
+        F.lit(-1).cast("long").alias("file_id"), "rws",
+    )
+    v4 = files.filter(F.col("rk") == 3).select(
+        F.lit(4).alias("version"), F.lit("remove").alias("action"),
+        "file_id", "rws",
+    )
+    return v1.unionByName(v2).unionByName(v3r).unionByName(v3a).unionByName(v4)
+
+
+def _q443_oracle() -> str:
+    vs = ", ".join(f"({v})" for v in _Q443_VERSIONS)
+    return f"""
+        WITH {_version_log_sql()},
+        vg(version_at) AS (VALUES {vs}),
+        live AS (
+            SELECT vg.version_at, a.file_id, a.rws
+            FROM vg JOIN acts a
+              ON a.action = 'add' AND a.version <= vg.version_at
+            WHERE NOT EXISTS (
+                SELECT 1 FROM acts r
+                WHERE r.action = 'remove'
+                  AND r.version <= vg.version_at
+                  AND r.file_id = a.file_id
+            )
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+        SELECT live.version_at,
+               CAST(COUNT(*) AS BIGINT) AS n_live_files,
+               CAST(SUM(live.rws) AS BIGINT) AS live_rows,
+               CAST(SUM(live.rws) - tot.n AS BIGINT)
+                   AS rows_delta_vs_current
+        FROM live CROSS JOIN tot
+        GROUP BY live.version_at, tot.n
+    """
+
+
+@query("q443_time_travel_reads", oracle=_q443_oracle(), defer=True)
+def q443_time_travel_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a versioned table log — reconstruct the LIVE
+    file set AS OF every version from an add/remove action log (the
+    Delta/Iceberg snapshot semantics, stated as pure relational
+    algebra: adds up to v, anti-joined against removes up to v). The
+    history plants the two invariants that make snapshot isolation
+    auditable: v3's compaction is ROW-PRESERVING (live_rows unchanged,
+    file count drops) and v4's retention delete is not
+    (rows_delta_vs_current goes negative) — both pinned by test.
+
+    Scale shape: the log is file-grain metadata (bounded by file
+    count, never data rows — exactly how a real table format scales:
+    the 100 TB table's log is MBs); reconstruction is a broadcast
+    version-grid join + anti-join on (version, file_id), and row
+    totals ride the log's own rws column, so no data re-scan per
+    version."""
+    log = _version_log(spark, sf_dir).localCheckpoint()
+    vg = spark.createDataFrame(
+        [(v,) for v in _Q443_VERSIONS], "version_at int"
+    )
+    adds = log.filter(F.col("action") == "add")
+    rems = log.filter(F.col("action") == "remove").select(
+        "version", "file_id"
+    )
+    adds_v = F.broadcast(vg).crossJoin(adds).filter(
+        F.col("version") <= F.col("version_at")
+    )
+    rems_v = (
+        F.broadcast(vg)
+        .crossJoin(rems)
+        .filter(F.col("version") <= F.col("version_at"))
+        .select("version_at", "file_id")
+    )
+    live = adds_v.join(rems_v, ["version_at", "file_id"], "left_anti")
+    tot = (
+        read_table(spark, sf_dir, "orders")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        live.groupBy("version_at")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_live_files"),
+            F.sum("rws").cast("long").alias("live_rows"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "version_at",
+            "n_live_files",
+            "live_rows",
+            (F.col("live_rows") - F.col("n"))
+            .cast("long")
+            .alias("rows_delta_vs_current"),
+        )
+    )
+
+
+_Q444_HEAD = 4  # head version of the log above
+
+
+def _q444_oracle() -> str:
+    rs = ", ".join(f"({r})" for r in _Q444_RETENTION_GRID)
+    return f"""
+        WITH {_version_log_sql()},
+        rg(retention_versions) AS (VALUES {rs}),
+        rem AS (SELECT version, file_id, rws FROM acts
+                WHERE action = 'remove')
+        SELECT rg.retention_versions,
+               CAST(SUM(CASE WHEN rem.version
+                                  <= {_Q444_HEAD} - rg.retention_versions
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS reclaimable_files,
+               CAST(SUM(CASE WHEN rem.version
+                                  <= {_Q444_HEAD} - rg.retention_versions
+                             THEN rem.rws ELSE 0 END) AS BIGINT)
+                   AS reclaimable_rows,
+               CAST(SUM(CASE WHEN rem.version
+                                  > {_Q444_HEAD} - rg.retention_versions
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS retained_tombstones
+        FROM rg CROSS JOIN rem
+        GROUP BY rg.retention_versions
+    """
+
+
+@query("q444_vacuum_retention_audit", oracle=_q444_oracle(), defer=True)
+def q444_vacuum_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM planning over the q443 log: a removed file's bytes are
+    reclaimable only once every snapshot that could still read it has
+    aged out — i.e. when its remove landed at or before head−R for a
+    retention window of R versions. The sweep prices the time-travel
+    guarantee: R=0 reclaims every tombstone (and forfeits history),
+    each extra retained version converts reclaimable rows back into
+    tombstoned-but-held storage. Vacuum can NEVER touch a live file —
+    it plans exclusively over the remove half of the log (pinned by
+    test against q443's live sets).
+
+    Scale shape: file-grain metadata only (the remove log × a 4-row
+    broadcast retention grid); at 100 TB this is the same MB-scale
+    log scan a real VACUUM dry-run does."""
+    log = _version_log(spark, sf_dir)
+    rem = log.filter(F.col("action") == "remove")
+    rg = spark.createDataFrame(
+        [(r,) for r in _Q444_RETENTION_GRID], "retention_versions int"
+    )
+    cutoff = F.lit(_Q444_HEAD) - F.col("retention_versions")
+    reclaim = F.col("version") <= cutoff
+    return (
+        rem.crossJoin(F.broadcast(rg))
+        .groupBy("retention_versions")
+        .agg(
+            F.sum(F.when(reclaim, 1).otherwise(0))
+            .cast("long")
+            .alias("reclaimable_files"),
+            F.sum(F.when(reclaim, F.col("rws")).otherwise(0))
+            .cast("long")
+            .alias("reclaimable_rows"),
+            F.sum(F.when(~reclaim, 1).otherwise(0))
+            .cast("long")
+            .alias("retained_tombstones"),
+        )
+    )

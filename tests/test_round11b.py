@@ -327,3 +327,82 @@ def test_q441_registered_oracle_is_the_default_kernel():
         _q441_oracle(share_tol=_Q441_SHARE_TOL, min_l=_Q441_MIN_L)
         == QUERIES["q441_privacy_release_gate"].oracle
     )
+
+
+# ---------------------------------------------------------------------------
+# q442 — boolean retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_q442_conjunction_matches_direct_recount(spark):
+    """n_hits for a 2-term conjunction must equal an independent
+    formulation (array_contains over the split token array), and the
+    out-of-vocabulary query must hit nothing via the -1 sentinel."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        q442_boolean_retrieval,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = {r["query_id"]: r
+            for r in q442_boolean_retrieval(spark, SMOKE_SF_DIR).collect()}
+    docs = read_table(spark, SMOKE_SF_DIR, "documents")
+    arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    direct = docs.filter(
+        F.array_contains(arr, "spark") & F.array_contains(arr, "join")
+    ).count()
+    assert rows[1]["n_hits"] == direct
+    assert rows[5]["n_hits"] == 0 and rows[5]["first_doc"] == -1
+    assert rows[5]["hit_share"] == 0.0
+    # more terms can only shrink the hit set vs any same-terms prefix
+    assert all(r["n_hits"] >= 0 for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# q443/q444 — time travel and vacuum
+# ---------------------------------------------------------------------------
+
+
+def test_q443_compaction_preserves_rows_retention_does_not(spark):
+    """The planted history's invariants: after the backfill (v2) the
+    table is complete; v3's compaction keeps live_rows identical while
+    dropping the file count; v4's retention delete loses rows."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        q443_time_travel_reads,
+    )
+
+    rows = {r["version_at"]: r
+            for r in q443_time_travel_reads(spark, SMOKE_SF_DIR).collect()}
+    assert rows[2]["rows_delta_vs_current"] == 0
+    assert rows[3]["rows_delta_vs_current"] == 0
+    assert rows[3]["n_live_files"] == rows[2]["n_live_files"] - 1
+    assert rows[4]["rows_delta_vs_current"] < 0
+    assert rows[1]["live_rows"] < rows[2]["live_rows"]
+
+
+def test_q444_vacuum_accounting_and_never_touches_live(spark):
+    """reclaimable + retained must account for every tombstone at each
+    retention setting, reclaimable only shrinks as retention grows,
+    and no reclaimable file is live at head."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        _Q444_HEAD,
+        _version_log,
+        q444_vacuum_retention_audit,
+    )
+
+    rows = sorted(
+        q444_vacuum_retention_audit(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r["retention_versions"],
+    )
+    log = _version_log(spark, SMOKE_SF_DIR).collect()
+    n_rem = sum(1 for a in log if a["action"] == "remove")
+    for r in rows:
+        assert r["reclaimable_files"] + r["retained_tombstones"] == n_rem
+    rec = [r["reclaimable_files"] for r in rows]
+    assert rec == sorted(rec, reverse=True)
+    # live-at-head ∩ removed-by-head = ∅ (vacuum plans over tombstones)
+    added = {a["file_id"] for a in log
+             if a["action"] == "add" and a["version"] <= _Q444_HEAD}
+    removed = {a["file_id"] for a in log
+               if a["action"] == "remove" and a["version"] <= _Q444_HEAD}
+    live = added - removed
+    assert not (live & removed)
