@@ -406,3 +406,53 @@ def test_q444_vacuum_accounting_and_never_touches_live(spark):
                if a["action"] == "remove" and a["version"] <= _Q444_HEAD}
     live = added - removed
     assert not (live & removed)
+
+
+# ---------------------------------------------------------------------------
+# q445 — conjunctive selectivity (the correlation trap)
+# ---------------------------------------------------------------------------
+
+
+def test_q445_correlation_trap_dwarfs_independent_pairs(spark):
+    """The same-column pair's q_error must dominate both cross-column
+    pairs (independence fails exactly where the flag says it does);
+    the always-true predicate estimates selectivity 1."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        q445_conjunction_selectivity_audit,
+    )
+
+    rows = {r["pair_id"]: r
+            for r in q445_conjunction_selectivity_audit(
+                spark, PARITY_SF_DIR).collect()}
+    assert rows[2]["same_column"] and not rows[1]["same_column"]
+    assert rows[2]["q_error"] > 2 * rows[1]["q_error"]
+    assert rows[2]["q_error"] > 2 * rows[3]["q_error"]
+    assert rows[3]["est_sel_b"] == 1.0  # quantity in [1, 50] is all rows
+    # independence UNDERSHOOTS on positive correlation
+    assert rows[2]["est_rows"] < rows[2]["actual_rows"]
+
+
+# ---------------------------------------------------------------------------
+# q446 — commit conflicts
+# ---------------------------------------------------------------------------
+
+
+def test_q446_only_the_planted_overlap_conflicts(spark):
+    """Exactly one write-write conflict (the two compactions sharing
+    the rank-2 file); the later transaction loses; the append's fresh
+    file id serializes against everyone."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        q446_commit_conflict_audit,
+    )
+
+    rows = {(r["txn_a"], r["txn_b"]): r
+            for r in q446_commit_conflict_audit(
+                spark, SMOKE_SF_DIR).collect()}
+    assert len(rows) == 6
+    c = rows[(1, 2)]
+    assert c["conflict"] and c["shared_writes"] == 1 and c["aborted_txn"] == 2
+    for pair, r in rows.items():
+        if pair != (1, 2):
+            assert not r["conflict"] and r["aborted_txn"] == -1
+        if 3 in pair:
+            assert r["shared_writes"] == 0
