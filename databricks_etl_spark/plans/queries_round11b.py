@@ -1641,3 +1641,52 @@ def q446_commit_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (shared > 0).alias("conflict"),
         F.when(shared > 0, F.col("txn_b")).otherwise(-1).alias("aborted_txn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q447 — STREAMING table statistics (q433's ANALYZE surface at ingest)
+# ---------------------------------------------------------------------------
+
+
+def _q447_oracle() -> str:
+    parts = []
+    for name, expr in [
+        ("event_id", "event_id"),
+        ("user_id", "user_id"),
+        ("value", "value"),
+        ("ts_epoch", "CAST(floor(epoch(ts)) AS BIGINT)"),
+    ]:
+        parts.append(f"""
+            SELECT '{name}' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT({expr}) AS BIGINT) AS n_null,
+                   CAST(MIN({expr}) AS DOUBLE) AS min_val,
+                   CAST(MAX({expr}) AS DOUBLE) AS max_val
+            FROM events""")
+    return " UNION ALL ".join(parts)
+
+
+@query("q447_streaming_table_stats", oracle=_q447_oracle(), defer=True)
+def q447_streaming_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q433's ANALYZE stats maintained AT INGEST — the Delta
+    add-file-stats discipline as a streaming lane: every micro-batch
+    lands one per-column stats partial (count / non-null / min / max,
+    all fully associative) in the epoch-idempotent sink
+    (``streaming/tablestats.py``), and the drain folds file stats to
+    table stats (sum/sum/min/max) — hash-proven against the direct
+    batch SQL over the same events. NDV is deliberately NOT here:
+    distinct counts don't survive the partial/merge split; exact NDV
+    stays batch (q433) and the mergeable approximation is the q143
+    HLL ladder — the lane's value is stating exactly which optimizer
+    stats stream and which cannot.
+
+    Scale shape: state is |columns| rows per epoch, independent of
+    event volume; the drain reads the MB-scale partials log, never
+    the data — a 100 TB table's planner stats stay current for the
+    cost of one 4-row write per micro-batch. Slicing invariance and
+    epoch replay are pinned by test (q421's discipline)."""
+    from databricks_etl_spark.streaming.tablestats import (
+        run_streaming_table_stats,
+    )
+
+    return run_streaming_table_stats(spark, sf_dir)

@@ -456,3 +456,52 @@ def test_q446_only_the_planted_overlap_conflicts(spark):
             assert not r["conflict"] and r["aborted_txn"] == -1
         if 3 in pair:
             assert r["shared_writes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# q447 — streaming table stats: slicing invariance + exactly-once replay
+# ---------------------------------------------------------------------------
+
+
+def test_q447_slicing_invariance_and_replay(spark, tmp_path):
+    """The drained table stats equal the direct batch measurement
+    under a FORCED two-epoch slicing of the stream, and re-delivering
+    an epoch leaves the drain unchanged (exactly-once partials)."""
+    from databricks_etl_spark.sources.readers import read_table
+    from databricks_etl_spark.streaming.tablestats import (
+        _PARTIAL_SCHEMA,
+        drain_table_stats,
+        make_stats_epoch,
+    )
+
+    e = read_table(spark, SMOKE_SF_DIR, "events")
+    path = str(tmp_path / "tablestats_partials")
+    spark.createDataFrame([], _PARTIAL_SCHEMA).write.mode(
+        "overwrite"
+    ).partitionBy("__epoch").parquet(path)
+
+    ingest = make_stats_epoch(path)
+    ingest(e.filter(F.col("event_id") % 2 == 0), 0)
+    ingest(e.filter(F.col("event_id") % 2 == 1), 1)
+
+    def drained():
+        return sorted(map(tuple, drain_table_stats(spark, path).collect()))
+
+    first = drained()
+    batch = sorted(
+        map(
+            tuple,
+            e.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.min(F.col("event_id").cast("double")).alias("mn"),
+                F.max(F.col("event_id").cast("double")).alias("mx"),
+            ).collect(),
+        )
+    )
+    by_col = {r[0]: r for r in first}
+    assert by_col["event_id"][1] == batch[0][0]  # n_rows
+    assert by_col["event_id"][3] == batch[0][1]  # min
+    assert by_col["event_id"][4] == batch[0][2]  # max
+    assert by_col["event_id"][2] == 0  # n_null
+    ingest(e.filter(F.col("event_id") % 2 == 1), 1)  # replay epoch 1
+    assert drained() == first
