@@ -1127,10 +1127,13 @@ _Q443_VERSIONS = [1, 2, 3, 4]
 _Q444_RETENTION_GRID = [0, 1, 2, 3]
 
 
-def _version_log_sql() -> str:
-    """The action log as a DuckDB CTE body (files + acts)."""
-    return """
-        files AS MATERIALIZED (
+def _version_log_sql(p: str = "") -> str:
+    """The action log as a DuckDB CTE body ({p}files + {p}acts). The
+    ``p`` prefix exists because DuckDB HOISTS materialized CTEs: two
+    components embedding this log inside one statement (q448) need
+    disjoint names or the binder reports a duplicate alias."""
+    return f"""
+        {p}files AS MATERIALIZED (
             SELECT file_id, rws,
                    row_number() OVER (ORDER BY file_id) AS rk
             FROM (
@@ -1140,19 +1143,19 @@ def _version_log_sql() -> str:
                 FROM orders GROUP BY 1
             ) m
         ),
-        acts AS MATERIALIZED (
+        {p}acts AS MATERIALIZED (
             SELECT 1 AS version, 'add' AS action, file_id, rws
-            FROM files WHERE rk % 3 <> 0
+            FROM {p}files WHERE rk % 3 <> 0
             UNION ALL
-            SELECT 2, 'add', file_id, rws FROM files WHERE rk % 3 = 0
+            SELECT 2, 'add', file_id, rws FROM {p}files WHERE rk % 3 = 0
             UNION ALL
-            SELECT 3, 'remove', file_id, rws FROM files WHERE rk <= 2
+            SELECT 3, 'remove', file_id, rws FROM {p}files WHERE rk <= 2
             UNION ALL
             SELECT 3, 'add', CAST(-1 AS BIGINT),
-                   (SELECT CAST(SUM(rws) AS BIGINT) FROM files
+                   (SELECT CAST(SUM(rws) AS BIGINT) FROM {p}files
                     WHERE rk <= 2)
             UNION ALL
-            SELECT 4, 'remove', file_id, rws FROM files WHERE rk = 3
+            SELECT 4, 'remove', file_id, rws FROM {p}files WHERE rk = 3
         )"""
 
 
@@ -1201,17 +1204,17 @@ def _version_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2).unionByName(v3r).unionByName(v3a).unionByName(v4)
 
 
-def _q443_oracle() -> str:
+def _q443_oracle(p: str = "") -> str:
     vs = ", ".join(f"({v})" for v in _Q443_VERSIONS)
     return f"""
-        WITH {_version_log_sql()},
+        WITH {_version_log_sql(p)},
         vg(version_at) AS (VALUES {vs}),
         live AS (
             SELECT vg.version_at, a.file_id, a.rws
-            FROM vg JOIN acts a
+            FROM vg JOIN {p}acts a
               ON a.action = 'add' AND a.version <= vg.version_at
             WHERE NOT EXISTS (
-                SELECT 1 FROM acts r
+                SELECT 1 FROM {p}acts r
                 WHERE r.action = 'remove'
                   AND r.version <= vg.version_at
                   AND r.file_id = a.file_id
@@ -1288,12 +1291,12 @@ def q443_time_travel_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q444_HEAD = 4  # head version of the log above
 
 
-def _q444_oracle() -> str:
+def _q444_oracle(p: str = "") -> str:
     rs = ", ".join(f"({r})" for r in _Q444_RETENTION_GRID)
     return f"""
-        WITH {_version_log_sql()},
+        WITH {_version_log_sql(p)},
         rg(retention_versions) AS (VALUES {rs}),
-        rem AS (SELECT version, file_id, rws FROM acts
+        rem AS (SELECT version, file_id, rws FROM {p}acts
                 WHERE action = 'remove')
         SELECT rg.retention_versions,
                CAST(SUM(CASE WHEN rem.version
@@ -1547,22 +1550,24 @@ _Q446_TXNS: dict[int, str] = {
 _Q446_PAIRS = [(a, b) for a in _Q446_TXNS for b in _Q446_TXNS if a < b]
 
 
-def _q446_oracle() -> str:
+def _q446_oracle(p: str = "") -> str:
     tx = []
     for t, pred in _Q446_TXNS.items():
         if pred is None:
             tx.append(f"SELECT {t} AS txn, CAST(-10 AS BIGINT) AS file_id")
         else:
-            tx.append(f"SELECT {t} AS txn, file_id FROM files WHERE {pred}")
+            tx.append(
+                f"SELECT {t} AS txn, file_id FROM {p}files WHERE {pred}"
+            )
     pairs = ", ".join(f"({a}, {b})" for a, b in _Q446_PAIRS)
     return f"""
-        WITH {_version_log_sql()},
-        tx AS MATERIALIZED ({" UNION ALL ".join(tx)}),
+        WITH {_version_log_sql(p)},
+        {p}tx AS MATERIALIZED ({" UNION ALL ".join(tx)}),
         pg(txn_a, txn_b) AS (VALUES {pairs}),
         ww AS (
             SELECT a.txn AS txn_a, b.txn AS txn_b,
                    CAST(COUNT(*) AS BIGINT) AS shared_writes
-            FROM tx a JOIN tx b
+            FROM {p}tx a JOIN {p}tx b
               ON a.file_id = b.file_id AND a.txn < b.txn
             GROUP BY 1, 2
         )
@@ -1690,3 +1695,126 @@ def q447_streaming_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_table_stats(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q448 — table health datasheet (the round-11b families in one card)
+# ---------------------------------------------------------------------------
+
+
+def _q448_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    o = {k: QUERIES[k].oracle for k in (
+        "q433_table_stats_collection",
+        "q434_selectivity_estimation_audit",
+        "q435_join_cardinality_qerror",
+        "q436_broadcast_plan_decision",
+        "q437_stats_staleness_audit",
+        "q445_conjunction_selectivity_audit",
+    )}
+    # the three version-log lanes re-derive through their kernel
+    # builders with DISJOINT CTE prefixes: DuckDB hoists materialized
+    # CTEs, so verbatim embeds of three components sharing files/acts
+    # (or an outer alias shadowing q436's inner st) are binder errors
+    return f"""
+        WITH c433 AS MATERIALIZED ({o["q433_table_stats_collection"]}),
+        c434 AS MATERIALIZED ({o["q434_selectivity_estimation_audit"]}),
+        c435 AS MATERIALIZED ({o["q435_join_cardinality_qerror"]}),
+        c436 AS MATERIALIZED ({o["q436_broadcast_plan_decision"]}),
+        c437 AS MATERIALIZED ({o["q437_stats_staleness_audit"]}),
+        c443 AS MATERIALIZED ({_q443_oracle("tt_")}),
+        c444 AS MATERIALIZED ({_q444_oracle("vc_")}),
+        c445 AS MATERIALIZED ({o["q445_conjunction_selectivity_audit"]}),
+        c446 AS MATERIALIZED ({_q446_oracle("cc_")})
+        SELECT
+            (SELECT CAST(COUNT(DISTINCT table_name) AS BIGINT) FROM c433)
+                AS n_tables,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM c433)
+                AS n_profiled_columns,
+            (SELECT CAST(SUM(CASE WHEN stale THEN 1 ELSE 0 END) AS BIGINT)
+             FROM c437) AS stale_columns,
+            (SELECT MAX(q_error) FROM c434) AS worst_selectivity_qerror,
+            (SELECT MAX(q_error) FROM c435) AS worst_join_qerror,
+            (SELECT CAST(SUM(CASE WHEN strategy = 'broadcast'
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+             FROM c436 WHERE threshold_bytes = 10485760)
+                AS broadcastable_edges_default,
+            (SELECT CAST(SUM(CASE WHEN same_column AND q_error > 1.5
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+             FROM c445) AS correlated_pairs_flagged,
+            (SELECT n_live_files FROM c443 WHERE version_at = 4)
+                AS live_files_at_head,
+            (SELECT reclaimable_files FROM c444
+             WHERE retention_versions = 1) AS reclaimable_files_r1,
+            (SELECT CAST(SUM(CASE WHEN conflict THEN 1 ELSE 0 END)
+                         AS BIGINT) FROM c446) AS commit_conflicts
+    """
+
+
+@query("q448_table_health_datasheet", oracle=_q448_oracle(), defer=True)
+def q448_table_health_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's families folded into ONE release card (q393/q426's
+    datasheet discipline for the warehouse itself): stats coverage and
+    staleness, estimator quality (worst selectivity / join /
+    correlation q-errors), planner posture (broadcast-able edges at
+    the default threshold), and table-format health (live files at
+    head, vacuum backlog, commit conflicts). Every number is lifted
+    from its component lane — the oracle embeds the nine component
+    SQLs verbatim, and the consistency test pins each card column to
+    the component's own aggregate, so the card may summarize but can
+    never re-derive differently.
+
+    Scale shape: each component is already metadata-bounded or
+    single-pass (their own docstrings); the card is ten 1-row
+    aggregates crossed together."""
+    st = q433_table_stats_collection(spark, sf_dir)
+    se = q434_selectivity_estimation_audit(spark, sf_dir)
+    jq = q435_join_cardinality_qerror(spark, sf_dir)
+    bd = q436_broadcast_plan_decision(spark, sf_dir)
+    sa = _q437_stats_drift(spark, sf_dir)
+    tt = q443_time_travel_reads(spark, sf_dir)
+    vc = q444_vacuum_retention_audit(spark, sf_dir)
+    cp = q445_conjunction_selectivity_audit(spark, sf_dir)
+    cc = q446_commit_conflict_audit(spark, sf_dir)
+    parts = [
+        st.agg(
+            F.countDistinct("table_name").alias("n_tables"),
+            F.count(F.lit(1)).alias("n_profiled_columns"),
+        ),
+        sa.agg(
+            F.sum(F.when(F.col("stale"), 1).otherwise(0))
+            .cast("long")
+            .alias("stale_columns")
+        ),
+        se.agg(F.max("q_error").alias("worst_selectivity_qerror")),
+        jq.agg(F.max("q_error").alias("worst_join_qerror")),
+        bd.filter(F.col("threshold_bytes") == 10485760).agg(
+            F.sum(F.when(F.col("strategy") == "broadcast", 1).otherwise(0))
+            .cast("long")
+            .alias("broadcastable_edges_default")
+        ),
+        cp.agg(
+            F.sum(
+                F.when(F.col("same_column") & (F.col("q_error") > 1.5), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("correlated_pairs_flagged")
+        ),
+        tt.filter(F.col("version_at") == 4).select(
+            F.col("n_live_files").alias("live_files_at_head")
+        ),
+        vc.filter(F.col("retention_versions") == 1).select(
+            F.col("reclaimable_files").alias("reclaimable_files_r1")
+        ),
+        cc.agg(
+            F.sum(F.when(F.col("conflict"), 1).otherwise(0))
+            .cast("long")
+            .alias("commit_conflicts")
+        ),
+    ]
+    res = parts[0]
+    for df in parts[1:]:
+        res = res.crossJoin(df)
+    return res

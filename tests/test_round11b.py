@@ -505,3 +505,69 @@ def test_q447_slicing_invariance_and_replay(spark, tmp_path):
     assert by_col["event_id"][2] == 0  # n_null
     ingest(e.filter(F.col("event_id") % 2 == 1), 1)  # replay epoch 1
     assert drained() == first
+
+
+# ---------------------------------------------------------------------------
+# q448 — table health datasheet consistency
+# ---------------------------------------------------------------------------
+
+
+def test_q448_card_pins_to_components(spark):
+    """Every datasheet number must equal the component lane it lifts
+    from — the card may summarize, never re-derive differently."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        _q437_stats_drift,
+        q433_table_stats_collection,
+        q434_selectivity_estimation_audit,
+        q435_join_cardinality_qerror,
+        q436_broadcast_plan_decision,
+        q443_time_travel_reads,
+        q444_vacuum_retention_audit,
+        q445_conjunction_selectivity_audit,
+        q446_commit_conflict_audit,
+        q448_table_health_datasheet,
+    )
+
+    card = q448_table_health_datasheet(spark, SMOKE_SF_DIR).collect()[0]
+    st = q433_table_stats_collection(spark, SMOKE_SF_DIR).collect()
+    assert card["n_profiled_columns"] == len(st)
+    assert card["n_tables"] == len({r["table_name"] for r in st})
+    sa = _q437_stats_drift(spark, SMOKE_SF_DIR).collect()
+    assert card["stale_columns"] == sum(1 for r in sa if r["stale"])
+    se = q434_selectivity_estimation_audit(spark, SMOKE_SF_DIR).collect()
+    assert card["worst_selectivity_qerror"] == max(r["q_error"] for r in se)
+    jq = q435_join_cardinality_qerror(spark, SMOKE_SF_DIR).collect()
+    assert card["worst_join_qerror"] == max(r["q_error"] for r in jq)
+    bd = q436_broadcast_plan_decision(spark, SMOKE_SF_DIR).collect()
+    assert card["broadcastable_edges_default"] == sum(
+        1 for r in bd
+        if r["threshold_bytes"] == 10485760 and r["strategy"] == "broadcast"
+    )
+    cp = q445_conjunction_selectivity_audit(spark, SMOKE_SF_DIR).collect()
+    assert card["correlated_pairs_flagged"] == sum(
+        1 for r in cp if r["same_column"] and r["q_error"] > 1.5
+    )
+    tt = {r["version_at"]: r
+          for r in q443_time_travel_reads(spark, SMOKE_SF_DIR).collect()}
+    assert card["live_files_at_head"] == tt[4]["n_live_files"]
+    vc = {r["retention_versions"]: r
+          for r in q444_vacuum_retention_audit(spark, SMOKE_SF_DIR).collect()}
+    assert card["reclaimable_files_r1"] == vc[1]["reclaimable_files"]
+    cc = q446_commit_conflict_audit(spark, SMOKE_SF_DIR).collect()
+    assert card["commit_conflicts"] == sum(1 for r in cc if r["conflict"])
+
+
+def test_version_log_oracles_default_prefix_is_registered():
+    """The registered q443/q444/q446 oracles must be their kernel
+    builders at the default (empty) prefix — prefixing exists only for
+    q448's hoisted-CTE embeds and must not fork semantics."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        _q443_oracle,
+        _q444_oracle,
+        _q446_oracle,
+    )
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    assert _q443_oracle("") == QUERIES["q443_time_travel_reads"].oracle
+    assert _q444_oracle("") == QUERIES["q444_vacuum_retention_audit"].oracle
+    assert _q446_oracle("") == QUERIES["q446_commit_conflict_audit"].oracle
