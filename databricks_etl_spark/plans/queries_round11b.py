@@ -1818,3 +1818,267 @@ def q448_table_health_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         res = res.crossJoin(df)
     return res
+
+
+# ---------------------------------------------------------------------------
+# q449 — t-closeness audit (completes the privacy triad)
+# ---------------------------------------------------------------------------
+
+_Q449_T = 0.25  # total-variation threshold
+
+
+def _q449_oracle() -> str:
+    parts = []
+    for lvl, label in _Q440_LEVELS:
+        qi = ", ".join(_q440_qi_cols(lvl))
+        qi_g = " , ".join(f"g.{c}" for c in _q440_qi_cols(lvl))
+        on = " AND ".join(
+            f"gs.{c} = g.{c}" for c in _q440_qi_cols(lvl)
+        )
+        parts.append(f"""
+            SELECT {lvl} AS level, '{label}' AS qi,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   round(MAX(tvd), 6) AS max_tvd,
+                   round(CAST(SUM(CASE WHEN tvd > {_Q449_T}
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS share_groups_above_t,
+                   CAST(SUM(CASE WHEN tvd > {_Q449_T} THEN ng ELSE 0 END)
+                        AS BIGINT) AS rows_in_violating_groups
+            FROM (
+                SELECT {qi_g}, g.ng,
+                       CAST(SUM(ABS(COALESCE(gs.c, 0) * t.n
+                                    - gl.gc * g.ng)) AS DOUBLE)
+                           / (2.0 * g.ng * t.n) AS tvd
+                FROM (
+                    SELECT {qi}, COUNT(*) AS ng
+                    FROM customer GROUP BY {qi}
+                ) g
+                CROSS JOIN (
+                    SELECT {_Q440_SENS_SQL} AS s, COUNT(*) AS gc
+                    FROM customer GROUP BY 1
+                ) gl
+                CROSS JOIN (SELECT COUNT(*) AS n FROM customer) t
+                LEFT JOIN (
+                    SELECT {qi}, {_Q440_SENS_SQL} AS s, COUNT(*) AS c
+                    FROM customer GROUP BY {qi}, {_Q440_SENS_SQL}
+                ) gs ON {on} AND gs.s = gl.s
+                GROUP BY {qi_g}, g.ng, t.n
+            ) x""")
+    return " UNION ALL ".join(parts)
+
+
+@query("q449_t_closeness_audit", oracle=_q449_oracle(), defer=True)
+def q449_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness — the third privacy bar after q438 (identity) and
+    q440 (attribute homogeneity): a cohort can be large AND diverse
+    yet still leak by having a sensitive-value DISTRIBUTION far from
+    the population's (skewness attack). Per QI level: the maximum
+    total-variation distance between any group's sensitive
+    distribution and the global one, and the groups/rows above
+    t={_Q449_T}. The TVD numerator is computed in EXACT integer
+    arithmetic (|c_gs·N − C_s·n_g| summed as BIGINTs, one float
+    division at the end) — no cross-partition float sums to
+    stabilize, the cleanest determinism argument available.
+
+    Scale shape: per level, one (QI × sensitive) grouped count, a
+    broadcast 5-bin sensitive-domain completion (missing cells MUST
+    count — an absent sensitive value is distance, not zero work),
+    and a QI-bounded rollup."""
+    cust = read_table(spark, sf_dir, "customer")
+    sens = F.floor((F.col("c_acctbal") + 1000) / 2750).cast("long")
+    n_total = cust.agg(F.count(F.lit(1)).alias("n"))
+    glob = cust.groupBy(sens.alias("s")).agg(
+        F.count(F.lit(1)).alias("gc")
+    )
+    out = []
+    for lvl, label in _Q440_LEVELS:
+        qi = _q440_qi_cols(lvl)
+        g = cust.groupBy(*qi).agg(F.count(F.lit(1)).alias("ng"))
+        gs = cust.groupBy(*qi, sens.alias("s")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        cells = (
+            g.crossJoin(F.broadcast(glob))
+            .crossJoin(F.broadcast(n_total))
+            .join(gs, [*qi, "s"], "left")
+        )
+        tvd_rows = cells.groupBy(*qi, "ng", "n").agg(
+            (
+                F.sum(
+                    F.abs(
+                        F.coalesce(F.col("c"), F.lit(0)) * F.col("n")
+                        - F.col("gc") * F.col("ng")
+                    )
+                ).cast("double")
+                / (2.0 * F.col("ng") * F.col("n"))
+            ).alias("tvd")
+        )
+        out.append(
+            tvd_rows.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.round(F.max("tvd"), 6).alias("max_tvd"),
+                F.round(
+                    F.sum(F.when(F.col("tvd") > _Q449_T, 1).otherwise(0))
+                    .cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("share_groups_above_t"),
+                F.sum(
+                    F.when(F.col("tvd") > _Q449_T, F.col("ng")).otherwise(0)
+                )
+                .cast("long")
+                .alias("rows_in_violating_groups"),
+            ).select(
+                F.lit(lvl).alias("level"), F.lit(label).alias("qi"), "*"
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# q450 — RESTORE plan: the commit that rolls head back to version v
+# ---------------------------------------------------------------------------
+
+
+def _q450_oracle() -> str:
+    vs = ", ".join(f"({v})" for v in _Q443_VERSIONS)
+    return f"""
+        WITH {_version_log_sql()},
+        vg(version_at) AS (VALUES {vs}),
+        live AS MATERIALIZED (
+            SELECT vg.version_at, a.file_id, a.rws
+            FROM vg JOIN acts a
+              ON a.action = 'add' AND a.version <= vg.version_at
+            WHERE NOT EXISTS (
+                SELECT 1 FROM acts r
+                WHERE r.action = 'remove'
+                  AND r.version <= vg.version_at
+                  AND r.file_id = a.file_id
+            )
+        ),
+        h AS (SELECT file_id, rws FROM live WHERE version_at = {_Q444_HEAD}),
+        re AS (
+            SELECT l.version_at,
+                   CAST(COUNT(*) AS BIGINT) AS n_readds
+            FROM live l LEFT JOIN h ON l.file_id = h.file_id
+            WHERE h.file_id IS NULL AND l.version_at < {_Q444_HEAD}
+            GROUP BY l.version_at
+        ),
+        rm AS (
+            SELECT v.version_at,
+                   CAST(COUNT(*) AS BIGINT) AS n_removes
+            FROM vg v CROSS JOIN h
+            WHERE v.version_at < {_Q444_HEAD}
+              AND NOT EXISTS (
+                SELECT 1 FROM live l
+                WHERE l.version_at = v.version_at
+                  AND l.file_id = h.file_id
+            )
+            GROUP BY v.version_at
+        ),
+        rr AS (
+            SELECT version_at,
+                   CAST(SUM(rws) AS BIGINT) AS restored_rows
+            FROM live GROUP BY version_at
+        )
+        SELECT v.version_at,
+               COALESCE(re.n_readds, 0) AS n_readds,
+               COALESCE(rm.n_removes, 0) AS n_removes,
+               rr.restored_rows,
+               CAST(rr.restored_rows
+                    - (SELECT SUM(rws) FROM h) AS BIGINT)
+                   AS rows_delta_vs_head
+        FROM vg v
+        JOIN rr ON rr.version_at = v.version_at
+        LEFT JOIN re ON re.version_at = v.version_at
+        LEFT JOIN rm ON rm.version_at = v.version_at
+        WHERE v.version_at < {_Q444_HEAD}
+    """
+
+
+def _live_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(version_at, file_id, rws): q443's as-of live sets for every
+    version — shared by the restore planner and its invariant test."""
+    log = _version_log(spark, sf_dir).localCheckpoint()
+    vg = spark.createDataFrame(
+        [(v,) for v in _Q443_VERSIONS], "version_at int"
+    )
+    adds = log.filter(F.col("action") == "add")
+    rems = log.filter(F.col("action") == "remove").select(
+        "version", "file_id"
+    )
+    adds_v = F.broadcast(vg).crossJoin(adds).filter(
+        F.col("version") <= F.col("version_at")
+    )
+    rems_v = (
+        F.broadcast(vg)
+        .crossJoin(rems)
+        .filter(F.col("version") <= F.col("version_at"))
+        .select("version_at", "file_id")
+    )
+    return adds_v.join(
+        rems_v, ["version_at", "file_id"], "left_anti"
+    ).select("version_at", "file_id", "rws")
+
+
+@query("q450_restore_plan", oracle=_q450_oracle(), defer=True)
+def q450_restore_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION v, planned: rolling head back to v is
+    itself a new commit whose action set is computable from the live
+    sets alone — re-add what v had and head lost, remove what head
+    gained since v (Delta RESTORE's exact semantics: history is never
+    rewritten, the rollback is forward motion). Per target version:
+    the re-add/remove counts (the commit's size — the blast radius of
+    a rollback) and the restored row total, which must equal q443's
+    live_rows at v (the invariant test applies the planned actions to
+    head's live set and reproduces live(v) exactly).
+
+    Scale shape: two set differences on the file-grain live relation
+    (left-anti joins on file_id), version grid broadcast — metadata
+    cost, like every lane on this log."""
+    live = _live_sets(spark, sf_dir).localCheckpoint()
+    head = live.filter(F.col("version_at") == _Q444_HEAD).select(
+        "file_id", "rws"
+    )
+    past = live.filter(F.col("version_at") < _Q444_HEAD)
+    vg = spark.createDataFrame(
+        [(v,) for v in _Q443_VERSIONS if v < _Q444_HEAD], "version_at int"
+    )
+    re = (
+        past.join(head.select("file_id"), "file_id", "left_anti")
+        .groupBy("version_at")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_readds"))
+    )
+    rm = (
+        F.broadcast(vg)
+        .crossJoin(head.select("file_id"))
+        .join(
+            past.select("version_at", "file_id"),
+            ["version_at", "file_id"],
+            "left_anti",
+        )
+        .groupBy("version_at")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_removes"))
+    )
+    rr = past.groupBy("version_at").agg(
+        F.sum("rws").cast("long").alias("restored_rows")
+    )
+    hrows = head.agg(F.sum("rws").alias("hr"))
+    return (
+        vg.join(rr, "version_at")
+        .join(re, "version_at", "left")
+        .join(rm, "version_at", "left")
+        .crossJoin(F.broadcast(hrows))
+        .select(
+            "version_at",
+            F.coalesce(F.col("n_readds"), F.lit(0)).alias("n_readds"),
+            F.coalesce(F.col("n_removes"), F.lit(0)).alias("n_removes"),
+            "restored_rows",
+            (F.col("restored_rows") - F.col("hr"))
+            .cast("long")
+            .alias("rows_delta_vs_head"),
+        )
+    )

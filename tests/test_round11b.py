@@ -571,3 +571,67 @@ def test_version_log_oracles_default_prefix_is_registered():
     assert _q443_oracle("") == QUERIES["q443_time_travel_reads"].oracle
     assert _q444_oracle("") == QUERIES["q444_vacuum_retention_audit"].oracle
     assert _q446_oracle("") == QUERIES["q446_commit_conflict_audit"].oracle
+
+
+# ---------------------------------------------------------------------------
+# q449 — t-closeness
+# ---------------------------------------------------------------------------
+
+
+def test_q449_tvd_bounded_and_merging_contracts(spark):
+    """TVD lives in [0,1]; merging cohorts (levels 1 and 2 are unions
+    of level-0 groups) can only move mixtures TOWARD the global
+    distribution, so their max TVD is bounded by level 0's."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        q449_t_closeness_audit,
+    )
+
+    rows = {r["level"]: r
+            for r in q449_t_closeness_audit(spark, PARITY_SF_DIR).collect()}
+    for r in rows.values():
+        assert 0.0 <= r["max_tvd"] <= 1.0
+        assert 0.0 <= r["share_groups_above_t"] <= 1.0
+    assert rows[1]["max_tvd"] <= rows[0]["max_tvd"]
+    assert rows[2]["max_tvd"] <= rows[0]["max_tvd"]
+
+
+# ---------------------------------------------------------------------------
+# q450 — restore plan invariant
+# ---------------------------------------------------------------------------
+
+
+def test_q450_applying_the_plan_reproduces_the_snapshot(spark):
+    """(head live − removes) ∪ re-adds must equal live(v) EXACTLY for
+    every target version — the restore plan is sufficient and minimal
+    (counts match the symmetric difference)."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        _Q444_HEAD,
+        _live_sets,
+        q450_restore_plan,
+    )
+
+    live = _live_sets(spark, SMOKE_SF_DIR).collect()
+    by_v = {}
+    for r in live:
+        by_v.setdefault(r["version_at"], set()).add(r["file_id"])
+    head = by_v[_Q444_HEAD]
+    plans = {r["version_at"]: r
+             for r in q450_restore_plan(spark, SMOKE_SF_DIR).collect()}
+    for v, target in by_v.items():
+        if v == _Q444_HEAD:
+            continue
+        p = plans[v]
+        readds = target - head
+        removes = head - target
+        assert p["n_readds"] == len(readds)
+        assert p["n_removes"] == len(removes)
+        assert (head - removes) | readds == target
+    # restored rows tie back to q443's live_rows
+    from databricks_etl_spark.plans.queries_round11b import (
+        q443_time_travel_reads,
+    )
+
+    tt = {r["version_at"]: r["live_rows"]
+          for r in q443_time_travel_reads(spark, SMOKE_SF_DIR).collect()}
+    for v, p in plans.items():
+        assert p["restored_rows"] == tt[v]
