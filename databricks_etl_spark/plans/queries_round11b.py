@@ -2082,3 +2082,240 @@ def q450_restore_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rows_delta_vs_head"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q451 — governance gate: the warehouse-release verdict (gate of gates)
+# ---------------------------------------------------------------------------
+
+_Q451_MAX_TVD = 0.5  # t-closeness bar at the l-diversity QI level
+
+
+def _q451_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    priv = QUERIES["q441_privacy_release_gate"].oracle
+    tcl = QUERIES["q449_t_closeness_audit"].oracle
+    stale = QUERIES["q437_stats_staleness_audit"].oracle
+    return f"""
+        WITH g441 AS MATERIALIZED ({priv}),
+        g449 AS MATERIALIZED ({tcl}),
+        g437 AS MATERIALIZED ({stale}),
+        g446 AS MATERIALIZED ({_q446_oracle("gg_")})
+        SELECT g441.verdict AS privacy_verdict,
+               (SELECT max_tvd FROM g449 WHERE level = 2) AS max_tvd,
+               (SELECT CAST(SUM(CASE WHEN stale THEN 1 ELSE 0 END)
+                            AS BIGINT) FROM g437) AS stale_columns,
+               (SELECT CAST(SUM(CASE WHEN conflict THEN 1 ELSE 0 END)
+                            AS BIGINT) FROM g446) AS open_conflicts,
+               (g441.verdict = 'PASS') AS check_privacy,
+               (SELECT max_tvd FROM g449 WHERE level = 2)
+                   <= {_Q451_MAX_TVD} AS check_t_closeness,
+               (SELECT CAST(SUM(CASE WHEN conflict AND aborted_txn = -1
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM g446) = 0 AS check_conflicts_resolved,
+               CASE WHEN g441.verdict = 'PASS'
+                     AND (SELECT max_tvd FROM g449 WHERE level = 2)
+                         <= {_Q451_MAX_TVD}
+                     AND (SELECT CAST(SUM(CASE WHEN conflict
+                                                AND aborted_txn = -1
+                                               THEN 1 ELSE 0 END)
+                                      AS BIGINT) FROM g446) = 0
+                    THEN 'GO' ELSE 'NO_GO' END AS verdict
+        FROM g441
+    """
+
+
+@query("q451_governance_gate", oracle=_q451_oracle(), defer=True)
+def q451_governance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse GOVERNANCE verdict — q430's gate-of-gates pattern
+    for the round's families: the q441 privacy gate must PASS, the
+    released QI level must be t-close (q449, TVD <= {_Q451_MAX_TVD}),
+    and every detected commit conflict must carry a designated loser
+    (q446 — a conflict WITHOUT a resolution is the dangerous state;
+    the conflicts themselves are facts of concurrent operation, so the
+    gate checks resolution completeness, never conflict absence).
+    Stats staleness rides along as a reported (not gating) column —
+    stale stats degrade plans, not compliance. Component oracles are
+    embedded verbatim (the conflict lane through its kernel builder
+    with a disjoint CTE prefix — the q448 hoisting constraint), so the
+    verdict cannot drift from the measurements. Inherits q441's scale
+    split: GO at sf0.01, NO_GO at sf0.001 (privacy is the check that
+    fires), pinned by test.
+
+    Scale shape: three 1-row gate aggregates and one 3-row audit
+    lookup, crossed — every input already metadata- or QI-bounded."""
+    priv = q441_privacy_release_gate(spark, sf_dir).select(
+        F.col("verdict").alias("privacy_verdict")
+    )
+    tc = (
+        q449_t_closeness_audit(spark, sf_dir)
+        .filter(F.col("level") == 2)
+        .select("max_tvd")
+    )
+    sa = _q437_stats_drift(spark, sf_dir).agg(
+        F.sum(F.when(F.col("stale"), 1).otherwise(0))
+        .cast("long")
+        .alias("stale_columns")
+    )
+    cf = q446_commit_conflict_audit(spark, sf_dir).agg(
+        F.sum(F.when(F.col("conflict"), 1).otherwise(0))
+        .cast("long")
+        .alias("open_conflicts"),
+        F.sum(
+            F.when(F.col("conflict") & (F.col("aborted_txn") == -1), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("__unresolved"),
+    )
+    ck_p = F.col("privacy_verdict") == "PASS"
+    ck_t = F.col("max_tvd") <= _Q451_MAX_TVD
+    ck_c = F.col("__unresolved") == 0
+    return (
+        priv.crossJoin(tc)
+        .crossJoin(sa)
+        .crossJoin(cf)
+        .select(
+            "privacy_verdict",
+            "max_tvd",
+            "stale_columns",
+            "open_conflicts",
+            ck_p.alias("check_privacy"),
+            ck_t.alias("check_t_closeness"),
+            ck_c.alias("check_conflicts_resolved"),
+            F.when(ck_p & ck_t & ck_c, "GO")
+            .otherwise("NO_GO")
+            .alias("verdict"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q452 — DP-calibrated noise release audit (privacy-utility curve)
+# ---------------------------------------------------------------------------
+
+# (epsilon label used in the hash payload, epsilon value). Labels keep
+# float formatting out of the hash; the numeric value prices the noise.
+_Q452_EPS: list[tuple[str, float]] = [("e01", 0.1), ("e1", 1.0),
+                                      ("e10", 10.0)]
+_Q452_HEX = 12  # md5 nibbles per draw (48 bits) — the q344 idiom
+
+
+def _q452_u_sql(payload: str) -> str:
+    """First 12 md5 nibbles of ``payload`` → uniform in (0,1): the
+    q344 instr-nibble decode, +0.5 so u is never exactly 0, 0.5 or 1
+    (the Laplace inverse-CDF singularities)."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({payload}), {k}, 1)) - 1)"
+        f" * {16 ** (_Q452_HEX - k)}"
+        for k in range(1, _Q452_HEX + 1)
+    )
+    return f"((({terms}) + 0.5) / {16 ** _Q452_HEX})"
+
+
+def _q452_u_col(payload: F.Column) -> F.Column:
+    from functools import reduce
+
+    h = F.md5(payload)
+    val = reduce(
+        lambda a, b: a + b,
+        [
+            (
+                F.instr(F.lit("0123456789abcdef"), F.substring(h, k, 1))
+                - 1
+            ).cast("long")
+            * F.lit(16 ** (_Q452_HEX - k)).cast("long")
+            for k in range(1, _Q452_HEX + 1)
+        ],
+    )
+    return (val.cast("double") + 0.5) / float(16 ** _Q452_HEX)
+
+
+def _q452_oracle() -> str:
+    vals = ", ".join(f"('{l}', {e})" for l, e in _Q452_EPS)
+    u = _q452_u_sql(
+        "'dp:' || eg.lbl || ':' || CAST(c.c_nationkey AS VARCHAR)"
+    )
+    return f"""
+        WITH rel AS (
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM customer GROUP BY 1
+        ),
+        eg(lbl, eps) AS (VALUES {vals}),
+        noised AS (
+            SELECT eg.lbl, eg.eps, c.cnt,
+                   -(1.0 / eg.eps)
+                       * CASE WHEN {u} >= 0.5 THEN 1.0 ELSE -1.0 END
+                       * ln(1.0 - 2.0 * ABS({u} - 0.5)) AS noise
+            FROM eg CROSS JOIN rel c
+        )
+        SELECT eps,
+               round(1.0 / eps, 6) AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               round(MAX(ABS(noise)), 6) AS max_abs_err,
+               round(CAST(SUM(CAST(ABS(noise) AS DECIMAL(28,9)))
+                          AS DOUBLE) / COUNT(*), 6) AS mean_abs_err,
+               round(MAX(ABS(noise) / cnt), 6) AS max_rel_err
+        FROM noised
+        GROUP BY eps
+    """
+
+
+@query("q452_dp_noise_release_audit", oracle=_q452_oracle(), defer=True)
+def q452_dp_noise_release_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The privacy-utility curve of a differentially-private-CALIBRATED
+    count release: per-nation customer counts with Laplace(1/eps)
+    noise (sensitivity 1 for a counting query), swept over eps — what
+    a DP release costs in max/mean absolute and worst relative error.
+    HONEST framing: the noise here is a DETERMINISTIC hash-uniform
+    surrogate (md5 nibbles → inverse CDF) so both engines draw the
+    same values and the lane is hash-verifiable; a production DP
+    release swaps the surrogate for a CSPRNG — the CALIBRATION (scale
+    b = sensitivity/eps) and the audit arithmetic are exactly what
+    ships. Cross-engine ln() is bit-identical (README determinism
+    rules); the +0.5 nibble offset keeps u off the inverse-CDF
+    singularities at 0, 1/2 and 1.
+
+    Scale shape: the released relation is GROUP-BY-bounded (25
+    nations), the eps grid broadcast — noise injection and the audit
+    are free at any corpus size; the only data-sized work is the
+    grouped count itself."""
+    rel = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    eg = spark.createDataFrame(_Q452_EPS, "lbl string, eps double")
+    u = _q452_u_col(
+        F.concat(
+            F.lit("dp:"), F.col("lbl"), F.lit(":"),
+            F.col("c_nationkey").cast("string"),
+        )
+    )
+    noise = (
+        (-1.0 / F.col("eps"))
+        * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return (
+        rel.crossJoin(F.broadcast(eg))
+        .select("eps", "cnt", noise.alias("noise"))
+        .groupBy("eps")
+        .agg(
+            F.round(1.0 / F.col("eps"), 6).alias("b"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.max(F.abs(F.col("noise"))), 6).alias("max_abs_err"),
+            F.round(
+                F.sum(F.abs(F.col("noise")).cast("decimal(28,9)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_abs_err"),
+            F.round(
+                F.max(F.abs(F.col("noise")) / F.col("cnt")), 6
+            ).alias("max_rel_err"),
+        )
+    )

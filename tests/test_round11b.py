@@ -635,3 +635,52 @@ def test_q450_applying_the_plan_reproduces_the_snapshot(spark):
           for r in q443_time_travel_reads(spark, SMOKE_SF_DIR).collect()}
     for v, p in plans.items():
         assert p["restored_rows"] == tt[v]
+
+
+# ---------------------------------------------------------------------------
+# q451 — governance gate
+# ---------------------------------------------------------------------------
+
+
+def test_q451_go_at_parity_no_go_at_smoke(spark):
+    """Same thresholds, different corpus sizes: privacy is the check
+    that fires at the smoke scale; the planted commit conflict never
+    blocks because it carries a designated loser (resolution
+    completeness, not conflict absence, is the bar)."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        q451_governance_gate,
+    )
+
+    g = q451_governance_gate(spark, PARITY_SF_DIR).collect()[0]
+    assert g["verdict"] == "GO"
+    assert g["open_conflicts"] == 1 and g["check_conflicts_resolved"]
+    s = q451_governance_gate(spark, SMOKE_SF_DIR).collect()[0]
+    assert s["verdict"] == "NO_GO"
+    assert s["check_privacy"] is False  # the firing check, named
+    assert s["check_conflicts_resolved"]
+
+
+# ---------------------------------------------------------------------------
+# q452 — DP-calibrated noise audit
+# ---------------------------------------------------------------------------
+
+
+def test_q452_utility_curve_monotone_in_epsilon(spark):
+    """More privacy budget (larger eps) must mean less noise: the mean
+    absolute error tracks the Laplace scale b = 1/eps down the sweep,
+    and every tier's mean error sits within a factor of 3 of b (25
+    draws around E|Laplace(b)| = b)."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        q452_dp_noise_release_audit,
+    )
+
+    rows = sorted(
+        q452_dp_noise_release_audit(spark, PARITY_SF_DIR).collect(),
+        key=lambda r: r["eps"],
+    )
+    assert [r["n_cells"] for r in rows] == [25, 25, 25]
+    means = [r["mean_abs_err"] for r in rows]
+    assert means == sorted(means, reverse=True)
+    for r in rows:
+        assert r["b"] / 3 < r["mean_abs_err"] < 3 * r["b"]
+        assert r["max_abs_err"] >= r["mean_abs_err"]
