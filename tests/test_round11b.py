@@ -684,3 +684,35 @@ def test_q452_utility_curve_monotone_in_epsilon(spark):
     for r in rows:
         assert r["b"] / 3 < r["mean_abs_err"] < 3 * r["b"]
         assert r["max_abs_err"] >= r["mean_abs_err"]
+
+
+# ---------------------------------------------------------------------------
+# plan-shape guards for the round-11b lanes
+# ---------------------------------------------------------------------------
+
+
+def test_round11b_plans_stay_jvm_side_and_broadcast(spark):
+    """No round-11b lane may fall off the JVM fast path (no Python
+    eval in any plan), every grid/total cross join must be a
+    BroadcastNestedLoopJoin (never CartesianProduct), and the q442
+    posting build's vocabulary cut must be a broadcast hash join."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        q434_selectivity_estimation_audit,
+        q438_k_anonymity_audit,
+        q442_boolean_retrieval,
+        q444_vacuum_retention_audit,
+        q452_dp_noise_release_audit,
+    )
+
+    for fn in (
+        q434_selectivity_estimation_audit,
+        q438_k_anonymity_audit,
+        q442_boolean_retrieval,
+        q444_vacuum_retention_audit,
+        q452_dp_noise_release_audit,
+    ):
+        plan = _plan(fn(spark, SMOKE_SF_DIR))
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+    q442_plan = _plan(q442_boolean_retrieval(spark, SMOKE_SF_DIR))
+    assert "BroadcastHashJoin" in q442_plan
