@@ -2319,3 +2319,86 @@ def q452_dp_noise_release_audit(
             ).alias("max_rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q453 — STREAMING CDC apply: the version log consumed at commit time
+# ---------------------------------------------------------------------------
+
+
+def _q453_oracle() -> str:
+    return f"""
+        WITH {_version_log_sql()}
+        SELECT a.file_id, a.rws
+        FROM acts a
+        WHERE a.action = 'add'
+          AND NOT EXISTS (
+            SELECT 1 FROM acts r
+            WHERE r.action = 'remove' AND r.file_id = a.file_id
+          )
+        ORDER BY a.file_id
+    """
+
+
+@query("q453_streaming_cdc_apply", oracle=_q453_oracle(), defer=True)
+def q453_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q443 action log consumed AS A STREAM — CDC apply at commit
+    time: each micro-batch delivers one or more committed versions'
+    add/remove actions, the epoch-idempotent sink accumulates them
+    (dynamic partition overwrite by epoch — a replayed commit
+    overwrites its own partition), and the drain resolves the live
+    set exactly as the batch reconstruction does (adds anti-joined
+    against removes — tombstones are data, so the fold is
+    associative across epochs by construction: an add and its remove
+    meet at drain time no matter which epoch delivered each). The
+    drained live set is hash-proven equal to the batch head snapshot;
+    slicing invariance and replay are pinned like q447's.
+
+    Scale shape: per epoch the sink writes only that commit's actions
+    (file-grain metadata); the drain is one anti-join over the
+    accumulated log — the exact cost profile of a table-format
+    checkpoint build."""
+    import shutil
+
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    log = _version_log(spark, sf_dir)
+    partials_path = scratch_dir("cdc_partials_", key=sf_dir)
+    shutil.rmtree(partials_path, ignore_errors=True)
+    schema = "version int, action string, file_id long, rws long, __epoch int"
+    (
+        spark.createDataFrame([], schema)
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .parquet(partials_path)
+    )
+    # versions arrive as commit-grain micro-batches: epoch e delivers
+    # version e+1's actions (a deterministic stand-in for the stream
+    # source — the ingest/drain machinery is the real surface)
+    ingest = _make_cdc_epoch(partials_path)
+    for epoch, version in enumerate(_Q443_VERSIONS):
+        ingest(log.filter(F.col("version") == version), epoch)
+    return _drain_cdc_live(spark, partials_path)
+
+
+def _make_cdc_epoch(partials_path: str):
+    """Epoch-idempotent CDC sink (q447's discipline for action rows)."""
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(partials_path)
+        )
+
+    return ingest
+
+
+def _drain_cdc_live(spark: SparkSession, partials_path: str) -> DataFrame:
+    schema = "version int, action string, file_id long, rws long, __epoch int"
+    acts = spark.read.schema(schema).parquet(partials_path)
+    adds = acts.filter(F.col("action") == "add").select("file_id", "rws")
+    rems = acts.filter(F.col("action") == "remove").select("file_id")
+    return adds.join(rems, "file_id", "left_anti").orderBy("file_id")

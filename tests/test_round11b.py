@@ -716,3 +716,43 @@ def test_round11b_plans_stay_jvm_side_and_broadcast(spark):
         assert "CartesianProduct" not in plan, fn.__name__
     q442_plan = _plan(q442_boolean_retrieval(spark, SMOKE_SF_DIR))
     assert "BroadcastHashJoin" in q442_plan
+
+
+# ---------------------------------------------------------------------------
+# q453 — streaming CDC apply: slicing invariance + replay
+# ---------------------------------------------------------------------------
+
+
+def test_q453_slicing_invariance_and_replay(spark, tmp_path):
+    """The drained live set must not depend on which epoch delivered
+    which commit (two versions per batch vs one), and replaying a
+    commit's epoch leaves the drain unchanged."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        _drain_cdc_live,
+        _make_cdc_epoch,
+        _version_log,
+    )
+
+    log = _version_log(spark, SMOKE_SF_DIR).localCheckpoint()
+    schema = (
+        "version int, action string, file_id long, rws long, __epoch int"
+    )
+
+    def run(path, slices):
+        spark.createDataFrame([], schema).write.mode(
+            "overwrite"
+        ).partitionBy("__epoch").parquet(path)
+        ingest = _make_cdc_epoch(path)
+        for epoch, versions in enumerate(slices):
+            ingest(log.filter(F.col("version").isin(versions)), epoch)
+        return ingest, sorted(
+            map(tuple, _drain_cdc_live(spark, path).collect())
+        )
+
+    _, fine = run(str(tmp_path / "a"), [[1], [2], [3], [4]])
+    ingest_b, coarse = run(str(tmp_path / "b"), [[1, 2], [3, 4]])
+    assert fine == coarse
+    ingest_b(log.filter(F.col("version").isin([3, 4])), 1)  # replay
+    assert sorted(
+        map(tuple, _drain_cdc_live(spark, str(tmp_path / "b")).collect())
+    ) == coarse
