@@ -2402,3 +2402,461 @@ def _drain_cdc_live(spark: SparkSession, partials_path: str) -> DataFrame:
     adds = acts.filter(F.col("action") == "add").select("file_id", "rws")
     rems = acts.filter(F.col("action") == "remove").select("file_id")
     return adds.join(rems, "file_id", "left_anti").orderBy("file_id")
+
+
+# ---------------------------------------------------------------------------
+# q454 — workload-aware sort-key selection (zone-map pricing of layouts)
+# ---------------------------------------------------------------------------
+
+_Q454_FILES = 20  # equal-row files per layout (row groups in sort order)
+_Q454_SORT_KEYS = ["l_shipday", "l_extendedprice", "l_partkey"]
+# workload: (pred_id, column, lo, hi) — date-dominated, the realistic
+# mix (most lakehouse scans carry a time filter): four narrow ship-day
+# windows, one price band, one part range. The imbalance is the point:
+# sort-key choice only matters when the workload leans on a column.
+_Q454_WORKLOAD: list[tuple[int, str, float, float]] = [
+    (1, "l_shipday", 9500.0, 9600.0),
+    (2, "l_shipday", 9800.0, 9900.0),
+    (3, "l_shipday", 10300.0, 10500.0),
+    (4, "l_shipday", 11000.0, 11200.0),
+    (5, "l_extendedprice", 10000.0, 30000.0),
+    (6, "l_partkey", 0.0, 200.0),
+]
+
+
+def _q454_oracle() -> str:
+    preds = ", ".join(
+        f"({i}, '{c}', {lo}, {hi})" for i, c, lo, hi in _Q454_WORKLOAD
+    )
+    zones = []
+    for sk in _Q454_SORT_KEYS:
+        zones.append(f"""
+            SELECT '{sk}' AS layout, f.fid,
+                   MIN(f.l_shipday) AS mn_l_shipday,
+                   MAX(f.l_shipday) AS mx_l_shipday,
+                   MIN(f.l_extendedprice) AS mn_l_extendedprice,
+                   MAX(f.l_extendedprice) AS mx_l_extendedprice,
+                   MIN(f.l_partkey) AS mn_l_partkey,
+                   MAX(f.l_partkey) AS mx_l_partkey
+            FROM (
+                SELECT li.*, ntile({_Q454_FILES}) OVER (
+                    ORDER BY li.{sk}, li.l_orderkey, li.l_linenumber
+                ) AS fid
+                FROM li
+            ) f GROUP BY f.fid""")
+    hit = " ".join(
+        f"""WHEN p.col = '{c}' THEN
+                (z.mn_{c} <= p.hi AND z.mx_{c} >= p.lo)"""
+        for c in _Q454_SORT_KEYS
+    )
+    return f"""
+        WITH li AS MATERIALIZED (
+            SELECT CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(l_shipdate AS DATE)) AS DOUBLE)
+                       AS l_shipday,
+                   l_extendedprice,
+                   CAST(l_partkey AS DOUBLE) AS l_partkey,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        zones AS MATERIALIZED ({" UNION ALL ".join(zones)}),
+        preds(pid, col, lo, hi) AS (VALUES {preds}),
+        scans AS (
+            SELECT z.layout,
+                   CAST(SUM(CASE {hit} ELSE NULL END::INT) AS BIGINT)
+                       AS files_scanned,
+                   CAST(COUNT(*) AS BIGINT) AS file_pred_pairs
+            FROM zones z CROSS JOIN preds p
+            GROUP BY z.layout
+        )
+        SELECT layout, files_scanned,
+               CAST({_Q454_FILES} AS BIGINT) AS n_files,
+               round(CAST(files_scanned AS DOUBLE) / file_pred_pairs, 6)
+                   AS scan_share,
+               files_scanned = (SELECT MIN(files_scanned) FROM scans)
+                   AS best
+        FROM scans
+    """
+
+
+@query("q454_sort_key_selection", oracle=_q454_oracle(), defer=True)
+def q454_sort_key_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workload-aware SORT-KEY selection — the decision behind Delta
+    OPTIMIZE ZORDER/sort orders, priced with the exact arithmetic data
+    skipping uses: lay the fact table out {_Q454_FILES} equal-row
+    files in each candidate sort order, publish per-file zone maps
+    (min/max per predicate column), and charge each workload predicate
+    the files whose zones overlap its range. The layout sorted on a
+    column skips aggressively for THAT column's predicates and not at
+    all for the others — the output prices that tradeoff over the
+    whole workload and flags the minimum-scan layout. One row per
+    candidate layout.
+
+    Scale shape: zone maps are |files| rows per layout (metadata — at
+    100 TB zone maps live in the table format's stats, and this lane
+    is a pure log computation); pricing is a broadcast
+    |files| × |workload| rollup. Layout construction itself uses the
+    global-ntile exact baseline (q170's documented bound) — a real
+    rewrite would range-partition on broadcast boundaries."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("double")
+        .alias("l_shipday"),
+        "l_extendedprice",
+        F.col("l_partkey").cast("double").alias("l_partkey"),
+        "l_orderkey",
+        "l_linenumber",
+    ).localCheckpoint()
+    from pyspark.sql import Window
+
+    preds = spark.createDataFrame(
+        _Q454_WORKLOAD, "pid int, col string, lo double, hi double"
+    )
+    zones = []
+    for sk in _Q454_SORT_KEYS:
+        w = Window.orderBy(sk, "l_orderkey", "l_linenumber")
+        aggs = []
+        for c in _Q454_SORT_KEYS:
+            aggs += [
+                F.min(c).alias(f"mn_{c}"),
+                F.max(c).alias(f"mx_{c}"),
+            ]
+        zones.append(
+            li.withColumn("fid", F.ntile(_Q454_FILES).over(w))
+            .groupBy("fid")
+            .agg(*aggs)
+            .select(F.lit(sk).alias("layout"), "*")
+        )
+    z = zones[0]
+    for df in zones[1:]:
+        z = z.unionByName(df)
+    hit = None
+    for c in _Q454_SORT_KEYS:
+        cond = (F.col(f"mn_{c}") <= F.col("hi")) & (
+            F.col(f"mx_{c}") >= F.col("lo")
+        )
+        branch = F.when(F.col("col") == c, cond.cast("int"))
+        hit = branch if hit is None else hit.when(F.col("col") == c, cond.cast("int"))
+    scans = (
+        z.crossJoin(F.broadcast(preds))
+        .select("layout", hit.alias("hit"))
+        .groupBy("layout")
+        .agg(
+            F.sum("hit").cast("long").alias("files_scanned"),
+            F.count(F.lit(1)).alias("file_pred_pairs"),
+        )
+    ).localCheckpoint()
+    best = scans.agg(F.min("files_scanned").alias("mn"))
+    return scans.crossJoin(F.broadcast(best)).select(
+        "layout",
+        "files_scanned",
+        F.lit(_Q454_FILES).cast("long").alias("n_files"),
+        F.round(
+            F.col("files_scanned").cast("double") / F.col("file_pred_pairs"),
+            6,
+        ).alias("scan_share"),
+        (F.col("files_scanned") == F.col("mn")).alias("best"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q455 — column encoding advisor (dictionary vs plain, priced from stats)
+# ---------------------------------------------------------------------------
+
+_Q455_WIDTH = 8  # plain-encoded bytes per value (the q436 width model)
+
+
+def _q455_oracle() -> str:
+    return f"""
+        WITH est_st AS MATERIALIZED ({_q433_oracle()})
+        SELECT table_name, column_name, n_rows, n_distinct,
+               n_rows * {_Q455_WIDTH} AS plain_bytes,
+               n_distinct * {_Q455_WIDTH}
+                   + (n_rows * GREATEST(1, CAST(ceil(log2(
+                          GREATEST(n_distinct, 2))) AS BIGINT)) + 7) // 8
+                   AS dict_bytes,
+               CASE WHEN n_distinct * {_Q455_WIDTH}
+                         + (n_rows * GREATEST(1, CAST(ceil(log2(
+                                GREATEST(n_distinct, 2))) AS BIGINT)) + 7)
+                           // 8
+                         < n_rows * {_Q455_WIDTH}
+                    THEN 'dictionary' ELSE 'plain' END AS recommendation,
+               round(1.0 - CAST(n_distinct * {_Q455_WIDTH}
+                          + (n_rows * GREATEST(1, CAST(ceil(log2(
+                                 GREATEST(n_distinct, 2))) AS BIGINT)) + 7)
+                            // 8 AS DOUBLE)
+                     / (n_rows * {_Q455_WIDTH}), 6) AS savings_share
+        FROM est_st
+    """
+
+
+@query("q455_encoding_advisor", oracle=_q455_oracle(), defer=True)
+def q455_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column ENCODING advisor — the storage decision a columnar
+    writer makes from exactly q433's stats: dictionary encoding costs
+    the dictionary (ndv × width) plus ceil(log2(ndv)) bits per row;
+    plain costs width bytes per row. Low-cardinality columns
+    (nationkey: 25 values over 1500 rows) compress ~10×; near-unique
+    keys (orderkey) must stay plain — the advisor prices both in exact
+    integer arithmetic ((n·bits+7) // 8 — no float rounding in the
+    byte count; log2 is exact on the power-of-two boundaries that
+    matter for bit widths) and recommends per column. The oracle
+    embeds q433's stats SQL verbatim.
+
+    Scale shape: runs entirely on the 17-row stats relation — free;
+    the stats pass is q433's."""
+    st = q433_table_stats_collection(spark, sf_dir)
+    bits = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.log2(F.greatest(F.col("n_distinct"), F.lit(2)))).cast(
+            "long"
+        ),
+    )
+    plain = F.col("n_rows") * _Q455_WIDTH
+    dict_b = F.col("n_distinct") * _Q455_WIDTH + F.expr(
+        f"(n_rows * GREATEST(CAST(1 AS BIGINT), CAST(ceil(log2("
+        f"GREATEST(n_distinct, 2))) AS BIGINT)) + 7) DIV 8"
+    )
+    return st.select(
+        "table_name",
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        plain.alias("plain_bytes"),
+        dict_b.alias("dict_bytes"),
+        F.when(dict_b < plain, "dictionary")
+        .otherwise("plain")
+        .alias("recommendation"),
+        F.round(
+            1.0 - dict_b.cast("double") / plain.cast("double"), 6
+        ).alias("savings_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q456 — joint-histogram estimation (the q445 trap, fixed)
+# ---------------------------------------------------------------------------
+
+_Q456_GRID = 10  # buckets per dimension (10x10 joint grid)
+# predicate pairs on x = l_extendedprice and y = revenue =
+# l_extendedprice * (1 - l_discount); y <= x by construction, so the
+# pair is strongly positively correlated — independence must miss.
+# (pair_id, x_lo, x_hi, y_lo, y_hi)
+_Q456_PAIRS: list[tuple[int, float, float, float, float]] = [
+    (1, 70000.0, 105000.0, 60000.0, 105000.0),  # correlated band
+    (2, 10000.0, 30000.0, 25000.0, 105000.0),   # near-contradiction
+    (3, 10000.0, 30000.0, 0.0, 105000.0),       # control: y always true
+]
+
+
+def _q456_oracle() -> str:
+    pairs = ", ".join(
+        f"({i}, {xl}, {xh}, {yl}, {yh})"
+        for i, xl, xh, yl, yh in _Q456_PAIRS
+    )
+    fx = _q434_frac_sql("p.x_lo", "p.x_hi", "c.mnx", "c.mxx")
+    fy = _q434_frac_sql("p.y_lo", "p.y_hi", "c.mny", "c.mxy")
+    mx = _q434_frac_sql("p.x_lo", "p.x_hi", "hx.lo", "hx.hi")
+    my = _q434_frac_sql("p.y_lo", "p.y_hi", "hy.lo", "hy.hi")
+    return f"""
+        WITH xy AS MATERIALIZED (
+            SELECT l_extendedprice AS x,
+                   l_extendedprice * (1 - l_discount) AS y,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        bb AS MATERIALIZED (
+            SELECT x, y,
+                   ntile({_Q456_GRID}) OVER (
+                       ORDER BY x, l_orderkey, l_linenumber) AS bx,
+                   ntile({_Q456_GRID}) OVER (
+                       ORDER BY y, l_orderkey, l_linenumber) AS by
+            FROM xy
+        ),
+        cells AS MATERIALIZED (
+            SELECT bx, by, COUNT(*) AS cnt,
+                   MIN(x) AS mnx, MAX(x) AS mxx,
+                   MIN(y) AS mny, MAX(y) AS mxy
+            FROM bb GROUP BY bx, by
+        ),
+        hx AS MATERIALIZED (
+            SELECT bx, COUNT(*) AS cnt, MIN(x) AS lo, MAX(x) AS hi
+            FROM bb GROUP BY bx
+        ),
+        hy AS MATERIALIZED (
+            SELECT by, COUNT(*) AS cnt, MIN(y) AS lo, MAX(y) AS hi
+            FROM bb GROUP BY by
+        ),
+        p(pair_id, x_lo, x_hi, y_lo, y_hi) AS (VALUES {pairs}),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM xy),
+        ind AS (
+            SELECT p.pair_id,
+                   (SELECT CAST(SUM(CAST(hx.cnt * ({mx})
+                                         AS DECIMAL(28,6))) AS DOUBLE)
+                    FROM hx) / n.n
+                   * (SELECT CAST(SUM(CAST(hy.cnt * ({my})
+                                           AS DECIMAL(28,6))) AS DOUBLE)
+                      FROM hy) / n.n
+                   * n.n AS est
+            FROM p CROSS JOIN n
+        ),
+        jnt AS (
+            SELECT p.pair_id,
+                   CAST(SUM(CAST(c.cnt * ({fx}) * ({fy})
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS est
+            FROM p CROSS JOIN cells c
+            GROUP BY p.pair_id
+        ),
+        act AS (
+            SELECT p.pair_id,
+                   CAST(SUM(CASE WHEN xy.x >= p.x_lo AND xy.x <= p.x_hi
+                                  AND xy.y >= p.y_lo AND xy.y <= p.y_hi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS actual_rows
+            FROM p CROSS JOIN xy
+            GROUP BY p.pair_id
+        )
+        SELECT p.pair_id,
+               round(ind.est, 4) AS est_indep,
+               round(jnt.est, 4) AS est_joint,
+               act.actual_rows,
+               round(GREATEST(round(ind.est, 4)
+                                  / CAST(act.actual_rows AS DOUBLE),
+                              CAST(act.actual_rows AS DOUBLE)
+                                  / round(ind.est, 4)), 6)
+                   AS q_error_indep,
+               round(GREATEST(round(jnt.est, 4)
+                                  / CAST(act.actual_rows AS DOUBLE),
+                              CAST(act.actual_rows AS DOUBLE)
+                                  / round(jnt.est, 4)), 6)
+                   AS q_error_joint
+        FROM p
+        JOIN ind ON p.pair_id = ind.pair_id
+        JOIN jnt ON p.pair_id = jnt.pair_id
+        JOIN act ON p.pair_id = act.pair_id
+    """
+
+
+@query("q456_joint_histogram_estimation", oracle=_q456_oracle(), defer=True)
+def q456_joint_histogram_estimation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The q445 correlation trap, FIXED with multi-column statistics:
+    a 10×10 joint histogram (per-cell count + per-cell bounds on both
+    dimensions) estimates conjunctions over the correlated pair
+    (price, revenue = price·(1−discount)) where revenue ≤ price by
+    construction. Per pair: the independence estimate from the two
+    marginals, the joint-grid estimate (Σ cells cnt·fx·fy — uniform
+    within CELL, the only independence left), the actual, and both
+    q-errors. On the correlated band and the near-contradiction pair
+    the joint estimate must beat independence (pinned by test); on
+    the always-true-y control both agree — multi-column stats cost
+    |grid| cells and buy exactly the correlated cases.
+
+    Scale shape: grid construction is two ntile windows (q170's exact
+    baseline) and one 100-cell grouped count; estimation is broadcast
+    |pairs| × |cells| decimal rollups; actuals are one fused
+    conditional pass."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    xy = li.select(
+        F.col("l_extendedprice").alias("x"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    ).localCheckpoint()
+    wx = Window.orderBy("x", "l_orderkey", "l_linenumber")
+    wy = Window.orderBy("y", "l_orderkey", "l_linenumber")
+    bb = xy.select(
+        "x",
+        "y",
+        F.ntile(_Q456_GRID).over(wx).alias("bx"),
+        F.ntile(_Q456_GRID).over(wy).alias("by"),
+    ).localCheckpoint()
+    cells = bb.groupBy("bx", "by").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("x").alias("mnx"),
+        F.max("x").alias("mxx"),
+        F.min("y").alias("mny"),
+        F.max("y").alias("mxy"),
+    )
+    hx = bb.groupBy("bx").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    )
+    hy = bb.groupBy("by").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("y").alias("lo"),
+        F.max("y").alias("hi"),
+    )
+    p = spark.createDataFrame(
+        _Q456_PAIRS,
+        "pair_id int, x_lo double, x_hi double, y_lo double, y_hi double",
+    )
+    n = float(xy.count())
+    fx = F.expr(_q434_frac_sql("x_lo", "x_hi", "mnx", "mxx"))
+    fy = F.expr(_q434_frac_sql("y_lo", "y_hi", "mny", "mxy"))
+    mxf = F.expr(_q434_frac_sql("x_lo", "x_hi", "lo", "hi"))
+    myf = F.expr(_q434_frac_sql("y_lo", "y_hi", "lo", "hi"))
+    ex = (
+        hx.crossJoin(F.broadcast(p))
+        .select("pair_id", (F.col("cnt") * mxf).alias("t"))
+        .groupBy("pair_id")
+        .agg(F.sum(F.col("t").cast("decimal(28,6)")).alias("sx"))
+    )
+    ey = (
+        hy.crossJoin(F.broadcast(p))
+        .select("pair_id", (F.col("cnt") * myf).alias("t"))
+        .groupBy("pair_id")
+        .agg(F.sum(F.col("t").cast("decimal(28,6)")).alias("sy"))
+    )
+    jnt = (
+        cells.crossJoin(F.broadcast(p))
+        .select("pair_id", (F.col("cnt") * fx * fy).alias("t"))
+        .groupBy("pair_id")
+        .agg(F.sum(F.col("t").cast("decimal(28,6)")).alias("sj"))
+    )
+    act = (
+        xy.crossJoin(F.broadcast(p))
+        .select(
+            "pair_id",
+            F.when(
+                (F.col("x") >= F.col("x_lo")) & (F.col("x") <= F.col("x_hi"))
+                & (F.col("y") >= F.col("y_lo"))
+                & (F.col("y") <= F.col("y_hi")),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("pair_id")
+        .agg(F.sum("hit").cast("long").alias("actual_rows"))
+    )
+    ind_est = F.col("sx").cast("double") / n * (
+        F.col("sy").cast("double") / n
+    ) * n
+    e_i = F.round(ind_est, 4)
+    e_j = F.round(F.col("sj").cast("double"), 4)
+    a_d = F.col("actual_rows").cast("double")
+    return (
+        p.select("pair_id")
+        .join(ex, "pair_id")
+        .join(ey, "pair_id")
+        .join(jnt, "pair_id")
+        .join(act, "pair_id")
+        .select(
+            "pair_id",
+            e_i.alias("est_indep"),
+            e_j.alias("est_joint"),
+            "actual_rows",
+            F.round(F.greatest(e_i / a_d, a_d / e_i), 6).alias(
+                "q_error_indep"
+            ),
+            F.round(F.greatest(e_j / a_d, a_d / e_j), 6).alias(
+                "q_error_joint"
+            ),
+        )
+    )

@@ -756,3 +756,70 @@ def test_q453_slicing_invariance_and_replay(spark, tmp_path):
     assert sorted(
         map(tuple, _drain_cdc_live(spark, str(tmp_path / "b")).collect())
     ) == coarse
+
+
+# ---------------------------------------------------------------------------
+# q454/q455/q456 — storage-advisor trio
+# ---------------------------------------------------------------------------
+
+
+def test_q454_date_heavy_workload_picks_the_date_layout(spark):
+    """With a date-dominated workload, sorting by ship day must win
+    (and win uniquely); the zone math can never scan more than every
+    file for every predicate."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        _Q454_FILES,
+        _Q454_WORKLOAD,
+        q454_sort_key_selection,
+    )
+
+    rows = {r["layout"]: r
+            for r in q454_sort_key_selection(spark, PARITY_SF_DIR).collect()}
+    assert rows["l_shipday"]["best"]
+    assert sum(1 for r in rows.values() if r["best"]) == 1
+    for r in rows.values():
+        assert r["files_scanned"] <= _Q454_FILES * len(_Q454_WORKLOAD)
+        assert r["scan_share"] <= 1.0
+    assert (rows["l_shipday"]["scan_share"]
+            < rows["l_extendedprice"]["scan_share"])
+
+
+def test_q455_recommendations_split_by_cardinality(spark):
+    """Low-cardinality columns dictionary-encode, near-unique keys
+    stay plain, and the byte model is exact integer arithmetic."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        _Q455_WIDTH,
+        q455_encoding_advisor,
+    )
+
+    rows = {(r["table_name"], r["column_name"]): r
+            for r in q455_encoding_advisor(spark, PARITY_SF_DIR).collect()}
+    assert rows[("lineitem", "l_suppkey")]["recommendation"] == "dictionary"
+    assert rows[("customer", "c_nationkey")]["recommendation"] == "dictionary"
+    assert rows[("orders", "o_orderkey")]["recommendation"] == "plain"
+    r = rows[("lineitem", "l_quantity")]  # 50 values over the table
+    bits = max(1, (r["n_distinct"] - 1).bit_length())
+    assert r["dict_bytes"] == (
+        r["n_distinct"] * _Q455_WIDTH + (r["n_rows"] * bits + 7) // 8
+    )
+    for r in rows.values():
+        assert (r["recommendation"] == "dictionary") == (
+            r["dict_bytes"] < r["plain_bytes"]
+        )
+
+
+def test_q456_joint_grid_beats_independence_on_correlated_pairs(spark):
+    """Multi-column stats must collapse the q-error exactly where
+    correlation lives (pairs 1 and 2) and cost nothing measurable on
+    the independent control (pair 3)."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        q456_joint_histogram_estimation,
+    )
+
+    rows = {r["pair_id"]: r
+            for r in q456_joint_histogram_estimation(
+                spark, PARITY_SF_DIR).collect()}
+    assert rows[1]["q_error_joint"] < rows[1]["q_error_indep"] / 2
+    assert rows[2]["q_error_joint"] < rows[2]["q_error_indep"] / 2
+    assert rows[3]["q_error_indep"] < 1.05
+    assert rows[3]["q_error_joint"] < 1.05
