@@ -5,6 +5,7 @@ claims each docstring makes and the planted-violation flips."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import PARITY_SF_DIR, SMOKE_SF_DIR
@@ -853,3 +854,95 @@ def test_q457_estimator_agrees_with_measured_order(spark):
     gap_filt = (rows[("filtered", "ol_c")]["est_total_cout"]
                 / rows[("filtered", "co_l")]["est_total_cout"])
     assert gap_filt > gap_full > 1.0
+
+
+# ---------------------------------------------------------------------------
+# property tests and scale gates
+# ---------------------------------------------------------------------------
+
+
+def test_overlap_fraction_kernel_matches_python_reference(spark):
+    """The uniform-within-bucket overlap fraction (shared by q434,
+    q445, q454's hit predicate and q456) must agree with a pure-Python
+    reference over random predicate/bucket interval pairs — including
+    the degenerate constant-bucket branch and both clamp ends."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from databricks_etl_spark.plans.queries_round11b import _q434_frac_sql
+
+    cases = []
+
+    def py_frac(lo, hi, blo, bhi):
+        if bhi > blo:
+            return max(0.0, min(1.0, (min(hi, bhi) - max(lo, blo))
+                                / (bhi - blo)))
+        return 1.0 if lo <= blo <= hi else 0.0
+
+    vals = st.integers(min_value=-50, max_value=50).map(float)
+
+    @settings(max_examples=200, deadline=None)
+    @given(vals, vals, vals, vals)
+    def collect(a, b, c, d):
+        lo, hi = min(a, b), max(a, b)
+        blo, bhi = min(c, d), max(c, d)
+        cases.append((lo, hi, blo, bhi, py_frac(lo, hi, blo, bhi)))
+
+    collect()
+    df = spark.createDataFrame(
+        cases, "lo double, hi double, blo double, bhi double, want double"
+    )
+    from pyspark.sql import functions as F2
+
+    got = df.select(
+        "want",
+        F2.expr(_q434_frac_sql("lo", "hi", "blo", "bhi")).alias("got"),
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["want"], r["got"])
+
+
+@pytest.mark.slow
+def test_q442_hit_counts_scale_exactly_under_replication(spark):
+    """Duplicating every document 50x must scale every conjunction's
+    hit count by exactly 50 (posting lists grow, semantics don't) —
+    the correctness-under-scale argument for the intersection
+    rollup."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        _Q442_QUERIES,
+        q442_boolean_retrieval,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    base = {r["query_id"]: r["n_hits"]
+            for r in q442_boolean_retrieval(spark, SMOKE_SF_DIR).collect()}
+
+    docs = read_table(spark, SMOKE_SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    big = docs.crossJoin(
+        spark.range(50).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("doc_id") * 50 + F.col("rep")).alias("doc_id"), "text"
+    )
+    toks = big.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).distinct()
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _Q442_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    qn = q.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    hits = (
+        toks.join(F.broadcast(q), toks.w == q.term)
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("w").alias("m"))
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("m") == F.col("n_terms"))
+        .groupBy("query_id")
+        .count()
+    )
+    scaled = {r["query_id"]: r["count"] for r in hits.collect()}
+    for qid, n in base.items():
+        assert scaled.get(qid, 0) == 50 * n, (qid, n, scaled.get(qid, 0))
