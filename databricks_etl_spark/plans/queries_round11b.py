@@ -3081,3 +3081,177 @@ def q457_join_order_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.min("actual_intermediate").over(wv)
         ).alias("best_actual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q458 — per-file Bloom pricing for point lookups (zones can't help)
+# ---------------------------------------------------------------------------
+
+_Q458_K = 3  # hash functions per key
+# ~3k distinct orderkeys per file x 3 bits: the sweep brackets the
+# m ≈ 10n rule of thumb (saturated -> ~1% FPR -> negligible)
+_Q458_M_GRID = [8192, 32768, 131072]  # bits per file filter
+# probe orderkeys < 1500 so they exist at every test SF
+_Q458_PROBES = [7, 123, 256, 389, 512, 645, 778, 901, 1034, 1467]
+_Q458_NIB = 8  # md5 nibbles per hash (32 bits, then mod m)
+
+
+def _q458_bit_sql(j: int, key: str, m: int) -> str:
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5('bl:{j}:' || "
+        f"CAST({key} AS VARCHAR)), {k}, 1)) - 1) * {16 ** (_Q458_NIB - k)}"
+        for k in range(1, _Q458_NIB + 1)
+    )
+    return f"(({terms}) % {m})"
+
+
+def _q458_bit_col(j: int, key: F.Column, m: int) -> F.Column:
+    from functools import reduce
+
+    h = F.md5(F.concat(F.lit(f"bl:{j}:"), key.cast("string")))
+    val = reduce(
+        lambda a, b: a + b,
+        [
+            (
+                F.instr(F.lit("0123456789abcdef"), F.substring(h, k, 1)) - 1
+            ).cast("long")
+            * F.lit(16 ** (_Q458_NIB - k)).cast("long")
+            for k in range(1, _Q458_NIB + 1)
+        ],
+    )
+    return val % m
+
+
+def _q458_oracle() -> str:
+    probes = ", ".join(f"({p})" for p in _Q458_PROBES)
+    per_m = []
+    for m in _Q458_M_GRID:
+        fbits = " UNION ALL ".join(
+            f"SELECT fid, {_q458_bit_sql(j, 'l_orderkey', m)} AS bit FROM fl"
+            for j in range(1, _Q458_K + 1)
+        )
+        qbits = " UNION ALL ".join(
+            f"SELECT pk, {_q458_bit_sql(j, 'pk', m)} AS bit FROM pr"
+            for j in range(1, _Q458_K + 1)
+        )
+        per_m.append(f"""
+            SELECT {m} AS m_bits,
+                   round(CAST((SELECT COUNT(*) FROM (
+                       SELECT qb.pk, fb.fid
+                       FROM (SELECT DISTINCT pk, bit FROM ({qbits}) x) qb
+                       JOIN (SELECT DISTINCT fid, bit FROM ({fbits}) y) fb
+                         ON qb.bit = fb.bit
+                       GROUP BY qb.pk, fb.fid
+                       HAVING COUNT(*) = (SELECT COUNT(DISTINCT bit)
+                                          FROM ({qbits}) z WHERE z.pk = qb.pk)
+                   ) pos) AS DOUBLE) / {len(_Q458_PROBES)}, 6)
+                       AS avg_files_probed""")
+    body = " UNION ALL ".join(per_m)
+    return f"""
+        WITH fl AS MATERIALIZED (
+            SELECT l_orderkey,
+                   ntile(20) OVER (ORDER BY l_shipdate, l_orderkey,
+                                   l_linenumber) AS fid
+            FROM lineitem
+        ),
+        pr(pk) AS (VALUES {probes}),
+        tr AS (
+            SELECT round(CAST(COUNT(*) AS DOUBLE)
+                         / {len(_Q458_PROBES)}, 6) AS avg_true
+            FROM (SELECT DISTINCT p.pk, f.fid
+                  FROM pr p JOIN fl f ON f.l_orderkey = p.pk) t
+        )
+        SELECT u.m_bits, u.avg_files_probed, tr.avg_true,
+               round((u.avg_files_probed - tr.avg_true)
+                     / (20 - tr.avg_true), 6) AS measured_fpr
+        FROM ({body}) u CROSS JOIN tr
+    """
+
+
+@query("q458_bloom_point_lookup_pricing", oracle=_q458_oracle(), defer=True)
+def q458_bloom_point_lookup_pricing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q454's blind spot, priced: zone maps skip RANGE scans on the
+    sort column but are useless for POINT lookups on a high-cardinality
+    column the layout doesn't cluster tightly — the tool there is a
+    per-file BLOOM filter (an order's lines land in 1-2 ship-date
+    files, but the file's orderkey ZONE spans thousands of keys). Build one per
+    file ({_Q458_K} md5 hashes, the deterministic q186 family), sweep
+    bits-per-filter, and measure what each size buys on a 10-key
+    lookup workload: average files probed (bloom-positive), average
+    files truly containing the key, and the realized false-positive
+    rate. Blooms admit no false negatives by construction (a
+    containing file sets every probed bit — the test pins positive ⊇
+    true per key); more bits monotonically buy fewer wasted probes.
+
+    Scale shape: the filter relation is |files| × ≤m DISTINCT
+    (fid, bit) rows — file-grain metadata exactly like real puffin/
+    bloom sidecars; probing is a broadcast bit join + per-(key, file)
+    counting; the only data pass builds the filters (one scan)."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    fl = li.select(
+        "l_orderkey",
+        F.ntile(20)
+        .over(Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+        .alias("fid"),
+    ).localCheckpoint()
+    pr = spark.createDataFrame(
+        [(p,) for p in _Q458_PROBES], "pk long"
+    )
+    true_files = (
+        fl.join(F.broadcast(pr), fl.l_orderkey == pr.pk)
+        .select("pk", "fid")
+        .distinct()
+    )
+    tr = true_files.agg(
+        F.round(
+            F.count(F.lit(1)).cast("double") / len(_Q458_PROBES), 6
+        ).alias("avg_true")
+    ).localCheckpoint()
+    out = []
+    for m in _Q458_M_GRID:
+        fb = None
+        qb = None
+        for j in range(1, _Q458_K + 1):
+            f_j = fl.select(
+                "fid", _q458_bit_col(j, F.col("l_orderkey"), m).alias("bit")
+            )
+            q_j = pr.select(
+                "pk", _q458_bit_col(j, F.col("pk"), m).alias("bit")
+            )
+            fb = f_j if fb is None else fb.unionByName(f_j)
+            qb = q_j if qb is None else qb.unionByName(q_j)
+        fb = fb.distinct()
+        qb = qb.distinct().localCheckpoint()
+        need = qb.groupBy("pk").agg(F.count(F.lit(1)).alias("need"))
+        pos = (
+            qb.join(fb, "bit")
+            .groupBy("pk", "fid")
+            .agg(F.count(F.lit(1)).alias("got"))
+            .join(F.broadcast(need), "pk")
+            .filter(F.col("got") == F.col("need"))
+        )
+        out.append(
+            pos.agg(
+                F.round(
+                    F.count(F.lit(1)).cast("double") / len(_Q458_PROBES),
+                    6,
+                ).alias("avg_files_probed")
+            ).select(F.lit(m).cast("long").alias("m_bits"), "*")
+        )
+    u = out[0]
+    for df in out[1:]:
+        u = u.unionByName(df)
+    return u.crossJoin(F.broadcast(tr)).select(
+        "m_bits",
+        "avg_files_probed",
+        "avg_true",
+        F.round(
+            (F.col("avg_files_probed") - F.col("avg_true"))
+            / (20 - F.col("avg_true")),
+            6,
+        ).alias("measured_fpr"),
+    )

@@ -946,3 +946,71 @@ def test_q442_hit_counts_scale_exactly_under_replication(spark):
     scaled = {r["query_id"]: r["count"] for r in hits.collect()}
     for qid, n in base.items():
         assert scaled.get(qid, 0) == 50 * n, (qid, n, scaled.get(qid, 0))
+
+
+# ---------------------------------------------------------------------------
+# q458 — bloom point-lookup pricing
+# ---------------------------------------------------------------------------
+
+
+def test_q458_no_false_negatives_and_fpr_monotone(spark):
+    """Blooms admit no false negatives: for every probe key the
+    bloom-positive file set must contain every truly-containing file
+    (checked per key at the smallest filter, where false positives
+    abound); more bits monotonically cut the measured FPR to zero."""
+    from pyspark.sql import Window
+
+    from databricks_etl_spark.plans.queries_round11b import (
+        _Q458_K,
+        _Q458_PROBES,
+        _q458_bit_col,
+        q458_bloom_point_lookup_pricing,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = sorted(
+        q458_bloom_point_lookup_pricing(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r["m_bits"],
+    )
+    fprs = [r["measured_fpr"] for r in rows]
+    assert fprs == sorted(fprs, reverse=True)
+    assert rows[-1]["measured_fpr"] <= fprs[0]
+    for r in rows:
+        assert r["avg_files_probed"] >= r["avg_true"]
+
+    m = rows[0]["m_bits"]
+    li = read_table(spark, SMOKE_SF_DIR, "lineitem")
+    fl = li.select(
+        "l_orderkey",
+        F.ntile(20)
+        .over(Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+        .alias("fid"),
+    ).localCheckpoint()
+    pr = spark.createDataFrame([(p,) for p in _Q458_PROBES], "pk long")
+    true_sets: dict[int, set] = {}
+    for r in (
+        fl.join(pr, fl.l_orderkey == pr.pk).select("pk", "fid").distinct()
+    ).collect():
+        true_sets.setdefault(r["pk"], set()).add(r["fid"])
+    fb = None
+    qb = None
+    for j in range(1, _Q458_K + 1):
+        f_j = fl.select(
+            "fid", _q458_bit_col(j, F.col("l_orderkey"), m).alias("bit")
+        )
+        q_j = pr.select("pk", _q458_bit_col(j, F.col("pk"), m).alias("bit"))
+        fb = f_j if fb is None else fb.unionByName(f_j)
+        qb = q_j if qb is None else qb.unionByName(q_j)
+    fb, qb = fb.distinct(), qb.distinct()
+    need = qb.groupBy("pk").agg(F.count(F.lit(1)).alias("need"))
+    pos_sets: dict[int, set] = {}
+    for r in (
+        qb.join(fb, "bit")
+        .groupBy("pk", "fid")
+        .agg(F.count(F.lit(1)).alias("got"))
+        .join(need, "pk")
+        .filter(F.col("got") == F.col("need"))
+    ).collect():
+        pos_sets.setdefault(r["pk"], set()).add(r["fid"])
+    for pk, tset in true_sets.items():
+        assert tset <= pos_sets.get(pk, set()), (pk, tset, pos_sets.get(pk))
