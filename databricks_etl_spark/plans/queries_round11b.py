@@ -3255,3 +3255,109 @@ def q458_bloom_point_lookup_pricing(
             6,
         ).alias("measured_fpr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q459 — storage advisor datasheet (the q454/q455/q458 decisions, one card)
+# ---------------------------------------------------------------------------
+
+_Q459_FPR_TOL = 0.02  # bloom sizing rule: smallest m with FPR <= 2%
+
+
+def _q459_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    o454 = QUERIES["q454_sort_key_selection"].oracle
+    o455 = QUERIES["q455_encoding_advisor"].oracle
+    o458 = QUERIES["q458_bloom_point_lookup_pricing"].oracle
+    return f"""
+        WITH s454 AS MATERIALIZED ({o454}),
+        s455 AS MATERIALIZED ({o455}),
+        s458 AS MATERIALIZED ({o458})
+        SELECT
+            (SELECT layout FROM s454 WHERE best) AS sort_key,
+            (SELECT scan_share FROM s454 WHERE best) AS sorted_scan_share,
+            (SELECT MIN(m_bits) FROM s458
+             WHERE measured_fpr <= {_Q459_FPR_TOL}) AS bloom_bits,
+            (SELECT measured_fpr FROM s458
+             WHERE m_bits = (SELECT MIN(m_bits) FROM s458
+                             WHERE measured_fpr <= {_Q459_FPR_TOL}))
+                AS bloom_fpr,
+            (SELECT CAST(SUM(CASE WHEN recommendation = 'dictionary'
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+             FROM s455) AS dict_columns,
+            (SELECT CAST(SUM(CASE WHEN recommendation = 'dictionary'
+                                  THEN plain_bytes - dict_bytes
+                             ELSE 0 END) AS BIGINT) FROM s455)
+                AS bytes_saved,
+            (SELECT round(CAST(SUM(CASE WHEN recommendation = 'dictionary'
+                                        THEN plain_bytes - dict_bytes
+                                   ELSE 0 END) AS DOUBLE)
+                          / SUM(plain_bytes), 6) FROM s455)
+                AS savings_share
+    """
+
+
+@query("q459_storage_advisor_datasheet", oracle=_q459_oracle(), defer=True)
+def q459_storage_advisor_datasheet(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The storage-advisor card — q448's datasheet discipline for the
+    physical-design family: the winning sort key and what it buys
+    (q454), the smallest Bloom filter clearing a {_Q459_FPR_TOL:.0%}
+    FPR budget and the rate it actually delivers (q458 — a
+    fail-closed NULL if no swept size clears it), and the
+    dictionary-encoding plan with its exact byte savings (q455). One
+    row; component oracles embedded verbatim; every column pinned to
+    its component lane by test.
+
+    Scale shape: three component relations (3 + 17 + 3 rows) reduced
+    by bounded lookups — the components carry all the data-sized
+    work, each already audited for it."""
+    s454 = q454_sort_key_selection(spark, sf_dir).localCheckpoint()
+    s455 = q455_encoding_advisor(spark, sf_dir).localCheckpoint()
+    s458 = q458_bloom_point_lookup_pricing(spark, sf_dir).localCheckpoint()
+    best = s454.filter(F.col("best")).select(
+        F.col("layout").alias("sort_key"),
+        F.col("scan_share").alias("sorted_scan_share"),
+    )
+    ok = s458.filter(F.col("measured_fpr") <= _Q459_FPR_TOL)
+    bm = ok.agg(F.min("m_bits").alias("bloom_bits"))
+    bf = (
+        bm.join(s458, bm.bloom_bits == s458.m_bits, "left")
+        .select("bloom_bits", F.col("measured_fpr").alias("bloom_fpr"))
+    )
+    enc = s455.agg(
+        F.sum(
+            F.when(F.col("recommendation") == "dictionary", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("dict_columns"),
+        F.sum(
+            F.when(
+                F.col("recommendation") == "dictionary",
+                F.col("plain_bytes") - F.col("dict_bytes"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("bytes_saved"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("recommendation") == "dictionary",
+                    F.col("plain_bytes") - F.col("dict_bytes"),
+                ).otherwise(0)
+            ).cast("double")
+            / F.sum("plain_bytes"),
+            6,
+        ).alias("savings_share"),
+    )
+    return best.crossJoin(bf).crossJoin(enc).select(
+        "sort_key",
+        "sorted_scan_share",
+        "bloom_bits",
+        "bloom_fpr",
+        "dict_columns",
+        "bytes_saved",
+        "savings_share",
+    )

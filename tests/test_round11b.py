@@ -1014,3 +1014,36 @@ def test_q458_no_false_negatives_and_fpr_monotone(spark):
         pos_sets.setdefault(r["pk"], set()).add(r["fid"])
     for pk, tset in true_sets.items():
         assert tset <= pos_sets.get(pk, set()), (pk, tset, pos_sets.get(pk))
+
+
+# ---------------------------------------------------------------------------
+# q459 — storage advisor datasheet consistency
+# ---------------------------------------------------------------------------
+
+
+def test_q459_card_pins_to_storage_components(spark):
+    from databricks_etl_spark.plans.queries_round11b import (
+        _Q459_FPR_TOL,
+        q454_sort_key_selection,
+        q455_encoding_advisor,
+        q458_bloom_point_lookup_pricing,
+        q459_storage_advisor_datasheet,
+    )
+
+    card = q459_storage_advisor_datasheet(spark, SMOKE_SF_DIR).collect()[0]
+    best = [r for r in q454_sort_key_selection(spark, SMOKE_SF_DIR).collect()
+            if r["best"]][0]
+    assert card["sort_key"] == best["layout"]
+    assert card["sorted_scan_share"] == best["scan_share"]
+    bl = {r["m_bits"]: r["measured_fpr"]
+          for r in q458_bloom_point_lookup_pricing(
+              spark, SMOKE_SF_DIR).collect()}
+    ok = [m for m, f in bl.items() if f <= _Q459_FPR_TOL]
+    assert card["bloom_bits"] == min(ok)
+    assert card["bloom_fpr"] == bl[min(ok)]
+    enc = q455_encoding_advisor(spark, SMOKE_SF_DIR).collect()
+    dicts = [r for r in enc if r["recommendation"] == "dictionary"]
+    assert card["dict_columns"] == len(dicts)
+    assert card["bytes_saved"] == sum(
+        r["plain_bytes"] - r["dict_bytes"] for r in dicts
+    )
