@@ -3361,3 +3361,87 @@ def q459_storage_advisor_datasheet(
         "bytes_saved",
         "savings_share",
     )
+
+
+# ---------------------------------------------------------------------------
+# q460 — schema evolution: mergeSchema read over really-written files
+# ---------------------------------------------------------------------------
+
+
+def _q460_oracle() -> str:
+    return """
+        SELECT 1 AS batch,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_null_priority,
+               CAST(0 AS BIGINT) AS distinct_priorities,
+               round(1.0, 6) AS null_share
+        FROM orders WHERE o_orderkey % 3 <> 0
+        UNION ALL
+        SELECT 2,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+               round(CAST(COUNT(*) - COUNT(o_orderpriority) AS DOUBLE)
+                     / COUNT(*), 6)
+        FROM orders WHERE o_orderkey % 3 = 0
+    """
+
+
+@query("q460_schema_evolution_read", oracle=_q460_oracle(), defer=True)
+def q460_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION, physically exercised (the q344 sink-then-prove
+    discipline): batch 1 is REALLY WRITTEN to parquet without the
+    ``o_orderpriority`` column (the pre-evolution files), batch 2 with
+    it; the lane re-reads the directory through Spark's
+    ``mergeSchema`` reader and audits what column-ADDITION evolution
+    must deliver — old files surface the new column as NULL (never a
+    default smuggled in, never a read error), new files keep their
+    values. The oracle states the merge semantics relationally over
+    the source table, so hash-green means the bytes-on-disk read
+    produced exactly the declared semantics. Additive evolution only:
+    type WIDENING is deliberately out — parquet mergeSchema rejects
+    conflicting physical types, and that rejection is the correct
+    behavior to leave observable.
+
+    Scale shape: the audit is one grouped pass over the merged read;
+    evolution cost at 100 TB is zero rewrite (old files are never
+    touched — the reader reconciles), which is the point."""
+    import shutil
+
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    orders = read_table(spark, sf_dir, "orders")
+    path = scratch_dir("schema_evo_", key=sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        orders.filter(F.col("o_orderkey") % 3 != 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(f"{path}/batch=1")
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(f"{path}/batch=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy(F.col("batch").cast("int").alias("batch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("o_orderpriority"))
+            .cast("long")
+            .alias("n_null_priority"),
+            F.countDistinct("o_orderpriority").alias(
+                "distinct_priorities"
+            ),
+            F.round(
+                (F.count(F.lit(1)) - F.count("o_orderpriority"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("null_share"),
+        )
+    )

@@ -1047,3 +1047,39 @@ def test_q459_card_pins_to_storage_components(spark):
     assert card["bytes_saved"] == sum(
         r["plain_bytes"] - r["dict_bytes"] for r in dicts
     )
+
+
+# ---------------------------------------------------------------------------
+# q460 — schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_q460_merge_semantics_and_conflict_rejection(spark, tmp_path):
+    """Additive evolution: old files surface the new column as NULL.
+    Type CONFLICTS must be rejected by the merge reader — the claim
+    the lane's docstring leaves observable."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        q460_schema_evolution_read,
+    )
+
+    rows = {r["batch"]: r
+            for r in q460_schema_evolution_read(spark, SMOKE_SF_DIR).collect()}
+    assert rows[1]["n_null_priority"] == rows[1]["n_rows"]
+    assert rows[1]["distinct_priorities"] == 0
+    assert rows[2]["n_null_priority"] == 0
+    assert rows[2]["distinct_priorities"] > 0
+
+    base = str(tmp_path / "conflict")
+    spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS v").write.parquet(
+        f"{base}/batch=1"
+    )
+    spark.range(5).selectExpr("id", "CAST(id AS STRING) AS v").write.parquet(
+        f"{base}/batch=2"
+    )
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    # the conflict surfaces at schema-merge (plan) time, as the raw
+    # JVM error, before any action runs
+    with _pytest.raises(Py4JJavaError, match="CANNOT_MERGE_SCHEMAS"):
+        spark.read.option("mergeSchema", "true").parquet(base)
