@@ -3445,3 +3445,98 @@ def q460_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("null_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q461 — write-audit-publish: staged data is invisible until gated in
+# ---------------------------------------------------------------------------
+
+_Q461_MIN_ROWS = 1  # staged-batch floor (freshness guard)
+
+
+def _q461_oracle() -> str:
+    return """
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderkey % 10 = 9) AS staged_rows,
+            CAST(0 AS BIGINT) AS null_keys,
+            TRUE AS gate_pass,
+            TRUE AS published,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderkey % 10 <> 9) AS visible_before,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS visible_after
+    """
+
+
+def _q461_wap(
+    spark: SparkSession, sf_dir: str, min_rows: int = _Q461_MIN_ROWS
+) -> DataFrame:
+    import shutil
+
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    orders = read_table(spark, sf_dir, "orders")
+    root = scratch_dir("wap_", key=f"{sf_dir}|{min_rows}")
+    shutil.rmtree(root, ignore_errors=True)
+    base_dir, stage_dir = f"{root}/published", f"{root}/staged"
+    orders.filter(F.col("o_orderkey") % 10 != 9).write.mode(
+        "overwrite"
+    ).parquet(base_dir)
+    orders.filter(F.col("o_orderkey") % 10 == 9).write.mode(
+        "overwrite"
+    ).parquet(stage_dir)
+
+    staged = spark.read.parquet(stage_dir)
+    audit = staged.agg(
+        F.count(F.lit(1)).alias("staged_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderkey"))
+        .cast("long")
+        .alias("null_keys"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("bad_price"),
+    ).collect()[0]  # the audit verdict is one bounded row — driver-safe
+    gate_pass = (
+        audit["null_keys"] == 0
+        and audit["bad_price"] == 0
+        and audit["staged_rows"] >= min_rows
+    )
+    before = spark.read.parquet(base_dir).count()
+    if gate_pass:
+        # publish = append the audited files into the visible location
+        staged.write.mode("append").parquet(base_dir)
+    after = spark.read.parquet(base_dir).count()
+    return spark.createDataFrame(
+        [(
+            audit["staged_rows"],
+            audit["null_keys"],
+            gate_pass,
+            gate_pass,
+            before,
+            after,
+        )],
+        "staged_rows long, null_keys long, gate_pass boolean, "
+        "published boolean, visible_before long, visible_after long",
+    )
+
+
+@query("q461_write_audit_publish", oracle=_q461_oracle(), defer=True)
+def q461_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH, physically exercised: the late batch lands
+    in a STAGING location readers never see, quality gates run against
+    the staged bytes (null keys, non-positive totals, a freshness
+    floor), and only a passing audit appends the files into the
+    published location — the Iceberg-WAP / blue-green ingest pattern
+    that keeps bad loads out of every consumer. Counts come from
+    RE-READING the published directory before and after, so
+    hash-green proves visibility semantics on disk, not intent: the
+    planted-violation test raises the freshness floor and proves the
+    staged rows stay invisible (visible_after == visible_before,
+    published=false). The one collect() is the 1-row audit verdict —
+    the bounded-collect policy's canonical use.
+
+    Scale shape: audit is one aggregation pass over the staged batch
+    (delta-sized, never the table); publish is a file-level append
+    (no rewrite of published data); visibility counts are metadata
+    scans."""
+    return _q461_wap(spark, sf_dir)

@@ -569,8 +569,8 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_round11  # noqa: F401
     import databricks_etl_spark.plans.queries_round11b  # noqa: F401
 
-    assert len(QUERIES) >= 458, (
-        f"query registry shrank: {len(QUERIES)} < 458 — a module failed to register"
+    assert len(QUERIES) >= 459, (
+        f"query registry shrank: {len(QUERIES)} < 459 — a module failed to register"
     )
     _reorder()
     _loaded = True

@@ -1083,3 +1083,25 @@ def test_q460_merge_semantics_and_conflict_rejection(spark, tmp_path):
     # JVM error, before any action runs
     with _pytest.raises(Py4JJavaError, match="CANNOT_MERGE_SCHEMAS"):
         spark.read.option("mergeSchema", "true").parquet(base)
+
+
+# ---------------------------------------------------------------------------
+# q461 — write-audit-publish
+# ---------------------------------------------------------------------------
+
+
+def test_q461_failed_audit_keeps_staged_rows_invisible(spark):
+    """Raise the freshness floor past the staged batch: the gate must
+    fail and the published location must be byte-identical in row
+    count — staged data never leaks past a failed audit. The passing
+    path publishes exactly the staged rows."""
+    from databricks_etl_spark.plans.queries_round11b import _q461_wap
+
+    ok = _q461_wap(spark, SMOKE_SF_DIR).collect()[0]
+    assert ok["gate_pass"] and ok["published"]
+    assert ok["visible_after"] == ok["visible_before"] + ok["staged_rows"]
+
+    blocked = _q461_wap(spark, SMOKE_SF_DIR, min_rows=10**9).collect()[0]
+    assert not blocked["gate_pass"] and not blocked["published"]
+    assert blocked["visible_after"] == blocked["visible_before"]
+    assert blocked["staged_rows"] == ok["staged_rows"]
