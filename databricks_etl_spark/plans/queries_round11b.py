@@ -9,10 +9,13 @@ privacy auditing; these extend the engine's credibility surface the
 way a real lakehouse engine publishes ANALYZE-style column stats and
 a data-governance pipeline publishes re-identification-risk audits.
 
-Every lane here registers ``defer=True``: the round-11 driver window
-is exactly full (q01 + 49), so these queue for the NEXT round's
-window instead of displacing the verdict-requested streaming twins
-(q385/q387/q390) from this one.
+These lanes registered ``defer=True`` during round 11 (the round-11
+driver window was exactly full at q01 + 49, so they queued for the
+next round's window instead of displacing the verdict-requested
+streaming twins q385/q387/q390). At round-12 rollover the flags were
+cleared: registration order (this module imports before any round-12
+module) now puts them at the front of the round-12 window, per the
+registry's verify-oldest-claims-first discipline.
 """
 
 from __future__ import annotations
@@ -57,7 +60,7 @@ def _q433_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-@query("q433_table_stats_collection", oracle=_q433_oracle(), defer=True)
+@query("q433_table_stats_collection", oracle=_q433_oracle())
 def q433_table_stats_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-statistics collection — the engine's ``ANALYZE TABLE``
     surface: per profiled column, row count, exact NDV, null count and
@@ -174,7 +177,7 @@ def _q434_oracle() -> str:
     """
 
 
-@query("q434_selectivity_estimation_audit", oracle=_q434_oracle(), defer=True)
+@query("q434_selectivity_estimation_audit", oracle=_q434_oracle())
 def q434_selectivity_estimation_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -296,7 +299,7 @@ def _q435_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-@query("q435_join_cardinality_qerror", oracle=_q435_oracle(), defer=True)
+@query("q435_join_cardinality_qerror", oracle=_q435_oracle())
 def q435_join_cardinality_qerror(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -414,7 +417,7 @@ def _q436_oracle() -> str:
     """
 
 
-@query("q436_broadcast_plan_decision", oracle=_q436_oracle(), defer=True)
+@query("q436_broadcast_plan_decision", oracle=_q436_oracle())
 def q436_broadcast_plan_decision(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -589,7 +592,7 @@ def _q437_stats_drift(
     return res
 
 
-@query("q437_stats_staleness_audit", oracle=_q437_sql(), defer=True)
+@query("q437_stats_staleness_audit", oracle=_q437_sql())
 def q437_stats_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats STALENESS audit — how far has the table drifted since the
     last ANALYZE? A deterministic late-batch split (key % 10 < 9 = the
@@ -666,7 +669,7 @@ def _q438_oracle() -> str:
     """
 
 
-@query("q438_k_anonymity_audit", oracle=_q438_oracle(), defer=True)
+@query("q438_k_anonymity_audit", oracle=_q438_oracle())
 def q438_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit of the finest plausible release of customer
     quasi-identifiers (nation, market segment, account-balance band):
@@ -725,7 +728,7 @@ def _q439_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-@query("q439_generalization_ladder", oracle=_q439_oracle(), defer=True)
+@query("q439_generalization_ladder", oracle=_q439_oracle())
 def q439_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The k-anonymization LADDER: re-measure q438's risk as the QI is
     progressively generalized (coarser balance bands, then nation
@@ -808,7 +811,7 @@ def _q440_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-@query("q440_l_diversity_audit", oracle=_q440_oracle(), defer=True)
+@query("q440_l_diversity_audit", oracle=_q440_oracle())
 def q440_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit — k-anonymity's blind spot is a group that is
     large but HOMOGENEOUS in the sensitive attribute (everyone in the
@@ -964,7 +967,7 @@ def _q441_gate(
     )
 
 
-@query("q441_privacy_release_gate", oracle=_q441_oracle(), defer=True)
+@query("q441_privacy_release_gate", oracle=_q441_oracle())
 def q441_privacy_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fail-closed PRIVACY release gate — the one-row verdict on top of
     the privacy family: the released QI level (q439's level 2) must
@@ -1046,7 +1049,7 @@ def _q442_oracle() -> str:
     """
 
 
-@query("q442_boolean_retrieval", oracle=_q442_oracle(), defer=True)
+@query("q442_boolean_retrieval", oracle=_q442_oracle())
 def q442_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive boolean retrieval (AND of terms) over the corpus
     inverted index — the lexical sibling of the ANN serving stack and
@@ -1231,7 +1234,7 @@ def _q443_oracle(p: str = "") -> str:
     """
 
 
-@query("q443_time_travel_reads", oracle=_q443_oracle(), defer=True)
+@query("q443_time_travel_reads", oracle=_q443_oracle())
 def q443_time_travel_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over a versioned table log — reconstruct the LIVE
     file set AS OF every version from an add/remove action log (the
@@ -1316,7 +1319,7 @@ def _q444_oracle(p: str = "") -> str:
     """
 
 
-@query("q444_vacuum_retention_audit", oracle=_q444_oracle(), defer=True)
+@query("q444_vacuum_retention_audit", oracle=_q444_oracle())
 def q444_vacuum_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VACUUM planning over the q443 log: a removed file's bytes are
     reclaimable only once every snapshot that could still read it has
@@ -1451,7 +1454,7 @@ def _q445_oracle() -> str:
     """
 
 
-@query("q445_conjunction_selectivity_audit", oracle=_q445_oracle(), defer=True)
+@query("q445_conjunction_selectivity_audit", oracle=_q445_oracle())
 def q445_conjunction_selectivity_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1581,7 +1584,7 @@ def _q446_oracle(p: str = "") -> str:
     """
 
 
-@query("q446_commit_conflict_audit", oracle=_q446_oracle(), defer=True)
+@query("q446_commit_conflict_audit", oracle=_q446_oracle())
 def q446_commit_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optimistic concurrency control at the table-format layer: every
     pair of concurrent transactions is checked for WRITE-WRITE overlap
@@ -1671,7 +1674,7 @@ def _q447_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-@query("q447_streaming_table_stats", oracle=_q447_oracle(), defer=True)
+@query("q447_streaming_table_stats", oracle=_q447_oracle())
 def q447_streaming_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q433's ANALYZE stats maintained AT INGEST — the Delta
     add-file-stats discipline as a streaming lane: every micro-batch
@@ -1752,7 +1755,7 @@ def _q448_oracle() -> str:
     """
 
 
-@query("q448_table_health_datasheet", oracle=_q448_oracle(), defer=True)
+@query("q448_table_health_datasheet", oracle=_q448_oracle())
 def q448_table_health_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round's families folded into ONE release card (q393/q426's
     datasheet discipline for the warehouse itself): stats coverage and
@@ -1867,7 +1870,7 @@ def _q449_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-@query("q449_t_closeness_audit", oracle=_q449_oracle(), defer=True)
+@query("q449_t_closeness_audit", oracle=_q449_oracle())
 def q449_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness — the third privacy bar after q438 (identity) and
     q440 (attribute homogeneity): a cohort can be large AND diverse
@@ -2024,7 +2027,7 @@ def _live_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("version_at", "file_id", "rws")
 
 
-@query("q450_restore_plan", oracle=_q450_oracle(), defer=True)
+@query("q450_restore_plan", oracle=_q450_oracle())
 def q450_restore_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE TABLE TO VERSION v, planned: rolling head back to v is
     itself a new commit whose action set is computable from the live
@@ -2126,7 +2129,7 @@ def _q451_oracle() -> str:
     """
 
 
-@query("q451_governance_gate", oracle=_q451_oracle(), defer=True)
+@query("q451_governance_gate", oracle=_q451_oracle())
 def q451_governance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The warehouse GOVERNANCE verdict — q430's gate-of-gates pattern
     for the round's families: the q441 privacy gate must PASS, the
@@ -2262,7 +2265,7 @@ def _q452_oracle() -> str:
     """
 
 
-@query("q452_dp_noise_release_audit", oracle=_q452_oracle(), defer=True)
+@query("q452_dp_noise_release_audit", oracle=_q452_oracle())
 def q452_dp_noise_release_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2340,7 +2343,7 @@ def _q453_oracle() -> str:
     """
 
 
-@query("q453_streaming_cdc_apply", oracle=_q453_oracle(), defer=True)
+@query("q453_streaming_cdc_apply", oracle=_q453_oracle())
 def q453_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q443 action log consumed AS A STREAM — CDC apply at commit
     time: each micro-batch delivers one or more committed versions'
@@ -2479,7 +2482,7 @@ def _q454_oracle() -> str:
     """
 
 
-@query("q454_sort_key_selection", oracle=_q454_oracle(), defer=True)
+@query("q454_sort_key_selection", oracle=_q454_oracle())
 def q454_sort_key_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Workload-aware SORT-KEY selection — the decision behind Delta
     OPTIMIZE ZORDER/sort orders, priced with the exact arithmetic data
@@ -2592,7 +2595,7 @@ def _q455_oracle() -> str:
     """
 
 
-@query("q455_encoding_advisor", oracle=_q455_oracle(), defer=True)
+@query("q455_encoding_advisor", oracle=_q455_oracle())
 def q455_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column ENCODING advisor — the storage decision a columnar
     writer makes from exactly q433's stats: dictionary encoding costs
@@ -2738,7 +2741,7 @@ def _q456_oracle() -> str:
     """
 
 
-@query("q456_joint_histogram_estimation", oracle=_q456_oracle(), defer=True)
+@query("q456_joint_histogram_estimation", oracle=_q456_oracle())
 def q456_joint_histogram_estimation(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2960,7 +2963,7 @@ def _q457_oracle() -> str:
     """
 
 
-@query("q457_join_order_selection", oracle=_q457_oracle(), defer=True)
+@query("q457_join_order_selection", oracle=_q457_oracle())
 def q457_join_order_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-ORDER selection — the decision the whole optimizer-stats
     family exists to feed: cost both left-deep orders of the
@@ -3168,7 +3171,7 @@ def _q458_oracle() -> str:
     """
 
 
-@query("q458_bloom_point_lookup_pricing", oracle=_q458_oracle(), defer=True)
+@query("q458_bloom_point_lookup_pricing", oracle=_q458_oracle())
 def q458_bloom_point_lookup_pricing(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3298,7 +3301,7 @@ def _q459_oracle() -> str:
     """
 
 
-@query("q459_storage_advisor_datasheet", oracle=_q459_oracle(), defer=True)
+@query("q459_storage_advisor_datasheet", oracle=_q459_oracle())
 def q459_storage_advisor_datasheet(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3387,7 +3390,7 @@ def _q460_oracle() -> str:
     """
 
 
-@query("q460_schema_evolution_read", oracle=_q460_oracle(), defer=True)
+@query("q460_schema_evolution_read", oracle=_q460_oracle())
 def q460_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCHEMA EVOLUTION, physically exercised (the q344 sink-then-prove
     discipline): batch 1 is REALLY WRITTEN to parquet without the
@@ -3520,7 +3523,7 @@ def _q461_wap(
     )
 
 
-@query("q461_write_audit_publish", oracle=_q461_oracle(), defer=True)
+@query("q461_write_audit_publish", oracle=_q461_oracle())
 def q461_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WRITE-AUDIT-PUBLISH, physically exercised: the late batch lands
     in a STAGING location readers never see, quality gates run against

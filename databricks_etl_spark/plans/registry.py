@@ -474,6 +474,57 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q379_heldout_leak_rate",
         "q380_prefetch_working_set",
         "q381_release_datasheet_v2",
+        # round-11 driver greens (CORRECTNESS_r11.json: 50 hash-green rows;
+        # q01 re-proven, already listed)
+        "q382_bpe_merge_induction",
+        "q383_learned_vocab_fertility",
+        "q384_incremental_ann_index",
+        "q385_streaming_dup_flow",
+        "q386_release_gate",
+        "q387_salted_chunk_banding",
+        "q388_ivf_probe_sweep_sampled",
+        "q389_merge_depth_curve",
+        "q390_streaming_ann_index",
+        "q391_vocab_stability_delta",
+        "q392_learned_vocab_packing",
+        "q393_tokenizer_datasheet",
+        "q394_vocab_cleaning_sensitivity",
+        "q395_tokenizer_gate",
+        "q396_ivf_ndcg_sweep",
+        "q397_quality_survivor_election",
+        "q398_token_budget_waterfill",
+        "q399_attrition_funnel",
+        "q400_shipping_plan_waterfill",
+        "q401_attrition_by_source",
+        "q402_gate_ablation_attribution",
+        "q403_plan_realization",
+        "q404_plan_realization_chunks",
+        "q405_bm25_impact_pruning",
+        "q406_ivf_ndcg_sweep_sampled",
+        "q408_shipping_plan_gate",
+        "q409_floored_waterfill",
+        "q410_repeat_factor_plan",
+        "q411_weighted_sample_noreplace",
+        "q412_jl_distortion_audit",
+        "q413_jl_retrieval_recall",
+        "q414_interleave_runlength_audit",
+        "q415_batch_mixing_entropy",
+        "q416_replay_spacing_audit",
+        "q417_compaction_plan",
+        "q418_dataloader_gate",
+        "q419_compaction_pruning_tradeoff",
+        "q420_incremental_compaction",
+        "q422_late_data_rewrite_cost",
+        "q423_dup_exposure_audit",
+        "q424_ivf_cell_rebalance",
+        "q425_layout_gate",
+        "q426_ann_index_datasheet",
+        "q427_serving_config_selection",
+        "q428_watermark_demand_audit",
+        "q429_chunk_reassembly_fidelity",
+        "q430_launch_gate",
+        "q431_watermark_recommendation",
+        "q432_multimodal_decode_arrow",
     }
 )
 
