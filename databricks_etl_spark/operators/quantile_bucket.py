@@ -40,6 +40,96 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list,
+    k: int,
+    *,
+    n_parts: int = 64,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY order_cols)`` with EXACT semantics but
+    no global-ordering window — the two-phase distributed-rank
+    discipline (q417's prefix-sum pattern applied to ranking):
+
+    1. ``repartitionByRange`` on the full order key: Spark's range
+       partitioner samples boundaries, so partitions are balanced even
+       on skewed or tie-heavy leading columns (the composite key is
+       unique, so the sampler never sees tie runs). Partition order ==
+       global order by construction.
+    2. per-partition counts land on the driver (≤ ``n_parts`` rows —
+       the q247 literal-boundary collect class) and fold into literal
+       exclusive offsets, so the rank pass is purely map-side: no
+       window, no join, not even a broadcast.
+    3. ``row_number`` WITHIN each range partition (parallel sorts of
+       ~n/n_parts rows) + literal offset = exact global rank ``rn``.
+    4. the closed form of SQL ntile's remainder rule — with
+       ``q = n DIV k``, ``r = n MOD k`` the FIRST r buckets get q+1
+       rows and the rest get q, so
+       ``bucket = (rn−1) DIV (q+1) + 1`` while ``rn ≤ r·(q+1)`` and
+       ``r + (rn − r·(q+1) − 1) DIV q + 1`` after — in integer
+       arithmetic so no float boundary can misassign (property-tested
+       against ``F.ntile`` on tie-heavy skewed fixtures).
+
+    Output is bit-identical to ``F.ntile(k)`` whenever ``order_cols``
+    is a total order (no duplicate composite keys, no NULLs) — which
+    every caller guarantees with explicit tiebreakers — so a lane can
+    swap this in WITHOUT changing its oracle or its value hash.
+
+    The range-partitioned frame is localCheckpoint'd: the boundary
+    sample must be frozen so the counts pass and the rank pass see the
+    SAME partitioning (and the checkpoint is the projected few-column
+    relation, not the source table). At 100 TB this is the one
+    materialization an exact global rank costs; callers that can live
+    with approximate buckets should use :func:`assign_approx_buckets`
+    instead, which never materializes.
+    """
+    from pyspark.sql import Window
+
+    # order_cols: names or Column sort expressions (e.g. F.desc(...))
+    order_exprs = [
+        F.col(c) if isinstance(c, str) else c for c in order_cols
+    ]
+    part = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .withColumn("_enp", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    cnt = {
+        r["_enp"]: r["_cn"]
+        for r in part.groupBy("_enp").agg(F.count(F.lit(1)).alias("_cn")).collect()
+    }
+    n = sum(cnt.values())
+    if n == 0:
+        return part.drop("_enp").withColumn(
+            out_col, F.lit(None).cast("int")
+        )
+    offs, acc = [], 0
+    for pid in range(max(cnt) + 1):
+        offs.append(acc)
+        acc += cnt.get(pid, 0)
+    q, r = divmod(n, int(k))
+    wrn = Window.partitionBy("_enp").orderBy(*order_exprs)
+    rn = F.row_number().over(wrn).cast("long") + F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offs]), F.col("_enp") + 1
+    )
+    if q == 0:  # fewer rows than buckets: ntile(rn) = rn
+        bucket_sql = "CAST(_rn AS INT)"
+    else:
+        head = r * (q + 1)
+        bucket_sql = (
+            f"CAST(CASE WHEN _rn <= {head}L"
+            f" THEN (_rn - 1) DIV {q + 1}L + 1"
+            f" ELSE {r} + (_rn - {head}L - 1) DIV {q}L + 1"
+            f" END AS INT)"
+        )
+    return (
+        part.withColumn("_rn", rn)
+        .withColumn(out_col, F.expr(bucket_sql))
+        .drop("_enp", "_rn")
+    )
+
+
 def assign_approx_buckets(
     df: DataFrame,
     col: str,

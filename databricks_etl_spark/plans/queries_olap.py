@@ -330,14 +330,24 @@ def q170_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics and quantile-bucketed feature binning. The ORDER BY
     carries (orderkey, linenumber) so tied prices land in a
     deterministic bucket; boundary values (per-bucket min/max) are the
-    histogram the engine would publish as column stats. Note the
-    global ntile is a single-ordering window — this query is the
-    sf-bounded exact BASELINE; the 100 TB path is q247's two-pass
-    approx-boundary twin (broadcast boundaries + map-side range
-    assignment, bracket-gated on the rank-error theorem)."""
+    histogram the engine would publish as column stats. Exact ntile
+    semantics WITHOUT a global-ordering window: the two-phase
+    distributed rank (``operators.quantile_bucket.exact_ntile`` —
+    range-partition, parallel per-partition sorts, broadcast offsets)
+    is bit-identical to the oracle's ntile, so the hash is unchanged
+    from the global-window construction this lane verified with
+    through round 11; q247's approx-boundary twin (broadcast
+    boundaries + map-side assignment, bracket-gated) remains the
+    zero-materialization alternative."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_ntile
+
     li = read_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    b = li.select("l_extendedprice", F.ntile(10).over(w).alias("bucket"))
+    b = exact_ntile(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        10,
+        out_col="bucket",
+    )
     return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("l_extendedprice").alias("lo"),

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from databricks_etl_spark.operators.quantile_bucket import exact_ntile
 from databricks_etl_spark.plans.registry import query
 from databricks_etl_spark.sources.readers import read_table
 
@@ -196,9 +197,8 @@ def q434_selectivity_estimation_audit(
     predicates, broadcast cross join + decimal rollup) — free at any
     corpus size; the actuals are ONE conditional-aggregation pass over
     the fact table (no per-predicate rescan). Histogram construction
-    itself carries q170's documented bound (global ntile = the exact
-    sf-bounded baseline; q247's two-pass approx twin is the 100 TB
-    path)."""
+    is q170's two-phase distributed rank (exact ntile semantics, no
+    SinglePartition sort)."""
     from databricks_etl_spark.plans.queries_olap import (
         q170_equidepth_histogram,
     )
@@ -1392,20 +1392,20 @@ def _hist_sql(col: str) -> str:
 
 
 def _hist(df: DataFrame, col: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    w = Window.orderBy(col, "l_orderkey", "l_linenumber")
-    return (
-        df.select(
-            F.col(col).alias("v"),
-            F.ntile(_Q445_BUCKETS).over(w).alias("bucket"),
-        )
-        .groupBy(F.col("bucket").cast("long").alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("v").alias("lo"),
-            F.max("v").alias("hi"),
-        )
+    """Exact equi-depth histogram via the two-phase distributed rank
+    (:func:`exact_ntile`) — bit-identical to the oracle's global
+    ``ntile`` but with no SinglePartition sort (the only ordered
+    window runs over partition ids, pinned in test_plan_audit)."""
+    binned = exact_ntile(
+        df.select(F.col(col).alias("v"), "l_orderkey", "l_linenumber"),
+        ["v", "l_orderkey", "l_linenumber"],
+        _Q445_BUCKETS,
+        out_col="bucket",
+    )
+    return binned.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
     )
 
 
@@ -1471,7 +1471,8 @@ def q445_conjunction_selectivity_audit(
     Scale shape: marginal estimates run on the two 10-row histograms;
     the actuals are ONE conditional-aggregation pass over lineitem for
     all pairs (the oracle states it per-pair for clarity; Spark fuses
-    them); histogram construction carries q170's documented bound."""
+    them); histogram construction is the two-phase distributed rank
+    (``_hist`` → :func:`exact_ntile`), no SinglePartition sort."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
     )
@@ -2498,9 +2499,10 @@ def q454_sort_key_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: zone maps are |files| rows per layout (metadata — at
     100 TB zone maps live in the table format's stats, and this lane
     is a pure log computation); pricing is a broadcast
-    |files| × |workload| rollup. Layout construction itself uses the
-    global-ntile exact baseline (q170's documented bound) — a real
-    rewrite would range-partition on broadcast boundaries."""
+    |files| × |workload| rollup. Layout construction is the two-phase
+    distributed rank (:func:`exact_ntile` — range-partition, per-
+    partition sorts, broadcast offsets): exact ntile semantics, no
+    SinglePartition sort, one per candidate key."""
     li = read_table(spark, sf_dir, "lineitem").select(
         F.datediff(
             F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
@@ -2512,14 +2514,11 @@ def q454_sort_key_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     ).localCheckpoint()
-    from pyspark.sql import Window
-
     preds = spark.createDataFrame(
         _Q454_WORKLOAD, "pid int, col string, lo double, hi double"
     )
     zones = []
     for sk in _Q454_SORT_KEYS:
-        w = Window.orderBy(sk, "l_orderkey", "l_linenumber")
         aggs = []
         for c in _Q454_SORT_KEYS:
             aggs += [
@@ -2527,7 +2526,12 @@ def q454_sort_key_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(c).alias(f"mx_{c}"),
             ]
         zones.append(
-            li.withColumn("fid", F.ntile(_Q454_FILES).over(w))
+            exact_ntile(
+                li,
+                [sk, "l_orderkey", "l_linenumber"],
+                _Q454_FILES,
+                out_col="fid",
+            )
             .groupBy("fid")
             .agg(*aggs)
             .select(F.lit(sk).alias("layout"), "*")
@@ -2757,12 +2761,10 @@ def q456_joint_histogram_estimation(
     the always-true-y control both agree — multi-column stats cost
     |grid| cells and buy exactly the correlated cases.
 
-    Scale shape: grid construction is two ntile windows (q170's exact
-    baseline) and one 100-cell grouped count; estimation is broadcast
-    |pairs| × |cells| decimal rollups; actuals are one fused
-    conditional pass."""
-    from pyspark.sql import Window
-
+    Scale shape: grid construction is two exact two-phase ranks
+    (:func:`exact_ntile` — no SinglePartition sort) and one 100-cell
+    grouped count; estimation is broadcast |pairs| × |cells| decimal
+    rollups; actuals are one fused conditional pass."""
     li = read_table(spark, sf_dir, "lineitem")
     xy = li.select(
         F.col("l_extendedprice").alias("x"),
@@ -2770,14 +2772,17 @@ def q456_joint_histogram_estimation(
         "l_orderkey",
         "l_linenumber",
     ).localCheckpoint()
-    wx = Window.orderBy("x", "l_orderkey", "l_linenumber")
-    wy = Window.orderBy("y", "l_orderkey", "l_linenumber")
-    bb = xy.select(
-        "x",
-        "y",
-        F.ntile(_Q456_GRID).over(wx).alias("bx"),
-        F.ntile(_Q456_GRID).over(wy).alias("by"),
-    ).localCheckpoint()
+    bb = exact_ntile(
+        exact_ntile(
+            xy,
+            ["x", "l_orderkey", "l_linenumber"],
+            _Q456_GRID,
+            out_col="bx",
+        ),
+        ["y", "l_orderkey", "l_linenumber"],
+        _Q456_GRID,
+        out_col="by",
+    ).select("x", "y", "bx", "by").localCheckpoint()
     cells = bb.groupBy("bx", "by").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min("x").alias("mnx"),
@@ -3191,16 +3196,20 @@ def q458_bloom_point_lookup_pricing(
     Scale shape: the filter relation is |files| × ≤m DISTINCT
     (fid, bit) rows — file-grain metadata exactly like real puffin/
     bloom sidecars; probing is a broadcast bit join + per-(key, file)
-    counting; the only data pass builds the filters (one scan)."""
-    from pyspark.sql import Window
-
+    counting; the only data pass builds the filters (one scan, file
+    assignment via the two-phase :func:`exact_ntile` — no
+    SinglePartition sort)."""
     li = read_table(spark, sf_dir, "lineitem")
-    fl = li.select(
-        "l_orderkey",
-        F.ntile(20)
-        .over(Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
-        .alias("fid"),
-    ).localCheckpoint()
+    fl = (
+        exact_ntile(
+            li.select("l_orderkey", "l_shipdate", "l_linenumber"),
+            ["l_shipdate", "l_orderkey", "l_linenumber"],
+            20,
+            out_col="fid",
+        )
+        .select("l_orderkey", "fid")
+        .localCheckpoint()
+    )
     pr = spark.createDataFrame(
         [(p,) for p in _Q458_PROBES], "pk long"
     )

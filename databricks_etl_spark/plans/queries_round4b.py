@@ -677,21 +677,26 @@ def q192_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-group OLS q115, KMeans q55/q171) with the evaluation side.
 
     Plan: buyer flags come from a distinct + left join (broadcastable
-    dim); ntile is one global-sort window, so this exact form is the
-    sf-bounded BASELINE — the production path at 100 TB is q249's
-    broadcast approx-decile twin (no total order); the 10-row lift
-    arithmetic is window-over-10."""
+    dim); decile assignment is the two-phase distributed rank
+    (``operators.quantile_bucket.exact_ntile`` — range-partition,
+    parallel per-partition sorts, literal offsets), bit-identical to
+    the oracle's global ntile with no SinglePartition sort; q249's
+    broadcast approx-decile twin remains the zero-materialization
+    alternative; the 10-row lift arithmetic is window-over-10."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_ntile
+
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     buyers = o.select("o_custkey").distinct()
-    scored = c.join(
-        buyers, c["c_custkey"] == buyers["o_custkey"], "left"
-    ).select(
-        "c_custkey",
-        F.col("o_custkey").isNotNull().alias("bought"),
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("c_acctbal"), F.col("c_custkey")))
-        .alias("decile"),
+    scored = exact_ntile(
+        c.join(buyers, c["c_custkey"] == buyers["o_custkey"], "left").select(
+            "c_custkey",
+            "c_acctbal",
+            F.col("o_custkey").isNotNull().alias("bought"),
+        ),
+        [F.desc("c_acctbal"), F.col("c_custkey")],
+        10,
+        out_col="decile",
     )
     d = scored.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.count_if(F.col("bought")).alias("n_buyers")
@@ -2680,12 +2685,14 @@ def q220_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges), then segment labels like '5-4-3' rolled up with average
     value. Quintile 5 = most recent / most frequent / highest value.
 
-    Plan: one grouped aggregate per customer, three windows over the
-    |customers| relation, one rollup. This exact form is the
-    sf-bounded BASELINE; the 100 TB path is q248's per-dimension
-    broadcast approx-quintile twin (no global sort); per-customer
-    aggs map-combine."""
+    Plan: one grouped aggregate per customer, then three two-phase
+    distributed ranks over the |customers| relation
+    (``operators.quantile_bucket.exact_ntile`` — bit-identical to the
+    oracle's global ntile, no SinglePartition sort); q248's broadcast
+    approx-quintile twin remains the zero-materialization alternative;
+    per-customer aggs map-combine."""
     from databricks_etl_spark.functions.scalars import MONEY
+    from databricks_etl_spark.operators.quantile_bucket import exact_ntile
 
     o = read_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
@@ -2694,13 +2701,22 @@ def q220_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.col("o_totalprice").cast(MONEY)).alias("monetary"),
     )
-    scored = rfm.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(5).over(Window.orderBy(F.desc("r_days"), "o_custkey")).alias("r_q"),
-        F.ntile(5).over(Window.orderBy(F.asc("freq"), "o_custkey")).alias("f_q"),
-        F.ntile(5).over(Window.orderBy(F.asc("monetary"), "o_custkey")).alias("m_q"),
-    )
+    scored = exact_ntile(
+        exact_ntile(
+            exact_ntile(
+                rfm,
+                [F.desc("r_days"), F.col("o_custkey")],
+                5,
+                out_col="r_q",
+            ),
+            [F.asc("freq"), F.col("o_custkey")],
+            5,
+            out_col="f_q",
+        ),
+        [F.asc("monetary"), F.col("o_custkey")],
+        5,
+        out_col="m_q",
+    ).select("o_custkey", "monetary", "r_q", "f_q", "m_q")
     return scored.groupBy(
         F.concat_ws(
             "-",

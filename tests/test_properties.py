@@ -329,3 +329,43 @@ def test_semdedup_dominance_properties(spark, seed):
                  or (quality_np[j] == quality_np[i] and j < i))
         ]
         assert (i in pruned) == bool(doms), (i, doms)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_exact_ntile_matches_global_ntile(spark, seed):
+    """exact_ntile (two-phase distributed rank) must be BIT-IDENTICAL
+    to F.ntile over a global window — for any k, on tie-heavy skewed
+    data, ascending or descending, with more partitions than rows or
+    more buckets than rows."""
+    from pyspark.sql import Window
+
+    from databricks_etl_spark.operators.quantile_bucket import exact_ntile
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (int(v), int(i))
+        for i, v in enumerate(rng.choice([1, 1, 1, 2, 3, 7], size=997))
+    ]
+    df = spark.createDataFrame(rows, "v int, uid int")
+    for k, order in [
+        (5, ["v", "uid"]),
+        (997, ["v", "uid"]),
+        (4, [F.desc("v"), F.col("uid")]),
+    ]:
+        got = exact_ntile(df, order, k, n_parts=16, out_col="b").select(
+            "v", "uid", "b"
+        )
+        worder = [F.col(c) if isinstance(c, str) else c for c in order]
+        want = df.select(
+            "v", "uid", F.ntile(k).over(Window.orderBy(*worder)).alias("b")
+        )
+        assert (
+            got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+        ), (seed, k)
+    # more buckets than rows on a tiny frame: ntile(rn) = rn
+    tiny = spark.createDataFrame([(i, i) for i in range(3)], "v int, uid int")
+    got = {
+        r.b
+        for r in exact_ntile(tiny, ["v", "uid"], 9, out_col="b").collect()
+    }
+    assert got == {1, 2, 3}
