@@ -2968,7 +2968,13 @@ def _q457_oracle() -> str:
     """
 
 
-@query("q457_join_order_selection", oracle=_q457_oracle())
+@query(
+    "q457_join_order_selection",
+    # rotated INTO the bench set r12 (replacing q158): the round-11b
+    # optimizer-stats family's representative for regression tracking
+    bench=True,
+    oracle=_q457_oracle(),
+)
 def q457_join_order_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-ORDER selection — the decision the whole optimizer-stats
     family exists to feed: cost both left-deep orders of the

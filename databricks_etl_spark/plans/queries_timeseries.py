@@ -196,7 +196,10 @@ _DAY = "CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400"
 
 @query(
     "q158_gapfill_forward_fill",
-    bench=True,
+    # rotated OUT of the bench set r12 (steady 0.2s warm for 6 rounds;
+    # the 1,900-char capture line caps the set, so rotate-not-add) in
+    # favor of q457 — the round-11b family's regression tracker
+    bench=False,
     oracle=f"""
         WITH daily AS (
             SELECT user_id, {_DAY} AS day_epoch,

@@ -221,7 +221,14 @@ class JsonLinesWriter(DataSourceWriter):
                 except OSError:
                     continue  # already gone (owner cleaned it up)
                 if age > self.JANITOR_MIN_AGE_SEC:
-                    os.remove(stale)
+                    try:
+                        os.remove(stale)
+                    except OSError:
+                        # two overwrite jobs can both pass the age gate
+                        # for the same crashed-job temp; the loser must
+                        # not fail its commit (mirrors the getmtime
+                        # handling above)
+                        continue
         # Per-job unique token in the final names (Spark's FileFormatWriter
         # does the same): without it a second append-mode save() into the
         # same path would os.rename over the previous job's

@@ -65,6 +65,12 @@ def test_bench_stdout_line_fits_driver_capture():
         f"bench line would be {len(line)} chars — trim the headline set "
         "or move fields to stderr"
     )
+    # the width cap binds at the current set size: the headline set can
+    # only ROTATE, not grow (r11 ADVICE — make the constraint explicit)
+    assert len(names) <= 23, (
+        f"headline set grew to {len(names)} — rotate a veteran out "
+        "instead of adding (the 1,900-char capture line is at capacity)"
+    )
 
 
 import os
