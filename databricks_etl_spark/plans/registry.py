@@ -619,9 +619,11 @@ def _load() -> None:
     # round-11 modules
     import databricks_etl_spark.plans.queries_round11  # noqa: F401
     import databricks_etl_spark.plans.queries_round11b  # noqa: F401
+    # round-12 modules
+    import databricks_etl_spark.plans.queries_round12  # noqa: F401
 
-    assert len(QUERIES) >= 459, (
-        f"query registry shrank: {len(QUERIES)} < 459 — a module failed to register"
+    assert len(QUERIES) >= 463, (
+        f"query registry shrank: {len(QUERIES)} < 463 — a module failed to register"
     )
     _reorder()
     _loaded = True

@@ -1,0 +1,204 @@
+"""Round-12 invariants: the planted join-order flip, streaming as-of
+slicing/replay, and the two schema-evolution variance lanes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_etl_spark.plans.registry import queries
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# q462 — the planted flip: joint grid agrees with truth, independence not
+# ---------------------------------------------------------------------------
+
+
+def test_q462_joint_grid_fixes_the_join_order(spark):
+    """The whole point of multi-column stats at the join-order level:
+    the independence estimator's chosen order must DISAGREE with the
+    measured best order, the joint-grid estimator's must AGREE — and
+    the joint estimate of the filtered relation must be strictly
+    closer to the truth than the independence estimate."""
+    rows = {
+        (r["estimator"], r["join_order"]): r
+        for r in queries()["q462_joint_grid_join_order"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert len(rows) == 4
+    for est in ("independence", "joint_grid"):
+        chosen = [r for r in rows.values()
+                  if r["estimator"] == est and r["best_estimated"]]
+        assert len(chosen) == 1, est
+        agrees = chosen[0]["best_actual"]
+        assert agrees == (est == "joint_grid"), (est, chosen[0])
+    # actual ol_c intermediate IS the true filtered-lineitem size
+    truth = rows[("joint_grid", "ol_c")]["actual_intermediate"]
+    err_ind = abs(rows[("independence", "ol_c")]["est_filtered_rows"] - truth)
+    err_jnt = abs(rows[("joint_grid", "ol_c")]["est_filtered_rows"] - truth)
+    assert err_jnt < err_ind / 5, (err_jnt, err_ind)
+
+
+# ---------------------------------------------------------------------------
+# q463 — streaming as-of restore: slicing invariance + replay
+# ---------------------------------------------------------------------------
+
+
+def test_q463_slicing_invariance_and_replay(spark, tmp_path):
+    """The drained as-of answer must not depend on which epoch
+    delivered which commit, and replaying a commit's epoch leaves the
+    drain unchanged (the sink is epoch-idempotent)."""
+    from databricks_etl_spark.plans.queries_round12 import (
+        _drain_q463_asof,
+        _make_q463_epoch,
+        _version_log,
+    )
+
+    log = _version_log(spark, SMOKE_SF_DIR).localCheckpoint()
+    schema = (
+        "version int, action string, file_id long, rws long, __epoch int"
+    )
+
+    def run(path, slices):
+        spark.createDataFrame([], schema).write.mode(
+            "overwrite"
+        ).partitionBy("__epoch").parquet(path)
+        ingest = _make_q463_epoch(path)
+        for epoch, versions in enumerate(slices):
+            ingest(log.filter(F.col("version").isin(versions)), epoch)
+        return ingest, sorted(
+            map(
+                tuple,
+                _drain_q463_asof(spark, path, SMOKE_SF_DIR).collect(),
+            )
+        )
+
+    _, fine = run(str(tmp_path / "a"), [[1], [2], [3], [4]])
+    ingest_b, coarse = run(str(tmp_path / "b"), [[1, 2], [3, 4]])
+    assert fine == coarse
+    ingest_b(log.filter(F.col("version").isin([3, 4])), 1)  # replay
+    assert (
+        sorted(
+            map(
+                tuple,
+                _drain_q463_asof(
+                    spark, str(tmp_path / "b"), SMOKE_SF_DIR
+                ).collect(),
+            )
+        )
+        == coarse
+    )
+
+
+def test_q463_drain_equals_batch_time_travel(spark):
+    """Streaming reconstruction ≡ the batch q443 answer, row for row."""
+    got = sorted(
+        map(
+            tuple,
+            queries()["q463_streaming_asof_restore"](
+                spark, SMOKE_SF_DIR
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            queries()["q443_time_travel_reads"](
+                spark, SMOKE_SF_DIR
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q464 — type widening through real files
+# ---------------------------------------------------------------------------
+
+
+def test_q464_narrowing_was_real_and_widening_is_lossless_on_ints(spark):
+    """Batch 1 must show non-zero float-rounded prices (the narrow
+    write really lost precision) and batch 2 zero; integer widening
+    is lossless (key sums match the source exactly)."""
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = {
+        r["batch"]: r
+        for r in queries()["q464_schema_widening_read"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert rows[1]["rounded_prices"] > 0
+    assert rows[2]["rounded_prices"] == 0
+    orders = read_table(spark, SMOKE_SF_DIR, "orders")
+    for batch, pred in ((1, "o_orderkey % 3 != 0"), (2, "o_orderkey % 3 = 0")):
+        want = orders.filter(pred).agg(
+            F.sum("o_orderkey").cast("long").alias("s")
+        ).collect()[0]["s"]
+        assert rows[batch]["key_sum"] == want
+
+
+def test_q464_merge_schema_still_rejects_the_conflict(spark, tmp_path):
+    """The q460-pinned rejection must survive the widening lane:
+    mergeSchema over INT32/INT64 files is a CANNOT_MERGE error — the
+    widened read works only because the schema is DECLARED."""
+    from pyspark.sql.utils import AnalysisException
+    from py4j.protocol import Py4JJavaError
+
+    d = str(tmp_path / "conflict")
+    spark.range(5).select(
+        F.col("id").cast("int").alias("k")
+    ).write.parquet(f"{d}/batch=1")
+    spark.range(5, 9).select(
+        F.col("id").cast("long").alias("k")
+    ).write.parquet(f"{d}/batch=2")
+    with pytest.raises((AnalysisException, Py4JJavaError), match="MERGE"):
+        spark.read.option("mergeSchema", "true").parquet(d).collect()
+
+
+# ---------------------------------------------------------------------------
+# q465 — rename vs add disambiguation
+# ---------------------------------------------------------------------------
+
+
+def test_q465_rename_evidence_true_on_the_planted_rename(spark):
+    row = queries()["q465_rename_vs_add_audit"](
+        spark, SMOKE_SF_DIR
+    ).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["rename_evidence"]
+    assert r["co_nonnull_rows"] == 0
+    assert r["rows_old_files"] + r["rows_new_files"] == r["n_rows_total"]
+
+
+def test_q465_true_add_defeats_the_rename_detector(spark, tmp_path):
+    """Counterfactual: files where the 'new' column carries a genuinely
+    NEW domain must NOT read as a rename — the value-set comparison is
+    what does the disambiguating."""
+    d = str(tmp_path / "add")
+    spark.range(10).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("OLD-"), (F.col("id") % 3).cast("string")).alias(
+            "o_orderpriority"
+        ),
+    ).write.parquet(f"{d}/batch=1")
+    spark.range(10, 20).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("NEW-"), (F.col("id") % 4).cast("string")).alias(
+            "o_priority"
+        ),
+    ).write.parquet(f"{d}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    olds = merged.select(F.col("o_orderpriority").alias("v")).filter(
+        F.col("v").isNotNull()
+    ).distinct()
+    news = merged.select(F.col("o_priority").alias("v")).filter(
+        F.col("v").isNotNull()
+    ).distinct()
+    assert olds.intersect(news).count() == 0
+    assert olds.exceptAll(news).count() == 3
+    assert news.exceptAll(olds).count() == 4
