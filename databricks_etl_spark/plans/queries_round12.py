@@ -691,3 +691,661 @@ def q465_rename_vs_add_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rename_evidence"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q466 — Z-ORDER layout pricing (multi-column data skipping vs linear sorts)
+# ---------------------------------------------------------------------------
+
+_Q466_FILES = 20
+_Q466_BITS = 8  # per-dimension quantization (8+8 → 16-bit z space)
+# workload as FRACTIONS of each dimension's [min, max] — scale-free, so
+# the same lane prices identically at every sf: three narrow ship-day
+# bands and three part-key bands (the mixed workload where neither
+# linear sort can win on both halves)
+_Q466_PREDS: list[tuple[int, str, float, float]] = [
+    (1, "sd", 0.10, 0.15),
+    (2, "sd", 0.40, 0.45),
+    (3, "sd", 0.70, 0.75),
+    (4, "pk", 0.05, 0.10),
+    (5, "pk", 0.45, 0.50),
+    (6, "pk", 0.85, 0.90),
+]
+
+
+def _q466_interleave(qx: str, qy: str, div: str) -> str:
+    """Bit-interleave two quantized dims into the Morton z-value with
+    pure integer arithmetic (bit i of qx lands at z bit 2i, of qy at
+    2i+1) — ``div`` is the engine's integer-division spelling (`//`
+    for DuckDB, `DIV` for Spark SQL), everything else is shared."""
+    return " + ".join(
+        f"(({qx} {div} {1 << i}) % 2 + 2 * (({qy} {div} {1 << i}) % 2))"
+        f" * {4 ** i}"
+        for i in range(_Q466_BITS)
+    )
+
+
+_Q466_LAYOUT_KEYS = {"l_shipday": "sd", "l_partkey": "pk", "zorder": "z"}
+
+
+def _q466_oracle() -> str:
+    n_cells = 1 << _Q466_BITS
+    z = _q466_interleave("qx", "qy", "//")
+    zones = []
+    for layout, key in _Q466_LAYOUT_KEYS.items():
+        zones.append(f"""
+            SELECT '{layout}' AS layout, f.fid,
+                   MIN(f.sd) AS mn_sd, MAX(f.sd) AS mx_sd,
+                   MIN(f.pk) AS mn_pk, MAX(f.pk) AS mx_pk
+            FROM (
+                SELECT qz.*, ntile({_Q466_FILES}) OVER (
+                    ORDER BY qz.{key}, qz.l_orderkey, qz.l_linenumber
+                ) AS fid
+                FROM qz
+            ) f GROUP BY f.fid""")
+    preds = ", ".join(
+        f"({i}, '{c}', {flo}, {fhi})" for i, c, flo, fhi in _Q466_PREDS
+    )
+    return f"""
+        WITH li AS MATERIALIZED (
+            SELECT CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(l_shipdate AS DATE)) AS DOUBLE) AS sd,
+                   CAST(l_partkey AS DOUBLE) AS pk,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        st AS (
+            SELECT MIN(sd) AS mnsd, MAX(sd) AS mxsd,
+                   MIN(pk) AS mnpk, MAX(pk) AS mxpk
+            FROM li
+        ),
+        qz AS MATERIALIZED (
+            SELECT sd, pk, l_orderkey, l_linenumber, {z} AS z
+            FROM (
+                SELECT li.*,
+                       LEAST(CAST(FLOOR((sd - st.mnsd)
+                           / ((st.mxsd - st.mnsd) / {n_cells}.0))
+                           AS BIGINT), {n_cells - 1}) AS qx,
+                       LEAST(CAST(FLOOR((pk - st.mnpk)
+                           / ((st.mxpk - st.mnpk) / {n_cells}.0))
+                           AS BIGINT), {n_cells - 1}) AS qy
+                FROM li CROSS JOIN st
+            )
+        ),
+        zones AS MATERIALIZED ({" UNION ALL ".join(zones)}),
+        pf(pid, col, flo, fhi) AS (VALUES {preds}),
+        preds AS (
+            SELECT pid, col,
+                   CASE WHEN col = 'sd'
+                        THEN st.mnsd + flo * (st.mxsd - st.mnsd)
+                        ELSE st.mnpk + flo * (st.mxpk - st.mnpk) END AS lo,
+                   CASE WHEN col = 'sd'
+                        THEN st.mnsd + fhi * (st.mxsd - st.mnsd)
+                        ELSE st.mnpk + fhi * (st.mxpk - st.mnpk) END AS hi
+            FROM pf CROSS JOIN st
+        ),
+        scans AS (
+            SELECT z.layout,
+                   CAST(SUM(CASE WHEN p.col = 'sd'
+                                 THEN (z.mn_sd <= p.hi
+                                       AND z.mx_sd >= p.lo)::INT
+                                 ELSE (z.mn_pk <= p.hi
+                                       AND z.mx_pk >= p.lo)::INT
+                            END) AS BIGINT) AS files_scanned,
+                   CAST(COUNT(*) AS BIGINT) AS file_pred_pairs
+            FROM zones z CROSS JOIN preds p
+            GROUP BY z.layout
+        )
+        SELECT layout, files_scanned,
+               CAST({_Q466_FILES} AS BIGINT) AS n_files,
+               round(CAST(files_scanned AS DOUBLE) / file_pred_pairs, 6)
+                   AS scan_share,
+               files_scanned = (SELECT MIN(files_scanned) FROM scans)
+                   AS best
+        FROM scans
+    """
+
+
+@query("q466_zorder_layout_pricing", oracle=_q466_oracle())
+def q466_zorder_layout_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q454's missing layout: Z-ORDER. On a MIXED workload (half the
+    predicates on ship day, half on part key) neither linear sort can
+    prune both halves — the ship-day layout scans every file for part
+    predicates and vice versa. Interleaving the two dimensions' bits
+    (8+8-bit Morton code, pure integer arithmetic in both engines)
+    bounds every file's zone on BOTH dimensions, so z-order prunes
+    both pred families and wins the total (pinned by test — the
+    engine-side argument for OPTIMIZE ZORDER BY). Workload bounds are
+    stated as FRACTIONS of each dimension's range, so the lane prices
+    identically at every scale factor. File assignment is
+    :func:`exact_ntile` over the z-value (two-phase rank, no
+    SinglePartition); zone maps and pricing are q454's arithmetic.
+
+    Scale shape: one quantize+interleave map pass, one distributed
+    rank per layout, then |files| × |workload| broadcast pricing on
+    zone-map metadata."""
+    n_cells = 1 << _Q466_BITS
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("double")
+        .alias("sd"),
+        F.col("l_partkey").cast("double").alias("pk"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    st = li.agg(
+        F.min("sd").alias("mnsd"), F.max("sd").alias("mxsd"),
+        F.min("pk").alias("mnpk"), F.max("pk").alias("mxpk"),
+    ).localCheckpoint()
+    quant = li.crossJoin(F.broadcast(st)).select(
+        "sd", "pk", "l_orderkey", "l_linenumber",
+        F.expr(
+            f"LEAST(CAST(FLOOR((sd - mnsd) / ((mxsd - mnsd) / {n_cells}.0))"
+            f" AS BIGINT), {n_cells - 1})"
+        ).alias("qx"),
+        F.expr(
+            f"LEAST(CAST(FLOOR((pk - mnpk) / ((mxpk - mnpk) / {n_cells}.0))"
+            f" AS BIGINT), {n_cells - 1})"
+        ).alias("qy"),
+    )
+    qz = quant.select(
+        "sd", "pk", "l_orderkey", "l_linenumber",
+        F.expr(_q466_interleave("qx", "qy", "DIV")).alias("z"),
+    ).localCheckpoint()
+    zones = []
+    for layout, key in _Q466_LAYOUT_KEYS.items():
+        zones.append(
+            exact_ntile(
+                qz, [key, "l_orderkey", "l_linenumber"], _Q466_FILES,
+                out_col="fid",
+            )
+            .groupBy("fid")
+            .agg(
+                F.min("sd").alias("mn_sd"), F.max("sd").alias("mx_sd"),
+                F.min("pk").alias("mn_pk"), F.max("pk").alias("mx_pk"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
+        )
+    zdf = zones[0]
+    for d in zones[1:]:
+        zdf = zdf.unionByName(d)
+    pf = spark.createDataFrame(
+        _Q466_PREDS, "pid int, col string, flo double, fhi double"
+    )
+    preds = pf.crossJoin(F.broadcast(st)).select(
+        "pid", "col",
+        F.when(
+            F.col("col") == "sd",
+            F.col("mnsd") + F.col("flo") * (F.col("mxsd") - F.col("mnsd")),
+        )
+        .otherwise(
+            F.col("mnpk") + F.col("flo") * (F.col("mxpk") - F.col("mnpk"))
+        )
+        .alias("lo"),
+        F.when(
+            F.col("col") == "sd",
+            F.col("mnsd") + F.col("fhi") * (F.col("mxsd") - F.col("mnsd")),
+        )
+        .otherwise(
+            F.col("mnpk") + F.col("fhi") * (F.col("mxpk") - F.col("mnpk"))
+        )
+        .alias("hi"),
+    )
+    hit = F.when(
+        F.col("col") == "sd",
+        (F.col("mn_sd") <= F.col("hi")) & (F.col("mx_sd") >= F.col("lo")),
+    ).otherwise(
+        (F.col("mn_pk") <= F.col("hi")) & (F.col("mx_pk") >= F.col("lo"))
+    )
+    scans = (
+        zdf.crossJoin(F.broadcast(preds))
+        .select("layout", hit.cast("int").alias("hit"))
+        .groupBy("layout")
+        .agg(
+            F.sum("hit").cast("long").alias("files_scanned"),
+            F.count(F.lit(1)).alias("file_pred_pairs"),
+        )
+        .localCheckpoint()
+    )
+    best = scans.agg(F.min("files_scanned").alias("mn"))
+    return scans.crossJoin(F.broadcast(best)).select(
+        "layout",
+        "files_scanned",
+        F.lit(_Q466_FILES).cast("long").alias("n_files"),
+        F.round(
+            F.col("files_scanned").cast("double") / F.col("file_pred_pairs"),
+            6,
+        ).alias("scan_share"),
+        (F.col("files_scanned") == F.col("mn")).alias("best"),
+    )
+
+# ---------------------------------------------------------------------------
+# q467 — deletion vectors vs copy-on-write (row-level delete pricing)
+# ---------------------------------------------------------------------------
+
+_Q467_FILES = 20
+
+
+def _q467_deletes_sql() -> str:
+    """Two planted delete shapes over the 20-file ship-date layout:
+    'scattered' (a max-quantity business rule — rows everywhere) and
+    'clustered' (a retention cut on the oldest 5% of ship days)."""
+    return """
+        dels AS MATERIALIZED (
+            SELECT 'scattered' AS delete_kind, fl.fid
+            FROM fl WHERE fl.l_quantity >= 50
+            UNION ALL
+            SELECT 'clustered', fl.fid
+            FROM fl CROSS JOIN st
+            WHERE fl.sd <= st.mnsd + 0.05 * (st.mxsd - st.mnsd)
+        )"""
+
+
+def _q467_oracle() -> str:
+    return f"""
+        WITH li AS MATERIALIZED (
+            SELECT CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(l_shipdate AS DATE)) AS DOUBLE) AS sd,
+                   l_quantity, l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        st AS (SELECT MIN(sd) AS mnsd, MAX(sd) AS mxsd FROM li),
+        fl AS MATERIALIZED (
+            SELECT sd, l_quantity,
+                   ntile({_Q467_FILES}) OVER (
+                       ORDER BY sd, l_orderkey, l_linenumber) AS fid
+            FROM li
+        ),
+        fsize AS (SELECT fid, CAST(COUNT(*) AS BIGINT) AS fr
+                  FROM fl GROUP BY fid),
+        {_q467_deletes_sql()},
+        per_kind AS (
+            SELECT d.delete_kind,
+                   CAST(COUNT(*) AS BIGINT) AS rows_deleted,
+                   CAST(COUNT(DISTINCT d.fid) AS BIGINT) AS files_touched,
+                   (SELECT CAST(SUM(fs.fr) AS BIGINT) FROM fsize fs
+                    WHERE fs.fid IN (SELECT DISTINCT fid FROM dels x
+                                     WHERE x.delete_kind = d.delete_kind))
+                       AS touched_file_rows
+            FROM dels d GROUP BY d.delete_kind
+        )
+        SELECT delete_kind,
+               CASE WHEN strategy_id = 1 THEN 'copy_on_write'
+                    ELSE 'deletion_vectors' END AS strategy,
+               rows_deleted, files_touched,
+               CASE WHEN strategy_id = 1
+                    THEN touched_file_rows - rows_deleted
+                    ELSE CAST(0 AS BIGINT) END AS rows_rewritten,
+               CASE WHEN strategy_id = 1 THEN CAST(0 AS BIGINT)
+                    ELSE rows_deleted END AS dv_entries,
+               CASE WHEN strategy_id = 1 THEN CAST(0 AS BIGINT)
+                    ELSE rows_deleted END AS read_overhead_rows,
+               round(CASE WHEN strategy_id = 1
+                          THEN CAST(touched_file_rows AS DOUBLE)
+                               / rows_deleted
+                          ELSE 0.0 END, 6) AS write_amplification
+        FROM per_kind
+        CROSS JOIN (SELECT UNNEST([1, 2]) AS strategy_id) s
+    """
+
+
+@query("q467_deletion_vector_pricing", oracle=_q467_oracle())
+def q467_deletion_vector_pricing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Row-level DELETE strategies priced against each other — the
+    merge-on-read vs copy-on-write decision every table format makes
+    (Delta deletion vectors / Iceberg position deletes): copy-on-write
+    rewrites every file containing a deleted row (cost = the SURVIVING
+    rows of touched files — write amplification explodes when deletes
+    scatter), deletion vectors record one position entry per deleted
+    row (cost = the entries, plus a read overhead of still-scanned
+    dead rows until compaction). Two planted delete shapes make the
+    tradeoff sharp: the 'scattered' business-rule delete (quantity cap
+    — rows in every file; CoW rewrites ~the whole table for ~2% of
+    rows) and the 'clustered' retention cut (oldest 5% of ship days —
+    touches 1-2 files; CoW is cheap and DVs buy little). The test pins
+    scattered write-amplification ≥ 10× clustered. One row per
+    (delete shape, strategy).
+
+    Scale shape: file layout via :func:`exact_ntile` (two-phase rank);
+    everything downstream is file-grain metadata rollups — the actual
+    decision inputs a format's DELETE planner reads from its stats."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("double")
+        .alias("sd"),
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    st = li.agg(
+        F.min("sd").alias("mnsd"), F.max("sd").alias("mxsd")
+    ).localCheckpoint()
+    fl = (
+        exact_ntile(
+            li, ["sd", "l_orderkey", "l_linenumber"], _Q467_FILES,
+            out_col="fid",
+        )
+        .select("sd", "l_quantity", "fid")
+        .localCheckpoint()
+    )
+    fsize = fl.groupBy("fid").agg(F.count(F.lit(1)).cast("long").alias("fr"))
+    cutoff = F.col("mnsd") + 0.05 * (F.col("mxsd") - F.col("mnsd"))
+    dels = (
+        fl.filter(F.col("l_quantity") >= 50)
+        .select(F.lit("scattered").alias("delete_kind"), "fid")
+        .unionByName(
+            fl.crossJoin(F.broadcast(st))
+            .filter(F.col("sd") <= cutoff)
+            .select(F.lit("clustered").alias("delete_kind"), "fid")
+        )
+    )
+    touched = dels.groupBy("delete_kind", "fid").agg(
+        F.count(F.lit(1)).alias("dn")
+    )
+    per_kind = (
+        touched.join(F.broadcast(fsize), "fid")
+        .groupBy("delete_kind")
+        .agg(
+            F.sum("dn").cast("long").alias("rows_deleted"),
+            F.count(F.lit(1)).cast("long").alias("files_touched"),
+            F.sum("fr").cast("long").alias("touched_file_rows"),
+        )
+    )
+    strat = spark.createDataFrame([(1,), (2,)], "strategy_id int")
+    return per_kind.crossJoin(F.broadcast(strat)).select(
+        "delete_kind",
+        F.when(F.col("strategy_id") == 1, "copy_on_write")
+        .otherwise("deletion_vectors")
+        .alias("strategy"),
+        "rows_deleted",
+        "files_touched",
+        F.when(
+            F.col("strategy_id") == 1,
+            F.col("touched_file_rows") - F.col("rows_deleted"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rows_rewritten"),
+        F.when(F.col("strategy_id") == 1, F.lit(0))
+        .otherwise(F.col("rows_deleted"))
+        .cast("long")
+        .alias("dv_entries"),
+        F.when(F.col("strategy_id") == 1, F.lit(0))
+        .otherwise(F.col("rows_deleted"))
+        .cast("long")
+        .alias("read_overhead_rows"),
+        F.round(
+            F.when(
+                F.col("strategy_id") == 1,
+                F.col("touched_file_rows").cast("double")
+                / F.col("rows_deleted"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("write_amplification"),
+    )
+
+# ---------------------------------------------------------------------------
+# q468 — materialized-view selection (HRU greedy over the lattice)
+# ---------------------------------------------------------------------------
+
+_Q468_STEPS = 2
+_Q468_MONTH = (
+    "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"
+)
+
+
+def _q468_oracle() -> str:
+    return f"""
+        WITH views AS MATERIALIZED (
+            SELECT 'pm' AS v, 1 AS hp, 1 AS hm,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                        SELECT DISTINCT o_orderpriority, {_Q468_MONTH}
+                        FROM orders) t) AS size
+            UNION ALL
+            SELECT 'p', 1, 0,
+                   (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+                    FROM orders)
+            UNION ALL
+            SELECT 'm', 0, 1,
+                   (SELECT CAST(COUNT(DISTINCT {_Q468_MONTH}) AS BIGINT)
+                    FROM orders)
+            UNION ALL
+            SELECT 'all', 0, 0, CAST(1 AS BIGINT)
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+        qs(q, qp, qm) AS (VALUES ('pm', 1, 1), ('p', 1, 0),
+                                 ('m', 0, 1), ('all', 0, 0)),
+        b1 AS (
+            SELECT v.v,
+                   CAST(SUM(CASE WHEN q.qp <= v.hp AND q.qm <= v.hm
+                                 THEN GREATEST(0, n.n - v.size)
+                                 ELSE 0 END) AS BIGINT) AS benefit
+            FROM views v CROSS JOIN qs q CROSS JOIN n
+            GROUP BY v.v
+        ),
+        c1 AS (SELECT v, benefit FROM b1
+               ORDER BY benefit DESC, v LIMIT 1),
+        cost1 AS (
+            SELECT q.q, q.qp, q.qm,
+                   LEAST(n.n, CASE WHEN q.qp <= v.hp AND q.qm <= v.hm
+                                   THEN v.size ELSE n.n END) AS c
+            FROM qs q CROSS JOIN n
+            JOIN views v ON v.v = (SELECT v FROM c1)
+        ),
+        b2 AS (
+            SELECT v.v,
+                   CAST(SUM(GREATEST(0, c.c -
+                       CASE WHEN c.qp <= v.hp AND c.qm <= v.hm
+                            THEN LEAST(c.c, v.size) ELSE c.c END))
+                       AS BIGINT) AS benefit
+            FROM views v CROSS JOIN cost1 c
+            WHERE v.v <> (SELECT v FROM c1)
+            GROUP BY v.v
+        ),
+        c2 AS (SELECT v, benefit FROM b2
+               ORDER BY benefit DESC, v LIMIT 1)
+        SELECT 1 AS step, b1.v AS view_name, b1.benefit,
+               b1.v = (SELECT v FROM c1) AS chosen
+        FROM b1
+        UNION ALL
+        SELECT 2, b2.v, b2.benefit, b2.v = (SELECT v FROM c2)
+        FROM b2
+    """
+
+
+@query("q468_mv_lattice_selection", oracle=_q468_oracle())
+def q468_mv_lattice_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view SELECTION — the Harinarayan–Rajaraman–Ullman
+    greedy over the (priority, month) aggregation lattice of orders:
+    view sizes measured from the data (distinct group combos), a
+    uniform 4-query workload (one per lattice node), linear cost =
+    rows of the cheapest materialized ancestor (base table = |orders|
+    until something is materialized). Each greedy step scores every
+    remaining view's TOTAL benefit (Σ over queries of the cost drop it
+    would cause, never negative) and picks the argmax with a
+    deterministic name tiebreak — {_Q468_STEPS} steps unrolled as pure
+    relational algebra (the q382 bounded-fixed-point discipline: each
+    step is a ≤4-row aggregate + 1-row argmax). Step 1 must pick the
+    top view 'pm' (it alone answers everything), step 2 the cheaper of
+    the 1-D views priced against the NEW baseline — both pinned by
+    test, with the greedy's benefit-monotonicity (step-2 max benefit ≤
+    step-1 max) asserted.
+
+    Scale shape: view sizes are one grouped-count pass each over the
+    fact table (map-combined); the greedy itself runs on a 4-row
+    lattice relation — the optimizer-side cost is metadata-grain no
+    matter the corpus size."""
+    orders = read_table(spark, sf_dir, "orders")
+    month = F.expr(_Q468_MONTH)
+    sizes = {
+        "pm": orders.select("o_orderpriority", month.alias("mth"))
+        .distinct()
+        .count(),
+        "p": orders.select("o_orderpriority").distinct().count(),
+        "m": orders.select(month.alias("mth")).distinct().count(),
+        "all": 1,
+    }
+    n = orders.count()
+    views = spark.createDataFrame(
+        [
+            ("pm", 1, 1, sizes["pm"]),
+            ("p", 1, 0, sizes["p"]),
+            ("m", 0, 1, sizes["m"]),
+            ("all", 0, 0, sizes["all"]),
+        ],
+        "v string, hp int, hm int, size long",
+    )
+    qs = spark.createDataFrame(
+        [("pm", 1, 1), ("p", 1, 0), ("m", 0, 1), ("all", 0, 0)],
+        "q string, qp int, qm int",
+    )
+    answers = (F.col("qp") <= F.col("hp")) & (F.col("qm") <= F.col("hm"))
+    b1 = (
+        views.crossJoin(F.broadcast(qs))
+        .select(
+            "v",
+            F.when(answers, F.greatest(F.lit(0), F.lit(n) - F.col("size")))
+            .otherwise(F.lit(0))
+            .alias("ben"),
+        )
+        .groupBy("v")
+        .agg(F.sum("ben").cast("long").alias("benefit"))
+        .localCheckpoint()
+    )
+    c1 = b1.orderBy(F.desc("benefit"), F.asc("v")).limit(1).select(
+        F.col("v").alias("cv")
+    )
+    cost1 = (
+        qs.crossJoin(F.broadcast(c1))
+        .join(views.withColumnRenamed("v", "wv"), F.col("wv") == F.col("cv"))
+        .select(
+            "q",
+            "qp",
+            "qm",
+            F.least(
+                F.lit(n),
+                F.when(answers, F.col("size")).otherwise(F.lit(n)),
+            ).alias("c"),
+        )
+    )
+    b2 = (
+        views.crossJoin(F.broadcast(c1))
+        .filter(F.col("v") != F.col("cv"))
+        .crossJoin(
+            F.broadcast(
+                cost1.select(
+                    F.col("q"), F.col("qp").alias("cqp"),
+                    F.col("qm").alias("cqm"), "c",
+                )
+            )
+        )
+        .select(
+            "v",
+            F.greatest(
+                F.lit(0),
+                F.col("c")
+                - F.when(
+                    (F.col("cqp") <= F.col("hp"))
+                    & (F.col("cqm") <= F.col("hm")),
+                    F.least(F.col("c"), F.col("size")),
+                ).otherwise(F.col("c")),
+            ).alias("ben"),
+        )
+        .groupBy("v")
+        .agg(F.sum("ben").cast("long").alias("benefit"))
+        .localCheckpoint()
+    )
+    c2 = b2.orderBy(F.desc("benefit"), F.asc("v")).limit(1).select(
+        F.col("v").alias("cv")
+    )
+    s1 = b1.crossJoin(F.broadcast(c1)).select(
+        F.lit(1).alias("step"),
+        F.col("v").alias("view_name"),
+        "benefit",
+        (F.col("v") == F.col("cv")).alias("chosen"),
+    )
+    s2 = b2.crossJoin(F.broadcast(c2)).select(
+        F.lit(2).alias("step"),
+        F.col("v").alias("view_name"),
+        "benefit",
+        (F.col("v") == F.col("cv")).alias("chosen"),
+    )
+    return s1.unionByName(s2)
+
+
+# ---------------------------------------------------------------------------
+# q469 — incremental view maintenance: the join delta rule, proven
+# ---------------------------------------------------------------------------
+
+
+def _q469_oracle() -> str:
+    return f"""
+        SELECT {_Q468_MONTH} AS mth,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1
+    """
+
+
+@query("q469_ivm_join_delta", oracle=_q469_oracle())
+def q469_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE for an aggregated join view — the
+    delta rule Δ(O ⋈ L) = ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL applied and PROVEN:
+    orders and lineitem are each split into an old generation and a
+    cross-cutting delta (orderkey-mod for O, line-number for L — the
+    deltas deliberately do NOT align, so all three delta terms are
+    non-empty and dropping any one breaks the hash). The maintained
+    view (monthly revenue + line counts) is the group-wise merge of
+    the old view and the three delta terms, with partial sums kept in
+    exact DECIMAL until the final cast so the merged total is
+    bit-identical to the oracle — which is the FROM-SCRATCH recompute
+    over the complete tables (the q384 recompute-identity discipline:
+    the strongest possible proof that the incremental path lost
+    nothing).
+
+    Scale shape: the delta terms join a small delta against the big
+    old generation (broadcast/shuffle by key, each term pre-aggregated
+    before the merge); the old view is never rebuilt — the whole point
+    at 100 TB."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr(_Q468_MONTH).alias("mth")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    d_o = F.col("o_orderkey") % 97 == 13
+    d_l = F.col("l_linenumber") >= 5
+    o_old, o_new = orders.filter(~d_o), orders.filter(d_o)
+    l_old, l_new = li.filter(~d_l), li.filter(d_l)
+
+    def term(o: DataFrame, ln: DataFrame) -> DataFrame:
+        return (
+            o.join(ln, o.o_orderkey == ln.l_orderkey)
+            .groupBy("mth")
+            .agg(
+                F.sum(F.col("rev").cast(MONEY)).alias("rev_part"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+        )
+
+    merged = (
+        term(o_old, l_old)
+        .unionByName(term(o_new, l_old))
+        .unionByName(term(o_old, l_new))
+        .unionByName(term(o_new, l_new))
+    )
+    return merged.groupBy("mth").agg(
+        F.sum("rev_part").cast("double").alias("revenue"),
+        F.sum("cnt").cast("long").alias("n_lines"),
+    )

@@ -202,3 +202,115 @@ def test_q465_true_add_defeats_the_rename_detector(spark, tmp_path):
     assert olds.intersect(news).count() == 0
     assert olds.exceptAll(news).count() == 3
     assert news.exceptAll(olds).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# q466 — z-order wins the mixed workload
+# ---------------------------------------------------------------------------
+
+
+def test_q466_zorder_wins_the_mixed_workload(spark):
+    """On the half-shipday/half-partkey workload, each linear sort must
+    scan (nearly) everything for the other half while z-order prunes
+    both — z-order is the unique best layout."""
+    rows = {r["layout"]: r for r in queries()[
+        "q466_zorder_layout_pricing"](spark, SMOKE_SF_DIR).collect()}
+    assert rows["zorder"]["best"]
+    assert not rows["l_shipday"]["best"]
+    assert not rows["l_partkey"]["best"]
+    assert (
+        rows["zorder"]["files_scanned"]
+        < min(rows["l_shipday"]["files_scanned"],
+              rows["l_partkey"]["files_scanned"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# q467 — deletion vectors: the scattered/clustered asymmetry
+# ---------------------------------------------------------------------------
+
+
+def test_q467_scattered_deletes_explode_cow_write_amplification(spark):
+    rows = {
+        (r["delete_kind"], r["strategy"]): r
+        for r in queries()["q467_deletion_vector_pricing"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert len(rows) == 4
+    sc = rows[("scattered", "copy_on_write")]
+    cl = rows[("clustered", "copy_on_write")]
+    # the scattered delete touches (nearly) every file; the retention
+    # cut touches few — the asymmetry that motivates deletion vectors
+    assert sc["files_touched"] >= 10 * cl["files_touched"] or (
+        sc["write_amplification"] >= 10 * cl["write_amplification"]
+    )
+    for kind in ("scattered", "clustered"):
+        dv = rows[(kind, "deletion_vectors")]
+        cow = rows[(kind, "copy_on_write")]
+        assert dv["rows_rewritten"] == 0
+        assert dv["dv_entries"] == cow["rows_deleted"]
+        assert cow["rows_rewritten"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# q468 — HRU greedy: top view first, benefits monotone
+# ---------------------------------------------------------------------------
+
+
+def test_q468_greedy_picks_top_view_then_benefit_monotone(spark):
+    rows = queries()["q468_mv_lattice_selection"](
+        spark, SMOKE_SF_DIR
+    ).collect()
+    s1 = {r["view_name"]: r for r in rows if r["step"] == 1}
+    s2 = {r["view_name"]: r for r in rows if r["step"] == 2}
+    assert len(s1) == 4 and len(s2) == 3
+    chosen1 = [v for v, r in s1.items() if r["chosen"]]
+    assert chosen1 == ["pm"]  # only the top view answers all queries
+    assert "pm" not in s2
+    assert sum(1 for r in s2.values() if r["chosen"]) == 1
+    # greedy benefit is non-increasing across steps
+    assert max(r["benefit"] for r in s2.values()) <= max(
+        r["benefit"] for r in s1.values()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q469 — IVM delta rule: every term is load-bearing
+# ---------------------------------------------------------------------------
+
+
+def test_q469_all_three_delta_terms_are_nonempty_and_required(spark):
+    """The cross-cutting splits must make every delta term non-empty,
+    and dropping the ΔO⋈ΔL term must break the recompute identity —
+    i.e. the lane really exercises the full delta rule."""
+    from databricks_etl_spark.functions.scalars import MONEY
+    from databricks_etl_spark.plans.queries_round12 import _Q468_MONTH
+    from databricks_etl_spark.sources.readers import read_table
+
+    orders = read_table(spark, SMOKE_SF_DIR, "orders").select(
+        "o_orderkey", F.expr(_Q468_MONTH).alias("mth")
+    )
+    li = read_table(spark, SMOKE_SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    d_o = F.col("o_orderkey") % 97 == 13
+    d_l = F.col("l_linenumber") >= 5
+    counts = {
+        "oo_ln": orders.filter(~d_o).join(
+            li.filter(d_l), F.col("o_orderkey") == F.col("l_orderkey")
+        ).count(),
+        "on_lo": orders.filter(d_o).join(
+            li.filter(~d_l), F.col("o_orderkey") == F.col("l_orderkey")
+        ).count(),
+        "on_ln": orders.filter(d_o).join(
+            li.filter(d_l), F.col("o_orderkey") == F.col("l_orderkey")
+        ).count(),
+    }
+    assert all(v > 0 for v in counts.values()), counts
+    full = queries()["q469_ivm_join_delta"](spark, SMOKE_SF_DIR)
+    total = full.agg(F.sum("n_lines").alias("s")).collect()[0]["s"]
+    assert total == li.count()
+    # dropping the delta-delta term loses exactly its rows
+    assert total - counts["on_ln"] < total
