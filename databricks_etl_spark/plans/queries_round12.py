@@ -1807,3 +1807,756 @@ def q473_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("char_share"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q474 — STREAMING incremental stats (q471 maintained at ingest)
+# ---------------------------------------------------------------------------
+
+
+def _q474_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    return QUERIES["q471_incremental_stats_maintenance"].oracle
+
+
+def _make_q474_epoch(partials_path: str):
+    """Epoch-idempotent per-column stats sink: each epoch lands its
+    generation's 1-row aggregate per column (stats metadata, not
+    data)."""
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        parts = []
+        for c in _Q471_COLS:
+            parts.append(
+                batch_df.agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.min(c).cast("double").alias("mn"),
+                    F.max(c).cast("double").alias("mx"),
+                    F.sum(F.col(c).cast("decimal(28,6)"))
+                    .cast("decimal(38,6)")
+                    .alias("s"),
+                    F.countDistinct(c).cast("long").alias("nd"),
+                ).select(F.lit(c).alias("column_name"), "*")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        (
+            out.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(partials_path)
+        )
+
+    return ingest
+
+
+def _drain_q474_stats(
+    spark: SparkSession, partials_path: str, sf_dir: str
+) -> DataFrame:
+    schema = (
+        "column_name string, n long, mn double, mx double,"
+        " s decimal(38,6), nd long, __epoch int"
+    )
+    parts = spark.read.schema(schema).parquet(partials_path)
+    merged = parts.groupBy("column_name").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("mn").alias("min_v"),
+        F.max("mx").alias("max_v"),
+        F.sum("s").cast("double").alias("sum_v"),
+        F.max("nd").cast("long").alias("ndv_lower"),
+        F.sum("nd").cast("long").alias("ndv_upper"),
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    ex = None
+    for c in _Q471_COLS:
+        e = orders.agg(F.countDistinct(c).cast("long").alias("ndv_exact")
+                       ).select(F.lit(c).alias("column_name"), "*")
+        ex = e if ex is None else ex.unionByName(e)
+    return merged.join(F.broadcast(ex), "column_name").select(
+        "column_name", "n_rows", "min_v", "max_v", "sum_v",
+        "ndv_exact", "ndv_lower", "ndv_upper",
+        (
+            (F.col("ndv_lower") <= F.col("ndv_exact"))
+            & (F.col("ndv_exact") <= F.col("ndv_upper"))
+        ).alias("bounds_hold"),
+    )
+
+
+@query("q474_streaming_stats_maintenance", oracle=_q474_oracle())
+def q474_streaming_stats_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q471's incremental ANALYZE run AT INGEST: each micro-batch
+    delivers one table generation (epoch 0 the old generation, epoch 1
+    the append — q471's exact split), the epoch-idempotent sink lands
+    that generation's per-column 1-row aggregates (stats metadata —
+    bytes per epoch, never data), and the drain merges them exactly as
+    the batch lane does: associative count/min/max/sum in exact
+    decimal, NDV as the [max, sum] bracket certified against the
+    exact full-scan value. Registered with q471's own oracle — the
+    streaming stats fold must reproduce the batch merge bit-for-bit;
+    slicing/replay pinned like q447/q453/q463.
+
+    Scale shape: per-epoch cost is ONE aggregate over the arriving
+    batch; the drain folds |epochs| 1-row frames."""
+    import shutil
+
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    orders = read_table(spark, sf_dir, "orders")
+    partials_path = scratch_dir("stats_partials_", key=sf_dir)
+    shutil.rmtree(partials_path, ignore_errors=True)
+    schema = (
+        "column_name string, n long, mn double, mx double,"
+        " s decimal(38,6), nd long, __epoch int"
+    )
+    (
+        spark.createDataFrame([], schema)
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .parquet(partials_path)
+    )
+    ingest = _make_q474_epoch(partials_path)
+    ingest(orders.filter(F.col("o_orderkey") % 5 != 2), 0)
+    ingest(orders.filter(F.col("o_orderkey") % 5 == 2), 1)
+    return _drain_q474_stats(spark, partials_path, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q475 — clustering-depth metric (zone overlap per layout)
+# ---------------------------------------------------------------------------
+
+_Q475_FILES = 20
+_Q475_LAYOUT_KEYS = {
+    "l_shipday": "sd",
+    "zorder": "z",
+    "l_orderkey": "l_orderkey",  # the unclustered control
+}
+
+
+def _q475_oracle() -> str:
+    n_cells = 1 << _Q466_BITS
+    z = _q466_interleave("qx", "qy", "//")
+    zones = []
+    for layout, key in _Q475_LAYOUT_KEYS.items():
+        zones.append(f"""
+            SELECT '{layout}' AS layout, f.fid,
+                   MIN(f.sd) AS mn_sd, MAX(f.sd) AS mx_sd
+            FROM (
+                SELECT qz.*, ntile({_Q475_FILES}) OVER (
+                    ORDER BY qz.{key}, qz.l_orderkey, qz.l_linenumber
+                ) AS fid
+                FROM qz
+            ) f GROUP BY f.fid""")
+    return f"""
+        WITH li AS MATERIALIZED (
+            SELECT CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(l_shipdate AS DATE)) AS DOUBLE) AS sd,
+                   CAST(l_partkey AS DOUBLE) AS pk,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        st AS (
+            SELECT MIN(sd) AS mnsd, MAX(sd) AS mxsd,
+                   MIN(pk) AS mnpk, MAX(pk) AS mxpk
+            FROM li
+        ),
+        qz AS MATERIALIZED (
+            SELECT sd, pk, l_orderkey, l_linenumber, {z} AS z
+            FROM (
+                SELECT li.*,
+                       LEAST(CAST(FLOOR((sd - st.mnsd)
+                           / ((st.mxsd - st.mnsd) / {n_cells}.0))
+                           AS BIGINT), {n_cells - 1}) AS qx,
+                       LEAST(CAST(FLOOR((pk - st.mnpk)
+                           / ((st.mxpk - st.mnpk) / {n_cells}.0))
+                           AS BIGINT), {n_cells - 1}) AS qy
+                FROM li CROSS JOIN st
+            )
+        ),
+        zones AS MATERIALIZED ({" UNION ALL ".join(zones)}),
+        depth AS (
+            SELECT a.layout, a.fid,
+                   CAST(COUNT(*) AS BIGINT) AS d
+            FROM zones a JOIN zones b
+              ON a.layout = b.layout
+             AND a.mn_sd <= b.mx_sd AND a.mx_sd >= b.mn_sd
+            GROUP BY a.layout, a.fid
+        )
+        SELECT layout,
+               CAST({_Q475_FILES} AS BIGINT) AS n_files,
+               round(AVG(CAST(d AS DOUBLE)), 6) AS avg_overlap_depth,
+               CAST(MAX(d) AS BIGINT) AS max_overlap_depth
+        FROM depth GROUP BY layout
+    """
+
+
+@query("q475_clustering_depth_metric", oracle=_q475_oracle())
+def q475_clustering_depth_metric(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CLUSTERING-DEPTH metric a real OPTIMIZE reports (how many
+    files' zones overlap each file's zone on the query dimension —
+    depth 1 = perfectly clustered, depth = |files| = no clustering at
+    all): measured on the ship-day dimension for three layouts — the
+    ship-day sort (near-ideal, only boundary-day ties overlap), the
+    z-order layout (bounded widening: each file's day zone spans its
+    Morton region), and the orderkey layout (the unclustered control
+    where every file covers the whole day range — depth pinned at
+    {_Q475_FILES}). This is the maintenance trigger metric: recluster
+    when depth drifts up. Strict ordering ship-day < zorder <
+    orderkey pinned by test.
+
+    Scale shape: depth is a |files|² zone self-join per layout —
+    metadata-grain (the table format's stats), independent of data
+    size; layouts via :func:`exact_ntile`."""
+    n_cells = 1 << _Q466_BITS
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("double")
+        .alias("sd"),
+        F.col("l_partkey").cast("double").alias("pk"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    st = li.agg(
+        F.min("sd").alias("mnsd"), F.max("sd").alias("mxsd"),
+        F.min("pk").alias("mnpk"), F.max("pk").alias("mxpk"),
+    ).localCheckpoint()
+    quant = li.crossJoin(F.broadcast(st)).select(
+        "sd", "pk", "l_orderkey", "l_linenumber",
+        F.expr(
+            f"LEAST(CAST(FLOOR((sd - mnsd) / ((mxsd - mnsd) / {n_cells}.0))"
+            f" AS BIGINT), {n_cells - 1})"
+        ).alias("qx"),
+        F.expr(
+            f"LEAST(CAST(FLOOR((pk - mnpk) / ((mxpk - mnpk) / {n_cells}.0))"
+            f" AS BIGINT), {n_cells - 1})"
+        ).alias("qy"),
+    )
+    qz = quant.select(
+        "sd", "pk", "l_orderkey", "l_linenumber",
+        F.expr(_q466_interleave("qx", "qy", "DIV")).alias("z"),
+    ).localCheckpoint()
+    zones = []
+    for layout, key in _Q475_LAYOUT_KEYS.items():
+        zones.append(
+            exact_ntile(
+                qz, [key, "l_orderkey", "l_linenumber"], _Q475_FILES,
+                out_col="fid",
+            )
+            .groupBy("fid")
+            .agg(
+                F.min("sd").alias("mn_sd"), F.max("sd").alias("mx_sd")
+            )
+            .select(F.lit(layout).alias("layout"), "*")
+        )
+    zdf = zones[0]
+    for d in zones[1:]:
+        zdf = zdf.unionByName(d)
+    zdf = zdf.localCheckpoint()
+    b = zdf.select(
+        F.col("layout").alias("b_layout"),
+        F.col("mn_sd").alias("b_mn"),
+        F.col("mx_sd").alias("b_mx"),
+    )
+    depth = (
+        zdf.join(
+            F.broadcast(b),
+            (F.col("layout") == F.col("b_layout"))
+            & (F.col("mn_sd") <= F.col("b_mx"))
+            & (F.col("mx_sd") >= F.col("b_mn")),
+        )
+        .groupBy("layout", "fid")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return depth.groupBy("layout").agg(
+        F.lit(_Q475_FILES).cast("long").alias("n_files"),
+        F.round(F.avg(F.col("d").cast("double")), 6).alias(
+            "avg_overlap_depth"
+        ),
+        F.max("d").cast("long").alias("max_overlap_depth"),
+    )
+
+# ---------------------------------------------------------------------------
+# q476 — cache admission (hit-ranked prefix under a row budget)
+# ---------------------------------------------------------------------------
+
+_Q476_CAPACITY_SHARE = 0.25  # cache holds 25% of table rows
+
+
+def _q476_oracle() -> str:
+    preds = ", ".join(
+        f"({i}, '{c}', {flo}, {fhi})" for i, c, flo, fhi in _Q466_PREDS
+        if c == "sd"
+    )
+    return f"""
+        WITH li AS MATERIALIZED (
+            SELECT CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(l_shipdate AS DATE)) AS DOUBLE) AS sd,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        st AS (SELECT MIN(sd) AS mnsd, MAX(sd) AS mxsd,
+                      CAST(COUNT(*) AS BIGINT) AS n FROM li),
+        fl AS MATERIALIZED (
+            SELECT sd, ntile({_Q466_FILES}) OVER (
+                       ORDER BY sd, l_orderkey, l_linenumber) AS fid
+            FROM li
+        ),
+        zones AS (
+            SELECT fid, MIN(sd) AS mn_sd, MAX(sd) AS mx_sd,
+                   CAST(COUNT(*) AS BIGINT) AS rws
+            FROM fl GROUP BY fid
+        ),
+        pf(pid, col, flo, fhi) AS (VALUES {preds}),
+        hits AS (
+            SELECT z.fid, z.rws,
+                   CAST(SUM(CASE WHEN z.mn_sd <= st.mnsd
+                                      + p.fhi * (st.mxsd - st.mnsd)
+                                  AND z.mx_sd >= st.mnsd
+                                      + p.flo * (st.mxsd - st.mnsd)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS h
+            FROM zones z CROSS JOIN pf p CROSS JOIN st
+            GROUP BY z.fid, z.rws
+        ),
+        ranked AS (
+            SELECT fid, rws, h,
+                   COALESCE(SUM(rws) OVER (
+                       ORDER BY h DESC, fid
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_before
+            FROM hits
+        )
+        SELECT fid, rws AS file_rows, h AS workload_hits,
+               (cum_before + rws
+                <= CAST({_Q476_CAPACITY_SHARE} * st.n AS BIGINT))
+                   AS cached,
+               CAST(cum_before AS BIGINT) AS cum_rows_before
+        FROM ranked CROSS JOIN st
+    """
+
+
+@query("q476_cache_admission_plan", oracle=_q476_oracle())
+def q476_cache_admission_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHE ADMISSION for the scan layer (the disk-cache / buffer-pool
+    decision a lakehouse runtime makes): rank files by how many
+    workload predicates their zone serves (q466's ship-day pricing),
+    admit the hit-ranked prefix that fits a {_Q476_CAPACITY_SHARE:.0%}
+    row budget — frequency-greedy admission with a deterministic fid
+    tiebreak, the static Belady stand-in. Output is the per-file plan:
+    hits, rows, admitted or not, and the running total that justified
+    the cut (the prefix sum runs over the |files| metadata relation,
+    never the data).
+
+    Scale shape: one exact-ntile layout pass, one |files| × |preds|
+    broadcast pricing, one ≤|files|-row ordered prefix — the data is
+    scanned exactly once at any scale."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("double")
+        .alias("sd"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    st = li.agg(
+        F.min("sd").alias("mnsd"), F.max("sd").alias("mxsd"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).localCheckpoint()
+    zones = (
+        exact_ntile(li, ["sd", "l_orderkey", "l_linenumber"], _Q466_FILES,
+                    out_col="fid")
+        .groupBy("fid")
+        .agg(
+            F.min("sd").alias("mn_sd"), F.max("sd").alias("mx_sd"),
+            F.count(F.lit(1)).cast("long").alias("rws"),
+        )
+    )
+    pf = spark.createDataFrame(
+        [p for p in _Q466_PREDS if p[1] == "sd"],
+        "pid int, col string, flo double, fhi double",
+    )
+    hit = (
+        F.col("mn_sd")
+        <= F.col("mnsd") + F.col("fhi") * (F.col("mxsd") - F.col("mnsd"))
+    ) & (
+        F.col("mx_sd")
+        >= F.col("mnsd") + F.col("flo") * (F.col("mxsd") - F.col("mnsd"))
+    )
+    hits = (
+        zones.crossJoin(F.broadcast(pf))
+        .crossJoin(F.broadcast(st))
+        .select("fid", "rws", F.when(hit, 1).otherwise(0).alias("hh"))
+        .groupBy("fid", "rws")
+        .agg(F.sum("hh").cast("long").alias("h"))
+    )
+    from pyspark.sql import Window
+
+    # ≤|files| rows: the ordered prefix runs over file metadata only
+    w = Window.orderBy(F.desc("h"), F.asc("fid")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = hits.select(
+        "fid", "rws", "h",
+        F.coalesce(F.sum("rws").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return ranked.crossJoin(F.broadcast(st)).select(
+        "fid",
+        F.col("rws").alias("file_rows"),
+        F.col("h").alias("workload_hits"),
+        (
+            F.col("cum_before") + F.col("rws")
+            <= (F.lit(_Q476_CAPACITY_SHARE) * F.col("n")).cast("long")
+        ).alias("cached"),
+        F.col("cum_before").cast("long").alias("cum_rows_before"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q477 — int8 embedding quantization audit
+# ---------------------------------------------------------------------------
+
+_Q477_DIM = 64
+
+
+def _q477_dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_Q477_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _q477_oracle() -> str:
+    dot_qq = _q477_dot_sql("rq", "rq")
+    dot_ee = _q477_dot_sql("fe", "fe")
+    dot_qe = _q477_dot_sql("rq", "fe")
+    return f"""
+        WITH fl AS MATERIALIZED (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)) AS fe
+            FROM embeddings
+        ),
+        sc AS MATERIALIZED (
+            SELECT vec_id, label, fe,
+                   list_max(list_transform(fe, x -> abs(x))) / 127.0
+                       AS scale
+            FROM fl
+        ),
+        rq AS MATERIALIZED (
+            SELECT vec_id, label, fe, scale,
+                   list_transform(fe, x ->
+                       GREATEST(-127.0, LEAST(127.0,
+                           FLOOR(x / scale + 0.5))) * scale) AS rq
+            FROM sc WHERE scale > 0
+        ),
+        per_vec AS (
+            SELECT vec_id, label,
+                   round(({dot_qe}) / (sqrt({dot_qq}) * sqrt({dot_ee})),
+                         6) AS fidelity
+            FROM rq
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(MIN(fidelity) AS DOUBLE) AS min_fidelity,
+               round(CAST(SUM(CAST(fidelity AS DECIMAL(28,6)))
+                          AS DOUBLE) / COUNT(*), 6) AS avg_fidelity
+        FROM per_vec GROUP BY label
+    """
+
+
+@query("q477_int8_quantization_audit", oracle=_q477_oracle())
+def q477_int8_quantization_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INT8 symmetric quantization of the embedding corpus, audited —
+    the 4× storage/bandwidth cut every large-scale vector store takes
+    (per-vector absmax scale, values rounded to [-127, 127], stored as
+    one byte + one scale): reconstruct, measure per-vector cosine
+    fidelity against the original, and publish the per-label fidelity
+    envelope (min + exact-decimal mean). Rounding is spelled
+    FLOOR(x/scale + 0.5) in BOTH engines — identical double
+    arithmetic, no round-half-even ambiguity — and the dot products
+    are the established sequential folds, so the audit is
+    hash-exact cross-engine. High fidelity (>0.99 here) is what
+    licenses serving ANN from int8 — the q412 JL rung's storage
+    sibling.
+
+    Scale shape: one map pass per vector (JVM-side higher-order array
+    functions, no UDFs), one grouped rollup."""
+    e = read_table(spark, sf_dir, "embeddings")
+    fe = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sc = e.select(
+        "vec_id",
+        "label",
+        fe.alias("fe"),
+    ).withColumn(
+        "scale",
+        F.array_max(F.transform(F.col("fe"), F.abs)) / F.lit(127.0),
+    ).filter(F.col("scale") > 0)
+    rq = sc.withColumn(
+        "rq",
+        F.transform(
+            F.col("fe"),
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(x / F.col("scale") + 0.5)),
+            )
+            * F.col("scale"),
+        ),
+    )
+
+    def dot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    per_vec = rq.select(
+        "label",
+        F.round(
+            dot("rq", "fe") / (F.sqrt(dot("rq", "rq")) * F.sqrt(dot("fe", "fe"))),
+            6,
+        ).alias("fidelity"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("fidelity").cast("double").alias("min_fidelity"),
+        F.round(
+            F.sum(F.col("fidelity").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_fidelity"),
+    )
+
+# ---------------------------------------------------------------------------
+# q478 — the physical-design gate (q466 ∧ q467 ∧ q470 ∧ q475, fail-closed)
+# ---------------------------------------------------------------------------
+
+_Q478_AMP_MIN = 2.0   # scattered CoW write-amp above this ⇒ DVs advised
+_Q478_SKIP_MIN = 0.5  # the largest runtime filter must skip ≥ half
+
+
+def _q478_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    o466 = QUERIES["q466_zorder_layout_pricing"].oracle
+    o467 = QUERIES["q467_deletion_vector_pricing"].oracle
+    o470 = QUERIES["q470_runtime_filter_pricing"].oracle
+    o475 = QUERIES["q475_clustering_depth_metric"].oracle
+    m_max = max(_Q470_M_GRID)
+    return f"""
+        SELECT *,
+               (layout_gate AND delete_gate AND filter_gate
+                AND depth_gate) AS physical_design_go
+        FROM (
+            SELECT
+                (SELECT best FROM ({o466}) z
+                 WHERE z.layout = 'zorder') AS layout_gate,
+                (SELECT write_amplification FROM ({o467}) d
+                 WHERE d.delete_kind = 'scattered'
+                   AND d.strategy = 'copy_on_write')
+                    AS scattered_cow_amplification,
+                (SELECT write_amplification > {_Q478_AMP_MIN}
+                 FROM ({o467}) d
+                 WHERE d.delete_kind = 'scattered'
+                   AND d.strategy = 'copy_on_write') AS delete_gate,
+                (SELECT skipped_share FROM ({o470}) r
+                 WHERE r.m_bits = {m_max}) AS runtime_filter_skip_share,
+                (SELECT skipped_share >= {_Q478_SKIP_MIN}
+                 FROM ({o470}) r
+                 WHERE r.m_bits = {m_max}) AS filter_gate,
+                (SELECT a.avg_overlap_depth FROM ({o475}) a
+                 WHERE a.layout = 'zorder') AS depth_zorder,
+                (SELECT a.avg_overlap_depth FROM ({o475}) a
+                 WHERE a.layout = 'l_orderkey') AS depth_control,
+                (SELECT (SELECT a.avg_overlap_depth FROM ({o475}) a
+                         WHERE a.layout = 'zorder')
+                        < (SELECT a.avg_overlap_depth FROM ({o475}) a
+                           WHERE a.layout = 'l_orderkey')) AS depth_gate
+        ) g
+    """
+
+
+@query("q478_physical_design_gate", oracle=_q478_oracle())
+def q478_physical_design_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-12 physical-design family composed into ONE fail-closed
+    ship gate (the q430 discipline): the table's layout may ship iff
+    (1) z-order is the measured-best layout for the mixed workload
+    (q466), (2) scattered deletes really exhibit the write
+    amplification (> {_Q478_AMP_MIN}×) that justifies deletion vectors
+    (q467), (3) the largest runtime filter delivers at least a
+    {_Q478_SKIP_MIN:.0%} fact-scan skip (q470), and (4) the z-order
+    layout's clustering depth beats the unclustered control (q475).
+    Components' oracles are embedded verbatim so the gate cannot
+    drift from what it audits; any planted regression in any
+    component flips the verdict to NO-GO (fail-closed, pinned by
+    test with a tightened threshold).
+
+    Scale shape: four 1-row component verdicts combined by 1-row
+    crossJoins — the components carry all the data cost."""
+    z = q466_zorder_layout_pricing(spark, sf_dir).filter(
+        F.col("layout") == "zorder"
+    ).select(F.col("best").alias("layout_gate"))
+    d = q467_deletion_vector_pricing(spark, sf_dir).filter(
+        (F.col("delete_kind") == "scattered")
+        & (F.col("strategy") == "copy_on_write")
+    ).select(
+        F.col("write_amplification").alias("scattered_cow_amplification"),
+        (F.col("write_amplification") > _Q478_AMP_MIN).alias("delete_gate"),
+    )
+    r = q470_runtime_filter_pricing(spark, sf_dir).filter(
+        F.col("m_bits") == max(_Q470_M_GRID)
+    ).select(
+        F.col("skipped_share").alias("runtime_filter_skip_share"),
+        (F.col("skipped_share") >= _Q478_SKIP_MIN).alias("filter_gate"),
+    )
+    depths = q475_clustering_depth_metric(spark, sf_dir).localCheckpoint()
+    dz = depths.filter(F.col("layout") == "zorder").select(
+        F.col("avg_overlap_depth").alias("depth_zorder")
+    )
+    dc = depths.filter(F.col("layout") == "l_orderkey").select(
+        F.col("avg_overlap_depth").alias("depth_control")
+    )
+    g = (
+        z.crossJoin(d)
+        .crossJoin(r)
+        .crossJoin(dz)
+        .crossJoin(dc)
+        .withColumn(
+            "depth_gate", F.col("depth_zorder") < F.col("depth_control")
+        )
+    )
+    return g.select(
+        "layout_gate",
+        "scattered_cow_amplification",
+        "delete_gate",
+        "runtime_filter_skip_share",
+        "filter_gate",
+        "depth_zorder",
+        "depth_control",
+        "depth_gate",
+        (
+            F.col("layout_gate")
+            & F.col("delete_gate")
+            & F.col("filter_gate")
+            & F.col("depth_gate")
+        ).alias("physical_design_go"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q479 — erasure-compliance audit (the right-to-be-forgotten pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _q479_oracle() -> str:
+    return """
+        WITH req AS MATERIALIZED (
+            SELECT c_custkey FROM customer WHERE c_custkey % 53 = 7
+        ),
+        del_o AS (
+            SELECT o_orderkey FROM orders
+            JOIN req ON o_custkey = c_custkey
+        )
+        SELECT 'orders' AS table_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS rows_before,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM del_o)
+                   AS rows_to_delete,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                WHERE o.o_custkey IN (SELECT c_custkey FROM req)
+                  AND o.o_orderkey NOT IN
+                      (SELECT o_orderkey FROM del_o))
+                   AS rows_after_matching,
+               TRUE AS erasure_complete
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)),
+               CAST(0 AS BIGINT),
+               TRUE
+    """
+
+
+@query("q479_erasure_compliance_audit", oracle=_q479_oracle())
+def q479_erasure_compliance_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The RIGHT-TO-BE-FORGOTTEN pipeline, audited end-to-end: a
+    planted erasure-request set (every 53rd customer), the cascade
+    delete it implies (the customers' orders, those orders' line
+    items — referential erasure, not just the keyed rows), and the
+    compliance re-scan: after applying the anti-join deletes, NO row
+    matching any request may remain in either table
+    (rows_after_matching computed from the actually-deleted remainder
+    — zero by measurement, not by assumption). One row per table with
+    before/deleted/after counts; the J4 left-anti delete doing
+    governance work.
+
+    Scale shape: the request set broadcasts (tiny); deletes are
+    left-anti equi-joins; the compliance re-scan is a semi-join count
+    over the remainder — each fact table touched twice."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    req = cust.filter(F.col("c_custkey") % 53 == 7).select("c_custkey")
+    del_o = orders.join(
+        F.broadcast(req), orders.o_custkey == req.c_custkey
+    ).select("o_orderkey").localCheckpoint()
+    remaining_o = orders.join(F.broadcast(del_o), "o_orderkey", "left_anti")
+    remaining_l = li.join(
+        F.broadcast(del_o), li.l_orderkey == del_o.o_orderkey, "left_anti"
+    )
+    o_row = (
+        orders.agg(F.count(F.lit(1)).cast("long").alias("rows_before"))
+        .crossJoin(
+            del_o.agg(F.count(F.lit(1)).cast("long").alias("rows_to_delete"))
+        )
+        .crossJoin(
+            remaining_o.join(
+                F.broadcast(req),
+                remaining_o.o_custkey == req.c_custkey,
+                "left_semi",
+            ).agg(F.count(F.lit(1)).cast("long").alias("rows_after_matching"))
+        )
+        .select(
+            F.lit("orders").alias("table_name"),
+            "rows_before",
+            "rows_to_delete",
+            "rows_after_matching",
+            (F.col("rows_after_matching") == 0).alias("erasure_complete"),
+        )
+    )
+    l_row = (
+        li.agg(F.count(F.lit(1)).cast("long").alias("rows_before"))
+        .crossJoin(
+            li.join(
+                F.broadcast(del_o),
+                li.l_orderkey == del_o.o_orderkey,
+                "left_semi",
+            ).agg(F.count(F.lit(1)).cast("long").alias("rows_to_delete"))
+        )
+        .crossJoin(
+            remaining_l.join(
+                F.broadcast(del_o),
+                remaining_l.l_orderkey == del_o.o_orderkey,
+                "left_semi",
+            ).agg(F.count(F.lit(1)).cast("long").alias("rows_after_matching"))
+        )
+        .select(
+            F.lit("lineitem").alias("table_name"),
+            "rows_before",
+            "rows_to_delete",
+            "rows_after_matching",
+            (F.col("rows_after_matching") == 0).alias("erasure_complete"),
+        )
+    )
+    return o_row.unionByName(l_row)

@@ -435,3 +435,158 @@ def test_q473_stages_cover_and_order_the_corpus(spark):
     # char share increases with stage (longer docs later)
     shares = [r["char_share"] for r in rows]
     assert shares == sorted(shares)
+
+
+# ---------------------------------------------------------------------------
+# q474 — streaming stats: drain ≡ batch merge
+# ---------------------------------------------------------------------------
+
+
+def test_q474_drain_equals_batch_incremental_stats(spark):
+    got = sorted(
+        map(
+            tuple,
+            queries()["q474_streaming_stats_maintenance"](
+                spark, SMOKE_SF_DIR
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            queries()["q471_incremental_stats_maintenance"](
+                spark, SMOKE_SF_DIR
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_q474_replay_is_idempotent(spark):
+    """Re-delivering epoch 1's generation leaves the drain unchanged
+    (dynamic partition overwrite by epoch)."""
+    from databricks_etl_spark.plans.queries_round12 import (
+        _drain_q474_stats,
+        _make_q474_epoch,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+    from databricks_etl_spark.sources.writers import scratch_dir
+    import shutil
+
+    orders = read_table(spark, SMOKE_SF_DIR, "orders")
+    path = scratch_dir("stats_partials_replay_", key="test")
+    shutil.rmtree(path, ignore_errors=True)
+    schema = (
+        "column_name string, n long, mn double, mx double,"
+        " s decimal(38,6), nd long, __epoch int"
+    )
+    spark.createDataFrame([], schema).write.mode("overwrite").partitionBy(
+        "__epoch"
+    ).parquet(path)
+    ingest = _make_q474_epoch(path)
+    ingest(orders.filter(F.col("o_orderkey") % 5 != 2), 0)
+    ingest(orders.filter(F.col("o_orderkey") % 5 == 2), 1)
+    once = sorted(
+        map(tuple, _drain_q474_stats(spark, path, SMOKE_SF_DIR).collect())
+    )
+    ingest(orders.filter(F.col("o_orderkey") % 5 == 2), 1)  # replay
+    again = sorted(
+        map(tuple, _drain_q474_stats(spark, path, SMOKE_SF_DIR).collect())
+    )
+    assert once == again
+
+
+# ---------------------------------------------------------------------------
+# q475 — clustering depth: strict ordering of the three layouts
+# ---------------------------------------------------------------------------
+
+
+def test_q475_depth_orders_the_layouts(spark):
+    rows = {
+        r["layout"]: r
+        for r in queries()["q475_clustering_depth_metric"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    sd = rows["l_shipday"]["avg_overlap_depth"]
+    zo = rows["zorder"]["avg_overlap_depth"]
+    ok = rows["l_orderkey"]["avg_overlap_depth"]
+    assert sd < zo < ok
+    # the unclustered control: every file overlaps every file
+    assert rows["l_orderkey"]["max_overlap_depth"] == 20
+
+
+# ---------------------------------------------------------------------------
+# q476 — cache admission: prefix property and budget respected
+# ---------------------------------------------------------------------------
+
+
+def test_q476_admission_is_a_hit_ranked_prefix_under_budget(spark):
+    rows = sorted(
+        queries()["q476_cache_admission_plan"](spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: (-r["workload_hits"], r["fid"]),
+    )
+    assert len(rows) == 20
+    cached = [r["cached"] for r in rows]
+    # admitted set is a prefix of the hit-ranked order
+    first_out = cached.index(False) if False in cached else len(cached)
+    assert all(not c for c in cached[first_out:])
+    total = sum(r["file_rows"] for r in rows)
+    used = sum(r["file_rows"] for r in rows if r["cached"])
+    assert used <= 0.25 * total
+    assert used > 0
+
+
+# ---------------------------------------------------------------------------
+# q477 — int8 quantization keeps cosine fidelity high
+# ---------------------------------------------------------------------------
+
+
+def test_q477_fidelity_is_high_and_bounded(spark):
+    rows = queries()["q477_int8_quantization_audit"](
+        spark, SMOKE_SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.99 < r["min_fidelity"] <= 1.0
+        assert r["min_fidelity"] <= r["avg_fidelity"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# q478 — the physical-design gate is fail-closed
+# ---------------------------------------------------------------------------
+
+
+def test_q478_gate_go_and_fail_closed(spark, monkeypatch):
+    import databricks_etl_spark.plans.queries_round12 as r12
+
+    row = queries()["q478_physical_design_gate"](
+        spark, SMOKE_SF_DIR
+    ).collect()[0]
+    assert row["physical_design_go"]
+    assert row["layout_gate"] and row["delete_gate"]
+    assert row["filter_gate"] and row["depth_gate"]
+    # tighten the filter threshold past attainable: the gate must flip
+    monkeypatch.setattr(r12, "_Q478_SKIP_MIN", 1.01)
+    flipped = r12.q478_physical_design_gate(spark, SMOKE_SF_DIR).collect()[0]
+    assert not flipped["filter_gate"]
+    assert not flipped["physical_design_go"]
+
+
+# ---------------------------------------------------------------------------
+# q479 — erasure compliance: nothing matching a request survives
+# ---------------------------------------------------------------------------
+
+
+def test_q479_erasure_is_complete_and_cascaded(spark):
+    rows = {
+        r["table_name"]: r
+        for r in queries()["q479_erasure_compliance_audit"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert set(rows) == {"orders", "lineitem"}
+    for r in rows.values():
+        assert r["erasure_complete"]
+        assert r["rows_after_matching"] == 0
+        assert 0 < r["rows_to_delete"] < r["rows_before"]
