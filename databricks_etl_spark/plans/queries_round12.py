@@ -2560,3 +2560,822 @@ def q479_erasure_compliance_audit(
         )
     )
     return o_row.unionByName(l_row)
+
+# ---------------------------------------------------------------------------
+# Round-12b lanes (defer=True): landed after the round-12 window filled —
+# queued for the round-13 driver window, locally parity-proven meanwhile.
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# q480 — join-strategy cost matrix (broadcast / shuffle-hash / sort-merge)
+# ---------------------------------------------------------------------------
+
+_Q480_EXECUTORS = 32      # broadcast replicates the build side E times
+_Q480_SHUFFLE_OH = 20000  # per-shuffle stage overhead, row-equivalents
+_Q480_EDGES = [
+    ("nation_customer", "nation", "customer"),
+    ("customer_orders", "customer", "orders"),
+    ("orders_lineitem", "orders", "lineitem"),
+]
+
+
+def _q480_oracle() -> str:
+    edges = []
+    for name, build, probe in _Q480_EDGES:
+        edges.append(f"""
+            SELECT '{name}' AS edge,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM {build})
+                       AS n_build,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM {probe})
+                       AS n_probe""")
+    return f"""
+        WITH e AS MATERIALIZED ({" UNION ALL ".join(edges)}),
+        costs AS (
+            SELECT e.edge, e.n_build, e.n_probe,
+                   s.strategy,
+                   CASE s.strategy
+                        WHEN 'broadcast'
+                            THEN CAST(e.n_build * {_Q480_EXECUTORS}
+                                      AS BIGINT)
+                        WHEN 'shuffle_hash'
+                            THEN e.n_build + e.n_probe
+                                 + {_Q480_SHUFFLE_OH}
+                        ELSE e.n_build
+                             * CAST(CEIL(log2(GREATEST(e.n_build, 2)))
+                                    AS BIGINT)
+                             + e.n_probe
+                             * CAST(CEIL(log2(GREATEST(e.n_probe, 2)))
+                                    AS BIGINT)
+                             + {_Q480_SHUFFLE_OH}
+                   END AS est_cost
+            FROM e CROSS JOIN (
+                SELECT UNNEST(['broadcast', 'shuffle_hash', 'sort_merge'])
+                    AS strategy) s
+        )
+        SELECT edge, strategy, n_build, n_probe, est_cost,
+               est_cost = MIN(est_cost) OVER (PARTITION BY edge)
+                   AS chosen
+        FROM costs
+    """
+
+
+@query("q480_join_strategy_matrix", oracle=_q480_oracle(), defer=True)
+def q480_join_strategy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The physical-JOIN decision q436's broadcast threshold is one
+    axis of, priced as a full matrix: for every edge of the TPC-H
+    chain, cost broadcast (build side replicated to every executor,
+    NO shuffle stage — wins while E·|build| is under the stage
+    overhead a shuffle pays), shuffle-hash (both sides moved once +
+    the stage overhead), and sort-merge (shuffle + the log₂ sort
+    factor — the robustness fallback, never the cost minimum here and
+    the matrix shows why). The minimum flips exactly where it should:
+    the fixed-size dimension edge→broadcast, the fact-fact
+    edge→shuffle-hash (pinned by test). The log₂ is computed as
+    CEIL(log2(n)) on exact counts in both engines.
+
+    Scale shape: three 1-row count aggregates and a 9-row literal
+    matrix — the decision runs on stats, as it must."""
+    stats = []
+    for name, build, probe in _Q480_EDGES:
+        b = read_table(spark, sf_dir, build).count()
+        p = read_table(spark, sf_dir, probe).count()
+        stats.append((name, b, p))
+    e = spark.createDataFrame(stats, "edge string, n_build long, n_probe long")
+    s = spark.createDataFrame(
+        [("broadcast",), ("shuffle_hash",), ("sort_merge",)],
+        "strategy string",
+    )
+    lg = lambda c: F.ceil(F.log2(F.greatest(F.col(c), F.lit(2)))).cast("long")  # noqa: E731
+    cost = (
+        F.when(
+            F.col("strategy") == "broadcast",
+            F.col("n_build") * _Q480_EXECUTORS,
+        )
+        .when(
+            F.col("strategy") == "shuffle_hash",
+            F.col("n_build") + F.col("n_probe") + _Q480_SHUFFLE_OH,
+        )
+        .otherwise(
+            F.col("n_build") * lg("n_build")
+            + F.col("n_probe") * lg("n_probe")
+            + _Q480_SHUFFLE_OH
+        )
+        .cast("long")
+    )
+    costs = e.crossJoin(F.broadcast(s)).select(
+        "edge", "strategy", "n_build", "n_probe", cost.alias("est_cost")
+    ).localCheckpoint()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("edge")
+    return costs.select(
+        "*",
+        (F.col("est_cost") == F.min("est_cost").over(w)).alias("chosen"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q481 — partition-granularity advisor (day / month / year / none)
+# ---------------------------------------------------------------------------
+
+_Q481_OPEN = 50    # per-partition open/list overhead, row-equivalents
+_Q481_LIST = 2     # per-existing-partition metadata listing cost
+# workload: date ranges as fractions of the orderdate span
+_Q481_PREDS = [(1, 0.10, 0.12), (2, 0.50, 0.55), (3, 0.80, 0.81)]
+
+
+def _q481_grain_sql(g: str) -> str:
+    if g == "day":
+        return "CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)"
+    if g == "month":
+        return "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"
+    if g == "year":
+        return "CAST(year(o_orderdate) AS BIGINT)"
+    return "CAST(0 AS BIGINT)"
+
+
+def _q481_oracle() -> str:
+    preds = ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _Q481_PREDS)
+    grains = []
+    for g in ("day", "month", "year", "none"):
+        grains.append(f"""
+            SELECT '{g}' AS granularity, {_q481_grain_sql(g)} AS pt,
+                   CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS DOUBLE) AS d
+            FROM orders""")
+    return f"""
+        WITH rows_g AS MATERIALIZED (
+            {" UNION ALL ".join(grains)}
+        ),
+        st AS (SELECT MIN(d) AS mnd, MAX(d) AS mxd FROM rows_g
+               WHERE granularity = 'none'),
+        parts AS MATERIALIZED (
+            SELECT granularity, pt,
+                   CAST(COUNT(*) AS BIGINT) AS rws,
+                   MIN(d) AS mn_d, MAX(d) AS mx_d
+            FROM rows_g GROUP BY granularity, pt
+        ),
+        pf(pid, flo, fhi) AS (VALUES {preds}),
+        scan AS (
+            SELECT p.granularity,
+                   CAST(SUM(CASE WHEN p.mn_d <= st.mnd
+                                      + f.fhi * (st.mxd - st.mnd)
+                                  AND p.mx_d >= st.mnd
+                                      + f.flo * (st.mxd - st.mnd)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS parts_scanned,
+                   CAST(SUM(CASE WHEN p.mn_d <= st.mnd
+                                      + f.fhi * (st.mxd - st.mnd)
+                                  AND p.mx_d >= st.mnd
+                                      + f.flo * (st.mxd - st.mnd)
+                             THEN p.rws ELSE 0 END) AS BIGINT)
+                       AS rows_scanned
+            FROM parts p CROSS JOIN pf f CROSS JOIN st
+            GROUP BY p.granularity
+        ),
+        card AS (
+            SELECT granularity, CAST(COUNT(*) AS BIGINT) AS n_partitions
+            FROM parts GROUP BY granularity
+        ),
+        cost AS (
+            SELECT s.granularity, c.n_partitions, s.parts_scanned,
+                   s.rows_scanned,
+                   s.rows_scanned + {_Q481_OPEN} * s.parts_scanned
+                       + {_Q481_LIST} * c.n_partitions AS est_cost
+            FROM scan s JOIN card c ON s.granularity = c.granularity
+        )
+        SELECT granularity, n_partitions, parts_scanned, rows_scanned,
+               est_cost,
+               est_cost = (SELECT MIN(est_cost) FROM cost) AS best
+        FROM cost
+    """
+
+
+@query("q481_partition_granularity_advisor", oracle=_q481_oracle(), defer=True)
+def q481_partition_granularity_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Directory-partitioning GRANULARITY, priced end to end — the
+    decision behind `PARTITIONED BY (date_trunc(...))`: finer grains
+    prune harder (day scans only the predicate's days) but multiply
+    partition count (listing cost, small files); coarser grains list
+    cheaply but over-scan. The cost model charges rows scanned +
+    per-scanned-partition open overhead + per-existing-partition
+    listing — the three terms every lakehouse capacity doc warns
+    about. Predicates are range-fractions of the date span
+    (scale-free); the advisor must pick a middle grain — 'none' loses
+    on scan volume, 'day' loses on partition count (ordering pinned
+    by test).
+
+    Scale shape: one grouped pass per grain builds partition stats
+    (metadata); pricing is |partitions| × |preds| on those stats."""
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("double")
+    grain_exprs = {
+        "day": d.cast("long"),
+        "month": (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).cast("long"),
+        "year": F.year("o_orderdate").cast("long"),
+        "none": F.lit(0).cast("long"),
+    }
+    rows_g = None
+    for g, pt in grain_exprs.items():
+        part = orders.select(
+            F.lit(g).alias("granularity"), pt.alias("pt"), d.alias("d")
+        )
+        rows_g = part if rows_g is None else rows_g.unionByName(part)
+    st = orders.agg(
+        F.min(d).alias("mnd"), F.max(d).alias("mxd")
+    ).localCheckpoint()
+    parts = rows_g.groupBy("granularity", "pt").agg(
+        F.count(F.lit(1)).cast("long").alias("rws"),
+        F.min("d").alias("mn_d"),
+        F.max("d").alias("mx_d"),
+    ).localCheckpoint()
+    pf = spark.createDataFrame(
+        _Q481_PREDS, "pid int, flo double, fhi double"
+    )
+    hit = (
+        F.col("mn_d")
+        <= F.col("mnd") + F.col("fhi") * (F.col("mxd") - F.col("mnd"))
+    ) & (
+        F.col("mx_d")
+        >= F.col("mnd") + F.col("flo") * (F.col("mxd") - F.col("mnd"))
+    )
+    scan = (
+        parts.crossJoin(F.broadcast(pf))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "granularity",
+            F.when(hit, 1).otherwise(0).alias("ph"),
+            F.when(hit, F.col("rws")).otherwise(F.lit(0)).alias("rh"),
+        )
+        .groupBy("granularity")
+        .agg(
+            F.sum("ph").cast("long").alias("parts_scanned"),
+            F.sum("rh").cast("long").alias("rows_scanned"),
+        )
+    )
+    card = parts.groupBy("granularity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_partitions")
+    )
+    cost = scan.join(card, "granularity").select(
+        "granularity",
+        "n_partitions",
+        "parts_scanned",
+        "rows_scanned",
+        (
+            F.col("rows_scanned")
+            + _Q481_OPEN * F.col("parts_scanned")
+            + _Q481_LIST * F.col("n_partitions")
+        )
+        .cast("long")
+        .alias("est_cost"),
+    ).localCheckpoint()
+    best = cost.agg(F.min("est_cost").alias("mn"))
+    return cost.crossJoin(F.broadcast(best)).select(
+        "granularity",
+        "n_partitions",
+        "parts_scanned",
+        "rows_scanned",
+        "est_cost",
+        (F.col("est_cost") == F.col("mn")).alias("best"),
+    )
+
+# ---------------------------------------------------------------------------
+# q482 — target file-count sweep (pruning vs open-cost tradeoff)
+# ---------------------------------------------------------------------------
+
+_Q482_GRID = [5, 20, 80]
+_Q482_OPEN = 300  # per-file open/footer overhead in row-equivalents
+
+
+def _q482_oracle() -> str:
+    preds = ", ".join(
+        f"({i}, {flo}, {fhi})" for i, c, flo, fhi in _Q466_PREDS
+        if c == "sd"
+    )
+    per_k = []
+    for k in _Q482_GRID:
+        per_k.append(f"""
+            SELECT {k} AS n_files, z.fid, z.rws, z.mn_sd, z.mx_sd
+            FROM (
+                SELECT fid, CAST(COUNT(*) AS BIGINT) AS rws,
+                       MIN(sd) AS mn_sd, MAX(sd) AS mx_sd
+                FROM (
+                    SELECT sd, ntile({k}) OVER (
+                        ORDER BY sd, l_orderkey, l_linenumber) AS fid
+                    FROM li
+                ) GROUP BY fid
+            ) z""")
+    return f"""
+        WITH li AS MATERIALIZED (
+            SELECT CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(l_shipdate AS DATE)) AS DOUBLE) AS sd,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        st AS (SELECT MIN(sd) AS mnsd, MAX(sd) AS mxsd FROM li),
+        zones AS MATERIALIZED ({" UNION ALL ".join(per_k)}),
+        pf(pid, flo, fhi) AS (VALUES {preds}),
+        scan AS (
+            SELECT z.n_files,
+                   CAST(SUM(CASE WHEN z.mn_sd <= st.mnsd
+                                      + f.fhi * (st.mxsd - st.mnsd)
+                                  AND z.mx_sd >= st.mnsd
+                                      + f.flo * (st.mxsd - st.mnsd)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                       AS files_scanned,
+                   CAST(SUM(CASE WHEN z.mn_sd <= st.mnsd
+                                      + f.fhi * (st.mxsd - st.mnsd)
+                                  AND z.mx_sd >= st.mnsd
+                                      + f.flo * (st.mxsd - st.mnsd)
+                             THEN z.rws ELSE 0 END) AS BIGINT)
+                       AS rows_scanned
+            FROM zones z CROSS JOIN pf f CROSS JOIN st
+            GROUP BY z.n_files
+        ),
+        cost AS (
+            SELECT n_files, files_scanned, rows_scanned,
+                   rows_scanned + {_Q482_OPEN} * files_scanned AS est_cost
+            FROM scan
+        )
+        SELECT CAST(n_files AS INT) AS n_files, files_scanned,
+               rows_scanned, est_cost,
+               est_cost = (SELECT MIN(est_cost) FROM cost) AS best
+        FROM cost
+    """
+
+
+@query("q482_file_count_sweep", oracle=_q482_oracle(), defer=True)
+def q482_file_count_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TARGET FILE SIZE decision (q417 picks a row target; this
+    lane prices WHY): sweep the layout over {_Q482_GRID} equal-row
+    files and charge the ship-day workload rows-scanned plus a
+    per-file open/footer overhead. Finer files prune harder
+    (rows_scanned falls monotonically — pinned) but multiply opens;
+    the advisor picks the interior knee, which is exactly the
+    OPTIMIZE target-size dial. Layouts via :func:`exact_ntile`.
+
+    Scale shape: one distributed rank per grid point over the same
+    projected relation; pricing on |files| × |preds| metadata."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("double")
+        .alias("sd"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    st = li.agg(
+        F.min("sd").alias("mnsd"), F.max("sd").alias("mxsd")
+    ).localCheckpoint()
+    zones = None
+    for k in _Q482_GRID:
+        z = (
+            exact_ntile(li, ["sd", "l_orderkey", "l_linenumber"], k,
+                        out_col="fid")
+            .groupBy("fid")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("rws"),
+                F.min("sd").alias("mn_sd"),
+                F.max("sd").alias("mx_sd"),
+            )
+            .select(F.lit(k).alias("n_files"), "*")
+        )
+        zones = z if zones is None else zones.unionByName(z)
+    pf = spark.createDataFrame(
+        [(i, flo, fhi) for i, c, flo, fhi in _Q466_PREDS if c == "sd"],
+        "pid int, flo double, fhi double",
+    )
+    hit = (
+        F.col("mn_sd")
+        <= F.col("mnsd") + F.col("fhi") * (F.col("mxsd") - F.col("mnsd"))
+    ) & (
+        F.col("mx_sd")
+        >= F.col("mnsd") + F.col("flo") * (F.col("mxsd") - F.col("mnsd"))
+    )
+    cost = (
+        zones.crossJoin(F.broadcast(pf))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "n_files",
+            F.when(hit, 1).otherwise(0).alias("fh"),
+            F.when(hit, F.col("rws")).otherwise(F.lit(0)).alias("rh"),
+        )
+        .groupBy("n_files")
+        .agg(
+            F.sum("fh").cast("long").alias("files_scanned"),
+            F.sum("rh").cast("long").alias("rows_scanned"),
+        )
+        .select(
+            "*",
+            (F.col("rows_scanned") + _Q482_OPEN * F.col("files_scanned"))
+            .cast("long")
+            .alias("est_cost"),
+        )
+        .localCheckpoint()
+    )
+    best = cost.agg(F.min("est_cost").alias("mn"))
+    return cost.crossJoin(F.broadcast(best)).select(
+        F.col("n_files").cast("int").alias("n_files"),
+        "files_scanned",
+        "rows_scanned",
+        "est_cost",
+        (F.col("est_cost") == F.col("mn")).alias("best"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q483 — STREAMING erasure (q479's compliance maintained at ingest)
+# ---------------------------------------------------------------------------
+
+
+def _q483_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    return QUERIES["q479_erasure_compliance_audit"].oracle
+
+
+def _make_q483_epoch(partials_path: str):
+    """Epoch-idempotent erasure-request sink."""
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(partials_path)
+        )
+
+    return ingest
+
+
+def _drain_q483_audit(
+    spark: SparkSession, partials_path: str, sf_dir: str
+) -> DataFrame:
+    req = (
+        spark.read.schema("c_custkey long, __epoch int")
+        .parquet(partials_path)
+        .select("c_custkey")
+        .distinct()
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    del_o = orders.join(
+        F.broadcast(req), orders.o_custkey == req.c_custkey
+    ).select("o_orderkey").localCheckpoint()
+    remaining_o = orders.join(F.broadcast(del_o), "o_orderkey", "left_anti")
+    remaining_l = li.join(
+        F.broadcast(del_o), li.l_orderkey == del_o.o_orderkey, "left_anti"
+    )
+    o_row = (
+        orders.agg(F.count(F.lit(1)).cast("long").alias("rows_before"))
+        .crossJoin(
+            del_o.agg(F.count(F.lit(1)).cast("long").alias("rows_to_delete"))
+        )
+        .crossJoin(
+            remaining_o.join(
+                F.broadcast(req),
+                F.col("o_custkey") == req.c_custkey,
+                "left_semi",
+            ).agg(F.count(F.lit(1)).cast("long").alias("rows_after_matching"))
+        )
+        .select(
+            F.lit("orders").alias("table_name"),
+            "rows_before", "rows_to_delete", "rows_after_matching",
+            (F.col("rows_after_matching") == 0).alias("erasure_complete"),
+        )
+    )
+    l_row = (
+        li.agg(F.count(F.lit(1)).cast("long").alias("rows_before"))
+        .crossJoin(
+            li.join(
+                F.broadcast(del_o),
+                li.l_orderkey == del_o.o_orderkey,
+                "left_semi",
+            ).agg(F.count(F.lit(1)).cast("long").alias("rows_to_delete"))
+        )
+        .crossJoin(
+            remaining_l.join(
+                F.broadcast(del_o),
+                remaining_l.l_orderkey == del_o.o_orderkey,
+                "left_semi",
+            ).agg(F.count(F.lit(1)).cast("long").alias("rows_after_matching"))
+        )
+        .select(
+            F.lit("lineitem").alias("table_name"),
+            "rows_before", "rows_to_delete", "rows_after_matching",
+            (F.col("rows_after_matching") == 0).alias("erasure_complete"),
+        )
+    )
+    return o_row.unionByName(l_row)
+
+
+@query("q483_streaming_erasure", oracle=_q483_oracle(), defer=True)
+def q483_streaming_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q479's right-to-be-forgotten pipeline with erasure REQUESTS
+    arriving as a stream: each epoch delivers a slice of the request
+    set into the epoch-idempotent sink (requests are tombstones —
+    accumulating them is associative and replay-safe by construction),
+    and the drain applies the UNION of all accumulated requests
+    exactly as the batch lane does, then re-audits compliance.
+    Registered with q479's own oracle: the streaming request path must
+    produce the identical compliance card. Request dedup at drain
+    (DISTINCT) makes duplicate submissions — the common real-world
+    case — harmless.
+
+    Scale shape: per epoch the sink writes that batch's request keys
+    (tiny); the drain is q479's broadcast anti-join cascade."""
+    import shutil
+
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    cust = read_table(spark, sf_dir, "customer")
+    req = cust.filter(F.col("c_custkey") % 53 == 7).select("c_custkey")
+    partials_path = scratch_dir("erasure_partials_", key=sf_dir)
+    shutil.rmtree(partials_path, ignore_errors=True)
+    (
+        spark.createDataFrame([], "c_custkey long, __epoch int")
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .parquet(partials_path)
+    )
+    ingest = _make_q483_epoch(partials_path)
+    # two request batches split by key parity (plus an overlapping
+    # duplicate re-submission in epoch 1 — dedup must absorb it)
+    ingest(req.filter(F.col("c_custkey") % 2 == 0), 0)
+    ingest(req.filter((F.col("c_custkey") % 2 == 1)
+                      | (F.col("c_custkey") % 4 == 0)), 1)
+    return _drain_q483_audit(spark, partials_path, sf_dir)
+
+# ---------------------------------------------------------------------------
+# q484 — contrastive hard-negative mining
+# ---------------------------------------------------------------------------
+
+_Q484_QUERIES = 5
+_Q484_K = 3
+
+
+def _q484_oracle() -> str:
+    dot_qc = _q477_dot_sql("qe", "ce")
+    dot_qq = _q477_dot_sql("qe", "qe")
+    dot_cc = _q477_dot_sql("ce", "ce")
+    return f"""
+        WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                          embedding AS qe
+                   FROM embeddings WHERE vec_id < {_Q484_QUERIES}),
+        c AS (SELECT vec_id AS nid, label AS nlabel, embedding AS ce
+              FROM embeddings),
+        s AS (
+            SELECT qid, qlabel, nid, nlabel,
+                   round({dot_qc}
+                         / (sqrt({dot_qq}) * sqrt({dot_cc})), 6)
+                       AS cosine_sim
+            FROM q, c
+            WHERE qid <> nid AND qlabel <> nlabel
+        ),
+        r AS (
+            SELECT qid AS query_id, qlabel AS query_label,
+                   nid AS negative_id, nlabel AS negative_label,
+                   cosine_sim,
+                   row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY cosine_sim DESC, nid) AS rank
+            FROM s
+        )
+        SELECT query_id, query_label, negative_id, negative_label,
+               CAST(rank AS BIGINT) AS rank, cosine_sim
+        FROM r WHERE rank <= {_Q484_K}
+    """
+
+
+@query("q484_hard_negative_mining", oracle=_q484_oracle(), defer=True)
+def q484_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training — per query
+    vector, the top-{_Q484_K} most-similar vectors with a DIFFERENT
+    label (the negatives that actually teach the margin; random
+    negatives are too easy). The label-disagreement filter cuts the
+    candidate set BEFORE scoring, queries broadcast, and the per-query
+    window runs over already-scored candidates — q47's exact-cosine
+    discipline with the contrastive twist. Every mined negative's
+    label provably differs from its query's (pinned).
+
+    Scale shape: |queries| is small and broadcast; the corpus is
+    scanned once; at real scale the candidate set comes from the ANN
+    index (q384's cells) instead of the full scan — this exact form
+    is the oracle for that path."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "embeddings")
+    fe = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = e.filter(F.col("vec_id") < _Q484_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        fe.alias("qe"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        fe.alias("ce"),
+    )
+
+    def dot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    s = (
+        c.join(F.broadcast(q),
+               (F.col("qid") != F.col("nid"))
+               & (F.col("qlabel") != F.col("nlabel")))
+        .select(
+            "qid", "qlabel", "nid", "nlabel",
+            F.round(
+                dot("qe", "ce")
+                / (F.sqrt(dot("qe", "qe")) * F.sqrt(dot("ce", "ce"))),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine_sim"), F.asc("nid")
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _Q484_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlabel").alias("query_label"),
+            F.col("nid").alias("negative_id"),
+            F.col("nlabel").alias("negative_label"),
+            F.col("rank").cast("long").alias("rank"),
+            "cosine_sim",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q485 — two-level metadata pruning (manifest list → manifests → files)
+# ---------------------------------------------------------------------------
+
+_Q485_PREDS = [(1, 0.10, 0.12), (2, 0.50, 0.52), (3, 0.87, 0.88)]
+
+
+def _q485_oracle() -> str:
+    preds = ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _Q485_PREDS)
+    return f"""
+        WITH days AS MATERIALIZED (
+            SELECT CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                        AS BIGINT) AS mf
+            FROM orders
+        ),
+        st AS (SELECT CAST(MIN(d) AS DOUBLE) AS mnd,
+                      CAST(MAX(d) AS DOUBLE) AS mxd FROM days),
+        files AS MATERIALIZED (
+            SELECT mf, d, CAST(COUNT(*) AS BIGINT) AS rws
+            FROM days GROUP BY mf, d
+        ),
+        manifests AS MATERIALIZED (
+            SELECT mf, MIN(d) AS mn_d, MAX(d) AS mx_d,
+                   CAST(COUNT(*) AS BIGINT) AS n_files
+            FROM files GROUP BY mf
+        ),
+        pf(pid, flo, fhi) AS (VALUES {preds}),
+        pr AS (
+            SELECT pid, st.mnd + flo * (st.mxd - st.mnd) AS lo,
+                   st.mnd + fhi * (st.mxd - st.mnd) AS hi
+            FROM pf CROSS JOIN st
+        ),
+        mhit AS (
+            SELECT p.pid,
+                   CAST(COUNT(*) AS BIGINT) AS manifests_checked,
+                   CAST(SUM(CASE WHEN m.mn_d <= p.hi AND m.mx_d >= p.lo
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                       AS manifests_hit,
+                   CAST(SUM(CASE WHEN m.mn_d <= p.hi AND m.mx_d >= p.lo
+                             THEN m.n_files ELSE 0 END) AS BIGINT)
+                       AS files_checked_two_level
+            FROM pr p CROSS JOIN manifests m
+            GROUP BY p.pid
+        ),
+        fhit AS (
+            SELECT p.pid,
+                   CAST(COUNT(*) AS BIGINT) AS files_checked_flat,
+                   CAST(SUM(CASE WHEN f.d <= p.hi AND f.d >= p.lo
+                             THEN 1 ELSE 0 END) AS BIGINT) AS files_hit
+            FROM pr p CROSS JOIN files f
+            GROUP BY p.pid
+        )
+        SELECT m.pid AS pred_id, m.manifests_checked, m.manifests_hit,
+               f.files_checked_flat, m.files_checked_two_level,
+               f.files_hit,
+               round(1.0 - CAST(m.manifests_checked
+                                + m.files_checked_two_level AS DOUBLE)
+                     / f.files_checked_flat, 6) AS metadata_read_saving
+        FROM mhit m JOIN fhit f ON m.pid = f.pid
+    """
+
+
+@query("q485_two_level_metadata_pruning", oracle=_q485_oracle(), defer=True)
+def q485_two_level_metadata_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO-LEVEL metadata pruning — the Iceberg manifest-list →
+    manifest → file hierarchy, priced against a flat file listing: one
+    file per (month, day) with day-grain zones, one manifest per month
+    carrying the covering day range. A narrow date predicate checks
+    every manifest (~80 metadata rows) but opens only the surviving
+    manifests' file entries — vs the flat layout's every-file check
+    (~2,400). The per-predicate card reports both costs and the
+    metadata-read saving (>90% on narrow predicates — pinned), plus
+    the true file hit count two-level pruning must not lose (superset
+    containment pinned by test).
+
+    Scale shape: pure metadata arithmetic at every scale — at 100 TB
+    this hierarchy is exactly why planning stays sub-second while the
+    flat listing would be a GB-scale scan."""
+    orders = read_table(spark, sf_dir, "orders")
+    days = orders.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mf"),
+    )
+    st = days.agg(
+        F.min("d").cast("double").alias("mnd"),
+        F.max("d").cast("double").alias("mxd"),
+    ).localCheckpoint()
+    files = days.groupBy("mf", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("rws")
+    ).localCheckpoint()
+    manifests = files.groupBy("mf").agg(
+        F.min("d").alias("mn_d"),
+        F.max("d").alias("mx_d"),
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+    )
+    pf = spark.createDataFrame(
+        _Q485_PREDS, "pid int, flo double, fhi double"
+    )
+    pr = pf.crossJoin(F.broadcast(st)).select(
+        "pid",
+        (F.col("mnd") + F.col("flo") * (F.col("mxd") - F.col("mnd"))).alias(
+            "lo"
+        ),
+        (F.col("mnd") + F.col("fhi") * (F.col("mxd") - F.col("mnd"))).alias(
+            "hi"
+        ),
+    ).localCheckpoint()
+    mh = (F.col("mn_d") <= F.col("hi")) & (F.col("mx_d") >= F.col("lo"))
+    mhit = (
+        manifests.crossJoin(F.broadcast(pr))
+        .select(
+            "pid",
+            F.when(mh, 1).otherwise(0).alias("h"),
+            F.when(mh, F.col("n_files")).otherwise(F.lit(0)).alias("fc"),
+        )
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("manifests_checked"),
+            F.sum("h").cast("long").alias("manifests_hit"),
+            F.sum("fc").cast("long").alias("files_checked_two_level"),
+        )
+    )
+    fh = (F.col("d") <= F.col("hi")) & (F.col("d") >= F.col("lo"))
+    fhit = (
+        files.crossJoin(F.broadcast(pr))
+        .select("pid", F.when(fh, 1).otherwise(0).alias("h"))
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_checked_flat"),
+            F.sum("h").cast("long").alias("files_hit"),
+        )
+    )
+    return mhit.join(fhit, "pid").select(
+        F.col("pid").alias("pred_id"),
+        "manifests_checked",
+        "manifests_hit",
+        "files_checked_flat",
+        "files_checked_two_level",
+        "files_hit",
+        F.round(
+            1.0
+            - (
+                F.col("manifests_checked") + F.col("files_checked_two_level")
+            ).cast("double")
+            / F.col("files_checked_flat"),
+            6,
+        ).alias("metadata_read_saving"),
+    )

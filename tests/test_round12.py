@@ -590,3 +590,110 @@ def test_q479_erasure_is_complete_and_cascaded(spark):
         assert r["erasure_complete"]
         assert r["rows_after_matching"] == 0
         assert 0 < r["rows_to_delete"] < r["rows_before"]
+
+
+# ---------------------------------------------------------------------------
+# round-12b deferred lanes
+# ---------------------------------------------------------------------------
+
+
+def test_q480_strategy_flips_where_it_should(spark):
+    rows = {
+        (r["edge"], r["strategy"]): r
+        for r in queries()["q480_join_strategy_matrix"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert len(rows) == 9
+    # fixed-size dimension edge: broadcast; fact-fact edge: shuffle-hash
+    assert rows[("nation_customer", "broadcast")]["chosen"]
+    assert rows[("orders_lineitem", "shuffle_hash")]["chosen"]
+    # exactly one strategy chosen per edge
+    for edge in ("nation_customer", "customer_orders", "orders_lineitem"):
+        assert (
+            sum(1 for (e, s), r in rows.items() if e == edge and r["chosen"])
+            == 1
+        )
+    # sort-merge never the cost minimum (shuffle + the log factor)
+    assert not any(
+        r["chosen"] for (e, s), r in rows.items() if s == "sort_merge"
+    )
+
+
+def test_q481_advisor_picks_an_interior_grain(spark):
+    rows = {
+        r["granularity"]: r
+        for r in queries()["q481_partition_granularity_advisor"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert set(rows) == {"day", "month", "year", "none"}
+    best = [g for g, r in rows.items() if r["best"]]
+    assert best and best[0] in ("month", "year")  # interior, never extremes
+    assert not rows["none"]["best"] and not rows["day"]["best"]
+    # pruning monotone: finer grain never scans MORE rows
+    assert (
+        rows["day"]["rows_scanned"]
+        <= rows["month"]["rows_scanned"]
+        <= rows["year"]["rows_scanned"]
+        <= rows["none"]["rows_scanned"]
+    )
+
+
+def test_q482_rows_scanned_monotone_in_file_count(spark):
+    rows = sorted(
+        queries()["q482_file_count_sweep"](spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r["n_files"],
+    )
+    scanned = [r["rows_scanned"] for r in rows]
+    assert scanned == sorted(scanned, reverse=True)
+    assert sum(1 for r in rows if r["best"]) >= 1
+
+
+def test_q483_streaming_requests_equal_batch_audit(spark):
+    got = sorted(
+        map(
+            tuple,
+            queries()["q483_streaming_erasure"](
+                spark, SMOKE_SF_DIR
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            queries()["q479_erasure_compliance_audit"](
+                spark, SMOKE_SF_DIR
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_q484_negatives_have_different_labels_and_rank_correctly(spark):
+    rows = queries()["q484_hard_negative_mining"](
+        spark, SMOKE_SF_DIR
+    ).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["query_label"] != r["negative_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["cosine_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_q485_two_level_saves_metadata_and_loses_no_files(spark):
+    rows = queries()["q485_two_level_metadata_pruning"](
+        spark, SMOKE_SF_DIR
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        # pruning soundness: surviving manifests cover every hit file
+        assert r["files_checked_two_level"] >= r["files_hit"]
+        # and reading manifests first is much cheaper than flat listing
+        assert r["metadata_read_saving"] > 0.5
+        assert r["manifests_hit"] <= r["manifests_checked"]
