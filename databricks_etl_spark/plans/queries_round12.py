@@ -431,20 +431,21 @@ def _drain_q463_asof(
 @query("q463_streaming_asof_restore", oracle=_q463_oracle())
 def q463_streaming_asof_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME TRAVEL maintained AT INGEST (the r11-verdict builder's
-    idea): the q443 action log arrives as commit-grain micro-batches
-    into the epoch-idempotent partials sink (dynamic partition
-    overwrite by epoch — a replayed commit overwrites its own
-    partition), and the drain reconstructs the AS-OF snapshot for
-    every version exactly as the batch lane does: adds up to v
-    anti-joined against removes up to v, version grid broadcast.
-    Tombstones are data, so the per-version fold is associative across
-    epochs by construction — an add and its remove meet at drain time
-    no matter which epoch delivered each. Registered with q443's own
+    idea): the q443 action log is STAGED as one parquet file per
+    commit and consumed by a REAL Structured Streaming query
+    (``readStream`` + ``maxFilesPerTrigger=1`` + availableNow — the
+    q421 discipline), each micro-batch landing its actions in the
+    epoch-idempotent partials sink (dynamic partition overwrite by
+    epoch — a replayed commit overwrites its own partition). The drain
+    reconstructs the AS-OF snapshot for every version exactly as the
+    batch lane does: adds up to v anti-joined against removes up to v,
+    version grid broadcast. Tombstones are data, so the per-version
+    fold is associative across epochs by construction — an add and
+    its remove meet at drain time no matter which micro-batch
+    delivered each, which is why the lane is slicing-invariant (pinned
+    alongside commit replay, like q453). Registered with q443's own
     oracle: the streaming path must reproduce the batch time-travel
-    answer bit-for-bit; slicing invariance and commit replay are
-    pinned like q453's (cites reference transform.py:1-60's
-    batch-append model — this is the streaming upgrade the reference
-    never had).
+    answer bit-for-bit.
 
     Scale shape: per epoch the sink writes one commit's file-grain
     actions; the drain is |versions| broadcast-grid anti-joins over
@@ -454,8 +455,16 @@ def q463_streaming_asof_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databricks_etl_spark.sources.writers import scratch_dir
 
     log = _version_log(spark, sf_dir)
-    partials_path = scratch_dir("asof_partials_", key=sf_dir)
-    shutil.rmtree(partials_path, ignore_errors=True)
+    root = scratch_dir("asof_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    stage_path = f"{root}/staged"
+    partials_path = f"{root}/partials"
+    # one file per commit: the staged stand-in for the commit stream
+    (
+        log.repartition(1, "version")
+        .write.partitionBy("version")
+        .parquet(stage_path)
+    )
     schema = "version int, action string, file_id long, rws long, __epoch int"
     (
         spark.createDataFrame([], schema)
@@ -463,9 +472,20 @@ def q463_streaming_asof_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("__epoch")
         .parquet(partials_path)
     )
-    ingest = _make_q463_epoch(partials_path)
-    for epoch, version in enumerate(_Q443_VERSIONS):
-        ingest(log.filter(F.col("version") == version), epoch)
+    stream = (
+        spark.readStream.schema(
+            "action string, file_id long, rws long, version int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_make_q463_epoch(partials_path))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
     return _drain_q463_asof(spark, partials_path, sf_dir)
 
 
@@ -3097,20 +3117,41 @@ def q483_streaming_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = read_table(spark, sf_dir, "customer")
     req = cust.filter(F.col("c_custkey") % 53 == 7).select("c_custkey")
-    partials_path = scratch_dir("erasure_partials_", key=sf_dir)
-    shutil.rmtree(partials_path, ignore_errors=True)
+    root = scratch_dir("erasure_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    stage_path = f"{root}/staged"
+    partials_path = f"{root}/partials"
+    # two request batches split by key parity, plus an overlapping
+    # duplicate re-submission staged with batch 1 — dedup must absorb
+    # it; staged one file per batch and consumed by a REAL stream
+    # (readStream + maxFilesPerTrigger=1 + availableNow)
+    batches = req.withColumn(
+        "b",
+        F.when(F.col("c_custkey") % 2 == 0, 0).otherwise(1),
+    ).unionByName(
+        req.filter(F.col("c_custkey") % 4 == 0).withColumn("b", F.lit(1))
+    )
+    batches.repartition(1, "b").write.partitionBy("b").parquet(stage_path)
     (
         spark.createDataFrame([], "c_custkey long, __epoch int")
         .write.mode("overwrite")
         .partitionBy("__epoch")
         .parquet(partials_path)
     )
+    stream = (
+        spark.readStream.schema("c_custkey long, b int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_path)
+    )
     ingest = _make_q483_epoch(partials_path)
-    # two request batches split by key parity (plus an overlapping
-    # duplicate re-submission in epoch 1 — dedup must absorb it)
-    ingest(req.filter(F.col("c_custkey") % 2 == 0), 0)
-    ingest(req.filter((F.col("c_custkey") % 2 == 1)
-                      | (F.col("c_custkey") % 4 == 0)), 1)
+    q = (
+        stream.select("c_custkey")
+        .writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
     return _drain_q483_audit(spark, partials_path, sf_dir)
 
 # ---------------------------------------------------------------------------
