@@ -2446,10 +2446,10 @@ def q478_physical_design_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_overlap_depth").alias("depth_control")
     )
     g = (
-        z.crossJoin(d)
-        .crossJoin(r)
-        .crossJoin(dz)
-        .crossJoin(dc)
+        z.crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(r))
+        .crossJoin(F.broadcast(dz))
+        .crossJoin(F.broadcast(dc))
         .withColumn(
             "depth_gate", F.col("depth_zorder") < F.col("depth_control")
         )
