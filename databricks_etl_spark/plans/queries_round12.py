@@ -3420,3 +3420,254 @@ def q485_two_level_metadata_pruning(
             6,
         ).alias("metadata_read_saving"),
     )
+
+# ---------------------------------------------------------------------------
+# q486 — referential-integrity audit (every TPC-H FK edge)
+# ---------------------------------------------------------------------------
+
+_Q486_EDGES = [
+    ("orders.o_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey", "orders",
+     "o_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey", "supplier",
+     "s_suppkey"),
+    ("customer.c_nationkey", "customer", "c_nationkey", "nation",
+     "n_nationkey"),
+    ("supplier.s_nationkey", "supplier", "s_nationkey", "nation",
+     "n_nationkey"),
+    ("nation.n_regionkey", "nation", "n_regionkey", "region",
+     "r_regionkey"),
+]
+
+
+def _q486_oracle() -> str:
+    rows = []
+    for edge, child, ck, parent, pk in _Q486_EDGES:
+        rows.append(f"""
+            SELECT '{edge}' AS fk_edge,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM {child})
+                       AS child_rows,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+                    WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                      WHERE p.{pk} = c.{ck}))
+                       AS orphan_rows,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM {parent})
+                       = (SELECT CAST(COUNT(DISTINCT {pk}) AS BIGINT)
+                          FROM {parent}) AS parent_key_unique""")
+    return f"""
+        SELECT fk_edge, child_rows, orphan_rows, parent_key_unique,
+               (orphan_rows = 0 AND parent_key_unique)
+                   AS integrity_holds
+        FROM ({" UNION ALL ".join(rows)}) t
+    """
+
+
+@query("q486_referential_integrity_audit", oracle=_q486_oracle(), defer=True)
+def q486_referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Referential integrity across EVERY foreign-key edge of the
+    schema — the schema-level completion of the q33 row-level
+    integrity family, and the precondition ledger for optimizer
+    rewrites (q488's join elimination is licensed exactly by these
+    rows): per edge, the child row count, the orphan count (children
+    whose key misses the parent — left-anti), and the parent-key
+    uniqueness flag; ``integrity_holds`` is their conjunction. All
+    seven edges hold on the generated data — the point is the audit
+    machinery, which is what a catalog would run before trusting a
+    declared-but-unenforced constraint.
+
+    Scale shape: one anti-join per edge (the dimension sides
+    broadcast; the two lineitem edges shuffle on their key once) and
+    one distinct-count per parent."""
+    out = None
+    for edge, child, ck, parent, pk in _Q486_EDGES:
+        c = read_table(spark, sf_dir, child)
+        p = read_table(spark, sf_dir, parent)
+        orphans = c.join(p, c[ck] == p[pk], "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("orphan_rows")
+        )
+        stats = (
+            c.agg(F.count(F.lit(1)).cast("long").alias("child_rows"))
+            .crossJoin(F.broadcast(orphans))
+            .crossJoin(
+                F.broadcast(
+                    p.agg(
+                        (
+                            F.count(F.lit(1)) == F.countDistinct(pk)
+                        ).alias("parent_key_unique")
+                    )
+                )
+            )
+            .select(
+                F.lit(edge).alias("fk_edge"),
+                "child_rows",
+                "orphan_rows",
+                "parent_key_unique",
+                (
+                    (F.col("orphan_rows") == 0) & F.col("parent_key_unique")
+                ).alias("integrity_holds"),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q487 — functional-dependency discovery
+# ---------------------------------------------------------------------------
+
+_Q487_PAIRS = [
+    # (determinant, dependent) candidates over orders — the first two
+    # hold by construction (key determines everything), the rest fail
+    ("o_orderkey", "o_custkey"),
+    ("o_orderkey", "o_orderpriority"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+]
+
+
+def _q487_oracle() -> str:
+    rows = []
+    for a, b in _Q487_PAIRS:
+        rows.append(f"""
+            SELECT '{a}' AS determinant, '{b}' AS dependent,
+                   (SELECT CAST(COUNT(DISTINCT {a}) AS BIGINT)
+                    FROM orders) AS n_groups,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                        SELECT {a} FROM orders
+                        GROUP BY {a}
+                        HAVING COUNT(DISTINCT {b}) > 1) v)
+                       AS violating_groups""")
+    return f"""
+        SELECT determinant, dependent, n_groups, violating_groups,
+               violating_groups = 0 AS fd_holds
+        FROM ({" UNION ALL ".join(rows)}) t
+    """
+
+
+@query("q487_functional_dependency_discovery", oracle=_q487_oracle(),
+       defer=True)
+def q487_functional_dependency_discovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency DISCOVERY over candidate column pairs —
+    the profiling pass behind normalization advice, key inference and
+    optimizer decorrelation: A→B holds iff no A-group carries more
+    than one distinct B. The candidate list plants both outcomes: the
+    key determines everything (holds), while customer→priority and
+    priority→status fail on real data (a customer places orders of
+    many priorities; a priority class spans every status). Violations
+    are counted at
+    group grain (how many determinant values break the FD), which is
+    the actionable number — a near-FD with 3 violating groups is a
+    data-quality lead, not a modeling fact.
+
+    Scale shape: one grouped countDistinct per pair (map-combined);
+    pairs share the single orders scan per group-by key."""
+    orders = read_table(spark, sf_dir, "orders")
+    out = None
+    for a, b in _Q487_PAIRS:
+        viol = (
+            orders.groupBy(a)
+            .agg(F.countDistinct(b).alias("nb"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("nb") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("violating_groups"),
+            )
+            .select(
+                F.lit(a).alias("determinant"),
+                F.lit(b).alias("dependent"),
+                "n_groups",
+                "violating_groups",
+                (F.col("violating_groups") == 0).alias("fd_holds"),
+            )
+        )
+        out = viol if out is None else out.unionByName(viol)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q488 — join-elimination advisor (the rewrite q486 licenses)
+# ---------------------------------------------------------------------------
+
+
+def _q488_oracle() -> str:
+    return """
+        WITH with_join AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        without_join AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        ),
+        pre AS (
+            SELECT
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) = 0
+                    AS fk_integrity,
+                (SELECT COUNT(*) = COUNT(DISTINCT c_custkey)
+                 FROM customer) AS pk_unique
+        )
+        SELECT w.n AS rows_with_join, wo.n AS rows_without_join,
+               p.fk_integrity, p.pk_unique,
+               (p.fk_integrity AND p.pk_unique) AS eliminable,
+               (w.n = wo.n) AS rewrite_verified
+        FROM with_join w CROSS JOIN without_join wo CROSS JOIN pre p
+    """
+
+
+@query("q488_join_elimination_advisor", oracle=_q488_oracle(), defer=True)
+def q488_join_elimination_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JOIN ELIMINATION, proven before it's advised — the optimizer
+    rewrite real engines ship behind RELY constraints: a query that
+    joins orders→customer but reads only orders columns can DROP the
+    join iff every order has exactly one matching customer, i.e. FK
+    integrity (no orphans) ∧ parent-key uniqueness — precisely
+    q486's ledger entries, recomputed here as the rewrite's
+    preconditions. The lane then VERIFIES the rewrite the expensive
+    way (row count with the join == row count without — the check the
+    advisor makes unnecessary) so ``eliminable`` and
+    ``rewrite_verified`` must agree, and a planted orphan breaks both
+    (tested).
+
+    Scale shape: the preconditions are one anti-join + one
+    distinct-count (metadata-cheap vs the join they retire); the
+    verification join exists only to prove the advisor right."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    with_join = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).agg(F.count(F.lit(1)).cast("long").alias("rows_with_join"))
+    without_join = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("rows_without_join")
+    )
+    fk = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    ).agg((F.count(F.lit(1)) == 0).alias("fk_integrity"))
+    pk = cust.agg(
+        (F.count(F.lit(1)) == F.countDistinct("c_custkey")).alias(
+            "pk_unique"
+        )
+    )
+    return (
+        with_join.crossJoin(F.broadcast(without_join))
+        .crossJoin(F.broadcast(fk))
+        .crossJoin(F.broadcast(pk))
+        .select(
+            "rows_with_join",
+            "rows_without_join",
+            "fk_integrity",
+            "pk_unique",
+            (F.col("fk_integrity") & F.col("pk_unique")).alias("eliminable"),
+            (F.col("rows_with_join") == F.col("rows_without_join")).alias(
+                "rewrite_verified"
+            ),
+        )
+    )

@@ -697,3 +697,49 @@ def test_q485_two_level_saves_metadata_and_loses_no_files(spark):
         # and reading manifests first is much cheaper than flat listing
         assert r["metadata_read_saving"] > 0.5
         assert r["manifests_hit"] <= r["manifests_checked"]
+
+
+def test_q486_all_edges_hold_and_orphan_math_is_real(spark, tmp_path):
+    rows = queries()["q486_referential_integrity_audit"](
+        spark, SMOKE_SF_DIR
+    ).collect()
+    assert len(rows) == 7
+    assert all(r["integrity_holds"] for r in rows)
+    assert all(r["orphan_rows"] == 0 for r in rows)
+    # the detector is real: a planted orphan is counted
+    child = spark.createDataFrame([(1,), (2,), (99,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,)], "p long")
+    orphans = child.join(parent, child.k == parent.p, "left_anti").count()
+    assert orphans == 1
+
+
+def test_q487_plants_both_outcomes(spark):
+    rows = {
+        (r["determinant"], r["dependent"]): r
+        for r in queries()["q487_functional_dependency_discovery"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert rows[("o_orderkey", "o_custkey")]["fd_holds"]
+    assert rows[("o_orderkey", "o_orderpriority")]["fd_holds"]
+    assert not rows[("o_custkey", "o_orderpriority")]["fd_holds"]
+    assert not rows[("o_orderpriority", "o_orderstatus")]["fd_holds"]
+    # violating_groups never exceeds group count
+    for r in rows.values():
+        assert 0 <= r["violating_groups"] <= r["n_groups"]
+
+
+def test_q488_advisor_agrees_with_verification_and_fails_on_orphans(spark):
+    row = queries()["q488_join_elimination_advisor"](
+        spark, SMOKE_SF_DIR
+    ).collect()[0]
+    assert row["eliminable"] and row["rewrite_verified"]
+    assert row["rows_with_join"] == row["rows_without_join"]
+    # counterfactual: an orphaned child breaks BOTH the preconditions
+    # and the verification, in the same direction
+    o = spark.createDataFrame([(1, 10), (2, 20), (3, 99)], "ok long, ck long")
+    c = spark.createDataFrame([(10,), (20,)], "k long")
+    fk_ok = o.join(c, o.ck == c.k, "left_anti").count() == 0
+    with_j = o.join(c, o.ck == c.k).count()
+    assert not fk_ok
+    assert with_j != o.count()
