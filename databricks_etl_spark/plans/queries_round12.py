@@ -3671,3 +3671,157 @@ def q488_join_elimination_advisor(
             ),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q489 — optimizer datasheet (the round-12 decision surfaces on one card)
+# ---------------------------------------------------------------------------
+
+
+def _q489_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    o462 = QUERIES["q462_joint_grid_join_order"].oracle
+    o468 = QUERIES["q468_mv_lattice_selection"].oracle
+    o480 = QUERIES["q480_join_strategy_matrix"].oracle
+    o488 = QUERIES["q488_join_elimination_advisor"].oracle
+    return f"""
+        SELECT
+            (SELECT join_order FROM ({o462}) j
+             WHERE j.estimator = 'joint_grid' AND j.best_estimated)
+                AS chosen_join_order,
+            (SELECT best_actual FROM ({o462}) j
+             WHERE j.estimator = 'joint_grid' AND j.best_estimated)
+                AS join_order_verified,
+            (SELECT view_name FROM ({o468}) m
+             WHERE m.step = 1 AND m.chosen) AS mv_first_pick,
+            (SELECT view_name FROM ({o468}) m
+             WHERE m.step = 2 AND m.chosen) AS mv_second_pick,
+            (SELECT strategy FROM ({o480}) s
+             WHERE s.edge = 'nation_customer' AND s.chosen)
+                AS dim_edge_strategy,
+            (SELECT strategy FROM ({o480}) s
+             WHERE s.edge = 'orders_lineitem' AND s.chosen)
+                AS fact_edge_strategy,
+            (SELECT eliminable FROM ({o488}) e) AS join_eliminable,
+            (SELECT rewrite_verified FROM ({o488}) e)
+                AS elimination_verified
+    """
+
+
+@query("q489_optimizer_datasheet", oracle=_q489_oracle(), defer=True)
+def q489_optimizer_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-12 OPTIMIZER surfaces on one card (the q459/q426
+    datasheet discipline): the join order the joint-grid estimator
+    picks (and whether the measurement agrees), the two greedy MV
+    picks, the physical strategy chosen for the dimension and fact
+    edges, and the join-elimination verdict with its expensive-path
+    verification. Component oracles embedded verbatim so the card
+    cannot drift from what it summarizes; every column pinned to its
+    component by test.
+
+    Scale shape: a 1-row combine of component verdicts — the
+    components carry all the data cost."""
+    j = q462_joint_grid_join_order(spark, sf_dir).filter(
+        (F.col("estimator") == "joint_grid") & F.col("best_estimated")
+    ).select(
+        F.col("join_order").alias("chosen_join_order"),
+        F.col("best_actual").alias("join_order_verified"),
+    )
+    m = q468_mv_lattice_selection(spark, sf_dir).localCheckpoint()
+    m1 = m.filter((F.col("step") == 1) & F.col("chosen")).select(
+        F.col("view_name").alias("mv_first_pick")
+    )
+    m2 = m.filter((F.col("step") == 2) & F.col("chosen")).select(
+        F.col("view_name").alias("mv_second_pick")
+    )
+    s = q480_join_strategy_matrix(spark, sf_dir).localCheckpoint()
+    s1 = s.filter(
+        (F.col("edge") == "nation_customer") & F.col("chosen")
+    ).select(F.col("strategy").alias("dim_edge_strategy"))
+    s2 = s.filter(
+        (F.col("edge") == "orders_lineitem") & F.col("chosen")
+    ).select(F.col("strategy").alias("fact_edge_strategy"))
+    e = q488_join_elimination_advisor(spark, sf_dir).select(
+        F.col("eliminable").alias("join_eliminable"),
+        F.col("rewrite_verified").alias("elimination_verified"),
+    )
+    return (
+        j.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(m2))
+        .crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(e))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q490 — IVM under RETRACTIONS (the delete half of the delta rule)
+# ---------------------------------------------------------------------------
+
+
+def _q490_oracle() -> str:
+    return f"""
+        SELECT {_Q468_MONTH} AS mth,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_linenumber <> 6
+        GROUP BY 1
+        HAVING COUNT(*) > 0
+    """
+
+
+@query("q490_ivm_retraction_delta", oracle=_q490_oracle(), defer=True)
+def q490_ivm_retraction_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q469's insert-only delta rule extended to DELETES — the
+    retraction half every CDC-fed materialized view needs: a batch of
+    line-item deletions (every 6th line, scattered across months)
+    arrives, and the view is maintained by SUBTRACTING the retracted
+    rows' aggregate contribution group-wise (counts decrement; sums
+    subtract in exact DECIMAL, so no float drift can accumulate over
+    retraction batches). Groups whose count reaches zero drop out of
+    the view — the multiplicity bookkeeping that distinguishes IVM
+    from blind re-aggregation. The oracle is the from-scratch
+    recompute over the surviving rows (recompute identity, q469's
+    discipline), and the test pins that the retracted term is
+    non-empty in every month (the delete really was scattered).
+
+    Scale shape: the retraction term joins only the DELETED rows
+    against orders (delta-sized); the standing view is adjusted, never
+    rebuilt."""
+    from databricks_etl_spark.functions.scalars import MONEY
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr(_Q468_MONTH).alias("mth")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    retracted = li.filter(F.col("l_linenumber") == 6)
+
+    def view_terms(ln: DataFrame, sign: int) -> DataFrame:
+        return (
+            orders.join(ln, orders.o_orderkey == ln.l_orderkey)
+            .groupBy("mth")
+            .agg(
+                (F.lit(sign) * F.sum(F.col("rev").cast(MONEY))).alias(
+                    "rev_part"
+                ),
+                (F.lit(sign) * F.count(F.lit(1))).alias("cnt"),
+            )
+        )
+
+    standing = view_terms(li, 1)          # the view as built (all rows)
+    retraction = view_terms(retracted, -1)  # the delete batch, negated
+    return (
+        standing.unionByName(retraction)
+        .groupBy("mth")
+        .agg(
+            F.sum("rev_part").cast("double").alias("revenue"),
+            F.sum("cnt").cast("long").alias("n_lines"),
+        )
+        .filter(F.col("n_lines") > 0)
+    )

@@ -743,3 +743,52 @@ def test_q488_advisor_agrees_with_verification_and_fails_on_orphans(spark):
     with_j = o.join(c, o.ck == c.k).count()
     assert not fk_ok
     assert with_j != o.count()
+
+
+def test_q489_datasheet_columns_pinned_to_components(spark):
+    row = queries()["q489_optimizer_datasheet"](
+        spark, SMOKE_SF_DIR
+    ).collect()[0]
+    assert row["chosen_join_order"] == "co_l"
+    assert row["join_order_verified"]
+    assert row["mv_first_pick"] == "pm"
+    s2 = {
+        r["view_name"]
+        for r in queries()["q468_mv_lattice_selection"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+        if r["step"] == 2 and r["chosen"]
+    }
+    assert row["mv_second_pick"] in s2
+    assert row["dim_edge_strategy"] == "broadcast"
+    assert row["fact_edge_strategy"] == "shuffle_hash"
+    assert row["join_eliminable"] and row["elimination_verified"]
+
+
+def test_q490_retraction_really_scattered_and_view_exact(spark):
+    from databricks_etl_spark.sources.readers import read_table
+
+    got = {
+        r["mth"]: (r["revenue"], r["n_lines"])
+        for r in queries()["q490_ivm_retraction_delta"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    li = read_table(spark, SMOKE_SF_DIR, "lineitem")
+    # deletes non-empty and strictly smaller than the table
+    n_del = li.filter(F.col("l_linenumber") == 6).count()
+    assert 0 < n_del < li.count()
+    # maintained view ≡ recompute over survivors (count side)
+    orders = read_table(spark, SMOKE_SF_DIR, "orders")
+    from databricks_etl_spark.plans.queries_round12 import _Q468_MONTH
+    want = {
+        r["mth"]: r["n"]
+        for r in orders.join(
+            li.filter(F.col("l_linenumber") != 6),
+            orders.o_orderkey == li.l_orderkey,
+        )
+        .groupBy(F.expr(_Q468_MONTH).alias("mth"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {m: c for m, (rv, c) in got.items()} == want
