@@ -375,3 +375,36 @@ def test_no_global_ntile_in_plan_sources():
         if "F.ntile" in p.read_text() and p.name not in allowed
     ]
     assert offenders == [], offenders
+
+
+def test_q470_bit_join_broadcasts_the_filter(spark, smoke_sf_dir):
+    """The runtime-filter lane's whole point: the dimension's bit set
+    must BROADCAST to the fact side — a shuffle join keyed on bloom
+    bits would move the fact relation to prune it. No cartesian."""
+    plan = _executed_plan(
+        queries()["q470_runtime_filter_pricing"](spark, smoke_sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q472_pii_is_one_scan_no_python(spark, smoke_sf_dir):
+    """PII scrubbing is a map-side regex pass: ONE scan of documents,
+    zero Python evaluation (JVM regexp_count/regexp_replace only)."""
+    plan = _executed_plan(
+        queries()["q472_pii_scrub_audit"](spark, smoke_sf_dir)
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_q479_erasure_joins_broadcast_the_request_side(spark, smoke_sf_dir):
+    """The erasure cascade must broadcast the (tiny) request/delete
+    key sets into anti/semi joins — shuffling the fact tables on the
+    request keys would re-move the corpus to forget 2% of it."""
+    plan = _executed_plan(
+        queries()["q479_erasure_compliance_audit"](spark, smoke_sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
