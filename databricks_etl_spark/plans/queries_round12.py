@@ -1332,8 +1332,12 @@ def q469_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the delta terms join a small delta against the big
     old generation (broadcast/shuffle by key, each term pre-aggregated
-    before the merge); the old view is never rebuilt — the whole point
-    at 100 TB."""
+    before the merge). In production the old-view term is a PERSISTED
+    relation (q346's artifact-publish discipline) and only the three
+    delta terms run per batch; this lane rebuilds the old term inline
+    because it needs something to maintain in one call — the
+    maintenance arithmetic, which is what the oracle proves, is
+    identical either way."""
     from databricks_etl_spark.functions.scalars import MONEY
 
     orders = read_table(spark, sf_dir, "orders").select(
@@ -3789,7 +3793,9 @@ def q490_ivm_retraction_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the retraction term joins only the DELETED rows
     against orders (delta-sized); the standing view is adjusted, never
-    rebuilt."""
+    rebuilt — as in q469, production reads the standing term from a
+    persisted relation, and this lane rebuilds it inline only to have
+    a view to maintain in one call."""
     from databricks_etl_spark.functions.scalars import MONEY
 
     orders = read_table(spark, sf_dir, "orders").select(
