@@ -3831,3 +3831,398 @@ def q490_ivm_retraction_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_lines") > 0)
     )
+
+# ---------------------------------------------------------------------------
+# q491 — corrupt-record quarantine (PERMISSIVE jsonl ingest)
+# ---------------------------------------------------------------------------
+
+
+def _q491_oracle() -> str:
+    return """
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderkey % 100 <> 13) AS parsed_rows,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderkey % 100 = 13) AS quarantined_rows,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS total_rows,
+            (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+             WHERE o_orderkey % 100 <> 13) AS parsed_key_sum,
+            TRUE AS quarantine_complete
+    """
+
+
+@query("q491_corrupt_record_quarantine", oracle=_q491_oracle(), defer=True)
+def q491_corrupt_record_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Malformed-record QUARANTINE on the jsonl ingest path, physically
+    exercised (the q460 sink-then-prove discipline applied to
+    robustness): every 100th order is REALLY WRITTEN as a broken JSON
+    line (truncated mid-object — the classic crashed-writer artifact),
+    the file set is re-read in PERMISSIVE mode with
+    ``columnNameOfCorruptRecord``, and the audit proves the contract
+    S2 generalizes to JSON: parsed rows carry values (exact key sum),
+    broken lines land in the corrupt-record column (never silently
+    dropped, never poisoning the typed columns), and parsed +
+    quarantined = written. The total-count oracle column states the
+    conservation law.
+
+    Scale shape: one line-grain map pass at read (the parser itself);
+    the audit is one fused aggregate."""
+    import shutil
+
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    path = scratch_dir("quarantine_", key=sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    lines = orders.select(
+        F.when(
+            F.col("o_orderkey") % 100 == 13,
+            # truncated mid-object: a real crashed-writer line
+            F.concat(
+                F.lit('{"o_orderkey": '),
+                F.col("o_orderkey").cast("string"),
+                F.lit(', "o_cust'),
+            ),
+        )
+        .otherwise(F.to_json(F.struct("o_orderkey", "o_custkey",
+                                      "o_orderpriority")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    parsed = spark.read.schema(
+        "o_orderkey long, o_custkey long, o_orderpriority string,"
+        " _corrupt string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).json(path)
+    return parsed.agg(
+        F.count(
+            F.when(F.col("_corrupt").isNull(), 1)
+        ).cast("long").alias("parsed_rows"),
+        F.count("_corrupt").cast("long").alias("quarantined_rows"),
+        F.count(F.lit(1)).cast("long").alias("total_rows"),
+        F.sum(
+            F.when(F.col("_corrupt").isNull(), F.col("o_orderkey"))
+        ).cast("long").alias("parsed_key_sum"),
+        (
+            F.count(
+                F.when(
+                    F.col("_corrupt").isNotNull()
+                    & F.col("o_custkey").isNotNull(),
+                    1,
+                )
+            )
+            == 0
+        ).alias("quarantine_complete"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q492 — table content fingerprint (order-independent fixity)
+# ---------------------------------------------------------------------------
+
+_Q492_NIB = 12  # 48-bit per-row hash → DECIMAL(38,0) sum never overflows
+
+
+def _q492_row_sql() -> str:
+    return (
+        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+        " || '|' || o_orderstatus || '|' || o_orderpriority || '|' ||"
+        " CAST(datediff('day', DATE '1970-01-01',"
+        " CAST(o_orderdate AS DATE)) AS VARCHAR)"
+    )
+
+
+def _q492_hash_sql(row: str) -> str:
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({row}), {k}, 1)) - 1)"
+        f" * {16 ** (_Q492_NIB - k)}::BIGINT"
+        for k in range(1, _Q492_NIB + 1)
+    )
+    return f"({terms})"
+
+
+def _q492_oracle() -> str:
+    h = _q492_hash_sql(f"({_q492_row_sql()})")
+    return f"""
+        SELECT 'orders' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST({h} AS DECIMAL(38,0))) AS VARCHAR)
+                   AS content_fingerprint
+        FROM orders
+    """
+
+
+def _q492_row_col() -> F.Column:
+    return F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("string"),
+    )
+
+
+def _q492_hash_col(row: F.Column) -> F.Column:
+    from functools import reduce
+
+    h = F.md5(row)
+    return reduce(
+        lambda a, b: a + b,
+        [
+            (
+                F.instr(F.lit("0123456789abcdef"), F.substring(h, k, 1)) - 1
+            ).cast("long")
+            * F.lit(16 ** (_Q492_NIB - k)).cast("long")
+            for k in range(1, _Q492_NIB + 1)
+        ],
+    )
+
+
+@query("q492_table_fingerprint", oracle=_q492_oracle(), defer=True)
+def q492_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content FINGERPRINT of a table — the fixity check replication
+    and backup systems run to prove two copies are the same table
+    without moving either: each row renders to a canonical string
+    (integer/date/string columns only — float rendering is not
+    portable across engines and has no place in a fingerprint), hashes
+    to 48 bits of its md5, and the fingerprint is the exact DECIMAL
+    sum — ORDER-INDEPENDENT and partitioning-independent by
+    construction, so any two faithful replicas agree byte-for-byte
+    and a single flipped row moves the sum (q493 localizes it). The
+    fingerprint is returned as a string: it is an identity, not a
+    number to do arithmetic on.
+
+    Scale shape: one map pass + one exact decimal sum (map-combined);
+    cross-replica comparison then exchanges ONE row per table."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(_q492_hash_col(_q492_row_col()).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("content_fingerprint"),
+    ).select(F.lit("orders").alias("table_name"), "*")
+
+
+# ---------------------------------------------------------------------------
+# q493 — anti-entropy drift localization (Merkle-style bucket compare)
+# ---------------------------------------------------------------------------
+
+_Q493_BUCKETS = 64
+_Q493_MUTATED_KEY_MOD = 977  # replica B flips priority where key%977==1
+
+
+def _q493_oracle() -> str:
+    h = _q492_hash_sql(f"({_q492_row_sql()})")
+    mut_row = _q492_row_sql().replace(
+        "o_orderpriority",
+        f"(CASE WHEN o_orderkey % {_Q493_MUTATED_KEY_MOD} = 1"
+        " THEN 'CORRUPTED' ELSE o_orderpriority END)",
+    )
+    hb = _q492_hash_sql(f"({mut_row})")
+    return f"""
+        WITH a AS (
+            SELECT o_orderkey % {_Q493_BUCKETS} AS bucket,
+                   CAST(SUM(CAST({h} AS DECIMAL(38,0))) AS VARCHAR) AS fp,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        ),
+        b AS (
+            SELECT o_orderkey % {_Q493_BUCKETS} AS bucket,
+                   CAST(SUM(CAST({hb} AS DECIMAL(38,0))) AS VARCHAR) AS fp,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        ),
+        cmp AS (
+            SELECT a.bucket, a.fp AS fp_a, b.fp AS fp_b,
+                   a.n AS rows_a, b.n AS rows_b,
+                   a.fp <> b.fp AS differs
+            FROM a JOIN b ON a.bucket = b.bucket
+        )
+        SELECT
+            CAST({_Q493_BUCKETS} AS BIGINT) AS buckets_compared,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cmp WHERE differs)
+                AS buckets_differing,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderkey % {_Q493_MUTATED_KEY_MOD} = 1)
+                AS mutated_rows,
+            (SELECT CAST(COUNT(DISTINCT o_orderkey % {_Q493_BUCKETS})
+                         AS BIGINT)
+             FROM orders
+             WHERE o_orderkey % {_Q493_MUTATED_KEY_MOD} = 1)
+                AS buckets_with_mutations,
+            (SELECT COUNT(*) FROM cmp WHERE differs)
+                = (SELECT COUNT(DISTINCT o_orderkey % {_Q493_BUCKETS})
+                   FROM orders
+                   WHERE o_orderkey % {_Q493_MUTATED_KEY_MOD} = 1)
+                AS localization_exact
+    """
+
+
+@query("q493_anti_entropy_localization", oracle=_q493_oracle(), defer=True)
+def q493_anti_entropy_localization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANTI-ENTROPY repair, localized — the Merkle-tree comparison a
+    replicated store runs to find WHICH key ranges drifted without
+    shipping data: both replicas fingerprint each of {_Q493_BUCKETS}
+    key buckets (q492's order-independent decimal hash sums), exchange
+    only the bucket digests, and the differing buckets are exactly the
+    ones holding mutated rows. Replica B carries a planted corruption
+    (every {_Q493_MUTATED_KEY_MOD}th key's priority flipped); the
+    audit proves localization is EXACT — differing buckets ==
+    buckets-with-mutations, no false alarms, no missed buckets (the
+    48-bit sums make an accidental collision vanishingly unlikely and
+    the oracle would catch one as a hash mismatch).
+
+    Scale shape: each replica does one local map + grouped decimal
+    sum; the cross-replica exchange is {_Q493_BUCKETS} digest rows —
+    the entire point of Merkle repair at 100 TB."""
+    orders = read_table(spark, sf_dir, "orders")
+    row_a = _q492_row_col()
+    mut = F.when(
+        F.col("o_orderkey") % _Q493_MUTATED_KEY_MOD == 1, F.lit("CORRUPTED")
+    ).otherwise(F.col("o_orderpriority"))
+    row_b = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        mut,
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("string"),
+    )
+
+    def digests(row: F.Column, side: str) -> DataFrame:
+        return orders.groupBy(
+            (F.col("o_orderkey") % _Q493_BUCKETS).alias("bucket")
+        ).agg(
+            F.sum(_q492_hash_col(row).cast("decimal(38,0)"))
+            .cast("string")
+            .alias(f"fp_{side}")
+        )
+
+    cmp = digests(row_a, "a").join(digests(row_b, "b"), "bucket")
+    diff = cmp.agg(
+        F.sum(F.when(F.col("fp_a") != F.col("fp_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("buckets_differing")
+    )
+    mut_stats = orders.filter(
+        F.col("o_orderkey") % _Q493_MUTATED_KEY_MOD == 1
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("mutated_rows"),
+        F.countDistinct(F.col("o_orderkey") % _Q493_BUCKETS)
+        .cast("long")
+        .alias("buckets_with_mutations"),
+    )
+    return (
+        diff.crossJoin(F.broadcast(mut_stats))
+        .select(
+            F.lit(_Q493_BUCKETS).cast("long").alias("buckets_compared"),
+            "buckets_differing",
+            "mutated_rows",
+            "buckets_with_mutations",
+            (
+                F.col("buckets_differing") == F.col("buckets_with_mutations")
+            ).alias("localization_exact"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q494 — STREAMING fingerprint maintenance (q492 at ingest)
+# ---------------------------------------------------------------------------
+
+
+def _q494_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    return QUERIES["q492_table_fingerprint"].oracle
+
+
+@query("q494_streaming_fingerprint", oracle=_q494_oracle(), defer=True)
+def q494_streaming_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q492's fixity fingerprint maintained AT INGEST: the hash sum is
+    fully associative, so each micro-batch lands its partial (count +
+    decimal hash sum) in the epoch-idempotent sink and the drain adds
+    partials — no row is ever re-hashed. Registered with q492's own
+    oracle: the streamed fingerprint must equal the batch one exactly,
+    which is the production property (a replica ingesting the same
+    rows in any batching arrives at the same digest — fixity without
+    coordination). Real readStream over the staged generations,
+    availableNow.
+
+    Scale shape: per-epoch cost is one map + 1-row aggregate over the
+    arriving batch; the drain folds |epochs| 1-row partials."""
+    import shutil
+
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    orders = read_table(spark, sf_dir, "orders")
+    root = scratch_dir("fingerprint_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    stage_path, partials_path = f"{root}/staged", f"{root}/partials"
+    (
+        orders.withColumn("g", (F.col("o_orderkey") % 3).cast("int"))
+        .repartition(1, "g")
+        .write.partitionBy("g")
+        .parquet(stage_path)
+    )
+    (
+        spark.createDataFrame(
+            [], "n long, s decimal(38,0), __epoch int"
+        )
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .parquet(partials_path)
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    _q492_hash_col(_q492_row_col()).cast("decimal(38,0)")
+                ).alias("s"),
+            )
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(partials_path)
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string, g int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    parts = spark.read.schema(
+        "n long, s decimal(38,0), __epoch int"
+    ).parquet(partials_path)
+    return parts.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum("s").cast("string").alias("content_fingerprint"),
+    ).select(F.lit("orders").alias("table_name"), "*")

@@ -792,3 +792,77 @@ def test_q490_retraction_really_scattered_and_view_exact(spark):
         .collect()
     }
     assert {m: c for m, (rv, c) in got.items()} == want
+
+
+# ---------------------------------------------------------------------------
+# fixity / robustness family
+# ---------------------------------------------------------------------------
+
+
+def test_q491_quarantine_conserves_rows_and_catches_the_planted_lines(spark):
+    from databricks_etl_spark.sources.readers import read_table
+
+    row = queries()["q491_corrupt_record_quarantine"](
+        spark, SMOKE_SF_DIR
+    ).collect()[0]
+    orders = read_table(spark, SMOKE_SF_DIR, "orders")
+    want_bad = orders.filter(F.col("o_orderkey") % 100 == 13).count()
+    assert row["quarantined_rows"] == want_bad > 0
+    assert row["parsed_rows"] + row["quarantined_rows"] == row["total_rows"]
+    assert row["quarantine_complete"]
+
+
+def test_q492_fingerprint_is_order_and_partitioning_independent(spark):
+    from databricks_etl_spark.plans.queries_round12 import (
+        _q492_hash_col,
+        _q492_row_col,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    orders = read_table(spark, SMOKE_SF_DIR, "orders")
+    base = queries()["q492_table_fingerprint"](
+        spark, SMOKE_SF_DIR
+    ).collect()[0]
+    # recompute under a hostile repartitioning + reversed sort
+    shuffled = orders.repartition(13).sortWithinPartitions(
+        F.desc("o_orderkey")
+    )
+    alt = shuffled.agg(
+        F.sum(_q492_hash_col(_q492_row_col()).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("fp")
+    ).collect()[0]["fp"]
+    assert alt == base["content_fingerprint"]
+    # a single flipped row moves the fingerprint
+    one_off = orders.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") == 7, F.lit("X")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    moved = one_off.agg(
+        F.sum(_q492_hash_col(_q492_row_col()).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("fp")
+    ).collect()[0]["fp"]
+    assert moved != base["content_fingerprint"]
+
+
+def test_q493_localization_is_exact(spark):
+    row = queries()["q493_anti_entropy_localization"](
+        spark, SMOKE_SF_DIR
+    ).collect()[0]
+    assert row["localization_exact"]
+    assert 0 < row["buckets_differing"] <= row["buckets_compared"]
+    assert row["mutated_rows"] >= row["buckets_with_mutations"]
+
+
+def test_q494_streamed_fingerprint_equals_batch(spark):
+    got = queries()["q494_streaming_fingerprint"](
+        spark, SMOKE_SF_DIR
+    ).collect()[0]
+    want = queries()["q492_table_fingerprint"](
+        spark, SMOKE_SF_DIR
+    ).collect()[0]
+    assert got["content_fingerprint"] == want["content_fingerprint"]
+    assert got["n_rows"] == want["n_rows"]
