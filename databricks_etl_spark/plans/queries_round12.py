@@ -4226,3 +4226,106 @@ def q494_streaming_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_rows"),
         F.sum("s").cast("string").alias("content_fingerprint"),
     ).select(F.lit("orders").alias("table_name"), "*")
+
+# ---------------------------------------------------------------------------
+# q495 — table-maintenance scheduler (compact / recluster / vacuum triggers)
+# ---------------------------------------------------------------------------
+
+_Q495_SMALL_SHARE = 0.5   # trigger compaction if > half the files are small
+_Q495_SMALL_ROWS = 128    # "small file" threshold (rows as byte stand-in)
+_Q495_DEPTH_MAX = 3.0     # trigger recluster when avg overlap depth exceeds
+_Q495_TOMBSTONES = 1      # trigger vacuum when this many files are expired
+_Q495_RETENTION = 1       # vacuum retention window (versions)
+
+
+def _q495_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    o475 = QUERIES["q475_clustering_depth_metric"].oracle
+    o444 = QUERIES["q444_vacuum_retention_audit"].oracle
+    return f"""
+        WITH f AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS rws
+            FROM events GROUP BY 1, 2
+        ),
+        small AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+                   CAST(SUM(CASE WHEN rws < {_Q495_SMALL_ROWS}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+            FROM f
+        )
+        SELECT
+            round(CAST(s.n_small AS DOUBLE) / s.n_files, 6)
+                AS small_file_share,
+            CAST(s.n_small AS DOUBLE) / s.n_files > {_Q495_SMALL_SHARE}
+                AS compact_now,
+            (SELECT a.avg_overlap_depth FROM ({o475}) a
+             WHERE a.layout = 'l_orderkey') AS worst_layout_depth,
+            (SELECT a.avg_overlap_depth FROM ({o475}) a
+             WHERE a.layout = 'l_orderkey') > {_Q495_DEPTH_MAX}
+                AS recluster_now,
+            (SELECT v.reclaimable_files FROM ({o444}) v
+             WHERE v.retention_versions = {_Q495_RETENTION})
+                AS reclaimable_files,
+            (SELECT v.reclaimable_files FROM ({o444}) v
+             WHERE v.retention_versions = {_Q495_RETENTION})
+                >= {_Q495_TOMBSTONES} AS vacuum_now
+        FROM small s
+    """
+
+
+@query("q495_maintenance_scheduler", oracle=_q495_oracle(), defer=True)
+def q495_maintenance_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TABLE-MAINTENANCE scheduler — the card an auto-OPTIMIZE
+    service reads each cycle to decide which jobs to enqueue: COMPACT
+    when the small-file share of the ingest layout crosses its
+    threshold (q417's file model), RECLUSTER when the worst layout's
+    clustering depth (q475's metric on the unclustered control)
+    exceeds its budget, VACUUM when the tombstone log holds
+    reclaimable files under the retention window (q444's sweep). Each
+    trigger carries its measured evidence next to its verdict, and
+    component oracles are embedded verbatim — the scheduler cannot
+    drift from the metrics it schedules on. All three triggers fire on
+    this corpus (pinned), which is the realistic steady state of a
+    streaming-ingested table.
+
+    Scale shape: three metadata-grain component rollups combined in
+    1-row broadcasts."""
+    from databricks_etl_spark.plans.queries_round11 import _daily_files
+    from databricks_etl_spark.plans.queries_round11b import (
+        q444_vacuum_retention_audit,
+    )
+
+    files = _daily_files(spark, sf_dir)
+    small = files.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(F.col("rws") < _Q495_SMALL_ROWS, 1).otherwise(0)).alias(
+            "n_small"
+        ),
+    ).select(
+        F.round(
+            F.col("n_small").cast("double") / F.col("n_files"), 6
+        ).alias("small_file_share"),
+        (
+            F.col("n_small").cast("double") / F.col("n_files")
+            > _Q495_SMALL_SHARE
+        ).alias("compact_now"),
+    )
+    depth = q475_clustering_depth_metric(spark, sf_dir).filter(
+        F.col("layout") == "l_orderkey"
+    ).select(
+        F.col("avg_overlap_depth").alias("worst_layout_depth"),
+        (F.col("avg_overlap_depth") > _Q495_DEPTH_MAX).alias(
+            "recluster_now"
+        ),
+    )
+    vac = q444_vacuum_retention_audit(spark, sf_dir).filter(
+        F.col("retention_versions") == _Q495_RETENTION
+    ).select(
+        "reclaimable_files",
+        (F.col("reclaimable_files") >= _Q495_TOMBSTONES).alias(
+            "vacuum_now"
+        ),
+    )
+    return small.crossJoin(F.broadcast(depth)).crossJoin(F.broadcast(vac))

@@ -866,3 +866,12 @@ def test_q494_streamed_fingerprint_equals_batch(spark):
     ).collect()[0]
     assert got["content_fingerprint"] == want["content_fingerprint"]
     assert got["n_rows"] == want["n_rows"]
+
+
+def test_q495_all_three_triggers_fire_with_evidence(spark):
+    row = queries()["q495_maintenance_scheduler"](
+        spark, SMOKE_SF_DIR
+    ).collect()[0]
+    assert row["compact_now"] and row["small_file_share"] > 0.5
+    assert row["recluster_now"] and row["worst_layout_depth"] > 3.0
+    assert row["vacuum_now"] and row["reclaimable_files"] >= 1
