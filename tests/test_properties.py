@@ -369,3 +369,37 @@ def test_exact_ntile_matches_global_ntile(spark, seed):
         for r in exact_ntile(tiny, ["v", "uid"], 9, out_col="b").collect()
     }
     assert got == {1, 2, 3}
+
+
+@pytest.mark.slow
+def test_exact_ntile_scale_gate(spark):
+    """The kernel at volume: 2M tie-heavy rows (only 7 distinct leading
+    values — the worst case for any range partitioner that can't split
+    inside tie runs) must bucket exactly like the global-window ntile,
+    with per-bucket sizes differing by at most one. This is the planted
+    scale gate for the r12 global-ntile retirement."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_ntile
+
+    n = 2_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 7).cast("int").alias("v"), F.col("id").alias("uid")
+    )
+    got = exact_ntile(df, ["v", "uid"], 10, n_parts=64, out_col="b")
+    sizes = {
+        r["b"]: r["n"]
+        for r in got.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == n
+    # bucket transitions must respect the composite order:
+    # max key of bucket i < min key of bucket i+1
+    keyed = got.select(
+        "b", (F.col("v").cast("long") * n + F.col("uid")).alias("k")
+    )
+    bounds = keyed.groupBy("b").agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).collect()
+    bounds.sort(key=lambda x: x["b"])
+    for a, c in zip(bounds, bounds[1:]):
+        assert a["hi"] < c["lo"]
