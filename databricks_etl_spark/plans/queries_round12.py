@@ -4329,3 +4329,122 @@ def q495_maintenance_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return small.crossJoin(F.broadcast(depth)).crossJoin(F.broadcast(vac))
+
+# ---------------------------------------------------------------------------
+# q496 — data-contract card (the dbt-test suite as one relation)
+# ---------------------------------------------------------------------------
+
+_Q496_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+_Q496_AS_OF = "2002-01-01"  # F6 rule: freshness vs a FIXED as-of date
+_Q496_FRESH_DAYS = 365
+
+
+def _q496_oracle() -> str:
+    accepted = ", ".join(f"'{p}'" for p in _Q496_PRIORITIES)
+    return f"""
+        SELECT 'orders' AS table_name, 'not_null' AS check_type,
+               'o_orderkey' AS subject,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                WHERE o_orderkey IS NULL) AS failures
+        UNION ALL
+        SELECT 'orders', 'unique', 'o_orderkey',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                    SELECT o_orderkey FROM orders
+                    GROUP BY o_orderkey HAVING COUNT(*) > 1) d)
+        UNION ALL
+        SELECT 'customer', 'unique', 'c_custkey',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                    SELECT c_custkey FROM customer
+                    GROUP BY c_custkey HAVING COUNT(*) > 1) d)
+        UNION ALL
+        SELECT 'orders', 'accepted_values', 'o_orderpriority',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                WHERE o_orderpriority NOT IN ({accepted}))
+        UNION ALL
+        SELECT 'orders', 'relationship', 'o_custkey->customer',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'orders', 'freshness', 'o_orderdate',
+               (SELECT CAST(CASE WHEN datediff('day',
+                        MAX(CAST(o_orderdate AS DATE)),
+                        DATE '{_Q496_AS_OF}') > {_Q496_FRESH_DAYS}
+                    THEN 1 ELSE 0 END AS BIGINT) FROM orders)
+    """
+
+
+@query("q496_data_contract_card", oracle=f"""
+        SELECT table_name, check_type, subject, failures,
+               failures = 0 AS passed
+        FROM ({_q496_oracle()}) t
+    """, defer=True)
+def q496_data_contract_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATA CONTRACT as one relation — the five canonical test
+    types a dbt-style suite declares (not_null, unique,
+    accepted_values, relationship, freshness), each evaluated to a
+    failure COUNT (the actionable number) plus the pass verdict, one
+    row per declared check. The freshness check measures against the
+    F6 fixed as-of date, never current_date. This is the consumer-
+    facing face of the DQ family: q31–q33 profile, q486 audits edges,
+    this card states the promises and whether they hold today.
+
+    Scale shape: each check is one aggregate or one anti-join; the
+    whole card is a union of 1-row verdicts."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+
+    def card(table: str, ctype: str, subject: str, fails: DataFrame):
+        return fails.select(
+            F.lit(table).alias("table_name"),
+            F.lit(ctype).alias("check_type"),
+            F.lit(subject).alias("subject"),
+            F.col("failures").cast("long").alias("failures"),
+        )
+
+    rows = [
+        card("orders", "not_null", "o_orderkey",
+             orders.agg(F.count(F.when(F.col("o_orderkey").isNull(), 1))
+                        .alias("failures"))),
+        card("orders", "unique", "o_orderkey",
+             orders.groupBy("o_orderkey")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .agg(F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+                  .alias("failures"))),
+        card("customer", "unique", "c_custkey",
+             cust.groupBy("c_custkey")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .agg(F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+                  .alias("failures"))),
+        card("orders", "accepted_values", "o_orderpriority",
+             orders.agg(F.sum(
+                 F.when(~F.col("o_orderpriority").isin(_Q496_PRIORITIES), 1)
+                 .otherwise(0)).alias("failures"))),
+        card("orders", "relationship", "o_custkey->customer",
+             orders.join(cust, orders.o_custkey == cust.c_custkey,
+                         "left_anti")
+             .agg(F.count(F.lit(1)).alias("failures"))),
+        card("orders", "freshness", "o_orderdate",
+             orders.agg(
+                 F.when(
+                     F.datediff(
+                         F.lit(_Q496_AS_OF).cast("date"),
+                         F.max(F.col("o_orderdate").cast("date")),
+                     ) > _Q496_FRESH_DAYS,
+                     1,
+                 ).otherwise(0).alias("failures"))),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    # coalesce the sum-based failure counts (empty-violation sums are
+    # NULL) and attach the verdict
+    return out.select(
+        "table_name",
+        "check_type",
+        "subject",
+        F.coalesce(F.col("failures"), F.lit(0)).alias("failures"),
+        (F.coalesce(F.col("failures"), F.lit(0)) == 0).alias("passed"),
+    )

@@ -875,3 +875,18 @@ def test_q495_all_three_triggers_fire_with_evidence(spark):
     assert row["compact_now"] and row["small_file_share"] > 0.5
     assert row["recluster_now"] and row["worst_layout_depth"] > 3.0
     assert row["vacuum_now"] and row["reclaimable_files"] >= 1
+
+
+def test_q496_contract_passes_and_detector_is_real(spark):
+    rows = queries()["q496_data_contract_card"](
+        spark, SMOKE_SF_DIR
+    ).collect()
+    assert len(rows) == 6
+    assert all(r["passed"] and r["failures"] == 0 for r in rows)
+    # the accepted-values detector really fires on out-of-domain rows
+    bad = spark.createDataFrame(
+        [("1-URGENT",), ("9-BOGUS",)], "o_orderpriority string"
+    )
+    from databricks_etl_spark.plans.queries_round12 import _Q496_PRIORITIES
+    n = bad.filter(~F.col("o_orderpriority").isin(_Q496_PRIORITIES)).count()
+    assert n == 1
