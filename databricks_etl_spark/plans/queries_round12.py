@@ -4454,3 +4454,166 @@ def q496_data_contract_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("failures"), F.lit(0)).alias("failures"),
         (F.coalesce(F.col("failures"), F.lit(0)) == 0).alias("passed"),
     )
+
+# ---------------------------------------------------------------------------
+# q497 — bounded BFS over the supplier–part bipartite graph
+# ---------------------------------------------------------------------------
+
+_Q497_SEED = 1  # BFS source supplier
+
+
+def _q497_oracle() -> str:
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ),
+        p1 AS MATERIALIZED (
+            SELECT DISTINCT p FROM e WHERE s = {_Q497_SEED}
+        ),
+        s2 AS MATERIALIZED (
+            SELECT DISTINCT e.s FROM e JOIN p1 ON e.p = p1.p
+            WHERE e.s <> {_Q497_SEED}
+        ),
+        p3 AS MATERIALIZED (
+            SELECT DISTINCT e.p FROM e JOIN s2 ON e.s = s2.s
+            WHERE e.p NOT IN (SELECT p FROM p1)
+        )
+        SELECT 1 AS hop, 'part' AS node_type,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM p1) AS n_reached
+        UNION ALL
+        SELECT 2, 'supplier', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+        UNION ALL
+        SELECT 3, 'part', (SELECT CAST(COUNT(*) AS BIGINT) FROM p3)
+    """
+
+
+@query("q497_bipartite_bfs", oracle=_q497_oracle(), defer=True)
+def q497_bipartite_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the supplier–part bipartite graph (edges =
+    distinct (suppkey, partkey) pairs of lineitem) from one seed
+    supplier — graph traversal as SQL, finally ORACLED (the graph
+    family's q169/q213 lanes are rows-only by seeding; BFS frontiers
+    are deterministic sets): hop 1 = the seed's parts, hop 2 = rival
+    suppliers sharing any of them, hop 3 = the NEW parts those rivals
+    add. Each frontier subtracts the visited set (anti-join), the
+    bounded-fixed-point discipline (q213/q382) applied to reachability
+    — each hop is one equi-join + one dedup, never a cross product.
+
+    Scale shape: frontier joins are equi-joins on the edge relation
+    (shuffle by part then by supplier); visited-set subtraction is a
+    broadcast anti-join while frontiers are small — the exact shape of
+    one Pregel superstep without the framework."""
+    li = read_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct().localCheckpoint()
+    p1 = e.filter(F.col("s") == _Q497_SEED).select("p").distinct()
+    s2 = (
+        e.join(F.broadcast(p1), "p")
+        .filter(F.col("s") != _Q497_SEED)
+        .select("s")
+        .distinct()
+    )
+    p3 = (
+        e.join(F.broadcast(s2), "s")
+        .select("p")
+        .distinct()
+        .join(F.broadcast(p1), "p", "left_anti")
+    )
+
+    def cnt(df: DataFrame, hop: int, node_type: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_reached")).select(
+            F.lit(hop).alias("hop"),
+            F.lit(node_type).alias("node_type"),
+            "n_reached",
+        )
+
+    return (
+        cnt(p1, 1, "part")
+        .unionByName(cnt(s2, 2, "supplier"))
+        .unionByName(cnt(p3, 3, "part"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q498 — SCD2 point-in-time join (facts attributed to dimension versions)
+# ---------------------------------------------------------------------------
+
+
+def _q498_oracle() -> str:
+    return """
+        WITH versions AS MATERIALIZED (
+            SELECT user_id, ts AS valid_from, value AS acct_value,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS valid_to
+            FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        attributed AS (
+            SELECT c.user_id, v.valid_from, v.acct_value
+            FROM clicks c JOIN versions v
+              ON c.user_id = v.user_id
+             AND c.ts >= v.valid_from
+             AND (v.valid_to IS NULL OR c.ts < v.valid_to)
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_clicks_attributed,
+               CAST(COUNT(DISTINCT valid_from) AS BIGINT)
+                   AS n_versions_touched,
+               CAST(SUM(CAST(acct_value AS DECIMAL(28,6))) AS DOUBLE)
+                   AS attributed_value
+        FROM attributed GROUP BY user_id
+    """
+
+
+@query("q498_scd2_point_in_time_join", oracle=_q498_oracle(), defer=True)
+def q498_scd2_point_in_time_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The POINT-IN-TIME join — q76's SCD2 validity intervals put to
+    their purpose: every click is attributed to the purchase-version
+    of its user that was VALID AT the click's timestamp (interval
+    containment, half-open [from, to) with NULL to = current), the
+    temporal-correctness join every warehouse needs to avoid
+    leaking future dimension values into historical facts. Clicks
+    before a user's first version attribute to nothing (inner join —
+    stated, not accidental). Per user: attributed clicks, distinct
+    versions touched, decimal-exact attributed value.
+
+    Scale shape: versions and facts co-shuffle once on user_id; the
+    interval predicate evaluates within co-partitions (at most
+    |versions per user| comparisons per fact — versions per key are
+    bounded, so this never degenerates to a cross product)."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("value").alias("acct_value"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    attributed = clicks.join(
+        versions,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("c_ts") < F.col("valid_to"))),
+    )
+    return attributed.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks_attributed"),
+        F.countDistinct("valid_from").cast("long").alias(
+            "n_versions_touched"
+        ),
+        F.sum(F.col("acct_value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )
