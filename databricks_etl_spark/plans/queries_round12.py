@@ -4617,3 +4617,199 @@ def q498_scd2_point_in_time_join(
         .cast("double")
         .alias("attributed_value"),
     )
+
+# ---------------------------------------------------------------------------
+# q499 — stratified k-fold assignment (leakage-free CV splits)
+# ---------------------------------------------------------------------------
+
+_Q499_FOLDS = 5
+
+
+def _q499_oracle() -> str:
+    return f"""
+        WITH folds AS (
+            SELECT lang,
+                   1 + (row_number() OVER (
+                       PARTITION BY lang ORDER BY doc_id) - 1)
+                       % {_Q499_FOLDS} AS fold,
+                   n_chars
+            FROM documents
+        )
+        SELECT lang, CAST(fold AS INT) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS fold_chars
+        FROM folds GROUP BY lang, fold
+    """
+
+
+@query("q499_stratified_kfold", oracle=_q499_oracle(), defer=True)
+def q499_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED k-fold assignment for cross-validation — every
+    stratum (language) is dealt round-robin into {_Q499_FOLDS} folds
+    in deterministic doc_id order, so each fold carries the stratum
+    mix of the corpus (per-stratum fold sizes differ by ≤1, pinned)
+    and the assignment is reproducible run-to-run without a seed. The
+    round-robin deal is a PARTITIONED window (one shuffle on the
+    stratum key, parallel across strata) — never a global order. Per
+    (stratum, fold): document and character counts, the numbers a CV
+    harness feeds its fold budgets.
+
+    Scale shape: one partitioned window + one grouped rollup; strata
+    are independent so skew salts apply per stratum if one language
+    dominates."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    folds = docs.select(
+        "lang",
+        (1 + (F.row_number().over(w) - 1) % _Q499_FOLDS)
+        .cast("int")
+        .alias("fold"),
+        "n_chars",
+    )
+    return folds.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("fold_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q500 — bootstrap confidence interval with deterministic resampling
+# ---------------------------------------------------------------------------
+
+_Q500_B = 32  # bootstrap replicates
+# deterministic Poisson(1) draw from one md5 nibble (q452's inverse-CDF
+# discipline): nibble 0..15 → weight via the CDF table below
+# P(0)=.3679 P(1)=.7358 P(2)=.9197 P(3)=.9810 → thresholds on 16ths
+_Q500_POIS = [0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 2, 2, 2, 3]
+
+
+def _q500_weight_sql(b: int) -> str:
+    tbl = ", ".join(str(v) for v in _Q500_POIS)
+    return (
+        f"([{tbl}])[1 + instr('0123456789abcdef',"
+        f" substr(md5('bs:{b}:' || CAST(o_orderkey AS VARCHAR)), 1, 1))"
+        f" - 1]"
+    )
+
+
+def _q500_oracle() -> str:
+    reps = " UNION ALL ".join(
+        f"""SELECT {b} AS b,
+                CAST(SUM(CAST({_q500_weight_sql(b)} * o_totalprice
+                              AS DECIMAL(28,6)))
+                     / SUM({_q500_weight_sql(b)}) AS DOUBLE) AS m
+            FROM orders"""
+        for b in range(1, _Q500_B + 1)
+    )
+    return f"""
+        WITH reps AS MATERIALIZED ({reps}),
+        ranked AS (
+            SELECT m, row_number() OVER (ORDER BY m, b) AS rk
+            FROM reps
+        )
+        SELECT
+            round((SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                         / COUNT(*) AS DOUBLE) FROM orders), 6)
+                AS point_mean,
+            CAST({_Q500_B} AS BIGINT) AS n_replicates,
+            round((SELECT m FROM ranked WHERE rk = 2), 6) AS boot_lo,
+            round((SELECT m FROM ranked WHERE rk = {_Q500_B - 1}), 6)
+                AS boot_hi,
+            (SELECT m FROM ranked WHERE rk = 2)
+                <= (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                                / COUNT(*) AS DOUBLE) FROM orders)
+            AND (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                             / COUNT(*) AS DOUBLE) FROM orders)
+                <= (SELECT m FROM ranked WHERE rk = {_Q500_B - 1})
+                AS ci_covers_point
+    """
+
+
+@query("q500_bootstrap_ci", oracle=_q500_oracle(), defer=True)
+def q500_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOTSTRAP confidence interval for a data metric (mean order
+    value) with fully DETERMINISTIC resampling — the uncertainty
+    quantification a metrics platform attaches to every dashboard
+    number: {_Q500_B} Poisson-bootstrap replicates whose per-row
+    weights come from one md5 nibble through a literal inverse-CDF
+    table (the q452 DP-noise discipline — swap a seeded CSPRNG in
+    production, the plumbing is identical), each replicate mean in
+    exact decimal, and the interval as order statistics (2nd and
+    31st of 32 — no percentile interpolation, so both engines agree
+    bit-for-bit). The CI covers the point estimate (pinned) and its
+    width is the metric's sampling noise at this corpus size.
+
+    Scale shape: all {_Q500_B} replicate sums fuse into ONE scan of
+    orders (conditional aggregates per replicate); the order
+    statistics run over {_Q500_B} rows."""
+    orders = read_table(spark, sf_dir, "orders")
+    pois = F.array(*[F.lit(v) for v in _Q500_POIS])
+
+    def weight(b: int) -> F.Column:
+        nib = F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"bs:{b}:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ),
+        )
+        return F.element_at(pois, nib)
+
+    # one fused pass: every replicate's weighted sum + weight total
+    aggs = []
+    for b in range(1, _Q500_B + 1):
+        w = weight(b)
+        aggs.append(
+            F.sum((w * F.col("o_totalprice")).cast("decimal(28,6)")).alias(
+                f"s{b}"
+            )
+        )
+        aggs.append(F.sum(w).alias(f"w{b}"))
+    aggs.append(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("tot")
+    )
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    one = orders.agg(*aggs).localCheckpoint()
+    reps = None
+    for b in range(1, _Q500_B + 1):
+        r = one.select(
+            F.lit(b).alias("b"),
+            (F.col(f"s{b}") / F.col(f"w{b}")).cast("double").alias("m"),
+        )
+        reps = r if reps is None else reps.unionByName(r)
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy("m", "b"))  # 32 rows
+    ranked = reps.withColumn("rk", rk)
+    lo = ranked.filter(F.col("rk") == 2).select(
+        F.round("m", 6).alias("boot_lo")
+    )
+    hi = ranked.filter(F.col("rk") == _Q500_B - 1).select(
+        F.round("m", 6).alias("boot_hi")
+    )
+    point = one.select(
+        F.round((F.col("tot") / F.col("n")).cast("double"), 6).alias(
+            "point_mean"
+        )
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "point_mean",
+            F.lit(_Q500_B).cast("long").alias("n_replicates"),
+            "boot_lo",
+            "boot_hi",
+            (
+                (F.col("boot_lo") <= F.col("point_mean"))
+                & (F.col("point_mean") <= F.col("boot_hi"))
+            ).alias("ci_covers_point"),
+        )
+    )

@@ -944,3 +944,25 @@ def test_q498_attribution_is_temporal_not_total(spark):
     }
     for r in rows:
         assert r["n_versions_touched"] <= purchases[r["user_id"]]
+
+
+def test_q499_folds_balanced_within_one_per_stratum(spark):
+    rows = queries()["q499_stratified_kfold"](spark, SMOKE_SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["fold"]] = r["n_docs"]
+    assert by_lang
+    for lang, folds in by_lang.items():
+        sizes = list(folds.values())
+        assert max(sizes) - min(sizes) <= 1, (lang, folds)
+        assert set(folds) <= set(range(1, 6))
+
+
+def test_q500_ci_brackets_the_point_and_is_nondegenerate(spark):
+    row = queries()["q500_bootstrap_ci"](spark, SMOKE_SF_DIR).collect()[0]
+    assert row["ci_covers_point"]
+    assert row["boot_lo"] < row["boot_hi"]
+    # the interval is sampling noise, not a degenerate spike: at this
+    # corpus size the half-width is well under 5% of the mean
+    half = (row["boot_hi"] - row["boot_lo"]) / 2
+    assert 0 < half < 0.05 * row["point_mean"]
