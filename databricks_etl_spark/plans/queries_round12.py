@@ -4813,3 +4813,186 @@ def q500_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_covers_point"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q501 — STREAMING PIT attribution with RETRACTIONS (late versions)
+# ---------------------------------------------------------------------------
+
+
+def _q501_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    return QUERIES["q498_scd2_point_in_time_join"].oracle
+
+
+def _q501_attrib(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """q498's attribution at (user, version) grain over an arbitrary
+    purchase subset: intervals rebuilt from the subset, clicks
+    attributed by containment."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = purchases.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.col("value").alias("acct_value"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return (
+        clicks.join(
+            versions,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("valid_from"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("c_ts") < F.col("valid_to"))
+            ),
+        )
+        .groupBy("user_id", "valid_from", "acct_value")
+        .agg(F.count(F.lit(1)).cast("long").alias("clicks"))
+    )
+
+
+def _q501_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+
+
+_Q501_DELTA_SCHEMA = (
+    "user_id long, valid_from timestamp_ntz, acct_value double,"
+    " clicks long, mult int, __epoch int"
+)
+
+
+def _make_q501_epoch(
+    spark: SparkSession, partials_path: str, clicks: DataFrame
+):
+    """CDC attribution sink: epoch e reads the purchases delivered by
+    EARLIER epochs (partitions < e — so replaying e is idempotent),
+    attributes against prior∪batch and prior, and lands only the
+    DELTA: +1 rows for new/changed attributions, −1 RETRACTIONS for
+    attributions the late version invalidated."""
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        prior = (
+            spark.read.schema(
+                "user_id long, ts timestamp_ntz, value double,"
+                " event_id long, __epoch int"
+            )
+            .parquet(f"{partials_path}/purchases")
+            .filter(F.col("__epoch") < e)
+            .drop("__epoch")
+        )
+        batch = batch_df.select("user_id", "ts", "value", "event_id")
+        old = _q501_attrib(prior, clicks)
+        new = _q501_attrib(prior.unionByName(batch), clicks)
+        key = ["user_id", "valid_from", "acct_value", "clicks"]
+        delta = (
+            new.exceptAll(old).select(*key, F.lit(1).alias("mult"))
+            .unionByName(
+                old.exceptAll(new).select(*key, F.lit(-1).alias("mult"))
+            )
+            .withColumn("__epoch", F.lit(e))
+        )
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(f"{partials_path}/attrib")
+        )
+        (
+            batch.withColumn("__epoch", F.lit(e))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(f"{partials_path}/purchases")
+        )
+
+    return ingest
+
+
+def _drain_q501(spark: SparkSession, partials_path: str) -> DataFrame:
+    deltas = spark.read.schema(_Q501_DELTA_SCHEMA).parquet(
+        f"{partials_path}/attrib"
+    )
+    net = (
+        deltas.groupBy("user_id", "valid_from", "acct_value")
+        .agg(F.sum(F.col("mult") * F.col("clicks")).alias("net_clicks"))
+        .filter(F.col("net_clicks") > 0)
+    )
+    return net.groupBy("user_id").agg(
+        F.sum("net_clicks").cast("long").alias("n_clicks_attributed"),
+        F.countDistinct("valid_from").cast("long").alias(
+            "n_versions_touched"
+        ),
+        F.sum(
+            (F.col("acct_value") * F.col("net_clicks")).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
+@query("q501_streaming_pit_attribution", oracle=_q501_oracle(), defer=True)
+def q501_streaming_pit_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q498's point-in-time attribution maintained under LATE-ARRIVING
+    dimension versions — the hardest streaming case this engine
+    handles: when a purchase version lands whose validity interval
+    SPLITS an interval clicks were already attributed to, the sink
+    emits RETRACTIONS (−1 multiplicities) for the invalidated
+    attributions alongside the corrected +1 rows (the q490
+    negative-multiplicity discipline riding q453's CDC sink). Epoch e
+    derives its delta against exactly the partitions earlier epochs
+    landed, so replaying an epoch reproduces its own delta
+    (idempotent); the accumulated deltas TELESCOPE, so any slicing of
+    the purchase stream drains to the same attribution — proven by
+    registering q498's batch oracle. The purchase stream is split
+    by event-id parity, which makes late interval-splitting versions
+    pervasive (retractions non-empty, pinned by test).
+
+    Scale shape: per epoch the recompute touches only users present
+    in the batch in production (here the full prior set for
+    simplicity of proof — the delta emission, which is the hard part,
+    is identical); the drain is one grouped multiplicity fold."""
+    import shutil
+
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    e = read_table(spark, sf_dir, "events")
+    clicks = _q501_clicks(spark, sf_dir).localCheckpoint()
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    root = scratch_dir("pit_attrib_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    partials_path = f"{root}/partials"
+    (
+        spark.createDataFrame(
+            [],
+            "user_id long, ts timestamp_ntz, value double,"
+            " event_id long, __epoch int",
+        )
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .parquet(f"{partials_path}/purchases")
+    )
+    (
+        spark.createDataFrame([], _Q501_DELTA_SCHEMA)
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .parquet(f"{partials_path}/attrib")
+    )
+    ingest = _make_q501_epoch(spark, partials_path, clicks)
+    # event-id parity slices: epoch 1 delivers versions that land
+    # BETWEEN epoch-0 versions — interval splits everywhere
+    ingest(purchases.filter(F.col("event_id") % 2 == 0), 0)
+    ingest(purchases.filter(F.col("event_id") % 2 == 1), 1)
+    return _drain_q501(spark, partials_path)

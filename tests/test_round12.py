@@ -966,3 +966,69 @@ def test_q500_ci_brackets_the_point_and_is_nondegenerate(spark):
     # corpus size the half-width is well under 5% of the mean
     half = (row["boot_hi"] - row["boot_lo"]) / 2
     assert 0 < half < 0.05 * row["point_mean"]
+
+
+def test_q501_retractions_fire_and_slicing_replay_hold(spark, tmp_path):
+    """Late versions must produce real retractions (−1 deltas), any
+    slicing must drain to the batch answer, and replaying an epoch
+    must reproduce its own delta exactly."""
+    import shutil
+
+    from databricks_etl_spark.plans.queries_round12 import (
+        _Q501_DELTA_SCHEMA,
+        _drain_q501,
+        _make_q501_epoch,
+        _q501_clicks,
+    )
+    from databricks_etl_spark.sources.readers import read_table
+
+    e = read_table(spark, SMOKE_SF_DIR, "events")
+    clicks = _q501_clicks(spark, SMOKE_SF_DIR).localCheckpoint()
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    ).localCheckpoint()
+
+    def run(path, slices):
+        shutil.rmtree(path, ignore_errors=True)
+        spark.createDataFrame(
+            [],
+            "user_id long, ts timestamp_ntz, value double,"
+            " event_id long, __epoch int",
+        ).write.partitionBy("__epoch").parquet(f"{path}/purchases")
+        spark.createDataFrame([], _Q501_DELTA_SCHEMA).write.partitionBy(
+            "__epoch"
+        ).parquet(f"{path}/attrib")
+        ingest = _make_q501_epoch(spark, path, clicks)
+        for ep, pred in enumerate(slices):
+            ingest(purchases.filter(pred), ep)
+        return ingest, sorted(
+            map(tuple, _drain_q501(spark, path).collect())
+        )
+
+    two = str(tmp_path / "two")
+    ingest2, res2 = run(
+        two,
+        [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1],
+    )
+    _, res4 = run(
+        str(tmp_path / "four"),
+        [F.col("event_id") % 4 == i for i in range(4)],
+    )
+    assert res2 == res4
+    batch = sorted(
+        map(
+            tuple,
+            queries()["q498_scd2_point_in_time_join"](
+                spark, SMOKE_SF_DIR
+            ).collect(),
+        )
+    )
+    assert res2 == batch
+    # retractions really fired
+    deltas = spark.read.schema(_Q501_DELTA_SCHEMA).parquet(
+        f"{two}/attrib"
+    )
+    assert deltas.filter(F.col("mult") == -1).count() > 0
+    # replay the late epoch: drain unchanged
+    ingest2(purchases.filter(F.col("event_id") % 2 == 1), 1)
+    assert sorted(map(tuple, _drain_q501(spark, two).collect())) == res2
