@@ -4996,3 +4996,94 @@ def q501_streaming_pit_attribution(
     ingest(purchases.filter(F.col("event_id") % 2 == 0), 0)
     ingest(purchases.filter(F.col("event_id") % 2 == 1), 1)
     return _drain_q501(spark, partials_path)
+
+# ---------------------------------------------------------------------------
+# q502 — quantile normalization across sources (batch-effect correction)
+# ---------------------------------------------------------------------------
+
+
+def _q502_oracle() -> str:
+    return """
+        WITH g AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS grank,
+                   n_chars AS gval,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n
+            FROM documents
+        ),
+        s AS (
+            SELECT source,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id
+                   ) AS r,
+                   CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                       AS m
+            FROM documents
+        ),
+        mapped AS (
+            SELECT s.source,
+                   g.gval AS norm_chars
+            FROM s JOIN g
+              ON g.grank = (s.r * g.n + s.m - 1) // s.m
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(norm_chars) AS BIGINT) AS sum_norm_chars,
+               CAST(MIN(norm_chars) AS BIGINT) AS min_norm_chars,
+               CAST(MAX(norm_chars) AS BIGINT) AS max_norm_chars
+        FROM mapped GROUP BY source
+    """
+
+
+@query("q502_quantile_normalization", oracle=_q502_oracle(), defer=True)
+def q502_quantile_normalization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QUANTILE NORMALIZATION across sources — the batch-effect
+    correction genomics made canonical, here equalizing document-
+    length distributions across crawl sources before length-sensitive
+    downstream steps: each document's within-source rank r (of m) maps
+    to the GLOBAL order statistic at rank ⌈r·n/m⌉, so every source's
+    normalized distribution is the same set of global values (sources
+    of equal size land on IDENTICAL sums — pinned). Exact everywhere:
+    the global rank→value relation comes from :func:`exact_ntile`
+    with k = n (ntile(n) ≡ row_number — the kernel doubling as an
+    exact distributed rank extractor, no SinglePartition), the
+    within-source ranks are a partitioned window, and the target-rank
+    arithmetic is integer ceiling division.
+
+    Scale shape: one distributed rank over the corpus, one partitioned
+    window, one equi-join on the target rank (both sides shuffle once
+    on the rank key)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    n = docs.count()  # bounded scalar: sizes the rank extractor
+    g = exact_ntile(
+        docs.select("n_chars", "doc_id"),
+        ["n_chars", "doc_id"],
+        n,
+        out_col="grank",
+    ).select(
+        F.col("grank").cast("long").alias("grank"),
+        F.col("n_chars").alias("gval"),
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    s = docs.select(
+        "source",
+        F.row_number().over(ws).cast("long").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast(
+            "long"
+        ).alias("m"),
+    )
+    mapped = s.join(
+        g,
+        g.grank == F.expr(f"(r * {n} + m - 1) DIV m"),
+    )
+    return mapped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("gval").cast("long").alias("sum_norm_chars"),
+        F.min("gval").cast("long").alias("min_norm_chars"),
+        F.max("gval").cast("long").alias("max_norm_chars"),
+    )

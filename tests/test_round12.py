@@ -1032,3 +1032,18 @@ def test_q501_retractions_fire_and_slicing_replay_hold(spark, tmp_path):
     # replay the late epoch: drain unchanged
     ingest2(purchases.filter(F.col("event_id") % 2 == 1), 1)
     assert sorted(map(tuple, _drain_q501(spark, two).collect())) == res2
+
+
+def test_q502_equal_size_sources_get_identical_distributions(spark):
+    rows = queries()["q502_quantile_normalization"](
+        spark, SMOKE_SF_DIR
+    ).collect()
+    assert len(rows) == 20  # one per source
+    sizes = {r["n_docs"] for r in rows}
+    sums = {r["sum_norm_chars"] for r in rows}
+    mins = {r["min_norm_chars"] for r in rows}
+    maxs = {r["max_norm_chars"] for r in rows}
+    # synthetic sources are equal-sized → normalization maps every
+    # source onto the SAME global order statistics
+    assert len(sizes) == 1
+    assert len(sums) == 1 and len(mins) == 1 and len(maxs) == 1
