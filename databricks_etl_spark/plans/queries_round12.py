@@ -5087,3 +5087,169 @@ def q502_quantile_normalization(
         F.min("gval").cast("long").alias("min_norm_chars"),
         F.max("gval").cast("long").alias("max_norm_chars"),
     )
+
+# ---------------------------------------------------------------------------
+# q503 — incremental recluster planning (local OPTIMIZE after appends)
+# ---------------------------------------------------------------------------
+
+_Q503_BASE_FILES = 20
+_Q503_APPEND_FILES = 2
+
+
+def _q503_oracle() -> str:
+    return f"""
+        WITH li AS MATERIALIZED (
+            SELECT CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(l_shipdate AS DATE)) AS DOUBLE) AS sd,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        base AS MATERIALIZED (
+            SELECT fid, CAST(COUNT(*) AS BIGINT) AS rws,
+                   MIN(sd) AS mn_sd, MAX(sd) AS mx_sd
+            FROM (
+                SELECT sd, ntile({_Q503_BASE_FILES}) OVER (
+                    ORDER BY sd, l_orderkey, l_linenumber) AS fid
+                FROM li WHERE l_orderkey % 10 <> 0
+            ) GROUP BY fid
+        ),
+        appended AS MATERIALIZED (
+            SELECT 1000 + fid AS fid, CAST(COUNT(*) AS BIGINT) AS rws,
+                   MIN(sd) AS mn_sd, MAX(sd) AS mx_sd
+            FROM (
+                SELECT sd, ntile({_Q503_APPEND_FILES}) OVER (
+                    ORDER BY l_orderkey, l_linenumber) AS fid
+                FROM li WHERE l_orderkey % 10 = 0
+            ) GROUP BY fid
+        ),
+        overlap AS (
+            SELECT DISTINCT b.fid, b.rws
+            FROM base b JOIN appended a
+              ON b.mn_sd <= a.mx_sd AND b.mx_sd >= a.mn_sd
+        ),
+        tot AS (
+            SELECT (SELECT CAST(SUM(rws) AS BIGINT) FROM base)
+                       + (SELECT CAST(SUM(rws) AS BIGINT) FROM appended)
+                       AS total_rows
+        )
+        SELECT
+            CAST({_Q503_BASE_FILES} AS BIGINT) AS n_base_files,
+            CAST({_Q503_APPEND_FILES} AS BIGINT) AS n_appended_files,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM overlap)
+                AS base_files_overlapping,
+            (SELECT CAST(SUM(rws) AS BIGINT) FROM overlap)
+                + (SELECT CAST(SUM(rws) AS BIGINT) FROM appended)
+                AS rows_to_rewrite,
+            round((CAST((SELECT SUM(rws) FROM overlap)
+                        + (SELECT SUM(rws) FROM appended) AS DOUBLE))
+                  / tot.total_rows, 6) AS rewrite_share,
+            (SELECT COUNT(*) FROM overlap) < {_Q503_BASE_FILES}
+                AS rewrite_is_local
+        FROM tot
+    """
+
+
+@query("q503_incremental_recluster_plan", oracle=_q503_oracle(), defer=True)
+def q503_incremental_recluster_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL recluster planning — what a clustering service does
+    after appends instead of rewriting the table: the base layout is
+    {_Q503_BASE_FILES} ship-day-clustered files, ingest lands
+    {_Q503_APPEND_FILES} UNCLUSTERED files (arrival order — their day
+    zones span everything), and the plan rewrites only the appended
+    files plus the base files whose zones overlap them (q420's
+    incremental-compaction discipline applied to clustering, with
+    q475's zone-overlap as the trigger arithmetic). The honest
+    verdict column: on ship-day data an arrival-ordered append
+    overlaps EVERYTHING-ish, so ``rewrite_share`` quantifies exactly
+    how un-local the rewrite is — the number that tells the service
+    to cluster AT INGEST (q417) rather than re-sort after the fact
+    (pinned: the appended zones force a majority rewrite here, which
+    IS the lesson).
+
+    Scale shape: layouts via :func:`exact_ntile`; the plan itself is
+    file-grain zone arithmetic."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("double")
+        .alias("sd"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    base = (
+        exact_ntile(
+            li.filter(F.col("l_orderkey") % 10 != 0),
+            ["sd", "l_orderkey", "l_linenumber"],
+            _Q503_BASE_FILES,
+            out_col="fid",
+        )
+        .groupBy("fid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rws"),
+            F.min("sd").alias("mn_sd"),
+            F.max("sd").alias("mx_sd"),
+        )
+        .localCheckpoint()
+    )
+    appended = (
+        exact_ntile(
+            li.filter(F.col("l_orderkey") % 10 == 0),
+            ["l_orderkey", "l_linenumber"],
+            _Q503_APPEND_FILES,
+            out_col="fid",
+        )
+        .groupBy("fid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rws"),
+            F.min("sd").alias("mn_sd"),
+            F.max("sd").alias("mx_sd"),
+        )
+        .localCheckpoint()
+    )
+    a = appended.select(
+        F.col("mn_sd").alias("a_mn"), F.col("mx_sd").alias("a_mx")
+    )
+    overlap = (
+        base.join(
+            F.broadcast(a),
+            (F.col("mn_sd") <= F.col("a_mx"))
+            & (F.col("mx_sd") >= F.col("a_mn")),
+        )
+        .select("fid", "rws")
+        .distinct()
+    )
+    ov = overlap.agg(
+        F.count(F.lit(1)).cast("long").alias("base_files_overlapping"),
+        F.sum("rws").cast("long").alias("ov_rows"),
+    )
+    ap = appended.agg(F.sum("rws").cast("long").alias("ap_rows"))
+    tot = (
+        base.agg(F.sum("rws").alias("b"))
+        .crossJoin(ap.select(F.col("ap_rows").alias("a2")))
+        .select((F.col("b") + F.col("a2")).cast("long").alias("total_rows"))
+    )
+    return (
+        ov.crossJoin(F.broadcast(ap))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(_Q503_BASE_FILES).cast("long").alias("n_base_files"),
+            F.lit(_Q503_APPEND_FILES).cast("long").alias(
+                "n_appended_files"
+            ),
+            "base_files_overlapping",
+            (F.col("ov_rows") + F.col("ap_rows"))
+            .cast("long")
+            .alias("rows_to_rewrite"),
+            F.round(
+                (F.col("ov_rows") + F.col("ap_rows")).cast("double")
+                / F.col("total_rows"),
+                6,
+            ).alias("rewrite_share"),
+            (F.col("base_files_overlapping") < _Q503_BASE_FILES).alias(
+                "rewrite_is_local"
+            ),
+        )
+    )

@@ -1047,3 +1047,15 @@ def test_q502_equal_size_sources_get_identical_distributions(spark):
     # source onto the SAME global order statistics
     assert len(sizes) == 1
     assert len(sums) == 1 and len(mins) == 1 and len(maxs) == 1
+
+
+def test_q503_arrival_ordered_appends_force_a_global_rewrite(spark):
+    """The lane's lesson: unclustered appends overlap (nearly) every
+    base file's day zone, so the 'incremental' rewrite degenerates —
+    the quantified argument for clustering at ingest."""
+    row = queries()["q503_incremental_recluster_plan"](
+        spark, SMOKE_SF_DIR
+    ).collect()[0]
+    assert row["base_files_overlapping"] == row["n_base_files"]
+    assert not row["rewrite_is_local"]
+    assert row["rewrite_share"] == 1.0
