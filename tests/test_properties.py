@@ -403,3 +403,33 @@ def test_exact_ntile_scale_gate(spark):
     bounds.sort(key=lambda x: x["b"])
     for a, c in zip(bounds, bounds[1:]):
         assert a["hi"] < c["lo"]
+
+
+def test_q466_interleave_matches_python_reference(spark):
+    """The shared Morton-code generator (used by the z-order, depth and
+    recluster lanes) against a bit-twiddling reference, over the full
+    corner set and random pairs."""
+    import random
+
+    from databricks_etl_spark.plans.queries_round12 import _q466_interleave
+
+    def ref(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    random.seed(11)
+    pairs = [(0, 0), (255, 255), (255, 0), (0, 255), (1, 2)] + [
+        (random.randrange(256), random.randrange(256)) for _ in range(50)
+    ]
+    df = spark.createDataFrame(pairs, "qx long, qy long")
+    got = {
+        (r["qx"], r["qy"]): r["z"]
+        for r in df.select(
+            "qx", "qy", F.expr(_q466_interleave("qx", "qy", "DIV")).alias("z")
+        ).collect()
+    }
+    for x, y in pairs:
+        assert got[(x, y)] == ref(x, y), (x, y)
