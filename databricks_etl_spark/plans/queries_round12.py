@@ -5253,3 +5253,201 @@ def q503_incremental_recluster_plan(
             ),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q504 — market-basket pairs (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_Q504_MIN_PAIR_ORDERS = 2  # support floor (orders containing the pair)
+_Q504_TOP = 50
+
+
+def _q504_oracle() -> str:
+    return f"""
+        WITH items AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT ok) AS DOUBLE) AS n FROM items),
+        isup AS MATERIALIZED (
+            SELECT pk, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY pk
+        ),
+        pairs AS (
+            SELECT a.pk AS pk_a, b.pk AS pk_b,
+                   CAST(COUNT(*) AS BIGINT) AS pair_orders
+            FROM items a JOIN items b
+              ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+            HAVING COUNT(*) >= {_Q504_MIN_PAIR_ORDERS}
+        ),
+        scored AS (
+            SELECT p.pk_a, p.pk_b, p.pair_orders,
+                   round(p.pair_orders / n.n, 6) AS support,
+                   round(CAST(p.pair_orders AS DOUBLE) / sa.s, 6)
+                       AS confidence_a_to_b,
+                   round(p.pair_orders * n.n / (sa.s * sb.s), 6) AS lift
+            FROM pairs p
+            JOIN isup sa ON sa.pk = p.pk_a
+            JOIN isup sb ON sb.pk = p.pk_b
+            CROSS JOIN n
+        )
+        SELECT pk_a, pk_b, pair_orders, support, confidence_a_to_b, lift
+        FROM scored
+        ORDER BY pair_orders DESC, lift DESC, pk_a, pk_b
+        LIMIT {_Q504_TOP}
+    """
+
+
+@query("q504_market_basket_pairs", oracle=_q504_oracle(), defer=True)
+def q504_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET analysis — the association-rule trio
+    (support, confidence, lift) for co-ordered part pairs: the pair
+    relation comes from a SELF-JOIN ON THE ORDER KEY with pk_a < pk_b,
+    which is bounded by construction (an order has ≤7 lines, so ≤21
+    pairs per order — never a cross product over parts), item and pair
+    supports count DISTINCT orders, and lift > 1 marks genuinely
+    associated parts. Top-{_Q504_TOP} by pair support with full
+    deterministic tiebreak. This is the apriori first pass as pure
+    relational algebra — higher-order itemsets iterate the same join
+    against the surviving pairs (the bounded-fixed-point discipline).
+
+    Scale shape: one distinct projection, one key-local self-join
+    (shuffle on orderkey — pairs generated inside co-partitions), one
+    grouped count; supports broadcast back onto pairs."""
+    li = read_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct().localCheckpoint()
+    n = float(items.select("ok").distinct().count())
+    isup = items.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    a = items.select("ok", F.col("pk").alias("pk_a"))
+    b = items.select(F.col("ok").alias("ok_b"), F.col("pk").alias("pk_b"))
+    pairs = (
+        a.join(b, (a.ok == b.ok_b) & (F.col("pk_a") < F.col("pk_b")))
+        .groupBy("pk_a", "pk_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= _Q504_MIN_PAIR_ORDERS)
+    )
+    sa = isup.select(F.col("pk").alias("pk_a"), F.col("s").alias("sa"))
+    sb = isup.select(F.col("pk").alias("pk_b"), F.col("s").alias("sb"))
+    scored = (
+        pairs.join(F.broadcast(sa), "pk_a")
+        .join(F.broadcast(sb), "pk_b")
+        .select(
+            "pk_a",
+            "pk_b",
+            "pair_orders",
+            F.round(F.col("pair_orders") / F.lit(n), 6).alias("support"),
+            F.round(
+                F.col("pair_orders").cast("double") / F.col("sa"), 6
+            ).alias("confidence_a_to_b"),
+            F.round(
+                F.col("pair_orders") * F.lit(n)
+                / (F.col("sa") * F.col("sb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pair_orders"), F.desc("lift"), F.asc("pk_a"), F.asc("pk_b")
+    ).limit(_Q504_TOP)
+
+
+# ---------------------------------------------------------------------------
+# q505 — multi-touch attribution (linear split over the lookback window)
+# ---------------------------------------------------------------------------
+
+_Q505_LOOKBACK_S = 7 * 86400  # clicks within 7 days before the purchase
+
+
+def _q505_oracle() -> str:
+    return f"""
+        WITH purchases AS MATERIALIZED (
+            SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS MATERIALIZED (
+            SELECT user_id, event_id AS click_id, ts AS c_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        touched AS (
+            SELECT p.user_id, p.purchase_id, p.value, c.click_id,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY p.purchase_id) AS BIGINT) AS n_touches
+            FROM purchases p JOIN clicks c
+              ON p.user_id = c.user_id
+             AND c.c_ts <= p.p_ts
+             AND epoch(p.p_ts) - epoch(c.c_ts) <= {_Q505_LOOKBACK_S}
+        )
+        SELECT user_id,
+               CAST(COUNT(DISTINCT purchase_id) AS BIGINT)
+                   AS attributed_purchases,
+               CAST(COUNT(*) AS BIGINT) AS touch_rows,
+               CAST(SUM(CAST(round(value / n_touches, 6)
+                             AS DECIMAL(28,6))) AS DOUBLE)
+                   AS credited_value
+        FROM touched GROUP BY user_id
+    """
+
+
+@query("q505_multi_touch_attribution", oracle=_q505_oracle(), defer=True)
+def q505_multi_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-TOUCH attribution, linear model — the marketing-analytics
+    complement of q67's last-touch as-of join: every purchase's value
+    splits EQUALLY across the user's clicks in the 7-day lookback
+    window (each share rounded to 6dp BEFORE the decimal sum, so the
+    credited total is cross-engine exact — the per-touch rounding a
+    real billing pipeline does anyway). The lookback comparison uses
+    interval-free epoch arithmetic on the NTZ timestamps
+    (``unix_timestamp``-class flooring on both engines via
+    second-grain epochs). Per user: purchases attributed, touch rows,
+    and the credited value — which is ≤ the purchase total exactly
+    when some purchases have no in-window clicks (inner-join
+    semantics, stated and tested).
+
+    Scale shape: purchases and clicks co-shuffle once on user_id; the
+    window counting touches per purchase is partitioned by purchase
+    (bounded by clicks-per-user-week)."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    touched = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+            <= _Q505_LOOKBACK_S
+        ),
+    ).withColumn(
+        "n_touches",
+        F.count(F.lit(1)).over(Window.partitionBy("purchase_id")).cast(
+            "long"
+        ),
+    )
+    return touched.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.countDistinct("purchase_id").cast("long").alias(
+            "attributed_purchases"
+        ),
+        F.count(F.lit(1)).cast("long").alias("touch_rows"),
+        F.sum(
+            F.round(F.col("value") / F.col("n_touches"), 6).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("credited_value"),
+    )

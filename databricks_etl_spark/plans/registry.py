@@ -622,8 +622,8 @@ def _load() -> None:
     # round-12 modules
     import databricks_etl_spark.plans.queries_round12  # noqa: F401
 
-    assert len(QUERIES) >= 501, (
-        f"query registry shrank: {len(QUERIES)} < 501 — a module failed to register"
+    assert len(QUERIES) >= 503, (
+        f"query registry shrank: {len(QUERIES)} < 503 — a module failed to register"
     )
     _reorder()
     _loaded = True

@@ -1059,3 +1059,42 @@ def test_q503_arrival_ordered_appends_force_a_global_rewrite(spark):
     assert row["base_files_overlapping"] == row["n_base_files"]
     assert not row["rewrite_is_local"]
     assert row["rewrite_share"] == 1.0
+
+
+def test_q504_pair_math_and_bounded_expansion(spark):
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = queries()["q504_market_basket_pairs"](
+        spark, SMOKE_SF_DIR
+    ).collect()
+    assert rows
+    li = read_table(spark, SMOKE_SF_DIR, "lineitem")
+    n_orders = li.select("l_orderkey").distinct().count()
+    for r in rows:
+        assert r["pk_a"] < r["pk_b"]
+        assert r["pair_orders"] >= 2
+        assert 0 < r["support"] <= 1
+        assert 0 < r["confidence_a_to_b"] <= 1
+        assert r["lift"] > 0
+        # support consistency: pair_orders/n == support (rounded)
+        assert abs(r["support"] - round(r["pair_orders"] / n_orders, 6)) < 1e-9
+
+
+def test_q505_credit_never_exceeds_purchase_value_and_splits_evenly(spark):
+    from databricks_etl_spark.sources.readers import read_table
+
+    rows = queries()["q505_multi_touch_attribution"](
+        spark, SMOKE_SF_DIR
+    ).collect()
+    assert rows
+    e = read_table(spark, SMOKE_SF_DIR, "events")
+    total_purchase_value = e.filter(
+        F.col("event_type") == "purchase"
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double")).collect()[0][0]
+    credited = sum(r["credited_value"] for r in rows)
+    # inner-join semantics: credited <= total purchase value (purchases
+    # with no in-window clicks attribute nothing); rounding loses at
+    # most 1e-6 per touch row
+    touches = sum(r["touch_rows"] for r in rows)
+    assert credited <= total_purchase_value + 1e-6 * touches
+    assert all(r["touch_rows"] >= r["attributed_purchases"] for r in rows)
