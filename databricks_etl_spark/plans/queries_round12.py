@@ -2586,7 +2586,7 @@ def q479_erasure_compliance_audit(
     return o_row.unionByName(l_row)
 
 # ---------------------------------------------------------------------------
-# Round-12b lanes (defer=True): landed after the round-12 window filled —
+# Round-12b lanes (defer flags cleared at r13 start): landed after the round-12 window filled —
 # queued for the round-13 driver window, locally parity-proven meanwhile.
 # ---------------------------------------------------------------------------
 
@@ -2643,7 +2643,7 @@ def _q480_oracle() -> str:
     """
 
 
-@query("q480_join_strategy_matrix", oracle=_q480_oracle(), defer=True)
+@query("q480_join_strategy_matrix", oracle=_q480_oracle())
 def q480_join_strategy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The physical-JOIN decision q436's broadcast threshold is one
     axis of, priced as a full matrix: for every edge of the TPC-H
@@ -2774,7 +2774,7 @@ def _q481_oracle() -> str:
     """
 
 
-@query("q481_partition_granularity_advisor", oracle=_q481_oracle(), defer=True)
+@query("q481_partition_granularity_advisor", oracle=_q481_oracle())
 def q481_partition_granularity_advisor(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2933,7 +2933,7 @@ def _q482_oracle() -> str:
     """
 
 
-@query("q482_file_count_sweep", oracle=_q482_oracle(), defer=True)
+@query("q482_file_count_sweep", oracle=_q482_oracle())
 def q482_file_count_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TARGET FILE SIZE decision (q417 picks a row target; this
     lane prices WHY): sweep the layout over {_Q482_GRID} equal-row
@@ -3100,7 +3100,7 @@ def _drain_q483_audit(
     return o_row.unionByName(l_row)
 
 
-@query("q483_streaming_erasure", oracle=_q483_oracle(), defer=True)
+@query("q483_streaming_erasure", oracle=_q483_oracle())
 def q483_streaming_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q479's right-to-be-forgotten pipeline with erasure REQUESTS
     arriving as a stream: each epoch delivers a slice of the request
@@ -3199,7 +3199,7 @@ def _q484_oracle() -> str:
     """
 
 
-@query("q484_hard_negative_mining", oracle=_q484_oracle(), defer=True)
+@query("q484_hard_negative_mining", oracle=_q484_oracle())
 def q484_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD-NEGATIVE mining for contrastive training — per query
     vector, the top-{_Q484_K} most-similar vectors with a DIFFERENT
@@ -3330,7 +3330,7 @@ def _q485_oracle() -> str:
     """
 
 
-@query("q485_two_level_metadata_pruning", oracle=_q485_oracle(), defer=True)
+@query("q485_two_level_metadata_pruning", oracle=_q485_oracle())
 def q485_two_level_metadata_pruning(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3467,7 +3467,7 @@ def _q486_oracle() -> str:
     """
 
 
-@query("q486_referential_integrity_audit", oracle=_q486_oracle(), defer=True)
+@query("q486_referential_integrity_audit", oracle=_q486_oracle())
 def q486_referential_integrity_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3551,8 +3551,7 @@ def _q487_oracle() -> str:
     """
 
 
-@query("q487_functional_dependency_discovery", oracle=_q487_oracle(),
-       defer=True)
+@query("q487_functional_dependency_discovery", oracle=_q487_oracle())
 def q487_functional_dependency_discovery(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3625,7 +3624,7 @@ def _q488_oracle() -> str:
     """
 
 
-@query("q488_join_elimination_advisor", oracle=_q488_oracle(), defer=True)
+@query("q488_join_elimination_advisor", oracle=_q488_oracle())
 def q488_join_elimination_advisor(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3712,7 +3711,7 @@ def _q489_oracle() -> str:
     """
 
 
-@query("q489_optimizer_datasheet", oracle=_q489_oracle(), defer=True)
+@query("q489_optimizer_datasheet", oracle=_q489_oracle())
 def q489_optimizer_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-12 OPTIMIZER surfaces on one card (the q459/q426
     datasheet discipline): the join order the joint-grid estimator
@@ -3776,7 +3775,7 @@ def _q490_oracle() -> str:
     """
 
 
-@query("q490_ivm_retraction_delta", oracle=_q490_oracle(), defer=True)
+@query("q490_ivm_retraction_delta", oracle=_q490_oracle())
 def q490_ivm_retraction_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q469's insert-only delta rule extended to DELETES — the
     retraction half every CDC-fed materialized view needs: a batch of
@@ -3851,7 +3850,7 @@ def _q491_oracle() -> str:
     """
 
 
-@query("q491_corrupt_record_quarantine", oracle=_q491_oracle(), defer=True)
+@query("q491_corrupt_record_quarantine", oracle=_q491_oracle())
 def q491_corrupt_record_quarantine(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3929,12 +3928,18 @@ _Q492_NIB = 12  # 48-bit per-row hash → DECIMAL(38,0) sum never overflows
 
 
 def _q492_row_sql() -> str:
-    return (
-        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
-        " || '|' || o_orderstatus || '|' || o_orderpriority || '|' ||"
-        " CAST(datediff('day', DATE '1970-01-01',"
-        " CAST(o_orderdate AS DATE)) AS VARCHAR)"
-    )
+    # every column passes through an explicit NULL sentinel so the
+    # canonical string NEVER goes NULL (DuckDB '||' propagates NULL;
+    # Spark concat_ws skips them — both paths are defused)
+    cols = [
+        "CAST(o_orderkey AS VARCHAR)",
+        "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus",
+        "o_orderpriority",
+        "CAST(datediff('day', DATE '1970-01-01',"
+        " CAST(o_orderdate AS DATE)) AS VARCHAR)",
+    ]
+    return " || '|' || ".join(f"coalesce({c}, '<NULL>')" for c in cols)
 
 
 def _q492_hash_sql(row: str) -> str:
@@ -3958,8 +3963,11 @@ def _q492_oracle() -> str:
 
 
 def _q492_row_col() -> F.Column:
-    return F.concat_ws(
-        "|",
+    # mirror of _q492_row_sql: explicit NULL sentinel per column, so
+    # concat_ws's skip-NULL behavior can never diverge from the
+    # oracle's NULL-propagating '||' (a NULL column would otherwise
+    # silently drop its separator here but zero the row hash there)
+    cols = [
         F.col("o_orderkey").cast("string"),
         F.col("o_custkey").cast("string"),
         F.col("o_orderstatus"),
@@ -3968,6 +3976,9 @@ def _q492_row_col() -> F.Column:
             F.col("o_orderdate").cast("date"),
             F.lit("1970-01-01").cast("date"),
         ).cast("string"),
+    ]
+    return F.concat_ws(
+        "|", *[F.coalesce(c, F.lit("<NULL>")) for c in cols]
     )
 
 
@@ -3987,7 +3998,7 @@ def _q492_hash_col(row: F.Column) -> F.Column:
     )
 
 
-@query("q492_table_fingerprint", oracle=_q492_oracle(), defer=True)
+@query("q492_table_fingerprint", oracle=_q492_oracle())
 def q492_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content FINGERPRINT of a table — the fixity check replication
     and backup systems run to prove two copies are the same table
@@ -4067,7 +4078,7 @@ def _q493_oracle() -> str:
     """
 
 
-@query("q493_anti_entropy_localization", oracle=_q493_oracle(), defer=True)
+@query("q493_anti_entropy_localization", oracle=_q493_oracle())
 def q493_anti_entropy_localization(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4091,8 +4102,7 @@ def q493_anti_entropy_localization(
     mut = F.when(
         F.col("o_orderkey") % _Q493_MUTATED_KEY_MOD == 1, F.lit("CORRUPTED")
     ).otherwise(F.col("o_orderpriority"))
-    row_b = F.concat_ws(
-        "|",
+    row_b_cols = [
         F.col("o_orderkey").cast("string"),
         F.col("o_custkey").cast("string"),
         F.col("o_orderstatus"),
@@ -4101,6 +4111,9 @@ def q493_anti_entropy_localization(
             F.col("o_orderdate").cast("date"),
             F.lit("1970-01-01").cast("date"),
         ).cast("string"),
+    ]
+    row_b = F.concat_ws(
+        "|", *[F.coalesce(c, F.lit("<NULL>")) for c in row_b_cols]
     )
 
     def digests(row: F.Column, side: str) -> DataFrame:
@@ -4151,7 +4164,7 @@ def _q494_oracle() -> str:
     return QUERIES["q492_table_fingerprint"].oracle
 
 
-@query("q494_streaming_fingerprint", oracle=_q494_oracle(), defer=True)
+@query("q494_streaming_fingerprint", oracle=_q494_oracle())
 def q494_streaming_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q492's fixity fingerprint maintained AT INGEST: the hash sum is
     fully associative, so each micro-batch lands its partial (count +
@@ -4281,7 +4294,7 @@ def _q495_oracle() -> str:
     """
 
 
-@query("q495_maintenance_scheduler", oracle=_q495_oracle(), defer=True)
+@query("q495_maintenance_scheduler", oracle=_q495_oracle())
 def q495_maintenance_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TABLE-MAINTENANCE scheduler — the card an auto-OPTIMIZE
     service reads each cycle to decide which jobs to enqueue: COMPACT
@@ -4386,7 +4399,7 @@ def _q496_oracle() -> str:
         SELECT table_name, check_type, subject, failures,
                failures = 0 AS passed
         FROM ({_q496_oracle()}) t
-    """, defer=True)
+    """)
 def q496_data_contract_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DATA CONTRACT as one relation — the five canonical test
     types a dbt-style suite declares (not_null, unique,
@@ -4487,7 +4500,7 @@ def _q497_oracle() -> str:
     """
 
 
-@query("q497_bipartite_bfs", oracle=_q497_oracle(), defer=True)
+@query("q497_bipartite_bfs", oracle=_q497_oracle())
 def q497_bipartite_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded BFS over the supplier–part bipartite graph (edges =
     distinct (suppkey, partkey) pairs of lineitem) from one seed
@@ -4568,7 +4581,7 @@ def _q498_oracle() -> str:
     """
 
 
-@query("q498_scd2_point_in_time_join", oracle=_q498_oracle(), defer=True)
+@query("q498_scd2_point_in_time_join", oracle=_q498_oracle())
 def q498_scd2_point_in_time_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4642,7 +4655,7 @@ def _q499_oracle() -> str:
     """
 
 
-@query("q499_stratified_kfold", oracle=_q499_oracle(), defer=True)
+@query("q499_stratified_kfold", oracle=_q499_oracle())
 def q499_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRATIFIED k-fold assignment for cross-validation — every
     stratum (language) is dealt round-robin into {_Q499_FOLDS} folds
@@ -4727,7 +4740,7 @@ def _q500_oracle() -> str:
     """
 
 
-@query("q500_bootstrap_ci", oracle=_q500_oracle(), defer=True)
+@query("q500_bootstrap_ci", oracle=_q500_oracle())
 def q500_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOOTSTRAP confidence interval for a data metric (mean order
     value) with fully DETERMINISTIC resampling — the uncertainty
@@ -4788,28 +4801,26 @@ def q500_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rk = F.row_number().over(Window.orderBy("m", "b"))  # 32 rows
     ranked = reps.withColumn("rk", rk)
-    lo = ranked.filter(F.col("rk") == 2).select(
-        F.round("m", 6).alias("boot_lo")
-    )
+    lo = ranked.filter(F.col("rk") == 2).select(F.col("m").alias("m_lo"))
     hi = ranked.filter(F.col("rk") == _Q500_B - 1).select(
-        F.round("m", 6).alias("boot_hi")
+        F.col("m").alias("m_hi")
     )
     point = one.select(
-        F.round((F.col("tot") / F.col("n")).cast("double"), 6).alias(
-            "point_mean"
-        )
+        (F.col("tot") / F.col("n")).cast("double").alias("pm")
     )
+    # coverage flag from the UNROUNDED values (matching the oracle,
+    # which compares raw replicate means); rounding is display-only
     return (
         point.crossJoin(F.broadcast(lo))
         .crossJoin(F.broadcast(hi))
         .select(
-            "point_mean",
+            F.round("pm", 6).alias("point_mean"),
             F.lit(_Q500_B).cast("long").alias("n_replicates"),
-            "boot_lo",
-            "boot_hi",
+            F.round("m_lo", 6).alias("boot_lo"),
+            F.round("m_hi", 6).alias("boot_hi"),
             (
-                (F.col("boot_lo") <= F.col("point_mean"))
-                & (F.col("point_mean") <= F.col("boot_hi"))
+                (F.col("m_lo") <= F.col("pm"))
+                & (F.col("pm") <= F.col("m_hi"))
             ).alias("ci_covers_point"),
         )
     )
@@ -4939,7 +4950,7 @@ def _drain_q501(spark: SparkSession, partials_path: str) -> DataFrame:
     )
 
 
-@query("q501_streaming_pit_attribution", oracle=_q501_oracle(), defer=True)
+@query("q501_streaming_pit_attribution", oracle=_q501_oracle())
 def q501_streaming_pit_attribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5034,7 +5045,7 @@ def _q502_oracle() -> str:
     """
 
 
-@query("q502_quantile_normalization", oracle=_q502_oracle(), defer=True)
+@query("q502_quantile_normalization", oracle=_q502_oracle())
 def q502_quantile_normalization(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5149,7 +5160,7 @@ def _q503_oracle() -> str:
     """
 
 
-@query("q503_incremental_recluster_plan", oracle=_q503_oracle(), defer=True)
+@query("q503_incremental_recluster_plan", oracle=_q503_oracle())
 def q503_incremental_recluster_plan(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5298,7 +5309,7 @@ def _q504_oracle() -> str:
     """
 
 
-@query("q504_market_basket_pairs", oracle=_q504_oracle(), defer=True)
+@query("q504_market_basket_pairs", oracle=_q504_oracle())
 def q504_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MARKET-BASKET analysis — the association-rule trio
     (support, confidence, lift) for co-ordered part pairs: the pair
@@ -5313,7 +5324,11 @@ def q504_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one distinct projection, one key-local self-join
     (shuffle on orderkey — pairs generated inside co-partitions), one
-    grouped count; supports broadcast back onto pairs."""
+    grouped count. The per-part support relation's cardinality is
+    |distinct parts| — it SCALES with the data, so the join back onto
+    pairs is deliberately unhinted: AQE broadcasts it at small scale
+    and falls back to a shuffle join at 100× (a forced F.broadcast
+    here would OOM; plan-audit tripwire pins the absence)."""
     li = read_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
@@ -5331,8 +5346,8 @@ def q504_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = isup.select(F.col("pk").alias("pk_a"), F.col("s").alias("sa"))
     sb = isup.select(F.col("pk").alias("pk_b"), F.col("s").alias("sb"))
     scored = (
-        pairs.join(F.broadcast(sa), "pk_a")
-        .join(F.broadcast(sb), "pk_b")
+        pairs.join(sa, "pk_a")
+        .join(sb, "pk_b")
         .select(
             "pk_a",
             "pk_b",
@@ -5377,7 +5392,8 @@ def _q505_oracle() -> str:
             FROM purchases p JOIN clicks c
               ON p.user_id = c.user_id
              AND c.c_ts <= p.p_ts
-             AND epoch(p.p_ts) - epoch(c.c_ts) <= {_Q505_LOOKBACK_S}
+             AND floor(epoch(p.p_ts)) - floor(epoch(c.c_ts))
+                 <= {_Q505_LOOKBACK_S}
         )
         SELECT user_id,
                CAST(COUNT(DISTINCT purchase_id) AS BIGINT)
@@ -5390,7 +5406,7 @@ def _q505_oracle() -> str:
     """
 
 
-@query("q505_multi_touch_attribution", oracle=_q505_oracle(), defer=True)
+@query("q505_multi_touch_attribution", oracle=_q505_oracle())
 def q505_multi_touch_attribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -525,6 +525,57 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q430_launch_gate",
         "q431_watermark_recommendation",
         "q432_multimodal_decode_arrow",
+        # round-12 driver greens (CORRECTNESS_r12.json: 50 hash-green rows;
+        # q01 re-proven, already listed)
+        "q407_streaming_plan_realization",
+        "q421_streaming_compaction",
+        "q433_table_stats_collection",
+        "q434_selectivity_estimation_audit",
+        "q435_join_cardinality_qerror",
+        "q436_broadcast_plan_decision",
+        "q437_stats_staleness_audit",
+        "q438_k_anonymity_audit",
+        "q439_generalization_ladder",
+        "q440_l_diversity_audit",
+        "q441_privacy_release_gate",
+        "q442_boolean_retrieval",
+        "q443_time_travel_reads",
+        "q444_vacuum_retention_audit",
+        "q445_conjunction_selectivity_audit",
+        "q446_commit_conflict_audit",
+        "q447_streaming_table_stats",
+        "q448_table_health_datasheet",
+        "q449_t_closeness_audit",
+        "q450_restore_plan",
+        "q451_governance_gate",
+        "q452_dp_noise_release_audit",
+        "q453_streaming_cdc_apply",
+        "q454_sort_key_selection",
+        "q455_encoding_advisor",
+        "q456_joint_histogram_estimation",
+        "q457_join_order_selection",
+        "q458_bloom_point_lookup_pricing",
+        "q459_storage_advisor_datasheet",
+        "q460_schema_evolution_read",
+        "q461_write_audit_publish",
+        "q462_joint_grid_join_order",
+        "q463_streaming_asof_restore",
+        "q464_schema_widening_read",
+        "q465_rename_vs_add_audit",
+        "q466_zorder_layout_pricing",
+        "q467_deletion_vector_pricing",
+        "q468_mv_lattice_selection",
+        "q469_ivm_join_delta",
+        "q470_runtime_filter_pricing",
+        "q471_incremental_stats_maintenance",
+        "q472_pii_scrub_audit",
+        "q473_curriculum_stages",
+        "q474_streaming_stats_maintenance",
+        "q475_clustering_depth_metric",
+        "q476_cache_admission_plan",
+        "q477_int8_quantization_audit",
+        "q478_physical_design_gate",
+        "q479_erasure_compliance_audit",
     }
 )
 

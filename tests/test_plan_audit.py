@@ -408,3 +408,68 @@ def test_q479_erasure_joins_broadcast_the_request_side(spark, smoke_sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q504_support_join_unhinted():
+    """r12 verdict #2: q504 joined the pair relation back to per-part
+    support counts under a FORCED F.broadcast — but |distinct parts|
+    scales linearly with the data (sf×200k; ~10⁹ at the 100 TB north
+    star), so the hint is a guaranteed OOM at scale and overrides
+    AQE's own size-based judgment. The fix is to leave the join
+    unhinted (AQE broadcasts at bench scale, shuffle-joins at 100×).
+    This tripwire pins the absence at the source level so the hint
+    cannot quietly return."""
+    import inspect
+
+    from databricks_etl_spark.plans.queries_round12 import (
+        q504_market_basket_pairs,
+    )
+
+    src = inspect.getsource(q504_market_basket_pairs)
+    assert "F.broadcast(" not in src, (
+        "q504 must not force-broadcast the per-part support aggregate"
+    )
+
+
+def test_broadcast_site_ledger():
+    """Source tripwire (r12 verdict #2, generalized like the F.ntile
+    one): every `F.broadcast(` site in a plans module must have been
+    AUDITED as bounded-at-any-scale (1-row stat finals, literal grids,
+    file/zone metadata relations, planted request sets — never an
+    aggregate whose cardinality scales with a table). The ledger pins
+    the audited per-file count; adding a broadcast hint anywhere fails
+    this test until the new site is audited and the ledger bumped.
+    Removing sites is always allowed (update the ledger downward)."""
+    import pathlib
+
+    ledger = {
+        "queries_analytics.py": 3,
+        "queries_breadth.py": 3,
+        "queries_corpus.py": 1,
+        "queries_extended.py": 1,
+        "queries_llmprep.py": 1,
+        "queries_olap.py": 5,
+        "queries_relational.py": 1,
+        "queries_round10.py": 32,
+        "queries_round11.py": 33,
+        "queries_round11b.py": 30,
+        "queries_round12.py": 78,  # post-q504-fix count (was 80)
+        "queries_round4b.py": 11,
+        "queries_round6.py": 8,
+        "queries_round7.py": 15,
+        "queries_round8.py": 10,
+        "queries_round9.py": 4,
+        "queries_sampling.py": 4,
+        "queries_scale.py": 1,
+        "queries_tpch.py": 13,
+    }
+    plans = pathlib.Path(__file__).resolve().parents[1] / (
+        "databricks_etl_spark/plans"
+    )
+    for p in sorted(plans.glob("*.py")):
+        n = p.read_text().count("F.broadcast(")
+        assert n <= ledger.get(p.name, 0), (
+            f"{p.name}: {n} F.broadcast sites > audited "
+            f"{ledger.get(p.name, 0)} — audit the new site "
+            f"(bounded at ANY scale?) then bump the ledger"
+        )
