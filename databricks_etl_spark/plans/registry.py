@@ -672,9 +672,11 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_round11b  # noqa: F401
     # round-12 modules
     import databricks_etl_spark.plans.queries_round12  # noqa: F401
+    # round-13 modules
+    import databricks_etl_spark.plans.queries_round13  # noqa: F401
 
-    assert len(QUERIES) >= 503, (
-        f"query registry shrank: {len(QUERIES)} < 503 — a module failed to register"
+    assert len(QUERIES) >= 507, (
+        f"query registry shrank: {len(QUERIES)} < 507 — a module failed to register"
     )
     _reorder()
     _loaded = True

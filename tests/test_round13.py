@@ -1,0 +1,136 @@
+"""Round-13 unit tests: graph-ANN operator invariants beyond the
+oracle-parity suite (which proves q506–q509 cross-engine)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from databricks_etl_spark.operators import graph_ann as GA
+from databricks_etl_spark.operators.similarity import cosine_topk
+from databricks_etl_spark.sources.readers import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, smoke_sf_dir):
+    return read_table(spark, smoke_sf_dir, "embeddings").localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def edges(spark, emb):
+    return GA.build_knn_graph(emb, 8).localCheckpoint()
+
+
+def test_build_fixed_degree_and_total_order(edges, emb):
+    """Every node has exactly m out-edges, ranks 1..m, sims
+    non-increasing in rank with the dst-ascending tiebreak."""
+    n = emb.count()
+    per = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.min("rank").alias("lo"),
+        F.max("rank").alias("hi"),
+    )
+    bad = per.filter(
+        (F.col("d") != 8) | (F.col("lo") != 1) | (F.col("hi") != 8)
+    ).count()
+    assert bad == 0
+    assert edges.count() == n * 8
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy("rank")
+    mono = edges.withColumn("prev", F.lag("sim").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("sim") > F.col("prev"))
+    )
+    assert mono.count() == 0
+
+
+def test_candidates_path_equals_exact_on_full_candidate_set(
+    spark, emb, edges
+):
+    """The subquadratic scale path (candidates arg) must reduce to the
+    exact build when the candidate set is all pairs — same edges, same
+    ranks, same sims."""
+    ids = emb.select(F.col("vec_id").alias("src"))
+    cand = ids.crossJoin(
+        F.broadcast(emb.select(F.col("vec_id").alias("dst")))
+    )
+    via_cand = GA.build_knn_graph(emb, 8, candidates=cand)
+    diff = via_cand.exceptAll(edges).count() + edges.exceptAll(
+        via_cand
+    ).count()
+    assert diff == 0
+
+
+def test_full_beam_equals_reachable_exact(spark, emb, edges):
+    """beam_search with an unbounded beam and enough hops must return
+    exactly the top-k over the entry's reachable set — the provable
+    equality q507 pins cross-engine, here proven in-operator."""
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 3)
+    full = GA.beam_search(
+        emb, edges, q, 5, beam=n, hops=64, entry=0
+    )
+    reach = GA.reachable_set(edges, 0)
+    truth = GA.topk(GA.score_against_queries(reach, emb, q), 5)
+    diff = full.exceptAll(truth).count() + truth.exceptAll(full).count()
+    assert diff == 0
+
+
+def test_reachable_set_respects_max_hops(spark, edges):
+    """max_hops=1 yields entry + its direct successors only."""
+    one = GA.reachable_set(edges, 0, max_hops=1)
+    direct = (
+        edges.filter(F.col("src") == 0)
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .count()
+    )
+    assert one.count() == 1 + direct
+
+
+def test_beam_recall_bracket_locally(spark, emb, edges):
+    """The q508 gate's brackets hold at the smoke scale: min recall@10
+    ≥ 0.8, mean ≥ 0.88 for the production beam config."""
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = GA.beam_search(emb, edges, q, 10, beam=32, hops=8, entry=0)
+    exact = cosine_topk(emb, q, 10)
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    recalls = [r["h"] / 10 for r in hits.collect()]
+    assert len(recalls) == 5
+    assert min(recalls) >= 0.8
+    assert sum(recalls) / len(recalls) >= 0.88
+
+
+def test_incremental_insert_leaves_base_edges_frozen(spark, emb):
+    """q509's contract: the base graph built before the insert batch is
+    byte-identical after it — inserts only ADD out-edges from new
+    nodes (frozen-artifact discipline)."""
+    is_ins = (
+        F.instr(
+            F.lit("0123"),
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("gi:"), F.col("vec_id").cast("string"))
+                ),
+                1,
+                1,
+            ),
+        )
+        > 0
+    )
+    base = emb.filter(~is_ins)
+    before = GA.build_knn_graph(base, 8).localCheckpoint()
+    # run the insert-search path, then rebuild the base graph: identical
+    ins = emb.filter(is_ins)
+    _ = GA._scored_pairs(
+        base, ins, id_col="vec_id", vec_col="embedding"
+    ).count()
+    after = GA.build_knn_graph(base, 8)
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
