@@ -377,3 +377,516 @@ def q509_graph_incremental_insert(
                 "mean_sim")
         .crossJoin(F.broadcast(counts))
     )
+
+
+# ---------------------------------------------------------------------------
+# q510 — recluster plan EXECUTION (really rewrite the planned files)
+# ---------------------------------------------------------------------------
+
+_Q510_BASE_FILES = 20
+_Q510_APPEND_FILES = 2
+_Q510_CUTOFF = "1998-06-01"  # appends = late-arriving recent ship-days
+
+
+def _q510_oracle() -> str:
+    return f"""
+        WITH li AS MATERIALIZED (
+            SELECT CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(l_shipdate AS DATE)) AS DOUBLE) AS sd,
+                   l_orderkey, l_linenumber,
+                   (l_orderkey % 10 = 0 AND CAST(l_shipdate AS DATE)
+                        >= DATE '{_Q510_CUTOFF}') AS is_app
+            FROM lineitem
+        ),
+        basef AS MATERIALIZED (
+            SELECT sd, l_orderkey, l_linenumber,
+                   ntile({_Q510_BASE_FILES}) OVER (
+                       ORDER BY sd, l_orderkey, l_linenumber) AS fid
+            FROM li WHERE NOT is_app
+        ),
+        appf AS MATERIALIZED (
+            SELECT sd, l_orderkey, l_linenumber,
+                   1000 + ntile({_Q510_APPEND_FILES}) OVER (
+                       ORDER BY l_orderkey, l_linenumber) AS fid
+            FROM li WHERE is_app
+        ),
+        bz AS MATERIALIZED (
+            SELECT fid, MIN(sd) AS mn, MAX(sd) AS mx,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM basef GROUP BY fid
+        ),
+        az AS MATERIALIZED (
+            SELECT fid, MIN(sd) AS mn, MAX(sd) AS mx,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM appf GROUP BY fid
+        ),
+        ov AS MATERIALIZED (
+            SELECT DISTINCT b.fid FROM bz b JOIN az a
+              ON b.mn <= a.mx AND b.mx >= a.mn
+        ),
+        dims AS MATERIALIZED (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ov) AS kk,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM basef WHERE fid IN (SELECT fid FROM ov))
+                   + (SELECT CAST(COUNT(*) AS BIGINT) FROM appf) AS nrw
+        ),
+        rwr AS MATERIALIZED (
+            SELECT sd,
+                   row_number() OVER (
+                       ORDER BY sd, l_orderkey, l_linenumber) AS rr
+            FROM (
+                SELECT sd, l_orderkey, l_linenumber FROM basef
+                WHERE fid IN (SELECT fid FROM ov)
+                UNION ALL
+                SELECT sd, l_orderkey, l_linenumber FROM appf
+            )
+        ),
+        newz AS MATERIALIZED (
+            SELECT 2000 + ((rr - 1) * dims.kk) // dims.nrw AS fid,
+                   MIN(sd) AS mn, MAX(sd) AS mx,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM rwr CROSS JOIN dims GROUP BY 1
+        ),
+        beforez AS MATERIALIZED (
+            SELECT * FROM bz UNION ALL SELECT * FROM az
+        ),
+        afterz AS MATERIALIZED (
+            SELECT * FROM bz WHERE fid NOT IN (SELECT fid FROM ov)
+            UNION ALL SELECT * FROM newz
+        ),
+        dep_b AS (
+            SELECT a.fid, CAST(COUNT(*) AS BIGINT) AS d
+            FROM beforez a JOIN beforez b
+              ON a.mn <= b.mx AND a.mx >= b.mn
+            GROUP BY a.fid
+        ),
+        dep_a AS (
+            SELECT a.fid, CAST(COUNT(*) AS BIGINT) AS d
+            FROM afterz a JOIN afterz b
+              ON a.mn <= b.mx AND a.mx >= b.mn
+            GROUP BY a.fid
+        )
+        SELECT
+            CAST({_Q510_BASE_FILES + _Q510_APPEND_FILES} AS BIGINT)
+                AS n_files_before,
+            (SELECT kk FROM dims) AS base_files_overlapping,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM afterz)
+                AS n_files_after,
+            (SELECT round(AVG(CAST(d AS DOUBLE)), 6) FROM dep_b)
+                AS depth_before_avg,
+            (SELECT round(AVG(CAST(d AS DOUBLE)), 6) FROM dep_a)
+                AS depth_after_avg,
+            (SELECT CAST(MAX(d) AS BIGINT) FROM dep_b)
+                AS depth_before_max,
+            (SELECT CAST(MAX(d) AS BIGINT) FROM dep_a)
+                AS depth_after_max,
+            (SELECT AVG(CAST(d AS DOUBLE)) FROM dep_a)
+                < (SELECT AVG(CAST(d AS DOUBLE)) FROM dep_b)
+                AS depth_improved,
+            (SELECT SUM(c) FROM afterz)
+                = (SELECT CAST(COUNT(*) AS BIGINT) FROM li)
+                AS rows_conserved,
+            TRUE AS untouched_intact
+    """
+
+
+def _q510_tree_digest(root: str) -> dict[str, str]:
+    """md5 of every data file under ``root``, keyed by relative path —
+    the byte-identity witness for untouched files (local-FS stand-in
+    for an object store's checksum listing)."""
+    import hashlib
+    import os
+
+    out: dict[str, str] = {}
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fn in sorted(filenames):
+            if fn.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, fn)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = hashlib.md5(
+                    fh.read()
+                ).hexdigest()
+    return out
+
+
+@query("q510_recluster_plan_execution", oracle=_q510_oracle())
+def q510_recluster_plan_execution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXECUTE the recluster plan the q503 family only prices — the
+    full OPTIMIZE loop on really-written files (q460's
+    write-then-reread discipline): lay the table out as
+    {_Q510_BASE_FILES} ship-day-clustered files plus
+    {_Q510_APPEND_FILES} late-arriving append files (recent ship-days
+    in arrival order — the localized-append case where incremental
+    reclustering actually pays, unlike q503's pathological everything-
+    overlap), re-read the REAL file zones, pick the rewrite set (the
+    appends plus every base file whose zone overlaps them), rewrite
+    exactly those rows re-sorted by ship-day into as many files as
+    the overlapped base set had, and re-measure q475's clustering
+    depth on the re-read result.  Pinned: depth strictly improves,
+    rows are conserved across the rewrite, and the untouched files
+    are BYTE-IDENTICAL (md5 of every part file before vs after —
+    q346's diff discipline; the rewrite may only add files and
+    retire the planned ones).
+
+    Scale shape: planning reads file-grain zone metadata (|files|
+    rows); the rewrite streams only the planned files' rows through
+    one range-partitioned sort; the depth audit is a |files|² zone
+    self-join on metadata.  Nothing global is re-sorted — that is
+    the entire point of executing the INCREMENTAL plan."""
+    import shutil
+
+    from databricks_etl_spark.operators.quantile_bucket import exact_ntile
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("double")
+        .alias("sd"),
+        "l_orderkey",
+        "l_linenumber",
+        (
+            (F.col("l_orderkey") % 10 == 0)
+            & (
+                F.col("l_shipdate").cast("date")
+                >= F.lit(_Q510_CUTOFF).cast("date")
+            )
+        ).alias("is_app"),
+    )
+    cols = ["sd", "l_orderkey", "l_linenumber"]
+    basef = exact_ntile(
+        li.filter(~F.col("is_app")).select(*cols), cols,
+        _Q510_BASE_FILES, out_col="fid",
+    )
+    appf = exact_ntile(
+        li.filter(F.col("is_app")).select(*cols),
+        ["l_orderkey", "l_linenumber"], _Q510_APPEND_FILES,
+        out_col="fid0",
+    ).select(*cols, (F.lit(1000) + F.col("fid0")).alias("fid"))
+    root = scratch_dir("recluster_exec_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    (
+        basef.unionByName(appf)
+        .write.mode("overwrite")
+        .partitionBy("fid")
+        .parquet(f"{root}/table")
+    )
+    # --- plan from the RE-READ zones ---
+    reread = spark.read.parquet(f"{root}/table")
+    zones = (
+        reread.groupBy("fid")
+        .agg(
+            F.min("sd").alias("mn"),
+            F.max("sd").alias("mx"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        .localCheckpoint()
+    )
+    bz = zones.filter(F.col("fid") < 1000)
+    az = zones.filter(F.col("fid") >= 1000)
+    ov = (
+        bz.alias("b")
+        .join(
+            F.broadcast(az.alias("a")),
+            (F.col("b.mn") <= F.col("a.mx"))
+            & (F.col("b.mx") >= F.col("a.mn")),
+        )
+        .select(F.col("b.fid").alias("fid"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ov_fids = sorted(r["fid"] for r in ov.collect())  # ≤ |files| rows
+    kk = len(ov_fids)
+    untouched_fids = [
+        f
+        for f in range(1, _Q510_BASE_FILES + 1)
+        if f not in set(ov_fids)
+    ]
+    # --- snapshot untouched bytes, EXECUTE the rewrite, re-snapshot ---
+    before_digest = {
+        f: _q510_tree_digest(f"{root}/table/fid={f}")
+        for f in untouched_fids
+    }
+    app_fids = [1000 + t for t in range(1, _Q510_APPEND_FILES + 1)]
+    rw = reread.filter(F.col("fid").isin(ov_fids + app_fids)).select(
+        *cols
+    )
+    nrw = rw.count()
+    ranked = exact_ntile(rw, cols, nrw, out_col="rr")
+    newf = ranked.select(
+        "sd",
+        F.expr(f"CAST(2000 + ((rr - 1) * {kk}) DIV {nrw} AS BIGINT)")
+        .alias("fid"),
+    )
+    newf.write.mode("overwrite").partitionBy("fid").parquet(
+        f"{root}/rewritten"
+    )
+    after_digest = {
+        f: _q510_tree_digest(f"{root}/table/fid={f}")
+        for f in untouched_fids
+    }
+    intact = before_digest == after_digest and all(
+        before_digest[f] for f in untouched_fids
+    )
+    # --- depth audit on re-read zones, before vs after ---
+    new_zones = (
+        spark.read.parquet(f"{root}/rewritten")
+        .groupBy("fid")
+        .agg(
+            F.min("sd").alias("mn"),
+            F.max("sd").alias("mx"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    beforez = zones
+    afterz = bz.filter(~F.col("fid").isin(ov_fids)).unionByName(
+        new_zones
+    ).localCheckpoint()
+
+    def depth(z: DataFrame):
+        b = z.select(
+            F.col("mn").alias("b_mn"), F.col("mx").alias("b_mx")
+        )
+        d = (
+            z.join(
+                F.broadcast(b),
+                (F.col("mn") <= F.col("b_mx"))
+                & (F.col("mx") >= F.col("b_mn")),
+            )
+            .groupBy("fid")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        return d.agg(
+            F.round(F.avg(F.col("d").cast("double")), 6).alias("avg_d"),
+            F.max("d").cast("long").alias("max_d"),
+            F.avg(F.col("d").cast("double")).alias("raw_avg"),
+        )
+
+    db = depth(beforez)
+    da = depth(afterz)
+    tot = afterz.agg(
+        F.sum("c").alias("after_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+    ).crossJoin(F.broadcast(li.agg(F.count(F.lit(1)).alias("n_li"))))
+    return (
+        db.select(
+            F.col("avg_d").alias("depth_before_avg"),
+            F.col("max_d").alias("depth_before_max"),
+            F.col("raw_avg").alias("__rb"),
+        )
+        .crossJoin(
+            F.broadcast(
+                da.select(
+                    F.col("avg_d").alias("depth_after_avg"),
+                    F.col("max_d").alias("depth_after_max"),
+                    F.col("raw_avg").alias("__ra"),
+                )
+            )
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(_Q510_BASE_FILES + _Q510_APPEND_FILES)
+            .cast("long")
+            .alias("n_files_before"),
+            F.lit(kk).cast("long").alias("base_files_overlapping"),
+            F.col("n_after").alias("n_files_after"),
+            "depth_before_avg",
+            "depth_after_avg",
+            "depth_before_max",
+            "depth_after_max",
+            (F.col("__ra") < F.col("__rb")).alias("depth_improved"),
+            (F.col("after_rows") == F.col("n_li")).alias(
+                "rows_conserved"
+            ),
+            F.lit(bool(intact)).alias("untouched_intact"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q511 — streaming multi-touch attribution WITH RETRACTIONS (late clicks)
+# ---------------------------------------------------------------------------
+
+
+def _q511_oracle() -> str:
+    # registers q505 when this module is imported standalone (tests)
+    import databricks_etl_spark.plans.queries_round12  # noqa: F401
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    return QUERIES["q505_multi_touch_attribution"].oracle
+
+
+def _q511_attrib(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """q505's linear attribution at (user, purchase, click) grain over
+    an arbitrary click subset: every purchase's value splits equally
+    across the clicks *currently known* in its 7-day lookback, each
+    share 6dp-rounded (the per-touch rounding q505 pins)."""
+    from databricks_etl_spark.plans.queries_round12 import _Q505_LOOKBACK_S
+
+    touched = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+            <= _Q505_LOOKBACK_S
+        ),
+    ).withColumn(
+        "n_touches",
+        F.count(F.lit(1)).over(Window.partitionBy("purchase_id")).cast(
+            "long"
+        ),
+    )
+    return touched.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.round(F.col("value") / F.col("n_touches"), 6).alias("share"),
+    )
+
+
+_Q511_DELTA_SCHEMA = (
+    "user_id long, purchase_id long, click_id long, share double,"
+    " mult int, __epoch int"
+)
+
+
+def _make_q511_epoch(
+    spark: SparkSession, partials_path: str, purchases: DataFrame
+):
+    """Retraction sink for LATE CLICKS: epoch e reads the clicks
+    delivered by earlier epochs (partitions < e — replay idempotent),
+    attributes against prior∪batch and prior alone, and lands only
+    the delta: a late click inside a purchase's lookback changes that
+    purchase's n_touches, so EVERY already-emitted share for it is
+    retracted (−1) and re-emitted corrected (+1) alongside the new
+    touch row — the q490/q501 negative-multiplicity discipline
+    applied to q505's equal splits."""
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        prior = (
+            spark.read.schema(
+                "c_user long, click_id long, c_ts timestamp_ntz,"
+                " __epoch int"
+            )
+            .parquet(f"{partials_path}/clicks")
+            .filter(F.col("__epoch") < e)
+            .drop("__epoch")
+        )
+        batch = batch_df.select("c_user", "click_id", "c_ts")
+        old = _q511_attrib(purchases, prior)
+        new = _q511_attrib(purchases, prior.unionByName(batch))
+        key = ["user_id", "purchase_id", "click_id", "share"]
+        delta = (
+            new.exceptAll(old).select(*key, F.lit(1).alias("mult"))
+            .unionByName(
+                old.exceptAll(new).select(*key, F.lit(-1).alias("mult"))
+            )
+            .withColumn("__epoch", F.lit(e))
+        )
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(f"{partials_path}/attrib")
+        )
+        (
+            batch.withColumn("__epoch", F.lit(e))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(f"{partials_path}/clicks")
+        )
+
+    return ingest
+
+
+def _drain_q511(spark: SparkSession, partials_path: str) -> DataFrame:
+    """Fold the accumulated ±1 deltas to the net touch set (the deltas
+    telescope, so net multiplicity is 1 for every live touch) and
+    aggregate to q505's per-user card — column-for-column its oracle."""
+    deltas = spark.read.schema(_Q511_DELTA_SCHEMA).parquet(
+        f"{partials_path}/attrib"
+    )
+    net = (
+        deltas.groupBy("user_id", "purchase_id", "click_id", "share")
+        .agg(F.sum("mult").alias("m"))
+        .filter(F.col("m") > 0)
+    )
+    return net.groupBy("user_id").agg(
+        F.countDistinct("purchase_id").cast("long").alias(
+            "attributed_purchases"
+        ),
+        F.sum(F.col("m")).cast("long").alias("touch_rows"),
+        F.sum(
+            (F.col("share") * F.col("m")).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("credited_value"),
+    )
+
+
+@query("q511_streaming_attribution_retractions", oracle=_q511_oracle())
+def q511_streaming_attribution_retractions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q505's multi-touch attribution maintained under LATE-ARRIVING
+    clicks — the marketing-pipeline case where equal splits make
+    retractions unavoidable: a click landing inside a lookback window
+    already attributed changes that purchase's touch count, so every
+    emitted share for it is wrong at once.  Epoch e emits −1
+    retractions for the invalidated shares plus corrected +1 rows
+    (q501's CDC-delta discipline riding q505's split rule); deltas
+    telescope, so ANY slicing of the click stream drains to the batch
+    answer — proven by registering q505's oracle verbatim.  Clicks
+    split by event-id parity, which lands a late click inside nearly
+    every multi-touch window (retractions non-empty, pinned by test).
+
+    Scale shape: per epoch the recompute is one co-shuffled
+    window+join over (purchases, clicks-so-far) — production scopes
+    it to users present in the batch; the emission/drain (the hard
+    part) is grain-identical either way."""
+    import shutil
+
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    ).localCheckpoint()
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    root = scratch_dir("mta_retract_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    partials_path = f"{root}/partials"
+    (
+        spark.createDataFrame(
+            [], "c_user long, click_id long, c_ts timestamp_ntz,"
+            " __epoch int"
+        )
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .parquet(f"{partials_path}/clicks")
+    )
+    (
+        spark.createDataFrame([], _Q511_DELTA_SCHEMA)
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .parquet(f"{partials_path}/attrib")
+    )
+    ingest = _make_q511_epoch(spark, partials_path, purchases)
+    ingest(clicks.filter(F.col("click_id") % 2 == 0), 0)
+    ingest(clicks.filter(F.col("click_id") % 2 == 1), 1)
+    return _drain_q511(spark, partials_path)

@@ -134,3 +134,58 @@ def test_incremental_insert_leaves_base_edges_frozen(spark, emb):
     after = GA.build_knn_graph(base, 8)
     assert before.exceptAll(after).count() == 0
     assert after.exceptAll(before).count() == 0
+
+
+def test_q511_retractions_fire_and_replay_idempotent(spark, tmp_path):
+    """Late clicks must produce real retractions (−1 deltas), and
+    replaying an epoch must reproduce its own delta exactly."""
+    import shutil
+
+    from databricks_etl_spark.plans.queries_round13 import (
+        _Q511_DELTA_SCHEMA,
+        _drain_q511,
+        _make_q511_epoch,
+    )
+    from tests.conftest import SMOKE_SF_DIR
+
+    e = read_table(spark, SMOKE_SF_DIR, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    ).localCheckpoint()
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    ).localCheckpoint()
+
+    path = str(tmp_path / "partials")
+    shutil.rmtree(path, ignore_errors=True)
+    spark.createDataFrame(
+        [], "c_user long, click_id long, c_ts timestamp_ntz, __epoch int"
+    ).write.mode("overwrite").partitionBy("__epoch").parquet(
+        f"{path}/clicks"
+    )
+    spark.createDataFrame([], _Q511_DELTA_SCHEMA).write.mode(
+        "overwrite"
+    ).partitionBy("__epoch").parquet(f"{path}/attrib")
+    ingest = _make_q511_epoch(spark, path, purchases)
+    ingest(clicks.filter(F.col("click_id") % 2 == 0), 0)
+    ingest(clicks.filter(F.col("click_id") % 2 == 1), 1)
+
+    deltas = spark.read.schema(_Q511_DELTA_SCHEMA).parquet(
+        f"{path}/attrib"
+    )
+    n_retract = deltas.filter(
+        (F.col("__epoch") == 1) & (F.col("mult") == -1)
+    ).count()
+    assert n_retract > 0, "late clicks must retract emitted shares"
+
+    drained1 = sorted(map(tuple, _drain_q511(spark, path).collect()))
+    # replay epoch 1: dynamic partition overwrite rewrites its own
+    # partition with the identical delta
+    ingest(clicks.filter(F.col("click_id") % 2 == 1), 1)
+    drained2 = sorted(map(tuple, _drain_q511(spark, path).collect()))
+    assert drained1 == drained2
