@@ -337,7 +337,8 @@ def q99_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q132_incremental_agg_maintenance",
-    bench=True,
+    # rotated out of the bench set r13 (steady 0.2s; streaming/incremental
+    # family tracked by q131) in favor of q466 z-order pricing
     oracle="""
         WITH changes AS (
             SELECT c_custkey, c_nationkey,

@@ -825,7 +825,8 @@ def _q466_oracle() -> str:
     """
 
 
-@query("q466_zorder_layout_pricing", oracle=_q466_oracle())
+@query("q466_zorder_layout_pricing", oracle=_q466_oracle(),
+       bench=True)  # rotated in r13: physical-design family regression tracking
 def q466_zorder_layout_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q454's missing layout: Z-ORDER. On a MIXED workload (half the
     predicates on ship day, half on part key) neither linear sort can
