@@ -890,3 +890,565 @@ def q511_streaming_attribution_retractions(
     ingest(clicks.filter(F.col("click_id") % 2 == 0), 0)
     ingest(clicks.filter(F.col("click_id") % 2 == 1), 1)
     return _drain_q511(spark, partials_path)
+
+
+# ---------------------------------------------------------------------------
+# q512 — range-join acceleration via binning (provably ≡ inequality join)
+# ---------------------------------------------------------------------------
+
+_Q512_W = 7 * 86400  # join window: purchase within 7 days after click
+
+
+def _q512_oracle() -> str:
+    return f"""
+        WITH c AS MATERIALIZED (
+            SELECT user_id, event_id AS click_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ec
+            FROM events WHERE event_type = 'click'
+        ),
+        p AS MATERIALIZED (
+            SELECT user_id, event_id AS purchase_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ep
+            FROM events WHERE event_type = 'purchase'
+        ),
+        pairs AS (
+            SELECT c.user_id, c.click_id, p.purchase_id,
+                   p.ep - c.ec AS gap_s
+            FROM c JOIN p
+              ON c.user_id = p.user_id
+             AND p.ep - c.ec BETWEEN 0 AND {_Q512_W}
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT purchase_id) AS BIGINT)
+                   AS n_purchases_matched,
+               CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+               CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+        FROM pairs GROUP BY user_id
+    """
+
+
+@query("q512_range_join_binned", oracle=_q512_oracle())
+def q512_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-JOIN acceleration by BINNING — the standard distributed
+    technique for interval joins, finally first-class: the naive
+    formulation (equi-join on user plus an inequality on time) is
+    fine, but a bare inequality join (no equi key) degenerates to a
+    nested loop, and even the keyed form piles every user's history
+    into one comparison set.  Binning makes the window an EQUI key:
+    each purchase belongs to its ⌊epoch/W⌋ bin; a click can only
+    match purchases in its own bin or the next, so replicating clicks
+    to exactly those two bins and equi-joining on (user, bin) yields
+    a candidate set that provably CONTAINS every true pair and at
+    most doubles the click side — the exact predicate then filters.
+    The oracle is the plain inequality join: hash equality IS the
+    correctness proof of the acceleration.  Outputs are exact
+    integer-second gap aggregates (no float discipline needed).
+
+    Scale shape: one shuffle on (user, bin) — SortMerge/Hash, never
+    BroadcastNestedLoop (plan-asserted); the 2× click replication is
+    the entire cost, against the nested-loop blowup it prevents."""
+    e = read_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_timestamp("ts").alias("ec"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_timestamp("ts").alias("ep"),
+        (F.unix_timestamp("ts") / F.lit(_Q512_W))
+        .cast("long")
+        .alias("bin"),
+    )
+    cb = c.select(
+        "*", F.explode(
+            F.array(
+                (F.col("ec") / F.lit(_Q512_W)).cast("long"),
+                (F.col("ec") / F.lit(_Q512_W)).cast("long") + 1,
+            )
+        ).alias("bin"),
+    )
+    pairs = (
+        cb.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (cb.bin == p.bin),
+        )
+        .withColumn("gap_s", F.col("ep") - F.col("ec"))
+        .filter((F.col("gap_s") >= 0) & (F.col("gap_s") <= _Q512_W))
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("purchase_id").cast("long").alias(
+            "n_purchases_matched"
+        ),
+        F.sum("gap_s").cast("long").alias("sum_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q513 — dyadic exponential-decay scoring (EWMA made hash-checkable)
+# ---------------------------------------------------------------------------
+
+_Q513_AS_OF = "2024-02-01"  # deterministic as-of (F6 discipline)
+_Q513_MAX_AGE = 40  # shiftleft bound: 2^40 fits long, decays to ~0
+
+
+def _q513_oracle() -> str:
+    return f"""
+        WITH p AS (
+            SELECT user_id, value,
+                   datediff('day', CAST(ts AS DATE),
+                            DATE '{_Q513_AS_OF}') AS age_d
+            FROM events WHERE event_type = 'purchase'
+        ),
+        w AS (
+            SELECT user_id,
+                   CAST(round(value / (CAST(1 AS BIGINT) << age_d), 6)
+                        AS DECIMAL(28,6)) AS t_day,
+                   CAST(round(value / (CAST(1 AS BIGINT) << (age_d // 7)),
+                              6) AS DECIMAL(28,6)) AS t_week
+            FROM p WHERE age_d BETWEEN 0 AND {_Q513_MAX_AGE}
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(t_day) AS DOUBLE) AS decay_score_hl1d,
+               CAST(SUM(t_week) AS DOUBLE) AS decay_score_hl7d
+        FROM w GROUP BY user_id
+    """
+
+
+@query("q513_dyadic_decay_score", oracle=_q513_oracle())
+def q513_dyadic_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIAL-DECAY (EWMA-style) scoring made bit-exact across
+    engines — the recency weighting every engagement/risk score uses,
+    which is normally hopeless to hash-check because ``pow(0.5, k)``
+    and float summation both drift.  Two tricks close it: the decay
+    base is DYADIC (half-life weights are exact powers of two, built
+    by integer ``shiftleft`` — dividing a double by 2^k only moves
+    the exponent, so each term is exact), and each term is 6dp-rounded
+    into the exact-decimal sum (the q505 per-term discipline).  Scores
+    at two half-lives (1 day, 7 days via integer-divided age) from a
+    pinned as-of date; ages beyond {_Q513_MAX_AGE} days carry zero
+    usable weight and are filtered — which also bounds the shift.
+
+    Scale shape: one scan, one grouped decimal aggregate — the
+    weights are row-local arithmetic, no window, no recursion (the
+    recursive EWMA form telescopes into exactly this weighted sum)."""
+    e = read_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "value",
+        F.datediff(
+            F.lit(_Q513_AS_OF).cast("date"), F.col("ts").cast("date")
+        ).alias("age_d"),
+    ).filter(
+        (F.col("age_d") >= 0) & (F.col("age_d") <= _Q513_MAX_AGE)
+    )
+    # shiftleft's Python wrapper only takes a literal shift — the SQL
+    # form accepts a column
+    t_day = F.round(
+        F.col("value") / F.expr("shiftleft(CAST(1 AS BIGINT), age_d)"),
+        6,
+    ).cast("decimal(28,6)")
+    t_week = F.round(
+        F.col("value")
+        / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(age_d DIV 7 AS INT))"),
+        6,
+    ).cast("decimal(28,6)")
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(t_day).cast("double").alias("decay_score_hl1d"),
+        F.sum(t_week).cast("double").alias("decay_score_hl7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q514 — ORACLED connected components (transitive closure, bounded slice)
+# ---------------------------------------------------------------------------
+
+_Q514_MOD = 97  # planted slice: orders with key % 97 == 0
+
+
+def _q514_oracle() -> str:
+    return f"""
+        WITH RECURSIVE li AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem WHERE l_orderkey % {_Q514_MOD} = 0
+        ),
+        eu AS MATERIALIZED (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        ),
+        nodes AS MATERIALIZED (SELECT DISTINCT pk FROM li),
+        reach AS (
+            SELECT pk AS src, pk AS node FROM nodes
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN eu e ON e.src = r.node
+        ),
+        comp AS (
+            SELECT src AS pk, MIN(node) AS comp_id
+            FROM reach GROUP BY src
+        )
+        SELECT CAST(comp_id AS BIGINT) AS comp_id,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM comp GROUP BY comp_id
+    """
+
+
+@query("q514_connected_components_oracled", oracle=_q514_oracle())
+def q514_connected_components_oracled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONNECTED COMPONENTS finally ORACLED — the graph family's CC
+    (q169) and PageRank (q213) are rows-only by seeding; here the
+    co-ordered-parts graph on a planted order slice is small enough
+    for the oracle to take the TRANSITIVE CLOSURE (recursive CTE) and
+    define each node's component as its minimum reachable id, while
+    the Spark side runs the production algorithm — iterative min-label
+    propagation (each round every node takes the min of its own and
+    its neighbors' labels; fixed point = components), the
+    hash-checkable proof that the Pregel-style loop computes the same
+    partition the closure defines.  Output: component id (min part
+    key) and size.
+
+    Scale shape: the Spark side is label propagation — per round one
+    equi-join edge pass + one grouped min, O(diameter) rounds,
+    lineage cut per round (q213's checkpoint discipline); only the
+    ORACLE uses the quadratic closure, which is why the slice is
+    planted ({_Q514_MOD}-modulus orders)."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _Q514_MOD == 0)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = li.select(F.col("pk"), F.col("pk").alias("lbl")).distinct() \
+        .localCheckpoint()
+    for _ in range(32):
+        via = (
+            edges.join(
+                labels.withColumnRenamed("pk", "src").withColumnRenamed(
+                    "lbl", "src_lbl"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("pk"))
+            .agg(F.min("src_lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(via, "pk", "left")
+            .select(
+                "pk",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "pk")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("lbl").cast("long").alias("comp_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q515 — sliding-window EXACT distinct (7-day active users)
+# ---------------------------------------------------------------------------
+
+_Q515_WIN_D = 7
+
+
+def _q515_oracle() -> str:
+    return f"""
+        WITH du AS MATERIALIZED (
+            SELECT DISTINCT
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS d, user_id
+            FROM events
+        ),
+        days AS MATERIALIZED (SELECT DISTINCT d FROM du),
+        dc AS MATERIALIZED (
+            SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS d, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        )
+        SELECT days.d AS window_end_day,
+               (SELECT CAST(COUNT(DISTINCT du.user_id) AS BIGINT)
+                FROM du
+                WHERE du.d BETWEEN days.d - {_Q515_WIN_D - 1} AND days.d)
+                   AS active_users,
+               (SELECT CAST(SUM(dc.c) AS BIGINT) FROM dc
+                WHERE dc.d BETWEEN days.d - {_Q515_WIN_D - 1} AND days.d)
+                   AS window_events
+        FROM days
+    """
+
+
+@query("q515_sliding_window_distinct", oracle=_q515_oracle())
+def q515_sliding_window_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT sliding-window distinct counts — 7-day active users, the
+    metric COUNT(DISTINCT) OVER a RANGE window cannot express
+    distributively and naive rewrites recompute per window: dedup to
+    (day, user) grain once, then REPLICATE each grain row to the
+    {_Q515_WIN_D} windows it belongs to (window id = its end day) and
+    count distinct per window — the replicate-to-windows technique
+    that turns a sliding distinct into one grouped aggregate, with
+    the replication factor bounded by the window length (the same
+    bound q512 exploits for range joins).  Window event totals ride
+    the same pass from the (day, count) pre-aggregate.  Emitted for
+    every OBSERVED day (windows ending on silent days don't appear —
+    stated, mirrored in the oracle).
+
+    Scale shape: one dedup shuffle to (day,user), a 7× metadata-grain
+    explode, one grouped count-distinct; no per-window rescans."""
+    e = read_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    du = e.select(day.alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    offs = F.array(*[F.lit(i) for i in range(_Q515_WIN_D)])
+    exploded = (
+        du.select("d", "user_id", F.explode(offs).alias("off"))
+        .select((F.col("d") + F.col("off")).alias("w"), "user_id")
+        .join(days.withColumnRenamed("d", "w"), "w", "left_semi")
+    )
+    users = exploded.groupBy("w").agg(
+        F.countDistinct("user_id").cast("long").alias("active_users")
+    )
+    dc = e.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    evs = (
+        dc.select("d", "c", F.explode(offs).alias("off"))
+        .select((F.col("d") + F.col("off")).alias("w"), "c")
+        .join(days.withColumnRenamed("d", "w"), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.sum("c").cast("long").alias("window_events"))
+    )
+    return users.join(evs, "w").select(
+        F.col("w").alias("window_end_day"), "active_users",
+        "window_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q516 — 2-D skyline (Pareto frontier) without a global sort
+# ---------------------------------------------------------------------------
+
+
+def _q516_oracle() -> str:
+    return """
+        WITH pts AS MATERIALIZED (
+            SELECT o_custkey AS custkey,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0)
+                                 AS DECIMAL(28,0))) AS BIGINT)
+                       AS spend_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT p.custkey, p.spend_cents, p.n_orders
+        FROM pts p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts q
+            WHERE q.spend_cents >= p.spend_cents
+              AND q.n_orders >= p.n_orders
+              AND (q.spend_cents > p.spend_cents
+                   OR q.n_orders > p.n_orders)
+        )
+    """
+
+
+@query("q516_skyline_pareto_front", oracle=_q516_oracle())
+def q516_skyline_pareto_front(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier) — the multi-objective "best
+    customers" query (maximize lifetime spend AND order count; a
+    customer is on the frontier iff nobody beats-or-ties both while
+    strictly beating one).  The textbook sweep is a global sort with
+    a running max — the forbidden global-window shape; the
+    :mod:`operators.skyline` kernel gets the identical answer with
+    the exact_ntile two-phase architecture (per-d1 max → range
+    partitions → literal cross-partition suffix maxes → bounded
+    per-partition window).  Dimensions are quantized to exact
+    integers (spend in cents via per-order decimal rounding, order
+    count) so dominance never compares floats.  The oracle is the
+    NOT-EXISTS dominance definition itself — hash equality proves
+    the distributed sweep against the spec.
+
+    Scale shape: one grouped aggregate, one shuffle on the spend key,
+    driver state ≤ n_parts literals; the join back is unhinted (the
+    frontier is usually tiny, worst case O(n))."""
+    from databricks_etl_spark.operators.skyline import skyline_2d
+
+    o = read_table(spark, sf_dir, "orders")
+    pts = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("decimal(28,0)")
+        )
+        .cast("long")
+        .alias("spend_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    return skyline_2d(pts, "spend_cents", "n_orders")
+
+
+# ---------------------------------------------------------------------------
+# q517 — set-similarity join via PREFIX FILTERING (provably complete)
+# ---------------------------------------------------------------------------
+
+_Q517_THETA = 0.9
+
+
+def _q517_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _TOKS
+
+    return f"""
+        WITH d AS MATERIALIZED (
+            SELECT doc_id, list_distinct({_TOKS}) AS toks
+            FROM documents
+        ),
+        i AS MATERIALIZED (
+            SELECT doc_id, unnest(toks) AS token FROM d
+        ),
+        sz AS MATERIALIZED (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS set_size
+            FROM i GROUP BY 1
+        ),
+        sh AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared
+            FROM i a JOIN i b USING (token)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT * FROM (
+            SELECT id_a, id_b,
+                   round(CAST(shared AS DOUBLE)
+                         / (sa.set_size + sb.set_size - shared), 6)
+                       AS jaccard
+            FROM sh
+            JOIN sz sa ON sh.id_a = sa.doc_id
+            JOIN sz sb ON sh.id_b = sb.doc_id
+        ) WHERE jaccard >= {_Q517_THETA}
+    """
+
+
+@query("q517_prefix_filtered_jaccard_join", oracle=_q517_oracle())
+def q517_prefix_filtered_jaccard_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Set-similarity join via PREFIX FILTERING — the database-
+    literature acceleration (PPJoin's core) the dedup stack was
+    missing between the exact inverted-index join (q43 — complete
+    but joins EVERY shared token) and MinHash banding (q45 —
+    subquadratic but probabilistic): order every token by ascending
+    global document frequency (rarest first, ties by token text);
+    two sets with Jaccard ≥ θ MUST share a token within each other's
+    first ``|S| − ⌈θ·|S|⌉ + 1`` rarest tokens, so equi-joining only
+    those PREFIX postings generates a candidate superset — then one
+    verification join computes exact Jaccard on candidates only.
+    The oracle is the full inverted-index join with no filter: hash
+    equality IS the completeness proof of the prefix bound.
+
+    Scale shape: candidate generation joins the prefix postings
+    (rarest tokens → shortest posting lists, the reason the ordering
+    is by frequency); verification touches candidate pairs only —
+    against the full join's sum-of-squares over every posting list."""
+    from math import ceil  # noqa: F401  (doc: ceil via integer arith below)
+
+    from databricks_etl_spark.operators.dedup import token_sets
+
+    d = read_table(spark, sf_dir, "documents")
+    i = token_sets(d).localCheckpoint()
+    # global token order: (df ASC, token ASC), dense rank via the
+    # two-phase exact rank (q502's extractor)
+    from databricks_etl_spark.operators.quantile_bucket import exact_ntile
+
+    tf = i.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ntok = tf.count()
+    trank = exact_ntile(
+        tf, ["df", "token"], max(ntok, 1), out_col="trank"
+    ).select("token", "trank")
+    ii = i.join(trank, "token")
+    sz = ii.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("set_size")
+    )
+    # prefix length = s - ceil(θ·s) + 1 = s - ((9·s + 9) DIV 10) + 1
+    # for θ=0.9 in exact integer arithmetic
+    ranked = ii.join(sz, "doc_id").withColumn(
+        "tpos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("trank")
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("tpos")
+        <= F.col("set_size")
+        - F.expr("(9 * set_size + 9) DIV 10")
+        + 1
+    ).select("doc_id", "token")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    # verification: exact shared-token counts on candidates only
+    ia = i.select(F.col("doc_id").alias("id_a"), "token")
+    ib = i.select(
+        F.col("doc_id").alias("__idb"), F.col("token").alias("tb")
+    )
+    shared = (
+        cand.join(ia, "id_a")
+        .join(
+            ib,
+            (F.col("id_b") == F.col("__idb"))
+            & (F.col("token") == F.col("tb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("sza"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("szb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared")
+                / (F.col("sza") + F.col("szb") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _Q517_THETA)
+    )

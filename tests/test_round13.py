@@ -189,3 +189,40 @@ def test_q511_retractions_fire_and_replay_idempotent(spark, tmp_path):
     ingest(clicks.filter(F.col("click_id") % 2 == 1), 1)
     drained2 = sorted(map(tuple, _drain_q511(spark, path).collect()))
     assert drained1 == drained2
+
+
+def test_skyline_kernel_matches_bruteforce(spark):
+    """skyline_2d vs the NOT-EXISTS dominance definition on hostile
+    fixtures: anti-correlated dims (worst-case frontier = everything),
+    ties on both dims (all survive), duplicated points, and a single
+    dominator."""
+    from databricks_etl_spark.operators.skyline import skyline_2d
+
+    cases = [
+        # anti-correlated: every point on the frontier
+        [(i, 10 - i) for i in range(11)],
+        # ties on both dims survive together
+        [(5, 5), (5, 5), (3, 3)],
+        # one global dominator
+        [(9, 9), (1, 8), (8, 1), (9, 9)],
+        # mixed with same-d1 groups
+        [(1, 1), (1, 9), (2, 5), (2, 5), (3, 2), (0, 10)],
+    ]
+    for pts in cases:
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pts)],
+            "rid long, d1 long, d2 long",
+        )
+        got = sorted(
+            (r["rid"], r["d1"], r["d2"])
+            for r in skyline_2d(df, "d1", "d2", n_parts=3).collect()
+        )
+        want = sorted(
+            (i, a, b)
+            for i, (a, b) in enumerate(pts)
+            if not any(
+                (qa >= a and qb >= b and (qa > a or qb > b))
+                for (qa, qb) in pts
+            )
+        )
+        assert got == want, (pts, got, want)
