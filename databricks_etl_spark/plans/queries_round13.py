@@ -1204,6 +1204,33 @@ def _q515_oracle() -> str:
     """
 
 
+def _q515_fold(du: DataFrame, dc: DataFrame) -> DataFrame:
+    """The replicate-to-windows fold shared by the batch lane and its
+    streaming twin (q522): du = distinct (d, user_id) grain, dc =
+    per-day event counts (d, c)."""
+    days = du.select("d").distinct()
+    offs = F.array(*[F.lit(i) for i in range(_Q515_WIN_D)])
+    exploded = (
+        du.select("d", "user_id", F.explode(offs).alias("off"))
+        .select((F.col("d") + F.col("off")).alias("w"), "user_id")
+        .join(days.withColumnRenamed("d", "w"), "w", "left_semi")
+    )
+    users = exploded.groupBy("w").agg(
+        F.countDistinct("user_id").cast("long").alias("active_users")
+    )
+    evs = (
+        dc.select("d", "c", F.explode(offs).alias("off"))
+        .select((F.col("d") + F.col("off")).alias("w"), "c")
+        .join(days.withColumnRenamed("d", "w"), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.sum("c").cast("long").alias("window_events"))
+    )
+    return users.join(evs, "w").select(
+        F.col("w").alias("window_end_day"), "active_users",
+        "window_events",
+    )
+
+
 @query("q515_sliding_window_distinct", oracle=_q515_oracle())
 def q515_sliding_window_distinct(
     spark: SparkSession, sf_dir: str
@@ -1228,30 +1255,10 @@ def q515_sliding_window_distinct(
         F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
     )
     du = e.select(day.alias("d"), "user_id").distinct()
-    days = du.select("d").distinct()
-    offs = F.array(*[F.lit(i) for i in range(_Q515_WIN_D)])
-    exploded = (
-        du.select("d", "user_id", F.explode(offs).alias("off"))
-        .select((F.col("d") + F.col("off")).alias("w"), "user_id")
-        .join(days.withColumnRenamed("d", "w"), "w", "left_semi")
-    )
-    users = exploded.groupBy("w").agg(
-        F.countDistinct("user_id").cast("long").alias("active_users")
-    )
     dc = e.groupBy(day.alias("d")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    evs = (
-        dc.select("d", "c", F.explode(offs).alias("off"))
-        .select((F.col("d") + F.col("off")).alias("w"), "c")
-        .join(days.withColumnRenamed("d", "w"), "w", "left_semi")
-        .groupBy("w")
-        .agg(F.sum("c").cast("long").alias("window_events"))
-    )
-    return users.join(evs, "w").select(
-        F.col("w").alias("window_end_day"), "active_users",
-        "window_events",
-    )
+    return _q515_fold(du, dc)
 
 
 # ---------------------------------------------------------------------------
@@ -1452,3 +1459,584 @@ def q517_prefix_filtered_jaccard_join(
         )
         .filter(F.col("jaccard") >= _Q517_THETA)
     )
+
+
+# ---------------------------------------------------------------------------
+# q518 — correlated vs independent join-cardinality sampling
+# ---------------------------------------------------------------------------
+
+_Q518_HEX = "01"  # 1/8 sample: md5 first hex in this set
+
+
+def _q518_oracle() -> str:
+    return f"""
+        WITH ck AS MATERIALIZED (
+            SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1
+        ),
+        tru AS (SELECT CAST(SUM(c * c) AS BIGINT) AS t FROM ck),
+        corr AS (
+            SELECT CAST(8 * SUM(c * c) AS BIGINT) AS est FROM ck
+            WHERE strpos('{_Q518_HEX}',
+                  substr(md5('cs:' || CAST(k AS VARCHAR)), 1, 1)) > 0
+        ),
+        sa AS (
+            SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem
+            WHERE strpos('{_Q518_HEX}', substr(md5('ia:'
+                  || CAST(l_orderkey AS VARCHAR) || ':'
+                  || CAST(l_linenumber AS VARCHAR)), 1, 1)) > 0
+            GROUP BY 1
+        ),
+        sb AS (
+            SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem
+            WHERE strpos('{_Q518_HEX}', substr(md5('ib:'
+                  || CAST(l_orderkey AS VARCHAR) || ':'
+                  || CAST(l_linenumber AS VARCHAR)), 1, 1)) > 0
+            GROUP BY 1
+        ),
+        ind AS (
+            SELECT CAST(64 * SUM(sa.c * sb.c) AS BIGINT) AS est
+            FROM sa JOIN sb ON sa.k = sb.k
+        )
+        SELECT tru.t AS true_join_size,
+               corr.est AS corr_estimate,
+               ind.est AS indep_estimate,
+               round(GREATEST(CAST(corr.est AS DOUBLE) / tru.t,
+                              CAST(tru.t AS DOUBLE) / corr.est), 6)
+                   AS corr_qerror,
+               round(GREATEST(CAST(ind.est AS DOUBLE) / tru.t,
+                              CAST(tru.t AS DOUBLE) / GREATEST(ind.est, 1)),
+                     6) AS indep_qerror,
+               GREATEST(CAST(corr.est AS DOUBLE) / tru.t,
+                        CAST(tru.t AS DOUBLE) / corr.est)
+                   < GREATEST(CAST(ind.est AS DOUBLE) / tru.t,
+                              CAST(tru.t AS DOUBLE) / GREATEST(ind.est, 1))
+                   AS correlated_wins
+        FROM tru, corr, ind
+    """
+
+
+@query("q518_correlated_join_sampling", oracle=_q518_oracle())
+def q518_correlated_join_sampling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CORRELATED sampling for join-cardinality estimation — the
+    optimizer-stats technique q435's q-error audit motivates: to
+    estimate a self-join size (Σ c_k² over the part key) from a 1/8
+    sample, sampling BOTH sides by the SAME deterministic key
+    predicate (md5 of the join key) keeps whole key-groups together,
+    so the sampled join scales back by 1/p; sampling each side
+    independently per-row only meets on p² of each group and scales
+    by 1/p² — unbiased too, but its variance is catastrophic on
+    skewed keys.  Both estimators, their q-errors against the exact
+    answer, and the winner verdict in one card — every quantity
+    deterministic (md5 sampling), so the whole comparison is
+    hash-checked.
+
+    Scale shape: the true size and both estimates are per-key count
+    aggregates — one shuffle each on the join key; no join is ever
+    materialized (the q457 measured-intermediates discipline)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    ck = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint()
+    tru = ck.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("t")
+    )
+    in_hex = lambda pref, col: (  # noqa: E731
+        F.instr(
+            F.lit(_Q518_HEX),
+            F.substring(F.md5(F.concat(F.lit(pref), col)), 1, 1),
+        )
+        > 0
+    )
+    corr = ck.filter(in_hex("cs:", F.col("k").cast("string"))).agg(
+        (F.lit(8) * F.sum(F.col("c") * F.col("c")))
+        .cast("long")
+        .alias("est_c")
+    )
+    rowkey = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sa = (
+        li.filter(in_hex("ia:", rowkey))
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    )
+    sb = (
+        li.filter(in_hex("ib:", rowkey))
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    ind = sa.join(sb, "k").agg(
+        (F.lit(64) * F.sum(F.col("ca") * F.col("cb")))
+        .cast("long")
+        .alias("est_i")
+    )
+    out = (
+        tru.crossJoin(F.broadcast(corr))
+        .crossJoin(F.broadcast(ind))
+    )
+    qe = lambda est: F.greatest(  # noqa: E731
+        est.cast("double") / F.col("t"),
+        F.col("t").cast("double") / F.greatest(est, F.lit(1)),
+    )
+    return out.select(
+        F.col("t").alias("true_join_size"),
+        F.col("est_c").alias("corr_estimate"),
+        F.col("est_i").alias("indep_estimate"),
+        F.round(qe(F.col("est_c")), 6).alias("corr_qerror"),
+        F.round(qe(F.col("est_i")), 6).alias("indep_qerror"),
+        (qe(F.col("est_c")) < qe(F.col("est_i"))).alias(
+            "correlated_wins"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q519 — distribution drift monitor (PSI + exact KS over fixed bins)
+# ---------------------------------------------------------------------------
+
+_Q519_BINS = 10
+_Q519_LO, _Q519_HI = 0.0, 400.0  # fixed literal edges over purchase value
+
+
+def _q519_oracle() -> str:
+    w = (_Q519_HI - _Q519_LO) / _Q519_BINS
+    return f"""
+        WITH p AS MATERIALIZED (
+            SELECT LEAST(CAST(FLOOR((value - {_Q519_LO}) / {w})
+                              AS BIGINT), {_Q519_BINS - 1}) AS bin,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       - (SELECT MIN(datediff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE))) FROM events)
+                       AS rel_d
+            FROM events WHERE event_type = 'purchase'
+        ),
+        a AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM p
+              WHERE rel_d < 10 GROUP BY 1),
+        b AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM p
+              WHERE rel_d >= 20 GROUP BY 1),
+        grid AS (SELECT i AS bin FROM range(0, {_Q519_BINS}) t(i)),
+        na AS (SELECT SUM(c) AS n FROM a),
+        nb AS (SELECT SUM(c) AS n FROM b),
+        f AS (
+            SELECT grid.bin,
+                   COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb,
+                   (COALESCE(a.c, 0) + 1.0)
+                       / ((SELECT n FROM na) + {_Q519_BINS}) AS pa,
+                   (COALESCE(b.c, 0) + 1.0)
+                       / ((SELECT n FROM nb) + {_Q519_BINS}) AS pb
+            FROM grid LEFT JOIN a USING (bin) LEFT JOIN b USING (bin)
+        ),
+        k AS (
+            SELECT bin, ca, cb, pa, pb,
+                   SUM(ca) OVER (ORDER BY bin) AS cum_a,
+                   SUM(cb) OVER (ORDER BY bin) AS cum_b
+            FROM f
+        )
+        SELECT bin, ca AS count_ref, cb AS count_cur,
+               round((pa - pb) * ln(pa / pb), 6) AS psi_contrib,
+               round(ABS(CAST(cum_a AS DOUBLE) / (SELECT n FROM na)
+                         - CAST(cum_b AS DOUBLE) / (SELECT n FROM nb)),
+                     6) AS ks_at_bin
+        FROM k
+    """
+
+
+@query("q519_drift_monitor_psi_ks", oracle=_q519_oracle())
+def q519_drift_monitor_psi_ks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution DRIFT monitoring — the ML-observability check
+    every feature store runs between a reference and a current
+    window: purchase values from the corpus's first 10 days vs its
+    last 10, folded into {_Q519_BINS} fixed literal-edge bins, with
+    two detectors per bin — the Population Stability Index
+    contribution ((p−q)·ln(p/q), Laplace-smoothed so empty bins stay
+    finite; ln parity is the q411/q415 9dp discipline) and the exact
+    Kolmogorov–Smirnov distance at each bin boundary (pure rational
+    arithmetic over cumulative counts — no transcendentals at all).
+    The windows are derived from the data's own min day, so the lane
+    is scale-factor portable.
+
+    Scale shape: one scan bins both windows (conditional aggregates);
+    the cumulative KS runs over the {_Q519_BINS}-row literal grid
+    (the q247 bounded-window class)."""
+    w = (_Q519_HI - _Q519_LO) / _Q519_BINS
+    e = read_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.least(
+            F.floor((F.col("value") - _Q519_LO) / w).cast("long"),
+            F.lit(_Q519_BINS - 1).cast("long"),
+        ).alias("bin"),
+        day.alias("d"),
+    )
+    mind = p.agg(F.min("d").alias("m")).localCheckpoint()
+    p = p.crossJoin(F.broadcast(mind)).withColumn(
+        "rel_d", F.col("d") - F.col("m")
+    )
+    counts = p.groupBy("bin").agg(
+        F.sum(F.when(F.col("rel_d") < 10, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("rel_d") >= 20, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    grid = spark.range(_Q519_BINS).select(F.col("id").alias("bin"))
+    f = (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+        .localCheckpoint()
+    )
+    tot = f.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    f2 = f.crossJoin(F.broadcast(tot)).select(
+        "*",
+        ((F.col("ca") + 1.0) / (F.col("na") + _Q519_BINS)).alias("pa"),
+        ((F.col("cb") + 1.0) / (F.col("nb") + _Q519_BINS)).alias("pb"),
+    )
+    # KS cumulative over the literal 10-row grid (bounded window)
+    cw = (
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return f2.select(
+        "bin",
+        F.col("ca").alias("count_ref"),
+        F.col("cb").alias("count_cur"),
+        F.round(
+            (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")),
+            6,
+        ).alias("psi_contrib"),
+        F.round(
+            F.abs(
+                F.sum("ca").over(cw).cast("double") / F.col("na")
+                - F.sum("cb").over(cw).cast("double") / F.col("nb")
+            ),
+            6,
+        ).alias("ks_at_bin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q520 — Lorenz curve + Gini coefficient (exact, no global window)
+# ---------------------------------------------------------------------------
+
+_Q520_DECILES = 10
+
+
+def _q520_oracle() -> str:
+    return f"""
+        WITH s AS MATERIALIZED (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0)
+                                 AS DECIMAL(28,0))) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        r AS MATERIALIZED (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents, o_custkey) AS rk,
+                   (SELECT COUNT(*) FROM s) AS n,
+                   (SELECT SUM(cents) FROM s) AS tot
+            FROM s
+        ),
+        dec AS (
+            SELECT CAST(ntile({_Q520_DECILES}) OVER (ORDER BY rk)
+                        AS BIGINT) AS decile, cents, n, tot
+            FROM r
+        ),
+        curve AS (
+            SELECT decile,
+                   CAST(SUM(cents) AS BIGINT) AS decile_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   MAX(n) AS n, MAX(tot) AS tot
+            FROM dec GROUP BY decile
+        ),
+        gini AS (
+            SELECT round(
+                CAST(2 * SUM(CAST(rk AS HUGEINT) * cents) AS DOUBLE)
+                    / (MAX(n) * MAX(tot))
+                - CAST(MAX(n) + 1 AS DOUBLE) / MAX(n), 6) AS g
+            FROM r
+        )
+        SELECT curve.decile, curve.n_customers, curve.decile_cents,
+               round(SUM(CAST(curve.decile_cents AS DOUBLE))
+                     OVER (ORDER BY curve.decile) / MAX(curve.tot)
+                     OVER (), 6) AS cum_share,
+               (SELECT g FROM gini) AS gini
+        FROM curve
+    """
+
+
+@query("q520_lorenz_gini", oracle=_q520_oracle())
+def q520_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE and GINI coefficient of customer spend — the
+    revenue-concentration analytics a marketplace health dashboard
+    leads with, computed EXACTLY with no global-ordering window: each
+    customer's lifetime spend in integer cents, the global spend rank
+    from the two-phase exact rank (exact_ntile k=n — q502's
+    extractor), deciles from the closed-form ntile rule on that rank,
+    and Gini from the rank identity G = 2·Σ(rk·x)/(n·Σx) − (n+1)/n —
+    one aggregate over the ranked relation, exact integer products
+    (the rk·x sum runs in decimal so 10⁹ customers × large cents
+    cannot overflow), rounded only at the edge.  The Lorenz curve is
+    the per-decile cumulative share over a {_Q520_DECILES}-row
+    relation (bounded window).
+
+    Scale shape: one grouped aggregate, one range-partitioned rank
+    pass, one {_Q520_DECILES}-row fold — against the naive global
+    sort + running-sum window."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_ntile
+
+    o = read_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("decimal(28,0)")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    n = s.count()
+    r = exact_ntile(s, ["cents", "o_custkey"], n, out_col="rk")
+    tot = r.agg(
+        F.sum("cents").cast("long").alias("tot"),
+        F.sum(
+            (F.col("rk").cast("decimal(28,0)") * F.col("cents")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("rx"),
+    ).localCheckpoint()
+    gini = tot.select(
+        F.round(
+            (F.lit(2).cast("double") * F.col("rx") / (F.lit(n) * F.col("tot")))
+            - (F.lit(n + 1).cast("double") / F.lit(n)),
+            6,
+        ).alias("gini"),
+        "tot",
+    )
+    q, rem = divmod(n, _Q520_DECILES)
+    decile = F.when(
+        F.col("rk") <= rem * (q + 1),
+        (F.col("rk") - 1) / F.lit(q + 1),
+    ).otherwise(
+        F.lit(rem)
+        + (F.col("rk") - F.lit(rem * (q + 1)) - 1) / F.lit(max(q, 1))
+    ).cast("long") + 1
+    curve = r.select(decile.alias("decile"), "cents").groupBy(
+        "decile"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+    )
+    cw = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        curve.crossJoin(F.broadcast(gini))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_cents",
+            F.round(
+                F.sum("decile_cents").over(cw).cast("double")
+                / F.col("tot"),
+                6,
+            ).alias("cum_share"),
+            "gini",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q521 — differential-privacy budget ledger (composition accounting)
+# ---------------------------------------------------------------------------
+
+# the planned release schedule: (release_id, scope, epsilon in millionths)
+_Q521_RELEASES = [
+    (1, "global", 100_000),
+    (2, "by_nation", 200_000),
+    (3, "global", 150_000),
+    (4, "by_nation", 100_000),
+    (5, "global", 50_000),
+    (6, "by_nation", 300_000),
+]
+_Q521_BUDGET = 1_000_000  # ε = 1.0 in millionths
+
+
+def _q521_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {rid} AS release_id, '{scope}' AS scope,"
+        f" CAST({eps} AS BIGINT) AS eps_micro"
+        for rid, scope, eps in _Q521_RELEASES
+    )
+    return f"""
+        WITH rel AS MATERIALIZED ({rows}),
+        cov AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MAX(cnt) AS BIGINT) AS max_partition
+            FROM (
+                SELECT c_nationkey, COUNT(*) AS cnt
+                FROM customer GROUP BY 1
+            )
+        ),
+        tot AS (SELECT SUM(cnt) AS n FROM (
+            SELECT COUNT(*) AS cnt FROM customer))
+        SELECT rel.release_id, rel.scope, rel.eps_micro,
+               CASE WHEN rel.scope = 'global'
+                    THEN (SELECT CAST(n AS BIGINT) FROM tot)
+                    ELSE (SELECT n_rows * 0 + (SELECT CAST(n AS BIGINT)
+                                               FROM tot) FROM cov) END
+                   AS rows_covered,
+               CASE WHEN rel.scope = 'global'
+                    THEN (SELECT CAST(n AS BIGINT) FROM tot)
+                    ELSE (SELECT max_partition FROM cov) END
+                   AS max_group_rows,
+               round(1000000.0 / rel.eps_micro, 6) AS laplace_scale,
+               CAST(SUM(rel.eps_micro) OVER (ORDER BY rel.release_id)
+                    AS BIGINT) AS eps_spent_micro,
+               SUM(rel.eps_micro) OVER (ORDER BY rel.release_id)
+                   <= {_Q521_BUDGET} AS within_budget
+        FROM rel
+    """
+
+
+@query("q521_dp_budget_ledger", oracle=_q521_oracle())
+def q521_dp_budget_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIAL-PRIVACY BUDGET accounting — the ledger a privacy
+    platform keeps above q452's noisy releases: a planned release
+    schedule (count queries at declared ε), each release priced with
+    its Laplace noise scale (1/ε — the exact error a consumer should
+    expect), its coverage (all rows either way — a partitioned
+    ``by_nation`` histogram still reads everyone; what parallel
+    composition buys is that DISJOINT partitions share one ε, which
+    is why its cost enters the ledger once, not |nations| times —
+    the ``max_group_rows`` column carries the largest partition, the
+    sensitivity-relevant quantity), and the running ε spend under
+    sequential composition with the within-budget verdict per row.
+    Everything is integer micro-ε arithmetic plus one exact rational
+    division — fully hash-checked, unlike the noise itself (q452
+    handles that with the deterministic inverse-CDF).
+
+    Scale shape: the schedule is a literal grid; the data side is two
+    grouped counts over customer.  The running sum is a bounded
+    window over {len(_Q521_RELEASES)} literal rows."""
+    rel = spark.createDataFrame(
+        _Q521_RELEASES, "release_id int, scope string, eps_micro long"
+    )
+    c = read_table(spark, sf_dir, "customer")
+    cov = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.max("cnt").cast("long").alias("max_partition"),
+    )
+    cw = Window.orderBy("release_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return rel.crossJoin(F.broadcast(cov)).select(
+        "release_id",
+        "scope",
+        "eps_micro",
+        F.col("n_total").alias("rows_covered"),
+        F.when(F.col("scope") == "global", F.col("n_total"))
+        .otherwise(F.col("max_partition"))
+        .alias("max_group_rows"),
+        F.round(F.lit(1000000.0) / F.col("eps_micro"), 6).alias(
+            "laplace_scale"
+        ),
+        F.sum("eps_micro").over(cw).cast("long").alias(
+            "eps_spent_micro"
+        ),
+        (F.sum("eps_micro").over(cw) <= _Q521_BUDGET).alias(
+            "within_budget"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q522 — STREAMING sliding-window distinct (twin of q515)
+# ---------------------------------------------------------------------------
+
+
+def _q522_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    return QUERIES["q515_sliding_window_distinct"].oracle
+
+
+@query("q522_streaming_sliding_distinct", oracle=_q522_oracle())
+def q522_streaming_sliding_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q515's sliding 7-day active-user metric maintained AT INGEST:
+    each micro-batch lands only its (day, user) grain pairs and its
+    per-day event-count partial — both ASSOCIATIVE summaries (the
+    q494 partial-landing discipline), so the drain dedups the grain
+    across epochs (replayed or overlapping batches collapse — the
+    idempotence that makes exactly-once cheap here) and sums the
+    additive day counts, then runs the SAME replicate-to-windows fold
+    as the batch lane.  Drain ≡ q515's oracle: any slicing of the
+    event stream produces the identical window card.
+
+    Scale shape: per-epoch state is day×user grain (the dedup bound a
+    watermark would enforce in production); the drain fold is q515's."""
+    import shutil
+
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    e = read_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    root = scratch_dir("sliding_distinct_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/partials"
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(day.alias("d"), "user_id")
+            .distinct()
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(f"{path}/grain")
+        )
+        (
+            batch_df.groupBy(day.alias("d"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(f"{path}/daycounts")
+        )
+
+    ingest(e.filter(F.col("event_id") % 2 == 0), 0)
+    ingest(e.filter(F.col("event_id") % 2 == 1), 1)
+    du = (
+        spark.read.schema("d int, user_id long, __epoch int")
+        .parquet(f"{path}/grain")
+        .select("d", "user_id")
+        .distinct()
+    )
+    dc = (
+        spark.read.schema("d int, c long, __epoch int")
+        .parquet(f"{path}/daycounts")
+        .groupBy("d")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    return _q515_fold(du, dc)
