@@ -329,3 +329,70 @@ def size_audit(
             "buckets_ordered"
         ),
     )
+
+
+def exact_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    *,
+    n_parts: int = 64,
+    out_col: str = "cum",
+) -> DataFrame:
+    """``SUM(val) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``
+    with EXACT semantics but no global-ordering window — the
+    :func:`exact_ntile` two-phase architecture with a sum in place of
+    a count: range-partition on the (total-order) key, collect the
+    per-partition value sums (≤ ``n_parts`` driver rows), fold them
+    into literal exclusive prefix offsets, and add each row's
+    intra-partition running sum (a partitioned window) to its
+    partition's offset.  ``val_col`` must be integral (long) so the
+    prefix arithmetic is exact — callers quantize (cents, counts,
+    integer weights) first; the running total of 10⁹ rows of large
+    cents still fits a long only if the caller guarantees it, so the
+    fold runs in DECIMAL(38,0) and casts at the edge.
+
+    The weighted-quantile extractor rides this directly: the q-th
+    weighted quantile is the first row (in the total order) whose
+    cumulative weight reaches ⌈q·W⌉."""
+    from pyspark.sql import Window
+
+    order_exprs = [
+        F.col(c) if isinstance(c, str) else c for c in order_cols
+    ]
+    part = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .withColumn("_ecp", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = {
+        r["_ecp"]: r["_s"]
+        for r in part.groupBy("_ecp")
+        .agg(F.sum(F.col(val_col).cast("decimal(38,0)")).alias("_s"))
+        .collect()
+    }
+    if not sums:
+        return part.drop("_ecp").withColumn(
+            out_col, F.lit(None).cast("decimal(38,0)")
+        )
+    offs, acc = [], 0
+    for pid in range(max(sums) + 1):
+        offs.append(acc)
+        acc += int(sums.get(pid) or 0)
+    w = Window.partitionBy("_ecp").orderBy(*order_exprs).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    intra = F.sum(F.col(val_col).cast("decimal(38,0)")).over(w)
+    return (
+        part.withColumn(
+            out_col,
+            intra
+            + F.element_at(
+                F.array(
+                    *[F.lit(str(o)).cast("decimal(38,0)") for o in offs]
+                ),
+                F.col("_ecp") + 1,
+            ),
+        )
+        .drop("_ecp")
+    )

@@ -2040,3 +2040,448 @@ def q522_streaming_sliding_distinct(
         .agg(F.sum("c").cast("long").alias("c"))
     )
     return _q515_fold(du, dc)
+
+
+# ---------------------------------------------------------------------------
+# q523 — exact weighted quantiles (two-phase weighted rank)
+# ---------------------------------------------------------------------------
+
+_Q523_QS = [(1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75")]
+
+
+def _q523_oracle() -> str:
+    per_q = " UNION ALL ".join(
+        f"""
+        SELECT '{lbl}' AS quantile,
+               (SELECT MIN(v) FROM cum
+                WHERE c >= (({num} * (SELECT w FROM tot)) + {den} - 1)
+                          // {den}) AS price,
+               CAST((({num} * (SELECT w FROM tot)) + {den} - 1) // {den}
+                    AS BIGINT) AS target_weight
+        """
+        for num, den, lbl in _Q523_QS
+    )
+    return f"""
+        WITH li AS MATERIALIZED (
+            SELECT l_extendedprice AS v,
+                   CAST(l_quantity AS BIGINT) AS w,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        tot AS (SELECT SUM(w) AS w FROM li),
+        cum AS MATERIALIZED (
+            SELECT v, SUM(w) OVER (
+                ORDER BY v, l_orderkey, l_linenumber
+                ROWS UNBOUNDED PRECEDING) AS c
+            FROM li
+        )
+        {per_q}
+    """
+
+
+@query("q523_weighted_quantiles", oracle=_q523_oracle())
+def q523_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED QUANTILES — the statistic percentile_approx
+    cannot give you and unweighted exact_ntile cannot either: the
+    price below which a quarter/half/three-quarters of shipped
+    QUANTITY (not of line rows) falls.  The q-th weighted quantile is
+    the first row in the (price, orderkey, linenumber) total order
+    whose cumulative weight reaches ⌈q·W⌉ — cumulative weights from
+    the :func:`exact_cumsum` two-phase kernel (range partitions +
+    literal prefix offsets — no global window), targets in exact
+    integer arithmetic (quantities are integral), and the extractor
+    is a min-aggregate over the threshold filter.  The oracle states
+    the definition with a SQL running-sum window; hash equality
+    proves the distributed kernel against it.
+
+    Scale shape: one range-partitioned pass for the cumulative
+    weights (the one materialization an exact rank costs — the
+    exact_ntile tradeoff), then three 1-row min-aggregates."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = exact_cumsum(
+        li, ["v", "l_orderkey", "l_linenumber"], "w", out_col="c"
+    ).localCheckpoint()
+    total = int(
+        cum.agg(F.sum("w").cast("decimal(38,0)").alias("t")).collect()[0][
+            "t"
+        ]
+    )
+    out = None
+    for num, den, lbl in _Q523_QS:
+        target = (num * total + den - 1) // den
+        row = (
+            cum.filter(F.col("c") >= F.lit(str(target)).cast("decimal(38,0)"))
+            .agg(F.min("v").alias("price"))
+            .select(
+                F.lit(lbl).alias("quantile"),
+                "price",
+                F.lit(target).cast("long").alias("target_weight"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q524 — multi-step funnel with per-step conversion windows
+# ---------------------------------------------------------------------------
+
+_Q524_STEP_S = 7 * 86400  # each step must follow within 7 days
+
+
+def _q524_oracle() -> str:
+    return f"""
+        WITH s AS MATERIALIZED (
+            SELECT user_id,
+                   MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t0
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ),
+        c AS MATERIALIZED (
+            SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t1
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click'
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) >= s.t0
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) - s.t0
+                  <= {_Q524_STEP_S}
+            GROUP BY 1
+        ),
+        p AS MATERIALIZED (
+            SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t2
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) >= c.t1
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) - c.t1
+                  <= {_Q524_STEP_S}
+            GROUP BY 1
+        )
+        SELECT 1 AS step, 'signup' AS stage,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_users
+        UNION ALL
+        SELECT 2, 'click_within_7d',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+        UNION ALL
+        SELECT 3, 'purchase_within_7d',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM p)
+    """
+
+
+@query("q524_multistep_funnel_windows", oracle=_q524_oracle())
+def q524_multistep_funnel_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-STEP funnel with PER-STEP conversion windows — q90's
+    funnel hardened to the product-analytics contract: each stage
+    must occur AFTER the previous stage's first qualifying event and
+    within its own 7-day window (first signup → first in-window
+    click → first in-window purchase; "first" pinned by min-epoch so
+    the anchor chain is deterministic).  Each step is a forward as-of
+    join with tolerance — the dual of q67's backward last-click —
+    built as equi-join on user + min-aggregate (never a per-user
+    sort).  Floored epoch arithmetic on both engines.
+
+    Scale shape: two chained (join on user → grouped min) steps over
+    pre-filtered event types; each is one co-shuffle on user_id —
+    at any scale the funnel is a fixed number of keyed passes."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ep")
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ep") >= F.col("t0"))
+            & (F.col("ep") - F.col("t0") <= _Q524_STEP_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ep") >= F.col("t1"))
+            & (F.col("ep") - F.col("t1") <= _Q524_STEP_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t2"))
+    )
+
+    def stage(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(step).alias("step"), F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(s, 1, "signup")
+        .unionByName(stage(c, 2, "click_within_7d"))
+        .unionByName(stage(p, 3, "purchase_within_7d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q525 — bitemporal point-in-time lookup (valid time × transaction time)
+# ---------------------------------------------------------------------------
+
+_Q525_PROBES = ["2024-01-10 00:00:00", "2024-01-20 00:00:00",
+                "2024-01-30 00:00:00"]
+
+
+def _q525_oracle() -> str:
+    probes = " UNION ALL ".join(
+        f"SELECT TIMESTAMP '{t}' AS probe_t" for t in _Q525_PROBES
+    )
+    return f"""
+        WITH vers AS MATERIALIZED (
+            SELECT user_id, ts AS valid_from, value AS acct_value,
+                   event_id,
+                   CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END
+                       AS arrived_in
+            FROM events WHERE event_type = 'purchase'
+        ),
+        sysv AS (SELECT 1 AS sys_version UNION ALL SELECT 2),
+        probes AS MATERIALIZED ({probes}),
+        visible AS (
+            SELECT s.sys_version, p.probe_t, v.user_id,
+                   v.valid_from, v.acct_value, v.event_id
+            FROM sysv s
+            JOIN vers v ON v.arrived_in <= s.sys_version
+            CROSS JOIN probes p
+            WHERE v.valid_from <= p.probe_t
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY sys_version, probe_t, user_id
+                ORDER BY valid_from DESC, event_id DESC) AS rn
+            FROM visible
+        )
+        SELECT sys_version, probe_t, user_id, acct_value
+        FROM ranked WHERE rn = 1
+    """
+
+
+@query("q525_bitemporal_lookup", oracle=_q525_oracle())
+def q525_bitemporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL point-in-time lookup — VALID time (when a value was
+    effective in the world) crossed with TRANSACTION time (when the
+    system learned it): "what did the system, as of commit version V,
+    believe user U's account value was at wall-clock time T?"  The
+    valid-time axis is q498's purchase-version chain; the transaction
+    axis plants late arrivals by event-id parity (odd versions land
+    in system version 2 — q501's late-data setup).  For each (system
+    version, probe time, user): the latest visible version at or
+    before the probe, deterministic via (valid_from, event_id)
+    tiebreak.  Where V1 and V2 answers differ, late data rewrote
+    history — exactly what time-travel debugging (q443) needs to see;
+    non-empty difference pinned by test.
+
+    Scale shape: versions join the literal probe grid (broadcast) and
+    reduce per (version, probe, user) — a partitioned window over
+    bounded per-user version chains; the as-of is keyed, never
+    sorted globally."""
+    e = read_table(spark, sf_dir, "events")
+    vers = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.col("value").alias("acct_value"),
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("arrived_in"),
+    )
+    sysv = spark.createDataFrame([(1,), (2,)], "sys_version int")
+    probes = spark.createDataFrame(
+        [(t,) for t in _Q525_PROBES], "p string"
+    ).select(F.col("p").cast("timestamp_ntz").alias("probe_t"))
+    visible = (
+        vers.join(
+            F.broadcast(sysv),
+            F.col("arrived_in") <= F.col("sys_version"),
+        )
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("valid_from") <= F.col("probe_t"))
+    )
+    w = Window.partitionBy("sys_version", "probe_t", "user_id").orderBy(
+        F.desc("valid_from"), F.desc("event_id")
+    )
+    return (
+        visible.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("sys_version", "probe_t", "user_id", "acct_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q526 — event-sequence transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+
+
+def _q526_oracle() -> str:
+    return """
+        WITH seq AS MATERIALIZED (
+            SELECT user_id, event_type, ts, event_id,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        trans AS (
+            SELECT event_type AS from_type, next_type AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        outdeg AS (
+            SELECT from_type, SUM(n) AS tot FROM trans GROUP BY 1
+        )
+        SELECT t.from_type, t.to_type, t.n AS n_transitions,
+               round(CAST(t.n AS DOUBLE) / o.tot, 6) AS p_transition
+        FROM trans t JOIN outdeg o USING (from_type)
+    """
+
+
+@query("q526_markov_transition_matrix", oracle=_q526_oracle())
+def q526_markov_transition_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order MARKOV transition matrix over per-user event
+    sequences — the behavioral model product analytics fits before
+    anything fancier: consecutive event pairs per user (ordered by
+    timestamp with the event-id tiebreak — the W1 lag discipline),
+    transition counts, and row-normalized probabilities (exact
+    rational, rounded at the edge).  The |types|² matrix is the input
+    to next-event prediction, anomaly scoring (improbable paths), and
+    the funnel-design question "where do users actually go after a
+    click?" that q524's fixed funnel presupposes an answer to.
+
+    Scale shape: one partitioned lag window per user (bounded by
+    per-user history), one grouped count to a |types|²-row matrix —
+    the classic sessionize-then-aggregate shape of q80."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    outdeg = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("tot")
+    )
+    return trans.join(outdeg, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("tot"), 6).alias(
+            "p_transition"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q527 — grouped OLS trend (closed-form regression, one fused pass)
+# ---------------------------------------------------------------------------
+
+
+def _q527_oracle() -> str:
+    return """
+        WITH d AS MATERIALIZED (
+            SELECT c.c_nationkey AS nation,
+                   CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                       AS x,
+                   CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        s AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                   SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                   SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+            FROM d GROUP BY nation
+        )
+        SELECT nation, n,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx), 6)
+                   AS slope_cents_per_day,
+               round((CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sy)
+                         / (CAST(n AS DOUBLE) * sxx
+                            - CAST(sx AS DOUBLE) * sx)) * sx)
+                     / n, 6) AS intercept_cents
+        FROM s WHERE n >= 2
+    """
+
+
+@query("q527_grouped_ols_trend", oracle=_q527_oracle())
+def q527_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED LINEAR REGRESSION in ONE fused pass — the per-segment
+    trend line (is order value rising per nation, and how fast?) via
+    the closed-form OLS solution: slope = (n·Σxy − Σx·Σy)/(n·Σx² −
+    (Σx)²), intercept = (Σy − slope·Σx)/n.  All five sufficient
+    statistics accumulate as exact DECIMAL(38,0) sums of integer
+    products (days since epoch × price in cents — products bounded by
+    ~10⁴·10⁹, the decimal absorbs any row order), so both engines
+    reach bit-identical doubles after a single division at the edge.
+    No ML library, no iteration, no sampling — regression as a
+    grouped aggregate, which is what makes it runnable per-segment
+    across a 100 TB fact table in one shuffle.
+
+    Scale shape: one join (orders→customer, AQE-broadcast at bench
+    scale), one grouped aggregate carrying five decimal sums; output
+    is |nations| rows."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    d = o.join(c, "o_custkey").select(
+        "nation",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
+    )
+    s = d.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    ).filter(F.col("n") >= 2)
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return s.select(
+        "nation",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"),
+            6,
+        ).alias("intercept_cents"),
+    )

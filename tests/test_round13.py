@@ -226,3 +226,50 @@ def test_skyline_kernel_matches_bruteforce(spark):
             )
         )
         assert got == want, (pts, got, want)
+
+
+def test_exact_cumsum_matches_global_window(spark, smoke_sf_dir):
+    """exact_cumsum vs the SQL running-sum window it replaces, on a
+    tie-heavy integral column."""
+    from pyspark.sql import Window
+
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
+    li = read_table(spark, smoke_sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    got = exact_cumsum(
+        li, ["w", "l_orderkey", "l_linenumber"], "w", n_parts=7,
+        out_col="c",
+    ).select("l_orderkey", "l_linenumber", F.col("c").cast("long").alias("c"))
+    w = Window.orderBy("w", "l_orderkey", "l_linenumber").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = li.select(
+        "l_orderkey", "l_linenumber", F.sum("w").over(w).alias("c")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_q525_late_data_rewrites_history(spark, smoke_sf_dir):
+    """The bitemporal lane's point: some (probe, user) answers must
+    DIFFER between system versions 1 and 2 (late versions rewrote
+    history)."""
+    from databricks_etl_spark.plans.registry import queries
+
+    out = queries()["q525_bitemporal_lookup"](
+        spark, smoke_sf_dir
+    ).localCheckpoint()
+    v1 = out.filter(F.col("sys_version") == 1).select(
+        "probe_t", "user_id", F.col("acct_value").alias("v1")
+    )
+    v2 = out.filter(F.col("sys_version") == 2).select(
+        "probe_t", "user_id", F.col("acct_value").alias("v2")
+    )
+    diff = v1.join(v2, ["probe_t", "user_id"]).filter(
+        F.col("v1") != F.col("v2")
+    )
+    assert diff.count() > 0
