@@ -1254,10 +1254,16 @@ def q515_sliding_window_distinct(
     day = F.datediff(
         F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
     )
-    du = e.select(day.alias("d"), "user_id").distinct()
-    dc = e.groupBy(day.alias("d")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # ONE scan: (day, user) grain with per-grain counts; du and dc both
+    # derive from the checkpointed grain (at 100 TB the corpus is read
+    # once, everything downstream is grain-sized)
+    grain = (
+        e.groupBy(day.alias("d"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
     )
+    du = grain.select("d", "user_id")
+    dc = grain.groupBy("d").agg(F.sum("c").cast("long").alias("c"))
     return _q515_fold(du, dc)
 
 

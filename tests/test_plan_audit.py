@@ -474,3 +474,85 @@ def test_broadcast_site_ledger():
             f"{ledger.get(p.name, 0)} — audit the new site "
             f"(bounded at ANY scale?) then bump the ledger"
         )
+
+
+def test_q512_binned_range_join_is_equi(spark, smoke_sf_dir):
+    """The binned range join's entire point: the interval predicate
+    becomes an EQUI key, so the plan must contain zero nested-loop
+    shapes (a bare inequality join would be BroadcastNestedLoop)."""
+    plan = _executed_plan(
+        queries()["q512_range_join_binned"](spark, smoke_sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_q516_skyline_no_global_sort_no_ntile(spark, smoke_sf_dir):
+    """The skyline kernel must not fall back to the global-sort sweep:
+    no Sort directly over the scan without an intervening aggregate,
+    no ntile, no nested loop."""
+    import re
+
+    plan = _executed_plan(
+        queries()["q516_skyline_pareto_front"](spark, smoke_sf_dir)
+    )
+    assert "ntile(" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not re.search(
+        r"Sort \[[^\]]*\], true(?:(?!HashAggregate|Window).)*Scan parquet",
+        plan,
+        re.S,
+    ), plan
+
+
+def test_q517_prefix_candidates_equi_join(spark, smoke_sf_dir):
+    """Prefix-filtered candidate generation must be an equi-join on
+    the token key (the PPJoin shape); any nested loop here is the
+    all-pairs explosion the prefix bound exists to avoid."""
+    plan = _executed_plan(
+        queries()["q517_prefix_filtered_jaccard_join"](spark, smoke_sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q520_q523_rank_kernels_no_global_ntile(spark, smoke_sf_dir):
+    """Lorenz/Gini and the weighted quantiles ride the two-phase rank
+    kernels — the executed plans must carry zero ntile and zero
+    nested-loop shapes beyond the documented 1-row combines (q520's
+    gini broadcast is a 1-row relation)."""
+    for name, bnlj_cap in [
+        ("q520_lorenz_gini", 1),  # 1-row gini × 10-row curve combine
+        ("q523_weighted_quantiles", 0),
+    ]:
+        plan = _executed_plan(queries()[name](spark, smoke_sf_dir))
+        assert "ntile(" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= bnlj_cap, (
+            name,
+            plan,
+        )
+
+
+def test_q515_single_scan(spark, smoke_sf_dir):
+    """The sliding-distinct lane reads the corpus ONCE: du and dc both
+    derive from the checkpointed (day, user) grain."""
+    plan = _executed_plan(
+        queries()["q515_sliding_window_distinct"](spark, smoke_sf_dir)
+    )
+    assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_q514_cc_result_is_checkpointed(spark, smoke_sf_dir):
+    """The label-propagation loop must return a checkpoint-backed
+    result (q213's lineage discipline): re-collecting the output must
+    not re-run the iteration tree."""
+    plan = _executed_plan(
+        queries()["q514_connected_components_oracled"](spark, smoke_sf_dir)
+    )
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan
