@@ -2491,3 +2491,826 @@ def q527_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13b lanes (defer=True): the round-13 window is exactly full —
+# these queue for the round-14 driver window, locally parity-proven
+# meanwhile (clear the flags at r14 start per the rollover procedure).
+# ---------------------------------------------------------------------------
+
+# q528 — result-cache invalidation matrix --------------------------------
+
+# cached-query registry: (query_id, tables, columns, partition filter on
+# orders' order-year; -1 = reads every partition)
+_Q528_CACHE = [
+    (1, "orders", "o_totalprice,o_orderdate", -1),
+    (2, "orders", "o_orderstatus", 1995),
+    (3, "orders", "o_totalprice", 1998),
+    (4, "customer", "c_acctbal", -1),
+    (5, "orders", "o_orderpriority,o_orderdate", 1996),
+    (6, "lineitem", "l_quantity", -1),
+]
+# the arriving delta: an update batch touching orders rows with
+# orderkey % 13 == 0, changing ONLY o_totalprice
+_Q528_DELTA_COLS = "o_totalprice"
+
+
+def _q528_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, '{tbl}' AS q_table,"
+        f" '{cols}' AS q_columns, CAST({part} AS BIGINT) AS q_partition"
+        for qid, tbl, cols, part in _Q528_CACHE
+    )
+    return f"""
+        WITH reg AS MATERIALIZED ({rows}),
+        delta AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT year(CAST(o_orderdate AS DATE)))
+                        AS BIGINT) AS n_years
+            FROM orders WHERE o_orderkey % 13 = 0
+        ),
+        dyears AS (
+            SELECT DISTINCT CAST(year(CAST(o_orderdate AS DATE))
+                                 AS BIGINT) AS y
+            FROM orders WHERE o_orderkey % 13 = 0
+        )
+        SELECT reg.query_id, reg.q_table,
+               (SELECT n_rows FROM delta) AS delta_rows,
+               reg.q_table = 'orders' AS table_overlap,
+               reg.q_table = 'orders'
+                   AND strpos(reg.q_columns, '{_Q528_DELTA_COLS}') > 0
+                   AS column_overlap,
+               reg.q_table = 'orders'
+                   AND (reg.q_partition = -1 OR reg.q_partition IN
+                        (SELECT y FROM dyears)) AS partition_overlap,
+               NOT (reg.q_table = 'orders'
+                    AND strpos(reg.q_columns, '{_Q528_DELTA_COLS}') > 0
+                    AND (reg.q_partition = -1 OR reg.q_partition IN
+                         (SELECT y FROM dyears))) AS cache_still_valid
+        FROM reg
+    """
+
+
+@query("q528_result_cache_invalidation", oracle=_q528_oracle(),
+       defer=True)
+def q528_result_cache_invalidation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESULT-CACHE invalidation — the serving-layer decision above
+    q476's cache admission: a registry of cached query footprints
+    (table, column set, partition scope) is checked against an
+    arriving update delta at THREE granularities — table overlap,
+    column overlap (the delta only rewrites o_totalprice, so a
+    status-only query survives), and partition overlap (the delta's
+    actual order-years from the data, so a 1995-scoped cache survives
+    a delta that only touched other years if it did).  A cache entry
+    survives unless all three overlap — the fine-grained invalidation
+    that makes result caches usable under continuous ingest.
+
+    Scale shape: the registry is a literal grid; the delta summary is
+    one filtered aggregate + a distinct-years relation (bounded by
+    |years|) — invalidation costs metadata, never a table scan."""
+    reg = spark.createDataFrame(
+        _Q528_CACHE,
+        "query_id int, q_table string, q_columns string, q_partition long",
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 13 == 0
+    )
+    year = F.year(F.col("o_orderdate").cast("date")).cast("long")
+    delta = o.agg(F.count(F.lit(1)).cast("long").alias("delta_rows"))
+    dyears = o.select(year.alias("y")).distinct().agg(
+        F.collect_set("y").alias("ys")
+    )
+    tbl_ov = F.col("q_table") == "orders"
+    col_ov = tbl_ov & (
+        F.instr(F.col("q_columns"), _Q528_DELTA_COLS) > 0
+    )
+    part_ov = tbl_ov & (
+        (F.col("q_partition") == -1)
+        | F.array_contains(F.col("ys"), F.col("q_partition"))
+    )
+    return (
+        reg.crossJoin(F.broadcast(delta))
+        .crossJoin(F.broadcast(dyears))
+        .select(
+            "query_id",
+            "q_table",
+            "delta_rows",
+            tbl_ov.alias("table_overlap"),
+            col_ov.alias("column_overlap"),
+            part_ov.alias("partition_overlap"),
+            (~(col_ov & part_ov)).alias("cache_still_valid"),
+        )
+    )
+
+
+# q529 — near-dup cluster canonicalization (transitive closure) ----------
+
+_Q529_THETA = 0.9
+_Q529_SLICE = 150  # doc_id bound: the oracle takes a transitive closure
+
+
+def _q529_pairs_cte() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _TOKS
+
+    return f"""
+        d AS MATERIALIZED (
+            SELECT doc_id, list_distinct({_TOKS}) AS toks
+            FROM documents WHERE doc_id < {_Q529_SLICE}
+        ),
+        i AS MATERIALIZED (
+            SELECT doc_id, unnest(toks) AS token FROM d
+        ),
+        sz AS MATERIALIZED (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM i GROUP BY 1
+        ),
+        sh AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared
+            FROM i a JOIN i b USING (token)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ),
+        pairs AS MATERIALIZED (
+            SELECT id_a, id_b FROM sh
+            JOIN sz sa ON sh.id_a = sa.doc_id
+            JOIN sz sb ON sh.id_b = sb.doc_id
+            WHERE CAST(shared AS DOUBLE) / (sa.s + sb.s - shared)
+                  >= {_Q529_THETA}
+        ),
+        eu AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS MATERIALIZED (SELECT doc_id FROM d)
+    """
+
+
+def _q529_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_q529_pairs_cte()},
+        reach AS (
+            SELECT doc_id AS src, doc_id AS node FROM nodes
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN eu e ON e.src = r.node
+        ),
+        comp AS (
+            SELECT src AS doc_id, MIN(node) AS canonical
+            FROM reach GROUP BY src
+        )
+        SELECT CAST(canonical AS BIGINT) AS canonical_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_duplicates_removed
+        FROM comp GROUP BY canonical
+        HAVING COUNT(*) > 1
+    """
+
+
+@query("q529_dedup_cluster_canonicalization", oracle=_q529_oracle(),
+       defer=True)
+def q529_dedup_cluster_canonicalization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup CLUSTER canonicalization — the step between pair
+    generation (q517) and actually deleting documents: similar-pair
+    edges at θ={_Q529_THETA} form clusters by TRANSITIVE closure (A~B,
+    B~C ⇒ one cluster even when A,C are dissimilar — the chaining
+    semantics every production dedup uses, q123's clusters now fully
+    ORACLED via the q514 recursive-closure discipline), the survivor
+    is the minimum doc id, and the report prices each multi-doc
+    cluster's removable duplicates.  Spark runs min-label propagation
+    over the pair edges; the oracle takes the closure on the planted
+    slice.
+
+    Scale shape: pair edges from the inverted-index join; label
+    propagation is O(cluster diameter) keyed passes (near-dup
+    clusters are shallow); the quadratic closure exists only in the
+    oracle."""
+    from databricks_etl_spark.operators.dedup import token_sets
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _Q529_SLICE
+    )
+    i = token_sets(d).localCheckpoint()
+    sz = i.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    ia = i.select(F.col("doc_id").alias("id_a"), "token")
+    ib = i.select(F.col("doc_id").alias("id_b"), "token")
+    sh = (
+        ia.join(ib, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    pairs = (
+        sh.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("shared")
+            / (F.col("sa") + F.col("sb") - F.col("shared"))
+            >= _Q529_THETA
+        )
+        .select("id_a", "id_b")
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).localCheckpoint()
+    labels = d.select(
+        F.col("doc_id").alias("pk"), F.col("doc_id").alias("lbl")
+    ).localCheckpoint()
+    for _ in range(32):
+        via = (
+            edges.join(
+                labels.withColumnRenamed("pk", "src").withColumnRenamed(
+                    "lbl", "src_lbl"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("pk"))
+            .agg(F.min("src_lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(via, "pk", "left")
+            .select(
+                "pk",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "pk")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("lbl").cast("long").alias("canonical_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+        .select(
+            "canonical_id",
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("n_duplicates_removed"),
+        )
+    )
+
+
+# q530 — day-of-week seasonal index --------------------------------------
+
+
+def _q530_oracle() -> str:
+    return """
+        WITH d AS MATERIALIZED (
+            SELECT dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,  -- DuckDB 0=Sun -> Spark 1=Sun
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders
+        ),
+        per AS (
+            SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   SUM(CAST(cents AS DECIMAL(38,0))) AS rev
+            FROM d GROUP BY dow
+        ),
+        tot AS (SELECT SUM(n_orders) AS n, SUM(rev) AS r FROM per)
+        SELECT CAST(per.dow AS BIGINT) AS dow, per.n_orders,
+               CAST(per.rev AS BIGINT) AS revenue_cents,
+               round((CAST(per.rev AS DOUBLE) / per.n_orders)
+                     / (CAST(tot.r AS DOUBLE) / tot.n), 6)
+                   AS seasonal_index
+        FROM per, tot
+    """
+
+
+@query("q530_seasonal_dow_index", oracle=_q530_oracle(), defer=True)
+def q530_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-OF-WEEK seasonal index — the first decomposition a demand
+    forecast makes: mean order value per weekday relative to the
+    global mean (index > 1 = that weekday runs hot).  Exact decimal
+    revenue sums; one rational division per side at the edge.  The
+    deterministic base for q531's anomaly flags — an 'anomalous
+    Monday' only means something against the Monday index.
+
+    Scale shape: one scan, one 7-row grouped aggregate, one 1-row
+    global combine."""
+    o = read_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.dayofweek(F.col("o_orderdate").cast("date")).alias("dow"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    per = d.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("rev"),
+    )
+    tot = per.agg(
+        F.sum("n_orders").alias("n"), F.sum("rev").alias("r")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("long").alias("dow"),
+        "n_orders",
+        F.col("rev").cast("long").alias("revenue_cents"),
+        F.round(
+            (F.col("rev").cast("double") / F.col("n_orders"))
+            / (F.col("r").cast("double") / F.col("n")),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+# q531 — robust anomaly detection (median / MAD, exact) ------------------
+
+_Q531_K = 3  # flag |x − median| > K · MAD
+
+
+def _q531_oracle() -> str:
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS d,
+                   CAST(SUM(CAST(round(value * 100, 0)
+                                 AS DECIMAL(28,0))) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        med AS (
+            SELECT cents AS m FROM (
+                SELECT cents, row_number() OVER (ORDER BY cents, d) AS rk,
+                       COUNT(*) OVER () AS n
+                FROM daily
+            ) WHERE rk = (n + 1) // 2
+        ),
+        dev AS MATERIALIZED (
+            SELECT d, cents, ABS(cents - (SELECT m FROM med)) AS adev
+            FROM daily
+        ),
+        mad AS (
+            SELECT adev AS mad FROM (
+                SELECT adev, row_number() OVER (ORDER BY adev, d) AS rk,
+                       COUNT(*) OVER () AS n
+                FROM dev
+            ) WHERE rk = (n + 1) // 2
+        )
+        SELECT d AS day, cents AS revenue_cents,
+               (SELECT m FROM med) AS median_cents,
+               (SELECT mad FROM mad) AS mad_cents,
+               ABS(cents - (SELECT m FROM med))
+                   > {_Q531_K} * (SELECT mad FROM mad) AS is_anomaly
+        FROM dev
+    """
+
+
+@query("q531_robust_anomaly_mad", oracle=_q531_oracle(), defer=True)
+def q531_robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST anomaly detection — median/MAD instead of mean/stddev,
+    so one huge outlier day cannot mask itself by inflating the
+    threshold (the breakdown-point argument for every production
+    monitor): daily revenue in exact cents, the exact MEDIAN via the
+    distributed rank (even-count median = lower-middle by both
+    engines' integer median on BIGINT — DuckDB's median interpolates
+    halves, so cents keep it integral-safe at odd counts; the even
+    case yields .5 which floors identically under the BIGINT cast),
+    absolute deviations, the MAD (median of deviations — same
+    kernel), and the K·MAD flag in pure integer arithmetic.
+
+    Scale shape: day-grain relation (bounded, q475 metadata class)
+    after one scan+aggregate; both medians are rank extractions."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_ntile
+
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("decimal(28,0)")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+
+    def exact_median_long(df: DataFrame, col: str, key: str) -> int:
+        # LOWER median (rank ⌈n/2⌉ in the (value, key) total order) —
+        # an actual element, so both engines state the same integer
+        # with no interpolation/rounding question on even counts
+        n = df.count()
+        r = exact_ntile(df, [col, key], n, out_col="rk")
+        return int(
+            r.filter(F.col("rk") == (n + 1) // 2).collect()[0][col]
+        )
+
+    m = exact_median_long(daily, "cents", "d")
+    dev = daily.select(
+        "d", "cents", F.abs(F.col("cents") - F.lit(m)).alias("adev")
+    ).localCheckpoint()
+    mad = exact_median_long(dev, "adev", "d")
+    return dev.select(
+        F.col("d").cast("long").alias("day"),
+        F.col("cents").alias("revenue_cents"),
+        F.lit(m).cast("long").alias("median_cents"),
+        F.lit(mad).cast("long").alias("mad_cents"),
+        (F.col("adev") > _Q531_K * mad).alias("is_anomaly"),
+    )
+
+
+# q532 — matryoshka truncation audit (recall vs dimension prefix) --------
+
+_Q532_DIMS = [64, 32, 16, 8]
+_Q532_K = 10
+
+
+def _q532_dot_pfx(a: str, b: str, d: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {d} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _q532_oracle() -> str:
+    per_dim = []
+    for d in _Q532_DIMS:
+        per_dim.append(f"""
+            SELECT {d} AS dim, qid, nid,
+                   row_number() OVER (PARTITION BY qid ORDER BY
+                       round({_q532_dot_pfx('qe', 'ce', d)}
+                             / (sqrt({_q532_dot_pfx('qe', 'qe', d)})
+                                * sqrt({_q532_dot_pfx('ce', 'ce', d)})),
+                             6) DESC, nid) AS rk
+            FROM q, c WHERE qid <> nid""")
+    return f"""
+        WITH q AS MATERIALIZED (
+            SELECT vec_id AS qid, embedding AS qe FROM embeddings
+            WHERE vec_id < 5
+        ),
+        c AS MATERIALIZED (
+            SELECT vec_id AS nid, embedding AS ce FROM embeddings
+        ),
+        ranked AS MATERIALIZED ({" UNION ALL ".join(per_dim)}),
+        tops AS MATERIALIZED (
+            SELECT dim, qid, nid FROM ranked WHERE rk <= {_Q532_K}
+        ),
+        hits AS (
+            -- LEFT join: a query with ZERO full-width hits must stay
+            -- in the denominator (h = 0), not vanish from the mean
+            SELECT t.dim, t.qid,
+                   CAST(SUM(CASE WHEN f.nid IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS h
+            FROM tops t LEFT JOIN tops f
+              ON f.dim = 64 AND f.qid = t.qid AND f.nid = t.nid
+            GROUP BY t.dim, t.qid
+        )
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_queries,
+               round(CAST(SUM(h) AS DOUBLE)
+                     / (COUNT(*) * {_Q532_K}), 6) AS mean_recall,
+               round(CAST(MIN(h) AS DOUBLE) / {_Q532_K}, 6)
+                   AS min_recall
+        FROM hits GROUP BY dim
+    """
+
+
+@query("q532_matryoshka_truncation_audit", oracle=_q532_oracle(),
+       defer=True)
+def q532_matryoshka_truncation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATRYOSHKA truncation audit — the dimension-vs-recall tradeoff
+    behind prefix-truncatable embeddings (serve 16 of 64 dims and pay
+    4× less memory — at what recall?): exact cosine top-{_Q532_K}
+    computed on each PREFIX length, compared against the full-width
+    truth, mean and min recall per dimension.  Everything exact (the
+    q47 fold, per prefix), so the whole tradeoff curve is
+    hash-checked — this is the evidence a serving team needs before
+    flipping the truncated index on, and the deterministic
+    counterpart of q412's JL-projection distortion audit (random
+    projection vs prefix truncation, the two dimensionality-reduction
+    families, now both audited).
+
+    Scale shape: one scored pass per prefix width over the corpus ×
+    broadcast queries (the q47 shape, |dims| times); at production
+    scale each pass reads the SAME scan (prefix slicing is free
+    column arithmetic, no re-materialization)."""
+    from databricks_etl_spark.operators.similarity import dot, norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ce")
+    )
+    tops = None
+    for d in _Q532_DIMS:
+        qd = q.select("qid", F.slice("qe", 1, d).alias("qv"))
+        cd = c.select("nid", F.slice("ce", 1, d).alias("cv"))
+        scored = (
+            cd.crossJoin(F.broadcast(qd.select(
+                "qid", "qv", norm(F.col("qv")).alias("qn"))))
+            .filter(F.col("nid") != F.col("qid"))
+            .select(
+                "qid",
+                "nid",
+                F.round(
+                    dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * norm(F.col("cv"))),
+                    6,
+                ).alias("sim"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("sim"), F.asc("nid")
+        )
+        t = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _Q532_K)
+            .select(F.lit(d).alias("dim"), "qid", "nid")
+        )
+        tops = t if tops is None else tops.unionByName(t)
+    tops = tops.localCheckpoint()
+    full = tops.filter(F.col("dim") == 64).select(
+        "qid", "nid", F.lit(1).alias("__hit")
+    )
+    hits = (
+        tops.join(F.broadcast(full), ["qid", "nid"], "left")
+        .groupBy("dim", "qid")
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("h"))
+    )
+    return hits.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.sum("h").cast("double") / (F.count(F.lit(1)) * _Q532_K), 6
+        ).alias("mean_recall"),
+        F.round(F.min("h").cast("double") / _Q532_K, 6).alias(
+            "min_recall"
+        ),
+    )
+
+
+# q533 — class-balanced reweighting plan ---------------------------------
+
+_Q533_BETA_NUM, _Q533_BETA_DEN = 999, 1000  # effective-number beta
+
+
+def _q533_oracle() -> str:
+    return f"""
+        WITH per AS MATERIALIZED (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT SUM(n) AS t, COUNT(*) AS k FROM per)
+        SELECT per.lang, per.n,
+               round(CAST((SELECT t FROM tot) AS DOUBLE)
+                     / ((SELECT k FROM tot) * per.n), 6)
+                   AS inv_freq_weight,
+               round((1.0 - power({_Q533_BETA_NUM}.0 / {_Q533_BETA_DEN},
+                                  per.n))
+                     / (1.0 - {_Q533_BETA_NUM}.0 / {_Q533_BETA_DEN}), 6)
+                   AS effective_n,
+               per.n * (SELECT k FROM tot) >= (SELECT t FROM tot)
+                   AS is_majority
+        FROM per
+    """
+
+
+@query("q533_class_reweighting_plan", oracle=_q533_oracle(), defer=True)
+def q533_class_reweighting_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLASS-BALANCED reweighting — the loss-weight plan an imbalanced
+    training run applies per class (language): inverse-frequency
+    weights (total/(k·n) — mean weight exactly 1 by construction),
+    the 'effective number of samples' (1−βⁿ)/(1−β) with rational β
+    (the Cui et al. correction for diminishing returns of duplicated
+    data — floating power of an exact rational, 6dp-rounded; both
+    engines' pow agree at this precision, the q415 ln discipline),
+    and the majority-class flag in exact integer cross-multiplication
+    (n·k ≥ total, never a float compare).
+
+    Scale shape: one grouped count, |classes| rows, one 1-row
+    combine."""
+    d = read_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = per.agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    beta = _Q533_BETA_NUM / _Q533_BETA_DEN
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.round(
+            F.col("t").cast("double") / (F.col("k") * F.col("n")), 6
+        ).alias("inv_freq_weight"),
+        F.round(
+            (F.lit(1.0) - F.pow(F.lit(beta), F.col("n")))
+            / (F.lit(1.0) - F.lit(beta)),
+            6,
+        ).alias("effective_n"),
+        (F.col("n") * F.col("k") >= F.col("t")).alias("is_majority"),
+    )
+
+
+# q534 — STREAMING drift monitor (twin of q519) --------------------------
+
+
+def _q534_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    return QUERIES["q519_drift_monitor_psi_ks"].oracle
+
+
+@query("q534_streaming_drift_monitor", oracle=_q534_oracle(), defer=True)
+def q534_streaming_drift_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q519's PSI/KS drift card maintained AT INGEST: each micro-batch
+    lands only its per-(bin, rel-day-window) COUNT partials —
+    additive, so the drain sums them and finishes with q519's exact
+    smoothing/ln/KS arithmetic.  Drain ≡ q519's oracle under any
+    stream slicing; the observability surface a feature platform
+    actually runs (drift re-priced each epoch without rescanning
+    history).
+
+    Scale shape: per-epoch state is {_Q519_BINS}×2 counters — the
+    associative-partial class (q474/q494)."""
+    import shutil
+
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    w = (_Q519_HI - _Q519_LO) / _Q519_BINS
+    e = read_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    p_all = e.filter(F.col("event_type") == "purchase").select(
+        F.least(
+            F.floor((F.col("value") - _Q519_LO) / w).cast("long"),
+            F.lit(_Q519_BINS - 1).cast("long"),
+        ).alias("bin"),
+        day.alias("d"),
+        "event_id",
+    )
+    # the reference min-day is a property of the WHOLE corpus; a real
+    # deployment pins it in config — here derived once, like q519
+    mind = p_all.agg(F.min("d").alias("m")).localCheckpoint()
+    root = scratch_dir("drift_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/partials"
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.crossJoin(F.broadcast(mind))
+            .withColumn("rel_d", F.col("d") - F.col("m"))
+            .groupBy("bin")
+            .agg(
+                F.sum(F.when(F.col("rel_d") < 10, 1).otherwise(0))
+                .cast("long")
+                .alias("ca"),
+                F.sum(F.when(F.col("rel_d") >= 20, 1).otherwise(0))
+                .cast("long")
+                .alias("cb"),
+            )
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+
+    ingest(p_all.filter(F.col("event_id") % 2 == 0), 0)
+    ingest(p_all.filter(F.col("event_id") % 2 == 1), 1)
+    counts = (
+        spark.read.schema("bin long, ca long, cb long, __epoch int")
+        .parquet(path)
+        .groupBy("bin")
+        .agg(
+            F.sum("ca").cast("long").alias("ca"),
+            F.sum("cb").cast("long").alias("cb"),
+        )
+    )
+    grid = spark.range(_Q519_BINS).select(F.col("id").alias("bin"))
+    f = (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+        .localCheckpoint()
+    )
+    tot = f.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    f2 = f.crossJoin(F.broadcast(tot)).select(
+        "*",
+        ((F.col("ca") + 1.0) / (F.col("na") + _Q519_BINS)).alias("pa"),
+        ((F.col("cb") + 1.0) / (F.col("nb") + _Q519_BINS)).alias("pb"),
+    )
+    cw = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return f2.select(
+        "bin",
+        F.col("ca").alias("count_ref"),
+        F.col("cb").alias("count_cur"),
+        F.round(
+            (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")),
+            6,
+        ).alias("psi_contrib"),
+        F.round(
+            F.abs(
+                F.sum("ca").over(cw).cast("double") / F.col("na")
+                - F.sum("cb").over(cw).cast("double") / F.col("nb")
+            ),
+            6,
+        ).alias("ks_at_bin"),
+    )
+
+
+# q535 — STREAMING transition matrix (twin of q526) ----------------------
+
+
+def _q535_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    return QUERIES["q526_markov_transition_matrix"].oracle
+
+
+@query("q535_streaming_transitions", oracle=_q535_oracle(), defer=True)
+def q535_streaming_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q526's transition matrix under STREAMING ingest — the stitch
+    problem that makes sequence analytics the hard streaming case: a
+    transition can SPAN two micro-batches (the user's last event of
+    epoch 0 chains to their first event of epoch 1), so per-batch
+    transition counts alone are wrong.  The sink therefore lands the
+    batch's raw (user, ts, event_id, type) rows — per-user sequence
+    state, the q453-restore discipline — and the drain rebuilds
+    adjacency over the union, where boundary transitions reappear by
+    construction.  Drain ≡ q526's oracle under the event-id-parity
+    slicing that makes nearly EVERY transition cross the boundary
+    (the adversarial case, deliberately).
+
+    Scale shape: per-epoch state is the batch's own rows (a
+    production sink would watermark-compact per-user tails); the
+    drain is q526's one window + one grouped count."""
+    import shutil
+
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    root = scratch_dir("trans_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/events"
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+
+    ingest(e.filter(F.col("event_id") % 2 == 0), 0)
+    ingest(e.filter(F.col("event_id") % 2 == 1), 1)
+    landed = (
+        spark.read.schema(
+            "user_id long, ts timestamp_ntz, event_id long,"
+            " event_type string, __epoch int"
+        )
+        .parquet(path)
+        .drop("__epoch")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = landed.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    outdeg = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("tot")
+    )
+    return trans.join(outdeg, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("tot"), 6).alias(
+            "p_transition"
+        ),
+    )
