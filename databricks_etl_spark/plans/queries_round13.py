@@ -3314,3 +3314,491 @@ def q535_streaming_transitions(
             "p_transition"
         ),
     )
+
+
+# q536 — graph-ANN index datasheet ---------------------------------------
+
+
+def _q536_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_edges_cte()},
+        reach AS (
+            SELECT CAST({_Q507_ENTRY} AS BIGINT) AS node
+            UNION
+            SELECT e.dst FROM e JOIN reach ON e.src = reach.node
+        )
+        SELECT CAST({_Q506_M} AS BIGINT) AS out_degree,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM reach)
+                   AS reachable_from_entry,
+               round((SELECT CAST(COUNT(*) AS DOUBLE) FROM reach)
+                     / (SELECT COUNT(*) FROM v), 6) AS reach_share,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e r
+                WHERE EXISTS (SELECT 1 FROM e f
+                              WHERE f.src = r.dst AND f.dst = r.src))
+                   AS n_reciprocal_edges,
+               CAST({_Q508_BEAM} AS BIGINT) AS serving_beam,
+               CAST({_Q508_HOPS} AS BIGINT) AS serving_hops,
+               TRUE AS recall_gates_green
+    """
+
+
+@query("q536_graph_index_datasheet", oracle=_q536_oracle(), defer=True)
+def q536_graph_index_datasheet(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The graph-ANN index DATASHEET — the one-card summary a serving
+    platform publishes with the index artifact (the q426/q459
+    datasheet discipline applied to the graph rung): build parameters,
+    node/edge counts, entry-point reachability (count and share —
+    the q507 connectivity fact), total reciprocity (the navigability
+    mass q506 breaks down by rank), the serving beam configuration,
+    and the recall-gate verdict (recomputed in-Spark via q508's
+    bracket; the oracle states the gate constant exactly as q508's
+    does).
+
+    Scale shape: everything reads the cached edge artifact +
+    one BFS; 1-row output."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    edges = _edges(spark, sf_dir)
+    reach = GA.reachable_set(edges, _Q507_ENTRY)
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = GA.beam_search(
+        emb, edges, q, _Q507_K, beam=_Q508_BEAM, hops=_Q508_HOPS,
+        entry=_Q507_ENTRY,
+    )
+    from databricks_etl_spark.operators.similarity import cosine_topk
+
+    exact = cosine_topk(emb, q, _Q507_K)
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    gate = (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(_Q507_K)).alias(
+                "recall"
+            )
+        )
+        .agg(
+            (
+                (F.min("recall") >= 0.80) & (F.avg("recall") >= 0.88)
+            ).alias("recall_gates_green")
+        )
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(1).alias("__rev"),
+    )
+    stats = (
+        edges.join(rev, ["src", "dst"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum(F.coalesce("__rev", F.lit(0)))
+            .cast("long")
+            .alias("n_reciprocal_edges"),
+        )
+    )
+    nn = emb.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    nr = reach.agg(
+        F.count(F.lit(1)).cast("long").alias("reachable_from_entry")
+    )
+    return (
+        nn.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(gate))
+        .select(
+            F.lit(_Q506_M).cast("long").alias("out_degree"),
+            "n_nodes",
+            "n_edges",
+            "reachable_from_entry",
+            F.round(
+                F.col("reachable_from_entry").cast("double")
+                / F.col("n_nodes"),
+                6,
+            ).alias("reach_share"),
+            "n_reciprocal_edges",
+            F.lit(_Q508_BEAM).cast("long").alias("serving_beam"),
+            F.lit(_Q508_HOPS).cast("long").alias("serving_hops"),
+            "recall_gates_green",
+        )
+    )
+
+
+# q537 — incremental skyline maintenance ---------------------------------
+
+_Q537_SLICE = "01"  # md5 first hex → the arriving batch (~1/8)
+
+
+def _q537_oracle() -> str:
+    return f"""
+        WITH pts AS MATERIALIZED (
+            SELECT o_custkey AS custkey,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0)
+                                 AS DECIMAL(28,0))) AS BIGINT)
+                       AS spend_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_custkey
+        ),
+        sky AS (
+            SELECT p.custkey, p.spend_cents, p.n_orders,
+                   strpos('{_Q537_SLICE}',
+                          substr(md5('sk:' || CAST(p.custkey AS VARCHAR)),
+                                 1, 1)) > 0 AS arrived_late
+            FROM pts p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pts q
+                WHERE q.spend_cents >= p.spend_cents
+                  AND q.n_orders >= p.n_orders
+                  AND (q.spend_cents > p.spend_cents
+                       OR q.n_orders > p.n_orders)
+            )
+        )
+        SELECT custkey, spend_cents, n_orders, arrived_late FROM sky
+    """
+
+
+@query("q537_incremental_skyline", oracle=_q537_oracle(), defer=True)
+def q537_incremental_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL skyline maintenance — the algebraic property that
+    makes the Pareto frontier cheap to keep fresh: skyline(old ∪ new)
+    = skyline(skyline(old) ∪ new), so an update needs only the OLD
+    FRONTIER (tiny) plus the arriving batch, never the full history.
+    The lane splits customers by a deterministic md5 slice into a
+    base population and a late batch, maintains the frontier
+    incrementally with the q516 kernel, and flags which frontier rows
+    the late batch contributed.  The oracle computes the skyline of
+    the WHOLE set directly — hash equality IS the proof of the
+    incremental identity (a dominated-by-late base survivor or a
+    missed late winner would break it).
+
+    Scale shape: the incremental pass runs the kernel over
+    |frontier| + |batch| rows — independent of history size."""
+    from databricks_etl_spark.operators.skyline import skyline_2d
+
+    o = read_table(spark, sf_dir, "orders")
+    pts = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("decimal(28,0)")
+        )
+        .cast("long")
+        .alias("spend_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    ).localCheckpoint()
+    is_late = (
+        F.instr(
+            F.lit(_Q537_SLICE),
+            F.substring(
+                F.md5(F.concat(F.lit("sk:"), F.col("custkey").cast("string"))),
+                1,
+                1,
+            ),
+        )
+        > 0
+    )
+    base = pts.filter(~is_late)
+    late = pts.filter(is_late)
+    old_frontier = skyline_2d(base, "spend_cents", "n_orders")
+    merged = old_frontier.unionByName(late).localCheckpoint()
+    return skyline_2d(merged, "spend_cents", "n_orders").select(
+        "custkey",
+        "spend_cents",
+        "n_orders",
+        is_late.alias("arrived_late"),
+    )
+
+
+# q538 — funnel step-latency percentiles ---------------------------------
+
+
+def _q538_oracle() -> str:
+    steps = []
+    for lbl, a, b in [("signup_to_click", "s.t0", "c.t1"),
+                      ("click_to_purchase", "c.t1", "p.t2")]:
+        steps.append(f"""
+            SELECT '{lbl}' AS step, {b} - {a} AS lat_s,
+                   row_number() OVER (PARTITION BY '{lbl}'
+                       ORDER BY {b} - {a}, s.user_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY '{lbl}') AS n
+            FROM s JOIN c ON s.user_id = c.user_id
+                   JOIN p ON s.user_id = p.user_id""")
+    return f"""
+        WITH s AS MATERIALIZED (
+            SELECT user_id,
+                   MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t0
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ),
+        c AS MATERIALIZED (
+            SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t1
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click'
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) >= s.t0
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) - s.t0
+                  <= {_Q524_STEP_S}
+            GROUP BY 1
+        ),
+        p AS MATERIALIZED (
+            SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t2
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) >= c.t1
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) - c.t1
+                  <= {_Q524_STEP_S}
+            GROUP BY 1
+        ),
+        lat AS MATERIALIZED ({" UNION ALL ".join(steps)})
+        SELECT step,
+               CAST(MAX(n) AS BIGINT) AS n_users,
+               CAST(MIN(CASE WHEN rk = (n + 1) // 2 THEN lat_s END)
+                    AS BIGINT) AS p50_latency_s,
+               CAST(MIN(CASE WHEN rk = (9 * n + 9) // 10 THEN lat_s END)
+                    AS BIGINT) AS p90_latency_s
+        FROM lat GROUP BY step
+    """
+
+
+@query("q538_funnel_latency_percentiles", oracle=_q538_oracle(),
+       defer=True)
+def q538_funnel_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FUNNEL STEP LATENCIES — how long converting users take per
+    step, the p50/p90 a growth team actually watches (q524 counts who
+    converts; this lane times them): per fully-converted user, the
+    signup→click and click→purchase latencies in exact integer
+    seconds, with the LOWER p50/p90 (the rank-⌈n/2⌉ / rank-⌈9n/10⌉
+    elements of the (latency, user) total order — actual elements,
+    the q531 lower-median discipline) extracted per step via the
+    two-phase exact rank.
+
+    Scale shape: q524's keyed min-chain, then one rank pass per step
+    over |converted users| rows."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_ntile
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ep")
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ep") >= F.col("t0"))
+            & (F.col("ep") - F.col("t0") <= _Q524_STEP_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ep") >= F.col("t1"))
+            & (F.col("ep") - F.col("t1") <= _Q524_STEP_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t2"))
+    )
+    conv = (
+        s.join(c, "user_id").join(p, "user_id").localCheckpoint()
+    )
+    out = None
+    for lbl, a, b in [("signup_to_click", "t0", "t1"),
+                      ("click_to_purchase", "t1", "t2")]:
+        lat = conv.select(
+            "user_id", (F.col(b) - F.col(a)).alias("lat_s")
+        )
+        n = lat.count()
+        r = exact_ntile(lat, ["lat_s", "user_id"], n, out_col="rk")
+        row = r.filter(
+            F.col("rk").isin((n + 1) // 2, (9 * n + 9) // 10)
+        ).agg(
+            F.lit(lbl).alias("step"),
+            F.lit(n).cast("long").alias("n_users"),
+            F.min(
+                F.when(F.col("rk") == (n + 1) // 2, F.col("lat_s"))
+            )
+            .cast("long")
+            .alias("p50_latency_s"),
+            F.min(
+                F.when(F.col("rk") == (9 * n + 9) // 10, F.col("lat_s"))
+            )
+            .cast("long")
+            .alias("p90_latency_s"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# q539 — A/B test: two-proportion z with exact significance --------------
+
+_Q539_Z2_NUM, _Q539_Z2_DEN = 38416, 10000  # z²≥3.8416 ⇔ p<0.05 two-sided
+
+
+def _q539_oracle() -> str:
+    return f"""
+        WITH u AS MATERIALIZED (
+            SELECT DISTINCT user_id,
+                   strpos('01234567',
+                          substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                                 1, 1)) > 0 AS arm_a
+            FROM events
+        ),
+        conv AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value >= 150
+        ),
+        per AS (
+            SELECT u.arm_a,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN conv.user_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS x
+            FROM u LEFT JOIN conv ON u.user_id = conv.user_id
+            GROUP BY u.arm_a
+        ),
+        w AS (
+            SELECT
+                (SELECT n FROM per WHERE arm_a) AS na,
+                (SELECT x FROM per WHERE arm_a) AS xa,
+                (SELECT n FROM per WHERE NOT arm_a) AS nb,
+                (SELECT x FROM per WHERE NOT arm_a) AS xb
+        )
+        SELECT na AS n_a, xa AS conv_a, nb AS n_b, xb AS conv_b,
+               round(CAST(xa AS DOUBLE) / na, 6) AS rate_a,
+               round(CAST(xb AS DOUBLE) / nb, 6) AS rate_b,
+               round((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                     / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                            * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                            * (1.0 / na + 1.0 / nb)), 6) AS z_stat,
+               -- exact rational significance: z² ≥ 3.8416 cross-
+               -- multiplied in HUGEINT (never a float compare)
+               CAST({_Q539_Z2_DEN} AS HUGEINT)
+                   * CAST(xa * nb - xb * na AS HUGEINT)
+                   * CAST(xa * nb - xb * na AS HUGEINT) * (na + nb)
+                   >= CAST({_Q539_Z2_NUM} AS HUGEINT)
+                   * CAST(xa + xb AS HUGEINT)
+                   * CAST(na + nb - xa - xb AS HUGEINT)
+                   * na * nb
+                   AS significant_p05
+        FROM w
+    """
+
+
+@query("q539_ab_test_proportions", oracle=_q539_oracle(), defer=True)
+def q539_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B TEST readout — the two-proportion z-test every
+    experimentation platform runs, with the significance verdict in
+    EXACT integer arithmetic: users split into arms by deterministic
+    md5 (50/50 — the bucketing a real assignment service does),
+    conversion = any purchase of value ≥ 150 (a threshold that
+    leaves both arms with real variance at every scale factor), the
+    pooled z statistic reported at 6dp
+    for humans, and the p<0.05 verdict decided by cross-multiplying
+    z² ≥ 3.8416 into integers (decimal-exact — the boolean the
+    driver hashes can never flip on a libm edge; derivation: z² =
+    Δ²·na·nb·(na+nb) / (x(N−x)·N²)·N... folded to the HUGEINT form
+    in the oracle, mirrored in Spark decimals).
+
+    Scale shape: one distinct-user pass, one semi-join for
+    converters, a 2-row aggregate — experiment readouts are
+    metadata-cheap at any corpus size."""
+    e = read_table(spark, sf_dir, "events")
+    u = e.select("user_id").distinct().select(
+        "user_id",
+        (
+            F.instr(
+                F.lit("01234567"),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ab:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+            )
+            > 0
+        ).alias("arm_a"),
+    )
+    conv = (
+        e.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") >= 150)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    per = (
+        u.join(conv, "user_id", "left")
+        .groupBy("arm_a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.coalesce("__c", F.lit(0))).cast("long").alias("x"),
+        )
+        .localCheckpoint()
+    )
+    a = per.filter(F.col("arm_a")).select(
+        F.col("n").alias("na"), F.col("x").alias("xa")
+    )
+    b = per.filter(~F.col("arm_a")).select(
+        F.col("n").alias("nb"), F.col("x").alias("xb")
+    )
+    wjoin = a.crossJoin(F.broadcast(b))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    delta = F.col("xa") * F.col("nb") - F.col("xb") * F.col("na")
+    lhs = (
+        F.lit(_Q539_Z2_DEN).cast("decimal(38,0)")
+        * dec(delta)
+        * dec(delta)
+        * dec(F.col("na") + F.col("nb"))
+    )
+    rhs = (
+        F.lit(_Q539_Z2_NUM).cast("decimal(38,0)")
+        * dec(F.col("xa") + F.col("xb"))
+        * dec(
+            F.col("na") + F.col("nb") - F.col("xa") - F.col("xb")
+        )
+        * dec(F.col("na"))
+        * dec(F.col("nb"))
+    )
+    pooled = (F.col("xa") + F.col("xb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    return wjoin.select(
+        F.col("na").alias("n_a"),
+        F.col("xa").alias("conv_a"),
+        F.col("nb").alias("n_b"),
+        F.col("xb").alias("conv_b"),
+        F.round(F.col("xa").cast("double") / F.col("na"), 6).alias(
+            "rate_a"
+        ),
+        F.round(F.col("xb").cast("double") / F.col("nb"), 6).alias(
+            "rate_b"
+        ),
+        F.round(
+            (
+                F.col("xa").cast("double") / F.col("na")
+                - F.col("xb").cast("double") / F.col("nb")
+            )
+            / F.sqrt(
+                pooled
+                * (1 - pooled)
+                * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+            ),
+            6,
+        ).alias("z_stat"),
+        (lhs >= rhs).alias("significant_p05"),
+    )
