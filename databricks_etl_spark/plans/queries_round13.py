@@ -3802,3 +3802,247 @@ def q539_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z_stat"),
         (lhs >= rhs).alias("significant_p05"),
     )
+
+
+# q540 — Kaplan–Meier survival estimator ---------------------------------
+
+
+def _q540_oracle() -> str:
+    return """
+        WITH t0 AS MATERIALIZED (
+            SELECT user_id,
+                   MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS s0
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ),
+        fp AS MATERIALIZED (
+            SELECT e.user_id,
+                   MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS tp
+            FROM events e JOIN t0 ON e.user_id = t0.user_id
+            WHERE e.event_type = 'purchase'
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) >= t0.s0
+            GROUP BY 1
+        ),
+        last_seen AS MATERIALIZED (
+            SELECT e.user_id,
+                   MAX(CAST(floor(epoch(e.ts)) AS BIGINT)) AS tl
+            FROM events e GROUP BY 1
+        ),
+        dur AS MATERIALIZED (
+            SELECT t0.user_id,
+                   CASE WHEN fp.tp IS NOT NULL
+                        THEN (fp.tp - t0.s0) // 86400
+                        ELSE (last_seen.tl - t0.s0) // 86400 END AS t,
+                   fp.tp IS NOT NULL AS died
+            FROM t0
+            JOIN last_seen ON t0.user_id = last_seen.user_id
+            LEFT JOIN fp ON t0.user_id = fp.user_id
+        ),
+        grid AS MATERIALIZED (
+            SELECT DISTINCT t FROM dur WHERE died
+        ),
+        km AS (
+            SELECT g.t,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM dur
+                    WHERE dur.t >= g.t) AS n_at_risk,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM dur
+                    WHERE dur.died AND dur.t = g.t) AS d_events
+            FROM grid g
+        )
+        SELECT CAST(t AS BIGINT) AS t_days, n_at_risk, d_events,
+               round(CAST(d_events AS DOUBLE) / n_at_risk, 6) AS hazard,
+               -- a time where EVERYONE at risk converts zeroes the
+               -- curve from there on (ln(0) guard)
+               CASE WHEN MAX(CASE WHEN d_events = n_at_risk
+                             THEN 1 ELSE 0 END) OVER (
+                        ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                    THEN 0.0
+                    ELSE round(exp(SUM(CASE WHEN d_events = n_at_risk
+                             THEN 0.0
+                             ELSE ln(1.0 - CAST(d_events AS DOUBLE)
+                                     / n_at_risk) END) OVER (
+                        ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) END
+                   AS survival
+        FROM km
+    """
+
+
+@query("q540_kaplan_meier", oracle=_q540_oracle(), defer=True)
+def q540_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN–MEIER survival estimator — time-to-conversion WITH
+    CENSORING, the estimator naive conversion rates get wrong (a user
+    who signed up yesterday hasn't 'failed to convert', they just
+    haven't been observed long enough): durations in whole days from
+    first signup to first subsequent purchase (events) or to last
+    activity (censored), the risk set at each event time (everyone
+    whose observation reaches it — censored users leave the
+    denominator exactly when their observation ends, the entire
+    point), per-time hazard d/n, and the product-limit survival curve
+    — the cumulative product computed as exp(Σln(1−d/n)) over the
+    bounded event-time grid (an ordered fold over the SAME ≤|days|
+    rows in both engines, the q415 ln discipline, 6dp at the edge).
+
+    Scale shape: durations are two keyed min/max passes; the curve
+    lives on the bounded distinct-event-time grid (q475 metadata
+    class)."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ep")
+    )
+    t0 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("s0"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .filter(F.col("ep") >= F.col("s0"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("tp"))
+    )
+    last_seen = e.groupBy("user_id").agg(F.max("ep").alias("tl"))
+    dur = (
+        t0.join(last_seen, "user_id")
+        .join(fp, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(
+                F.col("tp").isNotNull(),
+                F.expr("(tp - s0) DIV 86400"),
+            )
+            .otherwise(F.expr("(tl - s0) DIV 86400"))
+            .alias("t"),
+            F.col("tp").isNotNull().alias("died"),
+        )
+        .localCheckpoint()
+    )
+    grid = dur.filter("died").select("t").distinct()
+    # risk set per event time: suffix count over the bounded grid —
+    # durations aggregate to (t, n_ending, d_at) then the grid joins
+    at_t = dur.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dur"),
+        F.sum(F.when(F.col("died"), 1).otherwise(0))
+        .cast("long")
+        .alias("d_events"),
+    )
+    g2 = grid.withColumnRenamed("t", "gt")
+    km = (
+        g2.join(at_t, F.col("t") >= F.col("gt"))
+        .groupBy("gt")
+        .agg(
+            F.sum("n_dur").cast("long").alias("n_at_risk"),
+            F.sum(F.when(F.col("t") == F.col("gt"), F.col("d_events")))
+            .cast("long")
+            .alias("d_events"),
+        )
+    )
+    cw = Window.orderBy("gt").rowsBetween(Window.unboundedPreceding, 0)
+    dead_all = F.col("d_events") == F.col("n_at_risk")
+    lnterm = F.when(dead_all, F.lit(0.0)).otherwise(
+        F.log(
+            F.lit(1.0)
+            - F.col("d_events").cast("double") / F.col("n_at_risk")
+        )
+    )
+    # a time where everyone at risk converts zeroes the curve onward
+    zeroed = F.max(F.when(dead_all, 1).otherwise(0)).over(cw) == 1
+    return km.select(
+        F.col("gt").cast("long").alias("t_days"),
+        "n_at_risk",
+        "d_events",
+        F.round(
+            F.col("d_events").cast("double") / F.col("n_at_risk"), 6
+        ).alias("hazard"),
+        F.when(zeroed, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(lnterm).over(cw)), 6))
+        .alias("survival"),
+    )
+
+
+# q541 — dyadic EWMA one-step-ahead backtest -----------------------------
+
+_Q541_H = 5  # trailing horizon (days)
+
+
+def _q541_oracle() -> str:
+    den = (1 << _Q541_H) - 1
+    num = " + ".join(
+        f"(SELECT cents FROM daily b WHERE b.d = a.d - {k})"
+        f" * {1 << (_Q541_H - k)}"
+        for k in range(1, _Q541_H + 1)
+    )
+    have = " AND ".join(
+        f"EXISTS (SELECT 1 FROM daily b WHERE b.d = a.d - {k})"
+        for k in range(1, _Q541_H + 1)
+    )
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS d,
+                   CAST(SUM(CAST(round(value * 100, 0)
+                                 AS DECIMAL(28,0))) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT CAST(a.d AS BIGINT) AS day,
+               a.cents AS actual_cents,
+               round(CAST(({num}) AS DOUBLE) / {den}, 6)
+                   AS forecast_cents,
+               round(ABS(a.cents - CAST(({num}) AS DOUBLE) / {den}), 6)
+                   AS abs_error
+        FROM daily a WHERE {have}
+    """
+
+
+@query("q541_ewma_backtest", oracle=_q541_oracle(), defer=True)
+def q541_ewma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-STEP-AHEAD forecast backtest with a DYADIC EWMA — q513's
+    exact-decay discipline turned into a forecaster and scored
+    against reality: each day's forecast is the exponentially-
+    weighted mean of the previous {_Q541_H} days (weights 2⁻ᵏ,
+    normalized by 2^{_Q541_H}−1 — the numerator is an exact INTEGER
+    combination of daily cents, so forecast and error are one exact
+    rational division each), emitted only where the full trailing
+    window exists.  The per-day absolute errors are the backtest a
+    forecasting service publishes before anyone trusts the model.
+
+    Scale shape: the day-grain relation is bounded (q475 metadata
+    class); the trailing window is a {_Q541_H}-way self-join on
+    literal offsets — at 100 TB the daily aggregate is the only
+    data-scale pass."""
+    den = (1 << _Q541_H) - 1
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("decimal(28,0)")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+    cur = daily.select(
+        F.col("d"), F.col("cents").alias("actual_cents")
+    )
+    for k in range(1, _Q541_H + 1):
+        prev = daily.select(
+            (F.col("d") + k).alias("d"),
+            F.col("cents").alias(f"c{k}"),
+        )
+        cur = cur.join(prev, "d")  # inner: full window required
+    num = None
+    for k in range(1, _Q541_H + 1):
+        term = F.col(f"c{k}") * F.lit(1 << (_Q541_H - k))
+        num = term if num is None else num + term
+    fc = num.cast("double") / F.lit(den)
+    return cur.select(
+        F.col("d").cast("long").alias("day"),
+        "actual_cents",
+        F.round(fc, 6).alias("forecast_cents"),
+        F.round(F.abs(F.col("actual_cents") - fc), 6).alias("abs_error"),
+    )
