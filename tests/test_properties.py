@@ -433,3 +433,79 @@ def test_q466_interleave_matches_python_reference(spark):
     }
     for x, y in pairs:
         assert got[(x, y)] == ref(x, y), (x, y)
+
+
+# --- round-13 kernels: seeded random properties -------------------------
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_skyline_matches_bruteforce_random(spark, seed):
+    """skyline_2d vs the dominance definition on seeded random integer
+    point sets (with planted duplicates and tie-heavy coordinates)."""
+    from databricks_etl_spark.operators.skyline import skyline_2d
+
+    rng = np.random.default_rng(seed)
+    pts = [
+        (i, int(rng.integers(0, 12)), int(rng.integers(0, 12)))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(pts, "rid long, d1 long, d2 long")
+    got = sorted(
+        (r["rid"], r["d1"], r["d2"])
+        for r in skyline_2d(df, "d1", "d2", n_parts=5).collect()
+    )
+    want = sorted(
+        (i, a, b)
+        for i, a, b in pts
+        if not any(
+            (qa >= a and qb >= b and (qa > a or qb > b))
+            for _, qa, qb in pts
+        )
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_exact_cumsum_matches_window_random(spark, seed):
+    """exact_cumsum vs the SQL running-sum window on seeded random
+    integral frames with heavy ties in the leading order column."""
+    from pyspark.sql import Window
+
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (i, int(rng.integers(0, 6)), int(rng.integers(1, 100)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "rid long, k long, w long")
+    got = exact_cumsum(
+        df, ["k", "rid"], "w", n_parts=7, out_col="c"
+    ).select("rid", F.col("c").cast("long").alias("c"))
+    win = Window.orderBy("k", "rid").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.select("rid", F.sum("w").over(win).alias("c"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_graph_full_beam_recall_is_one_random(spark, seed):
+    """On a seeded random vector set, full-beam graph search from any
+    reachable entry returns exactly the reachable-restricted top-k
+    (the q507 identity, property-tested on non-testdata vectors)."""
+    from databricks_etl_spark.operators import graph_ann as GA
+
+    rng = np.random.default_rng(seed)
+    vecs = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    edges = GA.build_knn_graph(df, 4).localCheckpoint()
+    q = df.filter(F.col("vec_id") < 2)
+    full = GA.beam_search(df, edges, q, 5, beam=60, hops=32, entry=0)
+    reach = GA.reachable_set(edges, 0)
+    truth = GA.topk(GA.score_against_queries(reach, df, q), 5)
+    assert full.exceptAll(truth).count() == 0
+    assert truth.exceptAll(full).count() == 0
