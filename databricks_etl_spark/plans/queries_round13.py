@@ -4046,3 +4046,508 @@ def q541_ewma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fc, 6).alias("forecast_cents"),
         F.round(F.abs(F.col("actual_cents") - fc), 6).alias("abs_error"),
     )
+
+
+# q542 — eager aggregation (group-by pushdown through a join) ------------
+
+
+def _q542_oracle() -> str:
+    return """
+        WITH pre AS MATERIALIZED (
+            SELECT l_orderkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(28,6))) AS rev,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        joined AS (
+            SELECT c.c_nationkey AS nation, pre.rev, pre.n_lines
+            FROM pre
+            JOIN orders o ON pre.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        sizes AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+                       AS rows_lazy,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM pre)
+                       AS rows_eager
+        )
+        SELECT nation,
+               CAST(SUM(rev) AS DOUBLE) AS revenue,
+               CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+               (SELECT rows_lazy FROM sizes) AS join_rows_lazy,
+               (SELECT rows_eager FROM sizes) AS join_rows_eager,
+               (SELECT rows_eager < rows_lazy FROM sizes)
+                   AS pushdown_saves
+        FROM joined GROUP BY nation
+    """
+
+
+@query("q542_eager_aggregation_rewrite", oracle=_q542_oracle(),
+       defer=True)
+def q542_eager_aggregation_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EAGER AGGREGATION (group-by pushdown through a join) — the
+    rewrite that keeps a 100 TB fact table from riding two joins at
+    line grain: partially aggregate lineitem to order grain BEFORE
+    joining orders and customer, then finish the per-nation rollup
+    above — algebraically exact because the join keys functionally
+    determine the pushed-down group (each order joins exactly one
+    customer), and the decimal partials re-merge exactly.  The card
+    carries the per-nation answer (the hash-checked core) plus the
+    measured join input sizes both ways — lineitem's row count vs the
+    order-grain pre-aggregate — and pins that the pushdown shrinks
+    the join input (the optimizer evidence, q457's
+    measured-intermediates discipline).
+
+    Scale shape: the join moves |orders| pre-aggregated rows instead
+    of |lineitem| raw rows — a 4× reduction here and the difference
+    between shuffling 100 TB and 25 TB at the north star."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pre = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(28,6)"
+            )
+        ).alias("rev"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    sizes = li.agg(
+        F.count(F.lit(1)).cast("long").alias("join_rows_lazy")
+    ).crossJoin(
+        F.broadcast(
+            pre.agg(
+                F.count(F.lit(1)).cast("long").alias("join_rows_eager")
+            )
+        )
+    )
+    return (
+        pre.join(o, "l_orderkey")
+        .join(c, "o_custkey")
+        .groupBy("nation")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+        )
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "nation",
+            "revenue",
+            "n_lines",
+            "join_rows_lazy",
+            "join_rows_eager",
+            (F.col("join_rows_eager") < F.col("join_rows_lazy")).alias(
+                "pushdown_saves"
+            ),
+        )
+    )
+
+
+# q543 — correlated-subquery decorrelation -------------------------------
+
+
+def _q543_oracle() -> str:
+    return """
+        WITH spend AS MATERIALIZED (
+            SELECT c.c_custkey, c.c_nationkey,
+                   SUM(CAST(round(o.o_totalprice * 100, 0)
+                            AS DECIMAL(28,0))) AS cents
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        ),
+        -- the correlated form: spend > their own nation's average —
+        -- stated here DECORRELATED (group avg joined back), which is
+        -- exactly the rewrite the lane demonstrates
+        nat AS (
+            SELECT c_nationkey,
+                   SUM(cents) AS tot, CAST(COUNT(*) AS BIGINT) AS n
+            FROM spend GROUP BY 1
+        )
+        SELECT s.c_nationkey AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_above_avg,
+               CAST(MIN(s.c_custkey) AS BIGINT) AS first_custkey
+        FROM spend s JOIN nat ON s.c_nationkey = nat.c_nationkey
+        WHERE CAST(s.cents AS HUGEINT) * nat.n
+              > CAST(nat.tot AS HUGEINT)
+        GROUP BY s.c_nationkey
+    """
+
+
+@query("q543_decorrelated_above_average", oracle=_q543_oracle(),
+       defer=True)
+def q543_decorrelated_above_average(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated-subquery DECORRELATION — "customers who spend more
+    than their nation's average", the textbook correlated predicate,
+    executed as the rewrite every optimizer applies: compute the
+    per-nation aggregate ONCE and join it back, instead of
+    re-evaluating a subquery per row (which at 100 TB is a
+    nested-loop re-scan per customer).  The above-average comparison
+    cross-multiplies in exact integers (spend·n > total — never a
+    float average), so the per-nation survivor counts are
+    hash-stable.
+
+    Scale shape: one grouped aggregate + one keyed join back — the
+    decorrelated plan's whole point; zero per-row subquery
+    evaluation."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    o = read_table(spark, sf_dir, "orders")
+    spend = (
+        o.join(c, "o_custkey")
+        .groupBy(F.col("o_custkey").alias("c_custkey"), "c_nationkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast(
+                    "decimal(28,0)"
+                )
+            ).alias("cents")
+        )
+    )
+    nat = spend.groupBy("c_nationkey").agg(
+        F.sum("cents").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        spend.join(nat, "c_nationkey")
+        .filter(
+            F.col("cents").cast("decimal(38,0)") * F.col("n")
+            > F.col("tot").cast("decimal(38,0)")
+        )
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_above_avg"),
+            F.min("c_custkey").cast("long").alias("first_custkey"),
+        )
+    )
+
+
+# q544 — unigram-LM log-probability scoring (perplexity filtering) -------
+
+_Q544_TOP_SUSPECTS = 20
+
+
+def _q544_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _TOKS
+
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        vocab AS MATERIALIZED (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+            GROUP BY 1
+        ),
+        corpus AS (
+            SELECT SUM(tf) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM vocab
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   SUM(ln((v.tf + 1.0)
+                          / ((SELECT n FROM corpus)
+                             + (SELECT v FROM corpus)))) AS lp
+            FROM toks t JOIN vocab v USING (token)
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               round(lp / n_tokens, 6) AS mean_logprob
+        FROM scored
+        ORDER BY lp / n_tokens, doc_id
+        LIMIT {_Q544_TOP_SUSPECTS}
+    """
+
+
+@query("q544_unigram_logprob_scoring", oracle=_q544_oracle(), defer=True)
+def q544_unigram_logprob_scoring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERPLEXITY-STYLE quality scoring with a corpus unigram LM — the
+    poor man's perplexity filter every pretraining pipeline runs
+    before it can afford a neural one: token probabilities from the
+    corpus itself (Laplace-smoothed rational — (tf+1)/(N+V)), each
+    document scored by its mean token log-probability (the q415 ln
+    discipline; the per-doc SUM of lns is order-dependent in the last
+    ulp, so the 6dp round happens on the mean — and the ranking keys
+    on the raw sum with doc-id tiebreak identically in both engines),
+    and the {_Q544_TOP_SUSPECTS} most-atypical documents surfaced
+    (gibberish/outlier candidates; the opposite tail is boilerplate).
+
+    Scale shape: one tokenize pass, one vocab aggregate, one
+    index-join score — the inverted-index shape of q43 pointed at
+    quality instead of similarity."""
+    from databricks_etl_spark.operators.dedup import token_sets  # noqa: F401
+
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("token")
+    ).localCheckpoint()
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    corpus = vocab.agg(
+        F.sum("tf").alias("n"), F.count(F.lit(1)).cast("long").alias("v")
+    )
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.log(
+                    (F.col("tf") + 1.0) / (F.col("n") + F.col("v"))
+                )
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.orderBy(
+            (F.col("lp") / F.col("n_tokens")).asc(), F.asc("doc_id")
+        )
+        .limit(_Q544_TOP_SUSPECTS)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("lp") / F.col("n_tokens"), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
+# q545 — STREAMING unigram-LM scoring (twin of q544) ---------------------
+
+
+def _q545_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    return QUERIES["q544_unigram_logprob_scoring"].oracle
+
+
+@query("q545_streaming_logprob_scoring", oracle=_q545_oracle(),
+       defer=True)
+def q545_streaming_logprob_scoring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q544's LM scoring under STREAMING ingest — the model-refresh
+    problem in miniature: token frequencies are ASSOCIATIVE, so each
+    epoch lands only its (token, tf) partials and (doc, token, tf)
+    grain; the drain merges the vocabulary (the refreshed LM) and
+    re-scores ALL landed documents against it — because a unigram LM
+    trained on half the corpus scores documents differently, interim
+    epoch scores are provisional by nature and only the drain's
+    rescoring is the release artifact (stated; the reason production
+    pipelines version their filter models).  Drain ≡ q544's oracle.
+
+    Scale shape: per-epoch state is token-frequency partials
+    (vocabulary-grain) + doc-token grain for landed docs."""
+    import shutil
+
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    d = read_table(spark, sf_dir, "documents")
+    root = scratch_dir("lm_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/partials"
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        toks = batch_df.select(
+            "doc_id", F.explode(tokens_col("text")).alias("token")
+        )
+        grain = toks.groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        ).localCheckpoint()
+        (
+            grain.groupBy("token")
+            .agg(F.sum("tf").cast("long").alias("tf"))
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(f"{path}/vocab")
+        )
+        (
+            grain.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(f"{path}/grain")
+        )
+
+    ingest(d.filter(F.col("doc_id") % 2 == 0), 0)
+    ingest(d.filter(F.col("doc_id") % 2 == 1), 1)
+    vocab = (
+        spark.read.schema("token string, tf long, __epoch int")
+        .parquet(f"{path}/vocab")
+        .groupBy("token")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    grain = (
+        spark.read.schema(
+            "doc_id long, token string, tf long, __epoch int"
+        )
+        .parquet(f"{path}/grain")
+        .groupBy("doc_id", "token")
+        .agg(F.sum("tf").cast("long").alias("dtf"))
+    )
+    corpus = vocab.agg(
+        F.sum("tf").alias("n"), F.count(F.lit(1)).cast("long").alias("v")
+    )
+    scored = (
+        grain.join(vocab, "token")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dtf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("dtf")
+                * F.log((F.col("tf") + 1.0) / (F.col("n") + F.col("v")))
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.orderBy(
+            (F.col("lp") / F.col("n_tokens")).asc(), F.asc("doc_id")
+        )
+        .limit(_Q544_TOP_SUSPECTS)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("lp") / F.col("n_tokens"), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
+# q546 — SLO burn-rate alerting (multi-window) ---------------------------
+
+_Q546_SLO_PPM = 300_000  # error budget: 30% of events may be errors
+_Q546_WINDOWS = [(1, 14), (3, 6), (7, 2)]  # (days, burn-rate threshold)
+
+
+def _q546_oracle() -> str:
+    win_rows = " UNION ALL ".join(
+        f"SELECT {days} AS win_days, {thr} AS burn_threshold"
+        for days, thr in _Q546_WINDOWS
+    )
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'error'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS errs
+            FROM events GROUP BY 1
+        ),
+        anchor AS (SELECT MAX(d) AS dmax FROM daily),
+        wins AS MATERIALIZED ({win_rows}),
+        agg AS (
+            SELECT w.win_days, w.burn_threshold,
+                   SUM(daily.n) AS n, SUM(daily.errs) AS errs
+            FROM wins w JOIN daily
+              ON daily.d > (SELECT dmax FROM anchor) - w.win_days
+            GROUP BY 1, 2
+        )
+        SELECT win_days, CAST(burn_threshold AS BIGINT)
+                   AS burn_threshold,
+               CAST(n AS BIGINT) AS window_events,
+               CAST(errs AS BIGINT) AS window_errors,
+               round(CAST(errs AS DOUBLE) / n, 6) AS error_rate,
+               round(CAST(errs AS DOUBLE) * 1000000
+                     / (n * {_Q546_SLO_PPM}), 6) AS burn_rate,
+               -- alert in exact integers: errs·10⁶ > thr·slo_ppm·n
+               CAST(errs AS HUGEINT) * 1000000
+                   > CAST(burn_threshold AS HUGEINT)
+                     * {_Q546_SLO_PPM} * n AS alert_fires
+        FROM agg
+    """
+
+
+@query("q546_slo_burn_rate", oracle=_q546_oracle(), defer=True)
+def q546_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-WINDOW SLO BURN-RATE alerting — the SRE pattern that
+    replaces naive threshold alerts: the error budget
+    ({_Q546_SLO_PPM} ppm) burns at rate = error_rate/budget, and
+    three lookback windows with descending thresholds (1d@14x, 3d@6x,
+    7d@2x) catch fast burns quickly and slow burns reliably.
+    Windows anchor to the corpus's max day; each alert verdict is
+    decided by integer cross-multiplication (errors·10⁶ >
+    threshold·budget·n — the q539 discipline), so the hashed booleans
+    are float-proof.
+
+    Scale shape: one scan to the day-grain relation; the window
+    aggregates join the bounded day relation against a 3-row literal
+    grid."""
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("errs"),
+        )
+        .localCheckpoint()
+    )
+    anchor = daily.agg(F.max("d").alias("dmax"))
+    wins = spark.createDataFrame(
+        _Q546_WINDOWS, "win_days int, burn_threshold int"
+    )
+    agg = (
+        wins.crossJoin(F.broadcast(anchor))
+        .join(
+            daily,
+            F.col("d") > F.col("dmax") - F.col("win_days"),
+        )
+        .groupBy("win_days", "burn_threshold")
+        .agg(
+            F.sum("n").cast("long").alias("window_events"),
+            F.sum("errs").cast("long").alias("window_errors"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return agg.select(
+        "win_days",
+        F.col("burn_threshold").cast("long").alias("burn_threshold"),
+        "window_events",
+        "window_errors",
+        F.round(
+            F.col("window_errors").cast("double") / F.col("window_events"),
+            6,
+        ).alias("error_rate"),
+        F.round(
+            F.col("window_errors").cast("double")
+            * 1000000
+            / (F.col("window_events") * _Q546_SLO_PPM),
+            6,
+        ).alias("burn_rate"),
+        (
+            dec(F.col("window_errors")) * 1000000
+            > dec(F.col("burn_threshold"))
+            * _Q546_SLO_PPM
+            * dec(F.col("window_events"))
+        ).alias("alert_fires"),
+    )
