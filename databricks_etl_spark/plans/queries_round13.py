@@ -4551,3 +4551,380 @@ def q546_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             * dec(F.col("window_events"))
         ).alias("alert_fires"),
     )
+
+
+# q547 — RFM segmentation (recency/frequency/monetary quintiles) ---------
+
+_Q547_AS_OF = "2002-01-01"  # orders-side as-of (F6 discipline)
+_Q547_Q = 5
+
+
+def _q547_oracle() -> str:
+    return f"""
+        WITH per AS MATERIALIZED (
+            SELECT o_custkey AS custkey,
+                   datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                            DATE '{_Q547_AS_OF}') AS rec_days,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0)
+                                 AS DECIMAL(28,0))) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        scored AS MATERIALIZED (
+            SELECT custkey, rec_days, freq, cents,
+                   ntile({_Q547_Q}) OVER (
+                       ORDER BY rec_days DESC, custkey) AS r_score,
+                   ntile({_Q547_Q}) OVER (
+                       ORDER BY freq, custkey) AS f_score,
+                   ntile({_Q547_Q}) OVER (
+                       ORDER BY cents, custkey) AS m_score
+            FROM per
+        )
+        SELECT CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS segment_cents
+        FROM scored GROUP BY 1, 2, 3
+    """
+
+
+@query("q547_rfm_segmentation", oracle=_q547_oracle(), defer=True)
+def q547_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the marketing workhorse: every customer
+    scored 1–{_Q547_Q} on Recency (days since last order, HIGHER
+    score = more recent via the descending order), Frequency (order
+    count) and Monetary (lifetime cents), each an exact quintile from
+    :func:`exact_ntile` with the customer-key tiebreak, then the
+    {_Q547_Q}³-cell segment matrix with populations and revenue.
+    Champions are (5,5,5); at-risk big spenders are (1,·,5) — the
+    grid a CRM acts on, with every boundary bit-reproducible (the
+    whole point of exact quantiles for segmentation: a customer's
+    segment cannot flip between runs).
+
+    Scale shape: one grouped aggregate to customer grain, three
+    two-phase rank passes, one ≤{_Q547_Q}³-row rollup."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_ntile
+
+    o = read_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(_Q547_AS_OF).cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).alias("rec_days"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("decimal(28,0)")
+        )
+        .cast("long")
+        .alias("cents"),
+    ).localCheckpoint()
+    r = exact_ntile(
+        per, [F.desc("rec_days"), F.asc("custkey")], _Q547_Q,
+        out_col="r_score",
+    ).select("custkey", "r_score")
+    f = exact_ntile(
+        per, ["freq", "custkey"], _Q547_Q, out_col="f_score"
+    ).select("custkey", "f_score")
+    m = exact_ntile(
+        per, ["cents", "custkey"], _Q547_Q, out_col="m_score"
+    ).select("custkey", "m_score")
+    return (
+        per.join(r, "custkey")
+        .join(f, "custkey")
+        .join(m, "custkey")
+        .groupBy(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("segment_cents"),
+        )
+    )
+
+
+# q548 — duplicate-payment detection (same payer+amount, close in time) --
+
+_Q548_WIN_S = 86400  # within 24 hours
+_Q548_GRAIN_CENTS = 100  # amounts match at DOLLAR grain
+
+
+def _q548_oracle() -> str:
+    return f"""
+        WITH p AS MATERIALIZED (
+            SELECT user_id, event_id,
+                   CAST(round(value * 100, 0) AS BIGINT)
+                       // {_Q548_GRAIN_CENTS} AS amt,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ep
+            FROM events WHERE event_type = 'purchase'
+        ),
+        pairs AS (
+            SELECT a.user_id, a.event_id AS first_id,
+                   b.event_id AS second_id, a.amt,
+                   b.ep - a.ep AS gap_s
+            FROM p a JOIN p b
+              ON a.user_id = b.user_id AND a.amt = b.amt
+             AND a.event_id < b.event_id
+             AND b.ep >= a.ep AND b.ep - a.ep <= {_Q548_WIN_S}
+        )
+        SELECT user_id, first_id, second_id,
+               CAST(amt AS BIGINT) AS amount_dollars,
+               CAST(gap_s AS BIGINT) AS gap_s
+        FROM pairs
+    """
+
+
+@query("q548_duplicate_payment_detection", oracle=_q548_oracle(),
+       defer=True)
+def q548_duplicate_payment_detection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DUPLICATE-PAYMENT detection — the fraud/ops staple: two
+    purchases by the same payer for the same DOLLAR amount within 24
+    hours, ordered by event id so each suspicious pair appears once
+    (exact-cent matching on this synthetic corpus is vacuously empty —
+    the dollar grain is the screen a real ops team starts from).  The join is equi on (user, cents) — a skinny
+    composite key that already bounds candidates to same-amount
+    repeats — with the time window as a residual predicate (the
+    amount key makes q512's bin replication unnecessary: the equi key
+    exists naturally; the lane shows WHEN binning is and isn't
+    needed).
+
+    Scale shape: one self-join on (user_id, cents) — per-key groups
+    are tiny by construction (few same-amount repeats per user), so
+    the pair expansion is bounded the q504 way."""
+    e = read_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            f"CAST(round(value * 100, 0) AS BIGINT)"
+            f" DIV {_Q548_GRAIN_CENTS}"
+        ).alias("amt"),
+        F.unix_timestamp("ts").alias("ep"),
+    )
+    a = p.select(
+        "user_id", F.col("event_id").alias("first_id"), "amt",
+        F.col("ep").alias("ep_a"),
+    )
+    b = p.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("second_id"),
+        F.col("amt").alias("a2"),
+        F.col("ep").alias("ep_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("amt") == F.col("a2"))
+            & (F.col("first_id") < F.col("second_id"))
+            & (F.col("ep_b") >= F.col("ep_a"))
+            & (F.col("ep_b") - F.col("ep_a") <= _Q548_WIN_S),
+        )
+        .select(
+            "user_id",
+            "first_id",
+            "second_id",
+            F.col("amt").cast("long").alias("amount_dollars"),
+            (F.col("ep_b") - F.col("ep_a")).cast("long").alias("gap_s"),
+        )
+    )
+
+
+# q549 — Benford first-digit audit ---------------------------------------
+
+# Benford expected first-digit shares in ppm (literal — no log10 at
+# runtime, so the χ² arithmetic stays rational end to end)
+_Q549_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_Q549_CHI2_CRIT_MILLI = 15507  # χ²(8 df, 0.05) = 15.507
+
+
+def _q549_oracle() -> str:
+    grid = " UNION ALL ".join(
+        f"SELECT {d} AS digit, CAST({ppm} AS BIGINT) AS expected_ppm"
+        for d, ppm in _Q549_BENFORD_PPM.items()
+    )
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+                        AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM orders WHERE o_totalprice > 0
+        ),
+        counts AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1
+        ),
+        tot AS (SELECT SUM(c) AS n FROM counts),
+        grid AS MATERIALIZED ({grid}),
+        f AS (
+            SELECT grid.digit, grid.expected_ppm,
+                   COALESCE(counts.c, 0) AS observed,
+                   (SELECT n FROM tot) AS n
+            FROM grid LEFT JOIN counts USING (digit)
+        )
+        SELECT digit, observed, expected_ppm,
+               round(CAST(observed AS DOUBLE) * 1000000 / n, 6)
+                   AS observed_ppm,
+               round(CAST((observed * 1000000 - n * expected_ppm)
+                          AS DOUBLE)
+                     * (observed * 1000000 - n * expected_ppm)
+                     / (CAST(n AS DOUBLE) * expected_ppm * 1000000),
+                     6) AS chi2_contrib
+        FROM f
+    """
+
+
+@query("q549_benford_audit", oracle=_q549_oracle(), defer=True)
+def q549_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit — the forensic-accounting
+    screen for fabricated numbers: first digits of order totals (in
+    cents, so the digit extraction is pure string arithmetic on an
+    integer) against the Benford expectation stated as LITERAL ppm
+    constants (no log10 at runtime), with per-digit χ² contributions
+    in rational arithmetic rounded at the edge.  Synthetic TPC-H
+    prices are uniform-ish, NOT Benford — the audit correctly flags
+    them, which is the demonstration: the test detects distributional
+    fabrication, and a real procurement ledger passing it is the
+    null result.
+
+    Scale shape: one scan to a 9-row digit histogram against a 9-row
+    literal grid."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    v = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    counts = v.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = counts.agg(F.sum("c").alias("n"))
+    grid = spark.createDataFrame(
+        sorted(_Q549_BENFORD_PPM.items()),
+        "digit long, expected_ppm long",
+    )
+    f = (
+        grid.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("c", F.lit(0)).cast("long").alias("observed"),
+            "expected_ppm",
+            "n",
+        )
+    )
+    dev = F.col("observed") * 1000000 - F.col("n") * F.col("expected_ppm")
+    return f.select(
+        "digit",
+        "observed",
+        "expected_ppm",
+        F.round(
+            F.col("observed").cast("double") * 1000000 / F.col("n"), 6
+        ).alias("observed_ppm"),
+        F.round(
+            dev.cast("double")
+            * dev
+            / (
+                F.col("n").cast("double")
+                * F.col("expected_ppm")
+                * 1000000
+            ),
+            6,
+        ).alias("chi2_contrib"),
+    )
+
+
+# q550 — ABC (Pareto) classification via exact cumulative shares ---------
+
+
+def _q550_oracle() -> str:
+    return """
+        WITH per AS MATERIALIZED (
+            SELECT l_partkey AS pk,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                       AS rev
+            FROM lineitem GROUP BY 1
+        ),
+        tot AS (SELECT SUM(rev) AS t FROM per),
+        ranked AS MATERIALIZED (
+            SELECT pk, rev,
+                   SUM(rev) OVER (ORDER BY rev DESC, pk
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM per
+        ),
+        classed AS (
+            SELECT pk, rev,
+                   CASE WHEN cum * 10 <= (SELECT t FROM tot) * 8
+                            THEN 'A'
+                        WHEN cum * 100 <= (SELECT t FROM tot) * 95
+                            THEN 'B'
+                        ELSE 'C' END AS cls
+            FROM ranked
+        )
+        SELECT cls,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(rev) AS DOUBLE) AS class_revenue
+        FROM classed GROUP BY cls
+    """
+
+
+@query("q550_abc_classification", oracle=_q550_oracle(), defer=True)
+def q550_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (PARETO) CLASSIFICATION — the inventory-management
+    workhorse: parts ranked by revenue, class A = the head covering
+    the first 80% of cumulative revenue, B to 95%, C the tail.
+    Cumulative revenue comes from :func:`exact_cumsum` over the
+    (revenue DESC, part) total order — micro-cent-integer quantized
+    so the running sum is exact — and the class boundaries compare in
+    integer cross-multiplication (cum·10 ≤ total·8), never a float
+    share.  The classic result (a few percent of parts are class A)
+    falls out of the class cardinalities.
+
+    Scale shape: one grouped aggregate to part grain, one two-phase
+    cumulative pass, a 3-row rollup — no global-ordering window."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(28,6)"
+            )
+        ).alias("rev")
+    )
+    # micro-units: decimal(28,6) × 1e6 → exact integer for the kernel
+    perm = per.select(
+        "pk", "rev", (F.col("rev") * 1000000).cast("long").alias("rev_u")
+    )
+    ranked = exact_cumsum(
+        perm, [F.desc("rev_u"), F.desc("pk")], "rev_u", out_col="cum_u"
+    )
+    tot = ranked.agg(F.sum("rev_u").cast("decimal(38,0)").alias("t"))
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "pk",
+        "rev",
+        F.when(
+            F.col("cum_u") * 10 <= F.col("t") * 8, F.lit("A")
+        )
+        .when(F.col("cum_u") * 100 <= F.col("t") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("cls"),
+    )
+    return classed.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev").cast("double").alias("class_revenue"),
+    )
