@@ -4928,3 +4928,376 @@ def q550_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.sum("rev").cast("double").alias("class_revenue"),
     )
+
+
+# q551 — A/B test on MEANS (exact-arithmetic z verdict) ------------------
+
+
+def _q551_oracle() -> str:
+    return f"""
+        WITH p AS MATERIALIZED (
+            SELECT user_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                   strpos('01234567',
+                          substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                                 1, 1)) > 0 AS arm_a
+            FROM events WHERE event_type = 'purchase'
+        ),
+        per AS (
+            SELECT arm_a,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(cents AS DECIMAL(38,0))) AS s,
+                   SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS ss
+            FROM p GROUP BY arm_a
+        ),
+        w AS (
+            SELECT (SELECT n FROM per WHERE arm_a) AS na,
+                   (SELECT s FROM per WHERE arm_a) AS sa,
+                   (SELECT ss FROM per WHERE arm_a) AS ssa,
+                   (SELECT n FROM per WHERE NOT arm_a) AS nb,
+                   (SELECT s FROM per WHERE NOT arm_a) AS sb,
+                   (SELECT ss FROM per WHERE NOT arm_a) AS ssb
+        )
+        SELECT na AS n_a, nb AS n_b,
+               round(CAST(sa AS DOUBLE) / na / 100, 6) AS mean_a,
+               round(CAST(sb AS DOUBLE) / nb / 100, 6) AS mean_b,
+               round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                     / sqrt(
+                        (CAST(na AS DOUBLE) * ssa - CAST(sa AS DOUBLE)
+                             * sa) / na / na / (na - 1) / na
+                        + (CAST(nb AS DOUBLE) * ssb - CAST(sb AS DOUBLE)
+                             * sb) / nb / nb / (nb - 1) / nb), 6)
+                   AS z_stat,
+               -- z² ≥ 3.8416 in exact rationals: Δ²·den ≥ crit·num
+               -- with Δ = sa·nb − sb·na over the common denom na·nb
+               10000 * (CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT)
+                        * na)
+                     * (CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT)
+                        * na) * (na - 1) * (nb - 1)
+               >= 38416 * (
+                    (CAST(na AS HUGEINT) * ssa - CAST(sa AS HUGEINT)
+                         * sa) * (nb - 1) * nb * nb
+                  + (CAST(nb AS HUGEINT) * ssb - CAST(sb AS HUGEINT)
+                         * sb) * (na - 1) * na * na)
+                   AS significant_p05
+        FROM w
+    """
+
+
+@query("q551_ab_test_means", oracle=_q551_oracle(), defer=True)
+def q551_ab_test_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test on MEANS (revenue per purchase) — q539's proportions
+    discipline extended to continuous metrics: per-arm count, sum and
+    sum-of-squares accumulate as exact decimals (cents), the Welch z
+    is reported at 6dp, and the significance verdict again decides in
+    EXACT integer arithmetic — z² ≥ 3.8416 cleared of every division
+    (Δ=sa·nb−sb·na over na·nb; variances as (nΣx²−(Σx)²)/(n(n−1)n);
+    one cross-multiplied inequality in DECIMAL(38) / HUGEINT).  The
+    float z is for humans; the hashed boolean cannot flake.
+
+    Scale shape: one scan, a 2-row sufficient-statistics aggregate —
+    the q527 pattern pointed at inference."""
+    e = read_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (
+            F.instr(
+                F.lit("01234567"),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ab:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+            )
+            > 0
+        ).alias("arm_a"),
+    )
+    per = p.groupBy("arm_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "ss"
+        ),
+    ).localCheckpoint()
+    a = per.filter(F.col("arm_a")).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"),
+    )
+    b = per.filter(~F.col("arm_a")).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"),
+    )
+    w = a.crossJoin(F.broadcast(b))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    delta = dec(F.col("sa")) * F.col("nb") - dec(F.col("sb")) * F.col("na")
+    var_term_a = (
+        (dec(F.col("na")) * F.col("ssa") - dec(F.col("sa")) * F.col("sa"))
+        * (F.col("nb") - 1)
+        * F.col("nb")
+        * F.col("nb")
+    )
+    var_term_b = (
+        (dec(F.col("nb")) * F.col("ssb") - dec(F.col("sb")) * F.col("sb"))
+        * (F.col("na") - 1)
+        * F.col("na")
+        * F.col("na")
+    )
+    va = (
+        F.col("na").cast("double") * F.col("ssa")
+        - F.col("sa").cast("double") * F.col("sa")
+    ) / F.col("na") / F.col("na") / (F.col("na") - 1) / F.col("na")
+    vb = (
+        F.col("nb").cast("double") * F.col("ssb")
+        - F.col("sb").cast("double") * F.col("sb")
+    ) / F.col("nb") / F.col("nb") / (F.col("nb") - 1) / F.col("nb")
+    return w.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(
+            F.col("sa").cast("double") / F.col("na") / 100, 6
+        ).alias("mean_a"),
+        F.round(
+            F.col("sb").cast("double") / F.col("nb") / 100, 6
+        ).alias("mean_b"),
+        F.round(
+            (
+                F.col("sa").cast("double") / F.col("na")
+                - F.col("sb").cast("double") / F.col("nb")
+            )
+            / F.sqrt(va + vb),
+            6,
+        ).alias("z_stat"),
+        (
+            F.lit(10000).cast("decimal(38,0)")
+            * delta
+            * delta
+            * (F.col("na") - 1)
+            * (F.col("nb") - 1)
+            >= F.lit(38416).cast("decimal(38,0)")
+            * (var_term_a + var_term_b)
+        ).alias("significant_p05"),
+    )
+
+
+# q552 — position-based (U-shaped) multi-touch attribution ---------------
+
+_Q552_FIRST_PCT = 40
+_Q552_LAST_PCT = 40
+
+
+def _q552_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round12 import _Q505_LOOKBACK_S
+
+    return f"""
+        WITH purchases AS MATERIALIZED (
+            SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS MATERIALIZED (
+            SELECT user_id, event_id AS click_id, ts AS c_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        touched AS MATERIALIZED (
+            SELECT p.user_id, p.purchase_id, p.value, c.click_id,
+                   row_number() OVER (PARTITION BY p.purchase_id
+                       ORDER BY c.c_ts, c.click_id) AS pos,
+                   CAST(COUNT(*) OVER (PARTITION BY p.purchase_id)
+                        AS BIGINT) AS n_touches
+            FROM purchases p JOIN clicks c
+              ON p.user_id = c.user_id
+             AND c.c_ts <= p.p_ts
+             AND floor(epoch(p.p_ts)) - floor(epoch(c.c_ts))
+                 <= {_Q505_LOOKBACK_S}
+        ),
+        shares AS (
+            SELECT user_id, purchase_id, click_id,
+                   CASE
+                     WHEN n_touches = 1 THEN round(value, 6)
+                     WHEN n_touches = 2 THEN round(value / 2, 6)
+                     WHEN pos = 1
+                         THEN round(value * {_Q552_FIRST_PCT} / 100, 6)
+                     WHEN pos = n_touches
+                         THEN round(value * {_Q552_LAST_PCT} / 100, 6)
+                     ELSE round(value
+                                * {100 - _Q552_FIRST_PCT - _Q552_LAST_PCT}
+                                / 100 / (n_touches - 2), 6)
+                   END AS share
+            FROM touched
+        )
+        SELECT user_id,
+               CAST(COUNT(DISTINCT purchase_id) AS BIGINT)
+                   AS attributed_purchases,
+               CAST(COUNT(*) AS BIGINT) AS touch_rows,
+               CAST(SUM(CAST(share AS DECIMAL(28,6))) AS DOUBLE)
+                   AS credited_value
+        FROM shares GROUP BY user_id
+    """
+
+
+@query("q552_position_attribution", oracle=_q552_oracle(), defer=True)
+def q552_position_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POSITION-BASED (U-shaped) attribution — the second attribution
+    model next to q505's linear split: the first and last touches in
+    the 7-day lookback earn {_Q552_FIRST_PCT}%/{_Q552_LAST_PCT}% of
+    the purchase value, interior touches split the remainder
+    ({100 - _Q552_FIRST_PCT - _Q552_LAST_PCT}%); one- and two-touch
+    paths degrade to full / half shares.  Touch positions come from
+    the (click time, click id) total order within each purchase
+    window; every share 6dp-rounds before the exact decimal sum (the
+    q505 billing discipline).  Together with q67 (last-touch), q505
+    (linear) and q511 (streaming retractions) this completes the
+    attribution model family a marketing platform ships.
+
+    Scale shape: the same co-shuffle as q505 plus a per-purchase
+    position window (bounded by clicks-per-user-week)."""
+    from databricks_etl_spark.plans.queries_round12 import _Q505_LOOKBACK_S
+
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    touched = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+            <= _Q505_LOOKBACK_S
+        ),
+    )
+    wp = Window.partitionBy("purchase_id")
+    touched = touched.withColumn(
+        "pos",
+        F.row_number().over(wp.orderBy("c_ts", "click_id")),
+    ).withColumn("n_touches", F.count(F.lit(1)).over(wp).cast("long"))
+    mid_pct = 100 - _Q552_FIRST_PCT - _Q552_LAST_PCT
+    share = (
+        F.when(F.col("n_touches") == 1, F.round(F.col("value"), 6))
+        .when(F.col("n_touches") == 2, F.round(F.col("value") / 2, 6))
+        .when(
+            F.col("pos") == 1,
+            F.round(F.col("value") * _Q552_FIRST_PCT / 100, 6),
+        )
+        .when(
+            F.col("pos") == F.col("n_touches"),
+            F.round(F.col("value") * _Q552_LAST_PCT / 100, 6),
+        )
+        .otherwise(
+            F.round(
+                F.col("value") * mid_pct / 100 / (F.col("n_touches") - 2),
+                6,
+            )
+        )
+    )
+    return (
+        touched.withColumn("share", share)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.countDistinct("purchase_id").cast("long").alias(
+                "attributed_purchases"
+            ),
+            F.count(F.lit(1)).cast("long").alias("touch_rows"),
+            F.sum(F.col("share").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("credited_value"),
+        )
+    )
+
+
+# q553 — DSAR access report (what do we hold about these subjects?) ------
+
+_Q553_MOD = 37  # planted request set: user_id % 37 == 0
+
+
+def _q553_oracle() -> str:
+    return f"""
+        WITH req AS MATERIALIZED (
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id % {_Q553_MOD} = 0
+        )
+        SELECT 'events' AS table_name, 'user_id' AS link_column,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM req) AS n_subjects,
+               CAST(COUNT(*) AS BIGINT) AS n_rows_held,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+                   AS n_subjects_present
+        FROM events e JOIN req ON e.user_id = req.user_id
+        UNION ALL
+        SELECT 'customer', 'c_custkey',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM req),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT)
+        FROM customer c JOIN req ON c.c_custkey = req.user_id
+        UNION ALL
+        SELECT 'orders', 'o_custkey',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM req),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+        FROM orders o JOIN req ON o.o_custkey = req.user_id
+    """
+
+
+@query("q553_dsar_access_report", oracle=_q553_oracle(), defer=True)
+def q553_dsar_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSAR ACCESS report — the right-of-access complement of q479's
+    right-to-be-forgotten: for a planted data-subject request set,
+    how many rows each table holds about them, per table with its
+    linking column, subject coverage included (a subject with zero
+    rows in a table is a meaningful null result the report must
+    state).  This is the inventory a privacy office exports before
+    an erasure (q479) or a portability bundle, and the same keyed
+    semi-join discipline does all three.
+
+    Scale shape: the request set broadcasts into keyed joins per
+    table — three filtered aggregates, no table ever shuffles on the
+    request key."""
+    ev = read_table(spark, sf_dir, "events")
+    req = (
+        ev.filter(F.col("user_id") % _Q553_MOD == 0)
+        .select("user_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    n_req = req.agg(F.count(F.lit(1)).cast("long").alias("n_subjects"))
+
+    def card(name: str, link: str, df: DataFrame, key: str) -> DataFrame:
+        j = df.join(
+            F.broadcast(req.withColumnRenamed("user_id", key)), key
+        )
+        return (
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows_held"),
+                F.countDistinct(key).cast("long").alias(
+                    "n_subjects_present"
+                ),
+            )
+            .crossJoin(F.broadcast(n_req))
+            .select(
+                F.lit(name).alias("table_name"),
+                F.lit(link).alias("link_column"),
+                "n_subjects",
+                "n_rows_held",
+                "n_subjects_present",
+            )
+        )
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        card("events", "user_id", ev, "user_id")
+        .unionByName(card("customer", "c_custkey", c, "c_custkey"))
+        .unionByName(card("orders", "o_custkey", o, "o_custkey"))
+    )
