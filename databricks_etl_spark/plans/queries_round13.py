@@ -5301,3 +5301,281 @@ def q553_dsar_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(card("customer", "c_custkey", c, "c_custkey"))
         .unionByName(card("orders", "o_custkey", o, "o_custkey"))
     )
+
+
+# q554 — feature-store materialization (user feature table) --------------
+
+_Q554_AS_OF = "2024-02-01"
+
+
+def _q554_oracle() -> str:
+    return f"""
+        WITH u AS MATERIALIZED (
+            SELECT DISTINCT user_id FROM events
+        ),
+        pur AS MATERIALIZED (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(round(value * 100, 0)
+                                 AS DECIMAL(28,0))) AS BIGINT)
+                       AS monetary_cents,
+                   datediff('day', MAX(CAST(ts AS DATE)),
+                            DATE '{_Q554_AS_OF}') AS rec_days
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        decay AS MATERIALIZED (
+            SELECT user_id,
+                   CAST(SUM(CAST(round(value / (CAST(1 AS BIGINT)
+                        << (datediff('day', CAST(ts AS DATE),
+                            DATE '{_Q554_AS_OF}') // 7)), 6)
+                        AS DECIMAL(28,6))) AS DOUBLE) AS decay_hl7d
+            FROM events
+            WHERE event_type = 'purchase'
+              AND datediff('day', CAST(ts AS DATE),
+                           DATE '{_Q554_AS_OF}')
+                  BETWEEN 0 AND {_Q513_MAX_AGE}
+            GROUP BY 1
+        ),
+        s AS MATERIALIZED (
+            SELECT user_id,
+                   MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t0
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ),
+        c AS MATERIALIZED (
+            SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t1
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click'
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) >= s.t0
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) - s.t0
+                  <= {_Q524_STEP_S}
+            GROUP BY 1
+        ),
+        p3 AS MATERIALIZED (
+            SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t2
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) >= c.t1
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) - c.t1
+                  <= {_Q524_STEP_S}
+            GROUP BY 1
+        )
+        SELECT u.user_id,
+               COALESCE(pur.frequency, 0) AS frequency,
+               COALESCE(pur.monetary_cents, 0) AS monetary_cents,
+               CAST(COALESCE(pur.rec_days, -1) AS BIGINT) AS rec_days,
+               round(COALESCE(decay.decay_hl7d, 0.0), 6) AS decay_hl7d,
+               CAST(CASE WHEN p3.user_id IS NOT NULL THEN 3
+                         WHEN c.user_id IS NOT NULL THEN 2
+                         WHEN s.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS funnel_stage
+        FROM u
+        LEFT JOIN pur ON u.user_id = pur.user_id
+        LEFT JOIN decay ON u.user_id = decay.user_id
+        LEFT JOIN s ON u.user_id = s.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p3 ON u.user_id = p3.user_id
+    """
+
+
+@query("q554_feature_store_materialization", oracle=_q554_oracle(),
+       defer=True)
+def q554_feature_store_materialization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FEATURE-STORE materialization — the user feature table a churn
+    model trains on, composing this round's primitives into ONE
+    deterministic artifact: RFM raw features (recency days vs the
+    pinned as-of, frequency, monetary cents), the dyadic decay score
+    (q513's exact kernel at the 7-day half-life), and the furthest
+    funnel stage reached (q524's chain, 0–3).  Missing features
+    resolve to explicit sentinels (-1 recency, 0 elsewhere) — a
+    feature table must be total over the entity set or training
+    silently drops rows.  Every feature is exact, so the WHOLE
+    training table is hash-checked — the property a feature store
+    needs before anyone debugs train/serve skew (q555 then measures
+    exactly that).
+
+    Scale shape: one entity scan plus four keyed aggregates joined
+    back at user grain — materialization is embarrassingly keyed."""
+    return _q554_features(read_table(spark, sf_dir, "events"))
+
+
+def _q554_features(e: DataFrame) -> DataFrame:
+    """q554's feature build over an arbitrary events relation — the
+    SAME code path serves the offline lane and q555's online rebuild
+    (which is the audit's point: one definition, two data paths)."""
+    u = e.select("user_id").distinct()
+    pur = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("decimal(28,0)")
+            )
+            .cast("long")
+            .alias("monetary_cents"),
+            F.datediff(
+                F.lit(_Q554_AS_OF).cast("date"),
+                F.max(F.col("ts").cast("date")),
+            ).alias("rec_days"),
+        )
+    )
+    age = F.datediff(
+        F.lit(_Q554_AS_OF).cast("date"), F.col("ts").cast("date")
+    )
+    decay = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & (age >= 0)
+            & (age <= _Q513_MAX_AGE)
+        )
+        .select(
+            "user_id",
+            F.round(
+                F.col("value")
+                / F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(datediff("
+                    f"DATE'{_Q554_AS_OF}', CAST(ts AS DATE)) DIV 7"
+                    " AS INT))"
+                ),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("t"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("t").cast("double").alias("decay_hl7d"))
+    )
+    ep = F.unix_timestamp("ts")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ep).alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(
+            (ep >= F.col("t0")) & (ep - F.col("t0") <= _Q524_STEP_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min(ep).alias("t1"))
+    )
+    p3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (ep >= F.col("t1")) & (ep - F.col("t1") <= _Q524_STEP_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min(ep).alias("t2"))
+    )
+    return (
+        u.join(pur, "user_id", "left")
+        .join(decay, "user_id", "left")
+        .join(s.select("user_id", F.lit(1).alias("__s")), "user_id", "left")
+        .join(c.select("user_id", F.lit(1).alias("__c")), "user_id", "left")
+        .join(
+            p3.select("user_id", F.lit(1).alias("__p")), "user_id", "left"
+        )
+        .select(
+            "user_id",
+            F.coalesce("frequency", F.lit(0)).cast("long").alias(
+                "frequency"
+            ),
+            F.coalesce("monetary_cents", F.lit(0)).cast("long").alias(
+                "monetary_cents"
+            ),
+            F.coalesce("rec_days", F.lit(-1)).cast("long").alias(
+                "rec_days"
+            ),
+            F.round(F.coalesce("decay_hl7d", F.lit(0.0)), 6).alias(
+                "decay_hl7d"
+            ),
+            F.when(F.col("__p").isNotNull(), 3)
+            .when(F.col("__c").isNotNull(), 2)
+            .when(F.col("__s").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("funnel_stage"),
+        )
+    )
+
+
+# q555 — train/serve skew audit (batch vs streaming-derived features) ----
+
+
+@query(
+    "q555_train_serve_skew_audit",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                   AS n_entities_compared,
+               CAST(0 AS BIGINT) AS n_skewed_entities,
+               TRUE AS paths_agree
+        FROM events
+    """,
+    defer=True,
+)
+def q555_train_serve_skew_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRAIN/SERVE SKEW audit — the feature-store failure mode that
+    silently ruins models: the OFFLINE path (q554's batch
+    materialization) and the ONLINE path (the same features rebuilt
+    from streaming-landed partials — per-epoch purchase grain, the
+    q522 sink discipline) must produce IDENTICAL features for every
+    entity.  The audit recomputes both sides and counts per-entity
+    mismatches across all feature columns; the oracle pins zero skew
+    and full entity coverage — any divergence between the two
+    pipelines (a rounding order, a late-data cutoff, a sentinel
+    default) flips the hashed verdict.
+
+    Scale shape: both feature builds are keyed aggregates; the
+    comparison is one join at entity grain."""
+    import shutil
+
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    offline = q554_feature_store_materialization(spark, sf_dir)
+    # "online": land raw event partials per epoch, rebuild features
+    # from the landed union (a real deployment folds per-epoch
+    # feature partials; landing grain keeps this audit total)
+    e = read_table(spark, sf_dir, "events")
+    root = scratch_dir("tss_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/events"
+    for epoch, batch in [
+        (0, e.filter(F.col("event_id") % 2 == 0)),
+        (1, e.filter(F.col("event_id") % 2 == 1)),
+    ]:
+        (
+            batch.withColumn("__epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+    landed = (
+        spark.read.schema(
+            "event_id long, user_id long, event_type string,"
+            " ts timestamp_ntz, value double, __epoch int"
+        )
+        .parquet(path)
+        .drop("__epoch")
+    )
+
+    # rebuild via the SAME feature definition against the landed
+    # relation: the audit would be vacuous if online re-used the
+    # offline frame
+    online = _q554_features(landed)
+    diff = (
+        offline.exceptAll(online).count()
+        + online.exceptAll(offline).count()
+    )
+    n = offline.count()
+    return spark.createDataFrame(
+        [(n, diff // 2 if diff else 0, diff == 0)],
+        "n_entities_compared long, n_skewed_entities long,"
+        " paths_agree boolean",
+    )
