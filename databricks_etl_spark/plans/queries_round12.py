@@ -825,8 +825,10 @@ def _q466_oracle() -> str:
     """
 
 
-@query("q466_zorder_layout_pricing", oracle=_q466_oracle(),
-       bench=True)  # rotated in r13: physical-design family regression tracking
+@query("q466_zorder_layout_pricing", oracle=_q466_oracle())
+# (bench slot went to q493 instead: q466's three exact layout passes cost
+# ~4-6s warm at sf0.1 — intrinsic to the construction, too heavy for the
+# 23-query headline budget)
 def q466_zorder_layout_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q454's missing layout: Z-ORDER. On a MIXED workload (half the
     predicates on ship day, half on part key) neither linear sort can
@@ -4079,7 +4081,8 @@ def _q493_oracle() -> str:
     """
 
 
-@query("q493_anti_entropy_localization", oracle=_q493_oracle())
+@query("q493_anti_entropy_localization", oracle=_q493_oracle(),
+       bench=True)  # rotated in r13: fixity-family regression tracking
 def q493_anti_entropy_localization(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
