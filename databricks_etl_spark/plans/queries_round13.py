@@ -5579,3 +5579,145 @@ def q555_train_serve_skew_audit(
         "n_entities_compared long, n_skewed_entities long,"
         " paths_agree boolean",
     )
+
+
+# q556 — hot-key detection (the measured case for salting) ---------------
+
+_Q556_TOP = 10
+
+
+def _q556_oracle() -> str:
+    return f"""
+        WITH per AS MATERIALIZED (
+            SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1
+        ),
+        tot AS (SELECT SUM(c) AS n, COUNT(*) AS nk,
+                       MAX(c) AS mx FROM per),
+        top AS (
+            SELECT k, c,
+                   row_number() OVER (ORDER BY c DESC, k) AS rk
+            FROM per QUALIFY rk <= {_Q556_TOP}
+        )
+        SELECT top.k AS hot_key, top.c AS n_rows,
+               CAST(top.rk AS BIGINT) AS rank,
+               round(CAST(top.c AS DOUBLE) / tot.n, 6) AS share,
+               -- skew verdict in exact integers: max key exceeds 4x
+               -- the mean key load ⇔ mx·nk > 4·n
+               CAST(tot.mx AS HUGEINT) * tot.nk > 4 * CAST(tot.n AS HUGEINT)
+                   AS salting_recommended
+        FROM top, tot
+    """
+
+
+@query("q556_hot_key_detection", oracle=_q556_oracle(), defer=True)
+def q556_hot_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOT-KEY detection — the measurement that DECIDES salting
+    (q147/q387 apply it; this lane says when): per-join-key row
+    counts, the top-{_Q556_TOP} heaviest keys with their load shares,
+    and the salting verdict in exact integer cross-multiplication
+    (max key load > 4× the mean key load).  On uniform TPC-H
+    supplier keys the verdict is NO — the honest null result; the
+    q387 planted-hot-key fixtures show the YES path.  This card is
+    what AQE's skew-join statistics look like surfaced as a relation.
+
+    Scale shape: one grouped count (the key histogram every shuffle
+    already materializes), a top-k heap, a 1-row stat combine."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint()
+    tot = per.agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("nk"),
+        F.max("c").alias("mx"),
+    )
+    # TakeOrderedAndProject for the heap, then rank over the ≤10-row
+    # result (a global row_number window over the key histogram would
+    # single-partition-sort |keys| rows — the forbidden shape)
+    top10 = per.orderBy(F.desc("c"), F.asc("k")).limit(_Q556_TOP)
+    w = Window.orderBy(F.desc("c"), F.asc("k"))  # ≤10 rows here
+    top = top10.withColumn("rk", F.row_number().over(w))
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col("k").alias("hot_key"),
+        F.col("c").alias("n_rows"),
+        F.col("rk").cast("long").alias("rank"),
+        F.round(F.col("c").cast("double") / F.col("n"), 6).alias("share"),
+        (
+            F.col("mx").cast("decimal(38,0)") * F.col("nk")
+            > F.lit(4).cast("decimal(38,0)") * F.col("n")
+        ).alias("salting_recommended"),
+    )
+
+
+# q557 — salted-join equivalence (the rewrite's correctness proof) -------
+
+_Q557_SALT = 8
+
+
+def _q557_oracle() -> str:
+    return """
+        SELECT s.s_nationkey AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS total_qty
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey
+    """
+
+
+@query("q557_salted_join_equivalence", oracle=_q557_oracle(), defer=True)
+def q557_salted_join_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SALTED-JOIN EQUIVALENCE — the correctness proof of the skew
+    rewrite q556 recommends: the fact side gets a deterministic salt
+    (md5 of the row key, mod {_Q557_SALT}), the dimension side
+    replicates across all {_Q557_SALT} salt values, and the join runs
+    on (key, salt) — splitting every hot key's row group across
+    {_Q557_SALT} reducers.  The oracle is the PLAIN unsalted join:
+    hash equality proves the rewrite changes the partitioning and
+    nothing else (the q512 proof discipline applied to skew).  The
+    salt must be derived from something the join predicate doesn't
+    see — here the fact row identity — so no pair is lost or doubled.
+
+    Scale shape: the dimension replicates {_Q557_SALT}× (dimension-
+    sized, cheap); the fact side never replicates; every hot key's
+    group fans out {_Q557_SALT}-ways — the entire point."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_quantity",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _Q557_SALT
+        ).alias("salt"),
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    salts = spark.range(_Q557_SALT).select(F.col("id").alias("salt"))
+    s_rep = s.crossJoin(F.broadcast(salts))
+    return (
+        li.join(s_rep, ["l_suppkey", "salt"])
+        .groupBy(F.col("s_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("total_qty"),
+        )
+    )

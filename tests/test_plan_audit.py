@@ -462,7 +462,7 @@ def test_broadcast_site_ledger():
         "queries_sampling.py": 4,
         "queries_scale.py": 1,
         "queries_tpch.py": 13,
-        "queries_round13.py": 37,  # all 1-row stat finals, literal grids, or bounded-by-construction relations (audited)
+        "queries_round13.py": 39,  # all 1-row stat finals, literal grids, or bounded-by-construction relations (audited)
     }
     plans = pathlib.Path(__file__).resolve().parents[1] / (
         "databricks_etl_spark/plans"
@@ -556,3 +556,24 @@ def test_q514_cc_result_is_checkpointed(spark, smoke_sf_dir):
     )
     assert "Scan ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q556_topk_is_take_ordered(spark, smoke_sf_dir):
+    """The hot-key top-10 must compile to TakeOrderedAndProject over
+    the key histogram — a global row_number window there would
+    single-partition-sort |keys| rows."""
+    plan = _executed_plan(
+        queries()["q556_hot_key_detection"](spark, smoke_sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q557_salted_join_no_fact_replication(spark, smoke_sf_dir):
+    """The salting rewrite replicates the DIMENSION (8x, cheap), never
+    the fact side, and stays an equi-join on (key, salt)."""
+    plan = _executed_plan(
+        queries()["q557_salted_join_equivalence"](spark, smoke_sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the 8-row salt grid x dimension combine
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
