@@ -4265,7 +4265,10 @@ def _q544_oracle() -> str:
         SELECT doc_id, n_tokens,
                round(lp / n_tokens, 6) AS mean_logprob
         FROM scored
-        ORDER BY lp / n_tokens, doc_id
+        -- rank on the ROUNDED mean: the raw double sum's last ulp is
+        -- summation-order dependent, so near-ties could otherwise
+        -- flip the cutoff between engines
+        ORDER BY round(lp / n_tokens, 6), doc_id
         LIMIT {_Q544_TOP_SUSPECTS}
     """
 
@@ -4317,7 +4320,8 @@ def q544_unigram_logprob_scoring(
     )
     return (
         scored.orderBy(
-            (F.col("lp") / F.col("n_tokens")).asc(), F.asc("doc_id")
+            F.round(F.col("lp") / F.col("n_tokens"), 6).asc(),
+            F.asc("doc_id"),
         )
         .limit(_Q544_TOP_SUSPECTS)
         .select(
@@ -4423,7 +4427,8 @@ def q545_streaming_logprob_scoring(
     )
     return (
         scored.orderBy(
-            (F.col("lp") / F.col("n_tokens")).asc(), F.asc("doc_id")
+            F.round(F.col("lp") / F.col("n_tokens"), 6).asc(),
+            F.asc("doc_id"),
         )
         .limit(_Q544_TOP_SUSPECTS)
         .select(
