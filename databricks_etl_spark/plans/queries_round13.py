@@ -5726,3 +5726,211 @@ def q557_salted_join_equivalence(
             .alias("total_qty"),
         )
     )
+
+
+# q558 — order/line reconciliation (double-entry audit) ------------------
+
+_Q558_BANDS = [0, 100, 1000, 10000, 100000]  # |delta| cents band edges
+
+
+def _q558_oracle() -> str:
+    band = "CASE "
+    for i, lo in enumerate(_Q558_BANDS):
+        hi = (
+            _Q558_BANDS[i + 1] if i + 1 < len(_Q558_BANDS) else None
+        )
+        if hi is None:
+            band += f"ELSE '{lo}+' "
+        else:
+            band += (
+                f"WHEN adx < {hi} THEN '{lo}-{hi}' "
+            )
+    band += "END"
+    return f"""
+        WITH lines AS MATERIALIZED (
+            SELECT l_orderkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                            * (1 + l_tax) AS DECIMAL(28,6))) AS line_total
+            FROM lineitem GROUP BY 1
+        ),
+        rec AS MATERIALIZED (
+            SELECT o.o_orderkey,
+                   CAST(round((CAST(o.o_totalprice AS DECIMAL(28,6))
+                               - lines.line_total) * 100, 0) AS BIGINT)
+                       AS delta_cents
+            FROM orders o JOIN lines ON o.o_orderkey = lines.l_orderkey
+        ),
+        banded AS (
+            SELECT ABS(delta_cents) AS adx, delta_cents FROM rec
+        )
+        SELECT {band} AS delta_band,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN delta_cents > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_over,
+               CAST(SUM(CASE WHEN delta_cents < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_under,
+               CAST(SUM(CASE WHEN delta_cents = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_reconciled
+        FROM banded GROUP BY 1
+    """
+
+
+@query("q558_order_reconciliation", oracle=_q558_oracle(), defer=True)
+def q558_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER/LINE RECONCILIATION — the double-entry audit a finance
+    pipeline runs nightly: each order's header total against the
+    TPC-H pricing identity over its lines (extprice·(1−disc)·(1+tax),
+    exact decimal), deltas in exact cents, banded by magnitude with
+    over/under/reconciled splits.  On THIS synthetic corpus the
+    header totals are generated independently of the lines, so ZERO
+    orders reconcile — the audit correctly reports a systemic break
+    (the q549 honest-detection discipline: the lane's value is that
+    it WOULD catch this in production, and here it provably does).
+
+    Scale shape: one line-grain aggregate co-shuffled with the header
+    join, a banded rollup — reconciliation is one keyed pass."""
+    li = read_table(spark, sf_dir, "lineitem")
+    lines = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("decimal(28,6)")
+        ).alias("line_total")
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    rec = o.join(lines, "l_orderkey").select(
+        F.round(
+            (
+                F.col("o_totalprice").cast("decimal(28,6)")
+                - F.col("line_total")
+            )
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("delta_cents")
+    )
+    adx = F.abs(F.col("delta_cents"))
+    band = None
+    for i, lo in enumerate(_Q558_BANDS):
+        hi = _Q558_BANDS[i + 1] if i + 1 < len(_Q558_BANDS) else None
+        if hi is None:
+            tail = F.lit(f"{lo}+")
+        else:
+            cond = adx < hi
+            lbl = F.lit(f"{lo}-{hi}")
+            band = (
+                F.when(cond, lbl) if band is None else band.when(cond, lbl)
+            )
+    band = band.otherwise(tail)
+    return rec.select(band.alias("delta_band"), "delta_cents").groupBy(
+        "delta_band"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("delta_cents") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over"),
+        F.sum(F.when(F.col("delta_cents") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_under"),
+        F.sum(F.when(F.col("delta_cents") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_reconciled"),
+    )
+
+
+# q559 — brand affinity matrix (category-grain market basket) ------------
+
+_Q559_MIN_PAIR = 5
+
+
+def _q559_oracle() -> str:
+    return f"""
+        WITH items AS MATERIALIZED (
+            SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM items),
+        sup AS MATERIALIZED (
+            SELECT b, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.b AS brand_a, c.b AS brand_b,
+                   CAST(COUNT(*) AS BIGINT) AS pair_orders
+            FROM items a JOIN items c
+              ON a.ok = c.ok AND a.b < c.b
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {_Q559_MIN_PAIR}
+        )
+        SELECT p.brand_a, p.brand_b, p.pair_orders,
+               round(CAST(p.pair_orders AS DOUBLE) * (SELECT n FROM n)
+                     / (sa.s * sb.s), 6) AS lift,
+               CAST(p.pair_orders AS HUGEINT) * (SELECT n FROM n)
+                   > CAST(sa.s AS HUGEINT) * sb.s AS positively_associated
+        FROM pairs p
+        JOIN sup sa ON p.brand_a = sa.b
+        JOIN sup sb ON p.brand_b = sb.b
+    """
+
+
+@query("q559_brand_affinity_matrix", oracle=_q559_oracle(), defer=True)
+def q559_brand_affinity_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BRAND AFFINITY matrix — q504's market basket lifted to
+    category grain, where merchandising decisions actually happen:
+    distinct (order, brand) incidences, co-occurrence counts from the
+    key-local self-join (bounded per order), lift against
+    independence, and the positive-association verdict in exact
+    integer cross-multiplication (pair·N > s_a·s_b — never a float
+    threshold).  Category grain keeps supports dense where item-grain
+    pairs (q504) go sparse — the reason affinity analyses run at both
+    grains.
+
+    Scale shape: the brand projection collapses the item dimension
+    before the self-join (≤|brands| incidences per order); supports
+    join back unhinted (brand cardinality is small but the q504
+    lesson stands — let AQE decide)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), "l_partkey"
+    )
+    p = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("b")
+    )
+    items = li.join(p, "l_partkey").select("ok", "b").distinct() \
+        .localCheckpoint()
+    n = items.select("ok").distinct().count()
+    sup = items.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    a = items.select("ok", F.col("b").alias("brand_a"))
+    c = items.select(F.col("ok").alias("ok2"), F.col("b").alias("brand_b"))
+    pairs = (
+        a.join(c, (a.ok == c.ok2) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= _Q559_MIN_PAIR)
+    )
+    sa = sup.select(F.col("b").alias("brand_a"), F.col("s").alias("sa"))
+    sb = sup.select(F.col("b").alias("brand_b"), F.col("s").alias("sb"))
+    return (
+        pairs.join(sa, "brand_a")
+        .join(sb, "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_orders",
+            F.round(
+                F.col("pair_orders").cast("double")
+                * n
+                / (F.col("sa") * F.col("sb")),
+                6,
+            ).alias("lift"),
+            (
+                F.col("pair_orders").cast("decimal(38,0)") * F.lit(n)
+                > F.col("sa").cast("decimal(38,0)") * F.col("sb")
+            ).alias("positively_associated"),
+        )
+    )
