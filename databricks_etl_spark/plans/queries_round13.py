@@ -4896,8 +4896,11 @@ def q550_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     (revenue DESC, part) total order — micro-cent-integer quantized
     so the running sum is exact — and the class boundaries compare in
     integer cross-multiplication (cum·10 ≤ total·8), never a float
-    share.  The classic result (a few percent of parts are class A)
-    falls out of the class cardinalities.
+    share.  On real
+    demand data a few percent of parts land in class A; on THIS
+    synthetic corpus per-part revenue is near-uniform, so the A head
+    holds ~73% of parts — the honest reading of a flat catalog (the
+    q549/q558 discipline: the instrument reports the data it sees).
 
     Scale shape: one grouped aggregate to part grain, one two-phase
     cumulative pass, a 3-row rollup — no global-ordering window."""

