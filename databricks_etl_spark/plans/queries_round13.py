@@ -5937,3 +5937,401 @@ def q559_brand_affinity_matrix(
             ).alias("positively_associated"),
         )
     )
+
+
+# q560 — grouped boxplot statistics (exact quartiles per group) ----------
+
+
+def _q560_oracle() -> str:
+    return """
+        WITH per AS MATERIALIZED (
+            SELECT c_nationkey AS nation, o_custkey,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                   row_number() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY round(o_totalprice * 100, 0), o_orderkey
+                   ) AS rk,
+                   CAST(COUNT(*) OVER (PARTITION BY c_nationkey)
+                        AS BIGINT) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        quart AS (
+            SELECT nation, MAX(n) AS n,
+                   MIN(CASE WHEN rk = (n + 3) // 4 THEN cents END) AS q1,
+                   MIN(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS med,
+                   MIN(CASE WHEN rk = (3 * n + 1) // 4 THEN cents END)
+                       AS q3
+            FROM per GROUP BY nation
+        )
+        SELECT q.nation, q.n AS n_orders,
+               q.q1 AS q1_cents, q.med AS median_cents, q.q3 AS q3_cents,
+               q.q3 - q.q1 AS iqr_cents,
+               -- outliers beyond 1.5·IQR in integer arithmetic
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM per
+                WHERE per.nation = q.nation
+                  AND (2 * per.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                       OR 2 * per.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)))
+                   AS n_outliers
+        FROM quart q
+    """
+
+
+@query("q560_grouped_boxplot_stats", oracle=_q560_oracle(), defer=True)
+def q560_grouped_boxplot_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUPED BOXPLOT statistics — the per-segment distribution card
+    every BI tool draws: exact lower quartile/median/upper quartile of
+    order value per nation (rank-⌈n/4⌉/⌈n/2⌉/⌈3n/4⌉ elements of the
+    per-group total order — actual values, the q531 lower-statistic
+    discipline), the IQR, and Tukey-fence outlier counts with the
+    1.5·IQR comparison cross-multiplied into integers (2x > 2·q3 +
+    3·IQR).  Per-GROUP quartiles use partitioned windows — bounded by
+    group size, the scale-safe window class (unlike global quantiles,
+    which ride exact_ntile).
+
+    Scale shape: one join, one partitioned rank window per group, a
+    |groups|-row rollup + one fence-count pass."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    per = o.join(c, "o_custkey").select(
+        "nation",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "o_orderkey")
+    ranked = per.select(
+        "nation",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("nation")).cast(
+            "long"
+        ).alias("n"),
+    ).localCheckpoint()
+    # rank targets in integer DIV (a float /4 could misround a boundary)
+    quart = ranked.groupBy("nation").agg(
+        F.max("n").alias("n_orders"),
+        F.min(
+            F.when(
+                F.col("rk") == F.expr("(n + 3) DIV 4"), F.col("cents")
+            )
+        ).alias("q1_cents"),
+        F.min(
+            F.when(
+                F.col("rk") == F.expr("(n + 1) DIV 2"), F.col("cents")
+            )
+        ).alias("median_cents"),
+        F.min(
+            F.when(
+                F.col("rk") == F.expr("(3 * n + 1) DIV 4"), F.col("cents")
+            )
+        ).alias("q3_cents"),
+    )
+    fences = ranked.select("nation", "cents").join(quart, "nation")
+    outliers = fences.filter(
+        (
+            2 * F.col("cents")
+            > 2 * F.col("q3_cents")
+            + 3 * (F.col("q3_cents") - F.col("q1_cents"))
+        )
+        | (
+            2 * F.col("cents")
+            < 2 * F.col("q1_cents")
+            - 3 * (F.col("q3_cents") - F.col("q1_cents"))
+        )
+    ).groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_outliers")
+    )
+    return (
+        quart.join(outliers, "nation", "left")
+        .select(
+            "nation",
+            "n_orders",
+            "q1_cents",
+            "median_cents",
+            "q3_cents",
+            (F.col("q3_cents") - F.col("q1_cents")).alias("iqr_cents"),
+            F.coalesce("n_outliers", F.lit(0)).cast("long").alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
+# q561 — process-conformance checking (allowed-transition audit) ---------
+
+# the declared process model: which event-type transitions a healthy
+# user journey is ALLOWED to make (everything else is a deviation)
+_Q561_ALLOWED = [
+    ("signup", "view"), ("view", "view"), ("view", "click"),
+    ("click", "view"), ("click", "purchase"), ("purchase", "view"),
+    ("view", "error"), ("error", "view"),
+]
+
+
+def _q561_oracle() -> str:
+    allowed = " UNION ALL ".join(
+        f"SELECT '{a}' AS from_type, '{b}' AS to_type"
+        for a, b in _Q561_ALLOWED
+    )
+    return f"""
+        WITH seq AS MATERIALIZED (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ),
+        trans AS MATERIALIZED (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+        ),
+        allowed AS MATERIALIZED ({allowed})
+        SELECT t.from_type, t.to_type, t.n AS n_transitions,
+               a.from_type IS NOT NULL AS conforms
+        FROM trans t LEFT JOIN allowed a
+          ON t.from_type = a.from_type AND t.to_type = a.to_type
+    """
+
+
+@query("q561_process_conformance", oracle=_q561_oracle(), defer=True)
+def q561_process_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROCESS-MINING conformance checking — the declared journey
+    model (an allowed-transition whitelist) against the observed
+    transition matrix (q526's relation): every observed transition
+    with its count and a conformance verdict; non-conforming mass is
+    the process debt an operations team works down.  On this corpus
+    event types are generated independently, so most transitions
+    occur and the deviations are load-bearing (non-empty, pinned by
+    the |types|² vs |allowed| gap).
+
+    Scale shape: one partitioned lag window + grouped count (q526's
+    shape) left-joined against a literal whitelist."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    allowed = spark.createDataFrame(
+        _Q561_ALLOWED, "from_type string, to_type string"
+    ).withColumn("__ok", F.lit(1))
+    return trans.join(allowed, ["from_type", "to_type"], "left").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.col("__ok").isNotNull().alias("conforms"),
+    )
+
+
+# q562 — top event paths of length 3 (sequence trigrams) -----------------
+
+_Q562_TOP = 15
+
+
+def _q562_oracle() -> str:
+    return f"""
+        WITH seq AS MATERIALIZED (
+            SELECT event_type AS a,
+                   lead(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS b,
+                   lead(event_type, 2) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS c
+            FROM events
+        ),
+        tri AS (
+            SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+            GROUP BY 1, 2, 3
+        )
+        SELECT a || '>' || b || '>' || c AS path, n AS n_paths
+        FROM tri
+        ORDER BY n DESC, path
+        LIMIT {_Q562_TOP}
+    """
+
+
+@query("q562_top_event_paths", oracle=_q562_oracle(), defer=True)
+def q562_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP EVENT PATHS (length-3 sequence mining) — the "what do users
+    actually do" report behind every journey map: per-user consecutive
+    event trigrams via double lead (the W1 discipline), counted and
+    top-{_Q562_TOP} by frequency with a path-string tiebreak (counts
+    are integers, so the order is exact).  The trigram grain is where
+    journey analysis starts paying beyond q526's pairs — long enough
+    to see intent (view>click>purchase vs view>click>view), short
+    enough to stay dense.
+
+    Scale shape: one partitioned window pass, a grouped count over
+    ≤|types|³ rows, a top-k heap."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    tri = seq.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )
+    return (
+        tri.select(
+            F.concat_ws(">", "a", "b", "c").alias("path"), "n_paths"
+        )
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(_Q562_TOP)
+    )
+
+
+# q563 — activity heatmap (day-of-week × hour matrix) --------------------
+
+
+def _q563_oracle() -> str:
+    return """
+        WITH cells AS (
+            SELECT dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hr,
+                   event_type
+            FROM events
+        )
+        SELECT CAST(dow AS BIGINT) AS dow, hr,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+        FROM cells GROUP BY dow, hr
+    """
+
+
+@query("q563_activity_heatmap", oracle=_q563_oracle(), defer=True)
+def q563_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVITY HEATMAP — the day-of-week × hour-of-day intensity
+    matrix every ops dashboard opens with (when do users act? when do
+    purchases cluster?), as a ≤7×24-cell relation with total and
+    purchase counts per cell.  NTZ hour extraction is
+    timezone-pinned by construction; the DuckDB dow convention is
+    aligned to Spark's (+1, the q530 fix).
+
+    Scale shape: one scan, one ≤168-group aggregate — the canonical
+    map-side-combine shape."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hr"),
+            "event_type",
+        )
+        .groupBy("dow", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_purchases"),
+        )
+    )
+
+
+# q564 — STREAMING RFM (twin of q547: associative partials, drain ranks) -
+
+
+def _q564_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    return QUERIES["q547_rfm_segmentation"].oracle
+
+
+@query("q564_streaming_rfm", oracle=_q564_oracle(), defer=True)
+def q564_streaming_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q547's RFM segmentation maintained AT INGEST — the pattern for
+    any quantile-based segmentation under streaming: the per-customer
+    RAW aggregates (max order date, count, cents) are ASSOCIATIVE, so
+    each epoch lands only its per-customer partials; the drain merges
+    them (max/sum/sum) and runs the three exact-quantile passes on
+    the merged customer grain — because quantile BOUNDARIES are
+    global properties, re-ranking at drain is the correct semantics
+    (an epoch-local rank would segment against a partial population;
+    the reason feature platforms version their segment cut-offs).
+    Drain ≡ q547's oracle under any order-stream slicing.
+
+    Scale shape: per-epoch state is customer-grain partials; the
+    drain is q547's rank passes."""
+    import shutil
+
+    from databricks_etl_spark.operators.quantile_bucket import exact_ntile
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    o = read_table(spark, sf_dir, "orders")
+    root = scratch_dir("rfm_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/partials"
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+                F.count(F.lit(1)).cast("long").alias("freq"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast(
+                        "decimal(28,0)"
+                    )
+                )
+                .cast("long")
+                .alias("cents"),
+            )
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+
+    ingest(o.filter(F.col("o_orderkey") % 2 == 0), 0)
+    ingest(o.filter(F.col("o_orderkey") % 2 == 1), 1)
+    per = (
+        spark.read.schema(
+            "custkey long, last_d date, freq long, cents long,"
+            " __epoch int"
+        )
+        .parquet(path)
+        .groupBy("custkey")
+        .agg(
+            F.datediff(
+                F.lit(_Q547_AS_OF).cast("date"), F.max("last_d")
+            ).alias("rec_days"),
+            F.sum("freq").cast("long").alias("freq"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .localCheckpoint()
+    )
+    r = exact_ntile(
+        per, [F.desc("rec_days"), F.asc("custkey")], _Q547_Q,
+        out_col="r_score",
+    ).select("custkey", "r_score")
+    f = exact_ntile(
+        per, ["freq", "custkey"], _Q547_Q, out_col="f_score"
+    ).select("custkey", "f_score")
+    m = exact_ntile(
+        per, ["cents", "custkey"], _Q547_Q, out_col="m_score"
+    ).select("custkey", "m_score")
+    return (
+        per.join(r, "custkey")
+        .join(f, "custkey")
+        .join(m, "custkey")
+        .groupBy(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("segment_cents"),
+        )
+    )
