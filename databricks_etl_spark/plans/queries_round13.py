@@ -6335,3 +6335,358 @@ def q564_streaming_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("segment_cents"),
         )
     )
+
+
+# q565 — cohort-week LTV with dyadic discounting -------------------------
+
+
+def _q565_oracle() -> str:
+    return """
+        WITH first_seen AS MATERIALIZED (
+            SELECT user_id,
+                   MIN(datediff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE))) AS d0
+            FROM events GROUP BY 1
+        ),
+        rev AS MATERIALIZED (
+            SELECT e.user_id,
+                   (first_seen.d0 - (SELECT MIN(d0) FROM first_seen))
+                       // 7 AS cohort_week,
+                   (datediff('day', DATE '1970-01-01', CAST(e.ts AS DATE))
+                    - first_seen.d0) // 7 AS week_offset,
+                   CAST(round(e.value * 100, 0) AS BIGINT) AS cents
+            FROM events e JOIN first_seen ON e.user_id = first_seen.user_id
+            WHERE e.event_type = 'purchase'
+        ),
+        cells AS MATERIALIZED (
+            SELECT cohort_week, week_offset,
+                   CAST(SUM(CAST(cents AS DECIMAL(28,0))) AS BIGINT)
+                       AS revenue_cents
+            FROM rev GROUP BY 1, 2
+        )
+        SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+               CAST(week_offset AS BIGINT) AS week_offset,
+               revenue_cents,
+               CAST(SUM(revenue_cents) OVER (
+                   PARTITION BY cohort_week ORDER BY week_offset
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ltv_cents,
+               round(CAST(revenue_cents AS DOUBLE)
+                     / (CAST(1 AS BIGINT) << week_offset), 6)
+                   AS discounted_cents
+        FROM cells
+    """
+
+
+@query("q565_cohort_ltv_discounted", oracle=_q565_oracle(), defer=True)
+def q565_cohort_ltv_discounted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COHORT LTV triangle with DYADIC discounting — the finance view
+    of q91's retention triangle: users cohorted by first-seen week,
+    purchase revenue bucketed by week offset since joining, the
+    cumulative LTV curve per cohort (partitioned running sum over the
+    bounded offset axis), and a present-value column discounted at
+    the dyadic rate (dividing by 2^offset is exact — the q513
+    discipline — so even the discounted view is hash-stable).  The
+    triangle shape (younger cohorts have fewer observed offsets) is
+    the censoring q540 treats formally.
+
+    Scale shape: one first-seen aggregate, one keyed join, a
+    cohort×offset-grain rollup with a bounded partitioned window."""
+    e = read_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min(day).alias("d0"))
+    base = first_seen.agg(F.min("d0").alias("base")).localCheckpoint()
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.expr("(d0 - base) DIV 7").alias("cohort_week"),
+            ((day - F.col("d0")) / 7).cast("long").alias("week_offset"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    cells = rev.groupBy("cohort_week", "week_offset").agg(
+        F.sum(F.col("cents").cast("decimal(28,0)"))
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return cells.select(
+        F.col("cohort_week").cast("long").alias("cohort_week"),
+        F.col("week_offset").cast("long").alias("week_offset"),
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("long").alias(
+            "cum_ltv_cents"
+        ),
+        F.round(
+            F.col("revenue_cents").cast("double")
+            / F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " CAST(week_offset AS INT))"
+            ),
+            6,
+        ).alias("discounted_cents"),
+    )
+
+
+# q566 — growth accounting (new / retained / resurrected / churned) ------
+
+
+def _q566_oracle() -> str:
+    return """
+        WITH du AS MATERIALIZED (
+            SELECT DISTINCT
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS d, user_id
+            FROM events
+        ),
+        f AS MATERIALIZED (
+            SELECT user_id, MIN(d) AS d0 FROM du GROUP BY 1
+        ),
+        days AS MATERIALIZED (SELECT DISTINCT d FROM du)
+        SELECT days.d AS day,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM du a
+                JOIN f ON a.user_id = f.user_id
+                WHERE a.d = days.d AND f.d0 = days.d) AS new_users,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM du a
+                JOIN du b ON a.user_id = b.user_id AND b.d = days.d - 1
+                JOIN f ON a.user_id = f.user_id
+                WHERE a.d = days.d AND f.d0 < days.d) AS retained,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM du a
+                JOIN f ON a.user_id = f.user_id
+                WHERE a.d = days.d AND f.d0 < days.d
+                  AND NOT EXISTS (SELECT 1 FROM du b
+                                  WHERE b.user_id = a.user_id
+                                    AND b.d = days.d - 1)) AS resurrected,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM du a
+                WHERE a.d = days.d - 1
+                  AND NOT EXISTS (SELECT 1 FROM du b
+                                  WHERE b.user_id = a.user_id
+                                    AND b.d = days.d)) AS churned_from_prev
+        FROM days
+    """
+
+
+@query("q566_growth_accounting", oracle=_q566_oracle(), defer=True)
+def q566_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING — the new/retained/resurrected/churned
+    decomposition (the Social Capital framework) that explains WHERE
+    a DAU number came from: per day, users active for the first time
+    ever (new), active yesterday too (retained), active before but
+    not yesterday (resurrected), and yesterday's actives who went
+    silent today (churned).  All four classes from the (day, user)
+    grain with first-seen joins and day-adjacent anti/semi-joins —
+    exact integers, and the identity DAU = new + retained +
+    resurrected holds by construction (pinned by test).
+
+    Scale shape: the grain relation (one dedup shuffle) feeds four
+    keyed joins on (user, day±1) — no window over user history."""
+    e = read_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    du = e.select(day.alias("d"), "user_id").distinct().localCheckpoint()
+    f = du.groupBy("user_id").agg(F.min("d").alias("d0"))
+    days = du.select("d").distinct()
+    today = du.join(f, "user_id")
+    prev = du.select(
+        (F.col("d") + 1).alias("pd1"), F.col("user_id").alias("u2")
+    )
+    today_flags = (
+        today.join(
+            prev,
+            (F.col("d") == F.col("pd1"))
+            & (F.col("user_id") == F.col("u2")),
+            "left",
+        )
+        .select(
+            "d",
+            "user_id",
+            (F.col("d0") == F.col("d")).alias("is_new"),
+            F.col("u2").isNotNull().alias("active_prev"),
+        )
+    )
+    per_day = today_flags.groupBy("d").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(
+            F.when(~F.col("is_new") & F.col("active_prev"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("retained"),
+        F.sum(
+            F.when(~F.col("is_new") & ~F.col("active_prev"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("resurrected"),
+    )
+    nxt = du.select(
+        (F.col("d") - 1).alias("pd"), F.col("user_id").alias("u3")
+    )
+    churn = (
+        du.join(
+            nxt,
+            (F.col("d") == F.col("pd"))
+            & (F.col("user_id") == F.col("u3")),
+            "left_anti",
+        )
+        .select((F.col("d") + 1).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("churned_from_prev"))
+    )
+    return (
+        days.join(per_day, "d", "left")
+        .join(churn, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            F.coalesce("new_users", F.lit(0)).cast("long").alias(
+                "new_users"
+            ),
+            F.coalesce("retained", F.lit(0)).cast("long").alias(
+                "retained"
+            ),
+            F.coalesce("resurrected", F.lit(0)).cast("long").alias(
+                "resurrected"
+            ),
+            F.coalesce("churned_from_prev", F.lit(0)).cast("long").alias(
+                "churned_from_prev"
+            ),
+        )
+    )
+
+
+# q567 — stickiness (DAU / trailing WAU ratio per day) -------------------
+
+
+def _q567_oracle() -> str:
+    return """
+        WITH du AS MATERIALIZED (
+            SELECT DISTINCT
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS d, user_id
+            FROM events
+        ),
+        days AS MATERIALIZED (SELECT DISTINCT d FROM du)
+        SELECT days.d AS day,
+               (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM du
+                WHERE du.d = days.d) AS dau,
+               (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM du
+                WHERE du.d BETWEEN days.d - 6 AND days.d) AS wau,
+               round((SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE)
+                      FROM du WHERE du.d = days.d)
+                     / (SELECT COUNT(DISTINCT user_id) FROM du
+                        WHERE du.d BETWEEN days.d - 6 AND days.d), 6)
+                   AS stickiness
+        FROM days
+    """
+
+
+@query("q567_dau_wau_stickiness", oracle=_q567_oracle(), defer=True)
+def q567_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STICKINESS (DAU/WAU) per day — the engagement-frequency ratio
+    growth teams track beside raw actives: daily actives, trailing
+    7-day actives (the q515 replicate-to-windows fold — exact sliding
+    distinct, not an approximation), and their exact rational ratio.
+    A stickiness near 1/7 means users show up once a week; near 1
+    means daily habit — the difference between a tool and a
+    dashboard.
+
+    Scale shape: one grain dedup feeds both counts; the WAU rides
+    q515's 7× bounded replication."""
+    e = read_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    du = e.select(day.alias("d"), "user_id").distinct().localCheckpoint()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    offs = F.array(*[F.lit(i) for i in range(_Q515_WIN_D)])
+    wau = (
+        du.select("d", "user_id", F.explode(offs).alias("off"))
+        .select((F.col("d") + F.col("off")).alias("w"), "user_id")
+        .join(days.withColumnRenamed("d", "w"), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        .withColumnRenamed("w", "d")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+# q568 — power-user curve (users by active-day count) --------------------
+
+
+def _q568_oracle() -> str:
+    return """
+        WITH du AS MATERIALIZED (
+            SELECT DISTINCT
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS d, user_id
+            FROM events
+        ),
+        per AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS active_days
+            FROM du GROUP BY 1
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per)
+        SELECT active_days,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               round(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot), 6)
+                   AS share
+        FROM per GROUP BY active_days
+    """
+
+
+@query("q568_power_user_curve", oracle=_q568_oracle(), defer=True)
+def q568_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POWER-USER CURVE — the activity-frequency histogram (how many
+    users were active on exactly k days of the period): a
+    smile-shaped curve means a core of daily habits plus a casual
+    tail; a monotone decay means no habit formed.  Exact integers
+    and one rational share per bucket — the single most copied
+    engagement chart in growth analytics, here as a ≤|days|-row
+    relation.
+
+    Scale shape: grain dedup → per-user count → ≤|days|-bucket
+    histogram; three map-side-combine aggregates end to end."""
+    e = read_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    du = e.select(day.alias("d"), "user_id").distinct()
+    per = du.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("active_days")
+    )
+    tot = per.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        per.groupBy("active_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "active_days",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("n"), 6
+            ).alias("share"),
+        )
+    )

@@ -479,3 +479,30 @@ def test_q555_skew_audit_detects_planted_divergence(spark, smoke_sf_dir):
         + online.exceptAll(offline).count()
     )
     assert diff > 0
+
+
+def test_q566_growth_identity(spark, smoke_sf_dir):
+    """The accounting identity: DAU(d) = new + retained + resurrected
+    for every day (re-derived from the grain)."""
+    from databricks_etl_spark.plans.registry import queries
+
+    rows = queries()["q566_growth_accounting"](
+        spark, smoke_sf_dir
+    ).collect()
+    e = read_table(spark, smoke_sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    dau = {
+        r["d"]: r["c"]
+        for r in e.select(day.alias("d"), "user_id")
+        .distinct()
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for r in rows:
+        assert (
+            r["new_users"] + r["retained"] + r["resurrected"]
+            == dau[r["day"]]
+        ), r
