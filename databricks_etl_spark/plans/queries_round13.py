@@ -6690,3 +6690,362 @@ def q568_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+# q569 — seasonal-adjusted anomaly detection (q530 ∘ q531) ---------------
+
+
+def _q569_oracle() -> str:
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS d,
+                   dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100, 0)
+                                      AS DECIMAL(28,0))
+                            ELSE 0 END) AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS MATERIALIZED (
+            SELECT dow,
+                   SUM(CAST(cents AS DECIMAL(38,0))) AS dow_rev,
+                   CAST(COUNT(*) AS BIGINT) AS dow_n
+            FROM daily GROUP BY dow
+        ),
+        tot AS (
+            SELECT SUM(dow_rev) AS t, SUM(dow_n) AS n FROM idx
+        ),
+        resid AS MATERIALIZED (
+            SELECT daily.d, daily.dow, daily.cents,
+                   -- seasonally adjusted value: cents / dow_index,
+                   -- 6dp-rounded so the ranked order is drift-proof
+                   round(CAST(daily.cents AS DOUBLE)
+                         / ((CAST(idx.dow_rev AS DOUBLE) / idx.dow_n)
+                            / (CAST((SELECT t FROM tot) AS DOUBLE)
+                               / (SELECT n FROM tot))), 6) AS adj
+            FROM daily JOIN idx ON daily.dow = idx.dow
+        ),
+        med AS (
+            SELECT adj AS m FROM (
+                SELECT adj, row_number() OVER (ORDER BY adj, d) AS rk,
+                       COUNT(*) OVER () AS n
+                FROM resid
+            ) WHERE rk = (n + 1) // 2
+        ),
+        dev AS MATERIALIZED (
+            SELECT d, dow, cents, adj,
+                   ABS(adj - (SELECT m FROM med)) AS adev
+            FROM resid
+        ),
+        mad AS (
+            SELECT adev AS mad FROM (
+                SELECT adev, row_number() OVER (ORDER BY adev, d) AS rk,
+                       COUNT(*) OVER () AS n
+                FROM dev
+            ) WHERE rk = (n + 1) // 2
+        )
+        SELECT CAST(d AS BIGINT) AS day, CAST(dow AS BIGINT) AS dow,
+               cents AS revenue_cents, adj AS adjusted,
+               ABS(adj - (SELECT m FROM med))
+                   > {_Q531_K} * (SELECT mad FROM mad) AS is_anomaly
+        FROM dev
+    """
+
+
+@query("q569_seasonal_adjusted_anomaly", oracle=_q569_oracle(),
+       defer=True)
+def q569_seasonal_adjusted_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEASONALLY-ADJUSTED anomaly detection — q530's day-of-week
+    index composed with q531's robust MAD flags: raw daily revenue is
+    divided by its weekday's seasonal index FIRST (so a strong Monday
+    isn't flagged merely for being Monday — the false-positive class
+    plain thresholds produce every week), then the lower-median/MAD
+    fences run on the adjusted series.  Adjusted values are
+    6dp-rounded before ranking (the q544 drift-proofing), all medians
+    are actual elements.  This is the two-stage decomposition
+    (deseasonalize → robust-detect) real monitors ship.
+
+    Scale shape: day-grain composition — one scan to the day relation,
+    a 7-row index, two rank extractions (q531's kernel)."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_ntile
+
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+            F.dayofweek(F.col("ts").cast("date")).cast("long").alias(
+                "dow"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("decimal(28,0)"),
+                ).otherwise(F.lit(0).cast("decimal(28,0)"))
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+    idx = daily.groupBy("dow").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("dow_rev"),
+        F.count(F.lit(1)).cast("long").alias("dow_n"),
+    )
+    tot = idx.agg(
+        F.sum("dow_rev").alias("t"), F.sum("dow_n").alias("n")
+    )
+    resid = (
+        daily.join(idx, "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "dow",
+            "cents",
+            F.round(
+                F.col("cents").cast("double")
+                / (
+                    (F.col("dow_rev").cast("double") / F.col("dow_n"))
+                    / (F.col("t").cast("double") / F.col("n"))
+                ),
+                6,
+            ).alias("adj"),
+        )
+        .localCheckpoint()
+    )
+
+    def lower_median(df: DataFrame, col: str, key: str) -> float:
+        n = df.count()
+        r = exact_ntile(df, [col, key], n, out_col="rk")
+        return float(
+            r.filter(F.col("rk") == (n + 1) // 2).collect()[0][col]
+        )
+
+    m = lower_median(resid, "adj", "d")
+    dev = resid.select(
+        "*", F.abs(F.col("adj") - F.lit(m)).alias("adev")
+    ).localCheckpoint()
+    mad = lower_median(dev, "adev", "d")
+    return dev.select(
+        F.col("d").cast("long").alias("day"),
+        "dow",
+        F.col("cents").alias("revenue_cents"),
+        F.col("adj").alias("adjusted"),
+        (F.col("adev") > _Q531_K * mad).alias("is_anomaly"),
+    )
+
+
+# q570 — sorted-neighborhood record linkage vs blocking ------------------
+
+_Q570_WINDOW = 5  # rank-distance window
+
+
+def _q570_oracle() -> str:
+    return f"""
+        WITH p AS MATERIALIZED (
+            SELECT p_partkey, p_name,
+                   string_split(p_name, ' ')[-1] AS noun,
+                   row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+            FROM part WHERE p_partkey < 800
+        ),
+        truth AS MATERIALIZED (
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+            FROM p a JOIN p b ON a.noun = b.noun
+             AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+              AND a.p_name <> b.p_name
+        ),
+        snm AS MATERIALIZED (
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+            FROM p a JOIN p b
+              ON b.rk - a.rk BETWEEN 1 AND {_Q570_WINDOW}
+             AND a.p_partkey <> b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+              AND a.p_name <> b.p_name
+        ),
+        snm_c AS (
+            SELECT LEAST(key_a, key_b) AS key_a,
+                   GREATEST(key_a, key_b) AS key_b
+            FROM snm
+        )
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS blocking_pairs,
+            (SELECT CAST(COUNT(DISTINCT (key_a, key_b)) AS BIGINT)
+             FROM snm_c) AS snm_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                 SELECT DISTINCT key_a, key_b FROM snm_c) s
+             JOIN truth USING (key_a, key_b)) AS snm_found_of_truth,
+            round((SELECT CAST(COUNT(*) AS DOUBLE) FROM (
+                     SELECT DISTINCT key_a, key_b FROM snm_c) s
+                   JOIN truth USING (key_a, key_b))
+                  / (SELECT COUNT(*) FROM truth), 6) AS snm_recall
+    """
+
+
+@query("q570_sorted_neighborhood_linkage", oracle=_q570_oracle(),
+       defer=True)
+def q570_sorted_neighborhood_linkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SORTED-NEIGHBORHOOD record linkage — the THIRD candidate-
+    generation method beside blocking (q92) and prefix filtering
+    (q517), priced against the blocking truth: sort records by the
+    match key (name), compare only rank-neighbors within a window of
+    {_Q570_WINDOW}, verify with exact edit distance.  The card
+    reports both methods' pair counts, the overlap, and SNM's recall
+    of the blocking truth — the method-comparison evidence a linkage
+    pipeline needs before choosing (SNM wins when typos keep sorted
+    names adjacent; blocking wins when the blocking key is reliable).
+    Ranks from the exact two-phase kernel; the window join is a
+    rank-band join (q512's binning would make it equi at scale).
+
+    Scale shape: one rank pass + a bounded band join (each record
+    meets ≤{_Q570_WINDOW} neighbors)."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_ntile
+
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 800)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.element_at(F.split("p_name", " "), -1).alias("noun"),
+        )
+        .localCheckpoint()
+    )
+    n = p.count()
+    rk = exact_ntile(p, ["p_name", "p_partkey"], n, out_col="rk")
+    ta = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "noun",
+    )
+    tb = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("noun").alias("noun_b"),
+    )
+    truth = (
+        ta.join(tb, F.col("noun") == F.col("noun_b"))
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.levenshtein("name_a", "name_b") <= 3)
+            & (F.col("name_a") != F.col("name_b"))
+        )
+        .select("key_a", "key_b")
+        .localCheckpoint()
+    )
+    ra = rk.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("rk").alias("rk_a"),
+    )
+    rb = rk.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("rk").alias("rk_b"),
+    )
+    snm = (
+        ra.join(
+            rb,
+            (F.col("rk_b") - F.col("rk_a") >= 1)
+            & (F.col("rk_b") - F.col("rk_a") <= _Q570_WINDOW)
+            & (F.col("key_a") != F.col("key_b")),
+        )
+        .filter(
+            (F.levenshtein("name_a", "name_b") <= 3)
+            & (F.col("name_a") != F.col("name_b"))
+        )
+        .select(
+            F.least("key_a", "key_b").alias("key_a"),
+            F.greatest("key_a", "key_b").alias("key_b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    bt = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("blocking_pairs")
+    )
+    sn = snm.agg(F.count(F.lit(1)).cast("long").alias("snm_pairs"))
+    ov = snm.join(truth, ["key_a", "key_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("snm_found_of_truth")
+    )
+    return (
+        bt.crossJoin(F.broadcast(sn))
+        .crossJoin(F.broadcast(ov))
+        .select(
+            "blocking_pairs",
+            "snm_pairs",
+            "snm_found_of_truth",
+            F.round(
+                F.col("snm_found_of_truth").cast("double")
+                / F.col("blocking_pairs"),
+                6,
+            ).alias("snm_recall"),
+        )
+    )
+
+
+# q571 — burst detection (sliding RANGE-frame rate limiting) -------------
+
+_Q571_WIN_S = 3600  # any 60-minute window
+_Q571_K = 8  # flag users whose peak exceeds this
+
+
+def _q571_oracle() -> str:
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+            FROM events
+        ),
+        rates AS MATERIALIZED (
+            SELECT user_id, ep,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY ep
+                       RANGE BETWEEN {_Q571_WIN_S} PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS win_events
+            FROM e
+        )
+        SELECT user_id,
+               CAST(MAX(win_events) AS BIGINT) AS peak_rate,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(win_events) > {_Q571_K} AS is_bursty
+        FROM rates GROUP BY user_id
+    """
+
+
+@query("q571_burst_detection", oracle=_q571_oracle(), defer=True)
+def q571_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURST DETECTION (rate limiting's analytical twin) — for every
+    user, the PEAK number of events inside ANY trailing 60-minute
+    window, via a partitioned RANGE frame over epoch seconds (the
+    window-frame feature the repo's W-family hadn't exercised: RANGE
+    frames bound by a VALUE interval, not a row count — exactly the
+    sliding-rate semantics a row frame cannot express when events
+    cluster).  Users whose peak exceeds {_Q571_K} are flagged — the
+    abuse/bot screen an API gateway materializes.
+
+    Scale shape: one partitioned range window per user (bounded by
+    per-user history), one grouped max — never a self-join."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("ep")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-_Q571_WIN_S, 0)
+    )
+    rates = e.select(
+        "user_id", F.count(F.lit(1)).over(w).cast("long").alias("win_events")
+    )
+    return rates.groupBy("user_id").agg(
+        F.max("win_events").cast("long").alias("peak_rate"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("win_events") > _Q571_K).alias("is_bursty"),
+    )
