@@ -7049,3 +7049,254 @@ def q571_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         (F.max("win_events") > _Q571_K).alias("is_bursty"),
     )
+
+
+# q572 — conversion funnel per experiment arm ----------------------------
+
+
+def _q572_oracle() -> str:
+    return f"""
+        WITH u AS MATERIALIZED (
+            SELECT DISTINCT user_id,
+                   strpos('01234567',
+                          substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                                 1, 1)) > 0 AS arm_a
+            FROM events
+        ),
+        s AS MATERIALIZED (
+            SELECT user_id,
+                   MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t0
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ),
+        c AS MATERIALIZED (
+            SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t1
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click'
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) >= s.t0
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) - s.t0
+                  <= {_Q524_STEP_S}
+            GROUP BY 1
+        ),
+        p AS MATERIALIZED (
+            SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t2
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) >= c.t1
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) - c.t1
+                  <= {_Q524_STEP_S}
+            GROUP BY 1
+        )
+        SELECT u.arm_a,
+               CAST(COUNT(s.user_id) AS BIGINT) AS stage_signup,
+               CAST(COUNT(c.user_id) AS BIGINT) AS stage_click,
+               CAST(COUNT(p.user_id) AS BIGINT) AS stage_purchase,
+               round(CAST(COUNT(p.user_id) AS DOUBLE)
+                     / COUNT(s.user_id), 6) AS end_to_end_rate
+        FROM u
+        LEFT JOIN s ON u.user_id = s.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p ON u.user_id = p.user_id
+        GROUP BY u.arm_a
+    """
+
+
+@query("q572_funnel_by_experiment_arm", oracle=_q572_oracle(),
+       defer=True)
+def q572_funnel_by_experiment_arm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FUNNEL × EXPERIMENT overlay — the readout an A/B platform
+    actually renders: q524's windowed funnel chain split by q539's
+    deterministic md5 arms, per-arm stage populations and the
+    end-to-end conversion rate.  Because the arm split and every
+    stage anchor are deterministic, the whole two-dimensional readout
+    is hash-checked — the per-stage drop-off DIFFERENCE between arms
+    is where an experiment's effect localizes (the reason platforms
+    overlay funnels instead of reporting one conversion number).
+
+    Scale shape: q524's keyed min-chain left-joined at user grain,
+    one 2-row rollup."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ep")
+    )
+    u = e.select("user_id").distinct().select(
+        "user_id",
+        (
+            F.instr(
+                F.lit("01234567"),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ab:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+            )
+            > 0
+        ).alias("arm_a"),
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ep") >= F.col("t0"))
+            & (F.col("ep") - F.col("t0") <= _Q524_STEP_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ep") >= F.col("t1"))
+            & (F.col("ep") - F.col("t1") <= _Q524_STEP_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t2"))
+    )
+    return (
+        u.join(s.select("user_id", F.lit(1).alias("__s")), "user_id", "left")
+        .join(c.select("user_id", F.lit(1).alias("__c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("__p")), "user_id", "left")
+        .groupBy("arm_a")
+        .agg(
+            F.count("__s").cast("long").alias("stage_signup"),
+            F.count("__c").cast("long").alias("stage_click"),
+            F.count("__p").cast("long").alias("stage_purchase"),
+            F.round(
+                F.count("__p").cast("double") / F.count("__s"), 6
+            ).alias("end_to_end_rate"),
+        )
+    )
+
+
+# q573 — STREAMING growth accounting (twin of q566) ----------------------
+
+
+def _q573_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    return QUERIES["q566_growth_accounting"].oracle
+
+
+@query("q573_streaming_growth_accounting", oracle=_q573_oracle(),
+       defer=True)
+def q573_streaming_growth_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q566's growth decomposition maintained AT INGEST: the (day,
+    user) activity grain is the fully associative summary (dedup on
+    merge — the q522 discipline), so each epoch lands only its grain
+    slice and the drain rebuilds the new/retained/resurrected/churned
+    ledger from the merged grain.  First-seen days are a DRAIN
+    property (an early epoch's "new" verdict can be retroactively
+    wrong when an older event arrives late — the q564 re-rank
+    argument applied to cohorting; interim ledgers are provisional by
+    nature).  Drain ≡ q566's oracle under event-id-parity slicing.
+
+    Scale shape: per-epoch state is the day×user grain; the drain is
+    q566's keyed adjacency joins."""
+    import shutil
+
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    e = read_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    root = scratch_dir("growth_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/grain"
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(day.alias("d"), "user_id")
+            .distinct()
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+
+    ingest(e.filter(F.col("event_id") % 2 == 0), 0)
+    ingest(e.filter(F.col("event_id") % 2 == 1), 1)
+    du = (
+        spark.read.schema("d int, user_id long, __epoch int")
+        .parquet(path)
+        .select("d", "user_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    f = du.groupBy("user_id").agg(F.min("d").alias("d0"))
+    days = du.select("d").distinct()
+    today = du.join(f, "user_id")
+    prev = du.select(
+        (F.col("d") + 1).alias("pd1"), F.col("user_id").alias("u2")
+    )
+    today_flags = today.join(
+        prev,
+        (F.col("d") == F.col("pd1")) & (F.col("user_id") == F.col("u2")),
+        "left",
+    ).select(
+        "d",
+        "user_id",
+        (F.col("d0") == F.col("d")).alias("is_new"),
+        F.col("u2").isNotNull().alias("active_prev"),
+    )
+    per_day = today_flags.groupBy("d").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(
+            F.when(~F.col("is_new") & F.col("active_prev"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("retained"),
+        F.sum(
+            F.when(~F.col("is_new") & ~F.col("active_prev"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("resurrected"),
+    )
+    nxt = du.select(
+        (F.col("d") - 1).alias("pd"), F.col("user_id").alias("u3")
+    )
+    churn = (
+        du.join(
+            nxt,
+            (F.col("d") == F.col("pd"))
+            & (F.col("user_id") == F.col("u3")),
+            "left_anti",
+        )
+        .select((F.col("d") + 1).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("churned_from_prev"))
+    )
+    return (
+        days.join(per_day, "d", "left")
+        .join(churn, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            F.coalesce("new_users", F.lit(0)).cast("long").alias(
+                "new_users"
+            ),
+            F.coalesce("retained", F.lit(0)).cast("long").alias(
+                "retained"
+            ),
+            F.coalesce("resurrected", F.lit(0)).cast("long").alias(
+                "resurrected"
+            ),
+            F.coalesce("churned_from_prev", F.lit(0)).cast("long").alias(
+                "churned_from_prev"
+            ),
+        )
+    )
