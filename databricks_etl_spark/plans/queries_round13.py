@@ -7300,3 +7300,233 @@ def q573_streaming_growth_accounting(
             ),
         )
     )
+
+
+# q574 — net revenue retention by week-over-week cohort ------------------
+
+
+def _q574_oracle() -> str:
+    return """
+        WITH rev AS MATERIALIZED (
+            SELECT user_id,
+                   (datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    - (SELECT MIN(datediff('day', DATE '1970-01-01',
+                                  CAST(ts AS DATE))) FROM events)) // 7
+                       AS wk,
+                   CAST(SUM(CAST(round(value * 100, 0)
+                                 AS DECIMAL(28,0))) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.wk AS base_week,
+                   CAST(SUM(a.cents) AS BIGINT) AS base_cents,
+                   CAST(SUM(COALESCE(b.cents, 0)) AS BIGINT)
+                       AS retained_cents,
+                   CAST(SUM(CASE WHEN b.cents > a.cents
+                            THEN b.cents - a.cents ELSE 0 END) AS BIGINT)
+                       AS expansion_cents,
+                   CAST(SUM(CASE WHEN b.cents IS NULL THEN a.cents
+                            WHEN b.cents < a.cents THEN a.cents - b.cents
+                            ELSE 0 END) AS BIGINT) AS contraction_cents
+            FROM rev a LEFT JOIN rev b
+              ON a.user_id = b.user_id AND b.wk = a.wk + 1
+            GROUP BY a.wk
+        )
+        SELECT CAST(base_week AS BIGINT) AS base_week,
+               base_cents, retained_cents, expansion_cents,
+               contraction_cents,
+               round(CAST(retained_cents AS DOUBLE) / base_cents, 6)
+                   AS nrr
+        FROM pairs
+    """
+
+
+@query("q574_net_revenue_retention", oracle=_q574_oracle(), defer=True)
+def q574_net_revenue_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NET REVENUE RETENTION week-over-week — the SaaS board metric
+    decomposed honestly: for each base week's paying users, next
+    week's revenue FROM THOSE SAME USERS (new users never inflate
+    NRR — the definitional point), split into expansion (users who
+    paid more) and contraction/churn (paid less or vanished).  Exact
+    integer cents throughout; NRR is one rational per base week.
+    NRR > 1 means the existing base grows by itself — the compounding
+    engine every subscription business hunts for.
+
+    Scale shape: user-week revenue grain, one self-join on (user,
+    adjacent week), a per-week rollup."""
+    e = read_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", day.alias("d"),
+        F.round(F.col("value") * 100, 0).cast("decimal(28,0)").alias(
+            "cents"
+        ),
+    )
+    base = p.agg(F.min("d").alias("b")).localCheckpoint()
+    rev = (
+        p.crossJoin(base)
+        .select(
+            "user_id",
+            F.expr("(d - b) DIV 7").alias("wk"),
+            "cents",
+        )
+        .groupBy("user_id", "wk")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+        .localCheckpoint()
+    )
+    nxt = rev.select(
+        "user_id",
+        (F.col("wk") - 1).alias("wk"),
+        F.col("cents").alias("next_cents"),
+    )
+    return (
+        rev.join(nxt, ["user_id", "wk"], "left")
+        .groupBy(F.col("wk").cast("long").alias("base_week"))
+        .agg(
+            F.sum("cents").cast("long").alias("base_cents"),
+            F.sum(F.coalesce("next_cents", F.lit(0)))
+            .cast("long")
+            .alias("retained_cents"),
+            F.sum(
+                F.when(
+                    F.col("next_cents") > F.col("cents"),
+                    F.col("next_cents") - F.col("cents"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("expansion_cents"),
+            F.sum(
+                F.when(F.col("next_cents").isNull(), F.col("cents"))
+                .when(
+                    F.col("next_cents") < F.col("cents"),
+                    F.col("cents") - F.col("next_cents"),
+                )
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("contraction_cents"),
+        )
+        .select(
+            "base_week",
+            "base_cents",
+            "retained_cents",
+            "expansion_cents",
+            "contraction_cents",
+            F.round(
+                F.col("retained_cents").cast("double")
+                / F.col("base_cents"),
+                6,
+            ).alias("nrr"),
+        )
+    )
+
+
+# q575 — session statistics (gap sessionization rollup) ------------------
+
+_Q575_GAP_S = 1800  # 30-minute inactivity ends a session
+
+
+def _q575_oracle() -> str:
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ep
+            FROM events
+        ),
+        marked AS MATERIALIZED (
+            SELECT user_id, event_id, ep,
+                   CASE WHEN ep - lag(ep) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ep, event_id) > {_Q575_GAP_S}
+                        OR lag(ep) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ep, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM e
+        ),
+        sess AS MATERIALIZED (
+            SELECT user_id,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ep, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess_id,
+                   ep
+            FROM marked
+        ),
+        per_sess AS MATERIALIZED (
+            SELECT user_id, sess_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(ep) - MIN(ep) AS dur_s
+            FROM sess GROUP BY 1, 2
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounces,
+               round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS bounce_rate,
+               CAST(SUM(dur_s) AS BIGINT) AS total_duration_s,
+               CAST(SUM(n_events) AS BIGINT) AS total_events,
+               round(CAST(SUM(dur_s) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_duration_s
+        FROM per_sess
+    """
+
+
+@query("q575_session_statistics", oracle=_q575_oracle(), defer=True)
+def q575_session_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION STATISTICS — q80's gap sessionization rolled up to the
+    product card: sessions cut at {_Q575_GAP_S // 60}-minute
+    inactivity gaps (per-user lag + running session counter — the
+    canonical partitioned-window pair), then the numbers a product
+    review opens with: session count, single-event BOUNCES and the
+    bounce rate, and total/mean session duration in exact integer
+    seconds.  Bounce rate is the first metric a 30-minute gap
+    threshold distorts if chosen badly — q431's watermark
+    recommendation discipline applies to this knob too.
+
+    Scale shape: two partitioned windows per user + one global 1-row
+    rollup; durations never leave integer seconds."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ep")
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    marked = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ep").over(w).isNull()
+            | (F.col("ep") - F.lag("ep").over(w) > _Q575_GAP_S),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("ep") - F.min("ep")).alias("dur_s"),
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+        F.sum("dur_s").cast("long").alias("total_duration_s"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.round(
+            F.sum("dur_s").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_duration_s"),
+    )

@@ -675,8 +675,8 @@ def _load() -> None:
     # round-13 modules
     import databricks_etl_spark.plans.queries_round13  # noqa: F401
 
-    assert len(QUERIES) >= 571, (
-        f"query registry shrank: {len(QUERIES)} < 571 — a module failed to register"
+    assert len(QUERIES) >= 573, (
+        f"query registry shrank: {len(QUERIES)} < 573 — a module failed to register"
     )
     _reorder()
     _loaded = True
