@@ -67,11 +67,14 @@ def _edges_cte() -> str:
 # lanes; localCheckpoint freezes it so reuse never recomputes the
 # all-pairs scoring (and the frozen artifact is exactly what the
 # incremental lane's contract requires)
-_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # keyed on applicationId, not id(spark): CPython can reuse a
+    # stopped session's id(), which would hand back DataFrames bound
+    # to a dead JVM context
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EDGE_CACHE:
         e = read_table(spark, sf_dir, "embeddings")
         _EDGE_CACHE[key] = GA.build_knn_graph(
@@ -1166,6 +1169,12 @@ def q514_connected_components_oracled(
         labels = new_labels
         if changed == 0:
             break
+    else:  # pragma: no cover - guards growth of the planted slice
+        raise RuntimeError(
+            "q514 label propagation did not converge in 32 rounds: "
+            "component diameter exceeds the loop bound; raising instead "
+            "of hashing a wrong comp_id assignment"
+        )
     return labels.groupBy(F.col("lbl").cast("long").alias("comp_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
@@ -1510,13 +1519,13 @@ def _q518_oracle() -> str:
                corr.est AS corr_estimate,
                ind.est AS indep_estimate,
                round(GREATEST(CAST(corr.est AS DOUBLE) / tru.t,
-                              CAST(tru.t AS DOUBLE) / corr.est), 6)
-                   AS corr_qerror,
+                              CAST(tru.t AS DOUBLE) / GREATEST(corr.est, 1)),
+                     6) AS corr_qerror,
                round(GREATEST(CAST(ind.est AS DOUBLE) / tru.t,
                               CAST(tru.t AS DOUBLE) / GREATEST(ind.est, 1)),
                      6) AS indep_qerror,
                GREATEST(CAST(corr.est AS DOUBLE) / tru.t,
-                        CAST(tru.t AS DOUBLE) / corr.est)
+                        CAST(tru.t AS DOUBLE) / GREATEST(corr.est, 1))
                    < GREATEST(CAST(ind.est AS DOUBLE) / tru.t,
                               CAST(tru.t AS DOUBLE) / GREATEST(ind.est, 1))
                    AS correlated_wins
@@ -1834,12 +1843,15 @@ def q520_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tot",
     )
     q, rem = divmod(n, _Q520_DECILES)
+    # integer DIV, not float-divide-then-cast: exact at any rank
+    # magnitude (the exact_ntile discipline — no float boundary can
+    # misassign a decile)
     decile = F.when(
         F.col("rk") <= rem * (q + 1),
-        (F.col("rk") - 1) / F.lit(q + 1),
+        F.expr(f"(rk - 1) DIV {q + 1}"),
     ).otherwise(
         F.lit(rem)
-        + (F.col("rk") - F.lit(rem * (q + 1)) - 1) / F.lit(max(q, 1))
+        + F.expr(f"(rk - {rem * (q + 1)} - 1) DIV {max(q, 1)}")
     ).cast("long") + 1
     curve = r.select(decile.alias("decile"), "cents").groupBy(
         "decile"
@@ -2494,9 +2506,9 @@ def q527_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Round-13b lanes (defer=True): the round-13 window is exactly full —
-# these queue for the round-14 driver window, locally parity-proven
-# meanwhile (clear the flags at r14 start per the rollover procedure).
+# Round-13b lanes (q528–q575): registered defer=True during round 13
+# (window was exactly full); flags cleared at round-14 start per the
+# rollover procedure — these now fill the round-14 driver window.
 # ---------------------------------------------------------------------------
 
 # q528 — result-cache invalidation matrix --------------------------------
@@ -2552,8 +2564,7 @@ def _q528_oracle() -> str:
     """
 
 
-@query("q528_result_cache_invalidation", oracle=_q528_oracle(),
-       defer=True)
+@query("q528_result_cache_invalidation", oracle=_q528_oracle())
 def q528_result_cache_invalidation(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2667,8 +2678,7 @@ def _q529_oracle() -> str:
     """
 
 
-@query("q529_dedup_cluster_canonicalization", oracle=_q529_oracle(),
-       defer=True)
+@query("q529_dedup_cluster_canonicalization", oracle=_q529_oracle())
 def q529_dedup_cluster_canonicalization(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2752,6 +2762,12 @@ def q529_dedup_cluster_canonicalization(
         labels = new_labels
         if changed == 0:
             break
+    else:  # pragma: no cover - guards growth of the near-dup graph
+        raise RuntimeError(
+            "q529 label propagation did not converge in 32 rounds: "
+            "cluster diameter exceeds the loop bound; raising instead "
+            "of hashing a wrong canonical_id assignment"
+        )
     return (
         labels.groupBy(F.col("lbl").cast("long").alias("canonical_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
@@ -2789,7 +2805,7 @@ def _q530_oracle() -> str:
     """
 
 
-@query("q530_seasonal_dow_index", oracle=_q530_oracle(), defer=True)
+@query("q530_seasonal_dow_index", oracle=_q530_oracle())
 def q530_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAY-OF-WEEK seasonal index — the first decomposition a demand
     forecast makes: mean order value per weekday relative to the
@@ -2865,7 +2881,7 @@ def _q531_oracle() -> str:
     """
 
 
-@query("q531_robust_anomaly_mad", oracle=_q531_oracle(), defer=True)
+@query("q531_robust_anomaly_mad", oracle=_q531_oracle())
 def q531_robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROBUST anomaly detection — median/MAD instead of mean/stddev,
     so one huge outlier day cannot mask itself by inflating the
@@ -2979,8 +2995,7 @@ def _q532_oracle() -> str:
     """
 
 
-@query("q532_matryoshka_truncation_audit", oracle=_q532_oracle(),
-       defer=True)
+@query("q532_matryoshka_truncation_audit", oracle=_q532_oracle())
 def q532_matryoshka_truncation_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3082,7 +3097,7 @@ def _q533_oracle() -> str:
     """
 
 
-@query("q533_class_reweighting_plan", oracle=_q533_oracle(), defer=True)
+@query("q533_class_reweighting_plan", oracle=_q533_oracle())
 def q533_class_reweighting_plan(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3130,7 +3145,7 @@ def _q534_oracle() -> str:
     return QUERIES["q519_drift_monitor_psi_ks"].oracle
 
 
-@query("q534_streaming_drift_monitor", oracle=_q534_oracle(), defer=True)
+@query("q534_streaming_drift_monitor", oracle=_q534_oracle())
 def q534_streaming_drift_monitor(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3245,7 +3260,7 @@ def _q535_oracle() -> str:
     return QUERIES["q526_markov_transition_matrix"].oracle
 
 
-@query("q535_streaming_transitions", oracle=_q535_oracle(), defer=True)
+@query("q535_streaming_transitions", oracle=_q535_oracle())
 def q535_streaming_transitions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3344,7 +3359,7 @@ def _q536_oracle() -> str:
     """
 
 
-@query("q536_graph_index_datasheet", oracle=_q536_oracle(), defer=True)
+@query("q536_graph_index_datasheet", oracle=_q536_oracle())
 def q536_graph_index_datasheet(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3466,7 +3481,7 @@ def _q537_oracle() -> str:
     """
 
 
-@query("q537_incremental_skyline", oracle=_q537_oracle(), defer=True)
+@query("q537_incremental_skyline", oracle=_q537_oracle())
 def q537_incremental_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL skyline maintenance — the algebraic property that
     makes the Pareto frontier cheap to keep fresh: skyline(old ∪ new)
@@ -3565,8 +3580,7 @@ def _q538_oracle() -> str:
     """
 
 
-@query("q538_funnel_latency_percentiles", oracle=_q538_oracle(),
-       defer=True)
+@query("q538_funnel_latency_percentiles", oracle=_q538_oracle())
 def q538_funnel_latency_percentiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3696,7 +3710,7 @@ def _q539_oracle() -> str:
     """
 
 
-@query("q539_ab_test_proportions", oracle=_q539_oracle(), defer=True)
+@query("q539_ab_test_proportions", oracle=_q539_oracle())
 def q539_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B TEST readout — the two-proportion z-test every
     experimentation platform runs, with the significance verdict in
@@ -3866,7 +3880,7 @@ def _q540_oracle() -> str:
     """
 
 
-@query("q540_kaplan_meier", oracle=_q540_oracle(), defer=True)
+@query("q540_kaplan_meier", oracle=_q540_oracle())
 def q540_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KAPLAN–MEIER survival estimator — time-to-conversion WITH
     CENSORING, the estimator naive conversion rates get wrong (a user
@@ -3992,7 +4006,7 @@ def _q541_oracle() -> str:
     """
 
 
-@query("q541_ewma_backtest", oracle=_q541_oracle(), defer=True)
+@query("q541_ewma_backtest", oracle=_q541_oracle())
 def q541_ewma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE-STEP-AHEAD forecast backtest with a DYADIC EWMA — q513's
     exact-decay discipline turned into a forecaster and scored
@@ -4083,8 +4097,7 @@ def _q542_oracle() -> str:
     """
 
 
-@query("q542_eager_aggregation_rewrite", oracle=_q542_oracle(),
-       defer=True)
+@query("q542_eager_aggregation_rewrite", oracle=_q542_oracle())
 def q542_eager_aggregation_rewrite(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4181,8 +4194,7 @@ def _q543_oracle() -> str:
     """
 
 
-@query("q543_decorrelated_above_average", oracle=_q543_oracle(),
-       defer=True)
+@query("q543_decorrelated_above_average", oracle=_q543_oracle())
 def q543_decorrelated_above_average(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4273,7 +4285,7 @@ def _q544_oracle() -> str:
     """
 
 
-@query("q544_unigram_logprob_scoring", oracle=_q544_oracle(), defer=True)
+@query("q544_unigram_logprob_scoring", oracle=_q544_oracle())
 def q544_unigram_logprob_scoring(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4343,8 +4355,7 @@ def _q545_oracle() -> str:
     return QUERIES["q544_unigram_logprob_scoring"].oracle
 
 
-@query("q545_streaming_logprob_scoring", oracle=_q545_oracle(),
-       defer=True)
+@query("q545_streaming_logprob_scoring", oracle=_q545_oracle())
 def q545_streaming_logprob_scoring(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4485,7 +4496,7 @@ def _q546_oracle() -> str:
     """
 
 
-@query("q546_slo_burn_rate", oracle=_q546_oracle(), defer=True)
+@query("q546_slo_burn_rate", oracle=_q546_oracle())
 def q546_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-WINDOW SLO BURN-RATE alerting — the SRE pattern that
     replaces naive threshold alerts: the error budget
@@ -4594,7 +4605,7 @@ def _q547_oracle() -> str:
     """
 
 
-@query("q547_rfm_segmentation", oracle=_q547_oracle(), defer=True)
+@query("q547_rfm_segmentation", oracle=_q547_oracle())
 def q547_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM SEGMENTATION — the marketing workhorse: every customer
     scored 1–{_Q547_Q} on Recency (days since last order, HIGHER
@@ -4681,8 +4692,7 @@ def _q548_oracle() -> str:
     """
 
 
-@query("q548_duplicate_payment_detection", oracle=_q548_oracle(),
-       defer=True)
+@query("q548_duplicate_payment_detection", oracle=_q548_oracle())
 def q548_duplicate_payment_detection(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4784,7 +4794,7 @@ def _q549_oracle() -> str:
     """
 
 
-@query("q549_benford_audit", oracle=_q549_oracle(), defer=True)
+@query("q549_benford_audit", oracle=_q549_oracle())
 def q549_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENFORD'S-LAW first-digit audit — the forensic-accounting
     screen for fabricated numbers: first digits of order totals (in
@@ -4887,7 +4897,7 @@ def _q550_oracle() -> str:
     """
 
 
-@query("q550_abc_classification", oracle=_q550_oracle(), defer=True)
+@query("q550_abc_classification", oracle=_q550_oracle())
 def q550_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC (PARETO) CLASSIFICATION — the inventory-management
     workhorse: parts ranked by revenue, class A = the head covering
@@ -4992,7 +5002,7 @@ def _q551_oracle() -> str:
     """
 
 
-@query("q551_ab_test_means", oracle=_q551_oracle(), defer=True)
+@query("q551_ab_test_means", oracle=_q551_oracle())
 def q551_ab_test_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B test on MEANS (revenue per purchase) — q539's proportions
     discipline extended to continuous metrics: per-arm count, sum and
@@ -5146,7 +5156,7 @@ def _q552_oracle() -> str:
     """
 
 
-@query("q552_position_attribution", oracle=_q552_oracle(), defer=True)
+@query("q552_position_attribution", oracle=_q552_oracle())
 def q552_position_attribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5258,7 +5268,7 @@ def _q553_oracle() -> str:
     """
 
 
-@query("q553_dsar_access_report", oracle=_q553_oracle(), defer=True)
+@query("q553_dsar_access_report", oracle=_q553_oracle())
 def q553_dsar_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSAR ACCESS report — the right-of-access complement of q479's
     right-to-be-forgotten: for a planted data-subject request set,
@@ -5385,8 +5395,7 @@ def _q554_oracle() -> str:
     """
 
 
-@query("q554_feature_store_materialization", oracle=_q554_oracle(),
-       defer=True)
+@query("q554_feature_store_materialization", oracle=_q554_oracle())
 def q554_feature_store_materialization(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5523,8 +5532,7 @@ def _q554_features(e: DataFrame) -> DataFrame:
                TRUE AS paths_agree
         FROM events
     """,
-    defer=True,
-)
+    )
 def q555_train_serve_skew_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5618,7 +5626,7 @@ def _q556_oracle() -> str:
     """
 
 
-@query("q556_hot_key_detection", oracle=_q556_oracle(), defer=True)
+@query("q556_hot_key_detection", oracle=_q556_oracle())
 def q556_hot_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HOT-KEY detection — the measurement that DECIDES salting
     (q147/q387 apply it; this lane says when): per-join-key row
@@ -5674,7 +5682,7 @@ def _q557_oracle() -> str:
     """
 
 
-@query("q557_salted_join_equivalence", oracle=_q557_oracle(), defer=True)
+@query("q557_salted_join_equivalence", oracle=_q557_oracle())
 def q557_salted_join_equivalence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5778,7 +5786,7 @@ def _q558_oracle() -> str:
     """
 
 
-@query("q558_order_reconciliation", oracle=_q558_oracle(), defer=True)
+@query("q558_order_reconciliation", oracle=_q558_oracle())
 def q558_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER/LINE RECONCILIATION — the double-entry audit a finance
     pipeline runs nightly: each order's header total against the
@@ -5880,7 +5888,7 @@ def _q559_oracle() -> str:
     """
 
 
-@query("q559_brand_affinity_matrix", oracle=_q559_oracle(), defer=True)
+@query("q559_brand_affinity_matrix", oracle=_q559_oracle())
 def q559_brand_affinity_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5976,7 +5984,7 @@ def _q560_oracle() -> str:
     """
 
 
-@query("q560_grouped_boxplot_stats", oracle=_q560_oracle(), defer=True)
+@query("q560_grouped_boxplot_stats", oracle=_q560_oracle())
 def q560_grouped_boxplot_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6097,7 +6105,7 @@ def _q561_oracle() -> str:
     """
 
 
-@query("q561_process_conformance", oracle=_q561_oracle(), defer=True)
+@query("q561_process_conformance", oracle=_q561_oracle())
 def q561_process_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROCESS-MINING conformance checking — the declared journey
     model (an allowed-transition whitelist) against the observed
@@ -6157,7 +6165,7 @@ def _q562_oracle() -> str:
     """
 
 
-@query("q562_top_event_paths", oracle=_q562_oracle(), defer=True)
+@query("q562_top_event_paths", oracle=_q562_oracle())
 def q562_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOP EVENT PATHS (length-3 sequence mining) — the "what do users
     actually do" report behind every journey map: per-user consecutive
@@ -6208,7 +6216,7 @@ def _q563_oracle() -> str:
     """
 
 
-@query("q563_activity_heatmap", oracle=_q563_oracle(), defer=True)
+@query("q563_activity_heatmap", oracle=_q563_oracle())
 def q563_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACTIVITY HEATMAP — the day-of-week × hour-of-day intensity
     matrix every ops dashboard opens with (when do users act? when do
@@ -6247,7 +6255,7 @@ def _q564_oracle() -> str:
     return QUERIES["q547_rfm_segmentation"].oracle
 
 
-@query("q564_streaming_rfm", oracle=_q564_oracle(), defer=True)
+@query("q564_streaming_rfm", oracle=_q564_oracle())
 def q564_streaming_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q547's RFM segmentation maintained AT INGEST — the pattern for
     any quantile-based segmentation under streaming: the per-customer
@@ -6377,7 +6385,7 @@ def _q565_oracle() -> str:
     """
 
 
-@query("q565_cohort_ltv_discounted", oracle=_q565_oracle(), defer=True)
+@query("q565_cohort_ltv_discounted", oracle=_q565_oracle())
 def q565_cohort_ltv_discounted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6403,9 +6411,11 @@ def q565_cohort_ltv_discounted(
         e.filter(F.col("event_type") == "purchase")
         .join(first_seen, "user_id")
         .crossJoin(F.broadcast(base))
+        .withColumn("off_d", day - F.col("d0"))
         .select(
             F.expr("(d0 - base) DIV 7").alias("cohort_week"),
-            ((day - F.col("d0")) / 7).cast("long").alias("week_offset"),
+            # integer DIV like the cohort axis — no float boundary
+            F.expr("off_d DIV 7").alias("week_offset"),
             F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
         )
     )
@@ -6473,7 +6483,7 @@ def _q566_oracle() -> str:
     """
 
 
-@query("q566_growth_accounting", oracle=_q566_oracle(), defer=True)
+@query("q566_growth_accounting", oracle=_q566_oracle())
 def q566_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROWTH ACCOUNTING — the new/retained/resurrected/churned
     decomposition (the Social Capital framework) that explains WHERE
@@ -6590,7 +6600,7 @@ def _q567_oracle() -> str:
     """
 
 
-@query("q567_dau_wau_stickiness", oracle=_q567_oracle(), defer=True)
+@query("q567_dau_wau_stickiness", oracle=_q567_oracle())
 def q567_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STICKINESS (DAU/WAU) per day — the engagement-frequency ratio
     growth teams track beside raw actives: daily actives, trailing
@@ -6657,7 +6667,7 @@ def _q568_oracle() -> str:
     """
 
 
-@query("q568_power_user_curve", oracle=_q568_oracle(), defer=True)
+@query("q568_power_user_curve", oracle=_q568_oracle())
 def q568_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POWER-USER CURVE — the activity-frequency histogram (how many
     users were active on exactly k days of the period): a
@@ -6753,8 +6763,7 @@ def _q569_oracle() -> str:
     """
 
 
-@query("q569_seasonal_adjusted_anomaly", oracle=_q569_oracle(),
-       defer=True)
+@query("q569_seasonal_adjusted_anomaly", oracle=_q569_oracle())
 def q569_seasonal_adjusted_anomaly(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6888,8 +6897,7 @@ def _q570_oracle() -> str:
     """
 
 
-@query("q570_sorted_neighborhood_linkage", oracle=_q570_oracle(),
-       defer=True)
+@query("q570_sorted_neighborhood_linkage", oracle=_q570_oracle())
 def q570_sorted_neighborhood_linkage(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7020,7 +7028,7 @@ def _q571_oracle() -> str:
     """
 
 
-@query("q571_burst_detection", oracle=_q571_oracle(), defer=True)
+@query("q571_burst_detection", oracle=_q571_oracle())
 def q571_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BURST DETECTION (rate limiting's analytical twin) — for every
     user, the PEAK number of events inside ANY trailing 60-minute
@@ -7100,8 +7108,7 @@ def _q572_oracle() -> str:
     """
 
 
-@query("q572_funnel_by_experiment_arm", oracle=_q572_oracle(),
-       defer=True)
+@query("q572_funnel_by_experiment_arm", oracle=_q572_oracle())
 def q572_funnel_by_experiment_arm(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7187,8 +7194,7 @@ def _q573_oracle() -> str:
     return QUERIES["q566_growth_accounting"].oracle
 
 
-@query("q573_streaming_growth_accounting", oracle=_q573_oracle(),
-       defer=True)
+@query("q573_streaming_growth_accounting", oracle=_q573_oracle())
 def q573_streaming_growth_accounting(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7342,7 +7348,7 @@ def _q574_oracle() -> str:
     """
 
 
-@query("q574_net_revenue_retention", oracle=_q574_oracle(), defer=True)
+@query("q574_net_revenue_retention", oracle=_q574_oracle())
 def q574_net_revenue_retention(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7476,7 +7482,7 @@ def _q575_oracle() -> str:
     """
 
 
-@query("q575_session_statistics", oracle=_q575_oracle(), defer=True)
+@query("q575_session_statistics", oracle=_q575_oracle())
 def q575_session_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SESSION STATISTICS — q80's gap sessionization rolled up to the
     product card: sessions cut at {_Q575_GAP_S // 60}-minute

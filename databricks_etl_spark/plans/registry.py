@@ -576,6 +576,58 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q477_int8_quantization_audit",
         "q478_physical_design_gate",
         "q479_erasure_compliance_audit",
+        # round-13 driver greens (CORRECTNESS_r13.json: 50/50 hash-green
+        # rows — q01 re-proven plus the deferred r12b/r12c families and
+        # the round-13 window q506–q528).
+        "q480_join_strategy_matrix",
+        "q481_partition_granularity_advisor",
+        "q482_file_count_sweep",
+        "q483_streaming_erasure",
+        "q484_hard_negative_mining",
+        "q485_two_level_metadata_pruning",
+        "q486_referential_integrity_audit",
+        "q487_functional_dependency_discovery",
+        "q488_join_elimination_advisor",
+        "q489_optimizer_datasheet",
+        "q490_ivm_retraction_delta",
+        "q491_corrupt_record_quarantine",
+        "q492_table_fingerprint",
+        "q493_anti_entropy_localization",
+        "q494_streaming_fingerprint",
+        "q495_maintenance_scheduler",
+        "q496_data_contract_card",
+        "q497_bipartite_bfs",
+        "q498_scd2_point_in_time_join",
+        "q499_stratified_kfold",
+        "q500_bootstrap_ci",
+        "q501_streaming_pit_attribution",
+        "q502_quantile_normalization",
+        "q503_incremental_recluster_plan",
+        "q504_market_basket_pairs",
+        "q505_multi_touch_attribution",
+        "q506_knn_graph_build_audit",
+        "q507_graph_reachable_topk",
+        "q508_graph_beam_recall_gate",
+        "q509_graph_incremental_insert",
+        "q510_recluster_plan_execution",
+        "q511_streaming_attribution_retractions",
+        "q512_range_join_binned",
+        "q513_dyadic_decay_score",
+        "q514_connected_components_oracled",
+        "q515_sliding_window_distinct",
+        "q516_skyline_pareto_front",
+        "q517_prefix_filtered_jaccard_join",
+        "q518_correlated_join_sampling",
+        "q519_drift_monitor_psi_ks",
+        "q520_lorenz_gini",
+        "q521_dp_budget_ledger",
+        "q522_streaming_sliding_distinct",
+        "q523_weighted_quantiles",
+        "q524_multistep_funnel_windows",
+        "q525_bitemporal_lookup",
+        "q526_markov_transition_matrix",
+        "q527_grouped_ols_trend",
+        "q528_result_cache_invalidation",
     }
 )
 

@@ -453,7 +453,10 @@ def test_broadcast_site_ledger():
         "queries_round10.py": 32,
         "queries_round11.py": 33,
         "queries_round11b.py": 30,
-        "queries_round12.py": 78,  # post-q504-fix count (was 80)
+        # post-q504-fix EXACT occurrence count (78, not 77: line 4354
+        # holds two sites — `grep -c` counts lines and undercounts;
+        # this ledger counts occurrences, matching read_text().count)
+        "queries_round12.py": 78,
         "queries_round4b.py": 11,
         "queries_round6.py": 8,
         "queries_round7.py": 15,
