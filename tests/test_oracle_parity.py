@@ -9,17 +9,53 @@ pass here implies a hash match there.
 
 from __future__ import annotations
 
+import hashlib
 import math
+import os
+import pathlib
 
 import pandas as pd
 import pytest
 
-from databricks_etl_spark.plans.registry import QUERIES, _load
+from databricks_etl_spark.plans.registry import _DRIVER_VERIFIED, QUERIES, _load
 
 _load()
 
 WITH_ORACLE = sorted(k for k, v in QUERIES.items() if v.oracle is not None)
 ROWS_ONLY = sorted(k for k, v in QUERIES.items() if v.oracle is None)
+
+# ---------------------------------------------------------------------------
+# Tiered gate (r13 verdict #3): driver-verified lanes have a green
+# CORRECTNESS_rN hash AND a full-suite history, so the ITERATION run
+# samples ~25% of them deterministically (rotating with the round
+# number so four rounds cover every lane) while never-verified lanes
+# always run.  The ROUND-CLOSE gate sets SPARK_GRAFT_PARITY_FULL=1 and
+# runs 100% — sampling bounds wall-clock growth, not coverage.
+# ---------------------------------------------------------------------------
+
+_PARITY_FULL = os.environ.get("SPARK_GRAFT_PARITY_FULL") == "1"
+# round number derives from the driver's artifact trail: N closed
+# rounds on disk → we are building round N+1
+_ROUND = len(
+    list(pathlib.Path(__file__).resolve().parents[1].glob("CORRECTNESS_r*.json"))
+) + 1
+
+
+def _sampled_in(name: str) -> bool:
+    """Deterministic ~25% rotating sample: md5 nibble of round:name."""
+    return int(hashlib.md5(f"{_ROUND}:{name}".encode()).hexdigest()[0], 16) < 4
+
+
+def _tiered(name: str):
+    if _PARITY_FULL or name not in _DRIVER_VERIFIED or _sampled_in(name):
+        return pytest.param(name)
+    return pytest.param(
+        name,
+        marks=pytest.mark.skip(
+            reason="verified tier sampled out this round; "
+            "SPARK_GRAFT_PARITY_FULL=1 runs 100% (round-close gate)"
+        ),
+    )
 
 
 def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -80,7 +116,7 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
             assert ok, f"{name}: col {c} row {i}: spark={x!r} duck={y!r}"
 
 
-@pytest.mark.parametrize("name", WITH_ORACLE)
+@pytest.mark.parametrize("name", [_tiered(n) for n in WITH_ORACLE])
 def test_oracle_parity(name, spark, duck, sf_dir):
     qd = QUERIES[name]
     df = qd.fn(spark, sf_dir)
@@ -105,6 +141,35 @@ def test_entry_smoke(spark, smoke_sf_dir):
     rows = df.collect()
     assert len(rows) > 0
     assert {"n_name", "revenue", "n_items"} == set(df.columns)
+
+
+def test_tiered_gate_mechanism():
+    """Pins the verified-tier sampling contract: never-verified lanes
+    are never sampled out, the per-round sample stays a real fraction
+    (neither ~0 nor ~everything), and the md5 rotation covers every
+    verified lane within 32 rounds — sampling bounds wall-clock, not
+    eventual coverage.  The round-close gate is exempt by env var."""
+    verified = [n for n in WITH_ORACLE if n in _DRIVER_VERIFIED]
+    assert verified, "ledger empty — registry fold regressed"
+
+    def in_round(name: str, rnd: int) -> bool:
+        return int(hashlib.md5(f"{rnd}:{name}".encode()).hexdigest()[0], 16) < 4
+
+    share = sum(in_round(n, _ROUND) for n in verified) / len(verified)
+    assert 0.10 < share < 0.50, f"sample share {share:.3f} drifted"
+    never = [
+        n
+        for n in verified
+        if not any(in_round(n, r) for r in range(_ROUND, _ROUND + 32))
+    ]
+    assert not never, f"lanes never sampled within 32 rounds: {never}"
+    # full mode: every oracled lane runs (no skip marks at all)
+    if _PARITY_FULL:
+        assert all(not p.marks for p in (_tiered(n) for n in WITH_ORACLE))
+    # never-verified lanes always run regardless of mode
+    assert all(
+        not _tiered(n).marks for n in WITH_ORACLE if n not in _DRIVER_VERIFIED
+    )
 
 
 def test_zero_sign_mismatch_is_caught():
