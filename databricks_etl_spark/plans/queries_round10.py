@@ -2199,7 +2199,7 @@ def _q357_oracle() -> str:
     """
 
 
-@query("q357_stratified_eval_sample", oracle=_q357_oracle(), bench=True)
+@query("q357_stratified_eval_sample", oracle=_q357_oracle())
 def q357_stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A deterministic, PORTABLE stratified sample: exactly
     min({_Q357_N}, available) docs per source, selected by salted-md5

@@ -2097,7 +2097,7 @@ def _q523_oracle() -> str:
     """
 
 
-@query("q523_weighted_quantiles", oracle=_q523_oracle())
+@query("q523_weighted_quantiles", oracle=_q523_oracle(), bench=True)
 def q523_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT WEIGHTED QUANTILES — the statistic percentile_approx
     cannot give you and unweighted exact_ntile cannot either: the
