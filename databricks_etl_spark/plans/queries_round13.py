@@ -67,6 +67,13 @@ def _edges_cte() -> str:
 # lanes; localCheckpoint freezes it so reuse never recomputes the
 # all-pairs scoring (and the frozen artifact is exactly what the
 # incremental lane's contract requires)
+# Epoch count for the streaming-twin lanes' deterministic slicing
+# (q534/q535/q545/q564/q573). 2 = the driver-facing parity slicing;
+# tests raise it (monkeypatch) to prove drain ≡ batch under a hostile
+# many-tiny-batch slicing — the additive-partials contract must hold
+# for ANY k, so the constant is semantics-neutral by design.
+_STREAM_EPOCHS = 2
+
 _EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -2043,8 +2050,9 @@ def q522_streaming_sliding_distinct(
             .parquet(f"{path}/daycounts")
         )
 
-    ingest(e.filter(F.col("event_id") % 2 == 0), 0)
-    ingest(e.filter(F.col("event_id") % 2 == 1), 1)
+    for _ep in range(_STREAM_EPOCHS):
+        ingest(e.filter(
+            F.col("event_id") % _STREAM_EPOCHS == _ep), _ep)
     du = (
         spark.read.schema("d int, user_id long, __epoch int")
         .parquet(f"{path}/grain")
@@ -3203,8 +3211,9 @@ def q534_streaming_drift_monitor(
             .parquet(path)
         )
 
-    ingest(p_all.filter(F.col("event_id") % 2 == 0), 0)
-    ingest(p_all.filter(F.col("event_id") % 2 == 1), 1)
+    for _ep in range(_STREAM_EPOCHS):
+        ingest(p_all.filter(
+            F.col("event_id") % _STREAM_EPOCHS == _ep), _ep)
     counts = (
         spark.read.schema("bin long, ca long, cb long, __epoch int")
         .parquet(path)
@@ -3299,8 +3308,9 @@ def q535_streaming_transitions(
             .parquet(path)
         )
 
-    ingest(e.filter(F.col("event_id") % 2 == 0), 0)
-    ingest(e.filter(F.col("event_id") % 2 == 1), 1)
+    for _ep in range(_STREAM_EPOCHS):
+        ingest(e.filter(
+            F.col("event_id") % _STREAM_EPOCHS == _ep), _ep)
     landed = (
         spark.read.schema(
             "user_id long, ts timestamp_ntz, event_id long,"
@@ -4405,8 +4415,9 @@ def q545_streaming_logprob_scoring(
             .parquet(f"{path}/grain")
         )
 
-    ingest(d.filter(F.col("doc_id") % 2 == 0), 0)
-    ingest(d.filter(F.col("doc_id") % 2 == 1), 1)
+    for _ep in range(_STREAM_EPOCHS):
+        ingest(d.filter(
+            F.col("doc_id") % _STREAM_EPOCHS == _ep), _ep)
     vocab = (
         spark.read.schema("token string, tf long, __epoch int")
         .parquet(f"{path}/vocab")
@@ -6301,8 +6312,9 @@ def q564_streaming_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
 
-    ingest(o.filter(F.col("o_orderkey") % 2 == 0), 0)
-    ingest(o.filter(F.col("o_orderkey") % 2 == 1), 1)
+    for _ep in range(_STREAM_EPOCHS):
+        ingest(o.filter(
+            F.col("o_orderkey") % _STREAM_EPOCHS == _ep), _ep)
     per = (
         spark.read.schema(
             "custkey long, last_d date, freq long, cents long,"
@@ -7233,8 +7245,9 @@ def q573_streaming_growth_accounting(
             .parquet(path)
         )
 
-    ingest(e.filter(F.col("event_id") % 2 == 0), 0)
-    ingest(e.filter(F.col("event_id") % 2 == 1), 1)
+    for _ep in range(_STREAM_EPOCHS):
+        ingest(e.filter(
+            F.col("event_id") % _STREAM_EPOCHS == _ep), _ep)
     du = (
         spark.read.schema("d int, user_id long, __epoch int")
         .parquet(path)

@@ -506,3 +506,40 @@ def test_q566_growth_identity(spark, smoke_sf_dir):
             r["new_users"] + r["retained"] + r["resurrected"]
             == dau[r["day"]]
         ), r
+
+
+# ---------------------------------------------------------------------------
+# Hostile-slicing closure for the streaming-analytics twins (r13
+# verdict #7): the additive-partials contract must hold for ANY epoch
+# slicing, not just the driver-facing 2-way parity split — so re-drain
+# each twin under a 13-way slicing (boundary-heavy, tiny batches) and
+# require bit-identical output vs the batch lane, the q501/q511
+# discipline applied to the analytics families.
+# ---------------------------------------------------------------------------
+
+_TWINS = [
+    ("q534_streaming_drift_monitor", "q519_drift_monitor_psi_ks"),
+    ("q535_streaming_transitions", "q526_markov_transition_matrix"),
+    ("q545_streaming_logprob_scoring", "q544_unigram_logprob_scoring"),
+    ("q564_streaming_rfm", "q547_rfm_segmentation"),
+    ("q573_streaming_growth_accounting", "q566_growth_accounting"),
+    ("q522_streaming_sliding_distinct", "q515_sliding_window_distinct"),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("stream_name,batch_name", _TWINS)
+def test_streaming_twin_hostile_slicing(
+    spark, smoke_sf_dir, monkeypatch, stream_name, batch_name
+):
+    """Drain ≡ batch under a hostile 13-way epoch slicing (most rows
+    land in tiny batches; sequence/window boundaries cross epochs far
+    more often than under the 2-way parity split)."""
+    import databricks_etl_spark.plans.queries_round13 as m
+    from databricks_etl_spark.plans.registry import queries
+
+    q = queries()
+    batch = sorted(map(tuple, q[batch_name](spark, smoke_sf_dir).collect()))
+    monkeypatch.setattr(m, "_STREAM_EPOCHS", 13)
+    drained = sorted(map(tuple, q[stream_name](spark, smoke_sf_dir).collect()))
+    assert drained == batch
