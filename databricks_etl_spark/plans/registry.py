@@ -726,9 +726,11 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_round12  # noqa: F401
     # round-13 modules
     import databricks_etl_spark.plans.queries_round13  # noqa: F401
+    # round-14 modules
+    import databricks_etl_spark.plans.queries_round14  # noqa: F401
 
-    assert len(QUERIES) >= 573, (
-        f"query registry shrank: {len(QUERIES)} < 573 — a module failed to register"
+    assert len(QUERIES) >= 574, (
+        f"query registry shrank: {len(QUERIES)} < 574 — a module failed to register"
     )
     _reorder()
     _loaded = True

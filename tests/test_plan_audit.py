@@ -466,6 +466,7 @@ def test_broadcast_site_ledger():
         "queries_scale.py": 1,
         "queries_tpch.py": 13,
         "queries_round13.py": 44,  # all 1-row stat finals, literal grids, or bounded-by-construction relations (audited)
+        "queries_round14.py": 1,  # q576: 1-row base/insert count card
     }
     plans = pathlib.Path(__file__).resolve().parents[1] / (
         "databricks_etl_spark/plans"
