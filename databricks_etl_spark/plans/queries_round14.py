@@ -156,3 +156,362 @@ def q576_streaming_graph_insert(
         )
         .crossJoin(F.broadcast(counts))
     )
+
+
+# ---------------------------------------------------------------------------
+# q577/q578 — multi-vector LATE-INTERACTION retrieval (ColBERT-style
+# MaxSim) — r13 verdict #5
+# ---------------------------------------------------------------------------
+#
+# The retrieval surface the similarity ladder doesn't cover: a query is
+# MANY vectors (its chunks), a document is many vectors, and
+# score(q, d) = Σ_{qc ∈ q} max_{dc ∈ d} cosine(qc, dc) — the late-
+# interaction family (ColBERT), which beats single-vector pooling when
+# relevance is local to a passage. Both lanes reuse q332's
+# deterministic feature-hash chunk embeddings (md5 bucket+sign — every
+# float op engine-exact) at the q318 chunk grain, so MaxSim is fully
+# oracle-expressible: a per-(query-chunk, doc) MAX then a per-(query,
+# doc) exact-decimal SUM — the q47 fold discipline, per chunk.
+
+_Q577_TOPK = 10
+
+
+def _q577_base_sql() -> str:
+    """Shared CTE chain: chunk embeddings for corpus docs (``cemb``:
+    doc_id, chunk_idx, ce) and query docs (``qcemb``: qid, qchunk,
+    qe) — doc_id % 50 == 0 are the benchmark queries, the q332
+    convention."""
+    from databricks_etl_spark.plans.queries_round8 import _q318_chunks_sql
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q332_NRM,
+        _q332_emb_list,
+        _q332_nibble,
+    )
+
+    n1, n2, n3 = _q332_nibble(1), _q332_nibble(2), _q332_nibble(3)
+    from databricks_etl_spark.plans.queries_round9 import _Q332_D
+
+    return f"""{_q318_chunks_sql()},
+        ctok AS (
+            SELECT doc_id, chunk_idx,
+                   unnest(string_split(chunk_text, ' ')) AS t
+            FROM chunks WHERE n_chunk_tokens >= 1
+        ),
+        cent AS (
+            SELECT doc_id, chunk_idx,
+                   ({n1} * 16 + {n2}) % {_Q332_D} AS bucket,
+                   CASE WHEN {n3} % 2 = 0 THEN 1 ELSE -1 END AS sign
+            FROM ctok WHERE length(t) >= 1
+        ),
+        emb0 AS (
+            SELECT doc_id, chunk_idx, {_q332_emb_list()} AS ce
+            FROM cent GROUP BY 1, 2
+        ),
+        emb AS (
+            SELECT doc_id, chunk_idx, ce FROM emb0
+            WHERE {_Q332_NRM.format(v='ce')} > 0
+        ),
+        cemb AS (
+            SELECT doc_id, chunk_idx, ce FROM emb WHERE doc_id % 50 != 0
+        ),
+        qcemb AS (
+            SELECT doc_id AS qid, chunk_idx AS qchunk, ce AS qe
+            FROM emb WHERE doc_id % 50 = 0
+        )"""
+
+
+def _q577_maxsim_sql() -> str:
+    """MaxSim scored relation CTEs (``sc``: qid, doc_id, maxsim) on
+    top of :func:`_q577_base_sql`."""
+    from databricks_etl_spark.plans.queries_round9 import _Q332_D, _Q332_NRM
+
+    dot_qc = (
+        f"list_sum(list_transform(range(1, {_Q332_D} + 1), "
+        f"i -> q.qe[i] * c.ce[i]))"
+    )
+    sim = (
+        f"round({dot_qc} / (sqrt({_Q332_NRM.format(v='q.qe')})"
+        f" * sqrt({_Q332_NRM.format(v='c.ce')})), 6)"
+    )
+    return f"""s AS (
+            SELECT q.qid, q.qchunk, c.doc_id, {sim} AS sim
+            FROM qcemb q JOIN cemb c ON TRUE
+        ),
+        mx AS (
+            SELECT qid, qchunk, doc_id, MAX(sim) AS mx
+            FROM s GROUP BY 1, 2, 3
+        ),
+        sc AS (
+            SELECT qid, doc_id,
+                   round(CAST(SUM(CAST(mx AS DECIMAL(28,6))) AS DOUBLE),
+                         6) AS maxsim
+            FROM mx GROUP BY 1, 2
+        )"""
+
+
+def _q577_oracle() -> str:
+    return f"""
+        WITH {_q577_base_sql()},
+        {_q577_maxsim_sql()}
+        SELECT qid, doc_id, rank, maxsim FROM (
+            SELECT qid, doc_id, maxsim,
+                   CAST(row_number() OVER (
+                       PARTITION BY qid ORDER BY maxsim DESC, doc_id
+                   ) AS BIGINT) AS rank
+            FROM sc
+        ) WHERE rank <= {_Q577_TOPK}
+    """
+
+
+def _q577_relations(spark: SparkSession, sf_dir: str):
+    """Spark twin of :func:`_q577_base_sql`: (cemb, qcemb) chunk
+    embeddings — the single source both MaxSim lanes build on."""
+    from databricks_etl_spark.operators.text import chunk_tokens, tokens_col
+    from databricks_etl_spark.plans.queries_round8 import _Q318_S, _Q318_W
+    from databricks_etl_spark.plans.queries_round9 import _q332_embed
+
+    d = read_table(spark, sf_dir, "documents")
+    chunks = chunk_tokens(d, _Q318_W, _Q318_S).select(
+        "doc_id", "chunk_idx", tokens_col("chunk_text").alias("__toks")
+    )
+    nrm = lambda v: F.aggregate(  # noqa: E731
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    emb = _q332_embed(chunks, ["doc_id", "chunk_idx"], F.col("__toks")).filter(
+        nrm(F.col("emb")) > 0
+    )
+    cemb = emb.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "chunk_idx", F.col("emb").alias("ce")
+    )
+    qcemb = emb.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.col("chunk_idx").alias("qchunk"),
+        F.col("emb").alias("qe"),
+    )
+    return cemb, qcemb
+
+
+def _q577_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, doc_id, maxsim) — the MaxSim scored relation, Spark side."""
+    from databricks_etl_spark.operators.similarity import cosine
+
+    cemb, qcemb = _q577_relations(spark, sf_dir)
+    s = cemb.join(F.broadcast(qcemb), F.lit(True)).select(
+        "qid",
+        "qchunk",
+        "doc_id",
+        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+    )
+    mx = s.groupBy("qid", "qchunk", "doc_id").agg(F.max("sim").alias("mx"))
+    return mx.groupBy("qid", "doc_id").agg(
+        F.round(
+            F.sum(F.col("mx").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("maxsim")
+    )
+
+
+@query("q577_maxsim_late_interaction", oracle=_q577_oracle(), defer=True)
+def q577_maxsim_late_interaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ColBERT-style LATE-INTERACTION retrieval, fully oracled: every
+    (query chunk, doc chunk) pair is scored with the 6dp engine-exact
+    cosine, per-(query-chunk, doc) maxes fold into the per-(query,
+    doc) MaxSim sum (exact decimal — chunk counts are small, the sum
+    is hash-stable), and each query returns its top-{_Q577_TOPK} docs
+    under the (maxsim DESC, doc_id ASC) total order.
+
+    Scale shape: the benchmark query set is broadcast (bounded by
+    contract); chunk scoring is one map-side pass over the corpus
+    chunk relation; MAX and SUM are keyed aggregates on (qid, qchunk,
+    doc) / (qid, doc). At 100 TB the all-pairs scoring is replaced by
+    candidate generation from the ladder's sublinear rungs (IVF cells
+    q332/q341, LSH bands, graph beam q508) with MaxSim re-scoring
+    only the candidates — the standard late-interaction serving
+    shape; this lane is the exact-truth construction those candidates
+    are audited against."""
+    sc = _q577_scores(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.desc("maxsim"), F.asc("doc_id"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _Q577_TOPK)
+        .select(
+            "qid", "doc_id", F.col("rank").cast("long").alias("rank"),
+            "maxsim",
+        )
+    )
+
+
+# q578 — MaxSim vs single-vector pooled retrieval (overlap eval) ---------
+
+
+def _q578_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q332_D,
+        _Q332_NRM,
+        _q332_emb_list,
+        _q332_nibble,
+    )
+
+    n1, n2, n3 = _q332_nibble(1), _q332_nibble(2), _q332_nibble(3)
+    dot_qc = (
+        f"list_sum(list_transform(range(1, {_Q332_D} + 1), "
+        f"i -> q.qv[i] * c.ve[i]))"
+    )
+    psim = (
+        f"round({dot_qc} / (sqrt({_Q332_NRM.format(v='q.qv')})"
+        f" * sqrt({_Q332_NRM.format(v='c.ve')})), 6)"
+    )
+    return f"""
+        WITH {_q577_base_sql()},
+        {_q577_maxsim_sql()},
+        m10 AS (
+            SELECT qid, doc_id, rank FROM (
+                SELECT qid, doc_id,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY maxsim DESC, doc_id
+                       ) AS rank
+                FROM sc
+            ) WHERE rank <= {_Q577_TOPK}
+        ),
+        dtok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ),
+        dent AS (
+            SELECT doc_id,
+                   ({n1} * 16 + {n2}) % {_Q332_D} AS bucket,
+                   CASE WHEN {n3} % 2 = 0 THEN 1 ELSE -1 END AS sign
+            FROM dtok WHERE length(t) >= 1
+        ),
+        demb0 AS (
+            SELECT doc_id, {_q332_emb_list()} AS ve
+            FROM dent GROUP BY 1
+        ),
+        demb AS (
+            SELECT doc_id, ve FROM demb0
+            WHERE {_Q332_NRM.format(v='ve')} > 0
+        ),
+        pden AS (SELECT doc_id, ve FROM demb WHERE doc_id % 50 != 0),
+        pq AS (
+            SELECT doc_id AS qid, ve AS qv FROM demb WHERE doc_id % 50 = 0
+        ),
+        ps AS (
+            SELECT q.qid, c.doc_id, {psim} AS sim
+            FROM pq q JOIN pden c ON TRUE
+        ),
+        p10 AS (
+            SELECT qid, doc_id, rank FROM (
+                SELECT qid, doc_id,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY sim DESC, doc_id
+                       ) AS rank
+                FROM ps
+            ) WHERE rank <= {_Q577_TOPK}
+        ),
+        ov AS (
+            SELECT m.qid, CAST(COUNT(p.doc_id) AS BIGINT) AS n_common
+            FROM m10 m LEFT JOIN p10 p
+                ON m.qid = p.qid AND m.doc_id = p.doc_id
+            GROUP BY 1
+        ),
+        m1 AS (SELECT qid, doc_id AS maxsim_top1 FROM m10 WHERE rank = 1),
+        p1 AS (SELECT qid, doc_id AS pooled_top1 FROM p10 WHERE rank = 1)
+        SELECT ov.qid, ov.n_common AS overlap_at_10,
+               round(CAST(ov.n_common AS DOUBLE) / {_Q577_TOPK}, 6)
+                   AS overlap_frac,
+               m1.maxsim_top1, p1.pooled_top1,
+               m1.maxsim_top1 = p1.pooled_top1 AS top1_agree
+        FROM ov JOIN m1 ON ov.qid = m1.qid JOIN p1 ON ov.qid = p1.qid
+    """
+
+
+@query("q578_maxsim_vs_pooled_eval", oracle=_q578_oracle(), defer=True)
+def q578_maxsim_vs_pooled_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Late-interaction vs POOLED single-vector retrieval, judged on
+    the same corpus: per query, the MaxSim top-{_Q577_TOPK} (q577's
+    scored relation) against the whole-document pooled-embedding
+    top-{_Q577_TOPK} (the q47 single-vector discipline at doc grain)
+    — set overlap, overlap fraction, and whether the two rankers
+    agree on the #1 document.  The eval a retrieval team runs before
+    paying the multi-vector serving cost: late interaction matters
+    exactly where this card shows the rankers diverging.
+
+    Scale shape: both rankers share the broadcast benchmark query
+    set; pooled scoring is one map-side corpus pass; the overlap join
+    is on the tiny per-query top-k sets."""
+    from databricks_etl_spark.operators.similarity import cosine
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round9 import _q332_embed
+
+    sc = _q577_scores(spark, sf_dir)
+    wm = Window.partitionBy("qid").orderBy(F.desc("maxsim"), F.asc("doc_id"))
+    m10 = (
+        sc.withColumn("rank", F.row_number().over(wm))
+        .filter(F.col("rank") <= _Q577_TOPK)
+        .select("qid", "doc_id", "rank")
+        .localCheckpoint()
+    )
+    d = read_table(spark, sf_dir, "documents")
+    nrm = lambda v: F.aggregate(  # noqa: E731
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    demb = _q332_embed(
+        d.select("doc_id", tokens_col("text").alias("__toks")),
+        ["doc_id"],
+        F.col("__toks"),
+    ).filter(nrm(F.col("emb")) > 0)
+    pden = demb.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.col("emb").alias("ve")
+    )
+    pq = demb.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("emb").alias("qv")
+    )
+    ps = pden.join(F.broadcast(pq), F.lit(True)).select(
+        "qid",
+        "doc_id",
+        F.round(cosine(F.col("qv"), F.col("ve")), 6).alias("sim"),
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("doc_id"))
+    p10 = (
+        ps.withColumn("rank", F.row_number().over(wp))
+        .filter(F.col("rank") <= _Q577_TOPK)
+        .select("qid", "doc_id", "rank")
+        .localCheckpoint()
+    )
+    ov = (
+        m10.alias("m")
+        .join(
+            p10.alias("p"),
+            (F.col("m.qid") == F.col("p.qid"))
+            & (F.col("m.doc_id") == F.col("p.doc_id")),
+            "left",
+        )
+        .groupBy(F.col("m.qid").alias("qid"))
+        .agg(F.count(F.col("p.doc_id")).cast("long").alias("n_common"))
+    )
+    m1 = m10.filter(F.col("rank") == 1).select(
+        "qid", F.col("doc_id").alias("maxsim_top1")
+    )
+    p1 = p10.filter(F.col("rank") == 1).select(
+        "qid", F.col("doc_id").alias("pooled_top1")
+    )
+    return (
+        ov.join(m1, "qid")
+        .join(p1, "qid")
+        .select(
+            "qid",
+            F.col("n_common").alias("overlap_at_10"),
+            F.round(
+                F.col("n_common").cast("double") / _Q577_TOPK, 6
+            ).alias("overlap_frac"),
+            "maxsim_top1",
+            "pooled_top1",
+            (F.col("maxsim_top1") == F.col("pooled_top1")).alias(
+                "top1_agree"
+            ),
+        )
+    )

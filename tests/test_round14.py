@@ -9,6 +9,7 @@ import shutil
 
 import pyspark.sql.functions as F
 import pytest
+from pyspark.sql import Window
 
 import databricks_etl_spark.plans.queries_round13 as r13
 import databricks_etl_spark.plans.queries_round14 as r14
@@ -69,3 +70,79 @@ def test_q576_replay_is_idempotent(spark, smoke_sf_dir, tmp_path):
     second = _collect_sorted(r14._q576_drain(spark, path))
     assert first == second
     assert len(first) > 0
+
+
+def test_q577_topk_shape_and_monotonicity(spark, smoke_sf_dir):
+    """Every query returns exactly top-k rows, ranks 1..k, maxsim
+    non-increasing in rank (the total-order contract)."""
+    from databricks_etl_spark.plans.registry import queries
+
+    rows = queries()["q577_maxsim_late_interaction"](
+        spark, smoke_sf_dir
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert by_q
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) == 10
+        sims = [r["maxsim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_q577_maxsim_dominates_fixed_assignment(spark, smoke_sf_dir):
+    """The defining MaxSim dominance: Σ_qc max_dc sim(qc, dc) is ≥ the
+    sum under ANY fixed chunk assignment — here each query chunk
+    scored against the document's FIRST chunk.  (Note the bound that
+    does NOT hold: the single best pair sim can exceed MaxSim when
+    other query chunks contribute negative maxes — signed feature-hash
+    cosines live in [-1, 1].)"""
+    from databricks_etl_spark.operators.similarity import cosine
+    from databricks_etl_spark.plans.queries_round14 import (
+        _q577_relations,
+        _q577_scores,
+    )
+
+    cemb, qcemb = _q577_relations(spark, smoke_sf_dir)
+    wfirst = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    first_chunk = (
+        cemb.withColumn("__rk", F.row_number().over(wfirst))
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "ce")
+    )
+    fixed = (
+        first_chunk.join(F.broadcast(qcemb), F.lit(True))
+        .select(
+            "qid",
+            "doc_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum(F.col("sim").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("fixed_sum")
+        )
+    )
+    sc = _q577_scores(spark, smoke_sf_dir)
+    bad = (
+        sc.join(fixed, ["qid", "doc_id"])
+        .filter(F.col("maxsim") < F.col("fixed_sum") - 1e-9)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_q578_overlap_bounds(spark, smoke_sf_dir):
+    """Overlap is in [0, 10]; top1_agree matches the id columns."""
+    from databricks_etl_spark.plans.registry import queries
+
+    rows = queries()["q578_maxsim_vs_pooled_eval"](
+        spark, smoke_sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["overlap_at_10"] <= 10
+        assert r["top1_agree"] == (r["maxsim_top1"] == r["pooled_top1"])
