@@ -427,22 +427,10 @@ def _q578_oracle() -> str:
     """
 
 
-@query("q578_maxsim_vs_pooled_eval", oracle=_q578_oracle(), defer=True)
-def q578_maxsim_vs_pooled_eval(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Late-interaction vs POOLED single-vector retrieval, judged on
-    the same corpus: per query, the MaxSim top-{_Q577_TOPK} (q577's
-    scored relation) against the whole-document pooled-embedding
-    top-{_Q577_TOPK} (the q47 single-vector discipline at doc grain)
-    — set overlap, overlap fraction, and whether the two rankers
-    agree on the #1 document.  The eval a retrieval team runs before
-    paying the multi-vector serving cost: late interaction matters
-    exactly where this card shows the rankers diverging.
-
-    Scale shape: both rankers share the broadcast benchmark query
-    set; pooled scoring is one map-side corpus pass; the overlap join
-    is on the tiny per-query top-k sets."""
+def _q578_rankings(spark: SparkSession, sf_dir: str):
+    """(m10, p10): the MaxSim and pooled top-k rankings both eval
+    lanes (q578 overlap, q580 RRF fusion) consume — one source so the
+    rankers cannot drift between the evals."""
     from databricks_etl_spark.operators.similarity import cosine
     from databricks_etl_spark.operators.text import tokens_col
     from databricks_etl_spark.plans.queries_round9 import _q332_embed
@@ -482,6 +470,26 @@ def q578_maxsim_vs_pooled_eval(
         .select("qid", "doc_id", "rank")
         .localCheckpoint()
     )
+    return m10, p10
+
+
+@query("q578_maxsim_vs_pooled_eval", oracle=_q578_oracle(), defer=True)
+def q578_maxsim_vs_pooled_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Late-interaction vs POOLED single-vector retrieval, judged on
+    the same corpus: per query, the MaxSim top-{_Q577_TOPK} (q577's
+    scored relation) against the whole-document pooled-embedding
+    top-{_Q577_TOPK} (the q47 single-vector discipline at doc grain)
+    — set overlap, overlap fraction, and whether the two rankers
+    agree on the #1 document.  The eval a retrieval team runs before
+    paying the multi-vector serving cost: late interaction matters
+    exactly where this card shows the rankers diverging.
+
+    Scale shape: both rankers share the broadcast benchmark query
+    set; pooled scoring is one map-side corpus pass; the overlap join
+    is on the tiny per-query top-k sets."""
+    m10, p10 = _q578_rankings(spark, sf_dir)
     ov = (
         m10.alias("m")
         .join(
@@ -513,5 +521,337 @@ def q578_maxsim_vs_pooled_eval(
             (F.col("maxsim_top1") == F.col("pooled_top1")).alias(
                 "top1_agree"
             ),
+        )
+    )
+
+
+# q579 — MaxSim over IVF-cell candidates (the scale path) + recall gate
+
+
+def _q579_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round9 import _q332_cell_case
+
+    return f"""
+        WITH {_q577_base_sql()},
+        {_q577_maxsim_sql()},
+        truth AS (
+            SELECT qid, doc_id, rank FROM (
+                SELECT qid, doc_id,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY maxsim DESC, doc_id
+                       ) AS rank
+                FROM sc
+            ) WHERE rank <= {_Q577_TOPK}
+        ),
+        ccell AS (
+            SELECT doc_id, chunk_idx, ce,
+                   {_q332_cell_case('ce')} AS cell
+            FROM cemb
+        ),
+        qcell AS (
+            SELECT qid, qchunk, qe, {_q332_cell_case('qe')} AS cell
+            FROM qcemb
+        ),
+        sa AS (
+            SELECT q.qid, q.qchunk, c.doc_id,
+                   round(list_sum(list_transform(
+                             range(1, len(q.qe) + 1),
+                             i -> q.qe[i] * c.ce[i]))
+                         / (sqrt(list_sum(list_transform(
+                                q.qe, x -> x * x)))
+                            * sqrt(list_sum(list_transform(
+                                c.ce, x -> x * x)))), 6) AS sim
+            FROM qcell q JOIN ccell c ON q.cell = c.cell
+        ),
+        amx AS (
+            SELECT qid, qchunk, doc_id, MAX(sim) AS mx
+            FROM sa GROUP BY 1, 2, 3
+        ),
+        asc_ AS (
+            SELECT qid, doc_id,
+                   round(CAST(SUM(CAST(mx AS DECIMAL(28,6))) AS DOUBLE),
+                         6) AS amaxsim
+            FROM amx GROUP BY 1, 2
+        ),
+        approx AS (
+            SELECT qid, doc_id FROM (
+                SELECT qid, doc_id,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY amaxsim DESC, doc_id
+                       ) AS rank
+                FROM asc_
+            ) WHERE rank <= {_Q577_TOPK}
+        ),
+        hits AS (
+            SELECT t.qid,
+                   CAST(COUNT(a.doc_id) AS BIGINT) AS n_hit,
+                   MIN(CASE WHEN t.rank = 1 AND a.doc_id IS NOT NULL
+                            THEN 1.0 END) AS top1_found
+            FROM truth t
+            LEFT JOIN approx a ON t.qid = a.qid AND t.doc_id = a.doc_id
+            GROUP BY t.qid
+        ),
+        per AS (
+            SELECT qid,
+                   CAST(round(n_hit / {_Q577_TOPK}.0, 6)
+                        AS DECIMAL(18,9)) AS recall10,
+                   CAST(COALESCE(top1_found, 0.0) AS DECIMAL(18,9)) AS top1
+            FROM hits
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               round(CAST(SUM(recall10) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_recall_at_10,
+               round(CAST(SUM(top1) AS DOUBLE) / COUNT(*), 6)
+                   AS top1_recall
+        FROM per
+    """
+
+
+@query("q579_maxsim_ann_recall_gate", oracle=_q579_oracle(), defer=True)
+def q579_maxsim_ann_recall_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The late-interaction SCALE path, gated against its own truth:
+    q577's all-pairs MaxSim is replaced by candidate generation from
+    the q332 comb-quantizer IVF cells (a query chunk only scores doc
+    chunks in ITS cell — n_probe=1; query chunks with no same-cell
+    chunk of a doc contribute nothing to that doc's sum), and the
+    approximate top-{_Q577_TOPK} is scored against the exact MaxSim
+    ranking: recall@{_Q577_TOPK} and top-1 recall per query, averaged
+    — the q332/q508 recall-gate discipline applied to multi-vector
+    retrieval.  Fully oracled: both rankings share the engine-exact
+    feature-hash arithmetic.
+
+    Scale shape: the candidate join is an EQUI join on cell (the
+    whole point — no all-pairs scoring at serving time); truth is the
+    priced audit pass, run on the sampled benchmark set only."""
+    from databricks_etl_spark.operators.similarity import cosine
+    from databricks_etl_spark.plans.queries_round9 import _q332_cell
+
+    cemb, qcemb = _q577_relations(spark, sf_dir)
+    sc = _q577_scores(spark, sf_dir)
+    wt = Window.partitionBy("qid").orderBy(F.desc("maxsim"), F.asc("doc_id"))
+    truth = (
+        sc.withColumn("rank", F.row_number().over(wt))
+        .filter(F.col("rank") <= _Q577_TOPK)
+        .select("qid", "doc_id", "rank")
+    )
+    ccell = cemb.withColumn("cell", _q332_cell(F.col("ce")))
+    qcell = qcemb.withColumn("cell", _q332_cell(F.col("qe")))
+    sa = ccell.join(F.broadcast(qcell), "cell").select(
+        "qid",
+        "qchunk",
+        "doc_id",
+        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+    )
+    amx = sa.groupBy("qid", "qchunk", "doc_id").agg(F.max("sim").alias("mx"))
+    asc = amx.groupBy("qid", "doc_id").agg(
+        F.round(
+            F.sum(F.col("mx").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("amaxsim")
+    )
+    wa = Window.partitionBy("qid").orderBy(F.desc("amaxsim"), F.asc("doc_id"))
+    approx = (
+        asc.withColumn("rank", F.row_number().over(wa))
+        .filter(F.col("rank") <= _Q577_TOPK)
+        .select(F.col("qid").alias("__aq"), F.col("doc_id").alias("__ad"))
+    )
+    hits = (
+        truth.join(
+            approx,
+            (F.col("qid") == F.col("__aq"))
+            & (F.col("doc_id") == F.col("__ad")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.col("__ad")).cast("long").alias("n_hit"),
+            F.min(
+                F.when(
+                    (F.col("rank") == 1) & F.col("__ad").isNotNull(),
+                    F.lit(1.0),
+                )
+            ).alias("top1_found"),
+        )
+    )
+    per = hits.select(
+        F.round(F.col("n_hit") / _Q577_TOPK, 6)
+        .cast("decimal(18,9)")
+        .alias("recall10"),
+        F.coalesce(F.col("top1_found"), F.lit(0.0))
+        .cast("decimal(18,9)")
+        .alias("top1"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.sum("recall10").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_recall_at_10"),
+        F.round(
+            F.sum("top1").cast("double") / F.count(F.lit(1)), 6
+        ).alias("top1_recall"),
+    )
+
+
+# q580 — reciprocal-rank fusion of the two retrieval lanes ---------------
+
+_Q580_K = 60  # the standard RRF damping constant
+_Q580_TOP = 5
+
+
+def _q580_pooled_sql() -> str:
+    """Pooled-ranker CTE chain (``p10``) — the q578 oracle's pooled
+    half, shared verbatim by the RRF lane."""
+    from databricks_etl_spark.plans.queries_round9 import (
+        _Q332_D,
+        _Q332_NRM,
+        _q332_emb_list,
+        _q332_nibble,
+    )
+
+    n1, n2, n3 = _q332_nibble(1), _q332_nibble(2), _q332_nibble(3)
+    dot_qc = (
+        f"list_sum(list_transform(range(1, {_Q332_D} + 1), "
+        f"i -> q.qv[i] * c.ve[i]))"
+    )
+    psim = (
+        f"round({dot_qc} / (sqrt({_Q332_NRM.format(v='q.qv')})"
+        f" * sqrt({_Q332_NRM.format(v='c.ve')})), 6)"
+    )
+    return f"""dtok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ),
+        dent AS (
+            SELECT doc_id,
+                   ({n1} * 16 + {n2}) % {_Q332_D} AS bucket,
+                   CASE WHEN {n3} % 2 = 0 THEN 1 ELSE -1 END AS sign
+            FROM dtok WHERE length(t) >= 1
+        ),
+        demb0 AS (
+            SELECT doc_id, {_q332_emb_list()} AS ve
+            FROM dent GROUP BY 1
+        ),
+        demb AS (
+            SELECT doc_id, ve FROM demb0
+            WHERE {_Q332_NRM.format(v='ve')} > 0
+        ),
+        pden AS (SELECT doc_id, ve FROM demb WHERE doc_id % 50 != 0),
+        pq AS (
+            SELECT doc_id AS qid, ve AS qv FROM demb WHERE doc_id % 50 = 0
+        ),
+        ps AS (
+            SELECT q.qid, c.doc_id, {psim} AS sim
+            FROM pq q JOIN pden c ON TRUE
+        ),
+        p10 AS (
+            SELECT qid, doc_id, rank FROM (
+                SELECT qid, doc_id,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY sim DESC, doc_id
+                       ) AS rank
+                FROM ps
+            ) WHERE rank <= {_Q577_TOPK}
+        )"""
+
+
+def _q580_oracle() -> str:
+    k = _Q580_K
+    return f"""
+        WITH {_q577_base_sql()},
+        {_q577_maxsim_sql()},
+        m10 AS (
+            SELECT qid, doc_id, rank FROM (
+                SELECT qid, doc_id,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY maxsim DESC, doc_id
+                       ) AS rank
+                FROM sc
+            ) WHERE rank <= {_Q577_TOPK}
+        ),
+        {_q580_pooled_sql()},
+        fused AS (
+            SELECT COALESCE(m.qid, p.qid) AS qid,
+                   COALESCE(m.doc_id, p.doc_id) AS doc_id,
+                   CAST(COALESCE(m.rank, -1) AS BIGINT) AS maxsim_rank,
+                   CAST(COALESCE(p.rank, -1) AS BIGINT) AS pooled_rank,
+                   COALESCE(CAST(1 AS DOUBLE) / ({k} + m.rank), 0)
+                       + COALESCE(CAST(1 AS DOUBLE) / ({k} + p.rank), 0)
+                       AS rrf_score
+            FROM m10 m FULL JOIN p10 p
+                ON m.qid = p.qid AND m.doc_id = p.doc_id
+        )
+        SELECT qid, doc_id, fused_rank, rrf_score, maxsim_rank,
+               pooled_rank
+        FROM (
+            SELECT qid, doc_id, maxsim_rank, pooled_rank, rrf_score,
+                   CAST(row_number() OVER (
+                       PARTITION BY qid ORDER BY rrf_score DESC, doc_id
+                   ) AS BIGINT) AS fused_rank
+            FROM fused
+        ) WHERE fused_rank <= {_Q580_TOP}
+    """
+
+
+@query("q580_rrf_rank_fusion", oracle=_q580_oracle(), defer=True)
+def q580_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL-RANK FUSION of the late-interaction and pooled
+    rankers — the standard zero-training ensemble a retrieval stack
+    ships first: score(d) = Σ_r 1/({_Q580_K} + rank_r(d)) over each
+    ranker's top-{_Q577_TOPK} list (absent → contributes 0, rank
+    sentinel -1), fused top-{_Q580_TOP} per query under the (score
+    DESC, doc_id ASC) total order.  Hash-exact WITHOUT rounding: the
+    score set is tiny ({_Q580_K}+1..{_Q580_K}+{_Q577_TOPK}
+    reciprocals and their pairwise sums) and both engines compute
+    bit-identical IEEE doubles for it.
+
+    Scale shape: fusion joins two per-query top-k relations — grain
+    is queries×k, never the corpus; the upstream rankers carry all
+    the heavy lifting (and their own scale stories)."""
+    m10, p10 = _q578_rankings(spark, sf_dir)
+    k = _Q580_K
+    fused = (
+        m10.alias("m")
+        .join(
+            p10.alias("p"),
+            (F.col("m.qid") == F.col("p.qid"))
+            & (F.col("m.doc_id") == F.col("p.doc_id")),
+            "full",
+        )
+        .select(
+            F.coalesce(F.col("m.qid"), F.col("p.qid")).alias("qid"),
+            F.coalesce(F.col("m.doc_id"), F.col("p.doc_id")).alias(
+                "doc_id"
+            ),
+            F.coalesce(F.col("m.rank"), F.lit(-1))
+            .cast("long")
+            .alias("maxsim_rank"),
+            F.coalesce(F.col("p.rank"), F.lit(-1))
+            .cast("long")
+            .alias("pooled_rank"),
+            (
+                F.coalesce(
+                    F.lit(1).cast("double") / (F.col("m.rank") + k),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1).cast("double") / (F.col("p.rank") + k),
+                    F.lit(0.0),
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= _Q580_TOP)
+        .select(
+            "qid",
+            "doc_id",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+            "rrf_score",
+            "maxsim_rank",
+            "pooled_rank",
         )
     )
