@@ -855,3 +855,138 @@ def q580_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pooled_rank",
         )
     )
+
+
+# q581 — integer-exact PageRank over the planted co-order graph ----------
+
+_Q581_ITERS = 8
+_Q581_BASE = 10**12  # micro-rank scale
+_Q581_TELE = 15 * _Q581_BASE // 100  # 0.15 teleport, exact integer
+_Q581_TOP = 20
+
+
+def _q581_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    head = f"""
+        WITH li AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem WHERE l_orderkey % {_Q514_MOD} = 0
+        ),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS pk, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1
+        ),
+        nodes AS MATERIALIZED (SELECT DISTINCT pk FROM li),
+        r0 AS MATERIALIZED (
+            SELECT pk, CAST({_Q581_BASE} AS BIGINT) AS r FROM nodes
+        )"""
+    steps = []
+    for i in range(1, _Q581_ITERS + 1):
+        steps.append(f""",
+        r{i} AS MATERIALIZED (
+            SELECT n.pk,
+                   CAST({_Q581_TELE} + (85 * COALESCE(f.inflow, 0)) // 100
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS pk, SUM(p.r // d.d) AS inflow
+                FROM r{i - 1} p
+                JOIN deg d ON p.pk = d.pk
+                JOIN edges e ON e.src = p.pk
+                GROUP BY e.dst
+            ) f ON n.pk = f.pk
+        )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+        SELECT rank_pos, pk, r_micro FROM (
+            SELECT CAST(row_number() OVER (ORDER BY r DESC, pk)
+                        AS BIGINT) AS rank_pos,
+                   pk, r AS r_micro
+            FROM r{_Q581_ITERS}
+        ) WHERE rank_pos <= {_Q581_TOP}
+    """
+    )
+
+
+@query("q581_pagerank_integer", oracle=_q581_oracle(), defer=True)
+def q581_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK, hash-exact across engines — the graph family's
+    centrality rung (after CC q514, BFS q497, triangles q185): ranks
+    live in integer micro-units (base 10^12), each of the
+    {_Q581_ITERS} unrolled iterations computes
+    r' = 0.15·base + (85·Σ_in floor(r/deg)) DIV 100 in pure BIGINT
+    arithmetic (integer DIV both engines — no float drift can exist,
+    the q513 dyadic discipline applied to an iterative algorithm;
+    sink mass is dropped identically on both sides).  Output: the
+    top-{_Q581_TOP} parts of the planted co-order graph by final
+    micro-rank under the (rank DESC, pk ASC) total order.
+
+    Scale shape: per iteration one keyed join edges⋈ranks and one
+    grouped sum on dst — the standard distributed PageRank step; the
+    planted modulus bounds the slice at any sf (and at 100 TB the
+    same loop runs on the full graph with the edge relation
+    partitioned by src, ranks co-partitioned — no driver-side state;
+    localCheckpoint per step truncates the 8-deep lineage)."""
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _Q514_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("src").alias("pk")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    ).localCheckpoint()
+    nodes = li.select("pk").distinct().localCheckpoint()
+    r = nodes.select("pk", F.lit(_Q581_BASE).cast("long").alias("r"))
+    for _ in range(_Q581_ITERS):
+        share = (
+            r.join(deg, "pk")
+            .select("pk", F.expr("r DIV d").alias("share"))
+        )
+        inflow = (
+            edges.join(
+                share.withColumnRenamed("pk", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("pk"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        r = (
+            nodes.join(inflow, "pk", "left")
+            .select(
+                "pk",
+                (
+                    F.lit(_Q581_TELE)
+                    + F.expr(
+                        "(85 * COALESCE(inflow, 0)) DIV 100"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    # TakeOrderedAndProject first (scale-safe top-N — no global-sort
+    # window on a node-sized relation), then rank the bounded 20 rows
+    top = r.orderBy(F.desc("r"), F.asc("pk")).limit(_Q581_TOP)
+    w = Window.orderBy(F.desc("r"), F.asc("pk"))
+    return top.withColumn(
+        "rank_pos", F.row_number().over(w).cast("long")
+    ).select("rank_pos", "pk", F.col("r").alias("r_micro"))

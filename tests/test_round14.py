@@ -146,3 +146,24 @@ def test_q578_overlap_bounds(spark, smoke_sf_dir):
     for r in rows:
         assert 0 <= r["overlap_at_10"] <= 10
         assert r["top1_agree"] == (r["maxsim_top1"] == r["pooled_top1"])
+
+
+def test_q581_rank_conservation_and_positivity(spark, smoke_sf_dir):
+    """Every node's final micro-rank ≥ the teleport floor, and the
+    total mass never exceeds n·base (integer truncation only loses
+    mass, never creates it)."""
+    from databricks_etl_spark.plans.queries_round14 import (
+        _Q581_BASE,
+        _Q581_TELE,
+    )
+    from databricks_etl_spark.plans.registry import queries
+
+    rows = queries()["q581_pagerank_integer"](spark, smoke_sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["r_micro"] >= _Q581_TELE
+        assert r["r_micro"] <= len(rows) * _Q581_BASE * 100  # sanity
+    ranks = [r["rank_pos"] for r in sorted(rows, key=lambda x: x["rank_pos"])]
+    assert ranks == list(range(1, len(rows) + 1))
+    micro = [r["r_micro"] for r in sorted(rows, key=lambda x: x["rank_pos"])]
+    assert micro == sorted(micro, reverse=True)
