@@ -291,11 +291,11 @@ def _q577_relations(spark: SparkSession, sf_dir: str):
     return cemb, qcemb
 
 
-def _q577_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(qid, doc_id, maxsim) — the MaxSim scored relation, Spark side."""
+def _q577_scores_from(cemb: DataFrame, qcemb: DataFrame) -> DataFrame:
+    """(qid, doc_id, maxsim) from chunk-embedding relations — shared
+    by the batch lane (q577) and the streaming drain (q583)."""
     from databricks_etl_spark.operators.similarity import cosine
 
-    cemb, qcemb = _q577_relations(spark, sf_dir)
     s = cemb.join(F.broadcast(qcemb), F.lit(True)).select(
         "qid",
         "qchunk",
@@ -308,6 +308,12 @@ def _q577_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("mx").cast("decimal(28,6)")).cast("double"), 6
         ).alias("maxsim")
     )
+
+
+def _q577_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, doc_id, maxsim) — the MaxSim scored relation, Spark side."""
+    cemb, qcemb = _q577_relations(spark, sf_dir)
+    return _q577_scores_from(cemb, qcemb)
 
 
 @query("q577_maxsim_late_interaction", oracle=_q577_oracle(), defer=True)
@@ -990,3 +996,185 @@ def q581_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank_pos", F.row_number().over(w).cast("long")
     ).select("rank_pos", "pk", F.col("r").alias("r_micro"))
+
+
+# q582 — safety stock / reorder point (inventory operations card) --------
+
+_Q582_MOD = 40  # planted part slice: partkey % 40 == 0
+_Q582_Z = "1.645"  # 95% service level z-score (literal in both engines)
+_Q582_LEAD = 7  # replenishment lead time, days
+
+# the float tail, ONE portable expression string used verbatim by both
+# engines (sqrt/round/CAST are identical syntax): everything upstream
+# is exact integer moments, so the IEEE op sequence is bit-identical
+_Q582_MU = "round(CAST(sx AS DOUBLE) / n, 6)"
+_Q582_SIGMA = "round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n, 6)"
+_Q582_SAFETY = (
+    f"round({_Q582_Z} * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n)"
+    f" * sqrt(CAST({_Q582_LEAD} AS DOUBLE)), 6)"
+)
+_Q582_ROP = (
+    f"round(CAST(sx AS DOUBLE) / n * {_Q582_LEAD}"
+    f" + {_Q582_Z} * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n)"
+    f" * sqrt(CAST({_Q582_LEAD} AS DOUBLE)), 6)"
+)
+
+
+def _q582_oracle() -> str:
+    return f"""
+        WITH daily AS (
+            SELECT l_partkey AS partkey, CAST(l_shipdate AS DATE) AS d,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem
+            WHERE l_partkey % {_Q582_MOD} = 0
+            GROUP BY 1, 2
+        ),
+        mom AS (
+            SELECT partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(qty) AS BIGINT) AS sx,
+                   CAST(SUM(qty * qty) AS BIGINT) AS sxx
+            FROM daily GROUP BY 1
+        )
+        SELECT partkey, n AS n_active_days, sx AS total_qty,
+               {_Q582_MU} AS mu_daily,
+               {_Q582_SIGMA} AS sigma_daily,
+               {_Q582_SAFETY} AS safety_stock,
+               {_Q582_ROP} AS reorder_point
+        FROM mom WHERE n >= 2
+    """
+
+
+@query("q582_safety_stock_reorder", oracle=_q582_oracle(), defer=True)
+def q582_safety_stock_reorder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAFETY STOCK and REORDER POINT per part — the inventory
+    operations card (z·σ_daily·√L safety stock over active-day demand
+    statistics, documented: zero-demand days are excluded, the
+    conservative convention when the demand calendar is sparse;
+    service level {_Q582_Z}, lead time {_Q582_LEAD} days).  Exactness
+    discipline: daily demand sums are BIGINT, per-part moments
+    (n, Σx, Σx²) are exact integers, and the one float tail
+    (sqrt/divide/multiply chain) is a SINGLE portable expression
+    string evaluated verbatim by both engines — bit-identical IEEE
+    sequences, rounded only at the edge.
+
+    Scale shape: two keyed aggregates (part×day rollup, then part
+    moments) — map-side combinable, no window, no join; the planted
+    modulus bounds output rows at any sf."""
+    li = read_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.filter(F.col("l_partkey") % _Q582_MOD == 0)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("qty")
+        )
+    )
+    mom = daily.groupBy("partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qty").cast("long").alias("sx"),
+        F.sum(F.col("qty") * F.col("qty")).cast("long").alias("sxx"),
+    )
+    return mom.filter(F.col("n") >= 2).select(
+        "partkey",
+        F.col("n").alias("n_active_days"),
+        F.col("sx").alias("total_qty"),
+        F.expr(_Q582_MU).alias("mu_daily"),
+        F.expr(_Q582_SIGMA).alias("sigma_daily"),
+        F.expr(_Q582_SAFETY).alias("safety_stock"),
+        F.expr(_Q582_ROP).alias("reorder_point"),
+    )
+
+
+# q583 — STREAMING MaxSim retrieval (twin of q577) -----------------------
+
+
+def _q583_ingest(batch_docs: DataFrame, epoch_id: int, path: str) -> None:
+    """Embed one epoch's documents at chunk grain and land the
+    (doc_id, chunk_idx, emb) partials — chunk embeddings depend only
+    on their own chunk's tokens, so doc-partitioned arrival is
+    trivially associative (the q545 vocabulary-partial discipline,
+    minus the cross-doc state: there is none)."""
+    from databricks_etl_spark.operators.text import chunk_tokens, tokens_col
+    from databricks_etl_spark.plans.queries_round8 import _Q318_S, _Q318_W
+    from databricks_etl_spark.plans.queries_round9 import _q332_embed
+
+    chunks = chunk_tokens(batch_docs, _Q318_W, _Q318_S).select(
+        "doc_id", "chunk_idx", tokens_col("chunk_text").alias("__toks")
+    )
+    nrm = lambda v: F.aggregate(  # noqa: E731
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    emb = _q332_embed(chunks, ["doc_id", "chunk_idx"], F.col("__toks")).filter(
+        nrm(F.col("emb")) > 0
+    )
+    (
+        emb.withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(path)
+    )
+
+
+@query(
+    "q583_streaming_maxsim_retrieval",
+    oracle=_q577_oracle(),
+    defer=True,
+)
+def q583_streaming_maxsim_retrieval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q577's MaxSim retrieval under STREAMING corpus arrival — the
+    index-build path of a live late-interaction stack: each
+    micro-batch of documents lands its chunk-embedding partials in
+    the epoch-idempotent sink (embeddings are chunk-local, so the
+    landed state is exactly the batch's contribution — no cross-batch
+    stitch), and the drain splits the landed relation into corpus and
+    benchmark-query chunks (doc_id % 50) and runs the exact MaxSim
+    ranking.  Re-ranking at drain is the correct semantics: a top-10
+    against half the corpus is provisional by nature (the q564
+    re-rank argument for retrieval).  Drain ≡ q577's oracle under any
+    slicing.
+
+    Scale shape: per-epoch work is the batch's own chunking +
+    embedding (map-side); landed state is chunk-grain; the drain is
+    q577's scoring."""
+    d = read_table(spark, sf_dir, "documents")
+    root = scratch_dir("maxsim_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/chunk_emb"
+    k = _r13._STREAM_EPOCHS  # read at call time: tests raise it
+    for ep in range(k):
+        _q583_ingest(d.filter(F.col("doc_id") % k == ep), ep, path)
+    landed = (
+        spark.read.schema(
+            "doc_id long, chunk_idx long, emb array<double>, __epoch int"
+        )
+        .parquet(path)
+        .drop("__epoch")
+    )
+    cemb = landed.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "chunk_idx", F.col("emb").alias("ce")
+    )
+    qcemb = landed.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.col("chunk_idx").alias("qchunk"),
+        F.col("emb").alias("qe"),
+    )
+    sc = _q577_scores_from(cemb, qcemb)
+    w = Window.partitionBy("qid").orderBy(F.desc("maxsim"), F.asc("doc_id"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _Q577_TOPK)
+        .select(
+            "qid", "doc_id", F.col("rank").cast("long").alias("rank"),
+            "maxsim",
+        )
+    )

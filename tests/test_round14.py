@@ -167,3 +167,18 @@ def test_q581_rank_conservation_and_positivity(spark, smoke_sf_dir):
     assert ranks == list(range(1, len(rows) + 1))
     micro = [r["r_micro"] for r in sorted(rows, key=lambda x: x["rank_pos"])]
     assert micro == sorted(micro, reverse=True)
+
+
+@pytest.mark.slow
+def test_q583_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    """Streaming MaxSim drain ≡ q577's batch ranking under a hostile
+    13-way slicing of document arrival."""
+    from databricks_etl_spark.plans.registry import queries
+
+    q = queries()
+    batch = _collect_sorted(q["q577_maxsim_late_interaction"](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(
+        q["q583_streaming_maxsim_retrieval"](spark, smoke_sf_dir)
+    )
+    assert drained == batch
