@@ -1178,3 +1178,284 @@ def q583_streaming_maxsim_retrieval(
             "maxsim",
         )
     )
+
+
+# q584 — PageRank under edge insertion (centrality delta card) -----------
+
+_Q584_MOD2 = 89  # second planted slice: the arriving co-order edges
+
+
+def _q584_sql_chain(tag: str, li_where: str) -> str:
+    """One unrolled integer-PageRank chain over the union of the base
+    slice and (optionally) the arriving slice; CTE names prefixed by
+    ``tag`` so two chains coexist in one oracle."""
+    head = f"""{tag}li AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem WHERE {li_where}
+        ),
+        {tag}edges AS MATERIALIZED (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM {tag}li a JOIN {tag}li b
+                ON a.ok = b.ok AND a.pk <> b.pk
+        ),
+        {tag}deg AS MATERIALIZED (
+            SELECT src AS pk, CAST(COUNT(*) AS BIGINT) AS d
+            FROM {tag}edges GROUP BY 1
+        ),
+        {tag}nodes AS MATERIALIZED (SELECT DISTINCT pk FROM {tag}li),
+        {tag}r0 AS MATERIALIZED (
+            SELECT pk, CAST({_Q581_BASE} AS BIGINT) AS r FROM {tag}nodes
+        )"""
+    steps = []
+    for i in range(1, _Q581_ITERS + 1):
+        steps.append(f""",
+        {tag}r{i} AS MATERIALIZED (
+            SELECT n.pk,
+                   CAST({_Q581_TELE} + (85 * COALESCE(f.inflow, 0)) // 100
+                        AS BIGINT) AS r
+            FROM {tag}nodes n LEFT JOIN (
+                SELECT e.dst AS pk, SUM(p.r // d.d) AS inflow
+                FROM {tag}r{i - 1} p
+                JOIN {tag}deg d ON p.pk = d.pk
+                JOIN {tag}edges e ON e.src = p.pk
+                GROUP BY e.dst
+            ) f ON n.pk = f.pk
+        )""")
+    return head + "".join(steps)
+
+
+def _q584_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    base_where = f"l_orderkey % {_Q514_MOD} = 0"
+    both_where = (
+        f"(l_orderkey % {_Q514_MOD} = 0 OR l_orderkey % {_Q584_MOD2} = 0)"
+    )
+    n = _Q581_ITERS
+    return f"""
+        WITH {_q584_sql_chain("b", base_where)},
+        {_q584_sql_chain("u", both_where)}
+        SELECT rank_pos, pk, r_before, r_after, delta_micro FROM (
+            SELECT CAST(row_number() OVER (
+                       ORDER BY abs(u.r - COALESCE(b.r, 0)) DESC, u.pk
+                   ) AS BIGINT) AS rank_pos,
+                   u.pk,
+                   CAST(COALESCE(b.r, 0) AS BIGINT) AS r_before,
+                   u.r AS r_after,
+                   CAST(u.r - COALESCE(b.r, 0) AS BIGINT) AS delta_micro
+            FROM ur{n} u LEFT JOIN br{n} b ON u.pk = b.pk
+        ) WHERE rank_pos <= {_Q581_TOP}
+    """
+
+
+@query("q584_pagerank_edge_delta", oracle=_q584_oracle(), defer=True)
+def q584_pagerank_edge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTRALITY DELTA under edge arrival — the incremental-view
+    question asked of a graph metric: a second planted slice of
+    co-order edges arrives (modulus {_Q584_MOD2}), integer PageRank
+    reruns on the union, and the card ranks the top-{_Q581_TOP}
+    movers by |Δ micro-rank| (new nodes enter with r_before = 0).
+    Both the before and after chains are the q581 integer-exact
+    iteration, so even the DELTAS are hash-stable — the honest
+    framing is recompute-and-diff, not an incremental approximation
+    (PageRank deltas do not localize in general; the card is what a
+    scheduler consults to decide whether a recompute is WORTH it,
+    the q495/q503 maintenance discipline applied to graph state).
+
+    Scale shape: two runs of the q581 loop (keyed joins + grouped
+    sums per iteration), one keyed diff join, sort+limit."""
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    li_all = read_table(spark, sf_dir, "lineitem")
+
+    def pr(pred) -> DataFrame:
+        li = (
+            li_all.filter(pred)
+            .select(
+                F.col("l_orderkey").alias("ok"),
+                F.col("l_partkey").alias("pk"),
+            )
+            .distinct()
+        )
+        a = li.select("ok", F.col("pk").alias("src"))
+        b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+        edges = (
+            a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
+            .select("src", "dst")
+            .distinct()
+            .localCheckpoint()
+        )
+        deg = edges.groupBy(F.col("src").alias("pk")).agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        ).localCheckpoint()
+        nodes = li.select("pk").distinct().localCheckpoint()
+        r = nodes.select("pk", F.lit(_Q581_BASE).cast("long").alias("r"))
+        for _ in range(_Q581_ITERS):
+            share = r.join(deg, "pk").select(
+                "pk", F.expr("r DIV d").alias("share")
+            )
+            inflow = (
+                edges.join(share.withColumnRenamed("pk", "src"), "src")
+                .groupBy(F.col("dst").alias("pk"))
+                .agg(F.sum("share").alias("inflow"))
+            )
+            r = (
+                nodes.join(inflow, "pk", "left")
+                .select(
+                    "pk",
+                    (
+                        F.lit(_Q581_TELE)
+                        + F.expr("(85 * COALESCE(inflow, 0)) DIV 100")
+                    )
+                    .cast("long")
+                    .alias("r"),
+                )
+                .localCheckpoint()
+            )
+        return r
+
+    before = pr(F.col("l_orderkey") % _Q514_MOD == 0)
+    after = pr(
+        (F.col("l_orderkey") % _Q514_MOD == 0)
+        | (F.col("l_orderkey") % _Q584_MOD2 == 0)
+    )
+    diff = (
+        after.alias("u")
+        .join(before.alias("b"), "pk", "left")
+        .select(
+            "pk",
+            F.coalesce(F.col("b.r"), F.lit(0)).cast("long").alias(
+                "r_before"
+            ),
+            F.col("u.r").alias("r_after"),
+            (F.col("u.r") - F.coalesce(F.col("b.r"), F.lit(0)))
+            .cast("long")
+            .alias("delta_micro"),
+        )
+    )
+    top = diff.orderBy(
+        F.abs(F.col("delta_micro")).desc(), F.asc("pk")
+    ).limit(_Q581_TOP)
+    w = Window.orderBy(F.abs(F.col("delta_micro")).desc(), F.asc("pk"))
+    return top.withColumn(
+        "rank_pos", F.row_number().over(w).cast("long")
+    ).select("rank_pos", "pk", "r_before", "r_after", "delta_micro")
+
+
+# q585 — STREAMING PageRank maintenance (twin of q581) -------------------
+
+
+def _q585_ingest(li_epoch: DataFrame, epoch_id: int, path: str) -> None:
+    """Land one epoch's co-order edges.  Orders are ATOMIC per epoch
+    (the slicing key is the order), so every pair of an order's parts
+    is derivable inside its own batch — edge partials are a set union
+    with dedup at drain, the q573 grain discipline on a graph."""
+    a = li_epoch.select("ok", F.col("pk").alias("src"))
+    b = li_epoch.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    (
+        edges.withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(f"{path}/edges")
+    )
+    # node grain lands too: isolated parts (single-part orders) carry
+    # teleport mass, so the drain must see them without re-reading the
+    # source — the landed state IS the full input
+    (
+        li_epoch.select("pk")
+        .distinct()
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(f"{path}/nodes")
+    )
+
+
+@query("q585_streaming_pagerank", oracle=_q581_oracle(), defer=True)
+def q585_streaming_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q581's integer PageRank under STREAMING edge arrival — graph
+    analytics as a maintained view: orders arrive in micro-batches
+    (an order's lineitems land together, so its co-order edges are
+    batch-local), each epoch writes its edge partials to the
+    epoch-idempotent sink, and the drain dedups the union and runs
+    the exact integer iteration.  Rank is a GLOBAL property — an
+    epoch-local PageRank would score against a partial graph — so
+    re-iterating at drain is the correct semantics (the q564 re-rank
+    argument for centrality).  Drain ≡ q581's oracle under any
+    order-grain slicing.
+
+    Scale shape: per-epoch state is the batch's own distinct edges;
+    the drain is q581's loop."""
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _Q514_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    root = scratch_dir("pr_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/state"
+    k = _r13._STREAM_EPOCHS  # read at call time: tests raise it
+    for ep in range(k):
+        _q585_ingest(
+            li.filter((F.col("ok") / _Q514_MOD).cast("long") % k == ep),
+            ep,
+            path,
+        )
+    edges = (
+        spark.read.schema("src long, dst long, __epoch int")
+        .parquet(f"{path}/edges")
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("src").alias("pk")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    ).localCheckpoint()
+    nodes = (
+        spark.read.schema("pk long, __epoch int")
+        .parquet(f"{path}/nodes")
+        .select("pk")
+        .distinct()
+        .localCheckpoint()
+    )
+    r = nodes.select("pk", F.lit(_Q581_BASE).cast("long").alias("r"))
+    for _ in range(_Q581_ITERS):
+        share = r.join(deg, "pk").select(
+            "pk", F.expr("r DIV d").alias("share")
+        )
+        inflow = (
+            edges.join(share.withColumnRenamed("pk", "src"), "src")
+            .groupBy(F.col("dst").alias("pk"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        r = (
+            nodes.join(inflow, "pk", "left")
+            .select(
+                "pk",
+                (
+                    F.lit(_Q581_TELE)
+                    + F.expr("(85 * COALESCE(inflow, 0)) DIV 100")
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    top = r.orderBy(F.desc("r"), F.asc("pk")).limit(_Q581_TOP)
+    w = Window.orderBy(F.desc("r"), F.asc("pk"))
+    return top.withColumn(
+        "rank_pos", F.row_number().over(w).cast("long")
+    ).select("rank_pos", "pk", F.col("r").alias("r_micro"))

@@ -182,3 +182,34 @@ def test_q583_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
         q["q583_streaming_maxsim_retrieval"](spark, smoke_sf_dir)
     )
     assert drained == batch
+
+
+@pytest.mark.slow
+def test_q585_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    """Streaming PageRank drain ≡ q581's batch ranking under a hostile
+    13-way order-grain slicing (plus landed-state-only rebuild: the
+    drain reads edges AND nodes from the sink, never the source)."""
+    from databricks_etl_spark.plans.registry import queries
+
+    q = queries()
+    batch = _collect_sorted(q["q581_pagerank_integer"](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(q["q585_streaming_pagerank"](spark, smoke_sf_dir))
+    assert drained == batch
+
+
+def test_q584_delta_consistency(spark, smoke_sf_dir):
+    """The movers card is self-consistent: delta = after - before,
+    |delta| non-increasing in rank, ranks 1..k."""
+    from databricks_etl_spark.plans.registry import queries
+
+    rows = sorted(
+        queries()["q584_pagerank_edge_delta"](spark, smoke_sf_dir).collect(),
+        key=lambda r: r["rank_pos"],
+    )
+    assert rows
+    assert [r["rank_pos"] for r in rows] == list(range(1, len(rows) + 1))
+    deltas = [abs(r["delta_micro"]) for r in rows]
+    assert deltas == sorted(deltas, reverse=True)
+    for r in rows:
+        assert r["delta_micro"] == r["r_after"] - r["r_before"]
