@@ -1459,3 +1459,261 @@ def q585_streaming_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank_pos", F.row_number().over(w).cast("long")
     ).select("rank_pos", "pk", F.col("r").alias("r_micro"))
+
+
+# q586 — revenue bridge (period-over-period contribution decomposition) --
+
+_Q586_PREV, _Q586_CURR = 1994, 1995
+
+
+def _q586_oracle() -> str:
+    return f"""
+        WITH per AS MATERIALIZED (
+            SELECT n.n_name AS nation,
+                   CAST(SUM(CASE WHEN year(CAST(o.o_orderdate AS DATE))
+                                      = {_Q586_PREV}
+                            THEN CAST(round(o.o_totalprice * 100, 0)
+                                      AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS rev_prev_cents,
+                   CAST(SUM(CASE WHEN year(CAST(o.o_orderdate AS DATE))
+                                      = {_Q586_CURR}
+                            THEN CAST(round(o.o_totalprice * 100, 0)
+                                      AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS rev_curr_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT SUM(abs(rev_curr_cents - rev_prev_cents)) AS gross
+            FROM per
+        )
+        SELECT nation, rev_prev_cents, rev_curr_cents,
+               CAST(rev_curr_cents - rev_prev_cents AS BIGINT)
+                   AS delta_cents,
+               CAST((abs(rev_curr_cents - rev_prev_cents) * 1000000)
+                    // GREATEST((SELECT gross FROM tot), 1)
+                    AS BIGINT) AS abs_share_ppm,
+               CASE WHEN rev_curr_cents > rev_prev_cents THEN 'up'
+                    WHEN rev_curr_cents < rev_prev_cents THEN 'down'
+                    ELSE 'flat' END AS direction
+        FROM per
+    """
+
+
+@query("q586_revenue_bridge", oracle=_q586_oracle(), defer=True)
+def q586_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE BRIDGE — the period-over-period decomposition every BI
+    review opens with: {_Q586_CURR} vs {_Q586_PREV} revenue per
+    customer nation in exact cents, each nation's signed delta, and
+    its share of the GROSS movement (Σ|Δ|) in integer ppm — the
+    waterfall's bar widths, hash-exact (integer DIV against a
+    zero-guarded denominator, the q518 discipline).
+
+    Scale shape: one conditional aggregate over the orders⋈customer⋈
+    nation mart (both periods in one pass — no two-scan union), a
+    1-row gross total broadcast back."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.when(yr == _Q586_PREV, cents).otherwise(0))
+            .cast("long")
+            .alias("rev_prev_cents"),
+            F.sum(F.when(yr == _Q586_CURR, cents).otherwise(0))
+            .cast("long")
+            .alias("rev_curr_cents"),
+        )
+        .localCheckpoint()
+    )
+    tot = per.agg(
+        F.sum(
+            F.abs(F.col("rev_curr_cents") - F.col("rev_prev_cents"))
+        ).alias("gross")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "rev_prev_cents",
+        "rev_curr_cents",
+        (F.col("rev_curr_cents") - F.col("rev_prev_cents"))
+        .cast("long")
+        .alias("delta_cents"),
+        F.expr(
+            "CAST((abs(rev_curr_cents - rev_prev_cents) * 1000000)"
+            " DIV GREATEST(gross, 1) AS BIGINT)"
+        ).alias("abs_share_ppm"),
+        F.when(
+            F.col("rev_curr_cents") > F.col("rev_prev_cents"), "up"
+        )
+        .when(F.col("rev_curr_cents") < F.col("rev_prev_cents"), "down")
+        .otherwise("flat")
+        .alias("direction"),
+    )
+
+
+# q587 — backfill plan: missing hour-partitions as contiguous ranges -----
+
+
+def _q587_oracle() -> str:
+    return """
+        WITH present AS MATERIALIZED (
+            SELECT DISTINCT
+                   CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        AS BIGINT) * 24 + hour(ts) AS h
+            FROM events WHERE event_type = 'purchase'
+        ),
+        bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM present),
+        grid AS (
+            SELECT CAST(unnest(range((SELECT lo FROM bounds),
+                                     (SELECT hi FROM bounds) + 1))
+                        AS BIGINT) AS h
+        ),
+        missing AS (
+            SELECT g.h FROM grid g
+            LEFT JOIN present p ON g.h = p.h WHERE p.h IS NULL
+        ),
+        runs AS (
+            SELECT h, h - row_number() OVER (ORDER BY h) AS grp
+            FROM missing
+        )
+        SELECT CAST(MIN(h) AS BIGINT) AS start_hour_epoch,
+               CAST(MAX(h) AS BIGINT) AS end_hour_epoch,
+               CAST(COUNT(*) AS BIGINT) AS n_hours
+        FROM runs GROUP BY grp
+    """
+
+
+@query("q587_backfill_plan", oracle=_q587_oracle(), defer=True)
+def q587_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKFILL PLAN — the orchestration question behind every
+    partitioned ingest: which hour-partitions of the purchase stream
+    are MISSING between the observed bounds, grouped into contiguous
+    ranges (start, end, n_hours) a scheduler submits as batch jobs.
+    The classic gap-and-island: missing = calendar grid anti-join
+    present, runs keyed by h − row_number(h).
+
+    Scale shape: the present set is one distinct aggregate at hour
+    grain; the grid is generated from a 1-row bounds aggregate
+    (sequence + explode, no driver collect); the islands window
+    orders a CALENDAR-sized relation — bounded by elapsed time, not
+    data volume (a year is 8.8k rows at hour grain)."""
+    e = read_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    present = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            (day.cast("long") * 24 + F.hour("ts").cast("long")).alias("h")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    bounds = present.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h")
+    )
+    missing = grid.join(present, "h", "left_anti")
+    w = Window.orderBy("h")  # calendar-sized relation, bounded by time
+    runs = missing.withColumn(
+        "grp", F.col("h") - F.row_number().over(w)
+    )
+    return runs.groupBy("grp").agg(
+        F.min("h").cast("long").alias("start_hour_epoch"),
+        F.max("h").cast("long").alias("end_hour_epoch"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    ).drop("grp")
+
+
+# q588 — pinball-loss forecast evaluation (quantile forecast ops) --------
+
+
+def _q588_oracle() -> str:
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT l_partkey AS partkey, CAST(l_shipdate AS DATE) AS d,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem
+            WHERE l_partkey % {_Q582_MOD} = 0
+            GROUP BY 1, 2
+        ),
+        fc AS (
+            SELECT partkey, d, qty,
+                   lag(qty) OVER (PARTITION BY partkey ORDER BY d)
+                       AS yhat
+            FROM daily
+        ),
+        scored AS (
+            SELECT partkey, qty - yhat AS diff
+            FROM fc WHERE yhat IS NOT NULL
+        )
+        SELECT partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_scored_days,
+               CAST(SUM(abs(diff)) AS BIGINT) AS mae_qty_sum,
+               CAST(SUM(CASE WHEN diff >= 0 THEN 9 * diff
+                             ELSE -diff END) AS BIGINT)
+                   AS pinball90_tenths,
+               CAST(SUM(5 * abs(diff)) AS BIGINT) AS pinball50_tenths
+        FROM scored GROUP BY 1 HAVING COUNT(*) >= 2
+    """
+
+
+@query("q588_pinball_forecast_eval", oracle=_q588_oracle(), defer=True)
+def q588_pinball_forecast_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PINBALL (quantile) LOSS evaluation of the naive persistence
+    forecast — how demand-forecast quality is actually scored: per
+    part, ŷ(d) = previous active day's quantity (the lag baseline
+    every model must beat), and the τ=0.9 / τ=0.5 pinball losses in
+    integer TENTHS (τ(y−ŷ) and (1−τ)(ŷ−y) become 9·diff / −diff and
+    5·|diff| — no float ever appears; τ=0.5 is MAE/2, pinned by
+    construction).  The q582 inventory card consumes exactly these
+    quantiles; this lane prices the forecaster feeding it.
+
+    Scale shape: one part×day rollup, one partitioned lag window
+    (the q21 serial-check discipline), one grouped sum."""
+    li = read_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.filter(F.col("l_partkey") % _Q582_MOD == 0)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("qty")
+        )
+    )
+    w = Window.partitionBy("partkey").orderBy("d")
+    scored = (
+        daily.withColumn("yhat", F.lag("qty").over(w))
+        .filter(F.col("yhat").isNotNull())
+        .select("partkey", (F.col("qty") - F.col("yhat")).alias("diff"))
+    )
+    return (
+        scored.groupBy("partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored_days"),
+            F.sum(F.abs("diff")).cast("long").alias("mae_qty_sum"),
+            F.sum(
+                F.when(
+                    F.col("diff") >= 0, 9 * F.col("diff")
+                ).otherwise(-F.col("diff"))
+            )
+            .cast("long")
+            .alias("pinball90_tenths"),
+            F.sum(5 * F.abs("diff")).cast("long").alias(
+                "pinball50_tenths"
+            ),
+        )
+        .filter(F.col("n_scored_days") >= 2)
+    )

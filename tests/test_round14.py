@@ -213,3 +213,35 @@ def test_q584_delta_consistency(spark, smoke_sf_dir):
     assert deltas == sorted(deltas, reverse=True)
     for r in rows:
         assert r["delta_micro"] == r["r_after"] - r["r_before"]
+
+
+def test_q587_runs_are_maximal_and_disjoint(spark, smoke_sf_dir):
+    """Backfill ranges are non-overlapping, non-adjacent (else they'd
+    be one run), and every claimed hour really has no purchase."""
+    from databricks_etl_spark.plans.registry import queries
+
+    rows = sorted(
+        queries()["q587_backfill_plan"](spark, smoke_sf_dir).collect(),
+        key=lambda r: r["start_hour_epoch"],
+    )
+    assert rows
+    prev_end = None
+    for r in rows:
+        assert r["n_hours"] == r["end_hour_epoch"] - r["start_hour_epoch"] + 1
+        if prev_end is not None:
+            assert r["start_hour_epoch"] > prev_end + 1  # maximality
+        prev_end = r["end_hour_epoch"]
+    e = read_table(spark, smoke_sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    present = {
+        x["h"]
+        for x in e.filter(F.col("event_type") == "purchase")
+        .select((day.cast("long") * 24 + F.hour("ts").cast("long")).alias("h"))
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        for h in range(r["start_hour_epoch"], r["end_hour_epoch"] + 1):
+            assert h not in present
