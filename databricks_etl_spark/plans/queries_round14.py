@@ -1717,3 +1717,287 @@ def q588_pinball_forecast_eval(
         )
         .filter(F.col("n_scored_days") >= 2)
     )
+
+
+# q589 — difference-in-differences experiment readout --------------------
+
+_Q589_HEX = "01234567"  # md5 first hex here → treatment (~1/2)
+_Q589_SPLIT_D = 15  # rel-day < 15 = pre period, >= 15 = post
+
+# the float tail from the eight exact-integer sufficient statistics —
+# one portable expression string, evaluated verbatim by both engines
+_Q589_MEAN = "round(CAST({sx} AS DOUBLE) / GREATEST({n}, 1), 6)"
+_Q589_DID = (
+    "round((CAST(sx_t_post AS DOUBLE) / GREATEST(n_t_post, 1)"
+    " - CAST(sx_t_pre AS DOUBLE) / GREATEST(n_t_pre, 1))"
+    " - (CAST(sx_c_post AS DOUBLE) / GREATEST(n_c_post, 1)"
+    " - CAST(sx_c_pre AS DOUBLE) / GREATEST(n_c_pre, 1)), 6)"
+)
+
+
+def _q589_oracle() -> str:
+    cells = []
+    for arm, cond_arm in (
+        ("t", f"strpos('{_Q589_HEX}', substr(md5('did:' || "
+              f"CAST(user_id AS VARCHAR)), 1, 1)) > 0"),
+        ("c", f"strpos('{_Q589_HEX}', substr(md5('did:' || "
+              f"CAST(user_id AS VARCHAR)), 1, 1)) = 0"),
+    ):
+        for per, cond_per in (
+            ("pre", f"rel_d < {_Q589_SPLIT_D}"),
+            ("post", f"rel_d >= {_Q589_SPLIT_D}"),
+        ):
+            cells.append(
+                f"CAST(SUM(CASE WHEN {cond_arm} AND {cond_per} THEN 1"
+                f" ELSE 0 END) AS BIGINT) AS n_{arm}_{per},"
+                f" CAST(SUM(CASE WHEN {cond_arm} AND {cond_per}"
+                f" THEN cents ELSE 0 END) AS BIGINT) AS sx_{arm}_{per}"
+            )
+    means = ", ".join(
+        _Q589_MEAN.format(sx=f"sx_{a}_{p}", n=f"n_{a}_{p}")
+        + f" AS mean_{a}_{p}_cents"
+        for a in ("t", "c")
+        for p in ("pre", "post")
+    )
+    return f"""
+        WITH p AS MATERIALIZED (
+            SELECT user_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       - (SELECT MIN(datediff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE))) FROM events)
+                       AS rel_d
+            FROM events WHERE event_type = 'purchase'
+        ),
+        card AS (SELECT {', '.join(cells)} FROM p)
+        SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+               {means},
+               {_Q589_DID} AS did_cents
+        FROM card
+    """
+
+
+@query("q589_diff_in_differences", oracle=_q589_oracle(), defer=True)
+def q589_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the experiment readout when arms
+    cannot be randomized per event: purchase value per (arm × period)
+    cell (md5 user split, pre/post at relative day {_Q589_SPLIT_D}),
+    four exact-integer sufficient statistics pairs in ONE pass, then
+    DiD = (T̄post − T̄pre) − (C̄post − C̄pre) from a single portable
+    float expression (the q582 discipline) — parallel-trends
+    differencing removes the level difference between arms.
+
+    Scale shape: one conditional aggregate over the purchase slice
+    (all eight statistics in one scan, no per-cell subqueries); the
+    global min-day is a 1-row aggregate."""
+    e = read_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    p_all = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        day.alias("d"),
+    )
+    mind = p_all.agg(F.min("d").alias("m"))
+    p = p_all.crossJoin(F.broadcast(mind)).select(
+        "cents",
+        (F.col("d") - F.col("m")).alias("rel_d"),
+        (
+            F.instr(
+                F.lit(_Q589_HEX),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("did:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+            )
+            > 0
+        ).alias("treat"),
+    )
+    aggs = []
+    for arm, cond_arm in (
+        ("t", F.col("treat")),
+        ("c", ~F.col("treat")),
+    ):
+        for per, cond_per in (
+            ("pre", F.col("rel_d") < _Q589_SPLIT_D),
+            ("post", F.col("rel_d") >= _Q589_SPLIT_D),
+        ):
+            both = cond_arm & cond_per
+            aggs.append(
+                F.sum(F.when(both, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_{arm}_{per}")
+            )
+            aggs.append(
+                F.sum(F.when(both, F.col("cents")).otherwise(0))
+                .cast("long")
+                .alias(f"sx_{arm}_{per}")
+            )
+    card = p.agg(*aggs)
+    mean_cols = [
+        F.expr(
+            _Q589_MEAN.format(sx=f"sx_{a}_{p_}", n=f"n_{a}_{p_}")
+        ).alias(f"mean_{a}_{p_}_cents")
+        for a in ("t", "c")
+        for p_ in ("pre", "post")
+    ]
+    return card.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        *mean_cols,
+        F.expr(_Q589_DID).alias("did_cents"),
+    )
+
+
+# q590 — session concurrency profile (sweep-line on exact_cumsum) --------
+
+
+def _q590_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round13 import _Q575_GAP_S
+
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ep
+            FROM events
+        ),
+        marked AS MATERIALIZED (
+            SELECT user_id, event_id, ep,
+                   CASE WHEN ep - lag(ep) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ep, event_id) > {_Q575_GAP_S}
+                        OR lag(ep) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ep, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM e
+        ),
+        sess AS MATERIALIZED (
+            SELECT user_id,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ep, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess_id,
+                   ep
+            FROM marked
+        ),
+        per_sess AS MATERIALIZED (
+            SELECT user_id, sess_id, MIN(ep) AS s, MAX(ep) AS t
+            FROM sess GROUP BY 1, 2
+        ),
+        deltas AS MATERIALIZED (
+            SELECT ep, CAST(SUM(d) AS BIGINT) AS net FROM (
+                SELECT s AS ep, 1 AS d FROM per_sess
+                UNION ALL
+                SELECT t + 1 AS ep, -1 AS d FROM per_sess
+            ) GROUP BY ep
+        ),
+        swept AS MATERIALIZED (
+            SELECT ep,
+                   SUM(net) OVER (ORDER BY ep
+                       ROWS UNBOUNDED PRECEDING) AS conc
+            FROM deltas
+        ),
+        per_day_max AS (
+            SELECT ep // 86400 AS day, MAX(conc) AS max_concurrency
+            FROM swept GROUP BY 1
+        ),
+        per_day_sess AS (
+            SELECT s // 86400 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS sessions_started,
+                   CAST(SUM(t - s) AS BIGINT) AS started_duration_s
+            FROM per_sess GROUP BY 1
+        )
+        SELECT m.day AS day_epoch,
+               COALESCE(s.sessions_started, 0) AS sessions_started,
+               CAST(m.max_concurrency AS BIGINT) AS max_concurrency,
+               round(CAST(COALESCE(s.started_duration_s, 0) AS DOUBLE)
+                     / 86400, 6) AS littles_law_avg_concurrency
+        FROM per_day_max m LEFT JOIN per_day_sess s ON m.day = s.day
+    """
+
+
+@query("q590_concurrency_profile", oracle=_q590_oracle(), defer=True)
+def q590_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCURRENCY PROFILE — capacity planning's first question: how
+    many sessions run AT ONCE.  The q575 sessions become a sweep
+    line (+1 at start, −1 at end+1, collapsed to per-second NET
+    deltas so tie order cannot exist), the running sum is the exact
+    concurrency at every state change, and the card reports per day:
+    max concurrency (at state-change points — a plateau carried over
+    midnight is attributed to the day it began, stated), sessions
+    started, and the Little's-law average λ·W/86400 from exact
+    integer durations.
+
+    Scale shape: the sweep's running sum uses the exact_cumsum
+    kernel (range-partitioned two-phase prefix — never a global
+    single-task sort window over the state-change relation); deltas
+    are one grouped sum over session endpoints."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+    from databricks_etl_spark.plans.queries_round13 import _Q575_GAP_S
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ep")
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    marked = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ep").over(w).isNull()
+            | (F.col("ep") - F.lag("ep").over(w) > _Q575_GAP_S),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.min("ep").alias("s"), F.max("ep").alias("t")
+    ).localCheckpoint()
+    deltas = (
+        per_sess.select(F.col("s").alias("ep"), F.lit(1).alias("d"))
+        .unionByName(
+            per_sess.select(
+                (F.col("t") + 1).alias("ep"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("ep")
+        .agg(F.sum("d").cast("long").alias("net"))
+    )
+    swept = exact_cumsum(deltas, ["ep"], "net", out_col="conc")
+    per_day_max = swept.groupBy(
+        F.expr("ep DIV 86400").alias("day")
+    ).agg(F.max("conc").cast("long").alias("max_concurrency"))
+    per_day_sess = per_sess.groupBy(
+        F.expr("s DIV 86400").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("sessions_started"),
+        F.sum(F.col("t") - F.col("s"))
+        .cast("long")
+        .alias("started_duration_s"),
+    )
+    return (
+        per_day_max.join(per_day_sess, "day", "left")
+        .select(
+            F.col("day").alias("day_epoch"),
+            F.coalesce("sessions_started", F.lit(0))
+            .cast("long")
+            .alias("sessions_started"),
+            "max_concurrency",
+            F.round(
+                F.coalesce("started_duration_s", F.lit(0)).cast("double")
+                / 86400,
+                6,
+            ).alias("littles_law_avg_concurrency"),
+        )
+    )

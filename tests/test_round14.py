@@ -245,3 +245,47 @@ def test_q587_runs_are_maximal_and_disjoint(spark, smoke_sf_dir):
     for r in rows:
         for h in range(r["start_hour_epoch"], r["end_hour_epoch"] + 1):
             assert h not in present
+
+
+def test_q590_concurrency_vs_bruteforce(spark, smoke_sf_dir):
+    """The sweep's per-day max equals the brute-force count of
+    overlapping sessions evaluated at every state-change second."""
+    from databricks_etl_spark.plans.queries_round13 import _Q575_GAP_S
+    from databricks_etl_spark.plans.registry import queries
+
+    card = {
+        r["day_epoch"]: r["max_concurrency"]
+        for r in queries()["q590_concurrency_profile"](
+            spark, smoke_sf_dir
+        ).collect()
+    }
+    e = read_table(spark, smoke_sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ep")
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    sess = (
+        e.withColumn(
+            "new_sess",
+            F.when(
+                F.lag("ep").over(w).isNull()
+                | (F.col("ep") - F.lag("ep").over(w) > _Q575_GAP_S),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ep").alias("s"), F.max("ep").alias("t"))
+    )
+    ivals = [(r["s"], r["t"]) for r in sess.collect()]
+    points = sorted({s for s, _ in ivals} | {t + 1 for _, t in ivals})
+    brute = {}
+    for p in points:
+        c = sum(1 for s, t in ivals if s <= p <= t)
+        d = p // 86400
+        brute[d] = max(brute.get(d, 0), c)
+    assert card == brute
