@@ -2001,3 +2001,181 @@ def q590_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("littles_law_avg_concurrency"),
         )
     )
+
+
+# q591 — per-group dispersion card (ANOVA-lite, exact moments) -----------
+
+_Q591_MEAN = "round(CAST(sx AS DOUBLE) / n, 6)"
+_Q591_VAR = (
+    "round((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * n), 6)"
+)
+_Q591_CV = (
+    "round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * n)) / (CAST(sx AS DOUBLE) / n), 6)"
+)
+
+
+def _q591_oracle() -> str:
+    return f"""
+        WITH per AS MATERIALIZED (
+            SELECT n.n_name AS nation,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                            * CAST(round(o.o_totalprice * 100, 0)
+                                   AS BIGINT))
+                        AS DECIMAL(38,0)) AS sxx
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(sx) AS BIGINT) AS sxt
+            FROM per
+        )
+        SELECT nation, n AS n_orders, sx AS total_cents,
+               {_Q591_MEAN} AS mean_cents,
+               {_Q591_VAR} AS var_cents,
+               {_Q591_CV} AS cv,
+               CAST(n AS DECIMAL(38,0)) * (SELECT sxt FROM tot)
+                   < CAST((SELECT nn FROM tot) AS DECIMAL(38,0)) * sx
+                   AS above_grand_mean
+        FROM per
+    """
+
+
+@query("q591_group_dispersion_card", oracle=_q591_oracle(), defer=True)
+def q591_group_dispersion_card(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-GROUP DISPERSION — the ANOVA-lite view a pricing review
+    reads: per customer nation, exact integer moments (n, Σcents,
+    Σcents² — the square accumulates in DECIMAL(38,0); a cents² row
+    is ~10¹⁵ and a 10⁹-row group would overflow BIGINT), population
+    mean/variance/CV from one portable float expression per group
+    (no cross-group float accumulation can exist — every float is a
+    per-row scalar of exact integers), and the above-grand-mean
+    verdict by exact DECIMAL cross-multiplication (n_g·ΣX < N·Σx_g —
+    never a float compare).
+
+    Scale shape: one conditional aggregate over the mart join, a
+    1-row grand total broadcast back — two shuffles total."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), cents.alias("cents"))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sx"),
+            F.sum(F.col("cents") * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("sxx"),
+        )
+        .localCheckpoint()
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sx").cast("long").alias("sxt"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        F.col("n").alias("n_orders"),
+        F.col("sx").alias("total_cents"),
+        F.expr(_Q591_MEAN).alias("mean_cents"),
+        F.expr(_Q591_VAR).alias("var_cents"),
+        F.expr(_Q591_CV).alias("cv"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sxt")
+            < F.col("nn").cast("decimal(38,0)") * F.col("sx")
+        ).alias("above_grand_mean"),
+    )
+
+
+# q592 — token fertility by detected language (tokenizer economics) ------
+
+
+def _q592_oracle() -> str:
+    from databricks_etl_spark.plans.queries_text import _LANG_SCORES, _TOKS
+
+    return f"""
+        WITH s AS (
+            SELECT doc_id, length(text) AS n_chars,
+                   len({_TOKS}) AS n_tokens,
+                   {_LANG_SCORES}
+            FROM documents
+        ),
+        tagged AS (
+            SELECT CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0
+                             THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr)
+                             THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr)
+                             THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr)
+                             THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   n_chars, n_tokens
+            FROM s
+        )
+        SELECT lang_pred,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               round(CAST(SUM(n_chars) AS DOUBLE)
+                     / GREATEST(SUM(n_tokens), 1), 6)
+                   AS chars_per_token,
+               round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6)
+                   AS tokens_per_doc
+        FROM tagged GROUP BY lang_pred
+    """
+
+
+@query("q592_token_fertility", oracle=_q592_oracle(), defer=True)
+def q592_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN FERTILITY by detected language — the tokenizer-economics
+    audit a multilingual pretraining budget needs: cost is paid in
+    TOKENS but value arrives in TEXT, and the chars-per-token ratio
+    per language decides the mixture's real exchange rate (fertile
+    languages burn budget faster).  Reuses q38's stopword-vote
+    language ID and the canonical tokenization; exact integer char
+    and token totals, ratios at the 6dp edge with zero-guarded
+    denominators.
+
+    Scale shape: one map-side pass (lang scores + counts are per-row
+    expressions), one grouped sum over ≤5 language cells."""
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+    )
+    tagged = TX.lang_id(d).join(counts, "doc_id").select(
+        "lang_pred", "n_chars", "n_tokens"
+    )
+    return tagged.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double")
+            / F.greatest(F.sum("n_tokens"), F.lit(1)),
+            6,
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+        ).alias("tokens_per_doc"),
+    )
