@@ -289,3 +289,19 @@ def test_q590_concurrency_vs_bruteforce(spark, smoke_sf_dir):
         d = p // 86400
         brute[d] = max(brute.get(d, 0), c)
     assert card == brute
+
+
+@pytest.mark.slow
+def test_q594_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    """Streaming backfill drain ≡ q587's batch plan under a hostile
+    13-way slicing (late batches close gaps and split runs — the
+    drain must converge to the batch truth regardless)."""
+    from databricks_etl_spark.plans.registry import queries
+
+    q = queries()
+    batch = _collect_sorted(q["q587_backfill_plan"](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(
+        q["q594_streaming_backfill_monitor"](spark, smoke_sf_dir)
+    )
+    assert drained == batch
