@@ -2376,3 +2376,146 @@ def q594_streaming_backfill_monitor(
         F.max("h").cast("long").alias("end_hour_epoch"),
         F.count(F.lit(1)).cast("long").alias("n_hours"),
     ).drop("grp")
+
+
+# q595 — kNN classifier evaluation (exact, fully oracled) ----------------
+
+_Q595_K = 5
+_Q595_HEX = "01"  # md5 first hex here → eval slice (~1/8)
+
+
+def _q595_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round13 import _dot_sql
+
+    return f"""
+        WITH base AS MATERIALIZED (
+            SELECT vec_id, embedding, label,
+                   sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ),
+        ev AS MATERIALIZED (
+            SELECT * FROM base
+            WHERE strpos('{_Q595_HEX}',
+                  substr(md5('knn:' || CAST(vec_id AS VARCHAR)), 1, 1)) > 0
+        ),
+        nbr AS (
+            SELECT e.vec_id AS qid, e.label AS true_label,
+                   b.label AS nbr_label,
+                   round({_dot_sql('e.embedding', 'b.embedding')}
+                         / (e.nrm * b.nrm), 6) AS sim,
+                   b.vec_id AS dst
+            FROM ev e JOIN base b ON e.vec_id <> b.vec_id
+        ),
+        topk AS (
+            SELECT qid, true_label, nbr_label FROM (
+                SELECT qid, true_label, nbr_label,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, dst) AS rk
+                FROM nbr
+            ) WHERE rk <= {_Q595_K}
+        ),
+        votes AS (
+            SELECT qid, true_label, nbr_label,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM topk GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT qid, true_label, nbr_label AS pred_label FROM (
+                SELECT qid, true_label, nbr_label,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY v DESC, nbr_label) AS vr
+                FROM votes
+            ) WHERE vr = 1
+        )
+        SELECT CAST(true_label AS BIGINT) AS true_label,
+               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(CASE WHEN pred_label = true_label THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_correct,
+               round(CAST(SUM(CASE WHEN pred_label = true_label THEN 1
+                               ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                   AS accuracy
+        FROM pred GROUP BY 1
+    """
+
+
+@query("q595_knn_classifier_eval", oracle=_q595_oracle(), defer=True)
+def q595_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN CLASSIFICATION accuracy, exactly — the ML-eval lane the
+    label column exists for, with every source of nondeterminism
+    removed: an md5 eval slice (~1/8) classifies against the full
+    corpus by majority vote among its exact top-{_Q595_K} cosine
+    neighbors (6dp sims, (sim DESC, id ASC) neighbor order, ties in
+    the vote broken by smallest label — stated), per-class accuracy
+    on the card.  The deterministic counterpart of the seeded-KMeans
+    rows-only lanes: hash-checked end to end.
+
+    Scale shape: the eval slice broadcasts against the streamed
+    corpus (one pass, the q47/q509 block-scoring discipline); votes
+    and accuracy are keyed aggregates on the tiny eval grain."""
+    from databricks_etl_spark.operators.similarity import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    is_ev = (
+        F.instr(
+            F.lit(_Q595_HEX),
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("knn:"), F.col("vec_id").cast("string"))
+                ),
+                1,
+                1,
+            ),
+        )
+        > 0
+    )
+    ev = emb.filter(is_ev).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    nbr = (
+        emb.join(F.broadcast(ev), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            F.col("label").alias("nbr_label"),
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias(
+                "sim"
+            ),
+            F.col("vec_id").alias("dst"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("dst"))
+    topk = (
+        nbr.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _Q595_K)
+        .select("qid", "true_label", "nbr_label")
+    )
+    votes = topk.groupBy("qid", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.desc("v"), F.asc("nbr_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("qid", "true_label", F.col("nbr_label").alias("pred"))
+    )
+    return pred.groupBy(
+        F.col("true_label").cast("long").alias("true_label")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("pred") == F.col("true_label"), 1).otherwise(
+                    0
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
