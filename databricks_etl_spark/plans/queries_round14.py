@@ -2519,3 +2519,287 @@ def q595_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+# q596 — CUSUM change detection on daily purchase volume -----------------
+
+_Q596_K_CENTS = 2000  # slack per observation (allowance), cents
+_Q596_H_CENTS = 50000  # decision threshold, cents
+
+
+def _q596_oracle() -> str:
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS d,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        base AS (
+            SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mu
+            FROM daily
+        ),
+        dev AS (
+            SELECT d, cents,
+                   SUM(cents - (SELECT mu FROM base) - {_Q596_K_CENTS})
+                       OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum
+            FROM daily
+        ),
+        cusum AS (
+            SELECT d, cents, cum,
+                   cum - LEAST(MIN(cum) OVER (ORDER BY d
+                       ROWS UNBOUNDED PRECEDING), 0) AS s
+            FROM dev
+        )
+        SELECT CAST(d AS BIGINT) AS day_epoch, cents AS day_cents,
+               CAST(s AS BIGINT) AS cusum_cents,
+               s > {_Q596_H_CENTS} AS alarm
+        FROM cusum
+    """
+
+
+@query("q596_cusum_change_detection", oracle=_q596_oracle(), defer=True)
+def q596_cusum_change_detection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSUM CHANGE DETECTION on daily purchase volume — the control
+    chart that catches small persistent shifts a fixed threshold
+    misses.  The textbook recursion S_t = max(0, S_{t−1} + x_t − μ −
+    k) is NOT windowable as written; this lane uses its closed form
+    S_t = cum_t − min(0, min_{s≤t} cum_s) over cum = Σ(x − μ − k),
+    so the whole chart is two cumulative windows over the BOUNDED
+    daily grid — exact integer cents end to end (μ is the integer-
+    truncated grand mean, stated), alarm at S > h.
+
+    Scale shape: one day-grain rollup, two windows over the calendar-
+    bounded grid — the q524/q541 bounded-grid discipline."""
+    e = read_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(day.alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+    base = daily.agg(
+        F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("mu")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dev = daily.crossJoin(F.broadcast(base)).withColumn(
+        "cum",
+        F.sum(
+            F.col("cents") - F.col("mu") - _Q596_K_CENTS
+        ).over(w),
+    )
+    cusum = dev.withColumn(
+        "s", F.col("cum") - F.least(F.min("cum").over(w), F.lit(0))
+    )
+    return cusum.select(
+        F.col("d").cast("long").alias("day_epoch"),
+        F.col("cents").alias("day_cents"),
+        F.col("s").cast("long").alias("cusum_cents"),
+        (F.col("s") > _Q596_H_CENTS).alias("alarm"),
+    )
+
+
+# q597 — ABC × XYZ inventory classification matrix -----------------------
+
+_Q597_XYZ_X = (20, 100)  # CV·100 < 20 → X (stable)
+_Q597_XYZ_Y = (20, 50)  # 20 ≤ CV·100 < 50 → Y; else Z
+
+
+def _q597_oracle() -> str:
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT l_partkey AS partkey, CAST(l_shipdate AS DATE) AS d,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem WHERE l_partkey % {_Q582_MOD} = 0
+            GROUP BY 1, 2
+        ),
+        mom AS MATERIALIZED (
+            SELECT partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(qty) AS BIGINT) AS sx,
+                   CAST(SUM(qty * qty) AS BIGINT) AS sxx
+            FROM daily GROUP BY 1 HAVING COUNT(*) >= 2
+        ),
+        rev AS MATERIALIZED (
+            SELECT l_partkey AS partkey,
+                   CAST(SUM(CAST(round(l_extendedprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM lineitem WHERE l_partkey % {_Q582_MOD} = 0
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT r.partkey, r.cents, m.n, m.sx, m.sxx,
+                   SUM(r.cents) OVER (ORDER BY r.cents DESC, r.partkey
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(r.cents) OVER () AS tot
+            FROM rev r JOIN mom m ON r.partkey = m.partkey
+        ),
+        classed AS (
+            SELECT partkey,
+                   CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                        WHEN cum * 100 <= tot * 95 THEN 'B'
+                        ELSE 'C' END AS abc,
+                   -- XYZ by CV: CV² = (n·sxx − sx²)/sx² compared to
+                   -- thresholds by exact integer cross-multiplication
+                   CASE WHEN (n * sxx - sx * sx) * 10000
+                             < sx * sx * {_Q597_XYZ_X[0] ** 2}
+                             THEN 'X'
+                        WHEN (n * sxx - sx * sx) * 10000
+                             < sx * sx * {_Q597_XYZ_Y[1] ** 2}
+                             THEN 'Y'
+                        ELSE 'Z' END AS xyz
+            FROM ranked
+        )
+        SELECT abc, xyz,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM classed GROUP BY 1, 2
+    """
+
+
+@query("q597_abc_xyz_matrix", oracle=_q597_oracle(), defer=True)
+def q597_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC × XYZ — the inventory-policy matrix that decides stocking
+    strategy per part: ABC from cumulative revenue share (the q550
+    Pareto discipline — boundaries by integer cross-multiplication,
+    cumulative via the ordered window over the PLANTED part slice),
+    XYZ from demand variability (CV² = (n·Σx²−(Σx)²)/(Σx)² compared
+    to 0.2/0.5 thresholds by EXACT integer cross-multiplication —
+    the q591 moments, never a float compare), 9-cell matrix with
+    part counts.  A-X parts get tight replenishment; C-Z parts get
+    made-to-order — the card is the policy input.
+
+    Scale shape: two keyed rollups + one ranked window over the
+    bounded planted slice; at full scale the ABC pass rides the
+    exact_cumsum kernel exactly as q550 does."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % _Q582_MOD == 0
+    )
+    daily = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_shipdate").cast("date").alias("d"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty")
+    )
+    mom = (
+        daily.groupBy("partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qty").cast("long").alias("sx"),
+            F.sum(F.col("qty") * F.col("qty")).cast("long").alias("sxx"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    joined = rev.join(mom, "partkey").localCheckpoint()
+    wc = Window.orderBy(F.desc("cents"), F.asc("partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = joined.agg(F.sum("cents").cast("long").alias("tot"))
+    ranked = joined.crossJoin(F.broadcast(tot)).withColumn(
+        "cum", F.sum("cents").over(wc)
+    )
+    classed = ranked.select(
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * 10000
+            < F.col("sx") * F.col("sx") * (_Q597_XYZ_X[0] ** 2),
+            "X",
+        )
+        .when(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * 10000
+            < F.col("sx") * F.col("sx") * (_Q597_XYZ_Y[1] ** 2),
+            "Y",
+        )
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+
+
+# q598 — STREAMING safety stock (twin of q582) ---------------------------
+
+
+@query("q598_streaming_safety_stock", oracle=_q582_oracle(), defer=True)
+def q598_streaming_safety_stock(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q582's inventory card maintained AT INGEST: each micro-batch
+    lands its (part, ship-day) quantity partials — additive, so the
+    drain merges to true daily demand, folds the exact moments, and
+    finishes q582's float tail.  Like q564's quantiles, the moment
+    STATISTICS are global properties: an epoch-local σ would price
+    safety stock against a partial demand history, so re-folding at
+    drain is the correct semantics.  Drain ≡ q582's oracle under any
+    slicing.
+
+    Scale shape: per-epoch state is part×day count partials; the
+    drain is q582's two keyed aggregates."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % _Q582_MOD == 0
+    )
+    root = scratch_dir("safety_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/partials"
+    k = _r13._STREAM_EPOCHS  # read at call time: tests raise it
+    for ep in range(k):
+        (
+            li.filter(F.col("l_orderkey") % k == ep)
+            .groupBy(
+                F.col("l_partkey").alias("partkey"),
+                F.col("l_shipdate").cast("date").alias("d"),
+            )
+            .agg(
+                F.sum(F.col("l_quantity").cast("long"))
+                .cast("long")
+                .alias("qty")
+            )
+            .withColumn("__epoch", F.lit(int(ep)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+    daily = (
+        spark.read.schema(
+            "partkey long, d date, qty long, __epoch int"
+        )
+        .parquet(path)
+        .groupBy("partkey", "d")
+        .agg(F.sum("qty").cast("long").alias("qty"))
+    )
+    mom = daily.groupBy("partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qty").cast("long").alias("sx"),
+        F.sum(F.col("qty") * F.col("qty")).cast("long").alias("sxx"),
+    )
+    return mom.filter(F.col("n") >= 2).select(
+        "partkey",
+        F.col("n").alias("n_active_days"),
+        F.col("sx").alias("total_qty"),
+        F.expr(_Q582_MU).alias("mu_daily"),
+        F.expr(_Q582_SIGMA).alias("sigma_daily"),
+        F.expr(_Q582_SAFETY).alias("safety_stock"),
+        F.expr(_Q582_ROP).alias("reorder_point"),
+    )

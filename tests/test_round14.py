@@ -305,3 +305,41 @@ def test_q594_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
         q["q594_streaming_backfill_monitor"](spark, smoke_sf_dir)
     )
     assert drained == batch
+
+
+@pytest.mark.slow
+def test_q598_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    """Streaming safety-stock drain ≡ q582's batch card under a
+    hostile 13-way order-grain slicing (day totals must merge across
+    epochs before the moment fold)."""
+    from databricks_etl_spark.plans.registry import queries
+
+    q = queries()
+    batch = _collect_sorted(q["q582_safety_stock_reorder"](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(
+        q["q598_streaming_safety_stock"](spark, smoke_sf_dir)
+    )
+    assert drained == batch
+
+
+def test_q596_cusum_closed_form_equals_recursion(spark, smoke_sf_dir):
+    """The windowed closed form S_t = cum_t − min(0, min prefix cum)
+    equals the textbook recursion S_t = max(0, S_{t−1} + x_t − μ − k),
+    replayed in plain Python over the collected daily grid."""
+    from databricks_etl_spark.plans.queries_round14 import _Q596_K_CENTS
+    from databricks_etl_spark.plans.registry import queries
+
+    rows = sorted(
+        queries()["q596_cusum_change_detection"](
+            spark, smoke_sf_dir
+        ).collect(),
+        key=lambda r: r["day_epoch"],
+    )
+    assert rows
+    n = len(rows)
+    mu = sum(r["day_cents"] for r in rows) // n
+    s = 0
+    for r in rows:
+        s = max(0, s + r["day_cents"] - mu - _Q596_K_CENTS)
+        assert s == r["cusum_cents"], (r["day_epoch"], s, r["cusum_cents"])
