@@ -2803,3 +2803,180 @@ def q598_streaming_safety_stock(
         F.expr(_Q582_SAFETY).alias("safety_stock"),
         F.expr(_Q582_ROP).alias("reorder_point"),
     )
+
+
+# q599 — exact Kendall tau-b (rank correlation between two metrics) ------
+
+_Q599_TAU = (
+    "round((CAST(conc AS DOUBLE) - disc)"
+    " / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - tie_q)"
+    "        * (CAST(n AS DOUBLE) * (n - 1) / 2 - tie_c)), 6)"
+)
+
+
+def _q599_oracle() -> str:
+    return f"""
+        WITH per AS MATERIALIZED (
+            SELECT l_partkey AS partkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+                   CAST(SUM(CAST(round(l_extendedprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS c
+            FROM lineitem WHERE l_partkey % {_Q582_MOD} = 0
+            GROUP BY 1
+        ),
+        pairs AS (
+            SELECT CASE WHEN (a.q - b.q) * (a.c - b.c) > 0 THEN 1
+                        ELSE 0 END AS is_conc,
+                   CASE WHEN (a.q - b.q) * (a.c - b.c) < 0 THEN 1
+                        ELSE 0 END AS is_disc,
+                   CASE WHEN a.q = b.q THEN 1 ELSE 0 END AS is_tq,
+                   CASE WHEN a.c = b.c THEN 1 ELSE 0 END AS is_tc
+            FROM per a JOIN per b ON a.partkey < b.partkey
+        ),
+        card AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per) AS n,
+                   CAST(SUM(is_conc) AS BIGINT) AS conc,
+                   CAST(SUM(is_disc) AS BIGINT) AS disc,
+                   CAST(SUM(is_tq) AS BIGINT) AS tie_q,
+                   CAST(SUM(is_tc) AS BIGINT) AS tie_c
+            FROM pairs
+        )
+        SELECT n AS n_parts, conc AS concordant, disc AS discordant,
+               tie_q AS ties_qty, tie_c AS ties_cents,
+               {_Q599_TAU} AS tau_b
+        FROM card
+    """
+
+
+@query("q599_kendall_tau", oracle=_q599_oracle(), defer=True)
+def q599_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Kendall τ-b between part-level QUANTITY and REVENUE —
+    does moving more units mean earning more?  Every pair of parts is
+    classified concordant/discordant/tied by exact integer sign
+    products (no rank vector is ever materialized — the pair
+    classification IS the statistic), τ-b from the five exact counts
+    in one portable float expression with the tie-adjusted
+    denominator.
+
+    Scale shape: the pair join is over the PART grain (dimension-
+    sized — the planted modulus bounds it here; at full scale the
+    part dimension is orders of magnitude below the fact table, and
+    the O(n²) pair space is the exact-truth construction the
+    merge-sort inversion algorithm would approximate distributed)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per = (
+        li.filter(F.col("l_partkey") % _Q582_MOD == 0)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("q"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        .localCheckpoint()
+    )
+    a = per.select(
+        F.col("partkey").alias("pa"), F.col("q").alias("qa"),
+        F.col("c").alias("ca"),
+    )
+    b = per.select(
+        F.col("partkey").alias("pb"), F.col("q").alias("qb"),
+        F.col("c").alias("cb"),
+    )
+    sgn = (F.col("qa") - F.col("qb")) * (F.col("ca") - F.col("cb"))
+    pairs = a.join(b, F.col("pa") < F.col("pb")).select(
+        F.when(sgn > 0, 1).otherwise(0).alias("is_conc"),
+        F.when(sgn < 0, 1).otherwise(0).alias("is_disc"),
+        F.when(F.col("qa") == F.col("qb"), 1).otherwise(0).alias("is_tq"),
+        F.when(F.col("ca") == F.col("cb"), 1).otherwise(0).alias("is_tc"),
+    )
+    nrow = per.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    card = pairs.agg(
+        F.sum("is_conc").cast("long").alias("conc"),
+        F.sum("is_disc").cast("long").alias("disc"),
+        F.sum("is_tq").cast("long").alias("tie_q"),
+        F.sum("is_tc").cast("long").alias("tie_c"),
+    ).crossJoin(F.broadcast(nrow))
+    return card.select(
+        F.col("n").alias("n_parts"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.col("tie_q").alias("ties_qty"),
+        F.col("tie_c").alias("ties_cents"),
+        F.expr(_Q599_TAU).alias("tau_b"),
+    )
+
+
+# q600 — Theil T inequality index (entropy complement of q520's Gini) ----
+
+# per-customer term, rounded to 9dp BEFORE the exact decimal sum (the
+# README discipline for irrational-term sums — order-independent)
+_Q600_TERM = (
+    "round((CAST(cents AS DOUBLE) / tot)"
+    " * ln(CAST(n AS DOUBLE) * cents / tot), 9)"
+)
+
+
+def _q600_oracle() -> str:
+    return f"""
+        WITH s AS MATERIALIZED (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(cents) AS BIGINT) AS tot,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE cents > 0
+        ),
+        terms AS (
+            SELECT CAST({_Q600_TERM} AS DECIMAL(28,9)) AS term
+            FROM s, tot WHERE s.cents > 0
+        )
+        SELECT (SELECT n FROM tot) AS n_customers,
+               (SELECT tot FROM tot) AS total_cents,
+               round(CAST(SUM(term) AS DOUBLE), 6) AS theil_t
+        FROM terms
+    """
+
+
+@query("q600_theil_index", oracle=_q600_oracle(), defer=True)
+def q600_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL T INDEX of customer-spend inequality — the entropy
+    complement of q520's Gini (Theil decomposes additively across
+    subgroups, which Gini cannot): T = Σ (x/X)·ln(N·x/X) over
+    positive spenders.  Each irrational term is computed from exact
+    integers by an identical IEEE sequence on both engines, rounded
+    to 9dp, and accumulated as DECIMAL(28,9) — the documented
+    order-independent pattern for transcendental sums (BM25/entropy
+    discipline), rounded once more at the 6dp edge.
+
+    Scale shape: one customer-grain rollup, a 1-row total broadcast,
+    one map-side term expression, one exact decimal sum."""
+    o = read_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).filter(F.col("cents") > 0).localCheckpoint()
+    tot = s.agg(
+        F.sum("cents").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    terms = s.crossJoin(F.broadcast(tot)).select(
+        F.expr(_Q600_TERM).cast("decimal(28,9)").alias("term"),
+        "tot",
+        "n",
+    )
+    return terms.groupBy("tot", "n").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("theil_t")
+    ).select(
+        F.col("n").alias("n_customers"),
+        F.col("tot").alias("total_cents"),
+        "theil_t",
+    )
