@@ -2980,3 +2980,302 @@ def q600_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot").alias("total_cents"),
         "theil_t",
     )
+
+
+# q601 — Theil decomposition by nation (within + between) ----------------
+
+# between-group term per nation g: (X_g/X)·ln((X_g/X)/(n_g/N)) ;
+# within contribution: (X_g/X)·T_g with T_g the group's own Theil.
+# Every term from exact integers, 9dp-rounded, decimal-summed.
+_Q601_BTERM = (
+    "round((CAST(gx AS DOUBLE) / tot)"
+    " * ln((CAST(gx AS DOUBLE) / tot) / (CAST(gn AS DOUBLE) / n)), 9)"
+)
+_Q601_WTERM = (
+    "round((CAST(cents AS DOUBLE) / tot)"
+    " * ln(CAST(gn AS DOUBLE) * cents / gx), 9)"
+)
+
+
+def _q601_oracle() -> str:
+    return f"""
+        WITH s AS MATERIALIZED (
+            SELECT o.o_custkey, n.n_name AS nation,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        pos AS MATERIALIZED (SELECT * FROM s WHERE cents > 0),
+        grp AS MATERIALIZED (
+            SELECT nation, CAST(SUM(cents) AS BIGINT) AS gx,
+                   CAST(COUNT(*) AS BIGINT) AS gn
+            FROM pos GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(gx) AS BIGINT) AS tot,
+                   CAST(SUM(gn) AS BIGINT) AS n
+            FROM grp
+        )
+        SELECT g.nation, g.gn AS n_customers, g.gx AS nation_cents,
+               round(CAST((SELECT CAST(SUM(
+                   CAST({_Q601_WTERM} AS DECIMAL(28,9))) AS DOUBLE)
+                   FROM pos p, tot
+                   WHERE p.nation = g.nation AND p.cents > 0
+                     AND TRUE) AS DOUBLE), 6) AS within_contrib,
+               round(CAST({_Q601_BTERM.replace('gx', 'g.gx')
+                           .replace('gn', 'g.gn')} AS DOUBLE), 6)
+                   AS between_term
+        FROM grp g, tot
+    """
+
+
+@query("q601_theil_decomposition", oracle=_q601_oracle(), defer=True)
+def q601_theil_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THEIL DECOMPOSITION by nation — the property q600 exists for:
+    T = Σ_g between_g + Σ_g within_contrib_g ADDITIVELY, so the card
+    answers 'is spend inequality a between-country or within-country
+    phenomenon?' — per nation, its between-group term
+    (X_g/X)·ln((X_g/X)/(n_g/N)) and its within contribution
+    (x/X)·ln(n_g·x/X_g) summed over its customers.  Same 9dp-term
+    decimal-sum discipline as q600; the additivity identity against
+    q600's total is pinned in tests.
+
+    Scale shape: customer-grain rollup, 25-row group relation, terms
+    map-side with the 1-row total and the 25-row group stats joined
+    back by key (broadcast-sized both)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("o_custkey", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .filter(F.col("cents") > 0)
+        .localCheckpoint()
+    )
+    grp = s.groupBy("nation").agg(
+        F.sum("cents").cast("long").alias("gx"),
+        F.count(F.lit(1)).cast("long").alias("gn"),
+    ).localCheckpoint()
+    tot = grp.agg(
+        F.sum("gx").cast("long").alias("tot"),
+        F.sum("gn").cast("long").alias("n"),
+    )
+    within = (
+        s.join(F.broadcast(grp), "nation")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            F.expr(_Q601_WTERM).cast("decimal(28,9)").alias("term"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.round(F.sum("term").cast("double"), 6).alias(
+                "within_contrib"
+            )
+        )
+    )
+    between = grp.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        F.col("gn").alias("n_customers"),
+        F.col("gx").alias("nation_cents"),
+        F.round(F.expr(_Q601_BTERM), 6).alias("between_term"),
+    )
+    return between.join(within, "nation").select(
+        "nation", "n_customers", "nation_cents", "within_contrib",
+        "between_term",
+    )
+
+
+# q602 — Spearman rho with midrank ties (Pearson on doubled midranks) ----
+
+# Pearson on the doubled-midrank pairs: every moment is an exact
+# integer, rho from one portable float expression
+_Q602_RHO = (
+    "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    "    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)"
+)
+
+
+def _q602_oracle() -> str:
+    return f"""
+        WITH per AS MATERIALIZED (
+            SELECT l_partkey AS partkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+                   CAST(SUM(CAST(round(l_extendedprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS c
+            FROM lineitem WHERE l_partkey % {_Q582_MOD} = 0
+            GROUP BY 1
+        ),
+        rqg AS (
+            SELECT p.partkey,
+                   (SELECT 2 * COUNT(*) FROM per x WHERE x.q < p.q)
+                       + (SELECT COUNT(*) FROM per x WHERE x.q = p.q)
+                       + 1 AS rq2,
+                   (SELECT 2 * COUNT(*) FROM per x WHERE x.c < p.c)
+                       + (SELECT COUNT(*) FROM per x WHERE x.c = p.c)
+                       + 1 AS rc2
+            FROM per p
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(rq2) AS BIGINT) AS sx,
+                   CAST(SUM(rc2) AS BIGINT) AS sy,
+                   CAST(SUM(rq2 * rq2) AS BIGINT) AS sxx,
+                   CAST(SUM(rc2 * rc2) AS BIGINT) AS syy,
+                   CAST(SUM(rq2 * rc2) AS BIGINT) AS sxy
+            FROM rqg
+        )
+        SELECT n AS n_parts, {_Q602_RHO} AS spearman_rho
+        FROM mom
+    """
+
+
+@query("q602_spearman_rho", oracle=_q602_oracle(), defer=True)
+def q602_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN ρ between part quantity and revenue — the monotone-
+    association complement of q599's τ: Pearson correlation computed
+    ON MIDRANKS, with ranks in DOUBLED integer units (midrank·2 =
+    2·|{x < v}| + |{x = v}| + 1 — the q593 discipline) so every
+    moment (n, Σr, Σr², Σrᵣrᶜ) is an exact BIGINT and ρ is one
+    portable float expression.  Ties handled exactly; no float ever
+    ranks anything.
+
+    Scale shape: midranks via per-value counts folded over the value
+    grain (here the bounded planted slice; at full scale the same
+    construction rides exact_cumsum as q593 does); moments are one
+    1-row fold."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    per = (
+        li.filter(F.col("l_partkey") % _Q582_MOD == 0)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("q"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        .localCheckpoint()
+    )
+
+    def midrank2(col: str, out: str) -> DataFrame:
+        grain = per.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("ct")
+        )
+        ranked = exact_cumsum(grain, [col], "ct", out_col="cum")
+        return ranked.select(
+            col, (2 * F.col("cum") - F.col("ct") + 1).alias(out)
+        )
+
+    rq = midrank2("q", "rq2")
+    rc = midrank2("c", "rc2")
+    joined = per.join(rq, "q").join(rc, "c")
+    mom = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rq2").cast("long").alias("sx"),
+        F.sum("rc2").cast("long").alias("sy"),
+        F.sum(F.col("rq2") * F.col("rq2")).cast("long").alias("sxx"),
+        F.sum(F.col("rc2") * F.col("rc2")).cast("long").alias("syy"),
+        F.sum(F.col("rq2") * F.col("rc2")).cast("long").alias("sxy"),
+    )
+    return mom.select(
+        F.col("n").alias("n_parts"), F.expr(_Q602_RHO).alias("spearman_rho")
+    )
+
+
+# q603 — Jain fairness index over supplier workloads ----------------------
+
+_Q603_JAIN = (
+    "round(CAST(sx AS DOUBLE) * sx"
+    " / (CAST(n AS DOUBLE) * sxx), 6)"
+)
+
+
+def _q603_oracle() -> str:
+    return f"""
+        WITH w AS MATERIALIZED (
+            SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(round(l_extendedprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM lineitem GROUP BY 1
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(n_orders) AS BIGINT) AS sx,
+                   CAST(SUM(n_orders * n_orders) AS BIGINT) AS sxx,
+                   CAST(SUM(cents) AS BIGINT) AS cx,
+                   CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+                        AS DECIMAL(38,0)) AS cxx
+            FROM w
+        )
+        SELECT n AS n_suppliers,
+               sx AS total_lines,
+               {_Q603_JAIN} AS jain_orders,
+               round(CAST(cx AS DOUBLE) * cx
+                     / (CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE)), 6)
+                   AS jain_cents
+        FROM mom
+    """
+
+
+@query("q603_jain_fairness", oracle=_q603_oracle(), defer=True)
+def q603_jain_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JAIN'S FAIRNESS INDEX over supplier workloads — the
+    load-balance metric a scheduler review reads (1 = perfectly even,
+    1/n = one supplier carries everything): J = (Σx)²/(n·Σx²) on both
+    the line-count and the revenue axes, from exact integer moments
+    (the cents squares accumulate in DECIMAL(38,0)), one portable
+    float expression each.  The same statistic prices partition
+    skew — q147/q556's problem in index form.
+
+    Scale shape: one supplier-grain rollup (map-side combinable),
+    one 1-row moment fold."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    mom = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_orders").cast("long").alias("sx"),
+        F.sum(F.col("n_orders") * F.col("n_orders"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum("cents").cast("long").alias("cx"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("cxx"),
+    )
+    return mom.select(
+        F.col("n").alias("n_suppliers"),
+        F.col("sx").alias("total_lines"),
+        F.expr(_Q603_JAIN).alias("jain_orders"),
+        F.round(
+            F.col("cx").cast("double")
+            * F.col("cx")
+            / (
+                F.col("n").cast("double")
+                * F.col("cxx").cast("double")
+            ),
+            6,
+        ).alias("jain_cents"),
+    )

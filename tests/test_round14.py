@@ -343,3 +343,18 @@ def test_q596_cusum_closed_form_equals_recursion(spark, smoke_sf_dir):
     for r in rows:
         s = max(0, s + r["day_cents"] - mu - _Q596_K_CENTS)
         assert s == r["cusum_cents"], (r["day_epoch"], s, r["cusum_cents"])
+
+
+def test_q601_additivity_matches_q600(spark, smoke_sf_dir):
+    """Theil additivity: Σ(within contributions) + Σ(between terms)
+    equals q600's total Theil T up to the documented 9dp per-term
+    rounding (each side rounds at a different term grain)."""
+    from databricks_etl_spark.plans.registry import queries
+
+    q = queries()
+    total = q["q600_theil_index"](spark, smoke_sf_dir).collect()[0][
+        "theil_t"
+    ]
+    rows = q["q601_theil_decomposition"](spark, smoke_sf_dir).collect()
+    decomposed = sum(r["within_contrib"] + r["between_term"] for r in rows)
+    assert abs(decomposed - total) < 1e-4, (decomposed, total)
