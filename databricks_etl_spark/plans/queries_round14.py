@@ -3279,3 +3279,186 @@ def q603_jain_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jain_cents"),
     )
+
+
+# q604 — Herfindahl–Hirschman concentration index (pure integer) ---------
+
+
+def _q604_oracle() -> str:
+    return """
+        WITH s AS MATERIALIZED (
+            SELECT n.n_name AS nation, l.l_suppkey,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM lineitem l
+            JOIN supplier su ON l.l_suppkey = su.s_suppkey
+            JOIN nation n ON su.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(SUM(CAST(cents AS HUGEINT) * cents)
+                        AS HUGEINT) AS ss
+            FROM s GROUP BY 1
+        )
+        SELECT nation, n_suppliers, total_cents,
+               CAST((ss * 1000000)
+                    // (CAST(total_cents AS HUGEINT) * total_cents)
+                    AS BIGINT) AS hhi_ppm,
+               CAST((ss * 1000000)
+                    // (CAST(total_cents AS HUGEINT) * total_cents)
+                    AS BIGINT) * n_suppliers > 1500000
+                   AS concentrated_vs_uniform
+        FROM g
+    """
+
+
+@query("q604_hhi_concentration", oracle=_q604_oracle(), defer=True)
+def q604_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL–HIRSCHMAN INDEX of supplier revenue concentration
+    per nation — the antitrust statistic, with ZERO floats anywhere:
+    HHI in integer ppm = (Σxᵢ²·10⁶) DIV (Σxᵢ)², squares and products
+    in DECIMAL(38,0)/HUGEINT (a supplier's cents² is ~10²⁶ at scale —
+    BIGINT would overflow), and the concentrated-vs-uniform verdict
+    (HHI > 1.5× the uniform floor 1/n) by one integer
+    cross-multiplication.  Complements q591's dispersion and q603's
+    fairness on the concentration axis.
+
+    Scale shape: supplier-grain rollup, 25-group fold — two keyed
+    aggregates, map-side combinable, no window, no float."""
+    li = read_table(spark, sf_dir, "lineitem")
+    su = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    s = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(n, su.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    g = s.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    hhi = F.expr(
+        "CAST((ss * 1000000) DIV (CAST(total_cents AS DECIMAL(38,0))"
+        " * total_cents) AS BIGINT)"
+    )
+    return g.select(
+        "nation",
+        "n_suppliers",
+        "total_cents",
+        hhi.alias("hhi_ppm"),
+        (hhi * F.col("n_suppliers") > 1500000).alias(
+            "concentrated_vs_uniform"
+        ),
+    )
+
+
+# q605 — STREAMING revenue bridge (twin of q586) -------------------------
+
+
+@query("q605_streaming_revenue_bridge", oracle=_q586_oracle(), defer=True)
+def q605_streaming_revenue_bridge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q586's revenue bridge maintained AT INGEST: each micro-batch
+    of orders lands its per-nation (prev, curr) cent partials —
+    additive, so the drain merges and re-prices the waterfall.  The
+    gross-movement denominator is a DRAIN property (one late order
+    can flip a nation's direction and every share with it — interim
+    bridges are provisional by nature).  Drain ≡ q586's oracle under
+    any order-grain slicing.
+
+    Scale shape: per-epoch state is 25 nation rows of partials; the
+    drain is one merge + the 1-row gross broadcast."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    enriched = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select(
+            "o_orderkey",
+            F.col("n_name").alias("nation"),
+            yr.alias("yr"),
+            cents.alias("cents"),
+        )
+        .localCheckpoint()
+    )
+    root = scratch_dir("bridge_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/partials"
+    k = _r13._STREAM_EPOCHS  # read at call time: tests raise it
+    for ep in range(k):
+        (
+            enriched.filter(F.col("o_orderkey") % k == ep)
+            .groupBy("nation")
+            .agg(
+                F.sum(
+                    F.when(F.col("yr") == _Q586_PREV, F.col("cents"))
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias("prev_cents"),
+                F.sum(
+                    F.when(F.col("yr") == _Q586_CURR, F.col("cents"))
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias("curr_cents"),
+            )
+            .withColumn("__epoch", F.lit(int(ep)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+    per = (
+        spark.read.schema(
+            "nation string, prev_cents long, curr_cents long,"
+            " __epoch int"
+        )
+        .parquet(path)
+        .groupBy("nation")
+        .agg(
+            F.sum("prev_cents").cast("long").alias("rev_prev_cents"),
+            F.sum("curr_cents").cast("long").alias("rev_curr_cents"),
+        )
+        .localCheckpoint()
+    )
+    tot = per.agg(
+        F.sum(
+            F.abs(F.col("rev_curr_cents") - F.col("rev_prev_cents"))
+        ).alias("gross")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "rev_prev_cents",
+        "rev_curr_cents",
+        (F.col("rev_curr_cents") - F.col("rev_prev_cents"))
+        .cast("long")
+        .alias("delta_cents"),
+        F.expr(
+            "CAST((abs(rev_curr_cents - rev_prev_cents) * 1000000)"
+            " DIV GREATEST(gross, 1) AS BIGINT)"
+        ).alias("abs_share_ppm"),
+        F.when(
+            F.col("rev_curr_cents") > F.col("rev_prev_cents"), "up"
+        )
+        .when(F.col("rev_curr_cents") < F.col("rev_prev_cents"), "down")
+        .otherwise("flat")
+        .alias("direction"),
+    )

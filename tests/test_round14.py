@@ -358,3 +358,19 @@ def test_q601_additivity_matches_q600(spark, smoke_sf_dir):
     rows = q["q601_theil_decomposition"](spark, smoke_sf_dir).collect()
     decomposed = sum(r["within_contrib"] + r["between_term"] for r in rows)
     assert abs(decomposed - total) < 1e-4, (decomposed, total)
+
+
+@pytest.mark.slow
+def test_q605_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    """Streaming revenue-bridge drain ≡ q586's batch waterfall under
+    a hostile 13-way order-grain slicing (the gross-movement
+    denominator re-prices at drain)."""
+    from databricks_etl_spark.plans.registry import queries
+
+    q = queries()
+    batch = _collect_sorted(q["q586_revenue_bridge"](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(
+        q["q605_streaming_revenue_bridge"](spark, smoke_sf_dir)
+    )
+    assert drained == batch
