@@ -3462,3 +3462,110 @@ def q605_streaming_revenue_bridge(
         .otherwise("flat")
         .alias("direction"),
     )
+
+
+# q606 — STREAMING kNN classifier eval (twin of q595) --------------------
+
+
+@query("q606_streaming_knn_eval", oracle=_q595_oracle(), defer=True)
+def q606_streaming_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q595's kNN eval under STREAMING corpus arrival — the bounded-
+    state trick that makes top-k maintainable: each micro-batch
+    scores the fixed eval slice against ITS vectors only and lands
+    per-(query, batch) top-{_Q595_K} candidates; the global
+    top-{_Q595_K} is provably inside the union of per-epoch top-ks
+    (any global top-k neighbor is top-k within its own batch), so
+    the drain just re-ranks the bounded candidate state and votes.
+    Landed state is |eval|·k rows PER EPOCH — never the full
+    similarity matrix.  Drain ≡ q595's oracle under any slicing.
+
+    Scale shape: per-epoch one batch-vs-eval block scoring with the
+    eval slice broadcast; drain re-ranks |eval|·k·epochs candidate
+    rows."""
+    from databricks_etl_spark.operators.similarity import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    is_ev = (
+        F.instr(
+            F.lit(_Q595_HEX),
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("knn:"), F.col("vec_id").cast("string"))
+                ),
+                1,
+                1,
+            ),
+        )
+        > 0
+    )
+    ev = emb.filter(is_ev).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    ).localCheckpoint()
+    root = scratch_dir("knn_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/candidates"
+    k = _r13._STREAM_EPOCHS  # read at call time: tests raise it
+    wk = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("dst"))
+    for ep in range(k):
+        batch = emb.filter(F.col("vec_id") % k == ep)
+        (
+            batch.join(F.broadcast(ev), F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid",
+                "true_label",
+                F.col("label").alias("nbr_label"),
+                F.round(
+                    cosine(F.col("qe"), F.col("embedding")), 6
+                ).alias("sim"),
+                F.col("vec_id").alias("dst"),
+            )
+            .withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= _Q595_K)
+            .drop("rk")
+            .withColumn("__epoch", F.lit(int(ep)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+    landed = (
+        spark.read.schema(
+            "qid long, true_label int, nbr_label int, sim double,"
+            " dst long, __epoch int"
+        )
+        .parquet(path)
+        .drop("__epoch")
+    )
+    topk = (
+        landed.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _Q595_K)
+        .select("qid", "true_label", "nbr_label")
+    )
+    votes = topk.groupBy("qid", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("v"), F.asc("nbr_label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("qid", "true_label", F.col("nbr_label").alias("pred"))
+    )
+    return pred.groupBy(
+        F.col("true_label").cast("long").alias("true_label")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("pred") == F.col("true_label"), 1).otherwise(
+                    0
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )

@@ -374,3 +374,19 @@ def test_q605_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
         q["q605_streaming_revenue_bridge"](spark, smoke_sf_dir)
     )
     assert drained == batch
+
+
+@pytest.mark.slow
+def test_q606_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    """Streaming kNN eval drain ≡ q595's batch card under a hostile
+    13-way corpus slicing — the per-epoch top-k candidate state must
+    provably contain the global top-k."""
+    from databricks_etl_spark.plans.registry import queries
+
+    q = queries()
+    batch = _collect_sorted(q["q595_knn_classifier_eval"](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(
+        q["q606_streaming_knn_eval"](spark, smoke_sf_dir)
+    )
+    assert drained == batch
