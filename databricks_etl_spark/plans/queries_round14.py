@@ -3023,8 +3023,8 @@ def _q601_oracle() -> str:
                round(CAST((SELECT CAST(SUM(
                    CAST({_Q601_WTERM} AS DECIMAL(28,9))) AS DOUBLE)
                    FROM pos p, tot
-                   WHERE p.nation = g.nation AND p.cents > 0
-                     AND TRUE) AS DOUBLE), 6) AS within_contrib,
+                   WHERE p.nation = g.nation) AS DOUBLE), 6)
+                   AS within_contrib,
                round(CAST({_Q601_BTERM.replace('gx', 'g.gx')
                            .replace('gn', 'g.gn')} AS DOUBLE), 6)
                    AS between_term
