@@ -3569,3 +3569,97 @@ def q606_streaming_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+# q607 — exact AUC of the quality score as an English-detector -----------
+
+# AUC = (sumrank2_pos − n_pos·(n_pos+1)) / (2·n_pos·n_neg) on doubled
+# midranks — one portable expression from exact integers
+_Q607_AUC = (
+    "round((CAST(sr2 AS DOUBLE) - CAST(np AS DOUBLE) * (np + 1))"
+    " / (2 * CAST(np AS DOUBLE) * nn), 6)"
+)
+
+
+def _q607_oracle() -> str:
+    from databricks_etl_spark.plans.registry import QUERIES
+
+    q37 = QUERIES["q37_text_quality"].oracle
+    return f"""
+        WITH q37 AS MATERIALIZED ({q37}),
+        scored AS MATERIALIZED (
+            SELECT CAST(q37.quality_score * 4 AS BIGINT) AS s4,
+                   d.lang = 'en' AS pos
+            FROM q37 JOIN documents d ON q37.doc_id = d.doc_id
+        ),
+        grain AS MATERIALIZED (
+            SELECT s4,
+                   CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cp,
+                   CAST(COUNT(*) AS BIGINT) AS ct
+            FROM scored GROUP BY 1
+        ),
+        ranked AS (
+            SELECT s4, cp, ct,
+                   SUM(ct) OVER (ORDER BY s4
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM grain
+        ),
+        card AS (
+            SELECT CAST(SUM(cp * (2 * cum - ct + 1)) AS BIGINT) AS sr2,
+                   CAST(SUM(cp) AS BIGINT) AS np,
+                   CAST(SUM(ct - cp) AS BIGINT) AS nn
+            FROM ranked
+        )
+        SELECT np AS n_positive, nn AS n_negative,
+               sr2 AS sumrank2_pos,
+               {_Q607_AUC} AS auc
+        FROM card
+    """
+
+
+@query("q607_exact_auc", oracle=_q607_oracle(), defer=True)
+def q607_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT AUC — the ranking-quality statistic every classifier
+    eval leads with, computed with zero approximation: does q37's
+    heuristic quality score rank English documents (the TRUE lang
+    label) above the rest?  AUC = P(score_pos > score_neg) +
+    ½P(tie), which is the Mann–Whitney construction (q593): doubled
+    midranks over the score's value grain (scores are exact quarter
+    multiples — quantized ·4 to integers), positive rank-sum exact
+    BIGINT, AUC one portable float expression.  An honest near-0.5
+    on this corpus (the quality heuristic is language-blind by
+    design) is itself the finding.
+
+    Scale shape: score grain is ≤5 cells — midranks via one ordered
+    fold over the tiny grain (the full construction rides
+    exact_cumsum exactly as q593 does); one 1-row card."""
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = TX.quality_features(d).select(
+        "doc_id",
+        (F.col("quality_score") * 4).cast("long").alias("s4"),
+    ).join(d.select("doc_id", (F.col("lang") == "en").alias("pos")),
+           "doc_id")
+    grain = scored.groupBy("s4").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("cp"),
+        F.count(F.lit(1)).cast("long").alias("ct"),
+    )
+    ranked = exact_cumsum(grain, ["s4"], "ct", out_col="cum")
+    card = ranked.agg(
+        F.sum(F.col("cp") * (2 * F.col("cum") - F.col("ct") + 1))
+        .cast("long")
+        .alias("sr2"),
+        F.sum("cp").cast("long").alias("np"),
+        F.sum(F.col("ct") - F.col("cp")).cast("long").alias("nn"),
+    )
+    return card.select(
+        F.col("np").alias("n_positive"),
+        F.col("nn").alias("n_negative"),
+        F.col("sr2").alias("sumrank2_pos"),
+        F.expr(_Q607_AUC).alias("auc"),
+    )

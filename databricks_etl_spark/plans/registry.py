@@ -729,8 +729,8 @@ def _load() -> None:
     # round-14 modules
     import databricks_etl_spark.plans.queries_round14  # noqa: F401
 
-    assert len(QUERIES) >= 604, (
-        f"query registry shrank: {len(QUERIES)} < 604 — a module failed to register"
+    assert len(QUERIES) >= 605, (
+        f"query registry shrank: {len(QUERIES)} < 605 — a module failed to register"
     )
     _reorder()
     _loaded = True
