@@ -1,10 +1,9 @@
 """Round-14 lanes.
 
-All lanes here register ``defer=True``: the round-14 driver window is
-already exactly filled by the round-13b backlog (q529–q575), so these
-queue for the round-15 window — parity-proven at sf0.01 and
-vanilla-session driver-simmed locally meanwhile (the same discipline
-the round-13b lanes followed).
+These lanes queued ``defer=True`` through round 14 (whose driver
+window was exactly filled by the round-13b backlog q529–q575) and now
+fill the round-15 window; q576/q577 were windowed in r14 and are
+driver-green (CORRECTNESS_r14.json).
 
 Reference parity: the reference corpus (gbaliarda/databricks-etl,
 notebooks etl.py / transform.py / pre_analysis.py) has none of these
@@ -93,7 +92,7 @@ def _q576_oracle() -> str:
     return QUERIES["q509_graph_incremental_insert"].oracle
 
 
-@query("q576_streaming_graph_insert", oracle=_q576_oracle(), defer=True)
+@query("q576_streaming_graph_insert", oracle=_q576_oracle())
 def q576_streaming_graph_insert(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -316,7 +315,7 @@ def _q577_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q577_scores_from(cemb, qcemb)
 
 
-@query("q577_maxsim_late_interaction", oracle=_q577_oracle(), defer=True)
+@query("q577_maxsim_late_interaction", oracle=_q577_oracle())
 def q577_maxsim_late_interaction(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -479,7 +478,7 @@ def _q578_rankings(spark: SparkSession, sf_dir: str):
     return m10, p10
 
 
-@query("q578_maxsim_vs_pooled_eval", oracle=_q578_oracle(), defer=True)
+@query("q578_maxsim_vs_pooled_eval", oracle=_q578_oracle())
 def q578_maxsim_vs_pooled_eval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -613,7 +612,7 @@ def _q579_oracle() -> str:
     """
 
 
-@query("q579_maxsim_ann_recall_gate", oracle=_q579_oracle(), defer=True)
+@query("q579_maxsim_ann_recall_gate", oracle=_q579_oracle())
 def q579_maxsim_ann_recall_gate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -800,7 +799,7 @@ def _q580_oracle() -> str:
     """
 
 
-@query("q580_rrf_rank_fusion", oracle=_q580_oracle(), defer=True)
+@query("q580_rrf_rank_fusion", oracle=_q580_oracle())
 def q580_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECIPROCAL-RANK FUSION of the late-interaction and pooled
     rankers — the standard zero-training ensemble a retrieval stack
@@ -920,14 +919,18 @@ def _q581_oracle() -> str:
     )
 
 
-@query("q581_pagerank_integer", oracle=_q581_oracle(), defer=True)
+@query("q581_pagerank_integer", oracle=_q581_oracle())
 def q581_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAGERANK, hash-exact across engines — the graph family's
     centrality rung (after CC q514, BFS q497, triangles q185): ranks
     live in integer micro-units (base 10^12), each of the
     {_Q581_ITERS} unrolled iterations computes
-    r' = 0.15·base + (85·Σ_in floor(r/deg)) DIV 100 in pure BIGINT
-    arithmetic (integer DIV both engines — no float drift can exist,
+    r' = 0.15·base + (85·Σ_in floor(r/deg)) DIV 100 in exact integer
+    arithmetic — shares stay BIGINT, the inflow sum and the ×85
+    product accumulate in DECIMAL(38,0) (mirroring the q591/q604
+    squares discipline) so the Spark side can never hit an ANSI
+    BIGINT overflow where DuckDB's HUGEINT keeps going; integer DIV
+    both engines means no float drift can exist
     the q513 dyadic discipline applied to an iterative algorithm;
     sink mass is dropped identically on both sides).  Output: the
     top-{_Q581_TOP} parts of the planted co-order graph by final
@@ -972,7 +975,11 @@ def q581_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 share.withColumnRenamed("pk", "src"), "src"
             )
             .groupBy(F.col("dst").alias("pk"))
-            .agg(F.sum("share").alias("inflow"))
+            .agg(
+                F.sum(F.col("share").cast("decimal(38,0)")).alias(
+                    "inflow"
+                )
+            )
         )
         r = (
             nodes.join(inflow, "pk", "left")
@@ -981,7 +988,8 @@ def q581_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     F.lit(_Q581_TELE)
                     + F.expr(
-                        "(85 * COALESCE(inflow, 0)) DIV 100"
+                        "(85 * COALESCE(inflow,"
+                        " CAST(0 AS DECIMAL(38,0)))) DIV 100"
                     )
                 )
                 .cast("long")
@@ -1045,7 +1053,7 @@ def _q582_oracle() -> str:
     """
 
 
-@query("q582_safety_stock_reorder", oracle=_q582_oracle(), defer=True)
+@query("q582_safety_stock_reorder", oracle=_q582_oracle())
 def q582_safety_stock_reorder(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1126,7 +1134,6 @@ def _q583_ingest(batch_docs: DataFrame, epoch_id: int, path: str) -> None:
 @query(
     "q583_streaming_maxsim_retrieval",
     oracle=_q577_oracle(),
-    defer=True,
 )
 def q583_streaming_maxsim_retrieval(
     spark: SparkSession, sf_dir: str
@@ -1248,7 +1255,7 @@ def _q584_oracle() -> str:
     """
 
 
-@query("q584_pagerank_edge_delta", oracle=_q584_oracle(), defer=True)
+@query("q584_pagerank_edge_delta", oracle=_q584_oracle())
 def q584_pagerank_edge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CENTRALITY DELTA under edge arrival — the incremental-view
     question asked of a graph metric: a second planted slice of
@@ -1297,7 +1304,11 @@ def q584_pagerank_edge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             inflow = (
                 edges.join(share.withColumnRenamed("pk", "src"), "src")
                 .groupBy(F.col("dst").alias("pk"))
-                .agg(F.sum("share").alias("inflow"))
+                .agg(
+                F.sum(F.col("share").cast("decimal(38,0)")).alias(
+                    "inflow"
+                )
+            )
             )
             r = (
                 nodes.join(inflow, "pk", "left")
@@ -1305,7 +1316,10 @@ def q584_pagerank_edge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "pk",
                     (
                         F.lit(_Q581_TELE)
-                        + F.expr("(85 * COALESCE(inflow, 0)) DIV 100")
+                        + F.expr(
+                            "(85 * COALESCE(inflow,"
+                            " CAST(0 AS DECIMAL(38,0)))) DIV 100"
+                        )
                     )
                     .cast("long")
                     .alias("r"),
@@ -1378,7 +1392,7 @@ def _q585_ingest(li_epoch: DataFrame, epoch_id: int, path: str) -> None:
     )
 
 
-@query("q585_streaming_pagerank", oracle=_q581_oracle(), defer=True)
+@query("q585_streaming_pagerank", oracle=_q581_oracle())
 def q585_streaming_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q581's integer PageRank under STREAMING edge arrival — graph
     analytics as a maintained view: orders arrive in micro-batches
@@ -1410,7 +1424,9 @@ def q585_streaming_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _r13._STREAM_EPOCHS  # read at call time: tests raise it
     for ep in range(k):
         _q585_ingest(
-            li.filter((F.col("ok") / _Q514_MOD).cast("long") % k == ep),
+            li.filter(
+                F.expr(f"ok DIV {_Q514_MOD}") % k == ep
+            ),
             ep,
             path,
         )
@@ -1439,7 +1455,11 @@ def q585_streaming_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         inflow = (
             edges.join(share.withColumnRenamed("pk", "src"), "src")
             .groupBy(F.col("dst").alias("pk"))
-            .agg(F.sum("share").alias("inflow"))
+            .agg(
+                F.sum(F.col("share").cast("decimal(38,0)")).alias(
+                    "inflow"
+                )
+            )
         )
         r = (
             nodes.join(inflow, "pk", "left")
@@ -1447,7 +1467,10 @@ def q585_streaming_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pk",
                 (
                     F.lit(_Q581_TELE)
-                    + F.expr("(85 * COALESCE(inflow, 0)) DIV 100")
+                    + F.expr(
+                            "(85 * COALESCE(inflow,"
+                            " CAST(0 AS DECIMAL(38,0)))) DIV 100"
+                        )
                 )
                 .cast("long")
                 .alias("r"),
@@ -1502,7 +1525,7 @@ def _q586_oracle() -> str:
     """
 
 
-@query("q586_revenue_bridge", oracle=_q586_oracle(), defer=True)
+@query("q586_revenue_bridge", oracle=_q586_oracle())
 def q586_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REVENUE BRIDGE — the period-over-period decomposition every BI
     review opens with: {_Q586_CURR} vs {_Q586_PREV} revenue per
@@ -1590,7 +1613,7 @@ def _q587_oracle() -> str:
     """
 
 
-@query("q587_backfill_plan", oracle=_q587_oracle(), defer=True)
+@query("q587_backfill_plan", oracle=_q587_oracle())
 def q587_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BACKFILL PLAN — the orchestration question behind every
     partitioned ingest: which hour-partitions of the purchase stream
@@ -1665,7 +1688,7 @@ def _q588_oracle() -> str:
     """
 
 
-@query("q588_pinball_forecast_eval", oracle=_q588_oracle(), defer=True)
+@query("q588_pinball_forecast_eval", oracle=_q588_oracle())
 def q588_pinball_forecast_eval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1777,7 +1800,7 @@ def _q589_oracle() -> str:
     """
 
 
-@query("q589_diff_in_differences", oracle=_q589_oracle(), defer=True)
+@query("q589_diff_in_differences", oracle=_q589_oracle())
 def q589_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIFFERENCE-IN-DIFFERENCES — the experiment readout when arms
     cannot be randomized per event: purchase value per (arm × period)
@@ -1924,7 +1947,7 @@ def _q590_oracle() -> str:
     """
 
 
-@query("q590_concurrency_profile", oracle=_q590_oracle(), defer=True)
+@query("q590_concurrency_profile", oracle=_q590_oracle())
 def q590_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONCURRENCY PROFILE — capacity planning's first question: how
     many sessions run AT ONCE.  The q575 sessions become a sweep
@@ -2050,7 +2073,7 @@ def _q591_oracle() -> str:
     """
 
 
-@query("q591_group_dispersion_card", oracle=_q591_oracle(), defer=True)
+@query("q591_group_dispersion_card", oracle=_q591_oracle())
 def q591_group_dispersion_card(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2141,7 +2164,7 @@ def _q592_oracle() -> str:
     """
 
 
-@query("q592_token_fertility", oracle=_q592_oracle(), defer=True)
+@query("q592_token_fertility", oracle=_q592_oracle())
 def q592_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOKEN FERTILITY by detected language — the tokenizer-economics
     audit a multilingual pretraining budget needs: cost is paid in
@@ -2236,7 +2259,7 @@ def _q593_oracle() -> str:
     """
 
 
-@query("q593_mann_whitney_u", oracle=_q593_oracle(), defer=True)
+@query("q593_mann_whitney_u", oracle=_q593_oracle())
 def q593_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Mann–Whitney U — the nonparametric A/B test for skewed
     metrics (purchase value is heavy-tailed; the q551 mean test is
@@ -2317,7 +2340,7 @@ def q593_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q594 — STREAMING backfill monitor (twin of q587) -----------------------
 
 
-@query("q594_streaming_backfill_monitor", oracle=_q587_oracle(), defer=True)
+@query("q594_streaming_backfill_monitor", oracle=_q587_oracle())
 def q594_streaming_backfill_monitor(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2438,7 +2461,7 @@ def _q595_oracle() -> str:
     """
 
 
-@query("q595_knn_classifier_eval", oracle=_q595_oracle(), defer=True)
+@query("q595_knn_classifier_eval", oracle=_q595_oracle())
 def q595_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN CLASSIFICATION accuracy, exactly — the ML-eval lane the
     label column exists for, with every source of nondeterminism
@@ -2560,7 +2583,7 @@ def _q596_oracle() -> str:
     """
 
 
-@query("q596_cusum_change_detection", oracle=_q596_oracle(), defer=True)
+@query("q596_cusum_change_detection", oracle=_q596_oracle())
 def q596_cusum_change_detection(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2667,7 +2690,7 @@ def _q597_oracle() -> str:
     """
 
 
-@query("q597_abc_xyz_matrix", oracle=_q597_oracle(), defer=True)
+@query("q597_abc_xyz_matrix", oracle=_q597_oracle())
 def q597_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC × XYZ — the inventory-policy matrix that decides stocking
     strategy per part: ABC from cumulative revenue share (the q550
@@ -2741,7 +2764,7 @@ def q597_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q598 — STREAMING safety stock (twin of q582) ---------------------------
 
 
-@query("q598_streaming_safety_stock", oracle=_q582_oracle(), defer=True)
+@query("q598_streaming_safety_stock", oracle=_q582_oracle())
 def q598_streaming_safety_stock(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2848,7 +2871,7 @@ def _q599_oracle() -> str:
     """
 
 
-@query("q599_kendall_tau", oracle=_q599_oracle(), defer=True)
+@query("q599_kendall_tau", oracle=_q599_oracle())
 def q599_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Kendall τ-b between part-level QUANTITY and REVENUE —
     does moving more units mean earning more?  Every pair of parts is
@@ -2945,7 +2968,7 @@ def _q600_oracle() -> str:
     """
 
 
-@query("q600_theil_index", oracle=_q600_oracle(), defer=True)
+@query("q600_theil_index", oracle=_q600_oracle())
 def q600_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THEIL T INDEX of customer-spend inequality — the entropy
     complement of q520's Gini (Theil decomposes additively across
@@ -3032,7 +3055,7 @@ def _q601_oracle() -> str:
     """
 
 
-@query("q601_theil_decomposition", oracle=_q601_oracle(), defer=True)
+@query("q601_theil_decomposition", oracle=_q601_oracle())
 def q601_theil_decomposition(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3142,7 +3165,7 @@ def _q602_oracle() -> str:
     """
 
 
-@query("q602_spearman_rho", oracle=_q602_oracle(), defer=True)
+@query("q602_spearman_rho", oracle=_q602_oracle())
 def q602_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPEARMAN ρ between part quantity and revenue — the monotone-
     association complement of q599's τ: Pearson correlation computed
@@ -3235,7 +3258,7 @@ def _q603_oracle() -> str:
     """
 
 
-@query("q603_jain_fairness", oracle=_q603_oracle(), defer=True)
+@query("q603_jain_fairness", oracle=_q603_oracle())
 def q603_jain_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JAIN'S FAIRNESS INDEX over supplier workloads — the
     load-balance metric a scheduler review reads (1 = perfectly even,
@@ -3315,7 +3338,7 @@ def _q604_oracle() -> str:
     """
 
 
-@query("q604_hhi_concentration", oracle=_q604_oracle(), defer=True)
+@query("q604_hhi_concentration", oracle=_q604_oracle())
 def q604_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HERFINDAHL–HIRSCHMAN INDEX of supplier revenue concentration
     per nation — the antitrust statistic, with ZERO floats anywhere:
@@ -3368,7 +3391,7 @@ def q604_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q605 — STREAMING revenue bridge (twin of q586) -------------------------
 
 
-@query("q605_streaming_revenue_bridge", oracle=_q586_oracle(), defer=True)
+@query("q605_streaming_revenue_bridge", oracle=_q586_oracle())
 def q605_streaming_revenue_bridge(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3467,7 +3490,7 @@ def q605_streaming_revenue_bridge(
 # q606 — STREAMING kNN classifier eval (twin of q595) --------------------
 
 
-@query("q606_streaming_knn_eval", oracle=_q595_oracle(), defer=True)
+@query("q606_streaming_knn_eval", oracle=_q595_oracle())
 def q606_streaming_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q595's kNN eval under STREAMING corpus arrival — the bounded-
     state trick that makes top-k maintainable: each micro-batch
@@ -3618,7 +3641,7 @@ def _q607_oracle() -> str:
     """
 
 
-@query("q607_exact_auc", oracle=_q607_oracle(), defer=True)
+@query("q607_exact_auc", oracle=_q607_oracle())
 def q607_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT AUC — the ranking-quality statistic every classifier
     eval leads with, computed with zero approximation: does q37's

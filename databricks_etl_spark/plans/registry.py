@@ -628,6 +628,58 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q526_markov_transition_matrix",
         "q527_grouped_ols_trend",
         "q528_result_cache_invalidation",
+        # --- round 14 greens (CORRECTNESS_r14.json; 50/50 green
+        # rows — q01 re-proven plus the entire r13-deferred backlog
+        # q529–q575 and the first two r14 lanes q576–q577).
+        "q529_dedup_cluster_canonicalization",
+        "q530_seasonal_dow_index",
+        "q531_robust_anomaly_mad",
+        "q532_matryoshka_truncation_audit",
+        "q533_class_reweighting_plan",
+        "q534_streaming_drift_monitor",
+        "q535_streaming_transitions",
+        "q536_graph_index_datasheet",
+        "q537_incremental_skyline",
+        "q538_funnel_latency_percentiles",
+        "q539_ab_test_proportions",
+        "q540_kaplan_meier",
+        "q541_ewma_backtest",
+        "q542_eager_aggregation_rewrite",
+        "q543_decorrelated_above_average",
+        "q544_unigram_logprob_scoring",
+        "q545_streaming_logprob_scoring",
+        "q546_slo_burn_rate",
+        "q547_rfm_segmentation",
+        "q548_duplicate_payment_detection",
+        "q549_benford_audit",
+        "q550_abc_classification",
+        "q551_ab_test_means",
+        "q552_position_attribution",
+        "q553_dsar_access_report",
+        "q554_feature_store_materialization",
+        "q555_train_serve_skew_audit",
+        "q556_hot_key_detection",
+        "q557_salted_join_equivalence",
+        "q558_order_reconciliation",
+        "q559_brand_affinity_matrix",
+        "q560_grouped_boxplot_stats",
+        "q561_process_conformance",
+        "q562_top_event_paths",
+        "q563_activity_heatmap",
+        "q564_streaming_rfm",
+        "q565_cohort_ltv_discounted",
+        "q566_growth_accounting",
+        "q567_dau_wau_stickiness",
+        "q568_power_user_curve",
+        "q569_seasonal_adjusted_anomaly",
+        "q570_sorted_neighborhood_linkage",
+        "q571_burst_detection",
+        "q572_funnel_by_experiment_arm",
+        "q573_streaming_growth_accounting",
+        "q574_net_revenue_retention",
+        "q575_session_statistics",
+        "q576_streaming_graph_insert",
+        "q577_maxsim_late_interaction",
     }
 )
 
