@@ -780,6 +780,8 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_round13  # noqa: F401
     # round-14 modules
     import databricks_etl_spark.plans.queries_round14  # noqa: F401
+    # round-15 modules
+    import databricks_etl_spark.plans.queries_round15  # noqa: F401
 
     assert len(QUERIES) >= 605, (
         f"query registry shrank: {len(QUERIES)} < 605 — a module failed to register"
