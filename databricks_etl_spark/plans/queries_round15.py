@@ -544,3 +544,519 @@ def q611_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_Q611_HC).alias("h_tie_corrected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q612 — one-way ANOVA of account balance across market segments
+# ---------------------------------------------------------------------------
+#
+# The parametric counterpart of q611's rank test: decompose total
+# variance of customer account balances into between-segment and
+# within-segment sums of squares from EXACT integer moments.  The
+# naive Σ Sg²/ng − S²/N form suffers catastrophic cancellation of
+# ~4 leading digits at 1e15 magnitude, where Spark's double→decimal
+# cast (shortest-string) and DuckDB's (exact-binary) disagree by
+# ULPs — so every quotient is split into an exact integer part
+# (x DIV n, cancelled in exact integer space) plus a sub-unit
+# fractional remainder ((x MOD n)/n, 9dp-safe).  F and η² are
+# portable expressions over the small-magnitude pieces.
+
+_Q612_FRAC = "round(CAST(rg AS DOUBLE) / CAST(ng AS DOUBLE), 9)"
+
+
+def _q612_cards(div: str) -> dict[str, str]:
+    """Portable output expressions; ``div`` is the engine's integer
+    floor-division token (Spark ``DIV``, DuckDB ``//``) applied to
+    non-negative exact integers only."""
+    ssb = (
+        f"(CAST(sbi - (s * s {div} n) AS DOUBLE)"
+        " + CAST(sbf AS DOUBLE)"
+        " - CAST((s * s) % n AS DOUBLE) / n)"
+    )
+    ssw = "(CAST(q - sbi AS DOUBLE) - CAST(sbf AS DOUBLE))"
+    return {
+        "ssb": f"round({ssb}, 6)",
+        "ssw": f"round({ssw}, 6)",
+        "f": f"round(({ssb} / (k - 1)) / ({ssw} / (n - k)), 6)",
+        "eta": f"round({ssb} / ({ssb} + {ssw}), 6)",
+    }
+
+
+def _q612_oracle() -> str:
+    e = _q612_cards("//")
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT c_mktsegment AS grp,
+                   CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+            FROM customer
+        ),
+        g AS MATERIALIZED (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+                   CAST(SUM(cents) AS BIGINT) AS sg
+            FROM v GROUP BY 1
+        ),
+        g2 AS MATERIALIZED (
+            SELECT grp, ng, sg,
+                   CAST(sg * sg // ng AS BIGINT) AS dg,
+                   CAST((sg * sg) % ng AS BIGINT) AS rg
+            FROM g
+        ),
+        tots AS (
+            SELECT CAST(SUM(ng) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(sg) AS BIGINT) AS s,
+                   CAST(SUM(CAST(dg AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sbi,
+                   CAST(SUM(CAST({_Q612_FRAC} AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS sbf
+            FROM g2
+        ),
+        qq AS (
+            SELECT CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+                        AS DECIMAL(38,0)) AS q
+            FROM v
+        )
+        SELECT k AS k_groups, n AS n_customers,
+               {e["ssb"]} AS ssb_cents2, {e["ssw"]} AS ssw_cents2,
+               {e["f"]} AS f_stat, {e["eta"]} AS eta_sq
+        FROM tots, qq
+    """
+
+
+@query("q612_anova_oneway", oracle=_q612_oracle())
+def q612_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA of account balance across the five market
+    segments — the parametric sibling of q611: SSB/SSW from exact
+    integer moments with every quotient split into an exact integer
+    part (DIV — cancelled against S²DIVN in exact integer space;
+    the naive double form loses 4 leading digits to cancellation
+    and ULP-level cast divergence) plus a sub-unit 9dp remainder;
+    F and η² portable expressions over the small pieces.  The
+    identity SSB + SSW = SST is pinned in tests.
+
+    Scale shape: one customer scan → 5-row group relation + 1-row
+    moment card; all downstream arithmetic on tiny relations.  (DIV
+    range note: sg²/ng stays within BIGINT for segment cent-sums up
+    to ~3e9 dollars; beyond that the same construction lifts to
+    DECIMAL(38,0) floor division.)"""
+    c = read_table(spark, sf_dir, "customer")
+    e = _q612_cards("DIV")
+    v = c.select(
+        F.col("c_mktsegment").alias("grp"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    ).localCheckpoint()
+    g2 = (
+        v.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum("cents").cast("long").alias("sg"),
+        )
+        .select(
+            "grp",
+            "ng",
+            "sg",
+            F.expr("sg * sg DIV ng").cast("long").alias("dg"),
+            F.expr("(sg * sg) % ng").cast("long").alias("rg"),
+        )
+    )
+    tots = g2.select(
+        "ng",
+        "sg",
+        "dg",
+        F.expr(_Q612_FRAC).cast("decimal(28,9)").alias("frac"),
+    ).agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum(F.col("dg").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sbi"),
+        F.sum("frac").cast("decimal(28,9)").alias("sbf"),
+    )
+    qq = v.agg(
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("q")
+    )
+    return tots.crossJoin(qq).select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_customers"),
+        F.expr(e["ssb"]).alias("ssb_cents2"),
+        F.expr(e["ssw"]).alias("ssw_cents2"),
+        F.expr(e["f"]).alias("f_stat"),
+        F.expr(e["eta"]).alias("eta_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q613 — partial correlation of quantity and price controlling discount
+# ---------------------------------------------------------------------------
+#
+# Extends q35 (Pearson profile): does the quantity↔extended-price
+# correlation survive after controlling for the discount?  All ten
+# second-order moments accumulate exactly in DECIMAL(38,0); the three
+# pairwise r's and the partial r are ONE nested portable expression
+# evaluated from those integers — identical IEEE sequence on both
+# engines.
+
+
+def _q613_r(sab: str, sa: str, sb: str, saa: str, sbb: str) -> str:
+    """Portable Pearson-r sub-expression from exact moment columns."""
+    n = "CAST(n AS DOUBLE)"
+    return (
+        f"(({n} * CAST({sab} AS DOUBLE)"
+        f" - CAST({sa} AS DOUBLE) * CAST({sb} AS DOUBLE))"
+        f" / sqrt(({n} * CAST({saa} AS DOUBLE)"
+        f" - CAST({sa} AS DOUBLE) * CAST({sa} AS DOUBLE))"
+        f" * ({n} * CAST({sbb} AS DOUBLE)"
+        f" - CAST({sb} AS DOUBLE) * CAST({sb} AS DOUBLE))))"
+    )
+
+
+_Q613_RXY = _q613_r("sxy", "sx", "sy", "sxx", "syy")
+_Q613_RXZ = _q613_r("sxz", "sx", "sz", "sxx", "szz")
+_Q613_RYZ = _q613_r("syz", "sy", "sz", "syy", "szz")
+_Q613_PARTIAL = (
+    f"round(({_Q613_RXY} - {_Q613_RXZ} * {_Q613_RYZ})"
+    f" / sqrt((1 - {_Q613_RXZ} * {_Q613_RXZ})"
+    f" * (1 - {_Q613_RYZ} * {_Q613_RYZ})), 6)"
+)
+
+
+def _q613_oracle() -> str:
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT CAST(l_quantity AS BIGINT) AS x,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y,
+                   CAST(round(l_discount * 100, 0) AS BIGINT) AS z
+            FROM lineitem
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sz,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+                   CAST(SUM(CAST(z AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS szz,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS sxz,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS syz
+            FROM v
+        )
+        SELECT n AS n_rows,
+               round({_Q613_RXY}, 6) AS r_qty_price,
+               round({_Q613_RXZ}, 6) AS r_qty_discount,
+               round({_Q613_RYZ}, 6) AS r_price_discount,
+               {_Q613_PARTIAL} AS partial_r_qty_price
+        FROM m
+    """
+
+
+@query("q613_partial_correlation", oracle=_q613_oracle())
+def q613_partial_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTIAL CORRELATION r(qty, price | discount) — first-order
+    partialling via the three pairwise Pearson r's, all evaluated in
+    one nested portable expression from ten exact DECIMAL(38,0)
+    moments (single lineitem scan, map-side products, one 1-row
+    combine).  Extends the q35 correlation profile with the
+    controlled-association question.
+
+    Scale shape: one scan, one 1-row aggregate — the minimal
+    distributed shape for any moment statistic."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    v = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("z"),
+    )
+    m = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("z")).cast("decimal(38,0)").alias("sz"),
+        F.sum(dec("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(dec("z") * F.col("z")).cast("decimal(38,0)").alias("szz"),
+        F.sum(dec("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("x") * F.col("z")).cast("decimal(38,0)").alias("sxz"),
+        F.sum(dec("y") * F.col("z")).cast("decimal(38,0)").alias("syz"),
+    )
+    return m.select(
+        F.col("n").alias("n_rows"),
+        F.round(F.expr(_Q613_RXY), 6).alias("r_qty_price"),
+        F.round(F.expr(_Q613_RXZ), 6).alias("r_qty_discount"),
+        F.round(F.expr(_Q613_RYZ), 6).alias("r_price_discount"),
+        F.expr(_Q613_PARTIAL).alias("partial_r_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q614 — autocorrelation function of daily revenue (lags 1–7)
+# ---------------------------------------------------------------------------
+#
+# The time-series memory card (extends q197 EWMA / q530 seasonality):
+# ACF at lags 1..7 of the daily order-revenue series using the
+# standard biased estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)².
+# Cross-products accumulate exactly (DECIMAL(38,0)); the mean enters
+# only in the final portable expression, so no float drift upstream.
+
+_Q614_ACF = (
+    "round((CAST(sxy AS DOUBLE)"
+    " - (CAST(s AS DOUBLE) / n) * (CAST(sh AS DOUBLE)"
+    " + CAST(st AS DOUBLE))"
+    " + (CAST(n AS DOUBLE) - lag)"
+    " * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+    " / (CAST(q AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6)"
+)
+
+
+def _q614_oracle() -> str:
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        idx AS MATERIALIZED (
+            SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+                       AS i, x
+            FROM daily
+        ),
+        tot AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS s,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * x)
+                        AS DECIMAL(38,0)) AS q
+            FROM idx
+        ),
+        lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+        pairs AS (
+            SELECT l.lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CAST(a.x AS DECIMAL(38,0)) * b.x)
+                        AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(CAST(a.x AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sh,
+                   CAST(SUM(CAST(b.x AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS st
+            FROM lags l
+            JOIN idx a ON TRUE
+            JOIN idx b ON b.i = a.i + l.lag
+            GROUP BY 1
+        )
+        SELECT CAST(p.lag AS BIGINT) AS lag, p.n_pairs,
+               {_Q614_ACF} AS acf
+        FROM pairs p, tot
+    """
+
+
+@query("q614_acf_lags", oracle=_q614_oracle())
+def q614_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION FUNCTION of daily order revenue at lags 1–7 —
+    the memory diagnostic behind every forecasting lane (q218/q541):
+    standard biased estimator with exact DECIMAL(38,0) cross-products
+    over the day-index self-join; the series mean enters only in the
+    final portable expression.  r_0 ≡ 1 and |r_k| ≤ 1 pinned in
+    tests.
+
+    Scale shape: one orders scan → bounded daily grid (the q529-class
+    bounded relation); day indexing via exact_cumsum (no global
+    window); a 7-way literal lag grid self-join on the grid."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    idx = exact_cumsum(daily, ["d"], "one", out_col="i").select(
+        F.col("i").cast("long").alias("i"), "x"
+    ).localCheckpoint()
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    a = idx.withColumn(
+        "lag", F.explode(F.array(*[F.lit(k) for k in range(1, 8)]))
+    ).withColumn("i2", F.col("i") + F.col("lag"))
+    b = idx.select(F.col("i").alias("i2"), F.col("x").alias("x2"))
+    pairs = (
+        a.join(b, "i2")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x2"))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum(F.col("x").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sh"),
+            F.sum(F.col("x2").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("st"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.expr(_Q614_ACF).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q615 — price–volume–mix decomposition of year-over-year revenue
+# ---------------------------------------------------------------------------
+#
+# The finance bridge q586 does not answer: per brand, HOW did revenue
+# move — unit price changes (price effect, (p1−p0)·q1 summed over
+# parts sold both years), quantity changes (volume effect,
+# (q1−q0)·p0), or portfolio churn (new / discontinued parts)?
+# Part-grain terms are exact rationals r1 − r0·q1/q0 evaluated by one
+# portable IEEE expression, 9dp-rounded, decimal-summed to brand.
+
+_Q615_Y0, _Q615_Y1 = 1999, 2000
+
+_Q615_PRICE_T = (
+    "round(CAST(r1 AS DOUBLE)"
+    " - CAST(r0 AS DOUBLE) * q1 / CAST(q0 AS DOUBLE), 9)"
+)
+_Q615_VOL_T = (
+    "round(CAST(r0 AS DOUBLE)"
+    " * (CAST(q1 AS DOUBLE) - q0) / CAST(q0 AS DOUBLE), 9)"
+)
+_Q615_EDGE = "round(CAST({col} AS DOUBLE), 6)"
+
+
+def _q615_oracle() -> str:
+    return f"""
+        WITH pg AS MATERIALIZED (
+            SELECT p.p_brand AS brand, l.l_partkey,
+                   CAST(SUM(CASE WHEN year(CAST(l.l_shipdate AS DATE))
+                                      = {_Q615_Y0}
+                            THEN CAST(l.l_quantity AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS q0,
+                   CAST(SUM(CASE WHEN year(CAST(l.l_shipdate AS DATE))
+                                      = {_Q615_Y1}
+                            THEN CAST(l.l_quantity AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS q1,
+                   CAST(SUM(CASE WHEN year(CAST(l.l_shipdate AS DATE))
+                                      = {_Q615_Y0}
+                            THEN CAST(round(l.l_extendedprice * 100, 0)
+                                      AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS r0,
+                   CAST(SUM(CASE WHEN year(CAST(l.l_shipdate AS DATE))
+                                      = {_Q615_Y1}
+                            THEN CAST(round(l.l_extendedprice * 100, 0)
+                                      AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS r1
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE year(CAST(l.l_shipdate AS DATE))
+                  IN ({_Q615_Y0}, {_Q615_Y1})
+            GROUP BY 1, 2
+        )
+        SELECT brand,
+               CAST(SUM(r0) AS BIGINT) AS rev_prev_cents,
+               CAST(SUM(r1) AS BIGINT) AS rev_curr_cents,
+               CAST(SUM(r1) - SUM(r0) AS BIGINT) AS delta_cents,
+               round(CAST(SUM(CASE WHEN q0 > 0 AND q1 > 0 THEN
+                   CAST({_Q615_PRICE_T} AS DECIMAL(28,9))
+                   ELSE CAST(0 AS DECIMAL(28,9)) END)
+                   AS DOUBLE), 6) AS price_effect,
+               round(CAST(SUM(CASE WHEN q0 > 0 AND q1 > 0 THEN
+                   CAST({_Q615_VOL_T} AS DECIMAL(28,9))
+                   ELSE CAST(0 AS DECIMAL(28,9)) END)
+                   AS DOUBLE), 6) AS volume_effect,
+               CAST(SUM(CASE WHEN q0 = 0 THEN r1 ELSE 0 END)
+                    AS BIGINT) AS new_parts_cents,
+               CAST(SUM(CASE WHEN q1 = 0 THEN r0 ELSE 0 END)
+                    AS BIGINT) AS lost_parts_cents
+        FROM pg GROUP BY 1
+    """
+
+
+@query("q615_price_volume_mix", oracle=_q615_oracle())
+def q615_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE–VOLUME–MIX decomposition of brand revenue {_Q615_Y0} →
+    {_Q615_Y1} — the analytical bridge behind q586's up/down card:
+    per part sold in both years, price effect (p1−p0)·q1 and volume
+    effect (q1−q0)·p0 (exact-rational terms, one portable IEEE
+    expression, 9dp-rounded, decimal-summed to brand); portfolio
+    churn reported exactly as new/lost part revenue.  The identity
+    Δ = price + volume + new − lost (up to the 9dp term rounding) is
+    pinned in tests.
+
+    Scale shape: one lineitem scan filtered to two years, a
+    part-grain rollup (conditional sums — no self-join), a brand
+    rollup; the part join is dimension-sized."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    yr = F.year(F.col("l_shipdate").cast("date"))
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    pg = (
+        li.filter(yr.isin(_Q615_Y0, _Q615_Y1))
+        .join(p.select("p_partkey", "p_brand"),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"), "l_partkey")
+        .agg(
+            F.sum(F.when(yr == _Q615_Y0, qty).otherwise(0))
+            .cast("long")
+            .alias("q0"),
+            F.sum(F.when(yr == _Q615_Y1, qty).otherwise(0))
+            .cast("long")
+            .alias("q1"),
+            F.sum(F.when(yr == _Q615_Y0, cents).otherwise(0))
+            .cast("long")
+            .alias("r0"),
+            F.sum(F.when(yr == _Q615_Y1, cents).otherwise(0))
+            .cast("long")
+            .alias("r1"),
+        )
+    )
+    both = (F.col("q0") > 0) & (F.col("q1") > 0)
+    zero9 = F.lit(0).cast("decimal(28,9)")
+    return pg.groupBy("brand").agg(
+        F.sum("r0").cast("long").alias("rev_prev_cents"),
+        F.sum("r1").cast("long").alias("rev_curr_cents"),
+        (F.sum("r1") - F.sum("r0")).cast("long").alias("delta_cents"),
+        F.round(
+            F.sum(
+                F.when(
+                    both,
+                    F.expr(_Q615_PRICE_T).cast("decimal(28,9)"),
+                ).otherwise(zero9)
+            ).cast("double"),
+            6,
+        ).alias("price_effect"),
+        F.round(
+            F.sum(
+                F.when(
+                    both, F.expr(_Q615_VOL_T).cast("decimal(28,9)")
+                ).otherwise(zero9)
+            ).cast("double"),
+            6,
+        ).alias("volume_effect"),
+        F.sum(F.when(F.col("q0") == 0, F.col("r1")).otherwise(0))
+        .cast("long")
+        .alias("new_parts_cents"),
+        F.sum(F.when(F.col("q1") == 0, F.col("r0")).otherwise(0))
+        .cast("long")
+        .alias("lost_parts_cents"),
+    )
