@@ -1060,3 +1060,559 @@ def q615_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lost_parts_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q616 — weight-of-evidence / information-value feature audit
+# ---------------------------------------------------------------------------
+#
+# The credit-scoring feature-engineering classic (public: Siddiqi,
+# scorecard literature): bin account balance into fixed $1000 bins and
+# score how well the bins separate a binary target (BUILDING-segment
+# membership).  WoE_b = ln(p_good/p_bad) with +1 Laplace cells so no
+# bin degenerates; IV = Σ (p_good − p_bad)·WoE.  Every ratio is exact
+# integers inside one portable ln expression.
+
+_Q616_LN = (
+    "ln((CAST(gb AS DOUBLE) + 1) * (b + nb)"
+    " / ((CAST(bb AS DOUBLE) + 1) * (g + nb)))"
+)
+_Q616_WOE = f"round({_Q616_LN}, 6)"
+_Q616_IVC = (
+    "round(((CAST(gb AS DOUBLE) + 1) / (g + nb)"
+    " - (CAST(bb AS DOUBLE) + 1) / (b + nb))"
+    f" * {_Q616_LN}, 6)"
+)
+
+
+def _q616_oracle() -> str:
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT (CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                    + 100000) // 100000 AS bin,
+                   CASE WHEN c_mktsegment = 'BUILDING'
+                        THEN 1 ELSE 0 END AS y
+            FROM customer
+        ),
+        bins AS MATERIALIZED (
+            SELECT bin, CAST(SUM(y) AS BIGINT) AS gb,
+                   CAST(COUNT(*) - SUM(y) AS BIGINT) AS bb
+            FROM v GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(gb) AS BIGINT) AS g,
+                   CAST(SUM(bb) AS BIGINT) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS nb
+            FROM bins
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, gb AS n_good, bb AS n_bad,
+               {_Q616_WOE} AS woe, {_Q616_IVC} AS iv_contrib
+        FROM bins, tot
+    """
+
+
+@query("q616_woe_information_value", oracle=_q616_oracle())
+def q616_woe_information_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHT OF EVIDENCE + INFORMATION VALUE of binned account
+    balance against BUILDING-segment membership — the scorecard
+    feature audit: $1000 fixed-width bins (shifted non-negative
+    before integer DIV so floor-vs-truncate never diverges), +1
+    Laplace cells, WoE and IV contribution as portable ln
+    expressions over exact counts.  Σ iv_contrib is the feature's
+    IV; the (p_good−p_bad)·WoE ≥ 0 sign invariant is pinned in
+    tests.
+
+    Scale shape: one scan → bounded bin relation (value range / bin
+    width) + 1-row totals."""
+    c = read_table(spark, sf_dir, "customer")
+    v = c.select(
+        F.expr(
+            "(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)"
+            " DIV 100000"
+        ).alias("bin"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    bins = v.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("gb"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("bb"),
+    )
+    tot = bins.agg(
+        F.sum("gb").cast("long").alias("g"),
+        F.sum("bb").cast("long").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    return bins.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("gb").alias("n_good"),
+        F.col("bb").alias("n_bad"),
+        F.expr(_Q616_WOE).alias("woe"),
+        F.expr(_Q616_IVC).alias("iv_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q617 — smoothed target encoding with a held-out MSE gate
+# ---------------------------------------------------------------------------
+#
+# The leakage-safe way to turn a high-cardinality category into a
+# numeric feature: fit enc_b = (pos_b + m·prior)/(n_b + m) on an
+# md5-split train half only (q593's split discipline), score the
+# HELD-OUT half's squared error against the smoothed encoding vs the
+# global-prior baseline.  Per-row squared errors are exact-rational
+# doubles, 9dp-rounded, decimal-summed.
+
+_Q617_M = 20  # smoothing pseudo-count (literal in both engines)
+_Q617_HEX = "01234567"  # md5 first hex here → train (~1/2)
+
+_Q617_ENC = (
+    f"((CAST(pb AS DOUBLE) + {_Q617_M} * CAST(ptot AS DOUBLE) / ntot)"
+    f" / (CAST(nb AS DOUBLE) + {_Q617_M}))"
+)
+_Q617_PRIOR = "(CAST(ptot AS DOUBLE) / ntot)"
+_Q617_SEE = f"round(pow({_Q617_ENC} - y, 2), 9)"
+_Q617_SEP = f"round(pow({_Q617_PRIOR} - y, 2), 9)"
+_Q617_MSE = "round(CAST({s} AS DOUBLE) / nh, 6)"
+
+
+def _q617_oracle() -> str:
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT p.p_brand AS brand,
+                   CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END
+                       AS y,
+                   strpos('{_Q617_HEX}', substr(md5('te:' ||
+                       CAST(l.l_orderkey AS VARCHAR)), 1, 1)) > 0
+                       AS is_train
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        enc AS MATERIALIZED (
+            SELECT brand, CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(y) AS BIGINT) AS pb
+            FROM v WHERE is_train GROUP BY 1
+        ),
+        tt AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS ntot,
+                   CAST(SUM(y) AS BIGINT) AS ptot
+            FROM v WHERE is_train
+        ),
+        held AS (
+            SELECT h.y,
+                   COALESCE(e.nb, 0) AS nb, COALESCE(e.pb, 0) AS pb,
+                   tt.ntot, tt.ptot
+            FROM v h LEFT JOIN enc e ON h.brand = e.brand, tt
+            WHERE NOT h.is_train
+        ),
+        card AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nh,
+                   CAST(SUM(CAST({_Q617_SEE} AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS se,
+                   CAST(SUM(CAST({_Q617_SEP} AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS sp
+            FROM held
+        )
+        SELECT (SELECT ntot FROM tt) AS n_train, nh AS n_heldout,
+               (SELECT COUNT(*) FROM enc) AS n_categories,
+               {_Q617_MSE.format(s="se")} AS mse_encoded,
+               {_Q617_MSE.format(s="sp")} AS mse_prior
+        FROM card
+    """
+
+
+@query("q617_target_encoding_audit", oracle=_q617_oracle())
+def q617_target_encoding_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SMOOTHED TARGET ENCODING of part brand against return
+    probability, gated by held-out MSE — the feature-store question
+    (q554's materialization discipline applied to a supervised
+    encoding): fit (pos+m·prior)/(n+m) on the md5-train half,
+    compare held-out squared error against the global-prior
+    baseline.  Unseen categories fall back to the prior via the
+    COALESCE(0,0) algebra (enc(0,0) ≡ prior).  mse_encoded ≤
+    mse_prior is the acceptance gate pinned in tests.
+
+    Scale shape: one fact scan + dimension join; the 25-row encoding
+    relation joins map-side (AQE broadcasts it); per-row error terms
+    are map-side; one 1-row card."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    v = (
+        li.join(p.select("p_partkey", "p_brand"),
+                li.l_partkey == F.col("p_partkey"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.when(F.col("l_returnflag") == "R", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("y"),
+            (
+                F.instr(
+                    F.lit(_Q617_HEX),
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("te:"),
+                                F.col("l_orderkey").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                )
+                > 0
+            ).alias("is_train"),
+        )
+        .localCheckpoint()
+    )
+    train = v.filter(F.col("is_train"))
+    enc = train.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("y").cast("long").alias("pb"),
+    ).localCheckpoint()
+    tt = train.agg(
+        F.count(F.lit(1)).cast("long").alias("ntot"),
+        F.sum("y").cast("long").alias("ptot"),
+    )
+    held = (
+        v.filter(~F.col("is_train"))
+        .join(enc, "brand", "left")
+        .select(
+            "y",
+            F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
+            F.coalesce(F.col("pb"), F.lit(0)).alias("pb"),
+        )
+        .crossJoin(F.broadcast(tt))
+    )
+    card = held.select(
+        F.expr(_Q617_SEE).cast("decimal(28,9)").alias("see"),
+        F.expr(_Q617_SEP).cast("decimal(28,9)").alias("sep"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("see").cast("decimal(28,9)").alias("se"),
+        F.sum("sep").cast("decimal(28,9)").alias("sp"),
+    )
+    ncat = enc.agg(F.count(F.lit(1)).cast("long").alias("n_categories"))
+    return (
+        card.crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(ncat))
+        .select(
+            F.col("ntot").alias("n_train"),
+            F.col("nh").alias("n_heldout"),
+            "n_categories",
+            F.expr(_Q617_MSE.format(s="se")).alias("mse_encoded"),
+            F.expr(_Q617_MSE.format(s="sp")).alias("mse_prior"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q618 — decision-stump induction on order value vs priority
+# ---------------------------------------------------------------------------
+#
+# One round of CART in pure SQL (public: Breiman et al.): over $10k
+# order-value bins, find the split threshold minimizing weighted Gini
+# impurity against the urgent-priority label.  Left/right class
+# counts come from one exact_cumsum prefix fold over the bin grain;
+# the impurity of every candidate split is a portable expression from
+# exact integers; argmin by (gini, threshold) is a total order.
+
+_Q618_WG = (
+    "(((CAST(nl AS DOUBLE)"
+    " - (CAST(pl AS DOUBLE) * pl + CAST(gl AS DOUBLE) * gl) / nl)"
+    " + (CAST(nr AS DOUBLE)"
+    " - (CAST(pr AS DOUBLE) * pr + CAST(gr AS DOUBLE) * gr) / nr))"
+    " / n)"
+)
+_Q618_PARENT = (
+    "((CAST(n AS DOUBLE)"
+    " - (CAST(pos AS DOUBLE) * pos"
+    " + CAST(n - pos AS DOUBLE) * (n - pos)) / n) / n)"
+)
+
+
+def _q618_oracle() -> str:
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       // 1000000 AS bin,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        bins AS MATERIALIZED (
+            SELECT bin, CAST(SUM(y) AS BIGINT) AS bp,
+                   CAST(COUNT(*) AS BIGINT) AS bt
+            FROM v GROUP BY 1
+        ),
+        cum AS MATERIALIZED (
+            SELECT bin,
+                   CAST(SUM(bp) OVER (ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+                   CAST(SUM(bt) OVER (ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctt
+            FROM bins
+        ),
+        tot AS (
+            SELECT CAST(SUM(bp) AS BIGINT) AS pos,
+                   CAST(SUM(bt) AS BIGINT) AS n
+            FROM bins
+        ),
+        cand AS (
+            SELECT bin AS t, ctt AS nl, cp AS pl,
+                   CAST(ctt - cp AS BIGINT) AS gl,
+                   CAST(n - ctt AS BIGINT) AS nr,
+                   CAST(pos - cp AS BIGINT) AS pr,
+                   CAST((n - ctt) - (pos - cp) AS BIGINT) AS gr,
+                   n, pos
+            FROM cum, tot WHERE ctt < n
+        )
+        SELECT CAST(t AS BIGINT) AS threshold_bin,
+               nl AS n_left, pl AS pos_left,
+               nr AS n_right, pr AS pos_right,
+               round({_Q618_WG}, 6) AS weighted_gini,
+               round({_Q618_PARENT}, 6) AS parent_gini,
+               round({_Q618_PARENT} - {_Q618_WG}, 6) AS gain
+        FROM cand
+        ORDER BY {_Q618_WG}, t
+        LIMIT 1
+    """
+
+
+@query("q618_decision_stump", oracle=_q618_oracle())
+def q618_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION-STUMP INDUCTION — one CART round in the engine: the
+    $10k order-value bin threshold minimizing weighted Gini impurity
+    against the urgent-priority label.  Candidate-split class counts
+    from one exact_cumsum prefix fold over the bin grain; impurities
+    portable IEEE from exact integers; argmin by (gini, threshold).
+    gain ≥ 0 and the left/right count algebra are pinned in tests.
+
+    Scale shape: one scan → bounded bin grain (price range / $10k) →
+    prefix fold → bounded candidate relation → sort-limit on ≤50
+    rows."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
+    o = read_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.expr(
+            "CAST(round(o_totalprice * 100, 0) AS BIGINT) DIV 1000000"
+        ).alias("bin"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    bins = v.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("bp"),
+        F.count(F.lit(1)).cast("long").alias("bt"),
+    ).localCheckpoint()
+    cum = (
+        exact_cumsum(bins, ["bin"], "bt", out_col="ctt")
+        .withColumn("one", F.lit(1))
+    )
+    cum = exact_cumsum(cum, ["bin"], "bp", out_col="cp").select(
+        "bin",
+        F.col("cp").cast("long").alias("cp"),
+        F.col("ctt").cast("long").alias("ctt"),
+    )
+    tot = bins.agg(
+        F.sum("bp").cast("long").alias("pos"),
+        F.sum("bt").cast("long").alias("n"),
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("ctt") < F.col("n"))
+        .select(
+            F.col("bin").alias("t"),
+            F.col("ctt").alias("nl"),
+            F.col("cp").alias("pl"),
+            (F.col("ctt") - F.col("cp")).cast("long").alias("gl"),
+            (F.col("n") - F.col("ctt")).cast("long").alias("nr"),
+            (F.col("pos") - F.col("cp")).cast("long").alias("pr"),
+            (
+                (F.col("n") - F.col("ctt"))
+                - (F.col("pos") - F.col("cp"))
+            )
+            .cast("long")
+            .alias("gr"),
+            "n",
+            "pos",
+        )
+    )
+    return (
+        cand.orderBy(F.expr(_Q618_WG), F.col("t"))
+        .limit(1)
+        .select(
+            F.col("t").cast("long").alias("threshold_bin"),
+            F.col("nl").alias("n_left"),
+            F.col("pl").alias("pos_left"),
+            F.col("nr").alias("n_right"),
+            F.col("pr").alias("pos_right"),
+            F.round(F.expr(_Q618_WG), 6).alias("weighted_gini"),
+            F.round(F.expr(_Q618_PARENT), 6).alias("parent_gini"),
+            F.round(F.expr(f"{_Q618_PARENT} - {_Q618_WG}"), 6).alias(
+                "gain"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q619 — weighted single-source shortest paths on the planted graph
+# ---------------------------------------------------------------------------
+#
+# The distance rung of the graph family (q497 BFS counts hops; this
+# weights them): integer edge weights w = 1 + (src+dst) mod 7 on the
+# q581 planted co-order graph, source = the max-degree hub (tiebreak
+# min pk, so the frontier actually grows), 8 unrolled
+# Bellman–Ford relaxations (distributed SSSP's standard shape: one
+# keyed join + grouped min per round), exact BIGINT throughout.
+# NULL distance = unreached; the min-combine is an explicit CASE so
+# both engines share NULL semantics.
+
+_Q619_ITERS = 8
+_Q619_TOP = 20
+_Q619_STEP = (
+    "CASE WHEN d IS NULL THEN nd WHEN nd IS NULL THEN d"
+    " WHEN nd < d THEN nd ELSE d END"
+)
+
+
+def _q619_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    head = f"""
+        WITH li AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem WHERE l_orderkey % {_Q514_MOD} = 0
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst, CAST(1 + (src + dst) % 7 AS BIGINT) AS w
+            FROM (
+                SELECT DISTINCT a.pk AS src, b.pk AS dst
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+            )
+        ),
+        nodes AS MATERIALIZED (SELECT DISTINCT pk FROM li),
+        m AS MATERIALIZED (
+            SELECT src AS mn FROM edges
+            GROUP BY 1 ORDER BY COUNT(*) DESC, src LIMIT 1
+        ),
+        d0 AS MATERIALIZED (
+            SELECT pk, CASE WHEN pk = (SELECT mn FROM m)
+                            THEN CAST(0 AS BIGINT) END AS d
+            FROM nodes
+        )"""
+    steps = []
+    for i in range(1, _Q619_ITERS + 1):
+        steps.append(f""",
+        d{i} AS MATERIALIZED (
+            SELECT n.pk,
+                   CAST(CASE WHEN n.d IS NULL THEN f.nd
+                             WHEN f.nd IS NULL THEN n.d
+                             WHEN f.nd < n.d THEN f.nd
+                             ELSE n.d END AS BIGINT) AS d
+            FROM d{i - 1} n LEFT JOIN (
+                SELECT e.dst AS pk, MIN(p.d + e.w) AS nd
+                FROM d{i - 1} p
+                JOIN edges e ON e.src = p.pk
+                WHERE p.d IS NOT NULL
+                GROUP BY 1
+            ) f ON n.pk = f.pk
+        )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+        SELECT rank_pos, pk, dist FROM (
+            SELECT CAST(row_number() OVER (ORDER BY d, pk)
+                        AS BIGINT) AS rank_pos,
+                   pk, d AS dist
+            FROM d{_Q619_ITERS} WHERE d IS NOT NULL
+        ) WHERE rank_pos <= {_Q619_TOP}
+    """
+    )
+
+
+@query("q619_sssp_weighted", oracle=_q619_oracle())
+def q619_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED SSSP (Bellman–Ford, 8 unrolled rounds) from the
+    max-degree hub (tiebreak min pk) of the planted co-order graph — the distance rung
+    between q497's unweighted BFS and q581's PageRank: integer
+    weights 1 + (src+dst) mod 7, per round one keyed join
+    edges⋈frontier and one grouped MIN on dst, distances exact
+    BIGINT, unreached = NULL with an explicit CASE min-combine so
+    both engines share NULL semantics.  Output: the {_Q619_TOP}
+    nearest reached nodes under (dist ASC, pk ASC).
+
+    Scale shape: the standard distributed SSSP loop — edges
+    partitioned by src, distances co-partitioned by pk, no
+    driver-side state; localCheckpoint truncates the 8-deep
+    lineage."""
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _Q514_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+        .withColumn(
+            "w",
+            (1 + (F.col("src") + F.col("dst")) % 7).cast("long"),
+        )
+        .localCheckpoint()
+    )
+    nodes = li.select("pk").distinct().localCheckpoint()
+    mn = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .orderBy(F.desc("dg"), F.asc("src"))
+        .limit(1)
+        .select(F.col("src").alias("mn"))
+    )
+    dist = nodes.crossJoin(F.broadcast(mn)).select(
+        "pk",
+        F.when(F.col("pk") == F.col("mn"), F.lit(0))
+        .cast("long")
+        .alias("d"),
+    )
+    for _ in range(_Q619_ITERS):
+        cand = (
+            edges.join(
+                dist.filter(F.col("d").isNotNull())
+                .withColumnRenamed("pk", "src"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("pk"))
+            .agg(F.min(F.col("d") + F.col("w")).alias("nd"))
+        )
+        dist = (
+            dist.join(cand, "pk", "left")
+            .select("pk", F.expr(_Q619_STEP).cast("long").alias("d"))
+            .localCheckpoint()
+        )
+    top = (
+        dist.filter(F.col("d").isNotNull())
+        .orderBy(F.asc("d"), F.asc("pk"))
+        .limit(_Q619_TOP)
+    )
+    w = Window.orderBy(F.asc("d"), F.asc("pk"))
+    return top.withColumn(
+        "rank_pos", F.row_number().over(w).cast("long")
+    ).select("rank_pos", "pk", F.col("d").alias("dist"))
