@@ -1616,3 +1616,603 @@ def q619_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank_pos", F.row_number().over(w).cast("long")
     ).select("rank_pos", "pk", F.col("d").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# q620 — k-core peeling audit of the planted graph
+# ---------------------------------------------------------------------------
+#
+# The density rung of the graph family: iteratively peel nodes of
+# within-subgraph degree < k (k = 3, six unrolled rounds — the
+# standard distributed k-core shape: per round one double semi-join
+# to restrict edges, one grouped count, one filter).  The per-round
+# (nodes, edges) decay card is the audit a clustering/community
+# pipeline reads before trusting core structure.  All exact
+# integers; directed edge rows counted (the symmetric pair counts
+# twice, both engines).
+
+_Q620_K = 3
+_Q620_ROUNDS = 6
+
+
+def _q620_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    head = f"""
+        WITH li AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem WHERE l_orderkey % {_Q514_MOD} = 0
+        ),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        ),
+        s0 AS MATERIALIZED (SELECT DISTINCT pk FROM li)"""
+    steps, rows = [], []
+    for i in range(1, _Q620_ROUNDS + 1):
+        steps.append(f""",
+        e{i} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM edges e
+            JOIN s{i - 1} a ON e.src = a.pk
+            JOIN s{i - 1} b ON e.dst = b.pk
+        ),
+        s{i} AS MATERIALIZED (
+            SELECT src AS pk FROM e{i}
+            GROUP BY 1 HAVING COUNT(*) >= {_Q620_K}
+        ),
+        ee{i} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM edges e
+            JOIN s{i} a ON e.src = a.pk
+            JOIN s{i} b ON e.dst = b.pk
+        )""")
+        rows.append(f"""
+        SELECT CAST({i} AS BIGINT) AS round,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s{i})
+                   AS nodes_remaining,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ee{i})
+                   AS edges_remaining""")
+    return head + "".join(steps) + " UNION ALL ".join(rows)
+
+
+@query("q620_kcore_peeling", oracle=_q620_oracle())
+def q620_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE PEELING (k = {_Q620_K}, {_Q620_ROUNDS} unrolled rounds)
+    of the planted co-order graph — the density audit between q514's
+    connected components and q581's centrality: each round drops
+    nodes whose degree within the surviving subgraph is < k, and the
+    card tracks the (nodes, edges) decay until the 3-core fixpoint.
+    Monotone non-increasing counts are pinned in tests.
+
+    Scale shape: per round a double semi-join of the edge relation
+    against the surviving node set (both partitioned by key), one
+    grouped count, one filter — no driver-side state;
+    localCheckpoint truncates the 6-round lineage."""
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _Q514_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    surv = li.select("pk").distinct().localCheckpoint()
+    cards = []
+    for i in range(1, _Q620_ROUNDS + 1):
+        e_in = (
+            edges.join(surv.withColumnRenamed("pk", "src"), "src")
+            .join(surv.withColumnRenamed("pk", "dst"), "dst")
+            .select("src", "dst")
+        )
+        surv = (
+            e_in.groupBy(F.col("src").alias("pk"))
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") >= _Q620_K)
+            .select("pk")
+            .localCheckpoint()
+        )
+        e_after = (
+            edges.join(surv.withColumnRenamed("pk", "src"), "src")
+            .join(surv.withColumnRenamed("pk", "dst"), "dst")
+        )
+        cards.append(
+            surv.agg(F.count(F.lit(1)).cast("long").alias(
+                "nodes_remaining"
+            ))
+            .crossJoin(
+                e_after.agg(
+                    F.count(F.lit(1)).cast("long").alias(
+                        "edges_remaining"
+                    )
+                )
+            )
+            .select(
+                F.lit(i).cast("long").alias("round"),
+                "nodes_remaining",
+                "edges_remaining",
+            )
+        )
+    out = cards[0]
+    for c in cards[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q621 — link-prediction scoring (common neighbors / Adamic–Adar)
+# ---------------------------------------------------------------------------
+#
+# The predictive rung of the graph family (public: Liben-Nowell &
+# Kleinberg 2003): for non-adjacent node pairs sharing at least one
+# neighbor, score common-neighbor count (exact), Adamic–Adar
+# Σ 1/ln(deg(v)) (9dp terms, decimal-summed — mid nodes always have
+# deg ≥ 2 so ln > 0), and neighborhood Jaccard cn/(du+dw−cn).
+# Ranking keys on the EXACT decimal AA sum, never the rounded double.
+
+_Q621_TOP = 20
+_Q621_AAT = "round(1 / ln(CAST(dv AS DOUBLE)), 9)"
+_Q621_JAC = (
+    "round(CAST(cn AS DOUBLE)"
+    " / (CAST(du AS DOUBLE) + dw - cn), 6)"
+)
+
+
+def _q621_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    return f"""
+        WITH li AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem WHERE l_orderkey % {_Q514_MOD} = 0
+        ),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS pk, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1
+        ),
+        wedges AS MATERIALIZED (
+            SELECT e1.src AS u, e2.dst AS w, e1.dst AS v
+            FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+            WHERE e1.src < e2.dst
+              AND NOT EXISTS (SELECT 1 FROM edges x
+                              WHERE x.src = e1.src AND x.dst = e2.dst)
+        ),
+        scored AS MATERIALIZED (
+            SELECT wg.u, wg.w,
+                   CAST(COUNT(*) AS BIGINT) AS cn,
+                   CAST(SUM(CAST({_Q621_AAT} AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS aa
+            FROM (SELECT u, w, v FROM wedges) wg
+            JOIN (SELECT pk, d AS dv FROM deg) dvv ON wg.v = dvv.pk
+            GROUP BY 1, 2
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY s.aa DESC, s.cn DESC, s.u, s.w)
+                   AS BIGINT) AS rank_pos,
+               s.u AS pk_a, s.w AS pk_b, s.cn AS common_neighbors,
+               round(CAST(s.aa AS DOUBLE), 6) AS adamic_adar,
+               round(CAST(s.cn AS DOUBLE)
+                     / (CAST(da.d AS DOUBLE) + db.d - s.cn), 6)
+                   AS jaccard
+        FROM scored s
+        JOIN deg da ON s.u = da.pk
+        JOIN deg db ON s.w = db.pk
+        ORDER BY s.aa DESC, s.cn DESC, s.u, s.w
+        LIMIT {_Q621_TOP}
+    """
+
+
+@query("q621_link_prediction", oracle=_q621_oracle())
+def q621_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION on the planted co-order graph — the top
+    {_Q621_TOP} non-adjacent pairs by Adamic–Adar (tiebreak common
+    neighbors, then pair): wedges from one edges⋈edges self-join
+    (the q185 triangle shape minus the closing edge, removed by a
+    left-anti), AA terms 1/ln(deg) 9dp-rounded and decimal-summed
+    (mid nodes have deg ≥ 2 by wedge construction), neighborhood
+    Jaccard from exact degrees.  The ranking keys on the EXACT
+    decimal AA sum, so cross-engine order can never flip on a ulp.
+
+    Scale shape: wedge join partitioned by the mid node, anti-join
+    on the pair key, grouped fold to pair grain, top-k via
+    sort-limit (TakeOrdered)."""
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _Q514_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("src").alias("pk")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    ).localCheckpoint()
+    e1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = (
+        e1.join(e2, "v")
+        .filter(F.col("u") < F.col("w"))
+        .join(
+            edges.select(
+                F.col("src").alias("u"), F.col("dst").alias("w")
+            ),
+            ["u", "w"],
+            "left_anti",
+        )
+    )
+    scored = (
+        wedges.join(deg.select(F.col("pk").alias("v"),
+                               F.col("d").alias("dv")), "v")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(F.expr(_Q621_AAT).cast("decimal(28,9)"))
+            .cast("decimal(28,9)")
+            .alias("aa"),
+        )
+    )
+    ranked = (
+        scored.join(deg.select(F.col("pk").alias("u"),
+                               F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("pk").alias("w"),
+                         F.col("d").alias("dw")), "w")
+        .orderBy(F.desc("aa"), F.desc("cn"), F.asc("u"), F.asc("w"))
+        .limit(_Q621_TOP)
+    )
+    win = Window.orderBy(F.desc("aa"), F.desc("cn"), F.asc("u"),
+                         F.asc("w"))
+    return ranked.withColumn(
+        "rank_pos", F.row_number().over(win).cast("long")
+    ).select(
+        "rank_pos",
+        F.col("u").alias("pk_a"),
+        F.col("w").alias("pk_b"),
+        F.col("cn").alias("common_neighbors"),
+        F.round(F.col("aa").cast("double"), 6).alias("adamic_adar"),
+        F.expr(_Q621_JAC).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q622 — Holt linear-trend smoothing in exact integer micro-units
+# ---------------------------------------------------------------------------
+#
+# Double-exponential smoothing (level + trend) over the bounded
+# monthly revenue grid — the forecasting rung above q197/q541's
+# single EWMA: α = 0.2, β = 0.1 as exact rational updates
+# l' = (2x + 8(l+b)) DIV 10, b' = ((l'−l) + 9b) DIV 10 in BIGINT
+# cents, with a +1e16 offset before each DIV so the operand is
+# always positive (Spark DIV and DuckDB // both truncate toward
+# zero; Python // floors — on positives all three agree).  The
+# recursion is inherently sequential over ~n_months states: DuckDB
+# runs it as a recursive CTE over the MATERIALIZED month index;
+# Spark collects the bounded monthly grid (the q529-class bounded
+# relation) and folds it exactly in driver Python.
+
+_Q622_OFF = 10**15
+_Q622_OFF10 = 10**16
+
+
+def _q622_d10(v: int) -> int:
+    return (v + _Q622_OFF10) // 10 - _Q622_OFF
+
+
+def _q622_oracle() -> str:
+    lnew = (
+        "((2 * ix.x + 8 * (h.l + h.b)) + 10000000000000000)"
+        " // 10 - 1000000000000000"
+    )
+    return f"""
+        WITH RECURSIVE monthly AS MATERIALIZED (
+            SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        idx AS MATERIALIZED (
+            SELECT CAST(row_number() OVER (ORDER BY m) AS BIGINT)
+                       AS i, x
+            FROM monthly
+        ),
+        nn AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx
+        ),
+        h(i, l, b, sae, ne) AS (
+            SELECT CAST(2 AS BIGINT),
+                   (SELECT x FROM idx WHERE i = 2),
+                   (SELECT x FROM idx WHERE i = 2)
+                       - (SELECT x FROM idx WHERE i = 1),
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT h.i + 1,
+                   CAST({lnew} AS BIGINT),
+                   CAST(((({lnew}) - h.l) + 9 * h.b
+                         + 10000000000000000)
+                        // 10 - 1000000000000000 AS BIGINT),
+                   CAST(h.sae + abs(ix.x - (h.l + h.b)) AS BIGINT),
+                   CAST(h.ne + 1 AS BIGINT)
+            FROM h JOIN idx ix ON ix.i = h.i + 1
+        )
+        SELECT (SELECT n FROM nn) AS n_months,
+               l AS final_level_cents, b AS final_trend_cents,
+               CAST(l + b AS BIGINT) AS forecast_next_cents,
+               sae AS sae_cents, ne AS n_eval
+        FROM h WHERE i = (SELECT n FROM nn)
+    """
+
+
+@query("q622_holt_linear_trend", oracle=_q622_oracle())
+def q622_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR-TREND smoothing of monthly revenue in exact
+    integer cents (α=0.2, β=0.1 as DIV-10 rational updates with a
+    positive offset so truncation ≡ floor on all three runtimes) —
+    the level+trend forecasting rung above q541's single EWMA, with
+    the one-step-ahead absolute-error sum as the backtest card.
+    Matches DuckDB's recursive-CTE evaluation state-for-state; the
+    recurrence is inherently sequential, so Spark folds the BOUNDED
+    monthly grid (~tens of rows at any sf — the documented
+    bounded-grid collect class) exactly in driver Python.
+
+    Scale shape: one distributed scan + month rollup; the Python
+    fold touches only the bounded grid.  (Offset range note: valid
+    for |monthly cents| < 1e15; lift _Q622_OFF for larger books.)"""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+            .alias("m")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .orderBy("m")
+        .collect()
+    )
+    xs = [int(r["x"]) for r in monthly]
+    n = len(xs)
+    lvl, tr = xs[1], xs[1] - xs[0]
+    sae, ne = 0, 0
+    for t in range(2, n):
+        f = lvl + tr
+        sae += abs(xs[t] - f)
+        ne += 1
+        lnew = _q622_d10(2 * xs[t] + 8 * (lvl + tr))
+        tr = _q622_d10((lnew - lvl) + 9 * tr)
+        lvl = lnew
+    return spark.createDataFrame(
+        [(n, lvl, tr, lvl + tr, sae, ne)],
+        "n_months long, final_level_cents long, final_trend_cents long,"
+        " forecast_next_cents long, sae_cents long, n_eval long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q623 — naive-Bayes language-ID train/test confusion card
+# ---------------------------------------------------------------------------
+#
+# Multinomial naive Bayes induced IN the engine (q544's unigram-LM
+# machinery turned into a classifier): md5-split docs, per-class
+# Laplace-smoothed token likelihoods from the train half, test docs
+# argmax'd over Σ ln-terms.  Every ln term is 9dp-rounded and
+# decimal-summed per (doc, class), so the argmax compares EXACT
+# decimals — a cross-engine ulp can never flip a prediction.
+
+_Q623_HEX = "01234567"  # md5 first hex here → train (~1/2)
+_Q623_LP = "round(ln((CAST(tf AS DOUBLE) + 1) / (totc + vv)), 9)"
+_Q623_PRIOR = "round(ln(CAST(ndc AS DOUBLE) / ndt), 9)"
+
+
+def _q623_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _TOKS
+
+    return f"""
+        WITH docs AS MATERIALIZED (
+            SELECT doc_id, text, lang,
+                   strpos('{_Q623_HEX}', substr(md5('nb:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 1)) > 0
+                       AS is_train
+            FROM documents
+        ),
+        toks AS MATERIALIZED (
+            SELECT doc_id, is_train, lang, unnest({_TOKS}) AS token
+            FROM docs
+        ),
+        cls AS MATERIALIZED (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS ndc
+            FROM docs WHERE is_train GROUP BY 1
+        ),
+        ndt AS MATERIALIZED (
+            SELECT CAST(SUM(ndc) AS BIGINT) AS ndt FROM cls
+        ),
+        ctf AS MATERIALIZED (
+            SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE is_train GROUP BY 1, 2
+        ),
+        totc AS MATERIALIZED (
+            SELECT lang, CAST(SUM(tf) AS BIGINT) AS totc
+            FROM ctf GROUP BY 1
+        ),
+        vv AS MATERIALIZED (
+            SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vv
+            FROM ctf
+        ),
+        test_terms AS MATERIALIZED (
+            SELECT t.doc_id, t.lang AS true_lang, c.lang AS cand,
+                   CAST({_Q623_LP.replace(
+                       "CAST(tf AS DOUBLE)",
+                       "CAST(COALESCE(ctf.tf, 0) AS DOUBLE)")}
+                       AS DECIMAL(28,9)) AS term
+            FROM (SELECT doc_id, lang, token FROM toks
+                  WHERE NOT is_train) t
+            CROSS JOIN (SELECT lang FROM cls) c
+            LEFT JOIN ctf ON ctf.lang = c.lang
+                         AND ctf.token = t.token
+            JOIN totc ON totc.lang = c.lang, vv
+        ),
+        dscore AS MATERIALIZED (
+            SELECT tt.doc_id, tt.true_lang, tt.cand,
+                   CAST(SUM(tt.term) AS DECIMAL(28,9))
+                       + (SELECT CAST({_Q623_PRIOR} AS DECIMAL(28,9))
+                          FROM cls, ndt WHERE cls.lang = tt.cand)
+                       AS score
+            FROM test_terms tt GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT doc_id, true_lang, cand AS pred_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, cand) AS rk
+            FROM dscore
+        )
+        SELECT true_lang, pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred WHERE rk = 1
+        GROUP BY 1, 2
+    """
+
+
+@query("q623_naive_bayes_langid", oracle=_q623_oracle())
+def q623_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAIVE-BAYES LANGUAGE ID trained and evaluated in the engine —
+    the supervised sibling of q38's heuristic lang-ID: multinomial
+    NB with Laplace smoothing fit on the md5 train half (per-class
+    token likelihoods = q544's unigram-LM machinery, per class),
+    test docs classified by argmax of the EXACT decimal score
+    (9dp-rounded ln terms + ln prior, decimal-summed — cross-engine
+    ulp can never flip a prediction), confusion matrix out.  Test
+    docs whose token set is empty are dropped identically on both
+    engines.
+
+    Scale shape: one tokenize pass, class-model aggregates, then the
+    test-token × 5-class scoring join partitioned by token (the
+    class model is vocab-sized×k and joins map-side under AQE);
+    argmax via a per-doc window over k rows."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        (
+            F.instr(
+                F.lit(_Q623_HEX),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("nb:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+            )
+            > 0
+        ).alias("is_train"),
+    )
+    toks = docs.select(
+        "doc_id", "is_train", "lang",
+        F.explode(tokens_col("text")).alias("token"),
+    ).localCheckpoint()
+    cls = (
+        docs.filter(F.col("is_train"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("ndc"))
+        .localCheckpoint()
+    )
+    ndt = cls.agg(F.sum("ndc").cast("long").alias("ndt"))
+    ctf = (
+        toks.filter(F.col("is_train"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    totc = ctf.groupBy("lang").agg(
+        F.sum("tf").cast("long").alias("totc")
+    )
+    vv = ctf.agg(
+        F.countDistinct("token").cast("long").alias("vv")
+    )
+    priors = (
+        cls.crossJoin(F.broadcast(ndt))
+        .select(
+            F.col("lang").alias("cand"),
+            F.expr(_Q623_PRIOR).cast("decimal(28,9)").alias("lprior"),
+        )
+    )
+    cand = cls.select(F.col("lang").alias("cand"))
+    tt = (
+        toks.filter(~F.col("is_train"))
+        .select("doc_id", F.col("lang").alias("true_lang"), "token")
+        .crossJoin(F.broadcast(cand))
+        .join(
+            ctf.select(
+                F.col("lang").alias("cand"), "token", "tf"
+            ),
+            ["cand", "token"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                totc.select(F.col("lang").alias("cand"), "totc")
+            ),
+            "cand",
+        )
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            F.expr(
+                _Q623_LP.replace(
+                    "CAST(tf AS DOUBLE)",
+                    "CAST(COALESCE(tf, 0) AS DOUBLE)",
+                )
+            )
+            .cast("decimal(28,9)")
+            .alias("term"),
+        )
+    )
+    dscore = (
+        tt.groupBy("doc_id", "true_lang", "cand")
+        .agg(F.sum("term").cast("decimal(28,9)").alias("sterm"))
+        .join(F.broadcast(priors), "cand")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (F.col("sterm") + F.col("lprior")).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cand")
+    )
+    return (
+        dscore.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .groupBy("true_lang", F.col("cand").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
