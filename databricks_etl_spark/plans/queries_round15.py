@@ -2216,3 +2216,386 @@ def q623_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", F.col("cand").alias("pred_lang"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q624 — synchronous label propagation communities
+# ---------------------------------------------------------------------------
+#
+# The community rung of the graph family (public: Raghavan et al.
+# 2007), made deterministic: labels init to the node id, each of 4
+# synchronous rounds every node adopts the MODE of its neighbors'
+# labels (tiebreak smallest label; isolated nodes keep their own),
+# and the card ranks the resulting communities by size.  Mode ≠ min
+# — this is NOT connected components (q514): a hub's label can
+# dominate a neighborhood across a bridge that CC would flood
+# through.
+
+_Q624_ITERS = 4
+_Q624_TOP = 20
+
+
+def _q624_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    head = f"""
+        WITH li AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem WHERE l_orderkey % {_Q514_MOD} = 0
+        ),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        ),
+        nodes AS MATERIALIZED (SELECT DISTINCT pk FROM li),
+        l0 AS MATERIALIZED (SELECT pk, pk AS lbl FROM nodes)"""
+    steps = []
+    for i in range(1, _Q624_ITERS + 1):
+        steps.append(f""",
+        c{i} AS MATERIALIZED (
+            SELECT e.dst AS pk, p.lbl,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM edges e JOIN l{i - 1} p ON e.src = p.pk
+            GROUP BY 1, 2
+        ),
+        m{i} AS MATERIALIZED (
+            SELECT pk, lbl FROM (
+                SELECT pk, lbl, row_number() OVER (PARTITION BY pk
+                    ORDER BY cnt DESC, lbl) AS rk
+                FROM c{i}
+            ) WHERE rk = 1
+        ),
+        l{i} AS MATERIALIZED (
+            SELECT n.pk, COALESCE(m.lbl, p.lbl) AS lbl
+            FROM nodes n
+            JOIN l{i - 1} p ON n.pk = p.pk
+            LEFT JOIN m{i} m ON n.pk = m.pk
+        )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+        SELECT rank_pos, community_label, n_members FROM (
+            SELECT CAST(row_number() OVER (
+                       ORDER BY COUNT(*) DESC, lbl) AS BIGINT)
+                       AS rank_pos,
+                   lbl AS community_label,
+                   CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM l{_Q624_ITERS} GROUP BY lbl
+        ) WHERE rank_pos <= {_Q624_TOP}
+    """
+    )
+
+
+@query("q624_label_propagation", oracle=_q624_oracle())
+def q624_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-PROPAGATION COMMUNITIES ({_Q624_ITERS} synchronous
+    rounds, deterministic: neighbor-mode with smallest-label
+    tiebreak, isolated nodes keep their own) on the planted co-order
+    graph — the community rung between q514's components and q581's
+    centrality; top-{_Q624_TOP} communities by size.  Mode ≠ min:
+    this is not CC — the tests pin that the community count differs
+    from the component count.
+
+    Scale shape: per round one keyed join edges⋈labels, one
+    (node,label) grouped count, one per-node argmax window (k rows
+    per node), one coalescing join — no driver-side state;
+    localCheckpoint truncates the 4-round lineage."""
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _Q514_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = li.select("pk").distinct().localCheckpoint()
+    lab = nodes.select("pk", F.col("pk").alias("lbl"))
+    win = Window.partitionBy("pk").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(_Q624_ITERS):
+        cnt = (
+            edges.join(
+                lab.select(F.col("pk").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("pk"), "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        mode = (
+            cnt.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") == 1)
+            .select("pk", F.col("lbl").alias("nlbl"))
+        )
+        lab = (
+            lab.join(mode, "pk", "left")
+            .select(
+                "pk", F.coalesce(F.col("nlbl"), F.col("lbl")).alias("lbl")
+            )
+            .localCheckpoint()
+        )
+    comm = lab.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    top = comm.orderBy(F.desc("n_members"), F.asc("lbl")).limit(_Q624_TOP)
+    w2 = Window.orderBy(F.desc("n_members"), F.asc("lbl"))
+    return top.withColumn(
+        "rank_pos", F.row_number().over(w2).cast("long")
+    ).select(
+        "rank_pos", F.col("lbl").alias("community_label"), "n_members"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q625 — Cramér's V association matrix over categorical pairs
+# ---------------------------------------------------------------------------
+#
+# The categorical correlation matrix (q35's Pearson profile for
+# category columns; extends q208's single chi-sq): for each pair of
+# (market segment, order priority, order status) on the orders ⋈
+# customer relation, chi-square from exact contingency counts
+# (per-cell (o−e)²/e terms, 9dp, decimal-summed) and
+# V = sqrt(χ²/(n·min(r−1,c−1))).  One generic long-format pipeline
+# handles every pair — no per-pair code.
+
+_Q625_CHI_T = (
+    "round(pow(CAST(o AS DOUBLE)"
+    " - CAST(rt AS DOUBLE) * ct / n, 2)"
+    " / (CAST(rt AS DOUBLE) * ct / n), 9)"
+)
+_Q625_CHI = "round(CAST(chi AS DOUBLE), 6)"
+_Q625_V = (
+    "round(sqrt(CAST(chi AS DOUBLE)"
+    " / (CAST(n AS DOUBLE)"
+    " * (CASE WHEN r < c THEN r ELSE c END - 1))), 6)"
+)
+
+
+def _q625_oracle() -> str:
+    pairs = [
+        ("seg_x_priority", "c_mktsegment", "o_orderpriority"),
+        ("seg_x_status", "c_mktsegment", "o_orderstatus"),
+        ("priority_x_status", "o_orderpriority", "o_orderstatus"),
+    ]
+    sel = " UNION ALL ".join(
+        f"""SELECT '{nm}' AS pair, {ca} AS av, {cb} AS bv
+            FROM orders o JOIN customer c
+            ON o.o_custkey = c.c_custkey"""
+        for nm, ca, cb in pairs
+    )
+    return f"""
+        WITH v AS MATERIALIZED ({sel}),
+        cells AS MATERIALIZED (
+            SELECT pair, av, bv, CAST(COUNT(*) AS BIGINT) AS o
+            FROM v GROUP BY 1, 2, 3
+        ),
+        rows_ AS MATERIALIZED (
+            SELECT pair, av, CAST(SUM(o) AS BIGINT) AS rt
+            FROM cells GROUP BY 1, 2
+        ),
+        cols_ AS MATERIALIZED (
+            SELECT pair, bv, CAST(SUM(o) AS BIGINT) AS ct
+            FROM cells GROUP BY 1, 2
+        ),
+        tots AS MATERIALIZED (
+            SELECT pair, CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT av) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT bv) AS BIGINT) AS c
+            FROM cells GROUP BY 1
+        ),
+        chi AS (
+            SELECT ce.pair,
+                   CAST(SUM(CAST({_Q625_CHI_T} AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS chi
+            FROM cells ce
+            JOIN rows_ r2 ON ce.pair = r2.pair AND ce.av = r2.av
+            JOIN cols_ c2 ON ce.pair = c2.pair AND ce.bv = c2.bv
+            JOIN tots t ON ce.pair = t.pair
+            GROUP BY 1
+        )
+        SELECT t.pair AS pair, t.n AS n_rows,
+               t.r AS r_levels, t.c AS c_levels,
+               {_Q625_CHI} AS chi_sq, {_Q625_V} AS cramers_v
+        FROM chi JOIN tots t ON chi.pair = t.pair
+    """
+
+
+@query("q625_cramers_v_matrix", oracle=_q625_oracle())
+def q625_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V association matrix over the three categorical
+    pairs of the orders ⋈ customer relation — the category-valued
+    correlation profile (q35 for categories, q208 generalized):
+    exact contingency cells, expected counts as exact ratios inside
+    one portable per-cell term (9dp, decimal-summed), V from χ² and
+    the exact level counts.  V ∈ [0,1] and χ² ≥ 0 pinned in tests.
+
+    Scale shape: one fact-dimension join scanned once into a
+    long-format (pair, a, b) relation — cells/margins/totals are
+    grouped aggregates; the term join is cell-grain (bounded by the
+    level-count product)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).localCheckpoint()
+    pairs = [
+        ("seg_x_priority", "c_mktsegment", "o_orderpriority"),
+        ("seg_x_status", "c_mktsegment", "o_orderstatus"),
+        ("priority_x_status", "o_orderpriority", "o_orderstatus"),
+    ]
+    v = None
+    for nm, ca, cb in pairs:
+        part = j.select(
+            F.lit(nm).alias("pair"),
+            F.col(ca).alias("av"),
+            F.col(cb).alias("bv"),
+        )
+        v = part if v is None else v.unionByName(part)
+    cells = v.groupBy("pair", "av", "bv").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).localCheckpoint()
+    rows_ = cells.groupBy("pair", "av").agg(
+        F.sum("o").cast("long").alias("rt")
+    )
+    cols_ = cells.groupBy("pair", "bv").agg(
+        F.sum("o").cast("long").alias("ct")
+    )
+    tots = cells.groupBy("pair").agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("av").cast("long").alias("r"),
+        F.countDistinct("bv").cast("long").alias("c"),
+    ).localCheckpoint()
+    chi = (
+        cells.join(rows_, ["pair", "av"])
+        .join(cols_, ["pair", "bv"])
+        .join(F.broadcast(tots), "pair")
+        .select(
+            "pair",
+            F.expr(_Q625_CHI_T).cast("decimal(28,9)").alias("term"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("term").cast("decimal(28,9)").alias("chi"))
+    )
+    return chi.join(F.broadcast(tots), "pair").select(
+        "pair",
+        F.col("n").alias("n_rows"),
+        F.col("r").alias("r_levels"),
+        F.col("c").alias("c_levels"),
+        F.expr(_Q625_CHI).alias("chi_sq"),
+        F.expr(_Q625_V).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q626 — binned precision/recall curve of the en-detector
+# ---------------------------------------------------------------------------
+#
+# The operating-point view that q607 (AUC) and q608 (AP) summarize
+# away: for each score threshold (predict positive when s4 ≥ t),
+# exact TP/FP from a suffix fold over the score grain, precision,
+# recall and F1 as portable ratios.  This is the table a launch gate
+# (q430-class) reads to pick a threshold.
+
+_Q626_PREC = "round(CAST(tp AS DOUBLE) / np_pred, 6)"
+_Q626_REC = "round(CAST(tp AS DOUBLE) / pos, 6)"
+_Q626_F1 = (
+    "round(2 * CAST(tp AS DOUBLE)"
+    " / (CAST(np_pred AS DOUBLE) + pos), 6)"
+)
+
+
+def _q626_oracle() -> str:
+    q37 = QUERIES["q37_text_quality"].oracle
+    return f"""
+        WITH q37 AS MATERIALIZED ({q37}),
+        scored AS MATERIALIZED (
+            SELECT CAST(q37.quality_score * 4 AS BIGINT) AS s4,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM q37 JOIN documents d ON q37.doc_id = d.doc_id
+        ),
+        grain AS MATERIALIZED (
+            SELECT s4, CAST(SUM(y) AS BIGINT) AS gp,
+                   CAST(COUNT(*) AS BIGINT) AS gt
+            FROM scored GROUP BY 1
+        ),
+        suff AS (
+            SELECT s4,
+                   CAST(SUM(gp) OVER (ORDER BY s4 DESC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+                   CAST(SUM(gt) OVER (ORDER BY s4 DESC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS np_pred
+            FROM grain
+        ),
+        tot AS (SELECT CAST(SUM(gp) AS BIGINT) AS pos FROM grain)
+        SELECT s4 AS threshold_s4, np_pred AS n_predicted, tp,
+               {_Q626_PREC} AS precision_at, {_Q626_REC} AS recall_at,
+               {_Q626_F1} AS f1_at
+        FROM suff, tot
+    """
+
+
+@query("q626_precision_recall_curve", oracle=_q626_oracle())
+def q626_precision_recall_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BINNED PRECISION/RECALL CURVE of the quality-score
+    en-detector — the per-threshold operating points behind q607's
+    AUC and q608's AP: suffix TP/predicted counts over the ≤5-cell
+    score grain (exact_cumsum on descending score), precision,
+    recall, F1 as portable exact ratios.  Monotone recall and the
+    AP-consistency property are pinned in tests.
+
+    Scale shape: one corpus scan → score grain → ordered suffix
+    fold → one 1-row total joined back; rows = |score grain|."""
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = (
+        TX.quality_features(d)
+        .select(
+            "doc_id",
+            (F.col("quality_score") * 4).cast("long").alias("s4"),
+        )
+        .join(
+            d.select(
+                "doc_id",
+                F.when(F.col("lang") == "en", 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("y"),
+            ),
+            "doc_id",
+        )
+    )
+    grain = (
+        scored.groupBy("s4")
+        .agg(
+            F.sum("y").cast("long").alias("gp"),
+            F.count(F.lit(1)).cast("long").alias("gt"),
+        )
+        .withColumn("s4neg", -F.col("s4"))
+        .localCheckpoint()
+    )
+    suff = exact_cumsum(grain, ["s4neg"], "gt", out_col="np_pred")
+    suff = exact_cumsum(suff, ["s4neg"], "gp", out_col="tp").select(
+        "s4",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("np_pred").cast("long").alias("np_pred"),
+    )
+    tot = grain.agg(F.sum("gp").cast("long").alias("pos"))
+    return suff.crossJoin(F.broadcast(tot)).select(
+        F.col("s4").alias("threshold_s4"),
+        F.col("np_pred").alias("n_predicted"),
+        "tp",
+        F.expr(_Q626_PREC).alias("precision_at"),
+        F.expr(_Q626_REC).alias("recall_at"),
+        F.expr(_Q626_F1).alias("f1_at"),
+    )
