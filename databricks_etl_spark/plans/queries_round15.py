@@ -2599,3 +2599,477 @@ def q626_precision_recall_curve(
         F.expr(_Q626_REC).alias("recall_at"),
         F.expr(_Q626_F1).alias("f1_at"),
     )
+
+
+# ===========================================================================
+# Deferred lanes (r16 window queue) — the round-15 window is exactly
+# full, so everything below registers ``defer=True`` (the VERDICT r13
+# #2 discipline): streaming twins of this round's batch lanes, then
+# further batch families.
+# ===========================================================================
+
+
+def _q627_ingest(li_epoch: DataFrame, epoch_id: int, path: str) -> None:
+    """Land one epoch's co-order edges + node grain (the q585 ingest
+    shape: orders are atomic per epoch, so edges are batch-local)."""
+    a = li_epoch.select("ok", F.col("pk").alias("src"))
+    b = li_epoch.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    (
+        edges.withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(f"{path}/edges")
+    )
+    (
+        li_epoch.select("pk")
+        .distinct()
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(f"{path}/nodes")
+    )
+
+
+@query(
+    "q627_streaming_sssp",
+    oracle=QUERIES["q619_sssp_weighted"].oracle,
+    defer=True,
+)
+def q627_streaming_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q619's weighted SSSP under STREAMING edge arrival — distance
+    is a GLOBAL property (an epoch-local SSSP would relax against a
+    partial graph), so each epoch lands its batch-local co-order
+    edges in the epoch-idempotent sink (q585's graph-grain
+    discipline) and the drain re-runs the exact Bellman–Ford
+    iteration, hub re-derived from the full landed graph.  Drain ≡
+    q619 under ANY order-grain slicing (edge weights are a pure
+    function of the endpoints, so they need not be landed).
+
+    Scale shape: per-epoch state is the batch's own distinct edges;
+    the drain is q619's loop."""
+    import shutil
+
+    import databricks_etl_spark.plans.queries_round13 as _r13
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _Q514_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    root = scratch_dir("sssp_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/state"
+    k = _r13._STREAM_EPOCHS  # read at call time: tests raise it
+    for ep in range(k):
+        _q627_ingest(
+            li.filter(F.expr(f"ok DIV {_Q514_MOD}") % k == ep), ep, path
+        )
+    edges = (
+        spark.read.schema("src long, dst long, __epoch int")
+        .parquet(f"{path}/edges")
+        .select("src", "dst")
+        .distinct()
+        .withColumn(
+            "w", (1 + (F.col("src") + F.col("dst")) % 7).cast("long")
+        )
+        .localCheckpoint()
+    )
+    nodes = (
+        spark.read.schema("pk long, __epoch int")
+        .parquet(f"{path}/nodes")
+        .select("pk")
+        .distinct()
+        .localCheckpoint()
+    )
+    mn = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .orderBy(F.desc("dg"), F.asc("src"))
+        .limit(1)
+        .select(F.col("src").alias("mn"))
+    )
+    dist = nodes.crossJoin(F.broadcast(mn)).select(
+        "pk",
+        F.when(F.col("pk") == F.col("mn"), F.lit(0))
+        .cast("long")
+        .alias("d"),
+    )
+    for _ in range(_Q619_ITERS):
+        cand = (
+            edges.join(
+                dist.filter(F.col("d").isNotNull())
+                .withColumnRenamed("pk", "src"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("pk"))
+            .agg(F.min(F.col("d") + F.col("w")).alias("nd"))
+        )
+        dist = (
+            dist.join(cand, "pk", "left")
+            .select("pk", F.expr(_Q619_STEP).cast("long").alias("d"))
+            .localCheckpoint()
+        )
+    top = (
+        dist.filter(F.col("d").isNotNull())
+        .orderBy(F.asc("d"), F.asc("pk"))
+        .limit(_Q619_TOP)
+    )
+    w = Window.orderBy(F.asc("d"), F.asc("pk"))
+    return top.withColumn(
+        "rank_pos", F.row_number().over(w).cast("long")
+    ).select("rank_pos", "pk", F.col("d").alias("dist"))
+
+
+def _q628_ingest(scored_epoch: DataFrame, epoch_id: int, path: str) -> None:
+    """Land one epoch's scored docs (doc grain — scoring is a pure
+    per-doc function, so it is batch-local by construction)."""
+    (
+        scored_epoch.withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(path)
+    )
+
+
+@query(
+    "q628_streaming_average_precision",
+    oracle=QUERIES["q608_exact_average_precision"].oracle,
+    defer=True,
+)
+def q628_streaming_average_precision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q608's exact AP under STREAMING corpus arrival — the eval
+    metric as a maintained view: docs arrive in doc-grain epochs,
+    each batch scores its own documents (quality is per-doc pure,
+    hence batch-local) and lands (doc_id, s4, pos) in the
+    epoch-idempotent sink; ranking is GLOBAL, so the drain re-runs
+    the two exact_cumsum rank passes over the landed corpus.
+    Drain ≡ q608 under ANY doc-grain slicing.
+
+    Scale shape: per-epoch scoring touches only the batch; the
+    drain is q608's two range-partitioned folds."""
+    import shutil
+
+    import databricks_etl_spark.plans.queries_round13 as _r13
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    d = read_table(spark, sf_dir, "documents").localCheckpoint()
+    root = scratch_dir("ap_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/scored"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        batch = d.filter(F.col("doc_id") % k == ep)
+        scored = (
+            TX.quality_features(batch)
+            .select(
+                "doc_id",
+                (F.col("quality_score") * 4).cast("long").alias("s4"),
+            )
+            .join(
+                batch.select(
+                    "doc_id", (F.col("lang") == "en").alias("pos")
+                ),
+                "doc_id",
+            )
+        )
+        _q628_ingest(scored, ep, path)
+    landed = (
+        spark.read.schema("doc_id long, s4 long, pos boolean, __epoch int")
+        .parquet(path)
+        .select("doc_id", "s4", "pos")
+        .withColumn("s4neg", -F.col("s4"))
+        .withColumn("one", F.lit(1).cast("long"))
+        .localCheckpoint()
+    )
+    ranked = exact_cumsum(landed, ["s4neg", "doc_id"], "one", out_col="rn")
+    pos = ranked.filter(F.col("pos")).localCheckpoint()
+    pranked = exact_cumsum(pos, ["s4neg", "doc_id"], "one", out_col="j")
+    card = pranked.select(
+        F.round(
+            F.col("j").cast("double") / F.col("rn").cast("double"), 9
+        )
+        .cast("decimal(28,9)")
+        .alias("term")
+    ).agg(
+        F.sum("term").cast("decimal(28,9)").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    )
+    tot = landed.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return card.crossJoin(tot).select(
+        F.col("n").alias("n_ranked"),
+        F.col("np").alias("n_positive"),
+        F.expr(_Q608_AP).alias("ap"),
+    )
+
+
+def _q629_ingest(v_epoch: DataFrame, epoch_id: int, path: str) -> None:
+    """Land one epoch's bin partials — counts are MERGEABLE, so the
+    landed state is a per-epoch partial aggregate, not raw rows (the
+    q132 incremental-agg discipline applied to a feature audit)."""
+    (
+        v_epoch.groupBy("bin")
+        .agg(
+            F.sum("y").cast("long").alias("gb"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("bb"),
+        )
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(path)
+    )
+
+
+@query(
+    "q629_streaming_woe",
+    oracle=QUERIES["q616_woe_information_value"].oracle,
+    defer=True,
+)
+def q629_streaming_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q616's WoE/IV audit under STREAMING customer arrival — the
+    mergeable-partial twin: bin counts are additive, so each epoch
+    lands its own (bin, good, bad) partial aggregate and the drain
+    just SUMs partials before the portable ln edge.  Drain ≡ q616
+    under ANY customer-grain slicing — the cheapest possible
+    streaming-maintenance shape (state = one partial per bin per
+    epoch, not raw rows).
+
+    Scale shape: per-epoch partial aggregation map-side; drain is a
+    bin-grain rollup + 1-row totals."""
+    import shutil
+
+    import databricks_etl_spark.plans.queries_round13 as _r13
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    c = read_table(spark, sf_dir, "customer").localCheckpoint()
+    root = scratch_dir("woe_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/bins"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        v = c.filter(F.col("c_custkey") % k == ep).select(
+            F.expr(
+                "(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)"
+                " DIV 100000"
+            ).alias("bin"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("y"),
+        )
+        _q629_ingest(v, ep, path)
+    bins = (
+        spark.read.schema("bin long, gb long, bb long, __epoch int")
+        .parquet(path)
+        .groupBy("bin")
+        .agg(
+            F.sum("gb").cast("long").alias("gb"),
+            F.sum("bb").cast("long").alias("bb"),
+        )
+        .localCheckpoint()
+    )
+    tot = bins.agg(
+        F.sum("gb").cast("long").alias("g"),
+        F.sum("bb").cast("long").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    return bins.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("gb").alias("n_good"),
+        F.col("bb").alias("n_bad"),
+        F.expr(_Q616_WOE).alias("woe"),
+        F.expr(_Q616_IVC).alias("iv_contrib"),
+    )
+
+
+def _q630_ingest(o_epoch: DataFrame, epoch_id: int, path: str) -> None:
+    """Land one epoch's monthly revenue partials (additive)."""
+    (
+        o_epoch.groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+            .alias("m")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(path)
+    )
+
+
+@query(
+    "q630_streaming_holt",
+    oracle=QUERIES["q622_holt_linear_trend"].oracle,
+    defer=True,
+)
+def q630_streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q622's Holt linear trend under STREAMING order arrival — the
+    smoothing state is sequential over MONTHS, not arrival order, so
+    each epoch lands additive monthly revenue partials and the drain
+    merges them before running the exact integer fold over the
+    bounded grid.  Drain ≡ q622 under ANY order-grain slicing
+    (month sums are commutative — the only order that matters is the
+    month axis, reconstructed at drain).
+
+    Scale shape: per-epoch partial rollup; drain = month-grain merge
+    + the bounded-grid Python fold."""
+    import shutil
+
+    import databricks_etl_spark.plans.queries_round13 as _r13
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    o = read_table(spark, sf_dir, "orders").localCheckpoint()
+    root = scratch_dir("holt_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/monthly"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        _q630_ingest(o.filter(F.col("o_orderkey") % k == ep), ep, path)
+    monthly = (
+        spark.read.schema("m string, x long, __epoch int")
+        .parquet(path)
+        .groupBy("m")
+        .agg(F.sum("x").cast("long").alias("x"))
+        .orderBy("m")
+        .collect()
+    )
+    xs = [int(r["x"]) for r in monthly]
+    n = len(xs)
+    lvl, tr = xs[1], xs[1] - xs[0]
+    sae, ne = 0, 0
+    for t in range(2, n):
+        f = lvl + tr
+        sae += abs(xs[t] - f)
+        ne += 1
+        lnew = _q622_d10(2 * xs[t] + 8 * (lvl + tr))
+        tr = _q622_d10((lnew - lvl) + 9 * tr)
+        lvl = lnew
+    return spark.createDataFrame(
+        [(n, lvl, tr, lvl + tr, sae, ne)],
+        "n_months long, final_level_cents long, final_trend_cents long,"
+        " forecast_next_cents long, sae_cents long, n_eval long",
+    )
+
+
+def _q631_ingest(cells_epoch: DataFrame, epoch_id: int, path: str) -> None:
+    """Land one epoch's contingency-cell partials (additive)."""
+    (
+        cells_epoch.withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(path)
+    )
+
+
+@query(
+    "q631_streaming_cramers_v",
+    oracle=QUERIES["q625_cramers_v_matrix"].oracle,
+    defer=True,
+)
+def q631_streaming_cramers_v(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q625's Cramér's V matrix under STREAMING order arrival — the
+    contingency table is a mergeable aggregate: each epoch joins its
+    order batch to the static customer dimension (stream–static
+    join) and lands (pair, a, b, count) cell partials; the drain
+    sums cells and runs the identical χ²/V edge.  Drain ≡ q625
+    under ANY order-grain slicing.
+
+    Scale shape: per-epoch cell partials bounded by the level-count
+    product; drain is cell-grain merge + the q625 arithmetic."""
+    import shutil
+
+    import databricks_etl_spark.plans.queries_round13 as _r13
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    o = read_table(spark, sf_dir, "orders").localCheckpoint()
+    cust = read_table(spark, sf_dir, "customer").localCheckpoint()
+    root = scratch_dir("cramers_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/cells"
+    k = _r13._STREAM_EPOCHS
+    pairs = [
+        ("seg_x_priority", "c_mktsegment", "o_orderpriority"),
+        ("seg_x_status", "c_mktsegment", "o_orderstatus"),
+        ("priority_x_status", "o_orderpriority", "o_orderstatus"),
+    ]
+    for ep in range(k):
+        j = o.filter(F.col("o_orderkey") % k == ep).join(
+            cust, F.col("o_custkey") == F.col("c_custkey")
+        )
+        v = None
+        for nm, ca, cb in pairs:
+            part = j.select(
+                F.lit(nm).alias("pair"),
+                F.col(ca).alias("av"),
+                F.col(cb).alias("bv"),
+            )
+            v = part if v is None else v.unionByName(part)
+        cells = v.groupBy("pair", "av", "bv").agg(
+            F.count(F.lit(1)).cast("long").alias("o")
+        )
+        _q631_ingest(cells, ep, path)
+    cells = (
+        spark.read.schema(
+            "pair string, av string, bv string, o long, __epoch int"
+        )
+        .parquet(path)
+        .groupBy("pair", "av", "bv")
+        .agg(F.sum("o").cast("long").alias("o"))
+        .localCheckpoint()
+    )
+    rows_ = cells.groupBy("pair", "av").agg(
+        F.sum("o").cast("long").alias("rt")
+    )
+    cols_ = cells.groupBy("pair", "bv").agg(
+        F.sum("o").cast("long").alias("ct")
+    )
+    tots = cells.groupBy("pair").agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("av").cast("long").alias("r"),
+        F.countDistinct("bv").cast("long").alias("c"),
+    ).localCheckpoint()
+    chi = (
+        cells.join(rows_, ["pair", "av"])
+        .join(cols_, ["pair", "bv"])
+        .join(F.broadcast(tots), "pair")
+        .select(
+            "pair",
+            F.expr(_Q625_CHI_T).cast("decimal(28,9)").alias("term"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("term").cast("decimal(28,9)").alias("chi"))
+    )
+    return chi.join(F.broadcast(tots), "pair").select(
+        "pair",
+        F.col("n").alias("n_rows"),
+        F.col("r").alias("r_levels"),
+        F.col("c").alias("c_levels"),
+        F.expr(_Q625_CHI).alias("chi_sq"),
+        F.expr(_Q625_V).alias("cramers_v"),
+    )
