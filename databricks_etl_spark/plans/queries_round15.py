@@ -3073,3 +3073,567 @@ def q631_streaming_cramers_v(
         F.expr(_Q625_CHI).alias("chi_sq"),
         F.expr(_Q625_V).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q632 — classical seasonal decomposition of monthly revenue
+# ---------------------------------------------------------------------------
+#
+# The additive classical decomposition (public: the textbook
+# moving-average method): trend = centered 12-month MA over the
+# bounded monthly grid, kept exact by scaling ×24 (half-weights at
+# the window ends become integers), seasonal index per
+# month-of-year = mean of the exact detrended values.  One division
+# at the edge.
+
+_Q632_SEAS = "round(CAST(sd AS DOUBLE) / (24 * CAST(cnt AS DOUBLE)), 6)"
+
+
+def _q632_oracle() -> str:
+    return f"""
+        WITH monthly AS MATERIALIZED (
+            SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        idx AS MATERIALIZED (
+            SELECT CAST(row_number() OVER (ORDER BY m) AS BIGINT)
+                       AS i,
+                   CAST(substr(m, 6, 2) AS BIGINT) AS moy, x
+            FROM monthly
+        ),
+        offs AS (
+            SELECT unnest([-6, -5, -4, -3, -2, -1, 0, 1, 2, 3, 4, 5,
+                           6]) AS off
+        ),
+        tr AS MATERIALIZED (
+            SELECT a.i, a.moy, a.x,
+                   CAST(SUM(CASE WHEN abs(o.off) = 6 THEN b.x
+                            ELSE 2 * b.x END) AS BIGINT) AS trend24
+            FROM idx a
+            JOIN offs o ON TRUE
+            JOIN idx b ON b.i = a.i + o.off
+            GROUP BY 1, 2, 3 HAVING COUNT(*) = 13
+        ),
+        det AS MATERIALIZED (
+            SELECT moy, CAST(24 * x - trend24 AS BIGINT) AS d24
+            FROM tr
+        )
+        SELECT moy AS month_of_year,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               {_Q632_SEAS.replace("sd", "SUM(d24)")
+                          .replace("cnt", "COUNT(*)")} AS seasonal_cents
+        FROM det GROUP BY 1
+    """
+
+
+@query("q632_seasonal_decomposition", oracle=_q632_oracle(), defer=True)
+def q632_seasonal_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLASSICAL SEASONAL DECOMPOSITION of monthly revenue — the
+    month-of-year seasonal index from exact integers: centered
+    12-month moving-average trend scaled ×24 (end half-weights
+    become integers — no float upstream), detrended values exact,
+    one portable division per month-of-year at the edge.  Extends
+    q530's day-of-week index to the trend-adjusted monthly classic;
+    Σ-seasonal ≈ 0 is pinned in tests.
+
+    Scale shape: one scan → bounded monthly grid; the 13-tap window
+    is a literal-offset self-join on the grid (the q614 lag-grid
+    shape), month-of-year rollup after."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
+    o = read_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+            .alias("m")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    idx = exact_cumsum(monthly, ["m"], "one", out_col="i").select(
+        F.col("i").cast("long").alias("i"),
+        F.substring(F.col("m"), 6, 2).cast("long").alias("moy"),
+        "x",
+    ).localCheckpoint()
+    a = idx.withColumn(
+        "off", F.explode(F.array(*[F.lit(k) for k in range(-6, 7)]))
+    ).withColumn("ib", F.col("i") + F.col("off"))
+    b = idx.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    tr = (
+        a.join(b, "ib")
+        .groupBy("i", "moy", "x")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("off")) == 6, F.col("xb")).otherwise(
+                    2 * F.col("xb")
+                )
+            )
+            .cast("long")
+            .alias("trend24"),
+            F.count(F.lit(1)).alias("ntap"),
+        )
+        .filter(F.col("ntap") == 13)
+    )
+    det = tr.select(
+        "moy", (24 * F.col("x") - F.col("trend24")).cast("long").alias(
+            "d24"
+        )
+    )
+    return det.groupBy(F.col("moy").alias("month_of_year")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.expr(
+            _Q632_SEAS.replace("sd", "SUM(d24)").replace(
+                "cnt", "COUNT(*)"
+            )
+        ).alias("seasonal_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q633 — Fellegi–Sunter match/unmatch weights for record linkage
+# ---------------------------------------------------------------------------
+#
+# The probabilistic record-linkage classic (public: Fellegi & Sunter
+# 1969): over n_chars-blocked candidate doc pairs with exact-dup
+# ground truth (identical md5(text) — the q42 planted structure),
+# estimate per-feature m = P(agree|match) and u = P(agree|unmatch)
+# with +1/+2 Laplace cells and emit the ln(m/u) agreement and
+# ln((1−m)/(1−u)) disagreement weights a linkage scorer would sum.
+
+_Q633_M = "((CAST(ma AS DOUBLE) + 1) / (CAST(mt AS DOUBLE) + 2))"
+_Q633_U = "((CAST(ua AS DOUBLE) + 1) / (CAST(ut AS DOUBLE) + 2))"
+_Q633_WA = f"round(ln({_Q633_M} / {_Q633_U}), 6)"
+_Q633_WD = f"round(ln((1 - {_Q633_M}) / (1 - {_Q633_U})), 6)"
+
+
+def _q633_oracle() -> str:
+    feats = [
+        ("lang_agree", "a.lang = b.lang"),
+        ("source_agree", "a.source = b.source"),
+        ("prefix16_agree", "substr(a.text, 1, 16) = substr(b.text, 1, 16)"),
+    ]
+    sel = " UNION ALL ".join(
+        f"""SELECT '{nm}' AS feature,
+                   CASE WHEN {cond} THEN 1 ELSE 0 END AS agree,
+                   CASE WHEN md5(a.text) = md5(b.text)
+                        THEN 1 ELSE 0 END AS match
+            FROM documents a JOIN documents b
+            ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id"""
+        for nm, cond in feats
+    )
+    return f"""
+        WITH pairs AS MATERIALIZED ({sel}),
+        agg AS (
+            SELECT feature,
+                   CAST(SUM(agree * match) AS BIGINT) AS ma,
+                   CAST(SUM(match) AS BIGINT) AS mt,
+                   CAST(SUM(agree * (1 - match)) AS BIGINT) AS ua,
+                   CAST(SUM(1 - match) AS BIGINT) AS ut
+            FROM pairs GROUP BY 1
+        )
+        SELECT feature, mt AS n_match_pairs, ut AS n_unmatch_pairs,
+               round({_Q633_M}, 6) AS m_prob,
+               round({_Q633_U}, 6) AS u_prob,
+               {_Q633_WA} AS agree_weight,
+               {_Q633_WD} AS disagree_weight
+        FROM agg
+    """
+
+
+@query("q633_fellegi_sunter", oracle=_q633_oracle(), defer=True)
+def q633_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI–SUNTER weight estimation on n_chars-blocked doc pairs
+    with exact-dup truth — the probabilistic layer over q570's
+    deterministic sorted-neighborhood linkage: per comparison
+    feature (lang / source / 16-char prefix), Laplace-smoothed
+    m and u and the ln match/unmatch weights.  agree_weight > 0 >
+    disagree_weight for informative features is pinned in tests.
+
+    Scale shape: the blocked self-join is the linkage candidate set
+    (block key = n_chars; candidate count is Σ block² — the q570
+    blocking discipline); one long-format pass scores all features,
+    then a 3-row aggregate."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        F.md5("text").alias("h"),
+        F.substring("text", 1, 16).alias("pref"),
+    ).localCheckpoint()
+    a, b = d.alias("a"), d.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.n_chars") == F.col("b.n_chars"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        (F.col("a.h") == F.col("b.h")).cast("long").alias("match"),
+        (F.col("a.lang") == F.col("b.lang")).cast("long").alias(
+            "lang_agree"
+        ),
+        (F.col("a.source") == F.col("b.source")).cast("long").alias(
+            "source_agree"
+        ),
+        (F.col("a.pref") == F.col("b.pref")).cast("long").alias(
+            "prefix16_agree"
+        ),
+    ).localCheckpoint()
+    out = None
+    for nm in ["lang_agree", "source_agree", "prefix16_agree"]:
+        part = joined.select(
+            F.lit(nm).alias("feature"),
+            F.col(nm).alias("agree"),
+            "match",
+        )
+        out = part if out is None else out.unionByName(part)
+    agg = out.groupBy("feature").agg(
+        F.sum(F.col("agree") * F.col("match")).cast("long").alias("ma"),
+        F.sum("match").cast("long").alias("mt"),
+        F.sum(F.col("agree") * (1 - F.col("match")))
+        .cast("long")
+        .alias("ua"),
+        F.sum(1 - F.col("match")).cast("long").alias("ut"),
+    )
+    return agg.select(
+        "feature",
+        F.col("mt").alias("n_match_pairs"),
+        F.col("ut").alias("n_unmatch_pairs"),
+        F.round(F.expr(_Q633_M), 6).alias("m_prob"),
+        F.round(F.expr(_Q633_U), 6).alias("u_prob"),
+        F.expr(_Q633_WA).alias("agree_weight"),
+        F.expr(_Q633_WD).alias("disagree_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q634 — critical path (max-plus longest path) on the planted DAG
+# ---------------------------------------------------------------------------
+#
+# q619's Bellman–Ford on the MAX-PLUS semiring — the scheduling
+# question (critical-path method, public CPM): direct each co-order
+# edge low→high part key (acyclic by construction), weight as q619,
+# and after 8 relaxations report the longest ≤8-edge path ending at
+# each node.  Init 0 everywhere (every node is a valid path start),
+# so no NULL algebra is needed.
+
+_Q634_ITERS = 8
+_Q634_TOP = 20
+
+
+def _q634_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    head = f"""
+        WITH li AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem WHERE l_orderkey % {_Q514_MOD} = 0
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst, CAST(1 + (src + dst) % 7 AS BIGINT) AS w
+            FROM (
+                SELECT DISTINCT a.pk AS src, b.pk AS dst
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            )
+        ),
+        nodes AS MATERIALIZED (SELECT DISTINCT pk FROM li),
+        d0 AS MATERIALIZED (
+            SELECT pk, CAST(0 AS BIGINT) AS d FROM nodes
+        )"""
+    steps = []
+    for i in range(1, _Q634_ITERS + 1):
+        steps.append(f""",
+        d{i} AS MATERIALIZED (
+            SELECT n.pk,
+                   CAST(CASE WHEN f.nd IS NULL OR f.nd <= n.d
+                             THEN n.d ELSE f.nd END AS BIGINT) AS d
+            FROM d{i - 1} n LEFT JOIN (
+                SELECT e.dst AS pk, MAX(p.d + e.w) AS nd
+                FROM d{i - 1} p
+                JOIN edges e ON e.src = p.pk
+                GROUP BY 1
+            ) f ON n.pk = f.pk
+        )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+        SELECT rank_pos, pk, critical_len FROM (
+            SELECT CAST(row_number() OVER (ORDER BY d DESC, pk)
+                        AS BIGINT) AS rank_pos,
+                   pk, d AS critical_len
+            FROM d{_Q634_ITERS}
+        ) WHERE rank_pos <= {_Q634_TOP}
+    """
+    )
+
+
+@query("q634_critical_path", oracle=_q634_oracle(), defer=True)
+def q634_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRITICAL PATH (max-plus Bellman–Ford, {_Q634_ITERS} unrolled
+    rounds) on the planted co-order DAG — q619's relaxation loop on
+    the max-plus semiring, the scheduling/CPM rung of the graph
+    family: edges directed low→high part key (acyclic by key order),
+    longest ≤{_Q634_ITERS}-edge path ending at each node, top
+    {_Q634_TOP} by (length DESC, pk).  Init 0 everywhere, so the
+    combine needs no NULL algebra.
+
+    Scale shape: identical to q619 — keyed join + grouped MAX per
+    round, no driver state, localCheckpoint per round."""
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _Q514_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, (a.ok == b.ok2) & (F.col("src") < F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+        .withColumn(
+            "w", (1 + (F.col("src") + F.col("dst")) % 7).cast("long")
+        )
+        .localCheckpoint()
+    )
+    dist = li.select("pk").distinct().withColumn(
+        "d", F.lit(0).cast("long")
+    )
+    for _ in range(_Q634_ITERS):
+        cand = (
+            edges.join(dist.withColumnRenamed("pk", "src"), "src")
+            .groupBy(F.col("dst").alias("pk"))
+            .agg(F.max(F.col("d") + F.col("w")).alias("nd"))
+        )
+        dist = (
+            dist.join(cand, "pk", "left")
+            .select(
+                "pk",
+                F.when(
+                    F.col("nd").isNull() | (F.col("nd") <= F.col("d")),
+                    F.col("d"),
+                )
+                .otherwise(F.col("nd"))
+                .cast("long")
+                .alias("d"),
+            )
+            .localCheckpoint()
+        )
+    top = dist.orderBy(F.desc("d"), F.asc("pk")).limit(_Q634_TOP)
+    w = Window.orderBy(F.desc("d"), F.asc("pk"))
+    return top.withColumn(
+        "rank_pos", F.row_number().over(w).cast("long")
+    ).select("rank_pos", "pk", F.col("d").alias("critical_len"))
+
+
+# ---------------------------------------------------------------------------
+# q635 — mean-excess (EVT tail) card over order values
+# ---------------------------------------------------------------------------
+#
+# The extreme-value diagnostic (public: the mean-excess plot of EVT):
+# for a literal threshold grid, the count, mean excess and max of
+# order values above each threshold — linear-in-u mean excess is the
+# GPD signature a tail-risk model checks before fitting.  Exact
+# integer sums; one portable division per row.
+
+_Q635_GRID = [10_000_000, 20_000_000, 30_000_000, 40_000_000]
+_Q635_ME = "round(CAST(se AS DOUBLE) / ne, 6)"
+_Q635_TF = "round(CAST(ne AS DOUBLE) / n, 6)"
+
+
+def _q635_oracle() -> str:
+    grid = ", ".join(str(u) for u in _Q635_GRID)
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       AS cents
+            FROM orders
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        g AS (SELECT unnest([{grid}]) AS u),
+        exceed AS (
+            SELECT g.u, CAST(COUNT(*) AS BIGINT) AS ne,
+                   CAST(SUM(v.cents - g.u) AS BIGINT) AS se,
+                   CAST(MAX(v.cents) AS BIGINT) AS mx
+            FROM g JOIN v ON v.cents > g.u
+            GROUP BY 1
+        )
+        SELECT CAST(e.u AS BIGINT) AS threshold_cents, e.ne AS n_exceed,
+               {_Q635_ME} AS mean_excess_cents,
+               e.mx AS max_cents, {_Q635_TF} AS tail_fraction
+        FROM exceed e, tot
+    """
+
+
+@query("q635_mean_excess_evt", oracle=_q635_oracle(), defer=True)
+def q635_mean_excess_evt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEAN-EXCESS CARD over order values at a literal threshold
+    grid — the EVT tail diagnostic (linear mean excess ⇒ GPD tail)
+    next to q531's MAD outliers and q549's Benford audit: per
+    threshold the exceedance count, exact mean excess, max and tail
+    fraction.  Mean excess monotonicity checks are pinned in tests.
+
+    Scale shape: one scan × a 4-row literal grid (range join on a
+    constant grid — each row lands in its qualifying thresholds
+    map-side), grouped exact sums."""
+    o = read_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "cents"
+        )
+    ).localCheckpoint()
+    tot = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = v.withColumn(
+        "u", F.explode(F.array(*[F.lit(u) for u in _Q635_GRID]))
+    ).filter(F.col("cents") > F.col("u"))
+    exceed = g.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("ne"),
+        F.sum(F.col("cents") - F.col("u")).cast("long").alias("se"),
+        F.max("cents").cast("long").alias("mx"),
+    )
+    return exceed.crossJoin(F.broadcast(tot)).select(
+        F.col("u").cast("long").alias("threshold_cents"),
+        F.col("ne").alias("n_exceed"),
+        F.expr(_Q635_ME).alias("mean_excess_cents"),
+        F.col("mx").alias("max_cents"),
+        F.expr(_Q635_TF).alias("tail_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q636 — log-log price elasticity per brand (grouped OLS on ln scale)
+# ---------------------------------------------------------------------------
+#
+# The econometrics rung over q527's linear grouped OLS: elasticity =
+# d ln(qty)/d ln(price) per brand from the (brand, month) demand
+# grid.  Each ln term is computed from exact integer cents/units by
+# an identical IEEE sequence, 9dp-rounded, decimal-summed per brand;
+# the OLS slope is one portable expression over the decimal moments.
+
+_Q636_LX = "ln(CAST(r AS DOUBLE) / (100 * CAST(q AS DOUBLE)))"
+_Q636_LY = "ln(CAST(q AS DOUBLE))"
+_Q636_SLOPE = (
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+)
+_Q636_R = (
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+)
+
+
+def _q636_oracle() -> str:
+    return f"""
+        WITH bm AS MATERIALIZED (
+            SELECT p.p_brand AS brand,
+                   strftime(CAST(l.l_shipdate AS DATE), '%Y-%m') AS m,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                       AS q,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS r
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ),
+        terms AS MATERIALIZED (
+            SELECT brand,
+                   CAST(round({_Q636_LX}, 9) AS DECIMAL(28,9)) AS lx,
+                   CAST(round({_Q636_LY}, 9) AS DECIMAL(28,9)) AS ly,
+                   CAST(round({_Q636_LX} * ({_Q636_LY}), 9)
+                        AS DECIMAL(28,9)) AS lxy,
+                   CAST(round({_Q636_LX} * ({_Q636_LX}), 9)
+                        AS DECIMAL(28,9)) AS lxx,
+                   CAST(round({_Q636_LY} * ({_Q636_LY}), 9)
+                        AS DECIMAL(28,9)) AS lyy
+            FROM bm
+        ),
+        mom AS (
+            SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(lx) AS DECIMAL(28,9)) AS sx,
+                   CAST(SUM(ly) AS DECIMAL(28,9)) AS sy,
+                   CAST(SUM(lxy) AS DECIMAL(28,9)) AS sxy,
+                   CAST(SUM(lxx) AS DECIMAL(28,9)) AS sxx,
+                   CAST(SUM(lyy) AS DECIMAL(28,9)) AS syy
+            FROM terms GROUP BY 1
+        )
+        SELECT brand, n AS n_months,
+               {_Q636_SLOPE} AS elasticity,
+               {_Q636_R} AS r_lnp_lnq
+        FROM mom
+    """
+
+
+@query("q636_price_elasticity", oracle=_q636_oracle(), defer=True)
+def q636_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-LOG PRICE ELASTICITY per brand — grouped OLS of ln(qty)
+    on ln(unit price) over the (brand, month) demand grid (q527's
+    OLS lifted to the ln scale): every ln term from exact integer
+    cents/units by one identical IEEE expression, 9dp-rounded,
+    decimal-summed; slope and correlation portable over the decimal
+    moments.
+
+    Scale shape: fact scan + dimension join → (brand, month) rollup
+    (bounded grid) → map-side ln terms → 25-row moment relation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    bm = (
+        li.join(p.select("p_partkey", "p_brand"),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("q"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    terms = bm.select(
+        "brand",
+        F.expr(f"round({_Q636_LX}, 9)").cast("decimal(28,9)").alias("lx"),
+        F.expr(f"round({_Q636_LY}, 9)").cast("decimal(28,9)").alias("ly"),
+        F.expr(f"round({_Q636_LX} * ({_Q636_LY}), 9)")
+        .cast("decimal(28,9)")
+        .alias("lxy"),
+        F.expr(f"round({_Q636_LX} * ({_Q636_LX}), 9)")
+        .cast("decimal(28,9)")
+        .alias("lxx"),
+        F.expr(f"round({_Q636_LY} * ({_Q636_LY}), 9)")
+        .cast("decimal(28,9)")
+        .alias("lyy"),
+    )
+    mom = terms.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lx").cast("decimal(28,9)").alias("sx"),
+        F.sum("ly").cast("decimal(28,9)").alias("sy"),
+        F.sum("lxy").cast("decimal(28,9)").alias("sxy"),
+        F.sum("lxx").cast("decimal(28,9)").alias("sxx"),
+        F.sum("lyy").cast("decimal(28,9)").alias("syy"),
+    )
+    return mom.select(
+        "brand",
+        F.col("n").alias("n_months"),
+        F.expr(_Q636_SLOPE).alias("elasticity"),
+        F.expr(_Q636_R).alias("r_lnp_lnq"),
+    )
