@@ -1218,7 +1218,9 @@ def _q617_oracle() -> str:
         SELECT (SELECT ntot FROM tt) AS n_train, nh AS n_heldout,
                (SELECT COUNT(*) FROM enc) AS n_categories,
                {_Q617_MSE.format(s="se")} AS mse_encoded,
-               {_Q617_MSE.format(s="sp")} AS mse_prior
+               {_Q617_MSE.format(s="sp")} AS mse_prior,
+               ({_Q617_MSE.format(s="se")})
+                   < ({_Q617_MSE.format(s="sp")}) AS keep_feature
         FROM card
     """
 
@@ -1232,9 +1234,13 @@ def q617_target_encoding_audit(
     (q554's materialization discipline applied to a supervised
     encoding): fit (pos+m·prior)/(n+m) on the md5-train half,
     compare held-out squared error against the global-prior
-    baseline.  Unseen categories fall back to the prior via the
-    COALESCE(0,0) algebra (enc(0,0) ≡ prior).  mse_encoded ≤
-    mse_prior is the acceptance gate pinned in tests.
+    baseline, and emit the keep/reject verdict.  Unseen categories
+    fall back to the prior via the COALESCE(0,0) algebra
+    (enc(0,0) ≡ prior).  On this corpus the brand carries NO return
+    signal, so the gate honestly REJECTS the feature (the q607
+    near-0.5-AUC discipline: the negative verdict is the finding);
+    the m=20 smoothing bounds the held-out regret, pinned in
+    tests.
 
     Scale shape: one fact scan + dimension join; the 25-row encoding
     relation joins map-side (AQE broadcasts it); per-row error terms
@@ -1306,6 +1312,10 @@ def q617_target_encoding_audit(
             "n_categories",
             F.expr(_Q617_MSE.format(s="se")).alias("mse_encoded"),
             F.expr(_Q617_MSE.format(s="sp")).alias("mse_prior"),
+            (
+                F.expr(_Q617_MSE.format(s="se"))
+                < F.expr(_Q617_MSE.format(s="sp"))
+            ).alias("keep_feature"),
         )
     )
 
@@ -2295,8 +2305,9 @@ def q624_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak, isolated nodes keep their own) on the planted co-order
     graph — the community rung between q514's components and q581's
     centrality; top-{_Q624_TOP} communities by size.  Mode ≠ min:
-    this is not CC — the tests pin that the community count differs
-    from the component count.
+    this is not CC — labels never cross components, so the community
+    count REFINES the component count (≥, pinned in tests against
+    q514).
 
     Scale shape: per round one keyed join edges⋈labels, one
     (node,label) grouped count, one per-node argmax window (k rows
@@ -3138,7 +3149,8 @@ def q632_seasonal_decomposition(
     become integers — no float upstream), detrended values exact,
     one portable division per month-of-year at the edge.  Extends
     q530's day-of-week index to the trend-adjusted monthly classic;
-    Σ-seasonal ≈ 0 is pinned in tests.
+    the 12-row month-of-year grain and full-window trend coverage
+    are pinned in tests.
 
     Scale shape: one scan → bounded monthly grid; the 13-tap window
     is a literal-offset self-join on the grid (the q614 lag-grid
@@ -3584,7 +3596,8 @@ def q636_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     OLS lifted to the ln scale): every ln term from exact integer
     cents/units by one identical IEEE expression, 9dp-rounded,
     decimal-summed; slope and correlation portable over the decimal
-    moments.
+    moments.  |r| ≤ 1 and the 25-row brand grain are pinned in
+    tests.
 
     Scale shape: fact scan + dimension join → (brand, month) rollup
     (bounded grid) → map-side ln terms → 25-row moment relation."""

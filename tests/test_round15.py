@@ -1,0 +1,386 @@
+"""Round-15 unit tests: invariants for the statistics / ML-pipeline /
+graph lanes beyond the oracle-parity suite, plus hostile-slicing
+drains for the five new streaming twins (the q576/q583 discipline)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+import databricks_etl_spark.plans.queries_round13 as r13
+from databricks_etl_spark.plans.registry import queries
+from databricks_etl_spark.sources.readers import read_table
+
+
+def _collect_sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+# --- classifier-eval ladder ------------------------------------------------
+
+
+def test_q608_ap_bounds_and_counts(spark, smoke_sf_dir):
+    """AP is a mean of precisions — it lives in (0, 1]; the positive
+    count is bounded by the ranked count."""
+    r = _one(queries()["q608_exact_average_precision"](spark, smoke_sf_dir))
+    assert 0 < r["ap"] <= 1.0
+    assert 0 < r["n_positive"] <= r["n_ranked"]
+
+
+def test_q609_murphy_identity(spark, smoke_sf_dir):
+    """brier = reliability − resolution + uncertainty (Murphy 1973),
+    up to the 9dp term rounding."""
+    r = _one(queries()["q609_brier_calibration"](spark, smoke_sf_dir))
+    assert r["brier"] == pytest.approx(
+        r["reliability"] - r["resolution"] + r["uncertainty"], abs=5e-6
+    )
+    assert 0 <= r["brier"] <= 1
+    assert r["reliability"] >= 0 and r["resolution"] >= 0
+
+
+def test_q626_pr_curve_consistency(spark, smoke_sf_dir):
+    """Lower thresholds predict supersets: n_predicted and TP (hence
+    recall) are monotone along descending thresholds, and the loosest
+    threshold reaches recall 1 over all positives."""
+    rows = sorted(
+        queries()["q626_precision_recall_curve"](
+            spark, smoke_sf_dir
+        ).collect(),
+        key=lambda r: -r["threshold_s4"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_predicted"] >= a["n_predicted"]
+        assert b["tp"] >= a["tp"]
+    assert rows[-1]["recall_at"] == pytest.approx(1.0)
+    for r in rows:
+        assert 0 <= r["precision_at"] <= 1
+
+
+# --- rank statistics -------------------------------------------------------
+
+
+def test_q610_rank_sum_conservation(spark, smoke_sf_dir):
+    """W⁺ + W⁻ = n(n+1) in doubled units — the signed-rank sums
+    partition the total rank mass."""
+    r = _one(queries()["q610_wilcoxon_signed_rank"](spark, smoke_sf_dir))
+    n = r["n_pairs"]
+    assert r["w2_pos"] + r["w2_neg"] == n * (n + 1)
+    assert r["w2_pos"] > 0 and r["w2_neg"] > 0
+
+
+def test_q611_rank_mass_and_constant_h(spark, smoke_sf_dir):
+    """Per-group doubled rank sums partition n(n+1); the H columns are
+    constant across the 5 group rows; tie correction only grows H."""
+    rows = queries()["q611_kruskal_wallis"](spark, smoke_sf_dir).collect()
+    assert len(rows) == 5
+    n = sum(r["n_orders"] for r in rows)
+    assert sum(r["r2_sum"] for r in rows) == n * (n + 1)
+    assert len({r["h_stat"] for r in rows}) == 1
+    assert len({r["h_tie_corrected"] for r in rows}) == 1
+    assert rows[0]["h_tie_corrected"] >= rows[0]["h_stat"] >= 0
+
+
+# --- moment statistics -----------------------------------------------------
+
+
+def test_q612_variance_partition(spark, smoke_sf_dir):
+    """SSB + SSW equals the directly-computed total sum of squares
+    (exact integers in the test, so the tolerance is only the 6dp
+    output rounding)."""
+    r = _one(queries()["q612_anova_oneway"](spark, smoke_sf_dir))
+    rows = (
+        read_table(spark, smoke_sf_dir, "customer")
+        .select(
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("c")
+        )
+        .collect()
+    )
+    xs = [row["c"] for row in rows]
+    n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+    sst = q - s * s / n
+    assert r["ssb_cents2"] + r["ssw_cents2"] == pytest.approx(
+        sst, rel=1e-9
+    )
+    assert r["eta_sq"] == pytest.approx(
+        r["ssb_cents2"] / (r["ssb_cents2"] + r["ssw_cents2"]), abs=5e-6
+    )
+
+
+def test_q613_correlation_bounds(spark, smoke_sf_dir):
+    r = _one(queries()["q613_partial_correlation"](spark, smoke_sf_dir))
+    for c in (
+        "r_qty_price",
+        "r_qty_discount",
+        "r_price_discount",
+        "partial_r_qty_price",
+    ):
+        assert -1.0 <= r[c] <= 1.0
+
+
+def test_q614_acf_bounds_and_pair_counts(spark, smoke_sf_dir):
+    """|r_k| ≤ 1 and each lag loses exactly k pairs off the series."""
+    rows = queries()["q614_acf_lags"](spark, smoke_sf_dir).collect()
+    assert len(rows) == 7
+    n0 = rows[0]["n_pairs"] + 1
+    for r in rows:
+        assert abs(r["acf"]) <= 1.0
+        assert r["n_pairs"] == n0 - r["lag"]
+
+
+# --- finance / feature engineering ----------------------------------------
+
+
+def test_q615_bridge_identity(spark, smoke_sf_dir):
+    """Δ = price + volume + new − lost per brand, up to the 9dp
+    part-term rounding."""
+    rows = queries()["q615_price_volume_mix"](spark, smoke_sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r["delta_cents"] == pytest.approx(
+            r["price_effect"]
+            + r["volume_effect"]
+            + r["new_parts_cents"]
+            - r["lost_parts_cents"],
+            abs=1e-2,
+        )
+
+
+def test_q616_iv_contributions_nonnegative(spark, smoke_sf_dir):
+    """(p_good − p_bad) and ln(p_good/p_bad) always share a sign, so
+    every IV contribution is ≥ 0 (up to output rounding)."""
+    rows = queries()["q616_woe_information_value"](
+        spark, smoke_sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["iv_contrib"] >= -1e-9
+
+
+def test_q617_gate_verdict_and_bounded_regret(spark, smoke_sf_dir):
+    """Brand carries no return signal on this corpus, so the gate
+    rejects the feature — and the m=20 smoothing bounds the held-out
+    regret vs the prior baseline to a whisker."""
+    r = _one(queries()["q617_target_encoding_audit"](spark, smoke_sf_dir))
+    assert r["keep_feature"] == (r["mse_encoded"] < r["mse_prior"])
+    assert abs(r["mse_encoded"] - r["mse_prior"]) < 0.01
+    assert r["n_train"] > 0 and r["n_heldout"] > 0
+    assert r["n_categories"] == 25
+
+
+def test_q618_stump_count_algebra(spark, smoke_sf_dir):
+    """Left/right counts partition the table; the chosen split's gain
+    is non-negative (splitting can never increase weighted Gini)."""
+    r = _one(queries()["q618_decision_stump"](spark, smoke_sf_dir))
+    o = read_table(spark, smoke_sf_dir, "orders")
+    n = o.count()
+    pos = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).count()
+    assert r["n_left"] + r["n_right"] == n
+    assert r["pos_left"] + r["pos_right"] == pos
+    assert r["gain"] >= -1e-9
+    assert r["weighted_gini"] <= r["parent_gini"] + 1e-9
+
+
+# --- graph family ----------------------------------------------------------
+
+
+def test_q619_sssp_starts_at_zero_and_sorts(spark, smoke_sf_dir):
+    rows = queries()["q619_sssp_weighted"](spark, smoke_sf_dir).collect()
+    assert rows[0]["dist"] == 0  # the hub itself
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists)
+
+
+def test_q620_peeling_is_monotone(spark, smoke_sf_dir):
+    rows = sorted(
+        queries()["q620_kcore_peeling"](spark, smoke_sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    assert len(rows) == 6
+    for a, b in zip(rows, rows[1:]):
+        assert b["nodes_remaining"] <= a["nodes_remaining"]
+        assert b["edges_remaining"] <= a["edges_remaining"]
+
+
+def test_q621_scores_are_ranked_and_bounded(spark, smoke_sf_dir):
+    rows = queries()["q621_link_prediction"](spark, smoke_sf_dir).collect()
+    assert rows
+    aas = [r["adamic_adar"] for r in rows]
+    assert aas == sorted(aas, reverse=True)
+    for r in rows:
+        assert r["common_neighbors"] >= 1
+        assert 0 < r["jaccard"] <= 1.0
+
+
+@pytest.mark.slow
+def test_q624_refines_components(spark, smoke_sf_dir):
+    """Labels never cross components, so LPA's community count is ≥
+    q514's component count (the mode ≠ min pin)."""
+    q = queries()
+    n_comp = len(
+        q["q514_connected_components_oracled"](spark, smoke_sf_dir)
+        .collect()
+    )
+    rows = q["q624_label_propagation"](spark, smoke_sf_dir).collect()
+    sizes = [r["n_members"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    # top-20 is a truncation: communities ≥ max(20-th view, components)
+    assert len(rows) >= min(20, n_comp)
+
+
+def test_q634_critical_path_sorts_desc(spark, smoke_sf_dir):
+    rows = queries()["q634_critical_path"](spark, smoke_sf_dir).collect()
+    lens = [r["critical_len"] for r in rows]
+    assert lens == sorted(lens, reverse=True)
+    assert all(v >= 0 for v in lens)
+
+
+# --- forecasting / tails / econometrics ------------------------------------
+
+
+def test_q622_holt_card_algebra(spark, smoke_sf_dir):
+    r = _one(queries()["q622_holt_linear_trend"](spark, smoke_sf_dir))
+    assert r["n_eval"] == r["n_months"] - 2
+    assert (
+        r["forecast_next_cents"]
+        == r["final_level_cents"] + r["final_trend_cents"]
+    )
+    assert r["sae_cents"] >= 0
+
+
+def test_q623_confusion_is_a_partition(spark, smoke_sf_dir):
+    """Every test doc with ≥1 token lands in exactly one confusion
+    cell; labels come from the training class set."""
+    rows = queries()["q623_naive_bayes_langid"](spark, smoke_sf_dir).collect()
+    langs = {"de", "en", "es", "fr", "zh"}
+    assert sum(r["n_docs"] for r in rows) > 0
+    for r in rows:
+        assert r["true_lang"] in langs and r["pred_lang"] in langs
+
+
+def test_q625_v_bounds(spark, smoke_sf_dir):
+    rows = queries()["q625_cramers_v_matrix"](spark, smoke_sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["chi_sq"] >= 0
+        assert 0 <= r["cramers_v"] <= 1.0
+
+
+def test_q632_seasonal_grain(spark, smoke_sf_dir):
+    rows = queries()["q632_seasonal_decomposition"](
+        spark, smoke_sf_dir
+    ).collect()
+    assert len(rows) == 12
+    assert {r["month_of_year"] for r in rows} == set(range(1, 13))
+    assert all(r["n_obs"] >= 1 for r in rows)
+
+
+def test_q633_prefix_feature_is_informative(spark, smoke_sf_dir):
+    """Exact dups share their 16-char prefix, so the prefix feature's
+    agreement weight is positive and its disagreement weight
+    negative; m > u for it."""
+    rows = {
+        r["feature"]: r
+        for r in queries()["q633_fellegi_sunter"](
+            spark, smoke_sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"lang_agree", "source_agree", "prefix16_agree"}
+    pre = rows["prefix16_agree"]
+    assert pre["m_prob"] > pre["u_prob"]
+    assert pre["agree_weight"] > 0 > pre["disagree_weight"]
+
+
+def test_q635_mean_excess_monotonicity(spark, smoke_sf_dir):
+    rows = sorted(
+        queries()["q635_mean_excess_evt"](spark, smoke_sf_dir).collect(),
+        key=lambda r: r["threshold_cents"],
+    )
+    assert len(rows) == 4
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_exceed"] <= a["n_exceed"]
+        assert b["tail_fraction"] <= a["tail_fraction"]
+    for r in rows:
+        assert r["mean_excess_cents"] > 0
+        assert r["max_cents"] > r["threshold_cents"]
+
+
+def test_q636_elasticity_grain_and_r_bounds(spark, smoke_sf_dir):
+    rows = queries()["q636_price_elasticity"](spark, smoke_sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert -1.0 <= r["r_lnp_lnq"] <= 1.0
+        assert r["n_months"] >= 2
+
+
+# --- streaming twins: hostile slicing --------------------------------------
+
+
+@pytest.mark.slow
+def test_q627_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    """Streaming SSSP drain ≡ q619 under a hostile 13-way order-grain
+    slicing (edges rebuilt from landed state only)."""
+    q = queries()
+    batch = _collect_sorted(q["q619_sssp_weighted"](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(q["q627_streaming_sssp"](spark, smoke_sf_dir))
+    assert drained == batch
+
+
+@pytest.mark.slow
+def test_q628_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    """Streaming AP drain ≡ q608 under a hostile 13-way doc slicing."""
+    q = queries()
+    batch = _collect_sorted(
+        q["q608_exact_average_precision"](spark, smoke_sf_dir)
+    )
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(
+        q["q628_streaming_average_precision"](spark, smoke_sf_dir)
+    )
+    assert drained == batch
+
+
+@pytest.mark.slow
+def test_q629_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    """Streaming WoE drain ≡ q616 under a hostile 13-way customer
+    slicing (bin partials merge associatively)."""
+    q = queries()
+    batch = _collect_sorted(
+        q["q616_woe_information_value"](spark, smoke_sf_dir)
+    )
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(q["q629_streaming_woe"](spark, smoke_sf_dir))
+    assert drained == batch
+
+
+@pytest.mark.slow
+def test_q630_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    """Streaming Holt drain ≡ q622 under a hostile 13-way order
+    slicing (monthly partials commute; only the month axis orders the
+    fold)."""
+    q = queries()
+    batch = _collect_sorted(q["q622_holt_linear_trend"](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(q["q630_streaming_holt"](spark, smoke_sf_dir))
+    assert drained == batch
+
+
+@pytest.mark.slow
+def test_q631_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    """Streaming Cramér's V drain ≡ q625 under a hostile 13-way order
+    slicing (contingency cells merge associatively)."""
+    q = queries()
+    batch = _collect_sorted(q["q625_cramers_v_matrix"](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(
+        q["q631_streaming_cramers_v"](spark, smoke_sf_dir)
+    )
+    assert drained == batch
