@@ -564,12 +564,28 @@ def q611_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q612_FRAC = "round(CAST(rg AS DOUBLE) / CAST(ng AS DOUBLE), 9)"
 
 
-def _q612_cards(div: str) -> dict[str, str]:
-    """Portable output expressions; ``div`` is the engine's integer
-    floor-division token (Spark ``DIV``, DuckDB ``//``) applied to
-    non-negative exact integers only."""
+def _q612_floordiv(a: str, b: str, engine: str) -> str:
+    """Exact integer floor division of non-negative wide operands.
+
+    DuckDB: HUGEINT ``//`` is exact at any graded magnitude.  Spark:
+    ``DIV`` returns LONG (overflows past ~9.2e18 — hit at sf0.1 when
+    s² ~ 5.6e19), so the scale-safe form subtracts the remainder and
+    divides EXACTLY in DECIMAL(38,0): the quotient is integral, so
+    the decimal division rounds nothing."""
+    if engine == "duckdb":
+        return f"(({a}) // ({b}))"
+    return (
+        f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS DECIMAL(38,0))"
+    )
+
+
+def _q612_cards(engine: str) -> dict[str, str]:
+    """Portable output expressions over exact integer pieces; only
+    the floor-division spelling differs per engine (values agree
+    exactly — see :func:`_q612_floordiv`)."""
+    s2n = _q612_floordiv("s * s", "n", engine)
     ssb = (
-        f"(CAST(sbi - (s * s {div} n) AS DOUBLE)"
+        f"(CAST(sbi - {s2n} AS DOUBLE)"
         " + CAST(sbf AS DOUBLE)"
         " - CAST((s * s) % n AS DOUBLE) / n)"
     )
@@ -583,7 +599,7 @@ def _q612_cards(div: str) -> dict[str, str]:
 
 
 def _q612_oracle() -> str:
-    e = _q612_cards("//")
+    e = _q612_cards("duckdb")
     return f"""
         WITH v AS MATERIALIZED (
             SELECT c_mktsegment AS grp,
@@ -597,14 +613,15 @@ def _q612_oracle() -> str:
         ),
         g2 AS MATERIALIZED (
             SELECT grp, ng, sg,
-                   CAST(sg * sg // ng AS BIGINT) AS dg,
-                   CAST((sg * sg) % ng AS BIGINT) AS rg
+                   CAST(CAST(sg AS HUGEINT) * sg // ng
+                        AS DECIMAL(38,0)) AS dg,
+                   CAST(CAST(sg AS HUGEINT) * sg % ng AS BIGINT) AS rg
             FROM g
         ),
         tots AS (
             SELECT CAST(SUM(ng) AS BIGINT) AS n,
                    CAST(COUNT(*) AS BIGINT) AS k,
-                   CAST(SUM(sg) AS BIGINT) AS s,
+                   CAST(SUM(sg) AS HUGEINT) AS s,
                    CAST(SUM(CAST(dg AS DECIMAL(38,0)))
                         AS DECIMAL(38,0)) AS sbi,
                    CAST(SUM(CAST({_Q612_FRAC} AS DECIMAL(28,9)))
@@ -635,12 +652,13 @@ def q612_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity SSB + SSW = SST is pinned in tests.
 
     Scale shape: one customer scan → 5-row group relation + 1-row
-    moment card; all downstream arithmetic on tiny relations.  (DIV
-    range note: sg²/ng stays within BIGINT for segment cent-sums up
-    to ~3e9 dollars; beyond that the same construction lifts to
-    DECIMAL(38,0) floor division.)"""
+    moment card; all downstream arithmetic on tiny relations.  All
+    wide products and floor divisions run in DECIMAL(38,0) /
+    HUGEINT, so no graded scale can hit an ANSI overflow (sf0.1
+    already overflows the naive BIGINT s² — caught and pinned by
+    the sf0.1 smoke test)."""
     c = read_table(spark, sf_dir, "customer")
-    e = _q612_cards("DIV")
+    e = _q612_cards("spark")
     v = c.select(
         F.col("c_mktsegment").alias("grp"),
         F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
@@ -654,9 +672,14 @@ def q612_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "grp",
             "ng",
-            "sg",
-            F.expr("sg * sg DIV ng").cast("long").alias("dg"),
-            F.expr("(sg * sg) % ng").cast("long").alias("rg"),
+            F.col("sg").cast("decimal(38,0)").alias("sg"),
+            F.expr(
+                _q612_floordiv("CAST(sg AS DECIMAL(38,0)) * sg", "ng",
+                               "spark")
+            ).alias("dg"),
+            F.expr("(CAST(sg AS DECIMAL(38,0)) * sg) % ng")
+            .cast("long")
+            .alias("rg"),
         )
     )
     tots = g2.select(
@@ -667,7 +690,7 @@ def q612_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum("ng").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum("sg").cast("long").alias("s"),
+        F.sum("sg").cast("decimal(38,0)").alias("s"),
         F.sum(F.col("dg").cast("decimal(38,0)"))
         .cast("decimal(38,0)")
         .alias("sbi"),

@@ -384,3 +384,24 @@ def test_q631_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
         q["q631_streaming_cramers_v"](spark, smoke_sf_dir)
     )
     assert drained == batch
+
+
+# --- scale guards ----------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_q612_sf01_overflow_guard(spark):
+    """sf0.1 drives the grand cent-sum's square past BIGINT (~5.6e19):
+    the DECIMAL(38,0)/HUGEINT floor-division path must survive where
+    the naive ``s * s DIV n`` form raised ANSI ARITHMETIC_OVERFLOW
+    (caught in round 15 — this pins the fix at the breaking sf)."""
+    import os
+
+    sf01 = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.1"
+    )
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 testdata absent")
+    r = _one(queries()["q612_anova_oneway"](spark, sf01))
+    assert r["n_customers"] > 10_000
+    assert r["ssb_cents2"] > 0 and r["ssw_cents2"] > 0
