@@ -4523,7 +4523,8 @@ _Q417_BKT = 8  # days per cumsum bucket (two-phase distributed prefix sum)
 
 @query(
     "q417_compaction_plan",
-    bench=True,
+    # bench rotation r15: out for q619 (iterative-relaxation class);
+    # q189 stays as the compaction-family bench representative
     oracle=f"""
         WITH f AS (
             SELECT event_type, CAST(ts AS DATE) AS d,

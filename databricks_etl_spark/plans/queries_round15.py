@@ -1574,7 +1574,7 @@ def _q619_oracle() -> str:
     )
 
 
-@query("q619_sssp_weighted", oracle=_q619_oracle())
+@query("q619_sssp_weighted", oracle=_q619_oracle(), bench=True)
 def q619_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED SSSP (Bellman–Ford, 8 unrolled rounds) from the
     max-degree hub (tiebreak min pk) of the planted co-order graph — the distance rung
