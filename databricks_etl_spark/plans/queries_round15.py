@@ -2059,11 +2059,12 @@ _Q623_LP = "round(ln((CAST(tf AS DOUBLE) + 1) / (totc + vv)), 9)"
 _Q623_PRIOR = "round(ln(CAST(ndc AS DOUBLE) / ndt), 9)"
 
 
-def _q623_oracle() -> str:
+def _q623_pred_chain() -> str:
+    """The WITH-body computing per-test-doc NB predictions (reused by
+    q637's McNemar comparison against the q38 heuristic)."""
     from databricks_etl_spark.plans.queries_dedup import _TOKS
 
-    return f"""
-        WITH docs AS MATERIALIZED (
+    return f"""docs AS MATERIALIZED (
             SELECT doc_id, text, lang,
                    strpos('{_Q623_HEX}', substr(md5('nb:' ||
                        CAST(doc_id AS VARCHAR)), 1, 1)) > 0
@@ -2114,15 +2115,22 @@ def _q623_oracle() -> str:
                        AS score
             FROM test_terms tt GROUP BY 1, 2, 3
         ),
-        pred AS (
-            SELECT doc_id, true_lang, cand AS pred_lang,
-                   row_number() OVER (PARTITION BY doc_id
-                       ORDER BY score DESC, cand) AS rk
-            FROM dscore
-        )
+        pred AS MATERIALIZED (
+            SELECT doc_id, true_lang, pred_lang FROM (
+                SELECT doc_id, true_lang, cand AS pred_lang,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, cand) AS rk
+                FROM dscore
+            ) WHERE rk = 1
+        )"""
+
+
+def _q623_oracle() -> str:
+    return f"""
+        WITH {_q623_pred_chain()}
         SELECT true_lang, pred_lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs
-        FROM pred WHERE rk = 1
+        FROM pred
         GROUP BY 1, 2
     """
 
@@ -3672,4 +3680,584 @@ def q636_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_months"),
         F.expr(_Q636_SLOPE).alias("elasticity"),
         F.expr(_Q636_R).alias("r_lnp_lnq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q637 — McNemar comparison: NB language-ID vs the q38 heuristic
+# ---------------------------------------------------------------------------
+#
+# The paired classifier-comparison test (public: McNemar 1947): on
+# q623's test half, compare the trained naive-Bayes detector against
+# q38's stopword heuristic doc-by-doc.  Only the discordant cells
+# carry information: χ²_cc = (|b−c|−1)²/(b+c) with continuity
+# correction, from exact integer counts.
+
+_Q637_CHI = (
+    "round(pow(abs(CAST(b AS DOUBLE) - c) - 1, 2)"
+    " / (CAST(b AS DOUBLE) + c), 6)"
+)
+
+
+def _q637_oracle() -> str:
+    from databricks_etl_spark.plans.queries_text import _LANG_SCORES
+
+    return f"""
+        WITH {_q623_pred_chain()},
+        hs AS MATERIALIZED (
+            SELECT doc_id, {_LANG_SCORES}
+            FROM documents
+        ),
+        heur AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0
+                        THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr)
+                        THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr)
+                        THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr)
+                        THEN 'es'
+                        ELSE 'fr' END AS hpred
+            FROM hs
+        ),
+        cmp AS (
+            SELECT CASE WHEN h.hpred = p.true_lang THEN 1 ELSE 0 END
+                       AS hok,
+                   CASE WHEN p.pred_lang = p.true_lang THEN 1 ELSE 0
+                       END AS nok
+            FROM pred p JOIN heur h ON p.doc_id = h.doc_id
+        ),
+        card AS (
+            SELECT CAST(SUM(hok * nok) AS BIGINT) AS both_right,
+                   CAST(SUM((1 - hok) * (1 - nok)) AS BIGINT)
+                       AS both_wrong,
+                   CAST(SUM(hok * (1 - nok)) AS BIGINT) AS b,
+                   CAST(SUM((1 - hok) * nok) AS BIGINT) AS c
+            FROM cmp
+        )
+        SELECT both_right, both_wrong,
+               b AS heur_only_right, c AS nb_only_right,
+               {_Q637_CHI} AS mcnemar_chi2_cc,
+               CASE WHEN c > b THEN 'nb' WHEN b > c THEN 'heuristic'
+                    ELSE 'tie' END AS winner
+        FROM card
+    """
+
+
+@query("q637_mcnemar_compare", oracle=_q637_oracle(), defer=True)
+def q637_mcnemar_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR PAIRED COMPARISON of q623's trained NB detector vs
+    q38's stopword heuristic on the same test docs — the honest way
+    to claim one classifier beats another (marginal accuracies hide
+    the pairing): exact discordant counts b/c, continuity-corrected
+    χ², and the winner verdict.  both_right+both_wrong+b+c equals
+    the compared-doc count, pinned in tests.
+
+    Scale shape: the NB scoring pipeline (q623) + a map-side
+    heuristic vote, one doc-grain join, a 1-row card."""
+    from databricks_etl_spark.operators import text as TX
+
+    d = read_table(spark, sf_dir, "documents")
+    nb = _q623_pred_spark(spark, sf_dir)
+    heur = TX.lang_id(d).select("doc_id", F.col("lang_pred").alias("hpred"))
+    cmp_ = nb.join(heur, "doc_id").select(
+        F.when(F.col("hpred") == F.col("true_lang"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("hok"),
+        F.when(F.col("pred_lang") == F.col("true_lang"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("nok"),
+    )
+    card = cmp_.agg(
+        F.sum(F.col("hok") * F.col("nok")).cast("long").alias(
+            "both_right"
+        ),
+        F.sum((1 - F.col("hok")) * (1 - F.col("nok")))
+        .cast("long")
+        .alias("both_wrong"),
+        F.sum(F.col("hok") * (1 - F.col("nok"))).cast("long").alias("b"),
+        F.sum((1 - F.col("hok")) * F.col("nok")).cast("long").alias("c"),
+    )
+    return card.select(
+        "both_right",
+        "both_wrong",
+        F.col("b").alias("heur_only_right"),
+        F.col("c").alias("nb_only_right"),
+        F.expr(_Q637_CHI).alias("mcnemar_chi2_cc"),
+        F.when(F.col("c") > F.col("b"), "nb")
+        .when(F.col("b") > F.col("c"), "heuristic")
+        .otherwise("tie")
+        .alias("winner"),
+    )
+
+
+def _q623_pred_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-test-doc NB predictions (doc_id, true_lang, pred_lang) —
+    the q623 pipeline up to the argmax, reused by q637."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        (
+            F.instr(
+                F.lit(_Q623_HEX),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("nb:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+            )
+            > 0
+        ).alias("is_train"),
+    )
+    toks = docs.select(
+        "doc_id", "is_train", "lang",
+        F.explode(tokens_col("text")).alias("token"),
+    ).localCheckpoint()
+    cls = (
+        docs.filter(F.col("is_train"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("ndc"))
+        .localCheckpoint()
+    )
+    ndt = cls.agg(F.sum("ndc").cast("long").alias("ndt"))
+    ctf = (
+        toks.filter(F.col("is_train"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    totc = ctf.groupBy("lang").agg(F.sum("tf").cast("long").alias("totc"))
+    vv = ctf.agg(F.countDistinct("token").cast("long").alias("vv"))
+    priors = cls.crossJoin(F.broadcast(ndt)).select(
+        F.col("lang").alias("cand"),
+        F.expr(_Q623_PRIOR).cast("decimal(28,9)").alias("lprior"),
+    )
+    cand = cls.select(F.col("lang").alias("cand"))
+    tt = (
+        toks.filter(~F.col("is_train"))
+        .select("doc_id", F.col("lang").alias("true_lang"), "token")
+        .crossJoin(F.broadcast(cand))
+        .join(
+            ctf.select(F.col("lang").alias("cand"), "token", "tf"),
+            ["cand", "token"],
+            "left",
+        )
+        .join(
+            F.broadcast(totc.select(F.col("lang").alias("cand"), "totc")),
+            "cand",
+        )
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            F.expr(
+                _Q623_LP.replace(
+                    "CAST(tf AS DOUBLE)",
+                    "CAST(COALESCE(tf, 0) AS DOUBLE)",
+                )
+            )
+            .cast("decimal(28,9)")
+            .alias("term"),
+        )
+    )
+    dscore = (
+        tt.groupBy("doc_id", "true_lang", "cand")
+        .agg(F.sum("term").cast("decimal(28,9)").alias("sterm"))
+        .join(F.broadcast(priors), "cand")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (F.col("sterm") + F.col("lprior")).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cand")
+    )
+    return (
+        dscore.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "true_lang", F.col("cand").alias("pred_lang"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q638 — Cohen's kappa of the heuristic lang-id against truth
+# ---------------------------------------------------------------------------
+#
+# Chance-corrected agreement (public: Cohen 1960): the q83 confusion
+# matrix reduced to κ = (p_o − p_e)/(1 − p_e) with expected agreement
+# from the exact marginal products — the single number an annotation
+# pipeline quotes instead of raw accuracy.
+
+_Q638_PO = "(CAST(agree AS DOUBLE) / n)"
+_Q638_PE = "(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n))"
+_Q638_KAPPA = (
+    f"round(({_Q638_PO} - {_Q638_PE}) / (1 - {_Q638_PE}), 6)"
+)
+
+
+def _q638_oracle() -> str:
+    from databricks_etl_spark.plans.queries_text import _LANG_SCORES
+
+    return f"""
+        WITH hs AS MATERIALIZED (
+            SELECT doc_id, lang, {_LANG_SCORES}
+            FROM documents
+        ),
+        p AS MATERIALIZED (
+            SELECT lang,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0
+                        THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr)
+                        THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr)
+                        THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr)
+                        THEN 'es'
+                        ELSE 'fr' END AS pred
+            FROM hs
+        ),
+        marg AS (
+            SELECT COALESCE(r.lang, c.pred) AS label,
+                   COALESCE(r.rn, 0) AS rn, COALESCE(c.cn, 0) AS cn
+            FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS rn
+                  FROM p GROUP BY 1) r
+            FULL OUTER JOIN
+                 (SELECT pred, CAST(COUNT(*) AS BIGINT) AS cn
+                  FROM p GROUP BY 1) c
+            ON r.lang = c.pred
+        ),
+        card AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n,
+                   (SELECT CAST(SUM(CASE WHEN lang = pred THEN 1
+                                    ELSE 0 END) AS BIGINT) FROM p)
+                       AS agree,
+                   CAST(SUM(rn * cn) AS BIGINT) AS pe_num
+            FROM marg
+        )
+        SELECT n AS n_docs, agree AS n_agree,
+               round({_Q638_PO}, 6) AS p_observed,
+               round({_Q638_PE}, 6) AS p_expected,
+               {_Q638_KAPPA} AS kappa
+        FROM card
+    """
+
+
+@query("q638_cohens_kappa", oracle=_q638_oracle(), defer=True)
+def q638_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA of the q38 stopword heuristic against the true
+    language — chance-corrected agreement from exact marginal
+    products (the q83 confusion matrix as one number).  κ ≤ p_o and
+    the marginal algebra are pinned in tests.
+
+    Scale shape: one heuristic-vote pass, two marginal aggregates
+    full-outer-joined on the label, a 1-row card."""
+    from databricks_etl_spark.operators import text as TX
+
+    d = read_table(spark, sf_dir, "documents")
+    p = (
+        TX.lang_id(d)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("lang", F.col("lang_pred").alias("pred"))
+        .localCheckpoint()
+    )
+    r = p.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("rn"))
+    c = p.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    marg = (
+        r.join(c, r.lang == c.pred, "full_outer")
+        .select(
+            F.coalesce(F.col("rn"), F.lit(0)).alias("rn"),
+            F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+        )
+    )
+    tot = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("lang") == F.col("pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    card = marg.agg(
+        F.sum(F.col("rn") * F.col("cn")).cast("long").alias("pe_num")
+    ).crossJoin(F.broadcast(tot))
+    return card.select(
+        F.col("n").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        F.round(F.expr(_Q638_PO), 6).alias("p_observed"),
+        F.round(F.expr(_Q638_PE), 6).alias("p_expected"),
+        F.expr(_Q638_KAPPA).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q639 — local clustering coefficients on the planted graph
+# ---------------------------------------------------------------------------
+#
+# The per-node closure card over q185's global triangle census:
+# c_v = 2·t_v/(d_v(d_v−1)) with t_v the closed neighbor pairs (wedge
+# join + edge semi-join — the q185 shape localized), top-10 by
+# (coefficient, pk), plus the exact global transitivity columns.
+
+_Q639_TOP = 10
+_Q639_COEF = (
+    "round(2 * CAST(t AS DOUBLE) / (CAST(d AS DOUBLE) * (d - 1)), 6)"
+)
+_Q639_GLOBAL = (
+    "round(CAST(tsum AS DOUBLE) / CAST(wsum AS DOUBLE), 6)"
+)
+
+
+def _q639_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    return f"""
+        WITH li AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem WHERE l_orderkey % {_Q514_MOD} = 0
+        ),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS pk, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1
+        ),
+        tri AS MATERIALIZED (
+            SELECT e1.src AS pk, CAST(COUNT(*) AS BIGINT) AS t
+            FROM edges e1 JOIN edges e2
+              ON e1.src = e2.src AND e1.dst < e2.dst
+            WHERE EXISTS (SELECT 1 FROM edges x
+                          WHERE x.src = e1.dst AND x.dst = e2.dst)
+            GROUP BY 1
+        ),
+        pernode AS MATERIALIZED (
+            SELECT dg.pk, dg.d, COALESCE(tr.t, 0) AS t
+            FROM deg dg LEFT JOIN tri tr ON dg.pk = tr.pk
+            WHERE dg.d >= 2
+        ),
+        gl AS (
+            SELECT CAST(SUM(t) AS BIGINT) AS tsum,
+                   CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wsum
+            FROM pernode
+        )
+        SELECT rank_pos, pk, d AS degree, t AS closed_pairs,
+               coef, {_Q639_GLOBAL} AS global_transitivity
+        FROM (
+            SELECT CAST(row_number() OVER (
+                       ORDER BY {_Q639_COEF} DESC, pk)
+                       AS BIGINT) AS rank_pos,
+                   pk, d, t, {_Q639_COEF} AS coef
+            FROM pernode
+        ) ranked, gl
+        WHERE rank_pos <= {_Q639_TOP}
+    """
+
+
+@query("q639_clustering_coefficient", oracle=_q639_oracle(), defer=True)
+def q639_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENTS — q185's triangle census
+    localized to nodes: closed neighbor pairs per node from the
+    wedge join + edge semi-join, c_v = 2t/(d(d−1)), top-{_Q639_TOP}
+    with the exact global transitivity 3T/W carried as card columns
+    (Σt = 3T is the q185 cross-check pinned in tests).
+
+    Scale shape: wedge join partitioned by the apex node, one
+    semi-join against the edge relation, a node-grain rollup,
+    sort-limit."""
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _Q514_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("src").alias("pk")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    e1 = edges.select("src", F.col("dst").alias("v"))
+    e2 = edges.select("src", F.col("dst").alias("w"))
+    tri = (
+        e1.join(e2, "src")
+        .filter(F.col("v") < F.col("w"))
+        .join(
+            edges.select(
+                F.col("src").alias("v"), F.col("dst").alias("w")
+            ),
+            ["v", "w"],
+            "left_semi",
+        )
+        .groupBy(F.col("src").alias("pk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    pernode = (
+        deg.join(tri, "pk", "left")
+        .select(
+            "pk", "d", F.coalesce(F.col("t"), F.lit(0)).alias("t")
+        )
+        .filter(F.col("d") >= 2)
+        .localCheckpoint()
+    )
+    glob = pernode.agg(
+        F.sum("t").cast("long").alias("tsum"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias(
+            "wsum"
+        ),
+    )
+    top = (
+        pernode.withColumn("coef", F.expr(_Q639_COEF))
+        .orderBy(F.desc("coef"), F.asc("pk"))
+        .limit(_Q639_TOP)
+    )
+    win = Window.orderBy(F.desc("coef"), F.asc("pk"))
+    return (
+        top.withColumn("rank_pos", F.row_number().over(win).cast("long"))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "rank_pos",
+            "pk",
+            F.col("d").alias("degree"),
+            F.col("t").alias("closed_pairs"),
+            "coef",
+            F.expr(_Q639_GLOBAL).alias("global_transitivity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q640 — degree assortativity of the planted graph
+# ---------------------------------------------------------------------------
+#
+# Newman's degree-correlation r (public, 2002): the Pearson
+# correlation of endpoint degrees over the directed edge list — do
+# hubs attach to hubs?  Rides q613's portable Pearson template over
+# exact DECIMAL(38,0) moments.
+
+_Q640_R = None  # assigned below from the q613 template
+
+
+def _q640_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    r = _q613_r("sxy", "sx", "sy", "sxx", "syy")
+    return f"""
+        WITH li AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem WHERE l_orderkey % {_Q514_MOD} = 0
+        ),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS pk, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1
+        ),
+        el AS MATERIALIZED (
+            SELECT da.d AS x, db.d AS y
+            FROM edges e
+            JOIN deg da ON e.src = da.pk
+            JOIN deg db ON e.dst = db.pk
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+            FROM el
+        )
+        SELECT n AS n_edges,
+               round(CAST(sx AS DOUBLE) / n, 6) AS mean_src_degree,
+               round({r}, 6) AS assortativity
+        FROM m
+    """
+
+
+@query("q640_degree_assortativity", oracle=_q640_oracle(), defer=True)
+def q640_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman's r) of the planted co-order
+    graph — Pearson correlation of endpoint degrees over the
+    directed edge list, exact DECIMAL(38,0) moments through q613's
+    portable template.  |r| ≤ 1 and the symmetric-list property
+    (mean src degree = mean dst degree) pinned in tests.
+
+    Scale shape: one degree rollup, two keyed joins to decorate the
+    edge list, one 1-row moment combine."""
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _Q514_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("src").alias("pk")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    ).localCheckpoint()
+    el = (
+        edges.join(
+            deg.select(F.col("pk").alias("src"), F.col("d").alias("x")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("pk").alias("dst"), F.col("d").alias("y")),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = el.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(dec("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    r = _q613_r("sxy", "sx", "sy", "sxx", "syy")
+    return m.select(
+        F.col("n").alias("n_edges"),
+        F.round(F.expr("CAST(sx AS DOUBLE) / n"), 6).alias(
+            "mean_src_degree"
+        ),
+        F.round(F.expr(r), 6).alias("assortativity"),
     )
