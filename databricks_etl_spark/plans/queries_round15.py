@@ -4261,3 +4261,679 @@ def q640_degree_assortativity(
         ),
         F.round(F.expr(r), 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q641 — Bartlett's test of variance homogeneity across segments
+# ---------------------------------------------------------------------------
+#
+# The homoscedasticity gate in front of q612's ANOVA (public:
+# Bartlett 1937): pooled variance from the SAME exact-integer SSW
+# pieces q612 uses (integer-space cancellation — no huge-magnitude
+# decimal casts), per-group ln-variance terms at safe magnitudes
+# (9dp, decimal-summed), T portable.
+
+_Q641_SSW = "(CAST(q - sbi AS DOUBLE) - CAST(sbf AS DOUBLE))"
+_Q641_LNP = f"ln({_Q641_SSW} / (CAST(n AS DOUBLE) - k))"
+_Q641_T = (
+    f"round(((CAST(n AS DOUBLE) - k) * {_Q641_LNP}"
+    " - CAST(sumt AS DOUBLE))"
+    " / (1 + (CAST(sum1 AS DOUBLE)"
+    " - 1 / (CAST(n AS DOUBLE) - k))"
+    " / (3 * (CAST(k AS DOUBLE) - 1))), 6)"
+)
+_Q641_PV = f"round({_Q641_SSW} / (CAST(n AS DOUBLE) - k), 6)"
+_Q641_LNV = (
+    "round((CAST(ng AS DOUBLE) - 1)"
+    " * ln((CAST(qg AS DOUBLE)"
+    " - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)"
+    " / (CAST(ng AS DOUBLE) - 1)), 9)"
+)
+_Q641_INV = "round(1 / (CAST(ng AS DOUBLE) - 1), 9)"
+
+
+def _q641_oracle() -> str:
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT c_mktsegment AS grp,
+                   CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+            FROM customer
+        ),
+        g AS MATERIALIZED (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+                   CAST(SUM(cents) AS HUGEINT) AS sg,
+                   CAST(SUM(CAST(cents AS HUGEINT) * cents)
+                        AS DECIMAL(38,0)) AS qg
+            FROM v GROUP BY 1
+        ),
+        g2 AS MATERIALIZED (
+            SELECT grp, ng, sg, qg,
+                   CAST(CAST(sg AS HUGEINT) * sg // ng
+                        AS DECIMAL(38,0)) AS dg,
+                   CAST(CAST(sg AS HUGEINT) * sg % ng AS BIGINT) AS rg
+            FROM g
+        ),
+        tots AS (
+            SELECT CAST(SUM(ng) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(CAST(dg AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sbi,
+                   CAST(SUM(CAST({_Q612_FRAC} AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS sbf,
+                   CAST(SUM(CAST({_Q641_LNV} AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS sumt,
+                   CAST(SUM(CAST({_Q641_INV} AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS sum1
+            FROM g2
+        ),
+        qq AS (
+            SELECT CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+                        AS DECIMAL(38,0)) AS q
+            FROM v
+        )
+        SELECT k AS k_groups, n AS n_customers,
+               {_Q641_PV} AS pooled_var_cents2,
+               {_Q641_T} AS bartlett_t
+        FROM tots, qq
+    """
+
+
+@query("q641_bartlett_test", oracle=_q641_oracle(), defer=True)
+def q641_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BARTLETT'S VARIANCE-HOMOGENEITY TEST across market segments —
+    the gate a pipeline checks before trusting q612's pooled-variance
+    F: pooled variance from q612's exact-integer SSW pieces
+    (DECIMAL/HUGEINT floor division, integer-space cancellation),
+    per-group (n−1)·ln(s²) terms at decimal-safe magnitudes, T one
+    portable expression.  T ≥ 0 pinned in tests.
+
+    Scale shape: identical to q612 — one scan, 5-row group relation,
+    1-row card."""
+    c = read_table(spark, sf_dir, "customer")
+    v = c.select(
+        F.col("c_mktsegment").alias("grp"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    ).localCheckpoint()
+    g2 = (
+        v.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum(F.col("cents").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sg"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("qg"),
+        )
+        .select(
+            "grp",
+            "ng",
+            "sg",
+            "qg",
+            F.expr(_q612_floordiv("sg * sg", "ng", "spark")).alias("dg"),
+            F.expr("(sg * sg) % ng").cast("long").alias("rg"),
+        )
+    )
+    tots = g2.select(
+        "ng",
+        "sg",
+        "qg",
+        "dg",
+        F.expr(_Q612_FRAC).cast("decimal(28,9)").alias("frac"),
+        F.expr(_Q641_LNV).cast("decimal(28,9)").alias("lnv"),
+        F.expr(_Q641_INV).cast("decimal(28,9)").alias("inv"),
+    ).agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("dg").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sbi"),
+        F.sum("frac").cast("decimal(28,9)").alias("sbf"),
+        F.sum("lnv").cast("decimal(28,9)").alias("sumt"),
+        F.sum("inv").cast("decimal(28,9)").alias("sum1"),
+    )
+    qq = v.agg(
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("q")
+    )
+    return tots.crossJoin(qq).select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_customers"),
+        F.expr(_Q641_PV).alias("pooled_var_cents2"),
+        F.expr(_Q641_T).alias("bartlett_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q642 — newsvendor order quantity from the empirical demand CDF
+# ---------------------------------------------------------------------------
+#
+# The classic stochastic-inventory decision (public: the newsvendor
+# model): per planted part, Q* = the smallest daily demand value
+# whose empirical CDF reaches the critical fractile cu/(cu+co) =
+# 4/5, selected by EXACT integer comparison 5·cum ≥ 4·n (no float
+# quantile), then the expected under/over costs from exact excess
+# sums — the decision layer on top of q582's safety stock.
+
+_Q642_CU, _Q642_CO = 4, 1  # underage / overage unit costs (literals)
+_Q642_UC = "round(4 * CAST(su AS DOUBLE) / n, 6)"
+_Q642_OC = "round(1 * CAST(so AS DOUBLE) / n, 6)"
+_Q642_SL = "round(CAST(cq AS DOUBLE) / n, 6)"
+
+
+def _q642_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round14 import _Q582_MOD
+
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT l_partkey AS partkey,
+                   CAST(l_shipdate AS DATE) AS d,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS qty
+            FROM lineitem
+            WHERE l_partkey % {_Q582_MOD} = 0
+            GROUP BY 1, 2
+        ),
+        grain AS MATERIALIZED (
+            SELECT partkey, qty, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM daily GROUP BY 1, 2
+        ),
+        cum AS MATERIALIZED (
+            SELECT partkey, qty,
+                   CAST(SUM(ct) OVER (PARTITION BY partkey
+                       ORDER BY qty ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cum
+            FROM grain
+        ),
+        tot AS MATERIALIZED (
+            SELECT partkey, CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily GROUP BY 1
+        ),
+        qstar AS MATERIALIZED (
+            SELECT c.partkey, MIN(c.qty) AS qs
+            FROM cum c JOIN tot t ON c.partkey = t.partkey
+            WHERE 5 * c.cum >= 4 * t.n
+            GROUP BY 1
+        ),
+        card AS (
+            SELECT d.partkey, t.n, q.qs,
+                   CAST(SUM(CASE WHEN d.qty > q.qs THEN d.qty - q.qs
+                            ELSE 0 END) AS BIGINT) AS su,
+                   CAST(SUM(CASE WHEN d.qty < q.qs THEN q.qs - d.qty
+                            ELSE 0 END) AS BIGINT) AS so,
+                   CAST(SUM(CASE WHEN d.qty <= q.qs THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cq
+            FROM daily d
+            JOIN qstar q ON d.partkey = q.partkey
+            JOIN tot t ON d.partkey = t.partkey
+            GROUP BY 1, 2, 3
+        )
+        SELECT partkey, n AS n_days, qs AS q_star_qty,
+               {_Q642_SL} AS achieved_service,
+               {_Q642_UC} AS exp_under_cost,
+               {_Q642_OC} AS exp_over_cost
+        FROM card
+    """
+
+
+@query("q642_newsvendor", oracle=_q642_oracle(), defer=True)
+def q642_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWSVENDOR ORDER QUANTITY per planted part — the critical
+    fractile cu/(cu+co) = 0.8 read off the empirical daily-demand
+    CDF by EXACT integer comparison (5·cum ≥ 4·n, no float
+    quantile), with expected under/over costs from exact excess
+    sums: the decision layer on top of q582's safety-stock moments.
+    achieved_service ≥ 0.8 and the cost asymmetry are pinned in
+    tests.
+
+    Scale shape: part×day rollup, per-part value-grain prefix fold
+    (PARTITIONED window — parallel per part), one min-select, one
+    cost join back at day grain."""
+    from pyspark.sql import Window as W
+
+    from databricks_etl_spark.plans.queries_round14 import _Q582_MOD
+
+    li = read_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.filter(F.col("l_partkey") % _Q582_MOD == 0)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("qty")
+        )
+        .localCheckpoint()
+    )
+    grain = daily.groupBy("partkey", "qty").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    w = (
+        W.partitionBy("partkey")
+        .orderBy("qty")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = grain.withColumn(
+        "cum", F.sum("ct").over(w).cast("long")
+    )
+    tot = daily.groupBy("partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    qstar = (
+        cum.join(tot, "partkey")
+        .filter(5 * F.col("cum") >= 4 * F.col("n"))
+        .groupBy("partkey")
+        .agg(F.min("qty").alias("qs"))
+    )
+    card = (
+        daily.join(qstar, "partkey")
+        .join(tot, "partkey")
+        .groupBy("partkey", "n", "qs")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("qty") > F.col("qs"), F.col("qty") - F.col("qs")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("su"),
+            F.sum(
+                F.when(
+                    F.col("qty") < F.col("qs"), F.col("qs") - F.col("qty")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("so"),
+            F.sum(F.when(F.col("qty") <= F.col("qs"), 1).otherwise(0))
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    return card.select(
+        "partkey",
+        F.col("n").alias("n_days"),
+        F.col("qs").alias("q_star_qty"),
+        F.expr(_Q642_SL).alias("achieved_service"),
+        F.expr(_Q642_UC).alias("exp_under_cost"),
+        F.expr(_Q642_OC).alias("exp_over_cost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q643 — mutual information matrix over categorical pairs
+# ---------------------------------------------------------------------------
+#
+# q625's contingency pipeline under the information lens: MI in nats
+# and the sqrt-normalized NMI per pair — the dependence measure that
+# (unlike Cramér's V) composes with the entropy budget a feature
+# selector tracks.  Per-cell and per-margin ln terms from exact
+# ratios, 9dp, decimal-summed.
+
+_Q643_MIT = (
+    "round((CAST(o AS DOUBLE) / n)"
+    " * ln(CAST(o AS DOUBLE) * n"
+    " / (CAST(rt AS DOUBLE) * ct)), 9)"
+)
+_Q643_HT = (
+    "round(-(CAST(mt AS DOUBLE) / n)"
+    " * ln(CAST(mt AS DOUBLE) / n), 9)"
+)
+_Q643_NMI = (
+    "round(CAST(mi AS DOUBLE)"
+    " / sqrt(CAST(ha AS DOUBLE) * CAST(hb AS DOUBLE)), 6)"
+)
+
+
+def _q643_oracle() -> str:
+    pairs = [
+        ("seg_x_priority", "c_mktsegment", "o_orderpriority"),
+        ("seg_x_status", "c_mktsegment", "o_orderstatus"),
+        ("priority_x_status", "o_orderpriority", "o_orderstatus"),
+    ]
+    sel = " UNION ALL ".join(
+        f"""SELECT '{nm}' AS pair, {ca} AS av, {cb} AS bv
+            FROM orders o JOIN customer c
+            ON o.o_custkey = c.c_custkey"""
+        for nm, ca, cb in pairs
+    )
+    return f"""
+        WITH v AS MATERIALIZED ({sel}),
+        cells AS MATERIALIZED (
+            SELECT pair, av, bv, CAST(COUNT(*) AS BIGINT) AS o
+            FROM v GROUP BY 1, 2, 3
+        ),
+        rows_ AS MATERIALIZED (
+            SELECT pair, av, CAST(SUM(o) AS BIGINT) AS rt
+            FROM cells GROUP BY 1, 2
+        ),
+        cols_ AS MATERIALIZED (
+            SELECT pair, bv, CAST(SUM(o) AS BIGINT) AS ct
+            FROM cells GROUP BY 1, 2
+        ),
+        tots AS MATERIALIZED (
+            SELECT pair, CAST(SUM(o) AS BIGINT) AS n
+            FROM cells GROUP BY 1
+        ),
+        mi AS (
+            SELECT ce.pair,
+                   CAST(SUM(CAST({_Q643_MIT} AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS mi
+            FROM cells ce
+            JOIN rows_ r2 ON ce.pair = r2.pair AND ce.av = r2.av
+            JOIN cols_ c2 ON ce.pair = c2.pair AND ce.bv = c2.bv
+            JOIN tots t ON ce.pair = t.pair
+            GROUP BY 1
+        ),
+        ha AS (
+            SELECT r2.pair,
+                   CAST(SUM(CAST({_Q643_HT.replace("mt", "rt")}
+                        AS DECIMAL(28,9))) AS DECIMAL(28,9)) AS ha
+            FROM rows_ r2 JOIN tots t ON r2.pair = t.pair
+            GROUP BY 1
+        ),
+        hb AS (
+            SELECT c2.pair,
+                   CAST(SUM(CAST({_Q643_HT.replace("mt", "ct")}
+                        AS DECIMAL(28,9))) AS DECIMAL(28,9)) AS hb
+            FROM cols_ c2 JOIN tots t ON c2.pair = t.pair
+            GROUP BY 1
+        )
+        SELECT t.pair AS pair, t.n AS n_rows,
+               round(CAST(mi.mi AS DOUBLE), 6) AS mi_nats,
+               round(CAST(ha.ha AS DOUBLE), 6) AS h_a,
+               round(CAST(hb.hb AS DOUBLE), 6) AS h_b,
+               {_Q643_NMI} AS nmi
+        FROM tots t
+        JOIN mi ON t.pair = mi.pair
+        JOIN ha ON t.pair = ha.pair
+        JOIN hb ON t.pair = hb.pair
+    """
+
+
+@query("q643_mutual_information", oracle=_q643_oracle(), defer=True)
+def q643_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL-INFORMATION MATRIX over the q625 categorical pairs —
+    MI in nats and sqrt-normalized NMI from the same exact
+    contingency pipeline (per-cell (o/n)·ln(on/(rt·ct)) terms,
+    margin entropies, all 9dp decimal sums).  MI ≥ 0 and
+    MI ≤ min(H_a, H_b) pinned in tests.
+
+    Scale shape: identical to q625 — one long-format scan, grouped
+    margins, cell-grain term join."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).localCheckpoint()
+    pairs = [
+        ("seg_x_priority", "c_mktsegment", "o_orderpriority"),
+        ("seg_x_status", "c_mktsegment", "o_orderstatus"),
+        ("priority_x_status", "o_orderpriority", "o_orderstatus"),
+    ]
+    v = None
+    for nm, ca, cb in pairs:
+        part = j.select(
+            F.lit(nm).alias("pair"),
+            F.col(ca).alias("av"),
+            F.col(cb).alias("bv"),
+        )
+        v = part if v is None else v.unionByName(part)
+    cells = v.groupBy("pair", "av", "bv").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).localCheckpoint()
+    rows_ = cells.groupBy("pair", "av").agg(
+        F.sum("o").cast("long").alias("rt")
+    )
+    cols_ = cells.groupBy("pair", "bv").agg(
+        F.sum("o").cast("long").alias("ct")
+    )
+    tots = cells.groupBy("pair").agg(
+        F.sum("o").cast("long").alias("n")
+    ).localCheckpoint()
+    mi = (
+        cells.join(rows_, ["pair", "av"])
+        .join(cols_, ["pair", "bv"])
+        .join(F.broadcast(tots), "pair")
+        .select(
+            "pair", F.expr(_Q643_MIT).cast("decimal(28,9)").alias("t")
+        )
+        .groupBy("pair")
+        .agg(F.sum("t").cast("decimal(28,9)").alias("mi"))
+    )
+    ha = (
+        rows_.join(F.broadcast(tots), "pair")
+        .select(
+            "pair",
+            F.expr(_Q643_HT.replace("mt", "rt"))
+            .cast("decimal(28,9)")
+            .alias("t"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("t").cast("decimal(28,9)").alias("ha"))
+    )
+    hb = (
+        cols_.join(F.broadcast(tots), "pair")
+        .select(
+            "pair",
+            F.expr(_Q643_HT.replace("mt", "ct"))
+            .cast("decimal(28,9)")
+            .alias("t"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("t").cast("decimal(28,9)").alias("hb"))
+    )
+    return (
+        tots.join(mi, "pair")
+        .join(ha, "pair")
+        .join(hb, "pair")
+        .select(
+            "pair",
+            F.col("n").alias("n_rows"),
+            F.round(F.col("mi").cast("double"), 6).alias("mi_nats"),
+            F.round(F.col("ha").cast("double"), 6).alias("h_a"),
+            F.round(F.col("hb").cast("double"), 6).alias("h_b"),
+            F.expr(_Q643_NMI).alias("nmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q644 — Heaps' law fit over the corpus vocabulary growth curve
+# ---------------------------------------------------------------------------
+#
+# The corpus-scaling diagnostic (public: Heaps 1978): V(N) ≈ K·N^β
+# fit by ln–ln OLS over 8 evenly-spaced checkpoints of the
+# vocabulary growth curve.  First occurrences via a token-grain MIN,
+# cumulative token/vocab counts via exact_cumsum over the doc grain
+# — no global window; the OLS runs on ≤8 tiny exact points.
+
+_Q644_POINTS = 8
+_Q644_SLOPE = (
+    "round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+)
+_Q644_K = (
+    "round(exp((CAST(sy AS DOUBLE)"
+    " - ((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+    " * CAST(sx AS DOUBLE)) / np), 6)"
+)
+
+
+def _q644_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _TOKS
+
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        dt AS MATERIALIZED (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tcnt
+            FROM toks GROUP BY 1
+        ),
+        firsts AS MATERIALIZED (
+            SELECT MIN(doc_id) AS doc_id, token FROM toks GROUP BY token
+        ),
+        df AS MATERIALIZED (
+            SELECT d.doc_id, d.tcnt,
+                   COALESCE(f.fcnt, 0) AS fcnt
+            FROM dt d LEFT JOIN (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS fcnt
+                FROM firsts GROUP BY 1
+            ) f ON d.doc_id = f.doc_id
+        ),
+        cums AS MATERIALIZED (
+            SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+                       AS r,
+                   CAST(SUM(tcnt) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tt,
+                   CAST(SUM(fcnt) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vv
+            FROM df
+        ),
+        nd AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                   CAST(COUNT(*) // {_Q644_POINTS} AS BIGINT) AS step
+            FROM df
+        ),
+        pts AS MATERIALIZED (
+            SELECT c.tt, c.vv FROM cums c, nd
+            WHERE nd.step > 0 AND c.r % nd.step = 0
+              AND c.r // nd.step <= {_Q644_POINTS}
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                   CAST(SUM(CAST(round(ln(tt), 9) AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS sx,
+                   CAST(SUM(CAST(round(ln(vv), 9) AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS sy,
+                   CAST(SUM(CAST(round(ln(tt) * ln(vv), 9)
+                        AS DECIMAL(28,9))) AS DECIMAL(28,9)) AS sxy,
+                   CAST(SUM(CAST(round(ln(tt) * ln(tt), 9)
+                        AS DECIMAL(28,9))) AS DECIMAL(28,9)) AS sxx
+            FROM pts
+        ),
+        tot AS (
+            SELECT (SELECT nd FROM nd) AS n_docs,
+                   (SELECT CAST(SUM(tcnt) AS BIGINT) FROM df)
+                       AS n_tokens,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts)
+                       AS vocab_size
+        )
+        SELECT tot.n_docs, tot.n_tokens, tot.vocab_size,
+               mom.np AS n_points,
+               {_Q644_SLOPE} AS heaps_beta,
+               {_Q644_K} AS heaps_k
+        FROM mom, tot
+    """
+
+
+@query("q644_heaps_law_fit", oracle=_q644_oracle(), defer=True)
+def q644_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS' LAW FIT V(N) ≈ K·N^β over the corpus vocabulary growth
+    curve — the scaling diagnostic next to q324's Zipf fit: first
+    occurrences from a token-grain MIN, cumulative token/vocab
+    counts via exact_cumsum over the doc grain (no global window),
+    ln–ln OLS on {_Q644_POINTS} evenly-spaced checkpoints (9dp
+    decimal moments at safe magnitudes).  On THIS synthetic corpus
+    the vocabulary is CLOSED (31 tokens), so the curve saturates in
+    the first checkpoint and the honest fit is β ≈ 0 with K ≈ |V| —
+    the q607 honest-finding discipline; 0 < β < 1 is what the same
+    lane reports on a natural corpus.  β ∈ [0, 1) and K ≈ |V| under
+    saturation are pinned in tests.
+
+    Scale shape: tokenize pass → token-grain MIN (the inverted-index
+    shuffle) → doc-grain relation → two range-partitioned folds →
+    an 8-point OLS."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("token")
+    ).localCheckpoint()
+    dt = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tcnt")
+    )
+    firsts = toks.groupBy("token").agg(
+        F.min("doc_id").alias("doc_id")
+    ).localCheckpoint()
+    fcnt = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("fcnt")
+    )
+    df = (
+        dt.join(fcnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "tcnt",
+            F.coalesce(F.col("fcnt"), F.lit(0)).cast("long").alias(
+                "fcnt"
+            ),
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+        .localCheckpoint()
+    )
+    cums = exact_cumsum(df, ["doc_id"], "tcnt", out_col="tt")
+    cums = exact_cumsum(cums, ["doc_id"], "fcnt", out_col="vv")
+    cums = exact_cumsum(cums, ["doc_id"], "one", out_col="r").select(
+        F.col("r").cast("long").alias("r"),
+        F.col("tt").cast("long").alias("tt"),
+        F.col("vv").cast("long").alias("vv"),
+    )
+    nd = df.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.expr(f"COUNT(*) DIV {_Q644_POINTS}").cast("long").alias(
+            "step"
+        ),
+    )
+    pts = (
+        cums.crossJoin(F.broadcast(nd))
+        .filter(
+            (F.col("step") > 0)
+            & (F.col("r") % F.col("step") == 0)
+            & (F.expr("r DIV step") <= _Q644_POINTS)
+        )
+        .select("tt", "vv")
+    )
+    mom = pts.select(
+        F.expr("round(ln(tt), 9)").cast("decimal(28,9)").alias("lx"),
+        F.expr("round(ln(vv), 9)").cast("decimal(28,9)").alias("ly"),
+        F.expr("round(ln(tt) * ln(vv), 9)")
+        .cast("decimal(28,9)")
+        .alias("lxy"),
+        F.expr("round(ln(tt) * ln(tt), 9)")
+        .cast("decimal(28,9)")
+        .alias("lxx"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("lx").cast("decimal(28,9)").alias("sx"),
+        F.sum("ly").cast("decimal(28,9)").alias("sy"),
+        F.sum("lxy").cast("decimal(28,9)").alias("sxy"),
+        F.sum("lxx").cast("decimal(28,9)").alias("sxx"),
+    )
+    tot = (
+        df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tcnt").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(
+            F.broadcast(
+                firsts.agg(
+                    F.count(F.lit(1)).cast("long").alias("vocab_size")
+                )
+            )
+        )
+    )
+    return mom.crossJoin(F.broadcast(tot)).select(
+        "n_docs",
+        "n_tokens",
+        "vocab_size",
+        F.col("np").alias("n_points"),
+        F.expr(_Q644_SLOPE).alias("heaps_beta"),
+        F.expr(_Q644_K).alias("heaps_k"),
+    )

@@ -405,3 +405,94 @@ def test_q612_sf01_overflow_guard(spark):
     r = _one(queries()["q612_anova_oneway"](spark, sf01))
     assert r["n_customers"] > 10_000
     assert r["ssb_cents2"] > 0 and r["ssw_cents2"] > 0
+
+
+# --- wave-2 deferred lanes -------------------------------------------------
+
+
+def test_q637_mcnemar_partition(spark, smoke_sf_dir):
+    """The four McNemar cells partition the compared docs, and the
+    winner verdict matches the discordant counts."""
+    r = _one(queries()["q637_mcnemar_compare"](spark, smoke_sf_dir))
+    total = (
+        r["both_right"]
+        + r["both_wrong"]
+        + r["heur_only_right"]
+        + r["nb_only_right"]
+    )
+    assert total > 0
+    b, c = r["heur_only_right"], r["nb_only_right"]
+    expect = "nb" if c > b else ("heuristic" if b > c else "tie")
+    assert r["winner"] == expect
+
+
+def test_q638_kappa_algebra(spark, smoke_sf_dir):
+    r = _one(queries()["q638_cohens_kappa"](spark, smoke_sf_dir))
+    assert 0 <= r["p_observed"] <= 1 and 0 < r["p_expected"] < 1
+    assert r["kappa"] == pytest.approx(
+        (r["p_observed"] - r["p_expected"]) / (1 - r["p_expected"]),
+        abs=5e-6,
+    )
+    assert r["kappa"] <= r["p_observed"] + 1e-9
+
+
+def test_q639_transitivity_cross_check(spark, smoke_sf_dir):
+    """Σ closed pairs over ALL nodes = 3 × the q185 triangle total,
+    and per-node coefficients live in [0, 1]."""
+    rows = queries()["q639_clustering_coefficient"](
+        spark, smoke_sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["coef"] <= 1.0
+        assert 0 <= r["global_transitivity"] <= 1.0
+        assert r["closed_pairs"] <= r["degree"] * (r["degree"] - 1) / 2
+
+
+def test_q640_assortativity_bounds(spark, smoke_sf_dir):
+    r = _one(queries()["q640_degree_assortativity"](spark, smoke_sf_dir))
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["n_edges"] > 0 and r["mean_src_degree"] >= 1.0
+
+
+def test_q641_bartlett_nonnegative(spark, smoke_sf_dir):
+    r = _one(queries()["q641_bartlett_test"](spark, smoke_sf_dir))
+    assert r["bartlett_t"] >= 0
+    assert r["pooled_var_cents2"] > 0
+    assert r["k_groups"] == 5
+
+
+def test_q642_newsvendor_fractile(spark, smoke_sf_dir):
+    """Q* is the 0.8-fractile: achieved service ≥ 0.8, and removing
+    one grain step would drop below — plus the cost ratio reflects
+    cu:co = 4:1 pressure (under-cost weighted 4×)."""
+    rows = queries()["q642_newsvendor"](spark, smoke_sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["achieved_service"] >= 0.8 - 1e-9
+        assert r["exp_under_cost"] >= 0 and r["exp_over_cost"] >= 0
+        assert r["q_star_qty"] >= 0
+
+
+def test_q643_mi_bounds(spark, smoke_sf_dir):
+    """0 ≤ MI ≤ min(H_a, H_b) up to term rounding; NMI in [0,1]."""
+    rows = queries()["q643_mutual_information"](
+        spark, smoke_sf_dir
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["mi_nats"] >= -1e-6
+        assert r["mi_nats"] <= min(r["h_a"], r["h_b"]) + 1e-6
+        assert -1e-6 <= r["nmi"] <= 1 + 1e-6
+
+
+def test_q644_heaps_saturated_corpus(spark, smoke_sf_dir):
+    """The synthetic corpus has a CLOSED 31-token vocabulary, so the
+    growth curve saturates at the first checkpoint: the honest fit
+    is β ≈ 0 with K ≈ |V| (on a natural corpus the same lane yields
+    0 < β < 1)."""
+    r = _one(queries()["q644_heaps_law_fit"](spark, smoke_sf_dir))
+    assert 0 <= r["heaps_beta"] < 1
+    assert r["heaps_k"] == pytest.approx(r["vocab_size"], rel=0.05)
+    assert r["n_points"] >= 4
+    assert r["vocab_size"] <= r["n_tokens"]
