@@ -4937,3 +4937,1542 @@ def q644_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_Q644_SLOPE).alias("heaps_beta"),
         F.expr(_Q644_K).alias("heaps_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q645 — partial autocorrelation (Durbin–Levinson, lags 1–3)
+# ---------------------------------------------------------------------------
+#
+# The AR-order diagnostic over q614's ACF: PACF at lags 1–3 via the
+# closed Durbin–Levinson recursion.  Stage 1 reproduces the exact
+# q614 ACF machinery pivoted to one row; stage 2 computes the
+# recursion from the 6dp-ROUNDED acf values (identical exact inputs
+# on both engines → identical IEEE), so no new float discipline is
+# needed.
+
+_Q645_ACF_K = (
+    "round((CAST(sxy{k} AS DOUBLE)"
+    " - (CAST(s AS DOUBLE) / n) * (CAST(sh{k} AS DOUBLE)"
+    " + CAST(st{k} AS DOUBLE))"
+    " + (CAST(n AS DOUBLE) - {k})"
+    " * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+    " / (CAST(q AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6)"
+)
+_Q645_P22 = "((a2 - a1 * a1) / (1 - a1 * a1))"
+_Q645_P21 = f"(a1 * (1 - {_Q645_P22}))"
+_Q645_P33 = (
+    f"round((a3 - {_Q645_P21} * a2 - {_Q645_P22} * a1)"
+    f" / (1 - {_Q645_P21} * a1 - {_Q645_P22} * a2), 6)"
+)
+
+
+def _q645_oracle() -> str:
+    sxy = ",\n".join(
+        f"""               CAST(SUM(CASE WHEN l.lag = {k}
+                    THEN CAST(a.x AS DECIMAL(38,0)) * b.x END)
+                    AS DECIMAL(38,0)) AS sxy{k},
+               CAST(SUM(CASE WHEN l.lag = {k}
+                    THEN CAST(a.x AS DECIMAL(38,0)) END)
+                    AS DECIMAL(38,0)) AS sh{k},
+               CAST(SUM(CASE WHEN l.lag = {k}
+                    THEN CAST(b.x AS DECIMAL(38,0)) END)
+                    AS DECIMAL(38,0)) AS st{k}"""
+        for k in (1, 2, 3)
+    )
+    acfs = ",\n".join(
+        f"               {_Q645_ACF_K.format(k=k)} AS a{k}"
+        for k in (1, 2, 3)
+    )
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        idx AS MATERIALIZED (
+            SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+                       AS i, x
+            FROM daily
+        ),
+        tot AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS s,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * x)
+                        AS DECIMAL(38,0)) AS q
+            FROM idx
+        ),
+        lags AS (SELECT unnest([1, 2, 3]) AS lag),
+        piv AS MATERIALIZED (
+            SELECT
+{sxy}
+            FROM lags l
+            JOIN idx a ON TRUE
+            JOIN idx b ON b.i = a.i + l.lag
+        ),
+        acf AS MATERIALIZED (
+            SELECT tot.n,
+{acfs}
+            FROM piv, tot
+        )
+        SELECT n AS n_days, a1 AS acf1, a2 AS acf2, a3 AS acf3,
+               a1 AS pacf1,
+               round({_Q645_P22}, 6) AS pacf2,
+               {_Q645_P33} AS pacf3
+        FROM acf
+    """
+
+
+@query("q645_pacf_durbin_levinson", oracle=_q645_oracle(), defer=True)
+def q645_pacf_durbin_levinson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTIAL AUTOCORRELATION at lags 1–3 of daily revenue via the
+    closed Durbin–Levinson recursion — the AR-order diagnostic next
+    to q614's ACF: the exact q614 moment machinery pivoted to one
+    row, then the recursion evaluated from the 6dp-rounded ACF
+    values (identical exact inputs both engines, so the nested
+    float expression cannot drift).  pacf1 ≡ acf1 pinned in tests.
+
+    Scale shape: q614's lag-grid self-join with conditional
+    aggregation (one pass, no per-lag scans), a 1-row card."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    idx = exact_cumsum(daily, ["d"], "one", out_col="i").select(
+        F.col("i").cast("long").alias("i"), "x"
+    ).localCheckpoint()
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    a = idx.withColumn(
+        "lag", F.explode(F.array(*[F.lit(k) for k in (1, 2, 3)]))
+    ).withColumn("i2", F.col("i") + F.col("lag"))
+    b = idx.select(F.col("i").alias("i2"), F.col("x").alias("x2"))
+    j = a.join(b, "i2")
+    aggs = []
+    for k in (1, 2, 3):
+        is_k = F.col("lag") == k
+        aggs += [
+            F.sum(
+                F.when(
+                    is_k,
+                    F.col("x").cast("decimal(38,0)") * F.col("x2"),
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias(f"sxy{k}"),
+            F.sum(F.when(is_k, F.col("x").cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias(f"sh{k}"),
+            F.sum(F.when(is_k, F.col("x2").cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias(f"st{k}"),
+        ]
+    piv = j.agg(*aggs)
+    acf = piv.crossJoin(F.broadcast(tot)).select(
+        "n",
+        *[
+            F.expr(_Q645_ACF_K.format(k=k)).alias(f"a{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    return acf.select(
+        F.col("n").alias("n_days"),
+        F.col("a1").alias("acf1"),
+        F.col("a2").alias("acf2"),
+        F.col("a3").alias("acf3"),
+        F.col("a1").alias("pacf1"),
+        F.round(F.expr(_Q645_P22), 6).alias("pacf2"),
+        F.expr(_Q645_P33).alias("pacf3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q646 — CUPED variance-reduced A/B readout
+# ---------------------------------------------------------------------------
+#
+# The modern experimentation workhorse (public: Deng et al. 2013):
+# adjust the experiment metric y by the pre-period covariate x via
+# θ = cov(x,y)/var(x), shrinking variance without biasing the
+# between-arm difference.  All ten sufficient statistics are exact
+# DECIMAL(38,0) moments; θ, the two readouts and the variance
+# reduction are nested portable expressions.
+
+_Q646_HEX = "01234567"  # md5 first hex here → arm A (~1/2)
+_Q646_Y0, _Q646_Y1 = 1999, 2000
+
+_Q646_THETA = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+def _q646_oracle() -> str:
+    return f"""
+        WITH spend AS MATERIALIZED (
+            SELECT o_custkey,
+                   strpos('{_Q646_HEX}', substr(md5('cu:' ||
+                       CAST(o_custkey AS VARCHAR)), 1, 1)) > 0
+                       AS arm_a,
+                   CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE))
+                                      = {_Q646_Y0}
+                            THEN CAST(round(o_totalprice * 100, 0)
+                                      AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE))
+                                      = {_Q646_Y1}
+                            THEN CAST(round(o_totalprice * 100, 0)
+                                      AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM orders
+            WHERE year(CAST(o_orderdate AS DATE))
+                  IN ({_Q646_Y0}, {_Q646_Y1})
+            GROUP BY 1, 2
+            HAVING SUM(CASE WHEN year(CAST(o_orderdate AS DATE))
+                                 = {_Q646_Y0} THEN 1 ELSE 0 END) > 0
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END)
+                        AS BIGINT) AS na,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+                   CAST(SUM(CASE WHEN arm_a
+                        THEN CAST(y AS DECIMAL(38,0)) END)
+                        AS DECIMAL(38,0)) AS sya,
+                   CAST(SUM(CASE WHEN arm_a
+                        THEN CAST(x AS DECIMAL(38,0)) END)
+                        AS DECIMAL(38,0)) AS sxa
+            FROM spend
+        )
+        SELECT n AS n_customers, na AS n_arm_a,
+               round({_Q646_THETA}, 6) AS theta,
+               round(CAST(sya AS DOUBLE) / na
+                     - (CAST(sy AS DOUBLE) - CAST(sya AS DOUBLE))
+                       / (n - na), 6) AS diff_unadjusted,
+               round((CAST(sya AS DOUBLE) / na
+                      - (CAST(sy AS DOUBLE) - CAST(sya AS DOUBLE))
+                        / (n - na))
+                     - {_Q646_THETA}
+                       * (CAST(sxa AS DOUBLE) / na
+                          - (CAST(sx AS DOUBLE)
+                             - CAST(sxa AS DOUBLE)) / (n - na)), 6)
+                   AS diff_adjusted,
+               round(({_Q646_THETA} * {_Q646_THETA})
+                     * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                     6) AS var_reduction
+        FROM m
+    """
+
+
+@query("q646_cuped_adjustment", oracle=_q646_oracle(), defer=True)
+def q646_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED VARIANCE REDUCTION for the md5-armed spend experiment —
+    the pre-period covariate adjustment every experimentation
+    platform runs (θ = cov(x,y)/var(x), y' = y − θ(x − x̄)): arm
+    readout unadjusted vs adjusted, and the variance fraction
+    removed (= ρ², pinned ∈ [0,1] in tests).  Ten exact
+    DECIMAL(38,0) sufficient statistics in one pass; every float is
+    a nested portable expression.  The A/A-style null (arms are an
+    md5 split of the same population) keeps the adjusted diff near
+    zero — the honest readout.
+
+    Scale shape: one customer-grain rollup, one 1-row moment
+    combine."""
+    o = read_table(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    spend = (
+        o.filter(yr.isin(_Q646_Y0, _Q646_Y1))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(yr == _Q646_Y0, cents).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(yr == _Q646_Y1, cents).otherwise(0))
+            .cast("long")
+            .alias("y"),
+            F.sum(F.when(yr == _Q646_Y0, 1).otherwise(0)).alias("k0"),
+        )
+        .filter(F.col("k0") > 0)
+        .withColumn(
+            "arm_a",
+            F.instr(
+                F.lit(_Q646_HEX),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cu:"), F.col("o_custkey").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+            )
+            > 0,
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = spend.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(dec("x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.when(F.col("arm_a"), dec("y")))
+        .cast("decimal(38,0)")
+        .alias("sya"),
+        F.sum(F.when(F.col("arm_a"), dec("x")))
+        .cast("decimal(38,0)")
+        .alias("sxa"),
+    )
+    diff_u = (
+        "CAST(sya AS DOUBLE) / na"
+        " - (CAST(sy AS DOUBLE) - CAST(sya AS DOUBLE)) / (n - na)"
+    )
+    diff_x = (
+        "CAST(sxa AS DOUBLE) / na"
+        " - (CAST(sx AS DOUBLE) - CAST(sxa AS DOUBLE)) / (n - na)"
+    )
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.col("na").alias("n_arm_a"),
+        F.round(F.expr(_Q646_THETA), 6).alias("theta"),
+        F.round(F.expr(diff_u), 6).alias("diff_unadjusted"),
+        F.round(
+            F.expr(f"({diff_u}) - {_Q646_THETA} * ({diff_x})"), 6
+        ).alias("diff_adjusted"),
+        F.round(
+            F.expr(
+                f"({_Q646_THETA} * {_Q646_THETA})"
+                " * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+                " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+            ),
+            6,
+        ).alias("var_reduction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q647 — Nelson–Aalen cumulative hazard (complement of q540's KM)
+# ---------------------------------------------------------------------------
+#
+# The additive-hazard estimator (public: Nelson 1972, Aalen 1978)
+# over q540's signup→first-purchase durations: H(t) = Σ_{ti ≤ t}
+# d_i/n_i.  Hazard increments are exact rationals 9dp-rounded and
+# cumulated with exact_cumsum, so the curve is an exact decimal on
+# both engines.
+
+_Q647_CH = "round(CAST(ch AS DOUBLE), 6)"
+
+
+def _q647_dur_sql() -> str:
+    """The q540 duration construction (signup → first purchase,
+    censored at last-seen), shared by q647/q648."""
+    return """t0 AS MATERIALIZED (
+            SELECT user_id,
+                   MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS s0
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ),
+        fp AS MATERIALIZED (
+            SELECT e.user_id,
+                   MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS tp
+            FROM events e JOIN t0 ON e.user_id = t0.user_id
+            WHERE e.event_type = 'purchase'
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) >= t0.s0
+            GROUP BY 1
+        ),
+        last_seen AS MATERIALIZED (
+            SELECT e.user_id,
+                   MAX(CAST(floor(epoch(e.ts)) AS BIGINT)) AS tl
+            FROM events e GROUP BY 1
+        ),
+        dur AS MATERIALIZED (
+            SELECT t0.user_id,
+                   CASE WHEN fp.tp IS NOT NULL
+                        THEN (fp.tp - t0.s0) // 86400
+                        ELSE (last_seen.tl - t0.s0) // 86400 END AS t,
+                   fp.tp IS NOT NULL AS died
+            FROM t0
+            JOIN last_seen ON t0.user_id = last_seen.user_id
+            LEFT JOIN fp ON t0.user_id = fp.user_id
+        )"""
+
+
+def _q647_oracle() -> str:
+    return f"""
+        WITH {_q647_dur_sql()},
+        grid AS MATERIALIZED (SELECT DISTINCT t FROM dur WHERE died),
+        km AS MATERIALIZED (
+            SELECT g.t,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM dur
+                    WHERE dur.t >= g.t) AS n_at_risk,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM dur
+                    WHERE dur.died AND dur.t = g.t) AS d_events
+            FROM grid g
+        )
+        SELECT CAST(t AS BIGINT) AS t_days, n_at_risk, d_events,
+               round(CAST(SUM(CAST(round(CAST(d_events AS DOUBLE)
+                   / n_at_risk, 9) AS DECIMAL(28,9))) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE),
+                   6) AS cumulative_hazard
+        FROM km
+    """
+
+
+@query("q647_nelson_aalen", oracle=_q647_oracle(), defer=True)
+def q647_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON–AALEN CUMULATIVE HAZARD of signup→first-purchase — the
+    additive complement of q540's multiplicative Kaplan–Meier on the
+    identical duration construction: H(t) = Σ d/n with each hazard
+    increment an exact rational (9dp decimal), cumulated by
+    exact_cumsum.  H is monotone non-decreasing and bounded above by
+    −ln(S_KM) wherever q540's survival is positive — both pinned in
+    tests as the cross-lane consistency check.
+
+    Scale shape: the q540 duration rollup, an event-time grid
+    (bounded by distinct conversion days), one range-partitioned
+    cumulative fold."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
+    e = read_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts")).cast("long")
+    t0 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("s0"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", sec.alias("tp"))
+        .join(t0, "user_id")
+        .filter(F.col("tp") >= F.col("s0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    last = e.groupBy("user_id").agg(F.max(sec).alias("tl"))
+    dur = (
+        t0.join(last, "user_id")
+        .join(fp, "user_id", "left")
+        .select(
+            F.when(
+                F.col("tp").isNotNull(),
+                F.expr("(tp - s0) DIV 86400"),
+            )
+            .otherwise(F.expr("(tl - s0) DIV 86400"))
+            .alias("t"),
+            F.col("tp").isNotNull().alias("died"),
+        )
+        .localCheckpoint()
+    )
+    grid = dur.filter(F.col("died")).select("t").distinct()
+    risk = (
+        grid.join(dur.select(F.col("t").alias("td"), "died"),
+                  F.col("td") >= F.col("t"))
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_at_risk"),
+            F.sum(
+                F.when(F.col("died") & (F.col("td") == F.col("t")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("d_events"),
+        )
+        .withColumn(
+            "h9",
+            F.expr(
+                "CAST(round(CAST(d_events AS DOUBLE) / n_at_risk, 9)"
+                " AS DECIMAL(28,9))"
+            ),
+        )
+    )
+    cum = exact_cumsum(
+        risk.withColumn(
+            "h9u", (F.col("h9") * 1000000000).cast("long")
+        ),
+        ["t"],
+        "h9u",
+        out_col="chu",
+    )
+    return cum.select(
+        F.col("t").cast("long").alias("t_days"),
+        "n_at_risk",
+        "d_events",
+        F.round(
+            F.col("chu").cast("double") / F.lit(1000000000.0), 6
+        ).alias("cumulative_hazard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q648 — log-rank test between md5 arms on conversion survival
+# ---------------------------------------------------------------------------
+#
+# The standard two-group survival comparison (public: Mantel 1966):
+# over the joint event-time grid, observed-minus-expected conversions
+# in arm A with the hypergeometric variance, z from exact integer
+# counts per time (O−E and V terms are exact rationals, 9dp,
+# decimal-summed).  The arms are an md5 split — an A/A null, so the
+# honest |z| is small.
+
+_Q648_HEX = "01234567"
+_Q648_OE = (
+    "round(CAST(d1 AS DOUBLE)"
+    " - CAST(d AS DOUBLE) * n1 / nr, 9)"
+)
+_Q648_VT = (
+    "round(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / nr)"
+    " * (CAST(nr AS DOUBLE) - n1) / nr"
+    " * (CAST(nr AS DOUBLE) - d) / (CAST(nr AS DOUBLE) - 1), 9)"
+)
+_Q648_Z = "round(CAST(oe AS DOUBLE) / sqrt(CAST(vs AS DOUBLE)), 6)"
+
+
+def _q648_oracle() -> str:
+    return f"""
+        WITH {_q647_dur_sql()},
+        arm AS MATERIALIZED (
+            SELECT user_id, t, died,
+                   strpos('{_Q648_HEX}', substr(md5('lr:' ||
+                       CAST(user_id AS VARCHAR)), 1, 1)) > 0 AS a
+            FROM dur
+        ),
+        grid AS MATERIALIZED (SELECT DISTINCT t FROM arm WHERE died),
+        cells AS MATERIALIZED (
+            SELECT g.t,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM arm
+                    WHERE arm.t >= g.t) AS nr,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM arm
+                    WHERE arm.a AND arm.t >= g.t) AS n1,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM arm
+                    WHERE arm.died AND arm.t = g.t) AS d,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM arm
+                    WHERE arm.a AND arm.died AND arm.t = g.t) AS d1
+            FROM grid g
+        ),
+        card AS (
+            SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+                   CAST(SUM(CAST({_Q648_OE} AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS oe,
+                   CAST(SUM(CASE WHEN nr > 1 THEN
+                        CAST({_Q648_VT} AS DECIMAL(28,9))
+                        ELSE CAST(0 AS DECIMAL(28,9)) END)
+                        AS DECIMAL(28,9)) AS vs
+            FROM cells
+        )
+        SELECT o1 AS observed_a,
+               round(CAST(o1 AS DOUBLE) - CAST(oe AS DOUBLE), 6)
+                   AS expected_a,
+               round(CAST(oe AS DOUBLE), 6) AS o_minus_e,
+               round(CAST(vs AS DOUBLE), 6) AS variance,
+               {_Q648_Z} AS z_logrank
+        FROM card
+    """
+
+
+@query("q648_logrank_test", oracle=_q648_oracle(), defer=True)
+def q648_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST between md5 arms on signup→purchase survival —
+    the standard two-group comparison over q540's duration
+    construction: per event time the exact at-risk/conversion
+    contingency, O−E and hypergeometric-variance terms as exact
+    rationals (9dp, decimal-summed), z portable.  The arms are an
+    md5 A/A split, so the honest |z| is small (pinned < 4 in
+    tests); O − E + E = O algebra pinned exactly.
+
+    Scale shape: duration rollup → bounded event-time grid → one
+    range join for at-risk counts → 1-row card."""
+    e = read_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts")).cast("long")
+    t0 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("s0"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", sec.alias("tp"))
+        .join(t0, "user_id")
+        .filter(F.col("tp") >= F.col("s0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    last = e.groupBy("user_id").agg(F.max(sec).alias("tl"))
+    arm = (
+        t0.join(last, "user_id")
+        .join(fp, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(
+                F.col("tp").isNotNull(), F.expr("(tp - s0) DIV 86400")
+            )
+            .otherwise(F.expr("(tl - s0) DIV 86400"))
+            .alias("t"),
+            F.col("tp").isNotNull().alias("died"),
+            (
+                F.instr(
+                    F.lit(_Q648_HEX),
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("lr:"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                )
+                > 0
+            ).alias("a"),
+        )
+        .localCheckpoint()
+    )
+    grid = arm.filter(F.col("died")).select("t").distinct()
+    cells = (
+        grid.join(
+            arm.select(F.col("t").alias("td"), "died", "a"),
+            F.col("td") >= F.col("t"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nr"),
+            F.sum(F.when(F.col("a"), 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(
+                F.when(F.col("died") & (F.col("td") == F.col("t")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("d"),
+            F.sum(
+                F.when(
+                    F.col("a")
+                    & F.col("died")
+                    & (F.col("td") == F.col("t")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("d1"),
+        )
+    )
+    card = cells.select(
+        "d1",
+        F.expr(_Q648_OE).cast("decimal(28,9)").alias("oet"),
+        F.when(
+            F.col("nr") > 1, F.expr(_Q648_VT).cast("decimal(28,9)")
+        )
+        .otherwise(F.lit(0).cast("decimal(28,9)"))
+        .alias("vt"),
+    ).agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("oet").cast("decimal(28,9)").alias("oe"),
+        F.sum("vt").cast("decimal(28,9)").alias("vs"),
+    )
+    return card.select(
+        F.col("o1").alias("observed_a"),
+        F.round(
+            F.col("o1").cast("double") - F.col("oe").cast("double"), 6
+        ).alias("expected_a"),
+        F.round(F.col("oe").cast("double"), 6).alias("o_minus_e"),
+        F.round(F.col("vs").cast("double"), 6).alias("variance"),
+        F.expr(_Q648_Z).alias("z_logrank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q649 — empirical-Bayes shrinkage of per-brand return rates
+# ---------------------------------------------------------------------------
+#
+# The plug-in EB estimator every rate leaderboard needs (public:
+# Efron–Morris shrinkage): per-brand return rates shrunk toward the
+# pooled rate with a method-of-moments pseudo-count mass
+# m = max(μ(1−μ)/s² − 1, 0) — homogeneous rates honestly collapse to
+# the prior (large m), heterogeneous ones keep their signal.
+
+_Q649_MU = "(CAST(kt AS DOUBLE) / nt)"
+_Q649_S2T = (
+    "round((CAST(nb AS DOUBLE) / nt)"
+    " * pow(CAST(kb AS DOUBLE) / nb - CAST(kt AS DOUBLE) / nt, 2), 9)"
+)
+_Q649_M = (
+    f"greatest({_Q649_MU} * (1 - {_Q649_MU})"
+    " / greatest(CAST(s2 AS DOUBLE), 0.000000000001) - 1, 0.0)"
+)
+_Q649_SHRUNK = (
+    f"round((CAST(kb AS DOUBLE) + {_Q649_M} * {_Q649_MU})"
+    f" / (CAST(nb AS DOUBLE) + {_Q649_M}), 6)"
+)
+
+
+def _q649_oracle() -> str:
+    return f"""
+        WITH b AS MATERIALIZED (
+            SELECT p.p_brand AS brand,
+                   CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS kb
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        ),
+        tot AS MATERIALIZED (
+            SELECT CAST(SUM(nb) AS BIGINT) AS nt,
+                   CAST(SUM(kb) AS BIGINT) AS kt
+            FROM b
+        ),
+        s2c AS MATERIALIZED (
+            SELECT CAST(SUM(CAST({_Q649_S2T} AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS s2
+            FROM b, tot
+        )
+        SELECT b.brand, b.nb AS n_lines, b.kb AS n_returns,
+               round(CAST(b.kb AS DOUBLE) / b.nb, 6) AS raw_rate,
+               round({_Q649_MU}, 6) AS pooled_rate,
+               round({_Q649_M}, 6) AS pseudo_mass,
+               {_Q649_SHRUNK} AS shrunk_rate
+        FROM b, tot, s2c
+    """
+
+
+@query("q649_eb_shrinkage", oracle=_q649_oracle(), defer=True)
+def q649_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES SHRINKAGE of per-brand return rates toward the
+    pooled rate — the leaderboard de-noiser: method-of-moments
+    pseudo-count mass m = max(μ(1−μ)/s² − 1, 0) from the weighted
+    between-brand variance (9dp decimal terms), shrunk rate
+    (k + mμ)/(n + m) portable.  On this corpus return flags are
+    uniform across brands, so s² is tiny, m is large and every
+    shrunk rate honestly collapses to the pooled rate — shrinkage
+    lies BETWEEN raw and pooled, pinned in tests.
+
+    Scale shape: one fact-dimension rollup to 25 brands, a 1-row
+    prior card, map-side shrinkage."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    b = (
+        li.join(p.select("p_partkey", "p_brand"),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("kb"),
+        )
+        .localCheckpoint()
+    )
+    tot = b.agg(
+        F.sum("nb").cast("long").alias("nt"),
+        F.sum("kb").cast("long").alias("kt"),
+    )
+    s2c = (
+        b.crossJoin(F.broadcast(tot))
+        .select(F.expr(_Q649_S2T).cast("decimal(28,9)").alias("t"))
+        .agg(F.sum("t").cast("decimal(28,9)").alias("s2"))
+    )
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(s2c))
+        .select(
+            "brand",
+            F.col("nb").alias("n_lines"),
+            F.col("kb").alias("n_returns"),
+            F.round(F.expr("CAST(kb AS DOUBLE) / nb"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(F.expr(_Q649_MU), 6).alias("pooled_rate"),
+            F.round(F.expr(_Q649_M), 6).alias("pseudo_mass"),
+            F.expr(_Q649_SHRUNK).alias("shrunk_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q650 — seasonally-adjusted Holt backtest (q622 ∘ q632 composition)
+# ---------------------------------------------------------------------------
+#
+# The classical forecasting stack assembled from this round's own
+# pieces: deseasonalize the monthly series with q632's month-of-year
+# index (quantized to exact integer micro-cents), run q622's exact
+# integer Holt recursion on the adjusted series, re-seasonalize the
+# one-step forecast, and report whether seasonality HELPED the
+# backtest — plain vs seasonal SAE on the same months, both exact
+# integers in micro-cents.
+
+_Q650_OFFU = 10**17
+_Q650_OFF = 10**16
+
+
+def _q650_d10(v: int) -> int:
+    return (v + _Q650_OFFU) // 10 - _Q650_OFF
+
+
+def _q650_oracle() -> str:
+    seas = _q632_oracle()
+    lnew_p = (
+        "((2 * (1000000 * ix.x) + 8 * (h.lp + h.bp))"
+        " + 100000000000000000) // 10 - 10000000000000000"
+    )
+    lnew_s = (
+        "((2 * (1000000 * ix.x - ix.sm) + 8 * (h.ls + h.bs))"
+        " + 100000000000000000) // 10 - 10000000000000000"
+    )
+    return f"""
+        WITH RECURSIVE seas AS MATERIALIZED ({seas}),
+        monthly AS MATERIALIZED (
+            SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        idx AS MATERIALIZED (
+            SELECT CAST(row_number() OVER (ORDER BY m) AS BIGINT)
+                       AS i,
+                   x,
+                   CAST(round(s.seasonal_cents * 1000000, 0)
+                        AS BIGINT) AS sm
+            FROM monthly mo
+            JOIN seas s ON CAST(substr(mo.m, 6, 2) AS BIGINT)
+                           = s.month_of_year
+        ),
+        nn AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx
+        ),
+        h(i, lp, bp, ls, bs, saep, saes) AS (
+            SELECT CAST(2 AS BIGINT),
+                   (SELECT 1000000 * x FROM idx WHERE i = 2),
+                   (SELECT 1000000 * x FROM idx WHERE i = 2)
+                       - (SELECT 1000000 * x FROM idx WHERE i = 1),
+                   (SELECT 1000000 * x - sm FROM idx WHERE i = 2),
+                   (SELECT 1000000 * x - sm FROM idx WHERE i = 2)
+                       - (SELECT 1000000 * x - sm FROM idx
+                          WHERE i = 1),
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT h.i + 1,
+                   CAST({lnew_p} AS BIGINT),
+                   CAST(((({lnew_p}) - h.lp) + 9 * h.bp
+                         + 100000000000000000)
+                        // 10 - 10000000000000000 AS BIGINT),
+                   CAST({lnew_s} AS BIGINT),
+                   CAST(((({lnew_s}) - h.ls) + 9 * h.bs
+                         + 100000000000000000)
+                        // 10 - 10000000000000000 AS BIGINT),
+                   CAST(h.saep + abs(1000000 * ix.x
+                        - (h.lp + h.bp)) AS BIGINT),
+                   CAST(h.saes + abs(1000000 * ix.x
+                        - (h.ls + h.bs + ix.sm)) AS BIGINT)
+            FROM h JOIN idx ix ON ix.i = h.i + 1
+        )
+        SELECT (SELECT n FROM nn) AS n_months,
+               saep AS sae_plain_micro,
+               saes AS sae_seasonal_micro,
+               saes < saep AS seasonal_helped,
+               round(100 * (1 - CAST(saes AS DOUBLE) / saep), 6)
+                   AS improvement_pct
+        FROM h WHERE i = (SELECT n FROM nn)
+    """
+
+
+@query("q650_holt_winters_composed", oracle=_q650_oracle(), defer=True)
+def q650_holt_winters_composed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEASONALLY-ADJUSTED HOLT BACKTEST — q622's exact integer Holt
+    recursion run on the q632-deseasonalized monthly series (seasonal
+    index quantized to integer micro-cents), one-step forecasts
+    re-seasonalized, and the verdict: did the classical
+    additive-seasonal stack beat plain Holt on the same months?
+    Both SAEs exact integers in micro-cents; the comparison and the
+    improvement percentage are portable.  DuckDB runs both state
+    recursions in ONE recursive CTE; Spark folds the bounded
+    monthly grid in driver Python — state-for-state identical by
+    the q622 offset-DIV discipline.
+
+    Scale shape: one scan feeding both the seasonal index (13-tap
+    literal-offset self-join) and the monthly grid; the fold
+    touches only the bounded grid."""
+    o = read_table(spark, sf_dir, "orders")
+    seas = {
+        int(r["month_of_year"]): int(
+            round(r["seasonal_cents"] * 1000000)
+        )
+        for r in q632_seasonal_decomposition(spark, sf_dir).collect()
+    }
+    monthly = (
+        o.groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+            .alias("m")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .orderBy("m")
+        .collect()
+    )
+    xs = [int(r["x"]) * 1000000 for r in monthly]
+    sm = [seas[int(r["m"][5:7])] for r in monthly]
+    n = len(xs)
+    lp, bp = xs[1], xs[1] - xs[0]
+    ls = xs[1] - sm[1]
+    bs = (xs[1] - sm[1]) - (xs[0] - sm[0])
+    saep = saes = 0
+    for t in range(2, n):
+        saep += abs(xs[t] - (lp + bp))
+        saes += abs(xs[t] - (ls + bs + sm[t]))
+        lnp = _q650_d10(2 * xs[t] + 8 * (lp + bp))
+        bp = _q650_d10((lnp - lp) + 9 * bp)
+        lp = lnp
+        lns = _q650_d10(2 * (xs[t] - sm[t]) + 8 * (ls + bs))
+        bs = _q650_d10((lns - ls) + 9 * bs)
+        ls = lns
+    imp = round(100 * (1 - saes / saep), 6)
+    return spark.createDataFrame(
+        [(n, saep, saes, saes < saep, imp)],
+        "n_months long, sae_plain_micro long, sae_seasonal_micro long,"
+        " seasonal_helped boolean, improvement_pct double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave-4 deferred lanes: streaming twins of the wave-2/3 analytics —
+# each the cheapest correct maintenance shape for its statistic
+# (mergeable partials where the statistic is distributive, landed raw
+# grain + drain recompute where it is holistic).
+# ---------------------------------------------------------------------------
+
+
+def _q651_ingest(part_epoch: DataFrame, epoch_id: int, path: str) -> None:
+    """Land one epoch's (partkey, day, qty) partials (additive)."""
+    (
+        part_epoch.withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(path)
+    )
+
+
+@query(
+    "q651_streaming_newsvendor",
+    oracle=QUERIES["q642_newsvendor"].oracle,
+    defer=True,
+)
+def q651_streaming_newsvendor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q642's newsvendor fractile under STREAMING lineitem arrival —
+    daily demand partials are additive, so each epoch lands its
+    (part, day, qty) partial sums and the drain merges days before
+    reading the 0.8 fractile off the merged CDF.  Drain ≡ q642
+    under ANY lineitem-grain slicing (a day's quantity may split
+    across epochs; the day-grain merge repairs it).
+
+    Scale shape: per-epoch partial rollup; drain = day-grain merge +
+    the q642 per-part prefix fold."""
+    import shutil
+
+    import databricks_etl_spark.plans.queries_round13 as _r13
+    from pyspark.sql import Window as W
+
+    from databricks_etl_spark.plans.queries_round14 import _Q582_MOD
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % _Q582_MOD == 0)
+        .localCheckpoint()
+    )
+    root = scratch_dir("nv_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/daily"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        part = (
+            li.filter(F.col("l_orderkey") % k == ep)
+            .groupBy(
+                F.col("l_partkey").alias("partkey"),
+                F.col("l_shipdate").cast("date").alias("d"),
+            )
+            .agg(
+                F.sum(F.col("l_quantity").cast("long"))
+                .cast("long")
+                .alias("qty")
+            )
+        )
+        _q651_ingest(part, ep, path)
+    daily = (
+        spark.read.schema("partkey long, d date, qty long, __epoch int")
+        .parquet(path)
+        .groupBy("partkey", "d")
+        .agg(F.sum("qty").cast("long").alias("qty"))
+        .localCheckpoint()
+    )
+    grain = daily.groupBy("partkey", "qty").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    w = (
+        W.partitionBy("partkey")
+        .orderBy("qty")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = grain.withColumn("cum", F.sum("ct").over(w).cast("long"))
+    tot = daily.groupBy("partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    qstar = (
+        cum.join(tot, "partkey")
+        .filter(5 * F.col("cum") >= 4 * F.col("n"))
+        .groupBy("partkey")
+        .agg(F.min("qty").alias("qs"))
+    )
+    card = (
+        daily.join(qstar, "partkey")
+        .join(tot, "partkey")
+        .groupBy("partkey", "n", "qs")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("qty") > F.col("qs"), F.col("qty") - F.col("qs")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("su"),
+            F.sum(
+                F.when(
+                    F.col("qty") < F.col("qs"), F.col("qs") - F.col("qty")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("so"),
+            F.sum(F.when(F.col("qty") <= F.col("qs"), 1).otherwise(0))
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    return card.select(
+        "partkey",
+        F.col("n").alias("n_days"),
+        F.col("qs").alias("q_star_qty"),
+        F.expr(_Q642_SL).alias("achieved_service"),
+        F.expr(_Q642_UC).alias("exp_under_cost"),
+        F.expr(_Q642_OC).alias("exp_over_cost"),
+    )
+
+
+@query(
+    "q652_streaming_eb_shrinkage",
+    oracle=QUERIES["q649_eb_shrinkage"].oracle,
+    defer=True,
+)
+def q652_streaming_eb_shrinkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q649's EB shrinkage under STREAMING lineitem arrival — brand
+    (n, k) counts are mergeable partials; the drain sums them and
+    re-fits the method-of-moments prior (the prior is HOLISTIC —
+    refit at drain, never merged).  Drain ≡ q649 under ANY
+    lineitem-grain slicing.
+
+    Scale shape: per-epoch brand partials (25 rows each); drain is
+    the q649 arithmetic."""
+    import shutil
+
+    import databricks_etl_spark.plans.queries_round13 as _r13
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    li = read_table(spark, sf_dir, "lineitem").localCheckpoint()
+    p = read_table(spark, sf_dir, "part").localCheckpoint()
+    root = scratch_dir("eb_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/brands"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        part = (
+            li.filter(F.col("l_orderkey") % k == ep)
+            .join(p.select("p_partkey", "p_brand"),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("nb"),
+                F.sum(
+                    F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("kb"),
+            )
+        )
+        (
+            part.withColumn("__epoch", F.lit(int(ep)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+    b = (
+        spark.read.schema("brand string, nb long, kb long, __epoch int")
+        .parquet(path)
+        .groupBy("brand")
+        .agg(
+            F.sum("nb").cast("long").alias("nb"),
+            F.sum("kb").cast("long").alias("kb"),
+        )
+        .localCheckpoint()
+    )
+    tot = b.agg(
+        F.sum("nb").cast("long").alias("nt"),
+        F.sum("kb").cast("long").alias("kt"),
+    )
+    s2c = (
+        b.crossJoin(F.broadcast(tot))
+        .select(F.expr(_Q649_S2T).cast("decimal(28,9)").alias("t"))
+        .agg(F.sum("t").cast("decimal(28,9)").alias("s2"))
+    )
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(s2c))
+        .select(
+            "brand",
+            F.col("nb").alias("n_lines"),
+            F.col("kb").alias("n_returns"),
+            F.round(F.expr("CAST(kb AS DOUBLE) / nb"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(F.expr(_Q649_MU), 6).alias("pooled_rate"),
+            F.round(F.expr(_Q649_M), 6).alias("pseudo_mass"),
+            F.expr(_Q649_SHRUNK).alias("shrunk_rate"),
+        )
+    )
+
+
+def _q653_ingest(dur_epoch: DataFrame, epoch_id: int, path: str) -> None:
+    """Land one epoch's user durations (user grain — a user's whole
+    event history lives in one epoch, so durations are batch-local)."""
+    (
+        dur_epoch.withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(path)
+    )
+
+
+@query(
+    "q653_streaming_nelson_aalen",
+    oracle=QUERIES["q647_nelson_aalen"].oracle,
+    defer=True,
+)
+def q653_streaming_nelson_aalen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q647's Nelson–Aalen hazard under STREAMING user arrival —
+    durations are a user-grain pure function (signup → first
+    purchase, censored at last-seen), so each user-sliced epoch
+    lands its own (t, died) rows and the drain rebuilds the
+    at-risk/event grid over the landed union (the risk set is
+    HOLISTIC — recomputed at drain, the q628 re-rank argument for
+    survival).  Drain ≡ q647 under ANY user-grain slicing.
+
+    Scale shape: per-epoch duration rollup on the batch's users;
+    drain = q647's grid fold."""
+    import shutil
+
+    import databricks_etl_spark.plans.queries_round13 as _r13
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    e = read_table(spark, sf_dir, "events").localCheckpoint()
+    root = scratch_dir("na_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/dur"
+    k = _r13._STREAM_EPOCHS
+    sec = F.unix_timestamp(F.col("ts")).cast("long")
+    for ep in range(k):
+        ev = e.filter(F.col("user_id") % k == ep)
+        t0 = (
+            ev.filter(F.col("event_type") == "signup")
+            .groupBy("user_id")
+            .agg(F.min(sec).alias("s0"))
+        )
+        fp = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", sec.alias("tp"))
+            .join(t0, "user_id")
+            .filter(F.col("tp") >= F.col("s0"))
+            .groupBy("user_id")
+            .agg(F.min("tp").alias("tp"))
+        )
+        last = ev.groupBy("user_id").agg(F.max(sec).alias("tl"))
+        dur = (
+            t0.join(last, "user_id")
+            .join(fp, "user_id", "left")
+            .select(
+                F.when(
+                    F.col("tp").isNotNull(),
+                    F.expr("(tp - s0) DIV 86400"),
+                )
+                .otherwise(F.expr("(tl - s0) DIV 86400"))
+                .alias("t"),
+                F.col("tp").isNotNull().alias("died"),
+            )
+        )
+        _q653_ingest(dur, ep, path)
+    dur = (
+        spark.read.schema("t long, died boolean, __epoch int")
+        .parquet(path)
+        .select("t", "died")
+        .localCheckpoint()
+    )
+    grid = dur.filter(F.col("died")).select("t").distinct()
+    risk = (
+        grid.join(dur.select(F.col("t").alias("td"), "died"),
+                  F.col("td") >= F.col("t"))
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_at_risk"),
+            F.sum(
+                F.when(F.col("died") & (F.col("td") == F.col("t")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("d_events"),
+        )
+        .withColumn(
+            "h9u",
+            F.expr(
+                "CAST(round(CAST(d_events AS DOUBLE) / n_at_risk, 9)"
+                " AS DECIMAL(28,9))"
+            )
+            .cast("decimal(28,9)")
+            * 1000000000,
+        )
+        .withColumn("h9u", F.col("h9u").cast("long"))
+    )
+    cum = exact_cumsum(risk, ["t"], "h9u", out_col="chu")
+    return cum.select(
+        F.col("t").cast("long").alias("t_days"),
+        "n_at_risk",
+        "d_events",
+        F.round(
+            F.col("chu").cast("double") / F.lit(1000000000.0), 6
+        ).alias("cumulative_hazard"),
+    )
+
+
+@query(
+    "q654_streaming_assortativity",
+    oracle=QUERIES["q640_degree_assortativity"].oracle,
+    defer=True,
+)
+def q654_streaming_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q640's degree assortativity under STREAMING edge arrival —
+    degrees are a GLOBAL property of the landed graph, so epochs
+    land batch-local co-order edges (the q627 state) and the drain
+    recomputes degrees and the moment card from the deduped union.
+    Drain ≡ q640 under ANY order-grain slicing.
+
+    Scale shape: per-epoch edge partials; drain = one degree rollup
+    + edge decoration + 1-row moments."""
+    import shutil
+
+    import databricks_etl_spark.plans.queries_round13 as _r13
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _Q514_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    root = scratch_dir("assort_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/state"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        _q627_ingest(
+            li.filter(F.expr(f"ok DIV {_Q514_MOD}") % k == ep), ep, path
+        )
+    edges = (
+        spark.read.schema("src long, dst long, __epoch int")
+        .parquet(f"{path}/edges")
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("src").alias("pk")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    ).localCheckpoint()
+    el = (
+        edges.join(
+            deg.select(F.col("pk").alias("src"), F.col("d").alias("x")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("pk").alias("dst"), F.col("d").alias("y")),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = el.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(dec("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    r = _q613_r("sxy", "sx", "sy", "sxx", "syy")
+    return m.select(
+        F.col("n").alias("n_edges"),
+        F.round(F.expr("CAST(sx AS DOUBLE) / n"), 6).alias(
+            "mean_src_degree"
+        ),
+        F.round(F.expr(r), 6).alias("assortativity"),
+    )
+
+
+@query(
+    "q655_streaming_kcore",
+    oracle=QUERIES["q620_kcore_peeling"].oracle,
+    defer=True,
+)
+def q655_streaming_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q620's k-core peeling under STREAMING edge arrival — core
+    membership is GLOBAL (an epoch-local peel would drop nodes whose
+    support arrives later), so the drain re-peels the landed union
+    (q627's edge+node state).  Drain ≡ q620 under ANY order-grain
+    slicing.
+
+    Scale shape: per-epoch edge/node partials; drain = q620's six
+    semi-join peels."""
+    import shutil
+
+    import databricks_etl_spark.plans.queries_round13 as _r13
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _Q514_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    root = scratch_dir("kcore_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/state"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        _q627_ingest(
+            li.filter(F.expr(f"ok DIV {_Q514_MOD}") % k == ep), ep, path
+        )
+    edges = (
+        spark.read.schema("src long, dst long, __epoch int")
+        .parquet(f"{path}/edges")
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    surv = (
+        spark.read.schema("pk long, __epoch int")
+        .parquet(f"{path}/nodes")
+        .select("pk")
+        .distinct()
+        .localCheckpoint()
+    )
+    cards = []
+    for i in range(1, _Q620_ROUNDS + 1):
+        e_in = (
+            edges.join(surv.withColumnRenamed("pk", "src"), "src")
+            .join(surv.withColumnRenamed("pk", "dst"), "dst")
+            .select("src", "dst")
+        )
+        surv = (
+            e_in.groupBy(F.col("src").alias("pk"))
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") >= _Q620_K)
+            .select("pk")
+            .localCheckpoint()
+        )
+        e_after = (
+            edges.join(surv.withColumnRenamed("pk", "src"), "src")
+            .join(surv.withColumnRenamed("pk", "dst"), "dst")
+        )
+        cards.append(
+            surv.agg(
+                F.count(F.lit(1)).cast("long").alias("nodes_remaining")
+            )
+            .crossJoin(
+                e_after.agg(
+                    F.count(F.lit(1)).cast("long").alias(
+                        "edges_remaining"
+                    )
+                )
+            )
+            .select(
+                F.lit(i).cast("long").alias("round"),
+                "nodes_remaining",
+                "edges_remaining",
+            )
+        )
+    out = cards[0]
+    for c in cards[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@query(
+    "q656_streaming_mutual_information",
+    oracle=QUERIES["q643_mutual_information"].oracle,
+    defer=True,
+)
+def q656_streaming_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q643's mutual-information matrix under STREAMING order arrival
+    — the same mergeable contingency-cell state as q631, with the
+    information edge at drain (MI/entropy are holistic in the cell
+    ratios, so only the CELLS are maintained incrementally).
+    Drain ≡ q643 under ANY order-grain slicing.
+
+    Scale shape: shared with q631 — cell partials per epoch, cell
+    merge + margin/entropy arithmetic at drain."""
+    import shutil
+
+    import databricks_etl_spark.plans.queries_round13 as _r13
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    o = read_table(spark, sf_dir, "orders").localCheckpoint()
+    cust = read_table(spark, sf_dir, "customer").localCheckpoint()
+    root = scratch_dir("mi_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/cells"
+    k = _r13._STREAM_EPOCHS
+    pairs = [
+        ("seg_x_priority", "c_mktsegment", "o_orderpriority"),
+        ("seg_x_status", "c_mktsegment", "o_orderstatus"),
+        ("priority_x_status", "o_orderpriority", "o_orderstatus"),
+    ]
+    for ep in range(k):
+        j = o.filter(F.col("o_orderkey") % k == ep).join(
+            cust, F.col("o_custkey") == F.col("c_custkey")
+        )
+        v = None
+        for nm, ca, cb in pairs:
+            part = j.select(
+                F.lit(nm).alias("pair"),
+                F.col(ca).alias("av"),
+                F.col(cb).alias("bv"),
+            )
+            v = part if v is None else v.unionByName(part)
+        cells = v.groupBy("pair", "av", "bv").agg(
+            F.count(F.lit(1)).cast("long").alias("o")
+        )
+        _q631_ingest(cells, ep, path)
+    cells = (
+        spark.read.schema(
+            "pair string, av string, bv string, o long, __epoch int"
+        )
+        .parquet(path)
+        .groupBy("pair", "av", "bv")
+        .agg(F.sum("o").cast("long").alias("o"))
+        .localCheckpoint()
+    )
+    rows_ = cells.groupBy("pair", "av").agg(
+        F.sum("o").cast("long").alias("rt")
+    )
+    cols_ = cells.groupBy("pair", "bv").agg(
+        F.sum("o").cast("long").alias("ct")
+    )
+    tots = cells.groupBy("pair").agg(
+        F.sum("o").cast("long").alias("n")
+    ).localCheckpoint()
+    mi = (
+        cells.join(rows_, ["pair", "av"])
+        .join(cols_, ["pair", "bv"])
+        .join(F.broadcast(tots), "pair")
+        .select(
+            "pair", F.expr(_Q643_MIT).cast("decimal(28,9)").alias("t")
+        )
+        .groupBy("pair")
+        .agg(F.sum("t").cast("decimal(28,9)").alias("mi"))
+    )
+    ha = (
+        rows_.join(F.broadcast(tots), "pair")
+        .select(
+            "pair",
+            F.expr(_Q643_HT.replace("mt", "rt"))
+            .cast("decimal(28,9)")
+            .alias("t"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("t").cast("decimal(28,9)").alias("ha"))
+    )
+    hb = (
+        cols_.join(F.broadcast(tots), "pair")
+        .select(
+            "pair",
+            F.expr(_Q643_HT.replace("mt", "ct"))
+            .cast("decimal(28,9)")
+            .alias("t"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("t").cast("decimal(28,9)").alias("hb"))
+    )
+    return (
+        tots.join(mi, "pair")
+        .join(ha, "pair")
+        .join(hb, "pair")
+        .select(
+            "pair",
+            F.col("n").alias("n_rows"),
+            F.round(F.col("mi").cast("double"), 6).alias("mi_nats"),
+            F.round(F.col("ha").cast("double"), 6).alias("h_a"),
+            F.round(F.col("hb").cast("double"), 6).alias("h_b"),
+            F.expr(_Q643_NMI).alias("nmi"),
+        )
+    )

@@ -783,8 +783,8 @@ def _load() -> None:
     # round-15 modules
     import databricks_etl_spark.plans.queries_round15  # noqa: F401
 
-    assert len(QUERIES) >= 642, (
-        f"query registry shrank: {len(QUERIES)} < 642 — a module failed to register"
+    assert len(QUERIES) >= 654, (
+        f"query registry shrank: {len(QUERIES)} < 654 — a module failed to register"
     )
     _reorder()
     _loaded = True

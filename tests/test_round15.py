@@ -496,3 +496,164 @@ def test_q644_heaps_saturated_corpus(spark, smoke_sf_dir):
     assert r["heaps_k"] == pytest.approx(r["vocab_size"], rel=0.05)
     assert r["n_points"] >= 4
     assert r["vocab_size"] <= r["n_tokens"]
+
+
+# --- wave-3 deferred lanes -------------------------------------------------
+
+
+def test_q645_pacf_identities(spark, smoke_sf_dir):
+    """pacf1 ≡ acf1 by construction; low-lag PACF of a stationary
+    series stays in [−1, 1]."""
+    r = _one(queries()["q645_pacf_durbin_levinson"](spark, smoke_sf_dir))
+    assert r["pacf1"] == r["acf1"]
+    for c in ("acf1", "acf2", "acf3", "pacf2", "pacf3"):
+        assert abs(r[c]) <= 1.0
+
+
+def test_q646_cuped_readout(spark, smoke_sf_dir):
+    """Variance reduction is ρ² ∈ [0, 1]; the md5 A/A arms keep both
+    readouts small relative to mean spend."""
+    r = _one(queries()["q646_cuped_adjustment"](spark, smoke_sf_dir))
+    assert 0 <= r["var_reduction"] <= 1.0
+    assert 0 < r["n_arm_a"] < r["n_customers"]
+
+
+def test_q647_hazard_vs_km(spark, smoke_sf_dir):
+    """Nelson–Aalen H(t) is monotone and bounded by −ln(S_KM(t))
+    wherever q540's survival is positive — the additive/
+    multiplicative estimator ordering (1−x ≤ e^−x)."""
+    import math
+
+    q = queries()
+    na = sorted(
+        q["q647_nelson_aalen"](spark, smoke_sf_dir).collect(),
+        key=lambda r: r["t_days"],
+    )
+    km = {
+        r["t_days"]: r["survival"]
+        for r in q["q540_kaplan_meier"](spark, smoke_sf_dir).collect()
+    }
+    prev = 0.0
+    for r in na:
+        assert r["cumulative_hazard"] >= prev - 1e-9
+        prev = r["cumulative_hazard"]
+        s = km.get(r["t_days"])
+        if s is not None and s > 0:
+            assert r["cumulative_hazard"] <= -math.log(s) + 1e-6
+
+
+def test_q648_logrank_aa_null(spark, smoke_sf_dir):
+    """md5 arms are an A/A split: |z| stays modest; the O = (O−E) + E
+    algebra holds exactly up to output rounding."""
+    r = _one(queries()["q648_logrank_test"](spark, smoke_sf_dir))
+    assert abs(r["z_logrank"]) < 4.0
+    assert r["observed_a"] == pytest.approx(
+        r["o_minus_e"] + r["expected_a"], abs=2e-6
+    )
+    assert r["variance"] > 0
+
+
+def test_q649_shrinkage_between(spark, smoke_sf_dir):
+    """Every shrunk rate lies between the raw and pooled rates (the
+    EB estimator is a convex combination)."""
+    rows = queries()["q649_eb_shrinkage"](spark, smoke_sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        lo = min(r["raw_rate"], r["pooled_rate"]) - 1e-6
+        hi = max(r["raw_rate"], r["pooled_rate"]) + 1e-6
+        assert lo <= r["shrunk_rate"] <= hi
+        assert r["pseudo_mass"] >= 0
+
+
+def test_q650_composition_verdict(spark, smoke_sf_dir):
+    """The seasonal_helped verdict matches the exact SAE comparison
+    and the improvement percentage is consistent with the integers."""
+    r = _one(queries()["q650_holt_winters_composed"](spark, smoke_sf_dir))
+    assert r["seasonal_helped"] == (
+        r["sae_seasonal_micro"] < r["sae_plain_micro"]
+    )
+    assert r["improvement_pct"] == pytest.approx(
+        100 * (1 - r["sae_seasonal_micro"] / r["sae_plain_micro"]),
+        abs=5e-6,
+    )
+    assert r["n_months"] >= 13
+
+
+# --- wave-4 streaming twins: hostile slicing -------------------------------
+
+
+@pytest.mark.slow
+def test_q651_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    """Streaming newsvendor drain ≡ q642 under a hostile 13-way
+    lineitem slicing (a day's demand splits across epochs; the
+    day-grain merge repairs it)."""
+    q = queries()
+    batch = _collect_sorted(q["q642_newsvendor"](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(
+        q["q651_streaming_newsvendor"](spark, smoke_sf_dir)
+    )
+    assert drained == batch
+
+
+@pytest.mark.slow
+def test_q652_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    """Streaming EB drain ≡ q649 under hostile slicing (the prior is
+    refit at drain over merged partials)."""
+    q = queries()
+    batch = _collect_sorted(q["q649_eb_shrinkage"](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(
+        q["q652_streaming_eb_shrinkage"](spark, smoke_sf_dir)
+    )
+    assert drained == batch
+
+
+@pytest.mark.slow
+def test_q653_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    """Streaming Nelson–Aalen drain ≡ q647 under hostile user-grain
+    slicing (risk set rebuilt from landed durations only)."""
+    q = queries()
+    batch = _collect_sorted(q["q647_nelson_aalen"](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(
+        q["q653_streaming_nelson_aalen"](spark, smoke_sf_dir)
+    )
+    assert drained == batch
+
+
+@pytest.mark.slow
+def test_q654_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    q = queries()
+    batch = _collect_sorted(
+        q["q640_degree_assortativity"](spark, smoke_sf_dir)
+    )
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(
+        q["q654_streaming_assortativity"](spark, smoke_sf_dir)
+    )
+    assert drained == batch
+
+
+@pytest.mark.slow
+def test_q655_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    q = queries()
+    batch = _collect_sorted(q["q620_kcore_peeling"](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(
+        q["q655_streaming_kcore"](spark, smoke_sf_dir)
+    )
+    assert drained == batch
+
+
+@pytest.mark.slow
+def test_q656_hostile_slicing_matches_batch(spark, smoke_sf_dir, monkeypatch):
+    q = queries()
+    batch = _collect_sorted(
+        q["q643_mutual_information"](spark, smoke_sf_dir)
+    )
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(
+        q["q656_streaming_mutual_information"](spark, smoke_sf_dir)
+    )
+    assert drained == batch
