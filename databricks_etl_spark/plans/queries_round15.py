@@ -376,7 +376,14 @@ def q610_wilcoxon_signed_rank(
     yr = F.year(F.col("o_orderdate").cast("date"))
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     spend = (
-        o.filter(yr.isin(_Q610_Y0, _Q610_Y1))
+        # sargable range alongside the year() predicate: the range
+        # reaches the parquet scan as PushedFilters (min/max row-group
+        # pruning at scale); year() alone does not push down
+        o.filter(
+            (F.col("o_orderdate") >= f"{_Q610_Y0}-01-01")
+            & (F.col("o_orderdate") < f"{_Q610_Y1 + 1}-01-01")
+        )
+        .filter(yr.isin(_Q610_Y0, _Q610_Y1))
         .groupBy("o_custkey")
         .agg(
             F.sum(F.when(yr == _Q610_Y0, cents).otherwise(0))
@@ -1034,7 +1041,12 @@ def q615_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     qty = F.col("l_quantity").cast("long")
     pg = (
-        li.filter(yr.isin(_Q615_Y0, _Q615_Y1))
+        # sargable shipdate range → PushedFilters (see q610 note)
+        li.filter(
+            (F.col("l_shipdate") >= f"{_Q615_Y0}-01-01")
+            & (F.col("l_shipdate") < f"{_Q615_Y1 + 1}-01-01")
+        )
+        .filter(yr.isin(_Q615_Y0, _Q615_Y1))
         .join(p.select("p_partkey", "p_brand"),
               li.l_partkey == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"), "l_partkey")
@@ -5207,7 +5219,12 @@ def q646_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     yr = F.year(F.col("o_orderdate").cast("date"))
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     spend = (
-        o.filter(yr.isin(_Q646_Y0, _Q646_Y1))
+        # sargable range → PushedFilters (see q610 note)
+        o.filter(
+            (F.col("o_orderdate") >= f"{_Q646_Y0}-01-01")
+            & (F.col("o_orderdate") < f"{_Q646_Y1 + 1}-01-01")
+        )
+        .filter(yr.isin(_Q646_Y0, _Q646_Y1))
         .groupBy("o_custkey")
         .agg(
             F.sum(F.when(yr == _Q646_Y0, cents).otherwise(0))
