@@ -2656,10 +2656,11 @@ def q626_precision_recall_curve(
 
 
 # ===========================================================================
-# Deferred lanes (r16 window queue) — the round-15 window is exactly
-# full, so everything below registers ``defer=True`` (the VERDICT r13
-# #2 discipline): streaming twins of this round's batch lanes, then
-# further batch families.
+# Former r16 window queue (q627-q656) — registered ``defer=True``
+# during round 15 (the VERDICT r13 #2 discipline); the flags were
+# cleared at round-16 rollover so these 30 lanes front the r16 driver
+# window: streaming twins of round-15 batch lanes, then further batch
+# families.
 # ===========================================================================
 
 
@@ -2694,7 +2695,6 @@ def _q627_ingest(li_epoch: DataFrame, epoch_id: int, path: str) -> None:
 @query(
     "q627_streaming_sssp",
     oracle=QUERIES["q619_sssp_weighted"].oracle,
-    defer=True,
 )
 def q627_streaming_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q619's weighted SSSP under STREAMING edge arrival — distance
@@ -2802,7 +2802,6 @@ def _q628_ingest(scored_epoch: DataFrame, epoch_id: int, path: str) -> None:
 @query(
     "q628_streaming_average_precision",
     oracle=QUERIES["q608_exact_average_precision"].oracle,
-    defer=True,
 )
 def q628_streaming_average_precision(
     spark: SparkSession, sf_dir: str
@@ -2895,7 +2894,6 @@ def _q629_ingest(v_epoch: DataFrame, epoch_id: int, path: str) -> None:
 @query(
     "q629_streaming_woe",
     oracle=QUERIES["q616_woe_information_value"].oracle,
-    defer=True,
 )
 def q629_streaming_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q616's WoE/IV audit under STREAMING customer arrival — the
@@ -2977,7 +2975,6 @@ def _q630_ingest(o_epoch: DataFrame, epoch_id: int, path: str) -> None:
 @query(
     "q630_streaming_holt",
     oracle=QUERIES["q622_holt_linear_trend"].oracle,
-    defer=True,
 )
 def q630_streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q622's Holt linear trend under STREAMING order arrival — the
@@ -3042,7 +3039,6 @@ def _q631_ingest(cells_epoch: DataFrame, epoch_id: int, path: str) -> None:
 @query(
     "q631_streaming_cramers_v",
     oracle=QUERIES["q625_cramers_v_matrix"].oracle,
-    defer=True,
 )
 def q631_streaming_cramers_v(
     spark: SparkSession, sf_dir: str
@@ -3182,7 +3178,7 @@ def _q632_oracle() -> str:
     """
 
 
-@query("q632_seasonal_decomposition", oracle=_q632_oracle(), defer=True)
+@query("q632_seasonal_decomposition", oracle=_q632_oracle())
 def q632_seasonal_decomposition(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3303,7 +3299,7 @@ def _q633_oracle() -> str:
     """
 
 
-@query("q633_fellegi_sunter", oracle=_q633_oracle(), defer=True)
+@query("q633_fellegi_sunter", oracle=_q633_oracle())
 def q633_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FELLEGI–SUNTER weight estimation on n_chars-blocked doc pairs
     with exact-dup truth — the probabilistic layer over q570's
@@ -3427,7 +3423,7 @@ def _q634_oracle() -> str:
     )
 
 
-@query("q634_critical_path", oracle=_q634_oracle(), defer=True)
+@query("q634_critical_path", oracle=_q634_oracle())
 def q634_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRITICAL PATH (max-plus Bellman–Ford, {_Q634_ITERS} unrolled
     rounds) on the planted co-order DAG — q619's relaxation loop on
@@ -3529,7 +3525,7 @@ def _q635_oracle() -> str:
     """
 
 
-@query("q635_mean_excess_evt", oracle=_q635_oracle(), defer=True)
+@query("q635_mean_excess_evt", oracle=_q635_oracle())
 def q635_mean_excess_evt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MEAN-EXCESS CARD over order values at a literal threshold
     grid — the EVT tail diagnostic (linear mean excess ⇒ GPD tail)
@@ -3632,7 +3628,7 @@ def _q636_oracle() -> str:
     """
 
 
-@query("q636_price_elasticity", oracle=_q636_oracle(), defer=True)
+@query("q636_price_elasticity", oracle=_q636_oracle())
 def q636_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOG-LOG PRICE ELASTICITY per brand — grouped OLS of ln(qty)
     on ln(unit price) over the (brand, month) demand grid (q527's
@@ -3757,7 +3753,7 @@ def _q637_oracle() -> str:
     """
 
 
-@query("q637_mcnemar_compare", oracle=_q637_oracle(), defer=True)
+@query("q637_mcnemar_compare", oracle=_q637_oracle())
 def q637_mcnemar_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """McNEMAR PAIRED COMPARISON of q623's trained NB detector vs
     q38's stopword heuristic on the same test docs — the honest way
@@ -3968,7 +3964,7 @@ def _q638_oracle() -> str:
     """
 
 
-@query("q638_cohens_kappa", oracle=_q638_oracle(), defer=True)
+@query("q638_cohens_kappa", oracle=_q638_oracle())
 def q638_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COHEN'S KAPPA of the q38 stopword heuristic against the true
     language — chance-corrected agreement from exact marginal
@@ -4078,7 +4074,7 @@ def _q639_oracle() -> str:
     """
 
 
-@query("q639_clustering_coefficient", oracle=_q639_oracle(), defer=True)
+@query("q639_clustering_coefficient", oracle=_q639_oracle())
 def q639_clustering_coefficient(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4212,7 +4208,7 @@ def _q640_oracle() -> str:
     """
 
 
-@query("q640_degree_assortativity", oracle=_q640_oracle(), defer=True)
+@query("q640_degree_assortativity", oracle=_q640_oracle())
 def q640_degree_assortativity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4350,7 +4346,7 @@ def _q641_oracle() -> str:
     """
 
 
-@query("q641_bartlett_test", oracle=_q641_oracle(), defer=True)
+@query("q641_bartlett_test", oracle=_q641_oracle())
 def q641_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BARTLETT'S VARIANCE-HOMOGENEITY TEST across market segments —
     the gate a pipeline checks before trusting q612's pooled-variance
@@ -4489,7 +4485,7 @@ def _q642_oracle() -> str:
     """
 
 
-@query("q642_newsvendor", oracle=_q642_oracle(), defer=True)
+@query("q642_newsvendor", oracle=_q642_oracle())
 def q642_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEWSVENDOR ORDER QUANTITY per planted part — the critical
     fractile cu/(cu+co) = 0.8 read off the empirical daily-demand
@@ -4665,7 +4661,7 @@ def _q643_oracle() -> str:
     """
 
 
-@query("q643_mutual_information", oracle=_q643_oracle(), defer=True)
+@query("q643_mutual_information", oracle=_q643_oracle())
 def q643_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUTUAL-INFORMATION MATRIX over the q625 categorical pairs —
     MI in nats and sqrt-normalized NMI from the same exact
@@ -4845,7 +4841,7 @@ def _q644_oracle() -> str:
     """
 
 
-@query("q644_heaps_law_fit", oracle=_q644_oracle(), defer=True)
+@query("q644_heaps_law_fit", oracle=_q644_oracle())
 def q644_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEAPS' LAW FIT V(N) ≈ K·N^β over the corpus vocabulary growth
     curve — the scaling diagnostic next to q324's Zipf fit: first
@@ -5037,7 +5033,7 @@ def _q645_oracle() -> str:
     """
 
 
-@query("q645_pacf_durbin_levinson", oracle=_q645_oracle(), defer=True)
+@query("q645_pacf_durbin_levinson", oracle=_q645_oracle())
 def q645_pacf_durbin_levinson(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5201,7 +5197,7 @@ def _q646_oracle() -> str:
     """
 
 
-@query("q646_cuped_adjustment", oracle=_q646_oracle(), defer=True)
+@query("q646_cuped_adjustment", oracle=_q646_oracle())
 def q646_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED VARIANCE REDUCTION for the md5-armed spend experiment —
     the pre-period covariate adjustment every experimentation
@@ -5367,7 +5363,7 @@ def _q647_oracle() -> str:
     """
 
 
-@query("q647_nelson_aalen", oracle=_q647_oracle(), defer=True)
+@query("q647_nelson_aalen", oracle=_q647_oracle())
 def q647_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NELSON–AALEN CUMULATIVE HAZARD of signup→first-purchase — the
     additive complement of q540's multiplicative Kaplan–Meier on the
@@ -5518,7 +5514,7 @@ def _q648_oracle() -> str:
     """
 
 
-@query("q648_logrank_test", oracle=_q648_oracle(), defer=True)
+@query("q648_logrank_test", oracle=_q648_oracle())
 def q648_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOG-RANK TEST between md5 arms on signup→purchase survival —
     the standard two-group comparison over q540's duration
@@ -5684,7 +5680,7 @@ def _q649_oracle() -> str:
     """
 
 
-@query("q649_eb_shrinkage", oracle=_q649_oracle(), defer=True)
+@query("q649_eb_shrinkage", oracle=_q649_oracle())
 def q649_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMPIRICAL-BAYES SHRINKAGE of per-brand return rates toward the
     pooled rate — the leaderboard de-noiser: method-of-moments
@@ -5824,7 +5820,7 @@ def _q650_oracle() -> str:
     """
 
 
-@query("q650_holt_winters_composed", oracle=_q650_oracle(), defer=True)
+@query("q650_holt_winters_composed", oracle=_q650_oracle())
 def q650_holt_winters_composed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5908,7 +5904,6 @@ def _q651_ingest(part_epoch: DataFrame, epoch_id: int, path: str) -> None:
 @query(
     "q651_streaming_newsvendor",
     oracle=QUERIES["q642_newsvendor"].oracle,
-    defer=True,
 )
 def q651_streaming_newsvendor(
     spark: SparkSession, sf_dir: str
@@ -6015,7 +6010,6 @@ def q651_streaming_newsvendor(
 @query(
     "q652_streaming_eb_shrinkage",
     oracle=QUERIES["q649_eb_shrinkage"].oracle,
-    defer=True,
 )
 def q652_streaming_eb_shrinkage(
     spark: SparkSession, sf_dir: str
@@ -6112,7 +6106,6 @@ def _q653_ingest(dur_epoch: DataFrame, epoch_id: int, path: str) -> None:
 @query(
     "q653_streaming_nelson_aalen",
     oracle=QUERIES["q647_nelson_aalen"].oracle,
-    defer=True,
 )
 def q653_streaming_nelson_aalen(
     spark: SparkSession, sf_dir: str
@@ -6214,7 +6207,6 @@ def q653_streaming_nelson_aalen(
 @query(
     "q654_streaming_assortativity",
     oracle=QUERIES["q640_degree_assortativity"].oracle,
-    defer=True,
 )
 def q654_streaming_assortativity(
     spark: SparkSession, sf_dir: str
@@ -6293,7 +6285,6 @@ def q654_streaming_assortativity(
 @query(
     "q655_streaming_kcore",
     oracle=QUERIES["q620_kcore_peeling"].oracle,
-    defer=True,
 )
 def q655_streaming_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q620's k-core peeling under STREAMING edge arrival — core
@@ -6385,7 +6376,6 @@ def q655_streaming_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q656_streaming_mutual_information",
     oracle=QUERIES["q643_mutual_information"].oracle,
-    defer=True,
 )
 def q656_streaming_mutual_information(
     spark: SparkSession, sf_dir: str

@@ -74,6 +74,13 @@ def bench_queries() -> dict[str, QueryFn]:
 
 _loaded = False
 
+# Build round currently underway.  Bumped at each round rollover (when
+# the previous round's CORRECTNESS artifact is folded into
+# _DRIVER_VERIFIED below) so "same tree => same tiered-parity sample"
+# holds on a fresh clone regardless of which artifacts are on disk
+# (VERDICT r15 "What's wrong" #2).
+BUILD_ROUND = 16
+
 # Queries with a green (rows+schema+hash) row in any CORRECTNESS_r0N
 # .json artifact so far. The external driver verifies the FIRST 50 registry entries in
 # insertion order, so _load() sorts never-yet-verified queries to the
@@ -680,6 +687,58 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q575_session_statistics",
         "q576_streaming_graph_insert",
         "q577_maxsim_late_interaction",
+        # --- round 15 greens (CORRECTNESS_r15.json; 50/50 green
+        # rows — q01 re-proven plus the r14 deferred families
+        # q578-q607 and the round-15 window q608-q626).
+        "q578_maxsim_vs_pooled_eval",
+        "q579_maxsim_ann_recall_gate",
+        "q580_rrf_rank_fusion",
+        "q581_pagerank_integer",
+        "q582_safety_stock_reorder",
+        "q583_streaming_maxsim_retrieval",
+        "q584_pagerank_edge_delta",
+        "q585_streaming_pagerank",
+        "q586_revenue_bridge",
+        "q587_backfill_plan",
+        "q588_pinball_forecast_eval",
+        "q589_diff_in_differences",
+        "q590_concurrency_profile",
+        "q591_group_dispersion_card",
+        "q592_token_fertility",
+        "q593_mann_whitney_u",
+        "q594_streaming_backfill_monitor",
+        "q595_knn_classifier_eval",
+        "q596_cusum_change_detection",
+        "q597_abc_xyz_matrix",
+        "q598_streaming_safety_stock",
+        "q599_kendall_tau",
+        "q600_theil_index",
+        "q601_theil_decomposition",
+        "q602_spearman_rho",
+        "q603_jain_fairness",
+        "q604_hhi_concentration",
+        "q605_streaming_revenue_bridge",
+        "q606_streaming_knn_eval",
+        "q607_exact_auc",
+        "q608_exact_average_precision",
+        "q609_brier_calibration",
+        "q610_wilcoxon_signed_rank",
+        "q611_kruskal_wallis",
+        "q612_anova_oneway",
+        "q613_partial_correlation",
+        "q614_acf_lags",
+        "q615_price_volume_mix",
+        "q616_woe_information_value",
+        "q617_target_encoding_audit",
+        "q618_decision_stump",
+        "q619_sssp_weighted",
+        "q620_kcore_peeling",
+        "q621_link_prediction",
+        "q622_holt_linear_trend",
+        "q623_naive_bayes_langid",
+        "q624_label_propagation",
+        "q625_cramers_v_matrix",
+        "q626_precision_recall_curve",
     }
 )
 

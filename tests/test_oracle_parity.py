@@ -12,12 +12,11 @@ from __future__ import annotations
 import hashlib
 import math
 import os
-import pathlib
 
 import pandas as pd
 import pytest
 
-from databricks_etl_spark.plans.registry import _DRIVER_VERIFIED, QUERIES, _load
+from databricks_etl_spark.plans.registry import BUILD_ROUND, _DRIVER_VERIFIED, QUERIES, _load
 
 _load()
 
@@ -34,11 +33,11 @@ ROWS_ONLY = sorted(k for k, v in QUERIES.items() if v.oracle is None)
 # ---------------------------------------------------------------------------
 
 _PARITY_FULL = os.environ.get("SPARK_GRAFT_PARITY_FULL") == "1"
-# round number derives from the driver's artifact trail: N closed
-# rounds on disk → we are building round N+1
-_ROUND = len(
-    list(pathlib.Path(__file__).resolve().parents[1].glob("CORRECTNESS_r*.json"))
-) + 1
+# round number is the tracked rollover constant (VERDICT r15 #2: the
+# on-disk artifact glob made a fresh clone sample a different verified
+# subset than the working tree whenever the latest artifact pair was
+# not yet committed)
+_ROUND = BUILD_ROUND
 
 
 def _sampled_in(name: str) -> bool:
