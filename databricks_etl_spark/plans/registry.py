@@ -841,9 +841,11 @@ def _load() -> None:
     import databricks_etl_spark.plans.queries_round14  # noqa: F401
     # round-15 modules
     import databricks_etl_spark.plans.queries_round15  # noqa: F401
+    # round-16 modules
+    import databricks_etl_spark.plans.queries_round16  # noqa: F401
 
-    assert len(QUERIES) >= 654, (
-        f"query registry shrank: {len(QUERIES)} < 654 — a module failed to register"
+    assert len(QUERIES) >= 658, (
+        f"query registry shrank: {len(QUERIES)} < 658 — a module failed to register"
     )
     _reorder()
     _loaded = True

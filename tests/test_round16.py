@@ -1,0 +1,143 @@
+"""Round-16 unit tests: invariants for the AR(2) backtest, the
+semantic-decontamination rung (including the planted paraphrase
+fixture pinning the cell-blocking trade), sampled harmonic
+centrality, and the IRLS logistic fit — beyond the oracle-parity
+suite."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from databricks_etl_spark.plans.registry import queries
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+# --- q657 AR(2) backtest ---------------------------------------------------
+
+
+def test_q657_ar2_card_consistency(spark, smoke_sf_dir):
+    """The eval set is exactly the days with two predecessors; both
+    SAE sums are nonnegative exact integers; the verdict column is
+    literally the SAE comparison; |phi| stays in the stationary
+    ballpark for near-white daily revenue."""
+    r = _one(queries()["q657_ar2_backtest"](spark, smoke_sf_dir))
+    assert r["n_eval"] == r["n_days"] - 2
+    assert r["sae_ar_cents"] >= 0 and r["sae_persistence_cents"] >= 0
+    assert r["ar_beats_persistence"] == (
+        r["sae_ar_cents"] < r["sae_persistence_cents"]
+    )
+    assert abs(r["phi1"]) < 1 and abs(r["phi2"]) < 1
+
+
+# --- q658 semantic decontamination ----------------------------------------
+
+
+def test_q658_rate_card_shape(spark, smoke_sf_dir):
+    """Every source's contaminated count is bounded by its doc count
+    and the rate is the exact ratio."""
+    rows = queries()["q658_semantic_decontamination"](
+        spark, smoke_sf_dir
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["n_semantic_contaminated"] <= r["n_docs"]
+        assert r["semantic_contamination_rate"] == pytest.approx(
+            r["n_semantic_contaminated"] / r["n_docs"], abs=1e-6
+        )
+
+
+def test_q658_planted_paraphrase_hit_and_cross_cell_miss(spark):
+    """The contract of the cell-blocked verify: a near-identical
+    (paraphrase-level) training embedding in the SAME cell as an eval
+    embedding is flagged; an equally-similar pair split ACROSS cells
+    is missed — the documented IVF blocking trade, pinned so a future
+    'optimization' can't silently change recall semantics."""
+    from databricks_etl_spark.operators import similarity as SIM
+    from databricks_etl_spark.plans.queries_round16 import _q658_hits
+    from databricks_etl_spark.plans.queries_round7 import _Q285_CENTS
+
+    dim = len(_Q285_CENTS[0])
+
+    def vec(*pairs):
+        v = [0.0] * dim
+        for cid, w in pairs:
+            for i in range(dim):
+                if i % len(_Q285_CENTS) == cid:
+                    v[i] += w
+        return v
+
+    rows = [
+        # eval doc 50 sits at centroid 0; training doc 3 is a near
+        # copy (same cell, cosine ~1) -> must be flagged
+        (50, vec((0, 1.0))),
+        (3, vec((0, 1.0), (1, 0.05))),
+        # eval doc 100 leans centroid 2; training doc 7 is similar
+        # (cosine ~0.7 > tau) but leans centroid 3 -> different cell,
+        # missed by construction
+        (100, vec((2, 1.0), (3, 0.7))),
+        (7, vec((2, 0.7), (3, 1.0))),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
+    )
+    cells = SIM.assign_cells(e, cents)
+    asg = {r["vec_id"]: r["cell_id"] for r in cells.collect()}
+    assert asg[50] == asg[3]  # planted same-cell pair
+    assert asg[100] != asg[7]  # planted cross-cell pair
+    # the cross-cell pair really is above tau — the miss is blocking,
+    # not similarity
+    sim = _one(
+        e.filter(F.col("vec_id") == 100)
+        .crossJoin(
+            e.filter(F.col("vec_id") == 7).select(
+                F.col("embedding").alias("bemb")
+            )
+        )
+        .select(SIM.cosine(F.col("embedding"), F.col("bemb")).alias("s"))
+    )["s"]
+    assert sim >= 0.35
+    hits = sorted(r["vec_id"] for r in _q658_hits(cells).collect())
+    assert hits == [3]
+
+
+# --- q659 sampled harmonic centrality -------------------------------------
+
+
+def test_q659_harmonic_bounds_and_order(spark, smoke_sf_dir):
+    """Each 1/d term is at most 1, so harmonic <= n_sources_reaching;
+    ranks are 1..k in non-increasing harmonic order."""
+    rows = queries()["q659_harmonic_centrality_sampled"](
+        spark, smoke_sf_dir
+    ).collect()
+    assert 0 < len(rows) <= 20
+    assert [r["rank_pos"] for r in rows] == list(range(1, len(rows) + 1))
+    hs = [r["harmonic"] for r in rows]
+    assert hs == sorted(hs, reverse=True)
+    for r in rows:
+        assert 0 < r["harmonic"] <= r["n_sources_reaching"] + 1e-9
+
+
+# --- q660 logistic IRLS ----------------------------------------------------
+
+
+def test_q660_confusion_and_fit(spark, smoke_sf_dir):
+    """Confusion cells partition the corpus; accuracy is their exact
+    ratio; three Newton steps from beta=0 must beat the uninformed
+    model's log-loss ln(2) on this corpus (the fit converges — the
+    parity suite pins the exact values)."""
+    r = _one(queries()["q660_logistic_irls"](spark, smoke_sf_dir))
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_docs"]
+    assert r["accuracy"] == pytest.approx(
+        (r["tp"] + r["tn"]) / r["n_docs"], abs=1e-6
+    )
+    assert 0 < r["log_loss"] < math.log(2)
+    assert abs(r["beta0"]) < 10 and abs(r["beta1"]) < 10
