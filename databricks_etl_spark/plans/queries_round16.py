@@ -775,3 +775,506 @@ def q660_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "accuracy",
         "log_loss",
     )
+
+
+# ---------------------------------------------------------------------------
+# q661 — classic price indices (Laspeyres / Paasche / Fisher)
+# ---------------------------------------------------------------------------
+#
+# The macro companion to q615's micro price–volume–mix bridge: over
+# the matched basket (parts sold in BOTH years), the Laspeyres index
+# Σp₁q₀/Σp₀q₀, the Paasche index Σp₁q₁/Σp₀q₁, and Fisher's ideal
+# geometric mean.  Unit prices are exact rationals r/q, so the cross
+# terms p₁q₀ = r₁q₀/q₁ are scaled to exact integers by a 10⁶
+# micro-unit floor division (the q612 wide-integer discipline —
+# never a double→DECIMAL(28,9) cast at these magnitudes); the three
+# index ratios are one portable expression each.
+
+_Q661_Y0, _Q661_Y1 = 1999, 2000
+_Q661_SCALE = 1_000_000
+
+_Q661_L = (
+    f"(CAST(sl AS DOUBLE) / (CAST(sr0 AS DOUBLE) * {_Q661_SCALE}))"
+)
+_Q661_P = (
+    f"(CAST(sr1 AS DOUBLE) * {_Q661_SCALE} / CAST(sp AS DOUBLE))"
+)
+
+
+def _q661_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round15 import _q612_floordiv
+
+    nl = _q612_floordiv(
+        f"CAST(r1 AS HUGEINT) * q0 * {_Q661_SCALE}", "q1", "duckdb"
+    )
+    dp = _q612_floordiv(
+        f"CAST(r0 AS HUGEINT) * q1 * {_Q661_SCALE}", "q0", "duckdb"
+    )
+    return f"""
+        WITH pg AS MATERIALIZED (
+            SELECT l_partkey,
+                   CAST(SUM(CASE WHEN year(CAST(l_shipdate AS DATE))
+                                      = {_Q661_Y0}
+                            THEN CAST(l_quantity AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS q0,
+                   CAST(SUM(CASE WHEN year(CAST(l_shipdate AS DATE))
+                                      = {_Q661_Y1}
+                            THEN CAST(l_quantity AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS q1,
+                   CAST(SUM(CASE WHEN year(CAST(l_shipdate AS DATE))
+                                      = {_Q661_Y0}
+                            THEN CAST(round(l_extendedprice * 100, 0)
+                                      AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS r0,
+                   CAST(SUM(CASE WHEN year(CAST(l_shipdate AS DATE))
+                                      = {_Q661_Y1}
+                            THEN CAST(round(l_extendedprice * 100, 0)
+                                      AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS r1
+            FROM lineitem
+            WHERE l_shipdate >= DATE '{_Q661_Y0}-01-01'
+              AND l_shipdate < DATE '{_Q661_Y1 + 1}-01-01'
+              AND year(CAST(l_shipdate AS DATE))
+                  IN ({_Q661_Y0}, {_Q661_Y1})
+            GROUP BY 1
+        ),
+        matched AS (SELECT * FROM pg WHERE q0 > 0 AND q1 > 0),
+        card AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_parts_matched,
+                   CAST(SUM(CAST(r0 AS HUGEINT)) AS DECIMAL(38,0))
+                       AS sr0,
+                   CAST(SUM(CAST(r1 AS HUGEINT)) AS DECIMAL(38,0))
+                       AS sr1,
+                   CAST(SUM({nl}) AS DECIMAL(38,0)) AS sl,
+                   CAST(SUM({dp}) AS DECIMAL(38,0)) AS sp
+            FROM matched
+        )
+        SELECT n_parts_matched,
+               CAST(sr0 AS BIGINT) AS base_revenue_cents,
+               CAST(sr1 AS BIGINT) AS current_revenue_cents,
+               round({_Q661_L}, 6) AS laspeyres,
+               round({_Q661_P}, 6) AS paasche,
+               round(sqrt({_Q661_L} * {_Q661_P}), 6) AS fisher
+        FROM card
+    """
+
+
+@query("q661_price_indices", oracle=_q661_oracle(), defer=True)
+def q661_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LASPEYRES / PAASCHE / FISHER price indices {_Q661_Y0} →
+    {_Q661_Y1} over the matched part basket — the macro price-level
+    card beside q615's per-brand bridge.  Cross terms p₁q₀ stay in
+    exact integer micro-units via the subtract-remainder floor
+    division (``_q612_floordiv`` — identical values to DuckDB's
+    HUGEINT ``//``); the index ratios and the Fisher geometric mean
+    are shared portable expressions; Laspeyres ≥min/≤max Paasche
+    bracketing of Fisher is pinned in tests.
+
+    Scale shape: one lineitem scan with the sargable two-year
+    shipdate range pushed to the parquet scan (the q610/q615
+    PushedFilters discipline), a part-grain conditional rollup, one
+    1-row card."""
+    from databricks_etl_spark.plans.queries_round15 import _q612_floordiv
+
+    li = read_table(spark, sf_dir, "lineitem")
+    yr = F.year(F.col("l_shipdate").cast("date"))
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    pg = (
+        li.filter(
+            (F.col("l_shipdate") >= f"{_Q661_Y0}-01-01")
+            & (F.col("l_shipdate") < f"{_Q661_Y1 + 1}-01-01")
+        )
+        .filter(yr.isin(_Q661_Y0, _Q661_Y1))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(yr == _Q661_Y0, qty).otherwise(0))
+            .cast("long")
+            .alias("q0"),
+            F.sum(F.when(yr == _Q661_Y1, qty).otherwise(0))
+            .cast("long")
+            .alias("q1"),
+            F.sum(F.when(yr == _Q661_Y0, cents).otherwise(0))
+            .cast("long")
+            .alias("r0"),
+            F.sum(F.when(yr == _Q661_Y1, cents).otherwise(0))
+            .cast("long")
+            .alias("r1"),
+        )
+        .filter((F.col("q0") > 0) & (F.col("q1") > 0))
+    )
+    nl = _q612_floordiv(
+        f"CAST(r1 AS DECIMAL(38,0)) * q0 * {_Q661_SCALE}", "q1", "spark"
+    )
+    dp = _q612_floordiv(
+        f"CAST(r0 AS DECIMAL(38,0)) * q1 * {_Q661_SCALE}", "q0", "spark"
+    )
+    card = pg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts_matched"),
+        F.sum(F.col("r0").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sr0"),
+        F.sum(F.col("r1").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sr1"),
+        F.sum(F.expr(nl)).cast("decimal(38,0)").alias("sl"),
+        F.sum(F.expr(dp)).cast("decimal(38,0)").alias("sp"),
+    )
+    return card.select(
+        "n_parts_matched",
+        F.col("sr0").cast("long").alias("base_revenue_cents"),
+        F.col("sr1").cast("long").alias("current_revenue_cents"),
+        F.round(F.expr(_Q661_L), 6).alias("laspeyres"),
+        F.round(F.expr(_Q661_P), 6).alias("paasche"),
+        F.round(F.expr(f"sqrt({_Q661_L} * {_Q661_P})"), 6).alias(
+            "fisher"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q662 — exact Gini coefficient of customer spend, per nation
+# ---------------------------------------------------------------------------
+#
+# The inequality card completing the concentration family (Theil
+# q600/q601, HHI q604, Jain q603): Gini via the rank formula
+# G = (2Σᵢ i·x₍ᵢ₎ − (n+1)Σx) / (n·Σx) with x ascending.  Equal
+# values make the rank sum order-invariant, so it is computed from
+# the VALUE GRAIN: a tied group of count t starting after c members
+# contributes x·(2tc + t(t+1)) — all exact integers in
+# DECIMAL(38,0); the single ratio is the float edge.
+
+_Q662_G = (
+    "round((CAST(s2ix AS DOUBLE)"
+    " - (CAST(n AS DOUBLE) + 1) * CAST(sx AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+)
+
+
+def _q662_oracle() -> str:
+    return f"""
+        WITH spend AS MATERIALIZED (
+            SELECT c.c_nationkey AS nk, o.o_custkey,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        grain AS MATERIALIZED (
+            SELECT nk, x, CAST(COUNT(*) AS BIGINT) AS t
+            FROM spend GROUP BY 1, 2
+        ),
+        cum AS MATERIALIZED (
+            SELECT nk, x, t,
+                   CAST(SUM(t) OVER (PARTITION BY nk ORDER BY x
+                       ROWS UNBOUNDED PRECEDING) - t AS BIGINT) AS c
+            FROM grain
+        ),
+        card AS (
+            SELECT nk,
+                   CAST(SUM(t) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * t)
+                        AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0))
+                            * (2 * t * c + t * (t + 1)))
+                        AS DECIMAL(38,0)) AS s2ix
+            FROM cum GROUP BY 1
+        )
+        SELECT n.n_name,
+               card.n AS n_customers,
+               CAST(card.sx AS BIGINT) AS spend_cents,
+               {_Q662_G} AS gini
+        FROM card JOIN nation n ON card.nk = n.n_nationkey
+    """
+
+
+@query("q662_gini_by_nation", oracle=_q662_oracle(), defer=True)
+def q662_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT GINI COEFFICIENT of customer spend within each nation —
+    the Lorenz-concentration card beside Theil (q600) and HHI
+    (q604).  The rank formula is evaluated from the VALUE GRAIN
+    (spend, count): ties make the rank sum order-invariant, so a
+    tied group of t members after c lower-spend members contributes
+    x·(2tc + t(t+1)) to 2Σi·xᵢ — exact DECIMAL(38,0) end-to-end,
+    one portable ratio at the edge.  G ∈ [0, 1−1/n] and the
+    all-equal→0 degenerate case are pinned in tests.
+
+    Scale shape: orders⋈customer rollup to (nation, customer); the
+    cumulative count runs over the per-nation VALUE GRAIN (bounded
+    by distinct spend levels, the q642 CDF discipline); the nation
+    name join is dimension-sized (25 rows)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    spend = (
+        o.join(c.select("c_custkey", "c_nationkey"),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nk"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    grain = spend.groupBy("nk", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    w = (
+        Window.partitionBy("nk")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grain.withColumn(
+        "c", (F.sum("t").over(w) - F.col("t")).cast("long")
+    )
+    card = cum.groupBy("nk").agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("t"))
+        .cast("decimal(38,0)")
+        .alias("sx"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * (2 * F.col("t") * F.col("c") + F.col("t") * (F.col("t") + 1))
+        )
+        .cast("decimal(38,0)")
+        .alias("s2ix"),
+    )
+    return card.join(
+        n.select(F.col("n_nationkey").alias("nk"), "n_name"), "nk"
+    ).select(
+        "n_name",
+        F.col("n").alias("n_customers"),
+        F.col("sx").cast("long").alias("spend_cents"),
+        F.expr(_Q662_G).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q663 — Jensen–Shannon divergence of each source vs the corpus
+# ---------------------------------------------------------------------------
+#
+# The distribution-drift card for ingestion feeds (beside q592's
+# token fertility and q623's NB likelihoods): JSD(P_src ‖ P_corpus)
+# over whitespace-token unigram distributions.  Probabilities are
+# exact rationals tf/tot; each token's contribution
+# ½·p·ln(p/m) + ½·q·ln(q/m) (m the mixture) is ≤ ln2 in magnitude —
+# 9dp-rounded, decimal-summed (the q600 discipline), one divide at
+# the edge.  JSD ∈ [0, ln 2]; /ln2 gives the bits-normalized twin.
+
+_Q663_PP = "(CAST(tf AS DOUBLE) / ts)"
+_Q663_QQ = "(CAST(gf AS DOUBLE) / tg)"
+_Q663_MM = f"(({_Q663_PP} + {_Q663_QQ}) / 2)"
+_Q663_TERM = (
+    f"round((CASE WHEN tf > 0 THEN {_Q663_PP}"
+    f" * ln({_Q663_PP} / {_Q663_MM}) / 2 ELSE 0 END)"
+    f" + {_Q663_QQ} * ln({_Q663_QQ} / {_Q663_MM}) / 2, 9)"
+)
+
+
+def _q663_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _TOKS
+
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT source, unnest({_TOKS}) AS token FROM documents
+        ),
+        stf AS MATERIALIZED (
+            SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2
+        ),
+        vocab AS MATERIALIZED (
+            SELECT token, CAST(SUM(tf) AS BIGINT) AS gf FROM stf
+            GROUP BY 1
+        ),
+        stot AS MATERIALIZED (
+            SELECT source, CAST(SUM(tf) AS BIGINT) AS ts FROM stf
+            GROUP BY 1
+        ),
+        gtot AS MATERIALIZED (
+            SELECT CAST(SUM(gf) AS BIGINT) AS tg FROM vocab
+        ),
+        terms AS (
+            SELECT s.source, s.ts,
+                   CAST({_Q663_TERM} AS DECIMAL(28,9)) AS term
+            FROM stot s
+            CROSS JOIN vocab v
+            LEFT JOIN stf ON stf.source = s.source
+                         AND stf.token = v.token, gtot
+        )
+        SELECT source,
+               CAST(ts AS BIGINT) AS n_tokens,
+               round(CAST(CAST(SUM(term) AS DECIMAL(28,9)) AS DOUBLE),
+                     6) AS jsd_nats,
+               round(CAST(CAST(SUM(term) AS DECIMAL(28,9)) AS DOUBLE)
+                     / ln(2), 6) AS jsd_bits
+        FROM terms GROUP BY 1, 2
+    """
+
+
+@query("q663_js_divergence_by_source", oracle=_q663_oracle(), defer=True)
+def q663_js_divergence_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JENSEN–SHANNON DIVERGENCE of each ingestion feed's token
+    distribution against the whole corpus — the symmetric, bounded
+    ([0, ln 2]) drift metric a data lead reads before blending a new
+    feed.  Token probabilities are exact rationals; per-token
+    mixture terms are 9dp-rounded and decimal-summed; a source
+    missing a corpus token contributes only the corpus half (the
+    CASE guard — JSD never hits the KL infinity).  Bits-normalized
+    twin included; JSD bounds pinned in tests.
+
+    Scale shape: one token-grain rollup; the term relation is
+    |vocab| × |sources| (sources bounded — the 20-row totals card
+    broadcasts); vocab-linear, never pairwise."""
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens_col("text")).alias("token")
+    )
+    stf = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    vocab = stf.groupBy("token").agg(
+        F.sum("tf").cast("long").alias("gf")
+    )
+    stot = stf.groupBy("source").agg(
+        F.sum("tf").cast("long").alias("ts")
+    )
+    gtot = vocab.agg(F.sum("gf").cast("long").alias("tg"))
+    terms = (
+        vocab.crossJoin(F.broadcast(stot))
+        .join(stf, ["source", "token"], "left")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            "ts",
+            F.expr(_Q663_TERM).cast("decimal(28,9)").alias("term"),
+        )
+    )
+    return terms.groupBy("source", "ts").agg(
+        F.sum("term").cast("decimal(28,9)").alias("s")
+    ).select(
+        "source",
+        F.col("ts").cast("long").alias("n_tokens"),
+        F.round(F.col("s").cast("double"), 6).alias("jsd_nats"),
+        F.round(F.expr("CAST(s AS DOUBLE) / ln(2)"), 6).alias(
+            "jsd_bits"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q664 — Zipf rank–frequency slope of the corpus vocabulary
+# ---------------------------------------------------------------------------
+#
+# The companion scaling law to q644's Heaps fit (the two are
+# asymptotically linked): ln-ln OLS of token frequency against
+# frequency rank over the full vocabulary.  Ranks come from
+# exact_cumsum over the (freq DESC, token ASC) total order — no
+# global-sort window; ln terms are small-magnitude, 9dp-rounded,
+# decimal-summed; the slope/intercept reuse q644's portable OLS
+# templates verbatim.
+
+
+def _q664_oracle() -> str:
+    from databricks_etl_spark.plans.queries_dedup import _TOKS
+    from databricks_etl_spark.plans.queries_round15 import (
+        _Q644_K,
+        _Q644_SLOPE,
+    )
+
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT unnest({_TOKS}) AS token FROM documents
+        ),
+        tf AS MATERIALIZED (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+            FROM toks GROUP BY 1
+        ),
+        ranked AS MATERIALIZED (
+            SELECT f, CAST(row_number() OVER (
+                       ORDER BY f DESC, token) AS BIGINT) AS r
+            FROM tf
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                   CAST(SUM(CAST(round(ln(r), 9) AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS sx,
+                   CAST(SUM(CAST(round(ln(f), 9) AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS sy,
+                   CAST(SUM(CAST(round(ln(r) * ln(f), 9)
+                        AS DECIMAL(28,9))) AS DECIMAL(28,9)) AS sxy,
+                   CAST(SUM(CAST(round(ln(r) * ln(r), 9)
+                        AS DECIMAL(28,9))) AS DECIMAL(28,9)) AS sxx
+            FROM ranked
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                   CAST(SUM(f) AS BIGINT) AS n_tokens
+            FROM tf
+        )
+        SELECT tot.vocab_size, tot.n_tokens,
+               {_Q644_SLOPE} AS zipf_slope,
+               {_Q644_K} AS zipf_c
+        FROM mom, tot
+    """
+
+
+@query("q664_zipf_slope", oracle=_q664_oracle(), defer=True)
+def q664_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF RANK–FREQUENCY SLOPE of the corpus vocabulary — the
+    ln-ln OLS fit f(r) ≈ C·r^s over the full token-frequency table,
+    the scaling-law twin of q644's Heaps fit (and a negative-slope
+    invariant pinned in tests: rank up ⇒ frequency down).  Ranks
+    under the (freq DESC, token ASC) total order come from
+    exact_cumsum (two-phase range-partitioned — no global window);
+    the moments are 9dp-rounded decimal sums; slope and intercept
+    reuse q644's portable templates verbatim.
+
+    Scale shape: one token-grain rollup (vocab-bounded), one
+    exact_cumsum rank pass, one 1-row OLS card."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+    from databricks_etl_spark.operators.text import tokens_col
+    from databricks_etl_spark.plans.queries_round15 import (
+        _Q644_K,
+        _Q644_SLOPE,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .withColumn("negf", -F.col("f"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    ranked = exact_cumsum(tf, ["negf", "token"], "one", out_col="r").select(
+        "f", F.col("r").cast("long").alias("r")
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum(F.expr("round(ln(r), 9)").cast("decimal(28,9)"))
+        .cast("decimal(28,9)")
+        .alias("sx"),
+        F.sum(F.expr("round(ln(f), 9)").cast("decimal(28,9)"))
+        .cast("decimal(28,9)")
+        .alias("sy"),
+        F.sum(F.expr("round(ln(r) * ln(f), 9)").cast("decimal(28,9)"))
+        .cast("decimal(28,9)")
+        .alias("sxy"),
+        F.sum(F.expr("round(ln(r) * ln(r), 9)").cast("decimal(28,9)"))
+        .cast("decimal(28,9)")
+        .alias("sxx"),
+    )
+    tot = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("f").cast("long").alias("n_tokens"),
+    )
+    return mom.crossJoin(F.broadcast(tot)).select(
+        "vocab_size",
+        "n_tokens",
+        F.expr(_Q644_SLOPE).alias("zipf_slope"),
+        F.expr(_Q644_K).alias("zipf_c"),
+    )

@@ -141,3 +141,75 @@ def test_q660_confusion_and_fit(spark, smoke_sf_dir):
     )
     assert 0 < r["log_loss"] < math.log(2)
     assert abs(r["beta0"]) < 10 and abs(r["beta1"]) < 10
+
+
+# --- q661 price indices ----------------------------------------------------
+
+
+def test_q661_fisher_bracketing(spark, smoke_sf_dir):
+    """Fisher is the geometric mean of Laspeyres and Paasche, so it
+    lies between them; all three indices are positive."""
+    r = _one(queries()["q661_price_indices"](spark, smoke_sf_dir))
+    lo = min(r["laspeyres"], r["paasche"])
+    hi = max(r["laspeyres"], r["paasche"])
+    assert 0 < lo <= r["fisher"] + 1e-6
+    assert r["fisher"] <= hi + 1e-6
+    assert r["fisher"] == pytest.approx(
+        math.sqrt(r["laspeyres"] * r["paasche"]), abs=5e-6
+    )
+    assert r["n_parts_matched"] > 0
+
+
+# --- q662 Gini -------------------------------------------------------------
+
+
+def test_q662_gini_bounds(spark, smoke_sf_dir):
+    """Gini lives in [0, 1 - 1/n] for nonnegative data."""
+    rows = queries()["q662_gini_by_nation"](spark, smoke_sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert -1e-9 <= r["gini"] <= 1 - 1 / r["n_customers"] + 1e-6
+
+
+def test_q662_gini_degenerate_all_equal(spark):
+    """The grain formula must yield exactly 0 for an all-equal
+    distribution — checked through the same expression the lane
+    uses (2*sum(i*x) reconstruction on a tiny planted grain)."""
+    from databricks_etl_spark.plans.queries_round16 import _Q662_G
+
+    df = spark.createDataFrame(
+        [(1, 4, 100 * 4, 100 * (2 * 4 * 0 + 4 * 5))],
+        "nk int, n long, sx long, s2ix long",
+    )
+    r = _one(df.select(F.expr(_Q662_G).alias("g")))
+    assert r["g"] == 0.0
+
+
+# --- q663 Jensen–Shannon divergence ---------------------------------------
+
+
+def test_q663_jsd_bounds(spark, smoke_sf_dir):
+    """JSD is symmetric-bounded: 0 <= jsd <= ln 2; bits twin is the
+    nats value / ln 2."""
+    rows = queries()["q663_js_divergence_by_source"](
+        spark, smoke_sf_dir
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert -1e-9 <= r["jsd_nats"] <= math.log(2) + 1e-9
+        assert r["jsd_bits"] == pytest.approx(
+            r["jsd_nats"] / math.log(2), abs=5e-6
+        )
+
+
+# --- q664 Zipf slope -------------------------------------------------------
+
+
+def test_q664_zipf_slope_negative(spark, smoke_sf_dir):
+    """Frequency decreases with rank by construction of the ranking,
+    so the fitted ln-ln slope must be negative and the intercept
+    (C ≈ top-rank frequency scale) positive."""
+    r = _one(queries()["q664_zipf_slope"](spark, smoke_sf_dir))
+    assert r["zipf_slope"] < 0
+    assert r["zipf_c"] > 0
+    assert r["vocab_size"] > 1
