@@ -1278,3 +1278,613 @@ def q664_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_Q644_SLOPE).alias("zipf_slope"),
         F.expr(_Q644_K).alias("zipf_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q665 — Mann–Kendall trend test on monthly revenue
+# ---------------------------------------------------------------------------
+#
+# The nonparametric trend complement to q614's ACF and q622's Holt
+# fit (public: Mann 1945, Kendall 1975): S = Σ_{i<j} sign(x_j − x_i)
+# over the bounded monthly grid, tie-corrected variance
+# 18·Var(S) = n(n−1)(2n+5) − Σ_g t(t−1)(2t+5), and the
+# continuity-corrected z.  S and 18·Var(S) are exact integers (the
+# pair join runs on the ~tens-of-rows month grid); z and the trend
+# verdict are one portable expression.
+
+_Q665_Z = (
+    "CASE WHEN s = 0 THEN CAST(0 AS DOUBLE)"
+    " ELSE (CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))"
+    " / sqrt(CAST(v18 AS DOUBLE) / 18) END"
+)
+_Q665_TREND = (
+    f"CASE WHEN {_Q665_Z} > 1.96 THEN 'increasing'"
+    f" WHEN {_Q665_Z} < -1.96 THEN 'decreasing'"
+    " ELSE 'no_trend' END"
+)
+
+
+def _q665_oracle() -> str:
+    return f"""
+        WITH monthly AS MATERIALIZED (
+            SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        pairs AS (
+            SELECT CAST(SUM(CAST(sign(b.x - a.x) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM monthly a JOIN monthly b ON a.m < b.m
+        ),
+        ties AS (
+            SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                        AS BIGINT) AS tie18
+            FROM (
+                SELECT CAST(COUNT(*) AS BIGINT) AS t
+                FROM monthly GROUP BY x HAVING COUNT(*) > 1
+            )
+        ),
+        nn AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM monthly
+        ),
+        card AS (
+            SELECT nn.n, pairs.s,
+                   CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                        - ties.tie18 AS BIGINT) AS v18
+            FROM nn, pairs, ties
+        )
+        SELECT n AS n_months, s AS s_statistic,
+               v18 AS var_s_x18,
+               round({_Q665_Z}, 6) AS z_score,
+               {_Q665_TREND} AS trend
+        FROM card
+    """
+
+
+@query("q665_mann_kendall_trend", oracle=_q665_oracle(), defer=True)
+def q665_mann_kendall_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MANN–KENDALL TREND TEST on monthly revenue — the rank-based
+    trend detector joining the rank-statistics family (q593/q610/
+    q611) to the time-series family (q614/q622): exact integer S
+    from the sign-pair sum, the tie-corrected 18·Var(S), and the
+    continuity-corrected z with a ±1.96 trend verdict.  S and the
+    variance are exact BIGINT; z is one shared portable expression
+    (the S=0 branch returns literal 0 so no 0/den ulp).
+
+    Scale shape: one orders scan → bounded monthly grid (the q529
+    class); the O(grid²) sign-pair join runs on ~tens of rows; the
+    tie rollup and the final card are grid-bounded."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+            .alias("m")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .localCheckpoint()
+    )
+    b = monthly.select(
+        F.col("m").alias("m2"), F.col("x").alias("x2")
+    )
+    pairs = (
+        monthly.join(b, F.col("m") < F.col("m2"))
+        .agg(
+            F.sum(F.signum(F.col("x2") - F.col("x")).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ties = (
+        monthly.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    nn = monthly.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    card = (
+        nn.crossJoin(pairs)
+        .crossJoin(ties)
+        .select(
+            "n",
+            "s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie18")
+            )
+            .cast("long")
+            .alias("v18"),
+        )
+    )
+    return card.select(
+        F.col("n").alias("n_months"),
+        F.col("s").alias("s_statistic"),
+        F.col("v18").alias("var_s_x18"),
+        F.round(F.expr(_Q665_Z), 6).alias("z_score"),
+        F.expr(_Q665_TREND).alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q666 — Jarque–Bera normality card per return flag
+# ---------------------------------------------------------------------------
+#
+# The distribution-shape diagnostic beside q612's mean test and
+# q641's variance test: skewness and excess kurtosis of lineitem
+# quantity per return flag from EXACT centered integer moments, and
+# the Jarque–Bera statistic JB = n(g1²/6 + (g2−3)²/24) against the
+# χ²₂ 95% cut.  The value domain is the small integer quantity
+# grain, so all four centered power sums stay exact in
+# DECIMAL(38,0) after the integer pre-centering y = x − (Σx DIV n)
+# (valid for group sizes up to ~2·10⁷ at the 1..50 domain — beyond
+# that, lift to a two-level grain rollup; the bound is documented,
+# not silent).
+
+_Q666_A2 = "(nd * s2 - s1 * s1)"
+_Q666_A3 = "(nd * nd * s3 - 3 * nd * s2 * s1 + 2 * s1 * s1 * s1)"
+_Q666_A4 = (
+    "(nd * nd * nd * s4 - 4 * nd * nd * s3 * s1"
+    " + 6 * nd * s2 * s1 * s1 - 3 * s1 * s1 * s1 * s1)"
+)
+_Q666_G1 = (
+    f"(CAST({_Q666_A3} AS DOUBLE)"
+    f" / pow(CAST({_Q666_A2} AS DOUBLE), 1.5))"
+)
+_Q666_G2E = (
+    f"(CAST({_Q666_A4} AS DOUBLE)"
+    f" / (CAST({_Q666_A2} AS DOUBLE) * CAST({_Q666_A2} AS DOUBLE))"
+    " - 3)"
+)
+_Q666_JB = (
+    f"(CAST(n AS DOUBLE) * ({_Q666_G1} * {_Q666_G1} / 6"
+    f" + {_Q666_G2E} * {_Q666_G2E} / 24))"
+)
+
+
+def _q666_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round15 import _q612_floordiv
+
+    c = _q612_floordiv("CAST(sq AS HUGEINT)", "n", "duckdb")
+    return f"""
+        WITH grain AS MATERIALIZED (
+            SELECT l_returnflag AS flag,
+                   CAST(l_quantity AS BIGINT) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS ct
+            FROM lineitem GROUP BY 1, 2
+        ),
+        g AS MATERIALIZED (
+            SELECT flag, CAST(SUM(ct) AS BIGINT) AS n,
+                   CAST(SUM(v * ct) AS BIGINT) AS sq
+            FROM grain GROUP BY 1
+        ),
+        cen AS MATERIALIZED (
+            SELECT flag, n, CAST({c} AS BIGINT) AS c FROM g
+        ),
+        mom AS MATERIALIZED (
+            SELECT grain.flag, cen.n,
+                   CAST(cen.n AS DECIMAL(38,0)) AS nd,
+                   CAST(SUM((grain.v - cen.c) * ct)
+                        AS DECIMAL(38,0)) AS s1,
+                   CAST(SUM((grain.v - cen.c) * (grain.v - cen.c) * ct)
+                        AS DECIMAL(38,0)) AS s2,
+                   CAST(SUM((grain.v - cen.c) * (grain.v - cen.c)
+                            * (grain.v - cen.c) * ct)
+                        AS DECIMAL(38,0)) AS s3,
+                   CAST(SUM((grain.v - cen.c) * (grain.v - cen.c)
+                            * (grain.v - cen.c) * (grain.v - cen.c)
+                            * ct) AS DECIMAL(38,0)) AS s4
+            FROM grain JOIN cen ON grain.flag = cen.flag
+            GROUP BY 1, 2, 3
+        )
+        SELECT flag AS l_returnflag, n AS n_items,
+               round({_Q666_G1}, 6) AS skewness,
+               round({_Q666_G2E}, 6) AS excess_kurtosis,
+               round({_Q666_JB}, 6) AS jb_statistic,
+               {_Q666_JB} > 5.991464547107979 AS normality_rejected
+        FROM mom
+    """
+
+
+@query("q666_jarque_bera", oracle=_q666_oracle(), defer=True)
+def q666_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE–BERA NORMALITY CARD of order quantity per return flag —
+    skewness g1 = A3/A2^1.5 and excess kurtosis g2−3 = A4/A2²−3 from
+    EXACT integer centered moments (the n-scaled central sums
+    A2 = nΣy²−(Σy)², A3 = n²Σy³−3nΣy²Σy+2(Σy)³, A4 likewise — the
+    power cancellations run entirely in DECIMAL(38,0), never through
+    a double), then JB = n(g1²/6 + (g2−3)²/24) vs the χ²₂ 95% cut.
+    Integer pre-centering on Σx DIV n keeps every power sum inside
+    38 digits through ~2·10⁷ rows/group on the 1..50 domain (the
+    documented magnitude bound, q622-style).
+
+    Scale shape: one lineitem scan → (flag, quantity) VALUE GRAIN
+    (≤50 rows per flag); every power sum and the JB card run on the
+    bounded grain."""
+    from databricks_etl_spark.plans.queries_round15 import _q612_floordiv
+
+    li = read_table(spark, sf_dir, "lineitem")
+    grain = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+        .localCheckpoint()
+    )
+    g = grain.groupBy("flag").agg(
+        F.sum("ct").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("ct")).cast("long").alias("sq"),
+    )
+    cen = g.select(
+        "flag",
+        "n",
+        F.expr(
+            _q612_floordiv("CAST(sq AS DECIMAL(38,0))", "n", "spark")
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    y = F.col("v") - F.col("c")
+    yd = y.cast("decimal(38,0)")
+    mom = (
+        grain.join(cen, "flag")
+        .groupBy("flag", "n")
+        .agg(
+            F.sum(yd * F.col("ct")).cast("decimal(38,0)").alias("s1"),
+            F.sum(yd * y * F.col("ct"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+            F.sum(yd * y * y * F.col("ct"))
+            .cast("decimal(38,0)")
+            .alias("s3"),
+            F.sum(yd * y * y * y * F.col("ct"))
+            .cast("decimal(38,0)")
+            .alias("s4"),
+        )
+        .withColumn("nd", F.col("n").cast("decimal(38,0)"))
+    )
+    return mom.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("n").alias("n_items"),
+        F.round(F.expr(_Q666_G1), 6).alias("skewness"),
+        F.round(F.expr(_Q666_G2E), 6).alias("excess_kurtosis"),
+        F.round(F.expr(_Q666_JB), 6).alias("jb_statistic"),
+        F.expr(f"{_Q666_JB} > 5.991464547107979").alias(
+            "normality_rejected"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q667 — process capability (Cp / Cpk) per brand
+# ---------------------------------------------------------------------------
+#
+# The SPC card beside q596's CUSUM: order-quantity capability per
+# part brand against literal spec limits [5, 45] — Cp (spread
+# capability) and Cpk (centered capability), both from the exact
+# integer moment pair (population σ = √(nΣx²−(Σx)²)/n), verdict at
+# the conventional 1.33 cut.  All float work is one shared portable
+# expression per column.
+
+_Q667_LSL, _Q667_USL = 5, 45
+_Q667_SIG = (
+    "(sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n)"
+)
+_Q667_MU = "(CAST(s1 AS DOUBLE) / n)"
+_Q667_CP = f"(({_Q667_USL} - {_Q667_LSL}) / (6 * {_Q667_SIG}))"
+_Q667_CPK = (
+    f"(least({_Q667_USL} - {_Q667_MU}, {_Q667_MU} - {_Q667_LSL})"
+    f" / (3 * {_Q667_SIG}))"
+)
+
+
+def _q667_oracle() -> str:
+    return f"""
+        WITH m AS (
+            SELECT p.p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT))
+                        AS BIGINT) AS s1,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)
+                            * CAST(l.l_quantity AS BIGINT))
+                        AS BIGINT) AS s2
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        )
+        SELECT p_brand, n AS n_items,
+               round({_Q667_MU}, 6) AS mean_qty,
+               round({_Q667_SIG}, 6) AS sigma_qty,
+               round({_Q667_CP}, 6) AS cp,
+               round({_Q667_CPK}, 6) AS cpk,
+               {_Q667_CPK} >= 1.33 AS capable
+        FROM m
+    """
+
+
+@query("q667_process_capability", oracle=_q667_oracle(), defer=True)
+def q667_process_capability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROCESS CAPABILITY Cp/Cpk of order quantity per part brand —
+    the SPC acceptance card beside q596's CUSUM drift monitor: Cp
+    measures spread vs the [{_Q667_LSL}, {_Q667_USL}] spec window,
+    Cpk penalizes off-center processes (Cpk ≤ Cp always — pinned in
+    tests), verdict at the conventional 1.33 cut.  Population σ from
+    the exact integer moment pair; every float column is one shared
+    portable expression.
+
+    Scale shape: one lineitem scan with a dimension-sized part join,
+    a 25-row brand rollup; no further data movement."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    q = F.col("l_quantity").cast("long")
+    m = (
+        li.join(p.select("p_partkey", "p_brand"),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(q).cast("long").alias("s1"),
+            F.sum(q * q).cast("long").alias("s2"),
+        )
+    )
+    return m.select(
+        "p_brand",
+        F.col("n").alias("n_items"),
+        F.round(F.expr(_Q667_MU), 6).alias("mean_qty"),
+        F.round(F.expr(_Q667_SIG), 6).alias("sigma_qty"),
+        F.round(F.expr(_Q667_CP), 6).alias("cp"),
+        F.round(F.expr(_Q667_CPK), 6).alias("cpk"),
+        F.expr(f"{_Q667_CPK} >= 1.33").alias("capable"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q668 — Brown–Forsythe equal-spread test (median-based Levene)
+# ---------------------------------------------------------------------------
+#
+# The robust complement to q641's Bartlett test (which assumes
+# normality): one-way ANOVA on absolute deviations from the GROUP
+# MEDIAN, z = |x − med|, across the three return flags.  Medians are
+# exact half-cent integers (low+high middle order statistics summed,
+# so z doubles to stay integral); the ANOVA F reuses q612's exact
+# integer-splitting machinery verbatim (sbi/sbf pieces, floor
+# divisions in DECIMAL(38,0)/HUGEINT).
+
+
+def _q668_cards(engine: str) -> dict[str, str]:
+    from databricks_etl_spark.plans.queries_round15 import _q612_floordiv
+
+    s2n = _q612_floordiv("s * s", "n", engine)
+    ssb = (
+        f"(CAST(sbi - {s2n} AS DOUBLE)"
+        " + CAST(sbf AS DOUBLE)"
+        " - CAST((s * s) % n AS DOUBLE) / n)"
+    )
+    ssw = "(CAST(q - sbi AS DOUBLE) - CAST(sbf AS DOUBLE))"
+    f = f"(({ssb} / (k - 1)) / ({ssw} / (n - k)))"
+    return {"f": f"round({f}, 6)", "rej": f"{f} > 2.9957"}
+
+
+def _q668_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round15 import _Q612_FRAC
+
+    e = _q668_cards("duckdb")
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT l_returnflag AS grp,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       AS cents
+            FROM lineitem
+        ),
+        grain AS MATERIALIZED (
+            SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM v GROUP BY 1, 2
+        ),
+        cdf AS MATERIALIZED (
+            SELECT grp, cents, ct,
+                   CAST(SUM(ct) OVER (PARTITION BY grp ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM grain
+        ),
+        gn AS MATERIALIZED (
+            SELECT grp, CAST(SUM(ct) AS BIGINT) AS n_g
+            FROM grain GROUP BY 1
+        ),
+        med AS MATERIALIZED (
+            SELECT gn.grp,
+                   CAST((SELECT MIN(cents) FROM cdf
+                         WHERE cdf.grp = gn.grp
+                           AND cdf.cum >= (gn.n_g + 1) // 2)
+                        + (SELECT MIN(cents) FROM cdf
+                           WHERE cdf.grp = gn.grp
+                             AND cdf.cum >= gn.n_g // 2 + 1)
+                        AS BIGINT) AS med2
+            FROM gn
+        ),
+        z AS MATERIALIZED (
+            SELECT v.grp, abs(2 * v.cents - med.med2) AS z
+            FROM v JOIN med ON v.grp = med.grp
+        ),
+        g AS MATERIALIZED (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+                   CAST(SUM(z) AS BIGINT) AS sg
+            FROM z GROUP BY 1
+        ),
+        g2 AS MATERIALIZED (
+            SELECT grp, ng, sg,
+                   CAST(CAST(sg AS HUGEINT) * sg // ng
+                        AS DECIMAL(38,0)) AS dg,
+                   CAST(CAST(sg AS HUGEINT) * sg % ng AS BIGINT) AS rg
+            FROM g
+        ),
+        tots AS (
+            SELECT CAST(SUM(ng) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(sg) AS HUGEINT) AS s,
+                   CAST(SUM(CAST(dg AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sbi,
+                   CAST(SUM(CAST({_Q612_FRAC} AS DECIMAL(28,9)))
+                        AS DECIMAL(28,9)) AS sbf
+            FROM g2
+        ),
+        qq AS (
+            SELECT CAST(SUM(CAST(z AS DECIMAL(38,0)) * z)
+                        AS DECIMAL(38,0)) AS q
+            FROM z
+        ),
+        meds AS (
+            SELECT MAX(CASE WHEN grp = 'A' THEN med2 END) AS med2_a,
+                   MAX(CASE WHEN grp = 'N' THEN med2 END) AS med2_n,
+                   MAX(CASE WHEN grp = 'R' THEN med2 END) AS med2_r
+            FROM med
+        )
+        SELECT k AS k_groups, n AS n_rows,
+               meds.med2_a, meds.med2_n, meds.med2_r,
+               {e["f"]} AS bf_f_stat,
+               {e["rej"]} AS equal_spread_rejected
+        FROM tots, qq, meds
+    """
+
+
+@query("q668_brown_forsythe", oracle=_q668_oracle(), defer=True)
+def q668_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN–FORSYTHE equal-spread test of extended price across the
+    three return flags — the median-based Levene variant that stays
+    valid off-normal (the robust complement to q641's Bartlett):
+    z = |2x − med2| in doubled cents (med2 = low+high middle order
+    statistics, an exact integer even for even groups), then q612's
+    exact integer-split one-way ANOVA on z, F against the χ²-level
+    2.9957 cut (F(2,∞) at 95%).
+
+    Scale shape: per-group medians come from ONE exact_cumsum pass
+    over the (group, value) GRAIN — the global kernel's cumulative
+    minus each group's exclusive offset gives every per-group CDF
+    without a per-group sort or a global window; the z relation is
+    one scan-shaped join against the 3-row median card; the ANOVA
+    runs on 3-row/1-row cards."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+    from databricks_etl_spark.plans.queries_round15 import (
+        _Q612_FRAC,
+        _q612_floordiv,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    e = _q668_cards("spark")
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+    ).localCheckpoint()
+    grain = v.groupBy("grp", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    cdf = exact_cumsum(grain, ["grp", "cents"], "ct", out_col="gcum")
+    off = cdf.groupBy("grp").agg(
+        F.min(F.col("gcum") - F.col("ct")).cast("decimal(38,0)").alias(
+            "off"
+        ),
+        F.sum("ct").cast("long").alias("n_g"),
+    )
+    cdf2 = cdf.join(F.broadcast(off), "grp").select(
+        "grp",
+        "cents",
+        (F.col("gcum") - F.col("off")).cast("long").alias("cum"),
+        "n_g",
+    )
+    k1 = (F.col("n_g") + 1) / 2
+    v1 = (
+        cdf2.filter(F.col("cum") >= F.floor(k1))
+        .groupBy("grp")
+        .agg(F.min("cents").alias("m1"))
+    )
+    v2 = (
+        cdf2.filter(F.col("cum") >= F.expr("n_g DIV 2 + 1"))
+        .groupBy("grp")
+        .agg(F.min("cents").alias("m2"))
+    )
+    med = v1.join(v2, "grp").select(
+        "grp", (F.col("m1") + F.col("m2")).cast("long").alias("med2")
+    )
+    z = v.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(2 * F.col("cents") - F.col("med2")).alias("z")
+    )
+    g2 = (
+        z.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum("z").cast("long").alias("sg"),
+        )
+        .select(
+            "grp",
+            "ng",
+            F.col("sg").cast("decimal(38,0)").alias("sg"),
+            F.expr(
+                _q612_floordiv("CAST(sg AS DECIMAL(38,0)) * sg", "ng",
+                               "spark")
+            ).alias("dg"),
+            F.expr("(CAST(sg AS DECIMAL(38,0)) * sg) % ng")
+            .cast("long")
+            .alias("rg"),
+        )
+    )
+    tots = g2.select(
+        "ng",
+        "sg",
+        "dg",
+        F.expr(_Q612_FRAC).cast("decimal(28,9)").alias("frac"),
+    ).agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sg").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("dg").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sbi"),
+        F.sum("frac").cast("decimal(28,9)").alias("sbf"),
+    )
+    qq = z.agg(
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z"))
+        .cast("decimal(38,0)")
+        .alias("q")
+    )
+    meds = med.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("med2"))).alias(
+            "med2_a"
+        ),
+        F.max(F.when(F.col("grp") == "N", F.col("med2"))).alias(
+            "med2_n"
+        ),
+        F.max(F.when(F.col("grp") == "R", F.col("med2"))).alias(
+            "med2_r"
+        ),
+    )
+    return (
+        tots.crossJoin(qq)
+        .crossJoin(F.broadcast(meds))
+        .select(
+            F.col("k").alias("k_groups"),
+            F.col("n").alias("n_rows"),
+            "med2_a",
+            "med2_n",
+            "med2_r",
+            F.expr(e["f"]).alias("bf_f_stat"),
+            F.expr(e["rej"]).alias("equal_spread_rejected"),
+        )
+    )

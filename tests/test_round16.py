@@ -213,3 +213,68 @@ def test_q664_zipf_slope_negative(spark, smoke_sf_dir):
     assert r["zipf_slope"] < 0
     assert r["zipf_c"] > 0
     assert r["vocab_size"] > 1
+
+
+# --- q665 Mann–Kendall ------------------------------------------------------
+
+
+def test_q665_mk_bounds(spark, smoke_sf_dir):
+    """|S| is bounded by the pair count n(n-1)/2; the variance is
+    positive; the trend verdict matches the z cut."""
+    r = _one(queries()["q665_mann_kendall_trend"](spark, smoke_sf_dir))
+    n = r["n_months"]
+    assert abs(r["s_statistic"]) <= n * (n - 1) // 2
+    assert r["var_s_x18"] > 0
+    expected = (
+        "increasing"
+        if r["z_score"] > 1.96
+        else "decreasing" if r["z_score"] < -1.96 else "no_trend"
+    )
+    assert r["trend"] == expected
+
+
+# --- q666 Jarque–Bera -------------------------------------------------------
+
+
+def test_q666_jb_consistency(spark, smoke_sf_dir):
+    """JB recomposes from the reported skewness/kurtosis; the
+    near-uniform quantity column must reject normality with platykurtic
+    shape (negative excess kurtosis ~ -1.2 for uniform)."""
+    rows = queries()["q666_jarque_bera"](spark, smoke_sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        jb = r["n_items"] * (
+            r["skewness"] ** 2 / 6 + r["excess_kurtosis"] ** 2 / 24
+        )
+        assert r["jb_statistic"] == pytest.approx(jb, rel=1e-3)
+        assert r["excess_kurtosis"] < 0  # uniform-ish => platykurtic
+        assert r["normality_rejected"] == (r["jb_statistic"] > 5.991464547107979)
+
+
+# --- q667 process capability ------------------------------------------------
+
+
+def test_q667_cpk_dominated_by_cp(spark, smoke_sf_dir):
+    """Cpk <= Cp always (centering can only lose capability); sigma
+    positive; verdict matches the 1.33 cut."""
+    rows = queries()["q667_process_capability"](
+        spark, smoke_sf_dir
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["sigma_qty"] > 0
+        assert r["cpk"] <= r["cp"] + 1e-6
+        assert r["capable"] == (r["cpk"] >= 1.33)
+
+
+# --- q668 Brown–Forsythe ----------------------------------------------------
+
+
+def test_q668_bf_card(spark, smoke_sf_dir):
+    """Three groups; the doubled medians are positive and the F stat
+    nonnegative; verdict matches the cut."""
+    r = _one(queries()["q668_brown_forsythe"](spark, smoke_sf_dir))
+    assert r["k_groups"] == 3
+    assert min(r["med2_a"], r["med2_n"], r["med2_r"]) > 0
+    assert r["bf_f_stat"] >= 0
+    assert r["equal_spread_rejected"] == (r["bf_f_stat"] > 2.9957)
