@@ -157,34 +157,13 @@ def _q657_oracle() -> str:
     """
 
 
-@query("q657_ar2_backtest", oracle=_q657_oracle(), defer=True)
-def q657_ar2_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AR(2) ONE-STEP BACKTEST on daily order revenue — the
-    forecasting rung VERDICT r15 #4 asked for: Yule–Walker
-    coefficients φ1/φ2 from the exact q614 ACF machinery (6dp-rounded
-    a1/a2 — identical exact inputs on both engines), one-step
-    forecasts x̂_t = μ + φ1(x_{t−1}−μ) + φ2(x_{t−2}−μ) quantized to
-    integer cents by FLOOR(f + 0.5) (q477's half-up spelling), and
-    the SAE verdict card vs naive persistence (q622's plain-vs-model
-    discipline).  Error sums are exact BIGINT cents — no float ever
-    enters an aggregate (the q612 wide-magnitude rule).
-
-    Scale shape: one orders scan → bounded daily grid; day indexing
-    via exact_cumsum (no global window); the lag pivot and the
-    (t, t−1, t−2) triple join run on the bounded grid; two 1-row
-    broadcast cards."""
+def _q657_card_from_daily(daily: DataFrame) -> DataFrame:
+    """The AR(2) backtest over a (d, x) daily-cents grid — shared by
+    the batch lane and the streaming twin's drain so the two can
+    never drift."""
     from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
 
-    o = read_table(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
-            .cast("long")
-            .alias("x")
-        )
-        .withColumn("one", F.lit(1).cast("long"))
-    )
+    daily = daily.withColumn("one", F.lit(1).cast("long"))
     idx = (
         exact_cumsum(daily, ["d"], "one", out_col="i")
         .select(F.col("i").cast("long").alias("i"), "x")
@@ -258,6 +237,31 @@ def q657_ar2_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sae_p").alias("sae_persistence_cents"),
         (F.col("sae_ar") < F.col("sae_p")).alias("ar_beats_persistence"),
     )
+
+
+@query("q657_ar2_backtest", oracle=_q657_oracle(), defer=True)
+def q657_ar2_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) ONE-STEP BACKTEST on daily order revenue — the
+    forecasting rung VERDICT r15 #4 asked for: Yule–Walker
+    coefficients φ1/φ2 from the exact q614 ACF machinery (6dp-rounded
+    a1/a2 — identical exact inputs on both engines), one-step
+    forecasts x̂_t = μ + φ1(x_{t−1}−μ) + φ2(x_{t−2}−μ) quantized to
+    integer cents by FLOOR(f + 0.5) (q477's half-up spelling), and
+    the SAE verdict card vs naive persistence (q622's plain-vs-model
+    discipline).  Error sums are exact BIGINT cents — no float ever
+    enters an aggregate (the q612 wide-magnitude rule).
+
+    Scale shape: one orders scan → bounded daily grid; day indexing
+    via exact_cumsum (no global window); the lag pivot and the
+    (t, t−1, t−2) triple join run on the bounded grid; two 1-row
+    broadcast cards."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    return _q657_card_from_daily(daily)
 
 
 # ---------------------------------------------------------------------------
@@ -378,6 +382,12 @@ def q658_semantic_decontamination(
         list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
     )
     cells = SIM.assign_cells(e, cents).localCheckpoint()
+    return _q658_card_from_cells(cells, d)
+
+
+def _q658_card_from_cells(cells: DataFrame, d: DataFrame) -> DataFrame:
+    """Per-source contamination card over assigned cells — shared by
+    the batch lane and the streaming twin's drain."""
     hits = _q658_hits(cells).withColumn("__hit", F.lit(1))
     docs = d.filter(F.col("doc_id") % 50 != 0).select(
         F.col("doc_id").alias("vec_id"), "source"
@@ -511,9 +521,14 @@ def q659_harmonic_centrality_sampled(
         .distinct()
         .localCheckpoint()
     )
+    return _q659_card_from_graph(edges, li.select("pk").distinct())
+
+
+def _q659_card_from_graph(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Sampled-harmonic card over an (edges, nodes) pair — shared by
+    the batch lane and the streaming twin's drain."""
     srcs = (
-        li.select("pk")
-        .distinct()
+        nodes
         .filter(
             F.substring(
                 F.md5(F.concat(F.lit("hc:"), F.col("pk").cast("string"))),
@@ -673,14 +688,15 @@ def q660_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the 0.5 threshold (logit > 0 — an exact comparison), accuracy,
     and the decimal-summed log-loss.
 
-    Scale shape: the scored base is localCheckpointed once; each
-    step is one map-side-combined aggregate + a 1-row broadcast
-    card — 3 passes total, no driver-side data beyond the 1-row β
-    card."""
+    Scale shape: the scored corpus collapses to the (x, y)
+    CONTINGENCY GRAIN (≤10 cells for the quarter-unit score × binary
+    label), so every Newton pass and the confusion card run on the
+    bounded grain with count weights — one corpus-sized aggregate
+    total, 1-row broadcast β cards."""
     from databricks_etl_spark.operators import text as TX
 
     d = read_table(spark, sf_dir, "documents")
-    base = (
+    grain = (
         TX.quality_features(d)
         .select(
             "doc_id",
@@ -693,9 +709,19 @@ def q660_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_id",
         )
-        .select("x", "y")
-        .localCheckpoint()
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
     )
+    return _q660_fit_from_grain(grain)
+
+
+def _q660_fit_from_grain(grain: DataFrame) -> DataFrame:
+    """The unrolled IRLS fit + confusion card over an (x, y, ct)
+    contingency grain — shared by the batch lane and the streaming
+    twin's drain.  ct-weighting each 9dp-rounded term is exactly the
+    decimal sum of ct identical terms, so the grain evaluation is
+    bit-identical to the row-wise oracle."""
+    base = grain.localCheckpoint()
     card = base.sparkSession.createDataFrame(
         [(0.0, 0.0)], "b0 double, b1 double"
     )
@@ -706,7 +732,9 @@ def q660_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "b0",
                 "b1",
                 *[
-                    F.expr(t).cast("decimal(28,9)").alias(n)
+                    (F.expr(t).cast("decimal(28,9)") * F.col("ct"))
+                    .cast("decimal(28,9)")
+                    .alias(n)
                     for n, t in _Q660_TERMS.items()
                 ],
             )
@@ -723,45 +751,41 @@ def q660_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     pred = base.crossJoin(F.broadcast(card)).select(
         "y",
+        "ct",
         (F.col("b0") + F.col("b1") * F.col("x").cast("double") > 0).alias(
             "yhat"
         ),
-        F.expr(_Q660_TLL).cast("decimal(28,9)").alias("tll"),
+        (F.expr(_Q660_TLL).cast("decimal(28,9)") * F.col("ct"))
+        .cast("decimal(28,9)")
+        .alias("tll"),
         "b0",
         "b1",
     )
+    ct = F.col("ct")
     return pred.groupBy("b0", "b1").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(
-            F.when(F.col("yhat") & (F.col("y") == 1), 1).otherwise(0)
-        )
+        F.sum(ct).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("yhat") & (F.col("y") == 1), ct).otherwise(0))
         .cast("long")
         .alias("tp"),
-        F.sum(
-            F.when(F.col("yhat") & (F.col("y") == 0), 1).otherwise(0)
-        )
+        F.sum(F.when(F.col("yhat") & (F.col("y") == 0), ct).otherwise(0))
         .cast("long")
         .alias("fp"),
-        F.sum(
-            F.when(~F.col("yhat") & (F.col("y") == 1), 1).otherwise(0)
-        )
+        F.sum(F.when(~F.col("yhat") & (F.col("y") == 1), ct).otherwise(0))
         .cast("long")
         .alias("fn"),
-        F.sum(
-            F.when(~F.col("yhat") & (F.col("y") == 0), 1).otherwise(0)
-        )
+        F.sum(F.when(~F.col("yhat") & (F.col("y") == 0), ct).otherwise(0))
         .cast("long")
         .alias("tn"),
         F.round(
             F.sum(
-                F.when(F.col("yhat") == (F.col("y") == 1), 1).otherwise(0)
+                F.when(F.col("yhat") == (F.col("y") == 1), ct).otherwise(0)
             ).cast("double")
-            / F.count(F.lit(1)),
+            / F.sum(ct),
             6,
         ).alias("accuracy"),
         F.round(
             F.sum("tll").cast("decimal(28,9)").cast("double")
-            / F.count(F.lit(1)),
+            / F.sum(ct),
             6,
         ).alias("log_loss"),
     ).select(
@@ -1136,6 +1160,12 @@ def q663_js_divergence_by_source(
     stf = toks.groupBy("source", "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    return _q663_card_from_stf(stf)
+
+
+def _q663_card_from_stf(stf: DataFrame) -> DataFrame:
+    """The JSD card over a (source, token, tf) count relation —
+    shared by the batch lane and the streaming twin's drain."""
     vocab = stf.groupBy("token").agg(
         F.sum("tf").cast("long").alias("gf")
     )
@@ -1358,18 +1388,21 @@ def q665_mann_kendall_trend(
     class); the O(grid²) sign-pair join runs on ~tens of rows; the
     tie rollup and the final card are grid-bounded."""
     o = read_table(spark, sf_dir, "orders")
-    monthly = (
-        o.groupBy(
-            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
-            .alias("m")
-        )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
-            .cast("long")
-            .alias("x")
-        )
-        .localCheckpoint()
+    monthly = o.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+        .alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("x")
     )
+    return _q665_card_from_monthly(monthly)
+
+
+def _q665_card_from_monthly(monthly: DataFrame) -> DataFrame:
+    """The Mann–Kendall card over an (m, x) monthly grid — shared by
+    the batch lane and the streaming twin's drain."""
+    monthly = monthly.localCheckpoint()
     b = monthly.select(
         F.col("m").alias("m2"), F.col("x").alias("x2")
     )
@@ -1515,17 +1548,20 @@ def q666_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one lineitem scan → (flag, quantity) VALUE GRAIN
     (≤50 rows per flag); every power sum and the JB card run on the
     bounded grain."""
+    li = read_table(spark, sf_dir, "lineitem")
+    grain = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    return _q666_card_from_grain(grain)
+
+
+def _q666_card_from_grain(grain: DataFrame) -> DataFrame:
+    """The Jarque–Bera card over a (flag, v, ct) value grain —
+    shared by the batch lane and the streaming twin's drain."""
     from databricks_etl_spark.plans.queries_round15 import _q612_floordiv
 
-    li = read_table(spark, sf_dir, "lineitem")
-    grain = (
-        li.groupBy(
-            F.col("l_returnflag").alias("flag"),
-            F.col("l_quantity").cast("long").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
-        .localCheckpoint()
-    )
+    grain = grain.localCheckpoint()
     g = grain.groupBy("flag").agg(
         F.sum("ct").cast("long").alias("n"),
         F.sum(F.col("v") * F.col("ct")).cast("long").alias("sq"),
@@ -1779,23 +1815,31 @@ def q668_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     without a per-group sort or a global window; the z relation is
     one scan-shaped join against the 3-row median card; the ANOVA
     runs on 3-row/1-row cards."""
+    li = read_table(spark, sf_dir, "lineitem")
+    grain = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+    ).groupBy("grp", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    return _q668_card_from_grain(grain)
+
+
+def _q668_card_from_grain(grain: DataFrame) -> DataFrame:
+    """The Brown–Forsythe card over a (grp, cents, ct) value grain —
+    shared by the batch lane and the streaming twin's drain.  All z
+    statistics are ct-weighted grain sums, exactly equal to the
+    row-wise oracle sums."""
     from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
     from databricks_etl_spark.plans.queries_round15 import (
         _Q612_FRAC,
         _q612_floordiv,
     )
 
-    li = read_table(spark, sf_dir, "lineitem")
     e = _q668_cards("spark")
-    v = li.select(
-        F.col("l_returnflag").alias("grp"),
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias(
-            "cents"
-        ),
-    ).localCheckpoint()
-    grain = v.groupBy("grp", "cents").agg(
-        F.count(F.lit(1)).cast("long").alias("ct")
-    )
+    grain = grain.localCheckpoint()
     cdf = exact_cumsum(grain, ["grp", "cents"], "ct", out_col="gcum")
     off = cdf.groupBy("grp").agg(
         F.min(F.col("gcum") - F.col("ct")).cast("decimal(38,0)").alias(
@@ -1823,14 +1867,16 @@ def q668_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = v1.join(v2, "grp").select(
         "grp", (F.col("m1") + F.col("m2")).cast("long").alias("med2")
     )
-    z = v.join(F.broadcast(med), "grp").select(
-        "grp", F.abs(2 * F.col("cents") - F.col("med2")).alias("z")
+    z = grain.join(F.broadcast(med), "grp").select(
+        "grp",
+        "ct",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("z"),
     )
     g2 = (
         z.groupBy("grp")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("ng"),
-            F.sum("z").cast("long").alias("sg"),
+            F.sum("ct").cast("long").alias("ng"),
+            F.sum(F.col("z") * F.col("ct")).cast("long").alias("sg"),
         )
         .select(
             "grp",
@@ -1860,7 +1906,7 @@ def q668_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("frac").cast("decimal(28,9)").alias("sbf"),
     )
     qq = z.agg(
-        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z"))
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z") * F.col("ct"))
         .cast("decimal(38,0)")
         .alias("q")
     )
@@ -1888,3 +1934,412 @@ def q668_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(e["rej"]).alias("equal_spread_rejected"),
         )
     )
+
+
+# ===========================================================================
+# Streaming twins (q669-q676) — epoch-idempotent partial landing + the
+# shared-card drains (the q576/q583/q627 discipline).  Each twin slices
+# the fact table into _r13._STREAM_EPOCHS batches (read at call time so
+# the hostile-slicing tests can raise it), lands ADDITIVE partials into
+# a per-epoch parquet partition (dynamic overwrite = exactly-once per
+# epoch), merges the landed grain, and re-runs the SAME card helper as
+# its batch primary — so drain ≡ batch under ANY slicing, and the twin
+# registers the primary's oracle verbatim.
+# ===========================================================================
+
+
+def _q16_land(df: DataFrame, epoch_id: int, path: str) -> None:
+    """Land one epoch's partial rows (epoch-idempotent: re-landing an
+    epoch replaces exactly its own partition)."""
+    (
+        df.withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(path)
+    )
+
+
+def _q16_stream_root(name: str, sf_dir: str) -> str:
+    import shutil
+
+    from databricks_etl_spark.sources.writers import scratch_dir
+
+    root = scratch_dir(f"{name}_stream_", key=sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+@query(
+    "q669_streaming_ar2_backtest",
+    oracle=QUERIES["q657_ar2_backtest"].oracle,
+    defer=True,
+)
+def q669_streaming_ar2_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q657's AR(2) backtest under STREAMING order arrival — daily
+    revenue partials are additive, so each epoch lands its (day,
+    cents) partial sums and the drain merges days before re-running
+    the shared Yule–Walker/backtest card.  Drain ≡ q657 under ANY
+    order-grain slicing (a day's revenue may split across epochs;
+    the day-grain merge repairs it).
+
+    Scale shape: per-epoch partial rollup; the drain is q657's
+    bounded-grid card."""
+    import databricks_etl_spark.plans.queries_round13 as _r13
+
+    o = read_table(spark, sf_dir, "orders").localCheckpoint()
+    path = _q16_stream_root("ar2", sf_dir) + "/daily"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        part = (
+            o.filter(F.col("o_orderkey") % k == ep)
+            .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+            .agg(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                )
+                .cast("long")
+                .alias("x")
+            )
+        )
+        _q16_land(part, ep, path)
+    daily = (
+        spark.read.schema("d date, x long, __epoch int")
+        .parquet(path)
+        .groupBy("d")
+        .agg(F.sum("x").cast("long").alias("x"))
+    )
+    return _q657_card_from_daily(daily)
+
+
+@query(
+    "q670_streaming_semantic_decontamination",
+    oracle=QUERIES["q658_semantic_decontamination"].oracle,
+    defer=True,
+)
+def q670_streaming_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q658's semantic decontamination under STREAMING embedding
+    arrival — cell assignment is a pure per-vector function, so each
+    epoch lands its slice's assigned cells and the drain re-runs the
+    cell-blocked verify + per-source card over the landed index
+    (the q287 incremental-SemDeDup landing shape).  Drain ≡ q658
+    under ANY vec-grain slicing; the documents source map is
+    dimension-side metadata read at drain time.
+
+    Scale shape: per-epoch work is the slice's 8-centroid argmin;
+    the drain is q658's cell-blocked join."""
+    import databricks_etl_spark.plans.queries_round13 as _r13
+
+    from databricks_etl_spark.operators import similarity as SIM
+    from databricks_etl_spark.plans.queries_round7 import _Q285_CENTS
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings").localCheckpoint()
+    cents = spark.createDataFrame(
+        list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
+    )
+    path = _q16_stream_root("semdecon", sf_dir) + "/cells"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        part = SIM.assign_cells(
+            e.filter(F.col("vec_id") % k == ep), cents
+        )
+        _q16_land(part, ep, path)
+    cells = (
+        spark.read.schema(
+            "vec_id long, embedding array<double>, cell_id int,"
+            " __epoch int"
+        )
+        .parquet(path)
+        .select("vec_id", "embedding", "cell_id")
+        .localCheckpoint()
+    )
+    return _q658_card_from_cells(cells, d)
+
+
+@query(
+    "q671_streaming_harmonic_centrality",
+    oracle=QUERIES["q659_harmonic_centrality_sampled"].oracle,
+    defer=True,
+)
+def q671_streaming_harmonic_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q659's sampled harmonic centrality under STREAMING edge
+    arrival — centrality is a GLOBAL graph property, so each epoch
+    lands its batch-local co-order edges + node grain (q627's
+    graph-grain ingest: orders are atomic per epoch, so edges are
+    batch-local) and the drain re-runs the multi-source BFS over the
+    full landed graph.  Drain ≡ q659 under ANY order-grain slicing.
+
+    Scale shape: per-epoch state is the batch's own distinct edges;
+    the drain is q659's bounded-hop loop."""
+    import databricks_etl_spark.plans.queries_round13 as _r13
+    from databricks_etl_spark.plans.queries_round13 import _Q514_MOD
+    from databricks_etl_spark.plans.queries_round15 import _q627_ingest
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _Q514_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    path = _q16_stream_root("harm", sf_dir) + "/state"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        _q627_ingest(
+            li.filter(F.expr(f"ok DIV {_Q514_MOD}") % k == ep), ep, path
+        )
+    edges = (
+        spark.read.schema("src long, dst long, __epoch int")
+        .parquet(f"{path}/edges")
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        spark.read.schema("pk long, __epoch int")
+        .parquet(f"{path}/nodes")
+        .select("pk")
+        .distinct()
+    )
+    return _q659_card_from_graph(edges, nodes)
+
+
+@query(
+    "q672_streaming_logistic_irls",
+    oracle=QUERIES["q660_logistic_irls"].oracle,
+    defer=True,
+)
+def q672_streaming_logistic_irls(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q660's IRLS logistic fit under STREAMING document arrival —
+    the model's sufficient statistics live on the (x, y) contingency
+    grain, whose counts are additive, so each epoch lands its
+    slice's grain partials and the drain merges cells before
+    re-running the shared Newton card.  Drain ≡ q660 under ANY
+    doc-grain slicing.
+
+    Scale shape: per-epoch work is the slice's quality scoring; the
+    drain runs on the ≤10-cell merged grain."""
+    import databricks_etl_spark.plans.queries_round13 as _r13
+
+    from databricks_etl_spark.operators import text as TX
+
+    d = read_table(spark, sf_dir, "documents").localCheckpoint()
+    path = _q16_stream_root("irls", sf_dir) + "/grain"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        sl = d.filter(F.col("doc_id") % k == ep)
+        part = (
+            TX.quality_features(sl)
+            .select(
+                "doc_id",
+                (F.col("quality_score") * 4).cast("long").alias("x"),
+            )
+            .join(
+                sl.select(
+                    "doc_id",
+                    F.when(F.col("lang") == "en", 1)
+                    .otherwise(0)
+                    .alias("y"),
+                ),
+                "doc_id",
+            )
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+        )
+        _q16_land(part, ep, path)
+    grain = (
+        spark.read.schema("x long, y int, ct long, __epoch int")
+        .parquet(path)
+        .groupBy("x", "y")
+        .agg(F.sum("ct").cast("long").alias("ct"))
+    )
+    return _q660_fit_from_grain(grain)
+
+
+@query(
+    "q673_streaming_js_divergence",
+    oracle=QUERIES["q663_js_divergence_by_source"].oracle,
+    defer=True,
+)
+def q673_streaming_js_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q663's Jensen–Shannon drift card under STREAMING document
+    arrival — token counts are additive, so each epoch lands its
+    slice's (source, token, tf) partials and the drain merges before
+    re-running the shared JSD card.  Drain ≡ q663 under ANY
+    doc-grain slicing.
+
+    Scale shape: per-epoch tokenize + rollup; the drain runs on the
+    vocab-bounded merged count relation."""
+    import databricks_etl_spark.plans.queries_round13 as _r13
+
+    from databricks_etl_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents").localCheckpoint()
+    path = _q16_stream_root("jsd", sf_dir) + "/stf"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        part = (
+            d.filter(F.col("doc_id") % k == ep)
+            .select(
+                "source", F.explode(tokens_col("text")).alias("token")
+            )
+            .groupBy("source", "token")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+        _q16_land(part, ep, path)
+    stf = (
+        spark.read.schema(
+            "source string, token string, tf long, __epoch int"
+        )
+        .parquet(path)
+        .groupBy("source", "token")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    return _q663_card_from_stf(stf)
+
+
+@query(
+    "q674_streaming_mann_kendall",
+    oracle=QUERIES["q665_mann_kendall_trend"].oracle,
+    defer=True,
+)
+def q674_streaming_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q665's Mann–Kendall trend test under STREAMING order arrival —
+    monthly revenue partials are additive, so each epoch lands its
+    (month, cents) partials and the drain merges months before
+    re-running the shared sign-pair card.  Drain ≡ q665 under ANY
+    order-grain slicing.
+
+    Scale shape: per-epoch partial rollup; the drain is q665's
+    bounded-grid pair join."""
+    import databricks_etl_spark.plans.queries_round13 as _r13
+
+    o = read_table(spark, sf_dir, "orders").localCheckpoint()
+    path = _q16_stream_root("mk", sf_dir) + "/monthly"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        part = (
+            o.filter(F.col("o_orderkey") % k == ep)
+            .groupBy(
+                F.date_format(
+                    F.col("o_orderdate").cast("date"), "yyyy-MM"
+                ).alias("m")
+            )
+            .agg(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                )
+                .cast("long")
+                .alias("x")
+            )
+        )
+        _q16_land(part, ep, path)
+    monthly = (
+        spark.read.schema("m string, x long, __epoch int")
+        .parquet(path)
+        .groupBy("m")
+        .agg(F.sum("x").cast("long").alias("x"))
+    )
+    return _q665_card_from_monthly(monthly)
+
+
+@query(
+    "q675_streaming_jarque_bera",
+    oracle=QUERIES["q666_jarque_bera"].oracle,
+    defer=True,
+)
+def q675_streaming_jarque_bera(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q666's Jarque–Bera normality card under STREAMING lineitem
+    arrival — the (flag, quantity) value-grain counts are additive,
+    so each epoch lands its grain partials and the drain merges
+    cells before re-running the shared centered-moment card.
+    Drain ≡ q666 under ANY lineitem-grain slicing.
+
+    Scale shape: per-epoch grain rollup; the drain runs on the ≤50
+    cells/flag merged grain."""
+    import databricks_etl_spark.plans.queries_round13 as _r13
+
+    li = read_table(spark, sf_dir, "lineitem").localCheckpoint()
+    path = _q16_stream_root("jb", sf_dir) + "/grain"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        part = (
+            li.filter(F.col("l_orderkey") % k == ep)
+            .groupBy(
+                F.col("l_returnflag").alias("flag"),
+                F.col("l_quantity").cast("long").alias("v"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+        )
+        _q16_land(part, ep, path)
+    grain = (
+        spark.read.schema("flag string, v long, ct long, __epoch int")
+        .parquet(path)
+        .groupBy("flag", "v")
+        .agg(F.sum("ct").cast("long").alias("ct"))
+    )
+    return _q666_card_from_grain(grain)
+
+
+@query(
+    "q676_streaming_brown_forsythe",
+    oracle=QUERIES["q668_brown_forsythe"].oracle,
+    defer=True,
+)
+def q676_streaming_brown_forsythe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q668's Brown–Forsythe equal-spread test under STREAMING
+    lineitem arrival — the (flag, cents) value-grain counts are
+    additive, so each epoch lands its grain partials and the drain
+    merges before re-running the shared median + integer-split
+    ANOVA card.  Drain ≡ q668 under ANY lineitem-grain slicing (a
+    price level's count may split across epochs; the grain merge
+    repairs it).
+
+    Scale shape: per-epoch grain rollup; the drain is q668's
+    exact_cumsum median pass + 3-row ANOVA cards."""
+    import databricks_etl_spark.plans.queries_round13 as _r13
+
+    li = read_table(spark, sf_dir, "lineitem").localCheckpoint()
+    path = _q16_stream_root("bf", sf_dir) + "/grain"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        part = (
+            li.filter(F.col("l_orderkey") % k == ep)
+            .select(
+                F.col("l_returnflag").alias("grp"),
+                F.round(F.col("l_extendedprice") * 100, 0)
+                .cast("long")
+                .alias("cents"),
+            )
+            .groupBy("grp", "cents")
+            .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+        )
+        _q16_land(part, ep, path)
+    grain = (
+        spark.read.schema(
+            "grp string, cents long, ct long, __epoch int"
+        )
+        .parquet(path)
+        .groupBy("grp", "cents")
+        .agg(F.sum("ct").cast("long").alias("ct"))
+    )
+    return _q668_card_from_grain(grain)

@@ -278,3 +278,45 @@ def test_q668_bf_card(spark, smoke_sf_dir):
     assert min(r["med2_a"], r["med2_n"], r["med2_r"]) > 0
     assert r["bf_f_stat"] >= 0
     assert r["equal_spread_rejected"] == (r["bf_f_stat"] > 2.9957)
+
+
+# --- streaming twins: hostile-slicing drains (q576/q627 discipline) --------
+
+
+import databricks_etl_spark.plans.queries_round13 as r13  # noqa: E402
+
+
+def _collect_sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+_TWINS = [
+    ("q669_streaming_ar2_backtest", "q657_ar2_backtest"),
+    (
+        "q670_streaming_semantic_decontamination",
+        "q658_semantic_decontamination",
+    ),
+    (
+        "q671_streaming_harmonic_centrality",
+        "q659_harmonic_centrality_sampled",
+    ),
+    ("q672_streaming_logistic_irls", "q660_logistic_irls"),
+    ("q673_streaming_js_divergence", "q663_js_divergence_by_source"),
+    ("q674_streaming_mann_kendall", "q665_mann_kendall_trend"),
+    ("q675_streaming_jarque_bera", "q666_jarque_bera"),
+    ("q676_streaming_brown_forsythe", "q668_brown_forsythe"),
+]
+
+
+@pytest.mark.parametrize("twin,primary", _TWINS)
+def test_round16_hostile_slicing_matches_batch(
+    spark, smoke_sf_dir, monkeypatch, twin, primary
+):
+    """Every round-16 streaming drain ≡ its batch primary under a
+    hostile 13-way slicing (partials split across epochs; the grain
+    merges repair them)."""
+    q = queries()
+    batch = _collect_sorted(q[primary](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(q[twin](spark, smoke_sf_dir))
+    assert drained == batch
