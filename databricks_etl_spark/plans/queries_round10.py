@@ -1816,7 +1816,7 @@ def _q353_oracle() -> str:
     """
 
 
-@query("q353_dup_flow_matrix", oracle=_q353_oracle(), bench=True)
+@query("q353_dup_flow_matrix", oracle=_q353_oracle())
 def q353_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHO duplicates WHOM: q123's near-dup pair relation (unigram
     Jaccard >= 0.5, df-capped index) rolled up into a source x source

@@ -919,7 +919,7 @@ def _q581_oracle() -> str:
     )
 
 
-@query("q581_pagerank_integer", oracle=_q581_oracle())
+@query("q581_pagerank_integer", oracle=_q581_oracle(), bench=True)
 def q581_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAGERANK, hash-exact across engines — the graph family's
     centrality rung (after CC q514, BFS q497, triangles q185): ranks
