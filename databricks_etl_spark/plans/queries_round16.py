@@ -2343,3 +2343,612 @@ def q676_streaming_brown_forsythe(
         .agg(F.sum("ct").cast("long").alias("ct"))
     )
     return _q668_card_from_grain(grain)
+
+
+# ---------------------------------------------------------------------------
+# q677 — two-sample Kolmogorov–Smirnov test (exact integer D)
+# ---------------------------------------------------------------------------
+#
+# The distribution-equality test completing the nonparametric family
+# (Mann–Whitney q593 tests location, Brown–Forsythe q668 spread —
+# KS tests the WHOLE ECDF): D = max |F_A(x) − F_R(x)| over returned
+# (R) vs refunded-window (A) extended prices.  The ECDF difference
+# is maximized in EXACT INTEGERS — |ca·n_r − cr·n_a| with ca/cr the
+# cumulative grain counts — so the argmax and the tie-broken witness
+# value can never flip on a float ulp; D and the 95% critical value
+# are portable edges.
+
+_Q677_D = "round(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * nr), 6)"
+_Q677_CRIT = (
+    "(1.358 * sqrt((CAST(na AS DOUBLE) + nr)"
+    " / (CAST(na AS DOUBLE) * nr)))"
+)
+
+
+def _q677_oracle() -> str:
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT l_returnflag AS flag,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       AS cents
+            FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        ),
+        grain AS MATERIALIZED (
+            SELECT cents,
+                   CAST(SUM(CASE WHEN flag = 'A' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cta,
+                   CAST(SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ctr
+            FROM v GROUP BY 1
+        ),
+        cum AS MATERIALIZED (
+            SELECT cents,
+                   CAST(SUM(cta) OVER (ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+                   CAST(SUM(ctr) OVER (ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cr
+            FROM grain
+        ),
+        nn AS (
+            SELECT CAST(SUM(cta) AS BIGINT) AS na,
+                   CAST(SUM(ctr) AS BIGINT) AS nr
+            FROM grain
+        ),
+        diffs AS (
+            SELECT cents,
+                   abs(CAST(ca AS DECIMAL(38,0)) * nn.nr
+                       - CAST(cr AS DECIMAL(38,0)) * nn.na) AS dn
+            FROM cum, nn
+        ),
+        best AS (
+            SELECT CAST(MAX(dn) AS DECIMAL(38,0)) AS dnum FROM diffs
+        ),
+        wit AS (
+            SELECT CAST(MIN(cents) AS BIGINT) AS d_at_cents
+            FROM diffs, best WHERE diffs.dn = best.dnum
+        )
+        SELECT nn.na AS n_a, nn.nr AS n_r,
+               wit.d_at_cents,
+               {_Q677_D} AS d_stat,
+               round({_Q677_CRIT}, 6) AS crit_95,
+               {_Q677_D.replace(", 6)", ", 9)")}
+                   > {_Q677_CRIT} AS equal_dist_rejected
+        FROM nn, best, wit
+    """
+
+
+@query("q677_ks_two_sample", oracle=_q677_oracle(), defer=True)
+def q677_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV–SMIRNOV test of extended price between
+    return flags A and R — the whole-distribution equality test
+    beside Mann–Whitney (location, q593) and Brown–Forsythe (spread,
+    q668).  The ECDF gap is maximized as the EXACT INTEGER
+    |ca·n_r − cr·n_a| over the merged value grain (cumulatives from
+    two exact_cumsum passes — no global window), with the witness
+    value tie-broken MIN; only the final D ratio and the 1.358
+    critical edge are floats, evaluated from identical exact
+    integers on both engines.
+
+    Scale shape: one lineitem scan → value grain; two range-
+    partitioned cumulative passes; a 1-row max/argmax card."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    v = li.filter(F.col("l_returnflag").isin("A", "R")).select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+    )
+    grain = v.groupBy("cents").agg(
+        F.sum(F.when(F.col("flag") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("cta"),
+        F.sum(F.when(F.col("flag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("ctr"),
+    )
+    c1 = exact_cumsum(grain, ["cents"], "cta", out_col="ca")
+    cum = exact_cumsum(c1, ["cents"], "ctr", out_col="cr")
+    nn = grain.agg(
+        F.sum("cta").cast("long").alias("na"),
+        F.sum("ctr").cast("long").alias("nr"),
+    )
+    diffs = cum.crossJoin(F.broadcast(nn)).select(
+        "cents",
+        F.abs(
+            F.col("ca").cast("decimal(38,0)") * F.col("nr")
+            - F.col("cr").cast("decimal(38,0)") * F.col("na")
+        ).alias("dn"),
+    )
+    best = diffs.agg(F.max("dn").cast("decimal(38,0)").alias("dnum"))
+    wit = (
+        diffs.join(F.broadcast(best), diffs.dn == F.col("dnum"))
+        .agg(F.min("cents").cast("long").alias("d_at_cents"))
+    )
+    return (
+        nn.crossJoin(best)
+        .crossJoin(wit)
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nr").alias("n_r"),
+            "d_at_cents",
+            F.expr(_Q677_D).alias("d_stat"),
+            F.round(F.expr(_Q677_CRIT), 6).alias("crit_95"),
+            F.expr(
+                f"{_Q677_D.replace(', 6)', ', 9)')} > {_Q677_CRIT}"
+            ).alias("equal_dist_rejected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q678 — Friedman test (paired ranks across k treatments)
+# ---------------------------------------------------------------------------
+#
+# The PAIRED k-treatment rank test the family still lacked
+# (Kruskal–Wallis q611 is unpaired; Wilcoxon q610 is k=2): blocks =
+# nations, treatments = years 1998/1999/2000, value = the nation's
+# revenue that year.  Within-block average ranks are exact in
+# DOUBLED units r2 = 2L + E + 1 (L strictly-below count, E tie
+# count); the tie-robust statistic
+# χ² = (k−1)·Σ_j (R2_j − n(k+1))² / (Σ r2² − n·k·(k+1)²)
+# is a ratio of exact integers.
+
+_Q678_YEARS = (1998, 1999, 2000)
+_Q678_CHI2 = (
+    "round((CAST(k AS DOUBLE) - 1) * CAST(num AS DOUBLE)"
+    " / CAST(den AS DOUBLE), 6)"
+)
+
+
+def _q678_oracle() -> str:
+    y0, y1 = _Q678_YEARS[0], _Q678_YEARS[-1]
+    cols = ", ".join(
+        f"""CAST(SUM(CASE WHEN yr = {y}
+                THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS x{y}"""
+        for y in _Q678_YEARS
+    )
+    unp = ", ".join(f"({y}, x{y})" for y in _Q678_YEARS)
+    rsums = ",\n".join(
+        f"""               CAST(SUM(CASE WHEN yr = {y} THEN r2
+                    ELSE 0 END) AS BIGINT) AS r2_{y}"""
+        for y in _Q678_YEARS
+    )
+    return f"""
+        WITH o AS MATERIALIZED (
+            SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS yr,
+                   o_totalprice
+            FROM orders
+            WHERE o_orderdate >= DATE '{y0}-01-01'
+              AND o_orderdate < DATE '{y1 + 1}-01-01'
+        ),
+        blocks AS MATERIALIZED (
+            SELECT c.c_nationkey AS nk, {cols}
+            FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        ),
+        lng AS MATERIALIZED (
+            SELECT nk, yr, x FROM (
+                SELECT nk, unnest([{unp.replace('(', 'ROW(')}])
+                    AS u
+                FROM blocks
+            ) t(nk, u), LATERAL (SELECT u[1] AS yr, u[2] AS x) s
+        ),
+        ranked AS MATERIALIZED (
+            SELECT a.nk, a.yr,
+                   CAST(2 * SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN b.x = a.x AND b.yr <> a.yr
+                              THEN 1 ELSE 0 END) + 2 AS BIGINT) AS r2
+            FROM lng a JOIN lng b ON a.nk = b.nk
+            GROUP BY 1, 2, a.x
+        ),
+        sums AS MATERIALIZED (
+            SELECT
+{rsums},
+               CAST(SUM(r2 * r2) AS BIGINT) AS sr2sq,
+               CAST(COUNT(DISTINCT nk) AS BIGINT) AS n,
+               CAST(3 AS BIGINT) AS k
+            FROM ranked
+        ),
+        card AS (
+            SELECT n, k, r2_{_Q678_YEARS[0]}, r2_{_Q678_YEARS[1]},
+                   r2_{_Q678_YEARS[2]},
+                   CAST({" + ".join(
+                       f"(r2_{y} - n * (k + 1))"
+                       f" * (r2_{y} - n * (k + 1))"
+                       for y in _Q678_YEARS
+                   )} AS BIGINT) AS num,
+                   CAST(sr2sq - n * k * (k + 1) * (k + 1)
+                        AS BIGINT) AS den
+            FROM sums
+        )
+        SELECT n AS n_blocks, k AS k_treatments,
+               r2_{_Q678_YEARS[0]} AS rank2_sum_y0,
+               r2_{_Q678_YEARS[1]} AS rank2_sum_y1,
+               r2_{_Q678_YEARS[2]} AS rank2_sum_y2,
+               {_Q678_CHI2} AS friedman_chi2,
+               {_Q678_CHI2.replace(", 6)", ", 9)")} > 5.991464547107979
+                   AS treatment_effect_rejected_null
+        FROM card
+    """
+
+
+@query("q678_friedman_test", oracle=_q678_oracle(), defer=True)
+def q678_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN paired-rank test of year effects on national revenue —
+    the PAIRED k-treatment rung the rank family lacked (q611 is the
+    unpaired analogue, q610 the k=2 pair): blocks = 25 nations,
+    treatments = three years, within-block average ranks exact in
+    DOUBLED units (r2 = 2L + E + 1 — ties make the doubled rank an
+    integer), and the tie-robust χ² as a pure integer ratio with the
+    5.991 (χ²₂, 95%) verdict.
+
+    Scale shape: one year-windowed orders scan (sargable range) →
+    25-block pivot; ranks from a k²-per-block self-join on the
+    bounded block relation; 1-row card."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    y0, y1 = _Q678_YEARS[0], _Q678_YEARS[-1]
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    blocks = (
+        o.filter(
+            (F.col("o_orderdate") >= f"{y0}-01-01")
+            & (F.col("o_orderdate") < f"{y1 + 1}-01-01")
+        )
+        .join(c.select("c_custkey", "c_nationkey"),
+              o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            *[
+                F.sum(F.when(yr == y, cents).otherwise(0))
+                .cast("long")
+                .alias(f"x{y}")
+                for y in _Q678_YEARS
+            ]
+        )
+    )
+    lng = blocks.select(
+        "nk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(y).alias("yr"), F.col(f"x{y}").alias("x")
+                    )
+                    for y in _Q678_YEARS
+                ]
+            )
+        ).alias("u"),
+    ).select("nk", F.col("u.yr").alias("yr"), F.col("u.x").alias("x"))
+    b = lng.select(
+        F.col("nk").alias("nk2"),
+        F.col("yr").alias("yr2"),
+        F.col("x").alias("x2"),
+    )
+    ranked = (
+        lng.join(b, F.col("nk") == F.col("nk2"))
+        .groupBy("nk", "yr", "x")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("x2") < F.col("x"), 1).otherwise(0))
+                + F.sum(
+                    F.when(
+                        (F.col("x2") == F.col("x"))
+                        & (F.col("yr2") != F.col("yr")),
+                        1,
+                    ).otherwise(0)
+                )
+                + 2
+            )
+            .cast("long")
+            .alias("r2")
+        )
+    )
+    sums = ranked.agg(
+        *[
+            F.sum(F.when(F.col("yr") == y, F.col("r2")).otherwise(0))
+            .cast("long")
+            .alias(f"r2_{y}")
+            for y in _Q678_YEARS
+        ],
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("sr2sq"),
+        F.countDistinct("nk").cast("long").alias("n"),
+        F.lit(3).cast("long").alias("k"),
+    )
+    num = " + ".join(
+        f"(r2_{y} - n * (k + 1)) * (r2_{y} - n * (k + 1))"
+        for y in _Q678_YEARS
+    )
+    card = sums.select(
+        "n",
+        "k",
+        *[F.col(f"r2_{y}") for y in _Q678_YEARS],
+        F.expr(num).cast("long").alias("num"),
+        F.expr("sr2sq - n * k * (k + 1) * (k + 1)")
+        .cast("long")
+        .alias("den"),
+    )
+    return card.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.col(f"r2_{_Q678_YEARS[0]}").alias("rank2_sum_y0"),
+        F.col(f"r2_{_Q678_YEARS[1]}").alias("rank2_sum_y1"),
+        F.col(f"r2_{_Q678_YEARS[2]}").alias("rank2_sum_y2"),
+        F.expr(_Q678_CHI2).alias("friedman_chi2"),
+        F.expr(
+            f"{_Q678_CHI2.replace(', 6)', ', 9)')} > 5.991464547107979"
+        ).alias("treatment_effect_rejected_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q679 — Cochran's Q test (paired binary outcomes across k periods)
+# ---------------------------------------------------------------------------
+#
+# The binary sibling of the Friedman test: did customers' propensity
+# to order CHANGE across 1998/1999/2000?  Per customer a binary
+# ordered-that-year indicator; Q = (k−1)(k·ΣC_j² − N²)/(k·N − ΣR_i²)
+# — all exact integers (C_j column totals, R_i row totals, N grand
+# total), one portable ratio, χ²₂ verdict.
+
+_Q679_Q = (
+    "round((CAST(k AS DOUBLE) - 1)"
+    " * (CAST(k AS DOUBLE) * CAST(csq AS DOUBLE)"
+    " - CAST(nn AS DOUBLE) * nn)"
+    " / (CAST(k AS DOUBLE) * nn - CAST(rsq AS DOUBLE)), 6)"
+)
+
+
+def _q679_oracle() -> str:
+    y0, y1 = _Q678_YEARS[0], _Q678_YEARS[-1]
+    bcols = ", ".join(
+        f"""MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = {y}
+             THEN 1 ELSE 0 END) AS b{y}"""
+        for y in _Q678_YEARS
+    )
+    return f"""
+        WITH rows_ AS MATERIALIZED (
+            SELECT o_custkey, {bcols}
+            FROM orders
+            WHERE o_orderdate >= DATE '{y0}-01-01'
+              AND o_orderdate < DATE '{y1 + 1}-01-01'
+            GROUP BY 1
+        ),
+        card AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(3 AS BIGINT) AS k,
+                   CAST({" + ".join(f"SUM(b{y})" for y in _Q678_YEARS)}
+                        AS BIGINT) AS nn,
+                   CAST({" + ".join(
+                       f"SUM(b{y}) * SUM(b{y})" for y in _Q678_YEARS
+                   )} AS BIGINT) AS csq,
+                   CAST(SUM(({" + ".join(
+                       f"b{y}" for y in _Q678_YEARS
+                   )}) * ({" + ".join(
+                       f"b{y}" for y in _Q678_YEARS
+                   )})) AS BIGINT) AS rsq
+            FROM rows_
+        )
+        SELECT n_customers, k AS k_periods, nn AS n_successes,
+               {_Q679_Q} AS cochran_q,
+               {_Q679_Q.replace(", 6)", ", 9)")} > 5.991464547107979
+                   AS propensity_change_rejected_null
+        FROM card
+    """
+
+
+@query("q679_cochran_q", oracle=_q679_oracle(), defer=True)
+def q679_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN'S Q test of ordering propensity across three years —
+    the PAIRED BINARY member of the k-treatment family (Friedman
+    q678 ranks magnitudes; this tests the 0/1 ordered-at-all
+    outcome).  Column totals, row-total squares and the grand total
+    are exact integers from one grouped pass; Q is a single portable
+    ratio with the χ²₂ 95% verdict.  All-zero rows drop out of both
+    numerator and denominator identically on both engines.
+
+    Scale shape: one year-windowed orders scan (sargable range) →
+    per-customer indicator rollup → 1-row card."""
+    o = read_table(spark, sf_dir, "orders")
+    y0, y1 = _Q678_YEARS[0], _Q678_YEARS[-1]
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    rows = (
+        o.filter(
+            (F.col("o_orderdate") >= f"{y0}-01-01")
+            & (F.col("o_orderdate") < f"{y1 + 1}-01-01")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            *[
+                F.max(F.when(yr == y, 1).otherwise(0)).alias(f"b{y}")
+                for y in _Q678_YEARS
+            ]
+        )
+    )
+    bsum = "(" + " + ".join(f"b{y}" for y in _Q678_YEARS) + ")"
+    card = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.lit(3).cast("long").alias("k"),
+        F.expr(
+            " + ".join(f"SUM(b{y})" for y in _Q678_YEARS)
+        )
+        .cast("long")
+        .alias("nn"),
+        F.expr(
+            " + ".join(
+                f"SUM(b{y}) * SUM(b{y})" for y in _Q678_YEARS
+            )
+        )
+        .cast("long")
+        .alias("csq"),
+        F.expr(f"SUM({bsum} * {bsum})").cast("long").alias("rsq"),
+    )
+    return card.select(
+        "n_customers",
+        F.col("k").alias("k_periods"),
+        F.col("nn").alias("n_successes"),
+        F.expr(_Q679_Q).alias("cochran_q"),
+        F.expr(
+            f"{_Q679_Q.replace(', 6)', ', 9)')} > 5.991464547107979"
+        ).alias("propensity_change_rejected_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q680 — population stability index (PSI) of the order-value mix
+# ---------------------------------------------------------------------------
+#
+# The production model-monitoring metric the drift family still
+# lacked (q534 tracks streaming feature drift, q663 token-
+# distribution drift): PSI of the order-value distribution 1999 →
+# 2000 over FIXED literal value bins (the deployed-scorecard
+# convention), Laplace-smoothed so an empty bin never hits ln(0).
+# Shares are exact rationals; per-bin terms (p−q)·ln(p/q) are
+# small-magnitude, 9dp-rounded, decimal-summed.
+
+_Q680_Y0, _Q680_Y1 = 1999, 2000
+# fixed bin edges in cents (scorecard-style literal grid)
+_Q680_EDGES = [0, 2_500_000, 5_000_000, 10_000_000, 20_000_000,
+               30_000_000, 40_000_000]
+
+_Q680_P = "((CAST(c0 AS DOUBLE) + 1) / (CAST(n0 AS DOUBLE) + nb))"
+_Q680_QQ = "((CAST(c1 AS DOUBLE) + 1) / (CAST(n1 AS DOUBLE) + nb))"
+_Q680_TERM = (
+    f"round(({_Q680_P} - {_Q680_QQ}) * ln({_Q680_P} / {_Q680_QQ}), 9)"
+)
+_Q680_VERDICT = (
+    "CASE WHEN psi < 0.1 THEN 'stable'"
+    " WHEN psi < 0.25 THEN 'moderate_shift'"
+    " ELSE 'shifted' END"
+)
+
+
+def _q680_bin(col: str) -> str:
+    """Shared literal-edge binning expression (rightmost bin open)."""
+    conds = " ".join(
+        f"WHEN {col} < {e} THEN {i}"
+        for i, e in enumerate(_Q680_EDGES[1:], start=1)
+    )
+    return f"(CASE {conds} ELSE {len(_Q680_EDGES)} END)"
+
+
+def _q680_oracle() -> str:
+    b = _q680_bin("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+                   {b} AS bin
+            FROM orders
+            WHERE o_orderdate >= DATE '{_Q680_Y0}-01-01'
+              AND o_orderdate < DATE '{_Q680_Y1 + 1}-01-01'
+              AND year(CAST(o_orderdate AS DATE))
+                  IN ({_Q680_Y0}, {_Q680_Y1})
+        ),
+        bins AS MATERIALIZED (
+            SELECT CAST(b AS BIGINT) AS bin
+            FROM (SELECT unnest(range(1, {len(_Q680_EDGES) + 1})) AS b)
+        ),
+        counts AS MATERIALIZED (
+            SELECT bins.bin,
+                   CAST(COALESCE(SUM(CASE WHEN v.yr = {_Q680_Y0}
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS c0,
+                   CAST(COALESCE(SUM(CASE WHEN v.yr = {_Q680_Y1}
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS c1
+            FROM bins LEFT JOIN v ON bins.bin = v.bin
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+                   CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(COUNT(*) AS BIGINT) AS nb
+            FROM counts
+        ),
+        terms AS (
+            SELECT CAST({_Q680_TERM} AS DECIMAL(28,9)) AS term
+            FROM counts, tot
+        ),
+        card AS (
+            SELECT tot.n0, tot.n1, tot.nb,
+                   round(CAST((SELECT CAST(SUM(term) AS DECIMAL(28,9))
+                               FROM terms) AS DOUBLE), 6) AS psi
+            FROM tot
+        )
+        SELECT n0 AS n_base, n1 AS n_current, nb AS n_bins, psi,
+               {_Q680_VERDICT} AS stability_verdict
+        FROM card
+    """
+
+
+@query("q680_psi_stability", oracle=_q680_oracle(), defer=True)
+def q680_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX of the order-value mix
+    {_Q680_Y0} → {_Q680_Y1} — the deployed-scorecard drift metric
+    (industry cutoffs 0.1/0.25) completing the monitoring family
+    (q534 streaming drift, q663 JSD): fixed literal cent bins (the
+    production convention — bins frozen at model deploy time),
+    Laplace +1 smoothing so an empty bin never produces ln(0),
+    per-bin (p−q)·ln(p/q) terms 9dp-rounded and decimal-summed.
+
+    Scale shape: one year-windowed orders scan (sargable range) →
+    7-bin conditional rollup against a literal bin grid; 1-row
+    card."""
+    o = read_table(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    b = _q680_bin("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+    v = (
+        o.filter(
+            (F.col("o_orderdate") >= f"{_Q680_Y0}-01-01")
+            & (F.col("o_orderdate") < f"{_Q680_Y1 + 1}-01-01")
+        )
+        .filter(yr.isin(_Q680_Y0, _Q680_Y1))
+        .select(yr.alias("yr"), F.expr(b).cast("long").alias("bin"))
+    )
+    bins = v.sparkSession.range(1, len(_Q680_EDGES) + 1).select(
+        F.col("id").cast("long").alias("bin")
+    )
+    counts = (
+        bins.join(v, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == _Q680_Y0, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("c0"),
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == _Q680_Y1, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("c1"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        F.expr(_Q680_TERM).cast("decimal(28,9)").alias("term")
+    )
+    s = terms.agg(F.sum("term").cast("decimal(28,9)").alias("ts"))
+    return (
+        tot.crossJoin(F.broadcast(s))
+        .select(
+            F.col("n0").alias("n_base"),
+            F.col("n1").alias("n_current"),
+            F.col("nb").alias("n_bins"),
+            F.round(F.col("ts").cast("double"), 6).alias("psi"),
+        )
+        .select(
+            "n_base",
+            "n_current",
+            "n_bins",
+            "psi",
+            F.expr(_Q680_VERDICT).alias("stability_verdict"),
+        )
+    )

@@ -320,3 +320,61 @@ def test_round16_hostile_slicing_matches_batch(
     monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
     drained = _collect_sorted(q[twin](spark, smoke_sf_dir))
     assert drained == batch
+
+
+# --- q677 KS two-sample -----------------------------------------------------
+
+
+def test_q677_ks_bounds(spark, smoke_sf_dir):
+    """D is a probability-scale gap in [0,1]; the verdict matches the
+    critical-value comparison at the reported precision."""
+    r = _one(queries()["q677_ks_two_sample"](spark, smoke_sf_dir))
+    assert 0 <= r["d_stat"] <= 1
+    assert r["crit_95"] > 0
+    assert r["n_a"] > 0 and r["n_r"] > 0
+    # at 6dp the reported values agree with the verdict direction
+    if abs(r["d_stat"] - r["crit_95"]) > 1e-5:
+        assert r["equal_dist_rejected"] == (r["d_stat"] > r["crit_95"])
+
+
+# --- q678 Friedman ----------------------------------------------------------
+
+
+def test_q678_friedman_rank_identity(spark, smoke_sf_dir):
+    """Doubled within-block ranks sum to n*k*(k+1) across treatments
+    (each block contributes 2*(1+2+3)=12); chi2 is nonnegative."""
+    r = _one(queries()["q678_friedman_test"](spark, smoke_sf_dir))
+    n, k = r["n_blocks"], r["k_treatments"]
+    total = r["rank2_sum_y0"] + r["rank2_sum_y1"] + r["rank2_sum_y2"]
+    assert total == n * k * (k + 1)
+    assert r["friedman_chi2"] >= 0
+
+
+# --- q679 Cochran Q ---------------------------------------------------------
+
+
+def test_q679_cochran_bounds(spark, smoke_sf_dir):
+    """Successes bounded by n*k; Q nonnegative; verdict matches cut."""
+    r = _one(queries()["q679_cochran_q"](spark, smoke_sf_dir))
+    assert 0 < r["n_successes"] <= r["n_customers"] * r["k_periods"]
+    assert r["cochran_q"] >= 0
+    assert r["propensity_change_rejected_null"] == (
+        r["cochran_q"] > 5.991464547107979
+    ) or abs(r["cochran_q"] - 5.991464547107979) < 1e-5
+
+
+# --- q680 PSI ---------------------------------------------------------------
+
+
+def test_q680_psi_card(spark, smoke_sf_dir):
+    """PSI is nonnegative (it is a symmetrized KL); the verdict
+    follows the 0.1/0.25 industry cutoffs."""
+    r = _one(queries()["q680_psi_stability"](spark, smoke_sf_dir))
+    assert r["psi"] >= 0
+    v = (
+        "stable"
+        if r["psi"] < 0.1
+        else "moderate_shift" if r["psi"] < 0.25 else "shifted"
+    )
+    assert r["stability_verdict"] == v
+    assert r["n_bins"] == 7
