@@ -2448,6 +2448,14 @@ def q677_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ctr"),
     )
+    return _q677_card_from_grain(grain)
+
+
+def _q677_card_from_grain(grain: DataFrame) -> DataFrame:
+    """The KS card over a (cents, cta, ctr) value grain — shared by
+    the batch lane and the streaming twin's drain."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
     c1 = exact_cumsum(grain, ["cents"], "cta", out_col="ca")
     cum = exact_cumsum(c1, ["cents"], "ctr", out_col="cr")
     nn = grain.agg(
@@ -2610,6 +2618,13 @@ def q678_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+    return _q678_card_from_blocks(blocks)
+
+
+def _q678_card_from_blocks(blocks: DataFrame) -> DataFrame:
+    """The Friedman card over an (nk, x1998, x1999, x2000) block
+    pivot — shared by the batch lane and the streaming twin's
+    drain."""
     lng = blocks.select(
         "nk",
         F.explode(
@@ -2768,6 +2783,13 @@ def q679_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+    return _q679_card_from_rows(rows)
+
+
+def _q679_card_from_rows(rows: DataFrame) -> DataFrame:
+    """The Cochran-Q card over a per-customer (b1998, b1999, b2000)
+    indicator relation — shared by the batch lane and the streaming
+    twin's drain (indicators merge by MAX — idempotent)."""
     bsum = "(" + " + ".join(f"b{y}" for y in _Q678_YEARS) + ")"
     card = rows.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -2906,26 +2928,29 @@ def q680_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(yr.isin(_Q680_Y0, _Q680_Y1))
         .select(yr.alias("yr"), F.expr(b).cast("long").alias("bin"))
     )
-    bins = v.sparkSession.range(1, len(_Q680_EDGES) + 1).select(
+    raw = v.groupBy("bin").agg(
+        F.sum(F.when(F.col("yr") == _Q680_Y0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("yr") == _Q680_Y1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    return _q680_card_from_bincounts(raw)
+
+
+def _q680_card_from_bincounts(raw: DataFrame) -> DataFrame:
+    """The PSI card over a sparse (bin, c0, c1) count relation —
+    shared by the batch lane and the streaming twin's drain; the
+    literal bin grid is re-joined here so empty bins survive any
+    partial landing."""
+    bins = raw.sparkSession.range(1, len(_Q680_EDGES) + 1).select(
         F.col("id").cast("long").alias("bin")
     )
-    counts = (
-        bins.join(v, "bin", "left")
-        .groupBy("bin")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("yr") == _Q680_Y0, 1).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("c0"),
-            F.coalesce(
-                F.sum(F.when(F.col("yr") == _Q680_Y1, 1).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("c1"),
-        )
+    counts = bins.join(raw, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("c0"), F.lit(0)).cast("long").alias("c0"),
+        F.coalesce(F.col("c1"), F.lit(0)).cast("long").alias("c1"),
     )
     tot = counts.agg(
         F.sum("c0").cast("long").alias("n0"),
@@ -2950,5 +2975,455 @@ def q680_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bins",
             "psi",
             F.expr(_Q680_VERDICT).alias("stability_verdict"),
+        )
+    )
+
+
+@query(
+    "q681_streaming_ks_two_sample",
+    oracle=QUERIES["q677_ks_two_sample"].oracle,
+    defer=True,
+)
+def q681_streaming_ks_two_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q677's KS test under STREAMING lineitem arrival — the
+    (cents, cta, ctr) value-grain counts are additive, so each epoch
+    lands its grain partials and the drain merges before re-running
+    the shared exact-integer ECDF-gap card.  Drain ≡ q677 under ANY
+    lineitem-grain slicing.
+
+    Scale shape: per-epoch grain rollup; the drain is q677's two
+    cumulative passes + 1-row max card."""
+    import databricks_etl_spark.plans.queries_round13 as _r13
+
+    li = read_table(spark, sf_dir, "lineitem").localCheckpoint()
+    path = _q16_stream_root("ks", sf_dir) + "/grain"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        part = (
+            li.filter(F.col("l_orderkey") % k == ep)
+            .filter(F.col("l_returnflag").isin("A", "R"))
+            .select(
+                F.col("l_returnflag").alias("flag"),
+                F.round(F.col("l_extendedprice") * 100, 0)
+                .cast("long")
+                .alias("cents"),
+            )
+            .groupBy("cents")
+            .agg(
+                F.sum(F.when(F.col("flag") == "A", 1).otherwise(0))
+                .cast("long")
+                .alias("cta"),
+                F.sum(F.when(F.col("flag") == "R", 1).otherwise(0))
+                .cast("long")
+                .alias("ctr"),
+            )
+        )
+        _q16_land(part, ep, path)
+    grain = (
+        spark.read.schema("cents long, cta long, ctr long, __epoch int")
+        .parquet(path)
+        .groupBy("cents")
+        .agg(
+            F.sum("cta").cast("long").alias("cta"),
+            F.sum("ctr").cast("long").alias("ctr"),
+        )
+    )
+    return _q677_card_from_grain(grain)
+
+
+@query(
+    "q682_streaming_friedman",
+    oracle=QUERIES["q678_friedman_test"].oracle,
+    defer=True,
+)
+def q682_streaming_friedman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q678's Friedman test under STREAMING order arrival — the
+    (nation, year) revenue partials are additive, so each epoch
+    lands its partial sums and the drain merges them into the block
+    pivot before re-running the shared rank card.  Drain ≡ q678
+    under ANY order-grain slicing.
+
+    Scale shape: per-epoch joined rollup; the drain runs on the
+    25-block merged pivot."""
+    import databricks_etl_spark.plans.queries_round13 as _r13
+
+    o = read_table(spark, sf_dir, "orders").localCheckpoint()
+    c = read_table(spark, sf_dir, "customer")
+    y0, y1 = _Q678_YEARS[0], _Q678_YEARS[-1]
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    path = _q16_stream_root("friedman", sf_dir) + "/blocks"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        part = (
+            o.filter(F.col("o_orderkey") % k == ep)
+            .filter(
+                (F.col("o_orderdate") >= f"{y0}-01-01")
+                & (F.col("o_orderdate") < f"{y1 + 1}-01-01")
+            )
+            .join(
+                c.select("c_custkey", "c_nationkey"),
+                o.o_custkey == F.col("c_custkey"),
+            )
+            .groupBy(F.col("c_nationkey").alias("nk"))
+            .agg(
+                *[
+                    F.sum(F.when(yr == y, cents).otherwise(0))
+                    .cast("long")
+                    .alias(f"x{y}")
+                    for y in _Q678_YEARS
+                ]
+            )
+        )
+        _q16_land(part, ep, path)
+    cols = ", ".join(f"x{y} long" for y in _Q678_YEARS)
+    blocks = (
+        spark.read.schema(f"nk long, {cols}, __epoch int")
+        .parquet(path)
+        .groupBy("nk")
+        .agg(
+            *[
+                F.sum(f"x{y}").cast("long").alias(f"x{y}")
+                for y in _Q678_YEARS
+            ]
+        )
+    )
+    return _q678_card_from_blocks(blocks)
+
+
+@query(
+    "q683_streaming_cochran_q",
+    oracle=QUERIES["q679_cochran_q"].oracle,
+    defer=True,
+)
+def q683_streaming_cochran_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q679's Cochran Q under STREAMING order arrival — the
+    per-customer ordered-that-year indicators merge by MAX
+    (idempotent), so each epoch lands its slice's indicators and the
+    drain MAX-merges before re-running the shared Q card.  Drain ≡
+    q679 under ANY order-grain slicing (a customer's years may split
+    across epochs; the MAX merge repairs it).
+
+    Scale shape: per-epoch indicator rollup; the drain is one
+    customer-grain MAX merge + a 1-row card."""
+    import databricks_etl_spark.plans.queries_round13 as _r13
+
+    o = read_table(spark, sf_dir, "orders").localCheckpoint()
+    y0, y1 = _Q678_YEARS[0], _Q678_YEARS[-1]
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    path = _q16_stream_root("cochran", sf_dir) + "/rows"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        part = (
+            o.filter(F.col("o_orderkey") % k == ep)
+            .filter(
+                (F.col("o_orderdate") >= f"{y0}-01-01")
+                & (F.col("o_orderdate") < f"{y1 + 1}-01-01")
+            )
+            .groupBy("o_custkey")
+            .agg(
+                *[
+                    F.max(F.when(yr == y, 1).otherwise(0)).alias(
+                        f"b{y}"
+                    )
+                    for y in _Q678_YEARS
+                ]
+            )
+        )
+        _q16_land(part, ep, path)
+    cols = ", ".join(f"b{y} int" for y in _Q678_YEARS)
+    rows = (
+        spark.read.schema(f"o_custkey long, {cols}, __epoch int")
+        .parquet(path)
+        .groupBy("o_custkey")
+        .agg(
+            *[
+                F.max(f"b{y}").alias(f"b{y}") for y in _Q678_YEARS
+            ]
+        )
+    )
+    return _q679_card_from_rows(rows)
+
+
+@query(
+    "q684_streaming_psi",
+    oracle=QUERIES["q680_psi_stability"].oracle,
+    defer=True,
+)
+def q684_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q680's PSI drift card under STREAMING order arrival — the
+    sparse (bin, c0, c1) counts are additive, so each epoch lands
+    its bin partials and the drain merges before re-joining the
+    literal bin grid (empty bins survive any slicing) and re-running
+    the shared smoothed-term card.  Drain ≡ q680 under ANY
+    order-grain slicing.
+
+    Scale shape: per-epoch 7-bin rollup; the drain runs on the
+    literal grid."""
+    import databricks_etl_spark.plans.queries_round13 as _r13
+
+    o = read_table(spark, sf_dir, "orders").localCheckpoint()
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    b = _q680_bin("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+    path = _q16_stream_root("psi", sf_dir) + "/bins"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        part = (
+            o.filter(F.col("o_orderkey") % k == ep)
+            .filter(
+                (F.col("o_orderdate") >= f"{_Q680_Y0}-01-01")
+                & (F.col("o_orderdate") < f"{_Q680_Y1 + 1}-01-01")
+            )
+            .filter(yr.isin(_Q680_Y0, _Q680_Y1))
+            .select(
+                yr.alias("yr"), F.expr(b).cast("long").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(
+                F.sum(F.when(F.col("yr") == _Q680_Y0, 1).otherwise(0))
+                .cast("long")
+                .alias("c0"),
+                F.sum(F.when(F.col("yr") == _Q680_Y1, 1).otherwise(0))
+                .cast("long")
+                .alias("c1"),
+            )
+        )
+        _q16_land(part, ep, path)
+    raw = (
+        spark.read.schema("bin long, c0 long, c1 long, __epoch int")
+        .parquet(path)
+        .groupBy("bin")
+        .agg(
+            F.sum("c0").cast("long").alias("c0"),
+            F.sum("c1").cast("long").alias("c1"),
+        )
+    )
+    return _q680_card_from_bincounts(raw)
+
+
+# ---------------------------------------------------------------------------
+# q685 — expected calibration error (ECE / MCE) of the en-detector
+# ---------------------------------------------------------------------------
+#
+# The headline calibration metric ML evals report (beside q609's
+# Brier decomposition — ECE is the weighted-average |confidence −
+# accuracy| gap, MCE the worst bin): over the ≤5 quarter-unit score
+# bins, ECE = Σ_b |100·pb − p·nb| / (100·n) has an EXACT INTEGER
+# numerator; MCE is the max of identical 9dp-rounded per-bin gaps.
+
+_Q685_GAP = (
+    "round(abs(CAST(pb AS DOUBLE) / nb"
+    " - CAST(p AS DOUBLE) / 100), 9)"
+)
+_Q685_ECE = "round(CAST(num AS DOUBLE) / (100 * CAST(n AS DOUBLE)), 6)"
+
+
+def _q685_oracle() -> str:
+    q37 = QUERIES["q37_text_quality"].oracle
+    return f"""
+        WITH q37 AS MATERIALIZED ({q37}),
+        scored AS MATERIALIZED (
+            SELECT CAST(q37.quality_score * 4 AS BIGINT) * 25 AS p,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM q37 JOIN documents d ON q37.doc_id = d.doc_id
+        ),
+        bins AS MATERIALIZED (
+            SELECT p, CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(y) AS BIGINT) AS pb
+            FROM scored GROUP BY 1
+        ),
+        card AS (
+            SELECT CAST(SUM(nb) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(abs(100 * pb - p * nb)) AS BIGINT) AS num,
+                   MAX({_Q685_GAP}) AS mce
+            FROM bins
+        )
+        SELECT n AS n_docs, k AS n_bins,
+               {_Q685_ECE} AS ece,
+               round(mce, 6) AS mce
+        FROM card
+    """
+
+
+@query("q685_expected_calibration_error", oracle=_q685_oracle(), defer=True)
+def q685_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXPECTED CALIBRATION ERROR of the quarter-unit quality score
+    as an en-probability — the standard reported calibration metric
+    beside q609's Brier/Murphy decomposition: ECE's numerator
+    Σ|100·pb − p·nb| is an EXACT INTEGER over the ≤5 score bins (no
+    float enters the aggregate), and MCE takes the max of identical
+    9dp-rounded per-bin gaps.  ECE ≤ MCE pinned in tests.
+
+    Scale shape: one scored pass → ≤5-bin rollup → 1-row card."""
+    from databricks_etl_spark.operators import text as TX
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = (
+        TX.quality_features(d)
+        .select(
+            "doc_id",
+            ((F.col("quality_score") * 4).cast("long") * 25).alias("p"),
+        )
+        .join(
+            d.select(
+                "doc_id",
+                F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            ),
+            "doc_id",
+        )
+    )
+    bins = scored.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("y").cast("long").alias("pb"),
+    )
+    card = bins.agg(
+        F.sum("nb").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.abs(100 * F.col("pb") - F.col("p") * F.col("nb")))
+        .cast("long")
+        .alias("num"),
+        F.max(F.expr(_Q685_GAP)).alias("mce"),
+    )
+    return card.select(
+        F.col("n").alias("n_docs"),
+        F.col("k").alias("n_bins"),
+        F.expr(_Q685_ECE).alias("ece"),
+        F.round(F.col("mce"), 6).alias("mce"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q686 — decile gains table / cumulative lift of the en-detector
+# ---------------------------------------------------------------------------
+#
+# The scorecard deployment readout (beside AUC q607 / AP q608 / PR
+# q626): rank the corpus by quality score, cut into 10 equal-depth
+# deciles with the exact_ntile kernel (bit-identical to ntile(10)
+# OVER the total order — never a global-sort window), and report
+# per-decile capture, cumulative recall ("gains"), and lift.  Every
+# rate is an exact integer ratio; the cumulative window runs over
+# the 10-row decile relation.
+
+_Q686_K = 10
+
+
+def _q686_oracle() -> str:
+    q37 = QUERIES["q37_text_quality"].oracle
+    return f"""
+        WITH q37 AS MATERIALIZED ({q37}),
+        scored AS MATERIALIZED (
+            SELECT q37.doc_id,
+                   CAST(q37.quality_score * 4 AS BIGINT) AS s4,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM q37 JOIN documents d ON q37.doc_id = d.doc_id
+        ),
+        ranked AS MATERIALIZED (
+            SELECT y, ntile({_Q686_K}) OVER (
+                       ORDER BY s4 DESC, doc_id) AS decile
+            FROM scored
+        ),
+        dec AS MATERIALIZED (
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(y) AS BIGINT) AS n_positive
+            FROM ranked GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+                   CAST(SUM(n_positive) AS BIGINT) AS p
+            FROM dec
+        )
+        SELECT decile, n_docs, n_positive,
+               round(CAST(n_positive AS DOUBLE) / n_docs, 6)
+                   AS capture_rate,
+               CAST(SUM(n_positive) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_positive,
+               round(CAST(SUM(n_positive) OVER (ORDER BY decile
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / tot.p, 6) AS cum_gain,
+               round((CAST(n_positive AS DOUBLE) / n_docs)
+                     / (CAST(tot.p AS DOUBLE) / tot.n), 6) AS lift
+        FROM dec, tot
+    """
+
+
+@query("q686_gains_table", oracle=_q686_oracle(), defer=True)
+def q686_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECILE GAINS TABLE / cumulative lift of the en-detector — the
+    scorecard readout a deployment review reads next to AUC (q607):
+    equal-depth deciles under the (score DESC, doc_id) total order
+    from the exact_ntile kernel (bit-identical to the oracle's
+    ntile(10) window, no global-sort task), per-decile capture rate,
+    cumulative gain and lift as exact integer ratios.  Decile sizes
+    differ by ≤1 and cum_gain reaches 1 at decile 10 — pinned in
+    tests.
+
+    Scale shape: one scored pass; the two-phase range-partitioned
+    ntile; a 10-row decile rollup (the cumulative window runs over
+    10 rows)."""
+    from databricks_etl_spark.operators import text as TX
+    from databricks_etl_spark.operators.quantile_bucket import exact_ntile
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = (
+        TX.quality_features(d)
+        .select(
+            "doc_id",
+            (F.col("quality_score") * 4).cast("long").alias("s4"),
+        )
+        .join(
+            d.select(
+                "doc_id",
+                F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            ),
+            "doc_id",
+        )
+        .withColumn("negs4", -F.col("s4"))
+    )
+    ranked = exact_ntile(
+        scored, ["negs4", "doc_id"], _Q686_K, out_col="decile"
+    )
+    dec = ranked.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_positive"),
+    )
+    tot = dec.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.sum("n_positive").cast("long").alias("p"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_positive", F.sum("n_positive").over(w).cast("long")
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_positive",
+            F.round(
+                F.col("n_positive").cast("double") / F.col("n_docs"), 6
+            ).alias("capture_rate"),
+            "cum_positive",
+            F.round(
+                F.col("cum_positive").cast("double") / F.col("p"), 6
+            ).alias("cum_gain"),
+            F.round(
+                (F.col("n_positive").cast("double") / F.col("n_docs"))
+                / (F.col("p").cast("double") / F.col("n")),
+                6,
+            ).alias("lift"),
         )
     )

@@ -378,3 +378,63 @@ def test_q680_psi_card(spark, smoke_sf_dir):
     )
     assert r["stability_verdict"] == v
     assert r["n_bins"] == 7
+
+
+# --- q685 ECE / q686 gains -------------------------------------------------
+
+
+def test_q685_ece_bounds(spark, smoke_sf_dir):
+    """ECE is a weighted mean of per-bin gaps, so ECE <= MCE; both in
+    [0,1]."""
+    r = _one(
+        queries()["q685_expected_calibration_error"](spark, smoke_sf_dir)
+    )
+    assert 0 <= r["ece"] <= r["mce"] + 1e-6
+    assert r["mce"] <= 1
+    assert r["n_bins"] >= 1
+
+
+def test_q686_gains_table_shape(spark, smoke_sf_dir):
+    """Equal-depth deciles (sizes differ by <=1), cumulative gain is
+    monotone and reaches 1, decile-1..10 all present, and the lift
+    identity holds per row."""
+    rows = sorted(
+        queries()["q686_gains_table"](spark, smoke_sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    gains = [r["cum_gain"] for r in rows]
+    assert gains == sorted(gains)
+    assert gains[-1] == pytest.approx(1.0, abs=1e-6)
+    n = sum(sizes)
+    p = sum(r["n_positive"] for r in rows)
+    for r in rows:
+        assert r["lift"] == pytest.approx(
+            (r["n_positive"] / r["n_docs"]) / (p / n), abs=1e-5
+        )
+
+
+# --- streaming twins q681-q684 ---------------------------------------------
+
+
+_TWINS_B = [
+    ("q681_streaming_ks_two_sample", "q677_ks_two_sample"),
+    ("q682_streaming_friedman", "q678_friedman_test"),
+    ("q683_streaming_cochran_q", "q679_cochran_q"),
+    ("q684_streaming_psi", "q680_psi_stability"),
+]
+
+
+@pytest.mark.parametrize("twin,primary", _TWINS_B)
+def test_round16_hostile_slicing_matches_batch_b(
+    spark, smoke_sf_dir, monkeypatch, twin, primary
+):
+    """The second twin batch: drain ≡ batch primary under a hostile
+    13-way slicing."""
+    q = queries()
+    batch = _collect_sorted(q[primary](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(q[twin](spark, smoke_sf_dir))
+    assert drained == batch
