@@ -27,7 +27,16 @@ breadth):
   slope (q664);
 - time series (q614 ACF) -> Mann-Kendall trend test (q665);
   moment statistics (q612 ANOVA) -> Jarque-Bera normality (q666);
-- ops/quality -> process capability Cp/Cpk per brand (q667).
+- ops/quality -> process capability Cp/Cpk per brand (q667) and the
+  Brown-Forsythe equal-spread test (q668);
+- nonparametric family -> two-sample Kolmogorov-Smirnov (q677),
+  Friedman paired ranks (q678), Cochran's Q (q679);
+- model monitoring -> PSI over fixed scorecard bins (q680); the
+  calibration/deployment readouts ECE/MCE (q685) and the decile
+  gains table (q686);
+- streaming twins q669-q676 and q681-q684: epoch-idempotent additive
+  partial landing + shared-card drains for twelve of the batch lanes
+  (drain == batch under any slicing, 13-way hostile tests).
 
 Reference parity: the reference corpus (gbaliarda/databricks-etl,
 notebooks etl.py / transform.py / pre_analysis.py) has none of these
