@@ -3436,3 +3436,625 @@ def q686_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q687 — restricted mean survival time (RMST) over the KM curve
+# ---------------------------------------------------------------------------
+#
+# The survival family's headline effect size (KM q540, Nelson–Aalen
+# q647, log-rank q648 — RMST is the number a clinician/PM reports:
+# expected days-to-conversion-free within the first τ days): the
+# area under q540's step curve truncated at τ = 7.  Segments are
+# (6dp survival) × (integer day gap) products — identical doubles on
+# both engines — 9dp-rounded and decimal-summed; the head segment
+# (S = 1 before the first event time) adds min(t₁, τ) exactly.
+
+_Q687_TAU = 7
+_Q687_TERM = (
+    "round(survival * (CAST(LEAST(COALESCE(nxt, {tau}), {tau})"
+    " AS DOUBLE) - t_days), 9)"
+).format(tau=_Q687_TAU)
+
+
+def _q687_oracle() -> str:
+    km = QUERIES["q540_kaplan_meier"].oracle
+    return f"""
+        WITH km AS MATERIALIZED ({km}),
+        seg AS MATERIALIZED (
+            SELECT t_days, survival,
+                   lead(t_days) OVER (ORDER BY t_days) AS nxt
+            FROM km
+        ),
+        head AS (
+            SELECT CAST(LEAST(MIN(t_days), {_Q687_TAU}) AS BIGINT)
+                       AS head_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_event_times
+            FROM km
+        ),
+        terms AS (
+            SELECT CAST({_Q687_TERM} AS DECIMAL(28,9)) AS term
+            FROM seg WHERE t_days < {_Q687_TAU}
+        )
+        SELECT head.n_event_times,
+               CAST({_Q687_TAU} AS BIGINT) AS tau_days,
+               round(CAST(head.head_days
+                     + (SELECT CAST(SUM(term) AS DECIMAL(28,9))
+                        FROM terms) AS DOUBLE), 6) AS rmst_days
+        FROM head
+    """
+
+
+@query("q687_rmst", oracle=_q687_oracle(), defer=True)
+def q687_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTRICTED MEAN SURVIVAL TIME over q540's Kaplan–Meier curve,
+    truncated at τ = {_Q687_TAU} days — the survival family's
+    reportable effect size (the area under the step curve = expected
+    conversion-free days within the window).  Composes the
+    registered q540 lane; segment terms are (6dp survival) ×
+    (integer gap) — identical doubles both engines — 9dp-rounded
+    and decimal-summed; RMST ≤ τ pinned in tests.
+
+    Scale shape: q540's bounded event-time grid; one lead window
+    over ≤|days| rows; a 1-row card."""
+    km = QUERIES["q540_kaplan_meier"].fn(spark, sf_dir).localCheckpoint()
+    w = Window.orderBy("t_days")
+    seg = km.select(
+        "t_days", "survival", F.lead("t_days").over(w).alias("nxt")
+    )
+    head = km.agg(
+        F.least(F.min("t_days"), F.lit(_Q687_TAU))
+        .cast("long")
+        .alias("head_days"),
+        F.count(F.lit(1)).cast("long").alias("n_event_times"),
+    )
+    terms = seg.filter(F.col("t_days") < _Q687_TAU).select(
+        F.expr(_Q687_TERM).cast("decimal(28,9)").alias("term")
+    )
+    s = terms.agg(F.sum("term").cast("decimal(28,9)").alias("ts"))
+    return head.crossJoin(F.broadcast(s)).select(
+        "n_event_times",
+        F.lit(_Q687_TAU).cast("long").alias("tau_days"),
+        F.round(
+            (F.col("head_days") + F.col("ts")).cast("double"), 6
+        ).alias("rmst_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q688 — turning-point randomness test on monthly revenue
+# ---------------------------------------------------------------------------
+#
+# The cheapest time-series randomness screen (public: Kendall's
+# turning-point test): count strict local extrema T over the bounded
+# monthly grid; under i.i.d. noise E[T] = 2(n−2)/3 and
+# Var[T] = (16n−29)/90; the z-score and verdict are one portable
+# expression over exact integers.
+
+_Q688_Z = (
+    "((CAST(t AS DOUBLE) - 2 * (CAST(n AS DOUBLE) - 2) / 3)"
+    " / sqrt((16 * CAST(n AS DOUBLE) - 29) / 90))"
+)
+
+
+def _q688_oracle() -> str:
+    return f"""
+        WITH monthly AS MATERIALIZED (
+            SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        idx AS MATERIALIZED (
+            SELECT CAST(row_number() OVER (ORDER BY m) AS BIGINT)
+                       AS i, x
+            FROM monthly
+        ),
+        tp AS (
+            SELECT CAST(SUM(CASE WHEN (p.x < c.x AND nx.x < c.x)
+                                   OR (p.x > c.x AND nx.x > c.x)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS t
+            FROM idx c
+            JOIN idx p ON p.i = c.i - 1
+            JOIN idx nx ON nx.i = c.i + 1
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx)
+        SELECT nn.n AS n_months, tp.t AS n_turning_points,
+               round({_Q688_Z}, 6) AS z_score,
+               abs({_Q688_Z}) > 1.96 AS randomness_rejected
+        FROM tp, nn
+    """
+
+
+@query("q688_turning_points", oracle=_q688_oracle(), defer=True)
+def q688_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TURNING-POINT randomness test on monthly revenue — the
+    classical quick screen beside Mann–Kendall (q665 asks "is there
+    a trend?", this asks "is it i.i.d. noise at all?"): strict local
+    extrema counted exactly over the bounded month grid, z against
+    E[T] = 2(n−2)/3, Var = (16n−29)/90, ±1.96 verdict.
+
+    Scale shape: one orders scan → bounded monthly grid; the
+    (i−1, i, i+1) triple join runs on the grid; 1-row card."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+        .alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    return _q688_card_from_monthly(monthly)
+
+
+def _q688_card_from_monthly(monthly: DataFrame) -> DataFrame:
+    """The turning-point card over an (m, x) monthly grid — shared
+    by the batch lane and the streaming twin's drain."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
+    monthly = monthly.withColumn("one", F.lit(1).cast("long"))
+    idx = (
+        exact_cumsum(monthly, ["m"], "one", out_col="i")
+        .select(F.col("i").cast("long").alias("i"), "x")
+        .localCheckpoint()
+    )
+    p = idx.select((F.col("i") + 1).alias("i"), F.col("x").alias("xp"))
+    nx = idx.select((F.col("i") - 1).alias("i"), F.col("x").alias("xn"))
+    tp = (
+        idx.join(p, "i")
+        .join(nx, "i")
+        .agg(
+            F.sum(
+                F.when(
+                    ((F.col("xp") < F.col("x")) & (F.col("xn") < F.col("x")))
+                    | (
+                        (F.col("xp") > F.col("x"))
+                        & (F.col("xn") > F.col("x"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("t")
+        )
+    )
+    nn = idx.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return tp.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_months"),
+        F.col("t").alias("n_turning_points"),
+        F.round(F.expr(_Q688_Z), 6).alias("z_score"),
+        F.expr(f"abs({_Q688_Z}) > 1.96").alias("randomness_rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q689 — Wald–Wolfowitz runs test on daily revenue vs its median
+# ---------------------------------------------------------------------------
+#
+# The sequence-randomness complement to q688: dichotomize daily
+# revenue about its EXACT half-cent median (med2 = low+high middle
+# order statistics, ties to the median excluded — the standard
+# treatment), count sign runs R over the re-indexed sequence, and
+# z against E[R] = 1 + 2n₁n₂/n, Var = 2n₁n₂(2n₁n₂−n)/(n²(n−1)).
+# R, n₁, n₂ are exact integers; z is one portable expression.
+
+_Q689_Z = (
+    "((CAST(r AS DOUBLE) - (1 + 2.0 * n1 * n2 / (n1 + n2)))"
+    " / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+    " / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)"
+    " * (CAST(n1 AS DOUBLE) + n2 - 1))))"
+)
+
+
+def _q689_oracle() -> str:
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        nn0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM daily),
+        srt AS MATERIALIZED (
+            SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT)
+                       AS rk
+            FROM daily
+        ),
+        med AS MATERIALIZED (
+            SELECT CAST((SELECT x FROM srt, nn0
+                         WHERE rk = (n0 + 1) // 2)
+                      + (SELECT x FROM srt, nn0
+                         WHERE rk = n0 // 2 + 1) AS BIGINT) AS med2
+        ),
+        signs AS MATERIALIZED (
+            SELECT d, 2 * x > med.med2 AS up
+            FROM daily, med WHERE 2 * x <> med.med2
+        ),
+        seq AS MATERIALIZED (
+            SELECT up, CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+                       AS i
+            FROM signs
+        ),
+        runs AS (
+            SELECT CAST(1 + SUM(CASE WHEN a.up <> b.up
+                            THEN 1 ELSE 0 END) AS BIGINT) AS r
+            FROM seq a JOIN seq b ON b.i = a.i + 1
+        ),
+        counts AS (
+            SELECT CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN up THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n2
+            FROM seq
+        )
+        SELECT counts.n1 AS n_above, counts.n2 AS n_below,
+               runs.r AS n_runs,
+               round({_Q689_Z}, 6) AS z_score,
+               abs({_Q689_Z}) > 1.96 AS randomness_rejected
+        FROM runs, counts
+    """
+
+
+@query("q689_runs_test", oracle=_q689_oracle(), defer=True)
+def q689_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD–WOLFOWITZ runs test of daily revenue about its exact
+    median — the sequence-randomness screen beside q688's turning
+    points (runs detect clustering/persistence the extrema count
+    misses): exact half-cent median over the bounded daily grid
+    (exact_cumsum rank — no global window), median-ties excluded,
+    runs counted by one lag join over the re-indexed sign sequence,
+    z with the standard mean/variance, ±1.96 verdict.
+
+    Scale shape: one orders scan → bounded daily grid; two
+    exact_cumsum passes (median rank, sign re-index); grid-bounded
+    lag join; 1-row card."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    return _q689_card_from_daily(daily)
+
+
+def _q689_card_from_daily(daily: DataFrame) -> DataFrame:
+    """The runs-test card over a (d, x) daily grid — shared by the
+    batch lane and the streaming twin's drain."""
+    from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
+
+    daily = daily.withColumn(
+        "one", F.lit(1).cast("long")
+    ).localCheckpoint()
+    srt = exact_cumsum(daily, ["x", "d"], "one", out_col="rk").select(
+        "x", F.col("rk").cast("long").alias("rk")
+    )
+    nn0 = daily.agg(F.count(F.lit(1)).cast("long").alias("n0"))
+    lo = (
+        srt.crossJoin(F.broadcast(nn0))
+        .filter(F.col("rk") == F.expr("(n0 + 1) DIV 2"))
+        .select(F.col("x").alias("xlo"))
+    )
+    hi = (
+        srt.crossJoin(F.broadcast(nn0))
+        .filter(F.col("rk") == F.expr("n0 DIV 2 + 1"))
+        .select(F.col("x").alias("xhi"))
+    )
+    med = lo.crossJoin(hi).select(
+        (F.col("xlo") + F.col("xhi")).cast("long").alias("med2")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(2 * F.col("x") != F.col("med2"))
+        .select("d", (2 * F.col("x") > F.col("med2")).alias("up"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    seq = exact_cumsum(signs, ["d"], "one", out_col="i").select(
+        "up", F.col("i").cast("long").alias("i")
+    ).localCheckpoint()
+    nxt = seq.select((F.col("i") - 1).alias("i"), F.col("up").alias("up2"))
+    runs = seq.join(nxt, "i").agg(
+        (
+            1
+            + F.sum(F.when(F.col("up") != F.col("up2"), 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("r")
+    )
+    counts = seq.agg(
+        F.sum(F.when(F.col("up"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("up"), 0).otherwise(1))
+        .cast("long")
+        .alias("n2"),
+    )
+    return runs.crossJoin(F.broadcast(counts)).select(
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.round(F.expr(_Q689_Z), 6).alias("z_score"),
+        F.expr(f"abs({_Q689_Z}) > 1.96").alias("randomness_rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q690 — Grubbs-style maximum-deviation outlier screen
+# ---------------------------------------------------------------------------
+#
+# The single-point outlier screen beside q531's MAD flags: the day
+# whose revenue deviates most from the mean, located by the EXACT
+# INTEGER argmax of |n·x − Σx| (ties → earliest date), scored as
+# the studentized G = |x* − x̄|/s, flagged against a fixed
+# production screening threshold (3.5 — a literal screen, not the
+# n-dependent Grubbs critical, which has no closed portable form).
+
+_Q690_G = (
+    "(CAST(dev AS DOUBLE) / n"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))))"
+)
+
+
+def _q690_oracle() -> str:
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        mom AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS s,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * x)
+                        AS DECIMAL(38,0)) AS q
+            FROM daily
+        ),
+        devs AS (
+            SELECT d, x,
+                   abs(CAST(mom.n AS DECIMAL(38,0)) * x - mom.s)
+                       AS dv
+            FROM daily, mom
+        ),
+        best AS (
+            SELECT CAST(MAX(dv) AS DECIMAL(38,0)) AS dev FROM devs
+        ),
+        wit AS (
+            SELECT MIN(d) AS outlier_date,
+                   CAST(MIN_BY(x, d) AS BIGINT) AS outlier_cents
+            FROM devs, best WHERE devs.dv = best.dev
+        )
+        SELECT mom.n AS n_days,
+               CAST(wit.outlier_date AS TIMESTAMP) AS outlier_date,
+               wit.outlier_cents,
+               round({_Q690_G}, 6) AS grubbs_g,
+               {_Q690_G} > 3.5 AS outlier_flagged
+        FROM mom, best, wit
+    """
+
+
+@query("q690_grubbs_screen", oracle=_q690_oracle(), defer=True)
+def q690_grubbs_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRUBBS-STYLE maximum-deviation outlier screen on daily
+    revenue — the argmax located in EXACT INTEGERS (|n·x − Σx|,
+    earliest-date tiebreak, so the witness can never flip on a
+    float ulp), the studentized G evaluated from the exact moment
+    card, flagged against the fixed 3.5 screening threshold (a
+    production screen; the n-dependent exact Grubbs critical has no
+    closed portable form — documented).  Timestamps (not dates) in
+    the output per the cross-engine rule.
+
+    Scale shape: one orders scan → bounded daily grid → 1-row
+    moment/argmax cards."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .localCheckpoint()
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    devs = daily.crossJoin(F.broadcast(mom)).select(
+        "d",
+        "x",
+        F.abs(F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("s"))
+        .alias("dv"),
+    )
+    best = devs.agg(F.max("dv").cast("decimal(38,0)").alias("dev"))
+    wit = (
+        devs.join(F.broadcast(best), devs.dv == F.col("dev"))
+        .agg(
+            F.min("d").alias("od"),
+            F.min_by("x", "d").cast("long").alias("outlier_cents"),
+        )
+    )
+    return (
+        mom.crossJoin(best)
+        .crossJoin(F.broadcast(wit))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("od").cast("timestamp").alias("outlier_date"),
+            "outlier_cents",
+            F.round(F.expr(_Q690_G), 6).alias("grubbs_g"),
+            F.expr(f"{_Q690_G} > 3.5").alias("outlier_flagged"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q691 — sample-ratio-mismatch (SRM) guardrail for the md5 split
+# ---------------------------------------------------------------------------
+#
+# The experimentation guardrail every A/B platform runs before
+# reading any effect (public: Fabijan et al. 2019): does the q646
+# md5 customer split actually produce the designed 50/50 ratio?
+# χ²₁ = (n_a − n_b)²/(n_a + n_b) from exact counts; an SRM flag
+# here invalidates q646/q551/q539 readouts — which is why it ships
+# as its own always-on card.
+
+_Q691_CHI2 = (
+    "((CAST(na AS DOUBLE) - nb) * (CAST(na AS DOUBLE) - nb)"
+    " / (CAST(na AS DOUBLE) + nb))"
+)
+
+
+def _q691_oracle() -> str:
+    from databricks_etl_spark.plans.queries_round15 import _Q646_HEX
+
+    return f"""
+        WITH arms AS MATERIALIZED (
+            SELECT CASE WHEN strpos('{_Q646_HEX}', substr(md5('cu:' ||
+                       CAST(c_custkey AS VARCHAR)), 1, 1)) > 0
+                   THEN 1 ELSE 0 END AS arm_a
+            FROM customer
+        ),
+        card AS (
+            SELECT CAST(SUM(arm_a) AS BIGINT) AS na,
+                   CAST(SUM(1 - arm_a) AS BIGINT) AS nb
+            FROM arms
+        )
+        SELECT na AS n_arm_a, nb AS n_arm_b,
+               round({_Q691_CHI2}, 6) AS srm_chi2,
+               {_Q691_CHI2} > 3.841458820694124 AS srm_detected
+        FROM card
+    """
+
+
+@query("q691_srm_guardrail", oracle=_q691_oracle(), defer=True)
+def q691_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH guardrail on the q646 md5 customer
+    split — the always-on experimentation health check (an SRM
+    invalidates every downstream A/B readout, so it ships as its
+    own card): exact arm counts over the customer table, χ²₁
+    against the designed 50/50, 3.841 (95%) verdict.
+
+    Scale shape: one customer scan → 1-row card."""
+    from databricks_etl_spark.plans.queries_round15 import _Q646_HEX
+
+    c = read_table(spark, sf_dir, "customer")
+    arms = c.select(
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cu:"), F.col("c_custkey").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ).isin(*list(_Q646_HEX)),
+            1,
+        )
+        .otherwise(0)
+        .alias("arm_a")
+    )
+    card = arms.agg(
+        F.sum("arm_a").cast("long").alias("na"),
+        F.sum(1 - F.col("arm_a")).cast("long").alias("nb"),
+    )
+    return card.select(
+        F.col("na").alias("n_arm_a"),
+        F.col("nb").alias("n_arm_b"),
+        F.round(F.expr(_Q691_CHI2), 6).alias("srm_chi2"),
+        F.expr(f"{_Q691_CHI2} > 3.841458820694124").alias(
+            "srm_detected"
+        ),
+    )
+
+
+@query(
+    "q692_streaming_turning_points",
+    oracle=QUERIES["q688_turning_points"].oracle,
+    defer=True,
+)
+def q692_streaming_turning_points(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q688's turning-point test under STREAMING order arrival —
+    monthly partials are additive, so each epoch lands (month,
+    cents) partial sums and the drain merges months before the
+    shared triple-join card.  Drain ≡ q688 under ANY order-grain
+    slicing."""
+    import databricks_etl_spark.plans.queries_round13 as _r13
+
+    o = read_table(spark, sf_dir, "orders").localCheckpoint()
+    path = _q16_stream_root("tp", sf_dir) + "/monthly"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        part = (
+            o.filter(F.col("o_orderkey") % k == ep)
+            .groupBy(
+                F.date_format(
+                    F.col("o_orderdate").cast("date"), "yyyy-MM"
+                ).alias("m")
+            )
+            .agg(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                )
+                .cast("long")
+                .alias("x")
+            )
+        )
+        _q16_land(part, ep, path)
+    monthly = (
+        spark.read.schema("m string, x long, __epoch int")
+        .parquet(path)
+        .groupBy("m")
+        .agg(F.sum("x").cast("long").alias("x"))
+    )
+    return _q688_card_from_monthly(monthly)
+
+
+@query(
+    "q693_streaming_runs_test",
+    oracle=QUERIES["q689_runs_test"].oracle,
+    defer=True,
+)
+def q693_streaming_runs_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q689's runs test under STREAMING order arrival — daily
+    partials are additive, so each epoch lands (day, cents) partial
+    sums and the drain merges days before the shared median/runs
+    card.  Drain ≡ q689 under ANY order-grain slicing (the median
+    itself is re-derived from the merged grid)."""
+    import databricks_etl_spark.plans.queries_round13 as _r13
+
+    o = read_table(spark, sf_dir, "orders").localCheckpoint()
+    path = _q16_stream_root("runs", sf_dir) + "/daily"
+    k = _r13._STREAM_EPOCHS
+    for ep in range(k):
+        part = (
+            o.filter(F.col("o_orderkey") % k == ep)
+            .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+            .agg(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                )
+                .cast("long")
+                .alias("x")
+            )
+        )
+        _q16_land(part, ep, path)
+    daily = (
+        spark.read.schema("d date, x long, __epoch int")
+        .parquet(path)
+        .groupBy("d")
+        .agg(F.sum("x").cast("long").alias("x"))
+    )
+    return _q689_card_from_daily(daily)

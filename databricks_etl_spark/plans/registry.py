@@ -844,8 +844,8 @@ def _load() -> None:
     # round-16 modules
     import databricks_etl_spark.plans.queries_round16  # noqa: F401
 
-    assert len(QUERIES) >= 684, (
-        f"query registry shrank: {len(QUERIES)} < 684 — a module failed to register"
+    assert len(QUERIES) >= 691, (
+        f"query registry shrank: {len(QUERIES)} < 691 — a module failed to register"
     )
     _reorder()
     _loaded = True

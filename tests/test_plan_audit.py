@@ -468,7 +468,7 @@ def test_broadcast_site_ledger():
         "queries_round13.py": 44,  # all 1-row stat finals, literal grids, or bounded-by-construction relations (audited)
         "queries_round14.py": 17,  # noqa: E501
         "queries_round15.py": 46,
-        "queries_round16.py": 16,  # + q677 1-row nn/best cards, q680 1-row tot/sum cards — audited  # q657 1-row tot/acf cards (3); q660 1-row beta cards (2); q663 source-totals (20-row) + 1-row corpus total; q664 1-row vocab card; q668 3-row offset/median cards (3) — audited  # q609/q611/q614/q616-q619 1-row finals; q623 class-model relations (k-row / vocab-bounded) — audited  # q576 1-row count card; q577/q578/q579/q595/q606 bounded benchmark/eval slices; q586/q589/q591/q596/q597/q599/q600/q601/q605 1-row or 25-row stat combines
+        "queries_round16.py": 25,  # + q677 1-row nn/best cards, q680 1-row tot/sum cards — audited  # q657 1-row tot/acf cards (3); q660 1-row beta cards (2); q663 source-totals (20-row) + 1-row corpus total; q664 1-row vocab card; q668 3-row offset/median cards (3) — audited  # q609/q611/q614/q616-q619 1-row finals; q623 class-model relations (k-row / vocab-bounded) — audited  # q576 1-row count card; q577/q578/q579/q595/q606 bounded benchmark/eval slices; q586/q589/q591/q596/q597/q599/q600/q601/q605 1-row or 25-row stat combines
     }
     plans = pathlib.Path(__file__).resolve().parents[1] / (
         "databricks_etl_spark/plans"

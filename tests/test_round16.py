@@ -438,3 +438,68 @@ def test_round16_hostile_slicing_matches_batch_b(
     monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
     drained = _collect_sorted(q[twin](spark, smoke_sf_dir))
     assert drained == batch
+
+
+# --- batch 6: RMST / randomness screens / SRM -------------------------------
+
+
+def test_q687_rmst_bounds(spark, smoke_sf_dir):
+    """RMST is an area under a [0,1] step curve on [0, tau], so
+    0 <= rmst <= tau."""
+    r = _one(queries()["q687_rmst"](spark, smoke_sf_dir))
+    assert 0 <= r["rmst_days"] <= r["tau_days"]
+    assert r["n_event_times"] > 0
+
+
+def test_q688_turning_points_bounds(spark, smoke_sf_dir):
+    """T is bounded by the interior point count n-2; verdict matches
+    the z cut."""
+    r = _one(queries()["q688_turning_points"](spark, smoke_sf_dir))
+    assert 0 <= r["n_turning_points"] <= r["n_months"] - 2
+    assert r["randomness_rejected"] == (abs(r["z_score"]) > 1.96)
+
+
+def test_q689_runs_bounds(spark, smoke_sf_dir):
+    """Median split is near-even; runs between 1 and n; verdict
+    matches the cut."""
+    r = _one(queries()["q689_runs_test"](spark, smoke_sf_dir))
+    n = r["n_above"] + r["n_below"]
+    assert abs(r["n_above"] - r["n_below"]) <= 1  # exact median split
+    assert 1 <= r["n_runs"] <= n
+    assert r["randomness_rejected"] == (abs(r["z_score"]) > 1.96)
+
+
+def test_q690_grubbs_card(spark, smoke_sf_dir):
+    """G is positive and the flag matches the fixed screen cut."""
+    r = _one(queries()["q690_grubbs_screen"](spark, smoke_sf_dir))
+    assert r["grubbs_g"] > 0
+    assert r["outlier_flagged"] == (r["grubbs_g"] > 3.5)
+    assert r["outlier_cents"] > 0
+
+
+def test_q691_srm_card(spark, smoke_sf_dir):
+    """Arms partition the customer table; chi2 nonnegative; the md5
+    half-split must NOT trip the guardrail on a healthy assignment."""
+    r = _one(queries()["q691_srm_guardrail"](spark, smoke_sf_dir))
+    assert r["n_arm_a"] > 0 and r["n_arm_b"] > 0
+    assert r["srm_chi2"] >= 0
+    assert r["srm_detected"] == (r["srm_chi2"] > 3.841458820694124)
+
+
+_TWINS_C = [
+    ("q692_streaming_turning_points", "q688_turning_points"),
+    ("q693_streaming_runs_test", "q689_runs_test"),
+]
+
+
+@pytest.mark.parametrize("twin,primary", _TWINS_C)
+def test_round16_hostile_slicing_matches_batch_c(
+    spark, smoke_sf_dir, monkeypatch, twin, primary
+):
+    """Third twin batch: drain ≡ batch primary under hostile 13-way
+    slicing."""
+    q = queries()
+    batch = _collect_sorted(q[primary](spark, smoke_sf_dir))
+    monkeypatch.setattr(r13, "_STREAM_EPOCHS", 13)
+    drained = _collect_sorted(q[twin](spark, smoke_sf_dir))
+    assert drained == batch
