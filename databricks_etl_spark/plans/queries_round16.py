@@ -34,9 +34,15 @@ breadth):
 - model monitoring -> PSI over fixed scorecard bins (q680); the
   calibration/deployment readouts ECE/MCE (q685) and the decile
   gains table (q686);
-- streaming twins q669-q676 and q681-q684: epoch-idempotent additive
-  partial landing + shared-card drains for twelve of the batch lanes
-  (drain == batch under any slicing, 13-way hostile tests).
+- survival family -> restricted mean survival time over the q540 KM
+  curve (q687); time-series randomness screens: turning points
+  (q688) and Wald-Wolfowitz runs (q689); ops screens: Grubbs
+  max-deviation (q690) and the A/B sample-ratio-mismatch guardrail
+  (q691);
+- streaming twins q669-q676, q681-q684, q692-q693: epoch-idempotent
+  additive partial landing + shared-card drains for fourteen of the
+  batch lanes (drain == batch under any slicing, 13-way hostile
+  tests).
 
 Reference parity: the reference corpus (gbaliarda/databricks-etl,
 notebooks etl.py / transform.py / pre_analysis.py) has none of these
