@@ -2994,40 +2994,64 @@ def q457_join_order_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: estimates run on 1-row stat aggregates; actuals are
     per-key count relations joined to orders (pre-aggregated, no
     expansion — q435's discipline, composed once more)."""
+    # r16 OPT (guide §1.2/§2.3): the old loop recomputed every
+    # variant-independent piece per variant — orders/lineitem stat
+    # aggregates (with their countDistinct Expand passes), the lineitem
+    # per-orderkey counts, and the orders⋈lc walk ran TWICE, behind six
+    # eager localCheckpoint barriers.  Now lineitem is scanned ONCE
+    # (lc), orders ONCE (olc = orders ⟕ lc, which preserves exactly one
+    # row per order, so every orders-side stat — n_o, d_oc, d_ok, and
+    # the variant-independent ol_int — is derivable from it without a
+    # second scan), n_l/d_lk fall out of lc as SUM/COUNT (no
+    # countDistinct Expand over the fact table at all), and the
+    # est-side 1-row stats produce both join orders via one inline()
+    # instead of a checkpointed double-select.  Values are identical:
+    # every stat is the same integer, cast double at the same point.
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint()
+    olc = (
+        orders.join(lc, orders.o_orderkey == lc.k, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.coalesce(F.col("c"), F.lit(0)).alias("lcn"),
+        )
+        .localCheckpoint()
+    )
+    gs = (
+        olc.agg(
+            F.count(F.lit(1)).cast("double").alias("n_o"),
+            F.countDistinct("o_custkey").cast("double").alias("d_oc"),
+            F.countDistinct("o_orderkey").cast("double").alias("d_ok"),
+            F.sum("lcn").cast("long").alias("ol_int"),
+        )
+        .crossJoin(
+            lc.agg(
+                F.sum("c").cast("double").alias("n_l"),
+                F.count(F.lit(1)).cast("double").alias("d_lk"),
+            )
+        )
+        .localCheckpoint()
+    )
     out = []
     for label, pred in [
         ("full", F.lit(True)),
         ("filtered", F.col("c_mktsegment") == _Q457_SEGMENT),
     ]:
-        cust = read_table(spark, sf_dir, "customer").filter(pred)
-        orders = read_table(spark, sf_dir, "orders")
-        li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
-        s = (
-            cust.agg(
-                F.count(F.lit(1)).cast("double").alias("n_c"),
-                F.countDistinct("c_custkey").cast("double").alias("d_c"),
-            )
-            .crossJoin(
-                orders.agg(
-                    F.count(F.lit(1)).cast("double").alias("n_o"),
-                    F.countDistinct("o_custkey")
-                    .cast("double")
-                    .alias("d_oc"),
-                    F.countDistinct("o_orderkey")
-                    .cast("double")
-                    .alias("d_ok"),
-                )
-            )
-            .crossJoin(
-                li.agg(
-                    F.count(F.lit(1)).cast("double").alias("n_l"),
-                    F.countDistinct("l_orderkey")
-                    .cast("double")
-                    .alias("d_lk"),
-                )
-            )
+        cc = (
+            read_table(spark, sf_dir, "customer")
+            .filter(pred)
+            .groupBy(F.col("c_custkey").alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
             .localCheckpoint()
         )
+        s = cc.agg(
+            F.sum("c").cast("double").alias("n_c"),
+            F.count(F.lit(1)).cast("double").alias("d_c"),
+        ).crossJoin(gs)
         co_int = F.col("n_c") * F.col("n_o") / F.greatest("d_c", "d_oc")
         co_fin = co_int * F.col("n_l") / F.greatest(
             F.least(F.col("d_ok"), co_int), F.col("d_lk")
@@ -3037,36 +3061,31 @@ def q457_join_order_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("d_oc"), ol_int), F.col("d_c")
         )
         est = s.select(
-            F.lit("co_l").alias("join_order"),
-            co_int.alias("est_int"),
-            co_fin.alias("est_fin"),
-        ).unionByName(
-            s.select(
-                F.lit("ol_c").alias("join_order"),
-                ol_int.alias("est_int"),
-                ol_fin.alias("est_fin"),
+            F.col("ol_int").alias("g_ol_int"),
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.lit("co_l").alias("join_order"),
+                        co_int.alias("est_int"),
+                        co_fin.alias("est_fin"),
+                    ),
+                    F.struct(
+                        F.lit("ol_c").alias("join_order"),
+                        ol_int.alias("est_int"),
+                        ol_fin.alias("est_fin"),
+                    ),
+                )
+            ),
+        )
+        act = (
+            olc.join(cc, olc.o_custkey == cc.k, "left")
+            .select(F.coalesce(F.col("c"), F.lit(0)).alias("cc"), "lcn")
+            .agg(
+                F.sum("cc").cast("long").alias("co_int"),
+                F.sum(F.col("cc") * F.col("lcn"))
+                .cast("long")
+                .alias("fin"),
             )
-        )
-        cc = cust.groupBy(F.col("c_custkey").alias("k")).agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        ow = (
-            orders.join(cc, orders.o_custkey == cc.k, "left")
-            .select(
-                "o_orderkey",
-                F.coalesce(F.col("c"), F.lit(0)).alias("cc"),
-            )
-            .join(lc, F.col("o_orderkey") == lc.k, "left")
-            .select("cc", F.coalesce(F.col("c"), F.lit(0)).alias("lcn"))
-            .localCheckpoint()
-        )
-        act = ow.agg(
-            F.sum("cc").cast("long").alias("co_int"),
-            F.sum("lcn").cast("long").alias("ol_int"),
-            F.sum(F.col("cc") * F.col("lcn")).cast("long").alias("fin"),
         )
         rows = est.crossJoin(F.broadcast(act)).select(
             F.lit(label).alias("variant"),
@@ -3076,12 +3095,12 @@ def q457_join_order_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "est_total_cout"
             ),
             F.when(F.col("join_order") == "co_l", F.col("co_int"))
-            .otherwise(F.col("ol_int"))
+            .otherwise(F.col("g_ol_int"))
             .alias("actual_intermediate"),
             F.col("fin").alias("actual_final"),
         )
         out.append(rows)
-    raw = out[0].unionByName(out[1]).localCheckpoint()
+    raw = out[0].unionByName(out[1])
     from pyspark.sql import Window
 
     wv = Window.partitionBy("variant")

@@ -951,52 +951,89 @@ def q581_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
         .distinct()
+        # shared by the edge self-join (both sides) and the node set:
+        # one scan + distinct instead of three
+        .localCheckpoint()
     )
     a = li.select("ok", F.col("pk").alias("src"))
     b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+    # r16 OPT (guide §1.2/§2.4): the old shape ran ELEVEN eager
+    # localCheckpoint barrier jobs per invocation (edges, deg, nodes +
+    # one per iteration) — each a full materialization whose blocks
+    # linger for the session, and whose LogicalRDD scans carry no
+    # stats, defeating every broadcast decision.  Now the whole loop is
+    # ONE lazy query: lazy checkpoints (shared RDDs, no barrier jobs),
+    # deg folded into the edge relation ONCE before the loop (one join
+    # per iteration instead of two), and AQE picks join strategies from
+    # real runtime sizes — locally that is broadcast, at 100 TB the
+    # same plan degrades gracefully to sort-merge with the ranks
+    # co-partitioned.  Arithmetic is untouched: each edge still
+    # contributes floor(r_src/d_src) into a DECIMAL(38,0) inflow sum.
     edges = (
         a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint()
     )
     deg = edges.groupBy(F.col("src").alias("pk")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
-    ).localCheckpoint()
+    )
+    # per-edge out-degree: edges ⋈ deg once, then hash-partitioned and
+    # sorted by src ONCE — localCheckpoint preserves outputPartitioning
+    # and ordering, so the per-iteration join never moves or re-sorts
+    # the edge relation; only the node-sized inflow relation travels
+    # (guide §2.4 "establish the partitioning once").  The partition
+    # count follows the session's shuffle-partition setting, not a
+    # local constant.
+    shp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ed = (
+        edges.join(deg.withColumnRenamed("pk", "src"), "src")
+        .repartition(shp, "src")
+        .sortWithinPartitions("src")
+        .localCheckpoint()
+    )
     nodes = li.select("pk").distinct().localCheckpoint()
-    r = nodes.select("pk", F.lit(_Q581_BASE).cast("long").alias("r"))
-    for _ in range(_Q581_ITERS):
-        share = (
-            r.join(deg, "pk")
-            .select("pk", F.expr("r DIV d").alias("share"))
-        )
-        inflow = (
-            edges.join(
-                share.withColumnRenamed("pk", "src"), "src"
+    # The per-node rank materialization is fused INTO the edge join:
+    # r_i(src) = TELE + (85·inflow_i(src)) DIV 100 is a pure function
+    # of the previous inflow, so each iteration is ONE left join (edge
+    # rows pick up their src's inflow; no-inflow sources coalesce to
+    # the teleport rank, exactly the old nodes ⟕ inflow combine) and
+    # ONE grouped decimal sum — 2 stages instead of the old 4.
+    # Iteration 1 needs no join at all: every source starts at BASE.
+    _rank_expr = (
+        f"(CAST({_Q581_TELE} AS BIGINT) + (85 * COALESCE(inflow,"
+        " CAST(0 AS DECIMAL(38,0)))) DIV 100)"
+    )
+    inflow = ed.groupBy(F.col("dst").alias("pk")).agg(
+        F.sum(
+            F.expr(f"CAST({_Q581_BASE} AS BIGINT) DIV d").cast(
+                "decimal(38,0)"
             )
+        ).alias("inflow")
+    )
+    for _ in range(_Q581_ITERS - 1):
+        inflow = (
+            ed.join(inflow.withColumnRenamed("pk", "src"), "src", "left")
             .groupBy(F.col("dst").alias("pk"))
             .agg(
-                F.sum(F.col("share").cast("decimal(38,0)")).alias(
-                    "inflow"
-                )
+                F.sum(
+                    F.expr(f"{_rank_expr} DIV d").cast("decimal(38,0)")
+                ).alias("inflow")
             )
         )
-        r = (
-            nodes.join(inflow, "pk", "left")
-            .select(
-                "pk",
-                (
-                    F.lit(_Q581_TELE)
-                    + F.expr(
-                        "(85 * COALESCE(inflow,"
-                        " CAST(0 AS DECIMAL(38,0)))) DIV 100"
-                    )
-                )
-                .cast("long")
-                .alias("r"),
+    # node-complete combine once at the END (identical to the old
+    # per-iteration nodes ⟕ inflow select, just not repeated 8×)
+    r = nodes.join(inflow, "pk", "left").select(
+        "pk",
+        (
+            F.lit(_Q581_TELE)
+            + F.expr(
+                "(85 * COALESCE(inflow,"
+                " CAST(0 AS DECIMAL(38,0)))) DIV 100"
             )
-            .localCheckpoint()
         )
+        .cast("long")
+        .alias("r"),
+    )
     # TakeOrderedAndProject first (scale-safe top-N — no global-sort
     # window on a node-sized relation), then rank the bounded 20 rows
     top = r.orderBy(F.desc("r"), F.asc("pk")).limit(_Q581_TOP)

@@ -1613,6 +1613,22 @@ def q619_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select("ok", F.col("pk").alias("src"))
     b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+    # r16 OPT (guide §1.2/§2.4): the old shape eagerly localCheckpointed
+    # every relaxation round — TEN barrier jobs per invocation, blocks
+    # lingering for the whole session.  Two changes, results identical:
+    # (1) the edge relation is hash-partitioned + sorted by src ONCE
+    # (checkpoint preserves partitioning/ordering — the edge table
+    # never moves again; only the reached-frontier travels); (2) the
+    # node-complete dist relation is replaced by the REACHED set —
+    # reached_i = min over (relax(reached_{i-1}) ∪ {(source, 0)}).
+    # That is provably the non-NULL slice of the old dist chain: for
+    # any reached non-source node u, its defining path's predecessor v
+    # stays reached with a non-increasing distance, so relax_i(u) ≤
+    # dist_{i-1}(u) — the self-union the old CASE combine encoded is
+    # redundant except for the source row, which is unioned explicitly.
+    # Each round is then ONE keyed join + ONE grouped MIN on a single
+    # linear chain — no per-round materialization needed at all.
+    shp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
         .select("src", "dst")
@@ -1621,42 +1637,36 @@ def q619_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
             (1 + (F.col("src") + F.col("dst")) % 7).cast("long"),
         )
+        .repartition(shp, "src")
+        .sortWithinPartitions("src")
         .localCheckpoint()
     )
-    nodes = li.select("pk").distinct().localCheckpoint()
-    mn = (
+    srcrow = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("dg"))
         .orderBy(F.desc("dg"), F.asc("src"))
         .limit(1)
-        .select(F.col("src").alias("mn"))
+        .select(
+            F.col("src").alias("pk"), F.lit(0).cast("long").alias("d")
+        )
+        # 1-row relation unioned into every round — materialized once
+        .localCheckpoint()
     )
-    dist = nodes.crossJoin(F.broadcast(mn)).select(
-        "pk",
-        F.when(F.col("pk") == F.col("mn"), F.lit(0))
-        .cast("long")
-        .alias("d"),
-    )
+    reached = srcrow
     for _ in range(_Q619_ITERS):
-        cand = (
-            edges.join(
-                dist.filter(F.col("d").isNotNull())
-                .withColumnRenamed("pk", "src"),
-                "src",
+        relax = (
+            edges.join(reached.withColumnRenamed("pk", "src"), "src")
+            .select(
+                F.col("dst").alias("pk"),
+                (F.col("d") + F.col("w")).alias("d"),
             )
-            .groupBy(F.col("dst").alias("pk"))
-            .agg(F.min(F.col("d") + F.col("w")).alias("nd"))
         )
-        dist = (
-            dist.join(cand, "pk", "left")
-            .select("pk", F.expr(_Q619_STEP).cast("long").alias("d"))
-            .localCheckpoint()
+        reached = (
+            relax.unionByName(srcrow)
+            .groupBy("pk")
+            .agg(F.min("d").cast("long").alias("d"))
         )
-    top = (
-        dist.filter(F.col("d").isNotNull())
-        .orderBy(F.asc("d"), F.asc("pk"))
-        .limit(_Q619_TOP)
-    )
+    top = reached.orderBy(F.asc("d"), F.asc("pk")).limit(_Q619_TOP)
     w = Window.orderBy(F.asc("d"), F.asc("pk"))
     return top.withColumn(
         "rank_pos", F.row_number().over(w).cast("long")
