@@ -161,17 +161,75 @@ def _q341_truth(
     pass. ``sample`` restricts the scored corpus (the q388 twin);
     ``topk`` deepens the ranked prefix (the q396 graded-nDCG twin);
     both defaults are byte-identical to q341's own pass."""
-    from databricks_etl_spark.operators.similarity import cosine
+    from databricks_etl_spark.operators.similarity import norm
 
     cemb, qemb = _q332_relations(spark, sf_dir)
     if sample is not None:
         cemb = cemb.filter(sample)
+    # r16 OPT (guide §1.2 "per-task work", §4.1 prefer codegen): the
+    # scored pass runs |chunks|×|queries| pair expressions, so every
+    # factor computable per ROW is hoisted out of the pair: the two
+    # norms (sim = dot/(qn·cn) — the same sqrt(dot(x,x)) values the
+    # fused cosine recomputed per pair, multiplied in the same order,
+    # bit-identical) and the probe order, which depends only on the
+    # QUERY embedding — per query a K-slot array of cell ranks is
+    # precomputed on the broadcast side and the pair just indexes it.
+    # The remaining pair dot is unrolled to a fixed-D codegen
+    # expression (same left-to-right fold order as the old
+    # zip_with/aggregate, so the float result is identical) instead of
+    # allocating a zipped array per pair.
+    s = [
+        sum(
+            (
+                F.element_at(F.col("qe"), i + 1)
+                for i in range(_Q332_D)
+                if i % _Q332_K == j
+            ),
+            F.lit(0.0),
+        )
+        for j in range(_Q332_K)
+    ]
+    # _q341_cell_rank specialised to a LITERAL cell j: sc is s[j] and
+    # the k<cell tiebreak is a Python constant — same values, no CASE
+    # chain per pair
+    ranks = [
+        F.lit(1)
+        + reduce(
+            lambda x, y: x + y,
+            [
+                F.when(
+                    (s[k] > s[j]) | ((s[k] == s[j]) & F.lit(k < j)), 1
+                ).otherwise(0)
+                for k in range(_Q332_K)
+            ],
+        )
+        for j in range(_Q332_K)
+    ]
+    qemb = qemb.select(
+        "qid",
+        "qe",
+        norm(F.col("qe")).alias("__qn"),
+        F.array(*ranks).alias("__qranks"),
+    )
+    cemb = cemb.select(
+        "doc_id", "chunk_idx", "cell", "ce", norm(F.col("ce")).alias("__cn")
+    )
+    pair_dot = F.lit(0.0)
+    for i in range(_Q332_D):
+        pair_dot = pair_dot + (
+            F.element_at(F.col("qe"), i + 1).cast("double")
+            * F.element_at(F.col("ce"), i + 1).cast("double")
+        )
     sr = cemb.join(F.broadcast(qemb), F.lit(True)).select(
         "qid",
         "doc_id",
         "chunk_idx",
-        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
-        _q341_cell_rank(F.col("qe"), F.col("cell")).alias("cell_rank"),
+        F.round(
+            F.try_divide(pair_dot, F.col("__qn") * F.col("__cn")), 6
+        ).alias("sim"),
+        F.element_at(
+            F.col("__qranks"), F.col("cell").cast("int") + 1
+        ).alias("cell_rank"),
     )
     w = Window.partitionBy("qid").orderBy(
         F.desc("sim"), F.asc("doc_id"), F.asc("chunk_idx")
