@@ -338,6 +338,7 @@ def exact_cumsum(
     *,
     n_parts: int = 64,
     out_col: str = "cum",
+    with_total: bool = False,
 ) -> DataFrame:
     """``SUM(val) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``
     with EXACT semantics but no global-ordering window — the
@@ -354,7 +355,12 @@ def exact_cumsum(
 
     The weighted-quantile extractor rides this directly: the q-th
     weighted quantile is the first row (in the total order) whose
-    cumulative weight reaches ⌈q·W⌉."""
+    cumulative weight reaches ⌈q·W⌉.
+
+    ``with_total=True`` returns ``(df, total)`` where ``total`` is the
+    exact grand sum of ``val_col`` — already known from the collected
+    per-partition sums, so callers needing W (quantile targets) avoid
+    a second aggregation job over the data."""
     from pyspark.sql import Window
 
     order_exprs = [
@@ -372,9 +378,10 @@ def exact_cumsum(
         .collect()
     }
     if not sums:
-        return part.drop("_ecp").withColumn(
+        empty = part.drop("_ecp").withColumn(
             out_col, F.lit(None).cast("decimal(38,0)")
         )
+        return (empty, 0) if with_total else empty
     offs, acc = [], 0
     for pid in range(max(sums) + 1):
         offs.append(acc)
@@ -383,7 +390,7 @@ def exact_cumsum(
         Window.unboundedPreceding, 0
     )
     intra = F.sum(F.col(val_col).cast("decimal(38,0)")).over(w)
-    return (
+    out = (
         part.withColumn(
             out_col,
             intra
@@ -396,3 +403,4 @@ def exact_cumsum(
         )
         .drop("_ecp")
     )
+    return (out, acc) if with_total else out

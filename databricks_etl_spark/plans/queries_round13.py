@@ -2122,7 +2122,10 @@ def q523_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one range-partitioned pass for the cumulative
     weights (the one materialization an exact rank costs — the
-    exact_ntile tradeoff), then three 1-row min-aggregates."""
+    exact_ntile tradeoff), then ONE fused conditional min-aggregate
+    extracting all three quantiles in a single scan (W comes free
+    from the kernel's collected partition sums — no extra total job,
+    no checkpoint of the windowed relation)."""
     from databricks_etl_spark.operators.quantile_bucket import exact_cumsum
 
     li = read_table(spark, sf_dir, "lineitem").select(
@@ -2131,28 +2134,38 @@ def q523_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    cum = exact_cumsum(
-        li, ["v", "l_orderkey", "l_linenumber"], "w", out_col="c"
-    ).localCheckpoint()
-    total = int(
-        cum.agg(F.sum("w").cast("decimal(38,0)").alias("t")).collect()[0][
-            "t"
+    cum, total = exact_cumsum(
+        li, ["v", "l_orderkey", "l_linenumber"], "w", out_col="c",
+        with_total=True,
+    )
+    targets = [
+        (lbl, (num * total + den - 1) // den) for num, den, lbl in _Q523_QS
+    ]
+    fused = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("c") >= F.lit(str(t)).cast("decimal(38,0)"),
+                    F.col("v"),
+                )
+            ).alias(lbl)
+            for lbl, t in targets
         ]
     )
-    out = None
-    for num, den, lbl in _Q523_QS:
-        target = (num * total + den - 1) // den
-        row = (
-            cum.filter(F.col("c") >= F.lit(str(target)).cast("decimal(38,0)"))
-            .agg(F.min("v").alias("price"))
-            .select(
-                F.lit(lbl).alias("quantile"),
-                "price",
-                F.lit(target).cast("long").alias("target_weight"),
+    return fused.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lbl).alias("quantile"),
+                        F.col(lbl).alias("price"),
+                        F.lit(t).cast("long").alias("target_weight"),
+                    )
+                    for lbl, t in targets
+                ]
             )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        ).alias("r")
+    ).select("r.*")
 
 
 # ---------------------------------------------------------------------------
