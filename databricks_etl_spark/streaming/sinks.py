@@ -41,15 +41,15 @@ def read_latest_per_key(spark: SparkSession, path: str, keys: list[str]) -> Data
     """Materialized view over an epoch-partitioned sink: for each key,
     the row from the HIGHEST epoch (update-mode streams re-emit a
     key's row each time it changes; the latest epoch wins).
-    Deterministic: epoch is a total order per key."""
-    from pyspark.sql import Window
-
+    Deterministic: epoch is a total order per key and update-mode
+    emits at most one row per (key, epoch), so ``max_by(col, __epoch)``
+    is tie-free — a hash aggregate with map-side partial combine,
+    cheaper than the row_number window (full shuffle + per-key sort)
+    it replaces."""
     df = spark.read.parquet(path)
-    w = Window.partitionBy(*keys).orderBy(F.col("__epoch").desc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__epoch")
+    others = [c for c in df.columns if c not in keys and c != "__epoch"]
+    return df.groupBy(*keys).agg(
+        *[F.max_by(c, "__epoch").alias(c) for c in others]
     )
 
 
@@ -69,7 +69,10 @@ def run_foreachbatch_counts(
     import shutil
 
     from databricks_etl_spark.sources.writers import scratch_dir
-    from databricks_etl_spark.streaming.windows import stream_events
+    from databricks_etl_spark.streaming.windows import (
+        stream_events,
+        stream_shuffle,
+    )
 
     # stable per-(process, sf_dir) path, removed at interpreter exit.
     # Dynamic partition overwrite replaces only matching epochs, so a
@@ -82,16 +85,28 @@ def run_foreachbatch_counts(
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    q = (
-        counts.writeStream.outputMode("update")
-        .foreachBatch(epoch_idempotent_sink(out))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark, sf_dir):
+        q = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(epoch_idempotent_sink(out))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if replay_last_epoch:
-        sunk = spark.read.parquet(out)
-        last = sunk.agg(F.max("__epoch").alias("m")).first()["m"]
-        payload = sunk.filter(F.col("__epoch") == last).drop("__epoch")
+        # the sink's layout contract IS epoch directories — the highest
+        # epoch comes from a filesystem listing, not a footer-scan job
+        import os
+
+        last = max(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out)
+            if d.startswith("__epoch=")
+        )
+        payload = (
+            spark.read.parquet(out)
+            .filter(F.col("__epoch") == last)
+            .drop("__epoch")
+        )
         epoch_idempotent_sink(out)(payload, int(last))
     return read_latest_per_key(spark, out, ["user_id"])

@@ -19,6 +19,8 @@ split by AQE). Watermark bounds state for true streams.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -78,6 +80,47 @@ def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
             "session_value",
         )
     )
+
+
+_STREAM_BYTES_PER_PARTITION = 8 * 1024 * 1024
+
+
+@contextmanager
+def stream_shuffle(spark: SparkSession, sf_dir: str, tables=("events",)):
+    """Scale-adaptive shuffle/state partitioning for a stream drain.
+
+    A streaming aggregation materializes one state-store instance per
+    shuffle partition, each paying task-launch, store-open and commit
+    overhead every micro-batch — so the partition count must track the
+    INPUT SIZE, not the core count (a few-MB availableNow drain at 32
+    partitions spends ~6× longer in per-partition state machinery than
+    in the aggregation itself; measured in OPTIMIZATION_r16.md).  This
+    only ever LOWERS the session setting — sized at one partition per
+    8 MB of input with a floor of 4 — so large inputs keep the
+    cluster-configured value and the change is a no-op at scale.
+    Restores the session setting on exit (drains run sequentially)."""
+    import os
+
+    total = 0
+    for t in tables:
+        try:
+            total += os.path.getsize(f"{sf_dir}/{t}.parquet")
+        except OSError:
+            pass
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    n = max(
+        4,
+        min(
+            int(old),
+            (total + _STREAM_BYTES_PER_PARTITION - 1)
+            // _STREAM_BYTES_PER_PARTITION,
+        ),
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
