@@ -102,12 +102,15 @@ def run_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "embeddings.parquet")
         .parquet(sf_dir)
     )
-    q = (
-        emb_stream.writeStream.foreachBatch(
-            make_annindex_epoch(partials_path)
+    from databricks_etl_spark.streaming.windows import stream_shuffle
+
+    with stream_shuffle(spark, sf_dir, tables=("embeddings",)):
+        q = (
+            emb_stream.writeStream.foreachBatch(
+                make_annindex_epoch(partials_path)
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return drain_ann_index(spark, sf_dir, partials_path)

@@ -85,11 +85,14 @@ def run_streaming_compaction(
         .partitionBy("__epoch")
         .parquet(partials_path)
     )
-    q = (
-        stream_events(spark, sf_dir)
-        .writeStream.foreachBatch(make_compaction_epoch(partials_path))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from databricks_etl_spark.streaming.windows import stream_shuffle
+
+    with stream_shuffle(spark, sf_dir, tables=("events",)):
+        q = (
+            stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(make_compaction_epoch(partials_path))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return drain_compaction_plan(spark, partials_path)

@@ -95,21 +95,24 @@ def run_streaming_chunk_decontam(
         .parquet(sf_dir)
         .filter(F.col("doc_id") % 50 != 0)
     )
-    q = (
-        doc_stream.writeStream.foreachBatch(
-            make_decontam_epoch(
-                hits_path,
-                bench,
-                window=window,
-                stride=stride,
-                length=length,
-                gram_stride=gram_stride,
+    from databricks_etl_spark.streaming.windows import stream_shuffle
+
+    with stream_shuffle(spark, sf_dir, tables=("documents",)):
+        q = (
+            doc_stream.writeStream.foreachBatch(
+                make_decontam_epoch(
+                    hits_path,
+                    bench,
+                    window=window,
+                    stride=stride,
+                    length=length,
+                    gram_stride=gram_stride,
+                )
             )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
 
     # explicit schema: a clean corpus leaves the sink empty — an
     # all-clear verdict, not an UNABLE_TO_INFER_SCHEMA crash

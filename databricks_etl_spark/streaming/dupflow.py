@@ -171,12 +171,15 @@ def run_streaming_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    q = (
-        doc_stream.writeStream.foreachBatch(
-            make_dupflow_epoch(pairs_path, index)
+    from databricks_etl_spark.streaming.windows import stream_shuffle
+
+    with stream_shuffle(spark, sf_dir, tables=("documents",)):
+        q = (
+            doc_stream.writeStream.foreachBatch(
+                make_dupflow_epoch(pairs_path, index)
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return drain_dup_flow(spark, pairs_path)

@@ -115,14 +115,17 @@ def run_streaming_incremental_neardup(
         .filter(F.col("doc_id") % batch_mod == 0)
         .select((F.col("doc_id") + id_offset).alias("doc_id"), "text")
     )
-    q = (
-        batch_stream.writeStream.foreachBatch(
-            make_ingest_epoch(index_path, pairs_path)
+    from databricks_etl_spark.streaming.windows import stream_shuffle
+
+    with stream_shuffle(spark, sf_dir, tables=("documents",)):
+        q = (
+            batch_stream.writeStream.foreachBatch(
+                make_ingest_epoch(index_path, pairs_path)
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     # Re-derive cross_corpus from ids (corpus ids < id_offset ≤ batch
     # ids, and id_a < id_b): the per-epoch operator flags a pair of two
     # STREAM docs from different epochs as "cross" — correctly, from

@@ -121,12 +121,15 @@ def run_streaming_plan_realization(
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    q = (
-        doc_stream.writeStream.foreachBatch(
-            make_realize_epoch(partials_path, ship_ids, rates)
+    from databricks_etl_spark.streaming.windows import stream_shuffle
+
+    with stream_shuffle(spark, sf_dir, tables=("documents",)):
+        q = (
+            doc_stream.writeStream.foreachBatch(
+                make_realize_epoch(partials_path, ship_ids, rates)
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return drain_plan_realization(spark, partials_path, pl)

@@ -91,12 +91,15 @@ def run_streaming_repetition_spectrum(
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    q = (
-        doc_stream.writeStream.foreachBatch(
-            make_repetition_epoch(partials_path)
+    from databricks_etl_spark.streaming.windows import stream_shuffle
+
+    with stream_shuffle(spark, sf_dir, tables=("documents",)):
+        q = (
+            doc_stream.writeStream.foreachBatch(
+                make_repetition_epoch(partials_path)
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return drain_repetition_spectrum(spark, partials_path)

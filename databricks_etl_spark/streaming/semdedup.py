@@ -158,14 +158,17 @@ def run_streaming_semdedup(
             F.reverse("embedding").alias("embedding"),
         )
     )
-    q = (
-        delta_stream.writeStream.foreachBatch(
-            make_semdedup_epoch(index_path, pairs_path, centroids, threshold)
+    from databricks_etl_spark.streaming.windows import stream_shuffle
+
+    with stream_shuffle(spark, sf_dir, tables=("embeddings",)):
+        q = (
+            delta_stream.writeStream.foreachBatch(
+                make_semdedup_epoch(index_path, pairs_path, centroids, threshold)
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
 
     # explicit schema: a drain where NO epoch found a pair leaves the
     # (pre-created) pairs sink with no parquet parts — an all-novel

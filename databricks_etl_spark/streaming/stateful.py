@@ -56,18 +56,22 @@ def run_running_totals_stream(spark, sf_dir: str) -> DataFrame:
     events table; returns the final per-user totals as a batch frame."""
     import uuid
 
-    from databricks_etl_spark.streaming.windows import stream_events
+    from databricks_etl_spark.streaming.windows import (
+        stream_events,
+        stream_shuffle,
+    )
 
     name = f"stateful_{uuid.uuid4().hex[:8]}"
-    q = (
-        running_user_totals(stream_events(spark, sf_dir))
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark, sf_dir, tables=("events",)):
+        q = (
+            running_user_totals(stream_events(spark, sf_dir))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # keep the last emitted row per user (update mode appends per batch)
     df = spark.table(name)
     return df.groupBy("user_id").agg(
@@ -181,16 +185,20 @@ def run_sessionize_stream(spark, sf_dir: str) -> DataFrame:
     to max(ts) - delay and flushes every provably-closed session."""
     import uuid
 
-    from databricks_etl_spark.streaming.windows import stream_events
+    from databricks_etl_spark.streaming.windows import (
+        stream_events,
+        stream_shuffle,
+    )
 
     name = f"sessfl_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize_stateful(stream_events(spark, sf_dir))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark, sf_dir, tables=("events",)):
+        q = (
+            sessionize_stateful(stream_events(spark, sf_dir))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

@@ -109,11 +109,14 @@ def run_streaming_table_stats(
         .partitionBy("__epoch")
         .parquet(partials_path)
     )
-    q = (
-        stream_events(spark, sf_dir)
-        .writeStream.foreachBatch(make_stats_epoch(partials_path))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from databricks_etl_spark.streaming.windows import stream_shuffle
+
+    with stream_shuffle(spark, sf_dir, tables=("events",)):
+        q = (
+            stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(make_stats_epoch(partials_path))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return drain_table_stats(spark, partials_path)

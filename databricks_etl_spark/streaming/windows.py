@@ -176,15 +176,16 @@ def run_windowed_stream(
 
     name = f"win_{uuid.uuid4().hex[:8]}"
     events = stream_events(spark, sf_dir).withWatermark("ts", watermark)
-    q = (
-        agg_fn(events)
-        .writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark, sf_dir):
+        q = (
+            agg_fn(events)
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -207,14 +208,15 @@ def run_tumbling_stream(
     name = f"tumbling_{uuid.uuid4().hex[:8]}"
     events = stream_events(spark, sf_dir).withWatermark("ts", watermark)
     agg = tumbling_counts(events, duration)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark, sf_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -242,15 +244,16 @@ def run_streaming_dedup(
 
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     events = stream_events(spark, sf_dir).withWatermark("ts", watermark)
-    q = (
-        events.dropDuplicatesWithinWatermark(list(keys))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark, sf_dir):
+        q = (
+            events.dropDuplicatesWithinWatermark(list(keys))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -275,16 +278,17 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    q = (
-        events.join(dim, "user_id")
-        .select("event_id", "user_id", "event_type", "c_mktsegment")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark, sf_dir):
+        q = (
+            events.join(dim, "user_id")
+            .select("event_id", "user_id", "event_type", "c_mktsegment")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -326,14 +330,15 @@ def run_stream_stream_join(
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
     ).select("user_id", "click_id", "purchase_id")
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark, sf_dir):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -380,14 +385,15 @@ def run_stream_stream_left_outer_join(
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
         "leftOuter",
     ).select("user_id", "click_id", "click_ts", "purchase_id")
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark, sf_dir):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -438,15 +444,16 @@ def run_streaming_fingerprint_dedup(
     fp = docs.select(
         "doc_id", "source", "ingest_ts", F.md5(norm).alias("md5_fp")
     )
-    q = (
-        fp.dropDuplicatesWithinWatermark(["md5_fp"])
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark, sf_dir, tables=("documents",)):
+        q = (
+            fp.dropDuplicatesWithinWatermark(["md5_fp"])
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -468,12 +475,13 @@ def run_sliding_stream(
     name = f"sliding_{uuid.uuid4().hex[:8]}"
     events = stream_events(spark, sf_dir).withWatermark("ts", watermark)
     agg = sliding_counts(events, duration, slide)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle(spark, sf_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
