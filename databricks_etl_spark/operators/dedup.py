@@ -88,6 +88,13 @@ def jaccard_pairs(
             .select("item")
         )
         items = items.join(keep, "item").select(id_col, "item")
+    # the (id, item) index is consumed THREE times (both self-join
+    # sides + set sizes); without a materialization each consumer
+    # re-derives it — re-tokenizing the corpus and, with max_df, re-
+    # running the document-frequency aggregate + join per consumer
+    # (r16: q255's plan showed four copies of the keep subtree).
+    # Lazy localCheckpoint computes it once; item-grain rows only.
+    items = items.localCheckpoint(eager=False)
     sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = items.select(F.col(id_col).alias("id_a"), "item")
     b = items.select(F.col(id_col).alias("id_b"), "item")
@@ -148,6 +155,13 @@ def containment_pairs(
             .select("item")
         )
         items = items.join(keep, "item").select(id_col, "item")
+    # the (id, item) index is consumed THREE times (both self-join
+    # sides + set sizes); without a materialization each consumer
+    # re-derives it — re-tokenizing the corpus and, with max_df, re-
+    # running the document-frequency aggregate + join per consumer
+    # (r16: q255's plan showed four copies of the keep subtree).
+    # Lazy localCheckpoint computes it once; item-grain rows only.
+    items = items.localCheckpoint(eager=False)
     sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = items.select(F.col(id_col).alias("id_a"), "item")
     b = items.select(F.col(id_col).alias("id_b"), "item")

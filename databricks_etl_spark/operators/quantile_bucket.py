@@ -390,16 +390,17 @@ def exact_cumsum(
         Window.unboundedPreceding, 0
     )
     intra = F.sum(F.col(val_col).cast("decimal(38,0)")).over(w)
+    # offsets array as ONE parsed expression — the per-literal Column
+    # build was 2×n_parts py4j round trips per invocation (r16)
+    offs_arr = F.expr(
+        "array("
+        + ", ".join(f"CAST('{o}' AS DECIMAL(38,0))" for o in offs)
+        + ")"
+    )
     out = (
         part.withColumn(
             out_col,
-            intra
-            + F.element_at(
-                F.array(
-                    *[F.lit(str(o)).cast("decimal(38,0)") for o in offs]
-                ),
-                F.col("_ecp") + 1,
-            ),
+            intra + F.element_at(offs_arr, F.col("_ecp") + 1),
         )
         .drop("_ecp")
     )

@@ -222,14 +222,28 @@ def bigram_coherence(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     Scale: two map-combinable count aggregates (token, bigram) +
     two broadcast-friendly joins back to the per-doc bigram stream;
     everything shuffles on token-ish keys, no row blowup beyond the
-    token grain."""
-    tok = df.select(id_col, F.posexplode(tokens_col(text_col)).alias("pos", "w1"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    big = (
-        tok.withColumn("w2", F.lead("w1").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select(id_col, "w1", "w2")
+    token grain. The bigram stream is built ARRAY-NATIVELY (zip_with
+    of the token array with its tail — the repetition_features
+    pattern) instead of posexplode + an ordered per-doc lead window:
+    adjacent-pair extraction needs no cross-row state, so the two
+    window Exchange+Sort passes the old form paid are gone, and the
+    pair stream is materialized once (lazy localCheckpoint) for its
+    two consumers (corpus bigram counts + the per-doc join-back)
+    instead of re-tokenizing the corpus per consumer."""
+    toks = tokens_col(text_col)
+    n1 = F.size(toks) - 1
+    pairs = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    big = (
+        df.filter(F.size(toks) >= 2)
+        .select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .localCheckpoint(eager=False)
+    )
+    tok = df.select(id_col, F.explode(toks).alias("w1"))
     c1 = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     return (

@@ -290,43 +290,50 @@ def q163_simhash_md5_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
     query is its cross-engine proof."""
     from databricks_etl_spark.operators.text import tokens_col
 
+    # r16: the 16-nibble / 64-vote / 2-assembly tree is compiled from
+    # SQL STRINGS (selectExpr / one F.expr per aggregate) instead of
+    # ~600 py4j Column constructions — the lane's bench wall was
+    # dominated by Python-side DataFrame BUILD time, not execution
+    # (profiled; OPTIMIZATION_r16.md). Shapes and fold order are
+    # byte-identical to the former Column form AND to the oracle
+    # generator above.
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
     h = toks.withColumn("h", F.md5("tok"))
-    n = h.select(
+    n = h.selectExpr(
         "doc_id",
         *[
-            (F.instr(F.lit("0123456789abcdef"), F.substring("h", k, 1)) - 1).alias(
-                f"n{k}"
-            )
+            f"instr('0123456789abcdef', substring(h, {k}, 1)) - 1 AS n{k}"
             for k in range(1, 17)
         ],
     )
     v = n.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.expr(f"((n{k} >> {b}) & 1) = 1"), 1).otherwise(-1)
-            ).alias(f"v_{k}_{b}")
+            F.expr(
+                f"SUM(CASE WHEN ((n{k} >> {b}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS v_{k}_{b}"
+            )
             for k in range(1, 17)
             for b in range(4)
         ]
     )
 
-    def assemble(chars: range):
-        sig = F.lit(0).cast("long")
+    def assemble(chars: range) -> str:
+        terms = ["CAST(0 AS BIGINT)"]
         for idx, k in enumerate(chars):
             for b in range(4):
                 shift = 4 * (7 - idx) + b
-                sig = sig + F.when(
-                    F.col(f"v_{k}_{b}") > 0,
-                    F.expr(f"shiftleft(CAST(1 AS BIGINT), {shift})"),
-                ).otherwise(F.lit(0).cast("long"))
-        return sig
+                terms.append(
+                    f"(CASE WHEN v_{k}_{b} > 0 THEN"
+                    f" shiftleft(CAST(1 AS BIGINT), {shift})"
+                    f" ELSE CAST(0 AS BIGINT) END)"
+                )
+        return " + ".join(terms)
 
-    return v.select(
+    return v.selectExpr(
         "doc_id",
-        assemble(range(1, 9)).cast("long").alias("sig_hi"),
-        assemble(range(9, 17)).cast("long").alias("sig_lo"),
+        f"CAST({assemble(range(1, 9))} AS BIGINT) AS sig_hi",
+        f"CAST({assemble(range(9, 17))} AS BIGINT) AS sig_lo",
     )
 
 

@@ -178,55 +178,46 @@ def _q341_truth(
     # expression (same left-to-right fold order as the old
     # zip_with/aggregate, so the float result is identical) instead of
     # allocating a zipped array per pair.
-    s = [
-        sum(
-            (
-                F.element_at(F.col("qe"), i + 1)
-                for i in range(_Q332_D)
-                if i % _Q332_K == j
-            ),
-            F.lit(0.0),
-        )
-        for j in range(_Q332_K)
-    ]
+    # r16 #2 (build cost): every unrolled expression here is compiled
+    # from ONE SQL string (F.expr) — the former per-Column construction
+    # was ~19k py4j round trips ≈ 3s of pure Python/py4j DataFrame
+    # BUILD per invocation, dominating the bench lane's wall clock.
+    # Fold orders and CASE shapes are byte-identical to the old
+    # Column-level forms (left-associative +, same literal tiebreaks).
+    from databricks_etl_spark.plans.queries_round9 import _q332_cell_sums
+
+    s = _q332_cell_sums("qe")
     # _q341_cell_rank specialised to a LITERAL cell j: sc is s[j] and
     # the k<cell tiebreak is a Python constant — same values, no CASE
     # chain per pair
-    ranks = [
-        F.lit(1)
-        + reduce(
-            lambda x, y: x + y,
-            [
-                F.when(
-                    (s[k] > s[j]) | ((s[k] == s[j]) & F.lit(k < j)), 1
-                ).otherwise(0)
-                for k in range(_Q332_K)
-            ],
+    ranks = ", ".join(
+        "1 + "
+        + " + ".join(
+            f"(CASE WHEN ({s[k]} > {s[j]}) OR (({s[k]} = {s[j]})"
+            f" AND {str(k < j).lower()}) THEN 1 ELSE 0 END)"
+            for k in range(_Q332_K)
         )
         for j in range(_Q332_K)
-    ]
+    )
     qemb = qemb.select(
         "qid",
         "qe",
         norm(F.col("qe")).alias("__qn"),
-        F.array(*ranks).alias("__qranks"),
+        F.expr(f"array({ranks}) AS __qranks"),
     )
     cemb = cemb.select(
         "doc_id", "chunk_idx", "cell", "ce", norm(F.col("ce")).alias("__cn")
     )
-    pair_dot = F.lit(0.0)
-    for i in range(_Q332_D):
-        pair_dot = pair_dot + (
-            F.element_at(F.col("qe"), i + 1).cast("double")
-            * F.element_at(F.col("ce"), i + 1).cast("double")
-        )
+    pair_dot = "0.0D + " + " + ".join(
+        f"(CAST(element_at(qe, {i + 1}) AS DOUBLE)"
+        f" * CAST(element_at(ce, {i + 1}) AS DOUBLE))"
+        for i in range(_Q332_D)
+    )
     sr = cemb.join(F.broadcast(qemb), F.lit(True)).select(
         "qid",
         "doc_id",
         "chunk_idx",
-        F.round(
-            F.try_divide(pair_dot, F.col("__qn") * F.col("__cn")), 6
-        ).alias("sim"),
+        F.expr(f"round(try_divide({pair_dot}, __qn * __cn), 6) AS sim"),
         F.element_at(
             F.col("__qranks"), F.col("cell").cast("int") + 1
         ).alias("cell_rank"),

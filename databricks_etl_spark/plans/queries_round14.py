@@ -641,8 +641,8 @@ def q579_maxsim_ann_recall_gate(
         .filter(F.col("rank") <= _Q577_TOPK)
         .select("qid", "doc_id", "rank")
     )
-    ccell = cemb.withColumn("cell", _q332_cell(F.col("ce")))
-    qcell = qcemb.withColumn("cell", _q332_cell(F.col("qe")))
+    ccell = cemb.withColumn("cell", _q332_cell("ce"))
+    qcell = qcemb.withColumn("cell", _q332_cell("qe"))
     sa = ccell.join(F.broadcast(qcell), "cell").select(
         "qid",
         "qchunk",
@@ -999,48 +999,51 @@ def q581_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the teleport rank, exactly the old nodes ⟕ inflow combine) and
     # ONE grouped decimal sum — 2 stages instead of the old 4.
     # Iteration 1 needs no join at all: every source starts at BASE.
+    # r16 #2 (build cost): the 8 iterations are emitted as ONE
+    # unrolled-CTE spark.sql over temp views of the two checkpointed
+    # relations (the q619 discipline) — the per-iteration DataFrame-API
+    # loop paid its py4j build cost on every invocation.  The SQL is
+    # the literal transcription of the old loop; every rank stays the
+    # same exact integer/DECIMAL(38,0) value.
     _rank_expr = (
-        f"(CAST({_Q581_TELE} AS BIGINT) + (85 * COALESCE(inflow,"
+        f"(CAST({_Q581_TELE} AS BIGINT) + (85 * COALESCE(r.inflow,"
         " CAST(0 AS DECIMAL(38,0)))) DIV 100)"
     )
-    inflow = ed.groupBy(F.col("dst").alias("pk")).agg(
-        F.sum(
-            F.expr(f"CAST({_Q581_BASE} AS BIGINT) DIV d").cast(
-                "decimal(38,0)"
-            )
-        ).alias("inflow")
-    )
-    for _ in range(_Q581_ITERS - 1):
-        inflow = (
-            ed.join(inflow.withColumnRenamed("pk", "src"), "src", "left")
-            .groupBy(F.col("dst").alias("pk"))
-            .agg(
-                F.sum(
-                    F.expr(f"{_rank_expr} DIV d").cast("decimal(38,0)")
-                ).alias("inflow")
-            )
-        )
-    # node-complete combine once at the END (identical to the old
-    # per-iteration nodes ⟕ inflow select, just not repeated 8×)
-    r = nodes.join(inflow, "pk", "left").select(
-        "pk",
-        (
-            F.lit(_Q581_TELE)
-            + F.expr(
-                "(85 * COALESCE(inflow,"
-                " CAST(0 AS DECIMAL(38,0)))) DIV 100"
-            )
-        )
-        .cast("long")
-        .alias("r"),
+    ed.createOrReplaceTempView("q581_ed_v")
+    nodes.createOrReplaceTempView("q581_nodes_v")
+    iters = "".join(
+        f""",
+        i{k} AS (
+            SELECT e.dst AS pk,
+                   SUM(CAST({_rank_expr} DIV e.d AS DECIMAL(38,0)))
+                       AS inflow
+            FROM q581_ed_v e LEFT JOIN i{k - 1} r ON e.src = r.pk
+            GROUP BY e.dst
+        )"""
+        for k in range(2, _Q581_ITERS + 1)
     )
     # TakeOrderedAndProject first (scale-safe top-N — no global-sort
     # window on a node-sized relation), then rank the bounded 20 rows
-    top = r.orderBy(F.desc("r"), F.asc("pk")).limit(_Q581_TOP)
-    w = Window.orderBy(F.desc("r"), F.asc("pk"))
-    return top.withColumn(
-        "rank_pos", F.row_number().over(w).cast("long")
-    ).select("rank_pos", "pk", F.col("r").alias("r_micro"))
+    return spark.sql(
+        f"""
+        WITH i1 AS (
+            SELECT dst AS pk,
+                   SUM(CAST(CAST({_Q581_BASE} AS BIGINT) DIV d
+                       AS DECIMAL(38,0))) AS inflow
+            FROM q581_ed_v GROUP BY dst
+        ){iters}
+        SELECT CAST(row_number() OVER (ORDER BY r DESC, pk ASC) AS BIGINT)
+                   AS rank_pos,
+               pk, r AS r_micro
+        FROM (
+            SELECT n.pk,
+                   CAST({_Q581_TELE} + (85 * COALESCE(r.inflow,
+                       CAST(0 AS DECIMAL(38,0)))) DIV 100 AS BIGINT) AS r
+            FROM q581_nodes_v n LEFT JOIN i{_Q581_ITERS} r ON n.pk = r.pk
+            ORDER BY r DESC, pk ASC LIMIT {_Q581_TOP}
+        )
+        """
+    )
 
 
 # q582 — safety stock / reorder point (inventory operations card) --------

@@ -1652,25 +1652,39 @@ def q619_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1-row relation unioned into every round — materialized once
         .localCheckpoint()
     )
-    reached = srcrow
-    for _ in range(_Q619_ITERS):
-        relax = (
-            edges.join(reached.withColumnRenamed("pk", "src"), "src")
-            .select(
-                F.col("dst").alias("pk"),
-                (F.col("d") + F.col("w")).alias("d"),
-            )
+    # r16 #2 (build cost): the 8 relaxation rounds are emitted as ONE
+    # unrolled-CTE spark.sql over temp views of the two checkpointed
+    # relations — the per-round DataFrame-API loop paid ~15 py4j round
+    # trips per round per invocation (driver-side build time the bench
+    # counts; OPTIMIZATION_r16.md).  The SQL is the literal transcription
+    # of the old loop: relax = edges ⋈ reached on src, combine =
+    # MIN over (relax ∪ source-row) per pk, distances BIGINT.
+    edges.createOrReplaceTempView("q619_edges_v")
+    srcrow.createOrReplaceTempView("q619_src_v")
+    rounds = "".join(
+        f""",
+        r{i} AS (
+            SELECT pk, CAST(MIN(d) AS BIGINT) AS d FROM (
+                SELECT e.dst AS pk, r.d + e.w AS d
+                FROM q619_edges_v e JOIN r{i - 1} r ON e.src = r.pk
+                UNION ALL
+                SELECT pk, d FROM q619_src_v
+            ) GROUP BY pk
+        )"""
+        for i in range(1, _Q619_ITERS + 1)
+    )
+    return spark.sql(
+        f"""
+        WITH r0 AS (SELECT pk, d FROM q619_src_v){rounds}
+        SELECT CAST(row_number() OVER (ORDER BY d ASC, pk ASC) AS BIGINT)
+                   AS rank_pos,
+               pk, d AS dist
+        FROM (
+            SELECT pk, d FROM r{_Q619_ITERS}
+            ORDER BY d ASC, pk ASC LIMIT {_Q619_TOP}
         )
-        reached = (
-            relax.unionByName(srcrow)
-            .groupBy("pk")
-            .agg(F.min("d").cast("long").alias("d"))
-        )
-    top = reached.orderBy(F.asc("d"), F.asc("pk")).limit(_Q619_TOP)
-    w = Window.orderBy(F.asc("d"), F.asc("pk"))
-    return top.withColumn(
-        "rank_pos", F.row_number().over(w).cast("long")
-    ).select("rank_pos", "pk", F.col("d").alias("dist"))
+        """
+    )
 
 
 # ---------------------------------------------------------------------------

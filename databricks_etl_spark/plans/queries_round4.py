@@ -79,13 +79,27 @@ def _band_buckets(
         # across several ladder rungs (q240) — skip the corpus pass
         sh = shingle_set
     hh = sh.select("doc_id", F.md5("shingle").alias("h"))
+    # min over the NUMERIC value of each 8-hex-char slice, not the
+    # string: fixed-width lowercase hex is order-isomorphic to its
+    # integer value ('0'-'9' < 'a'-'f' lexicographically AND
+    # numerically), so the minimum is the same element — but a LONG
+    # min has a mutable aggregation buffer, so the per-doc aggregate
+    # runs as a map-combinable HashAggregate instead of Sort +
+    # SortAggregate over the whole shingle-hash relation (r16: the
+    # two sorts were the top cost in q255's profile). The hex string
+    # is re-materialized per-doc afterwards (lpad/hex/lower), bit-
+    # identical to the former substring.
     wide = hh.groupBy("doc_id").agg(
         *[
-            F.min(F.substring("h", 8 * b + 1, 8)).alias(f"b{b}")
+            F.min(
+                F.conv(F.substring("h", 8 * b + 1, 8), 16, 10).cast("long")
+            ).alias(f"b{b}")
             for b in range(_N_BANDS)
         ]
     )
-    stack_args = ", ".join(f"{b}, b{b}" for b in range(_N_BANDS))
+    stack_args = ", ".join(
+        f"{b}, lpad(lower(hex(b{b})), 8, '0')" for b in range(_N_BANDS)
+    )
     return wide.select(
         "doc_id",
         F.expr(f"stack({_N_BANDS}, {stack_args}) AS (band, band_hash)"),

@@ -236,7 +236,13 @@ def _lsh_quality_audit(d: DataFrame) -> DataFrame:
     # DISK_ONLY or re-derive per rung if executor storage is tighter
     # than compute — measured here, materialize-once wins
     sh = shingles(d, 3).distinct().localCheckpoint(eager=False)
-    b = _band_buckets(d.sparkSession, "", shingle_set=sh)
+    # the band signatures are self-joined below (a × c): without a
+    # materialization BOTH join sides recompute the per-doc min
+    # aggregate over the whole shingle-hash relation (r16: q255's
+    # plan carried the aggregate twice). 4 rows/doc — cheap to pin.
+    b = _band_buckets(d.sparkSession, "", shingle_set=sh).localCheckpoint(
+        eager=False
+    )
     a = b.select(F.col("doc_id").alias("u"), "band", "band_hash")
     c = b.select(F.col("doc_id").alias("v"), "band", "band_hash")
     cands = (

@@ -1123,6 +1123,13 @@ def _q332_embed(df: DataFrame, id_cols: list[str], tok_col) -> DataFrame:
     engine (the hashing-trick twin of the q163 md5 discipline). All
     values are small exact integers in double, so every downstream
     dot/norm is float-exact and engine-identical."""
+    # r16: the per-dim expressions are built as SQL STRINGS compiled by
+    # ONE F.expr each — the former per-Column construction crossed
+    # py4j ~6 times per node, and this builder sits on the q332/q341/
+    # q388/q396/q406/q577+ hot path where DataFrame BUILD time (not
+    # execution) dominated the bench lane (profiled ~19k py4j round
+    # trips ≈ 3s per q388 invocation). Semantics byte-identical: same
+    # CASE shape, same left-associative fold order.
     n = [
         F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("t"), k, 1)) - 1
         for k in (1, 2, 3)
@@ -1135,37 +1142,50 @@ def _q332_embed(df: DataFrame, id_cols: list[str], tok_col) -> DataFrame:
         F.when(n[2] % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
     )
     sums = [
-        F.sum(F.when(F.col("bucket") == i, F.col("sign")).otherwise(0))
-        .cast("double")
-        .alias(f"__e{i}")
+        F.expr(
+            f"CAST(SUM(CASE WHEN bucket = {i} THEN sign ELSE 0 END)"
+            f" AS DOUBLE) AS __e{i}"
+        )
         for i in range(_Q332_D)
     ]
+    arr = ", ".join(f"__e{i}" for i in range(_Q332_D))
     return (
         ent.groupBy(*id_cols)
         .agg(*sums)
-        .select(
-            *id_cols,
-            F.array(*[F.col(f"__e{i}") for i in range(_Q332_D)]).alias("emb"),
-        )
+        .select(*id_cols, F.expr(f"array({arr}) AS emb"))
     )
 
 
-def _q332_cell(emb) -> F.Column:
-    s = [
-        sum(
-            (F.element_at(emb, i + 1) for i in range(_Q332_D) if i % _Q332_K == j),
-            F.lit(0.0),
+def _q332_cell_sums(name: str) -> list[str]:
+    """Per-cell dim-sum SQL strings over array column ``name`` — the
+    same left-associative ``0.0 + e_{j} + e_{j+K} + …`` fold order as
+    the former Column-level builder (float-exact equivalence)."""
+    return [
+        "(0.0D + "
+        + " + ".join(
+            f"element_at({name}, {i + 1})"
+            for i in range(_Q332_D)
+            if i % _Q332_K == j
         )
+        + ")"
         for j in range(_Q332_K)
     ]
-    cell = F.lit(_Q332_K - 1)
-    for j in range(_Q332_K - 2, -1, -1):
-        cond = None
-        for k in range(j + 1, _Q332_K):
-            c = s[j] >= s[k]
-            cond = c if cond is None else (cond & c)
-        cell = F.when(cond, F.lit(j)).otherwise(cell)
-    return cell
+
+
+def _q332_cell(name: str) -> F.Column:
+    """Argmax cell (smallest-id tiebreak) over array column ``name``,
+    compiled from ONE SQL string (r16: the former per-Column build of
+    the nested when-chain was ~200 py4j round trips per call site on
+    the retrieval hot path). Same nested-CASE semantics: first j whose
+    s_j >= every later s_k, else K-1."""
+    s = _q332_cell_sums(name)
+    whens = " ".join(
+        "WHEN "
+        + " AND ".join(f"{s[j]} >= {s[k]}" for k in range(j + 1, _Q332_K))
+        + f" THEN {j}"
+        for j in range(_Q332_K - 1)
+    )
+    return F.expr(f"CASE {whens} ELSE {_Q332_K - 1} END")
 
 
 def _q332_relations(spark: SparkSession, sf_dir: str):
@@ -1192,7 +1212,7 @@ def _q332_relations(spark: SparkSession, sf_dir: str):
             "doc_id",
             "chunk_idx",
             F.col("emb").alias("ce"),
-            _q332_cell(F.col("emb")).alias("cell"),
+            _q332_cell("emb").alias("cell"),
         )
     )
     bench = d.filter(F.col("doc_id") % 50 == 0).select(
@@ -1204,7 +1224,7 @@ def _q332_relations(spark: SparkSession, sf_dir: str):
         .select(
             "qid",
             F.col("emb").alias("qe"),
-            _q332_cell(F.col("emb")).alias("qcell"),
+            _q332_cell("emb").alias("qcell"),
         )
     )
     return cemb, qemb

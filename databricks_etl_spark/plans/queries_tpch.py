@@ -595,9 +595,14 @@ def q119_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-stable with no arbitrary pick. Scale: the QUALIFYING-part
     broadcast semi-filters lineitem BEFORE the min aggregate (min is
     per-part, so restricting parts first is lossless — measured ~2×
-    at sf0.1, and the selectivity factor at 100 TB), then one
-    map-combinable shuffle on partkey for min + join-back; supplier /
-    nation broadcast."""
+    at sf0.1, and the selectivity factor at 100 TB); the per-part min
+    is an unordered MIN window over the one partkey shuffle, so the
+    filtered lineitem is scanned ONCE and exchanged ONCE (the former
+    aggregate-then-equality-join-back scanned it twice and exchanged
+    three times — r16 plan diff in plans/r16/); supplier / nation
+    broadcast."""
+    from pyspark.sql import Window
+
     part = read_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
     )
@@ -608,9 +613,10 @@ def q119_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_suppkey", _vol().cast("decimal(28,6)").alias("cost"))
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
     )
-    mn = cost.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
     return (
-        cost.join(mn, ["l_partkey"])
+        cost.withColumn(
+            "min_cost", F.min("cost").over(Window.partitionBy("l_partkey"))
+        )
         .filter(F.col("cost") == F.col("min_cost"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))

@@ -34,6 +34,19 @@ def get_spark(app_name: str = "databricks_etl_spark", *, cpus: int | None = None
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's runtime SortMergeJoin→ShuffledHashJoin rewrite (guide
+        # §3.1): when EVERY post-shuffle partition of a join is below
+        # this bound the sorts are dropped and each partition builds a
+        # hash table instead. Scale-adaptive by construction — the
+        # check is on actual runtime partition bytes, so oversized
+        # partitions keep the sort-based join and its graceful spill;
+        # explicit merge/bucketed joins are unaffected (hints win).
+        # Default 0 (off) upstream; bounded at the advisory partition
+        # size here, overridable for cluster profiles.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

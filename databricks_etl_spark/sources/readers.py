@@ -44,14 +44,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     regeneration fails loudly here, not deep inside one query.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # r16: the resolved scan PLAN is reused per (session, path) — a
+    # DataFrame is an immutable lazy plan, so handing the same object
+    # to every caller is exactly what a catalog's resolved relation
+    # gives (spark.table), not result caching: every action still
+    # scans the parquet. spark.read.parquet pays ~0.1s of JVM
+    # analysis + file listing per call, multiplied by hundreds of
+    # query builds per session (profiled in OPTIMIZATION_r16.md);
+    # testdata is read-only so the pinned listing cannot go stale.
+    key = (spark.sparkContext.applicationId, path)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        _SCAN_CACHE[key] = df
+        return df
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for col in ns_cols:
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    _SCAN_CACHE[key] = df
     return df
 
 
@@ -78,6 +93,7 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
 
 
 _NANOS_CACHE: dict[str, tuple[str, ...]] = {}
+_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
