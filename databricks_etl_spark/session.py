@@ -35,17 +35,15 @@ def get_spark(app_name: str = "databricks_etl_spark", *, cpus: int | None = None
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # AQE's runtime SortMergeJoin→ShuffledHashJoin rewrite (guide
-        # §3.1): when EVERY post-shuffle partition of a join is below
-        # this bound the sorts are dropped and each partition builds a
-        # hash table instead. Scale-adaptive by construction — the
-        # check is on actual runtime partition bytes, so oversized
-        # partitions keep the sort-based join and its graceful spill;
-        # explicit merge/bucketed joins are unaffected (hints win).
-        # Default 0 (off) upstream; bounded at the advisory partition
-        # size here, overridable for cluster profiles.
+        # §3.1) stays at the upstream default (0 = off): measured at
+        # sf0.1 it REGRESSED the sort-merge bench lanes (q185 2.9→4.0s,
+        # q130 2.0→3.1s warm with the rewrite bounded at 64m) — the
+        # per-partition hash-table builds cost more than the small
+        # sorts they replace at this partition size. Knob kept for
+        # cluster profiles where partitions are 100MB+.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", "64m"),
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", "0"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

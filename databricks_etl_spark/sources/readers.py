@@ -100,6 +100,8 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(read_table(spark, sf_dir, n) for n in names)
 
 
+
+
 def read_csv_table(
     spark: SparkSession,
     path: str,
