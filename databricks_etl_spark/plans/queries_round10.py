@@ -184,25 +184,31 @@ def _q341_truth(
     # BUILD per invocation, dominating the bench lane's wall clock.
     # Fold orders and CASE shapes are byte-identical to the old
     # Column-level forms (left-associative +, same literal tiebreaks).
-    from databricks_etl_spark.plans.queries_round9 import _q332_cell_sums
+    from databricks_etl_spark.plans.queries_round9 import _q332_with_sums
 
-    s = _q332_cell_sums("qe")
     # _q341_cell_rank specialised to a LITERAL cell j: sc is s[j] and
     # the k<cell tiebreak is a Python constant — same values, no CASE
-    # chain per pair
+    # chain per pair. The per-cell sums are materialized ONCE as
+    # ``__cs{j}`` columns (_q332_with_sums) so the 64 comparisons here
+    # reference column refs instead of inlining each 4-term sum —
+    # whole-stage codegen rebuilds its source per action, and the
+    # inlined form alone was ~15 KB of expression tree (~0.5 MB of
+    # generated Java) on the broadcast build side.
     ranks = ", ".join(
         "1 + "
         + " + ".join(
-            f"(CASE WHEN ({s[k]} > {s[j]}) OR (({s[k]} = {s[j]})"
+            f"(CASE WHEN (__cs{k} > __cs{j}) OR ((__cs{k} = __cs{j})"
             f" AND {str(k < j).lower()}) THEN 1 ELSE 0 END)"
             for k in range(_Q332_K)
         )
         for j in range(_Q332_K)
     )
-    qemb = qemb.select(
+    qemb = _q332_with_sums(
+        qemb.select("qid", "qe", norm(F.col("qe")).alias("__qn")), "qe"
+    ).select(
         "qid",
         "qe",
-        norm(F.col("qe")).alias("__qn"),
+        "__qn",
         F.expr(f"array({ranks}) AS __qranks"),
     )
     cemb = cemb.select(

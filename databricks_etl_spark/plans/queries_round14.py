@@ -631,7 +631,7 @@ def q579_maxsim_ann_recall_gate(
     whole point — no all-pairs scoring at serving time); truth is the
     priced audit pass, run on the sampled benchmark set only."""
     from databricks_etl_spark.operators.similarity import cosine
-    from databricks_etl_spark.plans.queries_round9 import _q332_cell
+    from databricks_etl_spark.plans.queries_round9 import _q332_add_cell
 
     cemb, qcemb = _q577_relations(spark, sf_dir)
     sc = _q577_scores(spark, sf_dir)
@@ -641,8 +641,8 @@ def q579_maxsim_ann_recall_gate(
         .filter(F.col("rank") <= _Q577_TOPK)
         .select("qid", "doc_id", "rank")
     )
-    ccell = cemb.withColumn("cell", _q332_cell("ce"))
-    qcell = qcemb.withColumn("cell", _q332_cell("qe"))
+    ccell = _q332_add_cell(cemb, "ce")
+    qcell = _q332_add_cell(qcemb, "qe")
     sa = ccell.join(F.broadcast(qcell), "cell").select(
         "qid",
         "qchunk",

@@ -1141,6 +1141,10 @@ def _q332_embed(df: DataFrame, id_cols: list[str], tok_col) -> DataFrame:
         ((n[0] * 16 + n[1]) % _Q332_D).alias("bucket"),
         F.when(n[2] % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
     )
+    # (A two-level groupBy((ids, bucket)) → map-assembly variant was
+    # measured r16: it halves the generated-source size but pays two
+    # exchanges + an ObjectHashAggregate and came out net-slower at
+    # sf0.1 — the single-exchange 32-conditional-sum form stays.)
     sums = [
         F.expr(
             f"CAST(SUM(CASE WHEN bucket = {i} THEN sign ELSE 0 END)"
@@ -1177,7 +1181,13 @@ def _q332_cell(name: str) -> F.Column:
     compiled from ONE SQL string (r16: the former per-Column build of
     the nested when-chain was ~200 py4j round trips per call site on
     the retrieval hot path). Same nested-CASE semantics: first j whose
-    s_j >= every later s_k, else K-1."""
+    s_j >= every later s_k, else K-1.
+
+    Prefer :func:`_q332_add_cell` on hot paths — this single-Column
+    form inlines each 4-term dim sum into every one of the ~56
+    comparisons, and whole-stage codegen re-generates its Java source
+    from that tree on EVERY action (~0.5 MB of source per scored pass,
+    measured ~1.3 s/action of driver-side source generation on q388)."""
     s = _q332_cell_sums(name)
     whens = " ".join(
         "WHEN "
@@ -1186,6 +1196,48 @@ def _q332_cell(name: str) -> F.Column:
         for j in range(_Q332_K - 1)
     )
     return F.expr(f"CASE {whens} ELSE {_Q332_K - 1} END")
+
+
+def _q332_with_sums(df: DataFrame, name: str) -> DataFrame:
+    """Append ``__cs0..__cs{K-1}`` — the per-cell dim sums of array
+    column ``name``, byte-identical fold order to
+    :func:`_q332_cell_sums` — as REAL columns in their own projection
+    (guide §1.2 "per-task work", here the task is the DRIVER's codegen:
+    WholeStageCodegenExec rebuilds its Java source on every action, so
+    a tree that inlines each sum 10+ times costs ~1.3 s/action of pure
+    source generation on the q388 scored pass). Downstream cell/rank
+    expressions reference these small column refs instead;
+    CollapseProject keeps the projection barrier because each sum is
+    consumed more than once. Values are identical — the sums are the
+    same expressions, computed once instead of textually repeated."""
+    s = _q332_cell_sums(name)
+    return df.select(
+        "*", *[F.expr(f"{e} AS __cs{j}") for j, e in enumerate(s)]
+    )
+
+
+def _q332_cell_from_sums() -> F.Column:
+    """The :func:`_q332_cell` argmax CASE over the ``__cs{j}`` sum
+    columns of :func:`_q332_with_sums` — same comparison chain and
+    tiebreak, tiny codegen footprint."""
+    whens = " ".join(
+        "WHEN "
+        + " AND ".join(
+            f"__cs{j} >= __cs{k}" for k in range(j + 1, _Q332_K)
+        )
+        + f" THEN {j}"
+        for j in range(_Q332_K - 1)
+    )
+    return F.expr(f"CASE {whens} ELSE {_Q332_K - 1} END")
+
+
+def _q332_add_cell(df: DataFrame, name: str, out: str = "cell") -> DataFrame:
+    """``df`` + argmax cell of array column ``name`` as ``out`` —
+    the two-projection (sums, then small CASE) form of
+    ``withColumn(out, _q332_cell(name))``; identical values."""
+    return _q332_with_sums(df, name).select(
+        *df.columns, _q332_cell_from_sums().alias(out)
+    )
 
 
 def _q332_relations(spark: SparkSession, sf_dir: str):
@@ -1205,28 +1257,22 @@ def _q332_relations(spark: SparkSession, sf_dir: str):
     nrm = lambda v: F.aggregate(  # noqa: E731
         F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
     )
-    cemb = (
-        _q332_embed(chunks, ["doc_id", "chunk_idx"], F.col("__toks"))
-        .filter(nrm(F.col("emb")) > 0)
-        .select(
-            "doc_id",
-            "chunk_idx",
-            F.col("emb").alias("ce"),
-            _q332_cell("emb").alias("cell"),
-        )
-    )
+    cemb = _q332_add_cell(
+        _q332_embed(chunks, ["doc_id", "chunk_idx"], F.col("__toks")).filter(
+            nrm(F.col("emb")) > 0
+        ),
+        "emb",
+    ).select("doc_id", "chunk_idx", F.col("emb").alias("ce"), "cell")
     bench = d.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("qid"), tokens_col("text").alias("__toks")
     )
-    qemb = (
-        _q332_embed(bench, ["qid"], F.col("__toks"))
-        .filter(nrm(F.col("emb")) > 0)
-        .select(
-            "qid",
-            F.col("emb").alias("qe"),
-            _q332_cell("emb").alias("qcell"),
-        )
-    )
+    qemb = _q332_add_cell(
+        _q332_embed(bench, ["qid"], F.col("__toks")).filter(
+            nrm(F.col("emb")) > 0
+        ),
+        "emb",
+        out="qcell",
+    ).select("qid", F.col("emb").alias("qe"), "qcell")
     return cemb, qemb
 
 

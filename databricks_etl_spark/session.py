@@ -45,6 +45,20 @@ def get_spark(app_name: str = "databricks_etl_spark", *, cpus: int | None = None
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", "0"),
         )
+        # Whole-stage-codegen fallback bound aligned with the JVM JIT:
+        # HotSpot refuses to JIT methods over 8000 bytecodes
+        # (-XX:DontCompileHugeMethods), so a generated method bigger
+        # than that runs as INTERPRETED BYTECODE — measured 2-4x slower
+        # than Spark's own expression interpreter on the 32-dim
+        # retrieval kernels (q388 scored pass 2.7s -> 1.1s with the
+        # bound). Spark's default (65535) keeps codegen for methods the
+        # JIT will never compile; 8000 falls back exactly where
+        # compiled execution cannot happen. Scale-independent: the
+        # check is on generated-code size, not data size.
+        .config(
+            "spark.sql.codegen.hugeMethodLimit",
+            os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
