@@ -387,28 +387,52 @@ def semdedup_prune(
     cells = assign_cells(vectors, centroids, id_col=id_col, vec_col=vec_col)
     # LEFT join: a vector with no quality row must still appear in the
     # output (the operator's one-row-per-vector contract); its NULL
-    # score is coalesced to -inf for the dominance order only
-    lab = cells.join(quality, id_col, "left")
+    # score is coalesced to -inf for the dominance order only.
+    # Three consumers (both pair sides + the final join-back) share one
+    # lazy materialization instead of re-running assign_cells and the
+    # quality join per consumer (guide §2.4).
+    lab = cells.join(quality, id_col, "left").localCheckpoint(eager=False)
     neg_inf = F.lit(float("-inf"))
+    # Per-ROW norm, hoisted out of the pair expression (guide §1.2
+    # "per-task work"): cosine(va, vb) recomputed BOTH norms per pair —
+    # three interpreted higher-order-function folds per pair, two of
+    # which are pure functions of one row. sqrt(dot(v,v)) per side,
+    # multiplied in the same (a-side × b-side) order as norm(a)*norm(b)
+    # inside `cosine`, then the same try_divide/round — bit-identical.
     a = lab.select(
         F.col(id_col).alias("__ida"),
         F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
         "cell_id",
         F.coalesce(F.col("quality_score"), neg_inf).alias("__qa"),
     )
     b = lab.select(
         F.col(id_col).alias("__idb"),
         F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
         "cell_id",
         F.coalesce(F.col("quality_score"), neg_inf).alias("__qb"),
     )
     dominated = (
         a.join(b, "cell_id")
         .filter(F.col("__ida") != F.col("__idb"))
-        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= threshold)
+        # dominance first: the priority predicate is a cheap scalar
+        # compare that halves the pair stream BEFORE the cosine fold
+        # runs (conjunct order is evaluation order — filters commute,
+        # result set unchanged)
         .filter(
             (F.col("__qb") > F.col("__qa"))
             | ((F.col("__qb") == F.col("__qa")) & (F.col("__idb") < F.col("__ida")))
+        )
+        .filter(
+            F.round(
+                F.try_divide(
+                    dot(F.col("__va"), F.col("__vb")),
+                    F.col("__na") * F.col("__nb"),
+                ),
+                6,
+            )
+            >= threshold
         )
         .select(F.col("__ida").alias(id_col))
         .distinct()
