@@ -1739,7 +1739,8 @@ def q352_pq_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds an O(queries x k x depths) explode. Reference scope: ANN
     tuning is §2.12 extension surface."""
     from databricks_etl_spark.operators.similarity import (
-        cosine,
+        norm,
+        paired_cosine,
         pq_assign,
         pq_reconstruct,
     )
@@ -1761,28 +1762,46 @@ def q352_pq_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rec = pq_reconstruct(pq_assign(e, cb, _Q316_M, _Q316_SUB))
     q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("__qe"),
+        norm(F.col("embedding")).alias("__qn"),
     )
     se = (
-        e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("__ce"))
+        e.select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("__ce"),
+            norm(F.col("embedding")).alias("__cn"),
+        )
         .crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
-            F.round(cosine(F.col("__qe"), F.col("__ce")), 6).alias("sim"),
+            F.round(
+                paired_cosine(
+                    F.col("__qe"), F.col("__ce"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     sa = (
         rec.select(
-            F.col("vec_id").alias("nid"), F.col("reconstructed").alias("__rv")
+            F.col("vec_id").alias("nid"),
+            F.col("reconstructed").alias("__rv"),
+            norm(F.col("reconstructed")).alias("__rn"),
         )
         .crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
-            F.round(cosine(F.col("__qe"), F.col("__rv")), 6).alias("sim"),
+            F.round(
+                paired_cosine(
+                    F.col("__qe"), F.col("__rv"), F.col("__qn"), F.col("__rn")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
@@ -2914,7 +2933,8 @@ def q362_ann_stack_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     such); every window partitions by query id."""
     from databricks_etl_spark.operators.similarity import (
         assign_cells,
-        cosine,
+        norm,
+        paired_cosine,
         pq_assign,
         pq_reconstruct,
     )
@@ -2966,16 +2986,32 @@ def q362_ann_stack_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reconstructed",
     )
     s = (
-        base.crossJoin(F.broadcast(qv))
+        base.withColumn("__cn", norm(F.col("embedding")))
+        .withColumn("__rn", norm(F.col("reconstructed")))
+        .crossJoin(F.broadcast(qv.withColumn("__qn", norm(F.col("__qe")))))
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
             "cell_id",
-            F.round(cosine(F.col("__qe"), F.col("embedding")), 6).alias("sim"),
-            F.round(cosine(F.col("__qe"), F.col("reconstructed")), 6).alias(
-                "psim"
-            ),
+            F.round(
+                paired_cosine(
+                    F.col("__qe"),
+                    F.col("embedding"),
+                    F.col("__qn"),
+                    F.col("__cn"),
+                ),
+                6,
+            ).alias("sim"),
+            F.round(
+                paired_cosine(
+                    F.col("__qe"),
+                    F.col("reconstructed"),
+                    F.col("__qn"),
+                    F.col("__rn"),
+                ),
+                6,
+            ).alias("psim"),
         )
         .localCheckpoint()  # one scored pass feeds truth, probe and pool
     )
@@ -4310,7 +4346,10 @@ def q373_retrieval_source_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: inherits q332's one scored pass (broadcast query
     set); both rollups are source-bounded; truth is the audited EVAL
     (documented as such, as q310/q341)."""
-    from databricks_etl_spark.operators.similarity import cosine
+    from databricks_etl_spark.operators.similarity import (
+        norm,
+        paired_cosine,
+    )
     from databricks_etl_spark.plans.queries_round9 import (
         _Q332_TOPK,
         _q332_relations,
@@ -4318,11 +4357,23 @@ def q373_retrieval_source_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cemb, qemb = _q332_relations(spark, sf_dir)
     d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
-    s0 = cemb.join(F.broadcast(qemb), F.lit(True)).select(
-        "qid",
-        "doc_id",
-        "chunk_idx",
-        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+    s0 = (
+        cemb.withColumn("__cn", norm(F.col("ce")))
+        .join(
+            F.broadcast(qemb.withColumn("__qn", norm(F.col("qe")))),
+            F.lit(True),
+        )
+        .select(
+            "qid",
+            "doc_id",
+            "chunk_idx",
+            F.round(
+                paired_cosine(
+                    F.col("qe"), F.col("ce"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(
         F.desc("sim"), F.asc("doc_id"), F.asc("chunk_idx")

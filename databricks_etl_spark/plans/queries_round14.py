@@ -292,14 +292,28 @@ def _q577_relations(spark: SparkSession, sf_dir: str):
 
 def _q577_scores_from(cemb: DataFrame, qcemb: DataFrame) -> DataFrame:
     """(qid, doc_id, maxsim) from chunk-embedding relations — shared
-    by the batch lane (q577) and the streaming drain (q583)."""
-    from databricks_etl_spark.operators.similarity import cosine
+    by the batch lane (q577) and the streaming drain (q583). Norms are
+    hoisted per ROW before the all-pairs join (similarity.paired_cosine
+    — bit-identical, 3 HOF folds per pair → 1)."""
+    from databricks_etl_spark.operators.similarity import norm, paired_cosine
 
-    s = cemb.join(F.broadcast(qcemb), F.lit(True)).select(
-        "qid",
-        "qchunk",
-        "doc_id",
-        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+    s = (
+        cemb.withColumn("__cn", norm(F.col("ce")))
+        .join(
+            F.broadcast(qcemb.withColumn("__qn", norm(F.col("qe")))),
+            F.lit(True),
+        )
+        .select(
+            "qid",
+            "qchunk",
+            "doc_id",
+            F.round(
+                paired_cosine(
+                    F.col("qe"), F.col("ce"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("sim"),
+        )
     )
     mx = s.groupBy("qid", "qchunk", "doc_id").agg(F.max("sim").alias("mx"))
     return mx.groupBy("qid", "doc_id").agg(
@@ -436,7 +450,7 @@ def _q578_rankings(spark: SparkSession, sf_dir: str):
     """(m10, p10): the MaxSim and pooled top-k rankings both eval
     lanes (q578 overlap, q580 RRF fusion) consume — one source so the
     rankers cannot drift between the evals."""
-    from databricks_etl_spark.operators.similarity import cosine
+    from databricks_etl_spark.operators import similarity as SIM
     from databricks_etl_spark.operators.text import tokens_col
     from databricks_etl_spark.plans.queries_round9 import _q332_embed
 
@@ -463,10 +477,22 @@ def _q578_rankings(spark: SparkSession, sf_dir: str):
     pq = demb.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("qid"), F.col("emb").alias("qv")
     )
-    ps = pden.join(F.broadcast(pq), F.lit(True)).select(
-        "qid",
-        "doc_id",
-        F.round(cosine(F.col("qv"), F.col("ve")), 6).alias("sim"),
+    ps = (
+        pden.withColumn("__vn", SIM.norm(F.col("ve")))
+        .join(
+            F.broadcast(pq.withColumn("__qn", SIM.norm(F.col("qv")))),
+            F.lit(True),
+        )
+        .select(
+            "qid",
+            "doc_id",
+            F.round(
+                SIM.paired_cosine(
+                    F.col("qv"), F.col("ve"), F.col("__qn"), F.col("__vn")
+                ),
+                6,
+            ).alias("sim"),
+        )
     )
     wp = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("doc_id"))
     p10 = (
@@ -630,7 +656,7 @@ def q579_maxsim_ann_recall_gate(
     Scale shape: the candidate join is an EQUI join on cell (the
     whole point — no all-pairs scoring at serving time); truth is the
     priced audit pass, run on the sampled benchmark set only."""
-    from databricks_etl_spark.operators.similarity import cosine
+    from databricks_etl_spark.operators.similarity import norm, paired_cosine
     from databricks_etl_spark.plans.queries_round9 import _q332_add_cell
 
     cemb, qcemb = _q577_relations(spark, sf_dir)
@@ -641,13 +667,18 @@ def q579_maxsim_ann_recall_gate(
         .filter(F.col("rank") <= _Q577_TOPK)
         .select("qid", "doc_id", "rank")
     )
-    ccell = _q332_add_cell(cemb, "ce")
-    qcell = _q332_add_cell(qcemb, "qe")
+    ccell = _q332_add_cell(cemb, "ce").withColumn("__cn", norm(F.col("ce")))
+    qcell = _q332_add_cell(qcemb, "qe").withColumn("__qn", norm(F.col("qe")))
     sa = ccell.join(F.broadcast(qcell), "cell").select(
         "qid",
         "qchunk",
         "doc_id",
-        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+        F.round(
+            paired_cosine(
+                F.col("qe"), F.col("ce"), F.col("__qn"), F.col("__cn")
+            ),
+            6,
+        ).alias("sim"),
     )
     amx = sa.groupBy("qid", "qchunk", "doc_id").agg(F.max("sim").alias("mx"))
     asc = amx.groupBy("qid", "doc_id").agg(
@@ -2515,7 +2546,7 @@ def q595_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the eval slice broadcasts against the streamed
     corpus (one pass, the q47/q509 block-scoring discipline); votes
     and accuracy are keyed aggregates on the tiny eval grain."""
-    from databricks_etl_spark.operators.similarity import cosine
+    from databricks_etl_spark.operators.similarity import norm, paired_cosine
 
     emb = read_table(spark, sf_dir, "embeddings")
     is_ev = (
@@ -2535,16 +2566,23 @@ def q595_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("true_label"),
-    )
+    ).withColumn("__qn", norm(F.col("qe")))
     nbr = (
-        emb.join(F.broadcast(ev), F.col("vec_id") != F.col("qid"))
+        emb.withColumn("__cn", norm(F.col("embedding")))
+        .join(F.broadcast(ev), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "true_label",
             F.col("label").alias("nbr_label"),
-            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias(
-                "sim"
-            ),
+            F.round(
+                paired_cosine(
+                    F.col("qe"),
+                    F.col("embedding"),
+                    F.col("__qn"),
+                    F.col("__cn"),
+                ),
+                6,
+            ).alias("sim"),
             F.col("vec_id").alias("dst"),
         )
     )
@@ -3545,7 +3583,7 @@ def q606_streaming_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-epoch one batch-vs-eval block scoring with the
     eval slice broadcast; drain re-ranks |eval|·k·epochs candidate
     rows."""
-    from databricks_etl_spark.operators.similarity import cosine
+    from databricks_etl_spark.operators import similarity as SIM
 
     emb = read_table(spark, sf_dir, "embeddings")
     is_ev = (
@@ -3565,7 +3603,7 @@ def q606_streaming_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("true_label"),
-    ).localCheckpoint()
+    ).withColumn("__qn", SIM.norm(F.col("qe"))).localCheckpoint()
     root = scratch_dir("knn_stream_", key=sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     path = f"{root}/candidates"
@@ -3574,13 +3612,20 @@ def q606_streaming_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ep in range(k):
         batch = emb.filter(F.col("vec_id") % k == ep)
         (
-            batch.join(F.broadcast(ev), F.col("vec_id") != F.col("qid"))
+            batch.withColumn("__cn", SIM.norm(F.col("embedding")))
+            .join(F.broadcast(ev), F.col("vec_id") != F.col("qid"))
             .select(
                 "qid",
                 "true_label",
                 F.col("label").alias("nbr_label"),
                 F.round(
-                    cosine(F.col("qe"), F.col("embedding")), 6
+                    SIM.paired_cosine(
+                        F.col("qe"),
+                        F.col("embedding"),
+                        F.col("__qn"),
+                        F.col("__cn"),
+                    ),
+                    6,
                 ).alias("sim"),
                 F.col("vec_id").alias("dst"),
             )

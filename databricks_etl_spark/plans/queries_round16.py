@@ -354,13 +354,24 @@ def _q658_hits(cells: DataFrame, tau: float = _Q658_T) -> DataFrame:
     bench = cells.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("bench_id"),
         F.col("embedding").alias("bemb"),
+        SIM.norm(F.col("embedding")).alias("__bn"),
         "cell_id",
     )
-    corp = cells.filter(F.col("vec_id") % 50 != 0)
+    corp = cells.filter(F.col("vec_id") % 50 != 0).withColumn(
+        "__cn", SIM.norm(F.col("embedding"))
+    )
     return (
         corp.join(bench, "cell_id")
         .filter(
-            F.round(SIM.cosine(F.col("embedding"), F.col("bemb")), 6)
+            F.round(
+                SIM.paired_cosine(
+                    F.col("embedding"),
+                    F.col("bemb"),
+                    F.col("__cn"),
+                    F.col("__bn"),
+                ),
+                6,
+            )
             >= F.lit(tau)
         )
         .select("vec_id")

@@ -760,7 +760,10 @@ def q193_cosine_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     in corpus, embarrassingly parallel; never an unbounded self-join
     (the all-pairs variant is explicitly TEST-ONLY,
     similarity.py:277)."""
-    from databricks_etl_spark.operators.similarity import cosine
+    from databricks_etl_spark.operators.similarity import (
+        norm,
+        paired_cosine,
+    )
 
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 50).select(
@@ -768,12 +771,20 @@ def q193_cosine_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("ce"))
     s = (
-        F.broadcast(q)
-        .join(c, F.col("id_a") < F.col("id_b"))
+        F.broadcast(q.withColumn("__qn", norm(F.col("qe"))))
+        .join(
+            c.withColumn("__cn", norm(F.col("ce"))),
+            F.col("id_a") < F.col("id_b"),
+        )
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine_sim"),
+            F.round(
+                paired_cosine(
+                    F.col("qe"), F.col("ce"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     return s.filter(F.col("cosine_sim") >= 0.35)

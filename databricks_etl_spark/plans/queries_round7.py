@@ -2257,7 +2257,11 @@ def q310_ann_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-computation bug can't hide inside the gates. Per-query
     ratios accumulate in DECIMAL; both rankings share the
     (sim DESC, id) total order."""
-    from databricks_etl_spark.operators.similarity import assign_cells, cosine
+    from databricks_etl_spark.operators.similarity import (
+        assign_cells,
+        norm,
+        paired_cosine,
+    )
 
     e = read_table(spark, sf_dir, "embeddings")
     cents = spark.createDataFrame(
@@ -2267,15 +2271,25 @@ def q310_ann_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = cells.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("__qe"),
+        norm(F.col("embedding")).alias("__qn"),
         F.col("cell_id").alias("__qc"),
     )
     s = (
-        cells.join(F.broadcast(qv), F.col("vec_id") != F.col("qid"))
+        cells.withColumn("__cn", norm(F.col("embedding")))
+        .join(F.broadcast(qv), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
             (F.col("cell_id") == F.col("__qc")).alias("same_cell"),
-            F.round(cosine(F.col("__qe"), F.col("embedding")), 6).alias("sim"),
+            F.round(
+                paired_cosine(
+                    F.col("__qe"),
+                    F.col("embedding"),
+                    F.col("__qn"),
+                    F.col("__cn"),
+                ),
+                6,
+            ).alias("sim"),
         )
         .localCheckpoint()  # one scoring pass feeds both rankings
     )

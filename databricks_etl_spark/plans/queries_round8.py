@@ -571,7 +571,8 @@ def q317_pq_recall_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads. Composes the registered q310 metrics (broadcast 1-row) so
     the comparison can never drift."""
     from databricks_etl_spark.operators.similarity import (
-        cosine,
+        norm,
+        paired_cosine,
         pq_assign,
         pq_reconstruct,
     )
@@ -588,26 +589,46 @@ def q317_pq_recall_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rec = pq_reconstruct(pq_assign(e, cb, _Q316_M, _Q316_SUB))
     q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("__qe"),
+        norm(F.col("embedding")).alias("__qn"),
     )
     exact = (
-        e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("__ce"))
+        e.select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("__ce"),
+            norm(F.col("embedding")).alias("__cn"),
+        )
         .crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
-            F.round(cosine(F.col("__qe"), F.col("__ce")), 6).alias("sim"),
+            F.round(
+                paired_cosine(
+                    F.col("__qe"), F.col("__ce"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     approx = (
-        rec.select(F.col("vec_id").alias("nid"), F.col("reconstructed").alias("__rv"))
+        rec.select(
+            F.col("vec_id").alias("nid"),
+            F.col("reconstructed").alias("__rv"),
+            norm(F.col("reconstructed")).alias("__rn"),
+        )
         .crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
-            F.round(cosine(F.col("__qe"), F.col("__rv")), 6).alias("sim"),
+            F.round(
+                paired_cosine(
+                    F.col("__qe"), F.col("__rv"), F.col("__qn"), F.col("__rn")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
 

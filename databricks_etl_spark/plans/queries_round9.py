@@ -494,12 +494,23 @@ def _q327_collision_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = corpus_cells.select(
         F.col("vec_id").alias("__cid"),
         F.col("embedding").alias("__cv"),
+        SIM.norm(F.col("embedding")).alias("__nv"),
         "cell_id",
     )
     return (
-        bc.join(idx, "cell_id")
+        bc.withColumn("__nb", SIM.norm(F.col("embedding")))
+        .join(idx, "cell_id")
         .withColumn(
-            "__s", F.round(SIM.cosine(F.col("embedding"), F.col("__cv")), 6)
+            "__s",
+            F.round(
+                SIM.paired_cosine(
+                    F.col("embedding"),
+                    F.col("__cv"),
+                    F.col("__nb"),
+                    F.col("__nv"),
+                ),
+                6,
+            ),
         )
         .filter(F.col("__s") >= _Q285_T)
         .select(
@@ -1293,17 +1304,23 @@ def q332_rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation and the (sim DESC, doc, chunk) total order; all
     embedding values are small exact integers so every cross-engine
     float op is exact."""
-    from databricks_etl_spark.operators.similarity import cosine
+    from databricks_etl_spark.operators.similarity import norm, paired_cosine
 
     cemb, qemb = _q332_relations(spark, sf_dir)
     s = (
-        cemb.join(F.broadcast(qemb), F.lit(True))
+        cemb.withColumn("__cn", norm(F.col("ce")))
+        .join(F.broadcast(qemb.withColumn("__qn", norm(F.col("qe")))), F.lit(True))
         .select(
             "qid",
             "doc_id",
             "chunk_idx",
             (F.col("cell") == F.col("qcell")).alias("same_cell"),
-            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+            F.round(
+                paired_cosine(
+                    F.col("qe"), F.col("ce"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("sim"),
         )
         .localCheckpoint()  # one scoring pass feeds both rankings
     )

@@ -37,7 +37,11 @@ def make_semdedup_epoch(
     rows need (vec_id, embedding); the index and pair sinks are
     epoch-partitioned parquet directories with dynamic partition
     overwrite for replay idempotency."""
-    from databricks_etl_spark.operators.similarity import assign_cells, cosine
+    from databricks_etl_spark.operators.similarity import (
+        assign_cells,
+        norm,
+        paired_cosine,
+    )
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -52,11 +56,17 @@ def make_semdedup_epoch(
                 F.col("embedding").alias("__eb"),
                 "cell_id",
             )
+            .withColumn("__nb", norm(F.col("__eb")))
         )
         a = assigned.select(
             F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"), "cell_id"
+        ).withColumn("__na", norm(F.col("__ea")))
+        sim = F.round(
+            paired_cosine(
+                F.col("__ea"), F.col("__eb"), F.col("__na"), F.col("__nb")
+            ),
+            6,
         )
-        sim = F.round(cosine(F.col("__ea"), F.col("__eb")), 6)
         # normalize to (least, greatest): a cross-epoch delta pair is
         # discovered with the LATER doc on the delta side, but the pair
         # identity must not depend on which epoch found it
@@ -74,7 +84,7 @@ def make_semdedup_epoch(
         )
         b2 = assigned.select(
             F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"), "cell_id"
-        )
+        ).withColumn("__nb", norm(F.col("__eb")))
         within = (
             a.join(b2, "cell_id")
             .filter(F.col("id_a") < F.col("id_b"))
