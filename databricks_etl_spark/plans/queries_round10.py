@@ -393,10 +393,15 @@ def q342_realized_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
     ship = q312_training_manifest(spark, sf_dir).filter("ship").select("doc_id")
+    # r16 OPT (guide §2.4 / §5): pool is consumed twice (the decimal
+    # total and the target shares) and each consumer re-ran the whole
+    # q312 ship pipeline; one lazy materialization of the per-source
+    # rollup (bounded: one row per source) computes q312 once.
     pool = (
         ship.join(src, "doc_id")
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shipped"))
+        .localCheckpoint(eager=False)
     )
     # decimal-stable cross-partition sum (README rule): cast each weight
     # to decimal(28,9) so the fold is exact and order-independent, then
@@ -412,7 +417,10 @@ def q342_realized_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target_share"
         ),
     )
-    ordr = q326_dataloader_order(spark, sf_dir)
+    # same reasoning: ordr feeds both the per-(epoch, source) slots
+    # and the epoch grid — one lazy materialization instead of two
+    # full q326 (which itself composes q312) executions.
+    ordr = q326_dataloader_order(spark, sf_dir).localCheckpoint(eager=False)
     slots = (
         ordr.join(src, "doc_id")
         .groupBy("epoch", "source")
@@ -1151,7 +1159,15 @@ def q347_epoch_shuffle_decorrelation(
     from databricks_etl_spark.plans.queries_round9 import q326_dataloader_order
 
     ordr = q326_dataloader_order(spark, sf_dir)
-    return _epoch_step_corr(ordr.select("epoch", "seq_id", "step").distinct())
+    # r16 OPT (guide §2.4): the moment kernel self-joins this relation,
+    # so both sides re-ran the full q326 composition (itself composing
+    # q312's gates) — one lazy materialization of the distinct
+    # (epoch, seq_id, step) rows computes it once.
+    return _epoch_step_corr(
+        ordr.select("epoch", "seq_id", "step")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
 
 def _epoch_step_corr(seqs: DataFrame) -> DataFrame:

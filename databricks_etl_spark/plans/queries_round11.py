@@ -3660,28 +3660,32 @@ def _q412_signs() -> list[list[int]]:
 _Q412_S = _q412_signs()
 
 
+def _q412_y_sql() -> str:
+    """The projected-vector array as ONE SQL string — r16: the former
+    per-Column builder crossed py4j ~{_Q412_K}×{_Q412_D} times per
+    call site (~9-12 s of pure DataFrame BUILD per invocation, guide
+    §1.2 driver-side work). Fold order preserved exactly: each entry
+    is the left-associative 0 + ±e_1 + ±e_2 + … sum divided by
+    sqrt(K); 0 + x == x in IEEE double, so values are bit-identical
+    to the old Column tree."""
+    rows = ", ".join(
+        "(0.0D"
+        + "".join(
+            (" + " if s > 0 else " - ")
+            + f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+            for i, s in enumerate(row)
+        )
+        + f") / {float(_Q412_K ** 0.5)!r}D"
+        for row in _Q412_S
+    )
+    return f"array({rows})"
+
+
 def _q412_y_col():
     """The projected-vector array expression over an ``embedding``
     column — the literal-matrix projection shared by q412's audit and
-    q413's compressed-recall eval."""
-    return F.array(
-        *[
-            (
-                sum(
-                    (
-                        F.element_at("embedding", i + 1).cast("double")
-                        if s > 0
-                        else -F.element_at("embedding", i + 1).cast(
-                            "double"
-                        )
-                    )
-                    for i, s in enumerate(row)
-                )
-                / float(_Q412_K ** 0.5)
-            )
-            for row in _Q412_S
-        ]
-    )
+    q413's compressed-recall eval (compiled from one SQL string)."""
+    return F.expr(_q412_y_sql())
 
 
 def _q412_proj_sql() -> str:
@@ -3778,27 +3782,26 @@ def q412_jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("y").alias("yb"),
     )
-    d2 = sum(
-        (
-            (
-                F.element_at("ea", i + 1).cast("double")
-                - F.element_at("eb", i + 1).cast("double")
-            )
-            * (
-                F.element_at("ea", i + 1).cast("double")
-                - F.element_at("eb", i + 1).cast("double")
-            )
+    # r16: both quadratic forms compile from ONE SQL string each (the
+    # former per-Column build was ~64×4 + 16×2 py4j round trips per
+    # invocation); left-associative 0.0 + t1 + … fold order preserved.
+    d2 = F.expr(
+        "0.0D + "
+        + " + ".join(
+            f"(CAST(element_at(ea, {i + 1}) AS DOUBLE)"
+            f" - CAST(element_at(eb, {i + 1}) AS DOUBLE))"
+            f" * (CAST(element_at(ea, {i + 1}) AS DOUBLE)"
+            f" - CAST(element_at(eb, {i + 1}) AS DOUBLE))"
             for i in range(_Q412_D)
-        ),
-        F.lit(0.0),
+        )
     )
-    p2 = sum(
-        (
-            (F.element_at("ya", j + 1) - F.element_at("yb", j + 1))
-            * (F.element_at("ya", j + 1) - F.element_at("yb", j + 1))
+    p2 = F.expr(
+        "0.0D + "
+        + " + ".join(
+            f"(element_at(ya, {j + 1}) - element_at(yb, {j + 1}))"
+            f" * (element_at(ya, {j + 1}) - element_at(yb, {j + 1}))"
             for j in range(_Q412_K)
-        ),
-        F.lit(0.0),
+        )
     )
     pairs = (
         a.join(b, F.col("va") < F.col("vb"))
@@ -3930,28 +3933,39 @@ def q413_jl_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the compressed side is the one you can afford to serve;
     the projection itself is a per-row literal expression, no
     shuffle."""
-    pj = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _q412_y_col().alias("y")
+    # r16: dots compile from ONE SQL string each (the 64-dim per-Column
+    # build was the bulk of a ~12 s per-invocation DataFrame BUILD),
+    # and the per-row norms are HOISTED out of the pair expression —
+    # sqrt(dot(v,v)) is a pure function of one row, multiplied in the
+    # same (query-side × corpus-side) order as before, so sims are
+    # bit-identical while each pair pays one dot per similarity
+    # instead of three.
+    dot64 = lambda a, b: "0.0D + " + " + ".join(  # noqa: E731
+        f"(CAST(element_at({a}, {i + 1}) AS DOUBLE)"
+        f" * CAST(element_at({b}, {i + 1}) AS DOUBLE))"
+        for i in range(_Q412_D)
+    )
+    doty = lambda a, b: "0.0D + " + " + ".join(  # noqa: E731
+        f"(element_at({a}, {j + 1}) * element_at({b}, {j + 1}))"
+        for j in range(_Q412_K)
+    )
+    pj = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", _q412_y_col().alias("y"))
+        .select(
+            "*",
+            F.expr(
+                f"SQRT({dot64('embedding', 'embedding')}) AS __n64"
+            ),
+            F.expr(f"SQRT({doty('y', 'y')}) AS __n16"),
+        )
     )
     qs = pj.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("__qe"),
         F.col("y").alias("__qy"),
-    )
-    dot64 = lambda a, b: sum(  # noqa: E731
-        (
-            F.element_at(a, i + 1).cast("double")
-            * F.element_at(b, i + 1).cast("double")
-            for i in range(_Q412_D)
-        ),
-        F.lit(0.0),
-    )
-    doty = lambda a, b: sum(  # noqa: E731
-        (
-            F.element_at(a, j + 1) * F.element_at(b, j + 1)
-            for j in range(_Q412_K)
-        ),
-        F.lit(0.0),
+        F.col("__n64").alias("__qn64"),
+        F.col("__n16").alias("__qn16"),
     )
     s = (
         pj.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
@@ -3959,23 +3973,17 @@ def q413_jl_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("vec_id").alias("nid"),
             F.round(
-                dot64(F.col("__qe"), F.col("embedding"))
-                / (
-                    F.sqrt(dot64(F.col("__qe"), F.col("__qe")))
-                    * F.sqrt(dot64(F.col("embedding"), F.col("embedding")))
-                ),
+                F.expr(dot64("__qe", "embedding"))
+                / (F.col("__qn64") * F.col("__n64")),
                 6,
             ).alias("sim64"),
             F.round(
-                doty(F.col("__qy"), F.col("y"))
-                / (
-                    F.sqrt(doty(F.col("__qy"), F.col("__qy")))
-                    * F.sqrt(doty(F.col("y"), F.col("y")))
-                ),
+                F.expr(doty("__qy", "y"))
+                / (F.col("__qn16") * F.col("__n16")),
                 6,
             ).alias("sim16"),
         )
-        .localCheckpoint()  # one scoring pass feeds both rankings
+        .localCheckpoint(eager=False)  # one scoring pass, two rankings
     )
     from pyspark.sql import Window
 
@@ -5848,7 +5856,9 @@ def q426_ann_index_datasheet(
     cannot drift from the audits it summarizes; the Spark side
     aggregates the same registered queries (one-row relations
     cross-joined, the q418/q425 composition shape)."""
-    reb = q424_ivf_cell_rebalance(spark, sf_dir).localCheckpoint()
+    # lazy: two consumers share one materialization at first action
+    # instead of an eager barrier job at BUILD time
+    reb = q424_ivf_cell_rebalance(spark, sf_dir).localCheckpoint(eager=False)
     env = q412_jl_distortion_audit(spark, sf_dir)
     rec = q413_jl_retrieval_recall(spark, sf_dir)
     cellr = reb.groupBy("cell_id").agg(

@@ -206,12 +206,19 @@ def q326_dataloader_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     packed = ffd_pack(base, _Q326_B, _Q326_P, group_col="eclass")
+    # r16 OPT (guide §2.4/§5): `placed` feeds both the epoch expansion
+    # (es → kb → cnts/stepped) and the final seq_uid join-back, and
+    # `kb` feeds both the bucket counts and the stepped ranks — without
+    # a materialization the q312-ship ⋈ FFD-pack pipeline re-executed
+    # once per consumer (3-4x per invocation; every q326-composing
+    # audit lane multiplied that again). Two lazy localCheckpoints
+    # bound the recompute to exactly one packing pass per invocation.
     placed = packed.select(
         "eclass",
         "doc_id",
         (F.col("seq_id") * 8 + F.col("eclass")).alias("seq_uid"),
         "seq_offset",
-    )
+    ).localCheckpoint(eager=False)
     es = (
         placed.select("eclass", "seq_uid")
         .distinct()
@@ -225,8 +232,10 @@ def q326_dataloader_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     uk = (
         (F.col("seq_uid") % _MINSTD_P) * 48271 + F.col("epoch") * 7919
     ) % _MINSTD_P
-    kb = es.withColumn("uk", uk).withColumn(
-        "bucket", F.col("uk") % _Q326_BKTS
+    kb = (
+        es.withColumn("uk", uk)
+        .withColumn("bucket", F.col("uk") % _Q326_BKTS)
+        .localCheckpoint(eager=False)
     )
     cnts = kb.groupBy("epoch", "bucket").agg(F.count(F.lit(1)).alias("c"))
     wpre = (
