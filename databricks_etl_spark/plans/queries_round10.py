@@ -597,10 +597,17 @@ def _q343_build(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     clamped_len = F.least(
         F.size(tokens_col("text")).cast("long"), F.lit(_Q326_B).cast("long")
     ).alias("len")
+    # r16 OPT (guide §2.4): base feeds both the shard-count rollup and
+    # the corpus packing input; corpus_in feeds both the persisted
+    # packing and the incremental re-fold; delta_in (which runs the
+    # q327 maintenance composition) feeds both the touched-shard set
+    # and the re-fold union. Lazy materializations bound each pipeline
+    # to one execution per invocation.
     base = (
         d.join(ship, "doc_id")
         .join(F.broadcast(ep), "source")
         .select("doc_id", clamped_len, F.col("epochs").cast("long").alias("eclass"))
+        .localCheckpoint(eager=False)
     )
     sc = base.groupBy("eclass").agg(
         F.ceil(F.count(F.lit(1)) / float(_Q326_P)).cast("long").alias("s")
@@ -608,7 +615,7 @@ def _q343_build(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     shard = (F.col("doc_id") % F.col("s")).cast("long").alias("shard")
     corpus_in = base.join(F.broadcast(sc), "eclass").select(
         "doc_id", "len", "eclass", shard
-    )
+    ).localCheckpoint(eager=False)
     # the persisted placement artifact (production reads this back)
     corpus_placed = ffd_pack(
         corpus_in, _Q326_B, group_col="eclass", shard_col="shard"
@@ -628,7 +635,7 @@ def _q343_build(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
     delta_in = ddocs.join(F.broadcast(sc), "eclass").select(
         "doc_id", "len", "eclass", shard
-    )
+    ).localCheckpoint(eager=False)
     touched = delta_in.select("eclass", "shard").distinct()
     # INCREMENTAL work: re-fold ONLY the groups a delta doc lands in
     touched_in = corpus_in.join(
@@ -3705,10 +3712,14 @@ def q367_token_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     src = d.select("doc_id", "source")
     ship = q312_training_manifest(spark, sf_dir).filter("ship").select("doc_id")
+    # r16 OPT (guide §2.4): pool and ordr each feed two consumers —
+    # one lazy materialization instead of re-running the q312/q326
+    # compositions per consumer (the q342 fix applied here).
     pool = (
         ship.join(src, "doc_id")
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shipped"))
+        .localCheckpoint(eager=False)
     )
     # decimal-stable cross-partition sum (README rule): cast each weight
     # to decimal(28,9) so the fold is exact and order-independent, then
@@ -3731,7 +3742,7 @@ def q367_token_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("len"),
     )
-    ordr = q326_dataloader_order(spark, sf_dir)
+    ordr = q326_dataloader_order(spark, sf_dir).localCheckpoint(eager=False)
     slots = (
         ordr.join(dl, "doc_id")
         .groupBy("epoch", "source")
