@@ -306,3 +306,44 @@ def test_incremental_band_join_hot_bucket_cap(spark):
     # in hot buckets; the capped run keeps only the unique-pair match
     assert uncapped > 1000
     assert {(r.id_a, r.id_b) for r in capped} == {(90, 190)}
+
+
+def test_paired_cosine_bit_identical_to_cosine(spark, smoke_sf_dir):
+    """r16 optimization invariant: hoisting the per-row norms out of a
+    pair expression (similarity.paired_cosine) must be BIT-identical to
+    the inline cosine — same fold, same a-side × b-side multiply order,
+    same try_divide — on real embedding pairs (float payloads, not just
+    integer-valued vectors) and on a zero-norm vector (NULL sim)."""
+    e = read_table(spark, smoke_sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * len(e.first()["embedding"]))],
+        "vec_id long, embedding array<double>",
+    )
+    ev = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).union(zero)
+    a = ev.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        SIM.norm(F.col("embedding")).alias("na"),
+    )
+    b = ev.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        SIM.norm(F.col("embedding")).alias("nb"),
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        SIM.cosine(F.col("va"), F.col("vb")).alias("inline"),
+        SIM.paired_cosine(
+            F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+        ).alias("hoisted"),
+    )
+    bad = pairs.filter(
+        ~(
+            (F.col("inline") == F.col("hoisted"))
+            | (F.col("inline").isNull() & F.col("hoisted").isNull())
+        )
+    ).count()
+    assert bad == 0, f"{bad} pairs differ between inline and hoisted cosine"
