@@ -79,7 +79,7 @@ _loaded = False
 # _DRIVER_VERIFIED below) so "same tree => same tiered-parity sample"
 # holds on a fresh clone regardless of which artifacts are on disk
 # (VERDICT r15 "What's wrong" #2).
-BUILD_ROUND = 16
+BUILD_ROUND = 17
 
 # Queries with a green (rows+schema+hash) row in any CORRECTNESS_r0N
 # .json artifact so far. The external driver verifies the FIRST 50 registry entries in
@@ -739,6 +739,57 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q624_label_propagation",
         "q625_cramers_v_matrix",
         "q626_precision_recall_curve",
+        # --- round 16 greens (CORRECTNESS_r16.json; 50/50 green
+        # rows — q01 re-proven plus the round-16 window q627-q675).
+        "q627_streaming_sssp",
+        "q628_streaming_average_precision",
+        "q629_streaming_woe",
+        "q630_streaming_holt",
+        "q631_streaming_cramers_v",
+        "q632_seasonal_decomposition",
+        "q633_fellegi_sunter",
+        "q634_critical_path",
+        "q635_mean_excess_evt",
+        "q636_price_elasticity",
+        "q637_mcnemar_compare",
+        "q638_cohens_kappa",
+        "q639_clustering_coefficient",
+        "q640_degree_assortativity",
+        "q641_bartlett_test",
+        "q642_newsvendor",
+        "q643_mutual_information",
+        "q644_heaps_law_fit",
+        "q645_pacf_durbin_levinson",
+        "q646_cuped_adjustment",
+        "q647_nelson_aalen",
+        "q648_logrank_test",
+        "q649_eb_shrinkage",
+        "q650_holt_winters_composed",
+        "q651_streaming_newsvendor",
+        "q652_streaming_eb_shrinkage",
+        "q653_streaming_nelson_aalen",
+        "q654_streaming_assortativity",
+        "q655_streaming_kcore",
+        "q656_streaming_mutual_information",
+        "q657_ar2_backtest",
+        "q658_semantic_decontamination",
+        "q659_harmonic_centrality_sampled",
+        "q660_logistic_irls",
+        "q661_price_indices",
+        "q662_gini_by_nation",
+        "q663_js_divergence_by_source",
+        "q664_zipf_slope",
+        "q665_mann_kendall_trend",
+        "q666_jarque_bera",
+        "q667_process_capability",
+        "q668_brown_forsythe",
+        "q669_streaming_ar2_backtest",
+        "q670_streaming_semantic_decontamination",
+        "q671_streaming_harmonic_centrality",
+        "q672_streaming_logistic_irls",
+        "q673_streaming_js_divergence",
+        "q674_streaming_mann_kendall",
+        "q675_streaming_jarque_bera",
     }
 )
 
