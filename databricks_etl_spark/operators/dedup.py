@@ -71,7 +71,8 @@ def jaccard_pairs(
     O(Σ min(df, max_df)²). The df filter is one extra groupBy on the
     same ``item`` key the self-join shuffles on — no new shuffle key.
     """
-    if items is None:
+    derived = items is None
+    if derived:
         if ngram == 1:
             items = token_sets(df, text_col, id_col).withColumnRenamed(
                 "token", "item"
@@ -89,12 +90,18 @@ def jaccard_pairs(
         )
         items = items.join(keep, "item").select(id_col, "item")
     # the (id, item) index is consumed THREE times (both self-join
-    # sides + set sizes); without a materialization each consumer
-    # re-derives it — re-tokenizing the corpus and, with max_df, re-
-    # running the document-frequency aggregate + join per consumer
-    # (r16: q255's plan showed four copies of the keep subtree).
-    # Lazy localCheckpoint computes it once; item-grain rows only.
-    items = items.localCheckpoint(eager=False)
+    # sides + set sizes); when WE derived it from raw text, a lazy
+    # localCheckpoint computes the tokenize/shingle pass once instead
+    # of per consumer (r16: q255's plan showed four copies of the keep
+    # subtree). When the CALLER passed a pre-built items relation it
+    # is already materialized upstream (q240/q255 share one shingle
+    # checkpoint across ladder rungs) — a second item-grain
+    # materialization of the df-filtered copy costs more than the
+    # aggregate+join recompute it saves (r17: q255 warm regression,
+    # BENCH_r16 per_query −27%), so the sharing decision stays with
+    # the caller.
+    if derived:
+        items = items.localCheckpoint(eager=False)
     sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = items.select(F.col(id_col).alias("id_a"), "item")
     b = items.select(F.col(id_col).alias("id_b"), "item")
@@ -138,7 +145,8 @@ def containment_pairs(
     posting-cap scale guard as :func:`jaccard_pairs` — identical
     shuffle profile, one extra division per candidate pair.
     """
-    if items is None:
+    derived = items is None
+    if derived:
         if ngram == 1:
             items = token_sets(df, text_col, id_col).withColumnRenamed(
                 "token", "item"
@@ -155,13 +163,11 @@ def containment_pairs(
             .select("item")
         )
         items = items.join(keep, "item").select(id_col, "item")
-    # the (id, item) index is consumed THREE times (both self-join
-    # sides + set sizes); without a materialization each consumer
-    # re-derives it — re-tokenizing the corpus and, with max_df, re-
-    # running the document-frequency aggregate + join per consumer
-    # (r16: q255's plan showed four copies of the keep subtree).
-    # Lazy localCheckpoint computes it once; item-grain rows only.
-    items = items.localCheckpoint(eager=False)
+    # same sharing rule as jaccard_pairs: materialize the 3-consumer
+    # index only when derived from raw text here; a caller-passed
+    # relation is already shared upstream (see jaccard_pairs comment).
+    if derived:
+        items = items.localCheckpoint(eager=False)
     sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = items.select(F.col(id_col).alias("id_a"), "item")
     b = items.select(F.col(id_col).alias("id_b"), "item")
@@ -249,10 +255,18 @@ def minhash_lsh_pairs(
         .drop("__n")
     )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=num_features, binary=True)
-    feats = tf.transform(toks)
+    feats = tf.transform(toks).select(id_col, "features")
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="dist")
+    # r17 (guide §2.4): pre-hash ONCE and hand the same relation to
+    # both self-join sides — approxSimilarityJoin only transforms a
+    # side that lacks the output column, so without this each side
+    # re-ran the whole tokenize→shingle→TF→minhash pipeline (the
+    # banding lanes' residual cost, OPTIMIZATION_r16 "not yet").
+    # Projected to (id, features, hashes) before the lazy checkpoint so
+    # the materialization never carries the shingle-string array.
+    hashed = model.transform(feats).localCheckpoint(eager=False)
+    pairs = model.approxSimilarityJoin(hashed, hashed, 1.0 - threshold, distCol="dist")
     return pairs.select(
         F.col(f"datasetA.{id_col}").alias("id_a"),
         F.col(f"datasetB.{id_col}").alias("id_b"),

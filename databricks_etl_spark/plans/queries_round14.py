@@ -1012,10 +1012,18 @@ def q581_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorted by src ONCE — localCheckpoint preserves outputPartitioning
     # and ordering, so the per-iteration join never moves or re-sorts
     # the edge relation; only the node-sized inflow relation travels
-    # (guide §2.4 "establish the partitioning once").  The partition
-    # count follows the session's shuffle-partition setting, not a
-    # local constant.
-    shp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # (guide §2.4 "establish the partitioning once").  r17 (guide
+    # §2.2/§2.6): the pinned partition count is BYTE-proportional to
+    # the planted slice (1/97 of lineitem, ~4× pair expansion), capped
+    # at the session setting — every one of the 8 unrolled rounds
+    # re-scans this relation, so a core-count-sized split pays
+    # 32 task launches per round on a few-hundred-KB slice (q581 ran
+    # FASTER on 8 cores than 32 in BENCH_r16's scaling block).
+    from databricks_etl_spark.sources.readers import scaled_partitions
+
+    shp = scaled_partitions(
+        spark, sf_dir, ("lineitem",), fraction=4.0 / _Q514_MOD
+    )
     ed = (
         edges.join(deg.withColumnRenamed("pk", "src"), "src")
         .repartition(shp, "src")

@@ -1628,7 +1628,17 @@ def q619_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # redundant except for the source row, which is unioned explicitly.
     # Each round is then ONE keyed join + ONE grouped MIN on a single
     # linear chain — no per-round materialization needed at all.
-    shp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # r17 (guide §2.2/§2.6): partition the pinned edge relation by its
+    # BYTES (planted 1/97 slice, ~4× pair expansion), not the core
+    # count — all 8 relaxation rounds re-scan it, and a 32-way split of
+    # a few hundred KB pays 32 task launches per round for nothing
+    # (same fix as q581; capped at the session setting, so a no-op at
+    # cluster scale).
+    from databricks_etl_spark.sources.readers import scaled_partitions
+
+    shp = scaled_partitions(
+        spark, sf_dir, ("lineitem",), fraction=4.0 / _Q514_MOD
+    )
     edges = (
         a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
         .select("src", "dst")

@@ -73,7 +73,17 @@ def _band_buckets(
     the band unpivot afterwards is shuffle-free."""
     if shingle_set is None:
         d = read_table(spark, sf_dir, "documents")
-        sh = TX.shingles(d, 3).distinct()
+        # r17 (guide §2.4 "remove shuffles outright"): NO distinct —
+        # MIN is multiplicity-invariant, so duplicate (doc, shingle)
+        # rows cannot change any band minimum and the distinct's full
+        # shuffle+sort of the biggest string relation in the plan buys
+        # nothing. md5 now runs per occurrence instead of per distinct
+        # shingle (cheap, map-side); the only shuffle left is the
+        # map-combined per-doc aggregate. Bit-identical output —
+        # the oracle keeps its distinct, same minima. Profiled on
+        # q185: the banding pass dominated the lane (1.85 s of 2.58 s
+        # noop median at sf0.1).
+        sh = TX.shingles(d, 3)
     else:
         # caller shares one materialized (doc_id, shingle) relation
         # across several ladder rungs (q240) — skip the corpus pass

@@ -331,8 +331,11 @@ def _incremental_bands(
     batch = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + _B252).alias("doc_id"), "text"
     )
+    # no distinct: the band construction is a per-doc MIN, which is
+    # multiplicity-invariant — same rule as _band_buckets' own internal
+    # path (r17; the oracle keeps its distinct, identical minima)
     batch_bands = _band_buckets(
-        spark, sf_dir, shingle_set=TX.shingles(batch, 3).distinct()
+        spark, sf_dir, shingle_set=TX.shingles(batch, 3)
     )
     return batch_bands, corpus_bands
 

@@ -100,6 +100,43 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(read_table(spark, sf_dir, n) for n in names)
 
 
+_BYTES_PER_PARTITION = 8 * 1024 * 1024
+
+
+def scaled_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = ("lineitem",),
+    *,
+    fraction: float = 1.0,
+    floor: int = 2,
+) -> int:
+    """Byte-proportional partition count for an explicit repartition —
+    one partition per 8 MB of (fraction-scaled) input, floored, and
+    capped at the session shuffle-partition setting.
+
+    The batch twin of ``streaming.windows.stream_shuffle``: an
+    iterative operator that pins a relation's partitioning for the
+    whole loop (graph edges scanned once per round) must size it to
+    the DATA, not the core count — a few-hundred-KB edge slice split
+    32 ways pays 32 task launches per round for ~nothing per task
+    (q581 measured FASTER on 8 cores than 32, BENCH_r16 scaling
+    block). ``fraction`` is the caller's selectivity estimate for a
+    planted slice (e.g. 1/97 for the ``l_orderkey % 97`` graph
+    family). Large inputs hit the session cap, so the knob is a no-op
+    at cluster scale — never a local-only constant.
+    """
+    total = 0
+    for t in tables:
+        try:
+            total += os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+        except OSError:
+            pass
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = int(total * fraction + _BYTES_PER_PARTITION - 1) // _BYTES_PER_PARTITION
+    return max(floor, min(session, want))
+
+
 
 
 def read_csv_table(
