@@ -40,6 +40,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_RANGE_BYTES_PER_PARTITION = 8 * 1024 * 1024
+
+
+def _scaled_parts(df: DataFrame, cap: int) -> int:
+    """Byte-proportional range-partition count: one partition per 8 MB
+    of the plan-stats size estimate (driver-side metadata, no job),
+    floor 4, capped at the caller's ``n_parts``. Estimation failure
+    (or a plan with no stats) keeps the cap — never fewer partitions
+    at scale, only fewer task launches on small inputs."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # stats unavailable: keep the configured split
+        return cap
+    if est <= 0 or est > (1 << 62):  # unknown sentinel (Long.Max-ish)
+        return cap
+    want = (est + _RANGE_BYTES_PER_PARTITION - 1) // _RANGE_BYTES_PER_PARTITION
+    return max(4, min(cap, int(want)))
+
+
 def exact_ntile(
     df: DataFrame,
     order_cols: list,
@@ -90,6 +111,14 @@ def exact_ntile(
     order_exprs = [
         F.col(c) if isinstance(c, str) else c for c in order_cols
     ]
+    # r17 (guide §2.2): size the range split to the INPUT BYTES (plan-
+    # stats estimate, driver-side metadata), capped at the caller's
+    # n_parts — a 64-way range shuffle of a few-MB relation pays 64
+    # task launches in each of the three passes (sample, counts, rank)
+    # for nothing per task. The partition count provably cannot change
+    # the output: ranks are globally reconstructed from the literal
+    # per-partition offsets, so bucket = f(global rank) either way.
+    n_parts = _scaled_parts(df, n_parts)
     part = (
         df.repartitionByRange(n_parts, *order_exprs)
         .withColumn("_enp", F.spark_partition_id())
@@ -366,6 +395,10 @@ def exact_cumsum(
     order_exprs = [
         F.col(c) if isinstance(c, str) else c for c in order_cols
     ]
+    # same byte-proportional range-split sizing as exact_ntile (r17);
+    # output provably invariant — prefix offsets reconstruct the
+    # global running sum at any partition count
+    n_parts = _scaled_parts(df, n_parts)
     part = (
         df.repartitionByRange(n_parts, *order_exprs)
         .withColumn("_ecp", F.spark_partition_id())

@@ -356,14 +356,50 @@ def assign_cells(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    w = Window.partitionBy(id_col).orderBy(d2.asc(), F.col("cid").asc())
+    # r17 (guide §2.3 "aggregate before you shuffle"): the argmin is a
+    # map-combinable MIN of struct(d2, cid) — struct ordering compares
+    # d2 then cid, exactly the old row_number window's
+    # (d2 ASC, cid ASC) rank-1 row — so the per-id sort pass is gone
+    # and the shuffle carries one partial min per (id, partition)
+    # instead of every (id × centroid) row with its embedding copy.
+    # first(vec) is deterministic: every row in an id's group carries
+    # the identical vector (the crossJoin replicated it). d2 is never
+    # NULL for the dense vectors this operator contracts (zip_with of
+    # equal-length numeric arrays), so min-of-struct and the window
+    # agree on every input either can see.
     return (
         vectors.select(id_col, vec_col)
         .crossJoin(F.broadcast(centroids))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, F.col("cid").cast("int").alias("cell_id"))
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct(d2.alias("__d"), F.col("cid"))).alias("__m"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(
+            id_col, vec_col, F.col("__m.cid").cast("int").alias("cell_id")
+        )
     )
+
+
+def _pair_dot(dim: int | None) -> F.Column:
+    """Dot of the pair columns ``__va``/``__vb``.
+
+    With ``dim`` declared by a caller that CONTRACTS fixed-width dense
+    vectors, the interpreted zip_with/aggregate fold (the per-pair hot
+    expression — ~500k evaluations per SemDeDup cell pass) compiles to
+    a flat left-associative product sum that whole-stage codegen
+    executes natively. Bit-identical: the fold computes
+    ((0.0 + x1·y1) + x2·y2) + …, the flat form (x1·y1 + x2·y2) + … and
+    0.0 + t ≡ t in IEEE doubles, so every partial sum matches in order
+    and value (the r16 JL-kernel argument). Without ``dim`` the
+    general fold stays (ragged arrays keep their NULL semantics)."""
+    if dim is None:
+        return dot(F.col("__va"), F.col("__vb"))
+    terms = " + ".join(
+        f"(element_at(__va, {i}) * element_at(__vb, {i}))"
+        for i in range(1, dim + 1)
+    )
+    return F.expr(terms)
 
 
 def semdedup_prune(
@@ -374,6 +410,7 @@ def semdedup_prune(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding-cluster dedup (cf. Abbas et al. 2023,
     arXiv:2303.09540): assign every vector to its nearest centroid,
@@ -440,7 +477,7 @@ def semdedup_prune(
         .filter(
             F.round(
                 F.try_divide(
-                    dot(F.col("__va"), F.col("__vb")),
+                    _pair_dot(dim),
                     F.col("__na") * F.col("__nb"),
                 ),
                 6,

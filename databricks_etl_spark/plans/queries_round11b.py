@@ -92,7 +92,7 @@ def q433_table_stats_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         # 1-row aggregate, projected once per column below — checkpoint
         # so the five consumers do not each re-run the table pass
-        row = df.agg(*aggs).localCheckpoint()
+        row = df.agg(*aggs).localCheckpoint(eager=False)
         for c in cols:
             out.append(
                 row.select(
@@ -559,7 +559,7 @@ def _q437_stats_drift(
                 F.min(cd).alias(f"{c}__minn"),
                 F.max(cd).alias(f"{c}__maxn"),
             ]
-        row = df.agg(*aggs).localCheckpoint()
+        row = df.agg(*aggs).localCheckpoint(eager=False)
         for c in cols:
             rg = F.round(
                 (F.col("__nn").cast("double") - F.col("__no"))
@@ -685,7 +685,7 @@ def q438_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     × |bands|), not the row count, so the sweep is free at 100 TB."""
     g = _priv_qi(
         read_table(spark, sf_dir, "customer"), True, 500
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     kk = spark.createDataFrame([(k,) for k in _Q438_K_GRID], "k int")
     below = F.sum(F.when(F.col("c") < F.col("k"), F.col("c")).otherwise(0))
     return (
@@ -1180,7 +1180,7 @@ def _version_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     files = months.withColumn(
         "rk", F.row_number().over(Window.orderBy("file_id"))
-    ).localCheckpoint()  # five consumers below; rank is tiny (months)
+    ).localCheckpoint(eager=False)  # five consumers below; rank is tiny (months)
     compacted_rows = files.filter(F.col("rk") <= 2).agg(
         F.sum("rws").cast("long").alias("rws")
     )
@@ -1251,7 +1251,7 @@ def q443_time_travel_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     version-grid join + anti-join on (version, file_id), and row
     totals ride the log's own rws column, so no data re-scan per
     version."""
-    log = _version_log(spark, sf_dir).localCheckpoint()
+    log = _version_log(spark, sf_dir).localCheckpoint(eager=False)
     vg = spark.createDataFrame(
         [(v,) for v in _Q443_VERSIONS], "version_at int"
     )
@@ -1477,7 +1477,7 @@ def q445_conjunction_selectivity_audit(
         "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
     )
     cols = sorted({p[1] for p in _Q445_PAIRS} | {p[4] for p in _Q445_PAIRS})
-    hists = {c: _hist(li, c).localCheckpoint() for c in cols}
+    hists = {c: _hist(li, c).localCheckpoint(eager=False) for c in cols}
     n = float(li.count())
 
     def est(c: str, lo: float, hi: float):
@@ -1613,7 +1613,7 @@ def q446_commit_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rk = files.withColumn(
         "rk", F.row_number().over(Window.orderBy("file_id"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     tx_parts = []
     for t, pred in _Q446_TXNS.items():
         if pred is None:
@@ -1632,7 +1632,7 @@ def q446_commit_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx = tx_parts[0]
     for df in tx_parts[1:]:
         tx = tx.unionByName(df)
-    tx = tx.localCheckpoint()
+    tx = tx.localCheckpoint(eager=False)
     a = tx.select(F.col("txn").alias("txn_a"), "file_id")
     b = tx.select(F.col("txn").alias("txn_b"), "file_id")
     ww = (
@@ -2006,7 +2006,7 @@ def _q450_oracle() -> str:
 def _live_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(version_at, file_id, rws): q443's as-of live sets for every
     version — shared by the restore planner and its invariant test."""
-    log = _version_log(spark, sf_dir).localCheckpoint()
+    log = _version_log(spark, sf_dir).localCheckpoint(eager=False)
     vg = spark.createDataFrame(
         [(v,) for v in _Q443_VERSIONS], "version_at int"
     )
@@ -2043,7 +2043,7 @@ def q450_restore_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two set differences on the file-grain live relation
     (left-anti joins on file_id), version grid broadcast — metadata
     cost, like every lane on this log."""
-    live = _live_sets(spark, sf_dir).localCheckpoint()
+    live = _live_sets(spark, sf_dir).localCheckpoint(eager=False)
     head = live.filter(F.col("version_at") == _Q444_HEAD).select(
         "file_id", "rws"
     )
@@ -2513,7 +2513,7 @@ def q454_sort_key_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").cast("double").alias("l_partkey"),
         "l_orderkey",
         "l_linenumber",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     preds = spark.createDataFrame(
         _Q454_WORKLOAD, "pid int, col string, lo double, hi double"
     )
@@ -2554,7 +2554,7 @@ def q454_sort_key_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hit").cast("long").alias("files_scanned"),
             F.count(F.lit(1)).alias("file_pred_pairs"),
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     best = scans.agg(F.min("files_scanned").alias("mn"))
     return scans.crossJoin(F.broadcast(best)).select(
         "layout",
@@ -2771,7 +2771,7 @@ def q456_joint_histogram_estimation(
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
         "l_orderkey",
         "l_linenumber",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     bb = exact_ntile(
         exact_ntile(
             xy,
@@ -2782,7 +2782,7 @@ def q456_joint_histogram_estimation(
         ["y", "l_orderkey", "l_linenumber"],
         _Q456_GRID,
         out_col="by",
-    ).select("x", "y", "bx", "by").localCheckpoint()
+    ).select("x", "y", "bx", "by").localCheckpoint(eager=False)
     cells = bb.groupBy("bx", "by").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min("x").alias("mnx"),
@@ -3011,7 +3011,7 @@ def q457_join_order_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
     lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.count(F.lit(1)).alias("c")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     olc = (
         orders.join(lc, orders.o_orderkey == lc.k, "left")
         .select(
@@ -3019,7 +3019,7 @@ def q457_join_order_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.coalesce(F.col("c"), F.lit(0)).alias("lcn"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     gs = (
         olc.agg(
@@ -3034,7 +3034,7 @@ def q457_join_order_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("double").alias("d_lk"),
             )
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = []
     for label, pred in [
@@ -3046,7 +3046,7 @@ def q457_join_order_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(pred)
             .groupBy(F.col("c_custkey").alias("k"))
             .agg(F.count(F.lit(1)).alias("c"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         s = cc.agg(
             F.sum("c").cast("double").alias("n_c"),
@@ -3138,21 +3138,20 @@ def _q458_bit_sql(j: int, key: str, m: int) -> str:
     return f"(({terms}) % {m})"
 
 
-def _q458_bit_col(j: int, key: F.Column, m: int) -> F.Column:
-    from functools import reduce
-
-    h = F.md5(F.concat(F.lit(f"bl:{j}:"), key.cast("string")))
-    val = reduce(
-        lambda a, b: a + b,
-        [
-            (
-                F.instr(F.lit("0123456789abcdef"), F.substring(h, k, 1)) - 1
-            ).cast("long")
-            * F.lit(16 ** (_Q458_NIB - k)).cast("long")
-            for k in range(1, _Q458_NIB + 1)
-        ],
+def _q458_bit_col(j: int, key: str, m: int) -> F.Column:
+    # r17 (guide §1.2 driver-side build cost): compiled from ONE SQL
+    # string instead of ~45 py4j Column calls per (hash, m) site — 18
+    # sites per invocation. Same left-associative sum of the same
+    # BIGINT terms (integer arithmetic, order-exact either way); the
+    # explicit CASTs mirror the old .cast("long") so no INT overflow
+    # under ANSI (15 * 16^7 > 2^31).
+    h = f"md5('bl:{j}:' || CAST({key} AS STRING))"
+    terms = " + ".join(
+        f"(CAST(instr('0123456789abcdef', substr({h}, {k}, 1)) - 1"
+        f" AS BIGINT) * CAST({16 ** (_Q458_NIB - k)} AS BIGINT))"
+        for k in range(1, _Q458_NIB + 1)
     )
-    return val % m
+    return F.expr(f"({terms}) % {m}")
 
 
 def _q458_oracle() -> str:
@@ -3233,7 +3232,7 @@ def q458_bloom_point_lookup_pricing(
             out_col="fid",
         )
         .select("l_orderkey", "fid")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     pr = spark.createDataFrame(
         [(p,) for p in _Q458_PROBES], "pk long"
@@ -3247,22 +3246,26 @@ def q458_bloom_point_lookup_pricing(
         F.round(
             F.count(F.lit(1)).cast("double") / len(_Q458_PROBES), 6
         ).alias("avg_true")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     out = []
     for m in _Q458_M_GRID:
-        fb = None
-        qb = None
-        for j in range(1, _Q458_K + 1):
-            f_j = fl.select(
-                "fid", _q458_bit_col(j, F.col("l_orderkey"), m).alias("bit")
-            )
-            q_j = pr.select(
-                "pk", _q458_bit_col(j, F.col("pk"), m).alias("bit")
-            )
-            fb = f_j if fb is None else fb.unionByName(f_j)
-            qb = q_j if qb is None else qb.unionByName(q_j)
-        fb = fb.distinct()
-        qb = qb.distinct().localCheckpoint()
+        # r17 (guide §1.2): the K per-hash relations come from ONE
+        # explode(array(bit_1..bit_K)) projection instead of a K-way
+        # unionByName — same rows (order irrelevant: both sides feed
+        # distinct/grouped counting), one analysis pass instead of
+        # re-resolving the union tree per hash.
+        f_bits = F.array(
+            *[_q458_bit_col(j, "l_orderkey", m) for j in range(1, _Q458_K + 1)]
+        )
+        q_bits = F.array(
+            *[_q458_bit_col(j, "pk", m) for j in range(1, _Q458_K + 1)]
+        )
+        fb = fl.select("fid", F.explode(f_bits).alias("bit")).distinct()
+        qb = (
+            pr.select("pk", F.explode(q_bits).alias("bit"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
         need = qb.groupBy("pk").agg(F.count(F.lit(1)).alias("need"))
         pos = (
             qb.join(fb, "bit")
@@ -3351,9 +3354,9 @@ def q459_storage_advisor_datasheet(
     Scale shape: three component relations (3 + 17 + 3 rows) reduced
     by bounded lookups — the components carry all the data-sized
     work, each already audited for it."""
-    s454 = q454_sort_key_selection(spark, sf_dir).localCheckpoint()
-    s455 = q455_encoding_advisor(spark, sf_dir).localCheckpoint()
-    s458 = q458_bloom_point_lookup_pricing(spark, sf_dir).localCheckpoint()
+    s454 = q454_sort_key_selection(spark, sf_dir).localCheckpoint(eager=False)
+    s455 = q455_encoding_advisor(spark, sf_dir).localCheckpoint(eager=False)
+    s458 = q458_bloom_point_lookup_pricing(spark, sf_dir).localCheckpoint(eager=False)
     best = s454.filter(F.col("best")).select(
         F.col("layout").alias("sort_key"),
         F.col("scan_share").alias("sorted_scan_share"),

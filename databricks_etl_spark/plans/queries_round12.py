@@ -1494,10 +1494,10 @@ def q470_runtime_filter_pricing(
         kb = None
         for j in range(1, _Q458_K + 1):
             dj = dim.select(
-                _q458_bit_col(j, F.col("c_custkey"), m).alias("bit")
+                _q458_bit_col(j, "c_custkey", m).alias("bit")
             )
             kj = oc.select(
-                "ck", _q458_bit_col(j, F.col("ck"), m).alias("bit")
+                "ck", _q458_bit_col(j, "ck", m).alias("bit")
             )
             db = dj if db is None else db.unionByName(dj)
             kb = kj if kb is None else kb.unionByName(kj)

@@ -254,7 +254,12 @@ def q285_semdedup_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame
     cents = spark.createDataFrame(
         list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
     )
-    return SIM.semdedup_prune(e, cents, quality, _Q285_T)
+    # dim declared: the embeddings table contracts fixed-width dense
+    # vectors (len(_Q285_CENTS[0])), letting the pair dot compile to
+    # the flat codegen form (bit-identical; operators/similarity.py)
+    return SIM.semdedup_prune(
+        e, cents, quality, _Q285_T, dim=len(_Q285_CENTS[0])
+    )
 
 
 from dataclasses import replace as _replace  # noqa: E402
@@ -290,7 +295,12 @@ def q286_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
         "cid int, centroid array<double>",
     )
-    return SIM.semdedup_prune(e, cents, quality, _Q285_T)
+    # dim declared: the embeddings table contracts fixed-width dense
+    # vectors (len(_Q285_CENTS[0])), letting the pair dot compile to
+    # the flat codegen form (bit-identical; operators/similarity.py)
+    return SIM.semdedup_prune(
+        e, cents, quality, _Q285_T, dim=len(_Q285_CENTS[0])
+    )
 
 
 # ---------------------------------------------------------------------------

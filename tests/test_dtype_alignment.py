@@ -15,6 +15,15 @@ import pytest
 from databricks_etl_spark.plans.registry import QUERIES, _load
 from databricks_etl_spark.sources.schemas import SCHEMAS
 
+# r17 (VERDICT #2, driver verify budget): this battery ran ALL oracled
+# lanes every iteration run — a second parity-sized pass the tiered
+# gate never bounded. It now shares the parity file's rotating-sample
+# tier: driver-verified lanes (their schema already hash-proven by a
+# CORRECTNESS artifact) sample ~25% per round, never-verified lanes
+# always run, and SPARK_GRAFT_PARITY_FULL=1 (round-close gate) runs
+# 100% as before.
+from test_oracle_parity import _tiered
+
 _load()
 ORACLED = sorted(k for k, v in QUERIES.items() if v.oracle is not None)
 
@@ -44,7 +53,7 @@ def duck_small(smoke_sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", ORACLED)
+@pytest.mark.parametrize("name", [_tiered(n) for n in ORACLED])
 def test_dtypes_align(name, spark, smoke_sf_dir, duck_small):
     qd = QUERIES[name]
     s = qd.fn(spark, smoke_sf_dir).limit(50).toPandas()

@@ -996,9 +996,9 @@ def test_q458_no_false_negatives_and_fpr_monotone(spark):
     qb = None
     for j in range(1, _Q458_K + 1):
         f_j = fl.select(
-            "fid", _q458_bit_col(j, F.col("l_orderkey"), m).alias("bit")
+            "fid", _q458_bit_col(j, "l_orderkey", m).alias("bit")
         )
-        q_j = pr.select("pk", _q458_bit_col(j, F.col("pk"), m).alias("bit"))
+        q_j = pr.select("pk", _q458_bit_col(j, "pk", m).alias("bit"))
         fb = f_j if fb is None else fb.unionByName(f_j)
         qb = q_j if qb is None else qb.unionByName(q_j)
     fb, qb = fb.distinct(), qb.distinct()
