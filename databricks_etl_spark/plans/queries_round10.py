@@ -1955,7 +1955,7 @@ def q353_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # branches; materialize the bounded (true-collision-sized)
         # relation once instead of re-running the whole similarity
         # join per consumer (plan audit: 51 -> ~27 exchanges)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     docs = lab.select("source_a", "source_b", F.col("id_a").alias("doc_id")).union(
         lab.select("source_a", "source_b", F.col("id_b").alias("doc_id"))
@@ -2973,7 +2973,7 @@ def q362_ann_stack_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = spark.createDataFrame(
         list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
     )
-    cells = assign_cells(e, cents).localCheckpoint()
+    cells = assign_cells(e, cents).localCheckpoint(eager=False)
     cb = spark.createDataFrame(
         [
             (m, k, _Q316_CB[m][k])
@@ -3036,7 +3036,7 @@ def q362_ann_stack_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("psim"),
         )
-        .localCheckpoint()  # one scored pass feeds truth, probe and pool
+        .localCheckpoint(eager=False)  # one scored pass feeds truth, probe and pool
     )
     wt = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     truth = (
@@ -3219,7 +3219,7 @@ def q363_incremental_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _Q363_DF)
         .select("item")
     )
-    i = i0.join(keep, "item").localCheckpoint()  # the persisted index
+    i = i0.join(keep, "item").localCheckpoint(eager=False)  # the persisted index
     szc = i.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc"))
     corpus_vocab = i0.select("item").distinct()
 
@@ -3448,7 +3448,7 @@ def q365_cluster_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databricks_etl_spark.plans.queries_dedup import _neardup_components
 
     d = read_table(spark, sf_dir, "documents")
-    comps = _neardup_components(spark, sf_dir).localCheckpoint()
+    comps = _neardup_components(spark, sf_dir).localCheckpoint(eager=False)
     pairs = jaccard_pairs(d, 0.5, ngram=1, max_df=100)
     sz = comps.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
@@ -3973,7 +3973,7 @@ def q369_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(
         d, _Q369_TAUS[0], ngram=1, max_df=100
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     tk = d.select(
         "doc_id", F.size(tokens_col("text")).cast("long").alias("n_toks")
     )
@@ -4131,7 +4131,7 @@ def q370_packing_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(tokens_col("text")).cast("long").alias("len"),
             F.col("epochs").cast("long").alias("eclass"),
         )
-        .localCheckpoint()  # one scan feeds every budget level
+        .localCheckpoint(eager=False)  # one scan feeds every budget level
     )
     levels = []
     for b in _Q370_BUDGETS:
@@ -4829,7 +4829,7 @@ def q377_clamp_vs_chunk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(tokens_col("text")).cast("long").alias("rlen"),
             F.col("epochs").cast("long").alias("eclass"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     raw_total = rawl.agg(F.sum("rlen").cast("long").alias("raw"))
 
@@ -4962,7 +4962,7 @@ def q378_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ship.join(d, "doc_id")
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shipped"))
-        .localCheckpoint()  # one pool feeds every alpha level
+        .localCheckpoint(eager=False)  # one pool feeds every alpha level
     )
     levels = [
         pool.select(

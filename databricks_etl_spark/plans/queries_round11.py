@@ -882,8 +882,8 @@ def _q387_register() -> None:
         # the salted form consumes bands five ways (size rollup, cold
         # anti, hot semi, two join sides) and sig twice (scoring); the
         # q353 lesson: materialize multi-consumer relations once
-        sig = sig.localCheckpoint()
-        bands = bands.localCheckpoint()
+        sig = sig.localCheckpoint(eager=False)
+        bands = bands.localCheckpoint(eager=False)
         return _q330_score(salted_band_candidates(bands), sig)
 
 
@@ -1991,7 +1991,7 @@ def _q398_waterfill(
     are #sources rows)."""
     from pyspark.sql import Window
 
-    cap = cap.localCheckpoint()
+    cap = cap.localCheckpoint(eager=False)
     wt = cap.select(
         "source",
         "cap_tokens",
@@ -2034,7 +2034,7 @@ def _q398_waterfill(
             (F.col("budget") - F.col("cap_before")) * F.col("weight")
             >= F.col("cap_tokens") * F.col("w_from_here"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     lvl = flg.agg(
         F.coalesce(
@@ -2377,7 +2377,7 @@ def q401_attrition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(5)
             .alias("depth"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     base = dep.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_raw"),
@@ -2640,7 +2640,7 @@ def _q403_pool_plan(
             *cols,
             F.size(tokens_col("text")).cast("long").alias("nt"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cap = shp.groupBy("source").agg(
         F.sum("nt").cast("long").alias("cap_tokens")
@@ -2995,7 +2995,7 @@ def q405_bm25_impact_pruning(
             ).alias("s"),
             F.sum("keep").cast("long").alias("n_kept"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rk = sc.filter(F.col("s") > 0).select(
         "lvl",
@@ -3399,7 +3399,7 @@ def q409_floored_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "floor_tokens",
             F.expr(f"full_cap DIV {_Q409_FLOOR_DIV}"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     glob = fcap.agg(
         F.expr("CAST(SUM(full_cap) AS BIGINT) DIV 2").alias("budget"),
@@ -3409,7 +3409,7 @@ def q409_floored_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("rbudget"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     res = _q398_waterfill(
         fcap.select(
             "source",
@@ -4097,7 +4097,7 @@ def _interleave_audit(steps: DataFrame) -> DataFrame:
     single-task epoch scan at any scale. ``steps`` fans into three
     consumers (cur/prev/tot) — localCheckpoint'd so the upstream
     stream derivation runs once (the q387/q400 rule)."""
-    steps = steps.localCheckpoint()
+    steps = steps.localCheckpoint(eager=False)
     cur = steps
     prev = steps.select(
         "epoch",
@@ -4278,7 +4278,7 @@ def _batch_mixing(ordr: DataFrame, lens: DataFrame, bs: int) -> DataFrame:
             "source",
         )
         .agg(F.sum("len").cast("long").alias("mass"))
-        .localCheckpoint()  # two consumers (top rank + entropy rollup)
+        .localCheckpoint(eager=False)  # two consumers (top rank + entropy rollup)
     )
     wtop = Window.partitionBy("epoch", "batch").orderBy(
         F.desc("mass"), F.asc("source")
@@ -4474,7 +4474,7 @@ def q416_replay_spacing_audit(
     # seqs fans into sizes + pos, and pos into both join sides —
     # checkpoint the distinct so the shuffle runs once
     seqs = (
-        ordr.select("epoch", "step", "seq_id").distinct().localCheckpoint()
+        ordr.select("epoch", "step", "seq_id").distinct().localCheckpoint(eager=False)
     )
     sizes = seqs.groupBy("epoch").agg(
         F.count(F.lit(1)).cast("long").alias("c")
@@ -4901,7 +4901,7 @@ def q326_order_checkpointed(
     if key not in _ORDER_CACHE:
         _ORDER_CACHE[key] = q326_dataloader_order(
             spark, sf_dir
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return _ORDER_CACHE[key]
 
 
@@ -5156,11 +5156,11 @@ def _q420_parts(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     reading the artifact back, the q327 convention; localCheckpoint'd
     as frozen); ``delta`` — the arriving days' split rows computed
     from the frozen per-type row totals."""
-    files = _daily_files(spark, sf_dir).localCheckpoint()
+    files = _daily_files(spark, sf_dir).localCheckpoint(eager=False)
     cutoff = F.lit(_Q420_CUTOFF).cast("date")
     old = files.filter(F.col("d") < cutoff)
     delta = files.filter(F.col("d") >= cutoff)
-    persisted = _split_rollup(_file_prefix_sums(old)).localCheckpoint()
+    persisted = _split_rollup(_file_prefix_sums(old)).localCheckpoint(eager=False)
     base = old.groupBy("event_type").agg(
         F.sum("rws").cast("long").alias("base")
     )
@@ -5461,7 +5461,7 @@ def q423_dup_exposure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = (
         ordr.join(cc, "doc_id")
         .select("epoch", "step", "doc_id", "component")
-        .localCheckpoint()  # both sides of the pair self-join
+        .localCheckpoint(eager=False)  # both sides of the pair self-join
     )
     a = pos.select(
         "epoch",
@@ -5719,8 +5719,8 @@ def _q425_gate(
     planted tests feed adversarial layouts; q425 feeds the production
     ingest model. One checkpointed file relation and one checkpointed
     plan fan into the three check branches (the q418 discipline)."""
-    files = files.localCheckpoint()
-    plan = _split_rollup(_file_prefix_sums(files)).localCheckpoint()
+    files = files.localCheckpoint(eager=False)
+    plan = _split_rollup(_file_prefix_sums(files)).localCheckpoint(eager=False)
     c1 = plan.agg(
         F.count(F.lit(1)).cast("long").alias("n_splits"),
         F.when(
@@ -5956,7 +5956,7 @@ def q427_serving_config_selection(
     budget)."""
     from pyspark.sql import Window
 
-    sweep = q388_ivf_probe_sweep_sampled(spark, sf_dir).localCheckpoint()
+    sweep = q388_ivf_probe_sweep_sampled(spark, sf_dir).localCheckpoint(eager=False)
     tg = spark.createDataFrame(
         [(t,) for t in _Q427_TARGETS], "t double"
     )
@@ -6194,7 +6194,7 @@ def q429_chunk_reassembly_fidelity(
     from databricks_etl_spark.plans.queries_round8 import _Q318_S, _Q318_W
 
     d = read_table(spark, sf_dir, "documents")
-    chunks = chunk_tokens(d, _Q318_W, _Q318_S).localCheckpoint()
+    chunks = chunk_tokens(d, _Q318_W, _Q318_S).localCheckpoint(eager=False)
     per = chunks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n_chunk_tokens").cast("long").alias("sumc"),
@@ -6351,7 +6351,7 @@ def _gate_read_through(qname: str):
             qname,
         )
         if key not in _GATE_CACHE:
-            _GATE_CACHE[key] = orig(spark, sf_dir).localCheckpoint()
+            _GATE_CACHE[key] = orig(spark, sf_dir).localCheckpoint(eager=False)
         return _GATE_CACHE[key]
 
     cached.__name__ = orig.__name__
@@ -6420,7 +6420,7 @@ def q431_watermark_recommendation(
     selection is a bounded rank — free at any event volume."""
     from pyspark.sql import Window
 
-    aud = q428_watermark_demand_audit(spark, sf_dir).localCheckpoint()
+    aud = q428_watermark_demand_audit(spark, sf_dir).localCheckpoint(eager=False)
     w = Window.partitionBy("event_type").orderBy("watermark_minutes")
     ok = (
         aud.filter(F.col("dropped_share") <= _Q431_MAX_DROP)

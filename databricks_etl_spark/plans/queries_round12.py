@@ -209,7 +209,7 @@ def q462_joint_grid_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
         "l_orderkey",
         "l_linenumber",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     bb = (
         exact_ntile(
             exact_ntile(
@@ -219,7 +219,7 @@ def q462_joint_grid_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["y", "l_orderkey", "l_linenumber"], _Q462_GRID, out_col="by",
         )
         .select("x", "y", "bx", "by")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = float(xy.count())
     cells = bb.groupBy("bx", "by").agg(
@@ -279,7 +279,7 @@ def q462_joint_grid_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.countDistinct("l_orderkey").cast("double").alias("d_lk")
             )
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     est_nl = F.col("s") * F.lit(n)
     d_lk_e = F.least(F.col("d_lk"), est_nl)
@@ -341,7 +341,7 @@ def q462_joint_grid_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("ol_int"))
         .alias("actual_intermediate"),
         F.col("fin").alias("actual_final"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     from pyspark.sql import Window
 
     we = Window.partitionBy("estimator")
@@ -860,7 +860,7 @@ def q466_zorder_layout_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = li.agg(
         F.min("sd").alias("mnsd"), F.max("sd").alias("mxsd"),
         F.min("pk").alias("mnpk"), F.max("pk").alias("mxpk"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     quant = li.crossJoin(F.broadcast(st)).select(
         "sd", "pk", "l_orderkey", "l_linenumber",
         F.expr(
@@ -875,7 +875,7 @@ def q466_zorder_layout_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     qz = quant.select(
         "sd", "pk", "l_orderkey", "l_linenumber",
         F.expr(_q466_interleave("qx", "qy", "DIV")).alias("z"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     zones = []
     for layout, key in _Q466_LAYOUT_KEYS.items():
         zones.append(
@@ -929,7 +929,7 @@ def q466_zorder_layout_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hit").cast("long").alias("files_scanned"),
             F.count(F.lit(1)).alias("file_pred_pairs"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     best = scans.agg(F.min("files_scanned").alias("mn"))
     return scans.crossJoin(F.broadcast(best)).select(
@@ -1047,14 +1047,14 @@ def q467_deletion_vector_pricing(
     )
     st = li.agg(
         F.min("sd").alias("mnsd"), F.max("sd").alias("mxsd")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     fl = (
         exact_ntile(
             li, ["sd", "l_orderkey", "l_linenumber"], _Q467_FILES,
             out_col="fid",
         )
         .select("sd", "l_quantity", "fid")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     fsize = fl.groupBy("fid").agg(F.count(F.lit(1)).cast("long").alias("fr"))
     cutoff = F.col("mnsd") + 0.05 * (F.col("mxsd") - F.col("mnsd"))
@@ -1238,7 +1238,7 @@ def q468_mv_lattice_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("v")
         .agg(F.sum("ben").cast("long").alias("benefit"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     c1 = b1.orderBy(F.desc("benefit"), F.asc("v")).limit(1).select(
         F.col("v").alias("cv")
@@ -1281,7 +1281,7 @@ def q468_mv_lattice_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("v")
         .agg(F.sum("ben").cast("long").alias("benefit"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     c2 = b2.orderBy(F.desc("benefit"), F.asc("v")).limit(1).select(
         F.col("v").alias("cv")
@@ -1472,11 +1472,11 @@ def q470_runtime_filter_pricing(
     orders = read_table(spark, sf_dir, "orders")
     dim = cust.filter(F.col("c_mktsegment") == _Q470_SEGMENT).select(
         "c_custkey"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     oc = (
         orders.groupBy(F.col("o_custkey").alias("ck"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     base = (
         dim.agg(F.count(F.lit(1)).cast("long").alias("dim_keys"))
@@ -1486,7 +1486,7 @@ def q470_runtime_filter_pricing(
                 F.sum("c").cast("long").alias("true_pass_rows")
             )
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = []
     for m in _Q470_M_GRID:
@@ -2053,7 +2053,7 @@ def q475_clustering_depth_metric(
     st = li.agg(
         F.min("sd").alias("mnsd"), F.max("sd").alias("mxsd"),
         F.min("pk").alias("mnpk"), F.max("pk").alias("mxpk"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     quant = li.crossJoin(F.broadcast(st)).select(
         "sd", "pk", "l_orderkey", "l_linenumber",
         F.expr(
@@ -2068,7 +2068,7 @@ def q475_clustering_depth_metric(
     qz = quant.select(
         "sd", "pk", "l_orderkey", "l_linenumber",
         F.expr(_q466_interleave("qx", "qy", "DIV")).alias("z"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     zones = []
     for layout, key in _Q475_LAYOUT_KEYS.items():
         zones.append(
@@ -2085,7 +2085,7 @@ def q475_clustering_depth_metric(
     zdf = zones[0]
     for d in zones[1:]:
         zdf = zdf.unionByName(d)
-    zdf = zdf.localCheckpoint()
+    zdf = zdf.localCheckpoint(eager=False)
     b = zdf.select(
         F.col("layout").alias("b_layout"),
         F.col("mn_sd").alias("b_mn"),
@@ -2195,7 +2195,7 @@ def q476_cache_admission_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = li.agg(
         F.min("sd").alias("mnsd"), F.max("sd").alias("mxsd"),
         F.count(F.lit(1)).cast("long").alias("n"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     zones = (
         exact_ntile(li, ["sd", "l_orderkey", "l_linenumber"], _Q466_FILES,
                     out_col="fid")
@@ -2445,7 +2445,7 @@ def q478_physical_design_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("skipped_share").alias("runtime_filter_skip_share"),
         (F.col("skipped_share") >= _Q478_SKIP_MIN).alias("filter_gate"),
     )
-    depths = q475_clustering_depth_metric(spark, sf_dir).localCheckpoint()
+    depths = q475_clustering_depth_metric(spark, sf_dir).localCheckpoint(eager=False)
     dz = depths.filter(F.col("layout") == "zorder").select(
         F.col("avg_overlap_depth").alias("depth_zorder")
     )
@@ -2537,7 +2537,7 @@ def q479_erasure_compliance_audit(
     req = cust.filter(F.col("c_custkey") % 53 == 7).select("c_custkey")
     del_o = orders.join(
         F.broadcast(req), orders.o_custkey == req.c_custkey
-    ).select("o_orderkey").localCheckpoint()
+    ).select("o_orderkey").localCheckpoint(eager=False)
     remaining_o = orders.join(F.broadcast(del_o), "o_orderkey", "left_anti")
     remaining_l = li.join(
         F.broadcast(del_o), li.l_orderkey == del_o.o_orderkey, "left_anti"
@@ -2691,7 +2691,7 @@ def q480_join_strategy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     costs = e.crossJoin(F.broadcast(s)).select(
         "edge", "strategy", "n_build", "n_probe", cost.alias("est_cost")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     from pyspark.sql import Window
 
     w = Window.partitionBy("edge")
@@ -2815,12 +2815,12 @@ def q481_partition_granularity_advisor(
         rows_g = part if rows_g is None else rows_g.unionByName(part)
     st = orders.agg(
         F.min(d).alias("mnd"), F.max(d).alias("mxd")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     parts = rows_g.groupBy("granularity", "pt").agg(
         F.count(F.lit(1)).cast("long").alias("rws"),
         F.min("d").alias("mn_d"),
         F.max("d").alias("mx_d"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     pf = spark.createDataFrame(
         _Q481_PREDS, "pid int, flo double, fhi double"
     )
@@ -2860,7 +2860,7 @@ def q481_partition_granularity_advisor(
         )
         .cast("long")
         .alias("est_cost"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     best = cost.agg(F.min("est_cost").alias("mn"))
     return cost.crossJoin(F.broadcast(best)).select(
         "granularity",
@@ -2959,7 +2959,7 @@ def q482_file_count_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = li.agg(
         F.min("sd").alias("mnsd"), F.max("sd").alias("mxsd")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     zones = None
     for k in _Q482_GRID:
         z = (
@@ -3004,7 +3004,7 @@ def q482_file_count_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("est_cost"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     best = cost.agg(F.min("est_cost").alias("mn"))
     return cost.crossJoin(F.broadcast(best)).select(
@@ -3055,7 +3055,7 @@ def _drain_q483_audit(
     li = read_table(spark, sf_dir, "lineitem")
     del_o = orders.join(
         F.broadcast(req), orders.o_custkey == req.c_custkey
-    ).select("o_orderkey").localCheckpoint()
+    ).select("o_orderkey").localCheckpoint(eager=False)
     remaining_o = orders.join(F.broadcast(del_o), "o_orderkey", "left_anti")
     remaining_l = li.join(
         F.broadcast(del_o), li.l_orderkey == del_o.o_orderkey, "left_anti"
@@ -3365,10 +3365,10 @@ def q485_two_level_metadata_pruning(
     st = days.agg(
         F.min("d").cast("double").alias("mnd"),
         F.max("d").cast("double").alias("mxd"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     files = days.groupBy("mf", "d").agg(
         F.count(F.lit(1)).cast("long").alias("rws")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     manifests = files.groupBy("mf").agg(
         F.min("d").alias("mn_d"),
         F.max("d").alias("mx_d"),
@@ -3385,7 +3385,7 @@ def q485_two_level_metadata_pruning(
         (F.col("mnd") + F.col("fhi") * (F.col("mxd") - F.col("mnd"))).alias(
             "hi"
         ),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     mh = (F.col("mn_d") <= F.col("hi")) & (F.col("mx_d") >= F.col("lo"))
     mhit = (
         manifests.crossJoin(F.broadcast(pr))
@@ -3733,14 +3733,14 @@ def q489_optimizer_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("join_order").alias("chosen_join_order"),
         F.col("best_actual").alias("join_order_verified"),
     )
-    m = q468_mv_lattice_selection(spark, sf_dir).localCheckpoint()
+    m = q468_mv_lattice_selection(spark, sf_dir).localCheckpoint(eager=False)
     m1 = m.filter((F.col("step") == 1) & F.col("chosen")).select(
         F.col("view_name").alias("mv_first_pick")
     )
     m2 = m.filter((F.col("step") == 2) & F.col("chosen")).select(
         F.col("view_name").alias("mv_second_pick")
     )
-    s = q480_join_strategy_matrix(spark, sf_dir).localCheckpoint()
+    s = q480_join_strategy_matrix(spark, sf_dir).localCheckpoint(eager=False)
     s1 = s.filter(
         (F.col("edge") == "nation_customer") & F.col("chosen")
     ).select(F.col("strategy").alias("dim_edge_strategy"))
@@ -4523,7 +4523,7 @@ def q497_bipartite_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     e = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     p1 = e.filter(F.col("s") == _Q497_SEED).select("p").distinct()
     s2 = (
         e.join(F.broadcast(p1), "p")
@@ -4793,7 +4793,7 @@ def q500_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("tot")
     )
     aggs.append(F.count(F.lit(1)).alias("n"))
-    one = orders.agg(*aggs).localCheckpoint()
+    one = orders.agg(*aggs).localCheckpoint(eager=False)
     reps = None
     for b in range(1, _Q500_B + 1):
         r = one.select(
@@ -4982,7 +4982,7 @@ def q501_streaming_pit_attribution(
     from databricks_etl_spark.sources.writers import scratch_dir
 
     e = read_table(spark, sf_dir, "events")
-    clicks = _q501_clicks(spark, sf_dir).localCheckpoint()
+    clicks = _q501_clicks(spark, sf_dir).localCheckpoint(eager=False)
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value", "event_id"
     )
@@ -5207,7 +5207,7 @@ def q503_incremental_recluster_plan(
             F.min("sd").alias("mn_sd"),
             F.max("sd").alias("mx_sd"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     appended = (
         exact_ntile(
@@ -5222,7 +5222,7 @@ def q503_incremental_recluster_plan(
             F.min("sd").alias("mn_sd"),
             F.max("sd").alias("mx_sd"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = appended.select(
         F.col("mn_sd").alias("a_mn"), F.col("mx_sd").alias("a_mx")
@@ -5336,7 +5336,7 @@ def q504_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     n = float(items.select("ok").distinct().count())
     isup = items.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("s"))
     a = items.select("ok", F.col("pk").alias("pk_a"))

@@ -86,7 +86,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = read_table(spark, sf_dir, "embeddings")
         _EDGE_CACHE[key] = GA.build_knn_graph(
             e, _Q506_M
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return _EDGE_CACHE[key]
 
 
@@ -595,7 +595,7 @@ def q510_recluster_plan_execution(
             F.max("sd").alias("mx"),
             F.count(F.lit(1)).cast("long").alias("c"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bz = zones.filter(F.col("fid") < 1000)
     az = zones.filter(F.col("fid") >= 1000)
@@ -608,7 +608,7 @@ def q510_recluster_plan_execution(
         )
         .select(F.col("b.fid").alias("fid"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ov_fids = sorted(r["fid"] for r in ov.collect())  # ≤ |files| rows
     kk = len(ov_fids)
@@ -656,7 +656,7 @@ def q510_recluster_plan_execution(
     beforez = zones
     afterz = bz.filter(~F.col("fid").isin(ov_fids)).unionByName(
         new_zones
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     def depth(z: DataFrame):
         b = z.select(
@@ -872,7 +872,7 @@ def q511_streaming_attribution_retractions(
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("p_ts"),
         "value",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     clicks = e.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
@@ -1142,10 +1142,10 @@ def q514_connected_components_oracled(
         a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = li.select(F.col("pk"), F.col("pk").alias("lbl")).distinct() \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     for _ in range(32):
         via = (
             edges.join(
@@ -1165,7 +1165,7 @@ def q514_connected_components_oracled(
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -1276,7 +1276,7 @@ def q515_sliding_window_distinct(
     grain = (
         e.groupBy(day.alias("d"), "user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     du = grain.select("d", "user_id")
     dc = grain.groupBy("d").agg(F.sum("c").cast("long").alias("c"))
@@ -1412,7 +1412,7 @@ def q517_prefix_filtered_jaccard_join(
     from databricks_etl_spark.operators.dedup import token_sets
 
     d = read_table(spark, sf_dir, "documents")
-    i = token_sets(d).localCheckpoint()
+    i = token_sets(d).localCheckpoint(eager=False)
     # global token order: (df ASC, token ASC), dense rank via the
     # two-phase exact rank (q502's extractor)
     from databricks_etl_spark.operators.quantile_bucket import exact_ntile
@@ -1563,7 +1563,7 @@ def q518_correlated_join_sampling(
     li = read_table(spark, sf_dir, "lineitem")
     ck = li.groupBy(F.col("l_partkey").alias("k")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     tru = ck.agg(
         F.sum(F.col("c") * F.col("c")).cast("long").alias("t")
     )
@@ -1701,7 +1701,7 @@ def q519_drift_monitor_psi_ks(
         ).alias("bin"),
         day.alias("d"),
     )
-    mind = p.agg(F.min("d").alias("m")).localCheckpoint()
+    mind = p.agg(F.min("d").alias("m")).localCheckpoint(eager=False)
     p = p.crossJoin(F.broadcast(mind)).withColumn(
         "rel_d", F.col("d") - F.col("m")
     )
@@ -1721,7 +1721,7 @@ def q519_drift_monitor_psi_ks(
             F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
             F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = f.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
@@ -1840,7 +1840,7 @@ def q520_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(38,0)"
             )
         ).alias("rx"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     gini = tot.select(
         F.round(
             (F.lit(2).cast("double") * F.col("rx") / (F.lit(n) * F.col("tot")))
@@ -2723,7 +2723,7 @@ def q529_dedup_cluster_canonicalization(
     d = read_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _Q529_SLICE
     )
-    i = token_sets(d).localCheckpoint()
+    i = token_sets(d).localCheckpoint(eager=False)
     sz = i.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
     ia = i.select(F.col("doc_id").alias("id_a"), "token")
     ib = i.select(F.col("doc_id").alias("id_b"), "token")
@@ -2749,10 +2749,10 @@ def q529_dedup_cluster_canonicalization(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = d.select(
         F.col("doc_id").alias("pk"), F.col("doc_id").alias("lbl")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(32):
         via = (
             edges.join(
@@ -2772,7 +2772,7 @@ def q529_dedup_cluster_canonicalization(
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -2934,7 +2934,7 @@ def q531_robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def exact_median_long(df: DataFrame, col: str, key: str) -> int:
@@ -2950,7 +2950,7 @@ def q531_robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = exact_median_long(daily, "cents", "d")
     dev = daily.select(
         "d", "cents", F.abs(F.col("cents") - F.lit(m)).alias("adev")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     mad = exact_median_long(dev, "adev", "d")
     return dev.select(
         F.col("d").cast("long").alias("day"),
@@ -3072,7 +3072,7 @@ def q532_matryoshka_truncation_audit(
             .select(F.lit(d).alias("dim"), "qid", "nid")
         )
         tops = t if tops is None else tops.unionByName(t)
-    tops = tops.localCheckpoint()
+    tops = tops.localCheckpoint(eager=False)
     full = tops.filter(F.col("dim") == 64).select(
         "qid", "nid", F.lit(1).alias("__hit")
     )
@@ -3199,7 +3199,7 @@ def q534_streaming_drift_monitor(
     )
     # the reference min-day is a property of the WHOLE corpus; a real
     # deployment pins it in config — here derived once, like q519
-    mind = p_all.agg(F.min("d").alias("m")).localCheckpoint()
+    mind = p_all.agg(F.min("d").alias("m")).localCheckpoint(eager=False)
     root = scratch_dir("drift_stream_", key=sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     path = f"{root}/partials"
@@ -3244,7 +3244,7 @@ def q534_streaming_drift_monitor(
             F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
             F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = f.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     f2 = f.crossJoin(F.broadcast(tot)).select(
@@ -3530,7 +3530,7 @@ def q537_incremental_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("spend_cents"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     is_late = (
         F.instr(
             F.lit(_Q537_SLICE),
@@ -3545,7 +3545,7 @@ def q537_incremental_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = pts.filter(~is_late)
     late = pts.filter(is_late)
     old_frontier = skyline_2d(base, "spend_cents", "n_orders")
-    merged = old_frontier.unionByName(late).localCheckpoint()
+    merged = old_frontier.unionByName(late).localCheckpoint(eager=False)
     return skyline_2d(merged, "spend_cents", "n_orders").select(
         "custkey",
         "spend_cents",
@@ -3649,7 +3649,7 @@ def q538_funnel_latency_percentiles(
         .agg(F.min("ep").alias("t2"))
     )
     conv = (
-        s.join(c, "user_id").join(p, "user_id").localCheckpoint()
+        s.join(c, "user_id").join(p, "user_id").localCheckpoint(eager=False)
     )
     out = None
     for lbl, a, b in [("signup_to_click", "t0", "t1"),
@@ -3785,7 +3785,7 @@ def q539_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.coalesce("__c", F.lit(0))).cast("long").alias("x"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = per.filter(F.col("arm_a")).select(
         F.col("n").alias("na"), F.col("x").alias("xa")
@@ -3950,7 +3950,7 @@ def q540_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t"),
             F.col("tp").isNotNull().alias("died"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     grid = dur.filter("died").select("t").distinct()
     # risk set per event time: suffix count over the bounded grid —
@@ -4061,7 +4061,7 @@ def q541_ewma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cur = daily.select(
         F.col("d"), F.col("cents").alias("actual_cents")
@@ -4333,7 +4333,7 @@ def q544_unigram_logprob_scoring(
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(tokens_col("text")).alias("token")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     vocab = toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
@@ -4410,7 +4410,7 @@ def q545_streaming_logprob_scoring(
         )
         grain = toks.groupBy("doc_id", "token").agg(
             F.count(F.lit(1)).cast("long").alias("tf")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         (
             grain.groupBy("token")
             .agg(F.sum("tf").cast("long").alias("tf"))
@@ -4550,7 +4550,7 @@ def q546_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("errs"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     anchor = daily.agg(F.max("d").alias("dmax"))
     wins = spark.createDataFrame(
@@ -4658,7 +4658,7 @@ def q547_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("cents"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     r = exact_ntile(
         per, [F.desc("rec_days"), F.asc("custkey")], _Q547_Q,
         out_col="r_score",
@@ -5064,7 +5064,7 @@ def q551_ab_test_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
             "ss"
         ),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     a = per.filter(F.col("arm_a")).select(
         F.col("n").alias("na"), F.col("s").alias("sa"),
         F.col("ss").alias("ssa"),
@@ -5311,7 +5311,7 @@ def q553_dsar_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("user_id") % _Q553_MOD == 0)
         .select("user_id")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_req = req.agg(F.count(F.lit(1)).cast("long").alias("n_subjects"))
 
@@ -5666,7 +5666,7 @@ def q556_hot_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     per = li.groupBy(F.col("l_suppkey").alias("k")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     tot = per.agg(
         F.sum("c").alias("n"),
         F.count(F.lit(1)).alias("nk"),
@@ -5937,7 +5937,7 @@ def q559_brand_affinity_matrix(
         F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("b")
     )
     items = li.join(p, "l_partkey").select("ok", "b").distinct() \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     n = items.select("ok").distinct().count()
     sup = items.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("s"))
     a = items.select("ok", F.col("b").alias("brand_a"))
@@ -6042,7 +6042,7 @@ def q560_grouped_boxplot_stats(
         F.count(F.lit(1)).over(Window.partitionBy("nation")).cast(
             "long"
         ).alias("n"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # rank targets in integer DIV (a float /4 could misround a boundary)
     quart = ranked.groupBy("nation").agg(
         F.max("n").alias("n_orders"),
@@ -6342,7 +6342,7 @@ def q564_streaming_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("freq").cast("long").alias("freq"),
             F.sum("cents").cast("long").alias("cents"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     r = exact_ntile(
         per, [F.desc("rec_days"), F.asc("custkey")], _Q547_Q,
@@ -6431,7 +6431,7 @@ def q565_cohort_ltv_discounted(
         F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
     )
     first_seen = e.groupBy("user_id").agg(F.min(day).alias("d0"))
-    base = first_seen.agg(F.min("d0").alias("base")).localCheckpoint()
+    base = first_seen.agg(F.min("d0").alias("base")).localCheckpoint(eager=False)
     rev = (
         e.filter(F.col("event_type") == "purchase")
         .join(first_seen, "user_id")
@@ -6526,7 +6526,7 @@ def q566_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.datediff(
         F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
     )
-    du = e.select(day.alias("d"), "user_id").distinct().localCheckpoint()
+    du = e.select(day.alias("d"), "user_id").distinct().localCheckpoint(eager=False)
     f = du.groupBy("user_id").agg(F.min("d").alias("d0"))
     days = du.select("d").distinct()
     today = du.join(f, "user_id")
@@ -6641,7 +6641,7 @@ def q567_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.datediff(
         F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
     )
-    du = e.select(day.alias("d"), "user_id").distinct().localCheckpoint()
+    du = e.select(day.alias("d"), "user_id").distinct().localCheckpoint(eager=False)
     days = du.select("d").distinct()
     dau = du.groupBy("d").agg(
         F.countDistinct("user_id").cast("long").alias("dau")
@@ -6826,7 +6826,7 @@ def q569_seasonal_adjusted_anomaly(
             .cast("long")
             .alias("cents")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     idx = daily.groupBy("dow").agg(
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("dow_rev"),
@@ -6851,7 +6851,7 @@ def q569_seasonal_adjusted_anomaly(
                 6,
             ).alias("adj"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def lower_median(df: DataFrame, col: str, key: str) -> float:
@@ -6864,7 +6864,7 @@ def q569_seasonal_adjusted_anomaly(
     m = lower_median(resid, "adj", "d")
     dev = resid.select(
         "*", F.abs(F.col("adj") - F.lit(m)).alias("adev")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     mad = lower_median(dev, "adev", "d")
     return dev.select(
         F.col("d").cast("long").alias("day"),
@@ -6950,7 +6950,7 @@ def q570_sorted_neighborhood_linkage(
             "p_name",
             F.element_at(F.split("p_name", " "), -1).alias("noun"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = p.count()
     rk = exact_ntile(p, ["p_name", "p_partkey"], n, out_col="rk")
@@ -6972,7 +6972,7 @@ def q570_sorted_neighborhood_linkage(
             & (F.col("name_a") != F.col("name_b"))
         )
         .select("key_a", "key_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ra = rk.select(
         F.col("p_partkey").alias("key_a"),
@@ -7000,7 +7000,7 @@ def q570_sorted_neighborhood_linkage(
             F.greatest("key_a", "key_b").alias("key_b"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bt = truth.agg(
         F.count(F.lit(1)).cast("long").alias("blocking_pairs")
@@ -7266,7 +7266,7 @@ def q573_streaming_growth_accounting(
         .parquet(path)
         .select("d", "user_id")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     f = du.groupBy("user_id").agg(F.min("d").alias("d0"))
     days = du.select("d").distinct()
@@ -7399,7 +7399,7 @@ def q574_net_revenue_retention(
             "cents"
         ),
     )
-    base = p.agg(F.min("d").alias("b")).localCheckpoint()
+    base = p.agg(F.min("d").alias("b")).localCheckpoint(eager=False)
     rev = (
         p.crossJoin(base)
         .select(
@@ -7409,7 +7409,7 @@ def q574_net_revenue_retention(
         )
         .groupBy("user_id", "wk")
         .agg(F.sum("cents").cast("long").alias("cents"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nxt = rev.select(
         "user_id",

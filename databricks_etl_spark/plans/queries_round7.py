@@ -574,7 +574,7 @@ def q289_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE Jaccard self-join feeds both the clustering and the leak
     # count — the inverted-index pair build dominates this query's
     # cost, so materializing it once halves the heavy work
-    pairs = jaccard_pairs(d, 0.5, ngram=1, max_df=100).localCheckpoint()
+    pairs = jaccard_pairs(d, 0.5, ngram=1, max_df=100).localCheckpoint(eager=False)
     comps = connected_components(pairs, "id_a", "id_b")
     asg = (
         d.select("doc_id")
@@ -1414,7 +1414,7 @@ def q299_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one materialization feeds both the size histogram and the
     # singleton count — a driver-side count() here would re-run the
     # whole iterative component build per action
-    comps = _neardup_components(spark, sf_dir).localCheckpoint()
+    comps = _neardup_components(spark, sf_dir).localCheckpoint(eager=False)
     sizes = comps.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("k")
     )
@@ -1580,7 +1580,7 @@ def q302_image_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databricks_etl_spark.operators import multimodal as MM
 
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    ah = MM.image_ahash(MM.generate_bmp_payloads(d)).localCheckpoint()
+    ah = MM.image_ahash(MM.generate_bmp_payloads(d)).localCheckpoint(eager=False)
     bands = ah.crossJoin(
         F.broadcast(spark.range(0, 4).select(F.col("id").alias("band")))
     ).select(
@@ -1893,7 +1893,7 @@ def q306_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databricks_etl_spark.operators.dedup import jaccard_pairs
 
     d = read_table(spark, sf_dir, "documents")
-    pj = jaccard_pairs(d, 0.5, ngram=1, max_df=100).localCheckpoint()
+    pj = jaccard_pairs(d, 0.5, ngram=1, max_df=100).localCheckpoint(eager=False)
     th = spark.createDataFrame(
         [(0.5,), (0.6,), (0.7,), (0.8,)], "threshold double"
     )
@@ -2277,7 +2277,7 @@ def q310_ann_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = spark.createDataFrame(
         list(enumerate(_Q285_CENTS)), "cid int, centroid array<double>"
     )
-    cells = assign_cells(e, cents).localCheckpoint()
+    cells = assign_cells(e, cents).localCheckpoint(eager=False)
     qv = cells.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("__qe"),
@@ -2301,7 +2301,7 @@ def q310_ann_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("sim"),
         )
-        .localCheckpoint()  # one scoring pass feeds both rankings
+        .localCheckpoint(eager=False)  # one scoring pass feeds both rankings
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     truth = (

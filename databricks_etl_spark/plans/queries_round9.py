@@ -1331,7 +1331,7 @@ def q332_rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("sim"),
         )
-        .localCheckpoint()  # one scoring pass feeds both rankings
+        .localCheckpoint(eager=False)  # one scoring pass feeds both rankings
     )
     w = Window.partitionBy("qid").orderBy(
         F.desc("sim"), F.asc("doc_id"), F.asc("chunk_idx")

@@ -45,6 +45,19 @@ def get_spark(app_name: str = "databricks_etl_spark", *, cpus: int | None = None
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", "0"),
         )
+        # AQE coalescePartitions.parallelismFirst stays at the upstream
+        # default (true). A/B'd on the full bench + targeted lanes
+        # (r17, VERDICT #10): false (respect the 64 MB advisory size)
+        # helped the many-tiny-stage lanes ~10% (q131 1.43->1.26,
+        # q312/q457/q581 in the clean full-bench pair) but REGRESSED
+        # q523's two-phase quantile path ~30% (2.52->3.33 repeat
+        # median) — net ambiguous under this box's noise, so the
+        # upstream default keeps the known-good q523 shape. Knob kept
+        # for cluster profiles where the advisory size is meaningful.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
         # Whole-stage-codegen fallback bound aligned with the JVM JIT:
         # HotSpot refuses to JIT methods over 8000 bytecodes
         # (-XX:DontCompileHugeMethods), so a generated method bigger
